@@ -1,0 +1,46 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the configs this engine assumes everywhere.
+  *
+  * Scale notes (designed for a 1000-executor cluster, tested on local[32]):
+  *  - AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  *    is the first line of defense at 100 TB.
+  *  - `nanosAsLong`: the ingest tables carry TIMESTAMP(NANOS) parquet which
+  *    Spark's TimestampType (micros) cannot hold; we keep time as epoch-nano
+  *    longs end-to-end (cheap, exact, timezone-free) and only convert to
+  *    timestamps at display boundaries (SeriesOps.displayMs).
+  */
+object Sessions {
+
+  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / tools. */
+  def local(appName: String = "graft", cores: Int = 4): SparkSession = {
+    val s = tune(
+      SparkSession.builder().master(s"local[$cores]").appName(appName),
+      shufflePartitions = cores
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Apply the runtime-settable configs to an externally built session
+    * (the driver harness builds its own). Safe to call repeatedly.
+    */
+  def ensureRuntimeConfs(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+}

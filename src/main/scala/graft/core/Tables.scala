@@ -1,0 +1,45 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loader for the driver-generated parquet tables under one sf directory.
+  *
+  * Every query entry point receives `(spark, sfDir)`; this is the single
+  * place that knows the on-disk layout, so filters/projections written on
+  * the returned DataFrames push straight down into the parquet scans.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+
+  def apply(name: String): DataFrame = {
+    Sessions.ensureRuntimeConfs(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def lineitem: DataFrame = apply("lineitem")
+  def orders: DataFrame = apply("orders")
+  def customer: DataFrame = apply("customer")
+  def supplier: DataFrame = apply("supplier")
+  def part: DataFrame = apply("part")
+  def nation: DataFrame = apply("nation")
+  def region: DataFrame = apply("region")
+  def documents: DataFrame = apply("documents")
+  def embeddings: DataFrame = apply("embeddings")
+
+  /** Raw events; `ts` arrives as epoch-nanosecond LongType (see Sessions). */
+  def events: DataFrame = apply("events")
+
+  /** The canonical long-format point table (SURVEY.md §1.5): one weather
+    * "series" per (user, event_type), epoch-ns time, double value.
+    * Mirrors the reference's TimeSeries long format
+    * (reference: weather/data_sources/netatmo/repository.py:136-148).
+    */
+  def points: DataFrame =
+    events.select(
+      concat(lit("shyft://events/u"), col("user_id"), lit("/"), col("event_type"))
+        .as("series_id"),
+      col("ts"),
+      col("value"),
+      col("event_id")
+    )
+}

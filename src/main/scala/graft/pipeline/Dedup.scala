@@ -1,0 +1,150 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PolyHash
+
+/** Deduplication operators for pretraining-scale corpora (exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard).
+  *
+  * Scale design:
+  *  - Exact dedup is a hash-groupBy: one shuffle on a 128-bit digest, never
+  *    on the document text itself.
+  *  - MinHash+LSH avoids the O(n²) pair space: signatures are computed
+  *    scan-side (codegen'd PolyHash), banded, and only documents colliding
+  *    in a band bucket are joined — the standard shingle→minhash→band→
+  *    bucket-join pipeline. The band join is an equi-join on
+  *    (band, band_hash), so Catalyst shuffles both sides on a well-spread
+  *    key; AQE splits skewed buckets.
+  *  - SimHash reduces a document to a 32-bit signature; near-dup = small
+  *    Hamming distance, and candidate generation can bucket on signature
+  *    prefixes (pigeonhole) instead of comparing all pairs.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: md5 of the raw text. Output one row per doc
+    * with its canonical keeper (smallest id) and dup flag.
+    */
+  def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val keyed = df.select(col(idCol), md5(col(textCol)).as("text_md5"))
+    val groups = keyed.groupBy("text_md5")
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("group_size"))
+    keyed.join(groups, "text_md5")
+      .select(col(idCol), col("text_md5"), col("keeper_id"),
+        (col(idCol) =!= col("keeper_id")).as("is_dup"), col("group_size"))
+  }
+
+  /** MinHash signature: for seed j in [0, numHashes), min over k-token
+    * shingles of PolyHash(shingle, j). Docs with < k tokens get null.
+    */
+  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
+    val sh = TextOps.shingles(TextOps.tokens(text), shingleK)
+    when(size(sh) > 0,
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        j => array_min(transform(sh, s => PolyHash(s, j.cast("long"))))))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
+    * and hash each band; docs sharing any (band, band_hash) are candidates.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    df.select(col(idCol),
+        minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col(idCol), explode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            PolyHash(array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+              .cast("array<string>"), ","), b.cast("long")).as("band_hash"))))
+        .as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+  }
+
+  /** Candidate pairs from LSH buckets (a < b), deduplicated across bands. */
+  def lshCandidates(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val b = lshBuckets(df, idCol, textCol, shingleK, bands, rowsPerBand)
+    val l = b.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
+    val r = b.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
+    l.join(r, Seq("band", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Verified near-dups: LSH candidates with exact shingle-set Jaccard ≥
+    * threshold. The expensive exact check touches only colliding pairs.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val sets = df.select(col(idCol),
+      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleK)).as("sh"))
+    val cands = lshCandidates(df, idCol, textCol, shingleK, bands, rowsPerBand)
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 32-bit SimHash over unit-weight token hashes: bit i of the signature is
+    * set iff more token hashes have bit i set than clear. Pure integer
+    * bit algebra (shift/and/popcount-friendly), identical in any engine.
+    */
+  def simhash(text: Column): Column = {
+    val hs = transform(TextOps.tokens(text), t => PolyHash(t, 0L))
+    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, i) => {
+      val bitBalance = aggregate(hs, lit(0L), (a, h) =>
+        a + when(call_function("shiftright", h, i.cast("int")).bitwiseAND(lit(1L)) === 1L,
+          lit(1L)).otherwise(lit(-1L)))
+      acc + when(bitBalance > 0, call_function("shiftleft", lit(1L), i.cast("int")))
+        .otherwise(lit(0L))
+    })
+  }
+
+  /** SimHash near-dup pairs within a blocking key: Hamming(simhash) ≤ maxDist. */
+  def simhashNearDups(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      blockCol: String = "lang", maxDist: Int = 6): DataFrame = {
+    val sigs = df.select(col(blockCol).as("block"), col(idCol), simhash(col(textCol)).as("sig"))
+    val l = sigs.select(col("block"), col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val r = sigs.select(col("block"), col(idCol).as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("block"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxDist)
+      .select(col("block"), col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** n-gram (character trigram) Jaccard similarity between all doc pairs
+    * within a blocking key (e.g., language) — the quadratic fallback,
+    * bounded by the block.
+    */
+  def ngramJaccard(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      blockCol: String = "lang", n: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val grams = df.select(col(blockCol).as("block"), col(idCol),
+      array_distinct(charNgrams(col(textCol), n)).as("g"))
+    val l = grams.select(col("block"), col(idCol).as("id_a"), col("g").as("g_a"))
+    val r = grams.select(col("block"), col(idCol).as("id_b"), col("g").as("g_b"))
+    l.join(r, Seq("block"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Character n-grams over the ASCII-normalized text. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val norm = array_join(TextOps.tokens(text), " ")
+    when(length(norm) >= n,
+      transform(sequence(lit(0), length(norm) - n), i => norm.substr(i + 1, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+}

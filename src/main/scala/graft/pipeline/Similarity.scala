@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query set
+  * against a full corpus scan; one pass, no shuffle of the corpus, the
+  * per-row dot product is a codegen'd fold. 100 TB path: IVF-style coarse
+  * quantization — corpus pre-assigned to cells (here: the `label` column as
+  * trained assignment), queries probe only the `nprobe` nearest centroids,
+  * pruning the scan to cells' partitions.
+  */
+object Similarity {
+
+  /** Left-fold dot product of two float vectors in double precision.
+    * Explicit sequential fold (not SIMD reassociation) so the result is
+    * bit-reproducible across engines.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding itself). Deterministic order: (sim desc, id asc).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+  }
+
+  /** Cell centroids by mean of member vectors — the "training" step of IVF
+    * (here cells = the pre-assigned `label` column).
+    */
+  def centroids(corpus: DataFrame, cellCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val dim = size(col(vecCol))
+    corpus.groupBy(col(cellCol).as("cell"))
+      .agg(count(lit(1)).as("n"),
+        aggregate(collect_list(col(vecCol)), // small per-cell lists at test SF;
+          // at scale replace with Summarizer-mean over a vector column
+          array_repeat(lit(0.0), 64).cast("array<double>"),
+          (acc, v) => zip_with(acc, v, (x, y) => x + y.cast("double")))
+          .as("sum_vec"))
+      .select(col("cell"), transform(col("sum_vec"), x => x / col("n")).as("centroid"))
+  }
+
+  /** IVF probe: each query ranks cells by centroid cosine, searches only the
+    * top `nprobe` cells. Returns top-k per query within probed cells.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "label"): DataFrame = {
+    val cents = centroids(corpus, cellCol, vecCol)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probe = q.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("qv"), col("centroid")))
+    val wq = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell").asc)
+    val probed = probe.withColumn("prank", row_number().over(wq))
+      .where(col("prank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val c = corpus.select(col(cellCol).as("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(probed), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥ threshold,
+    * blocked by cell to bound the pair space (LSH-bucketed variant of
+    * embedding dedup).
+    */
+  def embeddingNearDups(corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "label"): DataFrame = {
+    val v = corpus.select(col(cellCol).as("cell"), col(idCol), col(vecCol))
+    val l = v.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val r = v.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    l.join(r, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .where(col("cos_sim") >= threshold)
+      .select("cell", "id_a", "id_b", "cos_sim")
+  }
+}

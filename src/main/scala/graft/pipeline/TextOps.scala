@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PolyHash
+
+/** Text-analysis operators for large-scale training-data pipelines: ASCII
+  * token normalization, k-shingling, token counting, quality scoring,
+  * n-gram language ID and document fingerprinting.
+  *
+  * Everything here is pure Catalyst column algebra (no UDFs): at 100 TB these
+  * run inside the scan's whole-stage-codegen with full predicate/column
+  * pushdown. The only custom kernel is [[graft.functions.PolyHash]], itself
+  * codegen'd.
+  */
+object TextOps {
+
+  /** Canonical ASCII word tokens: lowercase maximal [a-z0-9]+ runs.
+    * Keeping tokens ASCII-only makes every downstream hash byte==codepoint
+    * portable (see PolyHash scaladoc).
+    */
+  def tokens(text: Column): Column =
+    array_remove(split(lower(text), "[^a-z0-9]+"), "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** k-token shingles, space-joined. Documents shorter than k tokens yield
+    * an empty list.
+    */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + 1, k), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Quality-score feature block (length / punctuation / digits / stopword
+    * ratios + mean token length), the usual cheap pre-filter signals for
+    * pretraining corpora.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nChars = length(t).cast("long")
+    val nTokens = size(toks).cast("long")
+    val nAlnum = length(regexp_replace(lower(t), "[^a-z0-9]", "")).cast("long")
+    val nSpaces = length(t) - length(regexp_replace(t, " ", ""))
+    val stopHits = size(filter(toks, w => w.isInCollection(Stopwords.en)))
+    df.withColumn("n_chars_m", nChars)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("mean_token_len",
+        when(nTokens > 0, nAlnum.cast("double") / nTokens).otherwise(lit(0.0)))
+      .withColumn("alnum_ratio",
+        when(nChars > 0, nAlnum.cast("double") / nChars).otherwise(lit(0.0)))
+      .withColumn("space_ratio",
+        when(nChars > 0, nSpaces.cast("double") / nChars).otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(nTokens > 0, stopHits.cast("double") / nTokens).otherwise(lit(0.0)))
+  }
+
+  /** Composite quality score in [0,1]-ish: documents with reasonable length,
+    * word shape and stopword density score high.
+    */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame =
+    qualityFeatures(df, textCol).withColumn("quality_score",
+      least(col("n_tokens").cast("double") / 64.0, lit(1.0)) * 0.4
+        + col("stopword_ratio") * 0.3
+        + col("alnum_ratio") * 0.3)
+
+  /** n-gram-dictionary language ID: score each candidate language by its
+    * stopword hit count over the token set; argmax with deterministic
+    * alphabetical tie-break. Classic cheap heuristic lang-ID.
+    */
+  def languageId(df: DataFrame, textCol: String = "text",
+      langs: Map[String, Seq[String]] = Stopwords.byLang): DataFrame = {
+    val toks = array_distinct(tokens(col(textCol)))
+    val scored = langs.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(toks, w => w.isInCollection(words))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // argmax by (hits desc, lang asc): flip sign on hits and take array_min
+    df.withColumn("lang_pred",
+      array_min(array(scored.map(s =>
+        struct((-s.getField("hits")).as("neg"), s.getField("lang").as("lang"))): _*))
+        .getField("lang"))
+  }
+
+  /** Document fingerprint: PolyHash of the normalized token stream — the
+    * deterministic rolling-hash id used for exact-dup detection at scale.
+    */
+  def fingerprint(text: Column, seed: Long = 0L): Column =
+    PolyHash(array_join(tokens(text), " "), seed)
+}
+
+/** Tiny per-language stopword dictionaries (public common words). */
+object Stopwords {
+  val en = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+  val de = Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht")
+  val es = Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con")
+  val fr = Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "sur")
+  val it = Seq("il", "la", "di", "che", "e", "un", "per", "con", "del", "non")
+  val byLang: Map[String, Seq[String]] =
+    Map("en" -> en, "de" -> de, "es" -> es, "fr" -> fr, "it" -> it)
+}

@@ -1,0 +1,140 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ts.model.Period
+
+/** The per-series analytic operators (SURVEY.md §2.4 A1-A6, §2.5 W1-W6) as
+  * composable `DataFrame => DataFrame` transforms over the long point
+  * schema `(series_id, ts, value)`.
+  *
+  * All of these are single-shuffle window/groupBy plans partitioned by
+  * `series_id` — at 100 TB the series key is the natural distribution key,
+  * and consecutive ops reuse the same partitioning (Catalyst removes the
+  * second exchange when the child is already hash-partitioned on the key).
+  * Values may be NaN (missing); aggregates here are NaN-safe by filtering,
+  * matching the reference's np.nanmax/np.nanmin usage
+  * (reference: visual/dtss_serve_test.py:165-166).
+  */
+object SeriesOps {
+
+  private val bySeries = Window.partitionBy("series_id")
+  private val bySeriesTs = bySeries.orderBy("ts")
+
+  private def notNan(c: Column): Column = c.isNotNull && !isnan(c)
+
+  /** A1 last-value "current": newest point per series in the window
+    * (reference: visual/dashboard_data.py:84-86).
+    * Tie-break on equal ts: largest value (deterministic).
+    */
+  def lastValue(points: DataFrame): DataFrame =
+    points.where(notNan(col("value")))
+      .groupBy("series_id")
+      .agg(max_by(col("value"), struct(col("ts"), col("value"))).as("last_value"),
+        max(col("ts")).as("last_ts"))
+
+  /** A2+A4: min/max/count per series (reference: visual/dashboard_data.py:88-89). */
+  def minMaxCount(points: DataFrame): DataFrame =
+    points.groupBy("series_id").agg(
+      min(when(notNan(col("value")), col("value"))).as("min_value"),
+      max(when(notNan(col("value")), col("value"))).as("max_value"),
+      count(when(notNan(col("value")), lit(1))).as("n_points"))
+
+  /** A6 display range padding: pad the [min,max] range by `frac` of its
+    * magnitude, ceil/floor to integers
+    * (reference: visual/dtss_serve_test.py:165-173, visual/static_plot.py:116-117).
+    */
+  def rangePad(points: DataFrame, frac: Double = 0.2): DataFrame =
+    minMaxCount(points).select(
+      col("series_id"), col("min_value"), col("max_value"),
+      floor(col("min_value") - abs(col("max_value") - col("min_value")) * frac)
+        .cast("double").as("range_lower"),
+      ceil(col("max_value") + abs(col("max_value") - col("min_value")) * frac)
+        .cast("double").as("range_upper"))
+
+  /** W1: consecutive time deltas per series
+    * (reference: weather/data_sources/netatmo/repository.py:138).
+    */
+  def deltas(points: DataFrame): DataFrame =
+    points.select(col("series_id"), col("ts"),
+      (col("ts") - lag(col("ts"), 1).over(bySeriesTs)).as("delta_ns"))
+
+  /** A3: mode of consecutive deltas — the reference's dt inference
+    * (repository.py:136-140). Python's `max(set(dt), key=count)` tie-break is
+    * insertion-order-dependent; we fix the deterministic tie-break to the
+    * SMALLEST delta (SURVEY.md §7.4).
+    */
+  def dtMode(points: DataFrame): DataFrame = {
+    val d = deltas(points).where(col("delta_ns").isNotNull)
+    val counted = d.groupBy("series_id", "delta_ns").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("series_id")
+      .orderBy(col("cnt").desc, col("delta_ns").asc)
+    counted.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("series_id"), col("delta_ns").as("dt_mode_ns"))
+  }
+
+  /** W2: axis extension — every point gets `valid_to = next ts`, and the
+    * LAST point of each series gets a synthetic boundary `ts + dt_mode`,
+    * closing the final interval (repository.py:137-140). One window + one
+    * broadcast-sized join against the per-series dt table.
+    */
+  def extendAxis(points: DataFrame): DataFrame = {
+    val lead1 = points.withColumn("__next_ts", lead(col("ts"), 1).over(bySeriesTs))
+    lead1.join(dtMode(points), Seq("series_id"), "left")
+      .select(col("series_id"), col("ts"), col("value"),
+        coalesce(col("__next_ts"), col("ts") + coalesce(col("dt_mode_ns"), lit(0L)))
+          .as("valid_to"))
+  }
+
+  /** W3: temporal concat (`extend`) — append a later chunk to a series;
+    * on timestamp collision the LATER chunk wins
+    * (repository.py:187-192).
+    */
+  def concatChunks(first: DataFrame, second: DataFrame): DataFrame = {
+    val w = Window.partitionBy("series_id", "ts").orderBy(col("__gen").desc)
+    first.withColumn("__gen", lit(0))
+      .unionByName(second.withColumn("__gen", lit(1)))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "__gen")
+  }
+
+  /** W5: point-interpretation-aware render expansion
+    * (reference: visual/utils.py:10-23, visual/dtss_serve_test.py:39-52).
+    *  - instant: points pass through (trailing synthetic boundary dropped by
+    *    the caller via period filter);
+    *  - average: staircase — each value appears at both interval boundaries
+    *    `[t_i, t_{i+1}]`.
+    */
+  def stepExpand(points: DataFrame, fx: model.PointFx): DataFrame = fx match {
+    case model.InstantValue => points.select("series_id", "ts", "value")
+    case model.AverageValue =>
+      points
+        .withColumn("__next_ts", lead(col("ts"), 1).over(bySeriesTs))
+        .select(col("series_id"), col("ts"), col("value"), col("__next_ts"))
+        .select(col("series_id"),
+          explode(when(col("__next_ts").isNotNull,
+            array(struct(col("ts").as("ts"), col("value").as("value")),
+              struct(col("__next_ts").as("ts"), col("value").as("value"))))
+            .otherwise(array(struct(col("ts").as("ts"), col("value").as("value")))))
+            .as("p"))
+        .select(col("series_id"), col("p.ts").as("ts"), col("p.value").as("value"))
+  }
+
+  /** W6: display-time localization — epoch ms shifted by a fixed tz offset,
+    * the reference's `(t + base_offset) * 1000`
+    * (reference: visual/utils.py:5-7).
+    */
+  def displayMs(points: DataFrame, tzOffsetSeconds: Long): DataFrame =
+    points.withColumn("display_ms",
+      (col("ts") + lit(tzOffsetSeconds * Period.Second)) / lit(Period.Milli))
+
+  /** P3: period filter [startNs, endNs) — a pure Catalyst predicate so it
+    * pushes down to the parquet scan (partition/row-group pruning).
+    */
+  def periodFilter(points: DataFrame, period: Period): DataFrame =
+    points.where(col("ts") >= period.startNs && col("ts") < period.endNs)
+}
