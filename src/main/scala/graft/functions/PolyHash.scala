@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -31,7 +31,6 @@ case class PolyHash(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
-  override def inputTypes: Seq[DataType] = Seq(org.apache.spark.sql.types.StringType, LongType)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     if (left.dataType == org.apache.spark.sql.types.StringType && right.dataType == LongType)
@@ -75,13 +74,13 @@ object PolyHash {
   val Mod: Long = 1000000007L
 
   def apply(c: Column, seed: Long): Column =
-    ExpressionUtils.column(
-      PolyHash(ExpressionUtils.expression(c),
+    GraftBridge.column(
+      PolyHash(GraftBridge.expression(c),
         org.apache.spark.sql.catalyst.expressions.Literal(seed)))
 
   def apply(c: Column, seed: Column): Column =
-    ExpressionUtils.column(
-      PolyHash(ExpressionUtils.expression(c), ExpressionUtils.expression(seed)))
+    GraftBridge.column(
+      PolyHash(GraftBridge.expression(c), GraftBridge.expression(seed)))
 
   /** JVM-side twin of the expression (for tests / driver-side checks). */
   def hash(s: String, seed: Long): Long = {

@@ -57,7 +57,7 @@ object Dedup {
       .select(col(idCol), explode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
-            PolyHash(array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+            PolyHash(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
               .cast("array<string>"), ","), b.cast("long")).as("band_hash"))))
         .as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))

@@ -31,7 +31,7 @@ object TextOps {
   def shingles(toks: Column, k: Int): Column =
     when(size(toks) >= k,
       transform(sequence(lit(0), size(toks) - k),
-        i => array_join(slice(toks, i + 1, k), " ")))
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
       .otherwise(array().cast("array<string>"))
 
   /** Quality-score feature block (length / punctuation / digits / stopword
