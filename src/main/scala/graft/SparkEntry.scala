@@ -1,13 +1,529 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Sessions, Tables}
+import graft.ops.AsofJoin
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+import graft.sources.{Netatmo, NetatmoSource}
+import graft.ts.{Evaluate, Rdp, SeriesOps, SeriesStore, StoreSource, HeartbeatSource, MockSource}
+import graft.ts.model.{AverageValue, Period}
+
+/** Driver contract: every implemented operator from SURVEY.md §2 (plus the
+  * training-data pipeline extensions) is registered here as a named query
+  * over the driver's parquet tables, with a DuckDB-equivalent oracle SQL.
+  * Column names are aliased identically on both sides — the driver's compare
+  * sorts columns by name before hashing.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- shared time constants (events span 2024-01; epoch ns) ----
+  private val NsPerS = 1000L * 1000 * 1000
+  private val T0 = 1704412800L * NsPerS // 2024-01-05
+  private val T1 = 1704844800L * NsPerS // 2024-01-10
+  private val T2 = 1705276800L * NsPerS // 2024-01-15
+  private val T3 = 1705708800L * NsPerS // 2024-01-20
+
+  private def pts(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).points.select("series_id", "ts", "value")
+
+  /** DuckDB twin of Tables.points (same series_id/ts/value derivation). */
+  private val PointsCte =
+    "SELECT 'shyft://events/u' || user_id || '/' || event_type AS series_id, " +
+      "epoch_ns(ts) AS ts, value FROM events"
+
+  /** DuckDB twin of TextOps.tokens. */
+  private val Toks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** DuckDB twin of PolyHash(s, seed) — byte==codepoint holds because every
+    * input is ASCII (verified for the testdata corpus).
+    */
+  private def phSql(s: String, seed: String): String =
+    s"list_reduce(list_prepend(CAST($seed AS BIGINT), " +
+      s"list_transform(string_split($s, ''), c -> CAST(ord(c) AS BIGINT))), " +
+      "(a, c) -> (a * 31 + c) % 1000000007)"
+
+  /** DuckDB twin of the per-series dt-mode (SeriesOps.dtMode) over a CTE
+    * named `points`.
+    */
+  private val DtModeCte =
+    """deltas AS (SELECT series_id, ts - lag(ts) OVER (PARTITION BY series_id ORDER BY ts, value) AS delta_ns FROM points),
+      |dcnt AS (SELECT series_id, delta_ns, count(*) AS cnt FROM deltas WHERE delta_ns IS NOT NULL GROUP BY 1, 2),
+      |dmode AS (SELECT series_id, delta_ns AS dt_mode_ns FROM (SELECT *, row_number() OVER (PARTITION BY series_id ORDER BY cnt DESC, delta_ns ASC) AS rn FROM dcnt) WHERE rn = 1)""".stripMargin
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // --------------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational anchors (scan/filter/agg/join; Catalyst baseline) ----
+    "q1_agg" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum("l_extendedprice").as("sum_base"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc"),
+          avg("l_discount").as("avg_disc"),
+          count(lit(1)).as("n"))
+    }),
+    "q2_join_agg" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+    "q3_broadcast_dims" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), sum("c_acctbal").as("acctbal"))
+    }),
+    "q4_filter" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .where(col("l_quantity") > 45.0 && col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    }),
+
+    // ---- time-series operators over the events-derived point table ----
+    "ts_last_value" -> ((s, dir) => SeriesOps.lastValue(pts(s, dir))),
+    "ts_minmax" -> ((s, dir) => SeriesOps.minMaxCount(pts(s, dir))),
+    "ts_range_pad" -> ((s, dir) => SeriesOps.rangePad(pts(s, dir))),
+    "ts_deltas" -> ((s, dir) => SeriesOps.deltas(pts(s, dir))),
+    "ts_dt_mode" -> ((s, dir) => SeriesOps.dtMode(pts(s, dir))),
+    "ts_extend_axis" -> ((s, dir) => SeriesOps.extendAxis(pts(s, dir))),
+    "ts_concat_chunks" -> ((s, dir) => {
+      val p = pts(s, dir)
+      val first = SeriesOps.periodFilter(p, Period(T0, T2))
+      val second = SeriesOps.periodFilter(p, Period(T1, T3))
+        .withColumn("value", col("value") + 100.0)
+      SeriesOps.concatChunks(first, second)
+    }),
+    "ts_step_expand" -> ((s, dir) => SeriesOps.stepExpand(pts(s, dir), AverageValue)),
+    "ts_display_ms" -> ((s, dir) => SeriesOps.displayMs(pts(s, dir), 3600)),
+    "ts_period_filter" -> ((s, dir) => SeriesOps.periodFilter(pts(s, dir), Period(T1, T2))),
+    "ts_tail_limit" -> ((s, dir) => SeriesOps.tailLimit(pts(s, dir), 5)),
+    "ts_rdp" -> ((s, dir) => Rdp.downsample(pts(s, dir))), // no SQL oracle (recursive geometry)
+    "ts_asof_join" -> ((s, dir) => {
+      val e = Tables(s, dir).eventsUs
+      val left = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      val right = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("r_value"))
+      AsofJoin.backward(left, right, Seq("user_id"))
+    }),
+
+    // ---- evaluate/routing + store merge + find ----
+    "eval_routing" -> ((s, dir) => {
+      val warehouse = java.nio.file.Files.createTempDirectory("graft-eval").toString
+      val ev = Evaluate.default(new SeriesStore(s, warehouse))
+      val ids = Seq("mock1://a/1", "mock2://b/2", "mock1://c/3", "heartbeat://cb/ping")
+      ev.evaluate(s, ids, Period(1704067200L * NsPerS, 1704067260L * NsPerS))
+    }),
+    "store_merge" -> ((s, dir) => {
+      val warehouse = java.nio.file.Files.createTempDirectory("graft-merge").toString
+      val store = new SeriesStore(s, warehouse, numBuckets = 8)
+      val p = pts(s, dir)
+      store.merge("events", SeriesOps.periodFilter(p, Period(T0, T2)))
+      val second = SeriesOps.periodFilter(p, Period(T1, T3))
+        .withColumn("value", col("value") + 100.0)
+      store.merge("events", second)
+      store.merge("events", second) // idempotence: re-merge is a no-op
+      store.read("events")
+    }),
+    "store_find" -> ((s, dir) => {
+      val warehouse = java.nio.file.Files.createTempDirectory("graft-find").toString
+      val store = new SeriesStore(s, warehouse, numBuckets = 8)
+      store.merge("events", pts(s, dir))
+      val infos = new StoreSource(store).find(s, "shyft://events/u1/")
+      s.createDataFrame(infos.map(i =>
+        (i.name, i.pointFx, i.deltaTNs, i.dataPeriodStartNs, i.dataPeriodEndNs)))
+        .toDF("name", "point_fx", "delta_t_ns", "data_start_ns", "data_end_ns")
+    }),
+
+    // ---- netatmo catalog + fixture-backed paginated API source ----
+    "netatmo_catalog" -> ((s, dir) => {
+      Netatmo.catalog(Netatmo.rawConfig(Tables(s, dir).events))
+        .select("user_id", "station_id", "station_name", "module_id",
+          "module_name", "data_type", "source_id", "store_id", "tz")
+    }),
+    "netatmo_lookup" -> ((s, dir) => {
+      val cat = Netatmo.catalog(Netatmo.rawConfig(Tables(s, dir).events))
+      Seq(("Station 7", "Main", "click"), ("Station 7", "Outdoor", "error"),
+        ("Station 12", "Main", "view"))
+        .map { case (st, m, dt) => Netatmo.lookup(cat, st, m, dt) }
+        .reduce(_ unionByName _)
+        .select("station_name", "module_name", "data_type", "source_id")
+    }),
+    "netatmo_read" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val cat = Netatmo.catalog(Netatmo.rawConfig(t.events))
+      val eventsPoints = t.eventsUs.select("user_id", "event_type", "ts", "value")
+      val src = new NetatmoSource(cat, eventsPoints)
+      val ev = new Evaluate(Map("netatmo" -> src))
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val modOf = Map("click" -> "Main", "error" -> "Outdoor", "purchase" -> "Main",
+        "signup" -> "Outdoor", "view" -> "Main")
+      val ids = for (uid <- 0 to 2; dt <- types)
+        yield graft.ts.Identifiers.netatmoIdStr(s"Station $uid", modOf(dt), dt)
+      ev.evaluate(s, ids, Period(Long.MinValue / 2, Long.MaxValue / 2))
+    }),
+
+    // ---- text analysis ----
+    "text_token_count" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+    }),
+    "text_quality" -> ((s, dir) => {
+      TextOps.qualityScore(Tables(s, dir).documents)
+        .select("doc_id", "n_chars_m", "n_tokens", "mean_token_len",
+          "alnum_ratio", "space_ratio", "stopword_ratio", "quality_score")
+    }),
+    "text_lang_id" -> ((s, dir) => {
+      TextOps.languageId(Tables(s, dir).documents).select("doc_id", "lang_pred")
+    }),
+    "text_fingerprint" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    }),
+
+    // ---- deduplication ----
+    "dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir).documents)),
+    "dedup_minhash" -> ((s, dir) => Dedup.minhashNearDups(Tables(s, dir).documents)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashNearDups(Tables(s, dir).documents)),
+    "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(Tables(s, dir).documents)),
+
+    // ---- similarity search ----
+    "sim_topk" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.bruteForceTopK(e.where(col("vec_id") < 5), e, k = 3)
+    }),
+    "sim_ivf_topk" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.ivfTopK(e.where(col("vec_id") < 5), e, k = 3, nprobe = 3)
+    }),
+    "sim_near_dups" -> ((s, dir) =>
+      Similarity.embeddingNearDups(Tables(s, dir).embeddings, threshold = 0.4)),
+
+    // ---- multimodal plumbing (deterministic stub decode; ASCII corpus) ----
+    "mm_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.synthMediaTable(Tables(s, dir).documents))),
+
+    // ---- streaming twin in batch mode (tumbling day windows) ----
+    "stream_window_stats" -> ((s, dir) => {
+      graft.streaming.StreamOps.windowedStats(pts(s, dir), "1 day", "1 hour")
+        .select(col("series_id"),
+          unix_micros(col("window.start")).as("win_start_us"),
+          col("min_value"), col("max_value"), col("n_points"))
+    })
+  )
+
+  // --------------------------------------------------------------------
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |sum(l_extendedprice) AS sum_base,
+        |sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc,
+        |avg(l_discount) AS avg_disc, count(*) AS n
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT o_orderpriority,
+        |sum(l_extendedprice * (1.0 - l_discount)) AS revenue, count(*) AS n
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1""".stripMargin,
+    "q3_broadcast_dims" ->
+      """SELECT r_name, n_name, count(*) AS n_cust, sum(c_acctbal) AS acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2""".stripMargin,
+    "q4_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem WHERE l_quantity > 45.0 AND l_discount > 0.05""".stripMargin,
+
+    "ts_last_value" ->
+      s"""WITH points AS ($PointsCte)
+         |SELECT series_id, value AS last_value, ts AS last_ts FROM (
+         |  SELECT series_id, value, ts,
+         |         row_number() OVER (PARTITION BY series_id ORDER BY ts DESC, value DESC) AS rn
+         |  FROM points WHERE NOT isnan(value)) WHERE rn = 1""".stripMargin,
+    "ts_minmax" ->
+      s"""WITH points AS ($PointsCte)
+         |SELECT series_id,
+         |  min(value) FILTER (WHERE NOT isnan(value)) AS min_value,
+         |  max(value) FILTER (WHERE NOT isnan(value)) AS max_value,
+         |  count(*) FILTER (WHERE NOT isnan(value)) AS n_points
+         |FROM points GROUP BY 1""".stripMargin,
+    "ts_range_pad" ->
+      s"""WITH points AS ($PointsCte),
+         |mm AS (SELECT series_id,
+         |  min(value) FILTER (WHERE NOT isnan(value)) AS min_value,
+         |  max(value) FILTER (WHERE NOT isnan(value)) AS max_value
+         |FROM points GROUP BY 1)
+         |SELECT series_id, min_value, max_value,
+         |  CAST(floor(min_value - abs(max_value - min_value) * 0.2) AS DOUBLE) AS range_lower,
+         |  CAST(ceil(max_value + abs(max_value - min_value) * 0.2) AS DOUBLE) AS range_upper
+         |FROM mm""".stripMargin,
+    "ts_deltas" ->
+      s"""WITH points AS ($PointsCte)
+         |SELECT series_id, ts,
+         |  ts - lag(ts) OVER (PARTITION BY series_id ORDER BY ts, value) AS delta_ns
+         |FROM points""".stripMargin,
+    "ts_dt_mode" ->
+      s"""WITH points AS ($PointsCte),
+         |$DtModeCte
+         |SELECT series_id, dt_mode_ns FROM dmode""".stripMargin,
+    "ts_extend_axis" ->
+      s"""WITH points AS ($PointsCte),
+         |$DtModeCte,
+         |led AS (SELECT series_id, ts, value,
+         |  lead(ts) OVER (PARTITION BY series_id ORDER BY ts, value) AS next_ts FROM points)
+         |SELECT l.series_id, l.ts, l.value,
+         |  coalesce(l.next_ts, l.ts + coalesce(m.dt_mode_ns, 0)) AS valid_to
+         |FROM led l LEFT JOIN dmode m ON l.series_id = m.series_id""".stripMargin,
+    "ts_concat_chunks" ->
+      s"""WITH points AS ($PointsCte),
+         |f AS (SELECT series_id, ts, value, 0 AS gen FROM points WHERE ts >= $T0 AND ts < $T2),
+         |sd AS (SELECT series_id, ts, value + 100.0 AS value, 1 AS gen FROM points WHERE ts >= $T1 AND ts < $T3),
+         |u AS (SELECT * FROM f UNION ALL SELECT * FROM sd)
+         |SELECT series_id, ts, value FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY series_id, ts ORDER BY gen DESC, value DESC) AS rn
+         |  FROM u) WHERE rn = 1""".stripMargin,
+    "ts_step_expand" ->
+      s"""WITH points AS ($PointsCte),
+         |led AS (SELECT series_id, ts, value,
+         |  lead(ts) OVER (PARTITION BY series_id ORDER BY ts, value) AS next_ts FROM points)
+         |SELECT series_id, ts, value FROM led
+         |UNION ALL
+         |SELECT series_id, next_ts AS ts, value FROM led WHERE next_ts IS NOT NULL""".stripMargin,
+    "ts_display_ms" ->
+      s"""WITH points AS ($PointsCte)
+         |SELECT series_id, ts, value,
+         |  (ts + ${3600L * NsPerS}) / 1000000 AS display_ms FROM points""".stripMargin,
+    "ts_period_filter" ->
+      s"""WITH points AS ($PointsCte)
+         |SELECT series_id, ts, value FROM points WHERE ts >= $T1 AND ts < $T2""".stripMargin,
+    "ts_tail_limit" ->
+      s"""WITH points AS ($PointsCte)
+         |SELECT series_id, ts, value FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY series_id ORDER BY ts DESC, value DESC) AS rn
+         |  FROM points) WHERE rn <= 5""".stripMargin,
+    "ts_asof_join" ->
+      """SELECT l.user_id, l.ts, l.value, r.ts AS right_ts, r.r_value AS right_r_value
+        |FROM (SELECT user_id, epoch_ns(ts) AS ts, value FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, epoch_ns(ts) AS ts, value AS r_value FROM events WHERE event_type = 'purchase') r
+        |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "eval_routing" ->
+      s"""WITH t AS (SELECT ts FROM range(${1704067200L * NsPerS}, ${1704067260L * NsPerS}, $NsPerS) r(ts))
+         |SELECT 0 AS ordinal, 'mock1://a/1' AS series_id, ts, 1.0 AS value FROM t
+         |UNION ALL SELECT 1, 'mock2://b/2', ts, 2.0 FROM t
+         |UNION ALL SELECT 2, 'mock1://c/3', ts, 3.0 FROM t
+         |UNION ALL SELECT 3, 'heartbeat://cb/ping', ts, 1.0 FROM t""".stripMargin,
+    "store_merge" ->
+      s"""WITH points AS ($PointsCte),
+         |f AS (SELECT series_id, ts, value, 0 AS gen FROM points WHERE ts >= $T0 AND ts < $T2),
+         |sd AS (SELECT series_id, ts, value + 100.0 AS value, 1 AS gen FROM points WHERE ts >= $T1 AND ts < $T3),
+         |u AS (SELECT * FROM f UNION ALL SELECT * FROM sd)
+         |SELECT series_id, ts, value FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY series_id, ts ORDER BY gen DESC, value DESC) AS rn
+         |  FROM u) WHERE rn = 1""".stripMargin,
+    "store_find" ->
+      """WITH p AS (SELECT 'shyft://events/u1/' || event_type AS name, epoch_ns(ts) AS ts, value FROM events WHERE user_id = 1),
+        |deltas AS (SELECT name, ts - lag(ts) OVER (PARTITION BY name ORDER BY ts, value) AS delta_ns FROM p),
+        |dcnt AS (SELECT name, delta_ns, count(*) AS cnt FROM deltas WHERE delta_ns IS NOT NULL GROUP BY 1, 2),
+        |dmode AS (SELECT name, delta_ns AS dt FROM (SELECT *, row_number() OVER (PARTITION BY name ORDER BY cnt DESC, delta_ns ASC) AS rn FROM dcnt) WHERE rn = 1),
+        |stats AS (SELECT name, min(ts) AS t0, max(ts) AS t1 FROM p GROUP BY 1)
+        |SELECT s.name, 'instant' AS point_fx, coalesce(m.dt, 0) AS delta_t_ns,
+        |       s.t0 AS data_start_ns, s.t1 AS data_end_ns
+        |FROM stats s LEFT JOIN dmode m ON s.name = m.name""".stripMargin,
+
+    "netatmo_catalog" ->
+      """WITH et AS (SELECT DISTINCT user_id, event_type FROM events),
+        |r AS (SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY event_type) AS rnk FROM et)
+        |SELECT user_id, 'station:' || user_id AS station_id,
+        |  'Station ' || user_id AS station_name,
+        |  CASE WHEN rnk % 2 = 1 THEN 'station:' || user_id ELSE 'module:' || user_id END AS module_id,
+        |  CASE WHEN rnk % 2 = 1 THEN 'Main' ELSE 'Outdoor' END AS module_name,
+        |  event_type AS data_type,
+        |  'netatmo://?station_name=Station ' || user_id || '&module_name=' ||
+        |    (CASE WHEN rnk % 2 = 1 THEN 'Main' ELSE 'Outdoor' END) || '&data_type=' || event_type AS source_id,
+        |  'shyft://netatmo/station-' || user_id || '/' ||
+        |    (CASE WHEN rnk % 2 = 1 THEN 'main' ELSE 'outdoor' END) || '/' || event_type AS store_id,
+        |  'Europe/Oslo' AS tz
+        |FROM r""".stripMargin,
+    "netatmo_lookup" ->
+      """SELECT * FROM (VALUES
+        |  ('Station 7', 'Main', 'click', 'netatmo://?station_name=Station 7&module_name=Main&data_type=click'),
+        |  ('Station 7', 'Outdoor', 'error', 'netatmo://?station_name=Station 7&module_name=Outdoor&data_type=error'),
+        |  ('Station 12', 'Main', 'view', 'netatmo://?station_name=Station 12&module_name=Main&data_type=view')
+        |) t(station_name, module_name, data_type, source_id)""".stripMargin,
+    "netatmo_read" ->
+      """WITH et AS (SELECT DISTINCT user_id, event_type FROM events WHERE user_id <= 2),
+        |r AS (SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY event_type) AS rnk FROM et),
+        |m AS (SELECT user_id, event_type, CASE WHEN rnk % 2 = 1 THEN 'Main' ELSE 'Outdoor' END AS module_name,
+        |      CAST(user_id * 5 + rnk - 1 AS INTEGER) AS ordinal FROM r),
+        |axis AS (SELECT DISTINCT m2.user_id, m2.module_name, epoch_ns(e.ts) AS ts
+        |         FROM events e JOIN m m2 ON e.user_id = m2.user_id AND e.event_type = m2.event_type),
+        |grid AS (SELECT i.user_id, i.event_type, i.module_name, i.ordinal, a.ts
+        |         FROM m i JOIN axis a ON a.user_id = i.user_id AND a.module_name = i.module_name),
+        |vals AS (SELECT user_id, event_type, epoch_ns(ts) AS ts, value FROM events)
+        |SELECT g.ordinal,
+        |  'netatmo://?station_name=Station ' || g.user_id || '&module_name=' || g.module_name ||
+        |    '&data_type=' || g.event_type AS series_id,
+        |  g.ts, coalesce(v.value, CAST('NaN' AS DOUBLE)) AS value
+        |FROM grid g LEFT JOIN vals v
+        |  ON v.user_id = g.user_id AND v.event_type = g.event_type AND v.ts = g.ts""".stripMargin,
+
+    "text_token_count" ->
+      s"SELECT doc_id, len($Toks) AS n_tokens FROM documents",
+    "text_quality" ->
+      s"""WITH f AS (SELECT doc_id, text, $Toks AS toks,
+         |  length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum FROM documents),
+         |g AS (SELECT doc_id, text, toks, alnum,
+         |  len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS stop
+         |FROM f)
+         |SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars_m,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(toks) > 0 THEN CAST(alnum AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_token_len,
+         |  CASE WHEN length(text) > 0 THEN CAST(alnum AS DOUBLE) / length(text) ELSE 0.0 END AS alnum_ratio,
+         |  CASE WHEN length(text) > 0 THEN CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / length(text) ELSE 0.0 END AS space_ratio,
+         |  CASE WHEN len(toks) > 0 THEN CAST(stop AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio,
+         |  least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) * 0.4 +
+         |    (CASE WHEN len(toks) > 0 THEN CAST(stop AS DOUBLE) / len(toks) ELSE 0.0 END) * 0.3 +
+         |    (CASE WHEN length(text) > 0 THEN CAST(alnum AS DOUBLE) / length(text) ELSE 0.0 END) * 0.3 AS quality_score
+         |FROM g""".stripMargin,
+    "text_lang_id" ->
+      s"""WITH toks AS (SELECT doc_id, list_distinct($Toks) AS tk FROM documents),
+         |langs(lang, words) AS (VALUES
+         |  ('de', ['der','die','das','und','ist','ein','zu','mit','von','nicht']),
+         |  ('en', ['the','a','of','and','to','in','is','that','it','for']),
+         |  ('es', ['el','la','de','que','y','en','un','es','por','con']),
+         |  ('fr', ['le','la','de','et','un','est','que','pour','dans','sur']),
+         |  ('it', ['il','la','di','che','e','un','per','con','del','non'])),
+         |s AS (SELECT doc_id, lang, len(list_filter(tk, t -> list_contains(words, t))) AS hits
+         |      FROM toks CROSS JOIN langs)
+         |SELECT doc_id, lang AS lang_pred FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+         |  FROM s) WHERE rn = 1""".stripMargin,
+    "text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, array_to_string($Toks, ' ') AS s FROM documents)
+         |SELECT doc_id, CASE WHEN s = '' THEN 0 ELSE ${phSql("s", "0")} END AS fp FROM t""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH k AS (SELECT doc_id, md5(text) AS text_md5 FROM documents),
+        |g AS (SELECT text_md5, min(doc_id) AS keeper_id, count(*) AS group_size FROM k GROUP BY 1)
+        |SELECT k.doc_id, k.text_md5, g.keeper_id, k.doc_id <> g.keeper_id AS is_dup, g.group_size
+        |FROM k JOIN g USING (text_md5)""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS tk FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+         |  THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+         |  ELSE [] END AS sh FROM toks),
+         |sig AS (SELECT doc_id,
+         |  list_transform(range(0, 32), j -> list_min(list_transform(sh, s -> ${phSql("s", "j")}))) AS sig
+         |FROM sh WHERE len(sh) > 0),
+         |bnd AS (SELECT doc_id, b,
+         |  ${phSql("array_to_string(list_transform(sig[b*4+1:b*4+4], x -> CAST(x AS VARCHAR)), ',')", "b")} AS band_hash
+         |FROM sig CROSS JOIN range(0, 8) rb(b)),
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r2.doc_id AS id_b FROM bnd l
+         |  JOIN bnd r2 ON l.b = r2.b AND l.band_hash = r2.band_hash AND l.doc_id < r2.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |  FROM cand c JOIN sets a ON a.doc_id = c.id_a JOIN sets b ON b.doc_id = c.id_b)
+         |WHERE jaccard >= 0.5""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS tk FROM documents),
+         |shg AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+         |  THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+         |  ELSE [] END AS sh FROM toks),
+         |hs AS (SELECT doc_id, list_transform(sh, s -> ${phSql("s", "0")}) AS hs FROM shg WHERE len(sh) > 0),
+         |sig AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 30), i ->
+         |  CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |  THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS sig FROM hs)
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         |WHERE hamming <= 6""".stripMargin,
+    "dedup_ngram" ->
+      s"""WITH toks AS (SELECT lang, doc_id, array_to_string($Toks, ' ') AS norm FROM documents),
+         |g AS (SELECT lang AS block, doc_id, list_distinct(CASE WHEN length(norm) >= 3
+         |  THEN list_transform(range(1, length(norm) - 1), i -> norm[i:i+2])
+         |  ELSE [] END) AS g FROM toks)
+         |SELECT block, id_a, id_b, jaccard FROM (
+         |  SELECT a.block, a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+         |  FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.3""".stripMargin,
+
+    "sim_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.v[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos_sim
+        |FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        |  FROM s) WHERE rank <= 3""".stripMargin,
+    "sim_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |pm AS (SELECT label, u.pos AS pos, u.x AS x FROM (
+        |  SELECT label, unnest(list_transform(range(1, len(v) + 1), i -> struct_pack(pos := i, x := v[i]))) AS u FROM e)),
+        |c1 AS (SELECT label AS cell, pos, avg(x) AS m FROM pm GROUP BY 1, 2),
+        |cent AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM c1 GROUP BY 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |probe AS (SELECT query_id, qv, cell FROM (
+        |  SELECT q.query_id, q.qv, cent.cell,
+        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |      list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * cent.centroid[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(cent.centroid) + 1), i -> cent.centroid[i] * cent.centroid[i])))) DESC,
+        |      cent.cell ASC) AS prank
+        |  FROM q CROSS JOIN cent) WHERE prank <= 3),
+        |s AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * c.v[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * p.qv[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos_sim
+        |FROM e c JOIN probe p ON c.label = p.cell WHERE c.vec_id <> p.query_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        |  FROM s) WHERE rank <= 3""".stripMargin,
+    "sim_near_dups" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        |SELECT cell, id_a, id_b, cos_sim FROM (
+        |  SELECT a.label AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))) AS cos_sim
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cos_sim >= 0.4""".stripMargin,
+
+    "mm_features" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  list_transform(string_split(text, ''), c -> ord(c)) AS cps FROM documents)
+        |SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN length(text) > 0 THEN list_sum(cps) ELSE 0 END AS BIGINT) AS byte_sum,
+        |  CAST(CASE WHEN length(text) > 0 THEN cps[1] ELSE -1 END AS INTEGER) AS first_byte,
+        |  CAST(CASE WHEN length(text) > 0 THEN cps[len(cps)] ELSE -1 END AS INTEGER) AS last_byte
+        |FROM b""".stripMargin,
+
+    "stream_window_stats" ->
+      s"""WITH points AS ($PointsCte)
+         |SELECT series_id,
+         |  ((ts // 1000) // 86400000000) * 86400000000 AS win_start_us,
+         |  min(value) AS min_value, max(value) AS max_value, count(*) AS n_points
+         |FROM points GROUP BY 1, 2""".stripMargin
+  )
 }

@@ -29,13 +29,22 @@ final case class Tables(spark: SparkSession, dir: String) {
   /** Raw events; `ts` arrives as epoch-nanosecond LongType (see Sessions). */
   def events: DataFrame = apply("events")
 
+  /** Events with `ts` canonicalized to the engine's time grid: epoch-ns
+    * values truncated to whole microseconds (`(ns div 1000) * 1000`). The
+    * parquet carries TIMESTAMP(NANOS), but the engine's canonical resolution
+    * is µs — the same grid every µs-native ANSI engine (and Spark's own
+    * TimestampType) resolves this data to, which keeps results portable.
+    */
+  def eventsUs: DataFrame =
+    events.withColumn("ts", expr("(ts div 1000) * 1000"))
+
   /** The canonical long-format point table (SURVEY.md §1.5): one weather
-    * "series" per (user, event_type), epoch-ns time, double value.
+    * "series" per (user, event_type), epoch-ns time (µs grid), double value.
     * Mirrors the reference's TimeSeries long format
     * (reference: weather/data_sources/netatmo/repository.py:136-148).
     */
   def points: DataFrame =
-    events.select(
+    eventsUs.select(
       concat(lit("shyft://events/u"), col("user_id"), lit("/"), col("event_type"))
         .as("series_id"),
       col("ts"),

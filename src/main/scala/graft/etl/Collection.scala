@@ -50,14 +50,20 @@ final class CollectionTask(
   def collectOnce(spark: SparkSession, nowNs: Long): Unit =
     try {
       val p = period.periodAt(nowNs)
+      // Persist the batch: the non-empty probe and the merge below would
+      // otherwise each evaluate the full read pipeline (an API-backed read
+      // would hit the source twice per collection).
       val data = evaluate.evaluate(spark, readIds, p)
-      if (!data.isEmpty) {
-        val mapping = spark.createDataFrame(readIds.zip(storeIds))
-          .toDF("series_id", "__store_id")
-        val rekeyed = data.join(broadcast(mapping), Seq("series_id"))
-          .select(col("__store_id").as("series_id"), col("ts"), col("value"))
-        store.merge(container, rekeyed, overwrite = false)
-      }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (!data.isEmpty) {
+          val mapping = spark.createDataFrame(readIds.zip(storeIds))
+            .toDF("series_id", "__store_id")
+          val rekeyed = data.join(broadcast(mapping), Seq("series_id"))
+            .select(col("__store_id").as("series_id"), col("ts"), col("value"))
+          store.merge(container, rekeyed, overwrite = false)
+        }
+      } finally data.unpersist()
       batchesOk += 1
       lastError = None
     } catch {

@@ -93,32 +93,69 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 32-bit SimHash over unit-weight token hashes: bit i of the signature is
-    * set iff more token hashes have bit i set than clear. Pure integer
-    * bit algebra (shift/and/popcount-friendly), identical in any engine.
+  /** Signature width: PolyHash values live in [0, 1e9+7) < 2^30, so exactly
+    * 30 well-mixed bits are available; using bits above 29 would bake
+    * constant (or heavily biased) bits into every signature.
     */
-  def simhash(text: Column): Column = {
-    val hs = transform(TextOps.tokens(text), t => PolyHash(t, 0L))
-    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, i) => {
-      val bitBalance = aggregate(hs, lit(0L), (a, h) =>
-        a + when(call_function("shiftright", h, i.cast("int")).bitwiseAND(lit(1L)) === 1L,
-          lit(1L)).otherwise(lit(-1L)))
-      acc + when(bitBalance > 0, call_function("shiftleft", lit(1L), i.cast("int")))
-        .otherwise(lit(0L))
-    })
+  val SimhashBits = 30
+
+  /** 30-bit SimHash over k-token **shingle** hashes: bit i of the signature
+    * is set iff more shingle hashes have bit i set than clear. Shingles (not
+    * unigrams) are deliberate: unigram bags over a small shared vocabulary
+    * collapse all documents onto nearby signatures, while the k-shingle
+    * space is large enough that only genuinely overlapping text yields a
+    * small Hamming distance. Pure integer bit algebra, identical in any
+    * engine. Documents with < k tokens (no shingles) yield null.
+    */
+  def simhash(text: Column, shingleK: Int = 3): Column = {
+    val hs = transform(TextOps.shingles(TextOps.tokens(text), shingleK),
+      s => PolyHash(s, 0L))
+    when(size(hs) > 0,
+      aggregate(sequence(lit(0), lit(SimhashBits - 1)), lit(0L), (acc, i) => {
+        val bitBalance = aggregate(hs, lit(0L), (a, h) =>
+          a + when(call_function("shiftright", h, i.cast("int")).bitwiseAND(lit(1L)) === 1L,
+            lit(1L)).otherwise(lit(-1L)))
+        acc + when(bitBalance > 0, call_function("shiftleft", lit(1L), i.cast("int")))
+          .otherwise(lit(0L))
+      }))
   }
 
-  /** SimHash near-dup pairs within a blocking key: Hamming(simhash) ≤ maxDist. */
+  /** SimHash near-dup pairs: Hamming(simhash) ≤ maxDist, found with exact
+    * **pigeonhole bucketing** instead of an all-pairs join: split the
+    * signature into maxDist+1 contiguous bit chunks — any pair within
+    * Hamming maxDist must agree exactly on at least one chunk — equi-join on
+    * (chunk_idx, chunk_value), then verify the true Hamming distance on the
+    * candidates only. The join key is well-spread (each chunk carries 4-5
+    * signature bits), so at 100 TB this is a plain shuffled equi-join whose
+    * candidate set is a vanishing fraction of the n² pair space; AQE splits
+    * any residual skew. Guaranteed to find exactly the brute-force pair set.
+    */
   def simhashNearDups(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      blockCol: String = "lang", maxDist: Int = 6): DataFrame = {
-    val sigs = df.select(col(blockCol).as("block"), col(idCol), simhash(col(textCol)).as("sig"))
-    val l = sigs.select(col("block"), col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val r = sigs.select(col("block"), col(idCol).as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("block"))
+      shingleK: Int = 3, maxDist: Int = 6): DataFrame = {
+    val nChunks = maxDist + 1
+    val bounds = (0 to nChunks).map(c => c * SimhashBits / nChunks)
+    val sigs = df
+      .select(col(idCol), simhash(col(textCol), shingleK).as("sig"))
+      .where(col("sig").isNotNull)
+    val chunked = sigs.select(col(idCol), col("sig"),
+      explode(array((0 until nChunks).map { c =>
+        val lo = bounds(c)
+        val mask = (1L << (bounds(c + 1) - lo)) - 1L
+        struct(lit(c).as("chunk"),
+          shiftright(col("sig"), lo).bitwiseAND(lit(mask)).as("chunk_val"))
+      }: _*)).as("ck"))
+      .select(col(idCol), col("sig"), col("ck.chunk").as("chunk"),
+        col("ck.chunk_val").as("chunk_val"))
+    val l = chunked.select(col("chunk"), col("chunk_val"),
+      col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val r = chunked.select(col("chunk"), col("chunk_val"),
+      col(idCol).as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("chunk", "chunk_val"))
       .where(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxDist)
-      .select(col("block"), col("id_a"), col("id_b"), col("hamming"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 
   /** n-gram (character trigram) Jaccard similarity between all doc pairs

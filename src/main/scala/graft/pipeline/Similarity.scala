@@ -44,21 +44,24 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos_sim")
   }
 
-  /** Cell centroids by mean of member vectors — the "training" step of IVF
-    * (here cells = the pre-assigned `label` column).
+  /** Cell centroids by per-dimension mean of member vectors — the "training"
+    * step of IVF (here cells = the pre-assigned `label` column).
+    *
+    * Dimension-agnostic and memory-safe: posexplode to (cell, pos, x) rows,
+    * partial-aggregating `avg` per (cell, pos) — never a per-cell list of
+    * whole vectors in executor memory — then reassemble the centroid array
+    * sorted by position. Scales to any dim and any cell size (the explode is
+    * a narrow map; the agg does map-side combine before the shuffle).
     */
   def centroids(corpus: DataFrame, cellCol: String = "label",
-      vecCol: String = "embedding"): DataFrame = {
-    val dim = size(col(vecCol))
-    corpus.groupBy(col(cellCol).as("cell"))
-      .agg(count(lit(1)).as("n"),
-        aggregate(collect_list(col(vecCol)), // small per-cell lists at test SF;
-          // at scale replace with Summarizer-mean over a vector column
-          array_repeat(lit(0.0), 64).cast("array<double>"),
-          (acc, v) => zip_with(acc, v, (x, y) => x + y.cast("double")))
-          .as("sum_vec"))
-      .select(col("cell"), transform(col("sum_vec"), x => x / col("n")).as("centroid"))
-  }
+      vecCol: String = "embedding"): DataFrame =
+    corpus
+      .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("centroid"))
 
   /** IVF probe: each query ranks cells by centroid cosine, searches only the
     * top `nprobe` cells. Returns top-k per query within probed cells.

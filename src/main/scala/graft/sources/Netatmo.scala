@@ -1,0 +1,222 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ts.{Identifiers, SeriesSource}
+import graft.ts.model.{Period, TsInfo}
+
+/** The station-API domain catalog and its fixture-backed paginated source —
+  * the Spark-native re-expression of the reference's Netatmo layer
+  * (reference: weather/data_sources/netatmo/domain.py:129-289,
+  * repository.py:93-265).
+  *
+  * The raw "station config" payload is derived deterministically from the
+  * `events` table (no network): one station per `user_id`, and the user's
+  * event types alternate (by alphabetical rank) between measurements carried
+  * by the station's own base unit and a single "Outdoor" module — so the
+  * station-as-module split (domain.py:200-216), the nested→flat catalog
+  * explode (start_collection_netatmo.py:59), the id↔catalog bind (J1), and
+  * the paginated block fetch (S1/S2) are all exercised against real data and
+  * are all expressible as an independent SQL oracle.
+  */
+object Netatmo {
+
+  /** The fixed 10-row measurement-type dimension
+    * (reference: weather/data_sources/netatmo/domain.py:110-123; all types
+    * are POINT_INSTANT_VALUE).
+    */
+  val measurementTypes: Seq[(String, String)] = Seq(
+    "Temperature" -> "°C", "CO2" -> "ppm", "Humidity" -> "%",
+    "Pressure" -> "mbar", "Noise" -> "db", "Rain" -> "mm",
+    "WindStrength" -> "km/h", "WindAngle" -> "angles",
+    "Guststrength" -> "km/h", "GustAngle" -> "angles")
+
+  def measurementDimension(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    measurementTypes.toDF("data_type", "unit")
+      .withColumn("point_fx", lit("instant"))
+  }
+
+  /** Nested raw station config — the fixture stand-in for the station-data
+    * API payload. Schema mirrors the reference's 3-level nesting: station
+    * fields + place struct + `modules: array<struct>`; the station's OWN
+    * `data_type` list holds the measurements of the base unit
+    * (domain.py:184-239).
+    */
+  def rawConfig(events: DataFrame): DataFrame = {
+    val et = events.select(col("user_id"), col("event_type")).distinct()
+    val ranked = et.withColumn("rnk",
+      row_number().over(Window.partitionBy("user_id").orderBy("event_type")))
+    ranked
+      .withColumn("on_station", col("rnk") % 2 === 1)
+      .groupBy("user_id")
+      .agg(
+        sort_array(collect_list(when(col("on_station"), col("event_type"))))
+          .as("station_types"),
+        sort_array(collect_list(when(!col("on_station"), col("event_type"))))
+          .as("module_types"))
+      .select(
+        col("user_id"),
+        concat(lit("station:"), col("user_id")).as("_id"),
+        concat(lit("Station "), col("user_id")).as("station_name"),
+        lit("Main").as("module_name"),
+        col("station_types").as("data_type"),
+        struct(
+          lit(10.0).as("altitude"), lit("Oslo").as("city"), lit("NO").as("country"),
+          lit("Europe/Oslo").as("timezone"),
+          array(lit(10.75), lit(59.91)).as("location")).as("place"),
+        when(size(col("module_types")) > 0,
+          array(struct(
+            concat(lit("module:"), col("user_id")).as("_id"),
+            lit("Outdoor").as("module_name"),
+            col("module_types").as("data_type"))))
+          .otherwise(array().cast("array<struct<_id:string,module_name:string,data_type:array<string>>>"))
+          .as("modules"))
+  }
+
+  /** Station-as-module split + nested→flat catalog: the station's own
+    * measurement fields become a synthetic FIRST module that reuses the
+    * station id (domain.py:200-216), then modules and their data_type lists
+    * are exploded into one row per measurement — the triple
+    * list-comprehension of start_collection_netatmo.py:59 — with source and
+    * store identifiers built per the id grammar (identifiers.py:32-43).
+    */
+  def catalog(raw: DataFrame): DataFrame = {
+    val mods = raw.select(
+      col("user_id"),
+      col("_id").as("station_id"), col("station_name"), col("place"),
+      explode(concat(
+        array(struct(
+          col("_id").as("module_id"),
+          col("module_name").as("module_name"),
+          col("data_type").as("data_type"))),
+        transform(col("modules"), m => struct(
+          m.getField("_id").as("module_id"),
+          m.getField("module_name").as("module_name"),
+          m.getField("data_type").as("data_type"))))).as("m"))
+    mods
+      .select(col("user_id"), col("station_id"), col("station_name"),
+        col("place"), col("m.module_id").as("module_id"),
+        col("m.module_name").as("module_name"),
+        explode(col("m.data_type")).as("data_type"))
+      .withColumn("source_id",
+        Identifiers.netatmoId(col("station_name"), col("module_name"), col("data_type")))
+      .withColumn("store_id",
+        Identifiers.storeId("netatmo", col("station_name"), col("module_name"), col("data_type")))
+      .withColumn("tz", col("place.timezone"))
+  }
+
+  /** P4 catalog lookup: (station_name, module_name, data_type) → measurement
+    * row, the chained point query of domain.py:277-289/:218-224/:159-166.
+    */
+  def lookup(cat: DataFrame, station: String, module: String, dataType: String): DataFrame =
+    cat.where(col("station_name") === station)
+      .where(col("module_name") === module)
+      .where(col("data_type") === dataType)
+}
+
+/** netatmo:// source: catalog bind (J1) + per-module batched paginated fetch
+  * (S1-S3) against the events-backed fixture "device API".
+  *
+  * `eventsPoints` must have columns (user_id, event_type, ts:LongNs, value).
+  */
+final class NetatmoSource(catalogDf: DataFrame, eventsPoints: DataFrame,
+    blockSize: Int = 1024) extends SeriesSource {
+
+  val name = "netatmo"
+
+  /** One API block (S1, repository.py:93-148): for ONE station/module, at
+    * most `blockSize` axis points starting at the period start, over the
+    * requested measurement columns. The fixture API is row-major — one row
+    * per timestamp with one column per measurement (pivot), which we
+    * transpose back to long format (P6, repository.py:142-143) and map
+    * missing cells to NaN (P5, repository.py:88-91). The axis is the union
+    * of the module's requested measurements' timestamps, exactly like the
+    * real API's shared per-module time axis.
+    */
+  def measurementsBlock(userId: Long, types: Seq[String], period: Period): DataFrame = {
+    val modEvents = eventsPoints
+      .where(col("user_id") === userId && col("event_type").isin(types: _*))
+      .where(col("ts") >= period.startNs && col("ts") < period.endNs)
+    val axis = modEvents.select("ts").distinct().orderBy("ts").limit(blockSize)
+    val wide = modEvents.join(axis, Seq("ts"))
+      .groupBy("ts").pivot("event_type", types).agg(max("value"))
+    wide
+      .unpivot(Array(col("ts")), types.map(col).toArray, "data_type", "value")
+      .withColumn("value", coalesce(col("value"), lit(Double.NaN)))
+      .select(col("ts"), col("data_type"), col("value"))
+  }
+
+  /** Paginated fetch (S2, repository.py:150-200): issue S1 blocks, advancing
+    * the period start one past the last returned axis point, until a block
+    * comes back empty or short. The per-block count/max action mirrors the
+    * reference's per-call API round trip; a production connector would fold
+    * this into a DataSource V2 with block offsets in `planInputPartitions`.
+    */
+  def getMeasurements(userId: Long, types: Seq[String], period: Period): DataFrame = {
+    var start = period.startNs
+    var acc: Option[DataFrame] = None
+    var done = false
+    while (!done) {
+      val block = measurementsBlock(userId, types, Period(start, period.endNs))
+      val stat = block.agg(
+        countDistinct(col("ts")).as("n"), max(col("ts")).as("t1")).collect()(0)
+      val n = stat.getLong(0)
+      if (n == 0L) done = true
+      else {
+        acc = Some(acc.map(_ unionByName block).getOrElse(block))
+        if (n < blockSize) done = true else start = stat.getLong(1) + 1
+      }
+    }
+    acc.getOrElse(measurementsBlock(userId, types, Period(period.startNs, period.startNs)))
+  }
+
+  /** Read callback (S3, repository.py:220-265): parse ids (P2), bind to the
+    * catalog (J1 — the catalog is metadata-scale, so the bind for the
+    * requested handful of ids is a driver-side lookup against a collected
+    * broadcast copy), group by (station, module) so N series on one module
+    * cost ONE paginated fetch with only the requested measurement columns
+    * (request coalescing + projection pushdown, repository.py:242-255), and
+    * re-key rows to the verbatim requested ids.
+    */
+  def read(spark: SparkSession, ids: Seq[String], period: Period): DataFrame = {
+    val parsed: Seq[(String, Map[String, String])] =
+      ids.map(id => id -> Identifiers.parseNetatmoIdStr(id))
+    val cat = catalogDf
+      .select("station_name", "module_name", "data_type", "user_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    val bound = parsed.map { case (id, p) =>
+      val key = (p("station_name"), p("module_name"), p("data_type"))
+      val uid = cat.getOrElse(key,
+        throw new IllegalArgumentException(s"id not in catalog: $id"))
+      (id, uid, p("module_name"), p("data_type"))
+    }
+    val parts = bound.groupBy { case (_, uid, module, _) => (uid, module) }.toSeq
+      .map { case ((uid, _), group) =>
+        val types = group.map(_._4).distinct
+        val fetched = getMeasurements(uid, types, period)
+        val keyMap = group.map { case (id, _, _, dt) => (dt, id) }
+        fetched
+          .join(
+            spark.createDataFrame(keyMap).toDF("data_type", "series_id"),
+            Seq("data_type"))
+          .select(col("series_id"), col("ts"), col("value"))
+      }
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Metadata find (repository.py:279-306): parse the query id, bind the
+    * catalog measurement, emit one TsInfo carrying the station's Olson tz.
+    */
+  def find(spark: SparkSession, query: String): Seq[TsInfo] = {
+    val p = Identifiers.parseNetatmoIdStr(query)
+    Netatmo.lookup(catalogDf, p("station_name"), p("module_name"), p("data_type"))
+      .select("source_id", "tz").collect().toSeq.map { r =>
+        TsInfo(r.getString(0), "instant", 0L, r.getString(1), 0L, 0L, 0L, 0L)
+      }
+  }
+}

@@ -36,7 +36,7 @@ object StreamOps {
     */
   def windowedStats(points: DataFrame, windowDur: String, watermark: String): DataFrame =
     points
-      .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000"))) // exact ns→us (no double rounding)
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), windowDur), col("series_id"))
       .agg(min("value").as("min_value"), max("value").as("max_value"),

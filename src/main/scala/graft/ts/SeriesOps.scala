@@ -21,7 +21,9 @@ import graft.ts.model.Period
 object SeriesOps {
 
   private val bySeries = Window.partitionBy("series_id")
-  private val bySeriesTs = bySeries.orderBy("ts")
+  // Secondary value key makes lead/lag deterministic if a series ever
+  // carries duplicate timestamps (both Spark and ANSI engines sort NaN last).
+  private val bySeriesTs = bySeries.orderBy(col("ts"), col("value"))
 
   private def notNan(c: Column): Column = c.isNotNull && !isnan(c)
 
@@ -94,7 +96,8 @@ object SeriesOps {
     * (repository.py:187-192).
     */
   def concatChunks(first: DataFrame, second: DataFrame): DataFrame = {
-    val w = Window.partitionBy("series_id", "ts").orderBy(col("__gen").desc)
+    val w = Window.partitionBy("series_id", "ts")
+      .orderBy(col("__gen").desc, col("value").desc)
     first.withColumn("__gen", lit(0))
       .unionByName(second.withColumn("__gen", lit(1)))
       .withColumn("__rn", row_number().over(w))
@@ -137,4 +140,16 @@ object SeriesOps {
     */
   def periodFilter(points: DataFrame, period: Period): DataFrame =
     points.where(col("ts") >= period.startNs && col("ts") < period.endNs)
+
+  /** O4: stream tail limit — keep only the newest `n` points per series,
+    * the reference's Bokeh `stream(new, 100)` display buffer
+    * (reference: visual/dashboard_test.py:81). Deterministic tie-break on
+    * (ts, value) descending.
+    */
+  def tailLimit(points: DataFrame, n: Int): DataFrame =
+    points
+      .withColumn("__rn", row_number().over(
+        bySeries.orderBy(col("ts").desc, col("value").desc)))
+      .where(col("__rn") <= n)
+      .drop("__rn")
 }

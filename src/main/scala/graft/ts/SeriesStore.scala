@@ -73,7 +73,10 @@ final class SeriesStore(spark: SparkSession, warehouse: String, numBuckets: Int 
     val merged = {
       val old = read(container).withColumn("__gen", lit(0))
       val nw = newData.withColumn("__gen", lit(1))
-      val w = Window.partitionBy("series_id", "ts").orderBy(col("__gen").desc)
+      // value.desc as secondary key: if one batch carries duplicate
+      // (series_id, ts) rows the survivor is still deterministic.
+      val w = Window.partitionBy("series_id", "ts")
+        .orderBy(col("__gen").desc, col("value").desc)
       old.unionByName(nw)
         .withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1)
@@ -81,13 +84,22 @@ final class SeriesStore(spark: SparkSession, warehouse: String, numBuckets: Int 
     }
 
     // Parquet can't be rewritten in place while being read: stage to a tmp
-    // sibling, then swap directories.
+    // sibling, then swap directories. Both renames are checked — if the
+    // second fails the backup is restored, so a crash mid-swap never leaves
+    // the container without its data.
     val tmp = new Path(containerPath(container) + ".__tmp")
     write(merged, tmp)
     val bak = new Path(containerPath(container) + ".__old")
     if (fs.exists(bak)) fs.delete(bak, true)
-    fs.rename(target, bak)
-    fs.rename(tmp, target)
+    if (!fs.rename(target, bak))
+      throw new java.io.IOException(s"merge: failed to move $target aside to $bak")
+    if (!fs.rename(tmp, target)) {
+      val restored = fs.rename(bak, target)
+      throw new java.io.IOException(
+        s"merge: failed to move $tmp into place" +
+          (if (restored) s"; previous data restored at $target"
+           else s"; RESTORE FAILED — previous data is at $bak"))
+    }
     fs.delete(bak, true)
   }
 

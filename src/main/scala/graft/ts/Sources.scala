@@ -38,7 +38,31 @@ final class StoreSource(store: SeriesStore) extends SeriesSource {
     }
   }
 
-  def find(spark: SparkSession, query: String): Seq[TsInfo] = Seq.empty
+  /** Metadata find: all stored series whose id starts with the query URL
+    * (exact id or prefix probe), with data period = [min ts, max ts], dt =
+    * modal delta — the reference's TsInfo resolution
+    * (reference: weather/data_sources/netatmo/repository.py:279-306).
+    * Metadata-scale result: collect is deliberate.
+    */
+  def find(spark: SparkSession, query: String): Seq[TsInfo] = {
+    val container = query.stripPrefix("shyft://").takeWhile(_ != '/')
+    if (!store.exists(container)) return Seq.empty
+    val pts = store.read(container).where(col("series_id").startsWith(query))
+    val stats = pts.groupBy("series_id")
+      .agg(min("ts").as("t0"), max("ts").as("t1"))
+    val dt = SeriesOps.dtMode(pts)
+    stats.join(dt, Seq("series_id"), "left").collect().toSeq.map { r =>
+      TsInfo(
+        name = r.getAs[String]("series_id"),
+        pointFx = "instant",
+        deltaTNs = Option(r.getAs[java.lang.Long]("dt_mode_ns")).map(_.toLong).getOrElse(0L),
+        olsonTzId = "UTC",
+        dataPeriodStartNs = r.getAs[Long]("t0"),
+        dataPeriodEndNs = r.getAs[Long]("t1"),
+        createdNs = 0L,
+        modifiedNs = 0L)
+    }.sortBy(_.name)
+  }
 }
 
 /** heartbeat:// — synthetic constant series of 1.0 at 1 s (=1e9 ns) steps
@@ -82,5 +106,9 @@ final class MockSource(val name: String, dtNs: Long = Period.Second) extends Ser
     idDf.crossJoin(per).select(col("series_id"), col("ts"), col("value"))
   }
 
-  def find(spark: SparkSession, query: String): Seq[TsInfo] = Seq.empty
+  /** Mock find echoes the queried id as an unbounded synthetic series
+    * (reference: weather/test/utilities.py:76-141 mock find_callback).
+    */
+  def find(spark: SparkSession, query: String): Seq[TsInfo] =
+    Seq(TsInfo(query, "instant", dtNs, "UTC", 0L, 0L, 0L, 0L))
 }
