@@ -98,5 +98,5 @@ object PolyHash {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.createOrReplaceTempFunction(
-        "poly_hash", exprs => PolyHash(exprs.head, exprs(1)), "builtin")
+        "poly_hash", exprs => PolyHash(exprs.head, exprs(1)), "built-in")
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Dedup
+
+/** Dedup semantics: the simhash pigeonhole bucketing must find EXACTLY the
+  * brute-force pair set (it is an exact algorithm, not an approximation),
+  * the signature distribution must not be degenerate (the round-2 smell),
+  * and minhash near-dups must find true duplicates with exact Jaccard.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("simhash pigeonhole candidates == brute-force all-pairs result") {
+    val sigs = docs
+      .select(col("doc_id"), Dedup.simhash(col("text"), 3).as("sig"))
+      .where(col("sig").isNotNull)
+    val l = sigs.select(col("doc_id").as("id_a"), col("sig").as("sa"))
+    val r = sigs.select(col("doc_id").as("id_b"), col("sig").as("sb"))
+    val brute = l.join(r, col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .where(col("hamming") <= 6)
+      .select("id_a", "id_b", "hamming")
+    val fast = Dedup.simhashNearDups(docs)
+    assert(rowsOf(fast) == rowsOf(brute))
+  }
+
+  test("simhash signatures are not degenerate: near-pairs are a small fraction") {
+    val n = docs.count()
+    val allPairs = n * (n - 1) / 2
+    val near = Dedup.simhashNearDups(docs).count()
+    // round-2 verdict flagged ~15% of all pairs within Hamming<=6 as a
+    // degenerate-signature smell; shingle-based signatures must stay sparse
+    assert(near.toDouble / allPairs < 0.05,
+      s"$near of $allPairs pairs within Hamming<=6 — signature looks degenerate")
+  }
+
+  test("minhash near-dups: identical docs found with Jaccard 1.0, unrelated absent") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then runs far away home"),
+      (2L, "the quick brown fox jumps over the lazy dog and then runs far away home"),
+      (3L, "catalyst optimizes logical plans into physical plans with pushdown and pruning rules")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashNearDups(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhash near-dups on the corpus all have true Jaccard >= threshold") {
+    val pairs = Dedup.minhashNearDups(docs).collect()
+    assert(pairs.nonEmpty, "corpus should contain at least one near-dup pair")
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("exact dedup groups identical texts under the smallest keeper id") {
+    val d = Seq((10L, "same text"), (11L, "same text"), (12L, "other text"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exact(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("keeper_id"), r.getAs[Boolean]("is_dup")))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((10L, 10L, false), (11L, 10L, true), (12L, 12L, false)))
+  }
+
+  test("lsh candidate generation never misses identical signatures") {
+    // identical text → identical minhash signature → collide in every band
+    val d = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    assert(Dedup.lshCandidates(d).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 2L)))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ts.SeriesOps
+import graft.ts.model.{AverageValue, InstantValue, Period}
+
+/** Per-series operator semantics: dt-mode tie-break, axis extension,
+  * interpretation-aware step expansion, chunk concat, tail limit.
+  */
+class SeriesOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = Period.Second
+
+  private def pts(rows: (Long, Double)*): DataFrame =
+    rows.map { case (t, v) => ("s", t * S, v) }.toDF("series_id", "ts", "value")
+
+  test("dtMode: most frequent delta wins; ties break to the SMALLEST delta") {
+    // deltas: 1,1,2,2 — tie between 1 and 2 → deterministic smallest = 1
+    val df = pts(0L -> 0.0, 1L -> 1.0, 2L -> 2.0, 4L -> 3.0, 6L -> 4.0)
+    val got = SeriesOps.dtMode(df).collect()(0)
+    assert(got.getAs[Long]("dt_mode_ns") == 1 * S)
+  }
+
+  test("extendAxis: every point's valid_to is the next ts; last gets ts + dtMode") {
+    val df = pts(0L -> 1.0, 1L -> 2.0, 2L -> 3.0, 4L -> 4.0)
+    val got = SeriesOps.extendAxis(df).collect()
+      .map(r => (r.getAs[Long]("ts") / S, r.getAs[Long]("valid_to") / S)).sortBy(_._1)
+    // dt deltas 1,1,2 → mode 1 s; last point 4 closes at 5
+    assert(got.toSeq == Seq(0L -> 1L, 1L -> 2L, 2L -> 4L, 4L -> 5L))
+  }
+
+  test("stepExpand: instant passes through; average duplicates values at both boundaries") {
+    val df = pts(0L -> 1.0, 1L -> 2.0, 2L -> 3.0)
+    assert(SeriesOps.stepExpand(df, InstantValue).count() == 3)
+    val avg = SeriesOps.stepExpand(df, AverageValue).collect()
+      .map(r => (r.getAs[Long]("ts") / S, r.getAs[Double]("value"))).sorted
+    // staircase: v1 at [0,1], v2 at [1,2], v3 at 2 → 2n-1 rows
+    assert(avg.toSeq == Seq(0L -> 1.0, 1L -> 1.0, 1L -> 2.0, 2L -> 2.0, 2L -> 3.0))
+  }
+
+  test("concatChunks: later chunk wins on timestamp collision") {
+    val first = pts(0L -> 1.0, 1L -> 2.0)
+    val second = pts(1L -> 20.0, 2L -> 30.0)
+    val got = SeriesOps.concatChunks(first, second).collect()
+      .map(r => (r.getAs[Long]("ts") / S, r.getAs[Double]("value"))).sortBy(_._1)
+    assert(got.toSeq == Seq(0L -> 1.0, 1L -> 20.0, 2L -> 30.0))
+  }
+
+  test("lastValue ignores NaN and takes the newest point") {
+    val df = pts(0L -> 5.0, 1L -> 7.0, 2L -> Double.NaN)
+    val got = SeriesOps.lastValue(df).collect()(0)
+    assert(got.getAs[Double]("last_value") == 7.0)
+    assert(got.getAs[Long]("last_ts") == 1 * S)
+  }
+
+  test("minMaxCount + rangePad are NaN-safe") {
+    val df = pts(0L -> 2.0, 1L -> Double.NaN, 2L -> 10.0)
+    val mm = SeriesOps.minMaxCount(df).collect()(0)
+    assert(mm.getAs[Double]("min_value") == 2.0)
+    assert(mm.getAs[Double]("max_value") == 10.0)
+    assert(mm.getAs[Long]("n_points") == 2L)
+    val rp = SeriesOps.rangePad(df).collect()(0)
+    // pad = 0.2 * 8 = 1.6 → floor(2-1.6)=0, ceil(10+1.6)=12
+    assert(rp.getAs[Double]("range_lower") == 0.0)
+    assert(rp.getAs[Double]("range_upper") == 12.0)
+  }
+
+  test("tailLimit keeps the newest n points per series") {
+    val df = pts((0L to 9L).map(t => t -> t.toDouble): _*)
+    val got = SeriesOps.tailLimit(df, 3).collect().map(_.getAs[Long]("ts") / S).sorted
+    assert(got.toSeq == Seq(7L, 8L, 9L))
+  }
+
+  test("periodFilter is half-open [start, end)") {
+    val df = pts(0L -> 0.0, 1L -> 1.0, 2L -> 2.0, 3L -> 3.0)
+    val got = SeriesOps.periodFilter(df, Period.ofSeconds(1, 3))
+      .collect().map(_.getAs[Long]("ts") / S).sorted
+    assert(got.toSeq == Seq(1L, 2L))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+
+import graft.ts.SeriesStore
+import graft.ts.model.Period
+
+/** Golden merge-store semantics, mirroring the reference's
+  * weather/test/test_dtss_host.py:102-134: store [1,2,3], then extension
+  * [4,5,6] starting at t=3 with overwrite_on_write=False → reading back
+  * yields [1,2,3,4,5,6]; a sibling container is untouched. Plus the
+  * crash-safety contract of the two-rename container swap.
+  */
+class SeriesStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = Period.Second
+  private val id = "shyft://test/eftas-sen/stua/temperature"
+
+  private def series(vals: Seq[Double], t0: Long): org.apache.spark.sql.DataFrame =
+    vals.zipWithIndex.map { case (v, i) => (id, (t0 + i) * S, v) }
+      .toDF("series_id", "ts", "value")
+
+  test("golden merge: extension chunk unions onto the stored axis") {
+    val store = new SeriesStore(spark, tmpDir("graft-golden"), numBuckets = 2)
+    store.merge("c1", series(Seq(1, 2, 3), t0 = 0))
+    store.merge("c2", series(Seq(1, 2, 3), t0 = 0)) // sibling container
+    store.merge("c1", series(Seq(4, 5, 6), t0 = 3))
+
+    val got = store.read("c1").orderBy("ts").collect().map(r => (r.getLong(1) / S, r.getDouble(2)))
+    assert(got.toSeq == Seq(0L -> 1.0, 1L -> 2.0, 2L -> 3.0, 3L -> 4.0, 4L -> 5.0, 5L -> 6.0))
+
+    // the second container keeps its original [1,2,3] (test_dtss_host.py:131-134)
+    val other = store.read("c2").orderBy("ts").collect().map(_.getDouble(2))
+    assert(other.toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("merge is last-wins on colliding timestamps and idempotent") {
+    val store = new SeriesStore(spark, tmpDir("graft-lastwins"), numBuckets = 2)
+    store.merge("c", series(Seq(1, 2, 3), t0 = 0))
+    val overlap = series(Seq(20, 30, 40), t0 = 1) // t=1,2 collide; t=3 extends
+    store.merge("c", overlap)
+    store.merge("c", overlap) // re-merge must be a no-op (T4)
+
+    val got = store.read("c").orderBy("ts").collect().map(r => (r.getLong(1) / S, r.getDouble(2)))
+    assert(got.toSeq == Seq(0L -> 1.0, 1L -> 20.0, 2L -> 30.0, 3L -> 40.0))
+  }
+
+  test("period read covers [start, end) and filters ids") {
+    val store = new SeriesStore(spark, tmpDir("graft-period"), numBuckets = 2)
+    store.merge("c", series(Seq(1, 2, 3, 4), t0 = 0))
+    val got = store.read("c", Seq(id), Period.ofSeconds(1, 3)).orderBy("ts")
+      .collect().map(_.getDouble(2))
+    assert(got.toSeq == Seq(2.0, 3.0))
+    assert(store.read("c", Seq("shyft://test/other"), Period.ofSeconds(0, 10)).count() == 0)
+  }
+
+  test("failed swap rename restores the backup — no data loss") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.faulty.impl", classOf[FaultyFs].getName)
+    val store = new SeriesStore(spark, "faulty://" + tmpDir("graft-crash"), numBuckets = 2)
+    store.merge("c", series(Seq(1, 2, 3), t0 = 0))
+
+    FaultyFs.failNextTmpRename.set(true)
+    val e = intercept[java.io.IOException] {
+      store.merge("c", series(Seq(4, 5, 6), t0 = 3))
+    }
+    assert(e.getMessage.contains("previous data restored"))
+
+    // original container contents survive the failed swap
+    val got = store.read("c").orderBy("ts").collect().map(_.getDouble(2))
+    assert(got.toSeq == Seq(1.0, 2.0, 3.0))
+
+    // and a subsequent healthy merge still works
+    FaultyFs.failNextTmpRename.set(false)
+    store.merge("c", series(Seq(4, 5, 6), t0 = 3))
+    assert(store.read("c").count() == 6)
+  }
+}
+
+/** Local filesystem that fails the next rename whose source is a `.__tmp`
+  * staging dir — injects the exact failure mode SeriesStore.merge must
+  * survive (the second rename of the container swap).
+  */
+class FaultyFs extends RawLocalFileSystem {
+  override def getScheme: String = "faulty"
+  override def getUri: java.net.URI = java.net.URI.create("faulty:///")
+  override def rename(src: Path, dst: Path): Boolean =
+    if (FaultyFs.failNextTmpRename.get() && src.getName.endsWith(".__tmp")) {
+      FaultyFs.failNextTmpRename.set(false)
+      false
+    } else super.rename(src, dst)
+}
+
+object FaultyFs {
+  val failNextTmpRename = new java.util.concurrent.atomic.AtomicBoolean(false)
+}

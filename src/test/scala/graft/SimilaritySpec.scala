@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Similarity
+
+/** Similarity search: centroid training must be dimension-agnostic (the
+  * round-1/2 bug hardcoded 64 dims), and IVF probing with all cells probed
+  * must reproduce brute force exactly.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("centroids are per-dimension means for ANY dimension (here 3-dim)") {
+    val d = Seq(
+      (1L, "a", Array(1.0f, 2.0f, 3.0f)),
+      (2L, "a", Array(3.0f, 4.0f, 5.0f)),
+      (3L, "b", Array(10.0f, 0.0f, -2.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroids(d).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got("a") == Seq(2.0, 3.0, 4.0))
+    assert(got("b") == Seq(10.0, 0.0, -2.0))
+  }
+
+  test("centroid dimension follows the data, not a constant") {
+    val d = Seq((1L, "x", Array.fill(7)(2.0f))).toDF("vec_id", "label", "embedding")
+    val c = Similarity.centroids(d).collect()(0).getSeq[Double](1)
+    assert(c.length == 7 && c.forall(_ == 2.0))
+  }
+
+  test("IVF with nprobe = #cells reproduces brute force exactly") {
+    val queries = emb.where(col("vec_id") < 3)
+    val nCells = emb.select("label").distinct().count().toInt
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 5)
+    val ivf = Similarity.ivfTopK(queries, emb, k = 5, nprobe = nCells)
+    assert(rowsOf(ivf) == rowsOf(brute))
+  }
+
+  test("brute-force top-k is deterministically ordered and self-excluding") {
+    val got = Similarity.bruteForceTopK(emb.where(col("vec_id") === 0), emb, k = 3).collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getAs[Long]("neighbor_id") != 0L))
+    val sims = got.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("embedding near-dups only emits pairs above threshold within a cell") {
+    val got = Similarity.embeddingNearDups(emb, threshold = 0.4).collect()
+    assert(got.forall(_.getAs[Double]("cos_sim") >= 0.4))
+    assert(got.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+  }
+}
