@@ -16,6 +16,10 @@ object Sessions {
 
   def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // small single-file tables must still split across all cores — a 10 MB
+      // parquet is one scan partition by size alone, serializing any heavy
+      // scan-side compute; harmless at scale where file counts dominate
+      .config("spark.sql.files.minPartitionNum", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -41,6 +45,8 @@ object Sessions {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.files.minPartitionNum",
+      spark.sparkContext.defaultParallelism.toString)
     spark
   }
 }

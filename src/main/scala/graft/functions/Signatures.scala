@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass signature kernels for the dedup pipeline.
+  *
+  * Semantics are EXACTLY the column-algebra definitions they replace (and
+  * the DuckDB oracle twins documented in SparkEntry): tokens are lowercase
+  * maximal `[a-z0-9]+` runs, shingles are `k` consecutive tokens
+  * space-joined, and every hash is the seeded PolyHash fold over the
+  * shingle's UTF-8 bytes. The win is execution shape: Catalyst evaluates
+  * higher-order-function lambdas interpreted and re-evaluates any expression
+  * referenced inside a nested lambda once per outer element — the original
+  * `transform(seq(0..n), j -> array_min(transform(shingles, s -> hash(s, j))))`
+  * rebuilt every shingle string once per seed (~32x). These expressions
+  * tokenize once, hash each shingle's bytes once, and derive all seeds
+  * algebraically:
+  *
+  *   PolyHash(s, j) = (PolyHash(s, 0) + j * 31^len(s)) mod p
+  *
+  * so the per-seed work is one modular add. CodegenFallback is deliberate:
+  * the whole document-level loop is a single JVM call, so there is no
+  * per-element virtual dispatch left for codegen to remove.
+  */
+private[graft] object SignatureKernel {
+  private val Mod = PolyHash.Mod
+  private val TokenRe = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
+  /** Spark `array_remove(split(lower(text), "[^a-z0-9]+"), "")` twin. */
+  def tokenize(text: String): Array[String] =
+    TokenRe.split(text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+
+  /** (PolyHash(shingle, 0), 31^bytelen mod p) for one shingle. */
+  private def baseHash(s: String): (Long, Long) = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0L
+    var pow = 1L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 31L + (bytes(i) & 0xffL)) % Mod
+      pow = (pow * 31L) % Mod
+      i += 1
+    }
+    (h, pow)
+  }
+
+  /** MinHash signature: for seed j, min over shingles of PolyHash(sh, j);
+    * null (None) when the document has fewer than k tokens.
+    */
+  def minhash(text: String, shingleK: Int, numHashes: Int): Option[Array[Long]] = {
+    val toks = tokenize(text)
+    if (toks.length < shingleK) return None
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - shingleK) {
+      sb.setLength(0)
+      var t = 0
+      while (t < shingleK) {
+        if (t > 0) sb.append(' ')
+        sb.append(toks(i + t))
+        t += 1
+      }
+      val (h0, pow) = baseHash(sb.toString)
+      var h = h0
+      var j = 0
+      while (j < numHashes) {
+        if (h < sig(j)) sig(j) = h
+        h += pow
+        if (h >= Mod) h -= Mod
+        j += 1
+      }
+      i += 1
+    }
+    Some(sig)
+  }
+
+  /** SimHash over shingle hashes: bit i of the result is set iff more
+    * shingle hashes have bit i set than clear; None below k tokens.
+    */
+  def simhash(text: String, shingleK: Int, bits: Int): Option[Long] = {
+    val toks = tokenize(text)
+    if (toks.length < shingleK) return None
+    val balance = new Array[Int](bits)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - shingleK) {
+      sb.setLength(0)
+      var t = 0
+      while (t < shingleK) {
+        if (t > 0) sb.append(' ')
+        sb.append(toks(i + t))
+        t += 1
+      }
+      val (h0, _) = baseHash(sb.toString)
+      var b = 0
+      while (b < bits) {
+        if (((h0 >> b) & 1L) == 1L) balance(b) += 1 else balance(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (balance(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    Some(sig)
+  }
+}
+
+case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else SignatureKernel.minhash(v.asInstanceOf[UTF8String].toString, shingleK, numHashes)
+      .map(a => new GenericArrayData(a)).orNull
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SimHashSig(child: Expression, shingleK: Int, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else SignatureKernel.simhash(v.asInstanceOf[UTF8String].toString, shingleK, bits)
+      .map(Long.box).orNull
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Signatures {
+  def minhashSig(text: Column, shingleK: Int, numHashes: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(text), shingleK, numHashes))
+
+  def simhashSig(text: Column, shingleK: Int, bits: Int): Column =
+    GraftBridge.column(SimHashSig(GraftBridge.expression(text), shingleK, bits))
+}

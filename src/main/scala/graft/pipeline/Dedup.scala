@@ -37,21 +37,30 @@ object Dedup {
 
   /** MinHash signature: for seed j in [0, numHashes), min over k-token
     * shingles of PolyHash(shingle, j). Docs with < k tokens get null.
+    * Single-pass kernel expression (see [[graft.functions.SignatureKernel]])
+    * — semantically identical to the nested-transform column algebra but
+    * tokenizes and hashes each shingle once instead of once per seed.
     */
-  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
-    val sh = TextOps.shingles(TextOps.tokens(text), shingleK)
-    when(size(sh) > 0,
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        j => array_min(transform(sh, s => PolyHash(s, j.cast("long"))))))
-  }
+  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column =
+    graft.functions.Signatures.minhashSig(text, shingleK, numHashes)
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
     * and hash each band; docs sharing any (band, band_hash) are candidates.
     */
+  /** Spread rows across the cluster before a heavy per-row kernel: a small
+    * or single-row-group input file arrives as ONE non-empty scan partition,
+    * which would serialize the signature computation no matter how many
+    * cores exist. One hash shuffle of (id, payload) is noise next to the
+    * per-row work it parallelizes, and it also evens out hot-file skew.
+    */
+  private def spreadById(df: DataFrame, idCol: String): DataFrame =
+    df.repartition(col(idCol))
+
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
-    df.select(col(idCol),
+    spreadById(df.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol),
         minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
       .where(col("sig").isNotNull)
       .select(col(idCol), explode(
@@ -80,8 +89,9 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val sets = df.select(col(idCol),
-      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleK)).as("sh"))
+    val sets = spreadById(df.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol),
+        array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleK)).as("sh"))
     val cands = lshCandidates(df, idCol, textCol, shingleK, bands, rowsPerBand)
     cands
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -107,18 +117,8 @@ object Dedup {
     * small Hamming distance. Pure integer bit algebra, identical in any
     * engine. Documents with < k tokens (no shingles) yield null.
     */
-  def simhash(text: Column, shingleK: Int = 3): Column = {
-    val hs = transform(TextOps.shingles(TextOps.tokens(text), shingleK),
-      s => PolyHash(s, 0L))
-    when(size(hs) > 0,
-      aggregate(sequence(lit(0), lit(SimhashBits - 1)), lit(0L), (acc, i) => {
-        val bitBalance = aggregate(hs, lit(0L), (a, h) =>
-          a + when(call_function("shiftright", h, i.cast("int")).bitwiseAND(lit(1L)) === 1L,
-            lit(1L)).otherwise(lit(-1L)))
-        acc + when(bitBalance > 0, call_function("shiftleft", lit(1L), i.cast("int")))
-          .otherwise(lit(0L))
-      }))
-  }
+  def simhash(text: Column, shingleK: Int = 3): Column =
+    graft.functions.Signatures.simhashSig(text, shingleK, SimhashBits)
 
   /** SimHash near-dup pairs: Hamming(simhash) ≤ maxDist, found with exact
     * **pigeonhole bucketing** instead of an all-pairs join: split the
@@ -134,7 +134,7 @@ object Dedup {
       shingleK: Int = 3, maxDist: Int = 6): DataFrame = {
     val nChunks = maxDist + 1
     val bounds = (0 to nChunks).map(c => c * SimhashBits / nChunks)
-    val sigs = df
+    val sigs = spreadById(df.select(col(idCol), col(textCol)), idCol)
       .select(col(idCol), simhash(col(textCol), shingleK).as("sig"))
       .where(col("sig").isNotNull)
     val chunked = sigs.select(col(idCol), col("sig"),
@@ -176,8 +176,9 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       blockCol: String = "lang", n: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val grams = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      array_distinct(charNgrams(col(textCol), n)).as("g"))
+    val grams = spreadById(df.select(col(blockCol), col(idCol), col(textCol)), idCol)
+      .select(col(blockCol).as("block"), col(idCol).as("id"),
+        array_distinct(charNgrams(col(textCol), n)).as("g"))
     val sizes = grams.select(col("id"), size(col("g")).as("sz"))
     val postings = grams.select(col("block"), col("id"), explode(col("g")).as("gram"))
     val inter = postings.select(col("block"), col("gram"), col("id").as("id_a"))

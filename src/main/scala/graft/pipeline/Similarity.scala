@@ -30,10 +30,17 @@ object Similarity {
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Deterministic order: (sim desc, id asc).
     */
+  /** Spread the corpus across cores before per-row dot-product work: a
+    * small/single-row-group parquet arrives as one non-empty partition and
+    * would serialize the scoring (see Dedup.spreadById).
+    */
+  private def spread(df: DataFrame, idCol: String): DataFrame =
+    df.repartition(col(idCol))
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = spread(corpus, idCol).select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos_sim", cosine(col("qv"), col("cv")))
@@ -77,7 +84,8 @@ object Similarity {
     val probed = probe.withColumn("prank", row_number().over(wq))
       .where(col("prank") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
-    val c = corpus.select(col(cellCol).as("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = spread(corpus, idCol)
+      .select(col(cellCol).as("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(probed), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos_sim", cosine(col("qv"), col("cv")))
@@ -90,15 +98,26 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥ threshold,
     * blocked by cell to bound the pair space (LSH-bucketed variant of
     * embedding dedup).
+    *
+    * The cell key has few distinct values, so a join carrying the vectors on
+    * it would collapse into one task per cell. Pairs are instead enumerated
+    * on the cell key with id-only rows, repartitioned on the pair id, and
+    * the vectors attached via well-spread id-keyed joins — the quadratic
+    * scoring parallelizes even though the blocking key doesn't.
     */
   def embeddingNearDups(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       cellCol: String = "label"): DataFrame = {
-    val v = corpus.select(col(cellCol).as("cell"), col(idCol), col(vecCol))
-    val l = v.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val r = v.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vb"))
-    l.join(r, Seq("cell"))
+    val v = spread(corpus, idCol)
+      .select(col(cellCol).as("cell"), col(idCol).as("id"), col(vecCol).as("v"))
+    val ids = v.select(col("cell"), col("id"))
+    val pairs = ids.select(col("cell"), col("id").as("id_a"))
+      .join(ids.select(col("cell"), col("id").as("id_b")), Seq("cell"))
       .where(col("id_a") < col("id_b"))
+      .repartition(col("id_a"), col("id_b"))
+    pairs
+      .join(v.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .withColumn("cos_sim", cosine(col("va"), col("vb")))
       .where(col("cos_sim") >= threshold)
       .select("cell", "id_a", "id_b", "cos_sim")

@@ -64,6 +64,36 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((10L, 10L, false), (11L, 10L, true), (12L, 12L, false)))
   }
 
+  test("signature kernels match the naive nested-transform column algebra") {
+    import graft.functions.PolyHash
+    import graft.pipeline.TextOps
+    val sample = docs.limit(50)
+    val naiveMin = {
+      val sh = TextOps.shingles(TextOps.tokens(col("text")), 3)
+      when(size(sh) > 0,
+        transform(sequence(lit(0), lit(31)),
+          j => array_min(transform(sh, s => PolyHash(s, j.cast("long"))))))
+    }
+    val naiveSim = {
+      val hs = transform(TextOps.shingles(TextOps.tokens(col("text")), 3),
+        s => PolyHash(s, 0L))
+      when(size(hs) > 0,
+        aggregate(sequence(lit(0), lit(Dedup.SimhashBits - 1)), lit(0L), (acc, i) => {
+          val bal = aggregate(hs, lit(0L), (a, h) =>
+            a + when(call_function("shiftright", h, i.cast("int"))
+              .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+          acc + when(bal > 0, call_function("shiftleft", lit(1L), i.cast("int")))
+            .otherwise(lit(0L))
+        }))
+    }
+    val cmp = sample.select(
+      Dedup.minhashSignature(col("text"), 3, 32).as("fast_min"), naiveMin.as("naive_min"),
+      Dedup.simhash(col("text"), 3).as("fast_sim"), naiveSim.as("naive_sim"))
+    val bad = cmp.where(
+      !(col("fast_min") <=> col("naive_min")) || !(col("fast_sim") <=> col("naive_sim")))
+    assert(bad.count() == 0)
+  }
+
   test("lsh candidate generation never misses identical signatures") {
     // identical text → identical minhash signature → collide in every band
     val d = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
