@@ -148,7 +148,44 @@ case class SimHashSig(child: Expression, shingleK: Int, bits: Int)
     copy(child = newChild)
 }
 
+/** Exact Jaccard similarity of two SORTED distinct string arrays via a
+  * single merge-walk: |A∩B| counted in one O(m+n) pass, |A∪B| = m+n−|A∩B|.
+  * Replaces `size(array_intersect)/size(array_union)` in pairwise loops —
+  * those build two hash sets per invocation; at millions of candidate pairs
+  * the allocation cost dominates the join. Inputs MUST be sorted
+  * (`array_sort`) and deduplicated (`array_distinct`); 0/0 yields NaN like
+  * the column-algebra division it replaces.
+  */
+case class SortedArrayJaccard(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val m = a.numElements()
+    val n = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < m && j < n) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter.toDouble / (m + n - inter).toDouble
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object Signatures {
+  def sortedJaccard(a: Column, b: Column): Column =
+    GraftBridge.column(SortedArrayJaccard(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
   def minhashSig(text: Column, shingleK: Int, numHashes: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(text), shingleK, numHashes))
 

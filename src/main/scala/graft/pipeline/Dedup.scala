@@ -159,42 +159,37 @@ object Dedup {
   }
 
   /** n-gram (character trigram) Jaccard similarity between doc pairs within
-    * a blocking key (e.g., language), via an **inverted-index co-count**:
-    * explode grams to (block, gram, id) postings, self-join on (block, gram)
-    * and count matches per pair — that is |A∩B| — then
-    * |A∪B| = |A| + |B| − |A∩B| from per-doc distinct-gram counts.
+    * a blocking key (e.g., language) — the quadratic fallback, bounded by
+    * the block.
     *
-    * Shape chosen for scale: a join carrying the gram *arrays* on the block
-    * key would collapse into one task per block (the block key has ~5
-    * distinct values) and shuffle every array once per pair. The posting
-    * join instead shuffles small rows on the well-spread (block, gram) key
-    * and the count aggregation combines map-side; pairs sharing no gram
-    * never materialize (identical result: they cannot reach a positive
-    * threshold). Remaining hazard is ultra-frequent grams (stop-gram skew)
-    * — AQE skew-split handles moderate cases; past that, prefix filtering
-    * on rare grams is the standard refinement.
+    * Execution shape, chosen by measurement: the block key has ~5 distinct
+    * values, so a join carrying the gram arrays on it collapses into one
+    * task per block. An inverted-index co-count spreads the key but its
+    * volume is Σ freq² over grams — 566M join rows at sf0.1 because the
+    * trigram vocabulary is tiny and near-universal within a block (prefix
+    * filtering barely prunes at threshold 0.3: measured 335M rows, with
+    * candidates ≈ all pairs). Winning shape: enumerate id-only pairs on the
+    * block key (cheap codegen), repartition the pair stream, attach each
+    * side's sorted gram array via an id-keyed join — AQE broadcasts the
+    * gram table when it fits, shuffle-joins otherwise — and score each pair
+    * with a single O(m+n) merge-walk ([[graft.functions.SortedArrayJaccard]])
+    * instead of hash-set intersect/union per pair.
     */
   def ngramJaccard(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       blockCol: String = "lang", n: Int = 3, threshold: Double = 0.3): DataFrame = {
     val grams = spreadById(df.select(col(blockCol), col(idCol), col(textCol)), idCol)
       .select(col(blockCol).as("block"), col(idCol).as("id"),
-        array_distinct(charNgrams(col(textCol), n)).as("g"))
-    val sizes = grams.select(col("id"), size(col("g")).as("sz"))
-    val postings = grams.select(col("block"), col("id"), explode(col("g")).as("gram"))
-    val inter = postings.select(col("block"), col("gram"), col("id").as("id_a"))
-      .join(postings.select(col("block"), col("gram"), col("id").as("id_b")),
-        Seq("block", "gram"))
+        array_sort(array_distinct(charNgrams(col(textCol), n))).as("g"))
+    val ids = grams.select(col("block"), col("id"))
+    val pairs = ids.select(col("block"), col("id").as("id_a"))
+      .join(ids.select(col("block"), col("id").as("id_b")), Seq("block"))
       .where(col("id_a") < col("id_b"))
-      .groupBy("block", "id_a", "id_b")
-      .agg(count(lit(1)).as("n_inter"))
-    // no broadcast hint: `sizes` scales with the corpus (per-doc rows), so
-    // AQE picks broadcast only when it actually fits; the id keys are
-    // well-spread either way.
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .repartition(col("id_a"), col("id_b"))
+    pairs
+      .join(grams.select(col("id").as("id_a"), col("g").as("g_a")), Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("g").as("g_b")), Seq("id_b"))
       .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("sz_a") + col("sz_b") - col("n_inter")))
+        graft.functions.Signatures.sortedJaccard(col("g_a"), col("g_b")))
       .where(col("jaccard") >= threshold)
       .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
   }
