@@ -11,15 +11,20 @@ import graft.ts.model.Period
   * Spark-native analog of the reference's DtsServer file containers
   * (reference: weather/service/dtss_host.py:141-151).
   *
-  * Layout: `<warehouse>/<container>/` holds one partitioned parquet table
-  * with the long point schema. We deliberately do NOT partition by
-  * `series_id` on disk — at 100 TB with millions of series that would mean
-  * millions of tiny directories/files. Instead the table is hash-distributed
-  * by `series_id` into a bounded number of files and sorted by
-  * `(series_id, ts)` *within* each file, so (a) per-series reads touch one
-  * file's row groups, (b) parquet min/max stats on both columns let scans
-  * skip row groups (predicate pushdown shows up as PushedFilters), and
-  * (c) the merge shuffle partitioning is aligned with the file layout.
+  * Layout: `<warehouse>/<container>/bucket=NN/` — series are hash-
+  * distributed into a bounded number of bucket partitions (never one
+  * directory per series: at 100 TB with millions of series that would mean
+  * millions of tiny files). The bucket of a series is `crc32(series_id) %
+  * numBuckets`, computable identically as a Catalyst column and on the
+  * driver, so:
+  *  (a) per-series reads prune to one bucket directory (partition pruning)
+  *      and row-group stats on the (series_id, ts) sort order prune within;
+  *  (b) a merge only reads and rewrites the buckets its incoming batch
+  *      touches — an upsert of one series rewrites 1/numBuckets of the
+  *      container, not all of it;
+  *  (c) the merge shuffle partitioning is aligned with the file layout.
+  * At cluster scale a container maps to a table where this becomes
+  * MERGE INTO over the same bucketing.
   */
 final class SeriesStore(spark: SparkSession, warehouse: String, numBuckets: Int = 32) {
 
@@ -33,17 +38,45 @@ final class SeriesStore(spark: SparkSession, warehouse: String, numBuckets: Int 
   def ensureContainer(container: String): Unit =
     fs.mkdirs(new Path(containerPath(container)))
 
+  /** Bucket assignment as a Catalyst column (codegen'd crc32 over the id's
+    * UTF-8 bytes) — MUST stay in sync with [[bucketOf]].
+    */
+  private def bucketCol: org.apache.spark.sql.Column =
+    pmod(crc32(col("series_id").cast("binary")), lit(numBuckets.toLong)).cast("int")
+
+  /** Driver-side twin of [[bucketCol]] for partition pruning of id reads. */
+  def bucketOf(seriesId: String): Int = {
+    val c = new java.util.zip.CRC32
+    c.update(seriesId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Math.floorMod(c.getValue, numBuckets.toLong).toInt
+  }
+
   /** Full container scan; callers filter by id/period (filters push down). */
-  def read(container: String): DataFrame =
-    spark.read.schema(model.pointSchema).parquet(containerPath(container))
+  def read(container: String): DataFrame = {
+    val dir = new Path(containerPath(container))
+    val hasData = fs.exists(dir) && fs.listStatus(dir).exists(_.getPath.getName.startsWith("bucket="))
+    if (!hasData)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], model.pointSchema)
+    else
+      spark.read.parquet(containerPath(container)).select("series_id", "ts", "value")
+  }
 
   /** Period-covering read of specific series
-    * (reference: weather/service/dtss_host.py:197-208).
+    * (reference: weather/service/dtss_host.py:197-208). Prunes to the ids'
+    * bucket directories before the row-group filters apply.
     */
-  def read(container: String, ids: Seq[String], period: Period): DataFrame =
-    read(container)
+  def read(container: String, ids: Seq[String], period: Period): DataFrame = {
+    val dir = new Path(containerPath(container))
+    val hasData = fs.exists(dir) && fs.listStatus(dir).exists(_.getPath.getName.startsWith("bucket="))
+    if (!hasData)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], model.pointSchema)
+    val buckets = ids.map(bucketOf).distinct
+    spark.read.parquet(containerPath(container))
+      .where(col("bucket").isin(buckets: _*))
       .where(col("series_id").isin(ids: _*))
       .where(col("ts") >= period.startNs && col("ts") < period.endNs)
+      .select("series_id", "ts", "value")
+  }
 
   /** Merge-store (K1): upsert points; `overwrite=false` is the reference's
     * `overwrite_on_write=False` point-level union — new points extend the
@@ -52,11 +85,13 @@ final class SeriesStore(spark: SparkSession, warehouse: String, numBuckets: Int 
     * (reference: weather/service/data_collection_task.py:121-126, semantics
     * proven in weather/test/test_dtss_host.py:102-134).
     *
-    * Scale: one shuffle on (series_id, ts) via the row_number window, which
-    * AQE sizes at runtime; the rewrite is bounded per container, and at
-    * cluster scale a container maps to a table where this becomes a
-    * MERGE INTO on the same key. Idempotent: re-merging the same batch is a
-    * no-op (T4 late/duplicate handling).
+    * Scale: only the buckets present in the incoming batch are read,
+    * merged (one shuffle on the row_number window, AQE-sized) and swapped;
+    * the rest of the container is untouched. The per-bucket swap is
+    * rename-checked with a backup — a crash mid-swap never loses data —
+    * and the merge is idempotent (re-merging the same batch is a no-op,
+    * T4 late/duplicate handling), so a retry after a partial swap
+    * converges.
     */
   def merge(container: String, incoming: DataFrame, overwrite: Boolean = false): Unit = {
     val target = new Path(containerPath(container))
@@ -64,48 +99,74 @@ final class SeriesStore(spark: SparkSession, warehouse: String, numBuckets: Int 
       col("series_id").cast("string"),
       col("ts").cast("long"),
       col("value").cast("double"))
+      .withColumn("bucket", bucketCol)
 
-    if (overwrite || !exists(container) || fs.listStatus(target).isEmpty) {
+    val fresh = overwrite || !exists(container) ||
+      !fs.listStatus(target).exists(_.getPath.getName.startsWith("bucket="))
+    if (fresh) {
+      if (fs.exists(target)) fs.delete(target, true)
       write(newData, target)
       return
     }
 
-    val merged = {
-      val old = read(container).withColumn("__gen", lit(0))
-      val nw = newData.withColumn("__gen", lit(1))
-      // value.desc as secondary key: if one batch carries duplicate
-      // (series_id, ts) rows the survivor is still deterministic.
-      val w = Window.partitionBy("series_id", "ts")
-        .orderBy(col("__gen").desc, col("value").desc)
-      old.unionByName(nw)
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1)
-        .drop("__rn", "__gen")
-    }
+    // Bounded rewrite: only buckets the batch touches. The distinct-bucket
+    // probe is metadata-scale (≤ numBuckets values).
+    val affected: Seq[Int] = newData.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (affected.isEmpty) return
 
-    // Parquet can't be rewritten in place while being read: stage to a tmp
-    // sibling, then swap directories. Both renames are checked — if the
-    // second fails the backup is restored, so a crash mid-swap never leaves
-    // the container without its data.
+    val old = spark.read.parquet(containerPath(container))
+      .where(col("bucket").isin(affected: _*))
+      .select(col("series_id"), col("ts"), col("value"), col("bucket"))
+      .withColumn("__gen", lit(0))
+    val nw = newData.withColumn("__gen", lit(1))
+    // value.desc as secondary key: if one batch carries duplicate
+    // (series_id, ts) rows the survivor is still deterministic.
+    val w = Window.partitionBy("series_id", "ts")
+      .orderBy(col("__gen").desc, col("value").desc)
+    val merged = old.unionByName(nw)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "__gen")
+
+    // Parquet can't be rewritten in place while being read: stage the merged
+    // buckets to a tmp sibling, then swap each affected bucket directory.
+    // Every rename is checked; on failure the bucket's backup is restored.
     val tmp = new Path(containerPath(container) + ".__tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     write(merged, tmp)
-    val bak = new Path(containerPath(container) + ".__old")
-    if (fs.exists(bak)) fs.delete(bak, true)
-    if (!fs.rename(target, bak))
-      throw new java.io.IOException(s"merge: failed to move $target aside to $bak")
-    if (!fs.rename(tmp, target)) {
-      val restored = fs.rename(bak, target)
-      throw new java.io.IOException(
-        s"merge: failed to move $tmp into place" +
-          (if (restored) s"; previous data restored at $target"
-           else s"; RESTORE FAILED — previous data is at $bak"))
+    affected.foreach { b =>
+      val name = s"bucket=$b"
+      val src = new Path(tmp, name)
+      val dst = new Path(target, name)
+      val bak = new Path(target, name + ".__old")
+      if (!fs.exists(src)) {
+        // merged output lost a bucket only if the bucket had no rows at all
+        // (cannot happen: affected came from newData) — fail loudly.
+        throw new java.io.IOException(s"merge: staged bucket missing: $src")
+      }
+      val hadOld = fs.exists(dst)
+      if (hadOld) {
+        if (fs.exists(bak)) fs.delete(bak, true)
+        if (!fs.rename(dst, bak))
+          throw new java.io.IOException(s"merge: failed to move $dst aside to $bak")
+      }
+      if (!fs.rename(src, dst)) {
+        val restored = !hadOld || fs.rename(bak, dst)
+        throw new java.io.IOException(
+          s"merge: failed to move $src into place" +
+            (if (restored) s"; previous data restored at $dst"
+             else s"; RESTORE FAILED — previous data is at $bak"))
+      }
+      if (hadOld) fs.delete(bak, true)
     }
-    fs.delete(bak, true)
+    fs.delete(tmp, true)
   }
 
   private def write(df: DataFrame, path: Path): Unit =
-    df.repartition(numBuckets, col("series_id"))
-      .sortWithinPartitions("series_id", "ts")
+    df.repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "series_id", "ts")
       .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
       .parquet(path.toString)
 }

@@ -55,6 +55,34 @@ class SeriesStoreSpec extends SparkSpec {
     assert(store.read("c", Seq("shyft://test/other"), Period.ofSeconds(0, 10)).count() == 0)
   }
 
+  test("merge rewrites only the buckets the batch touches") {
+    val warehouse = tmpDir("graft-bounded")
+    val store = new SeriesStore(spark, warehouse, numBuckets = 4)
+    // seed series across several buckets
+    val seed = (0 until 40).map(i => (s"shyft://c/series-$i", i.toLong * S, i.toDouble))
+      .toDF("series_id", "ts", "value")
+    store.merge("c", seed)
+
+    def bucketFiles: Map[String, Set[String]] = {
+      val root = new java.io.File(s"$warehouse/c")
+      root.listFiles().filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    }
+    val before = bucketFiles
+    assert(before.size > 1, "seed should span multiple buckets")
+
+    // upsert one series → exactly its bucket rewritten
+    val one = Seq(("shyft://c/series-0", 1000L * S, 9.9)).toDF("series_id", "ts", "value")
+    store.merge("c", one)
+    val after = bucketFiles
+    val touched = s"bucket=${store.bucketOf("shyft://c/series-0")}"
+    assert(after(touched) != before(touched), "affected bucket must be rewritten")
+    (before.keySet - touched).foreach { b =>
+      assert(after(b) == before(b), s"unaffected $b must be untouched")
+    }
+    assert(store.read("c").count() == 41)
+  }
+
   test("failed swap rename restores the backup — no data loss") {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.faulty.impl", classOf[FaultyFs].getName)
@@ -86,7 +114,9 @@ class FaultyFs extends RawLocalFileSystem {
   override def getScheme: String = "faulty"
   override def getUri: java.net.URI = java.net.URI.create("faulty:///")
   override def rename(src: Path, dst: Path): Boolean =
-    if (FaultyFs.failNextTmpRename.get() && src.getName.endsWith(".__tmp")) {
+    // match only the container swap (tmp-staged bucket dir → live container),
+    // not the parquet committer's own renames inside the staging dir
+    if (FaultyFs.failNextTmpRename.get() && src.toString.matches(".*\\.__tmp/bucket=\\d+$")) {
       FaultyFs.failNextTmpRename.set(false)
       false
     } else super.rename(src, dst)
