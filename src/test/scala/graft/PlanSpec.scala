@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ts.{Evaluate, SeriesStore}
+import graft.ts.model.Period
+
+/** Physical-plan shape assertions: the scale properties the operators claim
+  * (filter/projection pushdown to the parquet scan, broadcast of small
+  * sides, bucket partition pruning) must actually appear in the plan, not
+  * just in scaladoc.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters push down to the parquet scan") {
+    val df = SparkEntry.queries("q4_filter")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: ["), plan.linesIterator.take(20).mkString("\n"))
+    assert(plan.contains("GreaterThan(l_quantity,45.0)"))
+    // the second filter may fall past the toString elision; DataFilters
+    // lists it un-truncated
+    assert(plan.contains("(l_discount#") && plan.contains("> 0.05)"),
+      "discount filter not pushed into the scan")
+  }
+
+  test("projection prunes the scan to referenced columns only") {
+    val df = Tables(spark, sfDir).lineitem.select("l_orderkey", "l_quantity")
+    val scanLine = planOf(df).linesIterator.find(_.contains("ReadSchema")).get
+    assert(scanLine.contains("l_orderkey") && scanLine.contains("l_quantity"))
+    assert(!scanLine.contains("l_comment") && !scanLine.contains("l_extendedprice"),
+      s"scan reads more columns than projected: $scanLine")
+  }
+
+  test("dimension joins broadcast the small side") {
+    val plan = planOf(SparkEntry.queries("q3_broadcast_dims")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("evaluate's ordinal restore is a broadcast join, never a shuffle of points") {
+    val store = new SeriesStore(spark, tmpDir("graft-plan"))
+    val ev = Evaluate.default(store)
+    val df = ev.evaluate(spark, Seq("mock1://a/1", "mock2://b/2"), Period.ofSeconds(0, 10))
+    assert(planOf(df).contains("BroadcastHashJoin"))
+  }
+
+  test("store reads prune to the requested ids' bucket partitions") {
+    val store = new SeriesStore(spark, tmpDir("graft-prune"), numBuckets = 8)
+    val pts = (0 until 64).map(i => (s"shyft://c/s-$i", i.toLong, i.toDouble))
+      .toDF("series_id", "ts", "value")
+    store.merge("c", pts)
+    val df = store.read("c", Seq("shyft://c/s-0"), Period(0L, Long.MaxValue / 2))
+    val plan = planOf(df)
+    val bucket = store.bucketOf("shyft://c/s-0")
+    // partition filter on the bucket directory column must reach the scan
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    assert(plan.contains(s"bucket#") && plan.contains(s"= $bucket") ||
+      plan.contains(s"bucket = $bucket") || plan.contains(s"IN ($bucket)") ||
+      plan.contains(s"isin($bucket)") || plan.contains(s"($bucket)"),
+      s"no bucket pruning predicate found for bucket $bucket:\n" +
+        plan.linesIterator.filter(_.contains("Partition")).mkString("\n"))
+    // and the ts range predicate must be pushed to the row groups
+    assert(plan.contains("GreaterThanOrEqual(ts,0)"))
+  }
+
+  test("whole-stage codegen covers the relational anchors") {
+    val df = SparkEntry.queries("q1_agg")(spark, sfDir)
+    df.collect() // AQE finalizes the plan on execution
+    val plan = planOf(df)
+    // "*(n)" stage markers = operators fused into whole-stage codegen
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"), plan.take(2000))
+  }
+}
