@@ -1,0 +1,60 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{MinHashSig, PolyHash, SimHashSig, SortedArrayJaccard}
+
+/** SQL surface of the engine's custom Catalyst expressions. Install with
+  * `spark.sql.extensions=graft.core.GraftExtensions` (cluster-wide) or call
+  * [[GraftFunctions.registerAll]] on an existing session. Exposes:
+  *
+  *  - `poly_hash(str, seed)` — the shared rolling hash
+  *  - `minhash_sig(text, k, n)` — k-shingle MinHash signature, n hashes
+  *  - `simhash_sig(text, k, bits)` — k-shingle SimHash signature
+  *  - `sorted_jaccard(a, b)` — exact Jaccard of sorted distinct arrays
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[PolyHash].getName.stripSuffix("PolyHash") + name,
+      null, name, usage, "", "", "", "", "", "", "built-in")
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("poly_hash"),
+      info("PolyHash", "poly_hash(str, seed) - seeded polynomial rolling hash mod 1e9+7"),
+      (exprs: Seq[Expression]) => PolyHash(exprs(0), exprs(1))),
+    (FunctionIdentifier("minhash_sig"),
+      info("MinHashSig", "minhash_sig(text, k, n) - MinHash signature over k-token shingles"),
+      (exprs: Seq[Expression]) =>
+        MinHashSig(exprs(0), intArg(exprs(1), "shingle k"), intArg(exprs(2), "numHashes"))),
+    (FunctionIdentifier("simhash_sig"),
+      info("SimHashSig", "simhash_sig(text, k, bits) - SimHash signature over k-token shingles"),
+      (exprs: Seq[Expression]) =>
+        SimHashSig(exprs(0), intArg(exprs(1), "shingle k"), intArg(exprs(2), "bits"))),
+    (FunctionIdentifier("sorted_jaccard"),
+      info("SortedArrayJaccard", "sorted_jaccard(a, b) - exact Jaccard of sorted distinct arrays"),
+      (exprs: Seq[Expression]) => SortedArrayJaccard(exprs(0), exprs(1)))
+  )
+
+  /** Register every function on an already-built session. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    all.foreach { case (id, inf, builder) =>
+      reg.registerFunction(id, inf, builder)
+    }
+  }
+}

@@ -136,12 +136,20 @@ final class NetatmoSource(catalogDf: DataFrame, eventsPoints: DataFrame,
     * of the module's requested measurements' timestamps, exactly like the
     * real API's shared per-module time axis.
     */
-  def measurementsBlock(userId: Long, types: Seq[String], period: Period): DataFrame = {
-    val modEvents = eventsPoints
+  private def moduleEvents(userId: Long, types: Seq[String], period: Period): DataFrame =
+    eventsPoints
       .where(col("user_id") === userId && col("event_type").isin(types: _*))
       .where(col("ts") >= period.startNs && col("ts") < period.endNs)
-    val axis = modEvents.select("ts").distinct().orderBy("ts").limit(blockSize)
-    val wide = modEvents.join(axis, Seq("ts"))
+
+  /** The block's shared time axis: first `blockSize` distinct timestamps of
+    * the module's requested measurements within the period.
+    */
+  private def blockAxis(userId: Long, types: Seq[String], period: Period): DataFrame =
+    moduleEvents(userId, types, period).select("ts").distinct().orderBy("ts").limit(blockSize)
+
+  private def blockFromAxis(axis: DataFrame, userId: Long, types: Seq[String],
+      period: Period): DataFrame = {
+    val wide = moduleEvents(userId, types, period).join(axis, Seq("ts"))
       .groupBy("ts").pivot("event_type", types).agg(max("value"))
     wide
       .unpivot(Array(col("ts")), types.map(col).toArray, "data_type", "value")
@@ -149,24 +157,31 @@ final class NetatmoSource(catalogDf: DataFrame, eventsPoints: DataFrame,
       .select(col("ts"), col("data_type"), col("value"))
   }
 
+  def measurementsBlock(userId: Long, types: Seq[String], period: Period): DataFrame =
+    blockFromAxis(blockAxis(userId, types, period), userId, types, period)
+
   /** Paginated fetch (S2, repository.py:150-200): issue S1 blocks, advancing
     * the period start one past the last returned axis point, until a block
-    * comes back empty or short. The per-block count/max action mirrors the
-    * reference's per-call API round trip; a production connector would fold
-    * this into a DataSource V2 with block offsets in `planInputPartitions`.
+    * comes back empty or short. The per-block probe action mirrors the
+    * reference's per-call API round trip, and runs on the AXIS only — the
+    * pivot/unpivot pipeline of each block executes once, when the assembled
+    * result is consumed, not once more per probe. A production connector
+    * would fold this into a DataSource V2 with block offsets in
+    * `planInputPartitions`.
     */
   def getMeasurements(userId: Long, types: Seq[String], period: Period): DataFrame = {
     var start = period.startNs
     var acc: Option[DataFrame] = None
     var done = false
     while (!done) {
-      val block = measurementsBlock(userId, types, Period(start, period.endNs))
-      val stat = block.agg(
-        countDistinct(col("ts")).as("n"), max(col("ts")).as("t1")).collect()(0)
+      val p = Period(start, period.endNs)
+      val axis = blockAxis(userId, types, p)
+      val stat = axis.agg(count(lit(1)).as("n"), max(col("ts")).as("t1")).collect()(0)
       val n = stat.getLong(0)
       if (n == 0L) done = true
       else {
-        acc = Some(acc.map(_ unionByName block).getOrElse(block))
+        acc = Some(acc.map(_ unionByName measurementsBlock(userId, types, p))
+          .getOrElse(measurementsBlock(userId, types, p)))
         if (n < blockSize) done = true else start = stat.getLong(1) + 1
       }
     }

@@ -1,0 +1,46 @@
+package graft
+
+import graft.core.{GraftExtensions, GraftFunctions}
+import graft.functions.PolyHash
+
+/** The SQL function surface: every custom expression is callable from
+  * spark.sql after registration, and the extensions class installs without
+  * error (the cluster-wide `spark.sql.extensions` path).
+  */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registerAll exposes the kernels to SQL with exact semantics") {
+    GraftFunctions.registerAll(spark)
+    Seq(("the quick brown fox jumps over the lazy dog", 7L))
+      .toDF("s", "seed").createOrReplaceTempView("ext_in")
+
+    val r = spark.sql(
+      """SELECT poly_hash(s, seed) AS ph,
+        |       minhash_sig(s, 3, 8) AS mh,
+        |       simhash_sig(s, 3, 30) AS sh,
+        |       sorted_jaccard(array('a','b','c'), array('b','c','d')) AS jac
+        |FROM ext_in""".stripMargin).collect()(0)
+
+    assert(r.getAs[Long]("ph") ==
+      PolyHash.hash("the quick brown fox jumps over the lazy dog", 7L))
+    val mh = r.getAs[scala.collection.Seq[Long]]("mh")
+    assert(mh.length == 8 && mh.forall(h => h >= 0 && h < PolyHash.Mod))
+    val sh = r.getAs[Long]("sh")
+    assert(sh >= 0 && sh < (1L << 30))
+    assert(r.getAs[Double]("jac") == 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("non-literal shingle parameters are rejected with a clear error") {
+    GraftFunctions.registerAll(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig('x', cast(rand()*3 as int), 8)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
+  test("extensions class injects all functions without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // would throw on a malformed injection
+  }
+}
