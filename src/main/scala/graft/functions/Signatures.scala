@@ -148,17 +148,22 @@ case class SimHashSig(child: Expression, shingleK: Int, bits: Int)
     copy(child = newChild)
 }
 
-/** Exact Jaccard similarity of two SORTED distinct string arrays via a
-  * single merge-walk: |A∩B| counted in one O(m+n) pass, |A∪B| = m+n−|A∩B|.
-  * Replaces `size(array_intersect)/size(array_union)` in pairwise loops —
-  * those build two hash sets per invocation; at millions of candidate pairs
-  * the allocation cost dominates the join. Inputs MUST be sorted
-  * (`array_sort`) and deduplicated (`array_distinct`); 0/0 yields NaN like
-  * the column-algebra division it replaces.
+/** Exact Jaccard similarity of two SORTED distinct arrays (string or long
+  * elements) via a single merge-walk: |A∩B| counted in one O(m+n) pass,
+  * |A∪B| = m+n−|A∩B|. Replaces `size(array_intersect)/size(array_union)`
+  * in pairwise loops — those build two hash sets per invocation; at
+  * millions of candidate pairs the allocation cost dominates the join.
+  * Inputs MUST be sorted and deduplicated; 0/0 yields NaN like the
+  * column-algebra division it replaces.
   */
 case class SortedArrayJaccard(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  private lazy val longElements = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _                      => false
+  }
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -168,11 +173,21 @@ case class SortedArrayJaccard(left: Expression, right: Expression)
     var i = 0
     var j = 0
     var inter = 0
-    while (i < m && j < n) {
-      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-      if (c == 0) { inter += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+    if (longElements) {
+      while (i < m && j < n) {
+        val x = a.getLong(i)
+        val y = b.getLong(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < m && j < n) {
+        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (c == 0) { inter += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
     inter.toDouble / (m + n - inter).toDouble
   }
@@ -181,10 +196,56 @@ case class SortedArrayJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sorted distinct character-n-gram CODES of the token-normalized text.
+  * The normalized alphabet is exactly `[a-z0-9 ]` — 37 symbols — so an
+  * n-gram encodes bijectively into a Long (base-37 digits), and Jaccard
+  * over code arrays equals Jaccard over the gram strings while the
+  * pairwise merge-walk compares longs instead of UTF8 strings and the
+  * shuffled arrays shrink ~3x.
+  */
+case class CharNgramCodes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1 && n <= 12, s"n-gram length $n does not fit a base-37 Long")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val norm = SignatureKernel.tokenize(v.asInstanceOf[UTF8String].toString).mkString(" ")
+    if (norm.length < n) return new GenericArrayData(Array.empty[Long])
+    val codes = new java.util.TreeSet[java.lang.Long]()
+    // base-37 digit: 'a'..'z' -> 0..25, '0'..'9' -> 26..35, ' ' -> 36
+    def digit(c: Char): Long =
+      if (c == ' ') 36L else if (c <= '9') 26L + (c - '0') else (c - 'a').toLong
+    var code = 0L
+    var i = 0
+    while (i <= norm.length - n) {
+      code = 0L
+      var t = 0
+      while (t < n) { code = code * 37L + digit(norm.charAt(i + t)); t += 1 }
+      codes.add(code)
+      i += 1
+    }
+    val out = new Array[Long](codes.size)
+    val it = codes.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Signatures {
   def sortedJaccard(a: Column, b: Column): Column =
     GraftBridge.column(SortedArrayJaccard(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def charNgramCodes(text: Column, n: Int): Column =
+    GraftBridge.column(CharNgramCodes(GraftBridge.expression(text), n))
 
   def minhashSig(text: Column, shingleK: Int, numHashes: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(text), shingleK, numHashes))

@@ -177,9 +177,12 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       blockCol: String = "lang", n: Int = 3, threshold: Double = 0.3): DataFrame = {
+    // grams as base-37 Long codes: bijective with the gram strings over the
+    // normalized [a-z0-9 ] alphabet, so the Jaccard values are identical
+    // while pair scoring compares longs and shuffles ~3x fewer bytes.
     val grams = spreadById(df.select(col(blockCol), col(idCol), col(textCol)), idCol)
       .select(col(blockCol).as("block"), col(idCol).as("id"),
-        array_sort(array_distinct(charNgrams(col(textCol), n))).as("g"))
+        graft.functions.Signatures.charNgramCodes(col(textCol), n).as("g"))
     val ids = grams.select(col("block"), col("id"))
     val pairs = ids.select(col("block"), col("id").as("id_a"))
       .join(ids.select(col("block"), col("id").as("id_b")), Seq("block"))

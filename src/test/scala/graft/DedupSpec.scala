@@ -94,6 +94,25 @@ class DedupSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("ngram code encoding is bijective with the string grams") {
+    // same Jaccard from code arrays as from the string gram arrays
+    val sample = docs.limit(100)
+    val byCode = Dedup.ngramJaccard(sample)
+    val strings = sample.select(col("lang").as("block"), col("doc_id").as("id"),
+      array_sort(array_distinct(Dedup.charNgrams(col("text"), 3))).as("g"))
+    val ids = strings.select("block", "id")
+    val byString = ids.select(col("block"), col("id").as("id_a"))
+      .join(ids.select(col("block"), col("id").as("id_b")), Seq("block"))
+      .where(col("id_a") < col("id_b"))
+      .join(strings.select(col("id").as("id_a"), col("g").as("g_a")), Seq("id_a"))
+      .join(strings.select(col("id").as("id_b"), col("g").as("g_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        graft.functions.Signatures.sortedJaccard(col("g_a"), col("g_b")))
+      .where(col("jaccard") >= 0.3)
+      .select("block", "id_a", "id_b", "jaccard")
+    assert(rowsOf(byCode) == rowsOf(byString))
+  }
+
   test("lsh candidate generation never misses identical signatures") {
     // identical text → identical minhash signature → collide in every band
     val d = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
