@@ -239,7 +239,61 @@ case class CharNgramCodes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Cosine similarity of two numeric vectors in ONE pass: the three
+  * sequential left-folds (a·b, a·a, b·b) of the column-algebra version it
+  * replaces, evaluated in the same element order and double precision —
+  * bit-identical results — without 3×dim interpreted lambda invocations
+  * per pair. Elements may be float or double (cast per element like the
+  * original `x.cast(double)`).
+  */
+case class VecCosine(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  private def floatElems(e: Expression): Boolean = e.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _) => false
+    case other => throw new IllegalArgumentException(s"vec_cosine expects array<float|double>, got $other")
+  }
+  private lazy val leftFloat = floatElems(left)
+  private lazy val rightFloat = floatElems(right)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    // norms fold over the FULL vector like dot(a, a) did
+    var j = n
+    while (j < a.numElements()) {
+      val x = if (leftFloat) a.getFloat(j).toDouble else a.getDouble(j); na += x * x; j += 1
+    }
+    j = n
+    while (j < b.numElements()) {
+      val y = if (rightFloat) b.getFloat(j).toDouble else b.getDouble(j); nb += y * y; j += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object Signatures {
+  def vecCosine(a: Column, b: Column): Column =
+    GraftBridge.column(VecCosine(GraftBridge.expression(a), GraftBridge.expression(b)))
+
   def sortedJaccard(a: Column, b: Column): Column =
     GraftBridge.column(SortedArrayJaccard(
       GraftBridge.expression(a), GraftBridge.expression(b)))

@@ -89,16 +89,23 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val sets = spreadById(df.select(col(idCol), col(textCol)), idCol)
-      .select(col(idCol),
-        array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleK)).as("sh"))
     val cands = lshCandidates(df, idCol, textCol, shingleK, bands, rowsPerBand)
+    // Materialize shingle sets ONLY for docs that appear in a candidate pair
+    // (a vanishing fraction of the corpus): semi-join before the expensive
+    // shingle construction, and keep the arrays sorted so the exact Jaccard
+    // check is a merge-walk, not per-pair hash sets.
+    val candIds = cands.select(col("id_a").as(idCol))
+      .unionByName(cands.select(col("id_b").as(idCol))).distinct()
+    val sets = spreadById(df.select(col(idCol), col(textCol)), idCol)
+      .join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        array_sort(array_distinct(
+          TextOps.shingles(TextOps.tokens(col(textCol)), shingleK))).as("sh"))
     cands
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        graft.functions.Signatures.sortedJaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

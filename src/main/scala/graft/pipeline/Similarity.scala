@@ -25,7 +25,12 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via the single-pass kernel ([[graft.functions.VecCosine]]) —
+    * bit-identical to `dot(a,b) / (norm(a) * norm(b))` (same element order,
+    * same double arithmetic) without 3×dim interpreted lambda calls/pair.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.Signatures.vecCosine(a, b)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Deterministic order: (sim desc, id asc).
