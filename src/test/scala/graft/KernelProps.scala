@@ -1,0 +1,108 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.{PolyHash, SignatureKernel}
+import graft.ts.{Identifiers, Rdp}
+import graft.ts.Rdp.P
+
+/** Property-based checks of the pure kernels (no SparkSession): signature
+  * kernels against naive reimplementations, RDP invariants, identifier
+  * round-trips. Complements the example-based suites with generated input.
+  */
+object KernelProps extends Properties("kernels") {
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaLowerChar, 2 -> Gen.numChar, 3 -> Gen.const(' '),
+      1 -> Gen.oneOf('.', ',', '!', 'X', 'Q'))).map(_.mkString)
+
+  // naive twins built from first principles
+  private def naiveMinhash(text: String, k: Int, n: Int): Option[Seq[Long]] = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    if (toks.length < k) None
+    else {
+      val shingles = toks.sliding(k).map(_.mkString(" ")).toSeq
+      Some((0 until n).map(j => shingles.map(s => PolyHash.hash(s, j.toLong)).min))
+    }
+  }
+
+  private def naiveSimhash(text: String, k: Int, bits: Int): Option[Long] = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    if (toks.length < k) None
+    else {
+      val hs = toks.sliding(k).map(_.mkString(" ")).map(s => PolyHash.hash(s, 0L)).toSeq
+      Some((0 until bits).map { b =>
+        val bal = hs.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+        if (bal > 0) 1L << b else 0L
+      }.sum)
+    }
+  }
+
+  property("minhash kernel equals naive fold") = forAll(asciiText) { text =>
+    SignatureKernel.minhash(text, 3, 16).map(_.toSeq) == naiveMinhash(text, 3, 16)
+  }
+
+  property("simhash kernel equals naive bit balance") = forAll(asciiText) { text =>
+    SignatureKernel.simhash(text, 3, 30) == naiveSimhash(text, 3, 30)
+  }
+
+  property("minhash signature entries are valid hashes") = forAll(asciiText) { text =>
+    SignatureKernel.minhash(text, 2, 8).forall(_.forall(h => h >= 0 && h < PolyHash.Mod))
+  }
+
+  private val series: Gen[Array[P]] =
+    Gen.chooseNum(3, 200).flatMap { n =>
+      Gen.listOfN(n, Gen.chooseNum(-100.0, 100.0)).map { vs =>
+        vs.zipWithIndex.map { case (v, i) => P("s", i.toLong, v) }.toArray
+      }
+    }
+
+  property("rdp keeps endpoints and returns a subsequence") =
+    forAll(series, Gen.chooseNum(0.1, 50.0)) { (pts, eps) =>
+      val out = Rdp.simplify(pts, eps)
+      out.head == pts.head && out.last == pts.last &&
+        out.length <= pts.length &&
+        // subsequence: same order, all members present in input
+        out.forall(p => pts.contains(p)) &&
+        out.map(_.ts).sliding(2).forall(w => w.length < 2 || w(0) < w(1))
+    }
+
+  property("rdp point count is monotone non-increasing in epsilon") =
+    forAll(series) { pts =>
+      val a = Rdp.simplify(pts, 1.0).length
+      val b = Rdp.simplify(pts, 10.0).length
+      b <= a
+    }
+
+  private val nameGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.const(' '), 1 -> Gen.const('-'))).map(_.mkString)
+
+  property("netatmo id round-trips for names without URL metacharacters") =
+    forAll(nameGen, nameGen, nameGen) { (s, m, d) =>
+      val parsed = Identifiers.parseNetatmoIdStr(Identifiers.netatmoIdStr(s, m, d))
+      parsed.get("station_name").contains(s) &&
+        parsed.get("module_name").contains(m) &&
+        parsed.get("data_type").contains(d)
+    }
+
+  property("cleaned names contain only [a-z0-9-]") = forAll { (s: String) =>
+    Identifiers.cleanNameStr(s).forall(c => c == '-' || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))
+  }
+
+  property("rate limiter never exceeds its limit inside any window") =
+    forAll(Gen.chooseNum(1, 5), Gen.listOfN(80, Gen.chooseNum(0L, 200L))) { (limit, deltas) =>
+      var now = 0L
+      val clock = () => now
+      val rl = new graft.etl.RateLimiter(limit, 100L, clock)
+      val acquired = scala.collection.mutable.ArrayBuffer.empty[Long]
+      deltas.foreach { d =>
+        now += d
+        if (rl.tryAcquire()) acquired += now
+      }
+      // in every sliding 100-unit window, at most `limit` acquisitions
+      acquired.forall(t => acquired.count(x => x > t - 100 && x <= t) <= limit)
+    }
+}
