@@ -119,6 +119,14 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("value").as("r_value"))
       AsofJoin.backward(left, right, Seq("user_id"))
     }),
+    "ts_asof_tolerance" -> ((s, dir) => {
+      val e = Tables(s, dir).eventsUs
+      val left = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      val right = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("r_value"))
+      AsofJoin.backward(left, right, Seq("user_id"), toleranceNs = 2L * 86400 * NsPerS)
+    }),
 
     // ---- evaluate/routing + store merge + find ----
     "eval_routing" -> ((s, dir) => {
@@ -317,6 +325,13 @@ object SparkEntry {
         |FROM (SELECT user_id, epoch_ns(ts) AS ts, value FROM events WHERE event_type = 'click') l
         |ASOF LEFT JOIN (SELECT user_id, epoch_ns(ts) AS ts, value AS r_value FROM events WHERE event_type = 'purchase') r
         |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "ts_asof_tolerance" ->
+      s"""SELECT l.user_id, l.ts, l.value,
+         |  CASE WHEN l.ts - r.ts <= ${2L * 86400 * NsPerS} THEN r.ts END AS right_ts,
+         |  CASE WHEN l.ts - r.ts <= ${2L * 86400 * NsPerS} THEN r.r_value END AS right_r_value
+         |FROM (SELECT user_id, epoch_ns(ts) AS ts, value FROM events WHERE event_type = 'click') l
+         |ASOF LEFT JOIN (SELECT user_id, epoch_ns(ts) AS ts, value AS r_value FROM events WHERE event_type = 'purchase') r
+         |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
     "eval_routing" ->
       s"""WITH t AS (SELECT ts FROM range(${1704067200L * NsPerS}, ${1704067260L * NsPerS}, $NsPerS) r(ts))
