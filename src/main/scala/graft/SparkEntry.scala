@@ -471,9 +471,9 @@ object SparkEntry {
          |WHERE hamming <= 6""".stripMargin,
     "dedup_ngram" ->
       s"""WITH toks AS (SELECT lang, doc_id, array_to_string($Toks, ' ') AS norm FROM documents),
-         |g AS (SELECT lang AS block, doc_id, list_distinct(CASE WHEN length(norm) >= 3
+         |g AS (SELECT * FROM (SELECT lang AS block, doc_id, list_distinct(CASE WHEN length(norm) >= 3
          |  THEN list_transform(range(1, length(norm) - 1), i -> norm[i:i+2])
-         |  ELSE [] END) AS g FROM toks)
+         |  ELSE [] END) AS g FROM toks) WHERE len(g) > 0)
          |SELECT block, id_a, id_b, jaccard FROM (
          |  SELECT a.block, a.doc_id AS id_a, b.doc_id AS id_b,
          |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /

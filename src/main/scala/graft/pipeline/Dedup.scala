@@ -190,6 +190,10 @@ object Dedup {
     val grams = spreadById(df.select(col(blockCol), col(idCol), col(textCol)), idCol)
       .select(col(blockCol).as("block"), col(idCol).as("id"),
         graft.functions.Signatures.charNgramCodes(col(textCol), n).as("g"))
+      // a doc shorter than one gram can never be a near-dup; dropping it also
+      // keeps an empty-vs-empty pair from scoring 0/0 = NaN (which Spark's
+      // NaN ordering would pass through >= threshold)
+      .where(size(col("g")) > 0)
     val ids = grams.select(col("block"), col("id"))
     val pairs = ids.select(col("block"), col("id").as("id_a"))
       .join(ids.select(col("block"), col("id").as("id_b")), Seq("block"))
