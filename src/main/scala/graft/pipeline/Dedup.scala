@@ -89,6 +89,12 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    // The plan references the candidate set twice (pair join + the semi-join
+    // below). Measured at sf0.1: the duplicated LSH subplan is NOT the
+    // bottleneck (executors sit idle; the cost is per-stage planning/codegen,
+    // which amortizes at scale), and materializing it (persist/checkpoint)
+    // gains nothing while changing fault-tolerance semantics — so keep the
+    // plain declarative plan.
     val cands = lshCandidates(df, idCol, textCol, shingleK, bands, rowsPerBand)
     // Materialize shingle sets ONLY for docs that appear in a candidate pair
     // (a vanishing fraction of the corpus): semi-join before the expensive
@@ -96,7 +102,9 @@ object Dedup {
     // check is a merge-walk, not per-pair hash sets.
     val candIds = cands.select(col("id_a").as(idCol))
       .unionByName(cands.select(col("id_b").as(idCol))).distinct()
-    val sets = spreadById(df.select(col(idCol), col(textCol)), idCol)
+    // semi-join FIRST (candIds is tiny → broadcast semi at the scan, no
+    // full-text shuffle), then build shingle arrays for the survivors only
+    val sets = df.select(col(idCol), col(textCol))
       .join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol),
         array_sort(array_distinct(
