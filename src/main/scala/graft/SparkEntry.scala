@@ -135,6 +135,13 @@ object SparkEntry {
       val ids = Seq("mock1://a/1", "mock2://b/2", "mock1://c/3", "heartbeat://cb/ping")
       ev.evaluate(s, ids, Period(1704067200L * NsPerS, 1704067260L * NsPerS))
     }),
+    "synthetic_v2" -> ((s, dir) => {
+      s.read.format("graft-synthetic")
+        .option("ids", "heartbeat://cb/ping,mock1://a/2.5")
+        .option("startNs", 1704067200L * NsPerS)
+        .option("endNs", 1704067260L * NsPerS)
+        .load()
+    }),
     "store_merge" -> ((s, dir) => {
       val warehouse = java.nio.file.Files.createTempDirectory("graft-merge").toString
       val store = new SeriesStore(s, warehouse, numBuckets = 8)
@@ -339,6 +346,10 @@ object SparkEntry {
          |UNION ALL SELECT 1, 'mock2://b/2', ts, 2.0 FROM t
          |UNION ALL SELECT 2, 'mock1://c/3', ts, 3.0 FROM t
          |UNION ALL SELECT 3, 'heartbeat://cb/ping', ts, 1.0 FROM t""".stripMargin,
+    "synthetic_v2" ->
+      s"""WITH t AS (SELECT ts FROM range(${1704067200L * NsPerS}, ${1704067260L * NsPerS}, $NsPerS) r(ts))
+         |SELECT 'heartbeat://cb/ping' AS series_id, ts, 1.0 AS value FROM t
+         |UNION ALL SELECT 'mock1://a/2.5', ts, 2.5 FROM t""".stripMargin,
     "store_merge" ->
       s"""WITH points AS ($PointsCte),
          |f AS (SELECT series_id, ts, value, 0 AS gen FROM points WHERE ts >= $T0 AND ts < $T2),
