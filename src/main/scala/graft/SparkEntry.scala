@@ -110,6 +110,11 @@ object SparkEntry {
     "ts_display_ms" -> ((s, dir) => SeriesOps.displayMs(pts(s, dir), 3600)),
     "ts_period_filter" -> ((s, dir) => SeriesOps.periodFilter(pts(s, dir), Period(T1, T2))),
     "ts_tail_limit" -> ((s, dir) => SeriesOps.tailLimit(pts(s, dir), 5)),
+    "ts_current_bands" -> ((s, dir) => {
+      SeriesOps.thresholdBands(SeriesOps.lastValue(pts(s, dir)),
+        "last_value", Seq(100.0 -> "red", 50.0 -> "yellow"), "green")
+        .select("series_id", "last_value", "last_ts", "band")
+    }),
     "ts_rdp" -> ((s, dir) => Rdp.downsample(pts(s, dir))), // no SQL oracle (recursive geometry)
     "ts_asof_join" -> ((s, dir) => {
       val e = Tables(s, dir).eventsUs
@@ -327,6 +332,17 @@ object SparkEntry {
          |SELECT series_id, ts, value FROM (
          |  SELECT *, row_number() OVER (PARTITION BY series_id ORDER BY ts DESC, value DESC) AS rn
          |  FROM points) WHERE rn <= 5""".stripMargin,
+    "ts_current_bands" ->
+      s"""WITH points AS ($PointsCte),
+         |lv AS (SELECT series_id, value AS last_value, ts AS last_ts FROM (
+         |  SELECT series_id, value, ts,
+         |         row_number() OVER (PARTITION BY series_id ORDER BY ts DESC, value DESC) AS rn
+         |  FROM points WHERE NOT isnan(value)) WHERE rn = 1)
+         |SELECT series_id, last_value, last_ts,
+         |  CASE WHEN last_value > 100.0 THEN 'red'
+         |       WHEN last_value > 50.0 THEN 'yellow'
+         |       ELSE 'green' END AS band
+         |FROM lv""".stripMargin,
     "ts_asof_join" ->
       """SELECT l.user_id, l.ts, l.value, r.ts AS right_ts, r.r_value AS right_r_value
         |FROM (SELECT user_id, epoch_ns(ts) AS ts, value FROM events WHERE event_type = 'click') l

@@ -141,6 +141,22 @@ object SeriesOps {
   def periodFilter(points: DataFrame, period: Period): DataFrame =
     points.where(col("ts") >= period.startNs && col("ts") < period.endNs)
 
+  /** Threshold color banding for dashboard display: the first (descending)
+    * threshold the value exceeds wins, else the default band — the
+    * reference's `temp_icon_color`/`co2_icon_color` widget formatters
+    * (reference: visual/dtss_serve_test.py:289-301; e.g. CO2 >1000 'red',
+    * >600 'yellow', else 'green'). NaN exceeds nothing → default, matching
+    * Python's NaN comparison semantics there.
+    */
+  def thresholdBands(df: DataFrame, valueCol: String,
+      thresholds: Seq[(Double, String)], default: String): DataFrame = {
+    val v = col(valueCol)
+    val band = thresholds.sortBy(-_._1).foldRight(lit(default): Column) {
+      case ((thr, label), rest) => when(notNan(v) && v > thr, label).otherwise(rest)
+    }
+    df.withColumn("band", band)
+  }
+
   /** O4: stream tail limit — keep only the newest `n` points per series,
     * the reference's Bokeh `stream(new, 100)` display buffer
     * (reference: visual/dashboard_test.py:81). Deterministic tie-break on

@@ -73,6 +73,15 @@ class SeriesOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(7L, 8L, 9L))
   }
 
+  test("thresholdBands: first descending threshold exceeded wins; NaN -> default") {
+    val df = Seq(1200.0, 700.0, 300.0, Double.NaN).zipWithIndex
+      .map { case (v, i) => (s"s$i", 0L, v) }.toDF("series_id", "ts", "value")
+    val got = SeriesOps.thresholdBands(df, "value",
+      Seq(600.0 -> "yellow", 1000.0 -> "red"), "green") // order-insensitive input
+      .collect().map(r => r.getString(0) -> r.getAs[String]("band")).toMap
+    assert(got == Map("s0" -> "red", "s1" -> "yellow", "s2" -> "green", "s3" -> "green"))
+  }
+
   test("periodFilter is half-open [start, end)") {
     val df = pts(0L -> 0.0, 1L -> 1.0, 2L -> 2.0, 3L -> 3.0)
     val got = SeriesOps.periodFilter(df, Period.ofSeconds(1, 3))
