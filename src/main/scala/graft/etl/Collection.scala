@@ -106,4 +106,27 @@ final class ServiceManager(spark: SparkSession,
         Some(task.name)
       } else None
     }
+
+  @volatile private var stopped = false
+  def stop(): Unit = stopped = true
+
+  /** Real-clock loop (reference: weather/service/service_manager.py:39-50):
+    * tick every `pollNs`, health-check every `healthCheckEveryNs`. Blocks
+    * the calling thread until [[stop]].
+    */
+  def runForever(pollNs: Long, healthCheckEveryNs: Long,
+      clock: () => Long = () => System.currentTimeMillis() * 1000000L): Unit = {
+    var nextHealth = clock() + healthCheckEveryNs
+    while (!stopped) {
+      val now = clock()
+      tick(now)
+      if (now >= nextHealth) {
+        healthCheck(now)
+        nextHealth = now + healthCheckEveryNs
+      }
+      val sleepMs = math.max(1L, pollNs / 1000000L)
+      try Thread.sleep(sleepMs)
+      catch { case _: InterruptedException => stopped = true }
+    }
+  }
 }

@@ -34,8 +34,10 @@ final class Evaluate(registry: Map[String, SeriesSource]) {
       Identifiers.schemeOf(id).getOrElse(
         throw new IllegalArgumentException(s"id has no scheme: $id"))
     }
+    // read each id once even when requested at several ordinals — the
+    // ordinal join below fans the points back out per request position
     val parts: Seq[DataFrame] = byScheme.toSeq.map { case (scheme, group) =>
-      source(scheme).read(spark, group.map(_._1), period)
+      source(scheme).read(spark, group.map(_._1).distinct, period)
     }
     val union = parts.reduce(_ unionByName _)
     val ordinals = spark.createDataFrame(withOrd.map { case (id, i) => (id, i) })

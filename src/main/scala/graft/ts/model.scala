@@ -48,6 +48,16 @@ object model {
     val Day: Long = 24 * Hour
     def ofSeconds(startS: Long, endS: Long): Period =
       Period(startS * Second, endS * Second)
+
+    /** Calendar-date construction in a zone, the reference's
+      * `Calendar(tz).time(y, m, d)` (reference:
+      * weather/scripts/run_complete_historical_collection.py:80,
+      * weather/data_sources/netatmo/domain.py:17-22).
+      */
+    def atDate(year: Int, month: Int, day: Int, zone: String = "UTC"): Long =
+      java.time.LocalDate.of(year, month, day)
+        .atStartOfDay(java.time.ZoneId.of(zone))
+        .toInstant.getEpochSecond * Second
   }
 
   /** Series metadata record, the `find()` result

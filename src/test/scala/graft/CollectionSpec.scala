@@ -71,6 +71,27 @@ class CollectionSpec extends SparkSpec {
     assert(acc.value == 60L, s"pipeline evaluated ${acc.value} rows for 60 inputs — double evaluation")
   }
 
+  test("runForever drives tick and health-check on a real clock until stopped") {
+    val store = new SeriesStore(spark, tmpDir("graft-forever"), numBuckets = 2)
+    val task = mkTask(store, windowS = 10)
+    val mgr = new ServiceManager(spark, Seq(task -> (1L << 60))) // fires once
+    val t = new Thread(() => mgr.runForever(
+      pollNs = 20L * 1000 * 1000, healthCheckEveryNs = 40L * 1000 * 1000))
+    t.start()
+    val deadline = System.currentTimeMillis() + 30000
+    while (task.batchesOk == 0 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    mgr.stop()
+    t.join(10000)
+    assert(!t.isAlive, "runForever must exit after stop()")
+    assert(task.batchesOk >= 1)
+  }
+
+  test("period can be built from a calendar date in a zone") {
+    // the reference's backfill start: Calendar('Europe/Oslo').time(2019, 3, 1)
+    assert(Period.atDate(2019, 3, 1) == 1551398400L * S)
+    assert(Period.atDate(2019, 3, 1, "Europe/Oslo") == 1551394800L * S)
+  }
+
   test("service manager: failing task is unhealthy, health check restarts it") {
     val flaky = new SeriesSource {
       val name = "flaky"

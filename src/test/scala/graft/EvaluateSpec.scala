@@ -32,6 +32,13 @@ class EvaluateSpec extends SparkSpec {
     assert(ts.head == 100 * Period.Second && ts.last == 159 * Period.Second)
   }
 
+  test("duplicate ids keep one row set per ordinal (TsVector contract)") {
+    val got = ev.evaluate(spark, Seq("mock1://a/1", "mock1://a/1"), Period.ofSeconds(0, 5))
+    assert(got.count() == 10) // 5 points × 2 ordinals
+    val ords = got.select("ordinal").distinct().collect().map(_.getInt(0)).sorted
+    assert(ords.toSeq == Seq(0, 1))
+  }
+
   test("unknown scheme raises with the registered-schemes message") {
     val e = intercept[IllegalArgumentException] {
       ev.evaluate(spark, Seq("nosuch://x/1"), Period.ofSeconds(0, 1))

@@ -55,6 +55,21 @@ class SeriesStoreSpec extends SparkSpec {
     assert(store.read("c", Seq("shyft://test/other"), Period.ofSeconds(0, 10)).count() == 0)
   }
 
+  test("reads of a missing or empty container return an empty point frame") {
+    val store = new SeriesStore(spark, tmpDir("graft-empty"), numBuckets = 2)
+    assert(store.read("nope").count() == 0)
+    store.ensureContainer("made")
+    assert(store.read("made").count() == 0)
+    assert(store.read("made", Seq(id), Period.ofSeconds(0, 10)).count() == 0)
+  }
+
+  test("merging an empty batch is a no-op") {
+    val store = new SeriesStore(spark, tmpDir("graft-noop"), numBuckets = 2)
+    store.merge("c", series(Seq(1, 2, 3), t0 = 0))
+    store.merge("c", series(Seq(1), t0 = 0).where("value > 999"))
+    assert(store.read("c").count() == 3)
+  }
+
   test("merge rewrites only the buckets the batch touches") {
     val warehouse = tmpDir("graft-bounded")
     val store = new SeriesStore(spark, warehouse, numBuckets = 4)
