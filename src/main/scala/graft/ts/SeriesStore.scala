@@ -93,7 +93,17 @@ final class SeriesStore(spark: SparkSession, warehouse: String, numBuckets: Int 
     * T4 late/duplicate handling), so a retry after a partial swap
     * converges.
     */
-  def merge(container: String, incoming: DataFrame, overwrite: Boolean = false): Unit = {
+  def merge(container: String, incoming: DataFrame, overwrite: Boolean = false): Unit =
+    SeriesStore.containerLock(containerPath(container)).synchronized {
+      mergeLocked(container, incoming, overwrite)
+    }
+
+  /** Merges are serialized per container within the JVM (the reference's
+    * DtsServer serializes them in its server process); cross-process writers
+    * need external coordination — at cluster scale the container maps to a
+    * table format whose transaction log provides it.
+    */
+  private def mergeLocked(container: String, incoming: DataFrame, overwrite: Boolean): Unit = {
     val target = new Path(containerPath(container))
     val newData = incoming.select(
       col("series_id").cast("string"),
@@ -169,4 +179,11 @@ final class SeriesStore(spark: SparkSession, warehouse: String, numBuckets: Int 
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(path.toString)
+}
+
+object SeriesStore {
+  // JVM-wide per-container-path lock table, shared by every store instance
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[ts] def containerLock(path: String): Object =
+    locks.computeIfAbsent(path, _ => new Object)
 }

@@ -98,6 +98,22 @@ class SeriesStoreSpec extends SparkSpec {
     assert(store.read("c").count() == 41)
   }
 
+  test("concurrent merges on one container serialize and lose nothing") {
+    val warehouse = tmpDir("graft-conc")
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        // distinct store instances must still share the container lock
+        val store = new SeriesStore(spark, warehouse, numBuckets = 2)
+        store.merge("c", series(Seq(t * 10.0), t0 = t))
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    val check = new SeriesStore(spark, warehouse, numBuckets = 2)
+    val got = check.read("c").orderBy("ts").collect().map(_.getDouble(2))
+    assert(got.toSeq == Seq(0.0, 10.0, 20.0, 30.0))
+  }
+
   test("failed swap rename restores the backup — no data loss") {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.faulty.impl", classOf[FaultyFs].getName)
