@@ -210,8 +210,16 @@ final class NetatmoSource(catalogDf: DataFrame, eventsPoints: DataFrame,
         throw new IllegalArgumentException(s"id not in catalog: $id"))
       (id, uid, p("module_name"), p("data_type"))
     }
-    val parts = bound.groupBy { case (_, uid, module, _) => (uid, module) }.toSeq
-      .map { case ((uid, _), group) =>
+    // Pagination is sequential WITHIN a module (each block's offset depends
+    // on the previous block's last point) but independent ACROSS modules —
+    // fetch groups concurrently; Spark job submission is thread-safe, so
+    // the per-block probe actions of different modules overlap.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val groups = bound.groupBy { case (_, uid, module, _) => (uid, module) }.toSeq
+    val parts = Await.result(Future.sequence(groups.map { case ((uid, _), group) =>
+      Future {
         val types = group.map(_._4).distinct
         val fetched = getMeasurements(uid, types, period)
         val keyMap = group.map { case (id, _, _, dt) => (dt, id) }
@@ -221,6 +229,7 @@ final class NetatmoSource(catalogDf: DataFrame, eventsPoints: DataFrame,
             Seq("data_type"))
           .select(col("series_id"), col("ts"), col("value"))
       }
+    }), Duration.Inf)
     parts.reduce(_ unionByName _)
   }
 
