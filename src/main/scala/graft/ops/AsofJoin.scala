@@ -22,8 +22,8 @@ object AsofJoin {
 
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String = "ts", toleranceNs: Long = Long.MaxValue): DataFrame = {
-    val leftCols = left.columns.filterNot(c => keys.contains(c))
-    val rightCols = right.columns.filterNot(c => keys.contains(c))
+    val leftCols = left.columns.toSeq.filterNot(c => keys.contains(c))
+    val rightCols = right.columns.toSeq.filterNot(c => keys.contains(c))
     require(leftCols.intersect(rightCols).forall(_ == tsCol) || leftCols.intersect(rightCols).isEmpty,
       s"overlapping non-key columns: ${leftCols.intersect(rightCols).mkString(",")}")
 
