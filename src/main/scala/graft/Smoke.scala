@@ -41,6 +41,27 @@ object Smoke {
     val knn = graft.pipeline.Similarity.bruteForceTopK(emb.limit(3), emb, k = 2)
     knn.show(6, truncate = false)
 
+    // SQL surface: custom kernels callable from spark.sql
+    graft.core.GraftFunctions.registerAll(spark)
+    docs.limit(5).createOrReplaceTempView("smoke_docs")
+    spark.sql(
+      """SELECT doc_id, poly_hash(text, 0) AS ph, simhash_sig(text, 3, 30) AS sh
+        |FROM smoke_docs""".stripMargin).show(truncate = false)
+
+    // DataSource V2 generator with ts pushdown
+    val synth = spark.read.format("graft-synthetic")
+      .option("ids", "heartbeat://cb/ping,mock1://a/2.5")
+      .option("startNs", 0L).option("endNs", 3600L * 1000000000L)
+      .load()
+      .where(col("ts") >= 60L * 1000000000L && col("ts") < 120L * 1000000000L)
+    println(s"synthetic v2 rows in pushed window: ${synth.count()}")
+
+    // dashboard current values with threshold color bands
+    val bands = graft.ts.SeriesOps.thresholdBands(
+      graft.ts.SeriesOps.lastValue(t.points.select("series_id", "ts", "value")),
+      "last_value", Seq(100.0 -> "red", 50.0 -> "yellow"), "green")
+    bands.groupBy("band").count().show()
+
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 
 import graft.functions.{MinHashSig, PolyHash, SimHashSig, SortedArrayJaccard}
 
@@ -35,7 +35,9 @@ object GraftFunctions {
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("poly_hash"),
       info("PolyHash", "poly_hash(str, seed) - seeded polynomial rolling hash mod 1e9+7"),
-      (exprs: Seq[Expression]) => PolyHash(exprs(0), exprs(1))),
+      // widen integer-literal seeds: SQL `poly_hash(s, 0)` sends an INT
+      (exprs: Seq[Expression]) =>
+        PolyHash(exprs(0), Cast(exprs(1), org.apache.spark.sql.types.LongType))),
     (FunctionIdentifier("minhash_sig"),
       info("MinHashSig", "minhash_sig(text, k, n) - MinHash signature over k-token shingles"),
       (exprs: Seq[Expression]) =>

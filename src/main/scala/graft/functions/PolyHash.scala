@@ -98,5 +98,7 @@ object PolyHash {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.createOrReplaceTempFunction(
-        "poly_hash", exprs => PolyHash(exprs.head, exprs(1)), "built-in")
+        "poly_hash", exprs => PolyHash(exprs.head,
+          org.apache.spark.sql.catalyst.expressions.Cast(exprs(1),
+            org.apache.spark.sql.types.LongType)), "built-in")
 }

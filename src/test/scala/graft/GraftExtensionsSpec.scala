@@ -31,6 +31,12 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[Double]("jac") == 0.5) // |{b,c}| / |{a,b,c,d}|
   }
 
+  test("poly_hash accepts SQL integer-literal seeds (widened to bigint)") {
+    GraftFunctions.registerAll(spark)
+    val got = spark.sql("SELECT poly_hash('abc', 0) AS h").collect()(0).getLong(0)
+    assert(got == PolyHash.hash("abc", 0L))
+  }
+
   test("non-literal shingle parameters are rejected with a clear error") {
     GraftFunctions.registerAll(spark)
     val e = intercept[Exception] {
