@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass signature kernels for the dedup pipeline.
@@ -49,6 +50,15 @@ private[graft] object SignatureKernel {
     }
     (h, pow)
   }
+
+  /** Shared analysis-time check: these expressions are SQL-registered via
+    * GraftExtensions, so misuse (`minhash_sig(array(...))`) must fail in the
+    * analyzer, not as a ClassCastException mid-job.
+    */
+  def requireString(fn: String, child: Expression): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn expects a string column, got ${child.dataType.catalogString}")
 
   /** MinHash signature: for seed j, min over shingles of PolyHash(sh, j);
     * null (None) when the document has fewer than k tokens.
@@ -120,6 +130,8 @@ case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    SignatureKernel.requireString("minhash_sig", child)
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
@@ -136,6 +148,8 @@ case class SimHashSig(child: Expression, shingleK: Int, bits: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    SignatureKernel.requireString("simhash_sig", child)
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
@@ -159,6 +173,18 @@ case class SimHashSig(child: Expression, shingleK: Int, bits: Int)
 case class SortedArrayJaccard(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  /** Both sides array<string> or both array<long> — anything else (int
+    * arrays, mismatched element types) fails at analysis, since the eval
+    * walk reads elements by the LEFT side's type.
+    */
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _))     => TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      "sorted_jaccard expects both sides array<string> or both array<bigint>, " +
+        s"got ${l.catalogString} and ${r.catalogString}")
+  }
 
   private lazy val longElements = left.dataType match {
     case ArrayType(LongType, _) => true
@@ -209,6 +235,8 @@ case class CharNgramCodes(child: Expression, n: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    SignatureKernel.requireString("char_ngram_codes", child)
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
@@ -249,6 +277,13 @@ case class CharNgramCodes(child: Expression, n: Int)
 case class VecCosine(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"vec_cosine expects array<float|double> on both sides, got ${l.catalogString} and ${r.catalogString}")
+  }
 
   private def floatElems(e: Expression): Boolean = e.dataType match {
     case ArrayType(org.apache.spark.sql.types.FloatType, _) => true

@@ -91,15 +91,18 @@ private[sources] class SyntheticScanBuilder(options: CaseInsensitiveStringMap)
   private var required: StructType = SyntheticV2.schema
 
   /** `ts` bounds tighten the generated range — the filter is fully consumed
-    * by the source (returned residual is empty for those).
+    * by the source (returned residual is empty for those). Exclusive bounds
+    * at Long.MaxValue are NOT accepted: tightening them needs `v + 1`, which
+    * would overflow and silently widen the range — and a consumed filter is
+    * never re-applied by Spark. They stay residual instead.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
-      case GreaterThanOrEqual("ts", _: java.lang.Long) => true
-      case GreaterThan("ts", _: java.lang.Long)        => true
-      case LessThan("ts", _: java.lang.Long)           => true
-      case LessThanOrEqual("ts", _: java.lang.Long)    => true
-      case _                                           => false
+      case GreaterThanOrEqual("ts", _: java.lang.Long)                    => true
+      case GreaterThan("ts", v: java.lang.Long) if v < Long.MaxValue      => true
+      case LessThan("ts", _: java.lang.Long)                              => true
+      case LessThanOrEqual("ts", v: java.lang.Long) if v < Long.MaxValue  => true
+      case _                                                              => false
     }
     accepted.foreach {
       case GreaterThanOrEqual("ts", v: java.lang.Long) => startNs = math.max(startNs, align(v))

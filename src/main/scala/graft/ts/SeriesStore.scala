@@ -34,6 +34,15 @@ final class SeriesStore(spark: SparkSession, warehouse: String, numBuckets: Int 
 
   def exists(container: String): Boolean = fs.exists(new Path(containerPath(container)))
 
+  /** Staging siblings of the container directory. Both live OUTSIDE the
+    * container so Spark partition discovery never sees them: a backup left
+    * behind by a crash must not surface as extra rows (and a `bucket=N.__old`
+    * name inside the tree would force the partition column to string,
+    * breaking bucket-pruned reads under ANSI casts).
+    */
+  private def tmpDirOf(container: String) = new Path(containerPath(container) + ".__tmp")
+  private def bakDirOf(container: String) = new Path(containerPath(container) + ".__bak")
+
   /** Container auto-create (reference: weather/service/dtss_host.py:141-151). */
   def ensureContainer(container: String): Unit =
     fs.mkdirs(new Path(containerPath(container)))
@@ -53,6 +62,7 @@ final class SeriesStore(spark: SparkSession, warehouse: String, numBuckets: Int 
 
   /** Full container scan; callers filter by id/period (filters push down). */
   def read(container: String): DataFrame = {
+    recoverIfNeeded(container)
     val dir = new Path(containerPath(container))
     val hasData = fs.exists(dir) && fs.listStatus(dir).exists(_.getPath.getName.startsWith("bucket="))
     if (!hasData)
@@ -66,6 +76,7 @@ final class SeriesStore(spark: SparkSession, warehouse: String, numBuckets: Int 
     * bucket directories before the row-group filters apply.
     */
   def read(container: String, ids: Seq[String], period: Period): DataFrame = {
+    recoverIfNeeded(container)
     val dir = new Path(containerPath(container))
     val hasData = fs.exists(dir) && fs.listStatus(dir).exists(_.getPath.getName.startsWith("bucket="))
     if (!hasData)
@@ -104,6 +115,7 @@ final class SeriesStore(spark: SparkSession, warehouse: String, numBuckets: Int 
     * table format whose transaction log provides it.
     */
   private def mergeLocked(container: String, incoming: DataFrame, overwrite: Boolean): Unit = {
+    sweepStaging(container)
     val target = new Path(containerPath(container))
     val newData = incoming.select(
       col("series_id").cast("string"),
@@ -142,14 +154,19 @@ final class SeriesStore(spark: SparkSession, warehouse: String, numBuckets: Int 
     // Parquet can't be rewritten in place while being read: stage the merged
     // buckets to a tmp sibling, then swap each affected bucket directory.
     // Every rename is checked; on failure the bucket's backup is restored.
-    val tmp = new Path(containerPath(container) + ".__tmp")
+    // Backups live in the sibling `.__bak` dir, never inside the container:
+    // a hard crash mid-swap leaves recoverable state that [[sweepStaging]]
+    // repairs, and no reader ever discovers a backup as a partition.
+    val tmp = tmpDirOf(container)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     write(merged, tmp)
+    val bakRoot = bakDirOf(container)
+    fs.mkdirs(bakRoot)
     affected.foreach { b =>
       val name = s"bucket=$b"
       val src = new Path(tmp, name)
       val dst = new Path(target, name)
-      val bak = new Path(target, name + ".__old")
+      val bak = new Path(bakRoot, name)
       if (!fs.exists(src)) {
         // merged output lost a bucket only if the bucket had no rows at all
         // (cannot happen: affected came from newData) — fail loudly.
@@ -170,8 +187,48 @@ final class SeriesStore(spark: SparkSession, warehouse: String, numBuckets: Int 
       }
       if (hadOld) fs.delete(bak, true)
     }
+    fs.delete(bakRoot, true)
     fs.delete(tmp, true)
   }
+
+  /** Repair state left by a merge that died mid-swap (process crash, not
+    * just an in-process rename failure). For each backup bucket: if its
+    * live counterpart is MISSING the crash hit between the two renames and
+    * the backup is the only copy — restore it; if the counterpart exists
+    * the swap completed — the backup is a stale duplicate, drop it. Stale
+    * `.__tmp` staging is always safe to delete (its content is re-derivable
+    * from the container + the batch, which the failed caller must retry).
+    */
+  private def sweepStaging(container: String): Unit = {
+    val target = new Path(containerPath(container))
+    val bakRoot = bakDirOf(container)
+    if (fs.exists(bakRoot)) {
+      fs.listStatus(bakRoot).filter(_.getPath.getName.startsWith("bucket=")).foreach { st =>
+        val dst = new Path(target, st.getPath.getName)
+        if (!fs.exists(dst)) {
+          if (!fs.rename(st.getPath, dst))
+            throw new java.io.IOException(
+              s"recover: failed to restore backup ${st.getPath} to $dst")
+        } else {
+          fs.delete(st.getPath, true)
+        }
+      }
+      fs.delete(bakRoot, true)
+    }
+    val tmp = tmpDirOf(container)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
+
+  /** Read-path twin of [[sweepStaging]]: one cheap existence probe outside
+    * the lock; only if crash leftovers are present does the reader take the
+    * container lock (waiting out any in-flight merge, whose own sweep +
+    * swap will have cleared the backup by the time the lock is free).
+    */
+  private def recoverIfNeeded(container: String): Unit =
+    if (fs.exists(bakDirOf(container)))
+      SeriesStore.containerLock(containerPath(container)).synchronized {
+        sweepStaging(container)
+      }
 
   private def write(df: DataFrame, path: Path): Unit =
     df.repartition(col("bucket"))

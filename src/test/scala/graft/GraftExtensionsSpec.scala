@@ -45,6 +45,27 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("integer literal"))
   }
 
+  test("type misuse of SQL-registered kernels fails at analysis, not execution") {
+    GraftFunctions.registerAll(spark)
+    // int arrays — would ClassCastException mid-job without checkInputDataTypes
+    val jac = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sorted_jaccard(array(1, 2), array(2, 3))").collect()
+    }
+    assert(jac.getMessage.toLowerCase.contains("sorted_jaccard"))
+    // mismatched element types across sides
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sorted_jaccard(array('a'), array(1L))").collect()
+    }
+    // non-string input to the signature kernels
+    val mh = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_sig(array('a'), 3, 8)").collect()
+    }
+    assert(mh.getMessage.toLowerCase.contains("minhash_sig"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash_sig(42, 3, 30)").collect()
+    }
+  }
+
   test("extensions class injects all functions without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // would throw on a malformed injection

@@ -114,6 +114,52 @@ class SeriesStoreSpec extends SparkSpec {
     assert(got.toSeq == Seq(0.0, 10.0, 20.0, 30.0))
   }
 
+  test("process death mid-swap: orphaned backup is restored on next read/merge") {
+    val warehouse = tmpDir("graft-death")
+    val store = new SeriesStore(spark, warehouse, numBuckets = 2)
+    store.merge("c", series(Seq(1, 2, 3), t0 = 0))
+
+    // Simulate a crash between rename(dst, bak) and rename(src, dst): the
+    // live bucket is gone and its only copy sits in the sibling .__bak dir.
+    val root = new java.io.File(s"$warehouse/c")
+    val bucket = root.listFiles().filter(_.getName.startsWith("bucket=")).head
+    val bakRoot = new java.io.File(s"$warehouse/c.__bak")
+    assert(bakRoot.mkdirs())
+    val bak = new java.io.File(bakRoot, bucket.getName)
+    assert(bucket.renameTo(bak), "test setup: move live bucket to backup")
+
+    // A plain read must restore the backup and see all original rows.
+    val got = store.read("c").orderBy("ts").collect().map(_.getDouble(2))
+    assert(got.toSeq == Seq(1.0, 2.0, 3.0))
+    assert(!bakRoot.exists(), "backup dir must be swept after recovery")
+  }
+
+  test("process death post-swap: stale backup is dropped, not double-counted") {
+    val warehouse = tmpDir("graft-stale")
+    val store = new SeriesStore(spark, warehouse, numBuckets = 2)
+    store.merge("c", series(Seq(1, 2, 3), t0 = 0))
+
+    // Simulate a crash between rename(src, dst) and delete(bak): both the
+    // live bucket and a stale backup copy exist.
+    val root = new java.io.File(s"$warehouse/c")
+    val bucket = root.listFiles().filter(_.getName.startsWith("bucket=")).head
+    val bakRoot = new java.io.File(s"$warehouse/c.__bak")
+    val bakBucket = new java.io.File(bakRoot, bucket.getName)
+    assert(bakBucket.mkdirs())
+    bucket.listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(bakBucket, f.getName).toPath)
+    }
+
+    // Reads must not double-count, and the stale backup must be swept.
+    val got = store.read("c").orderBy("ts").collect().map(_.getDouble(2))
+    assert(got.toSeq == Seq(1.0, 2.0, 3.0))
+    assert(!bakRoot.exists(), "stale backup dir must be swept")
+
+    // A subsequent merge works on the repaired container.
+    store.merge("c", series(Seq(4.0), t0 = 3))
+    assert(store.read("c").count() == 4)
+  }
+
   test("failed swap rename restores the backup — no data loss") {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.faulty.impl", classOf[FaultyFs].getName)

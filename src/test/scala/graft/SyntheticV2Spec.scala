@@ -40,6 +40,16 @@ class SyntheticV2Spec extends SparkSpec {
     assert(mm.getLong(0) == 100 * S && mm.getLong(1) == 199 * S)
   }
 
+  test("exclusive bounds at Long.MaxValue stay residual — no overflow widening") {
+    // ts > Long.MaxValue is unsatisfiable; the naive pushdown tighten
+    // (v + 1) overflows to Long.MinValue and regenerates the full range
+    // with the filter already consumed. It must yield zero rows.
+    val df = v2("heartbeat://cb/ping", 0, 100)
+    assert(df.where(col("ts") > Long.MaxValue).count() == 0)
+    // ts <= Long.MaxValue is a tautology; must keep every row.
+    assert(df.where(col("ts") <= Long.MaxValue).count() == 100)
+  }
+
   test("generation is split across partitions") {
     val df = v2("heartbeat://cb/ping", 0, 1000)
     assert(df.rdd.getNumPartitions == 4)
