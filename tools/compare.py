@@ -45,6 +45,64 @@ def table_hash(df: pd.DataFrame) -> str:
         h.update(b"\n")
     return h.hexdigest()
 
+def rdp_reference(con) -> pd.DataFrame:
+    """Independent Ramer-Douglas-Peucker twin for the ts_rdp query, which has
+    no SQL-expressible oracle (recursive geometry). Classic formulation:
+    keep endpoints; find the point of max perpendicular distance to the
+    chord; if it exceeds epsilon, keep it and split. Auto epsilon is the
+    reference's (n/30)*2 with n the per-series point count after NaN drop
+    (reference visual behavior: rdp(points, epsilon=(len/30)*2)). Ties on
+    the max distance break to the first (lowest-index) point; degenerate
+    chords (identical endpoints) fall back to point distance.
+    """
+    pts = con.execute(
+        "SELECT 'shyft://events/u' || user_id || '/' || event_type AS series_id, "
+        "epoch_ns(ts) AS ts, value FROM events "
+        "WHERE value IS NOT NULL AND NOT isnan(value) "
+        "ORDER BY series_id, ts").fetchdf()
+
+    def simplify(ts, vs):
+        n = len(ts)
+        if n <= 2:
+            return list(range(n))
+        eps = (n / 30.0) * 2.0
+        keep = [False] * n
+        keep[0] = keep[n - 1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            lo, hi = stack.pop()
+            if hi <= lo + 1:
+                continue
+            x1, y1, x2, y2 = float(ts[lo]), vs[lo], float(ts[hi]), vs[hi]
+            dx, dy = x2 - x1, y2 - y1
+            norm = (dx * dx + dy * dy) ** 0.5
+            best, best_i = -1.0, -1
+            for i in range(lo + 1, hi):
+                if norm == 0.0:
+                    ex, ey = float(ts[i]) - x1, vs[i] - y1
+                    d = (ex * ex + ey * ey) ** 0.5
+                else:
+                    d = abs(dy * float(ts[i]) - dx * vs[i] + x2 * y1 - y2 * x1) / norm
+                if d > best:
+                    best, best_i = d, i
+            if best > eps:
+                keep[best_i] = True
+                stack.append((lo, best_i))
+                stack.append((best_i, hi))
+        return [i for i in range(n) if keep[i]]
+
+    out = []
+    for sid, g in pts.groupby("series_id", sort=False):
+        ts = g["ts"].to_numpy()
+        vs = g["value"].to_numpy()
+        for i in simplify(ts, vs):
+            out.append((sid, int(ts[i]), float(vs[i])))
+    return pd.DataFrame(out, columns=["series_id", "ts", "value"])
+
+# Reference implementations (in Python, from the raw tables) for queries the
+# oracle cannot express in SQL. Compared with the same canon+hash gate.
+PY_ORACLES = {"ts_rdp": rdp_reference}
+
 def main(out_dir, sf_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -59,13 +117,16 @@ def main(out_dir, sf_dir):
             continue
         files = glob.glob(f"{d}/*.parquet")
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
-        if name not in oracles:
+        if name not in oracles and name not in PY_ORACLES:
             results[name] = {"rows": len(got), "oracle": False, "ok": len(got) > 0}
             continue
         try:
-            exp = con.execute(oracles[name]).fetchdf()
+            if name in oracles:
+                exp = con.execute(oracles[name]).fetchdf()
+            else:
+                exp = PY_ORACLES[name](con)
         except Exception as e:
-            results[name] = {"ok": False, "error": f"oracle sql failed: {e}"}
+            results[name] = {"ok": False, "error": f"oracle failed: {e}"}
             continue
         g, e = canon(got), canon(exp)
         cols_match = list(g.columns) == list(e.columns)
@@ -93,6 +154,8 @@ def main(out_dir, sf_dir):
         status = "OK " if r.get("ok") else "FAIL"
         print(f"{status} {name}: {json.dumps(r, default=str)[:400]}")
     print(f"\n{ok}/{len(results)} ok")
+    with open(os.path.join(out_dir, "compare_results.json"), "w") as f:
+        json.dump(results, f, indent=2, default=str)
     return 0 if ok == len(results) else 1
 
 if __name__ == "__main__":
