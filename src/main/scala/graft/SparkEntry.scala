@@ -195,6 +195,23 @@ object SparkEntry {
         yield graft.ts.Identifiers.netatmoIdStr(s"Station $uid", modOf(dt), dt)
       ev.evaluate(s, ids, Period(Long.MinValue / 2, Long.MaxValue / 2))
     }),
+    "netatmo_find" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      // µs-grid events so the catalog's module lifetimes line up with the
+      // oracle's epoch_ns values (same grid the read path uses)
+      val cat = Netatmo.catalog(Netatmo.rawConfig(t.eventsUs))
+      val eventsPoints = t.eventsUs.select("user_id", "event_type", "ts", "value")
+      val src = new NetatmoSource(cat, eventsPoints)
+      val infos = Seq(("Station 7", "Main", "click"), ("Station 7", "Outdoor", "error"),
+        ("Station 12", "Main", "view"))
+        .flatMap { case (st, m, dt) =>
+          src.find(s, graft.ts.Identifiers.netatmoIdStr(st, m, dt))
+        }
+      s.createDataFrame(infos.map(i => (i.name, i.pointFx, i.deltaTNs, i.olsonTzId,
+        i.dataPeriodStartNs, i.dataPeriodEndNs, i.createdNs, i.modifiedNs)))
+        .toDF("name", "point_fx", "delta_t_ns", "tz",
+          "data_start_ns", "data_end_ns", "created_ns", "modified_ns")
+    }),
 
     // ---- text analysis ----
     "text_token_count" -> ((s, dir) => {
@@ -420,6 +437,33 @@ object SparkEntry {
         |  g.ts, coalesce(v.value, CAST('NaN' AS DOUBLE)) AS value
         |FROM grid g LEFT JOIN vals v
         |  ON v.user_id = g.user_id AND v.event_type = g.event_type AND v.ts = g.ts""".stripMargin,
+    "netatmo_find" ->
+      """WITH et AS (SELECT DISTINCT user_id, event_type FROM events),
+        |r AS (SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY event_type) AS rnk FROM et),
+        |m AS (SELECT user_id, event_type, CASE WHEN rnk % 2 = 1 THEN 'Main' ELSE 'Outdoor' END AS module_name FROM r),
+        |q(station_name, module_name, data_type) AS (VALUES
+        |  ('Station 7', 'Main', 'click'), ('Station 7', 'Outdoor', 'error'), ('Station 12', 'Main', 'view')),
+        |sel AS (SELECT q.*, m.user_id FROM q JOIN m
+        |        ON m.user_id = CAST(replace(q.station_name, 'Station ', '') AS BIGINT)
+        |       AND m.module_name = q.module_name AND m.event_type = q.data_type),
+        |mod_life AS (SELECT m.user_id, m.module_name,
+        |             min(epoch_ns(e.ts)) AS t0, max(epoch_ns(e.ts)) AS t1
+        |             FROM events e JOIN m ON e.user_id = m.user_id AND e.event_type = m.event_type
+        |             GROUP BY 1, 2),
+        |p AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
+        |deltas AS (SELECT user_id, event_type,
+        |           ts - lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts) AS d FROM p),
+        |dcnt AS (SELECT user_id, event_type, d, count(*) AS c FROM deltas WHERE d IS NOT NULL GROUP BY 1, 2, 3),
+        |dmode AS (SELECT user_id, event_type, d AS dt FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY c DESC, d ASC) AS rn
+        |  FROM dcnt) WHERE rn = 1)
+        |SELECT 'netatmo://?station_name=' || s.station_name || '&module_name=' || s.module_name ||
+        |    '&data_type=' || s.data_type AS name,
+        |  'instant' AS point_fx, coalesce(dm.dt, 0) AS delta_t_ns, 'Europe/Oslo' AS tz,
+        |  l.t0 AS data_start_ns, l.t1 AS data_end_ns, l.t0 AS created_ns, l.t1 AS modified_ns
+        |FROM sel s
+        |JOIN mod_life l ON l.user_id = s.user_id AND l.module_name = s.module_name
+        |LEFT JOIN dmode dm ON dm.user_id = s.user_id AND dm.event_type = s.data_type""".stripMargin,
 
     "text_token_count" ->
       s"SELECT doc_id, len($Toks) AS n_tokens FROM documents",

@@ -46,7 +46,12 @@ object Netatmo {
     * (domain.py:184-239).
     */
   def rawConfig(events: DataFrame): DataFrame = {
-    val et = events.select(col("user_id"), col("event_type")).distinct()
+    // Per-measurement lifetime, rolled up per module below: the fixture
+    // analog of the payload's module `last_setup`/`last_seen` timestamps
+    // (domain.py:200-216 carries them per module; repository.py:292-301
+    // surfaces them as the TsInfo data period).
+    val et = events.groupBy(col("user_id"), col("event_type"))
+      .agg(min("ts").as("t0"), max("ts").as("t1"))
     val ranked = et.withColumn("rnk",
       row_number().over(Window.partitionBy("user_id").orderBy("event_type")))
     ranked
@@ -56,13 +61,19 @@ object Netatmo {
         sort_array(collect_list(when(col("on_station"), col("event_type"))))
           .as("station_types"),
         sort_array(collect_list(when(!col("on_station"), col("event_type"))))
-          .as("module_types"))
+          .as("module_types"),
+        min(when(col("on_station"), col("t0"))).as("station_setup"),
+        max(when(col("on_station"), col("t1"))).as("station_seen"),
+        min(when(!col("on_station"), col("t0"))).as("module_setup"),
+        max(when(!col("on_station"), col("t1"))).as("module_seen"))
       .select(
         col("user_id"),
         concat(lit("station:"), col("user_id")).as("_id"),
         concat(lit("Station "), col("user_id")).as("station_name"),
         lit("Main").as("module_name"),
         col("station_types").as("data_type"),
+        col("station_setup").as("last_setup"),
+        col("station_seen").as("last_seen"),
         struct(
           lit(10.0).as("altitude"), lit("Oslo").as("city"), lit("NO").as("country"),
           lit("Europe/Oslo").as("timezone"),
@@ -71,8 +82,12 @@ object Netatmo {
           array(struct(
             concat(lit("module:"), col("user_id")).as("_id"),
             lit("Outdoor").as("module_name"),
-            col("module_types").as("data_type"))))
-          .otherwise(array().cast("array<struct<_id:string,module_name:string,data_type:array<string>>>"))
+            col("module_types").as("data_type"),
+            col("module_setup").as("last_setup"),
+            col("module_seen").as("last_seen"))))
+          .otherwise(array().cast(
+            "array<struct<_id:string,module_name:string,data_type:array<string>," +
+              "last_setup:bigint,last_seen:bigint>>"))
           .as("modules"))
   }
 
@@ -91,15 +106,21 @@ object Netatmo {
         array(struct(
           col("_id").as("module_id"),
           col("module_name").as("module_name"),
-          col("data_type").as("data_type"))),
+          col("data_type").as("data_type"),
+          col("last_setup").as("last_setup"),
+          col("last_seen").as("last_seen"))),
         transform(col("modules"), m => struct(
           m.getField("_id").as("module_id"),
           m.getField("module_name").as("module_name"),
-          m.getField("data_type").as("data_type"))))).as("m"))
+          m.getField("data_type").as("data_type"),
+          m.getField("last_setup").as("last_setup"),
+          m.getField("last_seen").as("last_seen"))))).as("m"))
     mods
       .select(col("user_id"), col("station_id"), col("station_name"),
         col("place"), col("m.module_id").as("module_id"),
         col("m.module_name").as("module_name"),
+        col("m.last_setup").as("last_setup"),
+        col("m.last_seen").as("last_seen"),
         explode(col("m.data_type")).as("data_type"))
       .withColumn("source_id",
         Identifiers.netatmoId(col("station_name"), col("module_name"), col("data_type")))
@@ -234,13 +255,38 @@ final class NetatmoSource(catalogDf: DataFrame, eventsPoints: DataFrame,
   }
 
   /** Metadata find (repository.py:279-306): parse the query id, bind the
-    * catalog measurement, emit one TsInfo carrying the station's Olson tz.
+    * catalog measurement, emit one TsInfo with the station's Olson tz, the
+    * module's lifetime as data period / created / modified
+    * (`data_period=[module.last_setup, module.last_seen]`,
+    * repository.py:292-301), and the measurement's modal delta as delta_t
+    * (the reference emits NaN there because the real API carries no dt;
+    * the fixture API can infer it, matching the store-side find and A3).
+    * Metadata-scale result: the collects are deliberate.
     */
   def find(spark: SparkSession, query: String): Seq[TsInfo] = {
     val p = Identifiers.parseNetatmoIdStr(query)
-    Netatmo.lookup(catalogDf, p("station_name"), p("module_name"), p("data_type"))
-      .select("source_id", "tz").collect().toSeq.map { r =>
-        TsInfo(r.getString(0), "instant", 0L, r.getString(1), 0L, 0L, 0L, 0L)
-      }
+    val hits = Netatmo.lookup(catalogDf, p("station_name"), p("module_name"), p("data_type"))
+      .select("source_id", "tz", "user_id", "data_type", "last_setup", "last_seen")
+      .collect().toSeq
+    hits.map { r =>
+      val uid = r.getAs[Long]("user_id")
+      val dataType = r.getAs[String]("data_type")
+      val dtRow = graft.ts.SeriesOps.dtMode(
+        eventsPoints
+          .where(col("user_id") === uid && col("event_type") === dataType)
+          .select(col("event_type").as("series_id"), col("ts"), col("value")))
+        .collect()
+      val dt = dtRow.headOption
+        .map(_.getAs[Long]("dt_mode_ns")).getOrElse(0L)
+      TsInfo(
+        name = r.getAs[String]("source_id"),
+        pointFx = "instant",
+        deltaTNs = dt,
+        olsonTzId = r.getAs[String]("tz"),
+        dataPeriodStartNs = r.getAs[Long]("last_setup"),
+        dataPeriodEndNs = r.getAs[Long]("last_seen"),
+        createdNs = r.getAs[Long]("last_setup"),
+        modifiedNs = r.getAs[Long]("last_seen"))
+    }
   }
 }

@@ -15,7 +15,8 @@ import graft.ts.model.Period
 class NetatmoSpec extends SparkSpec {
 
   private lazy val t = Tables(spark, sfDir)
-  private lazy val cat = Netatmo.catalog(Netatmo.rawConfig(t.events))
+  // µs-grid events so catalog module lifetimes share eventsPoints' ts grid
+  private lazy val cat = Netatmo.catalog(Netatmo.rawConfig(t.eventsUs))
   private lazy val eventsPoints = t.eventsUs.select("user_id", "event_type", "ts", "value")
 
   test("measurement dimension: fixed 10 rows, all POINT_INSTANT_VALUE") {
@@ -83,11 +84,26 @@ class NetatmoSpec extends SparkSpec {
     assert(e.getMessage.contains("not in catalog"))
   }
 
-  test("find resolves catalog metadata with the station's tz") {
+  test("find resolves catalog metadata with tz, module lifetime, and dt") {
     val row = cat.limit(1).collect()(0)
     val infos = new NetatmoSource(cat, eventsPoints)
       .find(spark, row.getAs[String]("source_id"))
     assert(infos.length == 1)
-    assert(infos.head.olsonTzId == "Europe/Oslo")
+    val i = infos.head
+    assert(i.olsonTzId == "Europe/Oslo")
+
+    // data period is the MODULE's lifetime: the min/max event ts across all
+    // measurement types carried by the module (repository.py:292-301)
+    val uid = row.getAs[Long]("user_id")
+    val types = cat.where(col("user_id") === uid &&
+        col("module_name") === row.getAs[String]("module_name"))
+      .select("data_type").collect().map(_.getString(0)).toSeq
+    val life = eventsPoints
+      .where(col("user_id") === uid && col("event_type").isin(types: _*))
+      .agg(org.apache.spark.sql.functions.min("ts"),
+        org.apache.spark.sql.functions.max("ts")).collect()(0)
+    assert(i.dataPeriodStartNs == life.getLong(0) && i.createdNs == life.getLong(0))
+    assert(i.dataPeriodEndNs == life.getLong(1) && i.modifiedNs == life.getLong(1))
+    assert(i.deltaTNs > 0L, "dt should be inferred from the measurement's deltas")
   }
 }
