@@ -186,7 +186,7 @@ object SparkEntry {
       val t = Tables(s, dir)
       val cat = Netatmo.catalog(Netatmo.rawConfig(t.events))
       val eventsPoints = t.eventsUs.select("user_id", "event_type", "ts", "value")
-      val src = new NetatmoSource(cat, eventsPoints)
+      val src = new NetatmoSource(cat, eventsPoints, s"$dir/events.parquet")
       val ev = new Evaluate(Map("netatmo" -> src))
       val types = Seq("click", "error", "purchase", "signup", "view")
       val modOf = Map("click" -> "Main", "error" -> "Outdoor", "purchase" -> "Main",
@@ -201,7 +201,7 @@ object SparkEntry {
       // oracle's epoch_ns values (same grid the read path uses)
       val cat = Netatmo.catalog(Netatmo.rawConfig(t.eventsUs))
       val eventsPoints = t.eventsUs.select("user_id", "event_type", "ts", "value")
-      val src = new NetatmoSource(cat, eventsPoints)
+      val src = new NetatmoSource(cat, eventsPoints, s"$dir/events.parquet")
       val infos = Seq(("Station 7", "Main", "click"), ("Station 7", "Outdoor", "error"),
         ("Station 12", "Main", "view"))
         .flatMap { case (st, m, dt) =>

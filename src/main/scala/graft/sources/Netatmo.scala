@@ -138,75 +138,44 @@ object Netatmo {
       .where(col("data_type") === dataType)
 }
 
-/** netatmo:// source: catalog bind (J1) + per-module batched paginated fetch
-  * (S1-S3) against the events-backed fixture "device API".
+/** netatmo:// source: catalog bind (J1) + per-module paginated fetch (S1-S3)
+  * against the events-parquet-backed fixture "device API".
   *
-  * `eventsPoints` must have columns (user_id, event_type, ts:LongNs, value).
+  * `eventsPoints` must have columns (user_id, event_type, ts:LongNs, value)
+  * — used for metadata (find's dt inference); the paginated DATA path reads
+  * the fixture file through the [[NetatmoV2]] DataSource V2 scan, whose
+  * `planInputPartitions` turns the reference's sequential block-cursor loop
+  * (repository.py:150-200) into per-block input partitions. No driver-side
+  * probe action remains on the read path.
   */
 final class NetatmoSource(catalogDf: DataFrame, eventsPoints: DataFrame,
-    blockSize: Int = 1024) extends SeriesSource {
+    eventsPath: String, blockSize: Int = 1024) extends SeriesSource {
 
   val name = "netatmo"
 
-  /** One API block (S1, repository.py:93-148): for ONE station/module, at
-    * most `blockSize` axis points starting at the period start, over the
-    * requested measurement columns. The fixture API is row-major — one row
-    * per timestamp with one column per measurement (pivot), which we
-    * transpose back to long format (P6, repository.py:142-143) and map
-    * missing cells to NaN (P5, repository.py:88-91). The axis is the union
-    * of the module's requested measurements' timestamps, exactly like the
-    * real API's shared per-module time axis.
-    */
-  private def moduleEvents(userId: Long, types: Seq[String], period: Period): DataFrame =
-    eventsPoints
-      .where(col("user_id") === userId && col("event_type").isin(types: _*))
-      .where(col("ts") >= period.startNs && col("ts") < period.endNs)
-
-  /** The block's shared time axis: first `blockSize` distinct timestamps of
-    * the module's requested measurements within the period.
-    */
-  private def blockAxis(userId: Long, types: Seq[String], period: Period): DataFrame =
-    moduleEvents(userId, types, period).select("ts").distinct().orderBy("ts").limit(blockSize)
-
-  private def blockFromAxis(axis: DataFrame, userId: Long, types: Seq[String],
-      period: Period): DataFrame = {
-    val wide = moduleEvents(userId, types, period).join(axis, Seq("ts"))
-      .groupBy("ts").pivot("event_type", types).agg(max("value"))
-    wide
-      .unpivot(Array(col("ts")), types.map(col).toArray, "data_type", "value")
-      .withColumn("value", coalesce(col("value"), lit(Double.NaN)))
-      .select(col("ts"), col("data_type"), col("value"))
-  }
-
-  def measurementsBlock(userId: Long, types: Seq[String], period: Period): DataFrame =
-    blockFromAxis(blockAxis(userId, types, period), userId, types, period)
-
-  /** Paginated fetch (S2, repository.py:150-200): issue S1 blocks, advancing
-    * the period start one past the last returned axis point, until a block
-    * comes back empty or short. The per-block probe action mirrors the
-    * reference's per-call API round trip, and runs on the AXIS only — the
-    * pivot/unpivot pipeline of each block executes once, when the assembled
-    * result is consumed, not once more per probe. A production connector
-    * would fold this into a DataSource V2 with block offsets in
-    * `planInputPartitions`.
+  /** Paginated fetch (S1+S2): the V2 scan emits every block of the module's
+    * axis in long format; the engine-side column algebra reconstructs the
+    * API's row-major surface — the shared per-module time axis × requested
+    * measurements grid (pivot transpose P6, repository.py:142-143) with
+    * missing cells as NaN (P5, repository.py:88-91).
     */
   def getMeasurements(userId: Long, types: Seq[String], period: Period): DataFrame = {
-    var start = period.startNs
-    var acc: Option[DataFrame] = None
-    var done = false
-    while (!done) {
-      val p = Period(start, period.endNs)
-      val axis = blockAxis(userId, types, p)
-      val stat = axis.agg(count(lit(1)).as("n"), max(col("ts")).as("t1")).collect()(0)
-      val n = stat.getLong(0)
-      if (n == 0L) done = true
-      else {
-        acc = Some(acc.map(_ unionByName measurementsBlock(userId, types, p))
-          .getOrElse(measurementsBlock(userId, types, p)))
-        if (n < blockSize) done = true else start = stat.getLong(1) + 1
-      }
-    }
-    acc.getOrElse(measurementsBlock(userId, types, Period(period.startNs, period.startNs)))
+    val spark = eventsPoints.sparkSession
+    val vals = spark.read.format("graft-netatmo")
+      .option("path", eventsPath)
+      .option("userId", userId)
+      .option("types", types.mkString(","))
+      .option("startNs", period.startNs)
+      .option("endNs", period.endNs)
+      .option("blockSize", blockSize)
+      .load()
+    val axis = vals.select("ts").distinct()
+    val typesDf = spark.createDataset(types)(
+      org.apache.spark.sql.Encoders.STRING).toDF("data_type")
+    axis.crossJoin(broadcast(typesDf))
+      .join(vals, Seq("ts", "data_type"), "left")
+      .withColumn("value", coalesce(col("value"), lit(Double.NaN)))
+      .select(col("ts"), col("data_type"), col("value"))
   }
 
   /** Read callback (S3, repository.py:220-265): parse ids (P2), bind to the
@@ -231,26 +200,20 @@ final class NetatmoSource(catalogDf: DataFrame, eventsPoints: DataFrame,
         throw new IllegalArgumentException(s"id not in catalog: $id"))
       (id, uid, p("module_name"), p("data_type"))
     }
-    // Pagination is sequential WITHIN a module (each block's offset depends
-    // on the previous block's last point) but independent ACROSS modules —
-    // fetch groups concurrently; Spark job submission is thread-safe, so
-    // the per-block probe actions of different modules overlap.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
+    // One lazy V2 scan per module — no driver actions here at all (the old
+    // per-block probe loop is gone); Spark schedules every module's block
+    // partitions together when the unioned plan executes.
     val groups = bound.groupBy { case (_, uid, module, _) => (uid, module) }.toSeq
-    val parts = Await.result(Future.sequence(groups.map { case ((uid, _), group) =>
-      Future {
-        val types = group.map(_._4).distinct
-        val fetched = getMeasurements(uid, types, period)
-        val keyMap = group.map { case (id, _, _, dt) => (dt, id) }
-        fetched
-          .join(
-            spark.createDataFrame(keyMap).toDF("data_type", "series_id"),
-            Seq("data_type"))
-          .select(col("series_id"), col("ts"), col("value"))
-      }
-    }), Duration.Inf)
+    val parts = groups.map { case ((uid, _), group) =>
+      val types = group.map(_._4).distinct
+      val fetched = getMeasurements(uid, types, period)
+      val keyMap = group.map { case (id, _, _, dt) => (dt, id) }
+      fetched
+        .join(
+          broadcast(spark.createDataFrame(keyMap).toDF("data_type", "series_id")),
+          Seq("data_type"))
+        .select(col("series_id"), col("ts"), col("value"))
+    }
     parts.reduce(_ unionByName _)
   }
 

@@ -18,6 +18,7 @@ class NetatmoSpec extends SparkSpec {
   // µs-grid events so catalog module lifetimes share eventsPoints' ts grid
   private lazy val cat = Netatmo.catalog(Netatmo.rawConfig(t.eventsUs))
   private lazy val eventsPoints = t.eventsUs.select("user_id", "event_type", "ts", "value")
+  private lazy val eventsPath = s"$sfDir/events.parquet"
 
   test("measurement dimension: fixed 10 rows, all POINT_INSTANT_VALUE") {
     val dim = Netatmo.measurementDimension(spark).collect()
@@ -60,9 +61,9 @@ class NetatmoSpec extends SparkSpec {
     val types = cat.where(col("user_id") === uid && col("module_name") === row.getAs[String]("module_name"))
       .select("data_type").collect().map(_.getString(0)).toSeq
     val all = Period(Long.MinValue / 2, Long.MaxValue / 2)
-    val paged = new NetatmoSource(cat, eventsPoints, blockSize = 16)
+    val paged = new NetatmoSource(cat, eventsPoints, eventsPath, blockSize = 16)
       .getMeasurements(uid, types, all)
-    val single = new NetatmoSource(cat, eventsPoints, blockSize = 1 << 20)
+    val single = new NetatmoSource(cat, eventsPoints, eventsPath, blockSize = 1 << 20)
       .getMeasurements(uid, types, all)
     assert(paged.count() > 0)
     assert(rowsOf(paged) == rowsOf(single))
@@ -73,7 +74,7 @@ class NetatmoSpec extends SparkSpec {
   test("read binds ids via the catalog and re-keys to the verbatim id") {
     val rows = cat.where(col("user_id") === 0).limit(2).collect()
     val ids = rows.map(_.getAs[String]("source_id")).toSeq
-    val src = new NetatmoSource(cat, eventsPoints)
+    val src = new NetatmoSource(cat, eventsPoints, eventsPath)
     val got = new Evaluate(Map("netatmo" -> src))
       .evaluate(spark, ids, Period(Long.MinValue / 2, Long.MaxValue / 2))
     val seen = got.select("series_id").distinct().collect().map(_.getString(0)).toSet
@@ -86,7 +87,7 @@ class NetatmoSpec extends SparkSpec {
 
   test("find resolves catalog metadata with tz, module lifetime, and dt") {
     val row = cat.limit(1).collect()(0)
-    val infos = new NetatmoSource(cat, eventsPoints)
+    val infos = new NetatmoSource(cat, eventsPoints, eventsPath)
       .find(spark, row.getAs[String]("source_id"))
     assert(infos.length == 1)
     val i = infos.head

@@ -68,6 +68,32 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("GreaterThanOrEqual(ts,0)"))
   }
 
+  test("netatmo pagination is a DataSource V2 scan with per-block partitions") {
+    val t = Tables(spark, sfDir)
+    val cat = graft.sources.Netatmo.catalog(graft.sources.Netatmo.rawConfig(t.eventsUs))
+    val eventsPoints = t.eventsUs.select("user_id", "event_type", "ts", "value")
+    val src = new graft.sources.NetatmoSource(cat, eventsPoints,
+      s"$sfDir/events.parquet", blockSize = 16)
+    val row = cat.limit(1).collect()(0)
+    val types = cat.where(col("user_id") === row.getAs[Long]("user_id") &&
+        col("module_name") === row.getAs[String]("module_name"))
+      .select("data_type").collect().map(_.getString(0)).toSeq
+    val df = src.getMeasurements(row.getAs[Long]("user_id"), types,
+      Period(Long.MinValue / 2, Long.MaxValue / 2))
+    // the paginated fetch is a V2 BatchScan, not a driver loop
+    assert(planOf(df).contains("BatchScan graft_netatmo"), planOf(df).take(2000))
+    // block offsets became input partitions: >1 block at blockSize=16
+    val scanRdd = df.select("ts").distinct()
+    assert(scanRdd.count() > 16, "fixture should span multiple blocks")
+    val v2 = spark.read.format("graft-netatmo")
+      .option("path", s"$sfDir/events.parquet")
+      .option("userId", row.getAs[Long]("user_id"))
+      .option("types", types.mkString(","))
+      .option("blockSize", 16)
+      .load()
+    assert(v2.rdd.getNumPartitions > 1, "each block must be its own partition")
+  }
+
   test("whole-stage codegen covers the relational anchors") {
     val df = SparkEntry.queries("q1_agg")(spark, sfDir)
     df.collect() // AQE finalizes the plan on execution
