@@ -189,9 +189,39 @@ object Dedup {
     * gram table when it fits, shuffle-joins otherwise — and score each pair
     * with a single O(m+n) merge-walk ([[graft.functions.SortedArrayJaccard]])
     * instead of hash-set intersect/union per pair.
+    *
+    * Scale honesty: the pair space is still O(n²) within a block, so (a) a
+    * block with more than `maxBlockDocs` documents FAILS FAST with a
+    * routing hint instead of attempting the quadratic, and (b) gram-count
+    * bounds prune pairs that provably cannot reach the threshold
+    * (J ≥ t ⇒ t·|B| ≤ |A| ∧ t·|A| ≤ |B|) before any gram array is joined.
     */
+  /** Default quadratic-fallback bound: pair enumeration above this many docs
+    * per block is refused (100k docs ≈ 5e9 pairs — already past what any
+    * within-block quadratic should attempt; big blocks belong to
+    * [[minhashNearDups]]).
+    */
+  val NgramMaxBlockDocs: Int = 100000
+
   def ngramJaccard(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      blockCol: String = "lang", n: Int = 3, threshold: Double = 0.3): DataFrame = {
+      blockCol: String = "lang", n: Int = 3, threshold: Double = 0.3,
+      maxBlockDocs: Int = NgramMaxBlockDocs): DataFrame = {
+    val (grams, pairs) = ngramPlan(df, idCol, textCol, blockCol, n, threshold, maxBlockDocs)
+    pairs
+      .join(grams.select(col("id").as("id_a"), col("g").as("g_a")), Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("g").as("g_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        graft.functions.Signatures.sortedJaccard(col("g_a"), col("g_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** The gram table and the guarded, length-pruned candidate pair stream —
+    * split out so the pruning is independently testable.
+    */
+  private[graft] def ngramPlan(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int, threshold: Double,
+      maxBlockDocs: Int): (DataFrame, DataFrame) = {
     // grams as base-37 Long codes: bijective with the gram strings over the
     // normalized [a-z0-9 ] alphabet, so the Jaccard values are identical
     // while pair scoring compares longs and shuffles ~3x fewer bytes.
@@ -202,18 +232,35 @@ object Dedup {
       // keeps an empty-vs-empty pair from scoring 0/0 = NaN (which Spark's
       // NaN ordering would pass through >= threshold)
       .where(size(col("g")) > 0)
-    val ids = grams.select(col("block"), col("id"))
-    val pairs = ids.select(col("block"), col("id").as("id_a"))
-      .join(ids.select(col("block"), col("id").as("id_b")), Seq("block"))
+    // Scale guard: this operator is quadratic WITHIN a block by contract.
+    // Refuse (at execution, keeping the plan lazy) any block whose doc count
+    // makes that quadratic unpayable, instead of silently melting down. The
+    // guard rides on the `len` column, which the prune filter consumes, so
+    // column pruning cannot elide it; the count join is metadata-scale
+    // (one row per block) and broadcasts.
+    val counts = grams.groupBy("block").agg(count(lit(1)).as("block_docs"))
+    val ids = grams.select(col("block"), col("id"), size(col("g")).as("len"))
+      .join(broadcast(counts), Seq("block"))
+      .withColumn("len",
+        when(col("block_docs") > maxBlockDocs,
+          raise_error(format_string(
+            "ngramJaccard: block '%s' has %s docs, above the quadratic-fallback " +
+              "bound %s — route large blocks to minhashNearDups or raise maxBlockDocs",
+            col("block"), col("block_docs"), lit(maxBlockDocs))))
+          .otherwise(col("len")))
+      .select(col("block"), col("id"), col("len"))
+    // Length pruning BEFORE pair materialization: Jaccard >= t forces
+    // t*|B| <= |A| and t*|A| <= |B| (the intersection is at most the smaller
+    // set, the union at least the larger), so a provably-impossible length
+    // ratio never enters the pair stream, let alone the gram-array joins.
+    val pairs = ids.select(col("block"), col("id").as("id_a"), col("len").as("len_a"))
+      .join(ids.select(col("block"), col("id").as("id_b"), col("len").as("len_b")), Seq("block"))
       .where(col("id_a") < col("id_b"))
+      .where(col("len_a") >= col("len_b") * threshold &&
+        col("len_b") >= col("len_a") * threshold)
+      .select(col("block"), col("id_a"), col("id_b"))
       .repartition(col("id_a"), col("id_b"))
-    pairs
-      .join(grams.select(col("id").as("id_a"), col("g").as("g_a")), Seq("id_a"))
-      .join(grams.select(col("id").as("id_b"), col("g").as("g_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        graft.functions.Signatures.sortedJaccard(col("g_a"), col("g_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
+    (grams, pairs)
   }
 
   /** Character n-grams over the ASCII-normalized text. */

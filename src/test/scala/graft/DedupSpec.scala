@@ -113,6 +113,32 @@ class DedupSpec extends SparkSpec {
     assert(rowsOf(byCode) == rowsOf(byString))
   }
 
+  test("ngram guard refuses blocks above the quadratic-fallback bound") {
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val e = intercept[Exception] {
+      Dedup.ngramJaccard(docs.limit(20), maxBlockDocs = 2).collect()
+    }
+    assert(messages(e).contains("quadratic-fallback bound"), messages(e).take(500))
+    // at the default bound the same input passes
+    assert(Dedup.ngramJaccard(docs.limit(20)).count() >= 0)
+  }
+
+  test("length pruning drops provably-impossible pairs before the gram join") {
+    val big = (0 until 200).map(i => s"word$i").mkString(" ")
+    val sample = Seq(
+      ("en", "a1", big),
+      ("en", "a2", "zzz"), // 1 gram vs ~big: ratio far below threshold
+      ("en", "a3", big + " tail")
+    ).toDF("lang", "doc_id", "text")
+    val (_, pairs) = Dedup.ngramPlan(sample, "doc_id", "text", "lang", 3, 0.3, 100000)
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got.contains(("a1", "a3")), "similar-length pair must survive the prune")
+    assert(!got.exists(p => p._1 == "a2" || p._2 == "a2"),
+      "a pair whose gram-count ratio cannot reach the threshold must never enter the pair stream")
+  }
+
   test("lsh candidate generation never misses identical signatures") {
     // identical text → identical minhash signature → collide in every band
     val d = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
