@@ -596,14 +596,23 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cos_sim >= 0.4""".stripMargin,
 
+    // Twin of buildPpm/decodePpm: the near-square P6 frame of the text bytes
+    // (npix = ceil(len/3), w = ceil(sqrt(npix)), h = ceil(npix/w)) and the
+    // pixel stats — zero padding is invisible to sum and (for non-empty
+    // ASCII text) to max.
     "mm_features" ->
-      """WITH b AS (SELECT doc_id, text,
-        |  list_transform(string_split(text, ''), c -> ord(c)) AS cps FROM documents)
-        |SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(CASE WHEN length(text) > 0 THEN list_sum(cps) ELSE 0 END AS BIGINT) AS byte_sum,
-        |  CAST(CASE WHEN length(text) > 0 THEN cps[1] ELSE -1 END AS INTEGER) AS first_byte,
-        |  CAST(CASE WHEN length(text) > 0 THEN cps[len(cps)] ELSE -1 END AS INTEGER) AS last_byte
-        |FROM b""".stripMargin,
+      """WITH b AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS len,
+        |  list_transform(string_split(text, ''), c -> ord(c)) AS cps FROM documents),
+        |d AS (SELECT *, CASE WHEN len = 0 THEN 0 ELSE (len + 2) // 3 END AS npix FROM b),
+        |w1 AS (SELECT *, CASE WHEN npix = 0 THEN 0
+        |       ELSE CAST(ceil(sqrt(CAST(npix AS DOUBLE))) AS BIGINT) END AS w FROM d),
+        |w2 AS (SELECT *, CASE WHEN w = 0 THEN 0
+        |       ELSE CAST(ceil(CAST(npix AS DOUBLE) / w) AS BIGINT) END AS h FROM w1)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(w * h * 3 AS BIGINT) AS n_pixel_bytes,
+        |  CAST(CASE WHEN len > 0 THEN list_sum(cps) ELSE 0 END AS BIGINT) AS pixel_sum,
+        |  CAST(CASE WHEN len > 0 THEN list_max(cps) ELSE 0 END AS INTEGER) AS pixel_max
+        |FROM w2""".stripMargin,
 
     "stream_window_stats" ->
       s"""WITH points AS ($PointsCte)

@@ -7,13 +7,19 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: media as opaque `binary` columns plus typed
   * metadata, with per-partition batched decode/feature-extraction.
   *
-  * The Spark-side contract is real and tested — schema, partition sizing,
-  * batch iteration, output shape. The actual codec is a clearly marked
-  * STUB (`decodeStub`): the image/audio libraries are not in this
-  * container, so it derives deterministic fake features from the bytes.
-  * Swapping in a real decoder is a one-function change with the same
-  * `Iterator[Row] => Iterator[Row]` shape (mapPartitions ≈ mapInPandas
-  * batches in the PySpark world).
+  * The codec is a REAL decoder for binary PPM (P6) — a dependency-free
+  * image format parseable with plain JVM byte walking: `P6`, whitespace-
+  * separated width/height/maxval header (with `#` comments), then
+  * width×height×3 raw RGB bytes. The fixture table packs each document's
+  * UTF-8 bytes into a valid P6 blob (near-square frame, zero-padded), so
+  * decode failures are real failures, and every decoded feature (header
+  * dimensions + pixel statistics) is independently recomputable from the
+  * source text by the SQL oracle.
+  *
+  * Swapping PPM for JPEG/PNG/audio changes [[decodePpm]]/[[buildPpm]] only;
+  * the Spark-side shape — binary column, metadata struct, per-partition
+  * streaming batch decode (`mapPartitions` ≈ `mapInPandas` batches) — is
+  * codec-agnostic.
   */
 object Multimodal {
 
@@ -23,56 +29,126 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("n_bytes", LongType)))
 
-  /** Wrap a text corpus as a fake media table: `(doc_id, media binary,
-    * media_meta struct)`. Stands in for reading real image/audio blobs.
+  /** Near-square frame dimensions for a payload of `nBytes`: enough pixels
+    * to carry every byte in RGB triples. MUST stay in sync with the SQL
+    * oracle twin (ceil semantics on both sides).
+    */
+  private[graft] def frameOf(nBytes: Int): (Int, Int) = {
+    if (nBytes == 0) return (0, 0)
+    val npix = (nBytes + 2) / 3
+    val w = math.ceil(math.sqrt(npix.toDouble)).toInt
+    val h = math.ceil(npix.toDouble / w).toInt
+    (w, h)
+  }
+
+  /** A valid binary-PPM (P6) blob carrying `payload` as pixel data, zero-
+    * padded to the full frame.
+    */
+  private[graft] def buildPpm(payload: Array[Byte]): Array[Byte] = {
+    val (w, h) = frameOf(payload.length)
+    val header = s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(payload, 0, out, header.length, payload.length)
+    out
+  }
+
+  /** Real P6 parse: magic, whitespace/comment-tolerant header ints, raw
+    * pixel section validated against the declared dimensions. Returns
+    * (width, height, pixelSum, pixelMax).
+    */
+  private[graft] def decodePpm(bytes: Array[Byte]): (Int, Int, Long, Int) = {
+    var i = 0
+    def fail(msg: String) = throw new IllegalArgumentException(s"not a P6 PPM: $msg")
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') fail("bad magic")
+    i = 2
+    def skipSpace(): Unit = {
+      var in = true
+      while (in && i < bytes.length) {
+        val b = bytes(i)
+        if (b == '#') while (i < bytes.length && bytes(i) != '\n') i += 1
+        else if (b == ' ' || b == '\n' || b == '\r' || b == '\t') i += 1
+        else in = false
+      }
+    }
+    def readInt(): Int = {
+      skipSpace()
+      if (i >= bytes.length || bytes(i) < '0' || bytes(i) > '9') fail("expected integer")
+      var v = 0
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = readInt()
+    val h = readInt()
+    val maxval = readInt()
+    if (maxval != 255) fail(s"unsupported maxval $maxval")
+    // exactly ONE whitespace byte separates header and raster (PPM spec)
+    if (i >= bytes.length || !(bytes(i) == '\n' || bytes(i) == ' ' ||
+        bytes(i) == '\r' || bytes(i) == '\t')) fail("missing raster separator")
+    i += 1
+    val n = w * h * 3
+    if (bytes.length - i != n) fail(s"raster is ${bytes.length - i} bytes, expected $n")
+    var s = 0L
+    var mx = 0
+    var j = i
+    while (j < bytes.length) {
+      val v = bytes(j) & 0xff
+      s += v
+      if (v > mx) mx = v
+      j += 1
+    }
+    (w, h, s, mx)
+  }
+
+  /** Wrap a text corpus as a media table: `(doc_id, media binary, media_meta
+    * struct)` where `media` is a REAL P6 image whose pixels carry the
+    * document bytes. Stands in for reading image blobs off storage; rows
+    * stream through the partition iterator, nothing collects.
     */
   def synthMediaTable(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    docs.select(col(idCol),
-      encode(col(textCol), "utf-8").as("media"),
-      struct(
-        lit("fake/raw").as("format"),
-        (length(col(textCol)) % 640).cast("int").as("width"),
-        (length(col(textCol)) % 480).cast("int").as("height"),
-        length(encode(col(textCol), "utf-8")).cast("long").as("n_bytes")
-      ).as("media_meta"))
-
-  /** STUB decoder: a real implementation would decode the blob; this derives
-    * deterministic pseudo-features (byte-sum, first/last byte) so the
-    * pipeline shape is testable end-to-end.
-    */
-  private def decodeStub(bytes: Array[Byte]): (Long, Int, Int) = {
-    // ??? <- real codec goes here (e.g., JPEG decode); deterministic fake:
-    var s = 0L
-    var i = 0
-    while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
-    (s, if (bytes.nonEmpty) bytes(0) & 0xff else -1,
-      if (bytes.nonEmpty) bytes(bytes.length - 1) & 0xff else -1)
+      textCol: String = "text"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType),
+      StructField("media_meta", mediaMetaSchema)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val projected = docs.select(col(idCol).cast("long"), col(textCol))
+    val out: Dataset[Row] = projected.mapPartitions { it =>
+      it.map { row =>
+        val payload = row.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val blob = buildPpm(payload)
+        val (w, h) = frameOf(payload.length)
+        Row(row.getLong(0), blob,
+          Row("image/x-portable-pixmap", w, h, blob.length.toLong))
+      }
+    }(enc)
+    out
   }
 
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
-    StructField("n_bytes", LongType),
-    StructField("byte_sum", LongType),
-    StructField("first_byte", IntegerType),
-    StructField("last_byte", IntegerType)))
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_pixel_bytes", LongType),
+    StructField("pixel_sum", LongType),
+    StructField("pixel_max", IntegerType)))
 
-  /** Batched per-partition feature extraction over the binary column. Rows
-    * stream through the partition iterator — nothing is collected; at scale
-    * partition sizing is controlled upstream via
+  /** Batched per-partition decode over the binary column: a real P6 parse
+    * per blob. Rows stream through the partition iterator — nothing is
+    * collected; at scale partition sizing is controlled upstream via
     * `spark.sql.files.maxPartitionBytes` so each batch of blobs fits memory.
     */
   def extractFeatures(media: DataFrame, idCol: String = "doc_id",
       blobCol: String = "media"): DataFrame = {
-    val spark = media.sparkSession
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
     val projected = media.select(col(idCol).cast("long"), col(blobCol))
     val out: Dataset[Row] = projected.mapPartitions { it =>
       it.map { row =>
         val id = row.getLong(0)
-        val bytes = row.getAs[Array[Byte]](1)
-        val (s, f, l) = decodeStub(bytes)
-        Row(id, bytes.length.toLong, s, f, l)
+        val (w, h, s, mx) = decodePpm(row.getAs[Array[Byte]](1))
+        Row(id, w, h, w.toLong * h * 3, s, mx)
       }
     }(enc)
     out
