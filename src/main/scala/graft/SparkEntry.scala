@@ -253,6 +253,12 @@ object SparkEntry {
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.synthMediaTable(Tables(s, dir).documents))),
 
+    // ---- streaming dedup (T4) in batch mode: duplicated feed collapses ----
+    "stream_dedup" -> ((s, dir) => {
+      val p = pts(s, dir)
+      graft.streaming.StreamOps.dedupStream(p.unionByName(p), "1 hour")
+    }),
+
     // ---- streaming twin in batch mode (tumbling day windows) ----
     "stream_window_stats" -> ((s, dir) => {
       graft.streaming.StreamOps.windowedStats(pts(s, dir), "1 day", "1 hour")
@@ -613,6 +619,11 @@ object SparkEntry {
         |  CAST(CASE WHEN len > 0 THEN list_sum(cps) ELSE 0 END AS BIGINT) AS pixel_sum,
         |  CAST(CASE WHEN len > 0 THEN list_max(cps) ELSE 0 END AS INTEGER) AS pixel_max
         |FROM w2""".stripMargin,
+
+    "stream_dedup" ->
+      s"""WITH points AS ($PointsCte)
+         |SELECT DISTINCT series_id, ts, value
+         |FROM (SELECT * FROM points UNION ALL SELECT * FROM points)""".stripMargin,
 
     "stream_window_stats" ->
       s"""WITH points AS ($PointsCte)

@@ -42,6 +42,69 @@ object StreamOps {
       .agg(min("value").as("min_value"), max("value").as("max_value"),
         count(lit(1)).as("n_points"))
 
+  /** T4 pure-streaming variant: drop duplicate points inside the stream
+    * itself (watermark-bounded state) instead of relying on the idempotent
+    * store merge downstream. The dedup key includes the event-time column,
+    * so Spark expires per-key state once the watermark passes it — bounded
+    * state at any corpus size. Assumes the engine's µs-grid `ts` (exact
+    * ns→µs, no collisions), like every other streaming operator here.
+    */
+  def dedupStream(points: DataFrame, watermark: String): DataFrame =
+    points
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicates("series_id", "ts", "event_time")
+      .select("series_id", "ts", "value")
+
+  /** T6 as a streaming-native restart path: a StreamingQueryListener that
+    * watches ONE logical query and restarts it (via the supplied factory)
+    * when it terminates WITH an exception — the reference's health-check →
+    * restart loop (service_manager.py:39-50), driven by Spark's own
+    * lifecycle events instead of polling. Restarts are capped; a clean
+    * stop() never restarts. The restart runs on its own thread — listener
+    * callbacks must not block the event bus.
+    */
+  final class StreamWatchdog(spark: SparkSession, start: () => StreamingQuery,
+      maxRestarts: Int = 3)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+    @volatile private var current: StreamingQuery = _
+    private val watchedId = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
+    private val restartCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    /** Install the listener and start the watched query. */
+    def startWatched(): StreamingQuery = {
+      spark.streams.addListener(this)
+      val q = start()
+      current = q
+      watchedId.set(q.id)
+      q
+    }
+
+    def restarts: Int = restartCount.get()
+    def query: StreamingQuery = current
+
+    /** Uninstall; the query (if running) is left to the caller. */
+    def close(): Unit = spark.streams.removeListener(this)
+
+    override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(event: QueryProgressEvent): Unit = ()
+    override def onQueryIdle(event: QueryIdleEvent): Unit = ()
+
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+      if (event.id == watchedId.get() && event.exception.isDefined &&
+          restartCount.incrementAndGet() <= maxRestarts) {
+        val t = new Thread(() => {
+          val q = start()
+          current = q
+          watchedId.set(q.id)
+        }, s"graft-stream-restart-${event.id}")
+        t.setDaemon(true)
+        t.start()
+      }
+  }
+
   final case class SeriesState(lastTs: Long, lastValue: Double,
       minValue: Double, maxValue: Double, n: Long)
   final case class PointIn(series_id: String, ts: Long, value: Double)

@@ -35,6 +35,59 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops duplicates within and across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[PointIn]
+    val q = StreamOps.dedupStream(in.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(PointIn("s", 1 * S, 1.0), PointIn("s", 1 * S, 1.0), PointIn("s", 2 * S, 2.0))
+      q.processAllAvailable()
+      // cross-batch duplicate at t=2 plus a fresh point
+      in.addData(PointIn("s", 2 * S, 2.0), PointIn("s", 3 * S, 3.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").orderBy("ts").collect()
+        .map(r => (r.getAs[Long]("ts") / S, r.getAs[Double]("value")))
+      assert(got.toSeq == Seq(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+    } finally q.stop()
+  }
+
+  test("watchdog restarts a crashed query; the retried batch lands") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[PointIn]
+    val failFirst = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val merged = new java.util.concurrent.atomic.AtomicInteger(0)
+    val wd = new StreamOps.StreamWatchdog(spark, () =>
+      in.toDF().writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (failFirst.getAndSet(false)) throw new RuntimeException("boom")
+          merged.addAndGet(batch.count().toInt); ()
+        }
+        .start(), maxRestarts = 3)
+    val q = wd.startWatched()
+    try {
+      in.addData(PointIn("s", 0, 1.0))
+      intercept[Exception] { q.processAllAvailable() } // first run crashes
+      val deadline = System.currentTimeMillis() + 30000
+      while ((wd.restarts < 1 || (wd.query eq q) || !wd.query.isActive) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(wd.restarts == 1, "exactly one restart after the crash")
+      val q2 = wd.query
+      assert((q2 ne q) && q2.isActive, "a fresh query must be running")
+      q2.processAllAvailable()
+      assert(merged.get() >= 1, "the failed batch must be reprocessed after restart")
+      // clean stop: no further restart
+      q2.stop()
+      q2.awaitTermination(30000)
+      Thread.sleep(200) // give the listener bus a beat
+      assert(wd.restarts == 1, "a clean stop must not restart")
+    } finally {
+      wd.close()
+      if (wd.query != null && wd.query.isActive) wd.query.stop()
+    }
+  }
+
   test("runningStats: per-series state persists across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[PointIn]
