@@ -31,7 +31,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout passes through the sbt logger (prefixed), which has broken JSON
+    // parsing downstream before — mirror the line on stderr so any tail
+    // capture of the run carries the numbers verbatim.
+    System.err.println(json)
     spark.stop()
   }
 }

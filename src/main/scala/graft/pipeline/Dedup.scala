@@ -90,11 +90,12 @@ object Dedup {
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     // The plan references the candidate set twice (pair join + the semi-join
-    // below). Measured at sf0.1: the duplicated LSH subplan is NOT the
-    // bottleneck (executors sit idle; the cost is per-stage planning/codegen,
-    // which amortizes at scale), and materializing it (persist/checkpoint)
-    // gains nothing while changing fault-tolerance semantics — so keep the
-    // plain declarative plan.
+    // below). Measured at sf0.1 (twice, rounds 3 and 4): the duplicated LSH
+    // subplan is NOT the bottleneck (executors sit idle; the cost is
+    // per-stage planning/codegen, which amortizes at scale), and
+    // persist(MEMORY_AND_DISK) on the candidates is ~10% SLOWER end-to-end
+    // (6.5 s -> 7.0-7.3 s isolated) — materialization cost exceeds the
+    // reuse win — so keep the plain declarative plan.
     val cands = lshCandidates(df, idCol, textCol, shingleK, bands, rowsPerBand)
     // Materialize shingle sets ONLY for docs that appear in a candidate pair
     // (a vanishing fraction of the corpus): semi-join before the expensive
