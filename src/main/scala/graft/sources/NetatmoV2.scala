@@ -63,8 +63,12 @@ object NetatmoV2 {
 
 /** Fixture device API: filtered streaming reads of the events parquet via
   * parquet-hadoop (no SparkSession — callable from query planning on the
-  * driver and from page readers on executors alike). Timestamps are
-  * truncated to the µs grid the engine's `eventsUs` view uses.
+  * driver and from page readers on executors alike). The read is a real
+  * pushdown read: only the four needed columns are materialized
+  * (`parquet.read.schema` projection) and the `user_id` equality is a
+  * parquet FilterPredicate, so row groups whose stats exclude the user are
+  * skipped entirely. Timestamps are truncated to the µs grid the engine's
+  * `eventsUs` view uses.
   */
 private[sources] object FixtureDeviceApi {
 
@@ -75,18 +79,31 @@ private[sources] object FixtureDeviceApi {
     else Seq(path)
   }
 
+  private val Projection =
+    """message graft_projection {
+      |  optional int64 ts;
+      |  optional int64 user_id;
+      |  optional binary event_type (UTF8);
+      |  optional double value;
+      |}""".stripMargin
+
   /** Stream one module's (ts, event_type, value) rows within [startNs, endNs). */
   def moduleEvents(path: String, userId: Long, types: Set[String],
       startNs: Long, endNs: Long)(f: (Long, String, Double) => Unit): Unit =
     files(path).foreach { file =>
+      val conf = new Configuration()
+      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, Projection)
+      val userEq = org.apache.parquet.filter2.predicate.FilterApi.eq(
+        org.apache.parquet.filter2.predicate.FilterApi.longColumn("user_id"),
+        java.lang.Long.valueOf(userId))
       val reader = ParquetReader.builder(new GroupReadSupport(), new Path(file))
-        .withConf(new Configuration()).build()
+        .withConf(conf)
+        .withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(userEq))
+        .build()
       try {
         var g = reader.read()
         while (g != null) {
-          if (g.getFieldRepetitionCount("user_id") > 0 &&
-              g.getLong("user_id", 0) == userId &&
-              g.getFieldRepetitionCount("event_type") > 0 &&
+          if (g.getFieldRepetitionCount("event_type") > 0 &&
               types.contains(g.getString("event_type", 0)) &&
               g.getFieldRepetitionCount("ts") > 0 &&
               g.getFieldRepetitionCount("value") > 0) {
