@@ -105,4 +105,15 @@ object KernelProps extends Properties("kernels") {
       // in every sliding 100-unit window, at most `limit` acquisitions
       acquired.forall(t => acquired.count(x => x > t - 100 && x <= t) <= limit)
     }
+
+  property("PPM codec round-trips pixel stats for arbitrary payloads") =
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      val payload = bytes.toArray
+      val (w, h, sum, mx) = graft.pipeline.Multimodal.decodePpm(
+        graft.pipeline.Multimodal.buildPpm(payload))
+      val unsigned = payload.map(_ & 0xff)
+      w.toLong * h * 3 >= payload.length && // frame carries every byte
+        sum == unsigned.map(_.toLong).sum && // zero padding is sum-invariant
+        mx == (if (unsigned.isEmpty) 0 else unsigned.max) // max survives padding
+    }
 }
