@@ -62,6 +62,22 @@ object Smoke {
       "last_value", Seq(100.0 -> "red", 50.0 -> "yellow"), "green")
     bands.groupBy("band").count().show()
 
+    // real multimodal codec: build P6 blobs, decode, aggregate pixel stats
+    val feats = graft.pipeline.Multimodal.extractFeatures(
+      graft.pipeline.Multimodal.synthMediaTable(docs.limit(50)))
+    feats.agg(sum("pixel_sum").as("pixels"), max("width").as("max_w")).show()
+
+    // V2 paginated station fetch + metadata find with real module lifetime
+    val cat = graft.sources.Netatmo.catalog(graft.sources.Netatmo.rawConfig(t.eventsUs))
+    val src = new graft.sources.NetatmoSource(cat,
+      t.eventsUs.select("user_id", "event_type", "ts", "value"),
+      s"$sf/events.parquet", blockSize = 64)
+    val anyId = cat.limit(1).collect()(0).getAs[String]("source_id")
+    println(s"netatmo read rows: ${src.read(spark, Seq(anyId),
+      graft.ts.model.Period(Long.MinValue / 2, Long.MaxValue / 2)).count()}")
+    src.find(spark, anyId).foreach(i =>
+      println(s"find: ${i.name} dt=${i.deltaTNs} period=[${i.dataPeriodStartNs},${i.dataPeriodEndNs}]"))
+
     spark.stop()
   }
 }
