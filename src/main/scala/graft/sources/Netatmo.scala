@@ -230,26 +230,27 @@ final class NetatmoSource(catalogDf: DataFrame, eventsPoints: DataFrame,
     val p = Identifiers.parseNetatmoIdStr(query)
     val hits = Netatmo.lookup(catalogDf, p("station_name"), p("module_name"), p("data_type"))
       .select("source_id", "tz", "user_id", "data_type", "last_setup", "last_seen")
-      .collect().toSeq
-    hits.map { r =>
-      val uid = r.getAs[Long]("user_id")
-      val dataType = r.getAs[String]("data_type")
-      val dtRow = graft.ts.SeriesOps.dtMode(
-        eventsPoints
-          .where(col("user_id") === uid && col("event_type") === dataType)
-          .select(col("event_type").as("series_id"), col("ts"), col("value")))
-        .collect()
-      val dt = dtRow.headOption
-        .map(_.getAs[Long]("dt_mode_ns")).getOrElse(0L)
-      TsInfo(
-        name = r.getAs[String]("source_id"),
-        pointFx = "instant",
-        deltaTNs = dt,
-        olsonTzId = r.getAs[String]("tz"),
-        dataPeriodStartNs = r.getAs[Long]("last_setup"),
-        dataPeriodEndNs = r.getAs[Long]("last_seen"),
-        createdNs = r.getAs[Long]("last_setup"),
-        modifiedNs = r.getAs[Long]("last_seen"))
-    }
+    // ONE job: semi-join the point table down to the matched measurements,
+    // infer each one's modal delta, and join it back onto the hits — instead
+    // of a lookup collect plus one dtMode job per hit.
+    val dt = graft.ts.SeriesOps.dtMode(
+      eventsPoints
+        .join(broadcast(hits.select(
+          col("user_id"), col("data_type").as("event_type"))), Seq("user_id", "event_type"), "left_semi")
+        .select(concat(col("user_id"), lit("/"), col("event_type")).as("series_id"),
+          col("ts"), col("value")))
+    hits
+      .join(broadcast(dt), concat(col("user_id"), lit("/"), col("data_type")) === col("series_id"), "left")
+      .collect().toSeq.map { r =>
+        TsInfo(
+          name = r.getAs[String]("source_id"),
+          pointFx = "instant",
+          deltaTNs = Option(r.getAs[java.lang.Long]("dt_mode_ns")).map(_.toLong).getOrElse(0L),
+          olsonTzId = r.getAs[String]("tz"),
+          dataPeriodStartNs = r.getAs[Long]("last_setup"),
+          dataPeriodEndNs = r.getAs[Long]("last_seen"),
+          createdNs = r.getAs[Long]("last_setup"),
+          modifiedNs = r.getAs[Long]("last_seen"))
+      }
   }
 }
