@@ -115,7 +115,7 @@ object SparkEntry {
         "last_value", Seq(100.0 -> "red", 50.0 -> "yellow"), "green")
         .select("series_id", "last_value", "last_ts", "band")
     }),
-    "ts_rdp" -> ((s, dir) => Rdp.downsample(pts(s, dir))), // no SQL oracle (recursive geometry)
+    "ts_rdp" -> ((s, dir) => Rdp.downsample(pts(s, dir))),
     "ts_asof_join" -> ((s, dir) => {
       val e = Tables(s, dir).eventsUs
       val left = e.where(col("event_type") === "click")
@@ -355,6 +355,57 @@ object SparkEntry {
          |SELECT series_id, ts, value FROM (
          |  SELECT *, row_number() OVER (PARTITION BY series_id ORDER BY ts DESC, value DESC) AS rn
          |  FROM points) WHERE rn <= 5""".stripMargin,
+    // Recursive Ramer-Douglas-Peucker as a recursive CTE: the working set is
+    // (series, lo, hi) chord segments; each step finds the segment's
+    // max-perpendicular-distance point via a correlated LATERAL (first-max
+    // tie-break on ts, point-distance fallback for degenerate chords) and
+    // splits when it exceeds the auto epsilon (n/30)*2. Kept points are the
+    // distinct segment endpoints. Exact twin of Rdp.simplify.
+    "ts_rdp" ->
+      s"""WITH RECURSIVE pts AS (
+         |  SELECT series_id, ts, value FROM ($PointsCte)
+         |  WHERE value IS NOT NULL AND NOT isnan(value)
+         |),
+         |eps AS (SELECT series_id, (count(*) / 30.0) * 2.0 AS e FROM pts GROUP BY 1),
+         |seg(series_id, lo, hi) AS (
+         |  SELECT series_id, min(ts), max(ts) FROM pts GROUP BY 1
+         |  UNION ALL
+         |  SELECT b.series_id, b.lo, b.hi
+         |  FROM seg s JOIN LATERAL (
+         |    WITH chord AS (
+         |      SELECT p1.value AS y1, p2.value AS y2,
+         |             CAST(s.lo AS DOUBLE) AS x1, CAST(s.hi AS DOUBLE) AS x2
+         |      FROM pts p1, pts p2
+         |      WHERE p1.series_id = s.series_id AND p1.ts = s.lo
+         |        AND p2.series_id = s.series_id AND p2.ts = s.hi
+         |    ),
+         |    best AS (
+         |      SELECT p.ts,
+         |        CASE WHEN sqrt((c.x2-c.x1)*(c.x2-c.x1) + (c.y2-c.y1)*(c.y2-c.y1)) = 0
+         |             THEN sqrt((p.ts-c.x1)*(p.ts-c.x1) + (p.value-c.y1)*(p.value-c.y1))
+         |             ELSE abs((c.y2-c.y1)*p.ts - (c.x2-c.x1)*p.value + c.x2*c.y1 - c.y2*c.x1)
+         |                  / sqrt((c.x2-c.x1)*(c.x2-c.x1) + (c.y2-c.y1)*(c.y2-c.y1))
+         |        END AS dist
+         |      FROM pts p, chord c
+         |      WHERE p.series_id = s.series_id AND p.ts > s.lo AND p.ts < s.hi
+         |      ORDER BY dist DESC, p.ts ASC LIMIT 1
+         |    )
+         |    SELECT s.series_id AS series_id, u.lo AS lo, u.hi AS hi
+         |    FROM best b2
+         |    CROSS JOIN (SELECT e FROM eps WHERE series_id = s.series_id) ee
+         |    CROSS JOIN (VALUES (1), (2)) v(side)
+         |    CROSS JOIN LATERAL (SELECT CASE WHEN v.side = 1 THEN s.lo ELSE b2.ts END AS lo,
+         |                               CASE WHEN v.side = 1 THEN b2.ts ELSE s.hi END AS hi) u
+         |    WHERE b2.dist > ee.e
+         |  ) b ON true
+         |),
+         |kept AS (
+         |  SELECT DISTINCT s.series_id, x.ts
+         |  FROM seg s CROSS JOIN (VALUES (1), (2)) w(k)
+         |  CROSS JOIN LATERAL (SELECT CASE WHEN w.k = 1 THEN s.lo ELSE s.hi END AS ts) x
+         |)
+         |SELECT k.series_id, k.ts, p.value
+         |FROM kept k JOIN pts p ON p.series_id = k.series_id AND p.ts = k.ts""".stripMargin,
     "ts_current_bands" ->
       s"""WITH points AS ($PointsCte),
          |lv AS (SELECT series_id, value AS last_value, ts AS last_ts FROM (
