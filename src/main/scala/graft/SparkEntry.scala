@@ -246,6 +246,10 @@ object SparkEntry {
       val e = Tables(s, dir).embeddings
       Similarity.ivfTopK(e.where(col("vec_id") < 5), e, k = 3, nprobe = 3)
     }),
+    "sim_srp_topk" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.srpTopK(e.where(col("vec_id") < 5), e, k = 3, planes = 6)
+    }),
     "sim_near_dups" -> ((s, dir) =>
       Similarity.embeddingNearDups(Tables(s, dir).embeddings, threshold = 0.4)),
 
@@ -640,6 +644,27 @@ object SparkEntry {
         |    (sqrt(list_sum(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * p.qv[i]))) *
         |     sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos_sim
         |FROM e c JOIN probe p ON c.label = p.cell WHERE c.vec_id <> p.query_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        |  FROM s) WHERE rank <= 3""".stripMargin,
+    // SRP-LSH twin: the ±1 hyperplane component for (plane k, element i,
+    // 1-based here vs 0-based in Scala — the +1 aligns them) is the same
+    // LCG mix; bucket = OR of sign bits; exact cosine rerank within bucket.
+    "sim_srp_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |b AS (SELECT vec_id, v,
+        |  list_sum(list_transform(range(0, 6), k ->
+        |    CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i ->
+        |        v[i] * (CASE WHEN ((1103515245 * (k * 131 + i) + 12345) % 2147483648) % 2 = 0
+        |                     THEN 1.0 ELSE -1.0 END))) >= 0
+        |         THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS bucket
+        |  FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+        |s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.v[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos_sim
+        |FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id)
         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
         |  FROM s) WHERE rank <= 3""".stripMargin,

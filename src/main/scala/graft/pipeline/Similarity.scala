@@ -100,6 +100,55 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos_sim")
   }
 
+  /** Deterministic ±1 hyperplane component for (plane k, 0-based element i):
+    * an LCG-style integer mix computable identically in any engine (the SQL
+    * oracle reproduces it bit-for-bit), standing in for the usual seeded
+    * Gaussian. ±1 projections are the classic signed-random-projection
+    * simplification (dot signs still concentrate by the hyperplane LSH
+    * property).
+    */
+  private def srpSign(k: Int, i: Column): Column = {
+    val mix = (lit(1103515245L) * (lit(k.toLong * 131L) + i.cast("long") + 1L) + 12345L) % 2147483648L
+    when(mix % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+  }
+
+  /** SRP-LSH bucket id: bit k set iff dot(vec, r_k) ≥ 0 for `planes`
+    * deterministic ±1 hyperplanes. Column algebra only — one transform +
+    * fold per plane; a fused custom Expression is the next step if this
+    * ever shows up hot (planes × dim multiply-adds per row).
+    */
+  def srpBucket(vec: Column, planes: Int): Column =
+    (0 until planes).map { k =>
+      val dotK = aggregate(
+        transform(vec, (x, i) => x.cast("double") * srpSign(k, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotK >= 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** SRP-LSH approximate top-k: corpus and queries bucket by hyperplane sign
+    * pattern; each query exact-reranks ONLY its bucket — the LSH-bucketed
+    * ANN path (complement to [[ivfTopK]]'s learned cells). The scan prunes
+    * to bucket partitions at scale; recall tunes via `planes` (fewer planes
+    * = bigger buckets = higher recall/cost; multiprobe — flipping low-margin
+    * bits — is the standard extension). May return < k rows per query when
+    * the bucket is small: that is the ANN contract, deterministically.
+    */
+  def srpTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 6,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = spread(corpus, idCol).select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), srpBucket(col(vecCol), planes).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      srpBucket(col(vecCol), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥ threshold,
     * blocked by cell to bound the pair space (LSH-bucketed variant of
     * embedding dedup).

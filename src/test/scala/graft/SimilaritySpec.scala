@@ -47,6 +47,33 @@ class SimilaritySpec extends SparkSpec {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("SRP-LSH: every neighbor shares the query's bucket, ranked exactly within it") {
+    val planes = 4 // coarse buckets so every query has company
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      Similarity.srpBucket(col("embedding"), planes).as("bucket"))
+    val buckets = bucketed.select("vec_id", "bucket").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    assert(buckets.values.toSet.size > 1, "planes must actually partition the corpus")
+
+    val got = Similarity.srpTopK(emb.where(col("vec_id") < 5), emb, k = 3, planes = planes)
+      .collect()
+    assert(got.nonEmpty)
+    // candidate containment: a neighbor is only ever drawn from the bucket
+    got.foreach { r =>
+      assert(buckets(r.getAs[Long]("neighbor_id")) == buckets(r.getAs[Long]("query_id")))
+    }
+    // within the bucket, ranking equals brute force restricted to it
+    val q0 = got.filter(_.getAs[Long]("query_id") == 0L).sortBy(_.getAs[Int]("rank"))
+    if (q0.nonEmpty) {
+      val mates = buckets.filter { case (id, b) => b == buckets(0L) && id != 0L }.keys.toSeq
+      val brute = Similarity.bruteForceTopK(
+        emb.where(col("vec_id") === 0), emb.where(col("vec_id").isin(mates: _*)), k = 3)
+        .collect().sortBy(_.getAs[Int]("rank"))
+      assert(q0.map(_.getAs[Long]("neighbor_id")).toSeq ==
+        brute.map(_.getAs[Long]("neighbor_id")).toSeq)
+    }
+  }
+
   test("embedding near-dups only emits pairs above threshold within a cell") {
     val got = Similarity.embeddingNearDups(emb, threshold = 0.4).collect()
     assert(got.forall(_.getAs[Double]("cos_sim") >= 0.4))
