@@ -253,9 +253,14 @@ object SparkEntry {
     "sim_near_dups" -> ((s, dir) =>
       Similarity.embeddingNearDups(Tables(s, dir).embeddings, threshold = 0.4)),
 
-    // ---- multimodal plumbing (deterministic stub decode; ASCII corpus) ----
+    // ---- multimodal: real P6 codec — decode, resize, frame-sample ----
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.synthMediaTable(Tables(s, dir).documents))),
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.resizeMedia(
+        Multimodal.synthMediaTable(Tables(s, dir).documents), factor = 2))),
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.synthMediaTable(Tables(s, dir).documents), stride = 4)),
 
     // ---- streaming dedup (T4) in batch mode: duplicated feed collapses ----
     "stream_dedup" -> ((s, dir) => {
@@ -695,6 +700,52 @@ object SparkEntry {
         |  CAST(CASE WHEN len > 0 THEN list_sum(cps) ELSE 0 END AS BIGINT) AS pixel_sum,
         |  CAST(CASE WHEN len > 0 THEN list_max(cps) ELSE 0 END AS INTEGER) AS pixel_max
         |FROM w2""".stripMargin,
+    // Twin of resizePpm(., 2) + decodePpm: nearest-neighbor sample of the
+    // padded raster — output pixel p=(y,x) reads input pixel (2y, 2x); a
+    // byte index past the text length is frame padding (0).
+    "mm_resize" ->
+      """WITH b AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS len,
+        |  list_transform(string_split(text, ''), c -> ord(c)) AS cps FROM documents),
+        |d AS (SELECT *, CASE WHEN len = 0 THEN 0 ELSE (len + 2) // 3 END AS npix FROM b),
+        |g1 AS (SELECT *, CASE WHEN npix = 0 THEN 0
+        |       ELSE CAST(ceil(sqrt(CAST(npix AS DOUBLE))) AS BIGINT) END AS w FROM d),
+        |g2 AS (SELECT *, CASE WHEN w = 0 THEN 0
+        |       ELSE CAST(ceil(CAST(npix AS DOUBLE) / w) AS BIGINT) END AS h FROM g1),
+        |g3 AS (SELECT *, CASE WHEN w = 0 THEN 0 ELSE (w + 1) // 2 END AS w2,
+        |       CASE WHEN h = 0 THEN 0 ELSE (h + 1) // 2 END AS h2 FROM g2)
+        |SELECT doc_id, CAST(w2 AS INTEGER) AS width, CAST(h2 AS INTEGER) AS height,
+        |  CAST(3 * w2 * h2 AS BIGINT) AS n_pixel_bytes,
+        |  CAST(coalesce(list_sum(list_transform(range(0, w2 * h2), p ->
+        |    list_sum(list_transform(range(1, 4), c ->
+        |      CASE WHEN 3 * (((p // w2) * 2) * w + (p % w2) * 2) + c <= len
+        |           THEN cps[CAST(3 * (((p // w2) * 2) * w + (p % w2) * 2) + c AS INTEGER)]
+        |           ELSE 0 END)))), 0) AS BIGINT) AS pixel_sum,
+        |  CAST(coalesce(list_max(list_transform(range(0, w2 * h2), p ->
+        |    list_max(list_transform(range(1, 4), c ->
+        |      CASE WHEN 3 * (((p // w2) * 2) * w + (p % w2) * 2) + c <= len
+        |           THEN cps[CAST(3 * (((p // w2) * 2) * w + (p % w2) * 2) + c AS INTEGER)]
+        |           ELSE 0 END)))), 0) AS INTEGER) AS pixel_max
+        |FROM g3""".stripMargin,
+    // Twin of sampleFrames(., 4): every 4th raster row, per-row byte stats
+    // over the zero-padded frame.
+    "mm_frames" ->
+      """WITH b AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS len,
+        |  list_transform(string_split(text, ''), c -> ord(c)) AS cps FROM documents),
+        |d AS (SELECT *, CASE WHEN len = 0 THEN 0 ELSE (len + 2) // 3 END AS npix FROM b),
+        |g1 AS (SELECT *, CASE WHEN npix = 0 THEN 0
+        |       ELSE CAST(ceil(sqrt(CAST(npix AS DOUBLE))) AS BIGINT) END AS w FROM d),
+        |g2 AS (SELECT *, CASE WHEN w = 0 THEN 0
+        |       ELSE CAST(ceil(CAST(npix AS DOUBLE) / w) AS BIGINT) END AS h FROM g1)
+        |SELECT doc_id, CAST(u.y AS INTEGER) AS frame_idx,
+        |  CAST(u.fs AS BIGINT) AS frame_sum, CAST(u.fm AS INTEGER) AS frame_max
+        |FROM (
+        |  SELECT doc_id, unnest(list_transform(range(0, h, 4), y -> struct_pack(
+        |    y := y,
+        |    fs := coalesce(list_sum(list_transform(range(1, 3 * w + 1), i ->
+        |          CASE WHEN 3 * y * w + i <= len THEN cps[CAST(3 * y * w + i AS INTEGER)] ELSE 0 END)), 0),
+        |    fm := coalesce(list_max(list_transform(range(1, 3 * w + 1), i ->
+        |          CASE WHEN 3 * y * w + i <= len THEN cps[CAST(3 * y * w + i AS INTEGER)] ELSE 0 END)), 0)))) AS u
+        |  FROM g2)""".stripMargin,
 
     "stream_dedup" ->
       s"""WITH points AS ($PointsCte)

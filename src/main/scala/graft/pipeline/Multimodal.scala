@@ -53,11 +53,10 @@ object Multimodal {
     out
   }
 
-  /** Real P6 parse: magic, whitespace/comment-tolerant header ints, raw
-    * pixel section validated against the declared dimensions. Returns
-    * (width, height, pixelSum, pixelMax).
+  /** P6 header parse: magic, whitespace/comment-tolerant ints, raster
+    * length validation. Returns (width, height, rasterOffset).
     */
-  private[graft] def decodePpm(bytes: Array[Byte]): (Int, Int, Long, Int) = {
+  private[graft] def parsePpmHeader(bytes: Array[Byte]): (Int, Int, Int) = {
     var i = 0
     def fail(msg: String) = throw new IllegalArgumentException(s"not a P6 PPM: $msg")
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') fail("bad magic")
@@ -90,9 +89,15 @@ object Multimodal {
     i += 1
     val n = w * h * 3
     if (bytes.length - i != n) fail(s"raster is ${bytes.length - i} bytes, expected $n")
+    (w, h, i)
+  }
+
+  /** Real P6 parse returning (width, height, pixelSum, pixelMax). */
+  private[graft] def decodePpm(bytes: Array[Byte]): (Int, Int, Long, Int) = {
+    val (w, h, off) = parsePpmHeader(bytes)
     var s = 0L
     var mx = 0
-    var j = i
+    var j = off
     while (j < bytes.length) {
       val v = bytes(j) & 0xff
       s += v
@@ -100,6 +105,32 @@ object Multimodal {
       j += 1
     }
     (w, h, s, mx)
+  }
+
+  /** Nearest-neighbor downscale by an integer factor: output pixel (x', y')
+    * copies input pixel (x'·f, y'·f); output frame is ceil(w/f) × ceil(h/f).
+    * Returns a valid P6 blob.
+    */
+  private[graft] def resizePpm(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    val (w, h, off) = parsePpmHeader(bytes)
+    val w2 = if (w == 0) 0 else (w + factor - 1) / factor
+    val h2 = if (h == 0) 0 else (h + factor - 1) / factor
+    val header = s"P6\n$w2 $h2\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + w2 * h2 * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val src = off + 3 * ((y * factor) * w + x * factor)
+        val dst = header.length + 3 * (y * w2 + x)
+        out(dst) = bytes(src); out(dst + 1) = bytes(src + 1); out(dst + 2) = bytes(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** Wrap a text corpus as a media table: `(doc_id, media binary, media_meta
@@ -134,6 +165,66 @@ object Multimodal {
     StructField("n_pixel_bytes", LongType),
     StructField("pixel_sum", LongType),
     StructField("pixel_max", IntegerType)))
+
+  /** Downscale every blob by `factor` (nearest-neighbor), emitting the same
+    * media-table shape with refreshed metadata. Same streaming
+    * `mapPartitions` batch contract as [[extractFeatures]].
+    */
+  def resizeMedia(media: DataFrame, factor: Int, idCol: String = "doc_id",
+      blobCol: String = "media"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType),
+      StructField("media_meta", mediaMetaSchema)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val projected = media.select(col(idCol).cast("long"), col(blobCol))
+    val out: Dataset[Row] = projected.mapPartitions { it =>
+      it.map { row =>
+        val blob = resizePpm(row.getAs[Array[Byte]](1), factor)
+        val (w, h, _) = parsePpmHeader(blob)
+        Row(row.getLong(0), blob, Row("image/x-portable-pixmap", w, h, blob.length.toLong))
+      }
+    }(enc)
+    out
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_sum", LongType),
+    StructField("frame_max", IntegerType)))
+
+  /** Frame sampling: treat each raster ROW as a frame of the media stream
+    * and keep every `stride`-th one, emitting per-frame pixel stats — the
+    * video-keyframe-sampling shape over the fixture format. One output row
+    * per sampled frame, streamed per partition.
+    */
+  def sampleFrames(media: DataFrame, stride: Int, idCol: String = "doc_id",
+      blobCol: String = "media"): DataFrame = {
+    require(stride >= 1, s"frame stride must be >= 1, got $stride")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(frameSchema)
+    val projected = media.select(col(idCol).cast("long"), col(blobCol))
+    val out: Dataset[Row] = projected.mapPartitions { it =>
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](1)
+        val (w, h, off) = parsePpmHeader(bytes)
+        (0 until h by stride).iterator.map { y =>
+          var s = 0L
+          var mx = 0
+          var j = off + 3 * y * w
+          val end = j + 3 * w
+          while (j < end) {
+            val v = bytes(j) & 0xff
+            s += v
+            if (v > mx) mx = v
+            j += 1
+          }
+          Row(row.getLong(0), y, s, mx)
+        }
+      }
+    }(enc)
+    out
+  }
 
   /** Batched per-partition decode over the binary column: a real P6 parse
     * per blob. Rows stream through the partition iterator — nothing is

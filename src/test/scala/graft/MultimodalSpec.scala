@@ -41,6 +41,39 @@ class MultimodalSpec extends SparkSpec {
     assert(w == 0 && h == 0 && sum == 0L && mx == 0)
   }
 
+  test("resize is exact nearest-neighbor: factor 1 is identity, factor f samples strides") {
+    val payload = (0 until 300).map(i => (i % 251).toByte).toArray
+    val blob = Multimodal.buildPpm(payload)
+    // factor 1: identical raster
+    assert(Multimodal.resizePpm(blob, 1).toSeq == blob.toSeq)
+    // factor 2: output (x', y') must equal input (2x', 2y') channel-exact
+    val (w, h, off) = Multimodal.parsePpmHeader(blob)
+    val small = Multimodal.resizePpm(blob, 2)
+    val (w2, h2, off2) = Multimodal.parsePpmHeader(small)
+    assert(w2 == (w + 1) / 2 && h2 == (h + 1) / 2)
+    for (y <- 0 until h2; x <- 0 until w2; c <- 0 until 3) {
+      val got = small(off2 + 3 * (y * w2 + x) + c)
+      val want = blob(off + 3 * ((y * 2) * w + x * 2) + c)
+      assert(got == want, s"pixel ($x,$y) channel $c")
+    }
+  }
+
+  test("frame sampling emits every stride-th raster row with exact stats") {
+    val docs = Seq((9L, "the quick brown fox jumps over the lazy dog " * 8))
+      .toDF("doc_id", "text")
+    val media = Multimodal.synthMediaTable(docs)
+    val blob = media.collect()(0).getAs[Array[Byte]]("media")
+    val (w, h, off) = Multimodal.parsePpmHeader(blob)
+    val frames = Multimodal.sampleFrames(media, stride = 3).collect()
+      .map(r => (r.getAs[Int]("frame_idx"), r.getAs[Long]("frame_sum"), r.getAs[Int]("frame_max")))
+      .sortBy(_._1)
+    assert(frames.map(_._1).toSeq == (0 until h by 3).toSeq)
+    frames.foreach { case (y, s, mx) =>
+      val row = (0 until 3 * w).map(i => blob(off + 3 * y * w + i) & 0xff)
+      assert(s == row.map(_.toLong).sum && mx == row.max, s"row $y stats")
+    }
+  }
+
   test("table-level features equal a direct recomputation from the text") {
     val docs = Seq((1L, "alpha beta"), (2L, ""), (3L, "x" * 100))
       .toDF("doc_id", "text")
