@@ -218,6 +218,10 @@ object SparkEntry {
       Tables(s, dir).documents
         .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
     }),
+    "text_bpe_tokens" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+    }),
     "text_quality" -> ((s, dir) => {
       TextOps.qualityScore(Tables(s, dir).documents)
         .select("doc_id", "n_chars_m", "n_tokens", "mean_token_len",
@@ -533,6 +537,10 @@ object SparkEntry {
 
     "text_token_count" ->
       s"SELECT doc_id, len($Toks) AS n_tokens FROM documents",
+    "text_bpe_tokens" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(lower(text),
+        |  ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS INTEGER) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
     "text_quality" ->
       s"""WITH f AS (SELECT doc_id, text, $Toks AS toks,
          |  length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum FROM documents),

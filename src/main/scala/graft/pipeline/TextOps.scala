@@ -25,6 +25,15 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-style pre-tokenization count: the GPT-2-ish pre-tokenizer regex
+    * reduced to the ASCII corpus — a letter run, digit run, or punctuation
+    * run, each absorbing one leading space. Counts the segments a subword
+    * tokenizer would split on, without needing a vocabulary; a pure codegen
+    * regexp, so it rides inside the scan like every other text feature.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0)))
+
   /** k-token shingles, space-joined. Documents shorter than k tokens yield
     * an empty list.
     */
