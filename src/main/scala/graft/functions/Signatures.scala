@@ -325,7 +325,63 @@ case class VecCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** SRP-LSH bucket id in one pass: bit k of the result is set iff
+  * dot(vec, r_k) ≥ 0 for `planes` deterministic ±1 hyperplanes, where
+  * r_k[i] = +1 iff ((1103515245·(k·131 + i + 1) + 12345) mod 2^31) is even
+  * (i 0-based). Replaces `planes` separate transform+aggregate chains whose
+  * interpreted lambdas re-walk the vector once per plane; per-plane
+  * accumulation order matches the sequential fold it replaces, so buckets
+  * are bit-identical to the column-algebra version and to the SQL oracle
+  * twin (which uses 1-based i, aligned by the +1 here).
+  */
+case class SrpBucket(child: Expression, planes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"srp_bucket expects array<float|double>, got ${other.catalogString}")
+  }
+
+  private lazy val floatElems = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = a.numElements()
+    val dots = new Array[Double](planes)
+    var i = 0
+    while (i < n) {
+      val x = if (floatElems) a.getFloat(i).toDouble else a.getDouble(i)
+      var k = 0
+      while (k < planes) {
+        val mix = (1103515245L * (k.toLong * 131L + i + 1L) + 12345L) % 2147483648L
+        dots(k) += (if (mix % 2 == 0) x else -x)
+        k += 1
+      }
+      i += 1
+    }
+    var bucket = 0L
+    var k = 0
+    while (k < planes) {
+      if (dots(k) >= 0) bucket |= (1L << k)
+      k += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Signatures {
+  def srpBucket(vec: Column, planes: Int): Column =
+    GraftBridge.column(SrpBucket(GraftBridge.expression(vec), planes))
+
   def vecCosine(a: Column, b: Column): Column =
     GraftBridge.column(VecCosine(GraftBridge.expression(a), GraftBridge.expression(b)))
 

@@ -100,30 +100,19 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos_sim")
   }
 
-  /** Deterministic ±1 hyperplane component for (plane k, 0-based element i):
-    * an LCG-style integer mix computable identically in any engine (the SQL
-    * oracle reproduces it bit-for-bit), standing in for the usual seeded
-    * Gaussian. ±1 projections are the classic signed-random-projection
-    * simplification (dot signs still concentrate by the hyperplane LSH
-    * property).
-    */
-  private def srpSign(k: Int, i: Column): Column = {
-    val mix = (lit(1103515245L) * (lit(k.toLong * 131L) + i.cast("long") + 1L) + 12345L) % 2147483648L
-    when(mix % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
-  }
-
   /** SRP-LSH bucket id: bit k set iff dot(vec, r_k) ≥ 0 for `planes`
-    * deterministic ±1 hyperplanes. Column algebra only — one transform +
-    * fold per plane; a fused custom Expression is the next step if this
-    * ever shows up hot (planes × dim multiply-adds per row).
+    * deterministic ±1 hyperplanes (LCG-mix signs the SQL oracle reproduces
+    * bit-for-bit — the classic signed-random-projection simplification of
+    * seeded Gaussians). Single-pass kernel
+    * ([[graft.functions.SrpBucket]]): the column-algebra form (one
+    * transform+fold per plane) re-walks the vector once per plane in
+    * interpreted lambdas — the known HOF trap, planes×dim interpreted calls
+    * per row. At sf0.1 this query is scan/shuffle-overhead-dominated and
+    * the two forms measure within noise; the kernel's one-pass shape is
+    * what survives a 1000× corpus, and its buckets are bit-identical.
     */
   def srpBucket(vec: Column, planes: Int): Column =
-    (0 until planes).map { k =>
-      val dotK = aggregate(
-        transform(vec, (x, i) => x.cast("double") * srpSign(k, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(dotK >= 0, lit(1L << k)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.Signatures.srpBucket(vec, planes)
 
   /** SRP-LSH approximate top-k: corpus and queries bucket by hyperplane sign
     * pattern; each query exact-reranks ONLY its bucket — the LSH-bucketed
