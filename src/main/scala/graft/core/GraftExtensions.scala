@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinHashSig, PolyHash, SimHashSig, SortedArrayJaccard}
+import graft.functions.{CharNgramCodes, MinHashSig, PolyHash, SimHashSig, SortedArrayJaccard, SrpBucket, VecCosine}
 
 /** SQL surface of the engine's custom Catalyst expressions. Install with
   * `spark.sql.extensions=graft.core.GraftExtensions` (cluster-wide) or call
@@ -14,6 +14,9 @@ import graft.functions.{MinHashSig, PolyHash, SimHashSig, SortedArrayJaccard}
   *  - `minhash_sig(text, k, n)` — k-shingle MinHash signature, n hashes
   *  - `simhash_sig(text, k, bits)` — k-shingle SimHash signature
   *  - `sorted_jaccard(a, b)` — exact Jaccard of sorted distinct arrays
+  *  - `char_ngram_codes(text, n)` — sorted distinct base-37 n-gram codes
+  *  - `vec_cosine(a, b)` — single-pass cosine of float/double vectors
+  *  - `srp_bucket(vec, planes)` — signed-random-projection LSH bucket id
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit =
@@ -48,7 +51,16 @@ object GraftFunctions {
         SimHashSig(exprs(0), intArg(exprs(1), "shingle k"), intArg(exprs(2), "bits"))),
     (FunctionIdentifier("sorted_jaccard"),
       info("SortedArrayJaccard", "sorted_jaccard(a, b) - exact Jaccard of sorted distinct arrays"),
-      (exprs: Seq[Expression]) => SortedArrayJaccard(exprs(0), exprs(1)))
+      (exprs: Seq[Expression]) => SortedArrayJaccard(exprs(0), exprs(1))),
+    (FunctionIdentifier("char_ngram_codes"),
+      info("CharNgramCodes", "char_ngram_codes(text, n) - sorted distinct base-37 n-gram codes"),
+      (exprs: Seq[Expression]) => CharNgramCodes(exprs(0), intArg(exprs(1), "n-gram length"))),
+    (FunctionIdentifier("vec_cosine"),
+      info("VecCosine", "vec_cosine(a, b) - single-pass cosine similarity of numeric vectors"),
+      (exprs: Seq[Expression]) => VecCosine(exprs(0), exprs(1))),
+    (FunctionIdentifier("srp_bucket"),
+      info("SrpBucket", "srp_bucket(vec, planes) - signed-random-projection LSH bucket id"),
+      (exprs: Seq[Expression]) => SrpBucket(exprs(0), intArg(exprs(1), "planes")))
   )
 
   /** Register every function on an already-built session. */

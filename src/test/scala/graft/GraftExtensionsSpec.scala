@@ -45,6 +45,29 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("integer literal"))
   }
 
+  test("pipeline kernels are SQL-callable with exact semantics") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT char_ngram_codes('ab cd', 2) AS ng,
+        |       vec_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
+        |       srp_bucket(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 4) AS bkt
+        |FROM (SELECT 1)""".stripMargin).collect()(0)
+    // "ab cd" → grams {ab, "b ", " c", cd}: 4 distinct codes, sorted
+    val ng = r.getAs[scala.collection.Seq[Long]]("ng")
+    assert(ng.length == 4 && ng == ng.sorted)
+    assert(r.getAs[Double]("cos") == 1.0)
+    val bkt = r.getAs[Long]("bkt")
+    assert(bkt >= 0 && bkt < 16)
+    // misuse fails at analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_cosine(array(1, 2), array(2, 3))").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT srp_bucket('not a vector', 4)").collect()
+    }
+  }
+
   test("type misuse of SQL-registered kernels fails at analysis, not execution") {
     GraftFunctions.registerAll(spark)
     // int arrays — would ClassCastException mid-job without checkInputDataTypes
