@@ -254,6 +254,11 @@ object SparkEntry {
       val e = Tables(s, dir).embeddings
       Similarity.srpTopK(e.where(col("vec_id") < 5), e, k = 3, planes = 6)
     }),
+    "sim_srp_multiprobe" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.srpTopKMultiprobe(e.where(col("vec_id") < 5), e, k = 3,
+        planes = 6, nprobe = 3)
+    }),
     "sim_near_dups" -> ((s, dir) =>
       Similarity.embeddingNearDups(Tables(s, dir).embeddings, threshold = 0.4)),
 
@@ -678,6 +683,35 @@ object SparkEntry {
         |    (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i]))) *
         |     sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos_sim
         |FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        |  FROM s) WHERE rank <= 3""".stripMargin,
+    // Multiprobe twin: per-plane dot list once, bucket from its signs, the
+    // nprobe-1 lowest-|dot| planes (struct sort = (m asc, k asc)) flipped.
+    "sim_srp_multiprobe" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |b AS (SELECT vec_id, v,
+        |  list_transform(range(0, 6), k ->
+        |    list_sum(list_transform(range(1, len(v) + 1), i ->
+        |      v[i] * (CASE WHEN ((1103515245 * (k * 131 + i) + 12345) % 2147483648) % 2 = 0
+        |                   THEN 1.0 ELSE -1.0 END)))) AS dots
+        |  FROM e),
+        |bb AS (SELECT vec_id, v, dots,
+        |  list_sum(list_transform(range(0, 6), k ->
+        |    CASE WHEN dots[CAST(k + 1 AS INTEGER)] >= 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS bucket
+        |  FROM b),
+        |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS bucket0,
+        |  list_sort(list_transform(range(0, 6), k ->
+        |    struct_pack(m := abs(dots[CAST(k + 1 AS INTEGER)]), k := k))) AS flips
+        |  FROM bb WHERE vec_id < 5),
+        |probes AS (SELECT query_id, qv,
+        |  unnest(list_concat([bucket0], list_transform(flips[1:2], f ->
+        |    xor(bucket0, CAST(1 AS BIGINT) << CAST(f.k AS INTEGER))))) AS bucket FROM q),
+        |s AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * c.v[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * p.qv[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos_sim
+        |FROM bb c JOIN probes p ON c.bucket = p.bucket AND c.vec_id <> p.query_id)
         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
         |  FROM s) WHERE rank <= 3""".stripMargin,

@@ -378,9 +378,55 @@ case class SrpBucket(child: Expression, planes: Int)
     copy(child = newChild)
 }
 
+/** Per-plane SRP dot products in one vector pass — the margin vector that
+  * multiprobe ANN ranks bit-flips by. Same hyperplane sign derivation and
+  * accumulation order as [[SrpBucket]], so `dots(k) >= 0` reproduces its
+  * bucket bits exactly.
+  */
+case class SrpDots(child: Expression, planes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"srp_dots expects array<float|double>, got ${other.catalogString}")
+  }
+
+  private lazy val floatElems = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = a.numElements()
+    val dots = new Array[Double](planes)
+    var i = 0
+    while (i < n) {
+      val x = if (floatElems) a.getFloat(i).toDouble else a.getDouble(i)
+      var k = 0
+      while (k < planes) {
+        val mix = (1103515245L * (k.toLong * 131L + i + 1L) + 12345L) % 2147483648L
+        dots(k) += (if (mix % 2 == 0) x else -x)
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(dots)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Signatures {
   def srpBucket(vec: Column, planes: Int): Column =
     GraftBridge.column(SrpBucket(GraftBridge.expression(vec), planes))
+
+  def srpDots(vec: Column, planes: Int): Column =
+    GraftBridge.column(SrpDots(GraftBridge.expression(vec), planes))
 
   def vecCosine(a: Column, b: Column): Column =
     GraftBridge.column(VecCosine(GraftBridge.expression(a), GraftBridge.expression(b)))

@@ -138,6 +138,49 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos_sim")
   }
 
+  /** Multiprobe SRP-LSH top-k: besides its own bucket, each query probes the
+    * buckets reached by flipping its `nprobe - 1` LOWEST-MARGIN hyperplane
+    * bits (smallest |dot| — the planes the query sits closest to, where its
+    * true neighbors most likely landed on the other side). The standard
+    * recall lever for hyperplane LSH: recall grows with `nprobe` while the
+    * scan still touches only `nprobe` of the 2^planes buckets. Flip order is
+    * deterministic (|dot| asc, plane asc), so results are reproducible and
+    * SQL-oracle-verifiable like the single-probe variant.
+    */
+  def srpTopKMultiprobe(queries: DataFrame, corpus: DataFrame, k: Int,
+      planes: Int = 6, nprobe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1 && nprobe <= planes + 1,
+      s"nprobe must be in [1, planes + 1], got $nprobe for $planes planes")
+    val c = spread(corpus, idCol).select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), srpBucket(col(vecCol), planes).as("bucket"))
+    // dots -> flip ranking in column algebra over the (tiny, broadcast)
+    // query side; the primary bucket comes from the same kernel as the
+    // corpus side, so the two derivations cannot drift
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      graft.functions.Signatures.srpDots(col(vecCol), planes).as("dots"),
+      srpBucket(col(vecCol), planes).as("bucket0"))
+      // planes ranked by closeness: struct sort = (|dot| asc, plane asc)
+      .withColumn("flips",
+        slice(array_sort(transform(col("dots"),
+          (d, i) => struct(abs(d).as("m"), i.as("k")))), 1, nprobe - 1))
+      .withColumn("bucket",
+        explode(concat(array(col("bucket0")),
+          // 2^k is exact in doubles for k <= 62, so the cast is lossless
+          transform(col("flips"),
+            f => col("bucket0").bitwiseXOR(
+              pow(lit(2.0), f.getField("k")).cast("long"))))))
+      .select(col("query_id"), col("qv"), col("bucket"))
+    val scored = c.join(broadcast(q0), Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥ threshold,
     * blocked by cell to bound the pair space (LSH-bucketed variant of
     * embedding dedup).

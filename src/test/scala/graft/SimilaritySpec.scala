@@ -74,6 +74,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multiprobe SRP: nprobe=1 equals single-probe; more probes never hurt recall") {
+    val planes = 4
+    val qs = emb.where(col("vec_id") < 5)
+    val single = Similarity.srpTopK(qs, emb, k = 3, planes = planes).collect()
+    val mp1 = Similarity.srpTopKMultiprobe(qs, emb, k = 3, planes = planes, nprobe = 1).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(key(mp1) == key(single))
+
+    // wider probing: per query, the rank-1 similarity can only improve
+    val mp3 = Similarity.srpTopKMultiprobe(qs, emb, k = 3, planes = planes, nprobe = 3).collect()
+    def best(rows: Array[org.apache.spark.sql.Row]) =
+      rows.filter(_.getAs[Int]("rank") == 1)
+        .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cos_sim")).toMap
+    val b1 = best(mp1)
+    val b3 = best(mp3)
+    b1.foreach { case (q, s1) => assert(b3(q) >= s1, s"query $q lost recall") }
+    // and the candidate pool actually grew somewhere (3 of 16 buckets probed)
+    assert(mp3.length >= mp1.length)
+  }
+
   test("embedding near-dups only emits pairs above threshold within a cell") {
     val got = Similarity.embeddingNearDups(emb, threshold = 0.4).collect()
     assert(got.forall(_.getAs[Double]("cos_sim") >= 0.4))
