@@ -505,7 +505,8 @@ object SparkEntry {
         |         FROM events e JOIN m m2 ON e.user_id = m2.user_id AND e.event_type = m2.event_type),
         |grid AS (SELECT i.user_id, i.event_type, i.module_name, i.ordinal, a.ts
         |         FROM m i JOIN axis a ON a.user_id = i.user_id AND a.module_name = i.module_name),
-        |vals AS (SELECT user_id, event_type, epoch_ns(ts) AS ts, value FROM events)
+        |vals AS (SELECT user_id, event_type, epoch_ns(ts) AS ts, max(value) AS value
+        |         FROM events GROUP BY 1, 2, 3)
         |SELECT g.ordinal,
         |  'netatmo://?station_name=Station ' || g.user_id || '&module_name=' || g.module_name ||
         |    '&data_type=' || g.event_type AS series_id,

@@ -51,6 +51,30 @@ private[graft] object SignatureKernel {
     (h, pow)
   }
 
+  /** The sign-critical SRP accumulation, shared by [[SrpBucket]] and
+    * [[SrpDots]] so the two can never drift: per-plane dot products with
+    * the deterministic ±1 hyperplanes r_k[i] = +1 iff
+    * ((1103515245·(k·131 + i + 1) + 12345) mod 2^31) is even (i 0-based;
+    * the SQL oracle's 1-based i aligns via the +1).
+    */
+  def srpDots(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      floatElems: Boolean, planes: Int): Array[Double] = {
+    val n = a.numElements()
+    val dots = new Array[Double](planes)
+    var i = 0
+    while (i < n) {
+      val x = if (floatElems) a.getFloat(i).toDouble else a.getDouble(i)
+      var k = 0
+      while (k < planes) {
+        val mix = (1103515245L * (k.toLong * 131L + i + 1L) + 12345L) % 2147483648L
+        dots(k) += (if (mix % 2 == 0) x else -x)
+        k += 1
+      }
+      i += 1
+    }
+    dots
+  }
+
   /** Shared analysis-time check: these expressions are SQL-registered via
     * GraftExtensions, so misuse (`minhash_sig(array(...))`) must fail in the
     * analyzer, not as a ClassCastException mid-job.
@@ -351,20 +375,8 @@ case class SrpBucket(child: Expression, planes: Int)
   }
 
   override protected def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val n = a.numElements()
-    val dots = new Array[Double](planes)
-    var i = 0
-    while (i < n) {
-      val x = if (floatElems) a.getFloat(i).toDouble else a.getDouble(i)
-      var k = 0
-      while (k < planes) {
-        val mix = (1103515245L * (k.toLong * 131L + i + 1L) + 12345L) % 2147483648L
-        dots(k) += (if (mix % 2 == 0) x else -x)
-        k += 1
-      }
-      i += 1
-    }
+    val dots = SignatureKernel.srpDots(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], floatElems, planes)
     var bucket = 0L
     var k = 0
     while (k < planes) {
@@ -399,23 +411,9 @@ case class SrpDots(child: Expression, planes: Int)
     case _                       => false
   }
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val n = a.numElements()
-    val dots = new Array[Double](planes)
-    var i = 0
-    while (i < n) {
-      val x = if (floatElems) a.getFloat(i).toDouble else a.getDouble(i)
-      var k = 0
-      while (k < planes) {
-        val mix = (1103515245L * (k.toLong * 131L + i + 1L) + 12345L) % 2147483648L
-        dots(k) += (if (mix % 2 == 0) x else -x)
-        k += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(dots)
-  }
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(SignatureKernel.srpDots(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], floatElems, planes))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

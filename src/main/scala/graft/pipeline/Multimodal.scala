@@ -29,6 +29,12 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("n_bytes", LongType)))
 
+  /** The media-table shape every producer here emits. */
+  val mediaTableSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media", BinaryType),
+    StructField("media_meta", mediaMetaSchema)))
+
   /** Near-square frame dimensions for a payload of `nBytes`: enough pixels
     * to carry every byte in RGB triples. MUST stay in sync with the SQL
     * oracle twin (ceil semantics on both sides).
@@ -111,7 +117,13 @@ object Multimodal {
     * copies input pixel (x'·f, y'·f); output frame is ceil(w/f) × ceil(h/f).
     * Returns a valid P6 blob.
     */
-  private[graft] def resizePpm(bytes: Array[Byte], factor: Int): Array[Byte] = {
+  private[graft] def resizePpm(bytes: Array[Byte], factor: Int): Array[Byte] =
+    resizePpmWithDims(bytes, factor)._1
+
+  /** Resize plus the output dimensions, so table-level callers need no
+    * second header parse of the blob they just built.
+    */
+  private def resizePpmWithDims(bytes: Array[Byte], factor: Int): (Array[Byte], Int, Int) = {
     require(factor >= 1, s"resize factor must be >= 1, got $factor")
     val (w, h, off) = parsePpmHeader(bytes)
     val w2 = if (w == 0) 0 else (w + factor - 1) / factor
@@ -130,7 +142,7 @@ object Multimodal {
       }
       y += 1
     }
-    out
+    (out, w2, h2)
   }
 
   /** Wrap a text corpus as a media table: `(doc_id, media binary, media_meta
@@ -140,11 +152,7 @@ object Multimodal {
     */
   def synthMediaTable(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("media", BinaryType),
-      StructField("media_meta", mediaMetaSchema)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaTableSchema)
     val projected = docs.select(col(idCol).cast("long"), col(textCol))
     val out: Dataset[Row] = projected.mapPartitions { it =>
       it.map { row =>
@@ -172,16 +180,11 @@ object Multimodal {
     */
   def resizeMedia(media: DataFrame, factor: Int, idCol: String = "doc_id",
       blobCol: String = "media"): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("media", BinaryType),
-      StructField("media_meta", mediaMetaSchema)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaTableSchema)
     val projected = media.select(col(idCol).cast("long"), col(blobCol))
     val out: Dataset[Row] = projected.mapPartitions { it =>
       it.map { row =>
-        val blob = resizePpm(row.getAs[Array[Byte]](1), factor)
-        val (w, h, _) = parsePpmHeader(blob)
+        val (blob, w, h) = resizePpmWithDims(row.getAs[Array[Byte]](1), factor)
         Row(row.getLong(0), blob, Row("image/x-portable-pixmap", w, h, blob.length.toLong))
       }
     }(enc)

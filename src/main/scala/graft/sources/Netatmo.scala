@@ -161,7 +161,7 @@ final class NetatmoSource(catalogDf: DataFrame, eventsPoints: DataFrame,
     */
   def getMeasurements(userId: Long, types: Seq[String], period: Period): DataFrame = {
     val spark = eventsPoints.sparkSession
-    val vals = spark.read.format("graft-netatmo")
+    val raw = spark.read.format("graft-netatmo")
       .option("path", eventsPath)
       .option("userId", userId)
       .option("types", types.mkString(","))
@@ -169,6 +169,11 @@ final class NetatmoSource(catalogDf: DataFrame, eventsPoints: DataFrame,
       .option("endNs", period.endNs)
       .option("blockSize", blockSize)
       .load()
+    // The API surface is one CELL per (axis point, measurement): should two
+    // raw readings ever land on the same grid cell (e.g. distinct ns
+    // timestamps truncating to one µs tick), the pivot semantics keep the
+    // max — same collapse the row-major pivot applied (P6).
+    val vals = raw.groupBy("ts", "data_type").agg(max("value").as("value"))
     val axis = vals.select("ts").distinct()
     val typesDf = spark.createDataset(types)(
       org.apache.spark.sql.Encoders.STRING).toDF("data_type")

@@ -91,14 +91,25 @@ private[sources] object FixtureDeviceApi {
   def moduleEvents(path: String, userId: Long, types: Set[String],
       startNs: Long, endNs: Long)(f: (Long, String, Double) => Unit): Unit =
     files(path).foreach { file =>
+      import org.apache.parquet.filter2.predicate.FilterApi
       val conf = new Configuration()
       conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, Projection)
-      val userEq = org.apache.parquet.filter2.predicate.FilterApi.eq(
-        org.apache.parquet.filter2.predicate.FilterApi.longColumn("user_id"),
-        java.lang.Long.valueOf(userId))
+      val tsCol = FilterApi.longColumn("ts")
+      // raw-ns superset of the µs-grid window: |raw - trunc(raw)| < 1000
+      // whatever the sign (JVM division truncates toward zero), so
+      // trunc(raw) ∈ [lo, hi) implies raw ∈ (lo - 1000, hi + 1000) — a
+      // block partition's parquet scan then skips row groups whose ts stats
+      // lie outside ITS block, instead of re-reading the module's whole
+      // history per block (exact µs-grid filtering still happens below).
+      var pred: org.apache.parquet.filter2.predicate.FilterPredicate =
+        FilterApi.eq(FilterApi.longColumn("user_id"), java.lang.Long.valueOf(userId))
+      if (startNs >= Long.MinValue + 1000L)
+        pred = FilterApi.and(pred, FilterApi.gt(tsCol, java.lang.Long.valueOf(startNs - 1000L)))
+      if (endNs <= Long.MaxValue - 1000L)
+        pred = FilterApi.and(pred, FilterApi.lt(tsCol, java.lang.Long.valueOf(endNs + 1000L)))
       val reader = ParquetReader.builder(new GroupReadSupport(), new Path(file))
         .withConf(conf)
-        .withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(userEq))
+        .withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(pred))
         .build()
       try {
         var g = reader.read()
@@ -137,7 +148,10 @@ private[sources] class NetatmoScanBuilder(options: CaseInsensitiveStringMap)
 
   private val path = Option(options.get("path")).getOrElse(
     throw new IllegalArgumentException("graft-netatmo requires option 'path'"))
-  private val userId = options.getLong("userId", -1L)
+  // fail fast like 'path': a silently-defaulted user id reads as "module
+  // has no data" instead of surfacing the misconfiguration
+  private val userId = Option(options.get("userId")).map(_.toLong).getOrElse(
+    throw new IllegalArgumentException("graft-netatmo requires option 'userId'"))
   private val types: Seq[String] =
     Option(options.get("types")).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Seq.empty)

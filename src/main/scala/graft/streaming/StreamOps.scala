@@ -44,8 +44,11 @@ object StreamOps {
 
   /** T4 pure-streaming variant: drop duplicate points inside the stream
     * itself (watermark-bounded state) instead of relying on the idempotent
-    * store merge downstream. The dedup key includes the event-time column,
-    * so Spark expires per-key state once the watermark passes it — bounded
+    * store merge downstream. The dedup key is the FULL point (value
+    * included): two readings at one timestamp with different values are a
+    * conflict for the store's last-wins merge to resolve, not duplicates to
+    * drop arbitrarily here. The key includes the event-time column, so
+    * Spark expires per-key state once the watermark passes it — bounded
     * state at any corpus size. Assumes the engine's µs-grid `ts` (exact
     * ns→µs, no collisions), like every other streaming operator here.
     */
@@ -53,7 +56,7 @@ object StreamOps {
     points
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", watermark)
-      .dropDuplicates("series_id", "ts", "event_time")
+      .dropDuplicates("series_id", "ts", "value", "event_time")
       .select("series_id", "ts", "value")
 
   /** T6 as a streaming-native restart path: a StreamingQueryListener that
@@ -70,39 +73,69 @@ object StreamOps {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
 
     @volatile private var current: StreamingQuery = _
-    private val watchedId = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
+    @volatile private var lastError: Option[Throwable] = None
+    // Registration and event handling share one lock: a query that crashes
+    // instantly can emit its terminated event before the starter records
+    // its id — the handler blocks on the lock until registration is done,
+    // so no restart generation's event can slip past a stale id check.
+    private val lock = new Object
+    private val watchedIds = new java.util.HashSet[java.util.UUID]()
     private val restartCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    private def startRegistered(): StreamingQuery = lock.synchronized {
+      val q = start()
+      current = q
+      watchedIds.add(q.id)
+      q
+    }
 
     /** Install the listener and start the watched query. */
     def startWatched(): StreamingQuery = {
       spark.streams.addListener(this)
-      val q = start()
-      current = q
-      watchedId.set(q.id)
-      q
+      startRegistered()
     }
 
     def restarts: Int = restartCount.get()
     def query: StreamingQuery = current
 
+    /** The failure that stopped the restart chain, if any (the factory
+      * itself threw — e.g. checkpoint conflict). The watchdog cannot retry
+      * past it; the caller decides.
+      */
+    def restartFailure: Option[Throwable] = lastError
+
     /** Uninstall; the query (if running) is left to the caller. */
     def close(): Unit = spark.streams.removeListener(this)
+
+    /** Counts a restart only while budget remains — a crash after the cap
+      * does not inflate [[restarts]].
+      */
+    private def tryAcquireRestart(): Boolean = {
+      var acquired = false
+      var done = false
+      while (!done) {
+        val c = restartCount.get()
+        if (c >= maxRestarts) done = true
+        else if (restartCount.compareAndSet(c, c + 1)) { acquired = true; done = true }
+      }
+      acquired
+    }
 
     override def onQueryStarted(event: QueryStartedEvent): Unit = ()
     override def onQueryProgress(event: QueryProgressEvent): Unit = ()
     override def onQueryIdle(event: QueryIdleEvent): Unit = ()
 
-    override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
-      if (event.id == watchedId.get() && event.exception.isDefined &&
-          restartCount.incrementAndGet() <= maxRestarts) {
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
+      val mine = lock.synchronized(watchedIds.contains(event.id))
+      if (mine && event.exception.isDefined && tryAcquireRestart()) {
         val t = new Thread(() => {
-          val q = start()
-          current = q
-          watchedId.set(q.id)
+          try startRegistered()
+          catch { case e: Throwable => lastError = Some(e) }
         }, s"graft-stream-restart-${event.id}")
         t.setDaemon(true)
         t.start()
       }
+    }
   }
 
   final case class SeriesState(lastTs: Long, lastValue: Double,

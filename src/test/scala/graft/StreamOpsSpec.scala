@@ -44,12 +44,14 @@ class StreamOpsSpec extends SparkSpec {
     try {
       in.addData(PointIn("s", 1 * S, 1.0), PointIn("s", 1 * S, 1.0), PointIn("s", 2 * S, 2.0))
       q.processAllAvailable()
-      // cross-batch duplicate at t=2 plus a fresh point
-      in.addData(PointIn("s", 2 * S, 2.0), PointIn("s", 3 * S, 3.0))
+      // cross-batch duplicate at t=2 plus a fresh point; a CONFLICTING
+      // value at t=3 is not a duplicate and must survive (the store's
+      // last-wins merge resolves it downstream)
+      in.addData(PointIn("s", 2 * S, 2.0), PointIn("s", 3 * S, 3.0), PointIn("s", 3 * S, 30.0))
       q.processAllAvailable()
-      val got = spark.table("dedup_out").orderBy("ts").collect()
+      val got = spark.table("dedup_out").orderBy("ts", "value").collect()
         .map(r => (r.getAs[Long]("ts") / S, r.getAs[Double]("value")))
-      assert(got.toSeq == Seq(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+      assert(got.toSeq == Seq(1L -> 1.0, 2L -> 2.0, 3L -> 3.0, 3L -> 30.0))
     } finally q.stop()
   }
 

@@ -99,8 +99,10 @@ def rdp_reference(con) -> pd.DataFrame:
             out.append((sid, int(ts[i]), float(vs[i])))
     return pd.DataFrame(out, columns=["series_id", "ts", "value"])
 
-# Reference implementations (in Python, from the raw tables) for queries the
-# oracle cannot express in SQL. Compared with the same canon+hash gate.
+# Independent Python reference implementations (computed from the raw
+# tables, no SQL). When a query ALSO has a SQL oracle, both run: the SQL
+# twin could share a bug with the engine formulation, so the Python check
+# must not be shadowed by it. Compared with the same canon+hash gate.
 PY_ORACLES = {"ts_rdp": rdp_reference}
 
 def main(out_dir, sf_dir):
@@ -128,13 +130,27 @@ def main(out_dir, sf_dir):
         except Exception as e:
             results[name] = {"ok": False, "error": f"oracle failed: {e}"}
             continue
+        # the independent Python reference runs IN ADDITION to a SQL oracle
+        py_ref_match = None
+        if name in oracles and name in PY_ORACLES:
+            try:
+                ref = canon(PY_ORACLES[name](con))
+                g0 = canon(got)
+                py_ref_match = (list(g0.columns) == list(ref.columns)
+                                and len(g0) == len(ref)
+                                and table_hash(g0) == table_hash(ref))
+            except Exception as e:
+                py_ref_match = False
         g, e = canon(got), canon(exp)
         cols_match = list(g.columns) == list(e.columns)
         rows_match = len(g) == len(e)
         hash_match = cols_match and rows_match and table_hash(g) == table_hash(e)
         results[name] = {"rows": len(g), "exp_rows": len(e),
                          "cols_match": cols_match, "rows_match": rows_match,
-                         "hash_match": hash_match, "ok": hash_match}
+                         "hash_match": hash_match,
+                         "ok": hash_match and py_ref_match is not False}
+        if py_ref_match is not None:
+            results[name]["py_ref_match"] = py_ref_match
         if not hash_match and cols_match and rows_match:
             # show first few diffs
             diffs = []
