@@ -261,6 +261,15 @@ object SparkEntry {
     }),
     "sim_near_dups" -> ((s, dir) =>
       Similarity.embeddingNearDups(Tables(s, dir).embeddings, threshold = 0.4)),
+    // same near-dup contract with DATA-DERIVED blocking: SRP-LSH buckets
+    // instead of the pre-assigned label cells
+    "sim_srp_near_dups" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+        .withColumn("srp_cell",
+          graft.functions.Signatures.srpBucket(col("embedding"), 6))
+      Similarity.embeddingNearDups(e, threshold = 0.4, cellCol = "srp_cell")
+        .withColumnRenamed("cell", "srp_cell")
+    }),
 
     // ---- multimodal: real P6 codec — decode, resize, frame-sample ----
     "mm_features" -> ((s, dir) =>
@@ -716,6 +725,22 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
         |  FROM s) WHERE rank <= 3""".stripMargin,
+    "sim_srp_near_dups" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |bb AS (SELECT vec_id, v,
+        |  list_sum(list_transform(range(0, 6), k ->
+        |    CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i ->
+        |        v[i] * (CASE WHEN ((1103515245 * (k * 131 + i) + 12345) % 2147483648) % 2 = 0
+        |                     THEN 1.0 ELSE -1.0 END))) >= 0
+        |         THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS srp_cell
+        |  FROM e)
+        |SELECT srp_cell, id_a, id_b, cos_sim FROM (
+        |  SELECT a.srp_cell AS srp_cell, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))) AS cos_sim
+        |  FROM bb a JOIN bb b ON a.srp_cell = b.srp_cell AND a.vec_id < b.vec_id)
+        |WHERE cos_sim >= 0.4""".stripMargin,
     "sim_near_dups" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
         |SELECT cell, id_a, id_b, cos_sim FROM (
