@@ -106,6 +106,27 @@ object KernelProps extends Properties("kernels") {
       acquired.forall(t => acquired.count(x => x > t - 100 && x <= t) <= limit)
     }
 
+  property("SRP dots match a from-scratch reimplementation; bucket bits are their signs") =
+    forAll(Gen.chooseNum(1, 10), Gen.listOfN(16, Gen.chooseNum(-8.0, 8.0))) { (planes, xs) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val arr = new GenericArrayData(xs.toArray)
+      val dots = SignatureKernel.srpDots(arr, floatElems = false, planes)
+      // independent naive twin of the documented sign derivation
+      val naive = (0 until planes).map { k =>
+        xs.zipWithIndex.map { case (x, i) =>
+          val mix = (1103515245L * (k.toLong * 131L + i + 1L) + 12345L) % 2147483648L
+          if (mix % 2 == 0) x else -x
+        }.foldLeft(0.0)(_ + _)
+      }
+      val bucket = graft.functions.SrpBucket(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          xs.toArray, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)), planes)
+        .eval(null).asInstanceOf[Long]
+      dots.toSeq == naive &&
+        (0 until planes).forall(k => (((bucket >> k) & 1L) == 1L) == (dots(k) >= 0))
+    }
+
   property("PPM codec round-trips pixel stats for arbitrary payloads") =
     forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
       val payload = bytes.toArray
