@@ -45,6 +45,21 @@ object SparkEntry {
       s"list_transform(string_split($s, ''), c -> CAST(ord(c) AS BIGINT))), " +
       "(a, c) -> (a * 31 + c) % 1000000007)"
 
+  /** DuckDB twins of the sign-critical SRP hyperplane math — single source
+    * for all SRP oracles, mirroring SignatureKernel.srpDots (1-based `i`
+    * here aligns with the kernel's 0-based `i + 1`). `k` is bound by the
+    * surrounding `range(0, 6)` lambda.
+    */
+  private val SrpSignSql =
+    "(CASE WHEN ((1103515245 * (k * 131 + i) + 12345) % 2147483648) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+  private def srpDotSql(v: String): String =
+    s"list_sum(list_transform(range(1, len($v) + 1), i -> $v[i] * $SrpSignSql))"
+  private def srpDotsSql(v: String): String =
+    s"list_transform(range(0, 6), k -> ${srpDotSql(v)})"
+  private def srpBucketSql(v: String): String =
+    s"list_sum(list_transform(range(0, 6), k -> " +
+      s"CASE WHEN ${srpDotSql(v)} >= 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END))"
+
   /** DuckDB twin of the per-series dt-mode (SeriesOps.dtMode) over a CTE
     * named `points`.
     */
@@ -510,11 +525,11 @@ object SparkEntry {
         |r AS (SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY event_type) AS rnk FROM et),
         |m AS (SELECT user_id, event_type, CASE WHEN rnk % 2 = 1 THEN 'Main' ELSE 'Outdoor' END AS module_name,
         |      CAST(user_id * 5 + rnk - 1 AS INTEGER) AS ordinal FROM r),
-        |axis AS (SELECT DISTINCT m2.user_id, m2.module_name, epoch_ns(e.ts) AS ts
+        |axis AS (SELECT DISTINCT m2.user_id, m2.module_name, (epoch_ns(e.ts) // 1000) * 1000 AS ts
         |         FROM events e JOIN m m2 ON e.user_id = m2.user_id AND e.event_type = m2.event_type),
         |grid AS (SELECT i.user_id, i.event_type, i.module_name, i.ordinal, a.ts
         |         FROM m i JOIN axis a ON a.user_id = i.user_id AND a.module_name = i.module_name),
-        |vals AS (SELECT user_id, event_type, epoch_ns(ts) AS ts, max(value) AS value
+        |vals AS (SELECT user_id, event_type, (epoch_ns(ts) // 1000) * 1000 AS ts, max(value) AS value
         |         FROM events GROUP BY 1, 2, 3)
         |SELECT g.ordinal,
         |  'netatmo://?station_name=Station ' || g.user_id || '&module_name=' || g.module_name ||
@@ -679,13 +694,8 @@ object SparkEntry {
     // 1-based here vs 0-based in Scala — the +1 aligns them) is the same
     // LCG mix; bucket = OR of sign bits; exact cosine rerank within bucket.
     "sim_srp_topk" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |b AS (SELECT vec_id, v,
-        |  list_sum(list_transform(range(0, 6), k ->
-        |    CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i ->
-        |        v[i] * (CASE WHEN ((1103515245 * (k * 131 + i) + 12345) % 2147483648) % 2 = 0
-        |                     THEN 1.0 ELSE -1.0 END))) >= 0
-        |         THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS bucket
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |b AS (SELECT vec_id, v, ${srpBucketSql("v")} AS bucket
         |  FROM e),
         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
         |s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -699,12 +709,8 @@ object SparkEntry {
     // Multiprobe twin: per-plane dot list once, bucket from its signs, the
     // nprobe-1 lowest-|dot| planes (struct sort = (m asc, k asc)) flipped.
     "sim_srp_multiprobe" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |b AS (SELECT vec_id, v,
-        |  list_transform(range(0, 6), k ->
-        |    list_sum(list_transform(range(1, len(v) + 1), i ->
-        |      v[i] * (CASE WHEN ((1103515245 * (k * 131 + i) + 12345) % 2147483648) % 2 = 0
-        |                   THEN 1.0 ELSE -1.0 END)))) AS dots
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |b AS (SELECT vec_id, v, ${srpDotsSql("v")} AS dots
         |  FROM e),
         |bb AS (SELECT vec_id, v, dots,
         |  list_sum(list_transform(range(0, 6), k ->
@@ -726,13 +732,8 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
         |  FROM s) WHERE rank <= 3""".stripMargin,
     "sim_srp_near_dups" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |bb AS (SELECT vec_id, v,
-        |  list_sum(list_transform(range(0, 6), k ->
-        |    CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i ->
-        |        v[i] * (CASE WHEN ((1103515245 * (k * 131 + i) + 12345) % 2147483648) % 2 = 0
-        |                     THEN 1.0 ELSE -1.0 END))) >= 0
-        |         THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS srp_cell
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |bb AS (SELECT vec_id, v, ${srpBucketSql("v")} AS srp_cell
         |  FROM e)
         |SELECT srp_cell, id_a, id_b, cos_sim FROM (
         |  SELECT a.srp_cell AS srp_cell, a.vec_id AS id_a, b.vec_id AS id_b,

@@ -79,10 +79,13 @@ object StreamOps {
     // its id — the handler blocks on the lock until registration is done,
     // so no restart generation's event can slip past a stale id check.
     private val lock = new Object
+    private var closed = false
     private val watchedIds = new java.util.HashSet[java.util.UUID]()
     private val restartCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
     private def startRegistered(): StreamingQuery = lock.synchronized {
+      if (closed)
+        throw new IllegalStateException("watchdog is closed")
       val q = start()
       current = q
       watchedIds.add(q.id)
@@ -104,8 +107,14 @@ object StreamOps {
       */
     def restartFailure: Option[Throwable] = lastError
 
-    /** Uninstall; the query (if running) is left to the caller. */
-    def close(): Unit = spark.streams.removeListener(this)
+    /** Uninstall and fence: an in-flight restart that has not yet started
+      * its query will refuse to (no orphan stream can appear after close
+      * returns); the current query, if running, is left to the caller.
+      */
+    def close(): Unit = {
+      lock.synchronized { closed = true }
+      spark.streams.removeListener(this)
+    }
 
     /** Counts a restart only while budget remains — a crash after the cap
       * does not inflate [[restarts]].
@@ -130,7 +139,10 @@ object StreamOps {
       if (mine && event.exception.isDefined && tryAcquireRestart()) {
         val t = new Thread(() => {
           try startRegistered()
-          catch { case e: Throwable => lastError = Some(e) }
+          catch {
+            case _: IllegalStateException => () // closed while restarting
+            case e: Throwable             => lastError = Some(e)
+          }
         }, s"graft-stream-restart-${event.id}")
         t.setDaemon(true)
         t.start()

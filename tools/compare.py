@@ -130,18 +130,19 @@ def main(out_dir, sf_dir):
         except Exception as e:
             results[name] = {"ok": False, "error": f"oracle failed: {e}"}
             continue
+        g, e = canon(got), canon(exp)
         # the independent Python reference runs IN ADDITION to a SQL oracle
         py_ref_match = None
+        py_ref_error = None
         if name in oracles and name in PY_ORACLES:
             try:
                 ref = canon(PY_ORACLES[name](con))
-                g0 = canon(got)
-                py_ref_match = (list(g0.columns) == list(ref.columns)
-                                and len(g0) == len(ref)
-                                and table_hash(g0) == table_hash(ref))
-            except Exception as e:
+                py_ref_match = (list(g.columns) == list(ref.columns)
+                                and len(g) == len(ref)
+                                and table_hash(g) == table_hash(ref))
+            except Exception as ex:
                 py_ref_match = False
-        g, e = canon(got), canon(exp)
+                py_ref_error = f"python reference failed: {ex}"
         cols_match = list(g.columns) == list(e.columns)
         rows_match = len(g) == len(e)
         hash_match = cols_match and rows_match and table_hash(g) == table_hash(e)
@@ -151,6 +152,8 @@ def main(out_dir, sf_dir):
                          "ok": hash_match and py_ref_match is not False}
         if py_ref_match is not None:
             results[name]["py_ref_match"] = py_ref_match
+        if py_ref_error is not None:
+            results[name]["py_ref_error"] = py_ref_error
         if not hash_match and cols_match and rows_match:
             # show first few diffs
             diffs = []
