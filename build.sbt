@@ -12,6 +12,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Let the forked JVM inherit stdout/stderr directly instead of routing
+// through the sbt logger: the logger's "[info] " line prefix breaks any
+// downstream `json.loads` of Bench's single-line JSON output (BENCH_r0{3,4}
+// both recorded parsed:null for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -56,9 +56,13 @@ object SparkEntry {
     s"list_sum(list_transform(range(1, len($v) + 1), i -> $v[i] * $SrpSignSql))"
   private def srpDotsSql(v: String): String =
     s"list_transform(range(0, 6), k -> ${srpDotSql(v)})"
+  // CAST the outer sum: DuckDB promotes list_sum(BIGINT) to HUGEINT, which
+  // pandas can only represent as float64 — an output column of that type
+  // then hash-compares 63.0 vs Spark's 63 (the round-4 sim_srp_near_dups
+  // driver mismatch; invisible to 9-sig-digit local normalization).
   private def srpBucketSql(v: String): String =
-    s"list_sum(list_transform(range(0, 6), k -> " +
-      s"CASE WHEN ${srpDotSql(v)} >= 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END))"
+    s"CAST(list_sum(list_transform(range(0, 6), k -> " +
+      s"CASE WHEN ${srpDotSql(v)} >= 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT)"
 
   /** DuckDB twin of the per-series dt-mode (SeriesOps.dtMode) over a CTE
     * named `points`.
@@ -231,7 +235,9 @@ object SparkEntry {
     // ---- text analysis ----
     "text_token_count" -> ((s, dir) => {
       Tables(s, dir).documents
-        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+        // cast: size() is int32 but the DuckDB twin's len() is BIGINT —
+        // keep the dtypes identical so value hashing can't see a width gap
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
     }),
     "text_bpe_tokens" -> ((s, dir) => {
       Tables(s, dir).documents

@@ -146,10 +146,22 @@ def main(out_dir, sf_dir):
         cols_match = list(g.columns) == list(e.columns)
         rows_match = len(g) == len(e)
         hash_match = cols_match and rows_match and table_hash(g) == table_hash(e)
+        # The 9-sig-digit float normalization can mask a genuine TYPE gap:
+        # round 4's sim_srp_near_dups oracle returned HUGEINT -> pandas
+        # float64, printing "63" for 63.0 locally while the stricter driver
+        # hashed "63.0" != "63". Require identical pandas dtypes so a width
+        # or int/float gap fails HERE, not only on the driver.
+        dtype_match = cols_match and all(
+            str(g[c].dtype) == str(e[c].dtype) for c in g.columns)
         results[name] = {"rows": len(g), "exp_rows": len(e),
                          "cols_match": cols_match, "rows_match": rows_match,
-                         "hash_match": hash_match,
-                         "ok": hash_match and py_ref_match is not False}
+                         "hash_match": hash_match, "dtype_match": dtype_match,
+                         "ok": hash_match and dtype_match
+                               and py_ref_match is not False}
+        if not dtype_match and cols_match:
+            results[name]["dtypes"] = {
+                c: [str(g[c].dtype), str(e[c].dtype)]
+                for c in g.columns if str(g[c].dtype) != str(e[c].dtype)}
         if py_ref_match is not None:
             results[name]["py_ref_match"] = py_ref_match
         if py_ref_error is not None:
