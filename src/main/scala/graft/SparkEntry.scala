@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Sessions, Tables}
 import graft.ops.AsofJoin
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+import graft.pipeline.{Components, Dedup, Multimodal, Similarity, TextOps}
 import graft.sources.{Netatmo, NetatmoSource}
 import graft.ts.{Evaluate, Rdp, SeriesOps, SeriesStore, StoreSource, HeartbeatSource, MockSource}
 import graft.ts.model.{AverageValue, Period}
@@ -63,6 +63,32 @@ object SparkEntry {
   private def srpBucketSql(v: String): String =
     s"CAST(list_sum(list_transform(range(0, 6), k -> " +
       s"CASE WHEN ${srpDotSql(v)} >= 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT)"
+
+  /** Shared CTE chain producing the verified MinHash near-dup pairs as
+    * `mh_pairs(id_a, id_b, jaccard)` — the dedup_minhash oracle's body,
+    * reused by dedup_clusters' transitive closure so the two oracles cannot
+    * drift apart.
+    */
+  private lazy val MinhashPairsCtes: String =
+    s"""toks AS (SELECT doc_id, $Toks AS tk FROM documents),
+       |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+       |  THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+       |  ELSE [] END AS sh FROM toks),
+       |sig AS (SELECT doc_id,
+       |  list_transform(range(0, 32), j -> list_min(list_transform(sh, s -> ${phSql("s", "j")}))) AS sig
+       |FROM sh WHERE len(sh) > 0),
+       |bnd AS (SELECT doc_id, b,
+       |  ${phSql("array_to_string(list_transform(sig[b*4+1:b*4+4], x -> CAST(x AS VARCHAR)), ',')", "b")} AS band_hash
+       |FROM sig CROSS JOIN range(0, 8) rb(b)),
+       |cand AS (SELECT DISTINCT l.doc_id AS id_a, r2.doc_id AS id_b FROM bnd l
+       |  JOIN bnd r2 ON l.b = r2.b AND l.band_hash = r2.band_hash AND l.doc_id < r2.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
+       |mh_pairs AS (SELECT id_a, id_b, jaccard FROM (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |  FROM cand c JOIN sets a ON a.doc_id = c.id_a JOIN sets b ON b.doc_id = c.id_b)
+       |WHERE jaccard >= 0.5)""".stripMargin
 
   /** DuckDB twin of the per-series dt-mode (SeriesOps.dtMode) over a CTE
     * named `points`.
@@ -261,6 +287,9 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) => Dedup.minhashNearDups(Tables(s, dir).documents)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashNearDups(Tables(s, dir).documents)),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(Tables(s, dir).documents)),
+    // near-dup PAIRS -> transitive clusters + canonical keeper (alternating
+    // star connected components over the minhash pair graph)
+    "dedup_clusters" -> ((s, dir) => Components.dedupClusters(Tables(s, dir).documents)),
 
     // ---- similarity search ----
     "sim_topk" -> ((s, dir) => {
@@ -617,25 +646,22 @@ object SparkEntry {
         |SELECT k.doc_id, k.text_md5, g.keeper_id, k.doc_id <> g.keeper_id AS is_dup, g.group_size
         |FROM k JOIN g USING (text_md5)""".stripMargin,
     "dedup_minhash" ->
-      s"""WITH toks AS (SELECT doc_id, $Toks AS tk FROM documents),
-         |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
-         |  THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
-         |  ELSE [] END AS sh FROM toks),
-         |sig AS (SELECT doc_id,
-         |  list_transform(range(0, 32), j -> list_min(list_transform(sh, s -> ${phSql("s", "j")}))) AS sig
-         |FROM sh WHERE len(sh) > 0),
-         |bnd AS (SELECT doc_id, b,
-         |  ${phSql("array_to_string(list_transform(sig[b*4+1:b*4+4], x -> CAST(x AS VARCHAR)), ',')", "b")} AS band_hash
-         |FROM sig CROSS JOIN range(0, 8) rb(b)),
-         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r2.doc_id AS id_b FROM bnd l
-         |  JOIN bnd r2 ON l.b = r2.b AND l.band_hash = r2.band_hash AND l.doc_id < r2.doc_id),
-         |sets AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh)
-         |SELECT id_a, id_b, jaccard FROM (
-         |  SELECT c.id_a, c.id_b,
-         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-         |  FROM cand c JOIN sets a ON a.doc_id = c.id_a JOIN sets b ON b.doc_id = c.id_b)
-         |WHERE jaccard >= 0.5""".stripMargin,
+      s"""WITH $MinhashPairsCtes
+         |SELECT id_a, id_b, jaccard FROM mh_pairs""".stripMargin,
+    // Transitive closure of the minhash pair graph: min reachable id per
+    // node via recursive fan-out (fine at oracle scale; the Spark side uses
+    // the O(log n)-round star algorithm instead).
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+         |  UNION SELECT id_b, id_a FROM mh_pairs),
+         |reach(id, comp) AS (SELECT DISTINCT src, src FROM edges
+         |  UNION SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         |comps AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comps GROUP BY 1)
+         |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+         |  c.doc_id = c.cluster_id AS is_canonical
+         |FROM comps c JOIN sizes s USING (cluster_id)""".stripMargin,
     "dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, $Toks AS tk FROM documents),
          |shg AS (SELECT doc_id, CASE WHEN len(tk) >= 3

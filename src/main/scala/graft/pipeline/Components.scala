@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge list, and the dedup-cluster resolution
+  * built on it (near-dup PAIRS → duplicate GROUPS → canonical keeper).
+  *
+  * Algorithm: the alternating large-star / small-star method of Kiveris,
+  * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+  * MapReduce and Beyond" (SoCC'14). Each round is two groupBy+join passes
+  * over the edge list — no per-node adjacency list is ever materialized
+  * (a `collect_list` of neighbors would die on a high-degree node), and the
+  * edge set contracts toward star graphs rooted at each component's minimum
+  * id in O(log² n) rounds (in practice 2-4 for dedup graphs, whose
+  * components are small and dense).
+  *
+  * Scale shape: every pass is a shuffle on a well-spread node id; lineage is
+  * truncated each round with `localCheckpoint` so the plan stays flat
+  * (iterative DataFrame algorithms otherwise double their plan depth per
+  * round). On a real cluster the same loop runs with reliable
+  * `checkpoint()` — the local variant avoids needing a checkpoint dir here.
+  */
+object Components {
+
+  /** Connected components of the undirected graph given as an edge list.
+    * Returns one row per non-isolated vertex: (id, component), where
+    * `component` is the smallest vertex id in the component. Vertices not
+    * present in any edge are absent from the output (the caller knows its
+    * own vertex universe; dedup treats absent docs as singletons).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    // Canonical orientation (lo, hi), self-loops dropped. Kept deduplicated:
+    // the star transforms re-emit overlapping edges every round.
+    var cur = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint()
+
+    // Convergence probe: count + an order-independent checksum of the edge
+    // multiset in ONE aggregation job (cheaper than two except() anti-joins;
+    // a 64-bit xxhash collision making two DIFFERENT consecutive edge sets
+    // look equal is vanishingly unlikely, and maxIter still bounds the loop).
+    def probe(df: DataFrame): (Long, Long, Long) = {
+      // bit_xor is order-independent and cannot overflow; the masked sum
+      // (31-bit terms) stays within Long for < 2^32 edges under ANSI mode
+      val h = xxhash64(col("lo"), col("hi"))
+      df.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(lo, hi))"), lit(0L)),
+        coalesce(sum(h.bitwiseAND(lit(0x7FFFFFFFL))), lit(0L)))
+        .as[(Long, Long, Long)].head()
+    }
+
+    var sig = probe(cur)
+    var it = 0
+    var done = sig._1 == 0L
+    while (!done && it < maxIter) {
+      // Large-star: for every node u, every STRICTLY LARGER neighbor v is
+      // re-attached to m(u) = min(Γ(u) ∪ {u}). Undirected view of the edge
+      // list = both orientations.
+      val und = cur.select(col("lo").as("u"), col("hi").as("v"))
+        .unionByName(cur.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = und.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      val afterLarge = und.join(mins, "u")
+        .where(col("v") > col("u"))
+        // m <= u < v, so (m, v) is already (lo, hi) and never a self-loop
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .distinct()
+      // Small-star: orient each edge to its larger endpoint u; u and all its
+      // smaller neighbors attach to m(u) = min of those neighbors.
+      val sMins = afterLarge.groupBy(col("hi").as("u")).agg(min(col("lo")).as("m"))
+      val afterSmall = afterLarge.select(col("hi").as("u"), col("lo").as("v"))
+        .join(sMins, "u")
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .unionByName(sMins.select(col("m").as("lo"), col("u").as("hi")))
+        .where(col("lo") =!= col("hi"))
+        .distinct()
+        .localCheckpoint()
+      val nsig = probe(afterSmall)
+      done = nsig == sig
+      sig = nsig
+      cur = afterSmall
+      it += 1
+    }
+    require(done, s"connectedComponents did not converge in $maxIter rounds")
+
+    // At the fixpoint every edge is (componentMin, member): the labels are
+    // the edges themselves plus the roots labeling themselves.
+    cur.select(col("hi").as("id"), col("lo").as("component"))
+      .unionByName(cur.select(col("lo").as("id"), col("lo").as("component")))
+      .distinct()
+  }
+
+  /** Duplicate-cluster resolution for a document corpus: MinHash near-dup
+    * pairs → transitive clusters → canonical keeper per cluster (smallest
+    * doc_id — the deterministic convention [[Dedup.exact]] already uses).
+    * One row per clustered document: (doc_id, cluster_id, cluster_size,
+    * is_canonical). Documents in no near-dup pair are their own singleton
+    * cluster and are omitted, mirroring [[connectedComponents]].
+    */
+  def dedupClusters(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.minhashNearDups(df, idCol, textCol, shingleK, bands,
+      rowsPerBand, threshold)
+    clustersFromPairs(pairs, "id_a", "id_b")
+  }
+
+  /** Cluster resolution from an explicit pair list (any near-dup source:
+    * minhash, simhash, embedding cosine).
+    */
+  def clustersFromPairs(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    // component count scales with the corpus — a shuffle join on the
+    // well-spread component key, not a broadcast; AQE may still broadcast
+    // when the cluster table is actually small
+    val sizes = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "component")
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        col("cluster_size"),
+        (col("id") === col("component")).as("is_canonical"))
+  }
+}

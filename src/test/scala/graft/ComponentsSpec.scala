@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Components, Dedup}
+
+/** Connected-components semantics checked against a from-scratch union-find
+  * on the driver: the alternating star algorithm must produce EXACTLY the
+  * transitive closure's min-label per vertex, on shapes that stress it
+  * (long chains need multiple rounds; cliques collapse in one; random
+  * graphs mix both).
+  */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference labeling: plain union-find over the edge list. */
+  private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.foreach { case (a, b) => union(a, b) }
+    // path-compress everything, then label by root (root IS the min id
+    // because union always parents the larger root to the smaller)
+    parent.keys.toSeq.map(k => k -> find(k)).toMap
+  }
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("long chain collapses to one component rooted at the min") {
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val got = ccOf(chain)
+    assert(got == (0L to 40L).map(_ -> 0L).toMap)
+  }
+
+  test("chain fed in reversed, shuffled, duplicated edge order") {
+    val chain = (0L until 30L).map(i => (i + 1, i))
+    val messy = scala.util.Random.shuffle(chain ++ chain.map(e => (e._2, e._1)))
+    assert(ccOf(messy) == (0L to 30L).map(_ -> 0L).toMap)
+  }
+
+  test("disjoint cliques keep distinct labels") {
+    val cliques = Seq(100L, 200L, 300L).flatMap { base =>
+      for (i <- 0 until 5; j <- i + 1 until 5) yield (base + i, base + j)
+    }
+    val got = ccOf(cliques)
+    assert(got == cliques.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> (v / 100 * 100)).toMap)
+  }
+
+  test("random graphs match union-find exactly") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 50 + trial * 30
+      val edges = Seq.fill(n)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(e => e._1 != e._2)
+      assert(ccOf(edges) == bruteComponents(edges), s"trial $trial")
+    }
+  }
+
+  test("empty and single-edge graphs") {
+    assert(ccOf(Seq.empty) == Map.empty)
+    assert(ccOf(Seq((7L, 3L))) == Map(7L -> 3L, 3L -> 3L))
+  }
+
+  test("self-loops are ignored") {
+    assert(ccOf(Seq((5L, 5L), (1L, 2L))) == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("dedup clusters: members, sizes, and canonical flags agree with the pair closure") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = Dedup.minhashNearDups(docs)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSeq
+    val expect = bruteComponents(pairs)
+    val sizes = expect.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    val got = Components.dedupClusters(docs)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got.map(r => r._1 -> r._2).toMap == expect)
+    assert(got.forall(r => r._3 == sizes(r._2)))
+    assert(got.forall(r => r._4 == (r._1 == r._2)))
+  }
+}
