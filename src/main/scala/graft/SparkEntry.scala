@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Sessions, Tables}
 import graft.ops.AsofJoin
-import graft.pipeline.{Components, Dedup, Multimodal, Similarity, TextOps}
+import graft.pipeline.{Components, Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.sources.{Netatmo, NetatmoSource}
 import graft.ts.{Evaluate, Rdp, SeriesOps, SeriesStore, StoreSource, HeartbeatSource, MockSource}
 import graft.ts.model.{AverageValue, Period}
@@ -274,6 +274,21 @@ object SparkEntry {
         .select("doc_id", "n_chars_m", "n_tokens", "mean_token_len",
           "alnum_ratio", "space_ratio", "stopword_ratio", "quality_score")
     }),
+    // ---- deterministic sampling / dataset splitting ----
+    "sample_split" -> ((s, dir) => {
+      Sampling.assignSplit(Tables(s, dir).documents, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+    }),
+    "sample_fraction" -> ((s, dir) => {
+      Sampling.deterministicSample(Tables(s, dir).documents, "doc_id", 0.1)
+        .select("doc_id", "lang")
+    }),
+
+    // ---- per-doc top TF-IDF terms ----
+    "text_tfidf" -> ((s, dir) =>
+      TextOps.tfIdfTopK(Tables(s, dir).documents, k = 5)),
+
     "text_lang_id" -> ((s, dir) => {
       TextOps.languageId(Tables(s, dir).documents).select("doc_id", "lang_pred")
     }),
@@ -639,6 +654,33 @@ object SparkEntry {
     "text_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, array_to_string($Toks, ' ') AS s FROM documents)
          |SELECT doc_id, CASE WHEN s = '' THEN 0 ELSE ${phSql("s", "0")} END AS fp FROM t""".stripMargin,
+
+    // Twins of Sampling.bucketOf: the salt-keyed Carter–Wegman map
+    // (a·PolyHash(id) + b) mod p over the id hash, % 10000; boundaries from
+    // cumulative split weights (0.8/0.1/0.1 -> 8000/9000). a/b are the same
+    // driver-computed literals the Spark plan embeds.
+    "sample_split" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  ((${phSql("CAST(doc_id AS VARCHAR)", "0")}) * ${Sampling.saltMult("split")}
+         |    + ${Sampling.saltAdd("split")}) % 1000000007 % 10000 AS bkt FROM documents)
+         |SELECT doc_id, CASE WHEN bkt < 8000 THEN 'train'
+         |  WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split FROM b""".stripMargin,
+    "sample_fraction" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ((${phSql("CAST(doc_id AS VARCHAR)", "0")}) * ${Sampling.saltMult("sample")}
+         |  + ${Sampling.saltAdd("sample")}) % 1000000007 % 10000 < 1000""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest($Toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |s AS (SELECT tf.doc_id, tf.term, tf.tf,
+         |  tf.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (dfreq.df + 1)) + 1) AS tfidf
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, tf, CAST(rank AS INTEGER) AS rank, tfidf FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank FROM s)
+         |WHERE rank <= 5""".stripMargin,
 
     "dedup_exact" ->
       """WITH k AS (SELECT doc_id, md5(text) AS text_md5 FROM documents),

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PolyHash
+
+/** Deterministic sampling and dataset splitting for training pipelines.
+  *
+  * Everything keys off a content-independent hash of (id, salt) — the
+  * [[graft.functions.PolyHash]] kernel, which has a byte-exact DuckDB twin —
+  * so assignments are (a) reproducible across runs, engines and cluster
+  * sizes, (b) stable under repartitioning (unlike `df.sample`, whose output
+  * depends on partition layout), and (c) pure narrow column algebra: no
+  * shuffle, no state, evaluated inside the scan's whole-stage codegen at
+  * any scale.
+  */
+object Sampling {
+
+  /** Number of hash buckets the unit interval is quantized into; weights
+    * resolve to integer bucket boundaries (1e-4 resolution).
+    */
+  val Buckets = 10000
+
+  /** Salt-derived coefficients of the universal-hash map (computed once,
+    * driver-side; interpolated as literals into the SQL twins).
+    */
+  def saltMult(salt: String): Long = PolyHash.hash(salt, 1L) + 1L
+  def saltAdd(salt: String): Long = PolyHash.hash(salt, 2L)
+
+  /** Uniform bucket in [0, Buckets) from (id, salt). The id is hashed as its
+    * decimal-string form so any id type works and the DuckDB twin is a plain
+    * CAST.
+    *
+    * The salt enters through a universal-hash map `(a·h + b) mod p`, NOT by
+    * concatenation: PolyHash is linear in its input (`poly(s || c) =
+    * poly(s)·31 + c mod p`), so salting by suffix shifts every bucket by a
+    * constant — salts "s1"/"s2" would shift by exactly 1 and `bucket < t`
+    * draws under the two salts would be ~100% correlated (caught by
+    * SamplingSpec's overlap test; a decimal-string re-hash fails the same
+    * way because +1 usually only changes the last digit). Multiplication by
+    * a salt-derived `a mod p` scrambles intervals — the classic
+    * Carter–Wegman family — so draws under different salts overlap at the
+    * independent t² rate. All arithmetic stays below 2^61 (h, a < p ≈ 2^30),
+    * exact in any engine's 64-bit integers.
+    */
+  def bucketOf(id: Column, salt: String): Column =
+    ((PolyHash(id.cast("string"), 0L) * saltMult(salt) + saltAdd(salt))
+      % PolyHash.Mod) % Buckets
+
+  /** Add a `split` label column ("train"/"val"/"test"-style) with the given
+    * weights (normalized; must be positive). Deterministic in (id, salt).
+    */
+  def assignSplit(df: DataFrame, idCol: String, weights: Seq[(String, Double)],
+      salt: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be positive, got $weights")
+    val total = weights.map(_._2).sum
+    // integer boundaries: cumulative weight * Buckets, last boundary pinned
+    // to Buckets so rounding can never orphan the top bucket
+    val cums = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c / total * Buckets).toInt)
+      .dropRight(1) :+ Buckets
+    val b = bucketOf(col(idCol), salt)
+    val labeled = weights.map(_._1).zip(cums).foldRight(lit(null).cast("string")) {
+      case ((name, hi), rest) => when(b < hi, name).otherwise(rest)
+    }
+    df.withColumn("split", labeled)
+  }
+
+  /** Keep a deterministic `fraction` of rows, keyed on (id, salt). Because
+    * the hash is uniform and independent of any other column, the sample is
+    * automatically stratified in expectation over every stratum; exactness
+    * is not needed for pipeline subsampling. Unlike `df.sample`, re-running
+    * on a repartitioned/different-sized cluster keeps the SAME rows.
+    */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
+      salt: String = "sample"): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
+    df.where(bucketOf(col(idCol), salt) < math.round(fraction * Buckets).toInt)
+  }
+}

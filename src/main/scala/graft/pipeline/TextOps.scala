@@ -99,6 +99,36 @@ object TextOps {
     */
   def fingerprint(text: Column, seed: Long = 0L): Column =
     PolyHash(array_join(tokens(text), " "), seed)
+
+  /** Per-document top-k TF-IDF terms: raw term frequency × smoothed inverse
+    * document frequency `ln((N+1)/(df+1)) + 1`, ranked (tfidf desc, term
+    * asc) within each document.
+    *
+    * Scale shape: the term stream is an explode over the scan (narrow); both
+    * aggregations do map-side partial combine before their shuffle — tf on
+    * the well-spread (doc, term) key, df on the term key. The tf⋈df join
+    * shuffles on `term`, whose frequency distribution is Zipfian — exactly
+    * the skew AQE's skew-join splitting is for (on by default in
+    * [[graft.core.Sessions]]); the doc-count side is a broadcast of one row.
+    * The final top-k is a window over the (doc) key, partial-aggregated by
+    * WindowGroupLimit pushdown in Spark 4.
+    */
+  def tfIdfTopK(df: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("rank"), col("tfidf"))
+  }
 }
 
 /** Tiny per-language stopword dictionaries (public common words). */

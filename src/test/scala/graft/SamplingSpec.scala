@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Sampling, TextOps}
+
+/** Deterministic sampling/splitting semantics: total coverage, approximate
+  * proportions, invariance to physical layout (the property df.sample does
+  * NOT have), and salt namespacing. Plus a from-scratch TF-IDF check.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = spark.range(10000).toDF("id")
+
+  test("split covers every row with exactly one known label") {
+    val s = Sampling.assignSplit(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = s.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 10000L)
+    // PolyHash buckets are uniform: 10k draws keep each stratum within ~15%
+    // of its expectation (deterministic, so no flake — this pins the values)
+    assert(math.abs(counts("train") - 8000L) < 300, counts.toString)
+    assert(math.abs(counts("val") - 1000L) < 150, counts.toString)
+    assert(math.abs(counts("test") - 1000L) < 150, counts.toString)
+  }
+
+  test("weights are normalized and degenerate weights are rejected") {
+    val s = Sampling.assignSplit(ids, "id", Seq("a" -> 3.0, "b" -> 1.0))
+    val counts = s.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("a") - 7500L) < 300, counts.toString)
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(ids, "id", Seq("a" -> 0.0, "b" -> 1.0))
+    }
+  }
+
+  test("sample is invariant to partition layout and sized correctly") {
+    val a = Sampling.deterministicSample(ids, "id", 0.2).as[Long].collect().toSet
+    val b = Sampling.deterministicSample(ids.repartition(7), "id", 0.2)
+      .as[Long].collect().toSet
+    assert(a == b)
+    assert(math.abs(a.size - 2000) < 200, a.size.toString)
+  }
+
+  test("different salts draw different subsets; same salt is stable") {
+    val a = Sampling.deterministicSample(ids, "id", 0.5, "s1").as[Long].collect().toSet
+    val b = Sampling.deterministicSample(ids, "id", 0.5, "s2").as[Long].collect().toSet
+    val a2 = Sampling.deterministicSample(ids, "id", 0.5, "s1").as[Long].collect().toSet
+    assert(a == a2)
+    assert(a != b)
+    // independent draws overlap on ~25% of the universe, not ~50%
+    assert(math.abs((a intersect b).size - 2500) < 400)
+  }
+
+  test("fraction bounds: 0 keeps nothing, 1 keeps everything") {
+    assert(Sampling.deterministicSample(ids, "id", 0.0).count() == 0L)
+    assert(Sampling.deterministicSample(ids, "id", 1.0).count() == 10000L)
+  }
+
+  test("tfIdfTopK matches a from-scratch reference on a handmade corpus") {
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana cherry cherry date"),
+      (3L, "apple date egg egg egg"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextOps.tfIdfTopK(docs, k = 2)
+      .as[(Long, String, Long, Int, Double)].collect().sortBy(r => (r._1, r._4))
+
+    // reference: raw tf, idf = ln((N+1)/(df+1)) + 1, rank (tfidf desc, term asc)
+    val toks = Map(
+      1L -> Seq("apple", "banana", "apple", "cherry"),
+      2L -> Seq("banana", "cherry", "cherry", "date"),
+      3L -> Seq("apple", "date", "egg", "egg", "egg"))
+    val n = 4.0 // the empty doc still counts toward N
+    val dfreq = toks.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    val expect = toks.toSeq.flatMap { case (id, ts) =>
+      val tf = ts.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      tf.toSeq.map { case (t, f) =>
+        (id, t, f, f * (math.log((n + 1) / (dfreq(t) + 1)) + 1)) }
+        .sortBy { case (_, t, _, s) => (-s, t) }
+        .take(2).zipWithIndex
+        .map { case ((i, t, f, s), r) => (i, t, f, r + 1, s) }
+    }.sortBy(r => (r._1, r._4))
+
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSeq ==
+      expect.map(r => (r._1, r._2, r._3, r._4)))
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g._5 - e._5) < 1e-12, s"$g vs $e") }
+  }
+}
