@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Sessions, Tables}
-import graft.ops.AsofJoin
+import graft.ops.{AsofJoin, Sessionize}
 import graft.pipeline.{Components, Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.sources.{Netatmo, NetatmoSource}
 import graft.ts.{Evaluate, Rdp, SeriesOps, SeriesStore, StoreSource, HeartbeatSource, MockSource}
@@ -288,6 +288,31 @@ object SparkEntry {
     // ---- per-doc top TF-IDF terms ----
     "text_tfidf" -> ((s, dir) =>
       TextOps.tfIdfTopK(Tables(s, dir).documents, k = 5)),
+
+    // ---- chunking / index / repetition / scrubbing ----
+    "text_chunks" -> ((s, dir) =>
+      TextOps.chunk(Tables(s, dir).documents, size = 200, overlap = 50)),
+    // postings emitted comma-joined: the driver's pandas compare cannot
+    // sort/hash raw array cells
+    "text_inverted_index" -> ((s, dir) =>
+      TextOps.invertedIndex(Tables(s, dir).documents, maxPostings = 20)
+        .select(col("term"), col("df"),
+          array_join(col("postings").cast("array<string>"), ",").as("postings"))),
+    "text_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(Tables(s, dir).documents)),
+    "text_scrub" -> ((s, dir) =>
+      TextOps.scrubPii(Tables(s, dir).documents)),
+
+    // ---- gap sessionization over the event stream (30-minute gap);
+    // eventsUs: DuckDB truncates TIMESTAMP_NS to whole microseconds ----
+    "events_sessionize" -> ((s, dir) =>
+      Sessionize.sessions(Tables(s, dir).eventsUs, gapNs = 1800000000000L)),
+
+    // ---- int8 embedding quantization ----
+    "vec_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables(s, dir).embeddings)
+        .select(col("vec_id"), col("scale"),
+          array_join(col("qvec").cast("array<string>"), ",").as("qvec"))),
 
     "text_lang_id" -> ((s, dir) => {
       TextOps.languageId(Tables(s, dir).documents).select("doc_id", "lang_pred")
@@ -669,6 +694,66 @@ object SparkEntry {
       s"""SELECT doc_id, lang FROM documents
          |WHERE ((${phSql("CAST(doc_id AS VARCHAR)", "0")}) * ${Sampling.saltMult("sample")}
          |  + ${Sampling.saltAdd("sample")}) % 1000000007 % 10000 < 1000""".stripMargin,
+
+    "text_chunks" ->
+      """SELECT doc_id, CAST(start // 150 AS INTEGER) AS chunk_idx,
+        |  CAST(start AS INTEGER) AS chunk_start,
+        |  substr(text, CAST(start + 1 AS INTEGER), 200) AS chunk_text
+        |FROM (SELECT doc_id, text, unnest(range(0, length(text), 150)) AS start
+        |      FROM documents)""".stripMargin,
+    "text_inverted_index" ->
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct($Toks)) AS term FROM documents),
+         |r AS (SELECT term, doc_id, count(*) OVER (PARTITION BY term) AS df,
+         |  row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM t)
+         |SELECT term, max(df) AS df,
+         |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+         |FROM r WHERE rn <= 20 GROUP BY term""".stripMargin,
+    "text_repetition" ->
+      s"""WITH b AS (SELECT doc_id, $Toks AS tk FROM documents),
+         |n AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(tk) > 0
+         |    THEN CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE) / len(tk)
+         |    ELSE 0.0 END AS dup_token_ratio FROM b),
+         |sh AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+         |  THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+         |  ELSE [] END) AS g FROM b),
+         |gc AS (SELECT doc_id, g, count(*) AS c FROM sh GROUP BY 1, 2),
+         |tg AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_trigram_share
+         |  FROM gc GROUP BY 1)
+         |SELECT n.doc_id, n.n_tokens, n.dup_token_ratio,
+         |  coalesce(tg.top_trigram_share, 0.0) AS top_trigram_share
+         |FROM n LEFT JOIN tg USING (doc_id)""".stripMargin,
+    "text_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_redactions,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
+    // Twin of Sessionize.sessions: lag marks session starts, running sum
+    // numbers them (CAST: DuckDB promotes the window sum to HUGEINT).
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts FROM events),
+        |m AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > 1800000000000 THEN 1 ELSE 0 END AS st
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |x AS (SELECT user_id, ts, CAST(sum(st) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS BIGINT) AS session_idx FROM m)
+        |SELECT user_id, session_idx, min(ts) AS start_ns, max(ts) AS end_ns,
+        |  max(ts) - min(ts) AS duration_ns, count(*) AS n_events
+        |FROM x GROUP BY 1, 2""".stripMargin,
+    // Twin of Similarity.quantizeInt8 — same op order (scale first, then
+    // one division per element) so the doubles agree bit-for-bit.
+    "vec_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale, v FROM e)
+        |SELECT vec_id, scale, array_to_string(
+        |  CASE WHEN scale > 0 THEN list_transform(v, x -> CAST(round(x / scale) AS INTEGER))
+        |       ELSE list_transform(v, x -> 0) END, ',') AS qvec
+        |FROM s""".stripMargin,
 
     "text_tfidf" ->
       s"""WITH t AS (SELECT doc_id, unnest($Toks) AS term FROM documents),

@@ -181,6 +181,26 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos_sim")
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector scale
+    * `max|x| / 127` and `q_i = round(x_i / scale)` — the storage/bandwidth
+    * reduction step before ANN at scale (4× smaller vectors, SIMD-friendly
+    * int dot products downstream). Per-row map, no shuffle; the formulation
+    * (`scale` first, then one division per element) is mirrored exactly in
+    * the SQL twin so the doubles agree bit-for-bit.
+    */
+  def quantizeInt8(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol),
+        (array_max(transform(col(vecCol), x => abs(x.cast("double")))) / 127.0)
+          .as("scale"),
+        col(vecCol).as("v"))
+      .select(col(idCol), col("scale"),
+        when(col("scale") > 0.0,
+          transform(col("v"), x => round(x.cast("double") / col("scale"))
+            .cast("int")))
+          .otherwise(transform(col("v"), _ => lit(0)))
+          .as("qvec"))
+
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥ threshold,
     * blocked by cell to bound the pair space (LSH-bucketed variant of
     * embedding dedup).

@@ -113,6 +113,95 @@ object TextOps {
     * The final top-k is a window over the (doc) key, partial-aggregated by
     * WindowGroupLimit pushdown in Spark 4.
     */
+  /** Fixed-size character windows with overlap — the context-window
+    * chunking step of a RAG / pretraining pipeline. `stride = size -
+    * overlap`; a chunk starts at every multiple of the stride below the
+    * text length, so the last chunk may be short and empty documents yield
+    * no chunks. Pure narrow column algebra (sequence + substring under one
+    * explode): chunking 100 TB is a map-only pass that rides in the scan.
+    */
+  def chunk(df: DataFrame, size: Int, overlap: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    // the when() guard: Spark's sequence(0, -1, step) THROWS on an empty
+    // document (DuckDB's range just returns []), so empty texts must short-
+    // circuit to an empty chunk list before the sequence evaluates
+    df.select(col(idCol), posexplode(
+        when(length(col(textCol)) > 0,
+          transform(sequence(lit(0), length(col(textCol)) - 1, lit(stride)),
+            start => substring(col(textCol), start + 1, lit(size))))
+          .otherwise(array().cast("array<string>")))
+        .as(Seq("chunk_idx", "chunk_text")))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("chunk_start"), col("chunk_text"))
+  }
+
+  /** Inverted index over the token vocabulary: per term, its document
+    * frequency and the posting list capped to the `maxPostings` smallest
+    * doc ids. The cap is applied BEFORE any list materializes (window
+    * rank over the term partition), so a stopword's posting list never
+    * occupies executor memory — the unbounded `collect_list`-per-term
+    * formulation is exactly what dies on Zipfian vocabularies at scale.
+    */
+  def invertedIndex(df: DataFrame, maxPostings: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df
+      .select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("term"))
+    val w = Window.partitionBy("term").orderBy(col(idCol).asc)
+    terms
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= maxPostings)
+      .groupBy("term")
+      .agg(first(col("df")).as("df"),
+        sort_array(collect_list(col(idCol))).as("postings"))
+  }
+
+  /** Repetition features (the Gopher-style boilerplate signals): the
+    * duplicate-token ratio and the share of the most frequent 3-token
+    * shingle. Computed with explode + re-aggregation on well-spread
+    * (doc, gram) keys — per-doc gram histograms via array algebra would
+    * be quadratic per row for long documents.
+    */
+  def repetitionStats(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = df.select(col(idCol), tokens(col(textCol)).as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+      .withColumn("dup_token_ratio",
+        when(col("n_tokens") > 0,
+          (col("n_tokens") - size(array_distinct(col("tk"))))
+            .cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+    val grams = base
+      .select(col(idCol), explode(shingles(col("tk"), 3)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_trigram_share"))
+    base.select(col(idCol), col("n_tokens"), col("dup_token_ratio"))
+      .join(grams, Seq(idCol), "left")
+      .withColumn("top_trigram_share", coalesce(col("top_trigram_share"), lit(0.0)))
+  }
+
+  /** PII scrubbing: redact email-like addresses and long digit runs,
+    * reporting the redaction count per document. The patterns stay inside
+    * the common regex subset (no lookaround/backreferences) so any
+    * RE2-class engine — and the SQL twin — matches byte-for-byte.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumRe = "[0-9]{7,}"
+
+  def scrubPii(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.select(col(idCol),
+      (size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+        + size(regexp_extract_all(col(textCol), lit(LongNumRe), lit(0))))
+        .cast("long").as("n_redactions"),
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        LongNumRe, "<NUM>").as("scrubbed"))
+
   def tfIdfTopK(df: DataFrame, k: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sessionize
+import graft.pipeline.{Similarity, TextOps}
+
+/** Semantics of the round-5 pipeline operators: sessionization boundaries,
+  * chunk geometry, posting-list capping, repetition features, PII
+  * scrubbing, and int8 quantization round-trip error.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessionize: gap strictly greater than the bound starts a new session") {
+    val g = 100L
+    val events = Seq(
+      // user 1: gaps 100 (same session), 101 (new session)
+      (1L, 1L, 1000L), (2L, 1L, 1100L), (3L, 1L, 1201L),
+      // user 2: single event
+      (4L, 2L, 5000L)).toDF("event_id", "user_id", "ts")
+    val got = Sessionize.sessions(events, gapNs = g)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 1000L, 1100L, 100L, 2L),
+      (1L, 2L, 1201L, 1201L, 0L, 1L),
+      (2L, 1L, 5000L, 5000L, 0L, 1L)))
+  }
+
+  test("sessionize: duplicate timestamps order by event id deterministically") {
+    val events = Seq(
+      (10L, 1L, 1000L), (11L, 1L, 1000L), (12L, 1L, 1000L))
+      .toDF("event_id", "user_id", "ts")
+    val got = Sessionize.sessions(events, gapNs = 1L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 1L, 1000L, 1000L, 0L, 3L)))
+  }
+
+  test("chunk: exact window geometry, short tail, empty text") {
+    val docs = Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text")
+    val got = TextOps.chunk(docs, size = 4, overlap = 1)
+      .as[(Long, Int, Int, String)].collect().sortBy(r => (r._1, r._2))
+    // stride 3: starts 0,3,6,9 -> abcd, defg, ghij, j
+    assert(got.toSeq == Seq(
+      (1L, 0, 0, "abcd"), (1L, 1, 3, "defg"), (1L, 2, 6, "ghij"), (1L, 3, 9, "j")))
+    intercept[IllegalArgumentException] { TextOps.chunk(docs, size = 4, overlap = 4) }
+  }
+
+  test("invertedIndex: df counts all docs while postings cap at the smallest ids") {
+    val docs = (1L to 30L).map(i => (i, "common word" + (i % 3)))
+      .toDF("doc_id", "text")
+    val got = TextOps.invertedIndex(docs, maxPostings = 5)
+      .withColumn("postings", col("postings").cast("array<long>"))
+      .as[(String, Long, Seq[Long])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("common") == ((30L, Seq(1L, 2L, 3L, 4L, 5L))))
+    assert(got("word0")._1 == 10L)
+    assert(got("word0")._2 == Seq(3L, 6L, 9L, 12L, 15L))
+  }
+
+  test("repetitionStats: known ratios and empty-doc fallbacks") {
+    val docs = Seq(
+      (1L, "a b a b a b"),     // 6 tokens, 2 distinct; trigrams: aba x2, bab x2
+      (2L, "x y"),             // no trigrams
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(docs)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 6L, 4.0 / 6.0, 2.0 / 4.0)))
+    assert(got(1) == ((2L, 2L, 0.0, 0.0)))
+    assert(got(2) == ((3L, 0L, 0.0, 0.0)))
+  }
+
+  test("scrubPii: emails and long digit runs redact with counts") {
+    val docs = Seq(
+      (1L, "mail bob.smith+x@examp-le.org now 12345678 ok 123"),
+      (2L, "clean text")).toDF("doc_id", "text")
+    val got = TextOps.scrubPii(docs).as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 2L, "mail <EMAIL> now <NUM> ok 123")))
+    assert(got(1) == ((2L, 0L, "clean text")))
+  }
+
+  test("quantizeInt8: reconstruction within half a step, zero vector to zeros") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(vecs)
+      .as[(Long, Double, Seq[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val (s1, q1) = (got(1L)._1, got(1L)._2)
+    assert(s1 == 1.0 / 127.0)
+    assert(q1 == Seq(64, -127, 32, 0))
+    Seq(0.5, -1.0, 0.25, 0.0).zip(q1).foreach { case (x, q) =>
+      assert(math.abs(x - q * s1) <= s1 / 2 + 1e-12) }
+    assert(got(2L) == ((0.0, Seq(0, 0))))
+  }
+}

@@ -19,7 +19,11 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     if len(df) > 0:
-        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+        # sort by the normalized string form: plain sort_values dies on
+        # unhashable cells (list/array columns) and this also makes the row
+        # order consistent with exactly what gets hashed
+        key = df.apply(lambda r: "|".join(norm_cell(v) for v in r), axis=1)
+        df = df.loc[key.sort_values(kind="mergesort").index].reset_index(drop=True)
     return df
 
 def norm_cell(v):
