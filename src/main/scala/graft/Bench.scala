@@ -23,12 +23,23 @@ object Bench {
     locally {
       val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
       val t0 = System.nanoTime()
-      selected.foreach { case (name, fn) =>
-        try fn(spark, warmDir).count()
-        catch { case _: Throwable => () }
+      // a warm-up failure must be VISIBLE: silently skipping it (e.g. a
+      // missing warm dir) reintroduces the cold-start bias on the first
+      // timed query with no error signal
+      val failed = selected.flatMap { case (name, fn) =>
+        try { fn(spark, warmDir).count(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] WARMUP FAILED $name: ${e.getMessage}")
+          Some(name)
+        }
       }
-      System.err.println(f"[bench] warmup(${selected.size} queries @ $warmDir) " +
-        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      // also warm the TIMED dir's file listing + parquet footers — those
+      // are per-directory costs the sf0.001 pass cannot absorb
+      val t = graft.core.Tables(spark, sfDir)
+      Seq(t.lineitem, t.orders, t.events, t.documents, t.embeddings)
+        .foreach(df => df.limit(1).count())
+      System.err.println(f"[bench] warmup(${selected.size} queries @ $warmDir, " +
+        f"${failed.size} failed) ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()

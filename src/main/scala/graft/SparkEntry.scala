@@ -723,14 +723,17 @@ object SparkEntry {
          |SELECT n.doc_id, n.n_tokens, n.dup_token_ratio,
          |  coalesce(tg.top_trigram_share, 0.0) AS top_trigram_share
          |FROM n LEFT JOIN tg USING (doc_id)""".stripMargin,
+    // digit runs counted on the EMAIL-SCRUBBED text (mirrors scrubPii: a
+    // digit run inside an email is redacted by the email pass, not twice)
     "text_scrub" ->
-      """SELECT doc_id,
+      """WITH e AS (SELECT doc_id, text, regexp_replace(text,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+        |FROM documents)
+        |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-        |     + len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_redactions,
-        |  regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
-        |FROM documents""".stripMargin,
+        |     + len(regexp_extract_all(after_email, '[0-9]{7,}')) AS BIGINT) AS n_redactions,
+        |  regexp_replace(after_email, '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
+        |FROM e""".stripMargin,
     // Twin of Sessionize.sessions: lag marks session starts, running sum
     // numbers them (CAST: DuckDB promotes the window sum to HUGEINT).
     "events_sessionize" ->

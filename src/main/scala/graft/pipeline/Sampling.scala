@@ -25,7 +25,9 @@ object Sampling {
   /** Salt-derived coefficients of the universal-hash map (computed once,
     * driver-side; interpolated as literals into the SQL twins).
     */
-  def saltMult(salt: String): Long = PolyHash.hash(salt, 1L) + 1L
+  // % (Mod-1) + 1 keeps the multiplier in [1, p-1]: hash+1 alone could hit
+  // a ≡ 0 (mod p), which would collapse every id into one bucket
+  def saltMult(salt: String): Long = PolyHash.hash(salt, 1L) % (PolyHash.Mod - 1) + 1L
   def saltAdd(salt: String): Long = PolyHash.hash(salt, 2L)
 
   /** Uniform bucket in [0, Buckets) from (id, salt). The id is hashed as its

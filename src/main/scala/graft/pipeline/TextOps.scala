@@ -100,19 +100,6 @@ object TextOps {
   def fingerprint(text: Column, seed: Long = 0L): Column =
     PolyHash(array_join(tokens(text), " "), seed)
 
-  /** Per-document top-k TF-IDF terms: raw term frequency × smoothed inverse
-    * document frequency `ln((N+1)/(df+1)) + 1`, ranked (tfidf desc, term
-    * asc) within each document.
-    *
-    * Scale shape: the term stream is an explode over the scan (narrow); both
-    * aggregations do map-side partial combine before their shuffle — tf on
-    * the well-spread (doc, term) key, df on the term key. The tf⋈df join
-    * shuffles on `term`, whose frequency distribution is Zipfian — exactly
-    * the skew AQE's skew-join splitting is for (on by default in
-    * [[graft.core.Sessions]]); the doc-count side is a broadcast of one row.
-    * The final top-k is a window over the (doc) key, partial-aggregated by
-    * WindowGroupLimit pushdown in Spark 4.
-    */
   /** Fixed-size character windows with overlap — the context-window
     * chunking step of a RAG / pretraining pipeline. `stride = size -
     * overlap`; a chunk starts at every multiple of the stride below the
@@ -140,24 +127,31 @@ object TextOps {
 
   /** Inverted index over the token vocabulary: per term, its document
     * frequency and the posting list capped to the `maxPostings` smallest
-    * doc ids. The cap is applied BEFORE any list materializes (window
-    * rank over the term partition), so a stopword's posting list never
-    * occupies executor memory — the unbounded `collect_list`-per-term
-    * formulation is exactly what dies on Zipfian vocabularies at scale.
+    * doc ids.
+    *
+    * The cap is applied BEFORE any list materializes, and the rank window
+    * is the ONLY window over the term key: df comes from a separate
+    * groupBy (map-side combined), because an additional unordered
+    * count-over-window would both funnel every posting of a Zipfian
+    * stopword through one window task and block Spark 4's WindowGroupLimit
+    * pushdown — the optimization that prunes each map partition to its
+    * local top-k before the shuffle (asserted in PlanSpec). The df join is
+    * one row per term and AQE splits residual stopword skew.
     */
   def invertedIndex(df: DataFrame, maxPostings: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val terms = df
       .select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("term"))
+    val dfreq = terms.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("term").orderBy(col(idCol).asc)
     terms
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= maxPostings)
       .groupBy("term")
-      .agg(first(col("df")).as("df"),
-        sort_array(collect_list(col(idCol))).as("postings"))
+      .agg(sort_array(collect_list(col(idCol))).as("postings"))
+      .join(dfreq, "term")
+      .select(col("term"), col("df"), col("postings"))
   }
 
   /** Repetition features (the Gopher-style boilerplate signals): the
@@ -194,14 +188,32 @@ object TextOps {
   val LongNumRe = "[0-9]{7,}"
 
   def scrubPii(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text"): DataFrame = {
+    // count digit runs on the EMAIL-SCRUBBED text, not the original:
+    // replacement is sequential, so a long digit run inside an email is
+    // already gone when the number pass runs — counting it would report
+    // more redactions than placeholders in the output
+    val afterEmail = regexp_replace(col(textCol), EmailRe, "<EMAIL>")
     df.select(col(idCol),
       (size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
-        + size(regexp_extract_all(col(textCol), lit(LongNumRe), lit(0))))
+        + size(regexp_extract_all(afterEmail, lit(LongNumRe), lit(0))))
         .cast("long").as("n_redactions"),
-      regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
-        LongNumRe, "<NUM>").as("scrubbed"))
+      regexp_replace(afterEmail, LongNumRe, "<NUM>").as("scrubbed"))
+  }
 
+  /** Per-document top-k TF-IDF terms: raw term frequency × smoothed inverse
+    * document frequency `ln((N+1)/(df+1)) + 1`, ranked (tfidf desc, term
+    * asc) within each document.
+    *
+    * Scale shape: the term stream is an explode over the scan (narrow); both
+    * aggregations do map-side partial combine before their shuffle — tf on
+    * the well-spread (doc, term) key, df on the term key. The tf⋈df join
+    * shuffles on `term`, whose frequency distribution is Zipfian — exactly
+    * the skew AQE's skew-join splitting is for (on by default in
+    * [[graft.core.Sessions]]); the doc-count side is a broadcast of one row.
+    * The final top-k is a window over the (doc) key, partial-aggregated by
+    * WindowGroupLimit pushdown in Spark 4.
+    */
   def tfIdfTopK(df: DataFrame, k: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -72,10 +72,14 @@ class PipelineOpsSpec extends SparkSpec {
   test("scrubPii: emails and long digit runs redact with counts") {
     val docs = Seq(
       (1L, "mail bob.smith+x@examp-le.org now 12345678 ok 123"),
-      (2L, "clean text")).toDF("doc_id", "text")
+      (2L, "clean text"),
+      // the digit run INSIDE the email must not double-count: one email
+      // redaction, zero number redactions
+      (3L, "ping 12345678@corp.com")).toDF("doc_id", "text")
     val got = TextOps.scrubPii(docs).as[(Long, Long, String)].collect().sortBy(_._1)
     assert(got(0) == ((1L, 2L, "mail <EMAIL> now <NUM> ok 123")))
     assert(got(1) == ((2L, 0L, "clean text")))
+    assert(got(2) == ((3L, 1L, "ping <EMAIL>")))
   }
 
   test("quantizeInt8: reconstruction within half a step, zero vector to zeros") {

@@ -94,6 +94,13 @@ class PlanSpec extends SparkSpec {
     assert(v2.rdd.getNumPartitions > 1, "each block must be its own partition")
   }
 
+  test("inverted index gets WindowGroupLimit pushdown on its rank window") {
+    // the posting-list cap must prune map-side BEFORE the term shuffle; a
+    // second (unordered) window over the term key would block this
+    val plan = planOf(SparkEntry.queries("text_inverted_index")(spark, sfDir))
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
   test("whole-stage codegen covers the relational anchors") {
     val df = SparkEntry.queries("q1_agg")(spark, sfDir)
     df.collect() // AQE finalizes the plan on execution
