@@ -307,6 +307,10 @@ object SparkEntry {
     // eventsUs: DuckDB truncates TIMESTAMP_NS to whole microseconds ----
     "events_sessionize" -> ((s, dir) =>
       Sessionize.sessions(Tables(s, dir).eventsUs, gapNs = 1800000000000L)),
+    // native session_window implementation of the SAME contract (boundary
+    // verified identical: exact-gap successors merge in both)
+    "events_session_window" -> ((s, dir) =>
+      Sessionize.sessionWindows(Tables(s, dir).eventsUs, "30 minutes")),
 
     // ---- int8 embedding quantization ----
     "vec_quantize" -> ((s, dir) =>
@@ -737,6 +741,22 @@ object SparkEntry {
     // Twin of Sessionize.sessions: lag marks session starts, running sum
     // numbers them (CAST: DuckDB promotes the window sum to HUGEINT).
     "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts FROM events),
+        |m AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > 1800000000000 THEN 1 ELSE 0 END AS st
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |x AS (SELECT user_id, ts, CAST(sum(st) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS BIGINT) AS session_idx FROM m)
+        |SELECT user_id, session_idx, min(ts) AS start_ns, max(ts) AS end_ns,
+        |  max(ts) - min(ts) AS duration_ns, count(*) AS n_events
+        |FROM x GROUP BY 1, 2""".stripMargin,
+    // Twin of Sessionize.sessionWindows — the SAME logical contract as
+    // events_sessionize (exact-gap successors merge in both; verified by
+    // PipelineOpsSpec), so the twin SQL is identical: one oracle
+    // formulation checks two physical implementations.
+    "events_session_window" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts FROM events),
         |m AS (SELECT user_id, event_id, ts,
         |  CASE WHEN lag(ts) OVER w IS NULL

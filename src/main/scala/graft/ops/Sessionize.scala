@@ -20,6 +20,53 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
+  /** Native-operator variant: Spark's `session_window` (the built-in
+    * session aggregation, streaming-capable with a watermark) instead of
+    * the hand-built lag/sum numbering. Prefer THIS form when its semantics
+    * fit: it needs no total order per user (no sort, pure hash agg with
+    * session merge), and the same expression runs unchanged under
+    * `readStream` + `withWatermark`, emitting finalized sessions as the
+    * watermark passes them.
+    *
+    * Boundary semantics MATCH [[sessions]] (verified empirically and pinned
+    * by test): a successor exactly `gap` away still merges — Spark extends
+    * the session window inclusively, equivalent to the lag formulation's
+    * strict `diff > gap` split. The two operators are therefore two
+    * physical implementations of one contract, and share one oracle
+    * formulation. The ordinal index is restored afterwards with a window
+    * over the session starts (tiny: one row per session, and it reuses the
+    * user partitioning).
+    */
+  def sessionWindows(events: DataFrame, gap: String,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val agged = sessionWindowStats(events, gap, userCol, tsCol)
+    val byStart = Window.partitionBy(userCol).orderBy(col("start_ns"))
+    agged
+      .withColumn("session_idx", row_number().over(byStart).cast("long"))
+      .select(col(userCol), col("session_idx"), col("start_ns"), col("end_ns"),
+        col("duration_ns"), col("n_events"))
+  }
+
+  /** The streaming-safe core of [[sessionWindows]]: no ordinal (window
+    * functions cannot run on a streaming Dataset). With `watermark` set and
+    * a streaming input, append-mode output emits each session once it is
+    * finalized — i.e. the watermark has passed its close.
+    */
+  def sessionWindowStats(events: DataFrame, gap: String,
+      userCol: String = "user_id", tsCol: String = "ts",
+      watermark: Option[String] = None): DataFrame = {
+    val et = events
+      // exact ns→µs: the event grid is µs-aligned (Tables.eventsUs)
+      .withColumn("event_time", timestamp_micros(expr(s"$tsCol div 1000")))
+    val src = watermark.fold(et)(w => et.withWatermark("event_time", w))
+    src
+      .groupBy(col(userCol), session_window(col("event_time"), gap))
+      .agg(min(col(tsCol)).as("start_ns"), max(col(tsCol)).as("end_ns"),
+        count(lit(1)).as("n_events"))
+      .select(col(userCol), col("start_ns"), col("end_ns"),
+        (col("end_ns") - col("start_ns")).as("duration_ns"), col("n_events"))
+  }
+
   /** One row per (user, session): ordinal session index (1-based, in time
     * order), span, and event count. Ordering ties on ts break by event id,
     * so the result is deterministic under duplicate timestamps.

@@ -12,6 +12,64 @@ import graft.pipeline.{Similarity, TextOps}
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("sessionWindows boundary == lag variant: exact-gap successor merges in both") {
+    val g = 60_000_000_000L // 60 s in ns -> "1 minute"
+    val events = Seq(
+      (1L, 1L, 0L), (2L, 1L, g), (3L, 1L, 2 * g + 1_000_000L))
+      .toDF("event_id", "user_id", "ts")
+    // diff == gap merges (inclusive close); diff > gap splits — in BOTH
+    // implementations, which is what lets them share one oracle
+    val expect = Seq(
+      (1L, 1L, 0L, g, g, 2L),
+      (1L, 2L, 2 * g + 1_000_000L, 2 * g + 1_000_000L, 0L, 1L))
+    val native = Sessionize.sessionWindows(events, "1 minute")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(native.toSeq == expect)
+    val lagVariant = Sessionize.sessions(events, gapNs = g)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(lagVariant.toSeq == expect)
+  }
+
+  test("sessionWindows matches the lag variant away from exact-gap boundaries") {
+    val rnd = new scala.util.Random(7)
+    val events = (1L to 300L).map { i =>
+      (i, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong * 2_000_000_000L + 1_000_000L)
+    }.toDF("event_id", "user_id", "ts")
+    // gap 30 s; ts on an odd 2s+1ms grid, so diff == gap never occurs
+    val a = Sessionize.sessionWindows(events, "30 seconds")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val b = Sessionize.sessions(events.dropDuplicates("user_id", "ts"), 30_000_000_000L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // native variant collapses same-ts duplicates into the same session
+    // either way; compare on the deduplicated feed
+    val a2 = Sessionize.sessionWindows(events.dropDuplicates("user_id", "ts"), "30 seconds")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(a2 == b)
+    assert(a.map(r => (r._1, r._2, r._3)) == a2.map(r => (r._1, r._2, r._3)))
+  }
+
+  test("sessionWindowStats finalizes sessions under a streaming watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = Sessionize.sessionWindowStats(
+        in.toDF().toDF("event_id", "user_id", "ts"),
+        gap = "1 minute", watermark = Some("0 seconds"))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      val m = 60_000_000_000L
+      in.addData((1L, 1L, 0L), (2L, 1L, m / 2))
+      q.processAllAvailable()
+      // advance the watermark far past the first session's close
+      in.addData((3L, 1L, 10 * m))
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+      assert(got.toSeq == Seq((1L, 0L, m / 2, m / 2, 2L)))
+    } finally q.stop()
+  }
+
   test("sessionize: gap strictly greater than the bound starts a new session") {
     val g = 100L
     val events = Seq(
