@@ -94,6 +94,22 @@ class PlanSpec extends SparkSpec {
     assert(v2.rdd.getNumPartitions > 1, "each block must be its own partition")
   }
 
+  test("sessionize is a single shuffle: rollup reuses the window partitioning") {
+    val plan = planOf(SparkEntry.queries("events_sessionize")(spark, sfDir))
+    val shuffles = plan.linesIterator.count(_.contains("Exchange"))
+    assert(shuffles == 1, s"expected 1 Exchange, got $shuffles:\n${plan.take(3000)}")
+  }
+
+  test("chunking is map-only: no shuffle anywhere in the plan") {
+    val plan = planOf(SparkEntry.queries("text_chunks")(spark, sfDir))
+    assert(!plan.contains("Exchange"), plan.take(3000))
+  }
+
+  test("deterministic sampling pushes nothing but a scan filter: no shuffle") {
+    val plan = planOf(SparkEntry.queries("sample_fraction")(spark, sfDir))
+    assert(!plan.contains("Exchange"), plan.take(3000))
+  }
+
   test("inverted index gets WindowGroupLimit pushdown on its rank window") {
     // the posting-list cap must prune map-side BEFORE the term shuffle; a
     // second (unordered) window over the term key would block this
