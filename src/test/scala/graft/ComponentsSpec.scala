@@ -65,6 +65,18 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("10k-edge random graph and a 1000-node chain both converge correctly") {
+    val rnd = new scala.util.Random(1234)
+    val big = Seq.fill(10000)((rnd.nextInt(2000).toLong, rnd.nextInt(2000).toLong))
+      .filter(e => e._1 != e._2)
+    assert(ccOf(big) == bruteComponents(big))
+    // a long path is the adversarial diameter case for label propagation;
+    // the star algorithm must still converge within maxIter
+    val chain = (0L until 1000L).map(i => (i, i + 1))
+    val got = ccOf(chain)
+    assert(got.size == 1001 && got.values.forall(_ == 0L))
+  }
+
   test("empty and single-edge graphs") {
     assert(ccOf(Seq.empty) == Map.empty)
     assert(ccOf(Seq((7L, 3L))) == Map(7L -> 3L, 3L -> 3L))
