@@ -312,6 +312,17 @@ object SparkEntry {
     "events_session_window" -> ((s, dir) =>
       Sessionize.sessionWindows(Tables(s, dir).eventsUs, "30 minutes")),
 
+    // ---- salted join (heavy-hitter resilience; == plain join) ----
+    "skew_join" -> ((s, dir) => {
+      val e = Tables(s, dir).events.select("event_id", "user_id", "value")
+      val dim = e.groupBy("user_id")
+        .agg(min("value").as("user_min"), count(lit(1)).as("n_user_events"))
+      graft.ops.SkewJoin.saltedJoin(e, dim, "user_id", salts = 8, tieBreak = "event_id")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("user_min"), col("n_user_events"),
+          (col("value") - col("user_min")).as("dev"))
+    }),
+
     // ---- int8 embedding quantization ----
     "vec_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables(s, dir).embeddings)
@@ -768,6 +779,15 @@ object SparkEntry {
         |SELECT user_id, session_idx, min(ts) AS start_ns, max(ts) AS end_ns,
         |  max(ts) - min(ts) AS duration_ns, count(*) AS n_events
         |FROM x GROUP BY 1, 2""".stripMargin,
+    // Twin of the salted join: salting must be invisible in the result, so
+    // the oracle is the PLAIN join (min/count are order-independent, no
+    // float-summation hazard).
+    "skew_join" ->
+      """WITH d AS (SELECT user_id, min(value) AS user_min,
+        |  count(*) AS n_user_events FROM events GROUP BY 1)
+        |SELECT e.event_id, e.user_id, e.value, d.user_min, d.n_user_events,
+        |  e.value - d.user_min AS dev
+        |FROM events e JOIN d USING (user_id)""".stripMargin,
     // Twin of Similarity.quantizeInt8 — same op order (scale first, then
     // one division per element) so the doubles agree bit-for-bit.
     "vec_quantize" ->

@@ -31,7 +31,11 @@ object Sessions {
   /** Local session for tests / tools. */
   def local(appName: String = "graft", cores: Int = 4): SparkSession = {
     val s = tune(
-      SparkSession.builder().master(s"local[$cores]").appName(appName),
+      SparkSession.builder().master(s"local[$cores]").appName(appName)
+        // catalog tables (bucketed-join tests) must not land in the repo's
+        // working directory (the default ./spark-warehouse)
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft-warehouse").toString),
       shufflePartitions = cores
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -117,6 +117,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
   }
 
+  test("pre-bucketed tables join with NO shuffle (co-located join)") {
+    // the bucketing story for repeated joins on one key at 100 TB: pay the
+    // shuffle once at write time, join shuffle-free forever after
+    val docs = Tables(spark, sfDir).documents.select("doc_id", "lang", "n_chars")
+    spark.sql("DROP TABLE IF EXISTS g_buck_a")
+    spark.sql("DROP TABLE IF EXISTS g_buck_b")
+    docs.write.bucketBy(4, "doc_id").sortBy("doc_id").saveAsTable("g_buck_a")
+    docs.select("doc_id", "n_chars").write.bucketBy(4, "doc_id").sortBy("doc_id")
+      .saveAsTable("g_buck_b")
+    // hint the LEFT SIDE before joining so the planner picks sort-merge
+    // (a post-join hint is ignored and a broadcast join would legitimately
+    // skip the bucketed read entirely)
+    val joined = spark.table("g_buck_a").hint("merge")
+      .join(spark.table("g_buck_b"), "doc_id")
+    val plan = planOf(joined)
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(!plan.contains("Exchange"),
+      s"bucketed join should not shuffle:\n${plan.take(3000)}")
+  }
+
   test("whole-stage codegen covers the relational anchors") {
     val df = SparkEntry.queries("q1_agg")(spark, sfDir)
     df.collect() // AQE finalizes the plan on execution
