@@ -41,6 +41,21 @@ object Smoke {
     val knn = graft.pipeline.Similarity.bruteForceTopK(emb.limit(3), emb, k = 2)
     knn.show(6, truncate = false)
 
+    // round-5 surface: clusters, splits, tf-idf, sessions, salted join
+    val clusters = graft.pipeline.Components.dedupClusters(docs)
+    println(s"dedup clusters: docs=${clusters.count()} " +
+      s"canonical=${clusters.where(col("is_canonical")).count()}")
+    graft.pipeline.Sampling.assignSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().show()
+    TextOps.tfIdfTopK(docs, k = 3).show(6, truncate = false)
+    val sess = graft.ops.Sessionize.sessions(t.eventsUs, gapNs = 1800000000000L)
+    println(s"sessions: ${sess.count()}")
+    val dim = t.eventsUs.groupBy("user_id").agg(count(lit(1)).as("n"))
+    println("salted join rows: " + graft.ops.SkewJoin.saltedJoin(
+      t.eventsUs.select("event_id", "user_id"), dim, "user_id",
+      salts = 4, tieBreak = "event_id").count())
+
     // SQL surface: custom kernels callable from spark.sql
     graft.core.GraftFunctions.registerAll(spark)
     docs.limit(5).createOrReplaceTempView("smoke_docs")
