@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sessionize
+import graft.pipeline.{Similarity, TextOps}
+
+/** Generated-input invariants for the round-5 operators (seeded, so
+  * deterministic): chunk reconstruction, session partition laws, and
+  * quantization round-trip bounds — checked against from-scratch
+  * references, not against the implementation's own building blocks.
+  */
+class PipelinePropsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260812)
+
+  private def randText(maxLen: Int): String = {
+    val n = rnd.nextInt(maxLen + 1)
+    Seq.fill(n)(rnd.nextPrintableChar()).mkString
+  }
+
+  test("chunk reconstruction: first chunk + tails-minus-overlap rebuild every text") {
+    for ((size, overlap) <- Seq((8, 0), (8, 3), (5, 4), (64, 16), (3, 1))) {
+      val texts = (1L to 40L).map(i => (i, randText(200)))
+      val chunks = TextOps.chunk(texts.toDF("doc_id", "text"), size, overlap)
+        .as[(Long, Int, Int, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._4).toSeq).toMap
+      texts.foreach { case (id, text) =>
+        val got = chunks.getOrElse(id, Seq.empty)
+        val rebuilt = got match {
+          case Seq() => ""
+          case head +: tail => head + tail.map(_.drop(overlap)).mkString
+        }
+        assert(rebuilt == text, s"size=$size overlap=$overlap doc=$id")
+        // chunk i covers [i*stride, min(i*stride + size, len)) — when
+        // stride < size the last SEVERAL chunks can be end-clipped
+        val stride = size - overlap
+        got.zipWithIndex.foreach { case (c, i) =>
+          assert(c.length == math.min(size, text.length - i * stride),
+            s"size=$size overlap=$overlap doc=$id chunk=$i") }
+      }
+    }
+  }
+
+  test("session partition laws: events covered once, gaps legal, boundaries maximal") {
+    for (trial <- 0 until 4) {
+      val gap = 50L
+      val events = (1L to 400L).map { i =>
+        (i, rnd.nextInt(4).toLong, rnd.nextInt(2000).toLong * 7L)
+      }
+      val got = Sessionize.sessions(events.toDF("event_id", "user_id", "ts"), gapNs = gap)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+
+      events.groupBy(_._2).foreach { case (user, evs) =>
+        val ts = evs.map(_._3).sorted
+        val sess = got(user)
+        // cover every event exactly once
+        assert(sess.map(_._6).sum == evs.size)
+        // reference segmentation: walk the sorted times, split where diff > gap
+        val splits = scala.collection.mutable.ListBuffer(scala.collection.mutable.ListBuffer(ts.head))
+        ts.tail.foreach { t =>
+          if (t - splits.last.last > gap) splits += scala.collection.mutable.ListBuffer(t)
+          else splits.last += t
+        }
+        assert(sess.size == splits.size, s"user=$user trial=$trial")
+        sess.zip(splits).zipWithIndex.foreach { case ((s, ref), i) =>
+          assert(s._2 == i + 1)              // 1-based ordinal in time order
+          assert(s._3 == ref.head)           // start
+          assert(s._4 == ref.last)           // end
+          assert(s._5 == ref.last - ref.head) // duration
+          assert(s._6 == ref.size.toLong)    // count
+        }
+      }
+    }
+  }
+
+  test("quantization round-trip: |x - q*scale| <= scale/2 for random signed vectors") {
+    val vecs = (1L to 60L).map { i =>
+      (i, Array.fill(rnd.nextInt(20) + 1)((rnd.nextFloat() - 0.5f) * 4.0f))
+    }
+    val got = Similarity.quantizeInt8(vecs.toDF("vec_id", "embedding"))
+      .as[(Long, Double, Seq[Int])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    vecs.foreach { case (id, v) =>
+      val (scale, q) = got(id)
+      assert(q.length == v.length)
+      assert(q.forall(x => x >= -127 && x <= 127), s"vec $id out of int8 range")
+      val maxAbs = v.map(x => math.abs(x.toDouble)).max
+      assert(math.abs(scale - maxAbs / 127.0) < 1e-15)
+      if (scale > 0)
+        v.zip(q).foreach { case (x, qi) =>
+          assert(math.abs(x.toDouble - qi * scale) <= scale / 2 + 1e-12,
+            s"vec $id: x=$x q=$qi scale=$scale") }
+    }
+  }
+}
