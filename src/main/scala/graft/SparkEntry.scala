@@ -161,6 +161,8 @@ object SparkEntry {
         .select("series_id", "last_value", "last_ts", "band")
     }),
     "ts_rdp" -> ((s, dir) => Rdp.downsample(pts(s, dir))),
+    "ts_resample" -> ((s, dir) => SeriesOps.resample(pts(s, dir), 86400L * NsPerS)),
+    "ts_interpolate" -> ((s, dir) => SeriesOps.interpolate(pts(s, dir), 86400L * NsPerS)),
     "ts_asof_join" -> ((s, dir) => {
       val e = Tables(s, dir).eventsUs
       val left = e.where(col("event_type") === "click")
@@ -538,6 +540,38 @@ object SparkEntry {
          |)
          |SELECT k.series_id, k.ts, p.value
          |FROM kept k JOIN pts p ON p.series_id = k.series_id AND p.ts = k.ts""".stripMargin,
+    "ts_resample" ->
+      s"""WITH points AS ($PointsCte)
+         |SELECT series_id, ts - ts % ${86400L * NsPerS} AS bucket_ts,
+         |  avg(value) FILTER (WHERE NOT isnan(value)) AS mean_value,
+         |  min(value) FILTER (WHERE NOT isnan(value)) AS min_value,
+         |  max(value) FILTER (WHERE NOT isnan(value)) AS max_value,
+         |  count(value) FILTER (WHERE NOT isnan(value)) AS n_points
+         |FROM points GROUP BY 1, 2""".stripMargin,
+    // Twin of SeriesOps.interpolate — the SAME sorted-union-window shape
+    // (linear, no per-grid-point probes) so it also finishes at sf0.1; the
+    // CASE/lerp arithmetic mirrors the Spark expression order exactly.
+    "ts_interpolate" -> {
+      val dt = 86400L * NsPerS
+      s"""WITH points AS ($PointsCte),
+         |pts AS (SELECT series_id, ts, value FROM points WHERE NOT isnan(value)),
+         |b AS (SELECT series_id, min(ts) AS t0, max(ts) AS t1 FROM pts GROUP BY 1),
+         |grid AS (SELECT series_id,
+         |  unnest(range(t0 + (($dt - t0 % $dt) % $dt), t1 - t1 % $dt + 1, $dt)) AS ts FROM b),
+         |u AS (SELECT series_id, ts, value, 0 AS grid FROM pts
+         |      UNION ALL SELECT series_id, ts, NULL AS value, 1 AS grid FROM grid),
+         |w AS (SELECT *,
+         |  last_value(CASE WHEN grid = 0 THEN ts END IGNORE NULLS) OVER wb AS pt,
+         |  last_value(CASE WHEN grid = 0 THEN value END IGNORE NULLS) OVER wb AS pv,
+         |  first_value(CASE WHEN grid = 0 THEN ts END IGNORE NULLS) OVER wf AS nt,
+         |  first_value(CASE WHEN grid = 0 THEN value END IGNORE NULLS) OVER wf AS nv
+         |  FROM u WINDOW
+         |    wb AS (PARTITION BY series_id ORDER BY ts, grid, value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wf AS (PARTITION BY series_id ORDER BY ts, grid, value ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT series_id, ts, CASE WHEN pt = ts THEN pv
+         |  ELSE pv + (nv - pv) * (ts - pt) / (nt - pt) END AS value
+         |FROM w WHERE grid = 1""".stripMargin
+    },
     "ts_current_bands" ->
       s"""WITH points AS ($PointsCte),
          |lv AS (SELECT series_id, value AS last_value, ts AS last_ts FROM (

@@ -157,6 +157,87 @@ object SeriesOps {
     df.withColumn("band", band)
   }
 
+  /** Fixed-interval downsample: bucket each point onto the regular axis
+    * `bucket_ts = ts - (ts mod dt)` and aggregate NaN-safe mean/min/max/count
+    * per (series, bucket) — the query-side realization of the reference's
+    * fixed-interval `TimeAxis(start, dt, n)` surface
+    * (reference: weather/utilities/create_ts.py:16,
+    * weather/test/test_dtss_host.py:116).
+    *
+    * Scale shape: one shuffle on the composite (series, bucket) key with
+    * full map-side partial aggregation — at 100 TB this is the canonical
+    * first-stage reduction of raw points, and the output is ~span/dt rows
+    * per series regardless of input density.
+    */
+  def resample(points: DataFrame, dtNs: Long): DataFrame = {
+    require(dtNs > 0, s"dt must be positive, got $dtNs")
+    val v = when(notNan(col("value")), col("value"))
+    points
+      .groupBy(col("series_id"),
+        (col("ts") - pmod(col("ts"), lit(dtNs))).as("bucket_ts"))
+      .agg(
+        avg(v).as("mean_value"),
+        min(v).as("min_value"),
+        max(v).as("max_value"),
+        count(v).as("n_points"))
+  }
+
+  /** Linear interpolation onto the fixed grid `dt`: every multiple of `dt`
+    * inside each series' observed span gets `v = v1 + (v2-v1)·(g-t1)/(t2-t1)`
+    * from its bracketing samples — the POINT_INSTANT_VALUE reading of a
+    * series on a regular axis (reference: weather/data_sources/netatmo/
+    * domain.py:111-120 fixes instant interpretation; create_ts.py:16 the
+    * fixed axis). No extrapolation: grid points outside [first, last] sample
+    * don't exist. A grid point landing exactly on a sample returns that
+    * sample's value.
+    *
+    * Scale shape: the grid is a per-series sequence/explode off a tiny
+    * min/max aggregate; the interpolation is the sorted-union trick (cf.
+    * [[graft.ops.AsofJoin]]) — real and grid rows share ONE shuffle+sort on
+    * (series, ts), and frame-bounded running windows carry the bracketing
+    * (ts, value) pairs in the same sort. No pair join, no per-point probe;
+    * survives 100 TB on the natural series partitioning. Duplicate-ts
+    * samples tie-break deterministically: backward bracket takes the
+    * largest value, forward the smallest (mirrored in the SQL twin).
+    */
+  def interpolate(points: DataFrame, dtNs: Long): DataFrame = {
+    require(dtNs > 0, s"dt must be positive, got $dtNs")
+    val dt = lit(dtNs)
+    val p = points.where(notNan(col("value"))).select("series_id", "ts", "value")
+    val bounds = p.groupBy("series_id").agg(min("ts").as("t0"), max("ts").as("t1"))
+      .withColumn("__g0", col("t0") + pmod(-col("t0"), dt))
+      .withColumn("__g1", col("t1") - pmod(col("t1"), dt))
+    // sequence() throws on start > stop (a span shorter than one dt step):
+    // guard to an empty grid instead
+    val grid = bounds.select(col("series_id"),
+      explode(when(col("__g0") <= col("__g1"),
+        sequence(col("__g0"), col("__g1"), dt))
+        .otherwise(array().cast("array<bigint>"))).as("ts"))
+    val u = p.withColumn("__grid", lit(0))
+      .unionByName(grid.select(col("series_id"), col("ts"),
+        lit(null).cast("double").as("value"), lit(1).as("__grid")))
+    // real rows (grid=0) sort before a same-ts grid row, so the backward
+    // bracket of an on-sample grid point is that sample itself
+    val ord = Window.partitionBy("series_id")
+      .orderBy(col("ts"), col("__grid"), col("value"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = ord.rowsBetween(0, Window.unboundedFollowing)
+    val realTs = when(col("__grid") === 0, col("ts"))
+    val realV = when(col("__grid") === 0, col("value"))
+    u
+      .withColumn("__pt", last(realTs, ignoreNulls = true).over(back))
+      .withColumn("__pv", last(realV, ignoreNulls = true).over(back))
+      .withColumn("__nt", first(realTs, ignoreNulls = true).over(fwd))
+      .withColumn("__nv", first(realV, ignoreNulls = true).over(fwd))
+      .where(col("__grid") === 1)
+      .select(col("series_id"), col("ts"),
+        when(col("__pt") === col("ts"), col("__pv"))
+          .otherwise(col("__pv")
+            + (col("__nv") - col("__pv")) * (col("ts") - col("__pt"))
+              / (col("__nt") - col("__pt")))
+          .as("value"))
+  }
+
   /** O4: stream tail limit — keep only the newest `n` points per series,
     * the reference's Bokeh `stream(new, 100)` display buffer
     * (reference: visual/dashboard_test.py:81). Deterministic tie-break on

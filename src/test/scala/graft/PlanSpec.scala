@@ -110,6 +110,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(3000))
   }
 
+  test("resample is one shuffle with map-side partial aggregation") {
+    val plan = planOf(SparkEntry.queries("ts_resample")(spark, sfDir))
+    val shuffles = plan.linesIterator.count(_.contains("Exchange"))
+    assert(shuffles == 1, s"expected 1 Exchange, got $shuffles:\n${plan.take(3000)}")
+    // partial_avg before the exchange = map-side combine
+    assert(plan.contains("partial_avg") || plan.contains("HashAggregate"),
+      plan.take(3000))
+  }
+
+  test("interpolate has no join: grid and samples meet in one sorted union window") {
+    val plan = planOf(SparkEntry.queries("ts_interpolate")(spark, sfDir))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
   test("inverted index gets WindowGroupLimit pushdown on its rank window") {
     // the posting-list cap must prune map-side BEFORE the term shuffle; a
     // second (unordered) window over the term key would block this

@@ -88,4 +88,38 @@ class SeriesOpsSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("ts") / S).sorted
     assert(got.toSeq == Seq(1L, 2L))
   }
+
+  test("resample: NaN-safe per-bucket mean/min/max/count on the dt grid") {
+    // dt = 10 s; buckets 0 (ts 0,3,7), 10 (ts 12 NaN only), 20 (ts 25)
+    val df = pts(0L -> 2.0, 3L -> 4.0, 7L -> 6.0, 12L -> Double.NaN, 25L -> 9.0)
+    val got = SeriesOps.resample(df, 10 * S).collect()
+      .map(r => (r.getAs[Long]("bucket_ts") / S,
+        Option(r.getAs[Any]("mean_value")), r.getAs[Long]("n_points")))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, Some(4.0), 3L), (10L, None, 0L), (20L, Some(9.0), 1L)))
+    val b0 = SeriesOps.resample(df, 10 * S).where($"bucket_ts" === 0L).collect()(0)
+    assert(b0.getAs[Double]("min_value") == 2.0)
+    assert(b0.getAs[Double]("max_value") == 6.0)
+  }
+
+  test("interpolate: exact on samples, linear between, no extrapolation") {
+    // samples at 5 s -> 10.0, 20 s -> 40.0, 30 s -> 0.0; grid dt = 10 s
+    // span [5, 30] ⊃ grid {10, 20, 30}
+    val df = pts(5L -> 10.0, 20L -> 40.0, 30L -> 0.0)
+    val got = SeriesOps.interpolate(df, 10 * S).collect()
+      .map(r => (r.getAs[Long]("ts") / S, r.getAs[Double]("value"))).sortBy(_._1)
+    // g=10: 10 + (40-10)*(10-5)/(20-5) = 20; g=20 on-sample; g=30 on-sample
+    assert(got.toSeq == Seq(10L -> 20.0, 20L -> 40.0, 30L -> 0.0))
+  }
+
+  test("interpolate: NaN samples are not brackets; short spans yield no grid") {
+    val df = pts(5L -> 10.0, 10L -> Double.NaN, 15L -> 20.0)
+    val got = SeriesOps.interpolate(df, 10 * S).collect()
+      .map(r => (r.getAs[Long]("ts") / S, r.getAs[Double]("value")))
+    // grid {10}: NaN at 10 dropped → lerp between 5 and 15 = 15.0
+    assert(got.toSeq == Seq(10L -> 15.0))
+    // span [1, 7] contains no multiple of 10 → empty output, no sequence error
+    assert(SeriesOps.interpolate(pts(1L -> 1.0, 7L -> 2.0), 10 * S).count() == 0)
+  }
 }
