@@ -286,6 +286,10 @@ object SparkEntry {
       Sampling.deterministicSample(Tables(s, dir).documents, "doc_id", 0.1)
         .select("doc_id", "lang")
     }),
+    "sample_stratified" -> ((s, dir) => {
+      Sampling.stratifiedSample(Tables(s, dir).documents, "doc_id", "lang", 20)
+        .select("doc_id", "lang")
+    }),
 
     // ---- per-doc top TF-IDF terms ----
     "text_tfidf" -> ((s, dir) =>
@@ -743,6 +747,15 @@ object SparkEntry {
       s"""SELECT doc_id, lang FROM documents
          |WHERE ((${phSql("CAST(doc_id AS VARCHAR)", "0")}) * ${Sampling.saltMult("sample")}
          |  + ${Sampling.saltAdd("sample")}) % 1000000007 % 10000 < 1000""".stripMargin,
+
+    // Twin of Sampling.stratifiedSample: rank by the same Carter–Wegman
+    // hash within each lang stratum, keep the 20 smallest.
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ((${phSql("CAST(doc_id AS VARCHAR)", "0")}) * ${Sampling.saltMult("strat")}
+         |      + ${Sampling.saltAdd("strat")}) % 1000000007 ASC, doc_id ASC) AS rn
+         |  FROM documents) WHERE rn <= 20""".stripMargin,
 
     "text_chunks" ->
       """SELECT doc_id, CAST(start // 150 AS INTEGER) AS chunk_idx,

@@ -70,6 +70,33 @@ object Sampling {
     df.withColumn("split", labeled)
   }
 
+  /** Exact per-stratum quota sampling: the `perStratum` rows of each stratum
+    * with the smallest salt-keyed hash (ties broken by id). Where
+    * [[deterministicSample]] hits a fraction only in expectation, quotas
+    * here are EXACT — the standard way to cut balanced eval slices from a
+    * skewed corpus (a 90%-English crawl still yields `perStratum` docs per
+    * language). Deterministic in (id, salt): independent of partition
+    * layout, cluster size, and row order, and different salts draw
+    * independently (same Carter–Wegman argument as [[bucketOf]]).
+    *
+    * Scale shape: one shuffle on the stratum key; the rank filter is the
+    * only window over that key, so Spark 4's WindowGroupLimit prunes every
+    * map partition to its local top-`perStratum` BEFORE the shuffle
+    * (asserted in PlanSpec) — a Zipfian stratum ships O(partitions·n) rows,
+    * not its full population.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      perStratum: Int, salt: String = "strat"): DataFrame = {
+    require(perStratum > 0, s"perStratum must be positive, got $perStratum")
+    import org.apache.spark.sql.expressions.Window
+    val key = (PolyHash(col(idCol).cast("string"), 0L) * saltMult(salt)
+      + saltAdd(salt)) % PolyHash.Mod
+    val w = Window.partitionBy(stratumCol).orderBy(key.asc, col(idCol).asc)
+    df.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= perStratum)
+      .drop("__rank")
+  }
+
   /** Keep a deterministic `fraction` of rows, keyed on (id, salt). Because
     * the hash is uniform and independent of any other column, the sample is
     * automatically stratified in expectation over every stratum; exactness

@@ -124,6 +124,11 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(3000))
   }
 
+  test("stratified sampling gets WindowGroupLimit pushdown: map-side quota prune") {
+    val plan = planOf(SparkEntry.queries("sample_stratified")(spark, sfDir))
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
   test("inverted index gets WindowGroupLimit pushdown on its rank window") {
     // the posting-list cap must prune map-side BEFORE the term shuffle; a
     // second (unordered) window over the term key would block this

@@ -58,6 +58,29 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.deterministicSample(ids, "id", 1.0).count() == 10000L)
   }
 
+  test("stratifiedSample: exact quotas even from wildly skewed strata") {
+    // 9000 'en', 90 'de', 3 'fr' — quotas must be exact (or the whole
+    // stratum when it is smaller than the quota)
+    val df = spark.range(9093).toDF("id").withColumn("g",
+      when(col("id") < 9000, "en").when(col("id") < 9090, "de").otherwise("fr"))
+    val counts = Sampling.stratifiedSample(df, "id", "g", 50)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("en" -> 50L, "de" -> 50L, "fr" -> 3L), counts.toString)
+  }
+
+  test("stratifiedSample is layout-invariant and salt-keyed") {
+    val df = spark.range(1000).toDF("id")
+      .withColumn("g", (col("id") % 4).cast("string"))
+    def draw(d: org.apache.spark.sql.DataFrame, salt: String) =
+      Sampling.stratifiedSample(d, "id", "g", 25, salt)
+        .select("id").as[Long].collect().toSet
+    val a = draw(df, "strat")
+    assert(a == draw(df.repartition(13), "strat"), "repartition changed the draw")
+    val b = draw(df, "other-salt")
+    assert(a != b, "different salts must draw different rows")
+    assert(a.size == 100 && b.size == 100)
+  }
+
   test("tfIdfTopK matches a from-scratch reference on a handmade corpus") {
     val docs = Seq(
       (1L, "apple banana apple cherry"),
