@@ -335,6 +335,16 @@ object SparkEntry {
         .select(col("vec_id"), col("scale"),
           array_join(col("qvec").cast("array<string>"), ",").as("qvec"))),
 
+    // ---- benchmark decontamination: the held-out test split is the
+    // benchmark; any 5-token-gram overlap flags a training doc ----
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val bench = Sampling.assignSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .where(col("split") === "test")
+      TextOps.decontaminate(docs, bench, n = 5)
+    }),
+
     "text_lang_id" -> ((s, dir) => {
       TextOps.languageId(Tables(s, dir).documents).select("doc_id", "lang_pred")
     }),
@@ -844,6 +854,24 @@ object SparkEntry {
         |  CASE WHEN scale > 0 THEN list_transform(v, x -> CAST(round(x / scale) AS INTEGER))
         |       ELSE list_transform(v, x -> 0) END, ',') AS qvec
         |FROM s""".stripMargin,
+
+    // Twin of TextOps.decontaminate over the test-split benchmark: same
+    // 5-token grams (the MinhashPairsCtes slice algebra at k=5), same
+    // split boundary literal (bucket >= 9000) as the sample_split twin.
+    "decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS tk FROM documents),
+         |g AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 5
+         |  THEN list_transform(range(1, len(tk) - 3), i -> array_to_string(tk[i:i+4], ' '))
+         |  ELSE [] END) AS g FROM toks),
+         |bench AS (SELECT doc_id FROM documents
+         |  WHERE ((${phSql("CAST(doc_id AS VARCHAR)", "0")}) * ${Sampling.saltMult("split")}
+         |    + ${Sampling.saltAdd("split")}) % 1000000007 % 10000 >= 9000),
+         |bg AS (SELECT DISTINCT unnest(g.g) AS gram FROM g JOIN bench USING (doc_id)),
+         |dg AS (SELECT doc_id, unnest(g) AS gram FROM g),
+         |sh AS (SELECT dg.doc_id, count(*) AS n_shared_ngrams FROM dg JOIN bg USING (gram) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(sh.n_shared_ngrams, 0) AS n_shared_ngrams,
+         |  coalesce(sh.n_shared_ngrams, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN sh USING (doc_id)""".stripMargin,
 
     "text_tfidf" ->
       s"""WITH t AS (SELECT doc_id, unnest($Toks) AS term FROM documents),

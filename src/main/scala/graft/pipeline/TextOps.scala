@@ -201,6 +201,37 @@ object TextOps {
       regexp_replace(afterEmail, LongNumRe, "<NUM>").as("scrubbed"))
   }
 
+  /** Benchmark decontamination: count, per training document, the distinct
+    * `n`-token grams it shares with a benchmark/eval corpus, and flag any
+    * overlap — the standard guard against test-set leakage into pretraining
+    * data (n-gram–overlap decontamination; n is typically 8–13 for web
+    * corpora, parameterized here because the fixture documents are short).
+    *
+    * Scale shape: eval benchmarks are small (thousands of documents), so
+    * their deduped gram set is broadcast and the training side never
+    * shuffles its gram stream — explode → broadcast-hash semi-match →
+    * partial-combined count on the well-spread doc key. The output is one
+    * row per input document (contaminated = false for clean ones), so the
+    * result joins back onto the corpus as a filter column. For a benchmark
+    * too big to broadcast, drop the `broadcast` hint and the same plan
+    * becomes a gram-keyed equi-join.
+    */
+  def decontaminate(df: DataFrame, bench: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n > 0, s"gram size must be positive, got $n")
+    val docGrams = df.select(col(idCol),
+      explode(array_distinct(shingles(tokens(col(textCol)), n))).as("gram"))
+    val benchGrams = bench.select(
+      explode(array_distinct(shingles(tokens(col(textCol)), n))).as("gram"))
+      .distinct()
+    val shared = docGrams.join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared_ngrams"))
+    df.select(col(idCol))
+      .join(shared, Seq(idCol), "left")
+      .withColumn("n_shared_ngrams", coalesce(col("n_shared_ngrams"), lit(0L)))
+      .withColumn("contaminated", col("n_shared_ngrams") > 0)
+  }
+
   /** Per-document top-k TF-IDF terms: raw term frequency × smoothed inverse
     * document frequency `ln((N+1)/(df+1)) + 1`, ranked (tfidf desc, term
     * asc) within each document.

@@ -140,6 +140,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(2) == ((3L, 1L, "ping <EMAIL>")))
   }
 
+  test("decontaminate: counts distinct shared n-grams against the benchmark") {
+    val docs = Seq(
+      // shares exactly the 5-gram "the quick brown fox jumps" with bench
+      (1L, "note the quick brown fox jumps away"),
+      // no 5-token window overlaps the bench text
+      (2L, "a completely different sentence with no overlap at all"),
+      // shares two distinct 5-grams (two windows of the 6-token bench run)
+      (3L, "the quick brown fox jumps over something"),
+      // shorter than 5 tokens: never contaminated
+      (4L, "too short here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((99L, "the quick brown fox jumps over")).toDF("doc_id", "text")
+    val got = TextOps.decontaminate(docs, bench, n = 5)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 1L, true), (2L, 0L, false), (3L, 2L, true), (4L, 0L, false)))
+  }
+
   test("quantizeInt8: reconstruction within half a step, zero vector to zeros") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
