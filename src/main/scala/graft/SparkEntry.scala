@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Sessions, Tables}
 import graft.ops.{AsofJoin, Sessionize}
-import graft.pipeline.{Components, Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.pipeline.{Components, Dedup, Multimodal, Profile, Sampling, Similarity, TextOps}
 import graft.sources.{Netatmo, NetatmoSource}
 import graft.ts.{Evaluate, Rdp, SeriesOps, SeriesStore, StoreSource, HeartbeatSource, MockSource}
 import graft.ts.model.{AverageValue, Period}
@@ -136,6 +136,11 @@ object SparkEntry {
         .where(col("l_quantity") > 45.0 && col("l_discount") > 0.05)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
     }),
+
+    // ---- dataset profiling (one-scan column audit) ----
+    "profile_stats" -> ((s, dir) =>
+      Profile.numeric(Tables(s, dir).lineitem,
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
     // ---- time-series operators over the events-derived point table ----
     "ts_last_value" -> ((s, dir) => SeriesOps.lastValue(pts(s, dir))),
@@ -435,6 +440,22 @@ object SparkEntry {
     "q4_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
         |FROM lineitem WHERE l_quantity > 45.0 AND l_discount > 0.05""".stripMargin,
+
+    // Twin of Profile.numeric: one SELECT per profiled column; DuckDB's
+    // quantile_cont matches Spark's exact percentile interpolation
+    // (index p·(n-1), linear between neighbors).
+    "profile_stats" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count($c) AS n,
+           |  count(CASE WHEN $c IS NULL THEN 1 END) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_value,
+           |  CAST(max($c) AS DOUBLE) AS max_value,
+           |  avg($c) AS mean_value, quantile_cont($c, 0.5) AS median
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(one).mkString("\nUNION ALL\n")
+    },
 
     "ts_last_value" ->
       s"""WITH points AS ($PointsCte)

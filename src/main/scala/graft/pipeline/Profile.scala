@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling: per-column summary statistics — the schema-audit pass
+  * a training pipeline runs before trusting a new data drop (row counts,
+  * null rates, cardinality, range, central tendency).
+  *
+  * Scale shape: ONE scan of the input no matter how many columns are
+  * profiled — all statistics land in a single wide `agg` row that is then
+  * unpivoted driver-free (explode over an array of structs). Two costs are
+  * worth naming at 100 TB:
+  *
+  *  - multiple exact `count(DISTINCT)`s rewrite to a Catalyst Expand (input
+  *    replicated once per distinct column before partial aggregation);
+  *    `exact = false` swaps in `approx_count_distinct` (HyperLogLog++,
+  *    partial-merged, no Expand) — the right default at cluster scale, kept
+  *    exact here so the DuckDB oracle can hash-match;
+  *  - the exact median is a TypedImperativeAggregate (per-partition value
+  *    buffers merged on one reducer per column); `exact = false` swaps in
+  *    `approx_percentile` with a bounded t-digest-style sketch.
+  */
+object Profile {
+
+  def numeric(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      val x = col(c)
+      Seq(
+        count(x).as(s"${c}__n"),
+        count(when(x.isNull, lit(1))).as(s"${c}__n_null"),
+        (if (exact) count_distinct(x)
+         else approx_count_distinct(x)).as(s"${c}__n_distinct"),
+        min(x).cast("double").as(s"${c}__min"),
+        max(x).cast("double").as(s"${c}__max"),
+        avg(x).as(s"${c}__mean"),
+        (if (exact) percentile(x, lit(0.5))
+         else percentile_approx(x, lit(0.5), lit(10000)).cast("double"))
+          .as(s"${c}__median"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"${c}__n").as("n"),
+        col(s"${c}__n_null").as("n_null"),
+        col(s"${c}__n_distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_value"),
+        col(s"${c}__max").as("max_value"),
+        col(s"${c}__mean").as("mean_value"),
+        col(s"${c}__median").as("median"))
+    }
+    row.select(explode(array(structs: _*)).as("s")).select("s.*")
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.ops.Sessionize
-import graft.pipeline.{Similarity, TextOps}
+import graft.pipeline.{Profile, Similarity, TextOps}
 
 /** Semantics of the round-5 pipeline operators: sessionization boundaries,
   * chunk geometry, posting-list capping, repetition features, PII
@@ -156,6 +156,26 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, Long, Boolean)].collect().sortBy(_._1)
     assert(got.toSeq == Seq(
       (1L, 1L, true), (2L, 0L, false), (3L, 2L, true), (4L, 0L, false)))
+  }
+
+  test("profile: one-pass stats with nulls and an interpolated exact median") {
+    val df = Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), None).toDF("x")
+      .withColumn("y", lit(10.0))
+    val got = Profile.numeric(df, Seq("x", "y")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val x = got("x")
+    assert(x.getAs[Long]("n") == 4 && x.getAs[Long]("n_null") == 1)
+    assert(x.getAs[Long]("n_distinct") == 4)
+    assert(x.getAs[Double]("min_value") == 1.0 && x.getAs[Double]("max_value") == 4.0)
+    assert(x.getAs[Double]("mean_value") == 2.5)
+    // sorted [1,2,3,4]: index 0.5·3 = 1.5 → linear between 2 and 3
+    assert(x.getAs[Double]("median") == 2.5)
+    val y = got("y")
+    assert(y.getAs[Long]("n") == 5 && y.getAs[Long]("n_distinct") == 1)
+    assert(y.getAs[Double]("median") == 10.0)
+    // the approximate variant stays close on this tiny input
+    val ax = Profile.numeric(df, Seq("x"), exact = false).collect()(0)
+    assert(math.abs(ax.getAs[Long]("n_distinct") - 4L) <= 1)
   }
 
   test("quantizeInt8: reconstruction within half a step, zero vector to zeros") {
