@@ -322,6 +322,11 @@ object SparkEntry {
     // verified identical: exact-gap successors merge in both)
     "events_session_window" -> ((s, dir) =>
       Sessionize.sessionWindows(Tables(s, dir).eventsUs, "30 minutes")),
+    // ordered funnel: earliest signup, first click strictly after it,
+    // first purchase strictly after that
+    "events_funnel" -> ((s, dir) =>
+      graft.ops.Funnel.funnel(Tables(s, dir).eventsUs,
+        Seq("signup", "click", "purchase"))),
 
     // ---- salted join (heavy-hitter resilience; == plain join) ----
     "skew_join" -> ((s, dir) => {
@@ -857,6 +862,20 @@ object SparkEntry {
         |SELECT user_id, session_idx, min(ts) AS start_ns, max(ts) AS end_ns,
         |  max(ts) - min(ts) AS duration_ns, count(*) AS n_events
         |FROM x GROUP BY 1, 2""".stripMargin,
+    // Twin of Funnel.funnel: each stage is the min event time of its type
+    // strictly after the previous stage, per user.
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t_1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t_2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t_1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t_3 FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t_2 GROUP BY 1)
+        |SELECT s1.user_id, s1.t_1, s2.t_2, s3.t_3,
+        |  1 + (CASE WHEN s2.t_2 IS NOT NULL THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s3.t_3 IS NOT NULL THEN 1 ELSE 0 END) AS stage_reached
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+
     // Twin of the salted join: salting must be invisible in the result, so
     // the oracle is the PLAIN join (min/count are order-independent, no
     // float-summation hazard).

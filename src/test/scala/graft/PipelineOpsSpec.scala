@@ -158,6 +158,28 @@ class PipelineOpsSpec extends SparkSpec {
       (1L, 1L, true), (2L, 0L, false), (3L, 2L, true), (4L, 0L, false)))
   }
 
+  test("funnel: strictly-ordered stages; out-of-order and same-instant don't advance") {
+    val events = Seq(
+      // u1 completes in order
+      (1L, "signup", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // u2: click BEFORE signup (doesn't count), another click after, no purchase
+      (2L, "click", 5L), (2L, "signup", 10L), (2L, "click", 15L),
+      // u3: click at the same instant as signup — strict > rejects it
+      (3L, "signup", 10L), (3L, "click", 10L),
+      // u4: never signs up -> absent from the funnel
+      (4L, "click", 1L), (4L, "purchase", 2L)
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.ops.Funnel.funnel(events, Seq("signup", "click", "purchase"))
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        (Option(r.getAs[Any]("t_1")), Option(r.getAs[Any]("t_2")),
+          Option(r.getAs[Any]("t_3"))), r.getAs[Int]("stage_reached")))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, (Some(10L), Some(20L), Some(30L)), 3),
+      (2L, (Some(10L), Some(15L), None), 2),
+      (3L, (Some(10L), None, None), 1)))
+  }
+
   test("profile: one-pass stats with nulls and an interpolated exact median") {
     val df = Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), None).toDF("x")
       .withColumn("y", lit(10.0))
