@@ -167,6 +167,7 @@ object SparkEntry {
     }),
     "ts_rdp" -> ((s, dir) => Rdp.downsample(pts(s, dir))),
     "ts_resample" -> ((s, dir) => SeriesOps.resample(pts(s, dir), 86400L * NsPerS)),
+    "ts_rolling" -> ((s, dir) => SeriesOps.rolling(pts(s, dir), 3 * 86400L * NsPerS)),
     "ts_interpolate" -> ((s, dir) => SeriesOps.interpolate(pts(s, dir), 86400L * NsPerS)),
     "ts_asof_join" -> ((s, dir) => {
       val e = Tables(s, dir).eventsUs
@@ -588,6 +589,15 @@ object SparkEntry {
          |  max(value) FILTER (WHERE NOT isnan(value)) AS max_value,
          |  count(value) FILTER (WHERE NOT isnan(value)) AS n_points
          |FROM points GROUP BY 1, 2""".stripMargin,
+    "ts_rolling" ->
+      s"""WITH points AS ($PointsCte)
+         |SELECT series_id, ts, value,
+         |  avg(CASE WHEN NOT isnan(value) THEN value END) OVER w AS roll_mean,
+         |  min(CASE WHEN NOT isnan(value) THEN value END) OVER w AS roll_min,
+         |  max(CASE WHEN NOT isnan(value) THEN value END) OVER w AS roll_max,
+         |  count(CASE WHEN NOT isnan(value) THEN value END) OVER w AS roll_n
+         |FROM points WINDOW w AS (PARTITION BY series_id ORDER BY ts
+         |  RANGE BETWEEN ${3 * 86400L * NsPerS} PRECEDING AND CURRENT ROW)""".stripMargin,
     // Twin of SeriesOps.interpolate — the SAME sorted-union-window shape
     // (linear, no per-grid-point probes) so it also finishes at sf0.1; the
     // CASE/lerp arithmetic mirrors the Spark expression order exactly.

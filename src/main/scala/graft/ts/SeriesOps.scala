@@ -238,6 +238,30 @@ object SeriesOps {
           .as("value"))
   }
 
+  /** Trailing rolling-window statistics: for every point, the NaN-safe
+    * mean/min/max/count over `[ts - windowNs, ts]` of its own series — the
+    * smoothing the reference dashboards apply visually, as a queryable
+    * operator. A RANGE frame (not ROWS): weather axes are irregular, so the
+    * lookback is defined in time, not in samples; duplicate timestamps are
+    * frame peers in both engines.
+    *
+    * Scale shape: one shuffle+sort on the series key; the range frame is
+    * evaluated in a single pass over each sorted partition (Spark's sliding
+    * frame keeps a running aggregate buffer, it does not re-scan the
+    * window per row).
+    */
+  def rolling(points: DataFrame, windowNs: Long): DataFrame = {
+    require(windowNs >= 0, s"window must be non-negative, got $windowNs")
+    val w = Window.partitionBy("series_id").orderBy(col("ts"))
+      .rangeBetween(-windowNs, 0)
+    val v = when(notNan(col("value")), col("value"))
+    points.select(col("series_id"), col("ts"), col("value"),
+      avg(v).over(w).as("roll_mean"),
+      min(v).over(w).as("roll_min"),
+      max(v).over(w).as("roll_max"),
+      count(v).over(w).as("roll_n"))
+  }
+
   /** O4: stream tail limit — keep only the newest `n` points per series,
     * the reference's Bokeh `stream(new, 100)` display buffer
     * (reference: visual/dashboard_test.py:81). Deterministic tie-break on

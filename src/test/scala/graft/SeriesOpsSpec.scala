@@ -113,6 +113,21 @@ class SeriesOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(10L -> 20.0, 20L -> 40.0, 30L -> 0.0))
   }
 
+  test("rolling: trailing time window is inclusive and NaN-safe") {
+    // window 10 s; point at 15 sees ts in [5, 15] → values at 5 (NaN
+    // excluded from stats), 10, 15
+    val df = pts(0L -> 1.0, 5L -> Double.NaN, 10L -> 3.0, 15L -> 5.0)
+    val got = SeriesOps.rolling(df, 10 * S).collect()
+      .map(r => (r.getAs[Long]("ts") / S,
+        Option(r.getAs[Any]("roll_mean")), r.getAs[Long]("roll_n")))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, Some(1.0), 1L),   // [−10, 0]: just itself
+      (5L, Some(1.0), 1L),   // [−5, 5]: 1.0 and the NaN (excluded)
+      (10L, Some(2.0), 2L),  // [0, 10]: 1.0, NaN, 3.0 → mean 2
+      (15L, Some(4.0), 2L))) // [5, 15]: NaN, 3.0, 5.0 → mean 4
+  }
+
   test("interpolate: NaN samples are not brackets; short spans yield no grid") {
     val df = pts(5L -> 10.0, 10L -> Double.NaN, 15L -> 20.0)
     val got = SeriesOps.interpolate(df, 10 * S).collect()
