@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Sessions, Tables}
-import graft.ops.{AsofJoin, Sessionize}
-import graft.pipeline.{Components, Dedup, Multimodal, Profile, Sampling, Similarity, TextOps}
+import graft.ops.{AsofJoin, Retention, Sessionize}
+import graft.pipeline.{Components, Dedup, Multimodal, Packing, Profile, Sampling, Similarity, TextOps}
 import graft.sources.{Netatmo, NetatmoSource}
 import graft.ts.{Evaluate, Rdp, SeriesOps, SeriesStore, StoreSource, HeartbeatSource, MockSource}
 import graft.ts.model.{AverageValue, Period}
@@ -141,6 +141,8 @@ object SparkEntry {
     "profile_stats" -> ((s, dir) =>
       Profile.numeric(Tables(s, dir).lineitem,
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    "profile_histogram" -> ((s, dir) =>
+      Profile.histogram(Tables(s, dir).events, "value", 0.0, 500.0, 50)),
 
     // ---- time-series operators over the events-derived point table ----
     "ts_last_value" -> ((s, dir) => SeriesOps.lastValue(pts(s, dir))),
@@ -169,6 +171,15 @@ object SparkEntry {
     "ts_resample" -> ((s, dir) => SeriesOps.resample(pts(s, dir), 86400L * NsPerS)),
     "ts_rolling" -> ((s, dir) => SeriesOps.rolling(pts(s, dir), 3 * 86400L * NsPerS)),
     "ts_interpolate" -> ((s, dir) => SeriesOps.interpolate(pts(s, dir), 86400L * NsPerS)),
+    "ts_anomaly" -> ((s, dir) => SeriesOps.anomaly(pts(s, dir), 3.0)),
+    // pairwise correlation is inherently quadratic in the series set, so
+    // the query selects a bounded station group (user_id < 25) up front
+    "ts_corr" -> ((s, dir) => {
+      val p = Tables(s, dir).eventsUs.where(col("user_id") < 25)
+        .select(concat(lit("shyft://events/u"), col("user_id"), lit("/"),
+          col("event_type")).as("series_id"), col("ts"), col("value"))
+      SeriesOps.pairCorrelation(p, 86400L * NsPerS)
+    }),
     "ts_asof_join" -> ((s, dir) => {
       val e = Tables(s, dir).eventsUs
       val left = e.where(col("event_type") === "click")
@@ -328,6 +339,7 @@ object SparkEntry {
     "events_funnel" -> ((s, dir) =>
       graft.ops.Funnel.funnel(Tables(s, dir).eventsUs,
         Seq("signup", "click", "purchase"))),
+    "events_retention" -> ((s, dir) => Retention.retention(Tables(s, dir).eventsUs)),
 
     // ---- salted join (heavy-hitter resilience; == plain join) ----
     "skew_join" -> ((s, dir) => {
@@ -355,6 +367,12 @@ object SparkEntry {
         .where(col("split") === "test")
       TextOps.decontaminate(docs, bench, n = 5)
     }),
+    // shardWidth 100 forces multiple shards at sf0.01 so the distributed
+    // prefix sum is exercised, not just the single-shard degenerate case
+    "pack_sequences" -> ((s, dir) =>
+      Packing.packSequences(Tables(s, dir).documents, 512, shardWidth = 100)),
+    "corpus_divergence" -> ((s, dir) =>
+      TextOps.unigramDivergence(Tables(s, dir).documents, col("lang") === "en")),
 
     "text_lang_id" -> ((s, dir) => {
       TextOps.languageId(Tables(s, dir).documents).select("doc_id", "lang_pred")
@@ -462,6 +480,18 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(one).mkString("\nUNION ALL\n")
     },
+    // Twin of Profile.histogram: identical IEEE bin arithmetic (the width
+    // expression is written out, not precomputed, so both engines fold the
+    // same constants).
+    "profile_histogram" ->
+      """WITH x AS (SELECT value AS v FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value) AND value >= 0.0 AND value <= 500.0),
+        |b AS (SELECT least(CAST(floor((v - 0.0) / ((500.0 - 0.0) / 50)) AS BIGINT), 49) AS bin_id, v FROM x)
+        |SELECT bin_id, count(*) AS n, min(v) AS min_value, max(v) AS max_value,
+        |  avg(v) AS mean_value,
+        |  0.0 + bin_id * ((500.0 - 0.0) / 50) AS lo_edge,
+        |  0.0 + (bin_id + 1) * ((500.0 - 0.0) / 50) AS hi_edge
+        |FROM b GROUP BY bin_id""".stripMargin,
 
     "ts_last_value" ->
       s"""WITH points AS ($PointsCte)
@@ -621,6 +651,38 @@ object SparkEntry {
          |SELECT series_id, ts, CASE WHEN pt = ts THEN pv
          |  ELSE pv + (nv - pv) * (ts - pt) / (nt - pt) END AS value
          |FROM w WHERE grid = 1""".stripMargin
+    },
+    "ts_anomaly" ->
+      s"""WITH points AS ($PointsCte),
+         |p AS (SELECT series_id, ts, value FROM points WHERE NOT isnan(value)),
+         |st AS (SELECT *, avg(value) OVER w AS m, stddev_samp(value) OVER w AS s
+         |  FROM p WINDOW w AS (PARTITION BY series_id))
+         |SELECT series_id, ts, value,
+         |  CASE WHEN s > 0 THEN (value - m) / s END AS z_score,
+         |  coalesce(CASE WHEN s > 0 THEN abs((value - m) / s) > 3.0 END, false) AS is_anomaly
+         |FROM st""".stripMargin,
+    // Twin of SeriesOps.pairCorrelation: same resample reduction, same
+    // canonical pair join, and the co-moment corr formula written with the
+    // identical operation order.
+    "ts_corr" -> {
+      val day = 86400L * NsPerS
+      s"""WITH points AS (SELECT 'shyft://events/u' || user_id || '/' || event_type AS series_id,
+         |  epoch_ns(ts) AS ts, value FROM events WHERE user_id < 25),
+         |b AS (SELECT series_id, ts - ts % $day AS bucket_ts,
+         |  avg(value) FILTER (WHERE NOT isnan(value)) AS mv FROM points GROUP BY 1, 2),
+         |nb AS (SELECT * FROM b WHERE mv IS NOT NULL),
+         |s AS (SELECT a.series_id AS series_a, c.series_id AS series_b,
+         |  count(*) AS n_buckets, sum(a.mv) AS sx, sum(c.mv) AS sy,
+         |  sum(a.mv * a.mv) AS sxx, sum(c.mv * c.mv) AS syy, sum(a.mv * c.mv) AS sxy
+         |  FROM nb a JOIN nb c USING (bucket_ts)
+         |  WHERE a.series_id < c.series_id GROUP BY 1, 2)
+         |SELECT series_a, series_b, n_buckets,
+         |  CASE WHEN CAST(n_buckets AS DOUBLE) * sxx - sx * sx > 0
+         |        AND CAST(n_buckets AS DOUBLE) * syy - sy * sy > 0
+         |    THEN (CAST(n_buckets AS DOUBLE) * sxy - sx * sy)
+         |      / sqrt((CAST(n_buckets AS DOUBLE) * sxx - sx * sx)
+         |           * (CAST(n_buckets AS DOUBLE) * syy - sy * sy)) END AS corr
+         |FROM s""".stripMargin
     },
     "ts_current_bands" ->
       s"""WITH points AS ($PointsCte),
@@ -885,6 +947,14 @@ object SparkEntry {
         |  1 + (CASE WHEN s2.t_2 IS NOT NULL THEN 1 ELSE 0 END)
         |    + (CASE WHEN s3.t_3 IS NOT NULL THEN 1 ELSE 0 END) AS stage_reached
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+    // Twin of Retention.retention; `//` floors like Spark's `div` because
+    // epoch days are non-negative here.
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |f AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM e)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM f GROUP BY 1, 2""".stripMargin,
 
     // Twin of the salted join: salting must be invisible in the result, so
     // the oracle is the PLAIN join (min/count are order-independent, no
@@ -922,6 +992,37 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(sh.n_shared_ngrams, 0) AS n_shared_ngrams,
          |  coalesce(sh.n_shared_ngrams, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN sh USING (doc_id)""".stripMargin,
+    // Twin of Packing.packSequences: a plain global running sum here — the
+    // Spark side's sharded prefix sum must land on byte-identical offsets.
+    // sum() OVER is HUGEINT in DuckDB, hence the CAST (see sim_srp note).
+    "pack_sequences" ->
+      s"""WITH lens AS (SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_toks FROM documents),
+         |nz AS (SELECT * FROM lens WHERE n_toks > 0),
+         |c AS (SELECT doc_id, n_toks,
+         |  CAST(sum(n_toks) OVER (ORDER BY doc_id) AS BIGINT) AS e FROM nz),
+         |s AS (SELECT doc_id, n_toks, e - n_toks AS st, e FROM c),
+         |x AS (SELECT doc_id, n_toks, st, e,
+         |  unnest(range(st // 512, ((e - 1) // 512) + 1)) AS chunk_id FROM s)
+         |SELECT doc_id, n_toks, chunk_id,
+         |  greatest(chunk_id * 512, st) - st AS tok_start,
+         |  least((chunk_id + 1) * 512, e) - st AS tok_end
+         |FROM x""".stripMargin,
+    // Twin of TextOps.unigramDivergence: identical smoothing and p/q/m
+    // algebra; counts CAST out of HUGEINT before pandas sees them.
+    "corpus_divergence" ->
+      s"""WITH toks AS (SELECT lang = 'en' AS a, unnest($Toks) AS term FROM documents),
+         |counts AS (SELECT term,
+         |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |  CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+         |  FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb,
+         |  count(*) AS v FROM counts),
+         |pq AS (SELECT (ca + 1.0) / (ta + v) AS p, (cb + 1.0) / (tb + v) AS q,
+         |  ((ca + 1.0) / (ta + v) + (cb + 1.0) / (tb + v)) / 2 AS m, ta, tb, v
+         |  FROM counts, tot)
+         |SELECT sum(0.5 * p * ln(p / m) + 0.5 * q * ln(q / m)) AS js_divergence,
+         |  max(v) AS n_vocab, max(ta) AS n_tokens_a, max(tb) AS n_tokens_b
+         |FROM pq""".stripMargin,
 
     "text_tfidf" ->
       s"""WITH t AS (SELECT doc_id, unnest($Toks) AS term FROM documents),

@@ -52,4 +52,31 @@ object Profile {
     }
     row.select(explode(array(structs: _*)).as("s")).select("s.*")
   }
+
+  /** Fixed-width histogram of a numeric column over `[lo, hi]`: rows land
+    * in bin `floor((x − lo)/width)` with the top edge folded into the last
+    * bin, and each occupied bin reports count, min/max/mean — the
+    * distribution check that follows [[numeric]]'s range audit. Rows
+    * outside `[lo, hi]` (and null/NaN) are excluded by contract; bound the
+    * range from a prior profile pass.
+    *
+    * Scale shape: one scan, one partial-combined aggregation on at most
+    * `nBins` keys — output size is independent of input size. The bin
+    * arithmetic is plain IEEE double math mirrored verbatim in the SQL
+    * twin, so bin assignment is bit-identical across engines.
+    */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val width = (hi - lo) / nBins
+    val x = col(valueCol).cast("double")
+    df.where(x.isNotNull && !isnan(x) && x >= lo && x <= hi)
+      .groupBy(least(floor((x - lo) / width).cast("long"), lit(nBins - 1L))
+        .as("bin_id"))
+      .agg(count(lit(1)).as("n"),
+        min(x).as("min_value"), max(x).as("max_value"), avg(x).as("mean_value"))
+      .withColumn("lo_edge", lit(lo) + col("bin_id") * width)
+      .withColumn("hi_edge", lit(lo) + (col("bin_id") + 1) * width)
+  }
 }

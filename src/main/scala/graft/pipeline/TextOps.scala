@@ -261,6 +261,40 @@ object TextOps {
       .where(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("rank"), col("tfidf"))
   }
+
+  /** Jensen–Shannon divergence between the unigram distributions of two
+    * corpus slices (`inSliceA` true vs false) with add-one smoothing over
+    * the joint vocabulary — the drift check a pipeline runs when a new
+    * data drop claims to be "the same distribution" as the last one, and
+    * the standard measure for how far a filtered subset strayed from the
+    * full corpus. Returns ONE row: `js_divergence` (nats, 0 ≤ js ≤ ln 2),
+    * vocabulary size and per-slice token totals.
+    *
+    * Scale shape: explode → one partial-combined count on the term key
+    * (both slices counted in the same pass, no per-slice scans), a
+    * metadata-scale totals row broadcast back, and a final full reduction
+    * — no join on anything wider than the vocabulary. The p/q/m algebra is
+    * mirrored verbatim in the SQL twin.
+    */
+  def unigramDivergence(df: DataFrame, inSliceA: Column,
+      textCol: Column = col("text")): DataFrame = {
+    val counts = df.select(inSliceA.as("__a"), explode(tokens(textCol)).as("term"))
+      .groupBy("term")
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("cb"))
+    val totals = counts.agg(sum("ca").as("ta"), sum("cb").as("tb"),
+      count(lit(1)).as("v"))
+    val p = (col("ca") + lit(1.0)) / (col("ta") + col("v"))
+    val q = (col("cb") + lit(1.0)) / (col("tb") + col("v"))
+    counts.crossJoin(broadcast(totals))
+      .select(p.as("__p"), q.as("__q"), ((p + q) / 2).as("__m"),
+        col("ta"), col("tb"), col("v"))
+      .agg(sum(lit(0.5) * col("__p") * log(col("__p") / col("__m"))
+          + lit(0.5) * col("__q") * log(col("__q") / col("__m")))
+          .as("js_divergence"),
+        max("v").as("n_vocab"), max("ta").as("n_tokens_a"),
+        max("tb").as("n_tokens_b"))
+  }
 }
 
 /** Tiny per-language stopword dictionaries (public common words). */

@@ -262,6 +262,71 @@ object SeriesOps {
       count(v).over(w).as("roll_n"))
   }
 
+  /** Per-series anomaly scoring: the z-score of each point against ITS OWN
+    * series' mean and sample standard deviation, and a flag for |z| beyond
+    * `z` — the first-pass outlier screen run before trusting a sensor's
+    * data drop. NaN samples are dropped; a series with fewer than two
+    * points or zero variance yields null z-scores (never a division by
+    * zero) and `is_anomaly = false`.
+    *
+    * Scale shape: one shuffle on the series key; both moments come from an
+    * unordered whole-partition window frame (no sort — Spark evaluates the
+    * unbounded frame with a single running aggregate per partition), so the
+    * stats join-back a groupBy would need never happens.
+    */
+  def anomaly(points: DataFrame, z: Double = 3.0): DataFrame = {
+    require(z > 0, s"z threshold must be positive, got $z")
+    val w = Window.partitionBy("series_id")
+    points.where(notNan(col("value")))
+      .select(col("series_id"), col("ts"), col("value"),
+        avg("value").over(w).as("__m"), stddev_samp("value").over(w).as("__s"))
+      .select(col("series_id"), col("ts"), col("value"),
+        when(col("__s") > 0, (col("value") - col("__m")) / col("__s")).as("z_score"))
+      .withColumn("is_anomaly", coalesce(abs(col("z_score")) > z, lit(false)))
+  }
+
+  /** Pairwise Pearson correlation between series, aligned on a fixed
+    * `dtNs` resample grid: each series is reduced to bucket means (see
+    * [[resample]]), buckets are matched exactly, and the correlation is
+    * computed from co-moment sums over the shared buckets. Pairs are
+    * canonical (`series_a < series_b`); pairs with under-2 shared buckets
+    * or zero variance on either side emit null.
+    *
+    * Scale shape: the resample is the 100 TB-safe first-stage reduction
+    * (raw points never meet the join); the bucket equi-join then carries
+    * ~k rows per bucket and k² pair-rows per bucket for k series — the
+    * inherent cost of all-pairs correlation, so this is an operator for a
+    * SELECTED series set (dashboards, station groups), not an unbounded
+    * corpus; the final aggregation is partial-combined on the pair key.
+    * The formula is the textbook `(n·Σxy − ΣxΣy) / √((n·Σx² − (Σx)²)
+    * ·(n·Σy² − (Σy)²))`, written identically in the SQL twin so both
+    * engines share the exact arithmetic.
+    */
+  def pairCorrelation(points: DataFrame, dtNs: Long): DataFrame = {
+    val b = resample(points, dtNs)
+      .where(col("mean_value").isNotNull)
+      .select(col("series_id"), col("bucket_ts"), col("mean_value"))
+    val left = b.select(col("series_id").as("series_a"), col("bucket_ts"),
+      col("mean_value").as("__x"))
+    val right = b.select(col("series_id").as("series_b"), col("bucket_ts"),
+      col("mean_value").as("__y"))
+    val sums = left.join(right, Seq("bucket_ts"))
+      .where(col("series_a") < col("series_b"))
+      .groupBy("series_a", "series_b")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+    val n = col("n_buckets").cast("double")
+    val vx = n * col("__sxx") - col("__sx") * col("__sx")
+    val vy = n * col("__syy") - col("__sy") * col("__sy")
+    sums.select(col("series_a"), col("series_b"), col("n_buckets"),
+      when(vx > 0 && vy > 0,
+        (n * col("__sxy") - col("__sx") * col("__sy")) / sqrt(vx * vy))
+        .as("corr"))
+  }
+
   /** O4: stream tail limit — keep only the newest `n` points per series,
     * the reference's Bokeh `stream(new, 100)` display buffer
     * (reference: visual/dashboard_test.py:81). Deterministic tie-break on

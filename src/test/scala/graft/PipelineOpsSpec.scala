@@ -214,4 +214,61 @@ class PipelineOpsSpec extends SparkSpec {
       assert(math.abs(x - q * s1) <= s1 / 2 + 1e-12) }
     assert(got(2L) == ((0.0, Seq(0, 0))))
   }
+
+  test("histogram: edge folding, out-of-range exclusion, exact per-bin stats") {
+    val df = Seq(-0.1, 0.0, 0.5, 0.99, 1.0, 5.0, 9.99, 10.0, 10.1)
+      .toDF("x")
+    // [0, 10] in 10 bins of width 1; -0.1 and 10.1 excluded; 10.0 folds
+    // into bin 9; 1.0 lands in bin 1
+    val got = Profile.histogram(df, "x", 0.0, 10.0, 10).collect()
+      .map(r => r.getAs[Long]("bin_id") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("min_value"),
+          r.getAs[Double]("max_value"), r.getAs[Double]("lo_edge"),
+          r.getAs[Double]("hi_edge")))).toMap
+    assert(got.keySet == Set(0L, 1L, 5L, 9L))
+    assert(got(0L) == ((3L, 0.0, 0.99, 0.0, 1.0)))
+    assert(got(1L) == ((1L, 1.0, 1.0, 1.0, 2.0)))
+    assert(got(5L) == ((1L, 5.0, 5.0, 5.0, 6.0)))
+    assert(got(9L) == ((2L, 9.99, 10.0, 9.0, 10.0)))
+    // NaN and null never land in a bin
+    val withBad = Seq(Some(1.0), Some(Double.NaN), None).toDF("x")
+    assert(Profile.histogram(withBad, "x", 0.0, 10.0, 10)
+      .agg(sum("n")).collect()(0).getLong(0) == 1L)
+  }
+
+  test("unigramDivergence: zero for identical slices, matches from-scratch JS") {
+    // identical text in both slices → p == q → js exactly 0
+    val same = Seq((true, "alpha beta gamma"), (false, "alpha beta gamma"))
+      .toDF("a", "text")
+    val z = TextOps.unigramDivergence(same, col("a")).collect()(0)
+    assert(math.abs(z.getAs[Double]("js_divergence")) < 1e-15)
+    assert(z.getAs[Long]("n_vocab") == 3L)
+    assert(z.getAs[Long]("n_tokens_a") == 3L && z.getAs[Long]("n_tokens_b") == 3L)
+
+    // disjoint slices vs a from-scratch smoothed-JS computation
+    val df = Seq((true, "aa aa bb"), (false, "cc")).toDF("a", "text")
+    val got = TextOps.unigramDivergence(df, col("a")).collect()(0)
+    val counts = Map("aa" -> (2L, 0L), "bb" -> (1L, 0L), "cc" -> (0L, 1L))
+    val (ta, tb, v) = (3.0, 1.0, 3.0)
+    val js = counts.values.map { case (ca, cb) =>
+      val p = (ca + 1.0) / (ta + v); val q = (cb + 1.0) / (tb + v)
+      val m = (p + q) / 2
+      0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+    }.sum
+    assert(math.abs(got.getAs[Double]("js_divergence") - js) < 1e-12)
+    assert(got.getAs[Long]("n_vocab") == 3L)
+  }
+
+  test("retention: offset-0 cells equal cohort sizes; revisits count distinct users") {
+    val day = 10L
+    // users 1,2 start day 0; user 1 returns day 1 twice (counted once),
+    // user 3 starts day 1 and returns day 3
+    val events = Seq(
+      (1L, 0L), (2L, 5L), (1L, 12L), (1L, 13L), (3L, 15L), (3L, 31L))
+      .toDF("user_id", "ts")
+    val got = graft.ops.Retention.retention(events, dayNs = day).collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("day_offset")) ->
+        r.getAs[Long]("n_users")).toMap
+    assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (1L, 0L) -> 1L, (1L, 2L) -> 1L))
+  }
 }

@@ -128,6 +128,55 @@ class SeriesOpsSpec extends SparkSpec {
       (15L, Some(4.0), 2L))) // [5, 15]: NaN, 3.0, 5.0 → mean 4
   }
 
+  test("anomaly: z-scores against own-series moments; degenerate series never divide by zero") {
+    // series s: values 0,0,0,0,10 → mean 2, sample std sqrt((4·4+64)/4)=sqrt(20)
+    val df = pts(0L -> 0.0, 1L -> 0.0, 2L -> 0.0, 3L -> 0.0, 4L -> 10.0)
+    val got = SeriesOps.anomaly(df, z = 1.5).collect()
+      .map(r => (r.getAs[Long]("ts") / S, r.getAs[Double]("z_score"),
+        r.getAs[Boolean]("is_anomaly"))).sortBy(_._1)
+    val sd = math.sqrt(20.0)
+    got.foreach { case (t, zv, flag) =>
+      val expected = if (t == 4L) 8.0 / sd else -2.0 / sd
+      assert(math.abs(zv - expected) < 1e-12, s"t=$t")
+      assert(flag == (t == 4L), s"t=$t")
+    }
+    // constant series: std 0 → null z, flag false (not a crash, not true)
+    val const = SeriesOps.anomaly(pts(0L -> 5.0, 1L -> 5.0)).collect()
+    assert(const.forall(r => r.isNullAt(r.fieldIndex("z_score"))
+      && !r.getAs[Boolean]("is_anomaly")))
+    // NaN samples are dropped entirely, not scored
+    assert(SeriesOps.anomaly(pts(0L -> 1.0, 1L -> Double.NaN, 2L -> 3.0)).count() == 2)
+  }
+
+  test("pairCorrelation: exact ±1 on linear pairs, null on zero variance, canonical order") {
+    val rows = Seq.tabulate(4) { i =>
+      Seq(("a", i.toLong * 10 * S, i.toDouble),       // x
+        ("b", i.toLong * 10 * S, 2.0 * i + 7),        // perfectly +corr with a
+        ("c", i.toLong * 10 * S, -3.0 * i),           // perfectly −corr with a
+        ("d", i.toLong * 10 * S, 42.0))               // constant → null corr
+    }.flatten.toDF("series_id", "ts", "value")
+    val got = SeriesOps.pairCorrelation(rows, 10 * S).collect()
+      .map(r => ((r.getAs[String]("series_a"), r.getAs[String]("series_b")),
+        (r.getAs[Long]("n_buckets"), Option(r.getAs[Any]("corr"))))).toMap
+    assert(got.keySet == Set(("a","b"), ("a","c"), ("a","d"), ("b","c"), ("b","d"), ("c","d")))
+    assert(got(("a","b"))._1 == 4L)
+    assert(math.abs(got(("a","b"))._2.get.asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(math.abs(got(("a","c"))._2.get.asInstanceOf[Double] + 1.0) < 1e-12)
+    assert(math.abs(got(("b","c"))._2.get.asInstanceOf[Double] + 1.0) < 1e-12)
+    assert(got(("a","d"))._2.isEmpty && got(("b","d"))._2.isEmpty && got(("c","d"))._2.isEmpty)
+  }
+
+  test("pairCorrelation: only shared resample buckets enter the sums") {
+    // a has buckets {0,10,20,30}, b only {10,20}: n_buckets must be 2 and
+    // the correlation computed over the shared buckets alone
+    val rows = (Seq.tabulate(4)(i => ("a", i.toLong * 10 * S, i.toDouble))
+      ++ Seq(("b", 10 * S, 5.0), ("b", 20 * S, 9.0))).toDF("series_id", "ts", "value")
+    val got = SeriesOps.pairCorrelation(rows, 10 * S).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("n_buckets") == 2L)
+    assert(math.abs(got(0).getAs[Double]("corr") - 1.0) < 1e-12)
+  }
+
   test("interpolate: NaN samples are not brackets; short spans yield no grid") {
     val df = pts(5L -> 10.0, 10L -> Double.NaN, 15L -> 20.0)
     val got = SeriesOps.interpolate(df, 10 * S).collect()
