@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Sessions, Tables}
 import graft.ops.{AsofJoin, Retention, Sessionize}
-import graft.pipeline.{Components, Dedup, Multimodal, Packing, Profile, Sampling, Similarity, TextOps}
+import graft.pipeline.{Components, Dedup, Multimodal, Packing, Profile, Sampling, SemiStructured, Similarity, TextOps}
 import graft.sources.{Netatmo, NetatmoSource}
 import graft.ts.{Evaluate, Rdp, SeriesOps, SeriesStore, StoreSource, HeartbeatSource, MockSource}
 import graft.ts.model.{AverageValue, Period}
@@ -135,6 +135,20 @@ object SparkEntry {
       Tables(s, dir).lineitem
         .where(col("l_quantity") > 45.0 && col("l_discount") > 0.05)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    }),
+    // ROLLUP goes through the SQL surface: Dataset.rollup on a join output
+    // false-positives Spark 4's ambiguous-self-join detector (the Expand
+    // re-resolves grouping attrs against the join), and GROUP BY ROLLUP over
+    // a view of the same plan optimizes to the identical Expand+Aggregate.
+    "q5_rollup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "c_acctbal")
+        .createOrReplaceTempView("q5_joined")
+      s.sql("""SELECT r_name, n_name, count(1) AS n_cust, sum(c_acctbal) AS acctbal
+              |FROM q5_joined GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
     }),
 
     // ---- dataset profiling (one-scan column audit) ----
@@ -340,6 +354,14 @@ object SparkEntry {
       graft.ops.Funnel.funnel(Tables(s, dir).eventsUs,
         Seq("signup", "click", "purchase"))),
     "events_retention" -> ((s, dir) => Retention.retention(Tables(s, dir).eventsUs)),
+    // typed JSON projection out of the props payload, then a per-type audit
+    "events_json" -> ((s, dir) =>
+      SemiStructured.extractJson(
+        Tables(s, dir).events.select("event_type", "props"), "props", "k INT")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), count("k").as("n_k"), avg("k").as("avg_k"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          count_distinct(col("k")).as("n_distinct_k"))),
 
     // ---- salted join (heavy-hitter resilience; == plain join) ----
     "skew_join" -> ((s, dir) => {
@@ -371,6 +393,9 @@ object SparkEntry {
     // prefix sum is exercised, not just the single-shard degenerate case
     "pack_sequences" -> ((s, dir) =>
       Packing.packSequences(Tables(s, dir).documents, 512, shardWidth = 100)),
+    "sample_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(Tables(s, dir).documents.select("doc_id", "n_chars"),
+        "doc_id", "n_chars", n = 50)),
     "corpus_divergence" -> ((s, dir) =>
       TextOps.unigramDivergence(Tables(s, dir).documents, col("lang") === "en")),
 
@@ -411,6 +436,8 @@ object SparkEntry {
     }),
     "sim_near_dups" -> ((s, dir) =>
       Similarity.embeddingNearDups(Tables(s, dir).embeddings, threshold = 0.4)),
+    "vec_kmeans" -> ((s, dir) =>
+      Similarity.kmeans(Tables(s, dir).embeddings, k = 8, iters = 2)),
     // same near-dup contract with DATA-DERIVED blocking: SRP-LSH buckets
     // instead of the pre-assigned label cells
     "sim_srp_near_dups" -> ((s, dir) => {
@@ -464,6 +491,20 @@ object SparkEntry {
     "q4_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
         |FROM lineitem WHERE l_quantity > 45.0 AND l_discount > 0.05""".stripMargin,
+    "q5_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust, sum(c_acctbal) AS acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    // Twin of the events_json extraction: one typed JSON projection, same
+    // per-type audit aggregates (k is INT32 on both sides).
+    "events_json" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+        |SELECT event_type, count(*) AS n, count(k) AS n_k, avg(k) AS avg_k,
+        |  min(k) AS min_k, max(k) AS max_k, count(DISTINCT k) AS n_distinct_k
+        |FROM e GROUP BY 1""".stripMargin,
 
     // Twin of Profile.numeric: one SELECT per profiled column; DuckDB's
     // quantile_cont matches Spark's exact percentile interpolation
@@ -1007,6 +1048,16 @@ object SparkEntry {
          |  greatest(chunk_id * 512, st) - st AS tok_start,
          |  least((chunk_id + 1) * 512, e) - st AS tok_end
          |FROM x""".stripMargin,
+    // Twin of Sampling.weightedSample: identical Efraimidis–Spirakis key
+    // (same Carter–Wegman u, same -ln(u)/w), same (key, id) order + limit.
+    "sample_weighted" ->
+      s"""SELECT doc_id, n_chars FROM (
+         |  SELECT doc_id, n_chars,
+         |    -ln((((${phSql("CAST(doc_id AS VARCHAR)", "0")}) * ${Sampling.saltMult("wsample")}
+         |      + ${Sampling.saltAdd("wsample")}) % 1000000007 + 0.5) / 1000000007)
+         |      / n_chars AS key
+         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+         |ORDER BY key, doc_id LIMIT 50""".stripMargin,
     // Twin of TextOps.unigramDivergence: identical smoothing and p/q/m
     // algebra; counts CAST out of HUGEINT before pandas sees them.
     "corpus_divergence" ->
@@ -1095,6 +1146,35 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
         |  FROM s) WHERE rank <= 3""".stripMargin,
+    // Twin of Similarity.kmeans (k=8, iters=2), unrolled: same deterministic
+    // lowest-id init, same squared-L2 argmin with (dist, cluster) tie-break,
+    // same per-dimension mean update — assignment checked against the FINAL
+    // centroids, so any divergence at any round changes integral cluster
+    // ids and fails the hash, not just a float in the 9th digit.
+    "vec_kmeans" -> {
+      def dist(cents: String) =
+        s"list_sum(list_transform(range(1, len(e.v) + 1), i -> (e.v[i] - $cents.centroid[i]) * (e.v[i] - $cents.centroid[i])))"
+      def assign(name: String, cents: String) =
+        s"""$name AS (SELECT vec_id, v, cluster, dist FROM (
+           |  SELECT e.vec_id, e.v, $cents.cluster, ${dist(cents)} AS dist,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${dist(cents)} ASC, $cents.cluster ASC) AS rn
+           |  FROM e CROSS JOIN $cents) WHERE rn = 1)""".stripMargin
+      def update(name: String, from: String) =
+        s"""${name}m AS (SELECT cluster, u.pos AS pos, avg(u.x) AS m FROM (
+           |  SELECT cluster, unnest(list_transform(range(1, len(v) + 1),
+           |    i -> struct_pack(pos := i, x := v[i]))) AS u FROM $from) GROUP BY 1, 2),
+           |$name AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM ${name}m GROUP BY 1)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster, v AS centroid
+         |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+         |${assign("a1", "c0")},
+         |${update("c1", "a1")},
+         |${assign("a2", "c1")},
+         |${update("c2", "a2")},
+         |${assign("af", "c2")}
+         |SELECT vec_id, cluster, dist FROM af""".stripMargin
+    },
     "sim_ivf_topk" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |pm AS (SELECT label, u.pos AS pos, u.x AS x FROM (

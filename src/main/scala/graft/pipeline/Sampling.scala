@@ -97,6 +97,33 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis, via the
+    * exponential-key formulation): each row draws a deterministic uniform
+    * `u ∈ (0, 1)` from its (id, salt) hash and the `n` rows with the
+    * smallest `-ln(u) / w` win — exactly the distribution of sequential
+    * weighted draws without replacement, but embarrassingly parallel and
+    * reproducible across engines, partition layouts, and cluster sizes.
+    * Rows with non-positive or null weight are excluded by contract.
+    *
+    * Scale shape: no global window — the key filter is an `ORDER BY key
+    * LIMIT n`, which Spark executes as TakeOrderedAndProject: each
+    * partition keeps its local top-n in a bounded heap and only n·p rows
+    * ever leave the executors. Ties (possible only through float
+    * coincidence) break on the id.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, n: Int,
+      salt: String = "wsample"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val h = (PolyHash(col(idCol).cast("string"), 0L) * saltMult(salt)
+      + saltAdd(salt)) % PolyHash.Mod
+    val u = (h.cast("double") + 0.5) / PolyHash.Mod
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__key", -log(u) / col(weightCol).cast("double"))
+      .orderBy(col("__key").asc, col(idCol).asc)
+      .limit(n)
+      .drop("__key")
+  }
+
   /** Keep a deterministic `fraction` of rows, keyed on (id, salt). Because
     * the hash is uniform and independent of any other column, the sample is
     * automatically stratified in expectation over every stratum; exactness

@@ -188,6 +188,61 @@ object Similarity {
     * (`scale` first, then one division per element) is mirrored exactly in
     * the SQL twin so the doubles agree bit-for-bit.
     */
+  /** Squared L2 distance, left-to-right over the element order — the same
+    * fold both engines evaluate, so distances are bit-reproducible.
+    */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Lloyd's k-means over the embedding column: `iters` rounds of
+    * assign-to-nearest-centroid (squared L2, ties to the lowest cluster id)
+    * then per-dimension mean update, returning the final assignment against
+    * the final centroids. Initialization is deterministic — the `k`
+    * lowest-id vectors seed clusters 0..k-1 — so the whole trajectory is
+    * reproducible across engines and partition layouts (no sampled init, no
+    * iteration-order dependence).
+    *
+    * Scale shape per round: centroids are k rows, broadcast to an
+    * assignment map-join (never a shuffle of the corpus on the cluster
+    * key), and the update is the same posexplode → partial-combined
+    * avg(cell,pos) → reassemble pipeline as [[centroids]] — no per-cluster
+    * vector lists in memory, any dimension. The corpus is scanned
+    * iters+1 times; each extra round is one broadcast join + one bounded
+    * aggregation, the textbook distributed Lloyd step.
+    */
+  def kmeans(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val pts = spread(corpus, idCol).select(col(idCol).as("vec_id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    // argmin as a partial-aggregated struct-min, NOT a window: the k
+    // candidate rows per vector collapse map-side, so the shuffle carries
+    // one row per vector instead of k (struct ordering = (dist, cluster)
+    // gives the lowest-cluster tie-break for free; v is group-constant)
+    def assignStep(cents: DataFrame): DataFrame =
+      pts.crossJoin(broadcast(cents))
+        .withColumn("dist", sqDist(col("v"), col("centroid")))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cluster"))).as("m"), first("v").as("v"))
+        .select(col("vec_id"), col("v"),
+          col("m.cluster").as("cluster"), col("m.dist").as("dist"))
+    def updateStep(assigned: DataFrame): DataFrame =
+      assigned.select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(avg("x").as("m"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cluster"), transform(col("pm"), p => p.getField("m")).as("centroid"))
+    val init = pts.orderBy("vec_id").limit(k)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1).cast("long").as("cluster"),
+        col("v").as("centroid"))
+    var cents = init
+    for (_ <- 1 to iters) cents = updateStep(assignStep(cents))
+    assignStep(cents).select(col("vec_id"), col("cluster"), col("dist"))
+  }
+
   def quantizeInt8(corpus: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
     corpus.select(col(idCol),

@@ -259,6 +259,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.getAs[Long]("n_vocab") == 3L)
   }
 
+  test("extractJson: typed fields, malformed rows become nulls, raw column dropped") {
+    val df = Seq(
+      (1L, """{"k": 7, "tag": "a"}"""),
+      (2L, """{"k": "not-an-int"}"""),
+      (3L, "not json at all"),
+      (4L, """{"tag": "b"}""")).toDF("id", "props")
+    val got = graft.pipeline.SemiStructured.extractJson(df, "props", "k INT, tag STRING")
+    assert(got.columns.toSeq == Seq("id", "k", "tag"))
+    val rows = got.collect().map(r => r.getAs[Long]("id") ->
+      ((Option(r.getAs[Any]("k")), Option(r.getAs[String]("tag"))))).toMap
+    assert(rows(1L) == ((Some(7), Some("a"))))
+    assert(rows(2L)._1.isEmpty)          // type mismatch -> typed null
+    assert(rows(3L) == ((None, None)))   // malformed -> all-null struct
+    assert(rows(4L) == ((None, Some("b"))))
+  }
+
   test("retention: offset-0 cells equal cohort sizes; revisits count distinct users") {
     val day = 10L
     // users 1,2 start day 0; user 1 returns day 1 twice (counted once),

@@ -111,4 +111,39 @@ class SamplingSpec extends SparkSpec {
     got.zip(expect).foreach { case (g, e) =>
       assert(math.abs(g._5 - e._5) < 1e-12, s"$g vs $e") }
   }
+
+  test("weightedSample: exact-n, layout-invariant, matches driver-side ES keys") {
+    import graft.functions.PolyHash
+    val rows = (1L to 500L).map(i => (i, i % 7 + 1)) // weights 1..7
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", n = 40)
+      .as[(Long, Long)].collect().toSet
+    assert(got.size == 40)
+    // from-scratch Efraimidis–Spirakis with the same salt-keyed uniforms
+    val mult = Sampling.saltMult("wsample")
+    val add = Sampling.saltAdd("wsample")
+    val expect = rows.map { case (id, w) =>
+      val h = (PolyHash.hash(id.toString, 0L) * mult + add) % PolyHash.Mod
+      val u = (h.toDouble + 0.5) / PolyHash.Mod
+      (id, w, -math.log(u) / w)
+    }.sortBy { case (id, _, k) => (k, id) }.take(40)
+      .map { case (id, w, _) => (id, w) }.toSet
+    assert(got == expect)
+    assert(Sampling.weightedSample(df.repartition(11), "id", "w", n = 40)
+      .as[(Long, Long)].collect().toSet == got)
+  }
+
+  test("weightedSample: weight actually biases inclusion; bad weights excluded") {
+    // two weight classes 1 vs 10 — heavy rows must dominate the sample
+    val rows = (1L to 400L).map(i => (i, if (i <= 200) 1L else 10L))
+    val got = Sampling.weightedSample(rows.toDF("id", "w"), "id", "w", n = 100)
+      .as[(Long, Long)].collect()
+    val heavy = got.count(_._2 == 10L)
+    assert(heavy > 70, s"heavy-weight rows under-sampled: $heavy/100")
+    // null / zero / negative weights can never be drawn
+    val bad = Seq((1L, Some(5L)), (2L, None), (3L, Some(0L)), (4L, Some(-2L)))
+      .toDF("id", "w")
+    assert(Sampling.weightedSample(bad, "id", "w", n = 10)
+      .as[(Long, Option[Long])].collect().toSeq == Seq((1L, Some(5L))))
+  }
 }

@@ -101,4 +101,52 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(_.getAs[Double]("cos_sim") >= 0.4))
     assert(got.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
   }
+
+  test("kmeans matches a from-scratch Lloyd run and is layout-invariant") {
+    import spark.implicits._
+    // three well-separated groups around (0,0), (10,0), (0,10) plus the
+    // seeds; k=3, iters=2 — small enough to replay exactly on the driver
+    val vecs: Seq[(Long, Array[Float])] = Seq(
+      0L -> Array(0f, 0f), 1L -> Array(10f, 0f), 2L -> Array(0f, 10f),
+      3L -> Array(1f, 0f), 4L -> Array(0f, 1f), 5L -> Array(9f, 1f),
+      6L -> Array(11f, 0f), 7L -> Array(1f, 10f), 8L -> Array(0f, 11f),
+      9L -> Array(5f, 5f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.kmeans(df, k = 3, iters = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Double]("dist")))).toMap
+
+    // driver-side reference: identical init, argmin, mean update
+    def sq(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val pts = vecs.map { case (id, v) => id -> v.map(_.toDouble) }.sortBy(_._1)
+    var cents: Seq[(Long, Array[Double])] =
+      pts.take(3).zipWithIndex.map { case ((_, v), i) => i.toLong -> v }
+    def assignRef() = pts.map { case (id, v) =>
+      val (c, d) = cents.map { case (ci, cv) => (ci, sq(v, cv)) }
+        .minBy { case (ci, d) => (d, ci) }
+      (id, c, d, v)
+    }
+    for (_ <- 1 to 2) {
+      val a = assignRef()
+      cents = a.groupBy(_._2).toSeq.map { case (c, rows) =>
+        val dim = rows.head._4.length
+        c -> Array.tabulate(dim)(i => rows.map(_._4(i)).sum / rows.size)
+      }.sortBy(_._1)
+    }
+    val expect = assignRef().map { case (id, c, d, _) => id -> ((c, d)) }.toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, (c, d)) =>
+      assert(got(id)._1 == c, s"vec $id cluster")
+      assert(math.abs(got(id)._2 - d) < 1e-9, s"vec $id dist")
+    }
+    // groups must actually separate: ids {0,3,4}, {1,5,6}, {2,7,8} each share
+    assert(Set(got(0L)._1, got(3L)._1, got(4L)._1).size == 1)
+    assert(Set(got(1L)._1, got(5L)._1, got(6L)._1).size == 1)
+    assert(Set(got(2L)._1, got(7L)._1, got(8L)._1).size == 1)
+
+    val shuffled = Similarity.kmeans(df.repartition(7), k = 3, iters = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    assert(shuffled == got.view.mapValues(_._1).toMap)
+  }
 }
