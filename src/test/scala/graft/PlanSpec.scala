@@ -136,6 +136,37 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
   }
 
+  test("weighted sampling is a bounded top-n, not a global sort") {
+    val plan = planOf(SparkEntry.queries("sample_weighted")(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("Exchange"), plan.take(3000))
+  }
+
+  test("anomaly scoring is one shuffle: moments from an unordered window frame") {
+    val plan = planOf(SparkEntry.queries("ts_anomaly")(spark, sfDir))
+    val shuffles = plan.linesIterator.count(_.contains("Exchange"))
+    assert(shuffles == 1, s"expected 1 Exchange, got $shuffles:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("sequence packing broadcasts the shard prefixes; no corpus-wide window") {
+    val plan = planOf(SparkEntry.queries("pack_sequences")(spark, sfDir))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    // the only single-partition exchange feeds the #shards-row prefix scan,
+    // never the document stream: that subplan must sit below an aggregate
+    // of the shard key, which the full corpus window variant would not have
+    assert(plan.contains("SinglePartition"), plan.take(3000))
+  }
+
+  test("k-means assignment aggregates map-side: argmin collapses before any shuffle") {
+    val plan = planOf(SparkEntry.queries("vec_kmeans")(spark, sfDir))
+    // centroids arrive by broadcast; the k candidate rows per vector fold
+    // into one via partial_min(struct(dist, cluster)) on the map side (the
+    // only Window in the plan is the k-row centroid init)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("partial_min(struct(dist"), plan.take(3000))
+  }
+
   test("pre-bucketed tables join with NO shuffle (co-located join)") {
     // the bucketing story for repeated joins on one key at 100 TB: pay the
     // shuffle once at write time, join shuffle-free forever after
