@@ -93,6 +93,23 @@ object Smoke {
     src.find(spark, anyId).foreach(i =>
       println(s"find: ${i.name} dt=${i.deltaTNs} period=[${i.dataPeriodStartNs},${i.dataPeriodEndNs}]"))
 
+    // late round-5 surface: packing, clustering, weighted draw, retention,
+    // divergence, JSON extraction, anomaly screen
+    val packed = graft.pipeline.Packing.packSequences(docs, 512, shardWidth = 100)
+    println(s"packed spans: ${packed.count()} chunks: " +
+      packed.agg(max("chunk_id")).collect()(0).getLong(0))
+    val km = graft.pipeline.Similarity.kmeans(t.embeddings, k = 4, iters = 2)
+    km.groupBy("cluster").count().orderBy("cluster").show()
+    println(s"weighted sample: ${graft.pipeline.Sampling.weightedSample(
+      docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", 20).count()} rows")
+    println(s"retention cells: ${graft.ops.Retention.retention(t.eventsUs).count()}")
+    graft.pipeline.TextOps.unigramDivergence(docs, col("lang") === "en").show()
+    graft.pipeline.SemiStructured.extractJson(
+      t.events.select("event_type", "props"), "props", "k INT")
+      .groupBy("event_type").agg(avg("k").as("avg_k")).show()
+    println(s"anomalies: ${graft.ts.SeriesOps.anomaly(
+      t.points.select("series_id", "ts", "value")).where(col("is_anomaly")).count()}")
+
     spark.stop()
   }
 }
