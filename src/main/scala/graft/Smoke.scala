@@ -97,7 +97,7 @@ object Smoke {
     // divergence, JSON extraction, anomaly screen
     val packed = graft.pipeline.Packing.packSequences(docs, 512, shardWidth = 100)
     println(s"packed spans: ${packed.count()} chunks: " +
-      packed.agg(max("chunk_id")).collect()(0).getLong(0))
+      packed.agg(coalesce(max("chunk_id") + 1, lit(0L))).collect()(0).getLong(0))
     val km = graft.pipeline.Similarity.kmeans(t.embeddings, k = 4, iters = 2)
     km.groupBy("cluster").count().orderBy("cluster").show()
     println(s"weighted sample: ${graft.pipeline.Sampling.weightedSample(

@@ -146,9 +146,14 @@ object SparkEntry {
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
         .select("r_name", "n_name", "c_acctbal")
-        .createOrReplaceTempView("q5_joined")
-      s.sql("""SELECT r_name, n_name, count(1) AS n_cust, sum(c_acctbal) AS acctbal
-              |FROM q5_joined GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+        .createOrReplaceTempView("graft_q5_joined")
+      // spark.sql analyzes eagerly, so the view can be dropped immediately
+      // instead of leaking session-global state past this builder
+      val out = s.sql(
+        """SELECT r_name, n_name, count(1) AS n_cust, sum(c_acctbal) AS acctbal
+          |FROM graft_q5_joined GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+      s.catalog.dropTempView("graft_q5_joined")
+      out
     }),
 
     // ---- dataset profiling (one-scan column audit) ----
@@ -498,10 +503,16 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
     // Twin of the events_json extraction: one typed JSON projection, same
-    // per-type audit aggregates (k is INT32 on both sides).
+    // per-type audit aggregates (k is INT32 on both sides). TRY_CAST +
+    // json_valid mirror from_json's PERMISSIVE nulls instead of erroring
+    // on malformed payloads (remaining tolerance gap, documented: a QUOTED
+    // integer "7" is null under Spark's typed parse but 7 under TRY_CAST —
+    // absent from this corpus, where props is machine-written {"k": int}).
     "events_json" ->
       """WITH e AS (SELECT event_type,
-        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+        |  CASE WHEN json_valid(props)
+        |    THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k
+        |  FROM events)
         |SELECT event_type, count(*) AS n, count(k) AS n_k, avg(k) AS avg_k,
         |  min(k) AS min_k, max(k) AS max_k, count(DISTINCT k) AS n_distinct_k
         |FROM e GROUP BY 1""".stripMargin,

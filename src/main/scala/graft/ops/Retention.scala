@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
 object Retention {
 
   /** `tsCol` is epoch nanoseconds (UTC); `dayNs` parameterizes the bucket
-    * so tests can use synthetic day lengths.
+    * so tests can use synthetic day lengths. Day bucketing is FLOOR
+    * division (`(ts - pmod(ts, d)) div d`, exact long arithmetic), so
+    * pre-epoch timestamps land on the correct UTC day — a plain `div`
+    * truncates toward zero and would cohort a 1969 event one day late.
     */
   def retention(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts", dayNs: Long = 86400L * 1000 * 1000 * 1000): DataFrame = {
@@ -27,7 +30,8 @@ object Retention {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(userCol)
     events
-      .select(col(userCol), expr(s"`$tsCol` div $dayNs").as("__day"))
+      .select(col(userCol),
+        expr(s"(`$tsCol` - pmod(`$tsCol`, $dayNs)) div $dayNs").as("__day"))
       .withColumn("cohort_day", min("__day").over(w))
       .groupBy(col("cohort_day"), (col("__day") - col("cohort_day")).as("day_offset"))
       .agg(count_distinct(col(userCol)).as("n_users"))

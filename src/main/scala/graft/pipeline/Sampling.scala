@@ -110,6 +110,11 @@ object Sampling {
     * partition keeps its local top-n in a bounded heap and only n·p rows
     * ever leave the executors. Ties (possible only through float
     * coincidence) break on the id.
+    *
+    * NaN weights are excluded explicitly: Spark orders NaN ABOVE every
+    * number, so `w > 0` alone would admit them and their NaN keys would
+    * sort last yet still be drawn whenever fewer than `n` finite-weight
+    * rows exist.
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String, n: Int,
       salt: String = "wsample"): DataFrame = {
@@ -117,7 +122,8 @@ object Sampling {
     val h = (PolyHash(col(idCol).cast("string"), 0L) * saltMult(salt)
       + saltAdd(salt)) % PolyHash.Mod
     val u = (h.cast("double") + 0.5) / PolyHash.Mod
-    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0
+        && !isnan(col(weightCol).cast("double")))
       .withColumn("__key", -log(u) / col(weightCol).cast("double"))
       .orderBy(col("__key").asc, col(idCol).asc)
       .limit(n)

@@ -16,9 +16,19 @@ import org.apache.spark.sql.functions._
 object SemiStructured {
 
   /** Flatten `jsonCol` into top-level typed columns per `ddl` (e.g.
-    * `"k INT, tag STRING"`), dropping the raw string.
+    * `"k INT, tag STRING"`), dropping the raw string. Extracted field
+    * names must not collide with the retained input columns — that would
+    * produce a frame with duplicate names that only fails downstream at
+    * first reference (AMBIGUOUS_REFERENCE), so it is rejected up front.
     */
-  def extractJson(df: DataFrame, jsonCol: String, ddl: String): DataFrame =
+  def extractJson(df: DataFrame, jsonCol: String, ddl: String): DataFrame = {
+    val fields = org.apache.spark.sql.types.StructType.fromDDL(ddl).fieldNames
+    val kept = df.columns.filter(_ != jsonCol)
+    val clash = fields.toSet.intersect(kept.toSet)
+    require(clash.isEmpty,
+      s"JSON fields collide with input columns: ${clash.mkString(", ")}")
+    require(!kept.contains("__j"), "input already has a __j column")
     df.withColumn("__j", from_json(col(jsonCol), ddl, Map.empty[String, String]))
-      .select(df.columns.filter(_ != jsonCol).map(col).toSeq :+ col("__j.*"): _*)
+      .select(kept.map(col).toSeq :+ col("__j.*"): _*)
+  }
 }

@@ -181,13 +181,6 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos_sim")
   }
 
-  /** Symmetric int8 quantization of an embedding column: per-vector scale
-    * `max|x| / 127` and `q_i = round(x_i / scale)` — the storage/bandwidth
-    * reduction step before ANN at scale (4× smaller vectors, SIMD-friendly
-    * int dot products downstream). Per-row map, no shuffle; the formulation
-    * (`scale` first, then one division per element) is mirrored exactly in
-    * the SQL twin so the doubles agree bit-for-bit.
-    */
   /** Squared L2 distance, left-to-right over the element order — the same
     * fold both engines evaluate, so distances are bit-reproducible.
     */
@@ -243,6 +236,13 @@ object Similarity {
     assignStep(cents).select(col("vec_id"), col("cluster"), col("dist"))
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector scale
+    * `max|x| / 127` and `q_i = round(x_i / scale)` — the storage/bandwidth
+    * reduction step before ANN at scale (4× smaller vectors, SIMD-friendly
+    * int dot products downstream). Per-row map, no shuffle; the formulation
+    * (`scale` first, then one division per element) is mirrored exactly in
+    * the SQL twin so the doubles agree bit-for-bit.
+    */
   def quantizeInt8(corpus: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
     corpus.select(col(idCol),

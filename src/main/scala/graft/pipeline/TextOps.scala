@@ -275,10 +275,16 @@ object TextOps {
     * metadata-scale totals row broadcast back, and a final full reduction
     * — no join on anything wider than the vocabulary. The p/q/m algebra is
     * mirrored verbatim in the SQL twin.
+    *
+    * Rows where `inSliceA` is NULL belong to neither slice and are
+    * excluded entirely — without the filter their tokens would inflate the
+    * joint vocabulary (and the smoothing denominators) with mass belonging
+    * to no slice.
     */
   def unigramDivergence(df: DataFrame, inSliceA: Column,
       textCol: Column = col("text")): DataFrame = {
-    val counts = df.select(inSliceA.as("__a"), explode(tokens(textCol)).as("term"))
+    val counts = df.where(inSliceA.isNotNull)
+      .select(inSliceA.as("__a"), explode(tokens(textCol)).as("term"))
       .groupBy("term")
       .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("__a"), 1L).otherwise(0L)).as("cb"))

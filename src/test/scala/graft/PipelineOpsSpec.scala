@@ -286,5 +286,27 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("day_offset")) ->
         r.getAs[Long]("n_users")).toMap
     assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (1L, 0L) -> 1L, (1L, 2L) -> 1L))
+    // pre-epoch timestamps floor to the correct day (truncation would put
+    // ts = -1 on day 0 and cohort the user a day late)
+    val preEpoch = Seq((9L, -1L), (9L, 5L)).toDF("user_id", "ts")
+    val cells = graft.ops.Retention.retention(preEpoch, dayNs = day).collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("day_offset"))).toSet
+    assert(cells == Set((-1L, 0L), (-1L, 1L)))
+  }
+
+  test("unigramDivergence: null-slice rows are excluded from vocabulary and totals") {
+    val withNull = Seq((Some(true), "alpha beta"), (Some(false), "alpha beta"),
+      (None, "zzz qqq xxx")).toDF("a", "text")
+    val got = TextOps.unigramDivergence(withNull, col("a")).collect()(0)
+    // the null-slice doc's tokens must not inflate the joint vocabulary
+    assert(got.getAs[Long]("n_vocab") == 2L)
+    assert(math.abs(got.getAs[Double]("js_divergence")) < 1e-15)
+  }
+
+  test("extractJson rejects field/column collisions up front") {
+    val df = Seq((1L, """{"id": 2}""")).toDF("id", "props")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.SemiStructured.extractJson(df, "props", "id BIGINT")
+    }
   }
 }

@@ -140,10 +140,11 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     val heavy = got.count(_._2 == 10L)
     assert(heavy > 70, s"heavy-weight rows under-sampled: $heavy/100")
-    // null / zero / negative weights can never be drawn
-    val bad = Seq((1L, Some(5L)), (2L, None), (3L, Some(0L)), (4L, Some(-2L)))
-      .toDF("id", "w")
+    // null / zero / negative / NaN weights can never be drawn — NaN would
+    // pass a bare `w > 0` because Spark orders NaN above every number
+    val bad = Seq((1L, Some(5.0)), (2L, None), (3L, Some(0.0)),
+      (4L, Some(-2.0)), (5L, Some(Double.NaN))).toDF("id", "w")
     assert(Sampling.weightedSample(bad, "id", "w", n = 10)
-      .as[(Long, Option[Long])].collect().toSeq == Seq((1L, Some(5L))))
+      .as[(Long, Option[Double])].collect().toSeq == Seq((1L, Some(5.0))))
   }
 }
