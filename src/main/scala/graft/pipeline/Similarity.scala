@@ -232,7 +232,12 @@ object Similarity {
       .select((row_number().over(Window.orderBy("vec_id")) - 1).cast("long").as("cluster"),
         col("v").as("centroid"))
     var cents = init
-    for (_ <- 1 to iters) cents = updateStep(assignStep(cents))
+    // materialize the k-row centroid table each round (eager
+    // localCheckpoint): without it round r's centroid PLAN contains every
+    // earlier round, so the final assignment re-executes the whole
+    // trajectory once per round — O(iters²) corpus scans instead of
+    // O(iters). Measured at sf0.1 (2000x64, k=8, iters=2): 3.2 s -> 1.7 s.
+    for (_ <- 1 to iters) cents = updateStep(assignStep(cents)).localCheckpoint(true)
     assignStep(cents).select(col("vec_id"), col("cluster"), col("dist"))
   }
 
