@@ -191,6 +191,9 @@ object SparkEntry {
     "ts_rolling" -> ((s, dir) => SeriesOps.rolling(pts(s, dir), 3 * 86400L * NsPerS)),
     "ts_interpolate" -> ((s, dir) => SeriesOps.interpolate(pts(s, dir), 86400L * NsPerS)),
     "ts_anomaly" -> ((s, dir) => SeriesOps.anomaly(pts(s, dir), 3.0)),
+    "ts_seasonal_profile" -> ((s, dir) =>
+      SeriesOps.seasonalProfile(pts(s, dir), 86400L * NsPerS, 3600L * NsPerS)),
+    "ts_gaps" -> ((s, dir) => SeriesOps.gaps(pts(s, dir), 2.0)),
     // pairwise correlation is inherently quadratic in the series set, so
     // the query selects a bounded station group (user_id < 25) up front
     "ts_corr" -> ((s, dir) => {
@@ -403,6 +406,8 @@ object SparkEntry {
         "doc_id", "n_chars", n = 50)),
     "corpus_divergence" -> ((s, dir) =>
       TextOps.unigramDivergence(Tables(s, dir).documents, col("lang") === "en")),
+    "text_collocations" -> ((s, dir) =>
+      TextOps.collocations(Tables(s, dir).documents, k = 100, minCount = 5)),
 
     "text_lang_id" -> ((s, dir) => {
       TextOps.languageId(Tables(s, dir).documents).select("doc_id", "lang_pred")
@@ -713,6 +718,25 @@ object SparkEntry {
          |  CASE WHEN s > 0 THEN (value - m) / s END AS z_score,
          |  coalesce(CASE WHEN s > 0 THEN abs((value - m) / s) > 3.0 END, false) AS is_anomaly
          |FROM st""".stripMargin,
+    "ts_seasonal_profile" ->
+      s"""WITH points AS ($PointsCte)
+         |SELECT series_id, (ts % ${86400L * NsPerS}) // ${3600L * NsPerS} AS slot,
+         |  avg(value) FILTER (WHERE NOT isnan(value)) AS mean_value,
+         |  min(value) FILTER (WHERE NOT isnan(value)) AS min_value,
+         |  max(value) FILTER (WHERE NOT isnan(value)) AS max_value,
+         |  count(value) FILTER (WHERE NOT isnan(value)) AS n_points
+         |FROM points GROUP BY 1, 2""".stripMargin,
+    "ts_gaps" ->
+      s"""WITH points AS ($PointsCte),
+         |$DtModeCte,
+         |d AS (SELECT series_id, ts,
+         |  ts - lag(ts) OVER (PARTITION BY series_id ORDER BY ts, value) AS delta_ns
+         |  FROM points)
+         |SELECT d.series_id, d.ts - d.delta_ns AS gap_start, d.ts AS gap_end,
+         |  d.delta_ns AS gap_ns,
+         |  CAST(d.delta_ns AS DOUBLE) / dm.dt_mode_ns AS gap_ratio
+         |FROM d JOIN dmode dm USING (series_id)
+         |WHERE d.delta_ns IS NOT NULL AND d.delta_ns > dm.dt_mode_ns * 2.0""".stripMargin,
     // Twin of SeriesOps.pairCorrelation: same resample reduction, same
     // canonical pair join, and the co-moment corr formula written with the
     // identical operation order.
@@ -1069,6 +1093,25 @@ object SparkEntry {
          |      / n_chars AS key
          |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
          |ORDER BY key, doc_id LIMIT 50""".stripMargin,
+    // Twin of TextOps.collocations: same bigram/unigram counts, same PMI
+    // expression tree, same (pmi desc, bigram asc) order + limit.
+    "text_collocations" ->
+      s"""WITH tk AS (SELECT $Toks AS tk FROM documents),
+         |uni AS (SELECT unnest(tk) AS term FROM tk),
+         |uc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+         |bg AS (SELECT unnest(list_transform(range(1, len(tk)),
+         |  i -> array_to_string(tk[i:i+1], ' '))) AS bigram FROM tk),
+         |bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy FROM bg
+         |  GROUP BY 1 HAVING count(*) >= 5),
+         |tot AS (SELECT CAST((SELECT count(*) FROM uni) AS BIGINT) AS n_tok,
+         |  CAST((SELECT count(*) FROM bg) AS BIGINT) AS n_big)
+         |SELECT bigram, c_xy, cx.c AS c_x, cy.c AS c_y,
+         |  ln((CAST(c_xy AS DOUBLE) / n_big)
+         |    / ((CAST(cx.c AS DOUBLE) / n_tok) * (CAST(cy.c AS DOUBLE) / n_tok))) AS pmi
+         |FROM bc
+         |JOIN uc cx ON cx.term = split_part(bigram, ' ', 1)
+         |JOIN uc cy ON cy.term = split_part(bigram, ' ', 2), tot
+         |ORDER BY pmi DESC, bigram ASC LIMIT 100""".stripMargin,
     // Twin of TextOps.unigramDivergence: identical smoothing and p/q/m
     // algebra; counts CAST out of HUGEINT before pandas sees them.
     "corpus_divergence" ->

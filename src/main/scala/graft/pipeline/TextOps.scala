@@ -262,6 +262,45 @@ object TextOps {
       .select(col(idCol), col("term"), col("tf"), col("rank"), col("tfidf"))
   }
 
+  /** Collocation mining: the top-`k` adjacent-token bigrams by pointwise
+    * mutual information `ln( p(x,y) / (p(x)·p(y)) )`, with a minimum bigram
+    * count to keep rare-pair noise out (PMI's known failure mode) — the
+    * phrase detector that turns "new york" into a unit before embedding or
+    * dedup shingling.
+    *
+    * Scale shape: one bigram-key count and one term-key count (both
+    * partial-combined), totals broadcast back, unigram counts attached by
+    * two term-key equi-joins on the already-counted (small) bigram table,
+    * and the top-k is ORDER BY + LIMIT → TakeOrderedAndProject, never a
+    * global sort. Ties break on the bigram text.
+    */
+  def collocations(df: DataFrame, k: Int, minCount: Long,
+      textCol: Column = col("text")): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minCount > 0, s"minCount must be positive, got $minCount")
+    val toks = df.select(tokens(textCol).as("tk"))
+    val uni = toks.select(explode(col("tk")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val bi = toks.select(explode(shingles(col("tk"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= minCount)
+    val totals = uni.agg(sum("c").as("n_tok"))
+      .crossJoin(toks.select(explode(shingles(col("tk"), 2)).as("b"))
+        .agg(count(lit(1)).as("n_big")))
+    val pmi = log((col("c_xy").cast("double") / col("n_big"))
+      / ((col("c_x").cast("double") / col("n_tok"))
+        * (col("c_y").cast("double") / col("n_tok"))))
+    bi
+      .withColumn("x", split(col("bigram"), " ").getItem(0))
+      .withColumn("y", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("term").as("x"), col("c").as("c_x")), Seq("x"))
+      .join(uni.select(col("term").as("y"), col("c").as("c_y")), Seq("y"))
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"), pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   /** Jensen–Shannon divergence between the unigram distributions of two
     * corpus slices (`inSliceA` true vs false) with add-one smoothing over
     * the joint vocabulary — the drift check a pipeline runs when a new

@@ -327,6 +327,52 @@ object SeriesOps {
         .as("corr"))
   }
 
+  /** Diurnal seasonal profile: NaN-safe mean/min/max/count per (series,
+    * time-of-period bucket) — the hour-of-day (or day-of-week) cycle a
+    * weather dashboard overlays on raw readings, and the seasonal component
+    * a naive forecaster subtracts. `periodNs` is the cycle length (a day),
+    * `bucketNs` the slot width (an hour); the slot of a point is
+    * `pmod(ts, period) div bucket`, so pre-epoch timestamps land in the
+    * correct slot (pmod, not `%`).
+    *
+    * Scale shape: identical to [[resample]] — one composite-key shuffle
+    * with full map-side combine; output is seriesCount · period/bucket rows
+    * regardless of input density.
+    */
+  def seasonalProfile(points: DataFrame, periodNs: Long, bucketNs: Long): DataFrame = {
+    require(periodNs > 0, s"period must be positive, got $periodNs")
+    require(bucketNs > 0 && periodNs % bucketNs == 0,
+      s"bucket must divide period, got $bucketNs / $periodNs")
+    val v = when(notNan(col("value")), col("value"))
+    points
+      .groupBy(col("series_id"),
+        expr(s"pmod(ts, $periodNs) div $bucketNs").as("slot"))
+      .agg(avg(v).as("mean_value"), min(v).as("min_value"),
+        max(v).as("max_value"), count(v).as("n_points"))
+  }
+
+  /** Gap detection: intervals where a series went silent for more than
+    * `factor` times its own inferred cadence ([[dtMode]]) — the
+    * data-quality screen that finds dead sensors and collection outages
+    * without any per-series configuration. Emits one row per gap with the
+    * bracketing timestamps and the gap/dt ratio.
+    *
+    * Scale shape: the lag runs in the same (series, ts) sort every other
+    * sequential op uses; dtMode is a bounded aggregate joined back on the
+    * series key (broadcast-size: one row per series).
+    */
+  def gaps(points: DataFrame, factor: Double = 2.0): DataFrame = {
+    require(factor > 0, s"factor must be positive, got $factor")
+    val d = deltas(points).where(col("delta_ns").isNotNull)
+    d.join(dtMode(points), Seq("series_id"))
+      .where(col("delta_ns") > col("dt_mode_ns") * factor)
+      .select(col("series_id"),
+        (col("ts") - col("delta_ns")).as("gap_start"),
+        col("ts").as("gap_end"),
+        col("delta_ns").as("gap_ns"),
+        (col("delta_ns").cast("double") / col("dt_mode_ns")).as("gap_ratio"))
+  }
+
   /** O4: stream tail limit — keep only the newest `n` points per series,
     * the reference's Bokeh `stream(new, 100)` display buffer
     * (reference: visual/dashboard_test.py:81). Deterministic tie-break on

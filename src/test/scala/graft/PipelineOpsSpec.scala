@@ -303,6 +303,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("js_divergence")) < 1e-15)
   }
 
+  test("collocations: PMI matches a from-scratch computation; minCount prunes") {
+    // "of the" appears 3×, "the cat" 2×, "big dog" 1× (pruned at minCount 2)
+    val docs = Seq("of the cat", "of the cat", "of the big dog")
+      .toDF("text")
+    val got = TextOps.collocations(docs, k = 10, minCount = 2).collect()
+      .map(r => r.getAs[String]("bigram") ->
+        ((r.getAs[Long]("c_xy"), r.getAs[Long]("c_x"), r.getAs[Long]("c_y"),
+          r.getAs[Double]("pmi")))).toMap
+    assert(got.keySet == Set("of the", "the cat"))
+    val nTok = 10.0; val nBig = 7.0
+    def pmi(cxy: Long, cx: Long, cy: Long) =
+      math.log((cxy / nBig) / ((cx / nTok) * (cy / nTok)))
+    assert(got("of the")._1 == 3L && got("of the")._2 == 3L && got("of the")._3 == 3L)
+    assert(math.abs(got("of the")._4 - pmi(3, 3, 3)) < 1e-12)
+    assert(got("the cat")._1 == 2L)
+    assert(math.abs(got("the cat")._4 - pmi(2, 3, 2)) < 1e-12)
+  }
+
   test("extractJson rejects field/column collisions up front") {
     val df = Seq((1L, """{"id": 2}""")).toDF("id", "props")
     intercept[IllegalArgumentException] {

@@ -177,6 +177,36 @@ class SeriesOpsSpec extends SparkSpec {
     assert(math.abs(got(0).getAs[Double]("corr") - 1.0) < 1e-12)
   }
 
+  test("seasonalProfile: slots wrap the cycle; pre-epoch points land in the right slot") {
+    // period 10 s, bucket 5 s → 2 slots; points at 1, 6, 11, 16 alternate
+    val df = pts(1L -> 1.0, 6L -> 2.0, 11L -> 3.0, 16L -> 4.0)
+    val got = SeriesOps.seasonalProfile(df, 10 * S, 5 * S).collect()
+      .map(r => r.getAs[Long]("slot") ->
+        ((r.getAs[Double]("mean_value"), r.getAs[Long]("n_points")))).toMap
+    assert(got == Map(0L -> ((2.0, 2L)), 1L -> ((3.0, 2L))))
+    // ts = -1 s: pmod(-1e9, 10e9) = 9e9 → slot 1, not a negative slot
+    val pre = Seq(("s", -1L * S, 7.0)).toDF("series_id", "ts", "value")
+    assert(SeriesOps.seasonalProfile(pre, 10 * S, 5 * S)
+      .collect()(0).getAs[Long]("slot") == 1L)
+    intercept[IllegalArgumentException] {
+      SeriesOps.seasonalProfile(df, 10 * S, 3 * S) // bucket must divide period
+    }
+  }
+
+  test("gaps: only deltas beyond factor×cadence emit, with exact brackets") {
+    // cadence 1 s (deltas 1,1,3,1): the 3 s delta is the only gap at 2×
+    val df = pts(0L -> 0.0, 1L -> 1.0, 2L -> 2.0, 5L -> 3.0, 6L -> 4.0)
+    val got = SeriesOps.gaps(df, factor = 2.0).collect()
+    assert(got.length == 1)
+    val g = got(0)
+    assert(g.getAs[Long]("gap_start") == 2 * S && g.getAs[Long]("gap_end") == 5 * S)
+    assert(g.getAs[Long]("gap_ns") == 3 * S)
+    assert(math.abs(g.getAs[Double]("gap_ratio") - 3.0) < 1e-12)
+    // a delta exactly AT factor×cadence is not a gap (strict >)
+    assert(SeriesOps.gaps(pts(0L -> 0.0, 1L -> 1.0, 3L -> 2.0), factor = 2.0)
+      .count() == 0)
+  }
+
   test("interpolate: NaN samples are not brackets; short spans yield no grid") {
     val df = pts(5L -> 10.0, 10L -> Double.NaN, 15L -> 20.0)
     val got = SeriesOps.interpolate(df, 10 * S).collect()
