@@ -94,4 +94,57 @@ class PipelinePropsSpec extends SparkSpec {
             s"vec $id: x=$x q=$qi scale=$scale") }
     }
   }
+
+  test("packing laws on random corpora: coverage, contiguity, full interior chunks") {
+    for (trial <- 0 until 3) {
+      val cap = Seq(3L, 17L, 256L)(trial)
+      // sparse, shuffled-insertion ids; ~15% empty docs; token runs of a-z0-9
+      val docs = rnd.shuffle((1L to 120L).toList).take(80).map { i =>
+        val n = if (rnd.nextInt(7) == 0) 0 else rnd.nextInt(40)
+        (i * 13 + rnd.nextInt(5), Seq.fill(n)("w" + rnd.nextInt(999)).mkString(" "))
+      }.distinctBy(_._1)
+      val lens = docs.map { case (id, t) =>
+        id -> t.split("[^a-z0-9]+").count(_.nonEmpty).toLong }.toMap
+      val got = graft.pipeline.Packing
+        .packSequences(docs.toDF("doc_id", "text"), cap, shardWidth = 37)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      // per-doc: spans contiguous from 0 to n_toks over consecutive chunks
+      got.groupBy(_._1).foreach { case (id, spans) =>
+        val s = spans.sortBy(_._3)
+        assert(s.head._4 == 0L && s.last._5 == lens(id), s"cap=$cap doc=$id")
+        s.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a._5 == b._4, s"cap=$cap doc=$id span break")
+            assert(a._3 + 1 == b._3, s"cap=$cap doc=$id chunk skip")
+          case _ =>
+        }
+      }
+      // empty docs emit nothing; non-empty all present
+      assert(got.map(_._1).toSet == lens.filter(_._2 > 0).keySet)
+      // global: every chunk but the last holds exactly cap tokens
+      val fill = got.groupBy(_._3).view.mapValues(_.map(s => s._5 - s._4).sum)
+      if (fill.nonEmpty) {
+        val last = fill.keys.max
+        fill.foreach { case (c, n) =>
+          if (c < last) assert(n == cap, s"cap=$cap chunk=$c fill=$n") }
+      }
+    }
+  }
+
+  test("weighted sampling: inclusion probability increases with weight (rank law)") {
+    // deterministic rank check across many salts: a row with 8x the weight
+    // of another must win their pairwise contest in most salted draws
+    val rows = (1L to 100L).map(i => (i, if (i % 2 == 0) 8.0 else 1.0))
+    val df = rows.toDF("id", "w")
+    val wins = (0 until 20).map { s =>
+      val picked = graft.pipeline.Sampling
+        .weightedSample(df, "id", "w", n = 30, salt = s"trial$s")
+        .as[(Long, Double)].collect()
+      picked.count(_._2 == 8.0)
+    }
+    // heavy rows are half the population but should take the large
+    // majority of every 30-row draw; sum over 20 salts pins the law
+    assert(wins.sum > 20 * 20, s"heavy wins per draw: $wins")
+    assert(wins.forall(_ >= 15), s"a draw under-sampled heavy rows: $wins")
+  }
 }
