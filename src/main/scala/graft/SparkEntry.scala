@@ -194,6 +194,7 @@ object SparkEntry {
     "ts_seasonal_profile" -> ((s, dir) =>
       SeriesOps.seasonalProfile(pts(s, dir), 86400L * NsPerS, 3600L * NsPerS)),
     "ts_gaps" -> ((s, dir) => SeriesOps.gaps(pts(s, dir), 2.0)),
+    "ts_percentiles" -> ((s, dir) => SeriesOps.percentiles(pts(s, dir))),
     // pairwise correlation is inherently quadratic in the series set, so
     // the query selects a bounded station group (user_id < 25) up front
     "ts_corr" -> ((s, dir) => {
@@ -425,6 +426,10 @@ object SparkEntry {
     // near-dup PAIRS -> transitive clusters + canonical keeper (alternating
     // star connected components over the minhash pair graph)
     "dedup_clusters" -> ((s, dir) => Components.dedupClusters(Tables(s, dir).documents)),
+    // PageRank over the same minhash near-dup graph the clusters use:
+    // centrality as a keeper-selection signal
+    "graph_pagerank" -> ((s, dir) =>
+      Components.pageRank(Dedup.minhashNearDups(Tables(s, dir).documents), iters = 3)),
 
     // ---- similarity search ----
     "sim_topk" -> ((s, dir) => {
@@ -718,6 +723,13 @@ object SparkEntry {
          |  CASE WHEN s > 0 THEN (value - m) / s END AS z_score,
          |  coalesce(CASE WHEN s > 0 THEN abs((value - m) / s) > 3.0 END, false) AS is_anomaly
          |FROM st""".stripMargin,
+    "ts_percentiles" ->
+      s"""WITH points AS ($PointsCte)
+         |SELECT series_id, CAST(count(*) AS BIGINT) AS n_points,
+         |  quantile_cont(value, 0.5) AS p50,
+         |  quantile_cont(value, 0.9) AS p90,
+         |  quantile_cont(value, 0.99) AS p99
+         |FROM points WHERE NOT isnan(value) GROUP BY 1""".stripMargin,
     "ts_seasonal_profile" ->
       s"""WITH points AS ($PointsCte)
          |SELECT series_id, (ts % ${86400L * NsPerS}) // ${3600L * NsPerS} AS slot,
@@ -1163,6 +1175,28 @@ object SparkEntry {
          |SELECT c.doc_id, c.cluster_id, s.cluster_size,
          |  c.doc_id = c.cluster_id AS is_canonical
          |FROM comps c JOIN sizes s USING (cluster_id)""".stripMargin,
+    // Twin of Components.pageRank (3 rounds unrolled): same symmetrized
+    // edges, same (1-d)/N + d·Σ r/deg update with the (1 - 0.85) and
+    // 1.0/N expressions computed, not pre-folded, so the doubles agree.
+    "graph_pagerank" -> {
+      def round(r: String, prev: String) =
+        s"""c$r AS (SELECT s.dst AS id, sum(p.rank / d.deg) AS c FROM sym s
+           |  JOIN $prev p ON p.id = s.src JOIN deg d ON d.src = s.src GROUP BY 1),
+           |r$r AS (SELECT deg.src AS id,
+           |  (1 - 0.85) / nn.n + 0.85 * coalesce(c$r.c, 0.0) AS rank
+           |  FROM deg CROSS JOIN nn LEFT JOIN c$r ON c$r.id = deg.src)""".stripMargin
+      s"""WITH $MinhashPairsCtes,
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+         |  UNION SELECT id_b, id_a FROM mh_pairs),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+         |r0 AS (SELECT src AS id, 1.0 / nn.n AS rank FROM deg CROSS JOIN nn),
+         |${round("1", "r0")},
+         |${round("2", "r1")},
+         |${round("3", "r2")}
+         |SELECT deg.src AS doc_id, deg.deg, r3.rank
+         |FROM deg JOIN r3 ON r3.id = deg.src""".stripMargin
+    },
     "dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, $Toks AS tk FROM documents),
          |shg AS (SELECT doc_id, CASE WHEN len(tk) >= 3

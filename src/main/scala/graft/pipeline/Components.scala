@@ -152,4 +152,48 @@ object Components {
         col("cluster_size"),
         (col("id") === col("component")).as("is_canonical"))
   }
+
+  /** PageRank over an undirected edge list (symmetrized, deduplicated):
+    * `iters` rounds of `r = (1−d)/N + d·Σ r_nbr/deg_nbr` over the nodes
+    * that appear in at least one edge — on a near-dup graph this ranks
+    * cluster centrality, a keeper-selection signal richer than
+    * smallest-id. Isolated documents never enter (their rank is the
+    * uniform floor by definition).
+    *
+    * Scale shape per round: one edge-keyed join against the (node, rank)
+    * table and one partial-combined sum on the destination key — the
+    * standard distributed PageRank step; the per-round `localCheckpoint`
+    * truncates plan lineage exactly as in
+    * [[graft.pipeline.Similarity.kmeans]] (without it round r re-executes
+    * every earlier round). `N` is collected once (metadata-scale: one
+    * count of the node table).
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+      srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val n = deg.count()
+    if (n == 0) return deg.select(col("src").as("doc_id"), col("deg"),
+      lit(0.0).as("rank"))
+    var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = sym
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("deg")).as("c"))
+      ranks = deg.select(col("src").as("id"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1 - damping) / n) + lit(damping) * coalesce(col("c"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    deg.join(ranks.withColumnRenamed("id", "src"), "src")
+      .select(col("src").as("doc_id"), col("deg"), col("rank"))
+  }
 }

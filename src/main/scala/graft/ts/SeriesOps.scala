@@ -327,6 +327,25 @@ object SeriesOps {
         .as("corr"))
   }
 
+  /** Exact per-series distribution summary: p50/p90/p99 (linear
+    * interpolation — Spark's `percentile` and ANSI `quantile_cont` share
+    * the formula) plus the count, over non-NaN values — the latency-style
+    * tail view of a sensor's readings.
+    *
+    * Scale note: exact percentiles buffer each group's values
+    * (TypedImperativeAggregate) — right for per-series cardinalities
+    * (points per series are bounded); for a percentile over the WHOLE
+    * corpus use `percentile_approx` as [[graft.pipeline.Profile]] does.
+    */
+  def percentiles(points: DataFrame): DataFrame = {
+    val p = points.where(notNan(col("value")))
+    p.groupBy("series_id").agg(
+      count(lit(1)).as("n_points"),
+      percentile(col("value"), lit(0.5)).as("p50"),
+      percentile(col("value"), lit(0.9)).as("p90"),
+      percentile(col("value"), lit(0.99)).as("p99"))
+  }
+
   /** Diurnal seasonal profile: NaN-safe mean/min/max/count per (series,
     * time-of-period bucket) — the hour-of-day (or day-of-week) cycle a
     * weather dashboard overlays on raw readings, and the seasonal component

@@ -98,4 +98,44 @@ class ComponentsSpec extends SparkSpec {
     assert(got.forall(r => r._3 == sizes(r._2)))
     assert(got.forall(r => r._4 == (r._1 == r._2)))
   }
+
+  /** Reference PageRank: dense driver-side iteration, same update rule. */
+  private def brutePageRank(edges: Seq[(Long, Long)], iters: Int,
+      d: Double = 0.85): Map[Long, Double] = {
+    val sym = (edges ++ edges.map(e => (e._2, e._1))).distinct
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val nodes = deg.keySet
+    val n = nodes.size
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val in = sym.groupBy(_._2)
+      r = nodes.map { v =>
+        val c = in.getOrElse(v, Seq.empty).map { case (s, _) => r(s) / deg(s) }.sum
+        v -> ((1 - d) / n + d * c)
+      }.toMap
+    }
+    r
+  }
+
+  test("pageRank matches dense reference; star center dominates; mass conserved") {
+    // star 1-{2,3,4,5} plus a 6-7 pair
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (6L, 7L))
+    val got = Components.pageRank(edges.toDF("id_a", "id_b"), iters = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("deg"), r.getAs[Double]("rank")))).toMap
+    val expect = brutePageRank(edges, 3)
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (v, r) =>
+      assert(math.abs(got(v)._2 - r) < 1e-12, s"node $v") }
+    assert(got(1L)._1 == 4L && got(6L)._1 == 1L)
+    // center of the star outranks every leaf; symmetric pair ties
+    assert(got(1L)._2 > got(2L)._2 * 2)
+    assert(math.abs(got(6L)._2 - got(7L)._2) < 1e-15)
+    // undirected graph with no dangling nodes: total rank mass stays 1
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+    // layout invariance
+    val shuffled = Components.pageRank(edges.toDF("id_a", "id_b").repartition(5), 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rank")).toMap
+    expect.foreach { case (v, r) => assert(math.abs(shuffled(v) - r) < 1e-12) }
+  }
 }

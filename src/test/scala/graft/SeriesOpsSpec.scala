@@ -177,6 +177,16 @@ class SeriesOpsSpec extends SparkSpec {
     assert(math.abs(got(0).getAs[Double]("corr") - 1.0) < 1e-12)
   }
 
+  test("percentiles: linear interpolation at exact fractional ranks, NaN-safe") {
+    // values 10,20,30,40 (NaN dropped): p50 = 25, p90 = 37, p99 = 39.7
+    val df = pts(0L -> 10.0, 1L -> 20.0, 2L -> Double.NaN, 3L -> 30.0, 4L -> 40.0)
+    val got = SeriesOps.percentiles(df).collect()(0)
+    assert(got.getAs[Long]("n_points") == 4L)
+    assert(math.abs(got.getAs[Double]("p50") - 25.0) < 1e-12)
+    assert(math.abs(got.getAs[Double]("p90") - 37.0) < 1e-12)
+    assert(math.abs(got.getAs[Double]("p99") - 39.7) < 1e-12)
+  }
+
   test("seasonalProfile: slots wrap the cycle; pre-epoch points land in the right slot") {
     // period 10 s, bucket 5 s → 2 slots; points at 1, 6, 11, 16 alternate
     val df = pts(1L -> 1.0, 6L -> 2.0, 11L -> 3.0, 16L -> 4.0)
