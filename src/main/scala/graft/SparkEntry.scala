@@ -363,6 +363,9 @@ object SparkEntry {
       graft.ops.Funnel.funnel(Tables(s, dir).eventsUs,
         Seq("signup", "click", "purchase"))),
     "events_retention" -> ((s, dir) => Retention.retention(Tables(s, dir).eventsUs)),
+    "events_top_paths" -> ((s, dir) =>
+      graft.ops.Paths.topPaths(Tables(s, dir).eventsUs,
+        gapNs = 3600L * NsPerS, k = 20, maxSteps = 5)),
     // typed JSON projection out of the props payload, then a per-type audit
     "events_json" -> ((s, dir) =>
       SemiStructured.extractJson(
@@ -1035,6 +1038,27 @@ object SparkEntry {
         |  1 + (CASE WHEN s2.t_2 IS NOT NULL THEN 1 ELSE 0 END)
         |    + (CASE WHEN s3.t_3 IS NOT NULL THEN 1 ELSE 0 END) AS stage_reached
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+    // Twin of Paths.topPaths: same session labeling, same first-maxSteps
+    // cap via rn - start_rn, path built by ordered string_agg.
+    "events_top_paths" -> {
+      val gap = 3600L * NsPerS
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts FROM events),
+         |w AS (SELECT *,
+         |  CASE WHEN lag(ts) OVER win IS NULL OR ts - lag(ts) OVER win > $gap
+         |    THEN 1 ELSE 0 END AS is_start,
+         |  row_number() OVER win AS rn
+         |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (SELECT *,
+         |  sum(is_start) OVER run AS sess,
+         |  max(CASE WHEN is_start = 1 THEN rn END) OVER run AS start_rn
+         |  FROM w WINDOW run AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING)),
+         |p AS (SELECT user_id, sess,
+         |  string_agg(event_type, ' > ' ORDER BY ts, event_id) AS path
+         |  FROM s WHERE rn - start_rn < 5 GROUP BY 1, 2)
+         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p
+         |GROUP BY 1 ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin
+    },
     // Twin of Retention.retention; `//` floors like Spark's `div` because
     // epoch days are non-negative here.
     "events_retention" ->

@@ -321,6 +321,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(got("the cat")._4 - pmi(2, 3, 2)) < 1e-12)
   }
 
+  test("topPaths: gap-bounded ordered sequences, step cap, deterministic ranking") {
+    val g = 100L
+    // user 1: two sessions [a b c] and [a b]; user 2: one session [a b c]
+    // plus a 6-event session that must truncate to its first 3 steps
+    val events = Seq(
+      (1L, 1L, 0L, "a"), (2L, 1L, 10L, "b"), (3L, 1L, 20L, "c"),
+      (4L, 1L, 500L, "a"), (5L, 1L, 510L, "b"),
+      (6L, 2L, 0L, "a"), (7L, 2L, 10L, "b"), (8L, 2L, 20L, "c"),
+      (9L, 3L, 0L, "x"), (10L, 3L, 1L, "y"), (11L, 3L, 2L, "z"),
+      (12L, 3L, 3L, "x"), (13L, 3L, 4L, "y"), (14L, 3L, 5L, "z"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.ops.Paths.topPaths(events, gapNs = g, k = 10, maxSteps = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got.toMap == Map("a > b > c" -> 2L, "a > b" -> 1L, "x > y > z" -> 1L))
+    // ranking: count desc, then path asc
+    assert(got.head == ("a > b > c", 2L))
+    assert(got.tail.map(_._1) == Seq("a > b", "x > y > z"))
+    // same-instant events order by event_id (deterministic tie-break)
+    val ties = Seq((2L, 9L, 0L, "b"), (1L, 9L, 0L, "a"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    assert(graft.ops.Paths.topPaths(ties, g, k = 5).as[(String, Long)]
+      .collect().toSeq == Seq(("a > b", 1L)))
+  }
+
   test("extractJson rejects field/column collisions up front") {
     val df = Seq((1L, """{"id": 2}""")).toDF("id", "props")
     intercept[IllegalArgumentException] {
