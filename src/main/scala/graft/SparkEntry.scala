@@ -735,7 +735,8 @@ object SparkEntry {
          |FROM points WHERE NOT isnan(value) GROUP BY 1""".stripMargin,
     "ts_seasonal_profile" ->
       s"""WITH points AS ($PointsCte)
-         |SELECT series_id, (ts % ${86400L * NsPerS}) // ${3600L * NsPerS} AS slot,
+         |SELECT series_id,
+         |  ((ts % ${86400L * NsPerS} + ${86400L * NsPerS}) % ${86400L * NsPerS}) // ${3600L * NsPerS} AS slot,
          |  avg(value) FILTER (WHERE NOT isnan(value)) AS mean_value,
          |  min(value) FILTER (WHERE NOT isnan(value)) AS min_value,
          |  max(value) FILTER (WHERE NOT isnan(value)) AS max_value,
@@ -1200,14 +1201,17 @@ object SparkEntry {
          |  c.doc_id = c.cluster_id AS is_canonical
          |FROM comps c JOIN sizes s USING (cluster_id)""".stripMargin,
     // Twin of Components.pageRank (3 rounds unrolled): same symmetrized
-    // edges, same (1-d)/N + d·Σ r/deg update with the (1 - 0.85) and
-    // 1.0/N expressions computed, not pre-folded, so the doubles agree.
+    // edges, same (1-d)/N + d·Σ r/deg update. The damping terms are
+    // CAST to DOUBLE first — bare `1 - 0.85` would be DuckDB DECIMAL
+    // arithmetic (exactly 0.15), not the Scala double 0.15000000000000002
+    // the Spark side folds.
     "graph_pagerank" -> {
       def round(r: String, prev: String) =
         s"""c$r AS (SELECT s.dst AS id, sum(p.rank / d.deg) AS c FROM sym s
            |  JOIN $prev p ON p.id = s.src JOIN deg d ON d.src = s.src GROUP BY 1),
            |r$r AS (SELECT deg.src AS id,
-           |  (1 - 0.85) / nn.n + 0.85 * coalesce(c$r.c, 0.0) AS rank
+           |  (1 - CAST(0.85 AS DOUBLE)) / nn.n
+           |    + CAST(0.85 AS DOUBLE) * coalesce(c$r.c, 0.0) AS rank
            |  FROM deg CROSS JOIN nn LEFT JOIN c$r ON c$r.id = deg.src)""".stripMargin
       s"""WITH $MinhashPairsCtes,
          |sym AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs

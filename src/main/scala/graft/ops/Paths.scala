@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Session path mining: the most common ordered event-type sequences per
@@ -25,20 +24,9 @@ object Paths {
     require(gapNs > 0, s"gap must be positive, got $gapNs")
     require(k > 0, s"k must be positive, got $k")
     require(maxSteps > 0, s"maxSteps must be positive, got $maxSteps")
-    val byTime = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
-    val running = byTime.rowsBetween(Window.unboundedPreceding, 0)
-    val prevTs = lag(col(tsCol), 1).over(byTime)
-    val isStart = when(prevTs.isNull || col(tsCol) - prevTs > gapNs, 1L)
-      .otherwise(0L)
-    val labeled = events
-      .withColumn("__rn", row_number().over(byTime))
-      .withColumn("__start", isStart)
-      .withColumn("__sess", sum(col("__start")).over(running))
-      .withColumn("__start_rn",
-        max(when(col("__start") === 1, col("__rn"))).over(running))
-    labeled
+    Sessionize.labelSessions(events, gapNs, userCol, tsCol, idCol)
       .where(col("__rn") - col("__start_rn") < maxSteps)
-      .groupBy(col(userCol), col("__sess"))
+      .groupBy(col(userCol), col("session_idx"))
       .agg(array_join(
         transform(
           array_sort(collect_list(struct(col(tsCol), col(idCol),

@@ -67,6 +67,32 @@ object Sessionize {
         (col("end_ns") - col("start_ns")).as("duration_ns"), col("n_events"))
   }
 
+  /** THE session-boundary contract, shared by every gap-session operator
+    * ([[sessions]], [[graft.ops.Paths.topPaths]]): per-event rows with
+    * `session_idx` (1-based per user), `__rn` (1-based event rank in the
+    * user's time order) and `__start_rn` (the rank of the session's first
+    * event, so `__rn - __start_rn` is the 0-based step index). One window
+    * sort carries all three — and one definition of the boundary predicate
+    * (`ts − prev > gap` splits, `==` merges) keeps the operators built on
+    * it from drifting apart.
+    */
+  def labelSessions(events: DataFrame, gapNs: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val byTime = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val running = byTime.rowsBetween(Window.unboundedPreceding, 0)
+    val prevTs = lag(col(tsCol), 1).over(byTime)
+    val isStart = when(prevTs.isNull || col(tsCol) - prevTs > gapNs, 1L)
+      .otherwise(0L)
+    events
+      .withColumn("__rn", row_number().over(byTime))
+      .withColumn("__start", isStart)
+      .withColumn("session_idx", sum(col("__start")).over(running))
+      .withColumn("__start_rn",
+        max(when(col("__start") === 1, col("__rn"))).over(running))
+      .drop("__start")
+  }
+
   /** One row per (user, session): ordinal session index (1-based, in time
     * order), span, and event count. Ordering ties on ts break by event id,
     * so the result is deterministic under duplicate timestamps.
@@ -74,13 +100,7 @@ object Sessionize {
   def sessions(events: DataFrame, gapNs: Long,
       userCol: String = "user_id", tsCol: String = "ts",
       idCol: String = "event_id"): DataFrame = {
-    val byTime = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
-    val prevTs = lag(col(tsCol), 1).over(byTime)
-    val isStart = when(prevTs.isNull || col(tsCol) - prevTs > gapNs, 1L)
-      .otherwise(0L)
-    events
-      .withColumn("session_idx",
-        sum(isStart).over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
+    labelSessions(events, gapNs, userCol, tsCol, idCol)
       .groupBy(col(userCol), col("session_idx"))
       .agg(min(col(tsCol)).as("start_ns"), max(col(tsCol)).as("end_ns"),
         count(lit(1)).as("n_events"))

@@ -172,9 +172,13 @@ object Components {
       srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    // materialize the symmetrized edge list once: the incoming `edges` plan
+    // can be arbitrarily expensive (the near-dup graph is a whole LSH
+    // pipeline), and without this every round's contrib join re-executes it
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
+      .localCheckpoint(true)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
     val n = deg.count()
     if (n == 0) return deg.select(col("src").as("doc_id"), col("deg"),

@@ -281,12 +281,14 @@ object TextOps {
     val toks = df.select(tokens(textCol).as("tk"))
     val uni = toks.select(explode(col("tk")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("c"))
-    val bi = toks.select(explode(shingles(col("tk"), 2)).as("bigram"))
+    // the unfiltered bigram counts serve twice: the collocation candidates
+    // (after the min-count cut) AND the n_big total — summing the already-
+    // aggregated table instead of re-exploding the corpus a third time
+    val bi0 = toks.select(explode(shingles(col("tk"), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
-      .where(col("c_xy") >= minCount)
+    val bi = bi0.where(col("c_xy") >= minCount)
     val totals = uni.agg(sum("c").as("n_tok"))
-      .crossJoin(toks.select(explode(shingles(col("tk"), 2)).as("b"))
-        .agg(count(lit(1)).as("n_big")))
+      .crossJoin(bi0.agg(sum("c_xy").as("n_big")))
     val pmi = log((col("c_xy").cast("double") / col("n_big"))
       / ((col("c_x").cast("double") / col("n_tok"))
         * (col("c_y").cast("double") / col("n_tok"))))

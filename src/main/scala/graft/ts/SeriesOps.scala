@@ -68,8 +68,15 @@ object SeriesOps {
     * insertion-order-dependent; we fix the deterministic tie-break to the
     * SMALLEST delta (SURVEY.md §7.4).
     */
-  def dtMode(points: DataFrame): DataFrame = {
-    val d = deltas(points).where(col("delta_ns").isNotNull)
+  def dtMode(points: DataFrame): DataFrame =
+    dtModeOfDeltas(deltas(points).where(col("delta_ns").isNotNull))
+
+  /** dt-mode from an already-computed delta stream — callers that also
+    * consume the deltas ([[gaps]]) pass the SAME DataFrame here, so the
+    * window sort behind it is one shared subplan (reused exchange), not
+    * two independent passes over the points.
+    */
+  private def dtModeOfDeltas(d: DataFrame): DataFrame = {
     val counted = d.groupBy("series_id", "delta_ns").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("series_id")
       .orderBy(col("cnt").desc, col("delta_ns").asc)
@@ -383,7 +390,7 @@ object SeriesOps {
   def gaps(points: DataFrame, factor: Double = 2.0): DataFrame = {
     require(factor > 0, s"factor must be positive, got $factor")
     val d = deltas(points).where(col("delta_ns").isNotNull)
-    d.join(dtMode(points), Seq("series_id"))
+    d.join(dtModeOfDeltas(d), Seq("series_id"))
       .where(col("delta_ns") > col("dt_mode_ns") * factor)
       .select(col("series_id"),
         (col("ts") - col("delta_ns")).as("gap_start"),
