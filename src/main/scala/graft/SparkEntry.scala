@@ -195,6 +195,7 @@ object SparkEntry {
       SeriesOps.seasonalProfile(pts(s, dir), 86400L * NsPerS, 3600L * NsPerS)),
     "ts_gaps" -> ((s, dir) => SeriesOps.gaps(pts(s, dir), 2.0)),
     "ts_percentiles" -> ((s, dir) => SeriesOps.percentiles(pts(s, dir))),
+    "ts_trend" -> ((s, dir) => SeriesOps.trend(pts(s, dir))),
     // pairwise correlation is inherently quadratic in the series set, so
     // the query selects a bounded station group (user_id < 25) up front
     "ts_corr" -> ((s, dir) => {
@@ -733,6 +734,31 @@ object SparkEntry {
          |  quantile_cont(value, 0.9) AS p90,
          |  quantile_cont(value, 0.99) AS p99
          |FROM points WHERE NOT isnan(value) GROUP BY 1""".stripMargin,
+    // Twin of SeriesOps.trend: identical co-moment algebra, identical
+    // ts/1e9 seconds conversion and operation order.
+    "ts_trend" ->
+      s"""WITH points AS ($PointsCte),
+         |p AS (SELECT series_id, ts / 1e9 AS t, value AS y FROM points
+         |  WHERE NOT isnan(value)),
+         |s AS (SELECT series_id, CAST(count(*) AS BIGINT) AS n_points,
+         |  sum(t) AS st, sum(y) AS sy, sum(t * t) AS stt,
+         |  sum(y * y) AS syy, sum(t * y) AS sty
+         |  FROM p GROUP BY 1)
+         |SELECT series_id, n_points,
+         |  CASE WHEN CAST(n_points AS DOUBLE) * stt - st * st > 0
+         |    THEN (CAST(n_points AS DOUBLE) * sty - st * sy)
+         |       / (CAST(n_points AS DOUBLE) * stt - st * st) END AS slope,
+         |  CASE WHEN CAST(n_points AS DOUBLE) * stt - st * st > 0
+         |    THEN (sy - ((CAST(n_points AS DOUBLE) * sty - st * sy)
+         |               / (CAST(n_points AS DOUBLE) * stt - st * st)) * st)
+         |       / CAST(n_points AS DOUBLE) END AS intercept,
+         |  CASE WHEN CAST(n_points AS DOUBLE) * stt - st * st > 0
+         |        AND CAST(n_points AS DOUBLE) * syy - sy * sy > 0
+         |    THEN ((CAST(n_points AS DOUBLE) * sty - st * sy)
+         |        * (CAST(n_points AS DOUBLE) * sty - st * sy))
+         |       / ((CAST(n_points AS DOUBLE) * stt - st * st)
+         |        * (CAST(n_points AS DOUBLE) * syy - sy * sy)) END AS r2
+         |FROM s""".stripMargin,
     "ts_seasonal_profile" ->
       s"""WITH points AS ($PointsCte)
          |SELECT series_id,

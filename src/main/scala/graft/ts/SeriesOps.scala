@@ -353,6 +353,39 @@ object SeriesOps {
       percentile(col("value"), lit(0.99)).as("p99"))
   }
 
+  /** Per-series linear trend: least-squares slope/intercept of value over
+    * time — the warming/cooling drift a station report leads with. Closed
+    * form from co-moment sums (`slope = (nΣty − ΣtΣy)/(nΣt² − (Σt)²)`),
+    * the same one-aggregation shape as [[pairCorrelation]]; a series with
+    * under 2 points or zero time variance yields nulls. Time enters as
+    * SECONDS (`ts / 1e9` in double) — ns² co-moments would overflow
+    * doubles' integer range for century-scale spans, and the division is
+    * written identically in the SQL twin so both engines share the
+    * rounding.
+    *
+    * `slope` is units/second; `r2` is the squared Pearson correlation of
+    * (t, y), null when either variance is zero.
+    */
+  def trend(points: DataFrame): DataFrame = {
+    val sums = points.where(notNan(col("value")))
+      .select(col("series_id"), (col("ts") / 1e9).as("__t"), col("value").as("__y"))
+      .groupBy("series_id")
+      .agg(count(lit(1)).as("n_points"),
+        sum("__t").as("__st"), sum("__y").as("__sy"),
+        sum(col("__t") * col("__t")).as("__stt"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__t") * col("__y")).as("__sty"))
+    val n = col("n_points").cast("double")
+    val vt = n * col("__stt") - col("__st") * col("__st")
+    val vy = n * col("__syy") - col("__sy") * col("__sy")
+    val cov = n * col("__sty") - col("__st") * col("__sy")
+    val slope = when(vt > 0, cov / vt)
+    sums.select(col("series_id"), col("n_points"),
+      slope.as("slope"),
+      when(vt > 0, (col("__sy") - (cov / vt) * col("__st")) / n).as("intercept"),
+      when(vt > 0 && vy > 0, (cov * cov) / (vt * vy)).as("r2"))
+  }
+
   /** Diurnal seasonal profile: NaN-safe mean/min/max/count per (series,
     * time-of-period bucket) — the hour-of-day (or day-of-week) cycle a
     * weather dashboard overlays on raw readings, and the seasonal component

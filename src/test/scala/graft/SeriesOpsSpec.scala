@@ -177,6 +177,25 @@ class SeriesOpsSpec extends SparkSpec {
     assert(math.abs(got(0).getAs[Double]("corr") - 1.0) < 1e-12)
   }
 
+  test("trend: exact fit on a line, degenerate series yield nulls") {
+    // y = 2·t + 5 with t in seconds
+    val line = pts(0L -> 5.0, 1L -> 7.0, 2L -> 9.0, 3L -> 11.0)
+    val got = SeriesOps.trend(line).collect()(0)
+    assert(got.getAs[Long]("n_points") == 4L)
+    assert(math.abs(got.getAs[Double]("slope") - 2.0) < 1e-9)
+    assert(math.abs(got.getAs[Double]("intercept") - 5.0) < 1e-9)
+    assert(math.abs(got.getAs[Double]("r2") - 1.0) < 1e-12)
+    // constant value: slope 0, intercept = the value, r2 null (zero y-var)
+    val const = SeriesOps.trend(pts(0L -> 3.0, 1L -> 3.0, 2L -> 3.0)).collect()(0)
+    assert(math.abs(const.getAs[Double]("slope")) < 1e-12)
+    assert(math.abs(const.getAs[Double]("intercept") - 3.0) < 1e-9)
+    assert(const.isNullAt(const.fieldIndex("r2")))
+    // all points at one instant: zero time variance, everything null
+    val vert = Seq(("s", 5L, 1.0), ("s", 5L, 9.0)).toDF("series_id", "ts", "value")
+    val v = SeriesOps.trend(vert).collect()(0)
+    assert(v.isNullAt(v.fieldIndex("slope")) && v.isNullAt(v.fieldIndex("intercept")))
+  }
+
   test("percentiles: linear interpolation at exact fractional ranks, NaN-safe") {
     // values 10,20,30,40 (NaN dropped): p50 = 25, p90 = 37, p99 = 39.7
     val df = pts(0L -> 10.0, 1L -> 20.0, 2L -> Double.NaN, 3L -> 30.0, 4L -> 40.0)
