@@ -196,6 +196,7 @@ object SparkEntry {
     "ts_gaps" -> ((s, dir) => SeriesOps.gaps(pts(s, dir), 2.0)),
     "ts_percentiles" -> ((s, dir) => SeriesOps.percentiles(pts(s, dir))),
     "ts_trend" -> ((s, dir) => SeriesOps.trend(pts(s, dir))),
+    "ts_outlier_mad" -> ((s, dir) => SeriesOps.outliersMad(pts(s, dir), 3.5)),
     // pairwise correlation is inherently quadratic in the series set, so
     // the query selects a bounded station group (user_id < 25) up front
     "ts_corr" -> ((s, dir) => {
@@ -367,6 +368,8 @@ object SparkEntry {
     "events_top_paths" -> ((s, dir) =>
       graft.ops.Paths.topPaths(Tables(s, dir).eventsUs,
         gapNs = 3600L * NsPerS, k = 20, maxSteps = 5)),
+    "events_markov" -> ((s, dir) =>
+      graft.ops.Paths.transitions(Tables(s, dir).eventsUs, gapNs = 3600L * NsPerS)),
     // typed JSON projection out of the props payload, then a per-type audit
     "events_json" -> ((s, dir) =>
       SemiStructured.extractJson(
@@ -734,6 +737,19 @@ object SparkEntry {
          |  quantile_cont(value, 0.9) AS p90,
          |  quantile_cont(value, 0.99) AS p99
          |FROM points WHERE NOT isnan(value) GROUP BY 1""".stripMargin,
+    // Twin of SeriesOps.outliersMad: same two grouped medians, same
+    // guarded score; is_outlier mirrors coalesce(|score| > k, false).
+    "ts_outlier_mad" ->
+      s"""WITH points AS ($PointsCte),
+         |p AS (SELECT series_id, ts, value FROM points WHERE NOT isnan(value)),
+         |med AS (SELECT series_id, quantile_cont(value, 0.5) AS med FROM p GROUP BY 1),
+         |mad AS (SELECT p.series_id, quantile_cont(abs(p.value - med.med), 0.5) AS mad
+         |  FROM p JOIN med USING (series_id) GROUP BY 1)
+         |SELECT p.series_id, p.ts, p.value,
+         |  CASE WHEN mad.mad > 0 THEN (p.value - med.med) / mad.mad END AS mad_score,
+         |  coalesce(abs(CASE WHEN mad.mad > 0
+         |    THEN (p.value - med.med) / mad.mad END) > 3.5, false) AS is_outlier
+         |FROM p JOIN med USING (series_id) JOIN mad USING (series_id)""".stripMargin,
     // Twin of SeriesOps.trend: identical co-moment algebra, identical
     // ts/1e9 seconds conversion and operation order.
     "ts_trend" ->
@@ -1085,6 +1101,32 @@ object SparkEntry {
          |  FROM s WHERE rn - start_rn < 5 GROUP BY 1, 2)
          |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p
          |GROUP BY 1 ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin
+    },
+    // Twin of Paths.transitions: successors via lead in the same session
+    // labeling; cross-session adjacencies excluded; denominator = per-from
+    // outgoing count.
+    "events_markov" -> {
+      val gap = 3600L * NsPerS
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts FROM events),
+         |w AS (SELECT *,
+         |  CASE WHEN lag(ts) OVER win IS NULL OR ts - lag(ts) OVER win > $gap
+         |    THEN 1 ELSE 0 END AS is_start,
+         |  lead(event_type) OVER win AS next_type
+         |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (SELECT *,
+         |  sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS sess,
+         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+         |  FROM w),
+         |pairs AS (SELECT event_type AS from_type, next_type AS to_type,
+         |  CAST(count(*) AS BIGINT) AS n_transitions
+         |  FROM s WHERE next_type IS NOT NULL AND next_ts - ts <= $gap
+         |  GROUP BY 1, 2),
+         |deg AS (SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS total
+         |  FROM pairs GROUP BY 1)
+         |SELECT from_type, to_type, n_transitions,
+         |  CAST(n_transitions AS DOUBLE) / total AS p_transition
+         |FROM pairs JOIN deg USING (from_type)""".stripMargin
     },
     // Twin of Retention.retention; `//` floors like Spark's `div` because
     // epoch days are non-negative here.

@@ -18,6 +18,40 @@ import org.apache.spark.sql.functions._
   */
 object Paths {
 
+  /** First-order Markov transition estimates over session steps: for every
+    * ordered pair of event types adjacent WITHIN a gap-session,
+    * `p_transition = count(a→b) / count(a→ any)` — the empirical
+    * transition matrix behind "where do users go after a signup".
+    * Session boundaries are [[Sessionize.labelSessions]]'s (shared
+    * contract), so a gap never fabricates a transition.
+    *
+    * Scale shape: the successor type comes from `lead` in the SAME
+    * user-key sort that labels sessions (no second shuffle); the pair
+    * count is one partial-combined aggregation on (from, to), and the
+    * denominator joins back on the `from` key — a table as small as the
+    * type vocabulary squared.
+    */
+  def transitions(events: DataFrame, gapNs: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", typeCol: String = "event_type"): DataFrame = {
+    require(gapNs > 0, s"gap must be positive, got $gapNs")
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val pairs = Sessionize.labelSessions(events, gapNs, userCol, tsCol, idCol)
+      .withColumn("__next_type", lead(col(typeCol), 1).over(byTime))
+      .withColumn("__next_sess", lead(col("session_idx"), 1).over(byTime))
+      .where(col("__next_type").isNotNull
+        && col("__next_sess") === col("session_idx"))
+      .groupBy(col(typeCol).as("from_type"), col("__next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val outDeg = pairs.groupBy("from_type")
+      .agg(sum("n_transitions").as("__total"))
+    pairs.join(outDeg, "from_type")
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        (col("n_transitions").cast("double") / col("__total"))
+          .as("p_transition"))
+  }
+
   def topPaths(events: DataFrame, gapNs: Long, k: Int, maxSteps: Int = 5,
       userCol: String = "user_id", tsCol: String = "ts",
       idCol: String = "event_id", typeCol: String = "event_type"): DataFrame = {

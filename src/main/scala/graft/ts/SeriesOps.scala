@@ -353,6 +353,35 @@ object SeriesOps {
       percentile(col("value"), lit(0.99)).as("p99"))
   }
 
+  /** Robust per-series outliers via median absolute deviation: the score is
+    * `(x − median) / MAD` and points beyond `|score| > k` are flagged —
+    * the screen to use when [[anomaly]]'s mean/σ is itself corrupted by
+    * the outliers (a stuck sensor emitting one huge value inflates σ and
+    * hides itself; the median and MAD have 50% breakdown). A series whose
+    * MAD is zero (over half its values identical) yields null scores and
+    * `is_outlier = false`, never a division by zero.
+    *
+    * Scale shape: two grouped exact medians and two join-backs, all on the
+    * series key — one partitioning reused end to end. Exact medians buffer
+    * per-series values (see [[percentiles]]); at whole-corpus cardinality
+    * swap in `percentile_approx`.
+    */
+  def outliersMad(points: DataFrame, k: Double = 3.5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val p = points.where(notNan(col("value")))
+    val med = p.groupBy("series_id")
+      .agg(percentile(col("value"), lit(0.5)).as("__med"))
+    val withMed = p.join(med, "series_id")
+    val mad = withMed.groupBy("series_id")
+      .agg(percentile(abs(col("value") - col("__med")), lit(0.5)).as("__mad"))
+    val score = when(col("__mad") > 0,
+      (col("value") - col("__med")) / col("__mad"))
+    withMed.join(mad, "series_id")
+      .select(col("series_id"), col("ts"), col("value"),
+        score.as("mad_score"),
+        coalesce(abs(score) > k, lit(false)).as("is_outlier"))
+  }
+
   /** Per-series linear trend: least-squares slope/intercept of value over
     * time — the warming/cooling drift a station report leads with. Closed
     * form from co-moment sums (`slope = (nΣty − ΣtΣy)/(nΣt² − (Σt)²)`),

@@ -345,6 +345,28 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().toSeq == Seq(("a > b", 1L)))
   }
 
+  test("transitions: adjacency within sessions only, probabilities sum to 1 per source") {
+    val g = 100L
+    // user 1: [a b a b] then, after a gap, [c] — the a→b/b→a chain must not
+    // leak a b→c transition across the session boundary
+    val events = Seq(
+      (1L, 1L, 0L, "a"), (2L, 1L, 10L, "b"), (3L, 1L, 20L, "a"),
+      (4L, 1L, 30L, "b"), (5L, 1L, 500L, "c"),
+      (6L, 2L, 0L, "a"), (7L, 2L, 10L, "c"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.ops.Paths.transitions(events, gapNs = g)
+      .collect().map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        ((r.getAs[Long]("n_transitions"), r.getAs[Double]("p_transition")))).toMap
+    assert(got.keySet == Set(("a","b"), ("b","a"), ("a","c")))
+    assert(got(("a","b"))._1 == 2L && got(("b","a"))._1 == 1L && got(("a","c"))._1 == 1L)
+    assert(math.abs(got(("a","b"))._2 - 2.0 / 3) < 1e-12)
+    assert(math.abs(got(("a","c"))._2 - 1.0 / 3) < 1e-12)
+    assert(math.abs(got(("b","a"))._2 - 1.0) < 1e-12)
+    // per-source probabilities always sum to 1
+    got.groupBy(_._1._1).foreach { case (f, m) =>
+      assert(math.abs(m.values.map(_._2).sum - 1.0) < 1e-12, s"from $f") }
+  }
+
   test("extractJson rejects field/column collisions up front") {
     val df = Seq((1L, """{"id": 2}""")).toDF("id", "props")
     intercept[IllegalArgumentException] {

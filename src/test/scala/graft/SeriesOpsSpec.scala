@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.ts.SeriesOps
 import graft.ts.model.{AverageValue, InstantValue, Period}
@@ -175,6 +176,27 @@ class SeriesOpsSpec extends SparkSpec {
     assert(got.length == 1)
     assert(got(0).getAs[Long]("n_buckets") == 2L)
     assert(math.abs(got(0).getAs[Double]("corr") - 1.0) < 1e-12)
+  }
+
+  test("outliersMad: catches the spike a corrupted sigma hides; zero MAD is safe") {
+    // spread base values 8..12 plus a spike at 1000 (n=6): the spike
+    // inflates sample σ to ~404, so its own z = (1000-175)/404 ≈ 2.04 and
+    // anomaly(z=3) misses it — while median 10.5, MAD 1.5 score it ~660
+    val spread = Seq(8.0, 9.0, 10.0, 11.0, 12.0, 1000.0).zipWithIndex
+      .map { case (v, i) => ("t", i.toLong * S, v) }
+      .toDF("series_id", "ts", "value")
+    assert(SeriesOps.anomaly(spread, 3.0).where(col("is_anomaly")).count() == 0)
+    val flagged = SeriesOps.outliersMad(spread, 3.5).where(col("is_outlier"))
+      .collect().map(_.getAs[Double]("value"))
+    assert(flagged.toSeq == Seq(1000.0))
+    // over half the values identical -> MAD 0 -> null scores, nothing
+    // flagged, no division by zero (even with a genuine spike present)
+    val degenerate = Seq(10.0, 10.0, 10.0, 10.0, 9.0, 1000.0).zipWithIndex
+      .map { case (v, i) => ("d", i.toLong * S, v) }
+      .toDF("series_id", "ts", "value")
+    val d = SeriesOps.outliersMad(degenerate, 3.5)
+    assert(d.where(col("is_outlier")).count() == 0)
+    assert(d.where(col("mad_score").isNotNull).count() == 0)
   }
 
   test("trend: exact fit on a line, degenerate series yield nulls") {
