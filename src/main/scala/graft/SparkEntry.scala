@@ -738,17 +738,28 @@ object SparkEntry {
          |  quantile_cont(value, 0.99) AS p99
          |FROM points WHERE NOT isnan(value) GROUP BY 1""".stripMargin,
     // Twin of SeriesOps.outliersMad: same two grouped medians, same
-    // guarded score; is_outlier mirrors coalesce(|score| > k, false).
+    // Iglewicz–Hoaglin 0.6745 score with the 1.253314·meanAD fallback,
+    // same operation order; is_outlier mirrors coalesce(|score| > k,
+    // false). Constants CAST to DOUBLE so DuckDB does not fold them in
+    // DECIMAL arithmetic.
     "ts_outlier_mad" ->
       s"""WITH points AS ($PointsCte),
          |p AS (SELECT series_id, ts, value FROM points WHERE NOT isnan(value)),
          |med AS (SELECT series_id, quantile_cont(value, 0.5) AS med FROM p GROUP BY 1),
-         |mad AS (SELECT p.series_id, quantile_cont(abs(p.value - med.med), 0.5) AS mad
+         |mad AS (SELECT p.series_id, quantile_cont(abs(p.value - med.med), 0.5) AS mad,
+         |  avg(abs(p.value - med.med)) AS meanad
          |  FROM p JOIN med USING (series_id) GROUP BY 1)
          |SELECT p.series_id, p.ts, p.value,
-         |  CASE WHEN mad.mad > 0 THEN (p.value - med.med) / mad.mad END AS mad_score,
+         |  CASE WHEN mad.mad > 0
+         |    THEN CAST(0.6745 AS DOUBLE) * (p.value - med.med) / mad.mad
+         |  WHEN mad.meanad > 0
+         |    THEN (p.value - med.med) / (CAST(1.253314 AS DOUBLE) * mad.meanad)
+         |  END AS mad_score,
          |  coalesce(abs(CASE WHEN mad.mad > 0
-         |    THEN (p.value - med.med) / mad.mad END) > 3.5, false) AS is_outlier
+         |    THEN CAST(0.6745 AS DOUBLE) * (p.value - med.med) / mad.mad
+         |  WHEN mad.meanad > 0
+         |    THEN (p.value - med.med) / (CAST(1.253314 AS DOUBLE) * mad.meanad)
+         |  END) > 3.5, false) AS is_outlier
          |FROM p JOIN med USING (series_id) JOIN mad USING (series_id)""".stripMargin,
     // Twin of SeriesOps.trend: identical co-moment algebra, identical
     // ts/1e9 seconds conversion and operation order.
@@ -1102,9 +1113,10 @@ object SparkEntry {
          |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p
          |GROUP BY 1 ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin
     },
-    // Twin of Paths.transitions: successors via lead in the same session
-    // labeling; cross-session adjacencies excluded; denominator = per-from
-    // outgoing count.
+    // Twin of Paths.transitions, formulation-identical: label sessions
+    // (lag marks starts, running sum numbers them), take the successor via
+    // lead in the SAME ordering, keep pairs whose lead(session) equals the
+    // row's session; denominator = per-from outgoing count.
     "events_markov" -> {
       val gap = 3600L * NsPerS
       s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts FROM events),
@@ -1115,12 +1127,14 @@ object SparkEntry {
          |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
          |s AS (SELECT *,
          |  sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |    ROWS UNBOUNDED PRECEDING) AS sess,
-         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+         |    ROWS UNBOUNDED PRECEDING) AS sess
          |  FROM w),
+         |s2 AS (SELECT *,
+         |  lead(sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_sess
+         |  FROM s),
          |pairs AS (SELECT event_type AS from_type, next_type AS to_type,
          |  CAST(count(*) AS BIGINT) AS n_transitions
-         |  FROM s WHERE next_type IS NOT NULL AND next_ts - ts <= $gap
+         |  FROM s2 WHERE next_type IS NOT NULL AND next_sess = sess
          |  GROUP BY 1, 2),
          |deg AS (SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS total
          |  FROM pairs GROUP BY 1)

@@ -35,8 +35,9 @@ object Paths {
       userCol: String = "user_id", tsCol: String = "ts",
       idCol: String = "event_id", typeCol: String = "event_type"): DataFrame = {
     require(gapNs > 0, s"gap must be positive, got $gapNs")
-    import org.apache.spark.sql.expressions.Window
-    val byTime = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    // the SAME ordering labelSessions sorted by — shared contract, so the
+    // lead() alignment cannot drift from the session labels
+    val byTime = Sessionize.eventOrder(userCol, tsCol, idCol)
     val pairs = Sessionize.labelSessions(events, gapNs, userCol, tsCol, idCol)
       .withColumn("__next_type", lead(col(typeCol), 1).over(byTime))
       .withColumn("__next_sess", lead(col("session_idx"), 1).over(byTime))

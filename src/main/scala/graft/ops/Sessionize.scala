@@ -67,6 +67,17 @@ object Sessionize {
         (col("end_ns") - col("start_ns")).as("duration_ns"), col("n_events"))
   }
 
+  /** THE per-user event ordering every session operator sorts by: (ts,
+    * event_id) within the user key — ties on ts break by id, so it is
+    * deterministic under duplicate timestamps. Operators that window over
+    * [[labelSessions]]'s output (e.g. [[Paths.transitions]]'s `lead`) MUST
+    * take this spec rather than re-declare it, so their row alignment
+    * cannot drift from the session labels.
+    */
+  def eventOrder(userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id") =
+    Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+
   /** THE session-boundary contract, shared by every gap-session operator
     * ([[sessions]], [[graft.ops.Paths.topPaths]]): per-event rows with
     * `session_idx` (1-based per user), `__rn` (1-based event rank in the
@@ -79,7 +90,7 @@ object Sessionize {
   def labelSessions(events: DataFrame, gapNs: Long,
       userCol: String = "user_id", tsCol: String = "ts",
       idCol: String = "event_id"): DataFrame = {
-    val byTime = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val byTime = eventOrder(userCol, tsCol, idCol)
     val running = byTime.rowsBetween(Window.unboundedPreceding, 0)
     val prevTs = lag(col(tsCol), 1).over(byTime)
     val isStart = when(prevTs.isNull || col(tsCol) - prevTs > gapNs, 1L)

@@ -353,13 +353,18 @@ object SeriesOps {
       percentile(col("value"), lit(0.99)).as("p99"))
   }
 
-  /** Robust per-series outliers via median absolute deviation: the score is
-    * `(x − median) / MAD` and points beyond `|score| > k` are flagged —
-    * the screen to use when [[anomaly]]'s mean/σ is itself corrupted by
-    * the outliers (a stuck sensor emitting one huge value inflates σ and
-    * hides itself; the median and MAD have 50% breakdown). A series whose
-    * MAD is zero (over half its values identical) yields null scores and
-    * `is_outlier = false`, never a division by zero.
+  /** Robust per-series outliers via the Iglewicz–Hoaglin modified z-score:
+    * `0.6745·(x − median) / MAD`, flagged beyond `|score| > k` (default 3.5,
+    * THEIR cutoff for THIS score — the 0.6745 consistency constant makes
+    * MAD estimate σ on Gaussian data, so the scale of the screen matches
+    * the literature it borrows the threshold from). This is the screen to
+    * use when [[anomaly]]'s mean/σ is itself corrupted by the outliers (a
+    * stuck sensor emitting one huge value inflates σ and hides itself; the
+    * median and MAD have 50% breakdown). When MAD is zero (over half the
+    * values identical — exactly the stuck-sensor case), the score falls
+    * back to Iglewicz–Hoaglin's `(x − median) / (1.253314·meanAD)` so a
+    * genuine spike still surfaces; only a fully constant series yields
+    * null scores and `is_outlier = false` (never a division by zero).
     *
     * Scale shape: two grouped exact medians and two join-backs, all on the
     * series key — one partitioning reused end to end. Exact medians buffer
@@ -373,9 +378,12 @@ object SeriesOps {
       .agg(percentile(col("value"), lit(0.5)).as("__med"))
     val withMed = p.join(med, "series_id")
     val mad = withMed.groupBy("series_id")
-      .agg(percentile(abs(col("value") - col("__med")), lit(0.5)).as("__mad"))
+      .agg(percentile(abs(col("value") - col("__med")), lit(0.5)).as("__mad"),
+        avg(abs(col("value") - col("__med"))).as("__meanad"))
     val score = when(col("__mad") > 0,
-      (col("value") - col("__med")) / col("__mad"))
+      lit(0.6745) * (col("value") - col("__med")) / col("__mad"))
+      .otherwise(when(col("__meanad") > 0,
+        (col("value") - col("__med")) / (lit(1.253314) * col("__meanad"))))
     withMed.join(mad, "series_id")
       .select(col("series_id"), col("ts"), col("value"),
         score.as("mad_score"),

@@ -178,25 +178,37 @@ class SeriesOpsSpec extends SparkSpec {
     assert(math.abs(got(0).getAs[Double]("corr") - 1.0) < 1e-12)
   }
 
-  test("outliersMad: catches the spike a corrupted sigma hides; zero MAD is safe") {
+  test("outliersMad: catches the spike a corrupted sigma hides; zero MAD falls back") {
     // spread base values 8..12 plus a spike at 1000 (n=6): the spike
     // inflates sample σ to ~404, so its own z = (1000-175)/404 ≈ 2.04 and
-    // anomaly(z=3) misses it — while median 10.5, MAD 1.5 score it ~660
+    // anomaly(z=3) misses it — while median 10.5, MAD 1.5 give a modified
+    // z of 0.6745·989.5/1.5 ≈ 445
     val spread = Seq(8.0, 9.0, 10.0, 11.0, 12.0, 1000.0).zipWithIndex
       .map { case (v, i) => ("t", i.toLong * S, v) }
       .toDF("series_id", "ts", "value")
     assert(SeriesOps.anomaly(spread, 3.0).where(col("is_anomaly")).count() == 0)
-    val flagged = SeriesOps.outliersMad(spread, 3.5).where(col("is_outlier"))
-      .collect().map(_.getAs[Double]("value"))
-    assert(flagged.toSeq == Seq(1000.0))
-    // over half the values identical -> MAD 0 -> null scores, nothing
-    // flagged, no division by zero (even with a genuine spike present)
+    val got = SeriesOps.outliersMad(spread, 3.5).collect()
+    val spike = got.find(_.getAs[Double]("value") == 1000.0).get
+    assert(math.abs(spike.getAs[Double]("mad_score")
+      - 0.6745 * (1000.0 - 10.5) / 1.5) < 1e-9)
+    assert(got.filter(_.getAs[Boolean]("is_outlier"))
+      .map(_.getAs[Double]("value")).toSeq == Seq(1000.0))
+    // over half the values identical -> MAD 0: the stuck-sensor case MAD
+    // exists FOR — the meanAD fallback must still flag the spike
+    // (median 10, meanAD = (0+0+0+0+1+990)/6 ≈ 165.2, spike score ≈ 4.8)
     val degenerate = Seq(10.0, 10.0, 10.0, 10.0, 9.0, 1000.0).zipWithIndex
       .map { case (v, i) => ("d", i.toLong * S, v) }
       .toDF("series_id", "ts", "value")
     val d = SeriesOps.outliersMad(degenerate, 3.5)
-    assert(d.where(col("is_outlier")).count() == 0)
-    assert(d.where(col("mad_score").isNotNull).count() == 0)
+    assert(d.where(col("is_outlier")).collect()
+      .map(_.getAs[Double]("value")).toSeq == Seq(1000.0))
+    // only a fully constant series yields null scores / nothing flagged
+    val const = Seq(5.0, 5.0, 5.0).zipWithIndex
+      .map { case (v, i) => ("c", i.toLong * S, v) }
+      .toDF("series_id", "ts", "value")
+    val c = SeriesOps.outliersMad(const, 3.5)
+    assert(c.where(col("is_outlier")).count() == 0)
+    assert(c.where(col("mad_score").isNotNull).count() == 0)
   }
 
   test("trend: exact fit on a line, degenerate series yield nulls") {
