@@ -110,6 +110,22 @@ object Smoke {
     println(s"anomalies: ${graft.ts.SeriesOps.anomaly(
       t.points.select("series_id", "ts", "value")).where(col("is_anomaly")).count()}")
 
+    // continuation batch: gopher screen, temperature mix, containment,
+    // ewma/changepoint, interval join
+    TextOps.gopherRules(docs).groupBy("pass_gopher").count().show()
+    graft.pipeline.Sampling.temperatureSample(docs, "doc_id", "lang", targetN = 50)
+      .groupBy("lang").count().orderBy("lang").show()
+    println(s"containment pairs: ${Dedup.containmentDups(docs).count()}")
+    val p3 = t.points.select("series_id", "ts", "value")
+    println(s"ewma rows: ${graft.ts.SeriesOps.ewma(p3).count()} " +
+      s"changepoints: ${graft.ts.SeriesOps.changepoint(p3).count()}")
+    println("interval joins: " + graft.ops.IntervalJoin.intervalJoin(
+      t.eventsUs.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts")),
+      t.eventsUs.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts")),
+      "user_id", "click_ts", "purchase_ts", 3600L * 1000000000L).count())
+
     spark.stop()
   }
 }

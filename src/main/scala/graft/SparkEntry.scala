@@ -197,6 +197,8 @@ object SparkEntry {
     "ts_percentiles" -> ((s, dir) => SeriesOps.percentiles(pts(s, dir))),
     "ts_trend" -> ((s, dir) => SeriesOps.trend(pts(s, dir))),
     "ts_outlier_mad" -> ((s, dir) => SeriesOps.outliersMad(pts(s, dir), 3.5)),
+    "ts_ewma" -> ((s, dir) => SeriesOps.ewma(pts(s, dir), alpha = 0.5, window = 16)),
+    "ts_changepoint" -> ((s, dir) => SeriesOps.changepoint(pts(s, dir))),
     // pairwise correlation is inherently quadratic in the series set, so
     // the query selects a bounded station group (user_id < 25) up front
     "ts_corr" -> ((s, dir) => {
@@ -318,6 +320,10 @@ object SparkEntry {
         .select("doc_id", "n_chars_m", "n_tokens", "mean_token_len",
           "alnum_ratio", "space_ratio", "stopword_ratio", "quality_score")
     }),
+    "text_gopher_rules" -> ((s, dir) =>
+      TextOps.gopherRules(Tables(s, dir).documents, minWords = 25)
+        .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+          "alpha_word_ratio", "n_stopword_hits", "pass_gopher")),
     // ---- deterministic sampling / dataset splitting ----
     "sample_split" -> ((s, dir) => {
       Sampling.assignSplit(Tables(s, dir).documents, "doc_id",
@@ -332,6 +338,10 @@ object SparkEntry {
       Sampling.stratifiedSample(Tables(s, dir).documents, "doc_id", "lang", 20)
         .select("doc_id", "lang")
     }),
+    // temperature-2 language rebalance: exact √n-proportional quotas
+    "sample_mixture" -> ((s, dir) =>
+      Sampling.temperatureSample(Tables(s, dir).documents, "doc_id", "lang", 250)
+        .select("doc_id", "lang")),
 
     // ---- per-doc top TF-IDF terms ----
     "text_tfidf" -> ((s, dir) =>
@@ -370,6 +380,20 @@ object SparkEntry {
         gapNs = 3600L * NsPerS, k = 20, maxSteps = 5)),
     "events_markov" -> ((s, dir) =>
       graft.ops.Paths.transitions(Tables(s, dir).eventsUs, gapNs = 3600L * NsPerS)),
+    // purchases paired with same-user clicks of the preceding hour — the
+    // batch face of the stream-stream interval join (streaming parity in
+    // StreamOpsSpec)
+    "events_interval_join" -> ((s, dir) => {
+      val e = Tables(s, dir).eventsUs
+      graft.ops.IntervalJoin.intervalJoin(
+        e.where(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts")),
+        e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts")),
+        "user_id", "click_ts", "purchase_ts", 3600L * NsPerS)
+    }),
     // typed JSON projection out of the props payload, then a per-type audit
     "events_json" -> ((s, dir) =>
       SemiStructured.extractJson(
@@ -428,6 +452,8 @@ object SparkEntry {
     // ---- deduplication ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir).documents)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashNearDups(Tables(s, dir).documents)),
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentDups(Tables(s, dir).documents, threshold = 0.8)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashNearDups(Tables(s, dir).documents)),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(Tables(s, dir).documents)),
     // near-dup PAIRS -> transitive clusters + canonical keeper (alternating
@@ -761,6 +787,39 @@ object SparkEntry {
          |    THEN (p.value - med.med) / (CAST(1.253314 AS DOUBLE) * mad.meanad)
          |  END) > 3.5, false) AS is_outlier
          |FROM p JOIN med USING (series_id) JOIN mad USING (series_id)""".stripMargin,
+    // Twin of SeriesOps.ewma: identical trailing-window list, weight
+    // exponents (DuckDB's lambda index is 1-based: len−i == Spark's
+    // size−1−i over a 0-based i), seeded left fold, and closed-form
+    // denominator — with α = 0.5 every step is exact binary scaling, so
+    // the two engines agree bit for bit.
+    "ts_ewma" ->
+      s"""WITH points AS ($PointsCte),
+         |p AS (SELECT series_id, ts, value FROM points WHERE NOT isnan(value)),
+         |w AS (SELECT series_id, ts, value,
+         |  list(value) OVER (PARTITION BY series_id ORDER BY ts, value
+         |    ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS lst FROM p)
+         |SELECT series_id, ts, value,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(lst, (x, i) -> x * pow(CAST(0.5 AS DOUBLE), len(lst) - i))),
+         |    (a, b) -> a + b)
+         |  / ((CAST(1 AS DOUBLE) - pow(CAST(0.5 AS DOUBLE), len(lst)))
+         |     / (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE))) AS ewma
+         |FROM w""".stripMargin,
+    // Twin of SeriesOps.changepoint: same three window passes (unordered
+    // moments, ordered running CUSUM, peak rank with the same tie-breaks).
+    "ts_changepoint" ->
+      s"""WITH points AS ($PointsCte),
+         |p AS (SELECT series_id, ts, value FROM points WHERE NOT isnan(value)),
+         |m AS (SELECT series_id, ts, value,
+         |  avg(value) OVER (PARTITION BY series_id) AS mean_value,
+         |  CAST(count(*) OVER (PARTITION BY series_id) AS BIGINT) AS n_points FROM p),
+         |c AS (SELECT *, sum(value - mean_value) OVER (PARTITION BY series_id
+         |  ORDER BY ts, value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+         |  FROM m),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY series_id
+         |  ORDER BY abs(cusum) DESC, ts ASC, cusum ASC) AS rk FROM c)
+         |SELECT series_id, ts AS cp_ts, cusum AS cp_cusum, mean_value, n_points
+         |FROM r WHERE rk = 1""".stripMargin,
     // Twin of SeriesOps.trend: identical co-moment algebra, identical
     // ts/1e9 seconds conversion and operation order.
     "ts_trend" ->
@@ -969,6 +1028,41 @@ object SparkEntry {
          |    (CASE WHEN len(toks) > 0 THEN CAST(stop AS DOUBLE) / len(toks) ELSE 0.0 END) * 0.3 +
          |    (CASE WHEN length(text) > 0 THEN CAST(alnum AS DOUBLE) / length(text) ELSE 0.0 END) * 0.3 AS quality_score
          |FROM g""".stripMargin,
+    // Twin of TextOps.gopherRules: same whitespace word split, '#'/'...'
+    // symbol counts, alpha-word and stopword-union rules; ratio CASEs
+    // mirror the when(nWords > 0, …) null semantics and the pass flag's
+    // false && null = false short-circuit.
+    "text_gopher_rules" -> {
+      val stoplist = graft.pipeline.Stopwords.all
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH b AS (SELECT doc_id, text,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
+         |  $Toks AS tk FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(len(words) AS BIGINT) AS n_words,
+         |  CASE WHEN len(words) > 0 THEN
+         |    CAST(list_sum(list_transform(words, w -> len(w))) AS DOUBLE) / len(words)
+         |  END AS mean_word_len,
+         |  CASE WHEN len(words) > 0 THEN
+         |    CAST((len(text) - len(replace(text, '#', '')))
+         |      + (len(text) - len(replace(text, '...', ''))) / 3 AS DOUBLE) / len(words)
+         |  END AS symbol_ratio,
+         |  CASE WHEN len(words) > 0 THEN
+         |    CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+         |      / len(words)
+         |  END AS alpha_word_ratio,
+         |  CAST(len(list_intersect(list_distinct(tk), $stoplist)) AS BIGINT) AS n_stopword_hits
+         |FROM b)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+         |  n_stopword_hits,
+         |  (n_words >= 25 AND n_words <= 100000
+         |   AND coalesce(mean_word_len >= CAST(3 AS DOUBLE)
+         |     AND mean_word_len <= CAST(10 AS DOUBLE), false)
+         |   AND coalesce(symbol_ratio <= CAST(0.1 AS DOUBLE), false)
+         |   AND coalesce(alpha_word_ratio >= CAST(0.8 AS DOUBLE), false)
+         |   AND n_stopword_hits >= 2) AS pass_gopher
+         |FROM f""".stripMargin
+    },
     "text_lang_id" ->
       s"""WITH toks AS (SELECT doc_id, list_distinct($Toks) AS tk FROM documents),
          |langs(lang, words) AS (VALUES
@@ -1009,6 +1103,24 @@ object SparkEntry {
          |    ORDER BY ((${phSql("CAST(doc_id AS VARCHAR)", "0")}) * ${Sampling.saltMult("strat")}
          |      + ${Sampling.saltAdd("strat")}) % 1000000007 ASC, doc_id ASC) AS rn
          |  FROM documents) WHERE rn <= 20""".stripMargin,
+
+    // Twin of Sampling.temperatureSample: same √n weights (sqrt is
+    // correctly rounded in both engines, unlike pow), the weight total
+    // folded in lang order via the seeded list_reduce (matching Spark's
+    // sorted-array fold — float addition is order-sensitive), same
+    // half-up round, cap, and Carter–Wegman rank fill.
+    "sample_mixture" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+         |t AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)), (a, b) -> a + b) AS tot FROM c),
+         |q AS (SELECT lang, least(n,
+         |    CAST(round(CAST(250 AS DOUBLE) * sqrt(CAST(n AS DOUBLE)) / tot) AS BIGINT)) AS quota
+         |  FROM c, t),
+         |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ((${phSql("CAST(doc_id AS VARCHAR)", "0")}) * ${Sampling.saltMult("mix")}
+         |      + ${Sampling.saltAdd("mix")}) % 1000000007 ASC, doc_id ASC) AS rn
+         |  FROM documents)
+         |SELECT doc_id, lang FROM r JOIN q USING (lang) WHERE rn <= quota""".stripMargin,
 
     "text_chunks" ->
       """SELECT doc_id, CAST(start // 150 AS INTEGER) AS chunk_idx,
@@ -1142,6 +1254,19 @@ object SparkEntry {
          |  CAST(n_transitions AS DOUBLE) / total AS p_transition
          |FROM pairs JOIN deg USING (from_type)""".stripMargin
     },
+    // Twin of IntervalJoin: plain key + time-range join — the range
+    // bounds are exact integer ns, so no float hazard exists.
+    "events_interval_join" -> {
+      val win = 3600L * NsPerS
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts FROM events),
+         |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts FROM e
+         |  WHERE event_type = 'click'),
+         |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts FROM e
+         |  WHERE event_type = 'purchase')
+         |SELECT c.user_id, click_id, click_ts, purchase_id, purchase_ts
+         |FROM c JOIN p ON c.user_id = p.user_id
+         |  AND purchase_ts >= click_ts AND purchase_ts <= click_ts + $win""".stripMargin
+    },
     // Twin of Retention.retention; `//` floors like Spark's `div` because
     // epoch days are non-negative here.
     "events_retention" ->
@@ -1268,6 +1393,22 @@ object SparkEntry {
     "dedup_minhash" ->
       s"""WITH $MinhashPairsCtes
          |SELECT id_a, id_b, jaccard FROM mh_pairs""".stripMargin,
+    // Twin of Dedup.containmentDups: the shared LSH candidate CTEs, scored
+    // by |∩| / min(|A|,|B|) with the same smaller-set/tie-to-smaller-id
+    // contained_id rule.
+    "dedup_containment" ->
+      s"""WITH $MinhashPairsCtes,
+         |cont AS (SELECT c.id_a, c.id_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / least(len(a.sh), len(b.sh)) AS containment,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard,
+         |  CASE WHEN len(a.sh) < len(b.sh) THEN c.id_a
+         |       WHEN len(b.sh) < len(a.sh) THEN c.id_b
+         |       ELSE least(c.id_a, c.id_b) END AS contained_id
+         |FROM cand c JOIN sets a ON a.doc_id = c.id_a JOIN sets b ON b.doc_id = c.id_b)
+         |SELECT id_a, id_b, containment, jaccard, contained_id FROM cont
+         |WHERE containment >= CAST(0.8 AS DOUBLE)""".stripMargin,
     // Transitive closure of the minhash pair graph: min reachable id per
     // node via recursive fan-out (fine at oracle scale; the Spark side uses
     // the O(log n)-round star algorithm instead).

@@ -119,6 +119,56 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Containment near-dups: LSH candidate pairs scored by SET CONTAINMENT
+    * `|A ∩ B| / min(|A|, |B|)` over the k-shingle sets — the asymmetric
+    * companion to [[minhashNearDups]]'s Jaccard, catching the
+    * quote-inside-article / boilerplate-wrapper duplicates whose union is
+    * dominated by the larger document (a doc fully contained in one 3×
+    * its size has containment 1.0 but Jaccard only ~0.33). Emits the
+    * containment, the Jaccard for comparison, and `contained_id` — the
+    * smaller shingle set's doc (ties → the smaller id), i.e. the side a
+    * containment-dedup policy would drop.
+    *
+    * Recall caveat (by construction, documented contract): candidates come
+    * from Jaccard-tuned MinHash bands, whose collision probability tracks
+    * Jaccard — a tiny fragment inside a huge document has high containment
+    * but near-zero Jaccard and will not collide. The operator therefore
+    * finds containment among COMPARABLY-SIZED near-dups (threshold'
+    * Jaccard ⪆ t/(2−t) at banding threshold t); full asymmetric-containment
+    * search needs a dedicated index (e.g. per-size-stratum LSH), out of
+    * scope here.
+    *
+    * Scale shape: identical to [[minhashNearDups]] — band equi-join for
+    * candidates, semi-join before shingle materialization, per-pair work
+    * O(|A|+|B|).
+    */
+  def containmentDups(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val cands = lshCandidates(df, idCol, textCol, shingleK, bands, rowsPerBand)
+    val candIds = cands.select(col("id_a").as(idCol))
+      .unionByName(cands.select(col("id_b").as(idCol))).distinct()
+    val sets = df.select(col(idCol), col(textCol))
+      .join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        array_sort(array_distinct(
+          TextOps.shingles(TextOps.tokens(col(textCol)), shingleK))).as("sh"))
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("__inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("containment",
+        col("__inter").cast("double") / least(size(col("sh_a")), size(col("sh_b"))))
+      .where(col("containment") >= threshold)
+      .withColumn("jaccard",
+        graft.functions.Signatures.sortedJaccard(col("sh_a"), col("sh_b")))
+      .withColumn("contained_id",
+        when(size(col("sh_a")) < size(col("sh_b")), col("id_a"))
+          .when(size(col("sh_b")) < size(col("sh_a")), col("id_b"))
+          .otherwise(least(col("id_a"), col("id_b"))))
+      .select("id_a", "id_b", "containment", "jaccard", "contained_id")
+  }
+
   /** Signature width: PolyHash values live in [0, 1e9+7) < 2^30, so exactly
     * 30 well-mixed bits are available; using bits above 29 would bake
     * constant (or heavily biased) bits into every signature.

@@ -130,6 +130,51 @@ object Sampling {
       .drop("__key")
   }
 
+  /** Temperature-weighted source mixing (the multilingual-pretraining
+    * rebalance: sampling probability per source ∝ n_s^α with α = 1/2, i.e.
+    * temperature 2 — up-weights tail sources, damps the head): draw an
+    * EXACT per-source quota `round(targetN · √n_s / Σ_t √n_t)` (capped at
+    * n_s), filled by the rows with the smallest salt-keyed hash — the same
+    * deterministic rank draw as [[stratifiedSample]], so the result is
+    * reproducible across engines, partition layouts, and cluster sizes.
+    *
+    * Cross-engine exactness of the quota arithmetic: the weights use
+    * `sqrt` (correctly rounded per IEEE-754 in every engine, unlike `pow`),
+    * the weight total is folded LEFT-TO-RIGHT over sources sorted by name
+    * (float addition is order-sensitive; pinning the order makes the sum
+    * bit-identical), and `round` is half-up on positives in both engines.
+    *
+    * Scale shape: the source census is one partial-combined aggregate
+    * (rows = distinct sources — metadata-scale); quotas broadcast back;
+    * the rank fill is one shuffle on the source key.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
+      targetN: Int, salt: String = "mix"): DataFrame = {
+    require(targetN > 0, s"targetN must be positive, got $targetN")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("__n"))
+    // Σ √n in source-name order: collect the (tiny) census into one sorted
+    // array and fold — a groupBy sum would add in partition order, which is
+    // not reproducible bit-for-bit
+    val total = counts
+      .agg(sort_array(collect_list(struct(col("__src"), col("__n")))).as("__arr"))
+      .select(aggregate(col("__arr"), lit(0.0),
+        (acc, x) => acc + sqrt(x.getField("__n").cast("double"))).as("__tot"))
+    val quotas = counts.crossJoin(broadcast(total))
+      .select(col("__src"),
+        least(col("__n"),
+          round(lit(targetN.toDouble) * sqrt(col("__n").cast("double"))
+            / col("__tot")).cast("long")).as("__quota"))
+    val key = (PolyHash(col(idCol).cast("string"), 0L) * saltMult(salt)
+      + saltAdd(salt)) % PolyHash.Mod
+    val w = Window.partitionBy(sourceCol).orderBy(key.asc, col(idCol).asc)
+    df.withColumn("__rank", row_number().over(w))
+      .join(broadcast(quotas), col(sourceCol) === col("__src"))
+      .where(col("__rank") <= col("__quota"))
+      .drop("__rank", "__src", "__quota")
+  }
+
   /** Keep a deterministic `fraction` of rows, keyed on (id, salt). Because
     * the hash is uniform and independent of any other column, the sample is
     * automatically stratified in expectation over every stratum; exactness

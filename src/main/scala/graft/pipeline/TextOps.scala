@@ -76,6 +76,50 @@ object TextOps {
         + col("stopword_ratio") * 0.3
         + col("alnum_ratio") * 0.3)
 
+  /** Gopher-style quality-rule screen (Rae et al. 2021, MassiveText §A1.1):
+    * per-document rule features and a composite pass flag. Rules carried
+    * over (thresholds parameterized, defaults per the paper where they
+    * transfer to a generic corpus):
+    *   - word count within [minWords, maxWords]
+    *   - mean word length within [3, 10]
+    *   - symbol-to-word ratio (`#` and `...`) ≤ 0.1
+    *   - ≥ 80% of words contain at least one alphabetic character
+    *   - at least 2 distinct stopwords present (the "stop word" rule,
+    *     against keyword-stuffing pages; union of all language lists so the
+    *     screen is not an implicit English filter)
+    * Documents with zero words fail with null ratio features. Pure column
+    * algebra — no UDFs, runs inside the scan's codegen like the rest of
+    * this file.
+    */
+  def gopherRules(df: DataFrame, textCol: String = "text",
+      minWords: Int = 25, maxWords: Int = 100000): DataFrame = {
+    require(minWords >= 0 && maxWords >= minWords,
+      s"need 0 <= minWords <= maxWords, got [$minWords, $maxWords]")
+    val t = col(textCol)
+    val words = array_remove(split(t, "\\s+"), "")
+    val nWords = size(words).cast("long")
+    val meanLen = when(nWords > 0,
+      aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") / nWords)
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nEllipsis = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = when(nWords > 0, (nHash + nEllipsis).cast("double") / nWords)
+    val alphaRatio = when(nWords > 0,
+      size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("double") / nWords)
+    val stopHits = size(array_intersect(
+      array_distinct(tokens(t)), lit(Stopwords.all.toArray))).cast("long")
+    df.withColumn("n_words", nWords)
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("symbol_ratio", symbolRatio)
+      .withColumn("alpha_word_ratio", alphaRatio)
+      .withColumn("n_stopword_hits", stopHits)
+      .withColumn("pass_gopher",
+        nWords >= minWords && nWords <= maxWords
+          && coalesce(meanLen >= 3.0 && meanLen <= 10.0, lit(false))
+          && coalesce(symbolRatio <= 0.1, lit(false))
+          && coalesce(alphaRatio >= 0.8, lit(false))
+          && stopHits >= 2)
+  }
+
   /** n-gram-dictionary language ID: score each candidate language by its
     * stopword hit count over the token set; argmax with deterministic
     * alphabetical tie-break. Classic cheap heuristic lang-ID.
@@ -353,4 +397,9 @@ object Stopwords {
   val it = Seq("il", "la", "di", "che", "e", "un", "per", "con", "del", "non")
   val byLang: Map[String, Seq[String]] =
     Map("en" -> en, "de" -> de, "es" -> es, "fr" -> fr, "it" -> it)
+
+  /** Sorted distinct union of every language list — the language-agnostic
+    * stopword set [[TextOps.gopherRules]] screens against.
+    */
+  val all: Seq[String] = byLang.values.flatten.toSeq.distinct.sorted
 }

@@ -390,6 +390,70 @@ object SeriesOps {
         coalesce(abs(score) > k, lit(false)).as("is_outlier"))
   }
 
+  /** Per-series exponential moving average (adjusted EWMA over a bounded
+    * trailing window): `y_i = Σ_{j<L} α^j·x_{i−j} / Σ_{j<L} α^j` where `L`
+    * is the number of points in the trailing `window` (so early points use
+    * the weights actually available — pandas' `adjust=True`). The window
+    * bound makes the weighted sum a FINITE per-row fold instead of the
+    * textbook recursion, which no engine can parallelize; weights below
+    * α^window are ≤ 2⁻¹⁶ at the defaults and carry no signal.
+    *
+    * Cross-engine exactness: with α = 0.5 every weight is a power of two,
+    * so each `x·α^j` is an exact binary scaling and the fold (seeded 0.0,
+    * left-to-right over the same frame order) is bit-identical in any
+    * IEEE-754 engine; the denominator's closed form `(1 − α^L)/(1 − α)` is
+    * exact for the same reason.
+    *
+    * Scale shape: one shuffle+sort on the series key; the frame collect is
+    * bounded by `window` rows, so per-row state is O(window) regardless of
+    * series length. NaN samples are dropped first (they would poison every
+    * window they touch).
+    */
+  def ewma(points: DataFrame, alpha: Double = 0.5, window: Int = 16): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(window > 0, s"window must be positive, got $window")
+    val w = Window.partitionBy("series_id").orderBy(col("ts"), col("value"))
+      .rowsBetween(-(window - 1), 0)
+    val lst = col("__lst")
+    val n = size(lst).cast("double")
+    val num = aggregate(
+      transform(lst, (x, i) => x * pow(lit(alpha), n - 1.0 - i.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val den = (lit(1.0) - pow(lit(alpha), n)) / (lit(1.0) - lit(alpha))
+    points.where(notNan(col("value")))
+      .withColumn("__lst", collect_list(col("value")).over(w))
+      .select(col("series_id"), col("ts"), col("value"), (num / den).as("ewma"))
+  }
+
+  /** Per-series CUSUM changepoint: the running sum of deviations from the
+    * series mean, `S_i = Σ_{j≤i}(x_j − x̄)`, peaks in magnitude at the most
+    * likely single level-shift point — the classic offline CUSUM statistic.
+    * Emits one row per series: the peak's timestamp, the signed peak CUSUM
+    * (positive = the series ran above its mean before the shift down), the
+    * series mean and the point count. Ties on |S| break to the earliest
+    * point.
+    *
+    * Scale shape: one shuffle on the series key carries all three window
+    * passes — the unordered mean frame, the ordered running sum, and the
+    * peak rank (two sorts, zero extra exchanges); nothing leaves the
+    * executors but one row per series.
+    */
+  def changepoint(points: DataFrame): DataFrame = {
+    val bySeries = Window.partitionBy("series_id")
+    val run = Window.partitionBy("series_id").orderBy(col("ts"), col("value"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val peak = Window.partitionBy("series_id")
+      .orderBy(abs(col("__cusum")).desc, col("ts").asc, col("__cusum").asc)
+    points.where(notNan(col("value")))
+      .withColumn("mean_value", avg("value").over(bySeries))
+      .withColumn("n_points", count(lit(1)).over(bySeries))
+      .withColumn("__cusum", sum(col("value") - col("mean_value")).over(run))
+      .withColumn("__rk", row_number().over(peak))
+      .where(col("__rk") === 1)
+      .select(col("series_id"), col("ts").as("cp_ts"),
+        col("__cusum").as("cp_cusum"), col("mean_value"), col("n_points"))
+  }
+
   /** Per-series linear trend: least-squares slope/intercept of value over
     * time — the warming/cooling drift a station report leads with. Closed
     * form from co-moment sums (`slope = (nΣty − ΣtΣy)/(nΣt² − (Σt)²)`),

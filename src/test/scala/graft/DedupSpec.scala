@@ -55,6 +55,38 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_.getDouble(2) >= 0.5))
   }
 
+  test("containment: prefix doc scores 1.0 inside its extension; partial overlap exact") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val prefix = (1 to 34).map(i => s"tok$i").mkString(" ")
+    // same head, tail swapped for unique tokens — partial overlap
+    val partial = ((1 to 30).map(i => s"tok$i") ++ (1 to 4).map(i => s"zzz$i")).mkString(" ")
+    val d = Seq((1L, base), (2L, prefix), (3L, partial)).toDF("doc_id", "text")
+    // bands=16 × rows=1: candidate = ANY shared minhash, so recall at
+    // J ≈ 0.67 is certain (miss probability (1−J)^16 ≈ 1e-8) — this test
+    // pins the scoring math, not the banding recall curve
+    val got = Dedup.containmentDups(d, bands = 16, rowsPerBand = 1, threshold = 0.5).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        (r.getAs[Double]("containment"), r.getAs[Double]("jaccard"),
+          r.getAs[Long]("contained_id")))).toMap
+    // from-scratch shingle sets
+    def sh(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    def expect(a: String, b: String) = {
+      val (sa, sb) = (sh(a), sh(b))
+      val i = (sa & sb).size.toDouble
+      (i / math.min(sa.size, sb.size), i / (sa | sb).size)
+    }
+    val (c12, j12) = expect(base, prefix)
+    assert(c12 == 1.0, "prefix shingles are a strict subset")
+    assert(got((1L, 2L)) == ((c12, j12, 2L)), got.toString) // smaller set = the prefix doc
+    val (c13, j13) = expect(base, partial)
+    assert(c13 < 1.0 && c13 >= 0.5)
+    assert(got((1L, 3L)) == ((c13, j13, 3L)), got.toString)
+    // identical sets tie -> smaller id
+    val twins = Seq((7L, base), (8L, base)).toDF("doc_id", "text")
+    val t = Dedup.containmentDups(twins, threshold = 0.9).collect()(0)
+    assert(t.getAs[Double]("containment") == 1.0 && t.getAs[Long]("contained_id") == 7L)
+  }
+
   test("exact dedup groups identical texts under the smallest keeper id") {
     val d = Seq((10L, "same text"), (11L, "same text"), (12L, "other text"))
       .toDF("doc_id", "text")

@@ -12,6 +12,44 @@ import graft.pipeline.{Profile, Similarity, TextOps}
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("gopherRules: feature math exact; each rule trips independently") {
+    import graft.pipeline.TextOps
+    import org.apache.spark.sql.functions.col
+    val good = ("the and " + Seq.fill(23)("word").mkString(" "), "good")
+    val short = ("the and cat", "short")
+    val symbols = ("the and " + Seq.fill(23)("word").mkString(" ")
+      + " " + Seq.fill(5)("#").mkString(" "), "symbols")
+    val noStops = (Seq.tabulate(25)(i => s"unique$i").mkString(" "), "nostop")
+    val empty = ("", "empty")
+    val df = Seq(good, short, symbols, noStops, empty).toDF("text", "name")
+    val got = TextOps.gopherRules(df).collect()
+      .map(r => r.getAs[String]("name") -> r).toMap
+    // hand-checked features for the good doc: 25 words, mean (3+3+23·4)/25
+    val g = got("good")
+    assert(g.getAs[Long]("n_words") == 25L)
+    assert(math.abs(g.getAs[Double]("mean_word_len") - 98.0 / 25) < 1e-15)
+    assert(g.getAs[Double]("symbol_ratio") == 0.0)
+    assert(g.getAs[Double]("alpha_word_ratio") == 1.0)
+    assert(g.getAs[Long]("n_stopword_hits") == 2L)
+    assert(g.getAs[Boolean]("pass_gopher"))
+    // each failure mode trips its own rule
+    assert(!got("short").getAs[Boolean]("pass_gopher")) // word count
+    val s = got("symbols") // 30 words, 5 '#': ratio 1/6 > 0.1
+    assert(math.abs(s.getAs[Double]("symbol_ratio") - 5.0 / 30) < 1e-15)
+    assert(!s.getAs[Boolean]("pass_gopher"))
+    assert(got("nostop").getAs[Long]("n_stopword_hits") == 0L)
+    assert(!got("nostop").getAs[Boolean]("pass_gopher"))
+    val e = got("empty")
+    assert(e.getAs[Long]("n_words") == 0L)
+    assert(e.isNullAt(e.fieldIndex("mean_word_len")))
+    assert(!e.getAs[Boolean]("pass_gopher"))
+    // '...' counts as a symbol but stays part of its word
+    val ell = TextOps.gopherRules(Seq(("well... maybe... no", "x")).toDF("text", "name"))
+      .collect()(0)
+    assert(math.abs(ell.getAs[Double]("symbol_ratio") - 2.0 / 3) < 1e-15)
+    assert(ell.getAs[Double]("alpha_word_ratio") == 1.0)
+  }
+
   test("sessionWindows boundary == lag variant: exact-gap successor merges in both") {
     val g = 60_000_000_000L // 60 s in ns -> "1 minute"
     val events = Seq(

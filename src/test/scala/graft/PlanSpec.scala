@@ -149,6 +149,42 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(3000))
   }
 
+  test("ewma is one shuffle: the bounded frame rides the series sort") {
+    val plan = planOf(SparkEntry.queries("ts_ewma")(spark, sfDir))
+    val shuffles = plan.linesIterator.count(_.contains("Exchange"))
+    assert(shuffles == 1, s"expected 1 Exchange, got $shuffles:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("changepoint is one shuffle: all three window passes share the series key") {
+    val plan = planOf(SparkEntry.queries("ts_changepoint")(spark, sfDir))
+    val shuffles = plan.linesIterator.count(_.contains("Exchange"))
+    assert(shuffles == 1, s"expected 1 Exchange, got $shuffles:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("interval join is a key-partitioned join, never a nested-loop pair scan") {
+    val plan = planOf(SparkEntry.queries("events_interval_join")(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(3000))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("gopher rules are map-only: every feature rides the scan") {
+    val plan = planOf(SparkEntry.queries("text_gopher_rules")(spark, sfDir))
+    assert(!plan.contains("Exchange"), plan.take(3000))
+  }
+
+  test("temperature mixing broadcasts metadata-scale quotas to the rank fill") {
+    val plan = planOf(SparkEntry.queries("sample_mixture")(spark, sfDir))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    // no single-partition exchange of the DOCUMENT stream: the only
+    // SinglePartition subplans are the census fold (rows = #sources)
+    val single = plan.linesIterator.filter(_.contains("SinglePartition")).toSeq
+    assert(single.size <= 2, s"unexpected global collapse:\n${single.mkString("\n")}")
+  }
+
   test("sequence packing broadcasts the shard prefixes; no corpus-wide window") {
     val plan = planOf(SparkEntry.queries("pack_sequences")(spark, sfDir))
     assert(plan.contains("BroadcastExchange"), plan.take(3000))

@@ -133,6 +133,33 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet == got)
   }
 
+  test("temperatureSample: exact sqrt-proportional quotas rebalance a skewed corpus") {
+    // 900 vs 100 rows, targetN 100: weights sqrt(900)=30 / sqrt(100)=10,
+    // quotas round(100·30/40)=75 and round(100·10/40)=25 — the tail source
+    // gets 2.5x its proportional share (10), exactly
+    val df = ((1L to 900L).map(i => (i, "big")) ++ (1001L to 1100L).map(i => (i, "small")))
+      .toDF("id", "src")
+    val got = Sampling.temperatureSample(df, "id", "src", targetN = 100)
+    val counts = got.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("big" -> 75L, "small" -> 25L), counts.toString)
+    // deterministic + layout-invariant
+    val a = got.select("id").as[Long].collect().toSet
+    val b = Sampling.temperatureSample(df.repartition(13), "id", "src", targetN = 100)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    // a quota above a source's population caps at the population
+    val tiny = ((1L to 400L).map(i => (i, "big")) ++ Seq((9001L, "rare"), (9002L, "rare")))
+      .toDF("id", "src")
+    val capped = Sampling.temperatureSample(tiny, "id", "src", targetN = 300)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(capped("rare") == 2L, capped.toString)
+    // sqrt(400)=20, sqrt(2)≈1.414: round(300·20/21.414…)=280, capped at... 280 < 400
+    assert(capped("big") == math.round(300.0 * 20.0 / (20.0 + math.sqrt(2.0))), capped.toString)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(df, "id", "src", targetN = 0)
+    }
+  }
+
   test("weightedSample: weight actually biases inclusion; bad weights excluded") {
     // two weight classes 1 vs 10 — heavy rows must dominate the sample
     val rows = (1L to 400L).map(i => (i, if (i <= 200) 1L else 10L))

@@ -211,6 +211,39 @@ class SeriesOpsSpec extends SparkSpec {
     assert(c.where(col("mad_score").isNotNull).count() == 0)
   }
 
+  test("ewma: exact adjusted weights, window truncation, NaN drop") {
+    // α = 0.5, window 2: y0 = x0; y1 = (0.5·x0 + x1)/1.5; y2 uses only
+    // x1, x2 (window truncates x0): (0.5·x1 + x2)/1.5
+    val got = SeriesOps.ewma(pts(0L -> 1.0, 1L -> 2.0, 2L -> 3.0), 0.5, 2)
+      .orderBy("ts").collect().map(_.getAs[Double]("ewma"))
+    assert(got(0) == 1.0)
+    assert(math.abs(got(1) - 2.5 / 1.5) < 1e-15)
+    assert(math.abs(got(2) - 4.0 / 1.5) < 1e-15)
+    // a NaN sample is dropped entirely — successors see the clean history
+    val withNan = SeriesOps.ewma(
+      pts(0L -> 4.0, 1L -> Double.NaN, 2L -> 8.0), 0.5, 2)
+      .orderBy("ts").collect()
+    assert(withNan.length == 2)
+    assert(math.abs(withNan(1).getAs[Double]("ewma") - (0.5 * 4.0 + 8.0) / 1.5) < 1e-15)
+    intercept[IllegalArgumentException] { SeriesOps.ewma(pts(), 1.0, 2) }
+    intercept[IllegalArgumentException] { SeriesOps.ewma(pts(), 0.5, 0) }
+  }
+
+  test("changepoint: CUSUM peaks at the level shift; ties break earliest") {
+    // step 0,0,0 -> 10,10,10: mean 5, cusum -5,-10,-15,-10,-5,0 — the
+    // peak |S| = 15 sits on the LAST pre-shift point
+    val step = pts(0L -> 0.0, 1L -> 0.0, 2L -> 0.0, 3L -> 10.0, 4L -> 10.0, 5L -> 10.0)
+    val got = SeriesOps.changepoint(step).collect()(0)
+    assert(got.getAs[Long]("cp_ts") == 2 * S)
+    assert(math.abs(got.getAs[Double]("cp_cusum") - (-15.0)) < 1e-12)
+    assert(got.getAs[Double]("mean_value") == 5.0)
+    assert(got.getAs[Long]("n_points") == 6L)
+    // constant series: every cusum is 0 (all tied) -> earliest point wins
+    val const = SeriesOps.changepoint(pts(0L -> 1.0, 1L -> 1.0, 2L -> 1.0)).collect()(0)
+    assert(const.getAs[Long]("cp_ts") == 0L)
+    assert(const.getAs[Double]("cp_cusum") == 0.0)
+  }
+
   test("trend: exact fit on a line, degenerate series yield nulls") {
     // y = 2·t + 5 with t in seconds
     val line = pts(0L -> 5.0, 1L -> 7.0, 2L -> 9.0, 3L -> 11.0)

@@ -112,6 +112,45 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStream: stream-stream join parity with the batch operator") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val NS = 1_000_000_000L
+    // modern time base: the initial stream watermark is epoch 0, and rows
+    // AT the watermark are dropped as late — epoch-adjacent event times
+    // would silently discard the ts=0 rows (observed: 2 dropped, 0 joined)
+    val B = 1704067200L * NS // 2024-01-01
+    // (user, id, ts): purchase at click+3600s is INCLUSIVE; 4000s is out
+    val clickRows = Seq((1L, 10L, B), (1L, 11L, B + 100 * NS), (2L, 20L, B))
+    val buyRows = Seq((1L, 100L, B + 50 * NS), (1L, 101L, B + 4000 * NS),
+      (2L, 200L, B + 3600 * NS))
+    val clicks = MemoryStream[(Long, Long, Long)]
+    val buys = MemoryStream[(Long, Long, Long)]
+    def withTime(df: org.apache.spark.sql.DataFrame, ns: String, t: String) =
+      df.withColumn(t, timestamp_micros(expr(s"$ns div 1000")))
+    val joined = graft.ops.IntervalJoin.intervalJoinStream(
+      withTime(clicks.toDF().toDF("user_id", "click_id", "click_ns"), "click_ns", "click_time"),
+      withTime(buys.toDF().toDF("user_id", "purchase_id", "purchase_ns"), "purchase_ns", "purchase_time"),
+      "user_id", "click_time", "purchase_time", "1 hour", "2 hours")
+    val q = joined.select("click_id", "purchase_id")
+      .writeStream.format("memory").queryName("ij_out").outputMode("append").start()
+    try {
+      clicks.addData(clickRows: _*)
+      buys.addData(buyRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("ij_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.ops.IntervalJoin.intervalJoin(
+        clickRows.toDF("user_id", "click_id", "click_ns"),
+        buyRows.toDF("user_id", "purchase_id", "purchase_ns"),
+        "user_id", "click_ns", "purchase_ns", 3600 * NS)
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got == Set(10L -> 100L, 20L -> 200L), got.toString)
+    } finally q.stop()
+  }
+
   test("windowedStats groups into tumbling event-time windows") {
     import org.apache.spark.sql.functions._
     val pts = Seq(("s", 10 * S, 1.0), ("s", 20 * S, 5.0), ("s", 70 * S, 3.0))
