@@ -119,6 +119,13 @@ object Smoke {
     val p3 = t.points.select("series_id", "ts", "value")
     println(s"ewma rows: ${graft.ts.SeriesOps.ewma(p3).count()} " +
       s"changepoints: ${graft.ts.SeriesOps.changepoint(p3).count()}")
+    graft.ts.SeriesOps.autocorr(p3, maxLag = 2).groupBy("lag")
+      .agg(avg("acf").as("mean_acf")).orderBy("lag").show()
+    println(s"keepers: ${graft.pipeline.Components.dedupKeepers(docs)
+      .where(col("is_keeper")).count()}")
+    TextOps.fertility(docs).orderBy("lang").show()
+    graft.pipeline.Similarity.dimStats(t.embeddings)
+      .agg(min("std").as("min_std"), max("std").as("max_std")).show()
     println("interval joins: " + graft.ops.IntervalJoin.intervalJoin(
       t.eventsUs.where(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts")),

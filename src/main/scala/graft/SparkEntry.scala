@@ -199,6 +199,7 @@ object SparkEntry {
     "ts_outlier_mad" -> ((s, dir) => SeriesOps.outliersMad(pts(s, dir), 3.5)),
     "ts_ewma" -> ((s, dir) => SeriesOps.ewma(pts(s, dir), alpha = 0.5, window = 16)),
     "ts_changepoint" -> ((s, dir) => SeriesOps.changepoint(pts(s, dir))),
+    "ts_autocorr" -> ((s, dir) => SeriesOps.autocorr(pts(s, dir), maxLag = 3)),
     // pairwise correlation is inherently quadratic in the series set, so
     // the query selects a bounded station group (user_id < 25) up front
     "ts_corr" -> ((s, dir) => {
@@ -324,6 +325,7 @@ object SparkEntry {
       TextOps.gopherRules(Tables(s, dir).documents, minWords = 25)
         .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
           "alpha_word_ratio", "n_stopword_hits", "pass_gopher")),
+    "text_fertility" -> ((s, dir) => TextOps.fertility(Tables(s, dir).documents)),
     // ---- deterministic sampling / dataset splitting ----
     "sample_split" -> ((s, dir) => {
       Sampling.assignSplit(Tables(s, dir).documents, "doc_id",
@@ -419,6 +421,8 @@ object SparkEntry {
       Similarity.quantizeInt8(Tables(s, dir).embeddings)
         .select(col("vec_id"), col("scale"),
           array_join(col("qvec").cast("array<string>"), ",").as("qvec"))),
+    // per-dimension drift/collapse profile
+    "vec_dim_stats" -> ((s, dir) => Similarity.dimStats(Tables(s, dir).embeddings)),
 
     // ---- benchmark decontamination: the held-out test split is the
     // benchmark; any 5-token-gram overlap flags a training doc ----
@@ -454,6 +458,8 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) => Dedup.minhashNearDups(Tables(s, dir).documents)),
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentDups(Tables(s, dir).documents, threshold = 0.8)),
+    // cluster resolution + quality argmax: the "drop THESE rows" policy
+    "dedup_keepers" -> ((s, dir) => Components.dedupKeepers(Tables(s, dir).documents)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashNearDups(Tables(s, dir).documents)),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(Tables(s, dir).documents)),
     // near-dup PAIRS -> transitive clusters + canonical keeper (alternating
@@ -820,6 +826,35 @@ object SparkEntry {
          |  ORDER BY abs(cusum) DESC, ts ASC, cusum ASC) AS rk FROM c)
          |SELECT series_id, ts AS cp_ts, cusum AS cp_cusum, mean_value, n_points
          |FROM r WHERE rk = 1""".stripMargin,
+    // Twin of SeriesOps.autocorr: same per-lag lagged pairs (one window
+    // per lag constant — DuckDB's lag() offset must be a literal), same
+    // co-moment closed form as ts_corr.
+    "ts_autocorr" -> {
+      // one named window per branch: DuckDB scopes WINDOW names across
+      // the whole set operation, so re-using `win` is a parse error
+      def lagSel(l: Int) =
+        s"""SELECT series_id, $l AS lag, lag(value, $l) OVER win$l AS x, value AS y
+           |  FROM p WINDOW win$l AS (PARTITION BY series_id ORDER BY ts, value)""".stripMargin
+      s"""WITH points AS ($PointsCte),
+         |p AS (SELECT series_id, ts, value FROM points WHERE NOT isnan(value)),
+         |lagged AS (
+         |${lagSel(1)}
+         |UNION ALL
+         |${lagSel(2)}
+         |UNION ALL
+         |${lagSel(3)}),
+         |s AS (SELECT series_id, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+         |  sum(y * y) AS syy, sum(x * y) AS sxy
+         |  FROM lagged WHERE x IS NOT NULL GROUP BY 1, 2)
+         |SELECT series_id, lag, n_pairs,
+         |  CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0
+         |        AND CAST(n_pairs AS DOUBLE) * syy - sy * sy > 0
+         |    THEN (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+         |      / sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+         |           * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)) END AS acf
+         |FROM s""".stripMargin
+    },
     // Twin of SeriesOps.trend: identical co-moment algebra, identical
     // ts/1e9 seconds conversion and operation order.
     "ts_trend" ->
@@ -1063,6 +1098,17 @@ object SparkEntry {
          |   AND n_stopword_hits >= 2) AS pass_gopher
          |FROM f""".stripMargin
     },
+    // Twin of TextOps.fertility: exact integer sums, one double division.
+    "text_fertility" ->
+      s"""WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len($Toks)) AS BIGINT) AS n_words,
+         |  CAST(sum(len(regexp_extract_all(lower(text),
+         |    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS BIGINT) AS n_bpe_tokens
+         |FROM documents GROUP BY 1)
+         |SELECT lang, n_docs, n_words, n_bpe_tokens,
+         |  CASE WHEN n_words > 0
+         |    THEN CAST(n_bpe_tokens AS DOUBLE) / n_words END AS fertility
+         |FROM s""".stripMargin,
     "text_lang_id" ->
       s"""WITH toks AS (SELECT doc_id, list_distinct($Toks) AS tk FROM documents),
          |langs(lang, words) AS (VALUES
@@ -1294,6 +1340,14 @@ object SparkEntry {
         |  CASE WHEN scale > 0 THEN list_transform(v, x -> CAST(round(x / scale) AS INTEGER))
         |       ELSE list_transform(v, x -> 0) END, ',') AS qvec
         |FROM s""".stripMargin,
+    // Twin of Similarity.dimStats: parallel unnest zips (index, element);
+    // the 0-based range matches posexplode's pos.
+    "vec_dim_stats" ->
+      """WITH u AS (SELECT CAST(unnest(range(0, len(embedding))) AS INTEGER) AS dim,
+        |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+        |SELECT dim, CAST(count(*) AS BIGINT) AS n, avg(v) AS mean,
+        |  stddev_samp(v) AS std, min(v) AS min_v, max(v) AS max_v
+        |FROM u GROUP BY 1""".stripMargin,
 
     // Twin of TextOps.decontaminate over the test-split benchmark: same
     // 5-token grams (the MinhashPairsCtes slice algebra at k=5), same
@@ -1423,6 +1477,33 @@ object SparkEntry {
          |SELECT c.doc_id, c.cluster_id, s.cluster_size,
          |  c.doc_id = c.cluster_id AS is_canonical
          |FROM comps c JOIN sizes s USING (cluster_id)""".stripMargin,
+    // Twin of Components.dedupKeepers: the dedup_clusters closure CTEs
+    // plus the text_quality score expression, ranked per cluster with the
+    // same (quality desc, id asc) tie-break — the score is exact double
+    // arithmetic over integer counts, so the argmax cannot drift.
+    "dedup_keepers" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+         |  UNION SELECT id_b, id_a FROM mh_pairs),
+         |reach(id, comp) AS (SELECT DISTINCT src, src FROM edges
+         |  UNION SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         |comps AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comps GROUP BY 1),
+         |q AS (SELECT d.doc_id,
+         |  least(CAST(len(t.tk) AS DOUBLE) / 64.0, 1.0) * 0.4 +
+         |    (CASE WHEN len(t.tk) > 0 THEN CAST(len(list_filter(t.tk, x ->
+         |      list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+         |      AS DOUBLE) / len(t.tk) ELSE 0.0 END) * 0.3 +
+         |    (CASE WHEN length(d.text) > 0
+         |      THEN CAST(length(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g'))
+         |        AS DOUBLE) / length(d.text) ELSE 0.0 END) * 0.3 AS quality_score
+         |  FROM documents d JOIN toks t USING (doc_id)),
+         |r AS (SELECT c.doc_id, c.cluster_id, s.cluster_size, q.quality_score,
+         |  row_number() OVER (PARTITION BY c.cluster_id
+         |    ORDER BY q.quality_score DESC, c.doc_id ASC) AS rk
+         |  FROM comps c JOIN sizes s USING (cluster_id) JOIN q USING (doc_id))
+         |SELECT doc_id, cluster_id, cluster_size, quality_score, rk = 1 AS is_keeper
+         |FROM r""".stripMargin,
     // Twin of Components.pageRank (3 rounds unrolled): same symmetrized
     // edges, same (1-d)/N + d·Σ r/deg update. The damping terms are
     // CAST to DOUBLE first — bare `1 - 0.85` would be DuckDB DECIMAL

@@ -138,6 +138,34 @@ object Components {
     clustersFromPairs(pairs, "id_a", "id_b")
   }
 
+  /** Keeper selection over the near-dup clusters: join each clustered doc
+    * with its [[TextOps.qualityScore]] and keep the highest-quality doc
+    * per cluster (ties → smallest id) — the policy step that turns "these
+    * documents are duplicates" into "drop THESE rows", preferring the
+    * best-written copy over [[dedupClusters]]'s arbitrary smallest-id
+    * canonical. Scores are exact double arithmetic over integer counts,
+    * identical cross-engine, so the argmax is deterministic.
+    *
+    * Scale shape: the cluster resolution dominates (see
+    * [[connectedComponents]]); the quality join is id-keyed and the rank
+    * is the only window over the cluster key.
+    */
+  def dedupKeepers(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClusters(df, idCol, textCol, shingleK, bands,
+      rowsPerBand, threshold)
+    val quality = TextOps.qualityScore(df.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol).as("doc_id"), col("quality_score"))
+    val rk = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    clusters.join(quality, "doc_id")
+      .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(rk))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality_score"), (col("__rk") === 1).as("is_keeper"))
+  }
+
   /** Cluster resolution from an explicit pair list (any near-dup source:
     * minhash, simhash, embedding cosine).
     */

@@ -261,6 +261,27 @@ object Similarity {
           .otherwise(transform(col("v"), _ => lit(0)))
           .as("qvec"))
 
+  /** Per-dimension embedding profile: count, mean, sample std, min, max of
+    * each coordinate over the whole corpus — the drift/collapse diagnostic
+    * run before trusting an embedding table (a dead dimension has ~zero
+    * std; a shifted encoder moves the means). Dimension-agnostic:
+    * `posexplode` discovers the width from the data, the same pattern as
+    * [[kmeans]]'s centroid update.
+    *
+    * Scale shape: explode is map-side; the aggregation is partial-combined
+    * on the dimension key (cardinality = embedding width), so the shuffle
+    * carries one partial row per (partition, dim).
+    */
+  def dimStats(corpus: DataFrame, vecCol: String = "embedding"): DataFrame =
+    corpus.select(posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .select(col("dim"), col("__v").cast("double").as("__v"))
+      .groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        avg("__v").as("mean"),
+        stddev_samp(col("__v")).as("std"),
+        min("__v").as("min_v"),
+        max("__v").as("max_v"))
+
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥ threshold,
     * blocked by cell to bound the pair space (LSH-bucketed variant of
     * embedding dedup).

@@ -76,6 +76,26 @@ object TextOps {
         + col("stopword_ratio") * 0.3
         + col("alnum_ratio") * 0.3)
 
+  /** Tokenizer fertility per corpus slice: how many BPE-style segments the
+    * pre-tokenizer emits per whitespace-ish word, aggregated by `byCol`
+    * (language, source) — THE cheap multilingual-tokenizer diagnostic (a
+    * high-fertility language pays more sequence length per word, so it is
+    * under-served at a fixed token budget). Sums are exact integers; the
+    * ratio is one double division, so the twin agrees bit for bit.
+    *
+    * Scale shape: one partial-combined aggregation on the slice key;
+    * both token counts ride the scan codegen'd.
+    */
+  def fertility(df: DataFrame, textCol: String = "text",
+      byCol: String = "lang"): DataFrame =
+    df.groupBy(byCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(col(textCol)).cast("long")).as("n_words"),
+      sum(bpeTokenCount(col(textCol)).cast("long")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        when(col("n_words") > 0,
+          col("n_bpe_tokens").cast("double") / col("n_words")))
+
   /** Gopher-style quality-rule screen (Rae et al. 2021, MassiveText §A1.1):
     * per-document rule features and a composite pass flag. Rules carried
     * over (thresholds parameterized, defaults per the paper where they

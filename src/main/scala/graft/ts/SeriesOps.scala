@@ -425,6 +425,48 @@ object SeriesOps {
       .select(col("series_id"), col("ts"), col("value"), (num / den).as("ewma"))
   }
 
+  /** Per-series autocorrelation at lags 1..maxLag: the Pearson correlation
+    * between the series and its ℓ-step-lagged self over the co-observed
+    * pairs — the standard ACF the "is this sensor periodic / mean-
+    * reverting / a random walk" triage reads. Pairs with a null lag (the
+    * first ℓ points) are excluded per lag; a lag with under-2 pairs or
+    * zero variance on either side emits a null `acf`.
+    *
+    * Scale shape: ONE shuffle total — the lag columns ride a single
+    * series-key sort, the per-lag pairs explode map-side, and the
+    * (series, lag) co-moment aggregation reuses the series partitioning
+    * (a sub-key groupBy needs no new Exchange). Co-moment algebra is the
+    * same closed form as [[pairCorrelation]], written identically in the
+    * SQL twin.
+    */
+  def autocorr(points: DataFrame, maxLag: Int = 3): DataFrame = {
+    require(maxLag > 0, s"maxLag must be positive, got $maxLag")
+    val w = Window.partitionBy("series_id").orderBy(col("ts"), col("value"))
+    val p = points.where(notNan(col("value")))
+    val lagged = (1 to maxLag).foldLeft(p) { (df, l) =>
+      df.withColumn(s"__lag$l", lag(col("value"), l).over(w))
+    }
+    val pairs = lagged.select(col("series_id"), col("value").as("__y"),
+      explode(array((1 to maxLag).map(l =>
+        struct(lit(l).as("lag"), col(s"__lag$l").as("prev"))): _*)).as("lp"))
+      .select(col("series_id"), col("lp.lag").as("lag"),
+        col("__y"), col("lp.prev").as("__x"))
+      .where(col("__x").isNotNull)
+    val sums = pairs.groupBy("series_id", "lag").agg(
+      count(lit(1)).as("n_pairs"),
+      sum("__x").as("__sx"), sum("__y").as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+    val n = col("n_pairs").cast("double")
+    val vx = n * col("__sxx") - col("__sx") * col("__sx")
+    val vy = n * col("__syy") - col("__sy") * col("__sy")
+    sums.select(col("series_id"), col("lag"), col("n_pairs"),
+      when(vx > 0 && vy > 0,
+        (n * col("__sxy") - col("__sx") * col("__sy")) / sqrt(vx * vy))
+        .as("acf"))
+  }
+
   /** Per-series CUSUM changepoint: the running sum of deviations from the
     * series mean, `S_i = Σ_{j≤i}(x_j − x̄)`, peaks in magnitude at the most
     * likely single level-shift point — the classic offline CUSUM statistic.

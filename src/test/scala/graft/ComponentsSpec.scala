@@ -99,6 +99,30 @@ class ComponentsSpec extends SparkSpec {
     assert(got.forall(r => r._4 == (r._1 == r._2)))
   }
 
+  test("dedupKeepers: highest quality wins its cluster; quality ties fall to min id") {
+    import graft.pipeline.TextOps
+    import org.apache.spark.sql.functions.col
+    // cluster 1: identical junk texts (equal quality) -> keeper = min id.
+    // cluster 2: doc 20 is doc 21 minus its stopword-rich tail -> near-dups
+    // (high Jaccard), but 21 scores higher quality -> keeper 21, not min id
+    val junk = "zzz9 yyy8 xxx7 www6 vvv5 uuu4 zzz9 yyy8 xxx7 www6 vvv5 uuu4"
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val better = base + " the a of and to in is that it for"
+    val docs = Seq((10L, junk), (11L, junk), (20L, base), (21L, better))
+      .toDF("doc_id", "text")
+    val got = Components.dedupKeepers(docs, bands = 16, rowsPerBand = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_keeper"))).toMap
+    assert(got.keySet == Set(10L, 11L, 20L, 21L))
+    assert(got(10L) == ((10L, true)) && got(11L) == ((10L, false)))
+    assert(got(20L)._1 == 20L && !got(20L)._2)
+    assert(got(21L)._1 == 20L && got(21L)._2, "higher quality must beat smaller id")
+    // exactly one keeper per cluster, and the scores match qualityScore
+    val q = TextOps.qualityScore(docs).select(col("doc_id"), col("quality_score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(21L) > q(20L), "the test premise: the tail raises quality")
+  }
+
   /** Reference PageRank: dense driver-side iteration, same update rule. */
   private def brutePageRank(edges: Seq[(Long, Long)], iters: Int,
       d: Double = 0.85): Map[Long, Double] = {

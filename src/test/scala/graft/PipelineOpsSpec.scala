@@ -12,6 +12,24 @@ import graft.pipeline.{Profile, Similarity, TextOps}
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("fertility: exact integer sums; zero-word slice yields null ratio") {
+    import graft.pipeline.TextOps
+    // "ab cd": 2 words, 2 bpe segments; "x1y2": 1 token but 4 bpe segments
+    // (letter/digit runs split); "%%%": 0 tokens, 1 bpe segment
+    val df = Seq(("a", "ab cd"), ("a", "x1y2"), ("b", "%%%"))
+      .toDF("lang", "text")
+    val got = TextOps.fertility(df).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("n_docs") == 2L)
+    assert(a.getAs[Long]("n_words") == 3L)
+    assert(a.getAs[Long]("n_bpe_tokens") == 6L)
+    assert(a.getAs[Double]("fertility") == 2.0)
+    val b = got("b")
+    assert(b.getAs[Long]("n_words") == 0L)
+    assert(b.isNullAt(b.fieldIndex("fertility")))
+  }
+
   test("gopherRules: feature math exact; each rule trips independently") {
     import graft.pipeline.TextOps
     import org.apache.spark.sql.functions.col

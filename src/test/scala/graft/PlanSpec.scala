@@ -185,6 +185,20 @@ class PlanSpec extends SparkSpec {
     assert(single.size <= 2, s"unexpected global collapse:\n${single.mkString("\n")}")
   }
 
+  test("autocorr is one shuffle: the (series, lag) groupBy reuses the series sort") {
+    val plan = planOf(SparkEntry.queries("ts_autocorr")(spark, sfDir))
+    val shuffles = plan.linesIterator.count(_.contains("Exchange"))
+    assert(shuffles == 1, s"expected 1 Exchange, got $shuffles:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("dimension stats aggregate partial: the shuffle carries per-dim rows only") {
+    val plan = planOf(SparkEntry.queries("vec_dim_stats")(spark, sfDir))
+    val shuffles = plan.linesIterator.count(_.contains("Exchange"))
+    assert(shuffles == 1, s"expected 1 Exchange, got $shuffles:\n${plan.take(3000)}")
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
+
   test("sequence packing broadcasts the shard prefixes; no corpus-wide window") {
     val plan = planOf(SparkEntry.queries("pack_sequences")(spark, sfDir))
     assert(plan.contains("BroadcastExchange"), plan.take(3000))

@@ -229,6 +229,20 @@ class SeriesOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { SeriesOps.ewma(pts(), 0.5, 0) }
   }
 
+  test("autocorr: alternating series is exactly ±1 by lag parity; constant is null") {
+    // 1,-1,1,-1,1: lag1 pairs anti-correlate (-1), lag2 correlate (+1),
+    // lag3 anti-correlate (-1); pair counts 4/3/2
+    val alt = pts(0L -> 1.0, 1L -> -1.0, 2L -> 1.0, 3L -> -1.0, 4L -> 1.0)
+    val got = SeriesOps.autocorr(alt, maxLag = 3).orderBy("lag").collect()
+    assert(got.map(_.getAs[Long]("n_pairs")).toSeq == Seq(4L, 3L, 2L))
+    assert(math.abs(got(0).getAs[Double]("acf") - (-1.0)) < 1e-12)
+    assert(math.abs(got(1).getAs[Double]("acf") - 1.0) < 1e-12)
+    assert(math.abs(got(2).getAs[Double]("acf") - (-1.0)) < 1e-12)
+    // zero variance on either side -> null, never a division by zero
+    val const = SeriesOps.autocorr(pts(0L -> 2.0, 1L -> 2.0, 2L -> 2.0), 1).collect()
+    assert(const.length == 1 && const(0).isNullAt(const(0).fieldIndex("acf")))
+  }
+
   test("changepoint: CUSUM peaks at the level shift; ties break earliest") {
     // step 0,0,0 -> 10,10,10: mean 5, cusum -5,-10,-15,-10,-5,0 — the
     // peak |S| = 15 sits on the LAST pre-shift point

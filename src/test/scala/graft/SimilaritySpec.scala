@@ -149,4 +149,19 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
     assert(shuffled == got.view.mapValues(_._1).toMap)
   }
+
+  test("dimStats: exact per-dimension moments; dead dimension shows zero std") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, Array(1.0f, 5.0f, 2.0f)),
+      (2L, Array(3.0f, 5.0f, 4.0f)),
+      (3L, Array(5.0f, 5.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.dimStats(df).orderBy("dim").collect()
+    assert(got.map(_.getAs[Int]("dim")).toSeq == Seq(0, 1, 2))
+    assert(got.forall(_.getAs[Long]("n") == 3L))
+    assert(got(0).getAs[Double]("mean") == 3.0)
+    assert(math.abs(got(0).getAs[Double]("std") - 2.0) < 1e-12) // var = 4
+    assert(got(1).getAs[Double]("std") == 0.0) // the dead dimension
+    assert(got(2).getAs[Double]("min_v") == 0.0 && got(2).getAs[Double]("max_v") == 4.0)
+  }
 }
