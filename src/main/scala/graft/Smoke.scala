@@ -126,6 +126,12 @@ object Smoke {
     TextOps.fertility(docs).orderBy("lang").show()
     graft.pipeline.Similarity.dimStats(t.embeddings)
       .agg(min("std").as("min_std"), max("std").as("max_std")).show()
+    println(s"ohlc candles: ${graft.ts.SeriesOps.ohlc(p3, 86400L * 1000000000L).count()} " +
+      s"winsorized clips: ${graft.ts.SeriesOps.winsorize(p3)
+        .where(col("is_clipped")).count()}")
+    graft.pipeline.TextOps.unigramLogprob(docs)
+      .agg(min("cross_entropy").as("min_ce"), max("cross_entropy").as("max_ce")).show()
+    graft.pipeline.TextOps.topTerms(docs, k = 3).orderBy("lang", "rank").show(9)
     println("interval joins: " + graft.ops.IntervalJoin.intervalJoin(
       t.eventsUs.where(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts")),

@@ -200,6 +200,8 @@ object SparkEntry {
     "ts_ewma" -> ((s, dir) => SeriesOps.ewma(pts(s, dir), alpha = 0.5, window = 16)),
     "ts_changepoint" -> ((s, dir) => SeriesOps.changepoint(pts(s, dir))),
     "ts_autocorr" -> ((s, dir) => SeriesOps.autocorr(pts(s, dir), maxLag = 3)),
+    "ts_ohlc" -> ((s, dir) => SeriesOps.ohlc(pts(s, dir), 86400L * NsPerS)),
+    "ts_winsorize" -> ((s, dir) => SeriesOps.winsorize(pts(s, dir), 0.05, 0.95)),
     // pairwise correlation is inherently quadratic in the series set, so
     // the query selects a bounded station group (user_id < 25) up front
     "ts_corr" -> ((s, dir) => {
@@ -326,6 +328,11 @@ object SparkEntry {
         .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
           "alpha_word_ratio", "n_stopword_hits", "pass_gopher")),
     "text_fertility" -> ((s, dir) => TextOps.fertility(Tables(s, dir).documents)),
+    // model-free perplexity proxy: corpus-unigram cross-entropy per doc
+    "text_unigram_logprob" -> ((s, dir) =>
+      TextOps.unigramLogprob(Tables(s, dir).documents)),
+    "text_top_terms" -> ((s, dir) =>
+      TextOps.topTerms(Tables(s, dir).documents, k = 10)),
     // ---- deterministic sampling / dataset splitting ----
     "sample_split" -> ((s, dir) => {
       Sampling.assignSplit(Tables(s, dir).documents, "doc_id",
@@ -720,6 +727,27 @@ object SparkEntry {
          |  max(value) FILTER (WHERE NOT isnan(value)) AS max_value,
          |  count(value) FILTER (WHERE NOT isnan(value)) AS n_points
          |FROM points GROUP BY 1, 2""".stripMargin,
+    // Twin of SeriesOps.ohlc: DuckDB's ordered-aggregate first/last mirror
+    // min_by/max_by over the (ts, value) tuple exactly.
+    "ts_ohlc" ->
+      s"""WITH points AS ($PointsCte),
+         |p AS (SELECT series_id, ts, value FROM points WHERE NOT isnan(value))
+         |SELECT series_id, ts - ts % ${86400L * NsPerS} AS bucket_ts,
+         |  first(value ORDER BY ts, value) AS open,
+         |  max(value) AS high, min(value) AS low,
+         |  last(value ORDER BY ts, value) AS close,
+         |  CAST(count(*) AS BIGINT) AS n_points
+         |FROM p GROUP BY 1, 2""".stripMargin,
+    // Twin of SeriesOps.winsorize: same exact quantiles, same clamp order.
+    "ts_winsorize" ->
+      s"""WITH points AS ($PointsCte),
+         |p AS (SELECT series_id, ts, value FROM points WHERE NOT isnan(value)),
+         |q AS (SELECT series_id, quantile_cont(value, 0.05) AS qlo,
+         |  quantile_cont(value, 0.95) AS qhi FROM p GROUP BY 1)
+         |SELECT p.series_id, p.ts, p.value,
+         |  least(greatest(p.value, q.qlo), q.qhi) AS value_winsorized,
+         |  (p.value < q.qlo OR p.value > q.qhi) AS is_clipped
+         |FROM p JOIN q USING (series_id)""".stripMargin,
     "ts_rolling" ->
       s"""WITH points AS ($PointsCte)
          |SELECT series_id, ts, value,
@@ -1109,6 +1137,23 @@ object SparkEntry {
          |  CASE WHEN n_words > 0
          |    THEN CAST(n_bpe_tokens AS DOUBLE) / n_words END AS fertility
          |FROM s""".stripMargin,
+    // Twin of TextOps.unigramLogprob: same add-1-smoothed corpus unigram
+    // LM, same (c+1)/(N+V) → ln → sum → negate → per-token mean order.
+    "text_unigram_logprob" ->
+      s"""WITH occ AS (SELECT doc_id, unnest($Toks) AS t FROM documents),
+         |c AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM c)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  -sum(ln(CAST(c.c + 1 AS DOUBLE) / CAST(tot.n + tot.v AS DOUBLE)))
+         |    / count(*) AS cross_entropy
+         |FROM occ JOIN c USING (t) CROSS JOIN tot GROUP BY 1""".stripMargin,
+    // Twin of TextOps.topTerms: same (count desc, term asc) rank.
+    "text_top_terms" ->
+      s"""WITH occ AS (SELECT lang, unnest($Toks) AS term FROM documents),
+         |c AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS n FROM occ GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |  ORDER BY n DESC, term ASC) AS rank FROM c)
+         |SELECT lang, term, n, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 10""".stripMargin,
     "text_lang_id" ->
       s"""WITH toks AS (SELECT doc_id, list_distinct($Toks) AS tk FROM documents),
          |langs(lang, words) AS (VALUES

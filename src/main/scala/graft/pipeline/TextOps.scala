@@ -76,6 +76,52 @@ object TextOps {
         + col("stopword_ratio") * 0.3
         + col("alnum_ratio") * 0.3)
 
+  /** Unigram cross-entropy against the corpus's own add-1-smoothed unigram
+    * LM: per doc, `−(1/n)·Σ ln((c_t + 1)/(N + V))` over its token
+    * OCCURRENCES — the model-free perplexity proxy (a doc of corpus-typical
+    * words scores low; rare-word soup scores high), the usual cheap stand-in
+    * for an LM quality filter. Docs with zero tokens are absent by
+    * construction (no occurrences to score).
+    *
+    * Scale shape: the count table is vocabulary-sized; the occurrence join
+    * is a shuffled equi-join on the term key (AQE broadcasts when the vocab
+    * fits), and the per-doc sum is partial-combined on the doc key.
+    */
+  def unigramLogprob(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val occ = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+    val counts = occ.groupBy("__t").agg(count(lit(1)).as("__c"))
+    val totals = counts.agg(sum("__c").as("__n"),
+      count(lit(1)).as("__v"))
+    occ.join(counts, "__t")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_tokens"),
+        (-sum(log((col("__c") + 1).cast("double")
+          / (col("__n") + col("__v")).cast("double")))
+          / count(lit(1))).as("cross_entropy"))
+  }
+
+  /** Top-k terms per corpus slice (language, source): count-ranked heavy
+    * hitters with a deterministic (count desc, term asc) tie-break — the
+    * vocabulary drift report.
+    *
+    * Scale shape: the occurrence count is partial-combined on (slice,
+    * term); the rank filter is the ONLY window over the slice key, so
+    * Spark 4's WindowGroupLimit prunes each map partition to its local
+    * top-k before the slice shuffle (same pattern as the inverted index).
+    */
+  def topTerms(df: DataFrame, k: Int, byCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(col(byCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(byCol), col("term")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(byCol).orderBy(col("n").desc, col("term").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Tokenizer fertility per corpus slice: how many BPE-style segments the
     * pre-tokenizer emits per whitespace-ish word, aggregated by `byCol`
     * (language, source) — THE cheap multilingual-tokenizer diagnostic (a

@@ -425,6 +425,58 @@ object SeriesOps {
       .select(col("series_id"), col("ts"), col("value"), (num / den).as("ewma"))
   }
 
+  /** OHLC downsampling: per (series, fixed `dtNs` bucket) the opening and
+    * closing samples in time order plus the low/high/count — the candle
+    * view a dashboard renders when raw points outnumber pixels, and the
+    * lossy-but-shaped alternative to [[Rdp]]. Open/close tie-break on
+    * duplicate timestamps is (ts, value) lexicographic, matching every
+    * other ordered operator here. NaN samples are dropped.
+    *
+    * Scale shape: one partial-combined aggregation on (series, bucket) —
+    * `min_by`/`max_by` carry a single (ordinal, value) pair per partial,
+    * so the shuffle is one row per group per map partition, same as any
+    * min/max.
+    */
+  def ohlc(points: DataFrame, dtNs: Long): DataFrame = {
+    require(dtNs > 0, s"bucket width must be positive, got $dtNs")
+    val ord = struct(col("ts"), col("value"))
+    points.where(notNan(col("value")))
+      .groupBy(col("series_id"),
+        (col("ts") - pmod(col("ts"), lit(dtNs))).as("bucket_ts"))
+      .agg(
+        min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("n_points"))
+  }
+
+  /** Per-series winsorization: clip each sample to its OWN series'
+    * [pLo, pHi] quantile band (exact quantiles, the same interpolation as
+    * [[percentiles]]) — the standard robust-cleaning step before moments
+    * and model fits when [[outliersMad]]-style removal is too aggressive.
+    * Emits the clipped value and a flag; NaN samples are dropped.
+    *
+    * Scale shape: one grouped quantile pass + an id-keyed join-back, all
+    * on the series key (the quantile buffer caveat from [[percentiles]]
+    * applies).
+    */
+  def winsorize(points: DataFrame, pLo: Double = 0.05,
+      pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
+    val p = points.where(notNan(col("value")))
+    val q = p.groupBy("series_id").agg(
+      percentile(col("value"), lit(pLo)).as("__qlo"),
+      percentile(col("value"), lit(pHi)).as("__qhi"))
+    p.join(q, "series_id")
+      .select(col("series_id"), col("ts"), col("value"),
+        least(greatest(col("value"), col("__qlo")), col("__qhi"))
+          .as("value_winsorized"),
+        (col("value") < col("__qlo") || col("value") > col("__qhi"))
+          .as("is_clipped"))
+  }
+
   /** Per-series autocorrelation at lags 1..maxLag: the Pearson correlation
     * between the series and its ℓ-step-lagged self over the co-observed
     * pairs — the standard ACF the "is this sensor periodic / mean-

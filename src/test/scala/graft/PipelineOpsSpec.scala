@@ -12,6 +12,36 @@ import graft.pipeline.{Profile, Similarity, TextOps}
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("unigramLogprob: hand-computed add-1 cross-entropy; rare words score higher") {
+    import graft.pipeline.TextOps
+    // corpus: "a a b" + "c" -> counts a:2 b:1 c:1, N=4, V=3
+    val df = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val got = TextOps.unigramLogprob(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("cross_entropy"))).toMap
+    val e1 = -(2 * math.log(3.0 / 7) + math.log(2.0 / 7)) / 3
+    val e2 = -math.log(2.0 / 7)
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - e1) < 1e-12)
+    assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - e2) < 1e-12)
+    assert(got(2L)._2 > got(1L)._2, "the rare-word doc must score higher")
+    // an empty doc has no occurrences to score and is absent
+    assert(TextOps.unigramLogprob(
+      Seq((1L, "a"), (2L, "%%%")).toDF("doc_id", "text")).count() == 1)
+  }
+
+  test("topTerms: count-ranked with term tie-break, cut at k") {
+    import graft.pipeline.TextOps
+    val df = Seq(("en", "x x y y z"), ("en", "x"), ("de", "q")).toDF("lang", "text")
+    val got = TextOps.topTerms(df, k = 2).orderBy("lang", "rank").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("term"),
+        r.getAs[Long]("n"), r.getAs[Int]("rank")))
+    // en: x=3, y=2, z=1 -> top-2 is x,y; de: q only
+    assert(got.toSeq == Seq(("de", "q", 1L, 1), ("en", "x", 3L, 1), ("en", "y", 2L, 2)))
+    // tie on count breaks alphabetically
+    val tie = TextOps.topTerms(Seq(("en", "b a")).toDF("lang", "text"), k = 1).collect()(0)
+    assert(tie.getAs[String]("term") == "a")
+  }
+
   test("fertility: exact integer sums; zero-word slice yields null ratio") {
     import graft.pipeline.TextOps
     // "ab cd": 2 words, 2 bpe segments; "x1y2": 1 token but 4 bpe segments

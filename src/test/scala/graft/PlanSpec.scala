@@ -199,6 +199,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan.take(3000))
   }
 
+  test("ohlc is one shuffle: min_by/max_by combine map-side like any min/max") {
+    val plan = planOf(SparkEntry.queries("ts_ohlc")(spark, sfDir))
+    val shuffles = plan.linesIterator.count(_.contains("Exchange"))
+    assert(shuffles == 1, s"expected 1 Exchange, got $shuffles:\n${plan.take(3000)}")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      plan.take(3000))
+  }
+
+  test("top terms get WindowGroupLimit pushdown on the slice rank") {
+    val plan = planOf(SparkEntry.queries("text_top_terms")(spark, sfDir))
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
   test("sequence packing broadcasts the shard prefixes; no corpus-wide window") {
     val plan = planOf(SparkEntry.queries("pack_sequences")(spark, sfDir))
     assert(plan.contains("BroadcastExchange"), plan.take(3000))

@@ -229,6 +229,35 @@ class SeriesOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { SeriesOps.ewma(pts(), 0.5, 0) }
   }
 
+  test("ohlc: open/close follow time order with (ts,value) tie-break") {
+    // bucket width 10s: bucket 0 holds ts 1,1,3,5 — open is the SMALLER
+    // value of the duplicate ts=1 pair, close is ts=5; bucket 10 is a
+    // single point where all four stats coincide
+    val df = pts(1L -> 9.0, 1L -> 1.0, 3L -> 4.0, 5L -> 2.0, 12L -> 7.0)
+    val got = SeriesOps.ohlc(df, 10 * S).orderBy("bucket_ts").collect()
+    assert(got.length == 2)
+    val b0 = got(0)
+    assert(b0.getAs[Long]("bucket_ts") == 0L)
+    assert(b0.getAs[Double]("open") == 1.0)
+    assert(b0.getAs[Double]("high") == 9.0)
+    assert(b0.getAs[Double]("low") == 1.0)
+    assert(b0.getAs[Double]("close") == 2.0)
+    assert(b0.getAs[Long]("n_points") == 4L)
+    val b1 = got(1)
+    assert(Seq("open", "high", "low", "close").forall(c => b1.getAs[Double](c) == 7.0))
+  }
+
+  test("winsorize: exact quantile clamp and flags") {
+    // values 1..5: quantile_cont positions p·(n−1) → q05 = 1.2, q95 = 4.8
+    val df = pts(0L -> 1.0, 1L -> 2.0, 2L -> 3.0, 3L -> 4.0, 4L -> 5.0)
+    val got = SeriesOps.winsorize(df, 0.05, 0.95).orderBy("ts").collect()
+      .map(r => (r.getAs[Double]("value_winsorized"), r.getAs[Boolean]("is_clipped")))
+    assert(math.abs(got(0)._1 - 1.2) < 1e-12 && got(0)._2)
+    assert(got(1) == ((2.0, false)) && got(2) == ((3.0, false)) && got(3) == ((4.0, false)))
+    assert(math.abs(got(4)._1 - 4.8) < 1e-12 && got(4)._2)
+    intercept[IllegalArgumentException] { SeriesOps.winsorize(df, 0.9, 0.1) }
+  }
+
   test("autocorr: alternating series is exactly ±1 by lag parity; constant is null") {
     // 1,-1,1,-1,1: lag1 pairs anti-correlate (-1), lag2 correlate (+1),
     // lag3 anti-correlate (-1); pair counts 4/3/2
