@@ -90,6 +90,35 @@ object SparkEntry {
        |  FROM cand c JOIN sets a ON a.doc_id = c.id_a JOIN sets b ON b.doc_id = c.id_b)
        |WHERE jaccard >= 0.5)""".stripMargin
 
+  /** Transitive-closure CTEs over `mh_pairs` (requires `WITH RECURSIVE`
+    * and [[MinhashPairsCtes]] in scope): one definition of the cluster
+    * resolution shared by the dedup_clusters and dedup_keepers twins.
+    */
+  private lazy val ClosureCtes: String =
+    s"""edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+       |  UNION SELECT id_b, id_a FROM mh_pairs),
+       |reach(id, comp) AS (SELECT DISTINCT src, src FROM edges
+       |  UNION SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+       |comps AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comps GROUP BY 1)""".stripMargin
+
+  /** DuckDB twin of the EN stopword list TextOps.qualityScore screens by. */
+  private val EnStopSql =
+    "['the','a','of','and','to','in','is','that','it','for']"
+
+  /** DuckDB twin of TextOps.qualityScore's composite score over a token
+    * list expression and a text expression — ONE definition shared by the
+    * text_quality and dedup_keepers twins, so a weight or stopword change
+    * cannot leave a stale copy behind (the score drives dedup_keepers'
+    * discrete per-cluster argmax).
+    */
+  private def qualityScoreSql(tk: String, text: String): String =
+    s"least(CAST(len($tk) AS DOUBLE) / 64.0, 1.0) * 0.4 + " +
+      s"(CASE WHEN len($tk) > 0 THEN CAST(len(list_filter($tk, x -> " +
+      s"list_contains($EnStopSql, x))) AS DOUBLE) / len($tk) ELSE 0.0 END) * 0.3 + " +
+      s"(CASE WHEN length($text) > 0 THEN CAST(length(regexp_replace(lower($text), " +
+      s"'[^a-z0-9]', '', 'g')) AS DOUBLE) / length($text) ELSE 0.0 END) * 0.3"
+
   /** DuckDB twin of the per-series dt-mode (SeriesOps.dtMode) over a CTE
     * named `points`.
     */
@@ -728,7 +757,10 @@ object SparkEntry {
          |  count(value) FILTER (WHERE NOT isnan(value)) AS n_points
          |FROM points GROUP BY 1, 2""".stripMargin,
     // Twin of SeriesOps.ohlc: DuckDB's ordered-aggregate first/last mirror
-    // min_by/max_by over the (ts, value) tuple exactly.
+    // min_by/max_by over the (ts, value) tuple exactly. `ts - ts % dt`
+    // matches Spark's pmod bucketing only because epoch-ns timestamps are
+    // non-negative here (same assumption as ts_resample/events_retention;
+    // a pre-1970 ts would bucket differently under truncated %).
     "ts_ohlc" ->
       s"""WITH points AS ($PointsCte),
          |p AS (SELECT series_id, ts, value FROM points WHERE NOT isnan(value))
@@ -1078,7 +1110,7 @@ object SparkEntry {
       s"""WITH f AS (SELECT doc_id, text, $Toks AS toks,
          |  length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum FROM documents),
          |g AS (SELECT doc_id, text, toks, alnum,
-         |  len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS stop
+         |  len(list_filter(toks, t -> list_contains($EnStopSql, t))) AS stop
          |FROM f)
          |SELECT doc_id,
          |  CAST(length(text) AS BIGINT) AS n_chars_m,
@@ -1087,9 +1119,7 @@ object SparkEntry {
          |  CASE WHEN length(text) > 0 THEN CAST(alnum AS DOUBLE) / length(text) ELSE 0.0 END AS alnum_ratio,
          |  CASE WHEN length(text) > 0 THEN CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / length(text) ELSE 0.0 END AS space_ratio,
          |  CASE WHEN len(toks) > 0 THEN CAST(stop AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio,
-         |  least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) * 0.4 +
-         |    (CASE WHEN len(toks) > 0 THEN CAST(stop AS DOUBLE) / len(toks) ELSE 0.0 END) * 0.3 +
-         |    (CASE WHEN length(text) > 0 THEN CAST(alnum AS DOUBLE) / length(text) ELSE 0.0 END) * 0.3 AS quality_score
+         |  ${qualityScoreSql("toks", "text")} AS quality_score
          |FROM g""".stripMargin,
     // Twin of TextOps.gopherRules: same whitespace word split, '#'/'...'
     // symbol counts, alpha-word and stopword-union rules; ratio CASEs
@@ -1513,12 +1543,7 @@ object SparkEntry {
     // the O(log n)-round star algorithm instead).
     "dedup_clusters" ->
       s"""WITH RECURSIVE $MinhashPairsCtes,
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
-         |  UNION SELECT id_b, id_a FROM mh_pairs),
-         |reach(id, comp) AS (SELECT DISTINCT src, src FROM edges
-         |  UNION SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
-         |comps AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id),
-         |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comps GROUP BY 1)
+         |$ClosureCtes
          |SELECT c.doc_id, c.cluster_id, s.cluster_size,
          |  c.doc_id = c.cluster_id AS is_canonical
          |FROM comps c JOIN sizes s USING (cluster_id)""".stripMargin,
@@ -1528,20 +1553,9 @@ object SparkEntry {
     // arithmetic over integer counts, so the argmax cannot drift.
     "dedup_keepers" ->
       s"""WITH RECURSIVE $MinhashPairsCtes,
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
-         |  UNION SELECT id_b, id_a FROM mh_pairs),
-         |reach(id, comp) AS (SELECT DISTINCT src, src FROM edges
-         |  UNION SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
-         |comps AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id),
-         |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comps GROUP BY 1),
+         |$ClosureCtes,
          |q AS (SELECT d.doc_id,
-         |  least(CAST(len(t.tk) AS DOUBLE) / 64.0, 1.0) * 0.4 +
-         |    (CASE WHEN len(t.tk) > 0 THEN CAST(len(list_filter(t.tk, x ->
-         |      list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
-         |      AS DOUBLE) / len(t.tk) ELSE 0.0 END) * 0.3 +
-         |    (CASE WHEN length(d.text) > 0
-         |      THEN CAST(length(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g'))
-         |        AS DOUBLE) / length(d.text) ELSE 0.0 END) * 0.3 AS quality_score
+         |  ${qualityScoreSql("t.tk", "d.text")} AS quality_score
          |  FROM documents d JOIN toks t USING (doc_id)),
          |r AS (SELECT c.doc_id, c.cluster_id, s.cluster_size, q.quality_score,
          |  row_number() OVER (PARTITION BY c.cluster_id

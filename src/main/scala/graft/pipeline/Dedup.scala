@@ -97,14 +97,26 @@ object Dedup {
     // (6.5 s -> 7.0-7.3 s isolated) — materialization cost exceeds the
     // reuse win — so keep the plain declarative plan.
     val cands = lshCandidates(df, idCol, textCol, shingleK, bands, rowsPerBand)
-    // Materialize shingle sets ONLY for docs that appear in a candidate pair
-    // (a vanishing fraction of the corpus): semi-join before the expensive
-    // shingle construction, and keep the arrays sorted so the exact Jaccard
-    // check is a merge-walk, not per-pair hash sets.
+    candidateShingleSets(df, cands, idCol, textCol, shingleK)
+      .withColumn("jaccard",
+        graft.functions.Signatures.sortedJaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Candidate pairs with each side's SORTED distinct shingle set attached
+    * (`sh_a`/`sh_b`) — the shared tail of every LSH-candidate scorer
+    * ([[minhashNearDups]], [[containmentDups]]). Shingle sets materialize
+    * ONLY for docs appearing in a candidate pair (a vanishing fraction of
+    * the corpus): the semi-join runs FIRST (candIds is tiny → broadcast
+    * semi at the scan, no full-text shuffle), and the arrays stay sorted
+    * so merge-walk kernels like [[graft.functions.SortedArrayJaccard]] can
+    * score without per-pair hash sets.
+    */
+  private def candidateShingleSets(df: DataFrame, cands: DataFrame,
+      idCol: String, textCol: String, shingleK: Int): DataFrame = {
     val candIds = cands.select(col("id_a").as(idCol))
       .unionByName(cands.select(col("id_b").as(idCol))).distinct()
-    // semi-join FIRST (candIds is tiny → broadcast semi at the scan, no
-    // full-text shuffle), then build shingle arrays for the survivors only
     val sets = df.select(col(idCol), col(textCol))
       .join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol),
@@ -113,10 +125,6 @@ object Dedup {
     cands
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        graft.functions.Signatures.sortedJaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** Containment near-dups: LSH candidate pairs scored by SET CONTAINMENT
@@ -146,16 +154,7 @@ object Dedup {
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     val cands = lshCandidates(df, idCol, textCol, shingleK, bands, rowsPerBand)
-    val candIds = cands.select(col("id_a").as(idCol))
-      .unionByName(cands.select(col("id_b").as(idCol))).distinct()
-    val sets = df.select(col(idCol), col(textCol))
-      .join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol),
-        array_sort(array_distinct(
-          TextOps.shingles(TextOps.tokens(col(textCol)), shingleK))).as("sh"))
-    cands
-      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+    candidateShingleSets(df, cands, idCol, textCol, shingleK)
       .withColumn("__inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("containment",
         col("__inter").cast("double") / least(size(col("sh_a")), size(col("sh_b"))))

@@ -531,6 +531,16 @@ object SeriesOps {
     * passes — the unordered mean frame, the ordered running sum, and the
     * peak rank (two sorts, zero extra exchanges); nothing leaves the
     * executors but one row per series.
+    *
+    * Cross-engine caveat: the mean (and hence every CUSUM value) is a
+    * float sum whose accumulation order is engine- and layout-dependent,
+    * and the peak is a DISCRETE argmax over those floats — two peaks tied
+    * within an ulp can resolve to different rows in different engines.
+    * Unlike [[ewma]]'s seeded fold, the order cannot be pinned here
+    * (DuckDB evaluates window sums as tree reductions), so the operator
+    * relies on real data not producing exact |CUSUM| ties between
+    * DIFFERENT candidate rows — the same argmax-over-floats contract as
+    * [[graft.pipeline.Similarity.kmeans]] assignments.
     */
   def changepoint(points: DataFrame): DataFrame = {
     val bySeries = Window.partitionBy("series_id")
