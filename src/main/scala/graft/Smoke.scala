@@ -82,6 +82,11 @@ object Smoke {
       graft.pipeline.Multimodal.synthMediaTable(docs.limit(50)))
     feats.agg(sum("pixel_sum").as("pixels"), max("width").as("max_w")).show()
 
+    // perceptual image hash + image-level near-dups over the same codec
+    val phd = graft.pipeline.Multimodal.phashNearDups(
+      graft.pipeline.Multimodal.synthMediaTable(docs))
+    println(s"phash near-dup image pairs: ${phd.count()}")
+
     // V2 paginated station fetch + metadata find with real module lifetime
     val cat = graft.sources.Netatmo.catalog(graft.sources.Netatmo.rawConfig(t.eventsUs))
     val src = new graft.sources.NetatmoSource(cat,

@@ -119,6 +119,40 @@ object SparkEntry {
       s"(CASE WHEN length($text) > 0 THEN CAST(length(regexp_replace(lower($text), " +
       s"'[^a-z0-9]', '', 'g')) AS DOUBLE) / length($text) ELSE 0.0 END) * 0.3"
 
+  /** CTE chain computing the perceptual difference hash per document from
+    * the text payload (the synthetic media fixture's pixel bytes), ending
+    * in `ph(doc_id, w, h, phash)` — one definition shared by the mm_phash
+    * and mm_phash_dups twins. Mirrors Multimodal.perceptualHash exactly:
+    * same near-square frame, 9×8 nearest-neighbor gray grid (channel sum,
+    * zero-padded past `len`), bit y·8+x set iff gray(y,x) > gray(y,x+1).
+    * Bits accumulate as a HUGEINT sum (distinct powers of two, so sum ==
+    * OR; DuckDB overflow-checks `1::BIGINT << 63`), then fold back to the
+    * two's-complement BIGINT Spark's Long carries.
+    */
+  private lazy val MmPhashCtes: String = {
+    def graySql(x: String): String = {
+      val p = s"(((b2 // 8) * h) // 8) * w + (($x) * w) // 9"
+      s"list_sum(list_transform(range(1, 4), c -> CASE WHEN 3 * ($p) + c <= len " +
+        s"THEN cps[CAST(3 * ($p) + c AS INTEGER)] ELSE 0 END))"
+    }
+    s"""b AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS len,
+       |  list_transform(string_split(text, ''), c -> ord(c)) AS cps FROM documents),
+       |d AS (SELECT *, CASE WHEN len = 0 THEN 0 ELSE (len + 2) // 3 END AS npix FROM b),
+       |w1 AS (SELECT *, CASE WHEN npix = 0 THEN 0
+       |       ELSE CAST(ceil(sqrt(CAST(npix AS DOUBLE))) AS BIGINT) END AS w FROM d),
+       |w2 AS (SELECT *, CASE WHEN w = 0 THEN 0
+       |       ELSE CAST(ceil(CAST(npix AS DOUBLE) / w) AS BIGINT) END AS h FROM w1),
+       |hsum AS (SELECT doc_id, w, h,
+       |  list_sum(list_transform(range(0, 64), b2 ->
+       |    CASE WHEN ${graySql("b2 % 8")} > ${graySql("b2 % 8 + 1")}
+       |      THEN CAST(1 AS HUGEINT) << b2 ELSE CAST(0 AS HUGEINT) END)) AS s
+       |FROM w2),
+       |ph AS (SELECT doc_id, w, h,
+       |  CAST(CASE WHEN s >= 9223372036854775808
+       |    THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS phash
+       |FROM hsum)""".stripMargin
+  }
+
   /** DuckDB twin of the per-series dt-mode (SeriesOps.dtMode) over a CTE
     * named `points`.
     */
@@ -546,6 +580,11 @@ object SparkEntry {
         Multimodal.synthMediaTable(Tables(s, dir).documents), factor = 2))),
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.synthMediaTable(Tables(s, dir).documents), stride = 4)),
+    "mm_phash" -> ((s, dir) =>
+      Multimodal.perceptualHash(Multimodal.synthMediaTable(Tables(s, dir).documents))),
+    // image-level near-dups: Hamming over the perceptual hash (pigeonhole)
+    "mm_phash_dups" -> ((s, dir) =>
+      Multimodal.phashNearDups(Multimodal.synthMediaTable(Tables(s, dir).documents))),
 
     // ---- streaming dedup (T4) in batch mode: duplicated feed collapses ----
     "stream_dedup" -> ((s, dir) => {
@@ -1802,6 +1841,21 @@ object SparkEntry {
         |    fm := coalesce(list_max(list_transform(range(1, 3 * w + 1), i ->
         |          CASE WHEN 3 * y * w + i <= len THEN cps[CAST(3 * y * w + i AS INTEGER)] ELSE 0 END)), 0)))) AS u
         |  FROM g2)""".stripMargin,
+    // Twins of Multimodal.perceptualHash / phashNearDups over the shared
+    // MmPhashCtes; the dups oracle is all-pairs (fine at oracle scale —
+    // the Spark side proves the pigeonhole finds the identical set).
+    "mm_phash" ->
+      s"""WITH $MmPhashCtes
+         |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  phash
+         |FROM ph""".stripMargin,
+    "mm_phash_dups" ->
+      s"""WITH $MmPhashCtes
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+         |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
+         |WHERE hamming <= 6""".stripMargin,
 
     "stream_dedup" ->
       s"""WITH points AS ($PointsCte)

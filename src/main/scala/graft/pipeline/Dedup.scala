@@ -197,17 +197,33 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       shingleK: Int = 3, maxDist: Int = 6): DataFrame = {
-    val nChunks = maxDist + 1
-    val bounds = (0 to nChunks).map(c => c * SimhashBits / nChunks)
     val sigs = spreadById(df.select(col(idCol), col(textCol)), idCol)
       .select(col(idCol), simhash(col(textCol), shingleK).as("sig"))
       .where(col("sig").isNotNull)
-    val chunked = sigs.select(col(idCol), col("sig"),
+    hammingNearDups(sigs, idCol, "sig", SimhashBits, maxDist)
+  }
+
+  /** Exact pigeonhole Hamming join over ANY integer signature column (the
+    * generic core of [[simhashNearDups]], also driving
+    * [[graft.pipeline.Multimodal.phashNearDups]]): split the `bits`-wide
+    * signature into maxDist+1 contiguous chunks, equi-join on
+    * (chunk, chunk_value) — any pair within Hamming maxDist must agree on
+    * at least one chunk — and verify the true distance on candidates only.
+    * Sign extension from a set top bit (64-bit signatures) is harmless:
+    * the post-shift mask keeps only the chunk's own bits.
+    */
+  def hammingNearDups(sigs: DataFrame, idCol: String, sigCol: String,
+      bits: Int, maxDist: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val nChunks = maxDist + 1
+    val bounds = (0 to nChunks).map(c => c * bits / nChunks)
+    val chunked = sigs.select(col(idCol), col(sigCol).as("sig"),
       explode(array((0 until nChunks).map { c =>
         val lo = bounds(c)
         val mask = (1L << (bounds(c + 1) - lo)) - 1L
         struct(lit(c).as("chunk"),
-          shiftright(col("sig"), lo).bitwiseAND(lit(mask)).as("chunk_val"))
+          shiftright(col(sigCol), lo).bitwiseAND(lit(mask)).as("chunk_val"))
       }: _*)).as("ck"))
       .select(col(idCol), col("sig"), col("ck.chunk").as("chunk"),
         col("ck.chunk_val").as("chunk_val"))

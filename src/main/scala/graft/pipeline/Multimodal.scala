@@ -229,6 +229,61 @@ object Multimodal {
     out
   }
 
+  val phashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("phash", LongType)))
+
+  /** 64-bit perceptual difference hash (dHash) per blob: sample a 9×8 grid
+    * of gray values (channel sum — integer-only, no luma weights, so every
+    * engine agrees exactly) by nearest neighbor across the frame, and set
+    * bit `y·8 + x` iff `gray(y, x) > gray(y, x+1)` — the classic cheap
+    * image fingerprint whose Hamming distance survives re-encoding and
+    * mild resizing. An empty frame hashes to 0. Same streaming
+    * `mapPartitions` decode contract as [[extractFeatures]].
+    */
+  def perceptualHash(media: DataFrame, idCol: String = "doc_id",
+      blobCol: String = "media"): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(phashSchema)
+    val projected = media.select(col(idCol).cast("long"), col(blobCol))
+    val out: Dataset[Row] = projected.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](1)
+        val (w, h, off) = parsePpmHeader(bytes)
+        var hash = 0L
+        if (w > 0 && h > 0) {
+          def gray(y: Int, x: Int): Int = {
+            val j = off + 3 * ((y * h / 8) * w + x * w / 9)
+            (bytes(j) & 0xff) + (bytes(j + 1) & 0xff) + (bytes(j + 2) & 0xff)
+          }
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (gray(y, x) > gray(y, x + 1)) hash |= 1L << (y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+        }
+        Row(row.getLong(0), w, h, hash)
+      }
+    }(enc)
+    out
+  }
+
+  /** Image near-dup pairs: Hamming ≤ maxDist over [[perceptualHash]], found
+    * with [[Dedup.hammingNearDups]]'s exact pigeonhole equi-join — the
+    * image-level dedup a multimodal corpus runs next to the text-level
+    * MinHash pass (catches re-encoded/padded copies whose bytes differ).
+    */
+  def phashNearDups(media: DataFrame, maxDist: Int = 6, idCol: String = "doc_id",
+      blobCol: String = "media"): DataFrame =
+    Dedup.hammingNearDups(
+      perceptualHash(media, idCol, blobCol).select(col(idCol), col("phash")),
+      idCol, "phash", bits = 64, maxDist = maxDist)
+
   /** Batched per-partition decode over the binary column: a real P6 parse
     * per blob. Rows stream through the partition iterator — nothing is
     * collected; at scale partition sizing is controlled upstream via

@@ -98,4 +98,38 @@ class MultimodalSpec extends SparkSpec {
       assert(f.getAs[Long]("n_pixel_bytes") == w.toLong * h * 3)
     }
   }
+
+  test("perceptualHash: identity under no-op resize, dup detection, empty frame") {
+    val texts = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1
+      (3L, "a completely different document with other words inside it entirely"),
+      (4L, "")) // empty -> 0x0 frame -> phash 0
+    val media = Multimodal.synthMediaTable(texts.toDF("doc_id", "text"))
+    val ph = Multimodal.perceptualHash(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    assert(ph(1L) == ph(2L), "identical payloads must hash identically")
+    assert(ph(1L) != ph(3L), "different payloads must differ")
+    assert(ph(4L) == 0L, "empty frame hashes to 0")
+    // a factor-1 resize rebuilds the identical blob -> identical hash
+    val ph1 = Multimodal.perceptualHash(Multimodal.resizeMedia(media, factor = 1))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    assert(ph1 == ph)
+  }
+
+  test("phashNearDups pigeonhole equals brute force, incl. sign-bit signatures") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val media = Multimodal.synthMediaTable(docs)
+    val hashes = Multimodal.perceptualHash(media).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("phash")))
+    // the 64-bit space must actually exercise the sign bit, or the
+    // shift/mask edge this test exists for goes uncovered
+    assert(hashes.exists(_._2 < 0), "fixture must produce a bit-63 signature")
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (a, b, d)).toSet
+    val got = Multimodal.phashNearDups(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming"))).toSet
+    assert(got == brute, s"pigeonhole ${got.size} pairs vs brute ${brute.size}")
+  }
 }
