@@ -263,6 +263,7 @@ object SparkEntry {
     "ts_ewma" -> ((s, dir) => SeriesOps.ewma(pts(s, dir), alpha = 0.5, window = 16)),
     "ts_changepoint" -> ((s, dir) => SeriesOps.changepoint(pts(s, dir))),
     "ts_autocorr" -> ((s, dir) => SeriesOps.autocorr(pts(s, dir), maxLag = 3)),
+    "ts_monthly" -> ((s, dir) => SeriesOps.monthly(pts(s, dir))),
     "ts_ohlc" -> ((s, dir) => SeriesOps.ohlc(pts(s, dir), 86400L * NsPerS)),
     "ts_winsorize" -> ((s, dir) => SeriesOps.winsorize(pts(s, dir), 0.05, 0.95)),
     // pairwise correlation is inherently quadratic in the series set, so
@@ -925,6 +926,16 @@ object SparkEntry {
          |  ORDER BY abs(cusum) DESC, ts ASC, cusum ASC) AS rk FROM c)
          |SELECT series_id, ts AS cp_ts, cusum AS cp_cusum, mean_value, n_points
          |FROM r WHERE rk = 1""".stripMargin,
+    // Twin of SeriesOps.monthly: same +1h display shift, same calendar
+    // month truncation (Spark's session tz is pinned UTC, so date_trunc
+    // agrees with DuckDB's naive timestamps).
+    "ts_monthly" ->
+      s"""WITH points AS ($PointsCte)
+         |SELECT series_id,
+         |  epoch_us(date_trunc('month', make_timestamp((ts + ${3600L * NsPerS}) // 1000))) AS month_start_us,
+         |  CAST(count(*) AS BIGINT) AS n_points,
+         |  avg(value) AS mean_value, min(value) AS min_value, max(value) AS max_value
+         |FROM points WHERE NOT isnan(value) GROUP BY 1, 2""".stripMargin,
     // Twin of SeriesOps.autocorr: same per-lag lagged pairs (one window
     // per lag constant — DuckDB's lag() offset must be a literal), same
     // co-moment closed form as ts_corr.

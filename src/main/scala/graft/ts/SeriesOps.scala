@@ -477,6 +477,30 @@ object SeriesOps {
           .as("is_clipped"))
   }
 
+  /** Calendar-aligned monthly rollup: per (series, calendar month of the
+    * display timezone) sample stats — the "station report" view whose
+    * buckets are 28–31 days and therefore CANNOT come from [[resample]]'s
+    * fixed-width arithmetic; the month boundary needs a real calendar.
+    * The display timezone enters as a fixed offset (same convention as the
+    * ms-display projection the reference's plotting layer uses); the
+    * session timezone is pinned UTC (Sessions), so `date_trunc` is
+    * calendar-UTC on the shifted axis in BOTH engines. NaN samples drop.
+    *
+    * Scale shape: one partial-combined aggregation on (series, month).
+    */
+  def monthly(points: DataFrame,
+      displayOffsetNs: Long = 3600L * 1000000000L): DataFrame =
+    points.where(notNan(col("value")))
+      .groupBy(col("series_id"),
+        unix_micros(date_trunc("MONTH",
+          timestamp_micros(expr(s"(ts + $displayOffsetNs) div 1000"))))
+          .as("month_start_us"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        avg("value").as("mean_value"),
+        min("value").as("min_value"),
+        max("value").as("max_value"))
+
   /** Per-series autocorrelation at lags 1..maxLag: the Pearson correlation
     * between the series and its ℓ-step-lagged self over the co-observed
     * pairs — the standard ACF the "is this sensor periodic / mean-

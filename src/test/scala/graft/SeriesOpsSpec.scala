@@ -229,6 +229,26 @@ class SeriesOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { SeriesOps.ewma(pts(), 0.5, 0) }
   }
 
+  test("monthly: calendar buckets vary in width; the display shift crosses boundaries") {
+    def ns(iso: String) = java.time.Instant.parse(iso).getEpochSecond * S
+    // 23:30Z on Dec 31 lands in JANUARY after the +1h display shift; the
+    // Jan 31 23:30Z point likewise rolls into February — fixed-dt buckets
+    // cannot reproduce either boundary
+    val df = Seq(
+      ("s", ns("2023-12-31T23:30:00Z"), 1.0),
+      ("s", ns("2024-01-15T12:00:00Z"), 3.0),
+      ("s", ns("2024-01-31T23:30:00Z"), 5.0)).toDF("series_id", "ts", "value")
+    val got = SeriesOps.monthly(df).orderBy("month_start_us").collect()
+    assert(got.length == 2)
+    val janUs = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond * 1000000L
+    val febUs = java.time.Instant.parse("2024-02-01T00:00:00Z").getEpochSecond * 1000000L
+    assert(got(0).getAs[Long]("month_start_us") == janUs)
+    assert(got(0).getAs[Long]("n_points") == 2L)
+    assert(got(0).getAs[Double]("mean_value") == 2.0)
+    assert(got(1).getAs[Long]("month_start_us") == febUs)
+    assert(got(1).getAs[Double]("min_value") == 5.0)
+  }
+
   test("ohlc: open/close follow time order with (ts,value) tie-break") {
     // bucket width 10s: bucket 0 holds ts 1,1,3,5 — open is the SMALLER
     // value of the duplicate ts=1 pair, close is ts=5; bucket 10 is a
