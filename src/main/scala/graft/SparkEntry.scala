@@ -218,6 +218,21 @@ object SparkEntry {
       s.catalog.dropTempView("graft_q5_joined")
       out
     }),
+    // windowed relational anchor: per-customer order rank + running revenue
+    "q6_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byDate = Window.partitionBy("o_custkey")
+        .orderBy(col("order_us"), col("o_orderkey"))
+      Tables(s, dir).orders
+        // o_orderdate is TIMESTAMP_NTZ; the session tz is pinned UTC, so
+        // the cast to (local) timestamp is a no-op reinterpretation
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"),
+          col("o_totalprice"))
+        .withColumn("order_rank", row_number().over(byDate))
+        .withColumn("running_revenue", sum("o_totalprice").over(
+          byDate.rowsBetween(Window.unboundedPreceding, 0)))
+    }),
 
     // ---- dataset profiling (one-scan column audit) ----
     "profile_stats" -> ((s, dir) =>
@@ -264,6 +279,7 @@ object SparkEntry {
     "ts_changepoint" -> ((s, dir) => SeriesOps.changepoint(pts(s, dir))),
     "ts_autocorr" -> ((s, dir) => SeriesOps.autocorr(pts(s, dir), maxLag = 3)),
     "ts_monthly" -> ((s, dir) => SeriesOps.monthly(pts(s, dir))),
+    "ts_peaks" -> ((s, dir) => SeriesOps.peaks(pts(s, dir), delta = 5.0)),
     "ts_ohlc" -> ((s, dir) => SeriesOps.ohlc(pts(s, dir), 86400L * NsPerS)),
     "ts_winsorize" -> ((s, dir) => SeriesOps.winsorize(pts(s, dir), 0.05, 0.95)),
     // pairwise correlation is inherently quadratic in the series set, so
@@ -397,6 +413,9 @@ object SparkEntry {
       TextOps.unigramLogprob(Tables(s, dir).documents)),
     "text_top_terms" -> ((s, dir) =>
       TextOps.topTerms(Tables(s, dir).documents, k = 10)),
+    // hashing-trick featurization: fixed-width sparse count vectors
+    "text_hashed_features" -> ((s, dir) =>
+      TextOps.hashedFeatures(Tables(s, dir).documents, dims = 64)),
     // ---- deterministic sampling / dataset splitting ----
     "sample_split" -> ((s, dir) => {
       Sampling.assignSplit(Tables(s, dir).documents, "doc_id",
@@ -467,6 +486,9 @@ object SparkEntry {
             col("ts").as("purchase_ts")),
         "user_id", "click_ts", "purchase_ts", 3600L * NsPerS)
     }),
+    // market-basket lift over per-user event-type sets
+    "events_cooccurrence" -> ((s, dir) =>
+      graft.ops.Cooccurrence.typeLift(Tables(s, dir).eventsUs)),
     // typed JSON projection out of the props payload, then a per-type audit
     "events_json" -> ((s, dir) =>
       SemiStructured.extractJson(
@@ -627,6 +649,16 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    // Twin of the windowed relational anchor.
+    "q6_window" ->
+      """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_us,
+        |  o_totalprice,
+        |  CAST(row_number() OVER win AS INTEGER) AS order_rank,
+        |  sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY epoch_us(o_orderdate), o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_revenue
+        |FROM orders
+        |WINDOW win AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey)""".stripMargin,
     // Twin of the events_json extraction: one typed JSON projection, same
     // per-type audit aggregates (k is INT32 on both sides). TRY_CAST +
     // json_valid mirror from_json's PERMISSIVE nulls instead of erroring
@@ -926,6 +958,18 @@ object SparkEntry {
          |  ORDER BY abs(cusum) DESC, ts ASC, cusum ASC) AS rk FROM c)
          |SELECT series_id, ts AS cp_ts, cusum AS cp_cusum, mean_value, n_points
          |FROM r WHERE rk = 1""".stripMargin,
+    // Twin of SeriesOps.peaks: raw-double neighbor comparisons, no
+    // accumulation — the discrete peak set cannot drift between engines.
+    "ts_peaks" ->
+      s"""WITH points AS ($PointsCte),
+         |p AS (SELECT series_id, ts, value FROM points WHERE NOT isnan(value)),
+         |n AS (SELECT series_id, ts, value,
+         |  lag(value) OVER win AS prev_value, lead(value) OVER win AS next_value
+         |  FROM p WINDOW win AS (PARTITION BY series_id ORDER BY ts, value))
+         |SELECT series_id, ts, value, prev_value, next_value FROM n
+         |WHERE prev_value IS NOT NULL AND next_value IS NOT NULL
+         |  AND value - prev_value >= CAST(5 AS DOUBLE)
+         |  AND value - next_value >= CAST(5 AS DOUBLE)""".stripMargin,
     // Twin of SeriesOps.monthly: same +1h display shift, same calendar
     // month truncation (Spark's session tz is pinned UTC, so date_trunc
     // agrees with DuckDB's naive timestamps).
@@ -1227,6 +1271,16 @@ object SparkEntry {
          |  -sum(ln(CAST(c.c + 1 AS DOUBLE) / CAST(tot.n + tot.v AS DOUBLE)))
          |    / count(*) AS cross_entropy
          |FROM occ JOIN c USING (t) CROSS JOIN tot GROUP BY 1""".stripMargin,
+    // Twin of TextOps.hashedFeatures: same PolyHash % dims buckets, same
+    // ascending-index sparse assembly (DuckDB's ordered list aggregate).
+    "text_hashed_features" ->
+      s"""WITH occ AS (SELECT doc_id, ${phSql("t", "0")} % 64 AS b
+         |  FROM (SELECT doc_id, unnest($Toks) AS t FROM documents)),
+         |c AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  array_to_string(list(b ORDER BY b), ',') AS indices,
+         |  array_to_string(list(c ORDER BY b), ',') AS counts
+         |FROM c GROUP BY 1""".stripMargin,
     // Twin of TextOps.topTerms: same (count desc, term asc) rank.
     "text_top_terms" ->
       s"""WITH occ AS (SELECT lang, unnest($Toks) AS term FROM documents),
@@ -1425,6 +1479,20 @@ object SparkEntry {
          |  CAST(n_transitions AS DOUBLE) / total AS p_transition
          |FROM pairs JOIN deg USING (from_type)""".stripMargin
     },
+    // Twin of Cooccurrence.typeLift: integer-exact counts, one double
+    // division in the same operand order.
+    "events_cooccurrence" ->
+      """WITH e AS (SELECT DISTINCT user_id, event_type FROM events),
+        |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM e),
+        |s AS (SELECT event_type AS t, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(count(*) AS BIGINT) AS n_users_both
+        |  FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_users_both,
+        |  CAST(n_users_both AS DOUBLE) * nu.n_users / (sa.n * sb.n) AS lift
+        |FROM p JOIN s sa ON sa.t = p.type_a JOIN s sb ON sb.t = p.type_b
+        |CROSS JOIN nu""".stripMargin,
     // Twin of IntervalJoin: plain key + time-range join — the range
     // bounds are exact integer ns, so no float hazard exists.
     "events_interval_join" -> {

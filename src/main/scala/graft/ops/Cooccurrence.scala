@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket co-occurrence over the event stream: for every unordered
+  * pair of event types, how many users did BOTH, and the lift
+  * `P(a,b) / (P(a)·P(b))` — the association-mining view behind "users who
+  * error also churn". Lift > 1 means the types co-occur more than
+  * independent behavior predicts.
+  *
+  * Scale shape: the per-user distinct type set is one partial-combined
+  * distinct; the pair space is user-keyed (self-join on the user key, type
+  * pairs bounded by the type vocabulary squared per user); counts combine
+  * map-side and the lift arithmetic is integer-exact until one final
+  * double division, so the twin agrees bit for bit.
+  */
+object Cooccurrence {
+
+  def typeLift(events: DataFrame, userCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    val types = events.select(col(userCol), col(typeCol)).distinct()
+    val nUsers = types.select(userCol).distinct()
+      .agg(count(lit(1)).as("__n_users"))
+    val singles = types.groupBy(col(typeCol).as("__t"))
+      .agg(count(lit(1)).as("__n"))
+    val pairs = types.select(col(userCol), col(typeCol).as("type_a"))
+      .join(types.select(col(userCol), col(typeCol).as("type_b")), userCol)
+      .where(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_users_both"))
+    pairs
+      .join(broadcast(singles.select(col("__t").as("type_a"), col("__n").as("__n_a"))), "type_a")
+      .join(broadcast(singles.select(col("__t").as("type_b"), col("__n").as("__n_b"))), "type_b")
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_users_both"),
+        (col("n_users_both").cast("double") * col("__n_users")
+          / (col("__n_a") * col("__n_b"))).as("lift"))
+  }
+}

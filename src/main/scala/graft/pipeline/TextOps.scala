@@ -76,6 +76,33 @@ object TextOps {
         + col("stopword_ratio") * 0.3
         + col("alnum_ratio") * 0.3)
 
+  /** Feature hashing (the "hashing trick"): token occurrences bucketed by
+    * `PolyHash(token) mod dims` into a fixed-width sparse count vector —
+    * the vocabulary-free featurization classic linear models and
+    * dedup-sketch baselines run at corpus scale (no vocabulary build, no
+    * second pass, collisions by design). Emitted as parallel comma-joined
+    * `indices`/`counts` strings in ascending index order (the driver's
+    * compare cannot hash array cells) — exactly a sparse vector per doc.
+    * Docs with zero tokens are absent (nothing to hash).
+    *
+    * Scale shape: one partial-combined count on (doc, bucket), then the
+    * per-doc assembly groupBy reuses nothing heavier than the doc key.
+    */
+  def hashedFeatures(df: DataFrame, dims: Int = 64, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    val occ = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol), (PolyHash(col("__t"), 0L) % dims).as("__b"))
+    occ.groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__b"), col("__c")))).as("__lst"))
+      .select(col(idCol),
+        array_join(transform(col("__lst"),
+          s => s.getField("__b").cast("string")), ",").as("indices"),
+        array_join(transform(col("__lst"),
+          s => s.getField("__c").cast("string")), ",").as("counts"))
+  }
+
   /** Unigram cross-entropy against the corpus's own add-1-smoothed unigram
     * LM: per doc, `−(1/n)·Σ ln((c_t + 1)/(N + V))` over its token
     * OCCURRENCES — the model-free perplexity proxy (a doc of corpus-typical

@@ -477,6 +477,29 @@ object SeriesOps {
           .as("is_clipped"))
   }
 
+  /** Local-peak detection: a sample is a peak when it exceeds BOTH its
+    * neighbors by at least `delta` (strictly interior — the first and last
+    * samples have only one neighbor and never qualify). The comparisons
+    * are raw stored doubles plus one subtraction each — no accumulation —
+    * so the discrete peak set is bit-identical in any engine. NaN samples
+    * are dropped first so a NaN neighbor can't mask a peak.
+    *
+    * Scale shape: one series-key shuffle; lag/lead ride a single sort.
+    */
+  def peaks(points: DataFrame, delta: Double = 0.0): DataFrame = {
+    require(delta >= 0, s"delta must be non-negative, got $delta")
+    val w = Window.partitionBy("series_id").orderBy(col("ts"), col("value"))
+    points.where(notNan(col("value")))
+      .select(col("series_id"), col("ts"), col("value"),
+        lag(col("value"), 1).over(w).as("__prev"),
+        lead(col("value"), 1).over(w).as("__next"))
+      .where(col("__prev").isNotNull && col("__next").isNotNull
+        && col("value") - col("__prev") >= delta
+        && col("value") - col("__next") >= delta)
+      .select(col("series_id"), col("ts"), col("value"),
+        col("__prev").as("prev_value"), col("__next").as("next_value"))
+  }
+
   /** Calendar-aligned monthly rollup: per (series, calendar month of the
     * display timezone) sample stats — the "station report" view whose
     * buckets are 28–31 days and therefore CANNOT come from [[resample]]'s

@@ -12,6 +12,32 @@ import graft.pipeline.{Profile, Similarity, TextOps}
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("hashedFeatures: buckets match driver-side PolyHash; sparse order ascending") {
+    import graft.functions.PolyHash
+    import graft.pipeline.TextOps
+    val df = Seq((1L, "alpha beta alpha"), (2L, "")).toDF("doc_id", "text")
+    val got = TextOps.hashedFeatures(df, dims = 16).collect()
+    assert(got.length == 1, "the token-less doc has nothing to hash")
+    val r = got(0)
+    val expect = Seq("alpha", "beta", "alpha")
+      .groupBy(t => PolyHash.hash(t, 0L) % 16).view.mapValues(_.size)
+      .toSeq.sortBy(_._1)
+    assert(r.getAs[String]("indices") == expect.map(_._1).mkString(","))
+    assert(r.getAs[String]("counts") == expect.map(_._2).mkString(","))
+  }
+
+  test("typeLift: exact counts and independence-normalized lift") {
+    // u1{A,B}, u2{A,B}, u3{A}, u4{C}: lift(A,B) = 2·4/(3·2); C pairs absent
+    val events = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (2L, "B"),
+      (3L, "A"), (4L, "C")).toDF("user_id", "event_type")
+    val got = graft.ops.Cooccurrence.typeLift(events).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[String]("type_a") == "A" && r.getAs[String]("type_b") == "B")
+    assert(r.getAs[Long]("n_users_both") == 2L)
+    assert(r.getAs[Double]("lift") == 2.0 * 4 / (3 * 2))
+  }
+
   test("unigramLogprob: hand-computed add-1 cross-entropy; rare words score higher") {
     import graft.pipeline.TextOps
     // corpus: "a a b" + "c" -> counts a:2 b:1 c:1, N=4, V=3

@@ -229,6 +229,19 @@ class SeriesOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { SeriesOps.ewma(pts(), 0.5, 0) }
   }
 
+  test("peaks: interior extrema beyond delta; endpoints and NaN neighbors excluded") {
+    val df = pts(0L -> 1.0, 1L -> 9.0, 2L -> 2.0, 3L -> 8.0, 4L -> 3.0)
+    val got = SeriesOps.peaks(df, delta = 5.0).orderBy("ts").collect()
+      .map(r => (r.getAs[Long]("ts") / S, r.getAs[Double]("value")))
+    assert(got.toSeq == Seq(1L -> 9.0, 3L -> 8.0)) // endpoints never qualify
+    assert(SeriesOps.peaks(df, delta = 8.5).count() == 0)
+    // the NaN sample drops first, so its neighbors still bracket the peak
+    val withNan = pts(0L -> 1.0, 1L -> Double.NaN, 2L -> 9.0, 3L -> 2.0)
+    val p2 = SeriesOps.peaks(withNan, 5.0).collect()
+    assert(p2.length == 1 && p2(0).getAs[Double]("value") == 9.0)
+    assert(p2(0).getAs[Double]("prev_value") == 1.0)
+  }
+
   test("monthly: calendar buckets vary in width; the display shift crosses boundaries") {
     def ns(iso: String) = java.time.Instant.parse(iso).getEpochSecond * S
     // 23:30Z on Dec 31 lands in JANUARY after the +1h display shift; the
