@@ -968,6 +968,7 @@ object SparkEntry {
          |  FROM p WINDOW win AS (PARTITION BY series_id ORDER BY ts, value))
          |SELECT series_id, ts, value, prev_value, next_value FROM n
          |WHERE prev_value IS NOT NULL AND next_value IS NOT NULL
+         |  AND value > prev_value AND value > next_value
          |  AND value - prev_value >= CAST(5 AS DOUBLE)
          |  AND value - next_value >= CAST(5 AS DOUBLE)""".stripMargin,
     // Twin of SeriesOps.monthly: same +1h display shift, same calendar
@@ -1482,7 +1483,8 @@ object SparkEntry {
     // Twin of Cooccurrence.typeLift: integer-exact counts, one double
     // division in the same operand order.
     "events_cooccurrence" ->
-      """WITH e AS (SELECT DISTINCT user_id, event_type FROM events),
+      """WITH e AS (SELECT DISTINCT user_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
         |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM e),
         |s AS (SELECT event_type AS t, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
         |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,

@@ -19,7 +19,13 @@ object Cooccurrence {
 
   def typeLift(events: DataFrame, userCol: String = "user_id",
       typeCol: String = "event_type"): DataFrame = {
-    val types = events.select(col(userCol), col(typeCol)).distinct()
+    // NULL users are excluded EXPLICITLY: the pair join would drop them
+    // anyway (null-unsafe equality), but distinct().count() would still
+    // admit one into the lift denominator — where SQL's count(DISTINCT)
+    // ignores NULLs — skewing every lift value
+    val types = events.select(col(userCol), col(typeCol))
+      .where(col(userCol).isNotNull && col(typeCol).isNotNull)
+      .distinct()
     val nUsers = types.select(userCol).distinct()
       .agg(count(lit(1)).as("__n_users"))
     val singles = types.groupBy(col(typeCol).as("__t"))

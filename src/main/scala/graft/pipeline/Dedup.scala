@@ -215,13 +215,19 @@ object Dedup {
   def hammingNearDups(sigs: DataFrame, idCol: String, sigCol: String,
       bits: Int, maxDist: Int): DataFrame = {
     require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
-    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    // maxDist == 0 is valid (one full-width chunk: exact-signature dups);
+    // maxDist >= bits would create zero-width chunks whose constant
+    // chunk_val degrades the equi-join to an all-pairs cross product
+    require(maxDist >= 0 && maxDist < bits,
+      s"maxDist must be in [0, bits), got $maxDist for $bits bits")
     val nChunks = maxDist + 1
     val bounds = (0 to nChunks).map(c => c * bits / nChunks)
     val chunked = sigs.select(col(idCol), col(sigCol).as("sig"),
       explode(array((0 until nChunks).map { c =>
         val lo = bounds(c)
-        val mask = (1L << (bounds(c + 1) - lo)) - 1L
+        // unsigned-shift form: correct for the full 64-bit-wide chunk,
+        // where (1L << 64) - 1 would wrap to 0
+        val mask = -1L >>> (64 - (bounds(c + 1) - lo))
         struct(lit(c).as("chunk"),
           shiftright(col(sigCol), lo).bitwiseAND(lit(mask)).as("chunk_val"))
       }: _*)).as("ck"))

@@ -477,12 +477,14 @@ object SeriesOps {
           .as("is_clipped"))
   }
 
-  /** Local-peak detection: a sample is a peak when it exceeds BOTH its
-    * neighbors by at least `delta` (strictly interior — the first and last
-    * samples have only one neighbor and never qualify). The comparisons
-    * are raw stored doubles plus one subtraction each — no accumulation —
-    * so the discrete peak set is bit-identical in any engine. NaN samples
-    * are dropped first so a NaN neighbor can't mask a peak.
+  /** Local-peak detection: a sample is a peak when it STRICTLY exceeds
+    * both its neighbors, by at least `delta` (strictly interior — the
+    * first and last samples have only one neighbor and never qualify; a
+    * plateau member tied with a neighbor never qualifies, even at
+    * delta = 0). The comparisons are raw stored doubles plus one
+    * subtraction each — no accumulation — so the discrete peak set is
+    * bit-identical in any engine. NaN samples are dropped first so a NaN
+    * neighbor can't mask a peak.
     *
     * Scale shape: one series-key shuffle; lag/lead ride a single sort.
     */
@@ -494,6 +496,7 @@ object SeriesOps {
         lag(col("value"), 1).over(w).as("__prev"),
         lead(col("value"), 1).over(w).as("__next"))
       .where(col("__prev").isNotNull && col("__next").isNotNull
+        && col("value") > col("__prev") && col("value") > col("__next")
         && col("value") - col("__prev") >= delta
         && col("value") - col("__next") >= delta)
       .select(col("series_id"), col("ts"), col("value"),

@@ -87,6 +87,27 @@ class DedupSpec extends SparkSpec {
     assert(t.getAs[Double]("containment") == 1.0 && t.getAs[Long]("contained_id") == 7L)
   }
 
+  test("hammingNearDups: maxDist 0 is the exact-signature join; bad widths rejected") {
+    import graft.pipeline.Multimodal
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then runs far away home"),
+      (2L, "the quick brown fox jumps over the lazy dog and then runs far away home"),
+      (3L, "catalyst optimizes logical plans into physical plans with pushdown and pruning")
+    ).toDF("doc_id", "text")
+    // one full-width chunk: only identical signatures pair up
+    val got = Dedup.simhashNearDups(d, maxDist = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 2L, 0)))
+    // 64-bit signature at maxDist 0 exercises the full -1L mask
+    val ph = Multimodal.phashNearDups(Multimodal.synthMediaTable(d), maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ph.toSeq == Seq((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      Dedup.hammingNearDups(d.select(col("doc_id"), lit(0L).as("sig")),
+        "doc_id", "sig", bits = 30, maxDist = 30)
+    }
+  }
+
   test("exact dedup groups identical texts under the smallest keeper id") {
     val d = Seq((10L, "same text"), (11L, "same text"), (12L, "other text"))
       .toDF("doc_id", "text")

@@ -240,6 +240,12 @@ class SeriesOpsSpec extends SparkSpec {
     val p2 = SeriesOps.peaks(withNan, 5.0).collect()
     assert(p2.length == 1 && p2(0).getAs[Double]("value") == 9.0)
     assert(p2(0).getAs[Double]("prev_value") == 1.0)
+    // strictness at delta = 0: a flat series has NO peaks, and a plateau
+    // member tied with a neighbor never qualifies
+    assert(SeriesOps.peaks(pts(0L -> 5.0, 1L -> 5.0, 2L -> 5.0), 0.0).count() == 0)
+    val plateau = SeriesOps.peaks(
+      pts(0L -> 1.0, 1L -> 9.0, 2L -> 9.0, 3L -> 1.0), 0.0).count()
+    assert(plateau == 0, "two-sample plateau tops are ties, not peaks")
   }
 
   test("monthly: calendar buckets vary in width; the display shift crosses boundaries") {
