@@ -82,6 +82,16 @@ object Smoke {
       graft.pipeline.Multimodal.synthMediaTable(docs.limit(50)))
     feats.agg(sum("pixel_sum").as("pixels"), max("width").as("max_w")).show()
 
+    // recursive streaming EWMA (flatMapGroupsWithState also runs on a
+    // static Dataset — same code path, batch-evaluated)
+    {
+      import spark.implicits._
+      val sPts = t.points.select("series_id", "ts", "value")
+        .as[graft.streaming.StreamOps.PointIn]
+      println(s"streaming-ewma rows (static run): " +
+        graft.streaming.StreamOps.ewmaStream(sPts).count())
+    }
+
     // perceptual image hash + image-level near-dups over the same codec
     val phd = graft.pipeline.Multimodal.phashNearDups(
       graft.pipeline.Multimodal.synthMediaTable(docs))

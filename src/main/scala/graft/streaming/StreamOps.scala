@@ -156,6 +156,42 @@ object StreamOps {
   final case class SeriesUpdate(series_id: String, lastTs: Long, lastValue: Double,
       minValue: Double, maxValue: Double, n: Long)
 
+  final case class EwmaState(lastTs: Long, ewma: Double, n: Long)
+  final case class EwmaUpdate(series_id: String, ts: Long, value: Double, ewma: Double)
+
+  /** Streaming exponential smoothing: the RECURSIVE form
+    * `y_i = α·y_{i−1} + (1−α)·x_i` (y_0 = x_0) that no batch window can
+    * parallelize is exactly what per-key streaming state is for — one
+    * double per series, O(1) per point. This is the unadjusted companion
+    * of [[graft.ts.SeriesOps.ewma]]'s bounded-window adjusted form (the
+    * two converge as the window fills: the adjusted correction term decays
+    * as α^n). Points inside a micro-batch are processed in (ts, value)
+    * order; a point at or before the series' last seen timestamp is
+    * DROPPED (a recursion cannot retro-insert history — late data belongs
+    * to the batch path), as are NaN samples.
+    */
+  def ewmaStream(points: Dataset[PointIn], alpha: Double = 0.5): Dataset[EwmaUpdate] = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.groupByKey(_.series_id)
+      .flatMapGroupsWithState[EwmaState, EwmaUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key, batch, state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(Long.MinValue, Double.NaN, 0L))
+          val out = Vector.newBuilder[EwmaUpdate]
+          batch.toVector.sortBy(p => (p.ts, p.value)).foreach { p =>
+            if (p.ts > st.lastTs && !p.value.isNaN) {
+              val e = if (st.n == 0) p.value else alpha * st.ewma + (1 - alpha) * p.value
+              st = EwmaState(p.ts, e, st.n + 1)
+              out += EwmaUpdate(key, p.ts, p.value, e)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Custom per-series running state (last/min/max/count) via
     * mapGroupsWithState — the streaming "current dashboard value" of the
     * reference (A1/A2 continuously maintained).

@@ -131,6 +131,72 @@ class PipelinePropsSpec extends SparkSpec {
     }
   }
 
+  test("ewma matches a from-scratch weighted reference on random duplicate-ts series") {
+    import graft.ts.SeriesOps
+    val alpha = 0.5
+    for (window <- Seq(1, 2, 16)) {
+      val pts = (1 to 300).map { _ =>
+        ("s" + rnd.nextInt(5), rnd.nextInt(40).toLong * 7L,
+          math.rint(rnd.nextDouble() * 100) / 4.0)
+      }.distinct
+      val got = SeriesOps.ewma(pts.toDF("series_id", "ts", "value"), alpha, window)
+        .as[(String, Long, Double, Double)].collect()
+        .map(r => (r._1, r._2, r._3) -> r._4).toMap
+      pts.groupBy(_._1).foreach { case (sid, rows) =>
+        val ordered = rows.map(r => (r._2, r._3)).sorted
+        ordered.zipWithIndex.foreach { case ((ts, v), i) =>
+          val frame = ordered.slice(math.max(0, i - window + 1), i + 1).map(_._2)
+          val num = frame.reverse.zipWithIndex
+            .map { case (x, j) => x * math.pow(alpha, j) }.sum
+          val den = (0 until frame.length).map(j => math.pow(alpha, j)).sum
+          assert(math.abs(got((sid, ts, v)) - num / den) < 1e-9,
+            s"w=$window series=$sid ts=$ts")
+        }
+      }
+    }
+  }
+
+  test("ohlc equals a from-scratch candle reference under duplicate timestamps") {
+    import graft.ts.SeriesOps
+    val dt = 70L
+    val pts = (1 to 400).map { _ =>
+      ("s" + rnd.nextInt(4), rnd.nextInt(60).toLong * 7L,
+        math.rint(rnd.nextDouble() * 1000) / 8.0)
+    }
+    val got = SeriesOps.ohlc(pts.toDF("series_id", "ts", "value"), dt)
+      .as[(String, Long, Double, Double, Double, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    val ref = pts.groupBy(p => (p._1, p._2 - p._2 % dt)).map { case (k, rows) =>
+      val ord = rows.map(r => (r._2, r._3)).sorted
+      k -> ((ord.head._2, rows.map(_._3).max, rows.map(_._3).min,
+        ord.last._2, rows.size.toLong))
+    }
+    assert(got == ref)
+  }
+
+  test("winsorize laws: interior identity, exact interpolated bounds, flags") {
+    import graft.ts.SeriesOps
+    val pts = (1 to 500).map { i =>
+      ("s" + rnd.nextInt(3), i.toLong * 11L, math.rint(rnd.nextDouble() * 900) / 16.0)
+    }
+    def quantile(sorted: IndexedSeq[Double], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = pos.toInt
+      if (lo == sorted.length - 1) sorted(lo)
+      else sorted(lo) + (pos - lo) * (sorted(lo + 1) - sorted(lo))
+    }
+    val got = SeriesOps.winsorize(pts.toDF("series_id", "ts", "value"), 0.1, 0.9)
+      .as[(String, Long, Double, Double, Boolean)].collect()
+    assert(got.length == pts.length)
+    val bySeries = pts.groupBy(_._1).view
+      .mapValues(r => r.map(_._3).sorted.toIndexedSeq).toMap
+    got.foreach { case (sid, _, v, w, clipped) =>
+      val (qlo, qhi) = (quantile(bySeries(sid), 0.1), quantile(bySeries(sid), 0.9))
+      assert(w == math.min(math.max(v, qlo), qhi), s"$sid $v")
+      assert(clipped == (v < qlo || v > qhi), s"$sid $v")
+    }
+  }
+
   test("weighted sampling: inclusion probability increases with weight (rank law)") {
     // deterministic rank check across many salts: a row with 8x the weight
     // of another must win their pairwise contest in most salted draws

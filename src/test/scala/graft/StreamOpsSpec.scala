@@ -151,6 +151,27 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewmaStream: exact recursion across micro-batches; late points dropped") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[PointIn]
+    val q = StreamOps.ewmaStream(in.toDS(), alpha = 0.5)
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("append").start()
+    try {
+      in.addData(PointIn("a", 1 * S, 4.0), PointIn("a", 2 * S, 8.0))
+      q.processAllAvailable()
+      // second batch: state must carry y=6.0 forward; the t=1 retro point
+      // and the NaN sample must both be dropped
+      in.addData(PointIn("a", 3 * S, 10.0), PointIn("a", 1 * S, 99.0),
+        PointIn("a", 4 * S, Double.NaN))
+      q.processAllAvailable()
+      val got = spark.table("ewma_out").orderBy("ts").collect()
+        .map(r => (r.getAs[Long]("ts") / S, r.getAs[Double]("ewma")))
+      // y1 = 4; y2 = .5·4 + .5·8 = 6; y3 = .5·6 + .5·10 = 8
+      assert(got.toSeq == Seq(1L -> 4.0, 2L -> 6.0, 3L -> 8.0))
+    } finally q.stop()
+  }
+
   test("windowedStats groups into tumbling event-time windows") {
     import org.apache.spark.sql.functions._
     val pts = Seq(("s", 10 * S, 1.0), ("s", 20 * S, 5.0), ("s", 70 * S, 3.0))
