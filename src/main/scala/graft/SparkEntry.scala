@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Sessions, Tables}
 import graft.ops.{AsofJoin, Retention, Sessionize}
-import graft.pipeline.{Components, Dedup, Multimodal, Packing, Profile, Sampling, SemiStructured, Similarity, TextOps}
+import graft.pipeline.{Components, Dedup, Export, Multimodal, Packing, Profile, Sampling, SemiStructured, Similarity, TextOps}
 import graft.sources.{Netatmo, NetatmoSource}
 import graft.ts.{Evaluate, Rdp, SeriesOps, SeriesStore, StoreSource, HeartbeatSource, MockSource}
 import graft.ts.model.{AverageValue, Period}
@@ -232,6 +232,17 @@ object SparkEntry {
         .withColumn("order_rank", row_number().over(byDate))
         .withColumn("running_revenue", sum("o_totalprice").over(
           byDate.rowsBetween(Window.unboundedPreceding, 0)))
+    }),
+
+    // ---- export sink: sharded JSONL round trip — the re-read export must
+    // hash-equal the source table (lossless write→read, incl. escaping) ----
+    "sink_jsonl_roundtrip" -> ((s, dir) => {
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_jsonl_export").getAbsolutePath
+      Export.writeJsonl(
+        Tables(s, dir).documents.select("doc_id", "text", "lang"), out, shards = 8)
+      Export.readJsonl(s, out, "doc_id BIGINT, text STRING, lang STRING")
+        .select("doc_id", "text", "lang")
     }),
 
     // ---- dataset profiling (one-scan column audit) ----
@@ -649,6 +660,10 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    // Twin of the JSONL round trip: the sink must be invisible, so the
+    // oracle is the SOURCE projection.
+    "sink_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang FROM documents",
     // Twin of the windowed relational anchor.
     "q6_window" ->
       """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_us,

@@ -12,6 +12,29 @@ import graft.pipeline.{Profile, Similarity, TextOps}
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("JSONL export round-trips hostile strings; malformed reads fail loudly") {
+    import graft.pipeline.Export
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-spec").toString
+    val hostile = Seq(
+      (1L, "plain words", "en"),
+      (2L, "quotes \" and \\ backslash and {\"json\": [1,2]}", "en"),
+      (3L, "newline\nand\ttab and unicode é中😀", "zh"),
+      (4L, "", "de"))
+    Export.writeJsonl(hostile.toDF("doc_id", "text", "lang"), dir, shards = 3)
+    val back = Export.readJsonl(spark, dir, "doc_id BIGINT, text STRING, lang STRING")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(back.toSeq == hostile, "round trip must be byte-lossless")
+    // empty shards write no file: at most `shards` parts, at least one
+    val parts = new java.io.File(dir).listFiles().count(_.getName.endsWith(".json"))
+    assert(parts >= 1 && parts <= 3, s"got $parts part files")
+    // FAILFAST: a corrupt line is an error, not a silent null row
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(dir, "part-corrupt.json"), "{not valid json\n")
+    intercept[org.apache.spark.SparkException] {
+      Export.readJsonl(spark, dir, "doc_id BIGINT, text STRING, lang STRING").collect()
+    }
+  }
+
   test("hashedFeatures: buckets match driver-side PolyHash; sparse order ascending") {
     import graft.functions.PolyHash
     import graft.pipeline.TextOps
