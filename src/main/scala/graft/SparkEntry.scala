@@ -237,8 +237,10 @@ object SparkEntry {
     // ---- export sink: sharded JSONL round trip — the re-read export must
     // hash-equal the source table (lossless write→read, incl. escaping) ----
     "sink_jsonl_roundtrip" -> ((s, dir) => {
-      val out = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_jsonl_export").getAbsolutePath
+      // unique dir per invocation: a FIXED path would race when two
+      // Verify/Bench processes (e.g. different SFs) run concurrently
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_jsonl_export").toString
       Export.writeJsonl(
         Tables(s, dir).documents.select("doc_id", "text", "lang"), out, shards = 8)
       Export.readJsonl(s, out, "doc_id BIGINT, text STRING, lang STRING")
