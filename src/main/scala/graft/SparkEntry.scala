@@ -429,6 +429,9 @@ object SparkEntry {
     // hashing-trick featurization: fixed-width sparse count vectors
     "text_hashed_features" -> ((s, dir) =>
       TextOps.hashedFeatures(Tables(s, dir).documents, dims = 64)),
+    // lexical retrieval: Okapi BM25 top-20 for a fixed query
+    "text_bm25" -> ((s, dir) =>
+      TextOps.bm25(Tables(s, dir).documents, "table scan sort key", k = 20)),
     // ---- deterministic sampling / dataset splitting ----
     "sample_split" -> ((s, dir) => {
       Sampling.assignSplit(Tables(s, dir).documents, "doc_id",
@@ -1299,6 +1302,28 @@ object SparkEntry {
          |  array_to_string(list(b ORDER BY b), ',') AS indices,
          |  array_to_string(list(c ORDER BY b), ',') AS counts
          |FROM c GROUP BY 1""".stripMargin,
+    // Twin of TextOps.bm25: the float expression is mirrored term for
+    // term, constants entering through the same ops (k1+1 as 1.2 + 1 —
+    // never a pre-folded 2.2, which DuckDB would take through DECIMAL).
+    "text_bm25" ->
+      s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |dl AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS len FROM d),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len) AS DOUBLE) / count(*) AS avg_len FROM dl),
+         |occ AS (SELECT doc_id, len, unnest(toks) AS t FROM dl),
+         |tf AS (SELECT doc_id, len, t, CAST(count(*) AS BIGINT) AS tf FROM occ
+         |  WHERE t IN ('table', 'scan', 'sort', 'key') GROUP BY 1, 2, 3),
+         |dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |c AS (SELECT tf.doc_id,
+         |  ln((CAST(st.n_docs - dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |      / (CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))
+         |    * (CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+         |    / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+         |      * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+         |        + CAST(0.75 AS DOUBLE) * (CAST(tf.len AS DOUBLE) / st.avg_len))) AS c
+         |  FROM tf JOIN dfq USING (t) CROSS JOIN st)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched_terms, sum(c) AS score
+         |FROM c GROUP BY 1 ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
     // Twin of TextOps.topTerms: same (count desc, term asc) rank.
     "text_top_terms" ->
       s"""WITH occ AS (SELECT lang, unnest($Toks) AS term FROM documents),

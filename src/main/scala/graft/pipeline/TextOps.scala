@@ -103,6 +103,50 @@ object TextOps {
           s => s.getField("__c").cast("string")), ",").as("counts"))
   }
 
+  /** BM25 retrieval scoring: rank every document against a query string
+    * with the Okapi BM25 function — `Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1−b+b·len/avglen))` over the query's terms, with the
+    * standard `ln((N−df+0.5)/(df+0.5) + 1)` idf — and keep the top `k`
+    * (score desc, id asc). THE lexical-retrieval baseline next to the
+    * embedding ANN operators; every count is an exact integer (avglen is
+    * an integer sum over N), and the SQL twin mirrors the float expression
+    * term for term.
+    *
+    * Scale shape: the term filter hits the token explode map-side (only
+    * query-term occurrences survive — a handful of rows per doc); df and
+    * the length stats are metadata-scale broadcasts; top-k is ORDER BY +
+    * LIMIT → TakeOrderedAndProject (bounded per-partition heaps).
+    */
+  def bm25(df: DataFrame, query: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val qTerms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "query has no tokens")
+    val docs = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), size(col("__toks")).cast("long").as("__len"))
+    val stats = docs.agg(count(lit(1)).as("__n_docs"),
+      (sum("__len").cast("double") / count(lit(1))).as("__avg_len"))
+    val occ = docs.select(col(idCol), col("__len"), explode(col("__toks")).as("__t"))
+      .where(col("__t").isInCollection(qTerms))
+    val tf = occ.groupBy(col(idCol), col("__len"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val contrib = tf.join(broadcast(dfreq), "__t").crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(((col("__n_docs") - col("__df")).cast("double") + lit(0.5))
+          / (col("__df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("__c",
+        col("__idf") * (col("__tf").cast("double") * lit(k1 + 1))
+          / (col("__tf").cast("double")
+            + lit(k1) * (lit(1.0) - lit(b)
+              + lit(b) * (col("__len").cast("double") / col("__avg_len")))))
+    contrib.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched_terms"), sum("__c").as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Unigram cross-entropy against the corpus's own add-1-smoothed unigram
     * LM: per doc, `−(1/n)·Σ ln((c_t + 1)/(N + V))` over its token
     * OCCURRENCES — the model-free perplexity proxy (a doc of corpus-typical

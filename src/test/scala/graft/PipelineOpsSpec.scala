@@ -78,6 +78,38 @@ class PipelineOpsSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "%%%")).toDF("doc_id", "text")).count() == 1)
   }
 
+  test("bm25 matches a from-scratch reference; multi-term docs outrank stuffing") {
+    import graft.pipeline.TextOps
+    val docs = Seq((1L, "cat dog"), (2L, "cat cat cat fish"), (3L, "bird"),
+      (4L, "dog and a cat in a house with a dog"))
+    val got = TextOps.bm25(docs.toDF("doc_id", "text"), "cat dog", k = 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_matched_terms"), r.getAs[Double]("score")))
+    // from-scratch Okapi BM25 (k1 = 1.2, b = 0.75)
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = docs.size
+    val avg = toks.values.map(_.size).sum.toDouble / n
+    def dfOf(t: String) = toks.values.count(_.contains(t))
+    def score(id: Long) = Seq("cat", "dog").flatMap { t =>
+      val tf = toks(id).count(_ == t)
+      if (tf == 0) None else {
+        val df = dfOf(t)
+        val idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+        Some(idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * toks(id).size / avg)))
+      }
+    }.sum
+    val expect = Seq(1L, 2L, 4L).map(id => id -> score(id))
+      .sortBy { case (id, s) => (-s, id) }
+    assert(got.map(_._1).toSeq == expect.map(_._1))
+    got.foreach { case (id, nm, s) =>
+      assert(math.abs(s - score(id)) < 1e-12, s"doc $id")
+      assert(nm == Seq("cat", "dog").count(toks(id).contains(_)))
+    }
+    // the doc matching BOTH query terms outranks the single-term stuffer
+    assert(got.head._1 == 1L || got.head._1 == 4L)
+    assert(got.map(_._1).indexOf(2L) > 0, "cat-stuffing must not win on tf alone")
+  }
+
   test("topTerms: count-ranked with term tie-break, cut at k") {
     import graft.pipeline.TextOps
     val df = Seq(("en", "x x y y z"), ("en", "x"), ("de", "q")).toDF("lang", "text")
