@@ -250,6 +250,19 @@ class PlanSpec extends SparkSpec {
       s"bucketed join should not shuffle:\n${plan.take(3000)}")
   }
 
+  test("global plan lint: no query ever plans a CartesianProduct") {
+    // every registered query, planned (not executed) against the smallest
+    // fixture: an accidental unkeyed join anywhere in the surface would
+    // materialize |L|x|R| rows at scale. (Metadata-scale crossJoin(
+    // broadcast(agg)) plans as BroadcastNestedLoopJoin, which is fine and
+    // bounded; CartesianProduct is the shuffle-side pair explosion.)
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = planOf(SparkEntry.queries(name)(spark, sfDir))
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: ${offenders.mkString(", ")}")
+  }
+
   test("whole-stage codegen covers the relational anchors") {
     val df = SparkEntry.queries("q1_agg")(spark, sfDir)
     df.collect() // AQE finalizes the plan on execution
