@@ -197,6 +197,29 @@ class PipelinePropsSpec extends SparkSpec {
     }
   }
 
+  test("hammingNearDups == brute force on random signatures across widths") {
+    import graft.pipeline.Dedup
+    for ((bits, maxDist) <- Seq((30, 3), (64, 6), (64, 0), (16, 1))) {
+      val mask = if (bits == 64) -1L else (1L << bits) - 1
+      // cluster signatures around a few centers so pairs actually exist
+      val centers = Array.fill(6)(rnd.nextLong() & mask)
+      val sigs = (1L to 120L).map { i =>
+        val c = centers(rnd.nextInt(centers.length))
+        val flipped = (0 until rnd.nextInt(5)).foldLeft(c)((s, _) =>
+          s ^ (1L << rnd.nextInt(bits)))
+        (i, flipped & mask)
+      }
+      val brute = (for {
+        (a, sa) <- sigs; (b, sb) <- sigs if a < b
+        d = java.lang.Long.bitCount(sa ^ sb) if d <= maxDist
+      } yield (a, b, d)).toSet
+      val got = Dedup.hammingNearDups(sigs.toDF("id", "sig"), "id", "sig",
+        bits, maxDist).as[(Long, Long, Int)].collect().toSet
+      assert(got == brute, s"bits=$bits maxDist=$maxDist: " +
+        s"${got.size} vs brute ${brute.size}")
+    }
+  }
+
   test("weighted sampling: inclusion probability increases with weight (rank law)") {
     // deterministic rank check across many salts: a row with 8x the weight
     // of another must win their pairwise contest in most salted draws
