@@ -53,10 +53,17 @@ object Bench {
     val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
-    // stdout passes through the sbt logger (prefixed), which has broken JSON
-    // parsing downstream before — mirror the line on stderr so any tail
-    // capture of the run carries the numbers verbatim.
+    // mirror on stderr so any tail capture of the run carries the numbers
+    // verbatim (stdout passes through the sbt logger, which has broken JSON
+    // parsing downstream before)
     System.err.println(json)
     spark.stop()
+    // The artifact collector keeps only a small tail of stdout; the full
+    // per-query line above grows with the query count and has pushed the
+    // totals out of that tail before. Print a COMPACT summary line LAST —
+    // after spark.stop() so no shutdown logging can land below it.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"sf":"$sfDir"}"""
+    println(compact)
+    System.err.println(compact)
   }
 }

@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   * components are small and dense).
   *
   * Scale shape: every pass is a shuffle on a well-spread node id; lineage is
-  * truncated each round with `localCheckpoint` so the plan stays flat
-  * (iterative DataFrame algorithms otherwise double their plan depth per
-  * round). On a real cluster the same loop runs with reliable
-  * `checkpoint()` — the local variant avoids needing a checkpoint dir here.
+  * truncated each round via [[graft.core.Lineage.truncate]] so the plan stays
+  * flat (iterative DataFrame algorithms otherwise double their plan depth per
+  * round). When the session has a checkpoint directory configured the
+  * truncation is a reliable `checkpoint()` (cluster-durable: survives
+  * executor loss on a preemptible fleet); without one it falls back to
+  * `localCheckpoint()` — both modes are pinned green in ComponentsSpec.
   */
 object Components {
 
@@ -54,12 +56,11 @@ object Components {
     // the materialized edges. (A/B-measured against persist()+count()
     // before the checkpoint: identical within noise, so the plain form
     // stays.)
-    var cur = edges
+    var cur = graft.core.Lineage.truncate(edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
       .where(col("lo") =!= col("hi"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(s"[cc] input materialized in ${(System.nanoTime() - tIn) / 1e6} ms")
 
@@ -98,13 +99,13 @@ object Components {
       // Small-star: orient each edge to its larger endpoint u; u and all its
       // smaller neighbors attach to m(u) = min of those neighbors.
       val sMins = afterLarge.groupBy(col("hi").as("u")).agg(min(col("lo")).as("m"))
-      val afterSmall = afterLarge.select(col("hi").as("u"), col("lo").as("v"))
-        .join(sMins, "u")
-        .select(col("m").as("lo"), col("v").as("hi"))
-        .unionByName(sMins.select(col("m").as("lo"), col("u").as("hi")))
-        .where(col("lo") =!= col("hi"))
-        .distinct()
-        .localCheckpoint()
+      val afterSmall = graft.core.Lineage.truncate(
+        afterLarge.select(col("hi").as("u"), col("lo").as("v"))
+          .join(sMins, "u")
+          .select(col("m").as("lo"), col("v").as("hi"))
+          .unionByName(sMins.select(col("m").as("lo"), col("u").as("hi")))
+          .where(col("lo") =!= col("hi"))
+          .distinct())
       val nsig = probe(afterSmall)
       done = nsig == sig
       sig = nsig
@@ -190,11 +191,12 @@ object Components {
     *
     * Scale shape per round: one edge-keyed join against the (node, rank)
     * table and one partial-combined sum on the destination key — the
-    * standard distributed PageRank step; the per-round `localCheckpoint`
-    * truncates plan lineage exactly as in
+    * standard distributed PageRank step; the per-round
+    * [[graft.core.Lineage.truncate]] truncates plan lineage exactly as in
     * [[graft.pipeline.Similarity.kmeans]] (without it round r re-executes
-    * every earlier round). `N` is collected once (metadata-scale: one
-    * count of the node table).
+    * every earlier round; reliable `checkpoint()` when the session has a
+    * checkpoint dir, `localCheckpoint()` otherwise). `N` is collected once
+    * (metadata-scale: one count of the node table).
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
       srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
@@ -203,11 +205,12 @@ object Components {
     // materialize the symmetrized edge list once: the incoming `edges` plan
     // can be arbitrarily expensive (the near-dup graph is a whole LSH
     // pipeline), and without this every round's contrib join re-executes it
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val sym = graft.core.Lineage.truncate(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+        .distinct())
+    val deg = graft.core.Lineage.truncate(
+      sym.groupBy("src").agg(count(lit(1)).as("deg")))
     val n = deg.count()
     if (n == 0) return deg.select(col("src").as("doc_id"), col("deg"),
       lit(0.0).as("rank"))
@@ -218,12 +221,11 @@ object Components {
         .join(deg, "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("deg")).as("c"))
-      ranks = deg.select(col("src").as("id"))
+      ranks = graft.core.Lineage.truncate(deg.select(col("src").as("id"))
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit((1 - damping) / n) + lit(damping) * coalesce(col("c"), lit(0.0)))
-            .as("rank"))
-        .localCheckpoint(true)
+            .as("rank")))
     }
     deg.join(ranks.withColumnRenamed("id", "src"), "src")
       .select(col("src").as("doc_id"), col("deg"), col("rank"))

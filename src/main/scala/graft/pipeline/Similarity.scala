@@ -233,11 +233,13 @@ object Similarity {
         col("v").as("centroid"))
     var cents = init
     // materialize the k-row centroid table each round (eager
-    // localCheckpoint): without it round r's centroid PLAN contains every
-    // earlier round, so the final assignment re-executes the whole
-    // trajectory once per round — O(iters²) corpus scans instead of
+    // Lineage.truncate — reliable checkpoint() when a checkpoint dir is
+    // set, localCheckpoint() otherwise): without it round r's centroid PLAN
+    // contains every earlier round, so the final assignment re-executes the
+    // whole trajectory once per round — O(iters²) corpus scans instead of
     // O(iters). Measured at sf0.1 (2000x64, k=8, iters=2): 3.2 s -> 1.7 s.
-    for (_ <- 1 to iters) cents = updateStep(assignStep(cents)).localCheckpoint(true)
+    for (_ <- 1 to iters)
+      cents = graft.core.Lineage.truncate(updateStep(assignStep(cents)))
     assignStep(cents).select(col("vec_id"), col("cluster"), col("dist"))
   }
 

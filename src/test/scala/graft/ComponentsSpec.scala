@@ -162,4 +162,33 @@ class ComponentsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rank")).toMap
     expect.foreach { case (v, r) => assert(math.abs(shuffled(v) - r) < 1e-12) }
   }
+
+  test("reliable-checkpoint mode: identical components and ranks, blocks on disk") {
+    // Same computations with a checkpoint dir configured: Lineage.truncate
+    // must switch every iterative truncation to cluster-durable
+    // checkpoint() (the preemptible-fleet mode) without changing a single
+    // result, and must actually write recovery blocks under the dir.
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(400)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(e => e._1 != e._2)
+    val prEdges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (6L, 7L))
+    val ccLocal = ccOf(edges)
+    val prLocal = Components.pageRank(prEdges.toDF("id_a", "id_b"), iters = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rank")).toMap
+    withCheckpointDir { dir =>
+      assert(graft.core.Lineage.reliable(edges.toDF("src", "dst")))
+      assert(ccOf(edges) == ccLocal)
+      val prReliable = Components.pageRank(prEdges.toDF("id_a", "id_b"), iters = 3)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rank")).toMap
+      assert(prReliable.keySet == prLocal.keySet)
+      prLocal.foreach { case (v, r) =>
+        assert(prReliable(v) == r, s"node $v rank must be bit-identical") }
+      // proof the reliable path ran: checkpoint RDD directories exist
+      val written = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      assert(written > 0, s"expected rdd-* checkpoint dirs under $dir")
+    }
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "checkpoint dir must be restored for the other suites")
+  }
 }

@@ -148,6 +148,15 @@ class SimilaritySpec extends SparkSpec {
     val shuffled = Similarity.kmeans(df.repartition(7), k = 3, iters = 2)
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
     assert(shuffled == got.view.mapValues(_._1).toMap)
+
+    // reliable-checkpoint mode (cluster-durable Lineage.truncate path) must
+    // reproduce the exact same trajectory bit-for-bit
+    withCheckpointDir { _ =>
+      val reliable = Similarity.kmeans(df, k = 3, iters = 2).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Long]("cluster"), r.getAs[Double]("dist")))).toMap
+      assert(reliable == got)
+    }
   }
 
   test("dimStats: exact per-dimension moments; dead dimension shows zero std") {

@@ -19,6 +19,24 @@ trait SparkSpec extends AnyFunSuite {
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Run `body` with a temp RELIABLE checkpoint directory configured on the
+    * shared SparkContext (so [[graft.core.Lineage.truncate]] takes the
+    * cluster-durable `checkpoint()` path), then restore the no-dir state.
+    * SparkContext has no public unset, so the restore goes through the
+    * generated `checkpointDir_$eq` setter (private[spark] compiles to a
+    * public method in bytecode).
+    */
+  def withCheckpointDir[T](body: String => T): T = {
+    val sc = spark.sparkContext
+    require(sc.getCheckpointDir.isEmpty,
+      "nested withCheckpointDir or leaked checkpoint dir")
+    val dir = tmpDir("graft-ckpt")
+    sc.setCheckpointDir(dir)
+    try body(dir)
+    finally sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[_]])
+      .invoke(sc, None)
+  }
 }
 
 object SparkSpec {
