@@ -122,7 +122,14 @@ object SparkEntry {
   /** CTE chain computing the perceptual difference hash per document from
     * the text payload (the synthetic media fixture's pixel bytes), ending
     * in `ph(doc_id, w, h, phash)` — one definition shared by the mm_phash
-    * and mm_phash_dups twins. Mirrors Multimodal.perceptualHash exactly:
+    * and mm_phash_dups twins. ASCII-ONLY FIXTURE ASSUMPTION: the pixel
+    * list comes from codepoints (`string_split → ord`) while the length
+    * comes from UTF-8 bytes (`octet_length(encode(text))`) — these agree
+    * only while every document is pure ASCII (true of the synthetic
+    * corpus, same latent assumption as the other mm twins). A non-ASCII
+    * corpus would misalign the indices and the oracle would diverge from
+    * Spark's byte-level hash; derive `cps` from encoded bytes if the
+    * fixture ever grows non-ASCII text. Mirrors Multimodal.perceptualHash exactly:
     * same near-square frame, 9×8 nearest-neighbor gray grid (channel sum,
     * zero-padded past `len`), bit y·8+x set iff gray(y,x) > gray(y,x+1).
     * Bits accumulate as a HUGEINT sum (distinct powers of two, so sum ==
@@ -1534,7 +1541,8 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_type < b.event_type
         |  GROUP BY 1, 2)
         |SELECT type_a, type_b, n_users_both,
-        |  CAST(n_users_both AS DOUBLE) * nu.n_users / (sa.n * sb.n) AS lift
+        |  CAST(n_users_both AS DOUBLE) * nu.n_users
+        |    / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)) AS lift
         |FROM p JOIN s sa ON sa.t = p.type_a JOIN s sb ON sb.t = p.type_b
         |CROSS JOIN nu""".stripMargin,
     // Twin of IntervalJoin: plain key + time-range join — the range
@@ -1806,9 +1814,34 @@ object SparkEntry {
            |  SELECT cluster, unnest(list_transform(range(1, len(v) + 1),
            |    i -> struct_pack(pos := i, x := v[i]))) AS u FROM $from) GROUP BY 1, 2),
            |$name AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM ${name}m GROUP BY 1)""".stripMargin
+      // init twin of Similarity.kmeansInit (k = 8, oversample = 4): the 32
+      // smallest-CW-hash candidates, then 7 unrolled greedy farthest-point
+      // steps — each picks the non-selected candidate maximizing min
+      // squared L2 to the chosen set, ties (md DESC, key ASC, vec_id ASC)
+      // = the builder's candidate-collection order.
+      // each seed CTE is MATERIALIZED: s_i is referenced three times
+      // (UNION source, NOT IN subquery, p_{i+1} join) and DuckDB's default
+      // inlining re-evaluates the whole chain per reference — 3^7
+      // evaluations by s7; materialization makes the unrolled greedy linear
+      def seedStep(i: Int) =
+        s"""p$i AS MATERIALIZED (SELECT c.vec_id, c.v, c.key,
+           |  min(list_sum(list_transform(range(1, len(c.v) + 1),
+           |    j -> (c.v[j] - s.v[j]) * (c.v[j] - s.v[j])))) AS md
+           |  FROM cand c CROSS JOIN s${i - 1} s GROUP BY c.vec_id, c.v, c.key),
+           |s$i AS MATERIALIZED (SELECT cluster, vec_id, v, key FROM s${i - 1} UNION ALL
+           |  SELECT CAST($i AS BIGINT) AS cluster, vec_id, v, key FROM (
+           |    SELECT vec_id, v, key FROM p$i
+           |    WHERE vec_id NOT IN (SELECT vec_id FROM s${i - 1})
+           |    ORDER BY md DESC, key ASC, vec_id ASC LIMIT 1))""".stripMargin
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster, v AS centroid
-         |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+         |cand AS MATERIALIZED (SELECT vec_id, v,
+         |  ((${phSql("CAST(vec_id AS VARCHAR)", "0")}) * ${Sampling.saltMult("kmeans_init")}
+         |    + ${Sampling.saltAdd("kmeans_init")}) % 1000000007 AS key
+         |  FROM e ORDER BY key, vec_id LIMIT 32),
+         |s0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS cluster, vec_id, v, key
+         |  FROM cand ORDER BY key, vec_id LIMIT 1),
+         |${(1 to 7).map(seedStep).mkString(",\n")},
+         |c0 AS (SELECT cluster, v AS centroid FROM s7),
          |${assign("a1", "c0")},
          |${update("c1", "a1")},
          |${assign("a2", "c1")},

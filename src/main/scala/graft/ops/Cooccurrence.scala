@@ -40,7 +40,11 @@ object Cooccurrence {
       .join(broadcast(singles.select(col("__t").as("type_b"), col("__n").as("__n_b"))), "type_b")
       .crossJoin(broadcast(nUsers))
       .select(col("type_a"), col("type_b"), col("n_users_both"),
+        // both denominator counts cast to double BEFORE the multiply: with
+        // per-type user counts above ~3e9 the long×long product silently
+        // wraps under non-ANSI Spark (the DuckDB twin would error on its
+        // HUGEINT overflow check instead — a divergence, not a safety net)
         (col("n_users_both").cast("double") * col("__n_users")
-          / (col("__n_a") * col("__n_b"))).as("lift"))
+          / (col("__n_a").cast("double") * col("__n_b").cast("double"))).as("lift"))
   }
 }

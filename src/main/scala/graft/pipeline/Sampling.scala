@@ -138,6 +138,12 @@ object Sampling {
     * deterministic rank draw as [[stratifiedSample]], so the result is
     * reproducible across engines, partition layouts, and cluster sizes.
     *
+    * Only the PER-SOURCE quotas are exact; the TOTAL is approximately
+    * targetN, not exactly: the sum of half-up-rounded quotas can drift
+    * from targetN by up to ±(sources/2) rows, and further (only downward)
+    * when the n_s caps bind. Callers needing an exact total should trim or
+    * top up by the same hash rank after the fact.
+    *
     * Cross-engine exactness of the quota arithmetic: the weights use
     * `sqrt` (correctly rounded per IEEE-754 in every engine, unlike `pow`),
     * the weight total is folded LEFT-TO-RIGHT over sources sorted by name

@@ -189,13 +189,75 @@ object Similarity {
       (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Deterministic k-means||-style seeding: Carter–Wegman-hash-sample
+    * `k·oversample` candidate vectors, then reduce to `k` seeds by greedy
+    * farthest-point selection (k-center greedy — the reduction step of
+    * k-means|| with a deterministic draw in place of the probabilistic
+    * one). Fixes the first-k-by-id degeneracy: when ids correlate with
+    * position in embedding space (a sorted corpus), the k lowest-id
+    * vectors can all land in one region and Lloyd never separates the far
+    * clusters; the hash draw is independent of id order and the greedy
+    * spread maximizes pairwise seed separation among the candidates.
+    *
+    * Fully deterministic and engine-reproducible: the candidate draw is
+    * the `k·oversample` smallest (CW-hash(id), id) keys — a bounded-heap
+    * TakeOrdered, no shuffle of the corpus — and the greedy runs on the
+    * driver over that metadata-scale candidate set (≤ k·oversample rows)
+    * with the same left-to-right double arithmetic the SQL twin unrolls.
+    * Seed c₀ is the smallest-key candidate; seed cᵢ is the non-selected
+    * candidate maximizing min distance to the chosen set, ties broken by
+    * (key asc, id asc) — the candidate-collection order.
+    */
+  def kmeansInit(pts: DataFrame, k: Int, oversample: Int = 4): DataFrame = {
+    require(oversample >= 1, s"oversample must be >= 1, got $oversample")
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val salt = "kmeans_init"
+    val key = (graft.functions.PolyHash(col("vec_id").cast("string"), 0L)
+      * Sampling.saltMult(salt) + Sampling.saltAdd(salt)) % graft.functions.PolyHash.Mod
+    // metadata-scale collect by design: k·oversample rows via TakeOrdered
+    val cand = pts.withColumn("__key", key)
+      .orderBy(col("__key").asc, col("vec_id").asc)
+      .limit(k * oversample)
+      .select("v")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val n = cand.length
+    def sqd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val minDist = Array.fill(n)(Double.PositiveInfinity)
+    if (n > 0) chosen += 0
+    while (chosen.size < math.min(k, n)) {
+      val last = cand(chosen.last)
+      var i = 0
+      while (i < n) { minDist(i) = math.min(minDist(i), sqd(cand(i), last)); i += 1 }
+      // argmax of min-dist over non-selected candidates; ties -> lowest
+      // candidate index == (key asc, id asc), matching the twin's ORDER BY
+      var best = -1
+      i = 0
+      while (i < n) {
+        if (!chosen.contains(i) && (best < 0 || minDist(i) > minDist(best))) best = i
+        i += 1
+      }
+      chosen += best
+    }
+    chosen.toSeq.zipWithIndex
+      .map { case (ci, cl) => (cl.toLong, cand(ci).toSeq) }
+      .toDF("cluster", "centroid")
+  }
+
   /** Lloyd's k-means over the embedding column: `iters` rounds of
     * assign-to-nearest-centroid (squared L2, ties to the lowest cluster id)
     * then per-dimension mean update, returning the final assignment against
-    * the final centroids. Initialization is deterministic — the `k`
-    * lowest-id vectors seed clusters 0..k-1 — so the whole trajectory is
-    * reproducible across engines and partition layouts (no sampled init, no
-    * iteration-order dependence).
+    * the final centroids. Initialization is the deterministic k-means||
+    * seeding of [[kmeansInit]] — hash-sampled candidates reduced by greedy
+    * farthest-point — so the whole trajectory is reproducible across
+    * engines and partition layouts (no true randomness, no iteration-order
+    * dependence) without the first-k-by-id positional degeneracy.
     *
     * Scale shape per round: centroids are k rows, broadcast to an
     * assignment map-join (never a shuffle of the corpus on the cluster
@@ -206,7 +268,8 @@ object Similarity {
     * aggregation, the textbook distributed Lloyd step.
     */
   def kmeans(corpus: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      oversample: Int = 4): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val pts = spread(corpus, idCol).select(col(idCol).as("vec_id"),
@@ -228,10 +291,7 @@ object Similarity {
         .groupBy("cluster")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cluster"), transform(col("pm"), p => p.getField("m")).as("centroid"))
-    val init = pts.orderBy("vec_id").limit(k)
-      .select((row_number().over(Window.orderBy("vec_id")) - 1).cast("long").as("cluster"),
-        col("v").as("centroid"))
-    var cents = init
+    var cents: DataFrame = kmeansInit(pts, k, oversample)
     // materialize the k-row centroid table each round (eager
     // Lineage.truncate — reliable checkpoint() when a checkpoint dir is
     // set, localCheckpoint() otherwise): without it round r's centroid PLAN

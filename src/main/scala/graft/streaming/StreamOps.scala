@@ -169,26 +169,47 @@ object StreamOps {
     * order; a point at or before the series' last seen timestamp is
     * DROPPED (a recursion cannot retro-insert history — late data belongs
     * to the batch path), as are NaN samples.
+    *
+    * STATE RETENTION CONTRACT: by default (idleTimeoutMs = None) one
+    * EwmaState per series is retained FOREVER — with unbounded series
+    * cardinality the state store grows without bound in a long-running
+    * stream. Pass `idleTimeoutMs = Some(ms)` to evict series idle longer
+    * than `ms` of processing time (ProcessingTimeTimeout). Eviction resets
+    * the recursion: a series that reappears after eviction restarts at
+    * y_0 = its first new sample, and its late-point fence (lastTs) is
+    * forgotten — acceptable exactly when the timeout exceeds the maximum
+    * expected series silence.
     */
-  def ewmaStream(points: Dataset[PointIn], alpha: Double = 0.5): Dataset[EwmaUpdate] = {
+  def ewmaStream(points: Dataset[PointIn], alpha: Double = 0.5,
+      idleTimeoutMs: Option[Long] = None): Dataset[EwmaUpdate] = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(idleTimeoutMs.forall(_ > 0), s"idleTimeoutMs must be positive: $idleTimeoutMs")
     val spark = points.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     points.groupByKey(_.series_id)
       .flatMapGroupsWithState[EwmaState, EwmaUpdate](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeoutConf) {
         (key, batch, state: GroupState[EwmaState]) =>
-          var st = state.getOption.getOrElse(EwmaState(Long.MinValue, Double.NaN, 0L))
-          val out = Vector.newBuilder[EwmaUpdate]
-          batch.toVector.sortBy(p => (p.ts, p.value)).foreach { p =>
-            if (p.ts > st.lastTs && !p.value.isNaN) {
-              val e = if (st.n == 0) p.value else alpha * st.ewma + (1 - alpha) * p.value
-              st = EwmaState(p.ts, e, st.n + 1)
-              out += EwmaUpdate(key, p.ts, p.value, e)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(EwmaState(Long.MinValue, Double.NaN, 0L))
+            val out = Vector.newBuilder[EwmaUpdate]
+            batch.toVector.sortBy(p => (p.ts, p.value)).foreach { p =>
+              if (p.ts > st.lastTs && !p.value.isNaN) {
+                val e = if (st.n == 0) p.value else alpha * st.ewma + (1 - alpha) * p.value
+                st = EwmaState(p.ts, e, st.n + 1)
+                out += EwmaUpdate(key, p.ts, p.value, e)
+              }
             }
+            state.update(st)
+            idleTimeoutMs.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 

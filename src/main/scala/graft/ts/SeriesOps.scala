@@ -518,8 +518,13 @@ object SeriesOps {
       displayOffsetNs: Long = 3600L * 1000000000L): DataFrame =
     points.where(notNan(col("value")))
       .groupBy(col("series_id"),
+        // ns→µs with FLOOR semantics (`x - pmod(x,1000)` is the largest
+        // multiple of 1000 ≤ x): Spark's `div` truncates toward zero while
+        // the DuckDB twin's `//` floors, and the two diverge exactly when
+        // ts + displayOffsetNs < 0 (pre-epoch shifted timestamps)
         unix_micros(date_trunc("MONTH",
-          timestamp_micros(expr(s"(ts + $displayOffsetNs) div 1000"))))
+          timestamp_micros(expr(
+            s"(ts + $displayOffsetNs - pmod(ts + $displayOffsetNs, 1000)) div 1000"))))
           .as("month_start_us"))
       .agg(
         count(lit(1)).as("n_points"),

@@ -116,12 +116,27 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getAs[Long]("vec_id") ->
         ((r.getAs[Long]("cluster"), r.getAs[Double]("dist")))).toMap
 
-    // driver-side reference: identical init, argmin, mean update
+    // driver-side reference: identical init (from-scratch replay of the
+    // k-means|| seeding: CW-hash candidate draw + greedy farthest-point),
+    // identical argmin, identical mean update
     def sq(a: Array[Double], b: Array[Double]) =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     val pts = vecs.map { case (id, v) => id -> v.map(_.toDouble) }.sortBy(_._1)
-    var cents: Seq[(Long, Array[Double])] =
-      pts.take(3).zipWithIndex.map { case ((_, v), i) => i.toLong -> v }
+    var cents: Seq[(Long, Array[Double])] = {
+      import graft.functions.PolyHash
+      import graft.pipeline.Sampling
+      val key = (id: Long) =>
+        (PolyHash.hash(id.toString, 0L) * Sampling.saltMult("kmeans_init")
+          + Sampling.saltAdd("kmeans_init")) % PolyHash.Mod
+      val cand = pts.sortBy { case (id, _) => (key(id), id) }.take(3 * 4).map(_._2)
+      var sel = Vector(0)
+      while (sel.size < math.min(3, cand.size)) {
+        val md = cand.indices.map(i => sel.map(s => sq(cand(i), cand(s))).min)
+        val next = cand.indices.filterNot(sel.contains).maxBy(i => (md(i), -i))
+        sel = sel :+ next
+      }
+      sel.zipWithIndex.map { case (ci, cl) => cl.toLong -> cand(ci) }
+    }
     def assignRef() = pts.map { case (id, v) =>
       val (c, d) = cents.map { case (ci, cv) => (ci, sq(v, cv)) }
         .minBy { case (ci, d) => (d, ci) }
@@ -157,6 +172,33 @@ class SimilaritySpec extends SparkSpec {
           ((r.getAs[Long]("cluster"), r.getAs[Double]("dist")))).toMap
       assert(reliable == got)
     }
+  }
+
+  test("kmeans|| init recovers all true clusters on id-ordered clustered data") {
+    import spark.implicits._
+    // the degenerate layout for first-k-by-id seeding: ids 0..14 are ALL in
+    // the first group, so the old init would seed every cluster inside one
+    // blob and often never separate the far groups; the hash-sampled +
+    // farthest-point init must place seeds across the space regardless of
+    // id order and recover a pure 4-way partition
+    val centers = Seq((0.0, 0.0), (100.0, 0.0), (0.0, 100.0), (100.0, 100.0))
+    val vecs = for {
+      (c, g) <- centers.zipWithIndex
+      i <- 0 until 15
+    } yield ((g * 15 + i).toLong,
+      Array((c._1 + i * 0.1).toFloat, (c._2 - i * 0.1).toFloat))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.kmeans(df, k = 4, iters = 4).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    val byGroup = vecs.map(_._1).groupBy(_ / 15)
+      .view.mapValues(_.map(got).toSet).toMap
+    // each true group lands in exactly one predicted cluster...
+    byGroup.foreach { case (g, cls) =>
+      assert(cls.size == 1, s"group $g split across clusters $cls")
+    }
+    // ...and the four predicted clusters are distinct (all groups recovered)
+    assert(byGroup.values.map(_.head).toSet.size == 4,
+      s"groups collapsed: $byGroup")
   }
 
   test("dimStats: exact per-dimension moments; dead dimension shows zero std") {
