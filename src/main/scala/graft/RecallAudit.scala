@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Similarity
+
+/** Recall audit for the approximate-nearest-neighbor operators: recall@k of
+  * ivfTopK / srpTopK / srpTopKMultiprobe against bruteForceTopK at the bench
+  * parameters (queries = vec_id < 5, k = 3, ivf nprobe = 3, srp planes = 6,
+  * multiprobe nprobe = 3), printed as one JSON line per sfDir argument.
+  *
+  * recall@k = |ANN top-k ∩ brute top-k| / |brute top-k|, micro-averaged over
+  * the query set (the denominator is the brute-force result size, so a
+  * method returning fewer than k candidates is penalized, not excused).
+  * SimilaritySpec pins a ≥0.9 floor on the multiprobe and IVF paths at
+  * fixed parameters; this main produces the per-round evidence table.
+  */
+object RecallAudit {
+
+  /** Deterministic clustered corpus for the recall floor: `groups` well-
+    * separated clusters (near-orthogonal centers, small deterministic
+    * per-dimension jitter) of `perGroup` vectors each, dim = 2·groups.
+    * This is the regime ANN methods are FOR — on the bench's near-uniform
+    * synthetic embeddings (top cosine ≈ 0.33) no sublinear method retains
+    * recall (hyperplane/cell membership of a weakly-correlated neighbor is
+    * a coin flip — the curse of dimensionality), so the absolute floor is
+    * pinned here while the bench corpus records the honest curve.
+    */
+  def clusteredCorpus(spark: SparkSession, groups: Int = 8,
+      perGroup: Int = 50): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val dim = 2 * groups
+    val rows = for {
+      g <- 0 until groups
+      i <- 0 until perGroup
+    } yield {
+      val id = (g * perGroup + i).toLong
+      val v = Array.tabulate(dim) { d =>
+        val center = if (d == 2 * g) 1.0f else if (d == 2 * g + 1) 0.5f else 0.0f
+        val jitter = (((id * 1315423911L + d * 2654435761L) % 1000L + 1000L) % 1000L)
+          .toFloat / 1000f * 0.05f
+        center + jitter
+      }
+      (id, g.toLong, v)
+    }
+    rows.toDF("vec_id", "label", "embedding")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDirs = if (args.nonEmpty) args.toSeq else Seq("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    sfDirs.foreach { sfDir =>
+      val e = graft.core.Tables(spark, sfDir).embeddings
+      val q = e.where(col("vec_id") < 5)
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = pairs(Similarity.bruteForceTopK(q, e, k = 3))
+      def recall(got: Set[(Long, Long)]): Double =
+        if (brute.isEmpty) 1.0 else got.intersect(brute).size.toDouble / brute.size
+      val nCells = e.select("label").distinct().count().toInt
+      val r =
+        Seq(1, 2, 3, 4, 6, nCells).distinct.sorted.map(np =>
+          s"ivf_nprobe$np" -> recall(pairs(Similarity.ivfTopK(q, e, k = 3, nprobe = np)))) ++
+        Seq("srp_planes6" -> recall(pairs(Similarity.srpTopK(q, e, k = 3, planes = 6)))) ++
+        Seq(1, 3, 5, 7).map(np =>
+          s"srp_mp_nprobe$np" -> recall(pairs(
+            Similarity.srpTopKMultiprobe(q, e, k = 3, planes = 6, nprobe = np)))) ++
+        Seq(2, 3, 4).map(p =>
+          s"srp_planes$p" -> recall(pairs(Similarity.srpTopK(q, e, k = 3, planes = p))))
+      val js = r.map { case (k2, v) => f""""$k2":$v%.4f""" }.mkString(",")
+      println(s"""{"sf":"$sfDir","k":3,"n_brute":${brute.size},"n_cells":$nCells,$js}""")
+    }
+    // the clustered-corpus floor measurement (the numbers SimilaritySpec
+    // pins at >= 0.9)
+    locally {
+      val c = clusteredCorpus(spark)
+      val q = c.where(col("vec_id") % 50 === 0)
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = pairs(Similarity.bruteForceTopK(q, c, k = 5))
+      def recall(got: Set[(Long, Long)]): Double =
+        got.intersect(brute).size.toDouble / brute.size
+      val r = Seq(
+        "ivf_nprobe2" -> recall(pairs(Similarity.ivfTopK(q, c, k = 5, nprobe = 2))),
+        "srp_planes4" -> recall(pairs(Similarity.srpTopK(q, c, k = 5, planes = 4))),
+        "srp_mp_planes4_nprobe3" -> recall(pairs(
+          Similarity.srpTopKMultiprobe(q, c, k = 5, planes = 4, nprobe = 3))))
+      val js = r.map { case (k2, v) => f""""$k2":$v%.4f""" }.mkString(",")
+      println(s"""{"sf":"clustered_8x50","k":5,"n_brute":${brute.size},$js}""")
+    }
+    spark.stop()
+  }
+}

@@ -201,6 +201,29 @@ class SimilaritySpec extends SparkSpec {
       s"groups collapsed: $byGroup")
   }
 
+  test("ANN recall floor: >= 0.9 vs brute force on clustered data at fixed params") {
+    // the regime ANN methods are for: well-separated clusters (on the
+    // bench's near-uniform embeddings no sublinear method retains recall —
+    // RecallAudit records that curve honestly). Floor pinned at 0.9 with
+    // real margin: all three methods measure 1.0 on this corpus.
+    val c = RecallAudit.clusteredCorpus(spark)
+    val q = c.where(col("vec_id") % 50 === 0) // one query per cluster
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(q, c, k = 5))
+    assert(brute.size == 40) // 8 queries x k=5
+    def recall(got: Set[(Long, Long)]): Double =
+      got.intersect(brute).size.toDouble / brute.size
+    val rIvf = recall(pairs(Similarity.ivfTopK(q, c, k = 5, nprobe = 2)))
+    val rSrp = recall(pairs(Similarity.srpTopK(q, c, k = 5, planes = 4)))
+    val rMp = recall(pairs(
+      Similarity.srpTopKMultiprobe(q, c, k = 5, planes = 4, nprobe = 3)))
+    assert(rIvf >= 0.9, s"ivfTopK recall@5 $rIvf < 0.9")
+    assert(rSrp >= 0.9, s"srpTopK recall@5 $rSrp < 0.9")
+    assert(rMp >= 0.9, s"srpTopKMultiprobe recall@5 $rMp < 0.9")
+  }
+
   test("dimStats: exact per-dimension moments; dead dimension shows zero std") {
     import org.apache.spark.sql.functions.col
     val df = Seq(
