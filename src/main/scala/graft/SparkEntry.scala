@@ -644,11 +644,49 @@ object SparkEntry {
         .select(col("series_id"),
           unix_micros(col("window.start")).as("win_start_us"),
           col("min_value"), col("max_value"), col("n_points"))
+    }),
+
+    // ---- pure-SQL drivability: the same pipeline operators reached
+    // through the GraftTableFunctions table-valued surface; each oracle is
+    // aliased to the original query's, so the gate proves the SQL path
+    // hashes identically to the Scala path ----
+    "sql_sessionize" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).eventsUs.createOrReplaceTempView("graft_sql_events")
+      s.sql("SELECT * FROM graft_sessionize('graft_sql_events', 1800000000000)")
+    }),
+    "sql_bm25" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).documents.createOrReplaceTempView("graft_sql_documents")
+      s.sql("SELECT * FROM graft_bm25('graft_sql_documents', 'table scan sort key', 20)")
+    }),
+    "sql_resample" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      pts(s, dir).createOrReplaceTempView("graft_sql_points")
+      s.sql("SELECT * FROM graft_resample('graft_sql_points', 86400000000000)")
+    }),
+    "sql_dedup_clusters" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).documents.createOrReplaceTempView("graft_sql_documents")
+      s.sql("SELECT * FROM graft_dedup_clusters('graft_sql_documents')")
     })
   )
 
   // --------------------------------------------------------------------
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    // the sql_* queries run the SAME operators through the table-valued
+    // SQL surface (GraftTableFunctions), so their oracles ARE the
+    // originals' — aliased below the base map, guaranteeing the
+    // "unchanged hashes" contract by construction
+    val base = oracleSqlBase
+    base ++ Map(
+      "sql_sessionize" -> base("events_sessionize"),
+      "sql_bm25" -> base("text_bm25"),
+      "sql_resample" -> base("ts_resample"),
+      "sql_dedup_clusters" -> base("dedup_clusters"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |sum(l_extendedprice) AS sum_base,

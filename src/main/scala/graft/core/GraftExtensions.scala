@@ -1,8 +1,9 @@
 package graft.core
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 import graft.functions.{CharNgramCodes, MinHashSig, PolyHash, SimHashSig, SortedArrayJaccard, SrpBucket, VecCosine}
 
@@ -17,10 +18,96 @@ import graft.functions.{CharNgramCodes, MinHashSig, PolyHash, SimHashSig, Sorted
   *  - `char_ngram_codes(text, n)` — sorted distinct base-37 n-gram codes
   *  - `vec_cosine(a, b)` — single-pass cosine of float/double vectors
   *  - `srp_bucket(vec, planes)` — signed-random-projection LSH bucket id
+  *
+  * plus the table-valued surface of [[GraftTableFunctions]], which lets a
+  * SQL-only caller reach whole-relation pipeline operators:
+  *
+  *  - `graft_sessionize('view', gap_ns)` — gap-based sessionization
+  *  - `graft_bm25('view', 'query terms', k)` — Okapi BM25 top-k retrieval
+  *  - `graft_resample('view', width_ns)` — fixed-width series resampling
+  *  - `graft_dedup_clusters('view')` — MinHash-LSH near-dup cluster labels
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(ext: SparkSessionExtensions): Unit =
+  def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    GraftTableFunctions.all.foreach(ext.injectTableFunction)
+  }
+}
+
+/** Table-valued functions exposing whole-relation pipeline operators to
+  * pure-SQL callers: `SELECT * FROM graft_sessionize('events_view',
+  * 1800000000000)`. The first argument names a table or (temp) view in the
+  * session catalog; the remaining arguments are literals. The builder runs
+  * at analysis time: it resolves the named relation, applies the same
+  * DataFrame-level operator the Scala API exposes, and splices the
+  * resulting analyzed plan into the query — so a SQL invocation plans
+  * IDENTICALLY to the Scala call (same shuffles, same broadcasts), proven
+  * by the sql_* twin queries hashing equal to their Scala originals.
+  *
+  * `graft_dedup_clusters` note: the operator is iterative (connected
+  * components with per-round checkpointing), so resolving it executes the
+  * bounded label-propagation jobs during analysis of the outer query —
+  * the cost is the operator itself, not an extra penalty, but EXPLAIN on
+  * such a query is not free.
+  */
+object GraftTableFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftTableFunctions.type].getName, null, name,
+      usage, "", "", "", "", "", "", "built-in")
+
+  private def strArg(e: Expression, what: String): String = e match {
+    case Literal(s, org.apache.spark.sql.types.StringType) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v.toLong
+    case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def intArg(e: Expression, what: String): Int =
+    longArg(e, what).toInt
+
+  private def rel(name: String): DataFrame = SparkSession.active.table(name)
+
+  private def plan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_sessionize"),
+      info("graft_sessionize",
+        "graft_sessionize(table, gap_ns) - gap-based sessionization of an event table"),
+      (exprs: Seq[Expression]) => plan(graft.ops.Sessionize.sessions(
+        rel(strArg(exprs(0), "table name")), longArg(exprs(1), "gap_ns")))),
+    (FunctionIdentifier("graft_bm25"),
+      info("graft_bm25",
+        "graft_bm25(table, query, k) - Okapi BM25 top-k document retrieval"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.TextOps.bm25(
+        rel(strArg(exprs(0), "table name")), strArg(exprs(1), "query"),
+        intArg(exprs(2), "k")))),
+    (FunctionIdentifier("graft_resample"),
+      info("graft_resample",
+        "graft_resample(table, width_ns) - fixed-width resampling of a series table"),
+      (exprs: Seq[Expression]) => plan(graft.ts.SeriesOps.resample(
+        rel(strArg(exprs(0), "table name")), longArg(exprs(1), "width_ns")))),
+    (FunctionIdentifier("graft_dedup_clusters"),
+      info("graft_dedup_clusters",
+        "graft_dedup_clusters(table) - MinHash-LSH near-duplicate cluster labels"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Components.dedupClusters(
+        rel(strArg(exprs(0), "table name")))))
+  )
+
+  /** Register every table function on an already-built session. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry
+    all.foreach { case (id, inf, builder) =>
+      reg.registerFunction(id, inf, builder)
+    }
+  }
 }
 
 object GraftFunctions {
