@@ -26,7 +26,8 @@ import graft.ts.model.Period
   * At cluster scale a container maps to a table where this becomes
   * MERGE INTO over the same bucketing.
   */
-final class SeriesStore(spark: SparkSession, warehouse: String, numBuckets: Int = 32) {
+final class SeriesStore(spark: SparkSession, warehouse: String, numBuckets: Int = 32,
+    lockAcquireTimeoutMs: Long = 60000L, staleLockMs: Long = 30L * 60 * 1000) {
 
   def containerPath(container: String): String = s"$warehouse/$container"
 
@@ -42,6 +43,68 @@ final class SeriesStore(spark: SparkSession, warehouse: String, numBuckets: Int 
     */
   private def tmpDirOf(container: String) = new Path(containerPath(container) + ".__tmp")
   private def bakDirOf(container: String) = new Path(containerPath(container) + ".__bak")
+  private def lockPathOf(container: String) = new Path(containerPath(container) + ".__lock")
+
+  /** Best-effort CROSS-PROCESS merge guard: an exclusive-create lock file
+    * beside the container (`<container>.__lock`, holding `pid@host:epoch`).
+    * The in-JVM monitor serializes threads of one driver; this file makes a
+    * second DRIVER on the same warehouse either wait (bounded by
+    * `lockAcquireTimeoutMs`, then fail LOUDLY naming the holder) or, when
+    * the holder died without releasing (lock mtime older than
+    * `staleLockMs`), break the stale lock and proceed. Guarantees are
+    * best-effort by design — exclusive `create` is atomic on HDFS and
+    * object stores with conditional-put semantics, weaker on raw local
+    * filesystems — which is exactly the contract the reference's
+    * single-server DtsServer never needed and a multi-driver deployment
+    * should get from a table format's transaction log instead; this guard
+    * turns silent cross-driver corruption into serialization or a loud
+    * error. `staleLockMs` must exceed the longest expected merge: a
+    * slower-than-stale merge can have its lock broken and loses the guard.
+    */
+  private def acquireProcessLock(container: String): Unit = {
+    val lp = lockPathOf(container)
+    val deadline = System.currentTimeMillis() + lockAcquireTimeoutMs
+    var attempt = 0
+    while (true) {
+      try {
+        val out = fs.create(lp, false) // throws if the lock already exists
+        val token = java.lang.ProcessHandle.current().pid().toString +
+          "@" + java.net.InetAddress.getLocalHost.getHostName +
+          ":" + System.currentTimeMillis()
+        out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+        return
+      } catch {
+        case _: java.io.IOException =>
+          val holder =
+            try {
+              val st = fs.getFileStatus(lp)
+              if (System.currentTimeMillis() - st.getModificationTime > staleLockMs) {
+                // holder presumed dead: break the lock and retry the create
+                fs.delete(lp, false)
+                None
+              } else {
+                val in = fs.open(lp)
+                val tok = try new String(in.readAllBytes(),
+                  java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+                Some(tok)
+              }
+            } catch { case _: java.io.IOException => None } // vanished: retry
+          if (holder.isDefined && System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"merge: could not acquire cross-process lock $lp within " +
+                s"$lockAcquireTimeoutMs ms; held by ${holder.get} — another " +
+                "driver is merging this container (or died within the stale " +
+                s"window of $staleLockMs ms)")
+          attempt += 1
+          Thread.sleep(math.min(50L * attempt, 1000L))
+      }
+    }
+  }
+
+  private def releaseProcessLock(container: String): Unit =
+    try fs.delete(lockPathOf(container), false)
+    catch { case _: java.io.IOException => () } // release is best-effort
 
   /** Container auto-create (reference: weather/service/dtss_host.py:141-151). */
   def ensureContainer(container: String): Unit =
@@ -106,13 +169,15 @@ final class SeriesStore(spark: SparkSession, warehouse: String, numBuckets: Int 
     */
   def merge(container: String, incoming: DataFrame, overwrite: Boolean = false): Unit =
     SeriesStore.containerLock(containerPath(container)).synchronized {
-      mergeLocked(container, incoming, overwrite)
+      acquireProcessLock(container)
+      try mergeLocked(container, incoming, overwrite)
+      finally releaseProcessLock(container)
     }
 
   /** Merges are serialized per container within the JVM (the reference's
-    * DtsServer serializes them in its server process); cross-process writers
-    * need external coordination — at cluster scale the container maps to a
-    * table format whose transaction log provides it.
+    * DtsServer serializes them in its server process) AND across drivers by
+    * the best-effort [[acquireProcessLock]] lock file; at cluster scale the
+    * container maps to a table format whose transaction log replaces both.
     */
   private def mergeLocked(container: String, incoming: DataFrame, overwrite: Boolean): Unit = {
     sweepStaging(container)
@@ -227,7 +292,13 @@ final class SeriesStore(spark: SparkSession, warehouse: String, numBuckets: Int 
   private def recoverIfNeeded(container: String): Unit =
     if (fs.exists(bakDirOf(container)))
       SeriesStore.containerLock(containerPath(container)).synchronized {
-        sweepStaging(container)
+        // the process lock too: the backups may belong to ANOTHER driver's
+        // in-flight merge — repairing under its feet would clobber the swap.
+        // Waiting out the holder is correct: its own completion clears the
+        // backup dir, making this sweep a no-op.
+        acquireProcessLock(container)
+        try sweepStaging(container)
+        finally releaseProcessLock(container)
       }
 
   private def write(df: DataFrame, path: Path): Unit =

@@ -181,6 +181,58 @@ class SeriesStoreSpec extends SparkSpec {
     store.merge("c", series(Seq(4, 5, 6), t0 = 3))
     assert(store.read("c").count() == 6)
   }
+
+  // ---- cross-process merge guard (the lock FILE, not the JVM monitor) ----
+
+  test("second driver holding the lock: merge fails loudly, container intact") {
+    val warehouse = tmpDir("graft-xproc")
+    val store = new SeriesStore(spark, warehouse, numBuckets = 2,
+      lockAcquireTimeoutMs = 500L)
+    store.merge("c", series(Seq(1, 2, 3), t0 = 0))
+
+    // simulate another driver's live lock (fresh mtime, foreign token)
+    val lock = new java.io.File(s"$warehouse/c.__lock")
+    java.nio.file.Files.writeString(lock.toPath, "99999@other-host:0")
+
+    val e = intercept[IllegalStateException] {
+      store.merge("c", series(Seq(9.0), t0 = 9))
+    }
+    assert(e.getMessage.contains(".__lock"), s"error must name the lock: ${e.getMessage}")
+    assert(e.getMessage.contains("99999@other-host"), "error must name the holder")
+    // no corruption: the container still reads exactly its pre-merge rows
+    val got = store.read("c").orderBy("ts").collect().map(_.getDouble(2))
+    assert(got.toSeq == Seq(1.0, 2.0, 3.0))
+    // the foreign lock was NOT broken (it is live, not stale)
+    assert(lock.exists())
+    lock.delete()
+  }
+
+  test("stale lock of a dead driver is broken and the merge proceeds") {
+    val warehouse = tmpDir("graft-xproc-stale")
+    val store = new SeriesStore(spark, warehouse, numBuckets = 2,
+      lockAcquireTimeoutMs = 5000L, staleLockMs = 1000L)
+    store.merge("c", series(Seq(1, 2, 3), t0 = 0))
+
+    val lock = new java.io.File(s"$warehouse/c.__lock")
+    java.nio.file.Files.writeString(lock.toPath, "99999@dead-host:0")
+    assert(lock.setLastModified(System.currentTimeMillis() - 10000L))
+
+    store.merge("c", series(Seq(4.0), t0 = 3)) // must not time out
+    val got = store.read("c").orderBy("ts").collect().map(_.getDouble(2))
+    assert(got.toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+    assert(!lock.exists(), "lock must be released after the merge")
+  }
+
+  test("the lock is held during a merge and released after it") {
+    val warehouse = tmpDir("graft-xproc-release")
+    val store = new SeriesStore(spark, warehouse, numBuckets = 2)
+    store.merge("c", series(Seq(1.0), t0 = 0))
+    assert(!new java.io.File(s"$warehouse/c.__lock").exists(),
+      "successful merge must release the lock file")
+    // and a second merge (re-acquiring a fresh lock) still works
+    store.merge("c", series(Seq(2.0), t0 = 1))
+    assert(store.read("c").count() == 2)
+  }
 }
 
 /** Local filesystem that fails the next rename whose source is a `.__tmp`
