@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.pipeline.{Components, Dedup, Packing, Similarity}
+import graft.ts.{SeriesOps, SeriesStore}
+import graft.ts.model.Period
+
+/** Scale-rehearsal harness: wall time of the heavy operator family at three
+  * corpus scales (1× / 3× / 9×), the evidence behind SCALING.md. The sf
+  * testdata does not ladder the documents/embeddings tables cleanly, so
+  * the ladder is synthesized by deterministic replication of sf0.1: each
+  * replica gets fresh ids and a lightly mutated payload (a suffix token
+  * for text, a per-dimension perturbation for embeddings), which keeps the
+  * dedup/similarity structure realistic — replicas ARE near-duplicates of
+  * their original, so cluster sizes grow with the factor, the worst
+  * realistic case for the pair-producing operators. Each scale is written
+  * to parquet first and each op timed from a cold scan, so the measurement
+  * includes the read path, not a cached in-memory frame.
+  *
+  * Output: one JSON line per (op, scale): {"op","n_rows","sec"}.
+  */
+object ScalingAudit {
+
+  private def timed[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def scaleDocs(base: DataFrame, factor: Int): DataFrame =
+    if (factor == 1) base
+    else base
+      .withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
+      .select(
+        (col("doc_id") * 1000 + col("__rep")).as("doc_id"),
+        // replicas stay NEAR-duplicates of the original (suffix token):
+        // realistic for dedup and the worst case for pair enumeration
+        when(col("__rep") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" qz"), col("__rep"))).as("text"),
+        col("lang"), col("source"),
+        (length(col("text")) + when(col("__rep") === 0, 0)
+          .otherwise(lit(3) + length(col("__rep").cast("string")))).as("n_chars"))
+
+  def scaleVecs(base: DataFrame, factor: Int): DataFrame =
+    if (factor == 1) base
+    else base
+      .withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
+      .select(
+        (col("vec_id") * 1000 + col("__rep")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + (pmod(col("__rep") * 31 + i, lit(7)) - 3).cast("float") * 0.01f))
+          .as("embedding"),
+        col("label"))
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = new StringBuilder
+    def report(op: String, n: Long, sec: Double): Unit = {
+      val line = f"""{"op":"$op","n_rows":$n,"sec":$sec%.2f}"""
+      println(line); System.err.println(line); out.append(line).append('\n')
+    }
+
+    val work = java.nio.file.Files.createTempDirectory("graft-scaling").toString
+    val baseDocs = Tables(spark, "/root/testdata/sf0.1").documents
+    val baseVecs = Tables(spark, "/root/testdata/sf0.1").embeddings
+
+    val factors = Seq(1, 3, 9)
+    // materialize each scale to parquet; ops then time cold from disk
+    val docPaths = factors.map { f =>
+      val p = s"$work/docs_x$f"
+      scaleDocs(baseDocs, f).write.parquet(p)
+      f -> p
+    }
+    val vecPaths = factors.map { f =>
+      val p = s"$work/vecs_x$f"
+      scaleVecs(baseVecs, f).write.parquet(p)
+      f -> p
+    }
+
+    // warm-up at the smallest scale so JIT/codegen cost doesn't land on x1
+    locally {
+      val d = spark.read.parquet(docPaths.head._2)
+      val v = spark.read.parquet(vecPaths.head._2)
+      Dedup.exact(d).count(); Dedup.minhashNearDups(d).count()
+      Similarity.kmeans(v, k = 8, iters = 2).count()
+    }
+
+    docPaths.foreach { case (f, p) =>
+      def d = spark.read.parquet(p)
+      val n = d.count()
+      report(s"dedup_exact_x$f", n, timed(Dedup.exact(d).count()))
+      report(s"dedup_minhash_x$f", n, timed(Dedup.minhashNearDups(d).count()))
+      report(s"dedup_simhash_x$f", n, timed(Dedup.simhashNearDups(d).count()))
+      report(s"dedup_containment_x$f", n,
+        timed(Dedup.containmentDups(d, threshold = 0.8).count()))
+      report(s"dedup_clusters_x$f", n, timed(Components.dedupClusters(d).count()))
+      report(s"dedup_keepers_x$f", n, timed(Components.dedupKeepers(d).count()))
+      report(s"graph_pagerank_x$f", n,
+        timed(Components.pageRank(Dedup.minhashNearDups(d), iters = 3).count()))
+      report(s"pack_sequences_x$f", n,
+        timed(Packing.packSequences(d, 512, shardWidth = 100).count()))
+    }
+
+    vecPaths.foreach { case (f, p) =>
+      def v = spark.read.parquet(p)
+      val n = v.count()
+      report(s"sim_near_dups_x$f", n,
+        timed(Similarity.embeddingNearDups(v, threshold = 0.4).count()))
+      report(s"sim_srp_near_dups_x$f", n, timed {
+        val e = v.withColumn("srp_cell",
+          graft.functions.Signatures.srpBucket(col("embedding"), 6))
+        Similarity.embeddingNearDups(e, threshold = 0.4, cellCol = "srp_cell").count()
+      })
+      report(s"vec_kmeans_x$f", n, timed(Similarity.kmeans(v, k = 8, iters = 2).count()))
+      report(s"sim_topk_x$f", n,
+        timed(Similarity.bruteForceTopK(v.where(col("vec_id") < 5), v, k = 3).count()))
+    }
+
+    // store_merge ladder: the events tables DO scale 1k/10k/100k across sf
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .foreach { dir =>
+        val e = Tables(spark, dir).eventsUs
+        val p = e.select(
+          concat(lit("shyft://events/u"), col("user_id"), lit("/"),
+            col("event_type")).as("series_id"),
+          col("ts"), col("value"))
+        val n = p.count()
+        report(s"store_merge_${dir.split('/').last}", n, timed {
+          val warehouse = java.nio.file.Files.createTempDirectory("graft-scale-merge").toString
+          val store = new SeriesStore(spark, warehouse, numBuckets = 8)
+          store.merge("events", p)
+          store.merge("events", p) // idempotent re-merge, the heavier path
+          store.read("events").count()
+        })
+      }
+
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("SCALING_raw.jsonl"), out.toString)
+    spark.stop()
+  }
+}

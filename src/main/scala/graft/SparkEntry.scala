@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Sessions, Tables}
 import graft.ops.{AsofJoin, Retention, Sessionize}
-import graft.pipeline.{Components, Dedup, Export, Multimodal, Packing, Profile, Sampling, SemiStructured, Similarity, TextOps}
+import graft.pipeline.{Components, Dedup, Export, IncrementalDedup, Multimodal, Packing, Profile, Sampling, SemiStructured, Similarity, TextOps}
 import graft.sources.{Netatmo, NetatmoSource}
 import graft.ts.{Evaluate, Rdp, SeriesOps, SeriesStore, StoreSource, HeartbeatSource, MockSource}
 import graft.ts.model.{AverageValue, Period}
@@ -669,6 +669,18 @@ object SparkEntry {
       graft.core.GraftTableFunctions.registerAll(s)
       Tables(s, dir).documents.createOrReplaceTempView("graft_sql_documents")
       s.sql("SELECT * FROM graft_dedup_clusters('graft_sql_documents')")
+    }),
+
+    // incremental cluster maintenance: bootstrap on a third of the corpus,
+    // ingest the rest in two batches — the EXACTNESS contract says the
+    // result equals a full dedup_clusters recompute, so the oracle is
+    // dedup_clusters' own
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.select("doc_id", "text")
+      var st = IncrementalDedup.bootstrap(docs.where(col("doc_id") % 3 === 0))
+      st = IncrementalDedup.addBatch(st, docs.where(col("doc_id") % 3 === 1))
+      st = IncrementalDedup.addBatch(st, docs.where(col("doc_id") % 3 === 2))
+      IncrementalDedup.clusters(st)
     })
   )
 
@@ -683,7 +695,9 @@ object SparkEntry {
       "sql_sessionize" -> base("events_sessionize"),
       "sql_bm25" -> base("text_bm25"),
       "sql_resample" -> base("ts_resample"),
-      "sql_dedup_clusters" -> base("dedup_clusters"))
+      "sql_dedup_clusters" -> base("dedup_clusters"),
+      // incremental maintenance must equal the full recompute exactly
+      "dedup_incremental" -> base("dedup_clusters"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -113,7 +113,7 @@ object Dedup {
     * so merge-walk kernels like [[graft.functions.SortedArrayJaccard]] can
     * score without per-pair hash sets.
     */
-  private def candidateShingleSets(df: DataFrame, cands: DataFrame,
+  private[pipeline] def candidateShingleSets(df: DataFrame, cands: DataFrame,
       idCol: String, textCol: String, shingleK: Int): DataFrame = {
     val candIds = cands.select(col("id_a").as(idCol))
       .unionByName(cands.select(col("id_b").as(idCol))).distinct()

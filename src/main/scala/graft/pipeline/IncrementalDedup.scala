@@ -1,0 +1,192 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental near-duplicate cluster maintenance for streaming ingest —
+  * the operator a continuously-ingesting corpus actually runs: instead of
+  * re-clustering 100 TB on every batch, a new batch of documents joins the
+  * EXISTING LSH bucket index to find its candidate neighbors, and
+  * connected components runs only over the CONTRACTED collision graph
+  * (batch docs + the labels of touched clusters — each existing cluster
+  * collapses to its canonical label node), never over the corpus.
+  *
+  * State carried between batches ([[DedupState]]):
+  *  - `docs`    (doc_id, text): the accumulated corpus (needed only to
+  *    verify candidate pairs by exact Jaccard; at scale this is the corpus
+  *    table itself, read by id — no extra copy);
+  *  - `buckets` (doc_id, band, band_hash): the LSH index — id-scale, the
+  *    piece that makes ingest incremental (old docs are never re-hashed);
+  *  - `labels`  (doc_id, cluster_id): current clustered docs (singletons
+  *    absent, matching [[Components.dedupClusters]]).
+  *
+  * EXACTNESS CONTRACT: after any sequence of [[addBatch]] calls,
+  * [[clusters]] equals [[Components.dedupClusters]] recomputed from
+  * scratch on the union corpus, row for row. This holds because the edge
+  * set is identical (old↔old pairs were found in earlier batches, new↔old
+  * pairs come from the bucket join, new↔new from the batch self-join; the
+  * same exact-Jaccard verification gates all of them) and because a
+  * cluster's label IS its minimum member id, so the contracted graph's
+  * component minimum equals the full graph's. Pinned by
+  * IncrementalDedupSpec against full recomputes across multi-batch splits.
+  *
+  * Fast path: when the batch creates no new↔new edges and no document
+  * bridges two clusters (the common append-mostly case), the batch is pure
+  * ADOPTION — labels update with one aggregation over the (tiny) verified
+  * edge list and connected components never runs. The collision path runs
+  * CC on the contracted graph only when a merge is actually possible.
+  */
+object IncrementalDedup {
+
+  final case class DedupState(
+      docs: DataFrame,
+      buckets: DataFrame,
+      labels: DataFrame,
+      shingleK: Int, bands: Int, rowsPerBand: Int, threshold: Double)
+
+  /** Build the initial state from a corpus: one full [[Components.dedupClusters]]
+    * plus the LSH bucket index. Run once; every later batch is incremental.
+    */
+  def bootstrap(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DedupState = {
+    val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val buckets = graft.core.Lineage.truncate(
+      Dedup.lshBuckets(docs, "doc_id", "text", shingleK, bands, rowsPerBand))
+    val labels = graft.core.Lineage.truncate(
+      Components.dedupClusters(docs, "doc_id", "text", shingleK, bands,
+        rowsPerBand, threshold).select("doc_id", "cluster_id"))
+    DedupState(docs, buckets, labels, shingleK, bands, rowsPerBand, threshold)
+  }
+
+  /** Ingest one batch of new documents (ids must be fresh). Returns the
+    * updated state; cost is batch-scale — the only contact with the old
+    * corpus is the bucket equi-join and the by-id shingle fetch for
+    * verified candidates.
+    */
+  def addBatch(state: DedupState, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DedupState = {
+    val nd = newDocs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val nb = graft.core.Lineage.truncate(Dedup.lshBuckets(nd, "doc_id", "text",
+      state.shingleK, state.bands, state.rowsPerBand))
+
+    // candidate pairs: new↔old via the index, new↔new via batch self-join
+    val newOld = nb.select(col("band"), col("band_hash"), col("doc_id").as("new_id"))
+      .join(state.buckets.select(col("band"), col("band_hash"), col("doc_id").as("old_id")),
+        Seq("band", "band_hash"))
+      .select(least(col("new_id"), col("old_id")).as("id_a"),
+        greatest(col("new_id"), col("old_id")).as("id_b"))
+    val l = nb.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
+    val r = nb.select(col("band"), col("band_hash"), col("doc_id").as("id_b"))
+    val newNew = l.join(r, Seq("band", "band_hash")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val cands = newOld.unionByName(newNew).distinct()
+
+    // exact-Jaccard verification, same gate as the full pipeline; shingle
+    // sets materialize only for docs in a candidate pair (by-id semi-join
+    // against the union corpus)
+    val union = state.docs.unionByName(nd)
+    val edges = graft.core.Lineage.truncate(
+      Dedup.candidateShingleSets(union, cands, "doc_id", "text", state.shingleK)
+        .withColumn("jaccard",
+          graft.functions.Signatures.sortedJaccard(col("sh_a"), col("sh_b")))
+        .where(col("jaccard") >= state.threshold)
+        .select("id_a", "id_b"))
+
+    // contract old endpoints to their cluster label (an unclustered old doc
+    // is its own label node); new endpoints stay themselves. Old↔old edges
+    // cannot appear (only new-touching pairs are generated), so a self-loop
+    // only arises from... nothing: new ids are fresh, labels are old ids.
+    val lab = state.labels
+    val newIds = nd.select(col("doc_id").as("nid"), lit(true).as("__new"))
+    val e2 = graft.core.Lineage.truncate(edges
+      .join(lab.select(col("doc_id").as("id_a"), col("cluster_id").as("__lab_a")), Seq("id_a"), "left")
+      .join(lab.select(col("doc_id").as("id_b"), col("cluster_id").as("__lab_b")), Seq("id_b"), "left")
+      .join(newIds.select(col("nid").as("id_a"), col("__new").as("__new_a")), Seq("id_a"), "left")
+      .join(newIds.select(col("nid").as("id_b"), col("__new").as("__new_b")), Seq("id_b"), "left")
+      .select(
+        when(col("__new_a").isNotNull, col("id_a"))
+          .otherwise(coalesce(col("__lab_a"), col("id_a"))).as("a"),
+        when(col("__new_b").isNotNull, col("id_b"))
+          .otherwise(coalesce(col("__lab_b"), col("id_b"))).as("b"),
+        coalesce(col("__new_a"), lit(false)).as("a_new"),
+        coalesce(col("__new_b"), lit(false)).as("b_new"))
+      .where(col("a") =!= col("b")))
+
+    // collision probe — two cheap limit-1 jobs on the (batch-scale) edge
+    // list, no driver collect of the edges themselves: new↔new edges, or a
+    // new doc bridging two distinct cluster nodes, make a merge possible
+    // and force the contracted CC; otherwise the batch is pure adoption
+    val nt = e2.where(col("a_new") && !col("b_new"))
+      .select(col("a").as("n"), col("b").as("t"))
+      .unionByName(e2.where(col("b_new") && !col("a_new"))
+        .select(col("b").as("n"), col("a").as("t")))
+      .distinct()
+    val hasEdges = !e2.isEmpty
+    val nextLabels: DataFrame =
+      if (!hasEdges) state.labels
+      else {
+        val hasNewNew = !e2.where(col("a_new") && col("b_new")).isEmpty
+        val bridges = hasNewNew ||
+          !nt.groupBy("n").agg(countDistinct(col("t")).as("k"))
+            .where(col("k") > 1).isEmpty
+        if (!bridges) {
+          // ADOPTION: every implicated new doc touches exactly one cluster
+          // node — no merge can occur, connected components never runs.
+          // The touched cluster's canonical id may still change (an
+          // adopter id below the label), so each touched node relabels to
+          // min(node, its adopters).
+          val relabel = nt.groupBy("t")
+            .agg(least(min(col("n")), first(col("t"))).as("__newlab"))
+          val adoptDf = nt.join(relabel, "t")
+            .select(col("n").as("doc_id"), col("__newlab").as("cluster_id"))
+          val kept = state.labels
+            .join(broadcast(relabel.withColumnRenamed("t", "__old")),
+              col("cluster_id") === col("__old"), "left")
+            .select(col("doc_id"), coalesce(col("__newlab"), col("cluster_id")).as("cluster_id"))
+          // a previously-unclustered old doc adopted as a pair partner is a
+          // member now (its contracted node was its own id): target nodes
+          // that are not existing cluster labels
+          val singles = relabel
+            .join(state.labels.select(col("cluster_id").as("t")).distinct(),
+              Seq("t"), "left_anti")
+            .select(col("t").as("doc_id"), col("__newlab").as("cluster_id"))
+          graft.core.Lineage.truncate(
+            kept.unionByName(adoptDf).unionByName(singles).distinct())
+        } else {
+          // COLLISION: contracted CC over batch docs + touched labels ONLY
+          // (each old cluster is one node) — never over the corpus
+          val cc = Components.connectedComponents(e2.select("a", "b"), "a", "b")
+          val remap = cc.select(col("id").as("__old"), col("component").as("__new"))
+          // members of merged clusters relabel wholesale; every contracted
+          // node is also itself a doc joining its component (for a label
+          // node both rows agree — distinct collapses them)
+          val kept = state.labels
+            .join(broadcast(remap), col("cluster_id") === col("__old"), "left")
+            .select(col("doc_id"), coalesce(col("__new"), col("cluster_id")).as("cluster_id"))
+          val nodeLabels = cc.select(col("id").as("doc_id"), col("component").as("cluster_id"))
+          graft.core.Lineage.truncate(
+            kept.unionByName(nodeLabels).distinct())
+        }
+      }
+
+    // docs/buckets accumulate as plain unions (in production both are
+    // tables the batch APPENDS to — no rewrite, no checkpoint; the union
+    // plan here mirrors that append)
+    DedupState(
+      union,
+      state.buckets.unionByName(nb),
+      nextLabels,
+      state.shingleK, state.bands, state.rowsPerBand, state.threshold)
+  }
+
+  /** Current cluster view in [[Components.dedupClusters]]'s exact shape:
+    * (doc_id, cluster_id, cluster_size, is_canonical), singletons omitted.
+    */
+  def clusters(state: DedupState): DataFrame = {
+    val sizes = state.labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    state.labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+}
