@@ -180,6 +180,33 @@ object IncrementalDedup {
       state.shingleK, state.bands, state.rowsPerBand, state.threshold)
   }
 
+  /** Persist the state between ingest runs: three parquet tables + the
+    * parameters. In production `docs` and `buckets` are APPEND-only (a
+    * restarted ingest process reloads the index instead of re-hashing the
+    * corpus); `labels` is rewritten per save — it is id-scale, the cheap
+    * part. Parameters ride along so a reload cannot silently mix banding
+    * schemes (candidate discovery would miss pairs hashed differently).
+    */
+  def saveState(state: DedupState, dir: String): Unit = {
+    state.docs.write.mode("overwrite").parquet(s"$dir/docs")
+    state.buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+    state.labels.write.mode("overwrite").parquet(s"$dir/labels")
+    val spark = state.docs.sparkSession
+    import spark.implicits._
+    Seq((state.shingleK, state.bands, state.rowsPerBand, state.threshold))
+      .toDF("shingle_k", "bands", "rows_per_band", "threshold")
+      .write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  def loadState(spark: org.apache.spark.sql.SparkSession, dir: String): DedupState = {
+    val p = spark.read.parquet(s"$dir/params").head()
+    DedupState(
+      spark.read.parquet(s"$dir/docs"),
+      spark.read.parquet(s"$dir/buckets"),
+      spark.read.parquet(s"$dir/labels"),
+      p.getInt(0), p.getInt(1), p.getInt(2), p.getDouble(3))
+  }
+
   /** Current cluster view in [[Components.dedupClusters]]'s exact shape:
     * (doc_id, cluster_id, cluster_size, is_canonical), singletons omitted.
     */

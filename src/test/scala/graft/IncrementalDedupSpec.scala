@@ -114,6 +114,24 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(after.values.head == 1L, "merged label is the global min id")
   }
 
+  test("state survives a save/load round trip mid-ingest") {
+    val base = docs.where(col("doc_id") < 300)
+    val b1 = docs.where(col("doc_id") >= 300 && col("doc_id") < 400)
+    val b2 = docs.where(col("doc_id") >= 400)
+
+    var st = IncrementalDedup.bootstrap(base)
+    st = IncrementalDedup.addBatch(st, b1)
+    // simulate an ingest-process restart between batches
+    val dir = tmpDir("graft-incdedup-state")
+    IncrementalDedup.saveState(st, dir)
+    var st2 = IncrementalDedup.loadState(spark, dir)
+    assert(st2.shingleK == st.shingleK && st2.threshold == st.threshold)
+    st2 = IncrementalDedup.addBatch(st2, b2)
+
+    val full = Components.dedupClusters(docs)
+    assert(rowsOf(IncrementalDedup.clusters(st2)) == rowsOf(full))
+  }
+
   test("a batch with no near-dups leaves the state unchanged") {
     val ta = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val base = Seq((1L, ta), (2L, ta)).toDF("doc_id", "text")

@@ -225,7 +225,7 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(SparkEntry.queries("vec_kmeans")(spark, sfDir))
     // centroids arrive by broadcast; the k candidate rows per vector fold
     // into one via partial_min(struct(dist, cluster)) on the map side (the
-    // only Window in the plan is the k-row centroid init)
+    // k-means|| init is a driver-local table — no Window anywhere)
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
     assert(plan.contains("partial_min(struct(dist"), plan.take(3000))
   }
