@@ -132,6 +132,38 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(rowsOf(IncrementalDedup.clusters(st2)) == rowsOf(full))
   }
 
+  test("randomized corpora: incremental == full recompute across seeds") {
+    // deterministic PRNG corpora engineered for near-dup structure: docs
+    // draw from a small set of template token runs with point mutations,
+    // so duplicate cliques, bridges, and singletons all arise; the batch
+    // split is random too. Any divergence between the incremental state
+    // and the full recompute fails here long before a production corpus
+    // would find it.
+    for (seed <- Seq(11L, 42L, 97L)) {
+      val rnd = new scala.util.Random(seed)
+      val templates = (0 until 6).map { t =>
+        (0 until 12).map(i => s"w${rnd.nextInt(30)}_$t$i")
+      }
+      val corpus = (0 until 90).map { id =>
+        val base = templates(rnd.nextInt(templates.size))
+        // 0-3 point mutations keep most pairs above, some below threshold
+        val mutated = base.map(w =>
+          if (rnd.nextInt(10) < 2) s"m${rnd.nextInt(50)}" else w)
+        (id.toLong, mutated.mkString(" "))
+      }
+      val df = corpus.toDF("doc_id", "text")
+      val cut1 = 30 + rnd.nextInt(20)
+      val cut2 = cut1 + 10 + rnd.nextInt(20)
+      var st = IncrementalDedup.bootstrap(df.where(col("doc_id") < cut1))
+      st = IncrementalDedup.addBatch(st,
+        df.where(col("doc_id") >= cut1 && col("doc_id") < cut2))
+      st = IncrementalDedup.addBatch(st, df.where(col("doc_id") >= cut2))
+      val full = Components.dedupClusters(df)
+      assert(rowsOf(IncrementalDedup.clusters(st)) == rowsOf(full),
+        s"seed $seed (cuts $cut1/$cut2) diverged from the full recompute")
+    }
+  }
+
   test("a batch with no near-dups leaves the state unchanged") {
     val ta = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val base = Seq((1L, ta), (2L, ta)).toDF("doc_id", "text")
