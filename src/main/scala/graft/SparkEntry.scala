@@ -637,6 +637,11 @@ object SparkEntry {
       val p = pts(s, dir)
       graft.streaming.StreamOps.dedupStream(p.unionByName(p), "1 hour")
     }),
+    // streaming near-dup detection, batch face: must equal dedup_minhash
+    // exactly (same banding expression, same Jaccard arithmetic)
+    "stream_near_dups" -> ((s, dir) =>
+      graft.streaming.StreamOps.nearDupStream(
+        Tables(s, dir).documents.select("doc_id", "text")).toDF()),
 
     // ---- streaming twin in batch mode (tumbling day windows) ----
     "stream_window_stats" -> ((s, dir) => {
@@ -697,7 +702,9 @@ object SparkEntry {
       "sql_resample" -> base("ts_resample"),
       "sql_dedup_clusters" -> base("dedup_clusters"),
       // incremental maintenance must equal the full recompute exactly
-      "dedup_incremental" -> base("dedup_clusters"))
+      "dedup_incremental" -> base("dedup_clusters"),
+      // the streaming face scores pairs with the batch kernel's arithmetic
+      "stream_near_dups" -> base("dedup_minhash"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

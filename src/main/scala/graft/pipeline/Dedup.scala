@@ -56,6 +56,17 @@ object Dedup {
   private def spreadById(df: DataFrame, idCol: String): DataFrame =
     df.repartition(col(idCol))
 
+  /** The banding explode shared by the batch path ([[lshBuckets]]) and the
+    * streaming path ([[graft.streaming.StreamOps.nearDupStream]]) — one
+    * definition, so the two faces cannot drift.
+    */
+  private[graft] def bandExplode(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    explode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          PolyHash(array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))
+            .cast("array<string>"), ","), b.cast("long")).as("band_hash"))))
+
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
@@ -63,12 +74,7 @@ object Dedup {
       .select(col(idCol),
         minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
       .where(col("sig").isNotNull)
-      .select(col(idCol), explode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            PolyHash(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
-              .cast("array<string>"), ","), b.cast("long")).as("band_hash"))))
-        .as("bb"))
+      .select(col(idCol), bandExplode(col("sig"), bands, rowsPerBand).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
   }
 

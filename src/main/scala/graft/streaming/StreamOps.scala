@@ -213,6 +213,102 @@ object StreamOps {
       }
   }
 
+  final case class BandRow(doc_id: Long, sh: Seq[String], band: Int, band_hash: Long)
+  final case class BucketState(docs: Seq[(Long, Seq[String])])
+  final case class DupPair(id_a: Long, id_b: Long, jaccard: Double)
+
+  /** Streaming near-duplicate detection: the streaming face of
+    * [[graft.pipeline.Dedup.minhashNearDups]]. Each document computes its
+    * MinHash band buckets scan-side (the SAME banding expression as the
+    * batch path — [[graft.pipeline.Dedup.bandExplode]]); per (band,
+    * band_hash) bucket a stateful operator keeps the docs seen so far and
+    * verifies each arriving doc against its bucket-mates by EXACT shingle
+    * Jaccard — identical arithmetic to the batch kernel, so a pair scores
+    * the same in both faces. Cross-band duplicate emissions collapse in a
+    * stateful dropDuplicates on the pair key.
+    *
+    * Run on a BATCH frame this returns exactly `minhashNearDups(df)` — the
+    * batch face is oracle-verified (`stream_near_dups` aliases the
+    * `dedup_minhash` twin); run on a stream it emits a pair the moment its
+    * second member arrives, pairing across micro-batches through the
+    * bucket state — the "flag the duplicate ON INGEST" operator a
+    * continuously-fed corpus runs in front of [[graft.pipeline.IncrementalDedup]].
+    *
+    * STATE RETENTION CONTRACT (same shape as [[ewmaStream]]): by default
+    * bucket state holds every doc seen FOREVER — required for exactness
+    * against the ever-growing corpus. `idleTimeoutMs` evicts buckets idle
+    * longer than the window (ProcessingTimeTimeout); an evicted bucket
+    * forgets its members, so a future near-dup of a forgotten doc goes
+    * undetected — the deliberate recency-window trade a bounded-state
+    * deployment makes. The pair-dedup state is keyed by emitted pairs
+    * (grows with the duplicate count, not the corpus).
+    */
+  def nearDupStream(docs: DataFrame, shingleK: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 4, threshold: Double = 0.5,
+      idleTimeoutMs: Option[Long] = None): Dataset[DupPair] = {
+    require(idleTimeoutMs.forall(_ > 0), s"idleTimeoutMs must be positive: $idleTimeoutMs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.pipeline.{Dedup, TextOps}
+    val banded = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        array_sort(array_distinct(
+          TextOps.shingles(TextOps.tokens(col("text")), shingleK))).as("sh"),
+        Dedup.minhashSignature(col("text"), shingleK, bands * rowsPerBand).as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col("doc_id"), col("sh"),
+        Dedup.bandExplode(col("sig"), bands, rowsPerBand).as("bb"))
+      .select(col("doc_id"), col("sh"),
+        col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+      .as[BandRow]
+    // exact sorted-distinct-array Jaccard: the same |∩| / (|A|+|B|-|∩|)
+    // merge walk as the batch kernel (SortedArrayJaccard), same division
+    // with no empty-set guard (unreachable: sig non-null ⇒ ≥1 shingle).
+    // String compare is safe against the kernel's UTF8String byte order
+    // because tokens are forced ASCII ([a-z0-9] runs), where Java's
+    // UTF-16 compareTo and UTF-8 byte order coincide.
+    def jacc(a: Seq[String], b: Seq[String]): Double = {
+      var i = 0; var j = 0; var inter = 0
+      while (i < a.length && j < b.length) {
+        val c = a(i).compareTo(b(j))
+        if (c == 0) { inter += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      inter.toDouble / (a.length + b.length - inter).toDouble
+    }
+    val timeoutConf =
+      if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    banded.groupByKey(r => (r.band, r.band_hash))
+      .flatMapGroupsWithState[BucketState, DupPair](
+        OutputMode.Append(), timeoutConf) {
+        (_, rows, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.map(_.docs).getOrElse(Vector.empty)
+            val out = Vector.newBuilder[DupPair]
+            // ingest-order determinism inside a micro-batch: by doc_id
+            rows.toVector.sortBy(_.doc_id).foreach { r =>
+              seen.foreach { case (oid, osh) =>
+                if (oid != r.doc_id) {
+                  val jv = jacc(osh, r.sh)
+                  if (jv >= threshold)
+                    out += DupPair(math.min(oid, r.doc_id), math.max(oid, r.doc_id), jv)
+                }
+              }
+              seen = seen :+ (r.doc_id -> r.sh)
+            }
+            state.update(BucketState(seen))
+            idleTimeoutMs.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Custom per-series running state (last/min/max/count) via
     * mapGroupsWithState — the streaming "current dashboard value" of the
     * reference (A1/A2 continuously maintained).

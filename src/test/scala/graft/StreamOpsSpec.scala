@@ -112,6 +112,39 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupStream: batch face == minhashNearDups; pairs span micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+
+    // batch face: exact parity with the batch operator
+    val reference = rowsOf(graft.pipeline.Dedup.minhashNearDups(docsDf))
+    assert(rowsOf(StreamOps.nearDupStream(docsDf).toDF()) == reference)
+    assert(reference.nonEmpty, "fixture must contain near-dups")
+
+    // streaming face: two micro-batches split mid-corpus must converge to
+    // the same pair set, pairing across the split through bucket state
+    val docs = docsDf.collect().map(r => (r.getLong(0), r.getString(1)))
+    val cut = 250L
+    val in = MemoryStream[(Long, String)]
+    val out = StreamOps.nearDupStream(in.toDS().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("near_dups")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      in.addData(docs.filter(_._1 < cut).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(docs.filter(_._1 >= cut).toIndexedSeq)
+      q.processAllAvailable()
+      val got = rowsOf(spark.table("near_dups"))
+      assert(got == reference)
+      // the split actually exercised cross-batch state: the fixture has
+      // pairs straddling the cut (guard the test's own power)
+      val straddling = spark.table("near_dups")
+        .where($"id_a" < cut && $"id_b" >= cut).count()
+      assert(straddling > 0, "no pair straddles the micro-batch split")
+    } finally q.stop()
+  }
+
   test("intervalJoinStream: stream-stream join parity with the batch operator") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
