@@ -179,6 +179,13 @@ object StreamOps {
     * y_0 = its first new sample, and its late-point fence (lastTs) is
     * forgotten — acceptable exactly when the timeout exceeds the maximum
     * expected series silence.
+    *
+    * Operational note: with ProcessingTimeTimeout Spark schedules
+    * micro-batches CONTINUOUSLY (shouldRunAnotherBatch is unconditionally
+    * true — timeouts can always fire), so set an explicit trigger cadence
+    * and do not drive such a query with `processAllAvailable()` in tests —
+    * it never quiesces; poll the sink instead (StreamOpsSpec shows the
+    * pattern).
     */
   def ewmaStream(points: Dataset[PointIn], alpha: Double = 0.5,
       idleTimeoutMs: Option[Long] = None): Dataset[EwmaUpdate] = {

@@ -205,6 +205,63 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ProcessingTimeTimeout makes shouldRunAnotherBatch unconditionally true:
+  // the query schedules batches forever (by design — timeouts can always
+  // fire), so processAllAvailable NEVER quiesces on these queries. The
+  // eviction tests therefore poll the sink instead of draining the query.
+  private def eventually(what: String, timeoutMs: Long = 20000L)(cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond) {
+      assert(System.currentTimeMillis() < deadline, s"timed out waiting for: $what")
+      Thread.sleep(100)
+    }
+  }
+
+  test("ewmaStream idle eviction: an evicted series restarts its recursion") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[PointIn]
+    val q = StreamOps.ewmaStream(in.toDS(), alpha = 0.5, idleTimeoutMs = Some(300L))
+      .writeStream.format("memory").queryName("ewma_evict")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      def rows() = spark.table("ewma_evict").collect()
+        .map(r => (r.getAs[Long]("ts") / S, r.getAs[Double]("ewma"))).toSeq
+      in.addData(PointIn("a", 10 * S, 4.0))
+      eventually("first point lands")(rows().contains(10L -> 4.0))
+      Thread.sleep(1000) // well past the 300 ms idle window; batches churn
+      // series a was evicted: a RETROACTIVE point (ts < the old lastTs) is
+      // accepted and restarts the recursion at y0 = its value — retained
+      // state would have dropped it as late
+      in.addData(PointIn("a", 5 * S, 100.0))
+      eventually("retro point restarts the series")(rows().contains(5L -> 100.0))
+      assert(rows().toSet == Set(10L -> 4.0, 5L -> 100.0))
+    } finally q.stop()
+  }
+
+  test("nearDupStream idle eviction: a forgotten bucket misses the later dup") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ta = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.nearDupStream(in.toDS().toDF("doc_id", "text"),
+      idleTimeoutMs = Some(300L))
+      .writeStream.format("memory").queryName("nd_evict")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      def inputRows() = q.recentProgress.map(_.numInputRows).sum
+      in.addData((1L, ta))
+      eventually("doc 1 ingested")(inputRows() >= 1)
+      Thread.sleep(1000) // doc 1's bucket state evicts
+      in.addData((2L, ta)) // exact dup of the forgotten doc
+      eventually("doc 2 ingested")(inputRows() >= 2)
+      Thread.sleep(500) // grace: any pair emission would have landed
+      // the documented recency-window trade: the pair goes undetected
+      assert(spark.table("nd_evict").isEmpty,
+        "evicted bucket must forget doc 1 (the documented trade)")
+    } finally q.stop()
+  }
+
   test("windowedStats groups into tumbling event-time windows") {
     import org.apache.spark.sql.functions._
     val pts = Seq(("s", 10 * S, 1.0), ("s", 20 * S, 5.0), ("s", 70 * S, 3.0))
