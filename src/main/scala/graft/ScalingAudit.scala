@@ -125,6 +125,23 @@ object ScalingAudit {
         timed(Similarity.bruteForceTopK(v.where(col("vec_id") < 5), v, k = 3).count()))
     }
 
+    // incrementality proof: the cost of ingesting a FIXED batch must stay
+    // ~flat while the existing corpus grows 9× — the batch only touches
+    // the bucket-index join and the by-id shingle fetch, never the corpus
+    docPaths.foreach { case (f, p) =>
+      val all = spark.read.parquet(p)
+      val batch = all.where(col("doc_id") % 89 === 0).limit(500)
+      val baseCorpus = all.join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
+      val n = baseCorpus.count()
+      val st = graft.pipeline.IncrementalDedup.bootstrap(baseCorpus)
+      // force the bootstrap work out of the timed window
+      st.labels.count(); st.buckets.count()
+      report(s"incr_addbatch_x$f", n, timed {
+        val st2 = graft.pipeline.IncrementalDedup.addBatch(st, batch)
+        st2.labels.count()
+      })
+    }
+
     // store_merge ladder: the events tables DO scale 1k/10k/100k across sf
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
       .foreach { dir =>

@@ -1,0 +1,296 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Audio-modality plumbing: clips as opaque `binary` columns plus typed
+  * metadata, with per-partition batched decode — the audio face of the
+  * multimodal design in [[Multimodal]] (same schema/partitioning/batch
+  * contract; only the codec differs).
+  *
+  * The codec is a REAL RIFF/WAVE PCM16 parser: `RIFF`/`WAVE` magic, then a
+  * proper chunk walk (id + little-endian u32 size, odd sizes padded per the
+  * RIFF spec) that extracts `fmt ` (must be PCM, mono, 16-bit) and `data`
+  * and skips unknown chunks (`LIST`, `fact`, …) the way real encoders emit
+  * them — so decode failures are real failures. The fixture table maps each
+  * document's UTF-8 bytes to PCM16 samples via `(byte − 128) · 256`
+  * (unsigned byte → centred 16-bit), which keeps every decoded statistic
+  * independently recomputable from the source text by the SQL oracle.
+  * ASCII-ONLY FIXTURE ASSUMPTION (same as the mm twins): the oracle
+  * rebuilds samples from codepoints, which equals the byte-level samples
+  * only while the corpus is pure ASCII.
+  *
+  * Reference analogy: the reference treats sensor payloads as opaque typed
+  * blobs resolved by source adapters (`/root/reference/weather/data_sources/
+  * netatmo/domain.py` measurement types); here the adapter is a binary
+  * codec and the "measurement" is the PCM frame.
+  */
+object Audio {
+
+  /** Fixture sample rate; divides cleanly by the decimation factors used in
+    * the gate queries (16000/4 = 4000).
+    */
+  val SampleRate = 16000
+
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("n_bytes", LongType)))
+
+  /** The audio-table shape every producer here emits. */
+  val audioTableSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("audio", BinaryType),
+    StructField("audio_meta", audioMetaSchema)))
+
+  private def le32(out: Array[Byte], off: Int, v: Int): Unit = {
+    out(off) = (v & 0xff).toByte
+    out(off + 1) = ((v >>> 8) & 0xff).toByte
+    out(off + 2) = ((v >>> 16) & 0xff).toByte
+    out(off + 3) = ((v >>> 24) & 0xff).toByte
+  }
+
+  private def le16(out: Array[Byte], off: Int, v: Int): Unit = {
+    out(off) = (v & 0xff).toByte
+    out(off + 1) = ((v >>> 8) & 0xff).toByte
+  }
+
+  private def rdLe32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def rdLe16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** A valid RIFF/WAVE blob (PCM16 mono, [[SampleRate]]) carrying
+    * `samples`. Canonical 44-byte header: RIFF size + WAVE + fmt(16) + data.
+    */
+  private[graft] def buildWav(samples: Array[Short], sampleRate: Int = SampleRate): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    le32(out, 4, 36 + dataLen)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    le32(out, 16, 16)          // fmt chunk size
+    le16(out, 20, 1)           // PCM
+    le16(out, 22, 1)           // mono
+    le32(out, 24, sampleRate)
+    le32(out, 28, sampleRate * 2) // byte rate (mono · 16-bit)
+    le16(out, 32, 2)           // block align
+    le16(out, 34, 16)          // bits per sample
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    le32(out, 40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      le16(out, 44 + 2 * i, samples(i) & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  /** Fixture sample mapping: unsigned byte → centred PCM16. Stays within
+    * Short range at both ends ((0−128)·256 = −32768, (255−128)·256 = 32512)
+    * and MUST stay in sync with the SQL oracle twin `(ord(c) − 128) * 256`.
+    */
+  private[graft] def payloadSamples(payload: Array[Byte]): Array[Short] = {
+    val s = new Array[Short](payload.length)
+    var i = 0
+    while (i < payload.length) {
+      s(i) = (((payload(i) & 0xff) - 128) * 256).toShort
+      i += 1
+    }
+    s
+  }
+
+  /** Real RIFF chunk walk. Returns (sampleRate, dataOffset, nSamples).
+    * Strict on what matters (magic, PCM/mono/16-bit fmt, even data size,
+    * chunks in bounds), tolerant of what real files contain (unknown
+    * chunks in any order before `data`, odd-size pad bytes).
+    */
+  private[graft] def parseWavHeader(bytes: Array[Byte]): (Int, Int, Int) = {
+    def fail(msg: String) = throw new IllegalArgumentException(s"not a PCM16 WAV: $msg")
+    if (bytes.length < 12 || bytes(0) != 'R' || bytes(1) != 'I' ||
+        bytes(2) != 'F' || bytes(3) != 'F') fail("bad RIFF magic")
+    if (bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E')
+      fail("bad WAVE magic")
+    val riffEnd = {
+      val declared = 8L + rdLe32(bytes, 4)
+      if (declared > bytes.length) fail(s"RIFF size $declared exceeds blob ${bytes.length}")
+      declared.toInt
+    }
+    var i = 12
+    var sampleRate = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (i + 8 <= riffEnd && dataOff < 0) {
+      val id = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = rdLe32(bytes, i + 4)
+      if (i + 8 + size > riffEnd) fail(s"chunk '$id' of $size bytes overruns RIFF")
+      if (id == "fmt ") {
+        if (size < 16) fail(s"fmt chunk too short ($size)")
+        val fmt = rdLe16(bytes, i + 8)
+        val ch = rdLe16(bytes, i + 10)
+        val bits = rdLe16(bytes, i + 22)
+        if (fmt != 1) fail(s"unsupported audio format $fmt (want PCM=1)")
+        if (ch != 1) fail(s"unsupported channel count $ch (want mono)")
+        if (bits != 16) fail(s"unsupported bit depth $bits (want 16)")
+        sampleRate = rdLe32(bytes, i + 12).toInt
+        if (sampleRate <= 0) fail(s"bad sample rate $sampleRate")
+      } else if (id == "data") {
+        if (sampleRate < 0) fail("data chunk before fmt")
+        if (size % 2 != 0) fail(s"odd PCM16 data size $size")
+        dataOff = i + 8
+        dataLen = size.toInt
+      }
+      // RIFF pads odd-size chunks to even boundaries
+      i += 8 + size.toInt + (size % 2).toInt
+    }
+    if (dataOff < 0) fail("no data chunk")
+    (sampleRate, dataOff, dataLen / 2)
+  }
+
+  /** Decoded PCM16LE sample at index `k` of a parsed blob. */
+  @inline private def sampleAt(bytes: Array[Byte], dataOff: Int, k: Int): Int =
+    (rdLe16(bytes, dataOff + 2 * k).toShort).toInt
+
+  /** Wrap a text corpus as an audio table: `(doc_id, audio binary,
+    * audio_meta struct)` where `audio` is a REAL PCM16 WAV whose samples
+    * carry the document bytes. Stands in for reading clips off storage;
+    * rows stream through the partition iterator, nothing collects.
+    */
+  def synthAudioTable(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioTableSchema)
+    val projected = docs.select(col(idCol).cast("long"), col(textCol))
+    val out: Dataset[Row] = projected.mapPartitions { it =>
+      it.map { row =>
+        val payload = row.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val blob = buildWav(payloadSamples(payload))
+        Row(row.getLong(0), blob,
+          Row("audio/wav", SampleRate, payload.length.toLong, blob.length.toLong))
+      }
+    }(enc)
+    out
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("duration_ms", LongType),
+    StructField("sum_sq", LongType),
+    StructField("peak", IntegerType),
+    StructField("zero_crossings", LongType)))
+
+  /** Per-clip audio statistics from a real decode: sample count, floor-ms
+    * duration, energy (Σ s², exact in Long: ≤ 2³⁰ per sample), peak |s|,
+    * and zero crossings (sign flips across consecutive samples; a zero
+    * sample crosses nothing). Integer-only so every engine agrees exactly.
+    * Same streaming `mapPartitions` batch contract as the image face.
+    */
+  def extractFeatures(audio: DataFrame, idCol: String = "doc_id",
+      blobCol: String = "audio"): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
+    val projected = audio.select(col(idCol).cast("long"), col(blobCol))
+    val out: Dataset[Row] = projected.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](1)
+        val (rate, off, n) = parseWavHeader(bytes)
+        var sumSq = 0L
+        var peak = 0
+        var zc = 0L
+        var prev = 0
+        var k = 0
+        while (k < n) {
+          val s = sampleAt(bytes, off, k)
+          sumSq += s.toLong * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          if (k > 0 && prev * s < 0) zc += 1
+          prev = s
+          k += 1
+        }
+        Row(row.getLong(0), rate, n.toLong, n.toLong * 1000 / rate, sumSq, peak, zc)
+      }
+    }(enc)
+    out
+  }
+
+  /** Decimate every clip by an integer factor (keep samples 0, f, 2f, …)
+    * and re-encode at `rate/f` — the cheap integer resampler. Emits the
+    * same audio-table shape with refreshed metadata; [[extractFeatures]]
+    * over the result re-parses the rebuilt blobs, proving the encode →
+    * decode round trip on every row.
+    */
+  def resampleAudio(audio: DataFrame, factor: Int, idCol: String = "doc_id",
+      blobCol: String = "audio"): DataFrame = {
+    require(factor >= 1, s"resample factor must be >= 1, got $factor")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioTableSchema)
+    val projected = audio.select(col(idCol).cast("long"), col(blobCol))
+    val out: Dataset[Row] = projected.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](1)
+        val (rate, off, n) = parseWavHeader(bytes)
+        require(rate % factor == 0,
+          s"factor $factor does not divide sample rate $rate")
+        val n2 = (n + factor - 1) / factor
+        val dec = new Array[Short](n2)
+        var j = 0
+        while (j < n2) {
+          dec(j) = sampleAt(bytes, off, j * factor).toShort
+          j += 1
+        }
+        val blob = buildWav(dec, rate / factor)
+        Row(row.getLong(0), blob,
+          Row("audio/wav", rate / factor, n2.toLong, blob.length.toLong))
+      }
+    }(enc)
+    out
+  }
+
+  val chunkSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("chunk_idx", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("sum_sq", LongType),
+    StructField("peak", IntegerType)))
+
+  /** Fixed-width energy profile: split each clip into `chunkSamples`-sample
+    * windows and emit per-window energy/peak — the segmentation pass a
+    * voice-activity or silence-trimming pipeline runs, and the audio analog
+    * of [[Multimodal.sampleFrames]]. One output row per (clip, window),
+    * streamed per partition; a zero-length clip emits no rows.
+    */
+  def chunkEnergy(audio: DataFrame, chunkSamples: Int, idCol: String = "doc_id",
+      blobCol: String = "audio"): DataFrame = {
+    require(chunkSamples >= 1, s"chunk width must be >= 1, got $chunkSamples")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(chunkSchema)
+    val projected = audio.select(col(idCol).cast("long"), col(blobCol))
+    val out: Dataset[Row] = projected.mapPartitions { it =>
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](1)
+        val (_, off, n) = parseWavHeader(bytes)
+        val nChunks = (n + chunkSamples - 1) / chunkSamples
+        (0 until nChunks).iterator.map { c =>
+          val start = c * chunkSamples
+          val end = math.min(start + chunkSamples, n)
+          var sumSq = 0L
+          var peak = 0
+          var k = start
+          while (k < end) {
+            val s = sampleAt(bytes, off, k)
+            sumSq += s.toLong * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            k += 1
+          }
+          Row(row.getLong(0), c, (end - start).toLong, sumSq, peak)
+        }
+      }
+    }(enc)
+    out
+  }
+}
