@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Sessions, Tables}
 import graft.ops.{AsofJoin, Retention, Sessionize}
-import graft.pipeline.{Components, Dedup, Export, IncrementalDedup, Multimodal, Packing, Profile, Sampling, SemiStructured, Similarity, TextOps}
+import graft.pipeline.{Audio, Components, Dedup, Export, IncrementalDedup, Multimodal, Packing, Profile, Sampling, SemiStructured, Similarity, TextOps}
 import graft.sources.{Netatmo, NetatmoSource}
 import graft.ts.{Evaluate, Rdp, SeriesOps, SeriesStore, StoreSource, HeartbeatSource, MockSource}
 import graft.ts.model.{AverageValue, Period}
@@ -159,6 +159,44 @@ object SparkEntry {
        |    THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS phash
        |FROM hsum)""".stripMargin
   }
+
+  /** CTE rebuilding each document's PCM16 fixture samples from the text —
+    * the twin of Audio.payloadSamples' `(byte − 128) · 256` mapping, ending
+    * in `aw(doc_id, n, smp)` (1-indexed sample list). Shared by all three
+    * audio twins. Same ASCII-ONLY FIXTURE ASSUMPTION as the mm twins:
+    * samples come from codepoints while `n` comes from UTF-8 bytes, which
+    * agree only while the corpus is pure ASCII. All sample access below is
+    * range-bounded by `n`, so the list is never indexed past the text.
+    */
+  private val AudioSmpCte =
+    """aw AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+      |  list_transform(string_split(text, ''),
+      |    c -> CAST((ord(c) - 128) * 256 AS BIGINT)) AS smp FROM documents)""".stripMargin
+
+  /** CTE chain computing the energy-contour audio fingerprint, ending in
+    * `afpt(doc_id, n_samples, afp)` — one definition shared by the
+    * audio_fingerprint and audio_fp_dups twins. Mirrors
+    * Audio.audioFingerprint exactly: 65 equal windows `[⌊w·n/65⌋,
+    * ⌊(w+1)·n/65⌋)`, window energy Σ s², bit `b` set iff e(b) > e(b+1).
+    * Bits accumulate as a HUGEINT sum then fold back to two's-complement
+    * BIGINT, same pattern as MmPhashCtes (`e` is 1-indexed: `e[b+1]` is
+    * window b).
+    */
+  private val AudioFpCtes: String =
+    s"""$AudioSmpCte,
+       |we AS (SELECT doc_id, n, list_transform(range(0, 65), w ->
+       |  coalesce(list_sum(list_transform(
+       |    range((w * n) // 65 + 1, ((w + 1) * n) // 65 + 1),
+       |    i -> smp[CAST(i AS INTEGER)] * smp[CAST(i AS INTEGER)])), 0)) AS e
+       |  FROM aw),
+       |fsum AS (SELECT doc_id, n, list_sum(list_transform(range(0, 64), b ->
+       |  CASE WHEN e[CAST(b + 1 AS INTEGER)] > e[CAST(b + 2 AS INTEGER)]
+       |    THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END)) AS s
+       |  FROM we),
+       |afpt AS (SELECT doc_id, n AS n_samples,
+       |  CAST(CASE WHEN s >= 9223372036854775808
+       |    THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS afp
+       |  FROM fsum)""".stripMargin
 
   /** DuckDB twin of the per-series dt-mode (SeriesOps.dtMode) over a CTE
     * named `points`.
@@ -631,6 +669,24 @@ object SparkEntry {
     // image-level near-dups: Hamming over the perceptual hash (pigeonhole)
     "mm_phash_dups" -> ((s, dir) =>
       Multimodal.phashNearDups(Multimodal.synthMediaTable(Tables(s, dir).documents))),
+
+    // ---- audio modality: real RIFF/WAVE PCM16 codec — decode, resample,
+    // chunked energy; audio_resample re-parses the rebuilt blobs, gating
+    // the encode→decode round trip on every row ----
+    "audio_features" -> ((s, dir) =>
+      Audio.extractFeatures(Audio.synthAudioTable(Tables(s, dir).documents))),
+    "audio_resample" -> ((s, dir) =>
+      Audio.extractFeatures(Audio.resampleAudio(
+        Audio.synthAudioTable(Tables(s, dir).documents), factor = 4))),
+    "audio_chunks" -> ((s, dir) =>
+      Audio.chunkEnergy(Audio.synthAudioTable(Tables(s, dir).documents),
+        chunkSamples = 1024)),
+    "audio_fingerprint" -> ((s, dir) =>
+      Audio.audioFingerprint(Audio.synthAudioTable(Tables(s, dir).documents))),
+    // audio-level near-dups: Hamming over the energy-contour fingerprint
+    // (pigeonhole) — completes the text/image/audio dedup triad
+    "audio_fp_dups" -> ((s, dir) =>
+      Audio.audioNearDups(Audio.synthAudioTable(Tables(s, dir).documents))),
 
     // ---- streaming dedup (T4) in batch mode: duplicated feed collapses ----
     "stream_dedup" -> ((s, dir) => {
@@ -2071,6 +2127,70 @@ object SparkEntry {
          |    CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
          |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
          |WHERE hamming <= 6""".stripMargin,
+
+    // Twins of the Audio family over the shared AudioSmpCte. Integer-only
+    // statistics (energy, peak, sign-flip zero crossings, floor-division
+    // durations) so DuckDB and Spark agree bit-for-bit.
+    "audio_features" ->
+      s"""WITH $AudioSmpCte
+         |SELECT doc_id, CAST(16000 AS INTEGER) AS sample_rate, n AS n_samples,
+         |  (n * 1000) // 16000 AS duration_ms,
+         |  CAST(coalesce(list_sum(list_transform(range(1, n + 1), i ->
+         |    smp[CAST(i AS INTEGER)] * smp[CAST(i AS INTEGER)])), 0) AS BIGINT) AS sum_sq,
+         |  CAST(coalesce(list_max(list_transform(range(1, n + 1), i ->
+         |    abs(smp[CAST(i AS INTEGER)]))), 0) AS INTEGER) AS peak,
+         |  CAST(coalesce(list_sum(list_transform(range(2, n + 1), i ->
+         |    CASE WHEN smp[CAST(i - 1 AS INTEGER)] * smp[CAST(i AS INTEGER)] < 0
+         |      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+         |FROM aw""".stripMargin,
+    // Twin of resampleAudio(., 4) + extractFeatures: keep 1-based indices
+    // 1, 5, 9, … (Spark's 0-based 0, 4, 8, …); rate drops 16000 → 4000.
+    "audio_resample" ->
+      s"""WITH $AudioSmpCte,
+         |r AS (SELECT doc_id, (n + 3) // 4 AS n2,
+         |  list_transform(range(0, (n + 3) // 4),
+         |    j -> smp[CAST(4 * j + 1 AS INTEGER)]) AS rsmp FROM aw)
+         |SELECT doc_id, CAST(4000 AS INTEGER) AS sample_rate, n2 AS n_samples,
+         |  (n2 * 1000) // 4000 AS duration_ms,
+         |  CAST(coalesce(list_sum(list_transform(rsmp, s -> s * s)), 0) AS BIGINT) AS sum_sq,
+         |  CAST(coalesce(list_max(list_transform(rsmp, s -> abs(s))), 0) AS INTEGER) AS peak,
+         |  CAST(coalesce(list_sum(list_transform(range(2, n2 + 1), i ->
+         |    CASE WHEN rsmp[CAST(i - 1 AS INTEGER)] * rsmp[CAST(i AS INTEGER)] < 0
+         |      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+         |FROM r""".stripMargin,
+    // Twin of chunkEnergy(., 1024): fixed 1024-sample windows, last window
+    // ragged; a zero-length clip emits no rows (range(0, 0) is empty).
+    "audio_chunks" ->
+      s"""WITH $AudioSmpCte
+         |SELECT doc_id, CAST(u.c AS INTEGER) AS chunk_idx,
+         |  CAST(u.ns AS BIGINT) AS n_samples, CAST(u.ss AS BIGINT) AS sum_sq,
+         |  CAST(u.pk AS INTEGER) AS peak
+         |FROM (
+         |  SELECT doc_id, unnest(list_transform(range(0, (n + 1023) // 1024),
+         |    c -> struct_pack(
+         |      c := c,
+         |      ns := least((c + 1) * 1024, n) - c * 1024,
+         |      ss := coalesce(list_sum(list_transform(
+         |            range(c * 1024 + 1, least((c + 1) * 1024, n) + 1),
+         |            i -> smp[CAST(i AS INTEGER)] * smp[CAST(i AS INTEGER)])), 0),
+         |      pk := coalesce(list_max(list_transform(
+         |            range(c * 1024 + 1, least((c + 1) * 1024, n) + 1),
+         |            i -> abs(smp[CAST(i AS INTEGER)]))), 0)))) AS u
+         |  FROM aw)""".stripMargin,
+
+    // Twins of audioFingerprint / audioNearDups over the shared AudioFpCtes;
+    // the dups oracle is all-pairs (fine at oracle scale — the Spark side
+    // proves the pigeonhole finds the identical set).
+    "audio_fingerprint" ->
+      s"""WITH $AudioFpCtes
+         |SELECT doc_id, n_samples, afp FROM afpt""".stripMargin,
+    "audio_fp_dups" ->
+      s"""WITH $AudioFpCtes
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+         |  FROM afpt a JOIN afpt b ON a.doc_id < b.doc_id)
+         |WHERE hamming <= 14""".stripMargin,
 
     "stream_dedup" ->
       s"""WITH points AS ($PointsCte)
