@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Sessions, Tables}
 import graft.ops.{AsofJoin, Retention, Sessionize}
-import graft.pipeline.{Audio, Components, Dedup, Export, IncrementalDedup, Multimodal, Packing, Profile, Sampling, SemiStructured, Similarity, TextOps}
+import graft.pipeline.{Audio, Components, Dedup, Export, IncrementalDedup, Multimodal, Packing, Profile, Sampling, SemiStructured, Similarity, TextOps, Video}
 import graft.sources.{Netatmo, NetatmoSource}
 import graft.ts.{Evaluate, Rdp, SeriesOps, SeriesStore, StoreSource, HeartbeatSource, MockSource}
 import graft.ts.model.{AverageValue, Period}
@@ -687,6 +687,14 @@ object SparkEntry {
     // (pigeonhole) — completes the text/image/audio dedup triad
     "audio_fp_dups" -> ((s, dir) =>
       Audio.audioNearDups(Audio.synthAudioTable(Tables(s, dir).documents))),
+
+    // ---- video modality: real concatenated-P6 container (the ffmpeg
+    // image2pipe ppm stream format) — frame walk + scene-change keyframes
+    "video_frames" -> ((s, dir) =>
+      Video.frameStats(Video.synthVideoTable(Tables(s, dir).documents))),
+    "video_keyframes" -> ((s, dir) =>
+      Video.keyframes(Video.synthVideoTable(Tables(s, dir).documents),
+        threshold = 6000L)),
 
     // ---- streaming dedup (T4) in batch mode: duplicated feed collapses ----
     "stream_dedup" -> ((s, dir) => {
@@ -2191,6 +2199,49 @@ object SparkEntry {
          |    CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
          |  FROM afpt a JOIN afpt b ON a.doc_id < b.doc_id)
          |WHERE hamming <= 14""".stripMargin,
+
+    // Twins of the Video container walk: frame f covers text bytes
+    // [f·192, min((f+1)·192, n)) — per-frame geometry recomputed with the
+    // same near-square ceil arithmetic as the single-image twins; padding
+    // zeros contribute nothing to sum/max (ASCII has no NUL).
+    "video_frames" ->
+      """WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+        |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cps
+        |  FROM documents),
+        |fx AS (SELECT doc_id, n, cps,
+        |  CAST(unnest(range(0, (n + 191) // 192)) AS BIGINT) AS f FROM b),
+        |g1 AS (SELECT *, least((f + 1) * 192, n) - f * 192 AS L FROM fx),
+        |g2 AS (SELECT *, (L + 2) // 3 AS npix FROM g1),
+        |g3 AS (SELECT *, CAST(ceil(sqrt(CAST(npix AS DOUBLE))) AS BIGINT) AS w FROM g2),
+        |g4 AS (SELECT *, CAST(ceil(CAST(npix AS DOUBLE) / w) AS BIGINT) AS h FROM g3)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    range(f * 192 + 1, least((f + 1) * 192, n) + 1),
+        |    i -> cps[CAST(i AS INTEGER)])), 0) AS BIGINT) AS pixel_sum,
+        |  CAST(coalesce(list_max(list_transform(
+        |    range(f * 192 + 1, least((f + 1) * 192, n) + 1),
+        |    i -> cps[CAST(i AS INTEGER)])), 0) AS INTEGER) AS pixel_max
+        |FROM g4""".stripMargin,
+    // Twin of keyframes(., 6000): frame 0 always emits (delta = own sum);
+    // inter-frame deltas are |s_f − s_{f−1}| over the per-frame sums.
+    "video_keyframes" ->
+      """WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+        |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cps
+        |  FROM documents),
+        |fs AS (SELECT doc_id, list_transform(range(0, (n + 191) // 192), f ->
+        |    coalesce(list_sum(list_transform(
+        |      range(f * 192 + 1, least((f + 1) * 192, n) + 1),
+        |      i -> cps[CAST(i AS INTEGER)])), 0)) AS sums FROM b),
+        |kx AS (SELECT doc_id, sums,
+        |  CAST(unnest(range(0, len(sums))) AS BIGINT) AS f FROM fs),
+        |kd AS (SELECT doc_id, f, sums[CAST(f + 1 AS INTEGER)] AS pixel_sum,
+        |  abs(sums[CAST(f + 1 AS INTEGER)] -
+        |    CASE WHEN f = 0 THEN 0 ELSE sums[CAST(f AS INTEGER)] END) AS delta
+        |  FROM kx)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(pixel_sum AS BIGINT) AS pixel_sum, CAST(delta AS BIGINT) AS delta
+        |FROM kd WHERE f = 0 OR delta > 6000""".stripMargin,
 
     "stream_dedup" ->
       s"""WITH points AS ($PointsCte)

@@ -63,10 +63,24 @@ object Multimodal {
     * length validation. Returns (width, height, rasterOffset).
     */
   private[graft] def parsePpmHeader(bytes: Array[Byte]): (Int, Int, Int) = {
-    var i = 0
+    val (w, h, off) = parsePpmHeaderAt(bytes, 0)
+    val n = w * h * 3
+    if (bytes.length - off != n)
+      throw new IllegalArgumentException(
+        s"not a P6 PPM: raster is ${bytes.length - off} bytes, expected $n")
+    (w, h, off)
+  }
+
+  /** Header parse at an offset without the trailing exact-length check —
+    * the walker primitive for multi-frame containers (concatenated P6
+    * streams, [[Video]]); the single-image [[parsePpmHeader]] adds the
+    * whole-blob length validation on top.
+    */
+  private[graft] def parsePpmHeaderAt(bytes: Array[Byte], start: Int): (Int, Int, Int) = {
+    var i = start
     def fail(msg: String) = throw new IllegalArgumentException(s"not a P6 PPM: $msg")
-    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') fail("bad magic")
-    i = 2
+    if (bytes.length < i + 2 || bytes(i) != 'P' || bytes(i + 1) != '6') fail("bad magic")
+    i += 2
     def skipSpace(): Unit = {
       var in = true
       while (in && i < bytes.length) {
@@ -93,8 +107,8 @@ object Multimodal {
     if (i >= bytes.length || !(bytes(i) == '\n' || bytes(i) == ' ' ||
         bytes(i) == '\r' || bytes(i) == '\t')) fail("missing raster separator")
     i += 1
-    val n = w * h * 3
-    if (bytes.length - i != n) fail(s"raster is ${bytes.length - i} bytes, expected $n")
+    if (bytes.length - i < w * h * 3)
+      fail(s"raster is ${bytes.length - i} bytes, expected at least ${w * h * 3}")
     (w, h, i)
   }
 

@@ -1,0 +1,181 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Video-modality plumbing: clips as opaque `binary` columns holding a
+  * REAL multi-frame container — a concatenated binary-P6 stream, the
+  * format `ffmpeg -f image2pipe -vcodec ppm` pipes (each frame is a
+  * complete P6 image, headers included, back to back). The walker parses
+  * every frame header in sequence ([[Multimodal.parsePpmHeaderAt]]), so a
+  * corrupt or truncated mid-stream frame is a real decode failure, not a
+  * silent skip.
+  *
+  * The fixture packs each document into fixed-width byte slices, one P6
+  * frame per slice (last slice ragged), which keeps every per-frame
+  * statistic independently recomputable from the source text by the SQL
+  * oracle — same ASCII-only fixture assumption as the image/audio twins.
+  * Frames are sequential WITHIN a blob, so every operator here is a
+  * per-partition streamed walk (no shuffle); parallelism comes from the
+  * corpus dimension, the right decomposition for clip-sized videos at
+  * 100 TB (a single giant video would instead be split upstream into
+  * clip-sized blobs, the standard practice).
+  */
+object Video {
+
+  /** Fixture slice width: bytes of document text per frame. */
+  val FrameBytes = 192
+
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("n_frames", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /** The video-table shape every producer here emits. */
+  val videoTableSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("video", BinaryType),
+    StructField("video_meta", videoMetaSchema)))
+
+  /** A concatenated-P6 stream carrying `payload` as [[FrameBytes]]-wide
+    * slices, one frame per slice. Zero-length payload → zero frames
+    * (empty blob) — a legal, empty stream.
+    */
+  private[graft] def buildPpmStream(payload: Array[Byte],
+      frameBytes: Int = FrameBytes): Array[Byte] = {
+    require(frameBytes >= 1, s"frame width must be >= 1, got $frameBytes")
+    val nFrames = (payload.length + frameBytes - 1) / frameBytes
+    val frames = (0 until nFrames).map { f =>
+      val start = f * frameBytes
+      val end = math.min(start + frameBytes, payload.length)
+      Multimodal.buildPpm(java.util.Arrays.copyOfRange(payload, start, end))
+    }
+    val out = new Array[Byte](frames.map(_.length).sum)
+    var off = 0
+    frames.foreach { fr =>
+      System.arraycopy(fr, 0, out, off, fr.length)
+      off += fr.length
+    }
+    out
+  }
+
+  /** Walk a concatenated-P6 stream, invoking `onFrame(frameIdx, w, h,
+    * rasterOff)` per frame. Every header is really parsed; trailing
+    * garbage or a truncated frame raises.
+    */
+  private[graft] def walkFrames(bytes: Array[Byte])
+      (onFrame: (Int, Int, Int, Int) => Unit): Int = {
+    var off = 0
+    var idx = 0
+    while (off < bytes.length) {
+      val (w, h, rasterOff) = Multimodal.parsePpmHeaderAt(bytes, off)
+      onFrame(idx, w, h, rasterOff)
+      off = rasterOff + 3 * w * h
+      idx += 1
+    }
+    idx
+  }
+
+  /** Wrap a text corpus as a video table: `(doc_id, video binary,
+    * video_meta struct)` where `video` is a REAL concatenated-P6 stream of
+    * the document's byte slices. Rows stream through the partition
+    * iterator, nothing collects.
+    */
+  def synthVideoTable(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(videoTableSchema)
+    val projected = docs.select(col(idCol).cast("long"), col(textCol))
+    val out: Dataset[Row] = projected.mapPartitions { it =>
+      it.map { row =>
+        val payload = row.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val blob = buildPpmStream(payload)
+        val nFrames = (payload.length + FrameBytes - 1) / FrameBytes
+        Row(row.getLong(0), blob, Row("video/x-ppm-stream", nFrames, blob.length.toLong))
+      }
+    }(enc)
+    out
+  }
+
+  val frameStatSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("pixel_sum", LongType),
+    StructField("pixel_max", IntegerType)))
+
+  /** Per-frame decode statistics from a real container walk: one output
+    * row per frame with its own parsed geometry (frames need not share
+    * dimensions — the last fixture frame is ragged). Streamed per
+    * partition; an empty stream emits no rows.
+    */
+  def frameStats(video: DataFrame, idCol: String = "doc_id",
+      blobCol: String = "video"): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(frameStatSchema)
+    val projected = video.select(col(idCol).cast("long"), col(blobCol))
+    val out: Dataset[Row] = projected.mapPartitions { it =>
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](1)
+        val acc = scala.collection.mutable.ArrayBuffer.empty[Row]
+        walkFrames(bytes) { (idx, w, h, off) =>
+          var s = 0L
+          var mx = 0
+          var j = off
+          val end = off + 3 * w * h
+          while (j < end) {
+            val v = bytes(j) & 0xff
+            s += v
+            if (v > mx) mx = v
+            j += 1
+          }
+          acc += Row(row.getLong(0), idx, w, h, s, mx)
+        }
+        acc.iterator
+      }
+    }(enc)
+    out
+  }
+
+  val keyframeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("pixel_sum", LongType),
+    StructField("delta", LongType)))
+
+  /** Scene-change keyframe detection: emit frame 0 plus every frame whose
+    * absolute pixel-sum delta from its predecessor exceeds `threshold` —
+    * the cheap luma-delta cut detector every video sampling pipeline runs
+    * first. `delta` for frame 0 is its own sum (change from nothing).
+    * Sequential within a clip by nature, so the walk stays inside the
+    * partition iterator; no shuffle.
+    */
+  def keyframes(video: DataFrame, threshold: Long, idCol: String = "doc_id",
+      blobCol: String = "video"): DataFrame = {
+    require(threshold >= 0, s"threshold must be >= 0, got $threshold")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(keyframeSchema)
+    val projected = video.select(col(idCol).cast("long"), col(blobCol))
+    val out: Dataset[Row] = projected.mapPartitions { it =>
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](1)
+        val acc = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var prevSum = 0L
+        walkFrames(bytes) { (idx, w, h, off) =>
+          var s = 0L
+          var j = off
+          val end = off + 3 * w * h
+          while (j < end) {
+            s += bytes(j) & 0xff
+            j += 1
+          }
+          val delta = math.abs(s - prevSum)
+          if (idx == 0 || delta > threshold)
+            acc += Row(row.getLong(0), idx, s, delta)
+          prevSum = s
+        }
+        acc.iterator
+      }
+    }(enc)
+    out
+  }
+}

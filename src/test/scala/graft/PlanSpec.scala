@@ -105,6 +105,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(3000))
   }
 
+  test("audio decode family is map-only: encode→decode chains ride the scan") {
+    for (q <- Seq("audio_features", "audio_resample", "audio_chunks", "audio_fingerprint")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("Exchange"), s"$q:\n${plan.take(3000)}")
+    }
+  }
+
+  test("video container walk is map-only: per-clip frame streams never shuffle") {
+    for (q <- Seq("video_frames", "video_keyframes")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("Exchange"), s"$q:\n${plan.take(3000)}")
+    }
+  }
+
   test("deterministic sampling pushes nothing but a scan filter: no shuffle") {
     val plan = planOf(SparkEntry.queries("sample_fraction")(spark, sfDir))
     assert(!plan.contains("Exchange"), plan.take(3000))
