@@ -198,6 +198,45 @@ object SparkEntry {
        |    THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS afp
        |  FROM fsum)""".stripMargin
 
+  /** DuckDB twin of Video.videoFingerprint over `documents`: rebuild the
+    * DECODED byte stream of the concatenated-P6 fixture (per frame: the
+    * 192-byte text slice followed by its raster zero-padding to 3·w·h),
+    * then the same 65-window energy contour / 64-bit comparator hash as
+    * the audio twin ([[AudioFpCtes]] pattern, HUGEINT fold to two's-
+    * complement BIGINT). Exposes `vfpt(doc_id, n_px, vfp)`.
+    */
+  private val VideoFpCtes: String =
+    """vb AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+      |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cps
+      |  FROM documents),
+      |vfx AS (SELECT doc_id, n, cps,
+      |  CAST(unnest(range(0, (n + 191) // 192)) AS BIGINT) AS f FROM vb),
+      |vg1 AS (SELECT *, least((f + 1) * 192, n) - f * 192 AS L FROM vfx),
+      |vg2 AS (SELECT *, (L + 2) // 3 AS npix FROM vg1),
+      |vg3 AS (SELECT *, CAST(ceil(sqrt(CAST(npix AS DOUBLE))) AS BIGINT) AS w FROM vg2),
+      |vg4 AS (SELECT *, CAST(ceil(CAST(npix AS DOUBLE) / w) AS BIGINT) AS h FROM vg3),
+      |vseg AS (SELECT doc_id, f, list_concat(
+      |    list_transform(range(f * 192 + 1, f * 192 + L + 1), i -> cps[CAST(i AS INTEGER)]),
+      |    list_transform(range(0, 3 * w * h - L), z -> CAST(0 AS BIGINT))) AS sg
+      |  FROM vg4),
+      |vst AS (SELECT doc_id, flatten(list(sg ORDER BY f)) AS stream FROM vseg GROUP BY doc_id),
+      |vsv AS (SELECT vb.doc_id, coalesce(vst.stream, CAST([] AS BIGINT[])) AS stream
+      |  FROM vb LEFT JOIN vst USING (doc_id)),
+      |vln AS (SELECT doc_id, CAST(len(stream) AS BIGINT) AS npx, stream FROM vsv),
+      |vwe AS (SELECT doc_id, npx, list_transform(range(0, 65), w ->
+      |  coalesce(list_sum(list_transform(
+      |    range((w * npx) // 65 + 1, ((w + 1) * npx) // 65 + 1),
+      |    i -> stream[CAST(i AS INTEGER)] * stream[CAST(i AS INTEGER)])), 0)) AS e
+      |  FROM vln),
+      |vfsum AS (SELECT doc_id, npx, list_sum(list_transform(range(0, 64), b ->
+      |  CASE WHEN e[CAST(b + 1 AS INTEGER)] > e[CAST(b + 2 AS INTEGER)]
+      |    THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END)) AS s
+      |  FROM vwe),
+      |vfpt AS (SELECT doc_id, npx AS n_px,
+      |  CAST(CASE WHEN s >= 9223372036854775808
+      |    THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS vfp
+      |  FROM vfsum)""".stripMargin
+
   /** DuckDB twin of the per-series dt-mode (SeriesOps.dtMode) over a CTE
     * named `points`.
     */
@@ -695,6 +734,14 @@ object SparkEntry {
     "video_keyframes" -> ((s, dir) =>
       Video.keyframes(Video.synthVideoTable(Tables(s, dir).documents),
         threshold = 6000L)),
+    "video_sample" -> ((s, dir) =>
+      Video.sampleFrames(Video.synthVideoTable(Tables(s, dir).documents), k = 4)),
+    "video_fingerprint" -> ((s, dir) =>
+      Video.videoFingerprint(Video.synthVideoTable(Tables(s, dir).documents))),
+    // video-level near-dups: Hamming over the temporal-luma contour —
+    // fourth face of the per-modality dedup family (text/image/audio/video)
+    "video_fp_dups" -> ((s, dir) =>
+      Video.videoNearDups(Video.synthVideoTable(Tables(s, dir).documents))),
 
     // ---- streaming dedup (T4) in batch mode: duplicated feed collapses ----
     "stream_dedup" -> ((s, dir) => {
@@ -2242,6 +2289,37 @@ object SparkEntry {
         |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
         |  CAST(pixel_sum AS BIGINT) AS pixel_sum, CAST(delta AS BIGINT) AS delta
         |FROM kd WHERE f = 0 OR delta > 6000""".stripMargin,
+
+    // Twin of sampleFrames(., k = 4): keep frame indices ⌊i·nf/4⌋ for
+    // i ∈ [0, 4), deduplicated, dropped when >= nf (empty clip → no rows);
+    // pixel_sum recomputed from the text slices as in the keyframes twin.
+    "video_sample" ->
+      """WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+        |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cps
+        |  FROM documents),
+        |fs AS (SELECT doc_id, list_transform(range(0, (n + 191) // 192), f ->
+        |    coalesce(list_sum(list_transform(
+        |      range(f * 192 + 1, least((f + 1) * 192, n) + 1),
+        |      i -> cps[CAST(i AS INTEGER)])), 0)) AS sums FROM b),
+        |ks AS (SELECT doc_id, sums, unnest(list_distinct(list_transform(range(0, 4),
+        |    i -> (i * len(sums)) // 4))) AS f FROM fs)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(sums[CAST(f + 1 AS INTEGER)] AS BIGINT) AS pixel_sum
+        |FROM ks WHERE f < len(sums)""".stripMargin,
+
+    // Twins of videoFingerprint / videoNearDups over the shared VideoFpCtes;
+    // the dups oracle is all-pairs (fine at oracle scale — the Spark side
+    // proves the pigeonhole finds the identical set).
+    "video_fingerprint" ->
+      s"""WITH $VideoFpCtes
+         |SELECT doc_id, n_px, vfp FROM vfpt""".stripMargin,
+    "video_fp_dups" ->
+      s"""WITH $VideoFpCtes
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.vfp, b.vfp)) AS INTEGER) AS hamming
+         |  FROM vfpt a JOIN vfpt b ON a.doc_id < b.doc_id)
+         |WHERE hamming <= 14""".stripMargin,
 
     "stream_dedup" ->
       s"""WITH points AS ($PointsCte)

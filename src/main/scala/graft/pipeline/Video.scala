@@ -137,6 +137,117 @@ object Video {
     out
   }
 
+  val fingerprintSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_px", LongType),
+    StructField("vfp", LongType)))
+
+  /** 64-bit video fingerprint (temporal-luma contour): concatenate the
+    * decoded frame rasters (padding bytes included — they are part of the
+    * decoded signal), split the stream into 65 equal windows
+    * `[⌊i·N/65⌋, ⌊(i+1)·N/65⌋)` and set bit `i` iff
+    * `energy(i) > energy(i+1)` where energy is the window Σ byte² — the
+    * video analog of the audio energy contour ([[Audio.audioFingerprint]])
+    * and the image dHash ([[Multimodal.perceptualHash]]). Integer-only so
+    * every engine agrees exactly; windows fit Long (255² per byte). A
+    * stream shorter than 65 bytes leaves empty tail windows (energy 0);
+    * an empty stream hashes to 0. One linear pass per clip, window index
+    * advancing monotonically with the byte cursor — no per-byte division.
+    */
+  def videoFingerprint(video: DataFrame, idCol: String = "doc_id",
+      blobCol: String = "video"): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(fingerprintSchema)
+    val projected = video.select(col(idCol).cast("long"), col(blobCol))
+    val out: Dataset[Row] = projected.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](1)
+        val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        var total = 0L
+        walkFrames(bytes) { (_, w, h, off) =>
+          val n = 3 * w * h
+          frames += ((off, n))
+          total += n
+        }
+        val e = new Array[Long](65)
+        var g = 0L
+        var wi = 0
+        frames.foreach { case (off, n) =>
+          var j = 0
+          while (j < n) {
+            while (wi < 64 && g >= (wi + 1).toLong * total / 65) wi += 1
+            val v = bytes(off + j) & 0xff
+            e(wi) += v.toLong * v
+            g += 1
+            j += 1
+          }
+        }
+        var hash = 0L
+        var b = 0
+        while (b < 64) {
+          if (e(b) > e(b + 1)) hash |= 1L << b
+          b += 1
+        }
+        Row(row.getLong(0), total, hash)
+      }
+    }(enc)
+    out
+  }
+
+  /** Video near-dup pairs: Hamming ≤ maxDist over [[videoFingerprint]] via
+    * [[Dedup.hammingNearDups]]'s exact pigeonhole equi-join — the fourth
+    * face of the per-modality dedup family (text MinHash, image pHash,
+    * audio energy contour, video luma contour). Radius 14 for the same
+    * reason as audio: a small edit shifts every downstream byte, so all 65
+    * positional windows move slightly and true near-dups land wider than
+    * the image hash's 6.
+    */
+  def videoNearDups(video: DataFrame, maxDist: Int = 14, idCol: String = "doc_id",
+      blobCol: String = "video"): DataFrame =
+    Dedup.hammingNearDups(
+      videoFingerprint(video, idCol, blobCol).select(col(idCol), col("vfp")),
+      idCol, "vfp", bits = 64, maxDist = maxDist)
+
+  val sampleSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("pixel_sum", LongType)))
+
+  /** Uniform-k frame sampling: keep the frames at indices
+    * `{⌊i·nf/k⌋ : i ∈ [0, k)}` — exactly k evenly-spaced frames when the
+    * clip has ≥ k, every frame (deduplicated) when shorter, none when
+    * empty. The representative-frame selection a vision-training pipeline
+    * runs before the expensive per-frame model; deterministic, so the
+    * sample is reproducible across runs and engines. Emits the sampled
+    * frame's decode statistic (pixel sum) alongside its index. Per-clip
+    * streamed walk, no shuffle.
+    */
+  def sampleFrames(video: DataFrame, k: Int, idCol: String = "doc_id",
+      blobCol: String = "video"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(sampleSchema)
+    val projected = video.select(col(idCol).cast("long"), col(blobCol))
+    val out: Dataset[Row] = projected.mapPartitions { it =>
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](1)
+        val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+        walkFrames(bytes) { (_, w, h, off) =>
+          var s = 0L
+          var j = off
+          val end = off + 3 * w * h
+          while (j < end) {
+            s += bytes(j) & 0xff
+            j += 1
+          }
+          sums += s
+        }
+        val nf = sums.length
+        val keep = (0 until k).map(i => (i.toLong * nf / k).toInt).distinct
+        keep.iterator.filter(_ < nf).map(f => Row(row.getLong(0), f, sums(f)))
+      }
+    }(enc)
+    out
+  }
+
   val keyframeSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("frame_idx", IntegerType),

@@ -75,6 +75,73 @@ class VideoSpec extends SparkSpec {
     assert(only0.map(_.getInt(1)).toSeq == Seq(0))
   }
 
+  test("videoFingerprint matches a scalar reimplementation; empty clip hashes to 0") {
+    val payload = (0 until 700).map(i => (33 + (i * 7) % 90).toByte).toArray
+    val docs = Seq((3L, new String(payload.map(_.toChar))), (4L, ""))
+      .toDF("doc_id", "text")
+    val rows = Video.videoFingerprint(Video.synthVideoTable(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // scalar twin: decoded stream = per frame slice + raster zero padding
+    val stream = payload.grouped(192).flatMap { slice =>
+      val npix = (slice.length + 2) / 3
+      val w = math.ceil(math.sqrt(npix.toDouble)).toInt
+      val h = math.ceil(npix.toDouble / w).toInt
+      slice ++ Array.fill(3 * w * h - slice.length)(0.toByte)
+    }.toArray
+    val n = stream.length
+    val e = new Array[Long](65)
+    for (b <- 0 until 65) {
+      val lo = (b.toLong * n / 65).toInt
+      val hi = ((b + 1).toLong * n / 65).toInt
+      for (g <- lo until hi) {
+        val v = stream(g) & 0xff
+        e(b) += v.toLong * v
+      }
+    }
+    var expected = 0L
+    for (b <- 0 until 64) if (e(b) > e(b + 1)) expected |= 1L << b
+    assert(rows(0) == ((3L, n.toLong, expected)))
+    assert(rows(1) == ((4L, 0L, 0L)), "empty clip: zero bytes, zero hash")
+  }
+
+  test("videoNearDups equals brute-force Hamming over fingerprints (sf0.001)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val table = Video.synthVideoTable(docs)
+    val got = Video.videoNearDups(table, maxDist = 14)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fp = Video.videoFingerprint(table)
+      .select("doc_id", "vfp").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, fa) <- fp; (ib, fb) <- fp if ia < ib
+      d = java.lang.Long.bitCount(fa ^ fb) if d <= 14
+    } yield (ia, ib, d)).toSet
+    assert(brute.nonEmpty, "fixture corpus must contain video near-dups")
+    assert(got == brute)
+  }
+
+  test("sampleFrames keeps exactly the evenly-spaced indices, all when short, none when empty") {
+    // 6 frames (1060 bytes), k=4 → indices ⌊i·6/4⌋ = 0,1,3,4
+    val long = new String(Array.tabulate(1060)(i => (33 + i % 90).toChar))
+    // 2 frames, k=4 → ⌊i·2/4⌋ = 0,0,1,1 → distinct 0,1 (every frame)
+    val short = new String(Array.tabulate(200)(i => (40 + i % 50).toChar))
+    val docs = Seq((1L, long), (2L, short), (3L, "")).toDF("doc_id", "text")
+    val table = Video.synthVideoTable(docs)
+    val rows = Video.sampleFrames(table, k = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).groupBy(_._1)
+      .map { case (id, fs) => id -> fs.map(_._2).sorted.toSeq }
+    assert(rows(1L) == Seq(0, 1, 3, 4))
+    assert(rows(2L) == Seq(0, 1))
+    assert(!rows.contains(3L), "empty clip emits no sampled frames")
+    // sampled pixel sums agree with the full frame walk
+    val full = Video.frameStats(table).select("doc_id", "frame_idx", "pixel_sum")
+    val sampled = Video.sampleFrames(table, k = 4)
+    assert(sampled.join(full, Seq("doc_id", "frame_idx"), "left_anti").count() == 0)
+    assert(sampled.join(full.withColumnRenamed("pixel_sum", "ps"),
+      Seq("doc_id", "frame_idx")).where(col("pixel_sum") =!= col("ps")).count() == 0)
+  }
+
   test("video queries run end-to-end on sf0.001; frame counts match metadata") {
     val dir = "/root/testdata/sf0.001"
     val table = Video.synthVideoTable(spark.read.parquet(s"$dir/documents.parquet"))
