@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Sessions, Tables}
 import graft.ops.{AsofJoin, Retention, Sessionize}
-import graft.pipeline.{Audio, Components, Dedup, Export, IncrementalDedup, Multimodal, Packing, Profile, Sampling, SemiStructured, Similarity, TextOps, Video}
+import graft.pipeline.{Audio, Components, Dedup, Export, IncrementalDedup, Multimodal, Packing, Profile, Sampling, SemiStructured, Similarity, Sketches, TextOps, Video}
 import graft.sources.{Netatmo, NetatmoSource}
 import graft.ts.{Evaluate, Rdp, SeriesOps, SeriesStore, StoreSource, HeartbeatSource, MockSource}
 import graft.ts.model.{AverageValue, Period}
@@ -63,6 +63,25 @@ object SparkEntry {
   private def srpBucketSql(v: String): String =
     s"CAST(list_sum(list_transform(range(0, 6), k -> " +
       s"CASE WHEN ${srpDotSql(v)} >= 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT)"
+
+  /** Shared CTE chain for the exact-duplicated-8-gram twins
+    * (text_dup_spans / text_dup_coverage): token 8-grams per document with
+    * their 0-based start position and PolyHash identity, reduced to the
+    * starts whose gram occurs in >= 2 distinct documents —
+    * `dst(doc_id, pos)`. Mirrors TextOps.dupGramStarts(n=8, minDocs=2);
+    * `dtk` (doc_id, tk) is also reused by the coverage twin's token counts.
+    */
+  private val DupGramCtes: String =
+    s"""dtk AS (SELECT doc_id, $Toks AS tk FROM documents),
+       |dsh AS (SELECT doc_id, CASE WHEN len(tk) >= 8
+       |  THEN list_transform(range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' '))
+       |  ELSE [] END AS sh FROM dtk),
+       |dgx AS (SELECT doc_id, CAST(unnest(range(1, len(sh) + 1)) AS BIGINT) AS i, sh
+       |  FROM dsh),
+       |dg AS (SELECT doc_id, i - 1 AS pos,
+       |  ${phSql("sh[CAST(i AS INTEGER)]", "0")} AS gh FROM dgx),
+       |ddup AS (SELECT gh FROM dg GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+       |dst AS (SELECT doc_id, pos FROM dg JOIN ddup USING (gh))""".stripMargin
 
   /** Shared CTE chain producing the verified MinHash near-dup pairs as
     * `mh_pairs(id_a, id_b, jaccard)` — the dedup_minhash oracle's body,
@@ -552,6 +571,19 @@ object SparkEntry {
       TextOps.repetitionStats(Tables(s, dir).documents)),
     "text_scrub" -> ((s, dir) =>
       TextOps.scrubPii(Tables(s, dir).documents)),
+
+    // ---- exact duplicated-substring signal (8-gram granularity):
+    // maximal duplicated-run spans + per-doc duplicated-token coverage ----
+    "text_dup_spans" -> ((s, dir) =>
+      TextOps.dupNgramSpans(Tables(s, dir).documents, n = 8, minDocs = 2)),
+    "text_dup_coverage" -> ((s, dir) =>
+      TextOps.dupNgramCoverage(Tables(s, dir).documents, n = 8, minDocs = 2)),
+
+    // ---- KMV distinct-count sketch: deterministic approximate distinct
+    // users per event type (bounded-shuffle alternative to exact distinct) ----
+    "sketch_kmv" -> ((s, dir) =>
+      Sketches.kmvDistinct(Tables(s, dir).events, k = 64,
+        Seq("event_type"), "user_id")),
 
     // ---- gap sessionization over the event stream (30-minute gap);
     // eventsUs: DuckDB truncates TIMESTAMP_NS to whole microseconds ----
@@ -1606,6 +1638,52 @@ object SparkEntry {
         |     + len(regexp_extract_all(after_email, '[0-9]{7,}')) AS BIGINT) AS n_redactions,
         |  regexp_replace(after_email, '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
         |FROM e""".stripMargin,
+
+    // Twins of TextOps.dupNgramSpans / dupNgramCoverage over the shared
+    // duplicated-8-gram start positions (DupGramCtes): spans are
+    // gaps-and-islands over consecutive duplicated starts; coverage counts
+    // DISTINCT covered positions so overlapping spans are not double-counted.
+    "text_dup_spans" ->
+      s"""WITH $DupGramCtes,
+         |isl AS (SELECT doc_id, pos,
+         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         |  FROM dst)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 7 AS BIGINT) AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_grams
+         |FROM isl GROUP BY doc_id, isl""".stripMargin,
+    "text_dup_coverage" ->
+      s"""WITH $DupGramCtes,
+         |cv AS (SELECT doc_id, unnest(range(pos, pos + 8)) AS tp FROM dst),
+         |cva AS (SELECT doc_id, CAST(count(DISTINCT tp) AS BIGINT) AS dup_tokens
+         |  FROM cv GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / greatest(len(tk), 1) AS dup_frac
+         |FROM dtk t LEFT JOIN cva c USING (doc_id)""".stripMargin,
+
+    // Twin of Sketches.kmvDistinct(events, k=64, event_type, user_id):
+    // same two-stage mixer (PolyHash -> Carter-Wegman affine with the
+    // "kmv" salt constants baked in at build time -> PolyHash of the
+    // zero-padded 10-digit decimal) over the value's string form, k
+    // smallest distinct hashes per group, (k-1)·M/h_k estimator, exact
+    // below k.
+    "sketch_kmv" ->
+      s"""WITH ax AS (SELECT DISTINCT event_type,
+         |  (${phSql("CAST(user_id AS VARCHAR)", "0")}
+         |   * ${graft.pipeline.Sampling.saltMult("kmv")}
+         |   + ${graft.pipeline.Sampling.saltAdd("kmv")}) % 1000000007 AS m FROM events),
+         |hx AS (SELECT DISTINCT event_type,
+         |  ${phSql("lpad(CAST(m AS VARCHAR), 10, '0')", "0")} AS h FROM ax),
+         |rk AS (SELECT event_type, h,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM hx),
+         |kp AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(max(h) AS BIGINT) AS kth_min FROM rk WHERE rn <= 64 GROUP BY event_type)
+         |SELECT event_type, n_kept, kth_min,
+         |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+         |       ELSE 63.0 * 1000000007 / greatest(kth_min, 1) END AS est_distinct
+         |FROM kp""".stripMargin,
+
     // Twin of Sessionize.sessions: lag marks session starts, running sum
     // numbers them (CAST: DuckDB promotes the window sum to HUGEINT).
     "events_sessionize" ->

@@ -523,6 +523,81 @@ object TextOps {
         max("v").as("n_vocab"), max("ta").as("n_tokens_a"),
         max("tb").as("n_tokens_b"))
   }
+
+  /** Start positions of corpus-duplicated token n-grams: (idCol, pos, gh)
+    * for every n-gram whose hash occurs in >= minDocs DISTINCT documents.
+    * Shared plumbing for [[dupNgramSpans]] / [[dupNgramCoverage]] — the
+    * exact-substring-duplication signal of Lee et al.'s "Deduplicating
+    * Training Data Makes Language Models Better" (arXiv:2107.06499),
+    * at n-gram rather than suffix-array granularity.
+    *
+    * Shape at 100 TB: the gram stream is |tokens| rows; the duplicate set
+    * comes from one hash-keyed groupBy (two-phase distinct-doc count, so
+    * partial aggregation collapses each partition's repeats before the
+    * shuffle) and rejoins the stream on the same hash key — every step is
+    * key-partitioned, nothing quadratic, and the rejoin's build side is
+    * only the duplicated grams (corpus-dependent, typically a small
+    * fraction). Gram identity is the 1e9+7 PolyHash — at trillion-gram
+    * scale expect occasional false merges; acceptable for a dedup SIGNAL
+    * (biases dup_frac marginally up, never misses a true duplicate).
+    */
+  private def dupGramStarts(df: DataFrame, n: Int, minDocs: Int,
+      idCol: String, textCol: String): DataFrame = {
+    require(n >= 1 && minDocs >= 2, s"need n >= 1, minDocs >= 2; got n=$n minDocs=$minDocs")
+    val grams = df
+      .select(col(idCol),
+        posexplode(shingles(tokens(col(textCol)), n)).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        PolyHash(col("gram"), 0L).as("gh"))
+    val dup = grams.groupBy("gh")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select("gh")
+    grams.join(dup, "gh")
+  }
+
+  /** Maximal runs of corpus-duplicated n-grams per document, as token
+    * spans: `(idCol, span_start, span_end, n_grams)` with span_end =
+    * last duplicated start + n - 1 (inclusive token index). Consecutive
+    * duplicated starts merge into one span (gaps-and-islands over a
+    * single per-document window); a span is the region an exact-substring
+    * deduper would cut.
+    */
+  def dupNgramSpans(df: DataFrame, n: Int = 8, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy(col("pos").asc)
+    dupGramStarts(df, n, minDocs, idCol, textCol)
+      .withColumn("__isl", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(n - 1).cast("long")).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** Per-document duplicated-token coverage: how many token positions lie
+    * inside at least one corpus-duplicated n-gram, and the fraction of the
+    * document that is — THE cheap "too much boilerplate / copied text"
+    * filter signal. Coverage is exact even where spans overlap (two
+    * duplicated starts closer than n): each duplicated start expands to
+    * its n positions and positions are counted distinct, all inside one
+    * per-document aggregation.
+    */
+  def dupNgramCoverage(df: DataFrame, n: Int = 8, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cov = dupGramStarts(df, n, minDocs, idCol, textCol)
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1).cast("long"))).as("__tp"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__tp")).as("dup_tokens"))
+    df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1L))).as("dup_frac"))
+  }
 }
 
 /** Tiny per-language stopword dictionaries (public common words). */

@@ -143,6 +143,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
   }
 
+  test("KMV sketch gets WindowGroupLimit pushdown: <= k hashes per group per map partition") {
+    // the bounded-shuffle property that justifies the sketch at scale: the
+    // rank-k filter must prune each map partition's candidate hashes BEFORE
+    // the window shuffle, so the exchange carries O(k·partitions) per group
+    val plan = planOf(SparkEntry.queries("sketch_kmv")(spark, sfDir))
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
   test("inverted index gets WindowGroupLimit pushdown on its rank window") {
     // the posting-list cap must prune map-side BEFORE the term shuffle; a
     // second (unordered) window over the term key would block this

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Sketches, TextOps}
+
+/** Semantics of the KMV distinct sketch and the duplicated-n-gram span
+  * operators: estimator accuracy vs exact distinct, exact-below-k,
+  * determinism under layout, span geometry and overlap-safe coverage.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmvDistinct is exact below k and within sampling error above") {
+    // groups sized well below and well above k=64
+    val rows = (0 until 40).map(i => ("small", s"u$i")) ++
+      (0 until 5000).map(i => ("large", s"v${i % 3000}"))
+    val df = rows.toDF("grp", "user")
+    val out = Sketches.kmvDistinct(df, k = 64, Seq("grp"), "user")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val small = out("small")
+    assert(small.getAs[Long]("n_kept") == 40L)
+    assert(small.getAs[Double]("est_distinct") == 40.0,
+      "below k the sketch must report the exact distinct count")
+    val large = out("large")
+    assert(large.getAs[Long]("n_kept") == 64L)
+    val est = large.getAs[Double]("est_distinct")
+    // k=64 ⇒ relative σ ≈ 1/√62 ≈ 12.7%; allow 4σ
+    assert(math.abs(est - 3000.0) / 3000.0 < 0.51,
+      s"est $est too far from true 3000")
+  }
+
+  test("kmvDistinct is layout-invariant and duplicate-insensitive") {
+    val base = (0 until 1000).map(i => ("g", s"u${i % 400}"))
+    val a = Sketches.kmvDistinct(base.toDF("grp", "user"), 32, Seq("grp"), "user")
+      .collect().head
+    // shuffled layout + extra duplicates: identical sketch
+    val b = Sketches.kmvDistinct(
+      (base.reverse ++ base.take(200)).toDF("grp", "user").repartition(7),
+      32, Seq("grp"), "user").collect().head
+    assert(a.getAs[Long]("kth_min") == b.getAs[Long]("kth_min"))
+    assert(a.getAs[Double]("est_distinct") == b.getAs[Double]("est_distinct"))
+  }
+
+  test("dupNgramSpans finds the shared run and merges consecutive starts") {
+    // docs 1 and 2 share a 10-token run -> 3 consecutive duplicated
+    // 8-gram starts (positions 0..2 in doc 1) that must merge into ONE span
+    val shared = (0 until 10).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared tail1 tail2 tail3"),
+      (2L, s"head1 head2 $shared"),
+      (3L, "totally different words only here once repeated never again ok"))
+      .toDF("doc_id", "text")
+    val spans = TextOps.dupNgramSpans(docs, n = 8, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(spans.toSeq == Seq(
+      (1L, 0L, 9L, 3L),   // starts 0,1,2 cover tokens 0..9
+      (2L, 2L, 11L, 3L)), // starts 2,3,4 cover tokens 2..11
+      s"got ${spans.toSeq}")
+  }
+
+  test("dupNgramCoverage counts overlapping spans' tokens once") {
+    // doc 1 vs 2 share tokens 0..9; doc 1 vs 3 share tokens 4..13 of doc 1:
+    // doc 1's covered set is the UNION 0..13 (14 tokens), not 10+10
+    val runA = (0 until 10).map(i => s"a$i").mkString(" ")   // doc1 tokens 0..9
+    val runB = (4 until 14).map(i => if (i < 10) s"a$i" else s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$runA b10 b11 b12 b13 x1 x2"),
+      (2L, s"$runA y1 y2 y3 y4 y5 y6 y7"),
+      (3L, s"z1 z2 $runB z3 z4"))
+      .toDF("doc_id", "text")
+    val cov = TextOps.dupNgramCoverage(docs, n = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(cov(1L)._2 == 14L, s"doc 1 union coverage must be 14, got ${cov(1L)}")
+    assert(cov(1L)._1 == 16L)
+    assert(math.abs(cov(1L)._3 - 14.0 / 16.0) < 1e-12)
+    // doc with no duplicated grams reports 0 coverage, not a missing row
+    val alone = Seq((9L, "unique words nothing shared with anyone at all")).toDF("doc_id", "text")
+    val solo = TextOps.dupNgramCoverage(docs.union(alone), n = 8, minDocs = 2)
+      .where(col("doc_id") === 9L).collect().head
+    assert(solo.getAs[Long]("dup_tokens") == 0L && solo.getAs[Double]("dup_frac") == 0.0)
+  }
+}
