@@ -584,6 +584,13 @@ object SparkEntry {
     "sketch_kmv" -> ((s, dir) =>
       Sketches.kmvDistinct(Tables(s, dir).events, k = 64,
         Seq("event_type"), "user_id")),
+    // pairwise corpus-overlap estimates between language slices over their
+    // distinct 3-gram shingle sets, from the mergeable KMV sketches alone
+    "sketch_kmv_jaccard" -> ((s, dir) =>
+      Sketches.kmvPairJaccard(
+        Tables(s, dir).documents.select(col("lang"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh")),
+        k = 128, "lang", "sh")),
 
     // ---- gap sessionization over the event stream (30-minute gap);
     // eventsUs: DuckDB truncates TIMESTAMP_NS to whole microseconds ----
@@ -785,6 +792,11 @@ object SparkEntry {
     "stream_near_dups" -> ((s, dir) =>
       graft.streaming.StreamOps.nearDupStream(
         Tables(s, dir).documents.select("doc_id", "text")).toDF()),
+    // streaming KMV sketch in batch mode: equals sketch_kmv exactly
+    "stream_kmv" -> ((s, dir) =>
+      graft.streaming.StreamOps.kmvStream(
+        Tables(s, dir).events, k = 64, "event_type", "user_id")
+        .toDF().withColumnRenamed("grp", "event_type")),
 
     // ---- streaming twin in batch mode (tumbling day windows) ----
     "stream_window_stats" -> ((s, dir) => {
@@ -847,7 +859,9 @@ object SparkEntry {
       // incremental maintenance must equal the full recompute exactly
       "dedup_incremental" -> base("dedup_clusters"),
       // the streaming face scores pairs with the batch kernel's arithmetic
-      "stream_near_dups" -> base("dedup_minhash"))
+      "stream_near_dups" -> base("dedup_minhash"),
+      // the streaming sketch's batch face IS the batch sketch
+      "stream_kmv" -> base("sketch_kmv"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -1683,6 +1697,40 @@ object SparkEntry {
          |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
          |       ELSE 63.0 * 1000000007 / greatest(kth_min, 1) END AS est_distinct
          |FROM kp""".stripMargin,
+
+    // Twin of Sketches.kmvPairJaccard(documents 3-gram shingles by lang,
+    // k=128): same mixer, per-lang k-min sketch lists, union-of-sketches
+    // k-set, common-membership Jaccard, intersection = jaccard * union.
+    "sketch_kmv_jaccard" ->
+      s"""WITH tws AS (SELECT lang, unnest(CASE WHEN len(tk) >= 3
+         |    THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+         |    ELSE [] END) AS sh
+         |  FROM (SELECT lang, $Toks AS tk FROM documents)),
+         |ax AS (SELECT DISTINCT lang,
+         |  (${phSql("sh", "0")}
+         |   * ${graft.pipeline.Sampling.saltMult("kmv")}
+         |   + ${graft.pipeline.Sampling.saltAdd("kmv")}) % 1000000007 AS m FROM tws),
+         |hx AS (SELECT DISTINCT lang,
+         |  ${phSql("lpad(CAST(m AS VARCHAR), 10, '0')", "0")} AS h FROM ax),
+         |rk AS (SELECT lang, h,
+         |  row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM hx),
+         |kp AS (SELECT lang, list(h ORDER BY h) AS hs FROM rk WHERE rn <= 128
+         |  GROUP BY lang),
+         |pr AS (SELECT a.lang AS grp_a, b.lang AS grp_b, a.hs AS ha, b.hs AS hb
+         |  FROM kp a JOIN kp b ON a.lang < b.lang),
+         |uu AS (SELECT grp_a, grp_b, ha, hb,
+         |  list_sort(list_distinct(ha || hb))[1:128] AS u FROM pr),
+         |st AS (SELECT grp_a, grp_b,
+         |  CAST(len(u) AS BIGINT) AS n_union_kept,
+         |  CAST(len(list_filter(u, x -> list_contains(ha, x) AND list_contains(hb, x))) AS BIGINT) AS n_common,
+         |  u[len(u)] AS hk FROM uu),
+         |es AS (SELECT grp_a, grp_b, n_union_kept, n_common,
+         |  CASE WHEN n_union_kept < 128 THEN CAST(n_union_kept AS DOUBLE)
+         |       ELSE 127.0 * 1000000007 / greatest(hk, 1) END AS union_est,
+         |  CAST(n_common AS DOUBLE) / n_union_kept AS jaccard_est FROM st)
+         |SELECT grp_a, grp_b, n_union_kept, n_common, union_est, jaccard_est,
+         |  jaccard_est * union_est AS inter_est
+         |FROM es""".stripMargin,
 
     // Twin of Sessionize.sessions: lag marks session starts, running sum
     // numbers them (CAST: DuckDB promotes the window sum to HUGEINT).

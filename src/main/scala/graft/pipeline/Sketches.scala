@@ -63,10 +63,7 @@ object Sketches {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     require(groupCols.nonEmpty, "kmvDistinct needs at least one group column")
     val g = groupCols.map(col)
-    val affine = (PolyHash(col(valueCol).cast("string"), 0L) * Sampling.saltMult("kmv")
-      + Sampling.saltAdd("kmv")) % PolyHash.Mod
-    val h = PolyHash(lpad(affine.cast("string"), 10, "0"), 0L)
-    val dist = df.select(g :+ h.as("__h"): _*).distinct()
+    val dist = df.select(g :+ kmvHash(valueCol).as("__h"): _*).distinct()
     val w = Window.partitionBy(g: _*).orderBy(col("__h").asc)
     dist.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= k)
@@ -77,5 +74,70 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble * PolyHash.Mod) /
             greatest(col("kth_min"), lit(1L)))
           .as("est_distinct")): _*)
+  }
+
+  /** The mixed hash shared by every KMV face (including the streaming one,
+    * [[graft.streaming.StreamOps.kmvStream]]) — see [[kmvDistinct]] for
+    * why the two extra stages exist.
+    */
+  def kmvHash(valueCol: String): org.apache.spark.sql.Column = {
+    val affine = (PolyHash(col(valueCol).cast("string"), 0L) * Sampling.saltMult("kmv")
+      + Sampling.saltAdd("kmv")) % PolyHash.Mod
+    PolyHash(lpad(affine.cast("string"), 10, "0"), 0L)
+  }
+
+  /** The materialized KMV sketch per group: the (at most) k smallest
+    * distinct mixed hashes, ascending — `groupCols ++ (hs array<long>)`.
+    * This IS the mergeable synopsis: the k smallest of a union of sketches
+    * is the sketch of the union, which is what [[kmvPairJaccard]]
+    * exploits. Same bounded-shuffle plan as [[kmvDistinct]].
+    */
+  def kmvSketch(df: DataFrame, k: Int, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    require(groupCols.nonEmpty, "kmvSketch needs at least one group column")
+    val g = groupCols.map(col)
+    val dist = df.select(g :+ kmvHash(valueCol).as("__h"): _*).distinct()
+    val w = Window.partitionBy(g: _*).orderBy(col("__h").asc)
+    dist.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .groupBy(g: _*)
+      .agg(sort_array(collect_list(col("__h"))).as("hs"))
+  }
+
+  /** Pairwise distinct-set overlap estimates between groups, from KMV
+    * sketches alone (Beyer et al. 2007's multiset-operation synopses):
+    * for each group pair (grp_a < grp_b), the union sketch U = k smallest
+    * of the merged hash sets, `union_est` the KMV estimate on U,
+    * `jaccard_est = |{h ∈ U : h ∈ A ∧ h ∈ B}| / |U|` (exact when the
+    * union has fewer than k distinct hashes — then U is the whole union),
+    * and `inter_est = jaccard_est · union_est`. THE "how much does corpus
+    * A overlap corpus B" diagnostic (cross-source contamination, shard
+    * drift) at sketch cost: after the per-group sketch reduction the pair
+    * join touches G·k longs for G groups — group-level metadata, so the
+    * pair comparison is a broadcast nested-loop over G² sketch pairs,
+    * never over rows.
+    */
+  def kmvPairJaccard(df: DataFrame, k: Int, groupCol: String,
+      valueCol: String): DataFrame = {
+    val sk = kmvSketch(df, k, Seq(groupCol), valueCol)
+    val a = sk.select(col(groupCol).as("grp_a"), col("hs").as("__ha"))
+    val b = sk.select(col(groupCol).as("grp_b"), col("hs").as("__hb"))
+    val paired = a.join(broadcast(b), col("grp_a") < col("grp_b"))
+      .withColumn("__u", slice(array_sort(array_union(col("__ha"), col("__hb"))), 1, k))
+      .withColumn("n_union_kept", size(col("__u")).cast("long"))
+      .withColumn("n_common",
+        size(filter(col("__u"), x =>
+          array_contains(col("__ha"), x) && array_contains(col("__hb"), x)))
+          .cast("long"))
+      .withColumn("union_est",
+        when(col("n_union_kept") < k, col("n_union_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble * PolyHash.Mod) /
+            greatest(element_at(col("__u"), size(col("__u"))), lit(1L))))
+      .withColumn("jaccard_est",
+        col("n_common").cast("double") / col("n_union_kept"))
+    paired.select(col("grp_a"), col("grp_b"), col("n_union_kept"),
+      col("n_common"), col("union_est"), col("jaccard_est"),
+      (col("jaccard_est") * col("union_est")).as("inter_est"))
   }
 }

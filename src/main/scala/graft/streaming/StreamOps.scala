@@ -342,4 +342,69 @@ object StreamOps {
             next.maxValue, next.n)
       }
   }
+
+  final case class KmvIn(grp: String, h: Long)
+  final case class KmvState(hs: Vector[Long])
+  final case class KmvEstimate(grp: String, n_kept: Long, kth_min: Long,
+      est_distinct: Double)
+
+  /** Streaming KMV distinct-count sketch: per group, the k smallest
+    * distinct mixed hashes seen so far ([[graft.pipeline.Sketches.kmvHash]]
+    * — same mixer as the batch face), re-estimated on every micro-batch
+    * that touches the group. The live "distinct users so far" dashboard
+    * figure, at O(k) state per group instead of the full distinct set a
+    * streaming exact count would hold — the whole point of a sketch in a
+    * stream.
+    *
+    * Run on a BATCH frame this emits exactly
+    * [[graft.pipeline.Sketches.kmvDistinct]] (one "micro-batch" per group;
+    * same merge, same estimator — the `stream_kmv` gate aliases the
+    * `sketch_kmv` oracle). Run on a stream it emits the group's refreshed
+    * estimate per micro-batch (Append mode), each strictly refining the
+    * last: the k-min merge is associative and insensitive to arrival
+    * order, so the final estimate equals the batch estimate over the
+    * union of all batches regardless of how rows were split — pinned by
+    * StreamOpsSpec.
+    *
+    * STATE RETENTION CONTRACT: state is a FIXED k longs per group —
+    * unbounded group cardinality is the only growth axis. `idleTimeoutMs`
+    * evicts idle groups (ProcessingTimeTimeout); an evicted group restarts
+    * its sketch from empty, UNDER-estimating until it re-fills — the
+    * recency trade a bounded-state deployment makes explicit.
+    */
+  def kmvStream(df: DataFrame, k: Int, groupCol: String, valueCol: String,
+      idleTimeoutMs: Option[Long] = None): Dataset[KmvEstimate] = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    require(idleTimeoutMs.forall(_ > 0), s"idleTimeoutMs must be positive: $idleTimeoutMs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.PolyHash
+    import graft.pipeline.Sketches
+    val rows = df.select(col(groupCol).cast("string").as("grp"),
+      Sketches.kmvHash(valueCol).as("h")).as[KmvIn]
+    val timeoutConf =
+      if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    rows.groupByKey(_.grp)
+      .flatMapGroupsWithState[KmvState, KmvEstimate](
+        OutputMode.Append(), timeoutConf) {
+        (grp, batch, state: GroupState[KmvState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.map(_.hs).getOrElse(Vector.empty)
+            // merge-then-cut: distinct keeps the sketch a SET of hashes;
+            // take(k) after sort is the associative k-min reduction
+            val hs = (prev ++ batch.map(_.h)).distinct.sorted.take(k)
+            state.update(KmvState(hs))
+            idleTimeoutMs.foreach(state.setTimeoutDuration)
+            val n = hs.size.toLong
+            val est =
+              if (n < k) n.toDouble
+              else (k - 1).toDouble * PolyHash.Mod / math.max(hs.last, 1L)
+            Iterator.single(KmvEstimate(grp, n, hs.last, est))
+          }
+      }
+  }
 }

@@ -42,6 +42,33 @@ class SketchesSpec extends SparkSpec {
     assert(a.getAs[Double]("est_distinct") == b.getAs[Double]("est_distinct"))
   }
 
+  test("kmvPairJaccard is exact below k and tracks true overlap above") {
+    // exact regime: |A|=30, |B|=40, |A∩B|=20 -> union 50 < k=128, so the
+    // union sketch IS the union and every figure is exact
+    val exact = (0 until 30).map(i => ("A", s"s$i")) ++
+      (10 until 50).map(i => ("B", s"s$i"))
+    val e = Sketches.kmvPairJaccard(exact.toDF("grp", "v"), 128, "grp", "v")
+      .collect().head
+    assert(e.getAs[String]("grp_a") == "A" && e.getAs[String]("grp_b") == "B")
+    assert(e.getAs[Long]("n_union_kept") == 50L)
+    assert(e.getAs[Long]("n_common") == 20L)
+    assert(e.getAs[Double]("union_est") == 50.0)
+    assert(e.getAs[Double]("jaccard_est") == 0.4)
+    assert(math.abs(e.getAs[Double]("inter_est") - 20.0) < 1e-9)
+    // estimator regime: 2000 vs 2000 with 1000 shared -> union 3000,
+    // true jaccard 1/3; σ(J) ≈ √(J(1−J)/k) ≈ 0.042, allow ~4σ
+    val big = (0 until 2000).map(i => ("A", s"x$i")) ++
+      (1000 until 3000).map(i => ("B", s"x$i"))
+    val g = Sketches.kmvPairJaccard(big.toDF("grp", "v"), 128, "grp", "v")
+      .collect().head
+    assert(math.abs(g.getAs[Double]("jaccard_est") - 1.0 / 3) < 0.17,
+      s"jaccard ${g.getAs[Double]("jaccard_est")}")
+    assert(math.abs(g.getAs[Double]("union_est") - 3000.0) / 3000.0 < 0.5,
+      s"union ${g.getAs[Double]("union_est")}")
+    assert(math.abs(g.getAs[Double]("inter_est") - 1000.0) / 1000.0 < 0.6,
+      s"inter ${g.getAs[Double]("inter_est")}")
+  }
+
   test("dupNgramSpans finds the shared run and merges consecutive starts") {
     // docs 1 and 2 share a 10-token run -> 3 consecutive duplicated
     // 8-gram starts (positions 0..2 in doc 1) that must merge into ONE span

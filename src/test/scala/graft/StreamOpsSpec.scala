@@ -239,6 +239,63 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmvStream: batch face == kmvDistinct; sketch refines across micro-batches") {
+    import graft.pipeline.Sketches
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val reference = rowsOf(
+      Sketches.kmvDistinct(events, 64, Seq("event_type"), "user_id"))
+    assert(rowsOf(StreamOps.kmvStream(events, 64, "event_type", "user_id")
+      .toDF().withColumnRenamed("grp", "event_type")) == reference)
+
+    // streaming face: the k-min merge is associative, so the post-split
+    // estimate must equal the batch sketch over the union of both batches
+    val b1 = (0 until 50).map(i => ("g", s"a$i"))
+    val b2 = (0 until 60).map(i => ("g", s"b$i"))
+    val in = MemoryStream[(String, String)]
+    val q = StreamOps.kmvStream(in.toDS().toDF("grp", "v"), 16, "grp", "v")
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      in.addData(b1)
+      q.processAllAvailable()
+      in.addData(b2)
+      q.processAllAvailable()
+      val got = spark.table("kmv_stream").collect()
+        .map(r => (r.getAs[Long]("n_kept"), r.getAs[Long]("kth_min"),
+          r.getAs[Double]("est_distinct"))).toSet
+      def batchRow(data: Seq[(String, String)]) = {
+        val r = Sketches.kmvDistinct(data.toDF("grp", "v"), 16, Seq("grp"), "v")
+          .collect().head
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("kth_min"),
+          r.getAs[Double]("est_distinct"))
+      }
+      // first emission sketches batch 1 alone; second the union
+      assert(got == Set(batchRow(b1), batchRow(b1 ++ b2)),
+        s"got $got")
+    } finally q.stop()
+  }
+
+  test("kmvStream idle eviction: an evicted group restarts its sketch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val q = StreamOps.kmvStream(in.toDS().toDF("grp", "v"), 8, "grp", "v",
+      idleTimeoutMs = Some(300L))
+      .writeStream.format("memory").queryName("kmv_evict")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      def rows() = spark.table("kmv_evict").collect()
+        .map(r => r.getAs[Long]("n_kept")).toSeq
+      in.addData((0 until 6).map(i => ("g", s"v$i")))
+      eventually("first sketch lands")(rows().contains(6L))
+      Thread.sleep(1000) // past the 300 ms idle window; state evicts
+      in.addData(Seq(("g", "fresh")))
+      // a retained sketch would report 7; the evicted group restarts at 1
+      eventually("restarted sketch lands")(rows().contains(1L))
+      assert(!rows().contains(7L), s"state survived eviction: ${rows()}")
+    } finally q.stop()
+  }
+
   test("nearDupStream idle eviction: a forgotten bucket misses the later dup") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ta = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
