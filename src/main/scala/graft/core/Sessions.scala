@@ -7,10 +7,12 @@ import org.apache.spark.sql.SparkSession
   * Scale notes (designed for a 1000-executor cluster, tested on local[32]):
   *  - AQE on: runtime coalescing of shuffle partitions + skew-join splitting
   *    is the first line of defense at 100 TB.
-  *  - `nanosAsLong`: the ingest tables carry TIMESTAMP(NANOS) parquet which
-  *    Spark's TimestampType (micros) cannot hold; we keep time as epoch-nano
-  *    longs end-to-end (cheap, exact, timezone-free) and only convert to
-  *    timestamps at display boundaries (SeriesOps.displayMs).
+  *  - `nanosAsLong`: when the ingest tables carry TIMESTAMP(NANOS) parquet
+  *    (which Spark's TimestampType, micros, cannot hold) this surfaces them
+  *    as epoch-nano longs; µs/ms-precision files are instead normalized in
+  *    `Tables.events` via `unix_micros`. Either way the engine keeps time as
+  *    epoch-nano longs end-to-end (cheap, exact, timezone-free) and only
+  *    converts to timestamps at display boundaries (SeriesOps.displayMs).
   */
 object Sessions {
 

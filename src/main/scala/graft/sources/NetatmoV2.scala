@@ -87,6 +87,31 @@ private[sources] object FixtureDeviceApi {
       |  optional double value;
       |}""".stripMargin
 
+  /** ns-per-tick of the file's `ts` column, from the parquet footer's logical
+    * type annotation: TIMESTAMP(NANOS) → 1, MICROS → 1e3, MILLIS → 1e6; a
+    * plain INT64 column is epoch-ns by the engine's convention. Absorbing the
+    * unit here keeps the connector correct across testdata regenerations that
+    * change the writer's physical type (µs vs ns), exactly like the Spark-side
+    * `Tables.events` normalization.
+    */
+  private def tsUnitScaleNs(file: String, conf: Configuration): Long = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val schema = in.getFileMetaData.getSchema
+      schema.getType(schema.getFieldIndex("ts"))
+        .asPrimitiveType().getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.NANOS  => 1L
+          case LogicalTypeAnnotation.TimeUnit.MICROS => 1000L
+          case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000000L
+        }
+        case _ => 1L
+      }
+    } finally in.close()
+  }
+
   /** Stream one module's (ts, event_type, value) rows within [startNs, endNs). */
   def moduleEvents(path: String, userId: Long, types: Set[String],
       startNs: Long, endNs: Long)(f: (Long, String, Double) => Unit): Unit =
@@ -94,19 +119,25 @@ private[sources] object FixtureDeviceApi {
       import org.apache.parquet.filter2.predicate.FilterApi
       val conf = new Configuration()
       conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, Projection)
+      val scale = tsUnitScaleNs(file, conf)
       val tsCol = FilterApi.longColumn("ts")
-      // raw-ns superset of the µs-grid window: |raw - trunc(raw)| < 1000
-      // whatever the sign (JVM division truncates toward zero), so
-      // trunc(raw) ∈ [lo, hi) implies raw ∈ (lo - 1000, hi + 1000) — a
-      // block partition's parquet scan then skips row groups whose ts stats
-      // lie outside ITS block, instead of re-reading the module's whole
-      // history per block (exact µs-grid filtering still happens below).
+      // Raw-tick superset of the µs-grid ns window: raw ticks satisfy
+      // raw*scale ∈ (startNs - 1000, endNs + 1000) (the ±1000 absorbs the
+      // µs-grid truncation, which moves a value by < 1000 ns whatever the
+      // sign — JVM division truncates toward zero). In file units that is
+      // raw > floor((startNs-1000)/scale) - 1 and raw < floor((endNs+1000)/
+      // scale) + 1 — a block partition's parquet scan then skips row groups
+      // whose ts stats lie outside ITS block, instead of re-reading the
+      // module's whole history per block (exact µs-grid filtering still
+      // happens below).
       var pred: org.apache.parquet.filter2.predicate.FilterPredicate =
         FilterApi.eq(FilterApi.longColumn("user_id"), java.lang.Long.valueOf(userId))
       if (startNs >= Long.MinValue + 1000L)
-        pred = FilterApi.and(pred, FilterApi.gt(tsCol, java.lang.Long.valueOf(startNs - 1000L)))
+        pred = FilterApi.and(pred, FilterApi.gt(tsCol,
+          java.lang.Long.valueOf(Math.floorDiv(startNs - 1000L, scale) - 1L)))
       if (endNs <= Long.MaxValue - 1000L)
-        pred = FilterApi.and(pred, FilterApi.lt(tsCol, java.lang.Long.valueOf(endNs + 1000L)))
+        pred = FilterApi.and(pred, FilterApi.lt(tsCol,
+          java.lang.Long.valueOf(Math.floorDiv(endNs + 1000L, scale) + 1L)))
       val reader = ParquetReader.builder(new GroupReadSupport(), new Path(file))
         .withConf(conf)
         .withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(pred))
@@ -118,7 +149,8 @@ private[sources] object FixtureDeviceApi {
               types.contains(g.getString("event_type", 0)) &&
               g.getFieldRepetitionCount("ts") > 0 &&
               g.getFieldRepetitionCount("value") > 0) {
-            val ts = (g.getLong("ts", 0) / 1000L) * 1000L // µs grid (eventsUs twin)
+            // µs grid (eventsUs twin), after widening file ticks to epoch-ns
+            val ts = (g.getLong("ts", 0) * scale / 1000L) * 1000L
             if (ts >= startNs && ts < endNs)
               f(ts, g.getString("event_type", 0), g.getDouble("value", 0))
           }
