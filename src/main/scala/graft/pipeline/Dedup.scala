@@ -206,8 +206,21 @@ object Dedup {
     val sigs = spreadById(df.select(col(idCol), col(textCol)), idCol)
       .select(col(idCol), simhash(col(textCol), shingleK).as("sig"))
       .where(col("sig").isNotNull)
-    hammingNearDups(sigs, idCol, "sig", SimhashBits, maxDist)
+    // narrow chunks accepted knowingly: at maxDist 6 the 7 chunks carry
+    // 4 (30-bit) / 9 (64-bit) bits each — fine on corpus slices; route
+    // trillion-doc corpora through a wider signature at a smaller radius
+    hammingNearDups(sigs, idCol, "sig", SimhashBits, maxDist,
+      allowNarrowChunks = true)
   }
+
+  /** Candidate-budget floor: a pigeonhole chunk narrower than this many bits
+    * has an equi-join key alphabet of < 2^10 values, so each chunk's
+    * candidate set degrades toward n²/2^width pairs — quadratic in disguise
+    * on a large corpus. [[hammingNearDups]]/[[hammingNearDupsWide]] refuse
+    * such configurations unless the caller explicitly opts in (legitimate at
+    * corpus-slice scale, a meltdown at 100 TB).
+    */
+  val MinChunkBits = 10
 
   /** Exact pigeonhole Hamming join over ANY integer signature column (the
     * generic core of [[simhashNearDups]], also driving
@@ -215,27 +228,71 @@ object Dedup {
     * signature into maxDist+1 contiguous chunks, equi-join on
     * (chunk, chunk_value) — any pair within Hamming maxDist must agree on
     * at least one chunk — and verify the true distance on candidates only.
-    * Sign extension from a set top bit (64-bit signatures) is harmless:
-    * the post-shift mask keeps only the chunk's own bits.
+    * Single-word face of [[hammingNearDupsWide]].
     */
   def hammingNearDups(sigs: DataFrame, idCol: String, sigCol: String,
-      bits: Int, maxDist: Int): DataFrame = {
+      bits: Int, maxDist: Int, allowNarrowChunks: Boolean = false): DataFrame = {
     require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+    hammingNearDupsWide(
+      sigs.withColumn(sigCol, array(col(sigCol).cast("long"))),
+      idCol, sigCol, bits, maxDist, allowNarrowChunks)
+  }
+
+  /** Exact pigeonhole Hamming join over MULTI-WORD signatures — an
+    * `array<bigint>` column carrying a `totalBits`-wide signature in 64-bit
+    * little-endian words (word 0 holds bits 0–63; a partial last word keeps
+    * its high bits clear). Same guarantee as the single-word face: any pair
+    * within Hamming `maxDist` must agree exactly on at least one of the
+    * maxDist+1 contiguous bit chunks, so the (chunk, chunk_val) equi-join
+    * finds exactly the brute-force pair set, verified by the full distance
+    * (per-word XOR popcounts summed) on candidates only.
+    *
+    * Scale contract: each chunk carries ⌊totalBits/(maxDist+1)⌋ bits, and
+    * the join key alphabet is 2^that — the candidate volume is
+    * Σ_val cnt(val)² per chunk. A 256-bit signature at radius 24 gives 25
+    * chunks × ~10 bits (alphabet ≥ 2^10, healthy); a 64-bit signature at
+    * radius 14 gives 4-bit chunks (alphabet ~21 — n²/21 candidates) and is
+    * REFUSED unless `allowNarrowChunks` is set. The fix is a wider
+    * signature at the same absolute radius, not a wider radius.
+    */
+  def hammingNearDupsWide(sigs: DataFrame, idCol: String, sigCol: String,
+      totalBits: Int, maxDist: Int, allowNarrowChunks: Boolean = false): DataFrame = {
+    require(totalBits >= 1, s"totalBits must be >= 1, got $totalBits")
     // maxDist == 0 is valid (one full-width chunk: exact-signature dups);
-    // maxDist >= bits would create zero-width chunks whose constant
+    // maxDist >= totalBits would create zero-width chunks whose constant
     // chunk_val degrades the equi-join to an all-pairs cross product
-    require(maxDist >= 0 && maxDist < bits,
-      s"maxDist must be in [0, bits), got $maxDist for $bits bits")
+    require(maxDist >= 0 && maxDist < totalBits,
+      s"maxDist must be in [0, totalBits), got $maxDist for $totalBits bits")
     val nChunks = maxDist + 1
-    val bounds = (0 to nChunks).map(c => c * bits / nChunks)
+    require(allowNarrowChunks || totalBits / nChunks >= MinChunkBits,
+      s"pigeonhole chunks would carry only ${totalBits / nChunks} bits " +
+        s"($totalBits bits / $nChunks chunks): a < 2^$MinChunkBits join-key " +
+        "alphabet degrades the candidate set toward all-pairs at scale. " +
+        "Widen the signature (e.g. a multi-word contour) at the same radius, " +
+        "reduce maxDist, or pass allowNarrowChunks = true for corpus-slice use.")
+    val bounds = (0 to nChunks).map(c => c * totalBits / nChunks)
+    // bit range [lo, hi) of the flattened little-endian words; a chunk is at
+    // most 64 bits wide, so it spans at most two words. Unsigned shifts keep
+    // a set word-top bit from sign-extending into the chunk value.
+    def chunkVal(sig: Column, lo: Int, hi: Int): Column = {
+      val width = hi - lo
+      val word = lo / 64
+      val off = lo % 64
+      val first = shiftrightunsigned(element_at(sig, word + 1), off)
+      if (off + width <= 64) {
+        val mask = -1L >>> (64 - width) // width == 64 → -1L (all bits)
+        first.bitwiseAND(lit(mask))
+      } else {
+        val loBits = 64 - off
+        val hiMask = -1L >>> (64 - (width - loBits))
+        first.bitwiseOR(shiftleft(
+          element_at(sig, word + 2).bitwiseAND(lit(hiMask)), loBits))
+      }
+    }
     val chunked = sigs.select(col(idCol), col(sigCol).as("sig"),
       explode(array((0 until nChunks).map { c =>
-        val lo = bounds(c)
-        // unsigned-shift form: correct for the full 64-bit-wide chunk,
-        // where (1L << 64) - 1 would wrap to 0
-        val mask = -1L >>> (64 - (bounds(c + 1) - lo))
         struct(lit(c).as("chunk"),
-          shiftright(col(sigCol), lo).bitwiseAND(lit(mask)).as("chunk_val"))
+          chunkVal(col(sigCol), bounds(c), bounds(c + 1)).as("chunk_val"))
       }: _*)).as("ck"))
       .select(col(idCol), col("sig"), col("ck.chunk").as("chunk"),
         col("ck.chunk_val").as("chunk_val"))
@@ -245,7 +302,10 @@ object Dedup {
       col(idCol).as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("chunk", "chunk_val"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .withColumn("hamming",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => bit_count(x.bitwiseXOR(y))),
+          lit(0), (acc, x) => acc + x))
       .where(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .distinct()

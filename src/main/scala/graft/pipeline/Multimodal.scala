@@ -294,9 +294,12 @@ object Multimodal {
     */
   def phashNearDups(media: DataFrame, maxDist: Int = 6, idCol: String = "doc_id",
       blobCol: String = "media"): DataFrame =
+    // narrow chunks accepted knowingly: 7 chunks × 9 bits at the default
+    // radius — fine on corpus slices; a trillion-image dedup should carry a
+    // wider hash (e.g. 256-bit multi-frequency) at the same absolute radius
     Dedup.hammingNearDups(
       perceptualHash(media, idCol, blobCol).select(col(idCol), col("phash")),
-      idCol, "phash", bits = 64, maxDist = maxDist)
+      idCol, "phash", bits = 64, maxDist = maxDist, allowNarrowChunks = true)
 
   /** Batched per-partition decode over the binary column: a real P6 parse
     * per blob. Rows stream through the partition iterator — nothing is

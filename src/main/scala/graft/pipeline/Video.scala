@@ -161,26 +161,7 @@ object Video {
     val out: Dataset[Row] = projected.mapPartitions { it =>
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](1)
-        val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-        var total = 0L
-        walkFrames(bytes) { (_, w, h, off) =>
-          val n = 3 * w * h
-          frames += ((off, n))
-          total += n
-        }
-        val e = new Array[Long](65)
-        var g = 0L
-        var wi = 0
-        frames.foreach { case (off, n) =>
-          var j = 0
-          while (j < n) {
-            while (wi < 64 && g >= (wi + 1).toLong * total / 65) wi += 1
-            val v = bytes(off + j) & 0xff
-            e(wi) += v.toLong * v
-            g += 1
-            j += 1
-          }
-        }
+        val (total, e) = lumaContour(bytes)
         var hash = 0L
         var b = 0
         while (b < 64) {
@@ -193,19 +174,74 @@ object Video {
     out
   }
 
-  /** Video near-dup pairs: Hamming ≤ maxDist over [[videoFingerprint]] via
-    * [[Dedup.hammingNearDups]]'s exact pigeonhole equi-join — the fourth
-    * face of the per-modality dedup family (text MinHash, image pHash,
-    * audio energy contour, video luma contour). Radius 14 for the same
-    * reason as audio: a small edit shifts every downstream byte, so all 65
-    * positional windows move slightly and true near-dups land wider than
-    * the image hash's 6.
+  /** The shared 65-window Σ byte² luma contour of one decoded stream:
+    * returns (total decoded bytes, window energies). One linear pass, the
+    * window index advancing monotonically with the byte cursor.
     */
-  def videoNearDups(video: DataFrame, maxDist: Int = 14, idCol: String = "doc_id",
+  private def lumaContour(bytes: Array[Byte]): (Long, Array[Long]) = {
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var total = 0L
+    walkFrames(bytes) { (_, w, h, off) =>
+      val n = 3 * w * h
+      frames += ((off, n))
+      total += n
+    }
+    val e = new Array[Long](65)
+    var g = 0L
+    var wi = 0
+    frames.foreach { case (off, n) =>
+      var j = 0
+      while (j < n) {
+        while (wi < 64 && g >= (wi + 1).toLong * total / 65) wi += 1
+        val v = bytes(off + j) & 0xff
+        e(wi) += v.toLong * v
+        g += 1
+        j += 1
+      }
+    }
+    (total, e)
+  }
+
+  val wideFingerprintSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_px", LongType),
+    StructField("vfp", ArrayType(LongType, containsNull = false))))
+
+  /** 256-bit wide video fingerprint: the same 65-window luma contour as
+    * [[videoFingerprint]], compared at lags 1/2/4/8 ([[Audio.WideLags]])
+    * into four 64-bit words (`vfp(0)` is the lag-1 word, identical to the
+    * 64-bit `vfp`) — the video face of [[Audio.audioFingerprintWide]], with
+    * the same purpose: enough signature width that a SMALL absolute
+    * near-dup radius keeps the pigeonhole join-key alphabet ≥ 2^10.
+    */
+  def videoFingerprintWide(video: DataFrame, idCol: String = "doc_id",
+      blobCol: String = "video"): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(wideFingerprintSchema)
+    val projected = video.select(col(idCol).cast("long"), col(blobCol))
+    val out: Dataset[Row] = projected.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](1)
+        val (total, e) = lumaContour(bytes)
+        Row(row.getLong(0), total, Audio.wideContourWords(e).toSeq)
+      }
+    }(enc)
+    out
+  }
+
+  /** Video near-dup pairs: Hamming ≤ maxDist over [[videoFingerprintWide]]
+    * via [[Dedup.hammingNearDupsWide]]'s exact pigeonhole equi-join — the
+    * fourth face of the per-modality dedup family (text MinHash, image
+    * pHash, audio energy contour, video luma contour). Default radius 24
+    * over 256 bits, same calibration as audio: in-place edited copies land
+    * at ≤ 19 on the fixture corpus while unrelated pairs bottom out at
+    * ~71 — and 25 chunks × ~10 bits keeps the join-key alphabet healthy
+    * (the former 64-bit/radius-14 config forced 4-bit chunks).
+    */
+  def videoNearDups(video: DataFrame, maxDist: Int = 24, idCol: String = "doc_id",
       blobCol: String = "video"): DataFrame =
-    Dedup.hammingNearDups(
-      videoFingerprint(video, idCol, blobCol).select(col(idCol), col("vfp")),
-      idCol, "vfp", bits = 64, maxDist = maxDist)
+    Dedup.hammingNearDupsWide(
+      videoFingerprintWide(video, idCol, blobCol).select(col(idCol), col("vfp")),
+      idCol, "vfp", totalBits = Audio.WideFingerprintBits, maxDist = maxDist)
 
   val sampleSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

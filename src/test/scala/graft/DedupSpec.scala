@@ -108,6 +108,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("hammingNearDups refuses narrow pigeonhole chunks unless overridden") {
+    val sigs = Seq((1L, 7L), (2L, 7L)).toDF("doc_id", "sig")
+    // 64 bits at radius 14 → 4-bit chunks: the n²/16 candidate degeneracy —
+    // refused by default, with an actionable hint
+    val e = intercept[IllegalArgumentException] {
+      Dedup.hammingNearDups(sigs, "doc_id", "sig", bits = 64, maxDist = 14)
+    }
+    assert(e.getMessage.contains("Widen the signature"), e.getMessage)
+    // explicit opt-in runs (corpus-slice scale)
+    val got = Dedup.hammingNearDups(sigs, "doc_id", "sig", bits = 64,
+      maxDist = 14, allowNarrowChunks = true).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq((1L, 2L, 0)))
+  }
+
   test("exact dedup groups identical texts under the smallest keeper id") {
     val d = Seq((10L, "same text"), (11L, "same text"), (12L, "other text"))
       .toDF("doc_id", "text")

@@ -214,10 +214,35 @@ class PipelinePropsSpec extends SparkSpec {
         d = java.lang.Long.bitCount(sa ^ sb) if d <= maxDist
       } yield (a, b, d)).toSet
       val got = Dedup.hammingNearDups(sigs.toDF("id", "sig"), "id", "sig",
-        bits, maxDist).as[(Long, Long, Int)].collect().toSet
+        bits, maxDist, allowNarrowChunks = true).as[(Long, Long, Int)].collect().toSet
       assert(got == brute, s"bits=$bits maxDist=$maxDist: " +
         s"${got.size} vs brute ${brute.size}")
     }
+  }
+
+  test("hammingNearDupsWide == brute force on random multi-word signatures") {
+    import graft.pipeline.Dedup
+    // 256-bit (4-word) signatures clustered around centers; radius 24 keeps
+    // chunks ≥ 10 bits, and flips cross word boundaries by construction
+    val centers = Array.fill(5)(Array.fill(4)(rnd.nextLong()))
+    val sigs = (1L to 100L).map { i =>
+      val c = centers(rnd.nextInt(centers.length)).clone()
+      (0 until rnd.nextInt(30)).foreach { _ =>
+        val bit = rnd.nextInt(256)
+        c(bit / 64) ^= 1L << (bit % 64)
+      }
+      (i, c.toSeq)
+    }
+    def dist(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      d = dist(sa, sb) if d <= 24
+    } yield (a, b, d)).toSet
+    assert(brute.nonEmpty, "clustered corpus must contain wide near-dups")
+    val got = Dedup.hammingNearDupsWide(sigs.toDF("id", "sig"), "id", "sig",
+      totalBits = 256, maxDist = 24).as[(Long, Long, Int)].collect().toSet
+    assert(got == brute, s"${got.size} vs brute ${brute.size}")
   }
 
   test("weighted sampling: inclusion probability increases with weight (rank law)") {
