@@ -355,9 +355,10 @@ object SparkEntry {
   private def wideDupsSelect(maxDist: Int): String =
     s"""SELECT id_a, id_b, hamming FROM (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
-       |       + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3))
-       |      AS INTEGER) AS hamming
+       |    CAST(bit_count(xor(a.w0, b.w0)) AS INTEGER)
+       |      + CAST(bit_count(xor(a.w1, b.w1)) AS INTEGER)
+       |      + CAST(bit_count(xor(a.w2, b.w2)) AS INTEGER)
+       |      + CAST(bit_count(xor(a.w3, b.w3)) AS INTEGER) AS hamming
        |  FROM wfpt a JOIN wfpt b ON a.doc_id < b.doc_id)
        |WHERE hamming <= $maxDist""".stripMargin
 

@@ -146,18 +146,28 @@ class AudioSpec extends SparkSpec {
     assert(fp(4L) == 0L, "empty clip hashes to 0")
   }
 
-  test("audioNearDups equals brute-force Hamming over fingerprints (sf0.001)") {
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  test("audioNearDups equals brute-force Hamming over wide fingerprints (sf0.001)") {
+    // edit-augmented corpus (mirrors SparkEntry.nearDupCorpus): the raw
+    // synth corpus has no true audio near-dups under the wide fingerprint
+    // (min pairwise distance ~62), so inject length-preserving edited twins
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val docs = d.unionByName(
+      d.where(length(col("text")) >= 61)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(substring(col("text"), 1, 50), lit("x" * 10),
+            expr("substring(text, 61)")).as("text")))
     val table = Audio.synthAudioTable(docs)
-    val got = Audio.audioNearDups(table, maxDist = 14)
+    val got = Audio.audioNearDups(table, maxDist = 24)
       .select("id_a", "id_b", "hamming").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val fp = Audio.audioFingerprint(table)
+    val fp = Audio.audioFingerprintWide(table)
       .select("doc_id", "afp").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Long]]("afp").toArray))
     val brute = (for {
       (ia, fa) <- fp; (ib, fb) <- fp if ia < ib
-      d = java.lang.Long.bitCount(fa ^ fb) if d <= 14
+      d = fa.zip(fb).map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+      if d <= 24
     } yield (ia, ib, d)).toSet
     assert(brute.nonEmpty, "fixture corpus must contain audio near-dups")
     assert(got == brute)

@@ -104,18 +104,29 @@ class VideoSpec extends SparkSpec {
     assert(rows(1) == ((4L, 0L, 0L)), "empty clip: zero bytes, zero hash")
   }
 
-  test("videoNearDups equals brute-force Hamming over fingerprints (sf0.001)") {
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  test("videoNearDups equals brute-force Hamming over wide fingerprints (sf0.001)") {
+    // edit-augmented corpus (mirrors SparkEntry.nearDupCorpus): the raw
+    // synth corpus has no true video near-dups under the wide fingerprint,
+    // so inject length-preserving edited twins to give the parity check a
+    // real separated signal
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val docs = d.unionByName(
+      d.where(length(col("text")) >= 61)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(substring(col("text"), 1, 50), lit("x" * 10),
+            expr("substring(text, 61)")).as("text")))
     val table = Video.synthVideoTable(docs)
-    val got = Video.videoNearDups(table, maxDist = 14)
+    val got = Video.videoNearDups(table, maxDist = 24)
       .select("id_a", "id_b", "hamming").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val fp = Video.videoFingerprint(table)
+    val fp = Video.videoFingerprintWide(table)
       .select("doc_id", "vfp").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Long]]("vfp").toArray))
     val brute = (for {
       (ia, fa) <- fp; (ib, fb) <- fp if ia < ib
-      d = java.lang.Long.bitCount(fa ^ fb) if d <= 14
+      d = fa.zip(fb).map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+      if d <= 24
     } yield (ia, ib, d)).toSet
     assert(brute.nonEmpty, "fixture corpus must contain video near-dups")
     assert(got == brute)
