@@ -2175,20 +2175,52 @@ object SparkEntry {
          |SELECT deg.src AS doc_id, deg.deg, r3.rank
          |FROM deg JOIN r3 ON r3.id = deg.src""".stripMargin
     },
-    "dedup_simhash" ->
+    // Twin of the WIDE multi-seed SimHash (Dedup.simhashWide): per seed j,
+    // h_j = (h_0 + j·31^len) mod p per shingle (the same algebraic seed
+    // derivation as minhash), a 30-bit bit-balance signature per seed, the
+    // eight signatures packed little-endian into 4 BIGINT words (HUGEINT
+    // accumulation + two's-complement fold, as in wideWordCtes), then the
+    // all-pairs wide-Hamming brute force the pigeonhole must equal.
+    "dedup_simhash" -> {
+      val seeds = graft.pipeline.Dedup.SimhashWideSeeds
+      val maxDist = graft.pipeline.Dedup.SimhashWideMaxDist
+      val powSql = // 31^bytelen(s) mod p: multiply once per char, seed 1
+        "list_reduce(list_prepend(CAST(1 AS BIGINT), " +
+          "list_transform(string_split(s, ''), c -> CAST(0 AS BIGINT))), " +
+          "(a, c) -> (a * 31) % 1000000007)"
+      val wordExprs = (0 until 4).map { w =>
+        val terms = (0 until seeds).flatMap { j =>
+          val lo = math.max(30 * j, 64 * w)
+          val hi = math.min(30 * j + 30, 64 * w + 64)
+          if (lo >= hi) None
+          else {
+            val mask = (1L << (hi - lo)) - 1
+            Some(s"WHEN j = $j THEN CAST(((sig >> ${lo - 30 * j}) & $mask) " +
+              s"AS HUGEINT) * ${BigInt(2).pow(lo - 64 * w)}")
+          }
+        }.mkString(" ")
+        s"""CAST(CASE WHEN hw$w >= 9223372036854775808
+           |    THEN hw$w - 18446744073709551616 ELSE hw$w END AS BIGINT) AS w$w""".stripMargin ->
+          s"sum(CASE $terms ELSE 0 END) AS hw$w"
+      }
       s"""WITH toks AS (SELECT doc_id, $Toks AS tk FROM documents),
          |shg AS (SELECT doc_id, CASE WHEN len(tk) >= 3
          |  THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
          |  ELSE [] END AS sh FROM toks),
-         |hs AS (SELECT doc_id, list_transform(sh, s -> ${phSql("s", "0")}) AS hs FROM shg WHERE len(sh) > 0),
-         |sig AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 30), i ->
-         |  CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-         |  THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS sig FROM hs)
-         |SELECT id_a, id_b, hamming FROM (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
-         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
-         |WHERE hamming <= 6""".stripMargin,
+         |hs AS (SELECT doc_id, list_transform(sh, s -> ${phSql("s", "0")}) AS h0s,
+         |  list_transform(sh, s -> $powSql) AS pws FROM shg WHERE len(sh) > 0),
+         |hseeds AS (SELECT doc_id, j,
+         |  list_transform(range(1, len(h0s) + 1), t -> (h0s[t] + j * pws[t]) % 1000000007) AS hj
+         |  FROM hs CROSS JOIN (SELECT unnest(range(0, $seeds)) AS j)),
+         |sigj AS (SELECT doc_id, j, CAST(list_sum(list_transform(range(0, 30), i ->
+         |  CASE WHEN list_sum(list_transform(hj, h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |  THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS sig FROM hseeds),
+         |hw AS (SELECT doc_id, ${wordExprs.map(_._2).mkString(",\n  ")}
+         |  FROM sigj GROUP BY doc_id),
+         |wfpt AS (SELECT doc_id, ${wordExprs.map(_._1).mkString(",\n  ")}
+         |  FROM hw)
+         |${wideDupsSelect(maxDist)}""".stripMargin
+    },
     "dedup_ngram" ->
       s"""WITH toks AS (SELECT lang, doc_id, array_to_string($Toks, ' ') AS norm FROM documents),
          |g AS (SELECT * FROM (SELECT lang AS block, doc_id, list_distinct(CASE WHEN length(norm) >= 3

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-import graft.functions.{CharNgramCodes, MinHashSig, PolyHash, SimHashSig, SortedArrayJaccard, SrpBucket, VecCosine}
+import graft.functions.{CharNgramCodes, MinHashSig, PolyHash, SimHashSig, SimHashSigWide, SortedArrayJaccard, SrpBucket, VecCosine}
 
 /** SQL surface of the engine's custom Catalyst expressions. Install with
   * `spark.sql.extensions=graft.core.GraftExtensions` (cluster-wide) or call
@@ -136,6 +136,11 @@ object GraftFunctions {
       info("SimHashSig", "simhash_sig(text, k, bits) - SimHash signature over k-token shingles"),
       (exprs: Seq[Expression]) =>
         SimHashSig(exprs(0), intArg(exprs(1), "shingle k"), intArg(exprs(2), "bits"))),
+    (FunctionIdentifier("simhash_sig_wide"),
+      info("SimHashSigWide",
+        "simhash_sig_wide(text, k, seeds) - multi-seed wide SimHash as little-endian 64-bit words"),
+      (exprs: Seq[Expression]) =>
+        SimHashSigWide(exprs(0), intArg(exprs(1), "shingle k"), intArg(exprs(2), "seeds"))),
     (FunctionIdentifier("sorted_jaccard"),
       info("SortedArrayJaccard", "sorted_jaccard(a, b) - exact Jaccard of sorted distinct arrays"),
       (exprs: Seq[Expression]) => SortedArrayJaccard(exprs(0), exprs(1))),

@@ -148,6 +148,53 @@ private[graft] object SignatureKernel {
     }
     Some(sig)
   }
+
+  /** Wide SimHash: `seeds` independent 30-bit SimHashes (seed j uses
+    * PolyHash(shingle, j), derived algebraically like [[minhash]]:
+    * h_j = (h_0 + j·31^len) mod p), packed contiguously little-endian into
+    * 64-bit words — seed j's signature occupies bits [30j, 30j+30) of the
+    * `seeds`·30-bit result. One tokenize + one byte-fold per shingle, one
+    * modular add per extra seed; None below k tokens.
+    */
+  def simhashWide(text: String, shingleK: Int, seeds: Int): Option[Array[Long]] = {
+    val toks = tokenize(text)
+    if (toks.length < shingleK) return None
+    val bits = seeds * 30
+    val balance = new Array[Int](bits)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - shingleK) {
+      sb.setLength(0)
+      var t = 0
+      while (t < shingleK) {
+        if (t > 0) sb.append(' ')
+        sb.append(toks(i + t))
+        t += 1
+      }
+      val (h0, pow) = baseHash(sb.toString)
+      var h = h0
+      var j = 0
+      while (j < seeds) {
+        val base = 30 * j
+        var b = 0
+        while (b < 30) {
+          if (((h >> b) & 1L) == 1L) balance(base + b) += 1 else balance(base + b) -= 1
+          b += 1
+        }
+        h += pow
+        if (h >= Mod) h -= Mod
+        j += 1
+      }
+      i += 1
+    }
+    val words = new Array[Long]((bits + 63) / 64)
+    var b = 0
+    while (b < bits) {
+      if (balance(b) > 0) words(b >> 6) |= (1L << (b & 63))
+      b += 1
+    }
+    Some(words)
+  }
 }
 
 case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
@@ -180,6 +227,28 @@ case class SimHashSig(child: Expression, shingleK: Int, bits: Int)
     if (v == null) null
     else SignatureKernel.simhash(v.asInstanceOf[UTF8String].toString, shingleK, bits)
       .map(Long.box).orNull
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Multi-seed wide SimHash signature as little-endian 64-bit words — see
+  * [[SignatureKernel.simhashWide]]; the scan-side producer for
+  * [[graft.pipeline.Dedup.hammingNearDupsWide]].
+  */
+case class SimHashSigWide(child: Expression, shingleK: Int, seeds: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    SignatureKernel.requireString("simhash_sig_wide", child)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else SignatureKernel.simhashWide(v.asInstanceOf[UTF8String].toString, shingleK, seeds)
+      .map(a => new GenericArrayData(a)).orNull
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -441,4 +510,7 @@ object Signatures {
 
   def simhashSig(text: Column, shingleK: Int, bits: Int): Column =
     GraftBridge.column(SimHashSig(GraftBridge.expression(text), shingleK, bits))
+
+  def simhashSigWide(text: Column, shingleK: Int, seeds: Int): Column =
+    GraftBridge.column(SimHashSigWide(GraftBridge.expression(text), shingleK, seeds))
 }

@@ -17,9 +17,10 @@ import graft.functions.PolyHash
   *    bucket-join pipeline. The band join is an equi-join on
   *    (band, band_hash), so Catalyst shuffles both sides on a well-spread
   *    key; AQE splits skewed buckets.
-  *  - SimHash reduces a document to a 32-bit signature; near-dup = small
-  *    Hamming distance, and candidate generation can bucket on signature
-  *    prefixes (pigeonhole) instead of comparing all pairs.
+  *  - SimHash reduces a document to a compact bit signature (240-bit
+  *    multi-seed by default); near-dup = small Hamming distance, and
+  *    candidate generation buckets on signature chunks (pigeonhole)
+  *    instead of comparing all pairs.
   */
 object Dedup {
 
@@ -191,26 +192,52 @@ object Dedup {
   def simhash(text: Column, shingleK: Int = 3): Column =
     graft.functions.Signatures.simhashSig(text, shingleK, SimhashBits)
 
-  /** SimHash near-dup pairs: Hamming(simhash) ≤ maxDist, found with exact
-    * **pigeonhole bucketing** instead of an all-pairs join: split the
+  /** Wide-signature parameters: 8 independent PolyHash seeds × 30
+    * well-mixed bits each = a 240-bit signature in 4 little-endian words.
+    * At the default radius ([[SimhashWideMaxDist]]) the pigeonhole chunks
+    * carry exactly [[MinChunkBits]] bits, so the candidate join stays
+    * healthy with no narrow-chunk opt-in.
+    */
+  val SimhashWideSeeds = 8
+  val SimhashWideBits: Int = SimhashWideSeeds * 30
+
+  /** Default wide radius, calibrated on the fixture corpus (mirroring the
+    * audio calibration at Audio.scala): genuine near-dup pairs measure
+    * ≤ ~28 of 240 bits while unrelated pairs bottom out at ~81 — and the
+    * [[MinChunkBits]] candidate-budget floor caps the relative radius at
+    * ~1/MinChunkBits, so 23 (= 240/10 − 1, exactly 10-bit chunks) sits as
+    * close to the gap as a scale-safe pigeonhole allows.
+    */
+  val SimhashWideMaxDist = 23
+
+  /** Wide multi-seed SimHash signature (array<bigint>, little-endian words;
+    * see [[graft.functions.SignatureKernel.simhashWide]]). The 30-bit
+    * [[simhash]] saturates at trillion-doc scale — random pairs collide
+    * within small radii purely by volume (measured on the fixture corpus:
+    * most 30-bit radius-6 pairs sit at wide distance ~104 of 240, i.e.
+    * noise) — while 240 bits keeps signal and noise separated.
+    */
+  def simhashWide(text: Column, shingleK: Int = 3): Column =
+    graft.functions.Signatures.simhashSigWide(text, shingleK, SimhashWideSeeds)
+
+  /** SimHash near-dup pairs: Hamming ≤ maxDist over the 240-bit wide
+    * multi-seed signature ([[simhashWide]]), found with the exact
+    * **pigeonhole bucketing** of [[hammingNearDupsWide]]: split the
     * signature into maxDist+1 contiguous bit chunks — any pair within
     * Hamming maxDist must agree exactly on at least one chunk — equi-join on
     * (chunk_idx, chunk_value), then verify the true Hamming distance on the
-    * candidates only. The join key is well-spread (each chunk carries 4-5
-    * signature bits), so at 100 TB this is a plain shuffled equi-join whose
-    * candidate set is a vanishing fraction of the n² pair space; AQE splits
-    * any residual skew. Guaranteed to find exactly the brute-force pair set.
+    * candidates only. At the default radius each chunk carries 10 signature
+    * bits (alphabet 2^10), so at 100 TB this is a plain shuffled equi-join
+    * whose candidate set is a vanishing fraction of the n² pair space; AQE
+    * splits any residual skew. Guaranteed to find exactly the brute-force
+    * pair set over the wide signature.
     */
   def simhashNearDups(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      shingleK: Int = 3, maxDist: Int = 6): DataFrame = {
+      shingleK: Int = 3, maxDist: Int = SimhashWideMaxDist): DataFrame = {
     val sigs = spreadById(df.select(col(idCol), col(textCol)), idCol)
-      .select(col(idCol), simhash(col(textCol), shingleK).as("sig"))
+      .select(col(idCol), simhashWide(col(textCol), shingleK).as("sig"))
       .where(col("sig").isNotNull)
-    // narrow chunks accepted knowingly: at maxDist 6 the 7 chunks carry
-    // 4 (30-bit) / 9 (64-bit) bits each — fine on corpus slices; route
-    // trillion-doc corpora through a wider signature at a smaller radius
-    hammingNearDups(sigs, idCol, "sig", SimhashBits, maxDist,
-      allowNarrowChunks = true)
+    hammingNearDupsWide(sigs, idCol, "sig", SimhashWideBits, maxDist)
   }
 
   /** Candidate-budget floor: a pigeonhole chunk narrower than this many bits
@@ -271,11 +298,18 @@ object Dedup {
         "Widen the signature (e.g. a multi-word contour) at the same radius, " +
         "reduce maxDist, or pass allowNarrowChunks = true for corpus-slice use.")
     val bounds = (0 to nChunks).map(c => c * totalBits / nChunks)
-    // bit range [lo, hi) of the flattened little-endian words; a chunk is at
-    // most 64 bits wide, so it spans at most two words. Unsigned shifts keep
-    // a set word-top bit from sign-extending into the chunk value.
+    // bit range [lo, hi) of the flattened little-endian words. The join key
+    // is the chunk's FIRST ≤64 bits: a chunk wider than 64 bits (tiny
+    // maxDist relative to totalBits, e.g. maxDist=0 exact-signature dups)
+    // is truncated to its low 64 — still a pure function of chunk-internal
+    // bits, so equal chunks always collide (the pigeonhole guarantee holds;
+    // truncation can only ADD candidates, which the exact verify removes),
+    // and a 2^64 alphabet loses nothing in selectivity. Without the
+    // explicit cap, the two-word extraction below would wrap its shift
+    // distances mod 64 and silently mix misaligned word bits. Unsigned
+    // shifts keep a set word-top bit from sign-extending into the value.
     def chunkVal(sig: Column, lo: Int, hi: Int): Column = {
-      val width = hi - lo
+      val width = math.min(hi - lo, 64)
       val word = lo / 64
       val off = lo % 64
       val first = shiftrightunsigned(element_at(sig, word + 1), off)
@@ -289,7 +323,16 @@ object Dedup {
           element_at(sig, word + 2).bitwiseAND(lit(hiMask)), loBits))
       }
     }
-    val chunked = sigs.select(col(idCol), col(sigCol).as("sig"),
+    // Contract enforcement: a short signature array would make element_at
+    // yield null chunk values and the row would silently drop out of the
+    // equi-join (missed pairs, not an error). Fail loudly per row instead.
+    val nWords = (totalBits + 63) / 64
+    val checked = sigs.withColumn(sigCol,
+      when(size(col(sigCol)) === nWords, col(sigCol))
+        .otherwise(raise_error(format_string(
+          s"hammingNearDupsWide: signature array must carry $nWords words " +
+            s"for totalBits=$totalBits, got %s words", size(col(sigCol))))))
+    val chunked = checked.select(col(idCol), col(sigCol).as("sig"),
       explode(array((0 until nChunks).map { c =>
         struct(lit(c).as("chunk"),
           chunkVal(col(sigCol), bounds(c), bounds(c + 1)).as("chunk_val"))

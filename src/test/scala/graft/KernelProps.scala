@@ -48,6 +48,32 @@ object KernelProps extends Properties("kernels") {
     SignatureKernel.simhash(text, 3, 30) == naiveSimhash(text, 3, 30)
   }
 
+  // independent naive twin: full seeded fold per shingle (PolyHash.hash with
+  // initial accumulator j) vs the kernel's algebraic h_0 + j·31^len derivation
+  private def naiveSimhashWide(text: String, k: Int, seeds: Int): Option[Seq[Long]] = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    if (toks.length < k) None
+    else {
+      val shingles = toks.sliding(k).map(_.mkString(" ")).toSeq
+      val bits = seeds * 30
+      val words = new Array[Long]((bits + 63) / 64)
+      for (j <- 0 until seeds; b <- 0 until 30) {
+        val bal = shingles.map(s =>
+          if (((PolyHash.hash(s, j.toLong) >> b) & 1L) == 1L) 1 else -1).sum
+        if (bal > 0) {
+          val g = 30 * j + b
+          words(g >> 6) |= (1L << (g & 63))
+        }
+      }
+      Some(words.toSeq)
+    }
+  }
+
+  property("wide simhash kernel equals naive per-seed bit balance") =
+    forAll(asciiText) { text =>
+      SignatureKernel.simhashWide(text, 3, 8).map(_.toSeq) == naiveSimhashWide(text, 3, 8)
+    }
+
   property("minhash signature entries are valid hashes") = forAll(asciiText) { text =>
     SignatureKernel.minhash(text, 2, 8).forall(_.forall(h => h >= 0 && h < PolyHash.Mod))
   }
