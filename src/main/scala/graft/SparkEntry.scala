@@ -155,19 +155,25 @@ object SparkEntry {
     * OR; DuckDB overflow-checks `1::BIGINT << 63`), then fold back to the
     * two's-complement BIGINT Spark's Long carries.
     */
-  private lazy val MmPhashCtes: String = {
-    def graySql(x: String): String = {
-      val p = s"(((b2 // 8) * h) // 8) * w + (($x) * w) // 9"
-      s"list_sum(list_transform(range(1, 4), c -> CASE WHEN 3 * ($p) + c <= len " +
-        s"THEN cps[CAST(3 * ($p) + c AS INTEGER)] ELSE 0 END))"
-    }
+  /** Shared decode prefix of every single-image twin: text → padded
+    * near-square P6 geometry, ending in `w2(doc_id, len, cps, npix, w, h)`.
+    */
+  private val MmDecodeCtes: String =
     s"""b AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS len,
        |  list_transform(string_split(text, ''), c -> ord(c)) AS cps FROM documents),
        |d AS (SELECT *, CASE WHEN len = 0 THEN 0 ELSE (len + 2) // 3 END AS npix FROM b),
        |w1 AS (SELECT *, CASE WHEN npix = 0 THEN 0
        |       ELSE CAST(ceil(sqrt(CAST(npix AS DOUBLE))) AS BIGINT) END AS w FROM d),
        |w2 AS (SELECT *, CASE WHEN w = 0 THEN 0
-       |       ELSE CAST(ceil(CAST(npix AS DOUBLE) / w) AS BIGINT) END AS h FROM w1),
+       |       ELSE CAST(ceil(CAST(npix AS DOUBLE) / w) AS BIGINT) END AS h FROM w1)""".stripMargin
+
+  private lazy val MmPhashCtes: String = {
+    def graySql(x: String): String = {
+      val p = s"(((b2 // 8) * h) // 8) * w + (($x) * w) // 9"
+      s"list_sum(list_transform(range(1, 4), c -> CASE WHEN 3 * ($p) + c <= len " +
+        s"THEN cps[CAST(3 * ($p) + c AS INTEGER)] ELSE 0 END))"
+    }
+    s"""$MmDecodeCtes,
        |hsum AS (SELECT doc_id, w, h,
        |  list_sum(list_transform(range(0, 64), b2 ->
        |    CASE WHEN ${graySql("b2 % 8")} > ${graySql("b2 % 8 + 1")}
@@ -177,6 +183,19 @@ object SparkEntry {
        |  CAST(CASE WHEN s >= 9223372036854775808
        |    THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS phash
        |FROM hsum)""".stripMargin
+  }
+
+  /** Twin of Multimodal.perceptualHashWide's 13×5 gray grid: 65 cells in
+    * raster order, nearest-neighbor sampling with the same ⌊·⌋ arithmetic,
+    * ending in `ge(doc_id, npix, e)` for [[wideWordCtes]].
+    */
+  private val MmPhashWideCtes: String = {
+    val p = "(((i // 13) * h) // 5) * w + ((i % 13) * w) // 13"
+    val gray = s"list_sum(list_transform(range(1, 4), c -> CASE WHEN 3 * ($p) + c <= len " +
+      s"THEN cps[CAST(3 * ($p) + c AS INTEGER)] ELSE 0 END))"
+    s"""$MmDecodeCtes,
+       |ge AS (SELECT doc_id, npix, list_transform(range(0, 65), i -> $gray) AS e
+       |  FROM w2)""".stripMargin
   }
 
   /** CTE rebuilding each document's PCM16 fixture samples from the text —
@@ -850,7 +869,14 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.synthMediaTable(Tables(s, dir).documents), stride = 4)),
     "mm_phash" -> ((s, dir) =>
       Multimodal.perceptualHash(Multimodal.synthMediaTable(Tables(s, dir).documents))),
-    // image-level near-dups: Hamming over the perceptual hash (pigeonhole)
+    // 256-bit wide grid hash, words as scalar columns for the hash compare
+    "mm_phash_wide" -> ((s, dir) =>
+      Multimodal.perceptualHashWide(Multimodal.synthMediaTable(Tables(s, dir).documents))
+        .select(col("doc_id"), col("width"), col("height"),
+          element_at(col("phw"), 1).as("w0"), element_at(col("phw"), 2).as("w1"),
+          element_at(col("phw"), 3).as("w2"), element_at(col("phw"), 4).as("w3"))),
+    // image-level near-dups: Hamming ≤ 24 over the 256-bit wide grid hash
+    // (pigeonhole, 25 chunks × ≥10 bits)
     "mm_phash_dups" -> ((s, dir) =>
       Multimodal.phashNearDups(Multimodal.synthMediaTable(Tables(s, dir).documents))),
 
@@ -2454,13 +2480,18 @@ object SparkEntry {
          |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
          |  phash
          |FROM ph""".stripMargin,
+    // wide twins over the 13×5 gray grid: the lag-compared words are the
+    // exact wideWordCtes machinery the audio/video wide twins use
+    "mm_phash_wide" ->
+      s"""WITH $MmPhashWideCtes,
+         |${wideWordCtes("ge", "npix", "n_px")}
+         |SELECT f.doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  w0, w1, w2, w3
+         |FROM wfpt f JOIN w2 USING (doc_id)""".stripMargin,
     "mm_phash_dups" ->
-      s"""WITH $MmPhashCtes
-         |SELECT id_a, id_b, hamming FROM (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
-         |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
-         |WHERE hamming <= 6""".stripMargin,
+      s"""WITH $MmPhashWideCtes,
+         |${wideWordCtes("ge", "npix", "n_px")}
+         |${wideDupsSelect(24)}""".stripMargin,
 
     // Twins of the Audio family over the shared AudioSmpCte. Integer-only
     // statistics (energy, peak, sign-flip zero crossings, floor-division

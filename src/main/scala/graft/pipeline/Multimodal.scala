@@ -287,19 +287,63 @@ object Multimodal {
     out
   }
 
-  /** Image near-dup pairs: Hamming ≤ maxDist over [[perceptualHash]], found
-    * with [[Dedup.hammingNearDups]]'s exact pigeonhole equi-join — the
+  val widePhashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("phw", ArrayType(LongType, containsNull = false))))
+
+  /** 256-bit wide perceptual hash: a 13×5 nearest-neighbor gray grid (65
+    * cells in raster order, channel-sum gray like [[perceptualHash]])
+    * compared at lags 1/2/4/8 ([[Audio.WideLags]]) into four 64-bit words —
+    * the image face of the shared wide-contour machinery
+    * ([[Audio.audioFingerprintWide]], [[Video.videoFingerprintWide]]).
+    * Lag 1 compares raster-adjacent cells (the dHash idea); lags 2/4/8 add
+    * longer-range spatial comparisons, turning the same grid into 256
+    * reasonably independent bits. The width is what keeps a SMALL absolute
+    * near-dup radius scale-safe: at radius 24 the pigeonhole splits into
+    * 25 chunks of ≥10 bits, where the 64-bit dHash at the same selectivity
+    * forced 9-bit chunks below the candidate-budget floor. An empty frame
+    * hashes to all-zero words.
+    */
+  def perceptualHashWide(media: DataFrame, idCol: String = "doc_id",
+      blobCol: String = "media"): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(widePhashSchema)
+    val projected = media.select(col(idCol).cast("long"), col(blobCol))
+    val out: Dataset[Row] = projected.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](1)
+        val (w, h, off) = parsePpmHeader(bytes)
+        val g = new Array[Long](65)
+        if (w > 0 && h > 0) {
+          var i = 0
+          while (i < 65) {
+            // grid cell (i/13, i%13) → nearest pixel; same ⌊·⌋ sampling
+            // arithmetic as perceptualHash's 9×8 grid
+            val p = ((i / 13) * h / 5) * w + (i % 13) * w / 13
+            val j = off + 3 * p
+            g(i) = (bytes(j) & 0xff) + (bytes(j + 1) & 0xff) + (bytes(j + 2) & 0xff)
+            i += 1
+          }
+        }
+        Row(row.getLong(0), w, h, Audio.wideContourWords(g).toSeq)
+      }
+    }(enc)
+    out
+  }
+
+  /** Image near-dup pairs: Hamming ≤ maxDist over [[perceptualHashWide]]
+    * via [[Dedup.hammingNearDupsWide]]'s exact pigeonhole equi-join — the
     * image-level dedup a multimodal corpus runs next to the text-level
     * MinHash pass (catches re-encoded/padded copies whose bytes differ).
+    * Default radius 24 over 256 bits keeps every pigeonhole chunk at the
+    * [[Dedup.MinChunkBits]] floor with no narrow-chunk opt-in.
     */
-  def phashNearDups(media: DataFrame, maxDist: Int = 6, idCol: String = "doc_id",
+  def phashNearDups(media: DataFrame, maxDist: Int = 24, idCol: String = "doc_id",
       blobCol: String = "media"): DataFrame =
-    // narrow chunks accepted knowingly: 7 chunks × 9 bits at the default
-    // radius — fine on corpus slices; a trillion-image dedup should carry a
-    // wider hash (e.g. 256-bit multi-frequency) at the same absolute radius
-    Dedup.hammingNearDups(
-      perceptualHash(media, idCol, blobCol).select(col(idCol), col("phash")),
-      idCol, "phash", bits = 64, maxDist = maxDist, allowNarrowChunks = true)
+    Dedup.hammingNearDupsWide(
+      perceptualHashWide(media, idCol, blobCol).select(col(idCol), col("phw")),
+      idCol, "phw", totalBits = Audio.WideFingerprintBits, maxDist = maxDist)
 
   /** Batched per-partition decode over the binary column: a real P6 parse
     * per blob. Rows stream through the partition iterator — nothing is

@@ -117,7 +117,8 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.simhashNearDups(d, maxDist = 0).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(got.toSeq == Seq((1L, 2L, 0)))
-    // 64-bit signature at maxDist 0 exercises the full -1L mask
+    // wide signature at maxDist 0: one 256-bit chunk, truncated to its low
+    // 64 bits as the join key (exercises the full -1L mask)
     val ph = Multimodal.phashNearDups(Multimodal.synthMediaTable(d), maxDist = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(ph.toSeq == Seq((1L, 2L)))

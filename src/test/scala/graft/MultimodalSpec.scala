@@ -116,20 +116,38 @@ class MultimodalSpec extends SparkSpec {
     assert(ph1 == ph)
   }
 
-  test("phashNearDups pigeonhole equals brute force, incl. sign-bit signatures") {
+  test("phashNearDups pigeonhole equals brute force over the wide grid hash") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val media = Multimodal.synthMediaTable(docs)
-    val hashes = Multimodal.perceptualHash(media).collect()
-      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("phash")))
-    // the 64-bit space must actually exercise the sign bit, or the
-    // shift/mask edge this test exists for goes uncovered
-    assert(hashes.exists(_._2 < 0), "fixture must produce a bit-63 signature")
+    val hashes = Multimodal.perceptualHashWide(media).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[scala.collection.Seq[Long]]("phw").toArray))
+    // the word space must actually exercise bit 63, or the shift/mask edge
+    // this test exists for goes uncovered
+    assert(hashes.exists(_._2.exists(_ < 0)), "fixture must produce a bit-63 word")
     val brute = (for {
       (a, ha) <- hashes; (b, hb) <- hashes if a < b
-      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+      d = ha.zip(hb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      if d <= 24
     } yield (a, b, d)).toSet
+    assert(brute.nonEmpty, "fixture corpus must contain image near-dups")
     val got = Multimodal.phashNearDups(media).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming"))).toSet
     assert(got == brute, s"pigeonhole ${got.size} pairs vs brute ${brute.size}")
+  }
+
+  test("perceptualHashWide: dup texts share all words; empty frame is all-zero") {
+    val texts = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "a completely different document with other words inside it entirely"),
+      (4L, ""))
+    val media = Multimodal.synthMediaTable(texts.toDF("doc_id", "text"))
+    val ph = Multimodal.perceptualHashWide(media).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Long]]("phw").toSeq).toMap
+    assert(ph(1L) == ph(2L), "identical payloads must hash identically")
+    assert(ph(1L) != ph(3L), "different payloads must differ")
+    assert(ph(4L) == Seq(0L, 0L, 0L, 0L), "empty frame hashes to all-zero words")
+    assert(ph(1L).size == 4)
   }
 }
