@@ -520,6 +520,8 @@ object SparkEntry {
     "ts_changepoint" -> ((s, dir) => SeriesOps.changepoint(pts(s, dir))),
     "ts_autocorr" -> ((s, dir) => SeriesOps.autocorr(pts(s, dir), maxLag = 3)),
     "ts_monthly" -> ((s, dir) => SeriesOps.monthly(pts(s, dir))),
+    // DST-aware calendar months: real IANA zone, not a fixed offset
+    "ts_monthly_tz" -> ((s, dir) => SeriesOps.monthlyTz(pts(s, dir))),
     "ts_peaks" -> ((s, dir) => SeriesOps.peaks(pts(s, dir), delta = 5.0)),
     "ts_ohlc" -> ((s, dir) => SeriesOps.ohlc(pts(s, dir), 86400L * NsPerS)),
     "ts_winsorize" -> ((s, dir) => SeriesOps.winsorize(pts(s, dir), 0.05, 0.95)),
@@ -1368,6 +1370,19 @@ object SparkEntry {
       s"""WITH points AS ($PointsCte)
          |SELECT series_id,
          |  epoch_us(date_trunc('month', make_timestamp((ts + ${3600L * NsPerS}) // 1000))) AS month_start_us,
+         |  CAST(count(*) AS BIGINT) AS n_points,
+         |  avg(value) AS mean_value, min(value) AS min_value, max(value) AS max_value
+         |FROM points WHERE NOT isnan(value) GROUP BY 1, 2""".stripMargin,
+    // Twin of SeriesOps.monthlyTz: ICU AT TIME ZONE both ways — naive-UTC →
+    // zone wall clock, truncate to the local month, re-anchor the local
+    // month start to its UTC instant. Spark's JVM tzdb and DuckDB's ICU
+    // agree on the IANA rules.
+    "ts_monthly_tz" ->
+      s"""WITH points AS ($PointsCte)
+         |SELECT series_id,
+         |  epoch_us((date_trunc('month',
+         |    (make_timestamp(ts // 1000) AT TIME ZONE 'UTC') AT TIME ZONE 'Europe/Oslo'))
+         |    AT TIME ZONE 'Europe/Oslo') AS month_start_us,
          |  CAST(count(*) AS BIGINT) AS n_points,
          |  avg(value) AS mean_value, min(value) AS min_value, max(value) AS max_value
          |FROM points WHERE NOT isnan(value) GROUP BY 1, 2""".stripMargin,

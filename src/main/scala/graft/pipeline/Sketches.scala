@@ -118,9 +118,32 @@ object Sketches {
     * pair comparison is a broadcast nested-loop over G² sketch pairs,
     * never over rows.
     */
+  /** Default bound on the pair-comparison group count: G groups mean a
+    * broadcast of G·k longs to every task and G²/2 sketch comparisons —
+    * "group-level metadata" stops being metadata somewhere around 10⁴
+    * groups (10⁸ pairs, ~100 MB·k broadcast). Above the bound the operator
+    * FAILS FAST with a routing hint instead of silently melting down on a
+    * high-cardinality group key.
+    */
+  val KmvMaxPairGroups: Int = 10000
+
   def kmvPairJaccard(df: DataFrame, k: Int, groupCol: String,
-      valueCol: String): DataFrame = {
-    val sk = kmvSketch(df, k, Seq(groupCol), valueCol)
+      valueCol: String, maxGroups: Int = KmvMaxPairGroups): DataFrame = {
+    val sk0 = kmvSketch(df, k, Seq(groupCol), valueCol)
+    // Scale guard, enforced lazily (the plan stays declarative): the group
+    // count rides in on a broadcast single-row aggregate and the check sits
+    // on the sketch column the pair join consumes, so column pruning cannot
+    // elide it — same pattern as Dedup.ngramPlan's quadratic-fallback bound.
+    val nGroups = sk0.groupBy().agg(count(lit(1)).as("__g"))
+    val sk = sk0.join(broadcast(nGroups))
+      .withColumn("hs",
+        when(col("__g") > maxGroups,
+          raise_error(format_string(
+            "kmvPairJaccard: %s groups exceed the G² pair-comparison bound %s " +
+              "— aggregate to a coarser group key or raise maxGroups",
+            col("__g"), lit(maxGroups))))
+          .otherwise(col("hs")))
+      .drop("__g")
     val a = sk.select(col(groupCol).as("grp_a"), col("hs").as("__ha"))
     val b = sk.select(col(groupCol).as("grp_b"), col("hs").as("__hb"))
     val paired = a.join(broadcast(b), col("grp_a") < col("grp_b"))

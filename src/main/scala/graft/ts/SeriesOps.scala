@@ -532,6 +532,34 @@ object SeriesOps {
         min("value").as("min_value"),
         max("value").as("max_value"))
 
+  /** DST-aware calendar monthly rollup: like [[monthly]], but the display
+    * timezone is a REAL IANA zone instead of a fixed offset — the month
+    * boundary follows the zone's wall clock through DST transitions, so a
+    * UTC instant late on the last day of a local month lands in the month
+    * its wall clock says, not the one a fixed offset would pick (a point at
+    * 23:30 UTC on March 31 is April 1st 01:30 in Europe/Oslo's summer
+    * time). `month_start_us` is the UTC instant the local month began —
+    * note it shifts by the DST offset across the year. Month starts never
+    * fall inside a DST transition (zones shift at 02:00-03:00 local), so
+    * the local→UTC conversion is unambiguous.
+    *
+    * Scale shape: identical to [[monthly]] — one partial-combined
+    * aggregation on (series, month).
+    */
+  def monthlyTz(points: DataFrame, tz: String = "Europe/Oslo"): DataFrame =
+    points.where(notNan(col("value")))
+      .groupBy(col("series_id"),
+        // same ns→µs FLOOR semantics as monthly (see comment there)
+        unix_micros(to_utc_timestamp(date_trunc("MONTH",
+          from_utc_timestamp(timestamp_micros(expr(
+            "(ts - pmod(ts, 1000)) div 1000")), tz)), tz))
+          .as("month_start_us"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        avg("value").as("mean_value"),
+        min("value").as("min_value"),
+        max("value").as("max_value"))
+
   /** Per-series autocorrelation at lags 1..maxLag: the Pearson correlation
     * between the series and its ℓ-step-lagged self over the co-observed
     * pairs — the standard ACF the "is this sensor periodic / mean-

@@ -268,6 +268,30 @@ class SeriesOpsSpec extends SparkSpec {
     assert(got(1).getAs[Double]("min_value") == 5.0)
   }
 
+  test("monthlyTz: DST-aware buckets diverge from the fixed-offset shift at the boundary") {
+    def ns(iso: String) = java.time.Instant.parse(iso).getEpochSecond * S
+    // Europe/Oslo is +02:00 (CEST) on March 31 2024 evening: 22:30Z is
+    // already April 1st 00:30 local, while the fixed +1h convention reads
+    // 23:30 March 31 and keeps it in March. The winter point (Jan 15)
+    // stays unambiguous.
+    val df = Seq(
+      ("s", ns("2024-01-15T12:00:00Z"), 1.0),
+      ("s", ns("2024-03-31T22:30:00Z"), 5.0)).toDF("series_id", "ts", "value")
+    val got = SeriesOps.monthlyTz(df).orderBy("month_start_us").collect()
+    assert(got.length == 2)
+    // local month starts re-anchored to UTC: Jan starts at +01:00 (CET),
+    // April at +02:00 (CEST) — the offset difference IS the DST awareness
+    val janUs = java.time.Instant.parse("2023-12-31T23:00:00Z").getEpochSecond * 1000000L
+    val aprUs = java.time.Instant.parse("2024-03-31T22:00:00Z").getEpochSecond * 1000000L
+    assert(got(0).getAs[Long]("month_start_us") == janUs)
+    assert(got(1).getAs[Long]("month_start_us") == aprUs)
+    assert(got(1).getAs[Double]("min_value") == 5.0)
+    // the fixed-offset rollup puts the same late-March point in MARCH
+    val fixed = SeriesOps.monthly(df).orderBy("month_start_us").collect()
+    val marFixedUs = java.time.Instant.parse("2024-03-01T00:00:00Z").getEpochSecond * 1000000L
+    assert(fixed(1).getAs[Long]("month_start_us") == marFixedUs)
+  }
+
   test("ohlc: open/close follow time order with (ts,value) tie-break") {
     // bucket width 10s: bucket 0 holds ts 1,1,3,5 — open is the SMALLER
     // value of the duplicate ts=1 pair, close is ts=5; bucket 10 is a

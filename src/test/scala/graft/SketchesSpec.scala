@@ -69,6 +69,20 @@ class SketchesSpec extends SparkSpec {
       s"inter ${g.getAs[Double]("inter_est")}")
   }
 
+  test("kmvPairJaccard refuses group counts above the G² pair bound") {
+    val many = (0 until 40).flatMap(g => (0 until 3).map(i => (s"g$g", s"v$i")))
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val e = intercept[Exception] {
+      Sketches.kmvPairJaccard(many.toDF("grp", "v"), 16, "grp", "v", maxGroups = 10)
+        .collect()
+    }
+    assert(messages(e).contains("pair-comparison bound"), messages(e).take(500))
+    // under the bound the same input runs: 40 groups → 780 pairs
+    assert(Sketches.kmvPairJaccard(many.toDF("grp", "v"), 16, "grp", "v")
+      .count() == 40L * 39 / 2)
+  }
+
   test("dupNgramSpans finds the shared run and merges consecutive starts") {
     // docs 1 and 2 share a 10-token run -> 3 consecutive duplicated
     // 8-gram starts (positions 0..2 in doc 1) that must merge into ONE span
