@@ -53,6 +53,15 @@ object Bench {
     val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
+    // Durable sidecar with ALL per-query timings: the driver's artifact
+    // collector keeps only a tail of stdout, which has silently dropped the
+    // first ~60 queries' numbers from BENCH_r*.json every round. A file in
+    // the repo survives regardless of capture length.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_full_latest.json")), json)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+    }
     // mirror on stderr so any tail capture of the run carries the numbers
     // verbatim (stdout passes through the sbt logger, which has broken JSON
     // parsing downstream before)

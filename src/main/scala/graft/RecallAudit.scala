@@ -47,6 +47,36 @@ object RecallAudit {
     rows.toDF("vec_id", "label", "embedding")
   }
 
+  /** Mid-separation corpus: clusters whose centers OVERLAP on shared
+    * dimensions (center g is 1.0 on dim g and 0.8 on dim g+1, so adjacent
+    * centers have cosine ≈ 0.6) with 12× the jitter of [[clusteredCorpus]].
+    * The regime between the well-separated floor corpus and the hopeless
+    * uniform bench embeddings — where real embedding spaces live: SRP
+    * hyperplanes cut through the fattened cluster interiors, so the SRP
+    * family measurably loses recall (measured 0.85 at 8×25) while
+    * label-cell IVF holds 1.0 — the discrimination the well-separated
+    * corpus cannot show (everything measures 1.0 there).
+    */
+  def overlappingCorpus(spark: SparkSession, groups: Int = 8,
+      perGroup: Int = 50): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val dim = groups + 1
+    val rows = for {
+      g <- 0 until groups
+      i <- 0 until perGroup
+    } yield {
+      val id = (g * perGroup + i).toLong
+      val v = Array.tabulate(dim) { d =>
+        val center = if (d == g) 1.0f else if (d == g + 1) 0.8f else 0.0f
+        val jitter = (((id * 1315423911L + d * 2654435761L) % 1000L + 1000L) % 1000L)
+          .toFloat / 1000f * 0.6f
+        center + jitter
+      }
+      (id, g.toLong, v)
+    }
+    rows.toDF("vec_id", "label", "embedding")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDirs = if (args.nonEmpty) args.toSeq else Seq("/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -96,6 +126,31 @@ object RecallAudit {
           Similarity.srpTopKMultiprobe(q, c, k = 5, planes = 4, nprobe = 3))))
       val js = r.map { case (k2, v) => f""""$k2":$v%.4f""" }.mkString(",")
       println(s"""{"sf":"clustered_8x50","k":5,"n_brute":${brute.size},$js}""")
+    }
+    // the mid-separation measurement (the numbers SimilaritySpec pins at
+    // >= 0.8): overlapping clusters, where hashing that is too coarse for
+    // the geometry actually loses neighbors
+    locally {
+      // 25 per cluster with k=5: tight enough that the SRP cells split
+      // cluster interiors (recall < 1) while staying above the 0.8 floor
+      val c = overlappingCorpus(spark, perGroup = 25)
+      val q = c.where(col("vec_id") % 25 === 0)
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = pairs(Similarity.bruteForceTopK(q, c, k = 5))
+      def recall(got: Set[(Long, Long)]): Double =
+        got.intersect(brute).size.toDouble / brute.size
+      val r =
+        Seq(1, 2, 3).map(np =>
+          s"ivf_nprobe$np" -> recall(pairs(Similarity.ivfTopK(q, c, k = 5, nprobe = np)))) ++
+        Seq(2, 4).map(p =>
+          s"srp_planes$p" -> recall(pairs(Similarity.srpTopK(q, c, k = 5, planes = p)))) ++
+        Seq(3, 5).map(np =>
+          s"srp_mp_planes4_nprobe$np" -> recall(pairs(
+            Similarity.srpTopKMultiprobe(q, c, k = 5, planes = 4, nprobe = np))))
+      val js = r.map { case (k2, v) => f""""$k2":$v%.4f""" }.mkString(",")
+      println(s"""{"sf":"overlapping_8x25","k":5,"n_brute":${brute.size},$js}""")
     }
     spark.stop()
   }

@@ -275,27 +275,35 @@ object SparkEntry {
       |    THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS vfp
       |  FROM vfsum)""".stripMargin
 
+  /** Edited-copy id tag: bit 40 set. A plain small additive offset would
+    * collide with real ids if a scale factor ever produced doc_id ≥ the
+    * offset; the high-bit tag keeps copies out of any realistic id range
+    * (the fixture would need 2^40 ≈ 10^12 documents) while staying well
+    * inside BIGINT in both engines.
+    */
+  private val CopyIdTag: Long = 1L << 40
+
   /** Fixture near-dup corpus shared by the wide-fingerprint dup twins: the
     * documents plus one deterministic in-place edited copy of each doc with
-    * ≥ 61 chars (`doc_id + 1000000`, chars 51–60 replaced by 'x'). The edit
-    * is length-preserving, so the contour windows stay aligned and each
-    * copy lands within the wide fingerprint's near-dup radius (measured
-    * ≤ 32 of 256 bits) while unrelated pairs stay ≥ ~71 — giving the
-    * near-dup oracle a real, separated signal to verify.
+    * ≥ 61 chars (`doc_id + CopyIdTag`, chars 51–60 replaced by 'x'). The
+    * edit is length-preserving, so the contour windows stay aligned and
+    * each copy lands within the wide fingerprint's near-dup radius
+    * (measured ≤ 32 of 256 bits) while unrelated pairs stay ≥ ~71 — giving
+    * the near-dup oracle a real, separated signal to verify.
     */
   private val NearDupCorpusCte: String =
-    """corpus AS (SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id,
-      |    substr(text, 1, 50) || 'xxxxxxxxxx' || substr(text, 61) AS text
-      |  FROM documents WHERE length(text) >= 61)""".stripMargin
+    s"""corpus AS (SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $CopyIdTag AS doc_id,
+       |    substr(text, 1, 50) || 'xxxxxxxxxx' || substr(text, 61) AS text
+       |  FROM documents WHERE length(text) >= 61)""".stripMargin
 
   /** Spark twin of [[NearDupCorpusCte]]. */
   private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
     d.unionByName(
       d.where(length(col("text")) >= 61)
-        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        .select((col("doc_id") + lit(CopyIdTag)).as("doc_id"),
           concat(substring(col("text"), 1, 50), lit("x" * 10),
             expr("substring(text, 61)")).as("text")))
   }

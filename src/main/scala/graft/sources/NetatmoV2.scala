@@ -94,23 +94,33 @@ private[sources] object FixtureDeviceApi {
     * change the writer's physical type (µs vs ns), exactly like the Spark-side
     * `Tables.events` normalization.
     */
-  private def tsUnitScaleNs(file: String, conf: Configuration): Long = {
-    import org.apache.parquet.schema.LogicalTypeAnnotation
-    val in = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(file), conf))
-    try {
-      val schema = in.getFileMetaData.getSchema
-      schema.getType(schema.getFieldIndex("ts"))
-        .asPrimitiveType().getLogicalTypeAnnotation match {
-        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit match {
-          case LogicalTypeAnnotation.TimeUnit.NANOS  => 1L
-          case LogicalTypeAnnotation.TimeUnit.MICROS => 1000L
-          case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000000L
+  /** Memoized per file path: the unit cannot change for a written file, and
+    * the per-block-partition scan path calls [[moduleEvents]] once per
+    * block — without the cache every block would re-open and re-parse the
+    * same footer just to learn the unit. Unbounded growth is not a concern
+    * at fixture scale (one entry per distinct parquet file); executors each
+    * warm their own map.
+    */
+  private val tsUnitCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def tsUnitScaleNs(file: String, conf: Configuration): Long =
+    tsUnitCache.computeIfAbsent(file, _ => {
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(file), conf))
+      try {
+        val schema = in.getFileMetaData.getSchema
+        schema.getType(schema.getFieldIndex("ts"))
+          .asPrimitiveType().getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.NANOS  => 1L
+            case LogicalTypeAnnotation.TimeUnit.MICROS => 1000L
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000000L
+          }
+          case _ => 1L
         }
-        case _ => 1L
-      }
-    } finally in.close()
-  }
+      } finally in.close()
+    })
 
   /** Stream one module's (ts, event_type, value) rows within [startNs, endNs). */
   def moduleEvents(path: String, userId: Long, types: Set[String],

@@ -224,6 +224,30 @@ class SimilaritySpec extends SparkSpec {
     assert(rMp >= 0.9, s"srpTopKMultiprobe recall@5 $rMp < 0.9")
   }
 
+  test("ANN recall floor: >= 0.8 on the mid-separation overlapping corpus") {
+    // overlapping clusters with heavy jitter (adjacent centers cos ≈ 0.6):
+    // SRP hyperplanes cut through the fattened cluster interiors, so this
+    // corpus discriminates (SRP family measures 0.85, IVF 1.0) where the
+    // well-separated corpus reads 1.0 across the board — the floor pins
+    // against regressions in hashing/probing, the audit records the curve
+    val c = RecallAudit.overlappingCorpus(spark, perGroup = 25)
+    val q = c.where(col("vec_id") % 25 === 0) // one query per cluster
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(q, c, k = 5))
+    assert(brute.size == 40)
+    def recall(got: Set[(Long, Long)]): Double =
+      got.intersect(brute).size.toDouble / brute.size
+    val rIvf = recall(pairs(Similarity.ivfTopK(q, c, k = 5, nprobe = 2)))
+    val rSrp = recall(pairs(Similarity.srpTopK(q, c, k = 5, planes = 4)))
+    val rMp = recall(pairs(
+      Similarity.srpTopKMultiprobe(q, c, k = 5, planes = 4, nprobe = 3)))
+    assert(rIvf >= 0.9, s"ivfTopK recall@5 $rIvf < 0.9 on mid-separation data")
+    assert(rSrp >= 0.8, s"srpTopK recall@5 $rSrp < 0.8 on mid-separation data")
+    assert(rMp >= 0.8, s"srpTopKMultiprobe recall@5 $rMp < 0.8 on mid-separation data")
+  }
+
   test("dimStats: exact per-dimension moments; dead dimension shows zero std") {
     import org.apache.spark.sql.functions.col
     val df = Seq(

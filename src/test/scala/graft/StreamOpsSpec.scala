@@ -205,6 +205,39 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewmaStream parity under the RocksDB state store backend") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    StreamOps.useRocksDbStateStore(spark)
+    try {
+      val in = MemoryStream[PointIn]
+      val q = StreamOps.ewmaStream(in.toDS(), alpha = 0.5)
+        .writeStream.format("memory").queryName("ewma_rocks")
+        .outputMode("append").start()
+      try {
+        in.addData(PointIn("a", 1 * S, 4.0), PointIn("a", 2 * S, 8.0))
+        q.processAllAvailable()
+        in.addData(PointIn("a", 3 * S, 10.0), PointIn("a", 1 * S, 99.0),
+          PointIn("a", 4 * S, Double.NaN))
+        q.processAllAvailable()
+        // identical recursion to the default-backend test: y1=4, y2=6, y3=8
+        val got = spark.table("ewma_rocks").orderBy("ts").collect()
+          .map(r => (r.getAs[Long]("ts") / S, r.getAs[Double]("ewma")))
+        assert(got.toSeq == Seq(1L -> 4.0, 2L -> 6.0, 3L -> 8.0))
+        // prove the backend actually engaged: RocksDB publishes its own
+        // state-operator custom metrics
+        val metrics = q.lastProgress.stateOperators.flatMap(
+          _.customMetrics.keySet().toArray(Array.empty[String]))
+        assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+          s"expected rocksdb state metrics, got ${metrics.mkString(",")}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   // ProcessingTimeTimeout makes shouldRunAnotherBatch unconditionally true:
   // the query schedules batches forever (by design — timeouts can always
   // fire), so processAllAvailable NEVER quiesces on these queries. The

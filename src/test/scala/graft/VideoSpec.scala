@@ -113,7 +113,7 @@ class VideoSpec extends SparkSpec {
       .select(col("doc_id"), col("text"))
     val docs = d.unionByName(
       d.where(length(col("text")) >= 61)
-        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        .select((col("doc_id") + lit(1L << 40)).as("doc_id"),
           concat(substring(col("text"), 1, 50), lit("x" * 10),
             expr("substring(text, 61)")).as("text")))
     val table = Video.synthVideoTable(docs)
