@@ -71,12 +71,22 @@ object Dedup {
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // The null-signature drop (< k tokens) happens on band_hash AFTER the
+    // explode, NOT as .where(sig.isNotNull) on the signature itself: that
+    // filter was pushed through the project into the file scan, where it
+    // re-evaluated the whole MinHash kernel once per row just for the null
+    // check (measured in the physical plan — 2× kernel cost on the hottest
+    // expression in the repo). A null sig yields null band_hash for every
+    // band, so the post-explode filter drops exactly the same rows; the
+    // filter references the generator's output, so it cannot be pushed
+    // below the explode, and CollapseProject leaves the kernel in its own
+    // projection (verified: one minhashsig eval per row in the final plan).
     spreadById(df.select(col(idCol), col(textCol)), idCol)
       .select(col(idCol),
         minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
-      .where(col("sig").isNotNull)
       .select(col(idCol), bandExplode(col("sig"), bands, rowsPerBand).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+      .where(col("band_hash").isNotNull)
   }
 
   /** Candidate pairs from LSH buckets (a < b), deduplicated across bands. */
@@ -234,9 +244,12 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       shingleK: Int = 3, maxDist: Int = SimhashWideMaxDist): DataFrame = {
+    // deliberately NO .where(sig.isNotNull): the null check would be pushed
+    // into the file scan and re-run the signature kernel once per row just
+    // to test for null (measured in the physical plan); null signatures
+    // (< k tokens) drop out of hammingNearDupsWide's equi-join natively
     val sigs = spreadById(df.select(col(idCol), col(textCol)), idCol)
       .select(col(idCol), simhashWide(col(textCol), shingleK).as("sig"))
-      .where(col("sig").isNotNull)
     hammingNearDupsWide(sigs, idCol, "sig", SimhashWideBits, maxDist)
   }
 
@@ -326,9 +339,16 @@ object Dedup {
     // Contract enforcement: a short signature array would make element_at
     // yield null chunk values and the row would silently drop out of the
     // equi-join (missed pairs, not an error). Fail loudly per row instead.
+    // A NULL signature stays legitimate "no signature" (docs below the
+    // shingle minimum): its chunk values come out null and the inner
+    // equi-join drops them — which also means callers need NO isNotNull
+    // pre-filter (one measured such filter was pushed into the file scan
+    // and re-evaluated the whole signature kernel once per row just for
+    // the null check).
     val nWords = (totalBits + 63) / 64
     val checked = sigs.withColumn(sigCol,
-      when(size(col(sigCol)) === nWords, col(sigCol))
+      when(col(sigCol).isNull, col(sigCol))
+        .when(size(col(sigCol)) === nWords, col(sigCol))
         .otherwise(raise_error(format_string(
           s"hammingNearDupsWide: signature array must carry $nWords words " +
             s"for totalBits=$totalBits, got %s words", size(col(sigCol))))))

@@ -146,6 +146,9 @@ object Sketches {
             col("__g"), lit(maxGroups))))
           .otherwise(col("hs")))
       .drop("__g")
+    // The pair join references the sketch twice (a × b); measured at sf0.1,
+    // persist buys nothing here — Spark's exchange reuse already shares the
+    // heavy shuffle between the two sides — so the plan stays declarative.
     val a = sk.select(col(groupCol).as("grp_a"), col("hs").as("__ha"))
     val b = sk.select(col(groupCol).as("grp_b"), col("hs").as("__hb"))
     val paired = a.join(broadcast(b), col("grp_a") < col("grp_b"))

@@ -274,16 +274,21 @@ object StreamOps {
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.pipeline.{Dedup, TextOps}
+    // null-sig drop via band_hash AFTER the explode, mirroring
+    // Dedup.lshBuckets: a .where(sig.isNotNull) here would be pushed into
+    // the scan and re-evaluate the MinHash kernel once per row for the
+    // null check alone (a null sig yields null band_hash on every band,
+    // so the post-explode filter drops exactly the same rows)
     val banded = docs
       .select(col("doc_id").cast("long").as("doc_id"),
         array_sort(array_distinct(
           TextOps.shingles(TextOps.tokens(col("text")), shingleK))).as("sh"),
         Dedup.minhashSignature(col("text"), shingleK, bands * rowsPerBand).as("sig"))
-      .where(col("sig").isNotNull)
       .select(col("doc_id"), col("sh"),
         Dedup.bandExplode(col("sig"), bands, rowsPerBand).as("bb"))
       .select(col("doc_id"), col("sh"),
         col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+      .where(col("band_hash").isNotNull)
       .as[BandRow]
     // exact sorted-distinct-array Jaccard: the same |∩| / (|A|+|B|-|∩|)
     // merge walk as the batch kernel (SortedArrayJaccard), same division
