@@ -726,6 +726,11 @@ object SparkEntry {
         Tables(s, dir).documents.select(col("lang"),
           explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh")),
         k = 128, "lang", "sh")),
+    // HyperLogLog distinct users per event type: constant 2^10 registers
+    // per group, duplicate-insensitive, register-max mergeable
+    "sketch_hll" -> ((s, dir) =>
+      Sketches.hllDistinct(Tables(s, dir).events, p = 10,
+        Seq("event_type"), "user_id")),
 
     // ---- gap sessionization over the event stream (30-minute gap);
     // eventsUs: DuckDB truncates TIMESTAMP_NS to whole microseconds ----
@@ -1867,6 +1872,42 @@ object SparkEntry {
          |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
          |       ELSE 63.0 * 1000000007 / greatest(kth_min, 1) END AS est_distinct
          |FROM kp""".stripMargin,
+
+    // Twin of Sketches.hllDistinct(events, p=10, event_type, user_id): the
+    // same kmvHash mixer, register index = low p bits, the exact integer
+    // bitlen CASE chain (no float log2), register-wise max, and the
+    // identical alpha/linear-counting estimate formula term-for-term (the
+    // 2^-rho register sum is exact in doubles, so the aggregation order
+    // cannot matter).
+    "sketch_hll" -> {
+      val p = 10
+      val m = 1 << p
+      val bigW = 30 - p
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val bitLenSql = (bigW to 1 by -1)
+        .map(b => s"WHEN w >= ${1L << (b - 1)} THEN $b").mkString(" ")
+      // CAST: DuckDB types a bare decimal literal as DECIMAL, whose
+      // fixed-point multiplication overflows (and would round differently
+      // from Spark's double math anyway)
+      val est = s"CAST($alpha AS DOUBLE) * $m * $m / (zs + ($m - n_registers_hit))"
+      s"""WITH ax AS (SELECT DISTINCT event_type,
+         |  (${phSql("CAST(user_id AS VARCHAR)", "0")}
+         |   * ${graft.pipeline.Sampling.saltMult("kmv")}
+         |   + ${graft.pipeline.Sampling.saltAdd("kmv")}) % 1000000007 AS m FROM events),
+         |hx AS (SELECT DISTINCT event_type,
+         |  ${phSql("lpad(CAST(m AS VARCHAR), 10, '0')", "0")} AS h FROM ax),
+         |rr AS (SELECT event_type, h & ${m - 1} AS idx, w,
+         |  ${bigW + 1} - (CASE $bitLenSql ELSE 0 END) AS rho
+         |  FROM (SELECT event_type, h, h >> $p AS w FROM hx)),
+         |rg AS (SELECT event_type, idx, max(rho) AS r FROM rr GROUP BY 1, 2),
+         |sk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_registers_hit,
+         |  sum(power(2.0, -r)) AS zs FROM rg GROUP BY 1)
+         |SELECT event_type, n_registers_hit,
+         |  CASE WHEN $est <= ${2.5 * m} AND ($m - n_registers_hit) > 0
+         |    THEN $m * ln(CAST($m AS DOUBLE) / ($m - n_registers_hit))
+         |    ELSE $est END AS est_distinct
+         |FROM sk""".stripMargin
+    },
 
     // Twin of Sketches.kmvPairJaccard(documents 3-gram shingles by lang,
     // k=128): same mixer, per-lang k-min sketch lists, union-of-sketches

@@ -118,6 +118,60 @@ object Sketches {
     * pair comparison is a broadcast nested-loop over G² sketch pairs,
     * never over rows.
     */
+  /** HyperLogLog distinct-count estimate per group (Flajolet et al. 2007,
+    * dense registers) as pure column algebra — the constant-size companion
+    * to [[kmvDistinct]]: 2^p registers per group regardless of
+    * cardinality, mergeable by register-wise max, and insensitive to
+    * duplicates by construction (registers take a max, so re-ingesting a
+    * value is a no-op — no DISTINCT pass needed, unlike KMV).
+    *
+    * Derivation, identical in the SQL twin: the [[kmvHash]] mixed hash
+    * h ∈ [0, 2^30); register index = low p bits, the remaining W = 30 − p
+    * bits form the window whose leading-zero count drives
+    * ρ = W + 1 − bitlen(w) (ρ = W + 1 at w = 0). bitlen is a generated
+    * integer CASE chain — exact in every engine, no float log2 at the
+    * power-of-two boundaries. Estimate = α_m · m² / Σ 2^−ρ_j (absent
+    * registers contribute 2^0), with the standard small-range linear
+    * count m·ln(m/V) when E ≤ 2.5m and V > 0. Every 2^−ρ term is a
+    * dyadic rational spanning < 2^52, so the register sum is EXACT in
+    * doubles whatever the aggregation order — the estimate is
+    * deterministic across partitionings and engines.
+    *
+    * Scale shape: two partial-combined aggregations — (group, register)
+    * max, then a per-group reduction over ≤ 2^p register rows. State is
+    * bounded by m per group at every stage; no windows, no sort.
+    */
+  def hllDistinct(df: DataFrame, p: Int = 10, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(p >= 7 && p <= 16, s"hllDistinct needs p in [7, 16], got $p")
+    require(groupCols.nonEmpty, "hllDistinct needs at least one group column")
+    val m = 1 << p
+    val bigW = 30 - p
+    val g = groupCols.map(col)
+    val h = kmvHash(valueCol)
+    val w = shiftrightunsigned(h, p)
+    // bitlen(w) as an exact integer CASE chain, highest threshold first
+    val bitLen = (bigW to 1 by -1).foldLeft(when(lit(false), 0)) {
+      (acc, b) => acc.when(w >= (1L << (b - 1)), b)
+    }.otherwise(0)
+    val regs = df
+      .select(g :+ h.bitwiseAND(lit((m - 1).toLong)).as("__idx")
+        :+ (lit(bigW + 1) - bitLen).as("__rho"): _*)
+      .groupBy(g :+ col("__idx"): _*)
+      .agg(max(col("__rho")).as("__r"))
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val zs = col("__zsum") + (lit(m) - col("n_registers_hit")) // absent regs: 2^0
+    val v = lit(m) - col("n_registers_hit")
+    val raw = lit(alpha) * lit(m.toDouble) * lit(m.toDouble) / zs
+    regs.groupBy(g: _*)
+      .agg(count(lit(1)).as("n_registers_hit"),
+        sum(pow(lit(2.0), -col("__r"))).as("__zsum"))
+      .withColumn("est_distinct",
+        when(raw <= lit(2.5 * m) && v > 0, lit(m.toDouble) * log(lit(m.toDouble) / v))
+          .otherwise(raw))
+      .drop("__zsum")
+  }
+
   /** Default bound on the pair-comparison group count: G groups mean a
     * broadcast of G·k longs to every task and G²/2 sketch comparisons —
     * "group-level metadata" stops being metadata somewhere around 10⁴

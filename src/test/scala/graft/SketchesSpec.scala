@@ -69,6 +69,40 @@ class SketchesSpec extends SparkSpec {
       s"inter ${g.getAs[Double]("inter_est")}")
   }
 
+  test("hllDistinct: estimate tracks exact distinct; duplicate-insensitive") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Sketches.hllDistinct(events, p = 10, Seq("event_type"), "user_id")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("est_distinct")).toMap
+    assert(est.keySet == exact.keySet)
+    // m = 1024 → σ ≈ 1.04/√m ≈ 3.25%; allow ~4σ
+    exact.foreach { case (k, n) =>
+      val rel = math.abs(est(k) - n) / n.toDouble
+      assert(rel < 0.13, s"$k: est ${est(k)} vs exact $n (rel $rel)")
+    }
+    // duplicates are a register-max no-op: the doubled stream sketches
+    // identically, bit for bit
+    val doubled = Sketches.hllDistinct(events.unionAll(events), p = 10,
+      Seq("event_type"), "user_id")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("est_distinct")).toMap
+    assert(doubled == est)
+  }
+
+  test("hllDistinct small-range linear counting is near-exact at low cardinality") {
+    val tiny = (0 until 50).map(i => ("g", s"user$i")) ++
+      (0 until 50).map(i => ("g", s"user$i")) // duplicated on purpose
+    val got = Sketches.hllDistinct(tiny.toDF("grp", "v"), p = 10, Seq("grp"), "v")
+      .collect().head
+    val est = got.getAs[Double]("est_distinct")
+    assert(math.abs(est - 50.0) / 50.0 < 0.1, s"est $est vs 50")
+    assert(got.getAs[Long]("n_registers_hit") <= 50L)
+    intercept[IllegalArgumentException] {
+      Sketches.hllDistinct(tiny.toDF("grp", "v"), p = 3, Seq("grp"), "v")
+    }
+  }
+
   test("kmvPairJaccard refuses group counts above the G² pair bound") {
     val many = (0 until 40).flatMap(g => (0 until 3).map(i => (s"g$g", s"v$i")))
     def messages(t: Throwable): String =
