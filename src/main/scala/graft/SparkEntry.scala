@@ -959,6 +959,11 @@ object SparkEntry {
       graft.streaming.StreamOps.kmvStream(
         Tables(s, dir).events, k = 64, "event_type", "user_id")
         .toDF().withColumnRenamed("grp", "event_type")),
+    // streaming HLL sketch in batch mode: equals sketch_hll exactly
+    "stream_hll" -> ((s, dir) =>
+      graft.streaming.StreamOps.hllStream(
+        Tables(s, dir).events, p = 10, "event_type", "user_id")
+        .toDF().withColumnRenamed("grp", "event_type")),
 
     // ---- streaming twin in batch mode (tumbling day windows) ----
     "stream_window_stats" -> ((s, dir) => {
@@ -1023,7 +1028,8 @@ object SparkEntry {
       // the streaming face scores pairs with the batch kernel's arithmetic
       "stream_near_dups" -> base("dedup_minhash"),
       // the streaming sketch's batch face IS the batch sketch
-      "stream_kmv" -> base("sketch_kmv"))
+      "stream_kmv" -> base("sketch_kmv"),
+      "stream_hll" -> base("sketch_hll"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

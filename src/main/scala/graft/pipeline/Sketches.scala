@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -146,20 +146,12 @@ object Sketches {
     require(p >= 7 && p <= 16, s"hllDistinct needs p in [7, 16], got $p")
     require(groupCols.nonEmpty, "hllDistinct needs at least one group column")
     val m = 1 << p
-    val bigW = 30 - p
     val g = groupCols.map(col)
-    val h = kmvHash(valueCol)
-    val w = shiftrightunsigned(h, p)
-    // bitlen(w) as an exact integer CASE chain, highest threshold first
-    val bitLen = (bigW to 1 by -1).foldLeft(when(lit(false), 0)) {
-      (acc, b) => acc.when(w >= (1L << (b - 1)), b)
-    }.otherwise(0)
     val regs = df
-      .select(g :+ h.bitwiseAND(lit((m - 1).toLong)).as("__idx")
-        :+ (lit(bigW + 1) - bitLen).as("__rho"): _*)
+      .select(g :+ hllIdx(valueCol, p).as("__idx") :+ hllRho(valueCol, p).as("__rho"): _*)
       .groupBy(g :+ col("__idx"): _*)
       .agg(max(col("__rho")).as("__r"))
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val alpha = hllAlpha(m)
     val zs = col("__zsum") + (lit(m) - col("n_registers_hit")) // absent regs: 2^0
     val v = lit(m) - col("n_registers_hit")
     val raw = lit(alpha) * lit(m.toDouble) * lit(m.toDouble) / zs
@@ -170,6 +162,42 @@ object Sketches {
         when(raw <= lit(2.5 * m) && v > 0, lit(m.toDouble) * log(lit(m.toDouble) / v))
           .otherwise(raw))
       .drop("__zsum")
+  }
+
+  /** The register index / rank derivation shared by the batch and the
+    * streaming face — one definition, so the two cannot drift.
+    */
+  private[graft] def hllIdx(valueCol: String, p: Int): Column =
+    kmvHash(valueCol).bitwiseAND(lit(((1 << p) - 1).toLong))
+
+  private[graft] def hllRho(valueCol: String, p: Int): Column = {
+    val bigW = 30 - p
+    val w = shiftrightunsigned(kmvHash(valueCol), p)
+    // bitlen(w) as an exact integer CASE chain, highest threshold first
+    val bitLen = (bigW to 1 by -1).foldLeft(when(lit(false), 0)) {
+      (acc, b) => acc.when(w >= (1L << (b - 1)), b)
+    }.otherwise(0)
+    lit(bigW + 1) - bitLen
+  }
+
+  private[graft] def hllAlpha(m: Int): Double = 0.7213 / (1.0 + 1.079 / m)
+
+  /** The estimate formula on materialized registers, identical term order
+    * to the column algebra in [[hllDistinct]] (the 2^−ρ sum is exact in
+    * doubles, ln is the same IEEE libm call) — the streaming face computes
+    * per-group state driver-side through THIS function, so its batch face
+    * hash-matches [[hllDistinct]] by construction.
+    */
+  private[graft] def hllEstimate(p: Int, rhos: Iterable[Int]): (Long, Double) = {
+    val m = 1 << p
+    val hit = rhos.size.toLong
+    val zs = rhos.map(r => math.pow(2.0, -r)).sum + (m - hit)
+    val v = m - hit
+    val raw = hllAlpha(m) * m.toDouble * m.toDouble / zs
+    val est =
+      if (raw <= 2.5 * m && v > 0) m.toDouble * math.log(m.toDouble / v)
+      else raw
+    (hit, est)
   }
 
   /** Default bound on the pair-comparison group count: G groups mean a

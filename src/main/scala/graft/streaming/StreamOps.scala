@@ -394,6 +394,60 @@ object StreamOps {
     * its sketch from empty, UNDER-estimating until it re-fills — the
     * recency trade a bounded-state deployment makes explicit.
     */
+  final case class HllIn(grp: String, idx: Int, rho: Int)
+  final case class HllState(regs: Map[Int, Int])
+  final case class HllEstimate(grp: String, n_registers_hit: Long, est_distinct: Double)
+
+  /** Streaming HyperLogLog: the streaming face of
+    * [[graft.pipeline.Sketches.hllDistinct]]. Register index and rank come
+    * from the SAME shared column derivation as the batch sketch
+    * (`Sketches.hllIdx`/`hllRho`), per-group state is the sparse
+    * register→max-rank map (bounded by 2^p entries of constant size —
+    * unlike KMV's k-list this never re-sorts), and each micro-batch emits
+    * a refined estimate through the shared `Sketches.hllEstimate` formula.
+    * Register max-merge is associative and duplicate/order-insensitive, so
+    * the final estimate equals the batch estimate over the union of all
+    * batches however rows were split — and on a BATCH frame this returns
+    * exactly `hllDistinct(df)` (the `stream_hll` oracle aliases
+    * `sketch_hll`, pinning the two faces hash-equal).
+    *
+    * STATE RETENTION CONTRACT (same shape as [[kmvStream]]): fixed ≤ 2^p
+    * ints per group; `idleTimeoutMs` evicts idle groups, which restart
+    * from empty and under-estimate until re-filled.
+    */
+  def hllStream(df: DataFrame, p: Int = 10, groupCol: String, valueCol: String,
+      idleTimeoutMs: Option[Long] = None): Dataset[HllEstimate] = {
+    require(p >= 7 && p <= 16, s"hllStream needs p in [7, 16], got $p")
+    require(idleTimeoutMs.forall(_ > 0), s"idleTimeoutMs must be positive: $idleTimeoutMs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.pipeline.Sketches
+    val rows = df.select(col(groupCol).cast("string").as("grp"),
+      Sketches.hllIdx(valueCol, p).cast("int").as("idx"),
+      Sketches.hllRho(valueCol, p).as("rho")).as[HllIn]
+    val timeoutConf =
+      if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    rows.groupByKey(_.grp)
+      .flatMapGroupsWithState[HllState, HllEstimate](
+        OutputMode.Append(), timeoutConf) {
+        (grp, batch, state: GroupState[HllState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var regs = state.getOption.map(_.regs).getOrElse(Map.empty[Int, Int])
+            batch.foreach { r =>
+              if (r.rho > regs.getOrElse(r.idx, 0)) regs = regs.updated(r.idx, r.rho)
+            }
+            state.update(HllState(regs))
+            idleTimeoutMs.foreach(state.setTimeoutDuration)
+            val (hit, est) = Sketches.hllEstimate(p, regs.values)
+            Iterator.single(HllEstimate(grp, hit, est))
+          }
+      }
+  }
+
   def kmvStream(df: DataFrame, k: Int, groupCol: String, valueCol: String,
       idleTimeoutMs: Option[Long] = None): Dataset[KmvEstimate] = {
     require(k >= 2, s"KMV needs k >= 2, got $k")

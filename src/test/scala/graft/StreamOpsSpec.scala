@@ -309,6 +309,41 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hllStream: batch face == hllDistinct; register merge refines across micro-batches") {
+    import graft.pipeline.Sketches
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val reference = rowsOf(
+      Sketches.hllDistinct(events, 10, Seq("event_type"), "user_id"))
+    assert(rowsOf(StreamOps.hllStream(events, 10, "event_type", "user_id")
+      .toDF().withColumnRenamed("grp", "event_type")) == reference)
+
+    // streaming face: register max-merge is associative, so the post-split
+    // estimate must equal the batch sketch over the union of both batches
+    val b1 = (0 until 50).map(i => ("g", s"a$i"))
+    val b2 = (0 until 60).map(i => ("g", s"b$i"))
+    val in = MemoryStream[(String, String)]
+    val q = StreamOps.hllStream(in.toDS().toDF("grp", "v"), 10, "grp", "v")
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      in.addData(b1)
+      q.processAllAvailable()
+      in.addData(b2)
+      q.processAllAvailable()
+      val got = spark.table("hll_stream").collect()
+        .map(r => (r.getAs[Long]("n_registers_hit"),
+          r.getAs[Double]("est_distinct"))).toSet
+      def batchRow(data: Seq[(String, String)]) = {
+        val r = Sketches.hllDistinct(data.toDF("grp", "v"), 10, Seq("grp"), "v")
+          .collect().head
+        (r.getAs[Long]("n_registers_hit"), r.getAs[Double]("est_distinct"))
+      }
+      // first emission sketches batch 1 alone; second the union
+      assert(got == Set(batchRow(b1), batchRow(b1 ++ b2)), s"got $got")
+    } finally q.stop()
+  }
+
   test("kmvStream idle eviction: an evicted group restarts its sketch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(String, String)]
