@@ -154,6 +154,16 @@ object Smoke {
         .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts")),
       "user_id", "click_ts", "purchase_ts", 3600L * 1000000000L).count())
 
+    // round-9 surface: HLL sketch (batch + streaming batch face),
+    // DST-aware monthly rollup, wide image hash
+    graft.pipeline.Sketches.hllDistinct(t.events, p = 10,
+      Seq("event_type"), "user_id").orderBy("event_type").show()
+    println(s"stream-hll rows (static run): ${graft.streaming.StreamOps
+      .hllStream(t.events, 10, "event_type", "user_id").count()}")
+    println(s"monthlyTz buckets: ${graft.ts.SeriesOps.monthlyTz(p3).count()}")
+    println(s"wide phash rows: ${graft.pipeline.Multimodal.perceptualHashWide(
+      graft.pipeline.Multimodal.synthMediaTable(docs.limit(50))).count()}")
+
     spark.stop()
   }
 }
