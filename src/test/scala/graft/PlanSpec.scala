@@ -285,6 +285,30 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"CartesianProduct in: ${offenders.mkString(", ")}")
   }
 
+  test("signature kernels evaluate once per row: never in scan filters or generators") {
+    // regression pin for the round-9 find: a .where(sig.isNotNull) above a
+    // signature projection gets pushed into the FileScan, where the kernel
+    // re-evaluates per row just for the null check; and CollapseProject
+    // could inline a single-reference kernel into an explode lambda, where
+    // HOF semantics re-evaluate it once per emitted element. Both shapes
+    // double (or band-multiply) the hottest per-row cost in the repo.
+    val kernels = Seq("minhashsig", "simhashsigwide")
+    var kernelSeen = false
+    for (name <- Seq("dedup_minhash", "dedup_simhash", "dedup_clusters")) {
+      val plan = planOf(SparkEntry.queries(name)(spark, sfDir))
+      for (line <- plan.linesIterator; k <- kernels if line.contains(k)) {
+        kernelSeen = true
+        assert(!line.contains("FileScan"),
+          s"$name: kernel $k inside a scan's pushed filters:\n${line.trim}")
+        assert(!line.contains(s"isnotnull($k"),
+          s"$name: kernel $k re-evaluated in a null-check filter:\n${line.trim}")
+        assert(!line.contains("Generate"),
+          s"$name: kernel $k inlined into a generator lambda:\n${line.trim}")
+      }
+    }
+    assert(kernelSeen, "lint never saw a kernel line — pattern names are stale")
+  }
+
   test("whole-stage codegen covers the relational anchors") {
     val df = SparkEntry.queries("q1_agg")(spark, sfDir)
     df.collect() // AQE finalizes the plan on execution
