@@ -164,6 +164,20 @@ object Smoke {
     println(s"wide phash rows: ${graft.pipeline.Multimodal.perceptualHashWide(
       graft.pipeline.Multimodal.synthMediaTable(docs.limit(50))).count()}")
 
+    // late round-9 surface: leakage-safe split, bloom decontamination,
+    // count-min heavy hitters
+    graft.pipeline.Sampling.leakageSafeSplit(docs,
+      clusters.select("doc_id", "cluster_id"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().show()
+    val benchSlice = graft.pipeline.Sampling.assignSplit(docs, "doc_id",
+      Seq("train" -> 0.9, "test" -> 0.1)).where(col("split") === "test")
+    println(s"bloom-contaminated docs: ${TextOps.bloomDecontaminate(docs,
+      benchSlice, n = 5).where(col("contaminated")).count()}")
+    graft.pipeline.Sketches.cmsTopK(
+      docs.select(explode(TextOps.tokens(col("text"))).as("term")), "term", 5)
+      .orderBy(col("true_count").desc, col("value")).show()
+
     spark.stop()
   }
 }

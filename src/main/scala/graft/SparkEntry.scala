@@ -680,6 +680,14 @@ object SparkEntry {
       Sampling.deterministicSample(Tables(s, dir).documents, "doc_id", 0.1)
         .select("doc_id", "lang")
     }),
+    // leakage-safe split: near-dup clusters move between splits as one unit
+    "split_leakage_safe" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      Sampling.leakageSafeSplit(docs,
+        Components.dedupClusters(docs).select("doc_id", "cluster_id"),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split_key", "split")
+    }),
     "sample_stratified" -> ((s, dir) => {
       Sampling.stratifiedSample(Tables(s, dir).documents, "doc_id", "lang", 20)
         .select("doc_id", "lang")
@@ -731,6 +739,12 @@ object SparkEntry {
     "sketch_hll" -> ((s, dir) =>
       Sketches.hllDistinct(Tables(s, dir).events, p = 10,
         Seq("event_type"), "user_id")),
+    // count-min heavy hitters over the token stream: 3x1024 counters
+    // regardless of vocabulary; est >= true visible in the output
+    "sketch_cms" -> ((s, dir) =>
+      Sketches.cmsTopK(Tables(s, dir).documents
+        .select(explode(TextOps.tokens(col("text"))).as("term")),
+        "term", k = 20)),
 
     // ---- gap sessionization over the event stream (30-minute gap);
     // eventsUs: DuckDB truncates TIMESTAMP_NS to whole microseconds ----
@@ -804,6 +818,15 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .where(col("split") === "test")
       TextOps.decontaminate(docs, bench, n = 5)
+    }),
+    // Bloom-filter face of decontamination: same bench slice reduced to a
+    // 2^18-bit filter; deterministic including false positives
+    "bloom_decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val bench = Sampling.assignSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .where(col("split") === "test")
+      TextOps.bloomDecontaminate(docs, bench, n = 5)
     }),
     // shardWidth 100 forces multiple shards at sf0.01 so the distributed
     // prefix sum is exercised, not just the single-shard degenerate case
@@ -1767,6 +1790,21 @@ object SparkEntry {
          |WHERE ((${phSql("CAST(doc_id AS VARCHAR)", "0")}) * ${Sampling.saltMult("sample")}
          |  + ${Sampling.saltAdd("sample")}) % 1000000007 % 10000 < 1000""".stripMargin,
 
+    // Twin of Sampling.leakageSafeSplit: the dedup_clusters closure CTEs
+    // resolve each doc's cluster id; the split key is
+    // coalesce(cluster_id, doc_id) pushed through the SAME bucket formula
+    // as sample_split — so cluster members provably share a split.
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |$ClosureCtes,
+         |keyed AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_key
+         |  FROM documents d LEFT JOIN comps c USING (doc_id)),
+         |b AS (SELECT doc_id, split_key,
+         |  ((${phSql("CAST(split_key AS VARCHAR)", "0")}) * ${Sampling.saltMult("split")}
+         |    + ${Sampling.saltAdd("split")}) % 1000000007 % 10000 AS bkt FROM keyed)
+         |SELECT doc_id, split_key, CASE WHEN bkt < 8000 THEN 'train'
+         |  WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split FROM b""".stripMargin,
+
     // Twin of Sampling.stratifiedSample: rank by the same Carter–Wegman
     // hash within each lang stratum, keep the 20 smallest.
     "sample_stratified" ->
@@ -1914,6 +1952,22 @@ object SparkEntry {
          |    ELSE $est END AS est_distinct
          |FROM sk""".stripMargin
     },
+
+    // Twin of Sketches.cmsTopK(document tokens, k=20, d=3, w=1024): same
+    // seeded PolyHash buckets (201+j), same (count desc, term asc) top-20
+    // cut, est = min over the 3 rows' bucket counts.
+    "sketch_cms" ->
+      s"""WITH tk AS (SELECT unnest($Toks) AS term FROM documents),
+         |cms AS (SELECT j, (${phSql("term", "201 + j")}) % 1024 AS bucket,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tk CROSS JOIN range(0, 3) t(j) GROUP BY 1, 2),
+         |top AS (SELECT term AS value, CAST(count(*) AS BIGINT) AS true_count
+         |  FROM tk GROUP BY 1 ORDER BY true_count DESC, value ASC LIMIT 20),
+         |pr AS (SELECT value, true_count, j,
+         |  (${phSql("value", "201 + j")}) % 1024 AS bucket
+         |  FROM top CROSS JOIN range(0, 3) t(j))
+         |SELECT value, true_count, min(cnt) AS est_count
+         |FROM pr JOIN cms USING (j, bucket) GROUP BY 1, 2""".stripMargin,
 
     // Twin of Sketches.kmvPairJaccard(documents 3-gram shingles by lang,
     // k=128): same mixer, per-lang k-min sketch lists, union-of-sketches
@@ -2124,6 +2178,39 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(sh.n_shared_ngrams, 0) AS n_shared_ngrams,
          |  coalesce(sh.n_shared_ngrams, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN sh USING (doc_id)""".stripMargin,
+    // Twin of TextOps.bloomDecontaminate: identical bench slice and grams
+    // as the decontaminate twin, bit positions PolyHash(gram, 101+j) mod
+    // 2^18 for j in 0..2, sparse 32-bit word map via bit_or, membership
+    // via mask & (1 << bit) with bit < 32 — no shift ever reaches the
+    // BIGINT sign bit (DuckDB raises on the checked 1::BIGINT << 63).
+    "bloom_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS tk FROM documents),
+         |g AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 5
+         |  THEN list_transform(range(1, len(tk) - 3), i -> array_to_string(tk[i:i+4], ' '))
+         |  ELSE [] END) AS g FROM toks),
+         |bench AS (SELECT doc_id FROM documents
+         |  WHERE ((${phSql("CAST(doc_id AS VARCHAR)", "0")}) * ${Sampling.saltMult("split")}
+         |    + ${Sampling.saltAdd("split")}) % 1000000007 % 10000 >= 9000),
+         |bg AS (SELECT DISTINCT unnest(g.g) AS gram FROM g JOIN bench USING (doc_id)),
+         |bpos AS (SELECT DISTINCT (${phSql("gram", "101 + j")}) % 262144 AS p
+         |  FROM bg CROSS JOIN range(0, 3) t(j)),
+         |words AS (SELECT p // 32 AS word_idx,
+         |  bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS mask
+         |  FROM bpos GROUP BY 1),
+         |dg AS (SELECT doc_id, unnest(g) AS gram FROM g),
+         |dp AS (SELECT doc_id, gram, (${phSql("gram", "101 + j")}) % 262144 AS p
+         |  FROM dg CROSS JOIN range(0, 3) t(j)),
+         |hit AS (SELECT dp.doc_id, dp.gram,
+         |  min(CASE WHEN w.mask IS NOT NULL AND
+         |    (w.mask & (CAST(1 AS BIGINT) << CAST(dp.p % 32 AS INTEGER))) <> 0
+         |    THEN 1 ELSE 0 END) AS all_set
+         |  FROM dp LEFT JOIN words w ON w.word_idx = dp.p // 32 GROUP BY 1, 2),
+         |per AS (SELECT doc_id, CAST(sum(all_set) AS BIGINT) AS n_bloom_hits
+         |  FROM hit GROUP BY 1)
+         |SELECT d.doc_id, coalesce(per.n_bloom_hits, 0) AS n_bloom_hits,
+         |  coalesce(per.n_bloom_hits, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+
     // Twin of Packing.packSequences: a plain global running sum here — the
     // Spark side's sharded prefix sum must land on byte-identical offsets.
     // sum() OVER is HUGEINT in DuckDB, hence the CAST (see sim_srp note).

@@ -70,6 +70,41 @@ object Sampling {
     df.withColumn("split", labeled)
   }
 
+  /** Leakage-safe train/val/test splitting: documents that are near-dups of
+    * each other MUST land in the same split, or the held-out sets silently
+    * contain paraphrases of training rows and eval numbers inflate (the
+    * canonical train/test contamination path arXiv:2107.06499 §6 measures).
+    * The split key is therefore the near-dup CLUSTER id, not the doc id:
+    * every member of a cluster hashes identically, so the whole cluster
+    * moves as one unit; singleton documents (no near-dup edge) fall back to
+    * their own id, which is distribution-preserving because cluster ids ARE
+    * doc ids (the component's minimum).
+    *
+    * `clusters` is any `(idCol, cluster_id)` relation — compose with
+    * [[Components.dedupClusters]] (MinHash), a SimHash pair closure, or
+    * embedding near-dup clusters; docs absent from it are treated as
+    * singletons. Split proportions then hold over CLUSTERS rather than
+    * docs exactly — the unavoidable price of leakage-safety (a 3-doc
+    * cluster is indivisible); with dup rates in the few-percent range the
+    * doc-level proportions track within noise.
+    *
+    * Scale shape: one left join on the id key (the cluster relation is
+    * corpus-sized at worst, near-dup-subset-sized typically) plus the
+    * narrow [[bucketOf]] algebra — no new shuffle beyond the join, and the
+    * join itself broadcasts when the cluster side is small enough under
+    * AQE.
+    */
+  def leakageSafeSplit(df: DataFrame, clusters: DataFrame, idCol: String,
+      weights: Seq[(String, Double)], salt: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be positive, got $weights")
+    val cl = clusters.select(col(idCol), col("cluster_id"))
+    val keyed = df.join(cl, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col(idCol)))
+      .drop("cluster_id")
+    assignSplit(keyed, "split_key", weights, salt)
+  }
+
   /** Exact per-stratum quota sampling: the `perStratum` rows of each stratum
     * with the smallest salt-keyed hash (ties broken by id). Where
     * [[deterministicSample]] hits a fraction only in expectation, quotas

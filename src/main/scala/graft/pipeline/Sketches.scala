@@ -200,6 +200,57 @@ object Sketches {
     (hit, est)
   }
 
+  /** Count-min sketch over a value stream (Cormode & Muthukrishnan 2005):
+    * `d` hash rows × `w` buckets of counters, built with one
+    * partial-combined groupBy over at most d·w reducer keys — the
+    * frequency table whose size is INDEPENDENT of the value cardinality.
+    * At 100 TB an exact per-term count shuffles the full Zipfian vocabulary;
+    * the CMS shuffles d·w bounded keys and still answers point-frequency
+    * queries with one-sided error: est ≥ true always, est ≤ true + ε·N
+    * with probability 1−δ at w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.
+    *
+    * Bucket of value v in row j is `PolyHash(v, 201+j) mod w` — the seeded
+    * kernel with a byte-exact DuckDB twin, so the whole sketch (and its
+    * deliberate collisions) is deterministic cross-engine. Output:
+    * `(j, bucket, cnt)`, d·w rows at most.
+    */
+  def cmsSketch(df: DataFrame, valueCol: String, d: Int = 3,
+      w: Int = 1024): DataFrame = {
+    require(d >= 1 && d <= 16, s"cmsSketch needs d in [1,16], got $d")
+    require(w >= 2, s"cmsSketch needs w >= 2, got $w")
+    val rows = df.select(col(valueCol).cast("string").as("__v"))
+      .select(posexplode(array((0 until d).map(j =>
+        PolyHash(col("__v"), 201L + j) % w): _*)).as(Seq("j", "bucket")))
+    rows.groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for the exact top-`k` values, answered from
+    * the [[cmsSketch]] alone: `est = min_j cnt[j][h_j(v)]` — the classic
+    * count-min readout, joined against the exact counts so the one-sided
+    * error (`est_count >= true_count` always) is visible and verifiable in
+    * the output. Ranking ties break on the value string ascending.
+    *
+    * Scale shape: the exact top-k here is the AUDIT side (a full groupBy,
+    * same cost as [[graft.pipeline.TextOps.topTerms]]); production reads
+    * probe the d·w sketch with metadata-scale candidate sets. The probe
+    * join broadcasts the sketch (≤ d·w rows) against k candidates.
+    */
+  def cmsTopK(df: DataFrame, valueCol: String, k: Int, d: Int = 3,
+      w: Int = 1024): DataFrame = {
+    require(k >= 1, s"cmsTopK needs k >= 1, got $k")
+    val sketch = cmsSketch(df, valueCol, d, w)
+    val top = df.select(col(valueCol).cast("string").as("value"))
+      .groupBy("value").agg(count(lit(1)).as("true_count"))
+      .orderBy(col("true_count").desc, col("value").asc)
+      .limit(k)
+    val probes = top.select(col("value"), col("true_count"),
+      posexplode(array((0 until d).map(j =>
+        PolyHash(col("value"), 201L + j) % w): _*)).as(Seq("j", "bucket")))
+    probes.join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy("value", "true_count")
+      .agg(min("cnt").as("est_count"))
+  }
+
   /** Default bound on the pair-comparison group count: G groups mean a
     * broadcast of G·k longs to every task and G²/2 sketch comparisons —
     * "group-level metadata" stops being metadata somewhere around 10⁴

