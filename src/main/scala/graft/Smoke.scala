@@ -177,6 +177,18 @@ object Smoke {
     graft.pipeline.Sketches.cmsTopK(
       docs.select(explode(TextOps.tokens(col("text"))).as("term")), "term", 5)
       .orderBy(col("true_count").desc, col("value")).show()
+    // hybrid retrieval + robust trend
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val lex = TextOps.bm25(docs, "table scan sort key", k = 10)
+        .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+      val vec = graft.pipeline.Similarity.bruteForceTopK(
+        emb.where(col("vec_id") === 0), emb, k = 10)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.pipeline.Similarity.rrfFuse(lex, vec, "doc_id").show(5)
+    }
+    println(s"theil-sen series: ${graft.ts.SeriesOps.theilSen(p3).count()}")
 
     spark.stop()
   }

@@ -83,6 +83,32 @@ object SparkEntry {
        |ddup AS (SELECT gh FROM dg GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
        |dst AS (SELECT doc_id, pos FROM dg JOIN ddup USING (gh))""".stripMargin
 
+  /** Shared CTE chain for the Okapi BM25 twins (text_bm25, retrieve_rrf):
+    * the fixed query {table, scan, sort, key} scored with k1=1.2, b=0.75 —
+    * ends in `bm25(doc_id, n_matched_terms, score)`, UNRANKED and UNCUT so
+    * each consumer applies its own (score desc, doc_id asc) order/limit.
+    * Mirrors TextOps.bm25 term for term.
+    */
+  private val Bm25Ctes: String =
+    s"""d AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |dl AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS len FROM d),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len) AS DOUBLE) / count(*) AS avg_len FROM dl),
+       |occ AS (SELECT doc_id, len, unnest(toks) AS t FROM dl),
+       |tf AS (SELECT doc_id, len, t, CAST(count(*) AS BIGINT) AS tf FROM occ
+       |  WHERE t IN ('table', 'scan', 'sort', 'key') GROUP BY 1, 2, 3),
+       |dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |c AS (SELECT tf.doc_id,
+       |  ln((CAST(st.n_docs - dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |      / (CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))
+       |    * (CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+       |    / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+       |      * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+       |        + CAST(0.75 AS DOUBLE) * (CAST(tf.len AS DOUBLE) / st.avg_len))) AS c
+       |  FROM tf JOIN dfq USING (t) CROSS JOIN st),
+       |bm25 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched_terms,
+       |  sum(c) AS score FROM c GROUP BY 1)""".stripMargin
+
   /** Shared CTE chain producing the verified MinHash near-dup pairs as
     * `mh_pairs(id_a, id_b, jaccard)` — the dedup_minhash oracle's body,
     * reused by dedup_clusters' transitive closure so the two oracles cannot
@@ -523,6 +549,8 @@ object SparkEntry {
     "ts_gaps" -> ((s, dir) => SeriesOps.gaps(pts(s, dir), 2.0)),
     "ts_percentiles" -> ((s, dir) => SeriesOps.percentiles(pts(s, dir))),
     "ts_trend" -> ((s, dir) => SeriesOps.trend(pts(s, dir))),
+    // robust median-of-slopes trend (exact selection medians, pair guard)
+    "ts_theilsen" -> ((s, dir) => SeriesOps.theilSen(pts(s, dir))),
     "ts_outlier_mad" -> ((s, dir) => SeriesOps.outliersMad(pts(s, dir), 3.5)),
     "ts_ewma" -> ((s, dir) => SeriesOps.ewma(pts(s, dir), alpha = 0.5, window = 16)),
     "ts_changepoint" -> ((s, dir) => SeriesOps.changepoint(pts(s, dir))),
@@ -869,6 +897,19 @@ object SparkEntry {
     "sim_topk" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
       Similarity.bruteForceTopK(e.where(col("vec_id") < 5), e, k = 3)
+    }),
+    // hybrid retrieval: BM25 top-20 fused with cosine top-20 for vector 0
+    // by reciprocal-rank fusion (k_rrf = 60)
+    "retrieve_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val lex = TextOps.bm25(t.documents, "table scan sort key", k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+      val vec = Similarity.bruteForceTopK(
+        t.embeddings.where(col("vec_id") === 0), t.embeddings, k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(lex, vec, "doc_id", "rank", k = 10)
     }),
     "sim_ivf_topk" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
@@ -1482,6 +1523,32 @@ object SparkEntry {
          |       / ((CAST(n_points AS DOUBLE) * stt - st * st)
          |        * (CAST(n_points AS DOUBLE) * syy - sy * sy)) END AS r2
          |FROM s""".stripMargin,
+
+    // Twin of SeriesOps.theilSen: the same t1 < t2 pair slopes, the same
+    // explicit selection median (rows (n+1)//2 and n//2+1 of the sorted
+    // multiset, averaged), residual median for the intercept.
+    "ts_theilsen" ->
+      s"""WITH points AS ($PointsCte),
+         |p AS (SELECT series_id, ts / 1e9 AS t, value AS y FROM points
+         |  WHERE NOT isnan(value)),
+         |pr AS (SELECT a.series_id, (b.y - a.y) / (b.t - a.t) AS m
+         |  FROM p a JOIN p b ON a.series_id = b.series_id AND a.t < b.t),
+         |rk AS (SELECT series_id, m,
+         |  row_number() OVER (PARTITION BY series_id ORDER BY m) AS rn,
+         |  count(*) OVER (PARTITION BY series_id) AS n FROM pr),
+         |sl AS (SELECT series_id, sum(m) / count(*) AS slope,
+         |  CAST(max(n) AS BIGINT) AS n_pairs
+         |  FROM rk WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY 1),
+         |r AS (SELECT p.series_id, p.y - sl.slope * p.t AS res
+         |  FROM p JOIN sl USING (series_id)),
+         |rr AS (SELECT series_id, res,
+         |  row_number() OVER (PARTITION BY series_id ORDER BY res) AS rn,
+         |  count(*) OVER (PARTITION BY series_id) AS n FROM r),
+         |ic AS (SELECT series_id, sum(res) / count(*) AS intercept,
+         |  CAST(max(n) AS BIGINT) AS n_points FROM rr
+         |  WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY 1)
+         |SELECT sl.series_id, ic.n_points, sl.n_pairs, sl.slope, ic.intercept
+         |FROM sl JOIN ic USING (series_id)""".stripMargin,
     "ts_seasonal_profile" ->
       s"""WITH points AS ($PointsCte)
          |SELECT series_id,
@@ -1733,24 +1800,9 @@ object SparkEntry {
     // term, constants entering through the same ops (k1+1 as 1.2 + 1 —
     // never a pre-folded 2.2, which DuckDB would take through DECIMAL).
     "text_bm25" ->
-      s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
-         |dl AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS len FROM d),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(len) AS DOUBLE) / count(*) AS avg_len FROM dl),
-         |occ AS (SELECT doc_id, len, unnest(toks) AS t FROM dl),
-         |tf AS (SELECT doc_id, len, t, CAST(count(*) AS BIGINT) AS tf FROM occ
-         |  WHERE t IN ('table', 'scan', 'sort', 'key') GROUP BY 1, 2, 3),
-         |dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         |c AS (SELECT tf.doc_id,
-         |  ln((CAST(st.n_docs - dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
-         |      / (CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))
-         |    * (CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
-         |    / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
-         |      * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)
-         |        + CAST(0.75 AS DOUBLE) * (CAST(tf.len AS DOUBLE) / st.avg_len))) AS c
-         |  FROM tf JOIN dfq USING (t) CROSS JOIN st)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched_terms, sum(c) AS score
-         |FROM c GROUP BY 1 ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+      s"""WITH $Bm25Ctes
+         |SELECT doc_id, n_matched_terms, score FROM bm25
+         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
     // Twin of TextOps.topTerms: same (count desc, term asc) rank.
     "text_top_terms" ->
       s"""WITH occ AS (SELECT lang, unnest($Toks) AS term FROM documents),
@@ -2427,6 +2479,34 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
         |  FROM s) WHERE rank <= 3""".stripMargin,
+    // Twin of Similarity.rrfFuse over bm25 top-20 + cosine top-20 for
+    // vector 0: the shared bm25 CTEs, the sim_topk cosine body at
+    // query_id = 0, both ranked (score desc, id asc), fused with the
+    // pinned coalesce(1/(60+ra),0) + coalesce(1/(60+rb),0) term order.
+    "retrieve_rrf" ->
+      s"""WITH $Bm25Ctes,
+         |lex0 AS (SELECT doc_id, score FROM bm25
+         |  ORDER BY score DESC, doc_id ASC LIMIT 20),
+         |lex AS (SELECT doc_id, CAST(row_number() OVER (
+         |  ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank_a FROM lex0),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id = 0),
+         |s AS (SELECT c.vec_id AS doc_id,
+         |  list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.v[i])) /
+         |    (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i]))) *
+         |     sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos_sim
+         |FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |vec AS (SELECT doc_id, CAST(rank AS BIGINT) AS rank_b FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS rank
+         |  FROM s) WHERE rank <= 20),
+         |f AS (SELECT doc_id, rank_a, rank_b,
+         |  coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + rank_a), CAST(0 AS DOUBLE))
+         |    + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + rank_b), CAST(0 AS DOUBLE))
+         |    AS rrf_score
+         |  FROM lex FULL OUTER JOIN vec USING (doc_id))
+         |SELECT doc_id, rank_a, rank_b, rrf_score FROM f
+         |ORDER BY rrf_score DESC, doc_id ASC LIMIT 10""".stripMargin,
+
     // Twin of Similarity.kmeans (k=8, iters=2), unrolled: same deterministic
     // lowest-id init, same squared-L2 argmin with (dist, cluster) tie-break,
     // same per-dimension mean update — assignment checked against the FINAL

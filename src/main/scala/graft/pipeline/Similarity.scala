@@ -42,6 +42,40 @@ object Similarity {
   private def spread(df: DataFrame, idCol: String): DataFrame =
     df.repartition(col(idCol))
 
+  /** Reciprocal-rank fusion of two ranked retrieval lists (Cormack et al.
+    * 2009): `rrf = Σ_lists 1/(kRrf + rank)`, a score-free combiner that is
+    * THE standard way to merge lexical (BM25) and vector (cosine) retrieval
+    * into one hybrid ranking — ranks are comparable where raw scores are
+    * not (BM25 is unbounded, cosine lives in [-1, 1]). A document present
+    * in only one list contributes only that list's term; `kRrf = 60` is
+    * the constant the original paper fixed and everyone kept.
+    *
+    * Inputs are any two `(idCol, rankCol)` relations with 1-based ranks.
+    * Output: `idCol, rank_a, rank_b (null where absent), rrf_score`, the
+    * top `k` by (rrf desc, id asc). The division order is pinned —
+    * coalesce(1/(kRrf+rank_a), 0) + coalesce(1/(kRrf+rank_b), 0) — so the
+    * double result is bit-identical cross-engine.
+    *
+    * Scale shape: retrieval lists are top-k's — metadata-scale by
+    * construction — so the fusion is a full-outer join over 2k rows and a
+    * TakeOrdered; the heavy lifting stays in the upstream retrievers
+    * (which scale independently: BM25's term-filtered scan, ANN's
+    * bucketed probes).
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+      rankCol: String = "rank", k: Int = 10, kRrf: Int = 60): DataFrame = {
+    require(k >= 1, s"rrfFuse needs k >= 1, got $k")
+    require(kRrf >= 1, s"rrfFuse needs kRrf >= 1, got $kRrf")
+    val ar = a.select(col(idCol), col(rankCol).cast("long").as("rank_a"))
+    val br = b.select(col(idCol), col(rankCol).cast("long").as("rank_b"))
+    ar.join(br, Seq(idCol), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("rank_a")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("rank_b")), lit(0.0)))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))

@@ -674,6 +674,75 @@ object SeriesOps {
       when(vt > 0 && vy > 0, (cov * cov) / (vt * vy)).as("r2"))
   }
 
+  /** Theil–Sen robust trend: slope = exact median of all pairwise slopes
+    * `(y_j − y_i)/(t_j − t_i)` over point pairs with `t_i < t_j`, intercept
+    * = exact median of the residuals `y − slope·t`. Up to ~29% of the
+    * points can be arbitrary outliers before the estimate breaks — the
+    * robust counterpart to [[trend]]'s least squares, whose slope a single
+    * spike drags (pinned in the spec).
+    *
+    * Medians are selection-based and explicit (rows (n+1) div 2 and
+    * n div 2 + 1 of the sorted multiset, averaged) so the SQL twin lands
+    * on the same doubles — no engine-specific quantile interpolation.
+    * Series need >= 2 distinct-timestamp points (others drop out with the
+    * empty pair set).
+    *
+    * Scale shape: the pair join is per-series QUADRATIC — that is inherent
+    * to exact Theil–Sen, so a count window guards it: any series above
+    * `maxPoints` fails fast with a routing hint (downsample via [[resample]]
+    * / [[Rdp]] first, or use [[trend]]) instead of silently exploding a
+    * 10⁶-point series into 10¹² pairs on the cluster. Below the bound,
+    * everything is key-partitioned on the series: one sort per median,
+    * pair volume Σ n_s², never cross-series.
+    */
+  def theilSen(points: DataFrame, maxPoints: Int = 10000): DataFrame = {
+    require(maxPoints >= 2, s"theilSen needs maxPoints >= 2, got $maxPoints")
+    val p0 = points.where(notNan(col("value")))
+      .select(col("series_id"), (col("ts") / 1e9).as("__t"), col("value").as("__y"))
+    val p = p0.withColumn("__n", count(lit(1)).over(bySeries))
+      .withColumn("__t",
+        when(col("__n") > maxPoints, raise_error(format_string(
+          s"theilSen: series %s has %s points > maxPoints $maxPoints — " +
+            "the exact pair median is quadratic; downsample (resample/rdp) " +
+            "or use trend()",
+          col("series_id"), col("__n"))))
+          .otherwise(col("__t")))
+      .drop("__n")
+    val a = p.select(col("series_id"), col("__t").as("__t1"), col("__y").as("__y1"))
+    val b = p.select(col("series_id"), col("__t").as("__t2"), col("__y").as("__y2"))
+    val slopes = a.join(b, Seq("series_id"))
+      .where(col("__t1") < col("__t2"))
+      .select(col("series_id"),
+        ((col("__y2") - col("__y1")) / (col("__t2") - col("__t1"))).as("__m"))
+    val sl = exactMedian(slopes, "__m").select(col("series_id"),
+      col("__median").as("slope"), col("__n_vals").as("n_pairs"))
+    val resid = p.join(sl, "series_id")
+      .select(col("series_id"), col("slope"), col("n_pairs"),
+        (col("__y") - col("slope") * col("__t")).as("__r"))
+    val ic = exactMedian(resid.select("series_id", "__r"), "__r")
+      .select(col("series_id"), col("__median").as("intercept"),
+        col("__n_vals").as("n_points"))
+    sl.join(ic, "series_id")
+      .select("series_id", "n_points", "n_pairs", "slope", "intercept")
+  }
+
+  /** Exact interpolation-free median per series: the average of the sorted
+    * multiset's rows (n+1) div 2 and n div 2 + 1 (the same row twice when n
+    * is odd) — explicit selection arithmetic both engines reproduce
+    * bit-for-bit, unlike percentile/quantile_cont interpolation forms.
+    * Output: series_id, __median, __n_vals.
+    */
+  private def exactMedian(df: DataFrame, vCol: String): DataFrame = {
+    val w = bySeries.orderBy(col(vCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__nn", count(lit(1)).over(bySeries))
+      .where(col("__rn") === expr("(__nn + 1) DIV 2")
+        || col("__rn") === expr("__nn DIV 2 + 1"))
+      .groupBy("series_id")
+      .agg((sum(vCol) / count(lit(1))).as("__median"),
+        max("__nn").as("__n_vals"))
+  }
+
   /** Diurnal seasonal profile: NaN-safe mean/min/max/count per (series,
     * time-of-period bucket) — the hour-of-day (or day-of-week) cycle a
     * weather dashboard overlays on raw readings, and the seasonal component

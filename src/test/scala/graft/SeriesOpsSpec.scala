@@ -369,6 +369,42 @@ class SeriesOpsSpec extends SparkSpec {
     assert(v.isNullAt(v.fieldIndex("slope")) && v.isNullAt(v.fieldIndex("intercept")))
   }
 
+  test("theilSen: median slope shrugs off a spike that drags least squares") {
+    // y = 2·t + 5 with one wild outlier at t=4
+    val spiked = pts(0L -> 5.0, 1L -> 7.0, 2L -> 9.0, 3L -> 11.0, 4L -> 1000.0)
+    val ts = SeriesOps.theilSen(spiked).collect()(0)
+    val ls = SeriesOps.trend(spiked).collect()(0)
+    // 10 pair slopes; the 6 spike-free ones are all exactly 2.0, so the
+    // median is 2.0 — while least squares is dragged far above
+    assert(ts.getAs[Long]("n_points") == 5L && ts.getAs[Long]("n_pairs") == 10L)
+    assert(math.abs(ts.getAs[Double]("slope") - 2.0) < 1e-12, ts.toString)
+    assert(ls.getAs[Double]("slope") > 100.0)
+    // intercept = median of y - 2t = median(5,5,5,5,992) = 5
+    assert(math.abs(ts.getAs[Double]("intercept") - 5.0) < 1e-12)
+  }
+
+  test("theilSen: even-count medians average the middle pair; guard trips") {
+    // 3 points -> 3 slopes: (1,2)=1, (2,3)=3, (1,3)=2 -> median 2
+    val df = pts(0L -> 0.0, 1L -> 1.0, 2L -> 4.0)
+    val got = SeriesOps.theilSen(df).collect()(0)
+    assert(math.abs(got.getAs[Double]("slope") - 2.0) < 1e-12)
+    // 4 points on y = t² -> 6 slopes {1,2,3,3,4,5}(t in s): median = (3+3)/2
+    val sq = pts(0L -> 0.0, 1L -> 1.0, 2L -> 4.0, 3L -> 9.0)
+    assert(math.abs(SeriesOps.theilSen(sq).collect()(0)
+      .getAs[Double]("slope") - 3.0) < 1e-12)
+    // single-point and all-NaN series drop out entirely
+    val sparse = Seq(("a", 0L, 1.0), ("b", 0L, Double.NaN))
+      .toDF("series_id", "ts", "value")
+    assert(SeriesOps.theilSen(sparse).count() == 0L)
+    // the quadratic guard fails fast above maxPoints
+    val big = pts((0L to 20L).map(t => t -> t.toDouble): _*)
+    val e = intercept[Exception] {
+      SeriesOps.theilSen(big, maxPoints = 10).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("theilSen"),
+      String.valueOf(e.getMessage))
+  }
+
   test("percentiles: linear interpolation at exact fractional ranks, NaN-safe") {
     // values 10,20,30,40 (NaN dropped): p50 = 25, p90 = 37, p99 = 39.7
     val df = pts(0L -> 10.0, 1L -> 20.0, 2L -> Double.NaN, 3L -> 30.0, 4L -> 40.0)

@@ -102,6 +102,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
   }
 
+  test("rrfFuse: hand-computed fusion, absent-list nulls, id tie-break") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val b = Seq((3L, 1), (4L, 2)).toDF("doc_id", "rank")
+    val got = Similarity.rrfFuse(a, b, "doc_id", "rank", k = 10)
+      .select("doc_id", "rank_a", "rank_b", "rrf_score")
+      .as[(Long, Option[Long], Option[Long], Double)].collect().toSeq
+    // id 3 hits both lists; 2 and 4 tie at 1/62 and break on id asc
+    assert(got.map(_._1) == Seq(3L, 1L, 2L, 4L), got.toString)
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(3L) == ((3L, Some(3L), Some(1L), 1.0 / 63 + 1.0 / 61)))
+    assert(byId(1L) == ((1L, Some(1L), None, 1.0 / 61)))
+    assert(byId(2L) == ((2L, Some(2L), None, 1.0 / 62)))
+    assert(byId(4L) == ((4L, None, Some(2L), 1.0 / 62)))
+    // k cuts after the fused order
+    val cut = Similarity.rrfFuse(a, b, "doc_id", "rank", k = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(cut == Seq(3L, 1L))
+    intercept[IllegalArgumentException] { Similarity.rrfFuse(a, b, "doc_id", "rank", k = 0) }
+  }
+
   test("kmeans matches a from-scratch Lloyd run and is layout-invariant") {
     import spark.implicits._
     // three well-separated groups around (0,0), (10,0), (0,10) plus the
