@@ -189,6 +189,13 @@ object Smoke {
       graft.pipeline.Similarity.rrfFuse(lex, vec, "doc_id").show(5)
     }
     println(s"theil-sen series: ${graft.ts.SeriesOps.theilSen(p3).count()}")
+    println(s"z-order cells: ${graft.ops.Layout.clusterByZ(
+      t.eventsUs.select(col("event_id"), col("user_id"),
+        expr("ts DIV 86400000000000").as("day")),
+      "user_id", "day", bits = 16, numPartitions = 4).count()}")
+    println(s"stream-cms cells (static run): ${graft.streaming.StreamOps
+      .cmsStream(docs.select(explode(TextOps.tokens(col("text"))).as("term")),
+        "term").count()}")
 
     spark.stop()
   }

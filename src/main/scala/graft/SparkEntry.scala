@@ -774,6 +774,15 @@ object SparkEntry {
         .select(explode(TextOps.tokens(col("text"))).as("term")),
         "term", k = 20)),
 
+    // Z-order layout key over (user, day): one curve position per event,
+    // the multi-dimensional clustering key for scan pruning on either dim
+    "layout_zorder" -> ((s, dir) =>
+      Tables(s, dir).events
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 86400000000000").as("day"))
+        .withColumn("z",
+          graft.ops.Layout.zValue(col("user_id"), col("day"), 16))),
+
     // ---- gap sessionization over the event stream (30-minute gap);
     // eventsUs: DuckDB truncates TIMESTAMP_NS to whole microseconds ----
     "events_sessionize" -> ((s, dir) =>
@@ -1028,6 +1037,12 @@ object SparkEntry {
       graft.streaming.StreamOps.hllStream(
         Tables(s, dir).events, p = 10, "event_type", "user_id")
         .toDF().withColumnRenamed("grp", "event_type")),
+    // streaming CMS cells in batch mode: equals cmsSketch exactly
+    "stream_cms" -> ((s, dir) =>
+      graft.streaming.StreamOps.cmsStream(
+        Tables(s, dir).documents
+          .select(explode(TextOps.tokens(col("text"))).as("term")), "term")
+        .toDF()),
 
     // ---- streaming twin in batch mode (tumbling day windows) ----
     "stream_window_stats" -> ((s, dir) => {
@@ -2005,6 +2020,18 @@ object SparkEntry {
          |FROM sk""".stripMargin
     },
 
+    // Twin of Layout.zValue(user_id, day, 16): the same bit interleave as
+    // an arithmetic sum of disjoint-bit terms (sum == OR when no bits
+    // collide); day via integer division of epoch-ns, no float rounding.
+    "layout_zorder" -> {
+      val zTerms = (0 until 16).map(b =>
+        s"(((user_id >> $b) & 1) << ${2 * b}) + (((day >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT event_id, user_id,
+         |  epoch_ns(ts) // 86400000000000 AS day FROM events)
+         |SELECT event_id, user_id, day, CAST($zTerms AS BIGINT) AS z FROM e""".stripMargin
+    },
+
     // Twin of Sketches.cmsTopK(document tokens, k=20, d=3, w=1024): same
     // seeded PolyHash buckets (201+j), same (count desc, term asc) top-20
     // cut, est = min over the 3 rows' bucket counts.
@@ -2020,6 +2047,15 @@ object SparkEntry {
          |  FROM top CROSS JOIN range(0, 3) t(j))
          |SELECT value, true_count, min(cnt) AS est_count
          |FROM pr JOIN cms USING (j, bucket) GROUP BY 1, 2""".stripMargin,
+
+    // Twin of StreamOps.cmsStream's batch face == Sketches.cmsSketch: the
+    // raw (j, bucket, cnt) cell table under the same seeded buckets.
+    "stream_cms" ->
+      s"""WITH tk AS (SELECT unnest($Toks) AS term FROM documents)
+         |SELECT CAST(j AS INTEGER) AS j,
+         |  (${phSql("term", "201 + j")}) % 1024 AS bucket,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |FROM tk CROSS JOIN range(0, 3) t(j) GROUP BY 1, 2""".stripMargin,
 
     // Twin of Sketches.kmvPairJaccard(documents 3-gram shingles by lang,
     // k=128): same mixer, per-lang k-min sketch lists, union-of-sketches

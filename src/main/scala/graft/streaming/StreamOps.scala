@@ -448,6 +448,49 @@ object StreamOps {
       }
   }
 
+  final case class CmsIn(j: Int, bucket: Long)
+  final case class CmsState(cnt: Long)
+  final case class CmsCell(j: Int, bucket: Long, cnt: Long)
+
+  /** Streaming count-min sketch: the streaming face of
+    * [[graft.pipeline.Sketches.cmsSketch]]. Each value explodes into its
+    * `d` seeded bucket positions (the SAME `PolyHash(v, 201+j) mod w`
+    * derivation as the batch sketch), keyed by (row, bucket); state is ONE
+    * long counter per live cell — at most d·w cells in total across all
+    * keys, the defining property of the sketch carried straight into the
+    * state store. Counter addition is associative and order-insensitive,
+    * so the post-stream cells equal the batch sketch over the union of all
+    * micro-batches however rows were split — and on a BATCH frame this
+    * returns exactly `cmsSketch(df)` (the `stream_cms` oracle pins the
+    * cells hash-equal cross-engine). Point-frequency reads then take
+    * `min_j cnt[j][h_j(v)]` against the emitted cells, exactly as
+    * [[graft.pipeline.Sketches.cmsTopK]] does in batch.
+    *
+    * STATE RETENTION CONTRACT: unlike the per-group KMV/HLL faces, state
+    * here is bounded GLOBALLY by d·w regardless of key cardinality, so
+    * there is nothing to evict — no idle-timeout knob. Each micro-batch
+    * re-emits only the cells it touched (append mode).
+    */
+  def cmsStream(df: DataFrame, valueCol: String, d: Int = 3,
+      w: Int = 1024): Dataset[CmsCell] = {
+    require(d >= 1 && d <= 16, s"cmsStream needs d in [1,16], got $d")
+    require(w >= 2, s"cmsStream needs w >= 2, got $w")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.PolyHash
+    val rows = df.select(posexplode(array((0 until d).map(j =>
+      PolyHash(col(valueCol).cast("string"), 201L + j) % w): _*))
+      .as(Seq("j", "bucket"))).as[CmsIn]
+    rows.groupByKey(r => r.j.toLong * w + r.bucket)
+      .flatMapGroupsWithState[CmsState, CmsCell](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key, batch, state: GroupState[CmsState]) =>
+          val cnt = state.getOption.map(_.cnt).getOrElse(0L) + batch.length
+          state.update(CmsState(cnt))
+          Iterator.single(CmsCell((key / w).toInt, key % w, cnt))
+      }
+  }
+
   def kmvStream(df: DataFrame, k: Int, groupCol: String, valueCol: String,
       idleTimeoutMs: Option[Long] = None): Dataset[KmvEstimate] = {
     require(k >= 2, s"KMV needs k >= 2, got $k")

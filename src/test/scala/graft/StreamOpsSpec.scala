@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, explode}
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.StreamOps
@@ -306,6 +307,39 @@ class StreamOpsSpec extends SparkSpec {
       // first emission sketches batch 1 alone; second the union
       assert(got == Set(batchRow(b1), batchRow(b1 ++ b2)),
         s"got $got")
+    } finally q.stop()
+  }
+
+  test("cmsStream: batch face == cmsSketch; counters accumulate across micro-batches") {
+    import graft.pipeline.Sketches
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(graft.pipeline.TextOps.tokens(col("text"))).as("term"))
+    val reference = rowsOf(Sketches.cmsSketch(docs, "term"))
+    assert(rowsOf(StreamOps.cmsStream(docs, "term").toDF()) == reference)
+
+    // streaming face: counter addition is associative — after both batches
+    // every re-emitted cell matches the batch sketch over the union
+    val b1 = Seq("a", "a", "b")
+    val b2 = Seq("a", "c", "c")
+    val in = MemoryStream[String]
+    val q = StreamOps.cmsStream(in.toDS().toDF("v"), "v", d = 2, w = 8)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      in.addData(b1)
+      q.processAllAvailable()
+      in.addData(b2)
+      q.processAllAvailable()
+      // latest emission per cell (micro-batch id not exposed: max cnt wins,
+      // counters only grow)
+      val got = spark.table("cms_stream").collect()
+        .map(r => (r.getAs[Int]("j"), r.getAs[Long]("bucket"), r.getAs[Long]("cnt")))
+        .groupBy(t => (t._1, t._2)).map { case (_, v) => v.maxBy(_._3) }.toSet
+      val want = Sketches.cmsSketch((b1 ++ b2).toDF("v"), "v", d = 2, w = 8)
+        .collect().map(r => (r.getAs[Int]("j"), r.getAs[Long]("bucket"),
+          r.getAs[Long]("cnt"))).toSet
+      assert(got == want, s"got $got want $want")
     } finally q.stop()
   }
 
