@@ -196,6 +196,8 @@ object Smoke {
     println(s"stream-cms cells (static run): ${graft.streaming.StreamOps
       .cmsStream(docs.select(explode(TextOps.tokens(col("text"))).as("term")),
         "term").count()}")
+    graft.pipeline.Sketches.hllPairOverlap(t.events, 10, "event_type", "user_id")
+      .orderBy("grp_a", "grp_b").show(3)
 
     spark.stop()
   }

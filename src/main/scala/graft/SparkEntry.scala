@@ -773,6 +773,12 @@ object SparkEntry {
       Sketches.cmsTopK(Tables(s, dir).documents
         .select(explode(TextOps.tokens(col("text"))).as("term")),
         "term", k = 20)),
+    // pairwise distinct-user overlap between event types from HLL
+    // registers alone: union by register max, intersection by
+    // inclusion-exclusion
+    "sketch_hll_overlap" -> ((s, dir) =>
+      Sketches.hllPairOverlap(Tables(s, dir).events, p = 10,
+        "event_type", "user_id")),
 
     // Z-order layout key over (user, day): one curve position per event,
     // the multi-dimensional clustering key for scan pruning on either dim
@@ -2056,6 +2062,56 @@ object SparkEntry {
          |  (${phSql("term", "201 + j")}) % 1024 AS bucket,
          |  CAST(count(*) AS BIGINT) AS cnt
          |FROM tk CROSS JOIN range(0, 3) t(j) GROUP BY 1, 2""".stripMargin,
+
+    // Twin of Sketches.hllPairOverlap(events, p=10, event_type, user_id):
+    // the sketch_hll register derivation, pair expansion over the distinct
+    // group list, register-wise max per pair, the identical estimate
+    // formula on merged and per-group registers, inclusion-exclusion
+    // intersection clamped at 0.
+    "sketch_hll_overlap" -> {
+      val p = 10
+      val m = 1 << p
+      val bigW = 30 - p
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val bitLenSql = (bigW to 1 by -1)
+        .map(b => s"WHEN w >= ${1L << (b - 1)} THEN $b").mkString(" ")
+      def est(hit: String, zs: String) = {
+        val raw = s"(CAST($alpha AS DOUBLE) * $m * $m / ($zs + ($m - $hit)))"
+        s"CASE WHEN $raw <= ${2.5 * m} AND ($m - $hit) > 0 " +
+          s"THEN $m * ln(CAST($m AS DOUBLE) / ($m - $hit)) ELSE $raw END"
+      }
+      s"""WITH ax AS (SELECT DISTINCT event_type,
+         |  (${phSql("CAST(user_id AS VARCHAR)", "0")}
+         |   * ${graft.pipeline.Sampling.saltMult("kmv")}
+         |   + ${graft.pipeline.Sampling.saltAdd("kmv")}) % 1000000007 AS m FROM events),
+         |hx AS (SELECT DISTINCT event_type,
+         |  ${phSql("lpad(CAST(m AS VARCHAR), 10, '0')", "0")} AS h FROM ax),
+         |rr AS (SELECT event_type, h & ${m - 1} AS idx, w,
+         |  ${bigW + 1} - (CASE $bitLenSql ELSE 0 END) AS rho
+         |  FROM (SELECT event_type, h, h >> $p AS w FROM hx)),
+         |rg AS (SELECT event_type AS grp, idx, max(rho) AS r FROM rr GROUP BY 1, 2),
+         |gl AS (SELECT DISTINCT grp FROM rg),
+         |pairs AS (SELECT a.grp AS grp_a, b.grp AS grp_b
+         |  FROM gl a JOIN gl b ON a.grp < b.grp),
+         |pru AS (SELECT grp_a, grp_b, idx, max(r) AS r FROM (
+         |    SELECT p.grp_a, p.grp_b, r.idx, r.r FROM pairs p JOIN rg r ON r.grp = p.grp_a
+         |    UNION ALL
+         |    SELECT p.grp_a, p.grp_b, r.idx, r.r FROM pairs p JOIN rg r ON r.grp = p.grp_b)
+         |  GROUP BY 1, 2, 3),
+         |ue AS (SELECT grp_a, grp_b, count(*) AS hit,
+         |  sum(power(2.0, -r)) AS zs FROM pru GROUP BY 1, 2),
+         |pe AS (SELECT grp, count(*) AS hit, sum(power(2.0, -r)) AS zs
+         |  FROM rg GROUP BY 1),
+         |uest AS (SELECT grp_a, grp_b, ${est("hit", "zs")} AS union_est FROM ue),
+         |pest AS (SELECT grp, ${est("hit", "zs")} AS e FROM pe),
+         |fin AS (SELECT u.grp_a, u.grp_b, a.e AS est_a, b.e AS est_b,
+         |  u.union_est,
+         |  greatest(a.e + b.e - u.union_est, CAST(0 AS DOUBLE)) AS inter_est
+         |  FROM uest u JOIN pest a ON a.grp = u.grp_a
+         |  JOIN pest b ON b.grp = u.grp_b)
+         |SELECT grp_a, grp_b, est_a, est_b, union_est, inter_est,
+         |  inter_est / union_est AS jaccard_est FROM fin""".stripMargin
+    },
 
     // Twin of Sketches.kmvPairJaccard(documents 3-gram shingles by lang,
     // k=128): same mixer, per-lang k-min sketch lists, union-of-sketches

@@ -164,6 +164,84 @@ object Sketches {
       .drop("__zsum")
   }
 
+  /** Pairwise distinct-set overlap between groups from HLL registers alone
+    * — the constant-size companion to [[kmvPairJaccard]], and the register
+    * algebra HLL is mergeable FOR: the union sketch of two groups is the
+    * register-wise max, so `union_est` falls out of the same estimate
+    * formula as [[hllDistinct]], and `inter_est` by inclusion–exclusion
+    * (`est_a + est_b − union_est`, clamped at 0 where sketch error drives
+    * it negative). Where KMV's k-min lists cap at k hashes, the HLL pair
+    * costs a fixed 2^p registers per group whatever the cardinalities.
+    *
+    * Scale shape: one (group, register) max aggregation over the data,
+    * then everything is register-table algebra — the pair expansion joins
+    * each pair against its two groups' ≤ m register rows (G²·m rows
+    * total), which is why the same fail-fast `maxGroups` guard as the KMV
+    * pair operator sits in front of it: pair overlap is a between-SLICES
+    * diagnostic (languages, sources, shards), not a per-key operator.
+    *
+    * Output per (grp_a < grp_b): est_a, est_b, union_est, inter_est,
+    * jaccard_est = inter/union. All terms go through the identical
+    * dyadic-exact register sum and ln as [[hllDistinct]], so the result is
+    * deterministic cross-engine.
+    */
+  def hllPairOverlap(df: DataFrame, p: Int = 10, groupCol: String,
+      valueCol: String, maxGroups: Int = 256): DataFrame = {
+    require(p >= 7 && p <= 16, s"hllPairOverlap needs p in [7, 16], got $p")
+    require(maxGroups >= 2, s"hllPairOverlap needs maxGroups >= 2, got $maxGroups")
+    val m = 1 << p
+    val regs = df.select(col(groupCol).cast("string").as("grp"),
+      hllIdx(valueCol, p).as("idx"), hllRho(valueCol, p).as("rho"))
+      .groupBy("grp", "idx").agg(max("rho").as("r"))
+    def estimate(grouped: DataFrame, keys: Seq[String]): DataFrame = {
+      val zs = col("__zsum") + (lit(m) - col("__hit"))
+      val v = lit(m) - col("__hit")
+      val raw = lit(hllAlpha(m)) * lit(m.toDouble) * lit(m.toDouble) / zs
+      grouped.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__hit"),
+          sum(pow(lit(2.0), -col("r"))).as("__zsum"))
+        .withColumn("__est",
+          when(raw <= lit(2.5 * m) && v > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / v))
+            .otherwise(raw))
+        .drop("__hit", "__zsum")
+    }
+    // guard on the group count, enforced lazily on the pair source (same
+    // pattern as kmvPairJaccard): a window count over the DISTINCT group
+    // list — metadata-scale — so a high-cardinality group key fails fast
+    // with a routing hint instead of expanding G²·m register rows
+    val grps = regs.select("grp").distinct()
+      .withColumn("__g", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("grp",
+        when(col("__g") > maxGroups,
+          raise_error(format_string(
+            "hllPairOverlap: %s groups exceed the G² pair bound %s — " +
+              "aggregate to a coarser group key or raise maxGroups",
+            col("__g"), lit(maxGroups))))
+          .otherwise(col("grp")))
+      .drop("__g")
+    val pairs = grps.select(col("grp").as("grp_a"))
+      .join(broadcast(grps.select(col("grp").as("grp_b"))),
+        col("grp_a") < col("grp_b"))
+    val pairRegs = pairs.join(regs.withColumnRenamed("grp", "grp_a"), Seq("grp_a"))
+      .select(col("grp_a"), col("grp_b"), col("idx"), col("r"))
+      .unionByName(
+        pairs.join(regs.withColumnRenamed("grp", "grp_b"), Seq("grp_b"))
+          .select(col("grp_a"), col("grp_b"), col("idx"), col("r")))
+      .groupBy("grp_a", "grp_b", "idx").agg(max("r").as("r"))
+    val uni = estimate(pairRegs, Seq("grp_a", "grp_b"))
+      .withColumnRenamed("__est", "union_est")
+    val per = estimate(regs, Seq("grp"))
+    uni
+      .join(per.select(col("grp").as("grp_a"), col("__est").as("est_a")), "grp_a")
+      .join(per.select(col("grp").as("grp_b"), col("__est").as("est_b")), "grp_b")
+      .withColumn("inter_est",
+        greatest(col("est_a") + col("est_b") - col("union_est"), lit(0.0)))
+      .withColumn("jaccard_est", col("inter_est") / col("union_est"))
+      .select("grp_a", "grp_b", "est_a", "est_b", "union_est",
+        "inter_est", "jaccard_est")
+  }
+
   /** The register index / rank derivation shared by the batch and the
     * streaming face — one definition, so the two cannot drift.
     */

@@ -103,6 +103,45 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hllPairOverlap: union by register max equals the sketch of the union") {
+    val a = (0 until 300).map(i => ("a", s"u$i"))
+    val b = (150 until 450).map(i => ("b", s"u$i")) // true overlap 150
+    val df = (a ++ b).toDF("grp", "v")
+    val got = Sketches.hllPairOverlap(df, p = 10, "grp", "v").collect()(0)
+    // union_est must equal hllDistinct run on the merged slice EXACTLY —
+    // register max-merge IS the union sketch, no estimator slack involved
+    val uni = Sketches.hllDistinct(
+      df.withColumn("grp", lit("all")), 10, Seq("grp"), "v")
+      .collect()(0).getAs[Double]("est_distinct")
+    assert(got.getAs[Double]("union_est") == uni,
+      s"union_est ${got.getAs[Double]("union_est")} != merged $uni")
+    // inclusion-exclusion lands near the true 150 overlap (HLL error
+    // ~3.2% at p=10; bound generous and deterministic)
+    assert(math.abs(got.getAs[Double]("inter_est") - 150.0) < 40.0, got.toString)
+    assert(got.getAs[Double]("jaccard_est") > 0.15
+      && got.getAs[Double]("jaccard_est") < 0.55, got.toString)
+    // disjoint slices: intersection clamps to >= 0 and stays small
+    val dj = ((0 until 200).map(i => ("a", s"x$i"))
+      ++ (0 until 200).map(i => ("b", s"y$i"))).toDF("grp", "v")
+    val d = Sketches.hllPairOverlap(dj, p = 10, "grp", "v").collect()(0)
+    assert(d.getAs[Double]("inter_est") >= 0.0)
+    assert(d.getAs[Double]("inter_est") < 30.0, d.toString)
+  }
+
+  test("hllPairOverlap refuses group counts above the pair bound") {
+    val df = (0 until 30).map(i => (s"g$i", s"v$i")).toDF("grp", "v")
+    val e = intercept[Exception] {
+      Sketches.hllPairOverlap(df, p = 10, "grp", "v", maxGroups = 10).collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("hllPairOverlap"),
+      String.valueOf(e.getMessage))
+    // under the bound it runs: 3 groups -> 3 pairs
+    val ok = Sketches.hllPairOverlap(
+      (0 until 30).map(i => (s"g${i % 3}", s"v$i")).toDF("grp", "v"),
+      p = 10, "grp", "v", maxGroups = 10)
+    assert(ok.count() == 3L)
+  }
+
   test("cmsTopK: one-sided error — est >= true always, exact when w is roomy") {
     // Zipf-ish stream: value i repeated (50 - i) times, i in 0..49
     val vals = (0 until 50).flatMap(i => Seq.fill(50 - i)(s"v$i"))
