@@ -92,6 +92,10 @@ object ScalingAudit {
       val v = spark.read.parquet(vecPaths.head._2)
       Dedup.exact(d).count(); Dedup.minhashNearDups(d).count()
       Similarity.kmeans(v, k = 8, iters = 2).count()
+      graft.pipeline.TextOps.dupNgramSpans(d).count()
+      graft.pipeline.Sketches.cmsTopK(d.select(
+        explode(graft.pipeline.TextOps.tokens(col("text"))).as("term")),
+        "term", 20).count()
     }
 
     docPaths.foreach { case (f, p) =>
@@ -108,6 +112,19 @@ object ScalingAudit {
         timed(Components.pageRank(Dedup.minhashNearDups(d), iters = 3).count()))
       report(s"pack_sequences_x$f", n,
         timed(Packing.packSequences(d, 512, shardWidth = 100).count()))
+      // round-9 late additions: shared-exchange dup spans, bloom probe,
+      // bounded-counter CMS — the scale claims these operators make
+      report(s"text_dup_spans_x$f", n,
+        timed(graft.pipeline.TextOps.dupNgramSpans(d).count()))
+      report(s"bloom_decontaminate_x$f", n, timed {
+        val bench = graft.pipeline.Sampling.assignSplit(d, "doc_id",
+          Seq("train" -> 0.9, "test" -> 0.1)).where(col("split") === "test")
+        graft.pipeline.TextOps.bloomDecontaminate(d, bench, n = 5).count()
+      })
+      report(s"sketch_cms_x$f", n, timed(
+        graft.pipeline.Sketches.cmsTopK(d.select(
+          explode(graft.pipeline.TextOps.tokens(col("text"))).as("term")),
+          "term", 20).count()))
     }
 
     vecPaths.foreach { case (f, p) =>
