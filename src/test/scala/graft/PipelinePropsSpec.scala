@@ -245,6 +245,49 @@ class PipelinePropsSpec extends SparkSpec {
     assert(got == brute, s"${got.size} vs brute ${brute.size}")
   }
 
+  test("theilSen equals a from-scratch median-of-slopes reference on random series") {
+    // 25 series, 2-12 points each, duplicate timestamps and NaNs included
+    val rows = (0 until 25).flatMap { s =>
+      val n = 2 + rnd.nextInt(11)
+      (0 until n).map { i =>
+        val t = (i + (if (rnd.nextBoolean()) 0 else rnd.nextInt(3))).toLong * 1000000000L
+        val v = if (rnd.nextInt(12) == 0) Double.NaN
+        else rnd.nextDouble() * 100 - 50 + (if (rnd.nextInt(8) == 0) 1e4 else 0)
+        (s"s$s", t, v)
+      }
+    }
+    val df = rows.toDF("series_id", "ts", "value")
+    def refMedian(xs: Seq[Double]): Double = {
+      val sorted = xs.sorted
+      val n = sorted.length
+      (sorted((n + 1) / 2 - 1) + sorted(n / 2)) / 2
+    }
+    val ref = rows.filter(r => !r._3.isNaN)
+      .groupBy(_._1).flatMap { case (sid, pts) =>
+        val p = pts.map(r => (r._2 / 1e9, r._3)).toSeq
+        val slopes = for {
+          (a, i) <- p.zipWithIndex; (b, j) <- p.zipWithIndex
+          if a._1 < b._1
+        } yield (b._2 - a._2) / (b._1 - a._1)
+        if (slopes.isEmpty) None
+        else {
+          val m = refMedian(slopes.toSeq)
+          Some(sid -> (m, refMedian(p.map { case (t, y) => y - m * t })))
+        }
+      }.toMap
+    val got = graft.ts.SeriesOps.theilSen(df)
+      .select("series_id", "slope", "intercept")
+      .as[(String, Double, Double)].collect()
+      .map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
+    assert(got.keySet == ref.keySet,
+      s"series sets differ: ${got.keySet.diff(ref.keySet)} / ${ref.keySet.diff(got.keySet)}")
+    ref.foreach { case (sid, (m, b)) =>
+      val (gm, gb) = got(sid)
+      assert(math.abs(gm - m) < 1e-9, s"$sid slope: $gm vs $m")
+      assert(math.abs(gb - b) < 1e-9, s"$sid intercept: $gb vs $b")
+    }
+  }
+
   test("weighted sampling: inclusion probability increases with weight (rank law)") {
     // deterministic rank check across many salts: a row with 8x the weight
     // of another must win their pairwise contest in most salted draws
