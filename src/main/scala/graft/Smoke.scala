@@ -198,6 +198,8 @@ object Smoke {
         "term").count()}")
     graft.pipeline.Sketches.hllPairOverlap(t.events, 10, "event_type", "user_id")
       .orderBy("grp_a", "grp_b").show(3)
+    println(s"label outliers: ${graft.pipeline.Similarity.labelOutliers(emb)
+      .where(col("is_outlier")).count()}")
 
     spark.stop()
   }

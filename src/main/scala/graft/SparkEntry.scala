@@ -852,6 +852,10 @@ object SparkEntry {
           array_join(col("qvec").cast("array<string>"), ",").as("qvec"))),
     // per-dimension drift/collapse profile
     "vec_dim_stats" -> ((s, dir) => Similarity.dimStats(Tables(s, dir).embeddings)),
+    // centroid-distance outliers within each label: embedding-space
+    // mislabel/noise screening
+    "vec_outliers" -> ((s, dir) =>
+      Similarity.labelOutliers(Tables(s, dir).embeddings)),
 
     // ---- benchmark decontamination: the held-out test split is the
     // benchmark; any 5-token-gram overlap flags a training doc ----
@@ -2304,6 +2308,33 @@ object SparkEntry {
         |SELECT dim, CAST(count(*) AS BIGINT) AS n, avg(v) AS mean,
         |  stddev_samp(v) AS std, min(v) AS min_v, max(v) AS max_v
         |FROM u GROUP BY 1""".stripMargin,
+
+    // Twin of Similarity.labelOutliers: per-(label, dim) centroid means,
+    // L2 distance per vector, z from the explicit (n, Σd, Σd²) sample
+    // variance — the same guarded formula term-for-term.
+    "vec_outliers" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |dx AS (SELECT vec_id, label,
+        |  CAST(unnest(range(1, len(v) + 1)) AS INTEGER) AS i, v FROM e),
+        |d AS (SELECT vec_id, label, i - 1 AS dim, v[i] AS x FROM dx),
+        |c AS (SELECT label, dim, avg(x) AS mu FROM d GROUP BY 1, 2),
+        |dd AS (SELECT d.vec_id, d.label,
+        |  sqrt(sum((d.x - c.mu) * (d.x - c.mu))) AS dist
+        |  FROM d JOIN c ON c.label = d.label AND c.dim = d.dim GROUP BY 1, 2),
+        |m AS (SELECT label, CAST(count(*) AS BIGINT) AS n, sum(dist) AS s,
+        |  sum(dist * dist) AS ss FROM dd GROUP BY 1),
+        |f AS (SELECT dd.vec_id, dd.label, dd.dist,
+        |  CASE WHEN m.n >= 2 AND
+        |    (CAST(m.n AS DOUBLE) * m.ss - m.s * m.s)
+        |      / (CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE) - 1)) > 0
+        |  THEN (dd.dist - m.s / CAST(m.n AS DOUBLE))
+        |    / sqrt(greatest((CAST(m.n AS DOUBLE) * m.ss - m.s * m.s)
+        |      / (CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE) - 1)), CAST(0 AS DOUBLE)))
+        |  END AS z_score
+        |  FROM dd JOIN m USING (label))
+        |SELECT vec_id, label, dist, z_score,
+        |  coalesce(z_score > 2.5, false) AS is_outlier FROM f""".stripMargin,
 
     // Twin of TextOps.decontaminate over the test-split benchmark: same
     // 5-token grams (the MinhashPairsCtes slice algebra at k=5), same

@@ -378,6 +378,52 @@ object Similarity {
         min("__v").as("min_v"),
         max("__v").as("max_v"))
 
+  /** Centroid-distance outlier scoring over LABELED embeddings — the
+    * embedding-space quality filter for curated corpora: vectors far from
+    * their own label's centroid are mislabeled, noisy, or off-distribution
+    * candidates (the standard "centroid distance" heuristic of data-curation
+    * pipelines; cf. the cluster-distance filters in public data-pruning
+    * literature, e.g. SemDeDup-style curation). For each vector: the L2
+    * distance to its label centroid, the z-score of that distance within
+    * the label, and an `is_outlier` flag at `zThreshold`.
+    *
+    * Everything is explicit closed-form column algebra (centroid = per-dim
+    * mean; variance from (n, Σd, Σd²) co-moments, sample-normalized), so
+    * the SQL twin lands on the same doubles. Labels with < 2 vectors have
+    * no spread — z is null, never flagged.
+    *
+    * Scale shape: one posexplode over the scan → (label, dim)-keyed
+    * partial-combined mean (bounded by labels·dims rows), broadcast-joined
+    * back to the dim stream; the distance reduction groups on the
+    * well-spread vector id; label moments are a second metadata-scale
+    * aggregation. No windows, no pair joins — linear in vectors·dims.
+    */
+  def labelOutliers(corpus: DataFrame, zThreshold: Double = 2.5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
+    val dims = corpus.select(col(idCol), col(labelCol).as("label"),
+      posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(col(idCol), col("label"), col("dim"),
+        col("__x").cast("double").as("__x"))
+    val cent = dims.groupBy("label", "dim").agg(avg("__x").as("__mu"))
+    val dist = dims.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sqrt(sum((col("__x") - col("__mu")) * (col("__x") - col("__mu"))))
+        .as("dist"))
+    val mom = dist.groupBy("label").agg(count(lit(1)).as("__n"),
+      sum("dist").as("__s"), sum(col("dist") * col("dist")).as("__ss"))
+    val n = col("__n").cast("double")
+    val varS = (n * col("__ss") - col("__s") * col("__s")) / (n * (n - 1))
+    val z = (col("dist") - col("__s") / n) /
+      sqrt(greatest(varS, lit(0.0)))
+    dist.join(broadcast(mom), "label")
+      .withColumn("z_score", when(col("__n") >= 2 && varS > 0, z))
+      .withColumn("is_outlier",
+        coalesce(col("z_score") > zThreshold, lit(false)))
+      .select(idCol, "label", "dist", "z_score", "is_outlier")
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥ threshold,
     * blocked by cell to bound the pair space (LSH-bucketed variant of
     * embedding dedup).

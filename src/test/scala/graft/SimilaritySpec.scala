@@ -102,6 +102,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
   }
 
+  test("labelOutliers: planted outlier flags, tight cluster doesn't, degenerate z null") {
+    // label 0: 20 vectors near (1,0) plus one far point; label 1: a pair
+    // (n=2 -> z defined but huge denominators are fine); label 2: singleton
+    val near = (0 until 20).map(i =>
+      (i.toLong, Array(1.0f + (i % 5) * 0.01f, (i % 3) * 0.01f), 0))
+    val far = Seq((100L, Array(9.0f, 9.0f), 0))
+    val pair = Seq((200L, Array(0.0f, 1.0f), 1), (201L, Array(0.0f, 3.0f), 1))
+    val single = Seq((300L, Array(5.0f, 5.0f), 2))
+    val df = (near ++ far ++ pair ++ single).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelOutliers(df).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(got(100L).getAs[Boolean]("is_outlier"),
+      s"planted outlier not flagged: ${got(100L)}")
+    near.foreach { case (id, _, _) =>
+      assert(!got(id).getAs[Boolean]("is_outlier"), s"tight vec $id flagged") }
+    // singleton label: no spread, z null, not flagged
+    assert(got(300L).isNullAt(got(300L).fieldIndex("z_score")))
+    assert(!got(300L).getAs[Boolean]("is_outlier"))
+    assert(got(300L).getAs[Double]("dist") == 0.0) // centroid == itself
+    // symmetric pair: equal distances, zero variance -> z null on both
+    assert(got(200L).isNullAt(got(200L).fieldIndex("z_score")))
+    // distances are honest L2: the pair sits 1.0 from its centroid
+    assert(math.abs(got(200L).getAs[Double]("dist") - 1.0) < 1e-9)
+  }
+
   test("rrfFuse: hand-computed fusion, absent-list nulls, id tie-break") {
     val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
     val b = Seq((3L, 1), (4L, 2)).toDF("doc_id", "rank")
