@@ -2333,7 +2333,8 @@ object SparkEntry {
         |      / (CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE) - 1)), CAST(0 AS DOUBLE)))
         |  END AS z_score
         |  FROM dd JOIN m USING (label))
-        |SELECT vec_id, label, dist, z_score,
+        |SELECT vec_id, label, round(dist, 6) AS dist,
+        |  round(z_score, 6) AS z_score,
         |  coalesce(z_score > 2.5, false) AS is_outlier FROM f""".stripMargin,
 
     // Twin of TextOps.decontaminate over the test-split benchmark: same

@@ -417,10 +417,18 @@ object Similarity {
     val varS = (n * col("__ss") - col("__s") * col("__s")) / (n * (n - 1))
     val z = (col("dist") - col("__s") / n) /
       sqrt(greatest(varS, lit(0.0)))
+    // dist/z are cross-row float sums whose accumulation ORDER varies with
+    // partitioning — a last-ulp wobble that is invisible semantically but
+    // can straddle a digit boundary between engines (observed once at
+    // sf0.1: 0.661029301 vs ...302 in the 9th significant digit). The
+    // OUTPUT is rounded to 6 decimals on both sides — well inside any
+    // consumer's tolerance, three digits inside the compare normalization,
+    // ~1e9× wider than the wobble; the flag uses the unrounded value.
     dist.join(broadcast(mom), "label")
-      .withColumn("z_score", when(col("__n") >= 2 && varS > 0, z))
-      .withColumn("is_outlier",
-        coalesce(col("z_score") > zThreshold, lit(false)))
+      .withColumn("__z", when(col("__n") >= 2 && varS > 0, z))
+      .withColumn("is_outlier", coalesce(col("__z") > zThreshold, lit(false)))
+      .withColumn("dist", round(col("dist"), 6))
+      .withColumn("z_score", round(col("__z"), 6))
       .select(idCol, "label", "dist", "z_score", "is_outlier")
   }
 
