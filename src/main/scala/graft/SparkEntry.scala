@@ -309,6 +309,13 @@ object SparkEntry {
     */
   private val CopyIdTag: Long = 1L << 40
 
+  /** Source token quotas shared by the sample_token_budget query and its
+    * oracle: two partial cuts, one tight cut, and one budget above the
+    * small-SF source total (the "source runs dry" edge).
+    */
+  private val TokenBudgets: Seq[(String, Long)] =
+    Seq("src0" -> 600L, "src1" -> 2000L, "src3" -> 900L, "src7" -> 250L)
+
   /** Fixture near-dup corpus shared by the wide-fingerprint dup twins: the
     * documents plus one deterministic in-place edited copy of each doc with
     * ≥ 61 chars (`doc_id + CopyIdTag`, chars 51–60 replaced by 'x'). The
@@ -546,6 +553,11 @@ object SparkEntry {
     "ts_anomaly" -> ((s, dir) => SeriesOps.anomaly(pts(s, dir), 3.0)),
     "ts_seasonal_profile" -> ((s, dir) =>
       SeriesOps.seasonalProfile(pts(s, dir), 86400L * NsPerS, 3600L * NsPerS)),
+    // additive trend/seasonal/residual decomposition (±12-row trend MA,
+    // hour-of-day seasonal slots)
+    "ts_stl" -> ((s, dir) =>
+      SeriesOps.stl(pts(s, dir), 86400L * NsPerS, 3600L * NsPerS,
+        halfWindow = 12)),
     "ts_gaps" -> ((s, dir) => SeriesOps.gaps(pts(s, dir), 2.0)),
     "ts_percentiles" -> ((s, dir) => SeriesOps.percentiles(pts(s, dir))),
     "ts_trend" -> ((s, dir) => SeriesOps.trend(pts(s, dir))),
@@ -724,6 +736,10 @@ object SparkEntry {
     "sample_mixture" -> ((s, dir) =>
       Sampling.temperatureSample(Tables(s, dir).documents, "doc_id", "lang", 250)
         .select("doc_id", "lang")),
+    // token-budgeted mixture: fill each source's TOKEN quota in id order
+    "sample_token_budget" -> ((s, dir) =>
+      Sampling.tokenBudgetSample(Tables(s, dir).documents,
+        TokenBudgets.toMap)),
 
     // ---- per-doc top TF-IDF terms ----
     "text_tfidf" -> ((s, dir) =>
@@ -788,6 +804,10 @@ object SparkEntry {
           expr("ts DIV 86400000000000").as("day"))
         .withColumn("z",
           graft.ops.Layout.zValue(col("user_id"), col("day"), 16))),
+    // small-file compaction manifest: roll files at 4 KiB of document text
+    "layout_compaction" -> ((s, dir) =>
+      graft.ops.Layout.compactionPlan(Tables(s, dir).documents,
+        targetBytes = 4096)),
 
     // ---- gap sessionization over the event stream (30-minute gap);
     // eventsUs: DuckDB truncates TIMESTAMP_NS to whole microseconds ----
@@ -1583,6 +1603,24 @@ object SparkEntry {
          |  max(value) FILTER (WHERE NOT isnan(value)) AS max_value,
          |  count(value) FILTER (WHERE NOT isnan(value)) AS n_points
          |FROM points GROUP BY 1, 2""".stripMargin,
+    // Twin of SeriesOps.stl: same ±12-row NaN-safe trend MA over the
+    // (ts, value) order, hour-of-day seasonal slot means of the detrended
+    // values, residual = value − trend − seasonal; all rounded to 6
+    // decimals in both engines.
+    "ts_stl" ->
+      s"""WITH points AS ($PointsCte),
+         |t AS (SELECT series_id, ts, value,
+         |  ((ts % ${86400L * NsPerS} + ${86400L * NsPerS}) % ${86400L * NsPerS}) // ${3600L * NsPerS} AS slot,
+         |  avg(CASE WHEN NOT isnan(value) THEN value END) OVER (
+         |    PARTITION BY series_id ORDER BY ts, value
+         |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS tr
+         |  FROM points),
+         |d AS (SELECT *, CASE WHEN NOT isnan(value) THEN value END - tr AS detr FROM t),
+         |se AS (SELECT series_id, slot, avg(detr) AS seas FROM d GROUP BY 1, 2)
+         |SELECT d.series_id, ts, value, round(tr, 6) AS trend,
+         |  round(seas, 6) AS seasonal,
+         |  round(CASE WHEN NOT isnan(value) THEN value END - tr - seas, 6) AS residual
+         |FROM d JOIN se USING (series_id, slot)""".stripMargin,
     "ts_gaps" ->
       s"""WITH points AS ($PointsCte),
          |$DtModeCte,
@@ -2040,6 +2078,32 @@ object SparkEntry {
       s"""WITH e AS (SELECT event_id, user_id,
          |  epoch_ns(ts) // 86400000000000 AS day FROM events)
          |SELECT event_id, user_id, day, CAST($zTerms AS BIGINT) AS z FROM e""".stripMargin
+    },
+    // Twin of Layout.compactionPlan(documents, 4096): file_id is the
+    // exclusive byte prefix div target in doc_id order, manifest per file
+    "layout_compaction" ->
+      """WITH sized AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS b
+        |  FROM documents WHERE n_chars > 0),
+        |pre AS (SELECT doc_id, b,
+        |  CAST(sum(b) OVER (ORDER BY doc_id) - b AS BIGINT) AS pref FROM sized)
+        |SELECT pref // 4096 AS file_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(b) AS BIGINT) AS total_bytes,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM pre GROUP BY 1""".stripMargin,
+    // Twin of Sampling.tokenBudgetSample: per-source running token total in
+    // doc_id order, keep while the exclusive prefix is under the budget
+    "sample_token_budget" -> {
+      val budgetRows = TokenBudgets
+        .map { case (s, b) => s"('$s', CAST($b AS BIGINT))" }.mkString(", ")
+      s"""WITH lens AS (SELECT doc_id, source,
+         |  CAST(len($Toks) AS BIGINT) AS n_toks FROM documents),
+         |cum AS (SELECT doc_id, source, n_toks,
+         |  CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_toks
+         |  FROM lens),
+         |bud AS (SELECT * FROM (VALUES $budgetRows) t(source, budget))
+         |SELECT doc_id, source, n_toks, cum_toks
+         |FROM cum JOIN bud USING (source)
+         |WHERE cum_toks - n_toks < budget""".stripMargin
     },
 
     // Twin of Sketches.cmsTopK(document tokens, k=20, d=3, w=1024): same

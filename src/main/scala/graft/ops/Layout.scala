@@ -53,4 +53,35 @@ object Layout {
       .repartitionByRange(numPartitions, col(zCol))
       .sortWithinPartitions(zCol)
   }
+
+  /** Small-file compaction planner: walk the table in `idCol` order and
+    * roll to a new output file every time the running byte total crosses a
+    * multiple of `targetBytes` — i.e. `file_id = exclusive_prefix div
+    * target`, the rolling-writer policy behind every lakehouse OPTIMIZE /
+    * compaction job (Delta/Iceberg bin-packing docs describe the same
+    * greedy fill). Each planned file covers one target-sized cell of the
+    * packed byte stream: no file exceeds target + one document, a document
+    * larger than the target lands alone, and ids never interleave across
+    * files (a file following an overshoot is smaller — the grid absorbs
+    * overshoot instead of drifting). Returns the file manifest — one row per
+    * planned file with its doc range and exact size — which is what a
+    * compaction executor actually consumes (the per-doc assignment is
+    * `file_id` on the prefix frame; the manifest is its groupBy).
+    *
+    * Scale: the order walk is [[graft.pipeline.Prefix.runningSum]] — the
+    * sharded scan, no single-task window — and the manifest aggregation
+    * keys on `file_id`, which the prefix construction makes contiguous.
+    */
+  def compactionPlan(df: DataFrame, targetBytes: Long,
+      idCol: String = "doc_id", sizeCol: String = "n_chars",
+      shardWidth: Long = 1L << 20): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val sized = df.select(col(idCol), col(sizeCol).cast("long").as("__bytes"))
+      .where(col("__bytes") > 0)
+    graft.pipeline.Prefix.runningSum(sized, idCol, "__bytes", shardWidth = shardWidth)
+      .withColumn("file_id", expr(s"(__end - __bytes) div $targetBytes"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_docs"), sum("__bytes").as("total_bytes"),
+        min(col(idCol)).as("min_doc"), max(col(idCol)).as("max_doc"))
+  }
 }

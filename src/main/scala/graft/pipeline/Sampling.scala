@@ -227,4 +227,37 @@ object Sampling {
     require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
     df.where(bucketOf(col(idCol), salt) < math.round(fraction * Buckets).toInt)
   }
+
+  /** Token-budgeted per-source sampling: walk each source's documents in
+    * `idCol` order and keep them until the source's token budget is filled —
+    * the mixture primitive when quotas are expressed in TOKENS (how
+    * pretraining mixes are actually specified), not document counts. The
+    * first document that crosses the budget is still kept ("fill to
+    * budget": every budget > 0 yields at least one document and the kept
+    * set always covers ≥ the budget unless the source runs dry). Sources
+    * absent from `budgets` are dropped. Returns the kept documents with
+    * their token count and the running total within their source.
+    *
+    * Scale: the per-source order walk is [[Prefix.runningSum]] grouped by
+    * source — the sharded scan, so one giant source never serializes on a
+    * single window task.
+    */
+  def tokenBudgetSample(df: DataFrame, budgets: Map[String, Long],
+      idCol: String = "doc_id", sourceCol: String = "source",
+      textCol: String = "text", shardWidth: Long = 1L << 20): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetSample needs at least one source budget")
+    require(budgets.values.forall(_ > 0),
+      s"budgets must be positive, got $budgets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val quota = broadcast(
+      budgets.toSeq.sortBy(_._1).toDF(sourceCol, "__budget"))
+    val lens = df.select(col(idCol), col(sourceCol),
+      TextOps.tokenCount(col(textCol)).cast("long").as("n_toks"))
+    Prefix.runningSum(lens, idCol, "n_toks", groupCols = Seq(sourceCol),
+        shardWidth = shardWidth, endCol = "cum_toks")
+      .join(quota, Seq(sourceCol))
+      .where(col("cum_toks") - col("n_toks") < col("__budget"))
+      .select(col(idCol), col(sourceCol), col("n_toks"), col("cum_toks"))
+  }
 }

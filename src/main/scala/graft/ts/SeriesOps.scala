@@ -789,6 +789,42 @@ object SeriesOps {
         (col("delta_ns").cast("double") / col("dt_mode_ns")).as("gap_ratio"))
   }
 
+  /** Additive seasonal-trend decomposition (the moving-average STL-lite a
+    * monitoring stack runs before alerting on residuals): per point,
+    * `trend` is the NaN-safe centered moving average over ±`halfWindow`
+    * rows, `seasonal` is the per-(series, time-of-period slot) mean of the
+    * detrended values, and `residual = value − trend − seasonal`. The slot
+    * is `pmod(ts, periodNs) div bucketNs`, matching [[seasonalProfile]].
+    * Outputs round to 6 decimals so both engines land on the same digits
+    * (the [[graft.pipeline.Similarity.labelOutliers]] convention).
+    *
+    * Scale shape: one (series, ts) sort for the rows window — the same
+    * sort every sequential op shares — plus a slot-keyed partial-combined
+    * aggregate whose output is seriesCount · period/bucket rows, rejoined
+    * on its composite key. No corpus-wide window, nothing driver-side.
+    */
+  def stl(points: DataFrame, periodNs: Long, bucketNs: Long,
+      halfWindow: Int = 12): DataFrame = {
+    require(periodNs > 0, s"period must be positive, got $periodNs")
+    require(bucketNs > 0 && periodNs % bucketNs == 0,
+      s"bucket must divide period, got $bucketNs / $periodNs")
+    require(halfWindow >= 1, s"halfWindow must be >= 1, got $halfWindow")
+    val v = when(notNan(col("value")), col("value"))
+    val w = bySeries.orderBy(col("ts"), col("value"))
+      .rowsBetween(-halfWindow, halfWindow)
+    val trended = points
+      .withColumn("slot", expr(s"pmod(ts, $periodNs) div $bucketNs"))
+      .withColumn("__trend", avg(v).over(w))
+      .withColumn("__detr", v - col("__trend"))
+    val seasonal = trended.groupBy("series_id", "slot")
+      .agg(avg(col("__detr")).as("__seasonal"))
+    trended.join(seasonal, Seq("series_id", "slot"))
+      .select(col("series_id"), col("ts"), col("value"),
+        round(col("__trend"), 6).as("trend"),
+        round(col("__seasonal"), 6).as("seasonal"),
+        round(v - col("__trend") - col("__seasonal"), 6).as("residual"))
+  }
+
   /** O4: stream tail limit — keep only the newest `n` points per series,
     * the reference's Bokeh `stream(new, 100)` display buffer
     * (reference: visual/dashboard_test.py:81). Deterministic tie-break on

@@ -454,4 +454,37 @@ class SeriesOpsSpec extends SparkSpec {
     // span [1, 7] contains no multiple of 10 → empty output, no sequence error
     assert(SeriesOps.interpolate(pts(1L -> 1.0, 7L -> 2.0), 10 * S).count() == 0)
   }
+
+  test("stl: decomposition matches the hand walk; NaN rows keep null residual") {
+    val H = 3600L * Period.Second
+    // two days of hourly points with a NaN hole: slot = hour of day
+    val vals = (0 until 48).map(h => if (h == 5) Double.NaN else (h % 24) + h * 0.5)
+    val df = vals.zipWithIndex.map { case (v, h) => ("s", h * H, v) }
+      .toDF("series_id", "ts", "value")
+    val got = SeriesOps.stl(df, periodNs = 24 * H, bucketNs = H, halfWindow = 2)
+      .collect().map(r => (r.getAs[Long]("ts") / H).toInt ->
+        (r.getAs[Any]("trend"), r.getAs[Any]("seasonal"), r.getAs[Any]("residual")))
+      .toMap
+    // hand walk: trend = mean of non-NaN in ±2 rows, seasonal = per-slot
+    // mean of detrended, residual = value − trend − seasonal
+    // valueOf (decimal string) mirrors Spark's round-on-double path; the
+    // exact-binary BigDecimal(Double) ctor would round a different number
+    def rnd(x: Double): Double = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val trend = vals.indices.map { i =>
+      val w = (math.max(0, i - 2) to math.min(47, i + 2)).map(vals).filterNot(_.isNaN)
+      w.sum / w.size
+    }
+    val detr = vals.indices.map(i => if (vals(i).isNaN) None else Some(vals(i) - trend(i)))
+    val seas = vals.indices.groupBy(_ % 24).map { case (slot, is) =>
+      val ds = is.flatMap(detr); slot -> ds.sum / ds.size
+    }
+    for (i <- vals.indices) {
+      val (t, s, r) = got(i)
+      assert(t == rnd(trend(i)), s"trend at $i")
+      assert(s == rnd(seas(i % 24)), s"seasonal at $i")
+      if (vals(i).isNaN) assert(r == null, s"NaN row $i must keep null residual")
+      else assert(r == rnd(vals(i) - trend(i) - seas(i % 24)), s"residual at $i")
+    }
+  }
 }
