@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Sessions, Tables}
 import graft.ops.{AsofJoin, Retention, Sessionize}
-import graft.pipeline.{Audio, Components, Dedup, Export, IncrementalDedup, Multimodal, Packing, Profile, Sampling, SemiStructured, Similarity, Sketches, TextOps, Video}
+import graft.pipeline.{Audio, Bpe, Components, Dedup, Export, IncrementalDedup, Multimodal, Packing, Profile, Sampling, SemiStructured, Similarity, Sketches, TextOps, Video}
 import graft.sources.{Netatmo, NetatmoSource}
 import graft.ts.{Evaluate, Rdp, SeriesOps, SeriesStore, StoreSource, HeartbeatSource, MockSource}
 import graft.ts.model.{AverageValue, Period}
@@ -315,6 +315,46 @@ object SparkEntry {
     */
   private val TokenBudgets: Seq[(String, Long)] =
     Seq("src0" -> 600L, "src1" -> 2000L, "src3" -> 900L, "src7" -> 250L)
+
+  /** BPE training rounds shared by the two text_bpe_* queries and their
+    * oracles (each round is one unrolled CTE block in the twin SQL).
+    */
+  private val BpeMerges = 8
+
+  /** Unrolled DuckDB twin of [[Bpe.train]]: v0 is the word-frequency table
+    * with char+`</w>` symbol strings in the same `|s1||s2||…|` delimited
+    * form; each round r counts adjacent pairs (every position, frequency-
+    * weighted), picks the (cnt DESC, lft, rgt) argmax into b{r}, and
+    * applies it with the same literal replace (literal replace's
+    * left-to-right non-overlapping scan is greedy BPE application in both
+    * engines). Ends with v{nMerges} = the trained word table.
+    */
+  private def bpeCtes(nMerges: Int): String = {
+    val sb = new StringBuilder
+    // every per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    // v{i+1} referencing both v{i} and three b{i} scalar subqueries would
+    // otherwise re-expand the whole chain ~4^rounds times (measured: blows
+    // the open-file limit before it blows the clock)
+    sb.append(
+      s"""tk AS MATERIALIZED (SELECT unnest($Toks) AS word FROM documents),
+         |v0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         |  '|' || array_to_string(string_split(word, ''), '||') || '||</w>|' AS sym
+         |  FROM tk GROUP BY word)""".stripMargin)
+    for (i <- 0 until nMerges) {
+      sb.append(
+        s""",
+           |s$i AS MATERIALIZED (SELECT freq, string_split(substr(sym, 2, length(sym) - 2), '||') AS syms FROM v$i),
+           |e$i AS MATERIALIZED (SELECT freq, syms, unnest(range(1, len(syms))) AS k FROM s$i),
+           |p$i AS MATERIALIZED (SELECT syms[CAST(k AS INTEGER)] AS lft, syms[CAST(k + 1 AS INTEGER)] AS rgt,
+           |  CAST(sum(freq) AS BIGINT) AS cnt FROM e$i GROUP BY 1, 2),
+           |b$i AS MATERIALIZED (SELECT CAST($i AS INTEGER) AS rank, lft, rgt, lft || rgt AS merged, cnt
+           |  FROM p$i ORDER BY cnt DESC, lft ASC, rgt ASC LIMIT 1),
+           |v${i + 1} AS MATERIALIZED (SELECT word, freq, replace(sym,
+           |  '|' || (SELECT lft FROM b$i) || '||' || (SELECT rgt FROM b$i) || '|',
+           |  '|' || (SELECT merged FROM b$i) || '|') AS sym FROM v$i)""".stripMargin)
+    }
+    sb.toString
+  }
 
   /** Fixture near-dup corpus shared by the wide-fingerprint dup twins: the
     * documents plus one deterministic in-place edited copy of each doc with
@@ -740,6 +780,15 @@ object SparkEntry {
     "sample_token_budget" -> ((s, dir) =>
       Sampling.tokenBudgetSample(Tables(s, dir).documents,
         TokenBudgets.toMap)),
+
+    // ---- learned-subword tokenizer: exact BPE merge training (8 rounds)
+    // over the word-frequency table, plus per-doc segmentation under the
+    // learned vocabulary ----
+    "text_bpe_merges" -> ((s, dir) =>
+      Bpe.train(Tables(s, dir).documents, nMerges = BpeMerges).merges),
+    "text_bpe_segment" -> ((s, dir) =>
+      Bpe.segmentStats(Tables(s, dir).documents,
+        Bpe.train(Tables(s, dir).documents, nMerges = BpeMerges).vocab)),
 
     // ---- per-doc top TF-IDF terms ----
     "text_tfidf" -> ((s, dir) =>
@@ -2105,6 +2154,22 @@ object SparkEntry {
          |FROM cum JOIN bud USING (source)
          |WHERE cum_toks - n_toks < budget""".stripMargin
     },
+    // Twins of Bpe.train / Bpe.segmentStats over the shared unrolled rounds
+    "text_bpe_merges" -> {
+      val union = (0 until BpeMerges).map(i => s"SELECT * FROM b$i")
+        .mkString(" UNION ALL ")
+      s"""WITH ${bpeCtes(BpeMerges)}
+         |SELECT rank, lft, rgt, merged, cnt AS pair_count FROM ($union)""".stripMargin
+    },
+    "text_bpe_segment" ->
+      s"""WITH ${bpeCtes(BpeMerges)},
+         |wd AS (SELECT doc_id, unnest($Toks) AS word FROM documents),
+         |ns AS (SELECT word,
+         |  CAST(len(string_split(substr(sym, 2, length(sym) - 2), '||')) AS BIGINT) AS n_syms
+         |  FROM v$BpeMerges)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_syms) AS BIGINT) AS n_bpe
+         |FROM wd JOIN ns USING (word) GROUP BY doc_id""".stripMargin,
 
     // Twin of Sketches.cmsTopK(document tokens, k=20, d=3, w=1024): same
     // seeded PolyHash buckets (201+j), same (count desc, term asc) top-20
