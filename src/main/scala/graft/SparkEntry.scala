@@ -789,6 +789,10 @@ object SparkEntry {
     "text_bpe_segment" -> ((s, dir) =>
       Bpe.segmentStats(Tables(s, dir).documents,
         Bpe.train(Tables(s, dir).documents, nMerges = BpeMerges).vocab)),
+    // exact cross-source trigram overlap matrix (ground truth for the
+    // sketch_hll_overlap estimates)
+    "source_overlap" -> ((s, dir) =>
+      TextOps.sliceOverlap(Tables(s, dir).documents, "source")),
 
     // ---- per-doc top TF-IDF terms ----
     "text_tfidf" -> ((s, dir) =>
@@ -2170,6 +2174,28 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |  CAST(sum(n_syms) AS BIGINT) AS n_bpe
          |FROM wd JOIN ns USING (word) GROUP BY doc_id""".stripMargin,
+    // Twin of TextOps.sliceOverlap(documents, source): distinct char
+    // trigrams of the normalized token stream per source, pairwise
+    // intersection via the gram join, union by inclusion–exclusion
+    "source_overlap" ->
+      s"""WITH nm AS (SELECT source AS slice, array_to_string($Toks, ' ') AS norm
+         |  FROM documents),
+         |g AS (SELECT DISTINCT slice, gram FROM (
+         |  SELECT slice, unnest(list_transform(range(1, length(norm) - 1),
+         |    i -> norm[i:i+2])) AS gram
+         |  FROM nm WHERE length(norm) >= 3)),
+         |sz AS (SELECT slice, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+         |i AS (SELECT a.slice AS slice_a, b.slice AS slice_b,
+         |  CAST(count(*) AS BIGINT) AS inter_grams
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.slice < b.slice
+         |  GROUP BY 1, 2)
+         |SELECT slice_a, slice_b, na.n_grams AS n_a, nb.n_grams AS n_b,
+         |  inter_grams,
+         |  CAST(na.n_grams + nb.n_grams - inter_grams AS BIGINT) AS union_grams,
+         |  round(CAST(inter_grams AS DOUBLE)
+         |    / (na.n_grams + nb.n_grams - inter_grams), 6) AS jaccard
+         |FROM i JOIN sz na ON i.slice_a = na.slice
+         |  JOIN sz nb ON i.slice_b = nb.slice""".stripMargin,
 
     // Twin of Sketches.cmsTopK(document tokens, k=20, d=3, w=1024): same
     // seeded PolyHash buckets (201+j), same (count desc, term asc) top-20

@@ -684,6 +684,60 @@ object TextOps {
         (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
           greatest(col("n_tokens"), lit(1L))).as("dup_frac"))
   }
+
+  /** EXACT pairwise character-n-gram overlap between corpus slices
+    * (sources, languages, shards) — the ground-truth companion of
+    * [[Sketches.hllPairOverlap]]'s estimate, and the cross-source
+    * contamination matrix a mixture designer reads before weighting. Per
+    * slice pair (a < b): distinct-gram counts, intersection, union
+    * (inclusion–exclusion), Jaccard. Pairs sharing no gram are absent
+    * (inner gram join).
+    *
+    * Scale shape: the join keys on the GRAM, not the pair — volume is
+    * Σ_gram C(slices_with_gram, 2) ≤ vocab·G², linear in vocabulary for a
+    * bounded slice count. Like the sketch pair operators this is a
+    * between-SLICES diagnostic, so the same fail-fast `maxSlices` guard
+    * (lazy, metadata-scale window count) rejects a high-cardinality slice
+    * key with a routing hint instead of quietly going quadratic.
+    */
+  def sliceOverlap(df: DataFrame, sliceCol: String, textCol: String = "text",
+      n: Int = 3, maxSlices: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"sliceOverlap needs n >= 1, got $n")
+    require(maxSlices >= 2, s"sliceOverlap needs maxSlices >= 2, got $maxSlices")
+    val grams = df
+      .select(col(sliceCol).cast("string").as("slice"),
+        array_join(tokens(col(textCol)), " ").as("__norm"))
+      .where(length(col("__norm")) >= n)
+      .select(col("slice"), explode(expr(
+        s"transform(sequence(1, length(__norm) - ${n - 1}), " +
+          s"i -> substring(__norm, i, $n))")).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy("slice").agg(count(lit(1)).as("n_grams"))
+      .withColumn("__g", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("slice",
+        when(col("__g") > maxSlices,
+          raise_error(format_string(
+            "sliceOverlap: %s slices exceed the pair bound %s — aggregate " +
+              "to a coarser slice key or raise maxSlices",
+            col("__g"), lit(maxSlices))))
+          .otherwise(col("slice")))
+      .drop("__g")
+    // the broadcast guard join forces the maxSlices check BEFORE the
+    // gram-keyed pair expansion can run
+    val ga = grams.join(broadcast(sizes), Seq("slice"))
+    ga.select(col("slice").as("slice_a"), col("n_grams").as("n_a"), col("gram"))
+      .join(ga.select(col("slice").as("slice_b"), col("n_grams").as("n_b"),
+        col("gram")), Seq("gram"))
+      .where(col("slice_a") < col("slice_b"))
+      .groupBy("slice_a", "slice_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter_grams"))
+      .withColumn("union_grams", col("n_a") + col("n_b") - col("inter_grams"))
+      .select(col("slice_a"), col("slice_b"), col("n_a"), col("n_b"),
+        col("inter_grams"), col("union_grams"),
+        round(col("inter_grams").cast("double") / col("union_grams"), 6)
+          .as("jaccard"))
+  }
 }
 
 /** Tiny per-language stopword dictionaries (public common words). */

@@ -579,4 +579,37 @@ class PipelineOpsSpec extends SparkSpec {
       graft.pipeline.SemiStructured.extractJson(df, "props", "id BIGINT")
     }
   }
+
+  test("sliceOverlap: exact trigram intersections, inclusion-exclusion union") {
+    val docs = Seq(
+      (1L, "a", "abc def"), (2L, "a", "abc xyz"),
+      (3L, "b", "abc def"), (4L, "c", "zzzzz"))
+      .toDF("doc_id", "src", "text")
+    def tris(texts: String*): Set[String] = texts.flatMap(t =>
+      t.sliding(3).toSeq).toSet
+    val A = tris("abc def", "abc xyz")
+    val B = tris("abc def")
+    val C = tris("zzzzz")
+    val got = graft.pipeline.TextOps.sliceOverlap(docs, "src")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6))).toMap
+    assert(got(("a", "b")) == ((A.size.toLong, B.size.toLong,
+      (A & B).size.toLong, (A | B).size.toLong,
+      BigDecimal((A & B).size.toDouble / (A | B).size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // c shares no trigram with a or b: absent from the inner gram join
+    assert(!got.contains(("a", "c")) && !got.contains(("b", "c")))
+    assert((A & C).isEmpty && (B & C).isEmpty)
+  }
+
+  test("sliceOverlap fails fast above maxSlices with a routing hint") {
+    val docs = (1L to 5L).map(i => (i, s"s$i", "abc def"))
+      .toDF("doc_id", "src", "text")
+    val e = intercept[Exception] {
+      graft.pipeline.TextOps.sliceOverlap(docs, "src", maxSlices = 3).collect()
+    }
+    assert(e.getMessage.contains("maxSlices")
+      || String.valueOf(e.getCause).contains("maxSlices"))
+  }
 }
