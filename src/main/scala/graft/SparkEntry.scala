@@ -598,6 +598,11 @@ object SparkEntry {
     "ts_stl" -> ((s, dir) =>
       SeriesOps.stl(pts(s, dir), 86400L * NsPerS, 3600L * NsPerS,
         halfWindow = 12)),
+    // seasonal-naive forecast: the reference's read_forecast raises
+    // NotImplementedError — this is the working baseline in its place
+    "ts_forecast_naive" -> ((s, dir) =>
+      SeriesOps.forecastNaive(pts(s, dir), 86400L * NsPerS, 3600L * NsPerS,
+        horizon = 24)),
     "ts_gaps" -> ((s, dir) => SeriesOps.gaps(pts(s, dir), 2.0)),
     "ts_percentiles" -> ((s, dir) => SeriesOps.percentiles(pts(s, dir))),
     "ts_trend" -> ((s, dir) => SeriesOps.trend(pts(s, dir))),
@@ -1674,6 +1679,22 @@ object SparkEntry {
          |  round(seas, 6) AS seasonal,
          |  round(CASE WHEN NOT isnan(value) THEN value END - tr - seas, 6) AS residual
          |FROM d JOIN se USING (series_id, slot)""".stripMargin,
+    // Twin of SeriesOps.forecastNaive: the seasonalProfile slot means
+    // joined onto a 24-step hourly horizon after each series' last point
+    "ts_forecast_naive" ->
+      s"""WITH points AS ($PointsCte),
+         |prof AS (SELECT series_id,
+         |  ((ts % ${86400L * NsPerS} + ${86400L * NsPerS}) % ${86400L * NsPerS}) // ${3600L * NsPerS} AS slot,
+         |  avg(value) FILTER (WHERE NOT isnan(value)) AS mean_value
+         |  FROM points GROUP BY 1, 2),
+         |lastp AS (SELECT series_id, max(ts) AS last_ts FROM points GROUP BY 1),
+         |fut AS (SELECT series_id,
+         |  last_ts + unnest(range(1, 25)) * ${3600L * NsPerS} AS ts FROM lastp),
+         |slotted AS (SELECT series_id, ts,
+         |  ((ts % ${86400L * NsPerS} + ${86400L * NsPerS}) % ${86400L * NsPerS}) // ${3600L * NsPerS} AS slot
+         |  FROM fut)
+         |SELECT s.series_id, ts, round(mean_value, 6) AS yhat
+         |FROM slotted s LEFT JOIN prof USING (series_id, slot)""".stripMargin,
     "ts_gaps" ->
       s"""WITH points AS ($PointsCte),
          |$DtModeCte,

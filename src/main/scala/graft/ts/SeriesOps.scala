@@ -825,6 +825,40 @@ object SeriesOps {
         round(v - col("__trend") - col("__seasonal"), 6).as("residual"))
   }
 
+  /** Seasonal-naive forecast: the reference's `read_forecast` endpoint
+    * raises NotImplementedError (reference:
+    * weather/data_sources/netatmo/repository.py:308-324) — this is the
+    * working Spark-native baseline that slot fills it. For each series,
+    * emit `horizon` future points on the `bucketNs` grid after the last
+    * observed timestamp; the forecast at each future instant is the
+    * series' historical NaN-safe mean for that time-of-period slot (the
+    * [[seasonalProfile]] component — the standard seasonal-naive
+    * baseline every forecast benchmark measures against). Slots the
+    * series never observed yield null. Values round to 6 decimals for
+    * cross-engine determinism ([[stl]] convention).
+    *
+    * Scale shape: one slot-keyed profile aggregate + one per-series max —
+    * both partial-combined — joined on (series, slot) after a map-only
+    * horizon explode; output is seriesCount · horizon rows.
+    */
+  def forecastNaive(points: DataFrame, periodNs: Long, bucketNs: Long,
+      horizon: Int = 24): DataFrame = {
+    require(periodNs > 0, s"period must be positive, got $periodNs")
+    require(bucketNs > 0 && periodNs % bucketNs == 0,
+      s"bucket must divide period, got $bucketNs / $periodNs")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val profile = seasonalProfile(points, periodNs, bucketNs)
+      .select(col("series_id"), col("slot"), col("mean_value"))
+    val future = points.groupBy("series_id").agg(max("ts").as("__last"))
+      .withColumn("step", explode(sequence(lit(1), lit(horizon))))
+      .select(col("series_id"),
+        (col("__last") + col("step").cast("long") * bucketNs).as("ts"))
+      .withColumn("slot", expr(s"pmod(ts, $periodNs) div $bucketNs"))
+    future.join(profile, Seq("series_id", "slot"), "left")
+      .select(col("series_id"), col("ts"),
+        round(col("mean_value"), 6).as("yhat"))
+  }
+
   /** O4: stream tail limit — keep only the newest `n` points per series,
     * the reference's Bokeh `stream(new, 100)` display buffer
     * (reference: visual/dashboard_test.py:81). Deterministic tie-break on

@@ -455,6 +455,26 @@ class SeriesOpsSpec extends SparkSpec {
     assert(SeriesOps.interpolate(pts(1L -> 1.0, 7L -> 2.0), 10 * S).count() == 0)
   }
 
+  test("forecastNaive: horizon grid after last ts, slot means, unseen slots null") {
+    val H = 3600L * Period.Second
+    // series observed only at hours 0..5 over two days; forecast resumes
+    // from the last point and wraps the day: slots 6..23 never observed
+    val rows = for (d <- 0 until 2; h <- 0 until 6)
+      yield ("s", (d * 24 + h) * H, (h * 10).toDouble)
+    val df = rows.toDF("series_id", "ts", "value")
+    val got = SeriesOps.forecastNaive(df, 24 * H, H, horizon = 24)
+      .collect().map(r => r.getAs[Long]("ts") ->
+        Option(r.getAs[Any]("yhat")).map(_.asInstanceOf[Double])).toMap
+    assert(got.size == 24)
+    val last = 29L * H // day 1, hour 5
+    for (i <- 1 to 24) {
+      val ts = last + i * H
+      val slot = (ts / H) % 24
+      val exp = if (slot < 6) Some(slot.toDouble * 10) else None
+      assert(got(ts) == exp, s"step $i (slot $slot)")
+    }
+  }
+
   test("stl: decomposition matches the hand walk; NaN rows keep null residual") {
     val H = 3600L * Period.Second
     // two days of hourly points with a NaN hole: slot = hour of day
