@@ -866,6 +866,13 @@ object SparkEntry {
     "layout_compaction" -> ((s, dir) =>
       graft.ops.Layout.compactionPlan(Tables(s, dir).documents,
         targetBytes = 4096)),
+    // Hilbert curve key over the same (user_id, day) plane as layout_zorder
+    "layout_hilbert" -> ((s, dir) =>
+      Tables(s, dir).events
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 86400000000000").as("day"))
+        .withColumn("h",
+          graft.ops.Layout.hilbertValue(col("user_id"), col("day"), 16))),
 
     // ---- gap sessionization over the event stream (30-minute gap);
     // eventsUs: DuckDB truncates TIMESTAMP_NS to whole microseconds ----
@@ -2152,6 +2159,35 @@ object SparkEntry {
       s"""WITH e AS (SELECT event_id, user_id,
          |  epoch_ns(ts) // 86400000000000 AS day FROM events)
          |SELECT event_id, user_id, day, CAST($zTerms AS BIGINT) AS z FROM e""".stripMargin
+    },
+    // Twin of Layout.hilbertValue(user_id, day, 16): one CTE per bit level
+    // (linear chain — each referenced once, so plain inlining stays
+    // linear), same reflect+swap walk with d accumulated before rotation
+    "layout_hilbert" -> {
+      val bits = 16
+      // rx/ry MUST be two's-complement bit tests (x & S), not (x // S) % 2:
+      // the reflect step makes coordinates transiently negative (the walk
+      // only ever reads their low bits), and floor-div/mod diverge from
+      // bit extraction below zero
+      val levels = (bits - 1 to 0 by -1).map { l =>
+        val S = 1L << l
+        s"""h$l AS (SELECT event_id, user_id, day,
+           |  CASE WHEN (y & $S) = 0
+           |    THEN (CASE WHEN (x & $S) <> 0 THEN $S - 1 - y ELSE y END)
+           |    ELSE x END AS x,
+           |  CASE WHEN (y & $S) = 0
+           |    THEN (CASE WHEN (x & $S) <> 0 THEN $S - 1 - x ELSE x END)
+           |    ELSE y END AS y,
+           |  d + $S * $S * xor(3 * (CASE WHEN (x & $S) <> 0 THEN 1 ELSE 0 END),
+           |    CASE WHEN (y & $S) <> 0 THEN 1 ELSE 0 END) AS d
+           |  FROM h${l + 1})""".stripMargin
+      }
+      s"""WITH e AS (SELECT event_id, user_id,
+         |  epoch_ns(ts) // 86400000000000 AS day FROM events),
+         |h$bits AS (SELECT event_id, user_id, day,
+         |  CAST(user_id AS BIGINT) AS x, day AS y, CAST(0 AS BIGINT) AS d FROM e),
+         |${levels.mkString(",\n")}
+         |SELECT event_id, user_id, day, CAST(d AS BIGINT) AS h FROM h0""".stripMargin
     },
     // Twin of Layout.compactionPlan(documents, 4096): file_id is the
     // exclusive byte prefix div target in doc_id order, manifest per file

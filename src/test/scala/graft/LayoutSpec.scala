@@ -54,4 +54,71 @@ class LayoutSpec extends SparkSpec {
     val xs = spans(grid.repartitionByRange(16, col("x")).sortWithinPartitions("x"))
     assert(xs.exists { case (_, sy) => sy == 63L }, s"x-sort spans: $xs")
   }
+
+  /** Driver reference: the classic xy→d Hilbert walk (reflect+swap). */
+  private def refH(x0: Long, y0: Long, bits: Int): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbertValue matches the reference walk and is a bijection") {
+    val df = spark.range(32).toDF("x").crossJoin(spark.range(32).toDF("y"))
+    val got = df.withColumn("h", Layout.hilbertValue(col("x"), col("y"), 5))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, h) =>
+      assert(h == refH(x, y, 5), s"($x,$y): got $h want ${refH(x, y, 5)}") }
+    assert(got.map(_._3).distinct.length == 32 * 32)
+  }
+
+  test("hilbert curve is continuous: consecutive indices are grid neighbors") {
+    // THE property Morton lacks (z-order jumps diagonally at power-of-two
+    // boundaries) and the reason Hilbert files have tighter bounding boxes
+    val df = spark.range(16).toDF("x").crossJoin(spark.range(16).toDF("y"))
+    val byH = df.withColumn("h", Layout.hilbertValue(col("x"), col("y"), 4))
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    byH.sliding(2).foreach {
+      case Array((x1, y1, h1), (x2, y2, h2)) =>
+        assert(h2 == h1 + 1 && math.abs(x2 - x1) + math.abs(y2 - y1) == 1,
+          s"jump between h=$h1 ($x1,$y1) and h=$h2 ($x2,$y2)")
+      case _ =>
+    }
+    val zByZ = df.withColumn("z", Layout.zValue(col("x"), col("y"), 4))
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    val zJumps = zByZ.sliding(2).count {
+      case Array((x1, y1, _), (x2, y2, _)) =>
+        math.abs(x2 - x1) + math.abs(y2 - y1) > 1
+      case _ => false
+    }
+    assert(zJumps > 0, "Morton should take non-adjacent steps — sanity check")
+  }
+
+  test("hilbertValue fails fast outside [0, 2^bits)") {
+    val bad = Seq((32L, 0L)).toDF("x", "y")
+    val e = intercept[Exception] {
+      bad.withColumn("h", Layout.hilbertValue(col("x"), col("y"), 5)).collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("hilbertValue"), e.getMessage)
+  }
+
+  test("clusterByHilbert bounds both spans at least as tightly as required of z") {
+    val grid = spark.range(64).toDF("x").crossJoin(spark.range(64).toDF("y"))
+    val spans = Layout.clusterByHilbert(grid, "x", "y", bits = 6, numPartitions = 16)
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .select("sx", "sy").as[(Long, Long)].collect().toSeq
+    assert(spans.forall { case (sx, sy) => sx <= 40 && sy <= 40 },
+      s"hilbert-cluster spans too wide: $spans")
+  }
 }
