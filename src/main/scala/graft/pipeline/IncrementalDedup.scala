@@ -113,20 +113,25 @@ object IncrementalDedup {
         coalesce(col("__new_b"), lit(false)).as("b_new"))
       .where(col("a") =!= col("b")))
 
-    // collision probe — two cheap limit-1 jobs on the (batch-scale) edge
-    // list, no driver collect of the edges themselves: new↔new edges, or a
-    // new doc bridging two distinct cluster nodes, make a merge possible
-    // and force the contracted CC; otherwise the batch is pure adoption
+    // collision probe on the (batch-scale, checkpointed) edge list, no
+    // driver collect of the edges themselves: new↔new edges, or a new doc
+    // bridging two distinct cluster nodes, make a merge possible and force
+    // the contracted CC; otherwise the batch is pure adoption. One
+    // aggregation answers both the any-edges and any-new↔new questions
+    // (count of an empty frame is 0, so no isEmpty jobs).
     val nt = e2.where(col("a_new") && !col("b_new"))
       .select(col("a").as("n"), col("b").as("t"))
       .unionByName(e2.where(col("b_new") && !col("a_new"))
         .select(col("b").as("n"), col("a").as("t")))
       .distinct()
-    val hasEdges = !e2.isEmpty
+    val probe = e2.agg(
+      count(lit(1)).as("edges"),
+      count(when(col("a_new") && col("b_new"), lit(1))).as("newnew")).head()
+    val hasEdges = probe.getLong(0) > 0
     val nextLabels: DataFrame =
       if (!hasEdges) state.labels
       else {
-        val hasNewNew = !e2.where(col("a_new") && col("b_new")).isEmpty
+        val hasNewNew = probe.getLong(1) > 0
         val bridges = hasNewNew ||
           !nt.groupBy("n").agg(countDistinct(col("t")).as("k"))
             .where(col("k") > 1).isEmpty
