@@ -1670,8 +1670,9 @@ object SparkEntry {
          |FROM points GROUP BY 1, 2""".stripMargin,
     // Twin of SeriesOps.stl: same ±12-row NaN-safe trend MA over the
     // (ts, value) order, hour-of-day seasonal slot means of the detrended
-    // values, residual = value − trend − seasonal; all rounded to 6
-    // decimals in both engines.
+    // values, residual = value − trend − seasonal; raw doubles — any
+    // fixed-decimal snap lands boundaries exactly on this data's
+    // 1e-6-grid means (measured failing both round and floor ways).
     "ts_stl" ->
       s"""WITH points AS ($PointsCte),
          |t AS (SELECT series_id, ts, value,
@@ -1682,9 +1683,8 @@ object SparkEntry {
          |  FROM points),
          |d AS (SELECT *, CASE WHEN NOT isnan(value) THEN value END - tr AS detr FROM t),
          |se AS (SELECT series_id, slot, avg(detr) AS seas FROM d GROUP BY 1, 2)
-         |SELECT d.series_id, ts, value, round(tr, 6) AS trend,
-         |  round(seas, 6) AS seasonal,
-         |  round(CASE WHEN NOT isnan(value) THEN value END - tr - seas, 6) AS residual
+         |SELECT d.series_id, ts, value, tr AS trend, seas AS seasonal,
+         |  CASE WHEN NOT isnan(value) THEN value END - tr - seas AS residual
          |FROM d JOIN se USING (series_id, slot)""".stripMargin,
     // Twin of SeriesOps.forecastNaive: the seasonalProfile slot means
     // joined onto a 24-step hourly horizon after each series' last point
@@ -1700,7 +1700,7 @@ object SparkEntry {
          |slotted AS (SELECT series_id, ts,
          |  ((ts % ${86400L * NsPerS} + ${86400L * NsPerS}) % ${86400L * NsPerS}) // ${3600L * NsPerS} AS slot
          |  FROM fut)
-         |SELECT s.series_id, ts, round(mean_value, 6) AS yhat
+         |SELECT s.series_id, ts, mean_value AS yhat
          |FROM slotted s LEFT JOIN prof USING (series_id, slot)""".stripMargin,
     "ts_gaps" ->
       s"""WITH points AS ($PointsCte),

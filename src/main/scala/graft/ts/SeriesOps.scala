@@ -795,8 +795,14 @@ object SeriesOps {
     * rows, `seasonal` is the per-(series, time-of-period slot) mean of the
     * detrended values, and `residual = value − trend − seasonal`. The slot
     * is `pmod(ts, periodNs) div bucketNs`, matching [[seasonalProfile]].
-    * Outputs round to 6 decimals so both engines land on the same digits
-    * (the [[graft.pipeline.Similarity.labelOutliers]] convention).
+    * Outputs are RAW doubles, deliberately un-rounded: any fixed-decimal
+    * snap (round or floor) plants boundary lines exactly where this
+    * data's window/slot means live (2-decimal values over small counts
+    * are 1e-6-grid rationals), so engine-order ulp noise flips digits —
+    * measured both ways. Raw doubles ride the compare gate's
+    * significant-digit normalization, the same contract every other
+    * windowed-mean operator here ([[rolling]], [[seasonalProfile]])
+    * ships under.
     *
     * Scale shape: one (series, ts) sort for the rows window — the same
     * sort every sequential op shares — plus a slot-keyed partial-combined
@@ -820,9 +826,9 @@ object SeriesOps {
       .agg(avg(col("__detr")).as("__seasonal"))
     trended.join(seasonal, Seq("series_id", "slot"))
       .select(col("series_id"), col("ts"), col("value"),
-        round(col("__trend"), 6).as("trend"),
-        round(col("__seasonal"), 6).as("seasonal"),
-        round(v - col("__trend") - col("__seasonal"), 6).as("residual"))
+        col("__trend").as("trend"),
+        col("__seasonal").as("seasonal"),
+        (v - col("__trend") - col("__seasonal")).as("residual"))
   }
 
   /** Seasonal-naive forecast: the reference's `read_forecast` endpoint
@@ -834,8 +840,9 @@ object SeriesOps {
     * series' historical NaN-safe mean for that time-of-period slot (the
     * [[seasonalProfile]] component — the standard seasonal-naive
     * baseline every forecast benchmark measures against). Slots the
-    * series never observed yield null. Values round to 6 decimals for
-    * cross-engine determinism ([[stl]] convention).
+    * series never observed yield null. Values are raw slot means —
+    * exactly [[seasonalProfile]]'s un-rounded contract (see [[stl]] for
+    * why fixed-decimal snapping is the wrong stabilizer here).
     *
     * Scale shape: one slot-keyed profile aggregate + one per-series max —
     * both partial-combined — joined on (series, slot) after a map-only
@@ -855,8 +862,7 @@ object SeriesOps {
         (col("__last") + col("step").cast("long") * bucketNs).as("ts"))
       .withColumn("slot", expr(s"pmod(ts, $periodNs) div $bucketNs"))
     future.join(profile, Seq("series_id", "slot"), "left")
-      .select(col("series_id"), col("ts"),
-        round(col("mean_value"), 6).as("yhat"))
+      .select(col("series_id"), col("ts"), col("mean_value").as("yhat"))
   }
 
   /** O4: stream tail limit — keep only the newest `n` points per series,

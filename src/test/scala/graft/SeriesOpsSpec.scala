@@ -486,11 +486,12 @@ class SeriesOpsSpec extends SparkSpec {
         (r.getAs[Any]("trend"), r.getAs[Any]("seasonal"), r.getAs[Any]("residual")))
       .toMap
     // hand walk: trend = mean of non-NaN in ±2 rows, seasonal = per-slot
-    // mean of detrended, residual = value − trend − seasonal
-    // valueOf (decimal string) mirrors Spark's round-on-double path; the
-    // exact-binary BigDecimal(Double) ctor would round a different number
-    def rnd(x: Double): Double = BigDecimal.valueOf(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // mean of detrended, residual = value − trend − seasonal. Compared at
+    // 1e-9: the slot mean sums in partition order, so the hand walk can
+    // differ by ulps (the same noise the compare gate's significant-digit
+    // normalization absorbs for the oracle).
+    def close(a: Any, b: Double): Boolean =
+      math.abs(a.asInstanceOf[Double] - b) <= 1e-9
     val trend = vals.indices.map { i =>
       val w = (math.max(0, i - 2) to math.min(47, i + 2)).map(vals).filterNot(_.isNaN)
       w.sum / w.size
@@ -501,10 +502,10 @@ class SeriesOpsSpec extends SparkSpec {
     }
     for (i <- vals.indices) {
       val (t, s, r) = got(i)
-      assert(t == rnd(trend(i)), s"trend at $i")
-      assert(s == rnd(seas(i % 24)), s"seasonal at $i")
+      assert(close(t, trend(i)), s"trend at $i")
+      assert(close(s, seas(i % 24)), s"seasonal at $i")
       if (vals(i).isNaN) assert(r == null, s"NaN row $i must keep null residual")
-      else assert(r == rnd(vals(i) - trend(i) - seas(i % 24)), s"residual at $i")
+      else assert(close(r, vals(i) - trend(i) - seas(i % 24)), s"residual at $i")
     }
   }
 }
