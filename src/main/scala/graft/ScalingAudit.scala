@@ -125,6 +125,15 @@ object ScalingAudit {
         graft.pipeline.Sketches.cmsTopK(d.select(
           explode(graft.pipeline.TextOps.tokens(col("text"))).as("term")),
           "term", 20).count()))
+      // round-9 session-2 additions: BPE rounds run on the word-frequency
+      // table (sub-linear in corpus once counted), the overlap matrix on
+      // the gram vocabulary, the compaction plan on the prefix scan
+      report(s"bpe_train_x$f", n,
+        timed(graft.pipeline.Bpe.train(d, nMerges = 4).merges.count()))
+      report(s"source_overlap_x$f", n,
+        timed(graft.pipeline.TextOps.sliceOverlap(d, "source").count()))
+      report(s"layout_compaction_x$f", n,
+        timed(graft.ops.Layout.compactionPlan(d, 4096).count()))
     }
 
     vecPaths.foreach { case (f, p) =>
