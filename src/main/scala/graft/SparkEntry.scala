@@ -747,6 +747,9 @@ object SparkEntry {
     // model-free perplexity proxy: corpus-unigram cross-entropy per doc
     "text_unigram_logprob" -> ((s, dir) =>
       TextOps.unigramLogprob(Tables(s, dir).documents)),
+    // one Markov order up: add-1 bigram LM cross-entropy
+    "text_bigram_logprob" -> ((s, dir) =>
+      TextOps.bigramLogprob(Tables(s, dir).documents)),
     "text_top_terms" -> ((s, dir) =>
       TextOps.topTerms(Tables(s, dir).documents, k = 10)),
     // hashing-trick featurization: fixed-width sparse count vectors
@@ -1930,6 +1933,23 @@ object SparkEntry {
          |  -sum(ln(CAST(c.c + 1 AS DOUBLE) / CAST(tot.n + tot.v AS DOUBLE)))
          |    / count(*) AS cross_entropy
          |FROM occ JOIN c USING (t) CROSS JOIN tot GROUP BY 1""".stripMargin,
+    // Twin of TextOps.bigramLogprob: add-1 bigram LM, context count =
+    // bigrams opening with w1, V = corpus unigram vocabulary
+    "text_bigram_logprob" ->
+      s"""WITH tk AS (SELECT doc_id, $Toks AS t FROM documents),
+         |occ AS (SELECT doc_id, t[CAST(k AS INTEGER)] AS w1,
+         |  t[CAST(k + 1 AS INTEGER)] AS w2
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS k
+         |    FROM tk WHERE len(t) >= 2)),
+         |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM occ GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu FROM occ GROUP BY 1),
+         |voc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+         |  FROM (SELECT unnest(t) AS tok FROM tk))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  -sum(ln(CAST(cb + 1 AS DOUBLE) / CAST(cu + v AS DOUBLE)))
+         |    / count(*) AS cross_entropy
+         |FROM occ JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
+         |GROUP BY 1""".stripMargin,
     // Twin of TextOps.hashedFeatures: same PolyHash % dims buckets, same
     // ascending-index sparse assembly (DuckDB's ordered list aggregate).
     "text_hashed_features" ->

@@ -173,6 +173,42 @@ object TextOps {
           / count(lit(1))).as("cross_entropy"))
   }
 
+  /** Bigram cross-entropy against the corpus's own add-1-smoothed bigram
+    * LM: per doc, `−(1/n)·Σ ln((c(w1,w2) + 1)/(c(w1·) + V))` over its
+    * adjacent token pairs, with `c(w1·)` the corpus count of bigrams
+    * opening with w1 and V the corpus unigram vocabulary — one Markov
+    * order above [[unigramLogprob]], so word-salad that happens to reuse
+    * common WORDS in uncommon ORDER now scores high too (the cheap
+    * second-tier LM quality filter). Docs with fewer than two tokens have
+    * no bigram to score and are absent.
+    *
+    * Scale shape: mirrors [[unigramLogprob]] — bigram/context tables are
+    * vocabulary²-bounded (far smaller in practice), the occurrence join
+    * keys on the pair, the per-doc sum is partial-combined; V is one
+    * metadata-scale broadcast.
+    */
+  def bigramLogprob(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tk = df.select(col(idCol), tokens(col(textCol)).as("__tk"))
+    val occ = tk.where(size(col("__tk")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(__tk) - 1), " +
+          "k -> struct(element_at(__tk, k) AS w1, element_at(__tk, k + 1) AS w2))"))
+        .as("__b"))
+      .select(col(idCol), col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
+    val big = occ.groupBy("__w1", "__w2").agg(count(lit(1)).as("__cb"))
+    val ctx = occ.groupBy("__w1").agg(count(lit(1)).as("__cu"))
+    val voc = tk.select(explode(col("__tk")).as("__t"))
+      .agg(countDistinct(col("__t")).as("__v"))
+    occ.join(big, Seq("__w1", "__w2")).join(ctx, Seq("__w1"))
+      .crossJoin(broadcast(voc))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_bigrams"),
+        (-sum(log((col("__cb") + 1).cast("double")
+          / (col("__cu") + col("__v")).cast("double")))
+          / count(lit(1))).as("cross_entropy"))
+  }
+
   /** Top-k terms per corpus slice (language, source): count-ranked heavy
     * hitters with a deterministic (count desc, term asc) tie-break — the
     * vocabulary drift report.

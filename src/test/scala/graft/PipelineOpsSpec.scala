@@ -580,6 +580,23 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("bigramLogprob: hand-computed add-1 bigram cross-entropy; short docs absent") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "b c"), (4L, "x"))
+      .toDF("doc_id", "text")
+    // bigrams: doc1 (a,b),(b,a),(a,b); doc2 (a,b); doc3 (b,c); doc4 none
+    // cb(a,b)=3 cb(b,a)=1 cb(b,c)=1; cu(a)=3 cu(b)=2; V={a,b,c,x}=4
+    val pab = 4.0 / 7.0  // (3+1)/(3+4)
+    val pba = 2.0 / 6.0
+    val pbc = 2.0 / 6.0
+    val got = graft.pipeline.TextOps.bigramLogprob(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    def ce(ps: Double*): Double = -ps.map(math.log).sum / ps.size
+    assert(math.abs(got(1L)._2 - ce(pab, pba, pab)) < 1e-12 && got(1L)._1 == 3)
+    assert(math.abs(got(2L)._2 - ce(pab)) < 1e-12 && got(2L)._1 == 1)
+    assert(math.abs(got(3L)._2 - ce(pbc)) < 1e-12 && got(3L)._1 == 1)
+  }
+
   test("sliceOverlap: exact trigram intersections, inclusion-exclusion union") {
     val docs = Seq(
       (1L, "a", "abc def"), (2L, "a", "abc xyz"),
