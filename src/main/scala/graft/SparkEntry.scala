@@ -801,6 +801,9 @@ object SparkEntry {
     // sketch_hll_overlap estimates)
     "source_overlap" -> ((s, dir) =>
       TextOps.sliceOverlap(Tables(s, dir).documents, "source")),
+    // matrix-free top-PC power iteration over the embedding corpus
+    "vec_pca" -> ((s, dir) =>
+      Similarity.pcaTop(Tables(s, dir).embeddings, iters = 8)),
 
     // ---- per-doc top TF-IDF terms ----
     "text_tfidf" -> ((s, dir) =>
@@ -1950,6 +1953,43 @@ object SparkEntry {
          |    / count(*) AS cross_entropy
          |FROM occ JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
          |GROUP BY 1""".stripMargin,
+    // Twin of Similarity.pcaTop(embeddings, 8): the same matrix-free power
+    // iteration — per-dim means, centered rows, v0 = 1/sqrt(d), each round
+    // w_j = sum(((x-mu)*v)*(x-mu)_j)/n then normalize — unrolled with
+    // MATERIALIZED per-round CTEs (self-referencing chain)
+    "vec_pca" -> {
+      val iters = 8
+      val rounds = (0 until iters).map { k =>
+        s"""s$k AS MATERIALIZED (SELECT c, list_sum(list_transform(range(1, len(c) + 1),
+           |  i -> c[CAST(i AS INTEGER)] * vv[CAST(i AS INTEGER)])) AS s
+           |  FROM c CROSS JOIN v$k),
+           |w$k AS MATERIALIZED (SELECT j, sum(s * c[j]) / (SELECT n FROM nn) AS w
+           |  FROM s$k CROSS JOIN dims GROUP BY j),
+           |l$k AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS lam FROM w$k),
+           |v${k + 1} AS MATERIALIZED (SELECT list(w / lam ORDER BY j) AS vv
+           |  FROM w$k CROSS JOIN l$k GROUP BY lam)""".stripMargin
+      }
+      s"""WITH e AS MATERIALIZED (SELECT list_transform(embedding,
+         |  x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+         |dims AS MATERIALIZED (SELECT CAST(unnest(range(1,
+         |  (SELECT len(v) FROM e LIMIT 1) + 1)) AS INTEGER) AS j),
+         |mu AS MATERIALIZED (SELECT list(m ORDER BY j) AS mu FROM (
+         |  SELECT j, avg(v[j]) AS m FROM e CROSS JOIN dims GROUP BY j)),
+         |c AS MATERIALIZED (SELECT list_transform(range(1, len(v) + 1),
+         |  i -> v[CAST(i AS INTEGER)] - mu[CAST(i AS INTEGER)]) AS c
+         |  FROM e CROSS JOIN mu),
+         |dd AS MATERIALIZED (SELECT CAST(len(c) AS DOUBLE) AS d,
+         |  len(c) AS di FROM c LIMIT 1),
+         |tv AS MATERIALIZED (SELECT sum(list_sum(list_transform(c, x -> x * x)))
+         |  / (SELECT n FROM nn) AS totvar FROM c),
+         |v0 AS MATERIALIZED (SELECT list_transform(range(1, di + 1),
+         |  i -> 1.0 / sqrt(d)) AS vv FROM dd),
+         |${rounds.mkString(",\n")}
+         |SELECT CAST(j - 1 AS INTEGER) AS dim, w / lam AS loading,
+         |  lam AS eigenvalue, lam / totvar AS var_explained
+         |FROM w${iters - 1} CROSS JOIN l${iters - 1} CROSS JOIN tv""".stripMargin
+    },
     // Twin of TextOps.hashedFeatures: same PolyHash % dims buckets, same
     // ascending-index sparse assembly (DuckDB's ordered list aggregate).
     "text_hashed_features" ->

@@ -459,4 +459,60 @@ object Similarity {
       .where(col("cos_sim") >= threshold)
       .select("cell", "id_a", "id_b", "cos_sim")
   }
+
+  /** Top principal component of the embedding corpus by MATRIX-FREE power
+    * iteration — the dimensionality diagnostic / whitening first step an
+    * embedding pipeline runs before quantization or semantic dedup. The
+    * d×d covariance never materializes: each iteration computes
+    * `Cov·v = (1/n)·Σ_x ((x−μ)·v)·(x−μ)` as one pass — a per-row dot
+    * against the broadcast v (array literal), then a d-element per-dim
+    * sum — and normalizes on the driver. That is the only shape that
+    * survives 100 TB: every iteration is a scan + metadata-scale (d-row)
+    * aggregate; nothing quadratic in d touches an executor, nothing
+    * row-scale touches the driver.
+    *
+    * Deterministic: v₀ = 1/√d (fixed, so the recovered sign is a pure
+    * function of the data), iteration count fixed, every reduction a
+    * plain sum. Returns one row per dimension: (dim, loading,
+    * eigenvalue, var_explained) with λ = ‖Cov·v‖ at the last step and
+    * var_explained = λ / Σ_j Var_j (population).
+    */
+  def pcaTop(corpus: DataFrame, iters: Int = 8,
+      vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = corpus.sparkSession
+    val pts = corpus.select(transform(col(vecCol), _.cast("double")).as("v"))
+    val muRows = pts.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(avg("x").as("mu"), count(lit(1)).as("n"))
+      .orderBy("dim").collect()
+    require(muRows.nonEmpty, "pcaTop needs a non-empty corpus")
+    val mu = muRows.map(_.getDouble(1))
+    val n = muRows.head.getLong(2)
+    val d = mu.length
+    val muCol = array(mu.map(lit): _*)
+    val centered = pts.withColumn("__c",
+      zip_with(col("v"), muCol, (a, b) => a - b))
+    val totVar = centered.select(
+      (sum(aggregate(col("__c"), lit(0.0), (acc, x) => acc + x * x))
+        / lit(n.toDouble)).as("tv")).head().getDouble(0)
+    var v = Array.fill(d)(1.0 / math.sqrt(d))
+    var lambda = 0.0
+    for (_ <- 0 until iters) {
+      val vCol = array(v.map(lit): _*)
+      val w = centered
+        .withColumn("__s", aggregate(
+          zip_with(col("__c"), vCol, (a, b) => a * b), lit(0.0),
+          (acc, x) => acc + x))
+        .select(col("__s"), posexplode(col("__c")).as(Seq("dim", "cj")))
+        .groupBy("dim")
+        .agg((sum(col("cj") * col("__s")) / lit(n.toDouble)).as("w"))
+        .orderBy("dim").collect().map(_.getDouble(1))
+      lambda = math.sqrt(w.map(x => x * x).sum)
+      require(lambda > 0, "pcaTop: degenerate corpus (zero covariance)")
+      v = w.map(_ / lambda)
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (l, j) => (j, l, lambda, lambda / totVar) }
+      .toSeq.toDF("dim", "loading", "eigenvalue", "var_explained")
+  }
 }

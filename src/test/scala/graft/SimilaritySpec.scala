@@ -307,4 +307,36 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1).getAs[Double]("std") == 0.0) // the dead dimension
     assert(got(2).getAs[Double]("min_v") == 0.0 && got(2).getAs[Double]("max_v") == 4.0)
   }
+
+  test("pcaTop recovers a planted dominant direction with its variance share") {
+    // variance planted along u = (3,4)/5 with amplitude ±{1..4}, plus a
+    // tiny orthogonal wiggle: the top PC must align with u and claim
+    // nearly all the variance
+    val u = Array(0.6, 0.8)
+    val data = for (a <- Seq(-4.0, -3.0, -2.0, -1.0, 1.0, 2.0, 3.0, 4.0);
+                    w <- Seq(-0.01, 0.01))
+      yield (a, Array((a * u(0) - w * u(1)).toFloat, (a * u(1) + w * u(0)).toFloat))
+    val df = data.zipWithIndex
+      .map { case ((_, v), i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val got = graft.pipeline.Similarity.pcaTop(df, iters = 12)
+      .orderBy("dim").collect()
+    val loading = got.map(_.getAs[Double]("loading"))
+    val cos = math.abs(loading(0) * u(0) + loading(1) * u(1))
+    assert(cos > 0.999999, s"PC misaligned: cos=$cos loadings=${loading.toSeq}")
+    // unit norm; eigenvalue ~ planted variance (E[a^2] = 7.5); explained
+    // share nearly 1 (the wiggle carries 1e-4 of the variance)
+    assert(math.abs(loading.map(x => x * x).sum - 1.0) < 1e-12)
+    val lam = got.head.getAs[Double]("eigenvalue")
+    assert(math.abs(lam - 7.5) < 0.01, s"eigenvalue $lam")
+    assert(got.head.getAs[Double]("var_explained") > 0.9999)
+  }
+
+  test("pcaTop rejects a zero-variance corpus instead of dividing by zero") {
+    val df = Seq((1L, Array(1f, 2f)), (2L, Array(1f, 2f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Similarity.pcaTop(df, iters = 2)
+    }
+    assert(e.getMessage.contains("degenerate"))
+  }
 }
