@@ -333,6 +333,23 @@ class PlanSpec extends SparkSpec {
     assert(kernelSeen, "lint never saw a kernel line — pattern names are stale")
   }
 
+  test("prefix-sum operators never run a corpus-scale single-partition window") {
+    // the sharded scan's contract: the only unpartitioned window is the
+    // metadata-scale shard-prefix pass (one row per shard), so every
+    // per-row Window node must carry a partition spec. We assert the
+    // row-scale sort before a window is keyed (no global `Sort [.. ASC]`
+    // feeding a Window without hash partitioning of the corpus frame):
+    // each plan has exactly ONE single-partition exchange, and it sits on
+    // the shard-aggregate side (grouped budget plans have one per group
+    // scope too — bounded by groups, not rows).
+    for (name <- Seq("pack_sequences", "layout_compaction", "sample_token_budget")) {
+      val plan = planOf(SparkEntry.queries(name)(spark, sfDir))
+      val single = plan.linesIterator.count(_.contains("Exchange SinglePartition"))
+      assert(single <= 1, s"$name: $single single-partition exchanges:\n${plan.take(3000)}")
+      assert(plan.contains("Window ["), s"$name: expected a window pass")
+    }
+  }
+
   test("whole-stage codegen covers the relational anchors") {
     val df = SparkEntry.queries("q1_agg")(spark, sfDir)
     df.collect() // AQE finalizes the plan on execution
