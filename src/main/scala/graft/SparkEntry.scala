@@ -147,6 +147,58 @@ object SparkEntry {
        |comps AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id),
        |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comps GROUP BY 1)""".stripMargin
 
+  /** Shared CTE chain unrolling Similarity.kmeans(embeddings, k=8, iters=2):
+    * `e(vec_id, v)` the double-cast corpus and `af(vec_id, v, cluster,
+    * dist)` the FINAL assignment — one definition used by the vec_kmeans
+    * and dedup_semantic twins so the init/assign/update arithmetic cannot
+    * drift between them. Same deterministic k-means|| seeding (32
+    * smallest-CW-hash candidates, 7 greedy farthest-point steps), same
+    * squared-L2 argmin with (dist, cluster) tie-break, same per-dimension
+    * mean update. Each seed CTE is MATERIALIZED: s_i is referenced three
+    * times (UNION source, NOT IN subquery, p_{i+1} join) and DuckDB's
+    * default inlining re-evaluates the whole chain per reference — 3^7
+    * evaluations by s7; materialization keeps the unrolled greedy linear.
+    */
+  private lazy val KmeansCtes: String = {
+    def dist(cents: String) =
+      s"list_sum(list_transform(range(1, len(e.v) + 1), i -> (e.v[i] - $cents.centroid[i]) * (e.v[i] - $cents.centroid[i])))"
+    def assign(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, v, cluster, dist FROM (
+         |  SELECT e.vec_id, e.v, $cents.cluster, ${dist(cents)} AS dist,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dist(cents)} ASC, $cents.cluster ASC) AS rn
+         |  FROM e CROSS JOIN $cents) WHERE rn = 1)""".stripMargin
+    def update(name: String, from: String) =
+      s"""${name}m AS (SELECT cluster, u.pos AS pos, avg(u.x) AS m FROM (
+         |  SELECT cluster, unnest(list_transform(range(1, len(v) + 1),
+         |    i -> struct_pack(pos := i, x := v[i]))) AS u FROM $from) GROUP BY 1, 2),
+         |$name AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM ${name}m GROUP BY 1)""".stripMargin
+    def seedStep(i: Int) =
+      s"""p$i AS MATERIALIZED (SELECT c.vec_id, c.v, c.key,
+         |  min(list_sum(list_transform(range(1, len(c.v) + 1),
+         |    j -> (c.v[j] - s.v[j]) * (c.v[j] - s.v[j])))) AS md
+         |  FROM cand c CROSS JOIN s${i - 1} s GROUP BY c.vec_id, c.v, c.key),
+         |s$i AS MATERIALIZED (SELECT cluster, vec_id, v, key FROM s${i - 1} UNION ALL
+         |  SELECT CAST($i AS BIGINT) AS cluster, vec_id, v, key FROM (
+         |    SELECT vec_id, v, key FROM p$i
+         |    WHERE vec_id NOT IN (SELECT vec_id FROM s${i - 1})
+         |    ORDER BY md DESC, key ASC, vec_id ASC LIMIT 1))""".stripMargin
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |cand AS MATERIALIZED (SELECT vec_id, v,
+       |  ((${phSql("CAST(vec_id AS VARCHAR)", "0")}) * ${Sampling.saltMult("kmeans_init")}
+       |    + ${Sampling.saltAdd("kmeans_init")}) % 1000000007 AS key
+       |  FROM e ORDER BY key, vec_id LIMIT 32),
+       |s0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS cluster, vec_id, v, key
+       |  FROM cand ORDER BY key, vec_id LIMIT 1),
+       |${(1 to 7).map(seedStep).mkString(",\n")},
+       |c0 AS (SELECT cluster, v AS centroid FROM s7),
+       |${assign("a1", "c0")},
+       |${update("c1", "a1")},
+       |${assign("a2", "c1")},
+       |${update("c2", "a2")},
+       |${assign("af", "c2")}""".stripMargin
+  }
+
   /** DuckDB twin of the EN stopword list TextOps.qualityScore screens by. */
   private val EnStopSql =
     "['the','a','of','and','to','in','is','that','it','for']"
@@ -853,6 +905,12 @@ object SparkEntry {
       Sketches.cmsTopK(Tables(s, dir).documents
         .select(explode(TextOps.tokens(col("text"))).as("term")),
         "term", k = 20)),
+    // mergeable bottom-64 row-sample quantiles of event value per type:
+    // the rank-query face of the sketch family (k rows per group bound
+    // the synopsis regardless of group size)
+    "sketch_quantile" -> ((s, dir) =>
+      Sketches.quantileSketch(Tables(s, dir).events, k = 64,
+        Seq("event_type"), "event_id", "value")),
     // pairwise distinct-user overlap between event types from HLL
     // registers alone: union by register max, intersection by
     // inclusion-exclusion
@@ -1002,6 +1060,11 @@ object SparkEntry {
     // centrality as a keeper-selection signal
     "graph_pagerank" -> ((s, dir) =>
       Components.pageRank(Dedup.minhashNearDups(Tables(s, dir).documents), iters = 3)),
+    // per-node triangles + local clustering coefficient over the same graph:
+    // separates genuine duplicate families (dense, high lcc) from
+    // boilerplate hubs (high degree, low lcc) for keeper policies
+    "graph_triangles" -> ((s, dir) =>
+      Components.triangleCounts(Dedup.minhashNearDups(Tables(s, dir).documents))),
 
     // ---- similarity search ----
     "sim_topk" -> ((s, dir) => {
@@ -1038,6 +1101,11 @@ object SparkEntry {
       Similarity.embeddingNearDups(Tables(s, dir).embeddings, threshold = 0.4)),
     "vec_kmeans" -> ((s, dir) =>
       Similarity.kmeans(Tables(s, dir).embeddings, k = 8, iters = 2)),
+    // SemDeDup: the kmeans cells bound the pair space, within-cell cosine
+    // >= 0.4 prunes to the lowest id — semantic (paraphrase-level) dedup
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables(s, dir).embeddings, threshold = 0.4,
+        k = 8, iters = 2)),
     // same near-dup contract with DATA-DERIVED blocking: SRP-LSH buckets
     // instead of the pre-assigned label cells
     "sim_srp_near_dups" -> ((s, dir) => {
@@ -2330,6 +2398,36 @@ object SparkEntry {
          |SELECT value, true_count, min(cnt) AS est_count
          |FROM pr JOIN cms USING (j, bucket) GROUP BY 1, 2""".stripMargin,
 
+    // Twin of Sketches.quantileSketch(events, k=64, event_type, event_id,
+    // value): the kmvHash mixer over the ROW KEY re-salted with the
+    // "quantile" face salt, bottom-64 rows per group by (h, event_id),
+    // sample sorted by value, type-7 linear interpolation with the exact
+    // double-arithmetic term order (pos = q·(n−1), frac = pos − floor(pos),
+    // v_lo + frac·(v_hi − v_lo)), rounded to 6 decimals.
+    "sketch_quantile" -> {
+      val kmvH = phSql(
+        s"lpad(CAST((${phSql("CAST(event_id AS VARCHAR)", "0")}" +
+          s" * ${Sampling.saltMult("kmv")} + ${Sampling.saltAdd("kmv")})" +
+          " % 1000000007 AS VARCHAR), 10, '0')", "0")
+      s"""WITH hx AS (SELECT event_type, event_id, CAST(value AS DOUBLE) AS x,
+         |  ($kmvH * ${Sampling.saltMult("quantile")}
+         |    + ${Sampling.saltAdd("quantile")}) % 1000000007 AS h
+         |  FROM events WHERE value IS NOT NULL),
+         |rk AS (SELECT event_type, x, row_number() OVER (
+         |  PARTITION BY event_type ORDER BY h ASC, event_id ASC) AS rn FROM hx),
+         |smp AS (SELECT event_type, list(x ORDER BY x) AS vs
+         |  FROM rk WHERE rn <= 64 GROUP BY 1),
+         |qx AS (SELECT event_type, vs, unnest(list_transform(
+         |  [0.1, 0.25, 0.5, 0.75, 0.9, 0.99], x -> CAST(x AS DOUBLE))) AS q FROM smp),
+         |px AS (SELECT event_type, q, vs, len(vs) AS n,
+         |  q * CAST(len(vs) - 1 AS DOUBLE) AS pos FROM qx),
+         |f AS (SELECT event_type, q, vs, n, CAST(floor(pos) AS INTEGER) AS lo,
+         |  pos - floor(pos) AS frac FROM px)
+         |SELECT event_type, q, CAST(n AS BIGINT) AS n_sample,
+         |  round(vs[lo + 1] + frac * (vs[least(lo + 2, CAST(n AS INTEGER))] - vs[lo + 1]), 6) AS est_q
+         |FROM f""".stripMargin
+    },
+
     // Twin of StreamOps.cmsStream's batch face == Sketches.cmsSketch: the
     // raw (j, bucket, cnt) cell table under the same seeded buckets.
     "stream_cms" ->
@@ -2806,6 +2904,34 @@ object SparkEntry {
          |SELECT deg.src AS doc_id, deg.deg, r3.rank
          |FROM deg JOIN r3 ON r3.id = deg.src""".stripMargin
     },
+    // Twin of Components.triangleCounts over the minhash near-dup graph:
+    // same degree-ordered orientation (lower (deg, id) endpoint first),
+    // wedges at the lower-rank endpoint with v < w by id, closed against
+    // the canonical undirected edge set.
+    "graph_triangles" ->
+      s"""WITH $MinhashPairsCtes,
+         |und AS (SELECT DISTINCT id_a AS a, id_b AS b FROM mh_pairs),
+         |nd AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+         |dir AS (SELECT
+         |  CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+         |       THEN u.a ELSE u.b END AS u,
+         |  CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+         |       THEN u.b ELSE u.a END AS v
+         |  FROM und u JOIN nd da ON da.node = u.a JOIN nd db ON db.node = u.b),
+         |tri AS (SELECT d1.u, d1.v, d2.v AS w FROM dir d1
+         |  JOIN dir d2 ON d1.u = d2.u AND d1.v < d2.v
+         |  JOIN und ON und.a = d1.v AND und.b = d2.v),
+         |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+         |  SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+         |  UNION ALL SELECT w FROM tri) GROUP BY 1)
+         |SELECT nd.node AS doc_id, nd.deg,
+         |  coalesce(pn.triangles, CAST(0 AS BIGINT)) AS triangles,
+         |  CASE WHEN nd.deg >= 2 THEN round(
+         |    2.0 * coalesce(pn.triangles, CAST(0 AS BIGINT)) /
+         |      (CAST(nd.deg AS DOUBLE) * CAST(nd.deg - 1 AS DOUBLE)), 6)
+         |  ELSE 0.0 END AS lcc
+         |FROM nd LEFT JOIN pn ON pn.node = nd.node""".stripMargin,
     // Twin of the WIDE multi-seed SimHash (Dedup.simhashWide): per seed j,
     // h_j = (h_0 + j·31^len) mod p per shingle (the same algebraic seed
     // derivation as minhash), a 30-bit bit-balance signature per seed, the
@@ -2908,55 +3034,26 @@ object SparkEntry {
     // same per-dimension mean update — assignment checked against the FINAL
     // centroids, so any divergence at any round changes integral cluster
     // ids and fails the hash, not just a float in the 9th digit.
-    "vec_kmeans" -> {
-      def dist(cents: String) =
-        s"list_sum(list_transform(range(1, len(e.v) + 1), i -> (e.v[i] - $cents.centroid[i]) * (e.v[i] - $cents.centroid[i])))"
-      def assign(name: String, cents: String) =
-        s"""$name AS (SELECT vec_id, v, cluster, dist FROM (
-           |  SELECT e.vec_id, e.v, $cents.cluster, ${dist(cents)} AS dist,
-           |    row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ${dist(cents)} ASC, $cents.cluster ASC) AS rn
-           |  FROM e CROSS JOIN $cents) WHERE rn = 1)""".stripMargin
-      def update(name: String, from: String) =
-        s"""${name}m AS (SELECT cluster, u.pos AS pos, avg(u.x) AS m FROM (
-           |  SELECT cluster, unnest(list_transform(range(1, len(v) + 1),
-           |    i -> struct_pack(pos := i, x := v[i]))) AS u FROM $from) GROUP BY 1, 2),
-           |$name AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM ${name}m GROUP BY 1)""".stripMargin
-      // init twin of Similarity.kmeansInit (k = 8, oversample = 4): the 32
-      // smallest-CW-hash candidates, then 7 unrolled greedy farthest-point
-      // steps — each picks the non-selected candidate maximizing min
-      // squared L2 to the chosen set, ties (md DESC, key ASC, vec_id ASC)
-      // = the builder's candidate-collection order.
-      // each seed CTE is MATERIALIZED: s_i is referenced three times
-      // (UNION source, NOT IN subquery, p_{i+1} join) and DuckDB's default
-      // inlining re-evaluates the whole chain per reference — 3^7
-      // evaluations by s7; materialization makes the unrolled greedy linear
-      def seedStep(i: Int) =
-        s"""p$i AS MATERIALIZED (SELECT c.vec_id, c.v, c.key,
-           |  min(list_sum(list_transform(range(1, len(c.v) + 1),
-           |    j -> (c.v[j] - s.v[j]) * (c.v[j] - s.v[j])))) AS md
-           |  FROM cand c CROSS JOIN s${i - 1} s GROUP BY c.vec_id, c.v, c.key),
-           |s$i AS MATERIALIZED (SELECT cluster, vec_id, v, key FROM s${i - 1} UNION ALL
-           |  SELECT CAST($i AS BIGINT) AS cluster, vec_id, v, key FROM (
-           |    SELECT vec_id, v, key FROM p$i
-           |    WHERE vec_id NOT IN (SELECT vec_id FROM s${i - 1})
-           |    ORDER BY md DESC, key ASC, vec_id ASC LIMIT 1))""".stripMargin
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |cand AS MATERIALIZED (SELECT vec_id, v,
-         |  ((${phSql("CAST(vec_id AS VARCHAR)", "0")}) * ${Sampling.saltMult("kmeans_init")}
-         |    + ${Sampling.saltAdd("kmeans_init")}) % 1000000007 AS key
-         |  FROM e ORDER BY key, vec_id LIMIT 32),
-         |s0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS cluster, vec_id, v, key
-         |  FROM cand ORDER BY key, vec_id LIMIT 1),
-         |${(1 to 7).map(seedStep).mkString(",\n")},
-         |c0 AS (SELECT cluster, v AS centroid FROM s7),
-         |${assign("a1", "c0")},
-         |${update("c1", "a1")},
-         |${assign("a2", "c1")},
-         |${update("c2", "a2")},
-         |${assign("af", "c2")}
-         |SELECT vec_id, cluster, dist FROM af""".stripMargin
-    },
+    "vec_kmeans" ->
+      s"""WITH $KmeansCtes
+         |SELECT vec_id, cluster, dist FROM af""".stripMargin,
+
+    // Twin of Similarity.semanticDedup(threshold=0.4, k=8, iters=2): the
+    // SAME unrolled kmeans chain (shared KmeansCtes — the clustering
+    // cannot drift from vec_kmeans), then within-cluster cosine pairs and
+    // the lowest-id pruning rule.
+    "dedup_semantic" ->
+      s"""WITH $KmeansCtes,
+         |cells AS (SELECT e.vec_id, e.v, af.cluster FROM e JOIN af USING (vec_id)),
+         |pr AS (SELECT vec_id, min(id_a) AS pruned_by FROM (
+         |  SELECT b.vec_id, a.vec_id AS id_a,
+         |    list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+         |      (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]))) *
+         |       sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))) AS cos_sim
+         |  FROM cells a JOIN cells b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         |WHERE cos_sim >= 0.4 GROUP BY 1)
+         |SELECT c.vec_id, c.cluster, pr.pruned_by IS NULL AS is_kept, pr.pruned_by
+         |FROM cells c LEFT JOIN pr ON pr.vec_id = c.vec_id""".stripMargin,
     "sim_ivf_topk" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |pm AS (SELECT label, u.pos AS pos, u.x AS x FROM (

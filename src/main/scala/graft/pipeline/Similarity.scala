@@ -460,6 +460,56 @@ object Similarity {
       .select("cell", "id_a", "id_b", "cos_sim")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): embedding-space semantic
+    * dedup by k-means clustering + within-cluster cosine pruning. Lexical
+    * dedup (MinHash/SimHash) cannot see paraphrases and re-renderings of
+    * the same content; SemDeDup catches them in embedding space while the
+    * clustering keeps the pair space linear — pairs are only scored INSIDE
+    * a cluster, never across the corpus.
+    *
+    * Deterministic keeper rule in place of the paper's random choice: a
+    * vector is pruned iff some LOWER-id cluster-mate has cosine ≥
+    * threshold (the id-greedy rule every other dedup family here uses, so
+    * keeper semantics are uniform across lexical and semantic dedup). The
+    * rule needs no transitive closure — within a semantic cluster the
+    * near-dup relation is already effectively cliqueish, and the greedy
+    * sweep keeps exactly the lowest id of every duplicated chain.
+    *
+    * Built strictly from the two verified primitives: [[kmeans]] assigns
+    * the cells (deterministic k-means|| seeding, reproducible trajectory)
+    * and [[embeddingNearDups]] scores the within-cell pairs (id-spread
+    * pair join — the quadratic scoring parallelizes even though the
+    * cluster key has only k distinct values).
+    *
+    * Scale shape: the kmeans rounds are broadcast-assign + bounded
+    * aggregations; the pair stage is Σ_c n_c² over cluster sizes — the
+    * SemDeDup paper's own cost model — with the pair enumeration
+    * repartitioned on the pair ids. At 100 TB, k grows with the corpus
+    * (the paper uses 50k clusters for LAION) keeping n_c bounded; k here
+    * is a parameter, not a constant.
+    *
+    * Output: one row per vector — (vec_id, cluster, is_kept,
+    * pruned_by) where pruned_by is the LOWEST-id cluster-mate with
+    * cosine ≥ threshold (null for kept rows).
+    */
+  def semanticDedup(corpus: DataFrame, threshold: Double, k: Int,
+      iters: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = kmeans(corpus, k, iters, idCol, vecCol)
+      .select(col("vec_id"), col("cluster"))
+    val cells = spread(corpus, idCol)
+      .select(col(idCol).as("vec_id"), col(vecCol))
+      .join(assigned, "vec_id")
+    val pruned = embeddingNearDups(cells, threshold, "vec_id", vecCol,
+        cellCol = "cluster")
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min("id_a").as("pruned_by"))
+    assigned.join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("pruned_by").isNull.as("is_kept"), col("pruned_by"))
+  }
+
   /** Top principal component of the embedding corpus by MATRIX-FREE power
     * iteration — the dimensionality diagnostic / whitening first step an
     * embedding pipeline runs before quantization or semantic dedup. The

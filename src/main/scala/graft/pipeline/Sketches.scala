@@ -278,6 +278,75 @@ object Sketches {
     (hit, est)
   }
 
+  /** Mergeable quantile estimates per group from a deterministic bottom-k
+    * ROW sample — the rank-query companion that completes the sketch
+    * family (KMV: distinct, HLL: distinct-constant-space, CMS: frequency,
+    * this: quantiles). An exact distributed quantile needs a full sort or
+    * a per-group collect; at 100 TB the answer is a bounded synopsis. The
+    * synopsis here is the k rows whose mixed hash over the ROW KEY is
+    * smallest — a uniform random sample under the hash's uniformity
+    * (the same [[kmvHash]] mixer, salted per-face), and mergeable exactly
+    * like KMV: the bottom-k of a union of samples is the sample of the
+    * union, so shard synopses combine losslessly. Sample quantiles
+    * converge at the usual O(1/√k) Dvoretzky–Kiefer–Wolfowitz rate; rank
+    * error ε needs k ≈ 1/ε² rows per group, independent of group size.
+    *
+    * Unlike KMV the hash is over `keyCol` (the row identity), NOT the
+    * value: quantiles are over the VALUE MULTISET, so duplicate values
+    * must stay at their multiplicity and the inclusion draw must be
+    * independent of the value being measured.
+    *
+    * The readout is the type-7 (R/NumPy "linear") sample quantile, fully
+    * pinned: sorted sample v[1..n] (ties in value broken nowhere — equal
+    * values are interchangeable), pos = q·(n−1), est = v[⌊pos⌋+1] +
+    * frac·(v[⌊pos⌋+2] − v[⌊pos⌋+1]) with every step in the same double
+    * arithmetic in both engines; output rounded to 6 decimals to absorb
+    * the last-ulp of the interpolation product.
+    *
+    * Scale shape: identical to [[kmvDistinct]] — one rank-k window that
+    * Spark 4 prunes map-side via WindowGroupLimit (each map partition
+    * forwards ≤ k rows per group), then a per-group bounded collect of ≤ k
+    * sampled VALUES (the only collect_list, explicitly bounded) and a
+    * metadata-scale quantile explode.
+    *
+    * Output: groupCols ++ (q, n_sample, est_q) — one row per requested
+    * quantile per group.
+    */
+  def quantileSketch(df: DataFrame, k: Int, groupCols: Seq[String],
+      keyCol: String, valueCol: String,
+      qs: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
+    require(k >= 2, s"quantileSketch needs k >= 2, got $k")
+    require(groupCols.nonEmpty, "quantileSketch needs at least one group column")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must lie in [0,1], got $qs")
+    val g = groupCols.map(col)
+    // per-face salt: re-mix the shared kmv hash so the row draw shares no
+    // structure with any other face's bottom-k over the same key column
+    val h = (kmvHash(keyCol) * Sampling.saltMult("quantile")
+      + Sampling.saltAdd("quantile")) % PolyHash.Mod
+    val w = Window.partitionBy(g: _*).orderBy(col("__h").asc, col(keyCol).asc)
+    // quantiles are over the non-null values; the draw must exclude null
+    // rows too, or groups with many nulls would waste sample slots
+    val sample = df
+      .where(col(valueCol).isNotNull)
+      .select(g ++ Seq(h.as("__h"), col(keyCol),
+        col(valueCol).cast("double").as("__x")): _*)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .groupBy(g: _*)
+      .agg(sort_array(collect_list(col("__x"))).as("__vs"))
+    val qCol = explode(array(qs.map(lit): _*)).as("q")
+    val n = size(col("__vs"))
+    val pos = col("q") * (n - lit(1)).cast("double")
+    val lo = floor(pos).cast("int")
+    val frac = pos - lo.cast("double")
+    val vLo = element_at(col("__vs"), lo + lit(1))
+    val vHi = element_at(col("__vs"), least(lo + lit(2), n))
+    sample.select(g :+ col("__vs") :+ qCol: _*)
+      .select(g ++ Seq(col("q"), n.cast("long").as("n_sample"),
+        round(vLo + frac * (vHi - vLo), 6).as("est_q")): _*)
+  }
+
   /** Count-min sketch over a value stream (Cormode & Muthukrishnan 2005):
     * `d` hash rows × `w` buckets of counters, built with one
     * partial-combined groupBy over at most d·w reducer keys — the

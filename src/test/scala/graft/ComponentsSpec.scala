@@ -123,6 +123,66 @@ class ComponentsSpec extends SparkSpec {
     assert(q(21L) > q(20L), "the test premise: the tail raises quality")
   }
 
+  /** Reference triangle counter: brute enumeration over all vertex triples
+    * of the canonical undirected edge set.
+    */
+  private def bruteTriangles(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val deg = nodes.map(v => v -> und.count(e => e._1 == v || e._2 == v).toLong).toMap
+    val tri = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      Seq(a, b, c) <- nodes.combinations(3)
+      if und((a, b)) && und((a, c)) && und((b, c))
+      v <- Seq(a, b, c)
+    } tri(v) += 1
+    nodes.map(v => v -> ((deg(v), tri(v)))).toMap
+  }
+
+  private def triOf(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Double)] =
+    Components.triangleCounts(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("triangles"),
+          r.getAs[Double]("lcc")))).toMap
+
+  test("triangles: clique, star, chain, and one shared-edge pair of triangles") {
+    // K5: every node in C(4,2) = 6 triangles, lcc = 1
+    val k5 = for (i <- 0L until 5L; j <- i + 1 until 5L) yield (i, j)
+    val gotK5 = triOf(k5)
+    assert(gotK5.values.forall(v => v == ((4L, 6L, 1.0))))
+    // star: no closing edges — zero triangles, center lcc 0; leaves deg 1
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L), (10L, 14L))
+    assert(triOf(star).values.forall(v => v._2 == 0L && v._3 == 0.0))
+    // two triangles sharing edge (1,2): nodes 1,2 in 2 triangles each,
+    // deg 3 ⇒ lcc = 2·2/(3·2) rounded; 3,4 in 1, deg 2 ⇒ lcc = 1
+    val bow = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+    val gotBow = triOf(bow)
+    assert(gotBow(1L) == ((3L, 2L, math.round(2.0 * 2 / 6 * 1e6) / 1e6)))
+    assert(gotBow(3L) == ((2L, 1L, 1.0)))
+    // chain: wedges exist but never close
+    val chain = (0L until 10L).map(i => (i, i + 1))
+    assert(triOf(chain).values.forall(v => v._2 == 0L))
+  }
+
+  test("triangles: random graphs match brute enumeration; dup/reversed edges and self-loops ignored") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 0 until 4) {
+      val edges = Seq.fill(150 + 50 * trial)(
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      val messy = edges ++ edges.map(e => (e._2, e._1)) ++ Seq((3L, 3L))
+      val got = triOf(messy)
+      val expect = bruteTriangles(messy)
+      assert(got.keySet == expect.keySet, s"trial $trial")
+      expect.foreach { case (v, (d, t)) =>
+        assert(got(v)._1 == d && got(v)._2 == t, s"trial $trial node $v")
+        val lcc = if (d >= 2) math.round(2.0 * t / (d.toDouble * (d - 1)) * 1e6) / 1e6
+          else 0.0
+        assert(got(v)._3 == lcc, s"trial $trial node $v lcc")
+      }
+    }
+  }
+
   /** Reference PageRank: dense driver-side iteration, same update rule. */
   private def brutePageRank(edges: Seq[(Long, Long)], iters: Int,
       d: Double = 0.85): Map[Long, Double] = {

@@ -331,6 +331,54 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head.getAs[Double]("var_explained") > 0.9999)
   }
 
+  test("semanticDedup: within-cluster cosine twins prune to the lowest id; cross-cluster twins survive") {
+    import spark.implicits._
+    // three well-separated directions; within direction X, ids 0/1/2 are
+    // near-parallel (cosine ~1) and 3 is orthogonal-ish noise appended to
+    // the same cell only if kmeans puts it there — so derive the expected
+    // prune set from the OPERATOR'S own verified primitives replayed on
+    // the driver: kmeans assignment (trusted, pinned above) + exact cosine.
+    val vecs: Seq[(Long, Array[Float])] = Seq(
+      0L -> Array(1f, 0f, 0f), 1L -> Array(0.99f, 0.01f, 0f),
+      2L -> Array(0.98f, 0.02f, 0f),
+      10L -> Array(0f, 1f, 0f), 11L -> Array(0f, 0.99f, 0.01f),
+      20L -> Array(0f, 0f, 1f), 21L -> Array(0.01f, 0f, 0.99f),
+      30L -> Array(0.577f, 0.577f, 0.577f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val thr = 0.95
+    val got = Similarity.semanticDedup(df, threshold = thr, k = 3, iters = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Boolean]("is_kept"),
+          Option(r.getAs[java.lang.Long]("pruned_by")).map(_.toLong)))).toMap
+    assert(got.keySet == vecs.map(_._1).toSet, "one row per vector")
+    // driver reference from the same primitives
+    val clusters = Similarity.kmeans(df, k = 3, iters = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val vmap = vecs.toMap
+    val expect = vecs.map { case (id, v) =>
+      val lower = vecs.filter { case (o, w) => o < id &&
+        clusters(o) == clusters(id) && cos(w, v) >= thr }.map(_._1)
+      id -> (if (lower.isEmpty) None else Some(lower.min))
+    }.toMap
+    got.foreach { case (id, (cl, kept, prunedBy)) =>
+      assert(cl == clusters(id), s"id $id cluster")
+      assert(prunedBy == expect(id), s"id $id pruned_by")
+      assert(kept == expect(id).isEmpty, s"id $id is_kept")
+      prunedBy.foreach { p =>
+        assert(p < id && clusters(p) == clusters(id) &&
+          cos(vmap(p), vmap(id)) >= thr, s"id $id pruner $p invariants")
+      }
+    }
+    // the scenario must be non-trivial: at least the 0/1/2 chain pruned to 0
+    assert(got(1L)._3.contains(0L) && got(2L)._3.contains(0L))
+    assert(got(0L)._2 && got(30L)._2, "cluster-lowest ids and the lone diagonal survive")
+  }
+
   test("pcaTop rejects a zero-variance corpus instead of dividing by zero") {
     val df = Seq((1L, Array(1f, 2f)), (2L, Array(1f, 2f)))
       .toDF("vec_id", "embedding")

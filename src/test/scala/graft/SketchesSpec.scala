@@ -230,4 +230,65 @@ class SketchesSpec extends SparkSpec {
       .where(col("doc_id") === 9L).collect().head
     assert(solo.getAs[Long]("dup_tokens") == 0L && solo.getAs[Double]("dup_frac") == 0.0)
   }
+
+  /** Driver-side type-7 (linear interpolation) quantile over the FULL data —
+    * what quantileSketch must equal whenever the group fits inside k.
+    */
+  private def type7(vs: Seq[Double], q: Double): Double = {
+    val s = vs.sorted
+    val pos = q * (s.length - 1)
+    val lo = math.floor(pos).toInt
+    val frac = pos - lo
+    val hi = math.min(lo + 1, s.length - 1)
+    // same HALF_UP-at-6-decimals as Spark's round()
+    BigDecimal(s(lo) + frac * (s(hi) - s(lo)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("quantileSketch is exact type-7 below k and within DKW error above") {
+    val small = (0 until 40).map(i => ("small", i.toLong, i * 3.0 + 0.25))
+    val large = (0 until 20000).map(i => ("large", 1000L + i, (i % 10000) / 10.0))
+    val df = (small ++ large).toDF("grp", "rid", "x")
+    val out = Sketches.quantileSketch(df, k = 256, Seq("grp"), "rid", "x")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getAs[Long]("n_sample"), r.getAs[Double]("est_q")))).toMap
+    for (q <- Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      // below k: the sample IS the group — exact type-7 quantile
+      val (nS, est) = out(("small", q))
+      assert(nS == 40L)
+      assert(est == type7(small.map(_._3), q), s"small q=$q")
+      // above k: 256 uniform draws from U-ish values 0..999.9; DKW rank
+      // error at 4σ ≈ 4·√(q(1-q)/256) — generous but real bound
+      val (nL, estL) = out(("large", q))
+      assert(nL == 256L)
+      val tol = 4 * math.sqrt(q * (1 - q) / 256) * 1000.0 + 1.0
+      assert(math.abs(estL - q * 999.9) < tol, s"large q=$q est $estL")
+    }
+  }
+
+  test("quantileSketch is layout-invariant, null-excluding, and row-multiplicity-true") {
+    val base = (0 until 3000).map(i => ("g", i.toLong, (i % 100).toDouble))
+    val a = Sketches.quantileSketch(base.toDF("grp", "rid", "x"), 64,
+      Seq("grp"), "rid", "x").collect()
+      .map(r => r.getDouble(1) -> r.getDouble(3)).toMap
+    val b = Sketches.quantileSketch(
+      base.reverse.toDF("grp", "rid", "x").repartition(11), 64,
+      Seq("grp"), "rid", "x").collect()
+      .map(r => r.getDouble(1) -> r.getDouble(3)).toMap
+    assert(a == b, "sample is keyed by row hash — layout must not matter")
+    // nulls neither sampled nor counted: padding the data with null rows
+    // under FRESH row ids must leave every estimate unchanged
+    val withNulls = base.map { case (g, i, x) => (g, i, Some(x)) } ++
+      (0 until 500).map(i => ("g", 90000L + i, Option.empty[Double]))
+    val c = Sketches.quantileSketch(withNulls.toDF("grp", "rid", "x"), 64,
+      Seq("grp"), "rid", "x").collect()
+      .map(r => r.getDouble(1) -> r.getDouble(3)).toMap
+    assert(c == a, "null rows must not displace sample slots")
+    // VALUE duplicates keep their multiplicity (quantiles over the
+    // multiset): a group of one repeated value reports it at every q
+    val const = (0 until 200).map(i => ("c", i.toLong, 7.5))
+    val d = Sketches.quantileSketch(const.toDF("grp", "rid", "x"), 64,
+      Seq("grp"), "rid", "x").collect()
+    assert(d.forall(_.getAs[Double]("est_q") == 7.5))
+  }
 }
