@@ -1206,6 +1206,11 @@ object SparkEntry {
       graft.streaming.StreamOps.hllStream(
         Tables(s, dir).events, p = 10, "event_type", "user_id")
         .toDF().withColumnRenamed("grp", "event_type")),
+    // streaming quantile sample in batch mode: equals sketch_quantile exactly
+    "stream_quantile" -> ((s, dir) =>
+      graft.streaming.StreamOps.quantileStream(
+        Tables(s, dir).events, k = 64, "event_type", "event_id", "value")
+        .toDF().withColumnRenamed("grp", "event_type")),
     // streaming CMS cells in batch mode: equals cmsSketch exactly
     "stream_cms" -> ((s, dir) =>
       graft.streaming.StreamOps.cmsStream(
@@ -1277,7 +1282,8 @@ object SparkEntry {
       "stream_near_dups" -> base("dedup_minhash"),
       // the streaming sketch's batch face IS the batch sketch
       "stream_kmv" -> base("sketch_kmv"),
-      "stream_hll" -> base("sketch_hll"))
+      "stream_hll" -> base("sketch_hll"),
+      "stream_quantile" -> base("sketch_quantile"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

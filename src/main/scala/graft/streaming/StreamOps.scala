@@ -526,4 +526,81 @@ object StreamOps {
           }
       }
   }
+
+  final case class QuantileIn(grp: String, h: Long, key: Long, x: Double)
+  final case class QuantileState(rows: Vector[(Long, Long, Double)])
+  final case class QuantileEstimate(grp: String, q: Double, n_sample: Long,
+      est_q: Double)
+
+  /** Streaming quantiles: the streaming face of
+    * [[graft.pipeline.Sketches.quantileSketch]]. Per-group state is the
+    * bottom-k rows by the SAME re-salted row-key hash as the batch face,
+    * carried as (h, key, value) triples; the bottom-k merge is associative
+    * and arrival-order-insensitive (k smallest of a union = k smallest of
+    * merged bottom-k's), so after any micro-batch split the state equals
+    * the batch sample over the union — and on a BATCH frame the output is
+    * exactly `quantileSketch(df)` (the `stream_quantile` oracle aliases
+    * `sketch_quantile`, pinning the two faces hash-equal). Each
+    * micro-batch emits the group's refreshed type-7 estimates with the
+    * batch face's exact interpolation arithmetic (pos = q·(n−1), frac =
+    * pos − ⌊pos⌋, v_lo + frac·(v_hi − v_lo), HALF_UP at 6 decimals).
+    *
+    * The row key is required LONG-castable: hash ties (~n²/2·10⁻⁹ per
+    * group) break on the ORIGINAL numeric key order, which a string cast
+    * would silently reorder ("10" < "9") against the batch face.
+    *
+    * STATE RETENTION CONTRACT (same shape as [[kmvStream]]): fixed ≤ k
+    * triples per group; `idleTimeoutMs` evicts idle groups, which restart
+    * their sample from empty and answer from fewer rows until re-filled.
+    */
+  def quantileStream(df: DataFrame, k: Int, groupCol: String,
+      keyCol: String, valueCol: String,
+      qs: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+      idleTimeoutMs: Option[Long] = None): Dataset[QuantileEstimate] = {
+    require(k >= 2, s"quantileStream needs k >= 2, got $k")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must lie in [0,1], got $qs")
+    require(idleTimeoutMs.forall(_ > 0), s"idleTimeoutMs must be positive: $idleTimeoutMs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.pipeline.{Sampling, Sketches}
+    import graft.functions.PolyHash
+    val h = (Sketches.kmvHash(keyCol) * Sampling.saltMult("quantile")
+      + Sampling.saltAdd("quantile")) % PolyHash.Mod
+    val rows = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"), h.as("h"),
+        col(keyCol).cast("long").as("key"),
+        col(valueCol).cast("double").as("x")).as[QuantileIn]
+    val timeoutConf =
+      if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    rows.groupByKey(_.grp)
+      .flatMapGroupsWithState[QuantileState, QuantileEstimate](
+        OutputMode.Append(), timeoutConf) {
+        (grp, batch, state: GroupState[QuantileState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.map(_.rows).getOrElse(Vector.empty)
+            // merge-then-cut on (h, key): distinct guards re-delivered rows,
+            // the (h, key) sort is the batch face's exact sample order
+            val kept = (prev ++ batch.map(r => (r.h, r.key, r.x)))
+              .distinct.sortBy(t => (t._1, t._2)).take(k)
+            state.update(QuantileState(kept))
+            idleTimeoutMs.foreach(state.setTimeoutDuration)
+            val vs = kept.map(_._3).sorted
+            val n = vs.length
+            qs.iterator.map { q =>
+              val pos = q * (n - 1)
+              val lo = math.floor(pos).toInt
+              val frac = pos - lo
+              val est = vs(lo) + frac * (vs(math.min(lo + 1, n - 1)) - vs(lo))
+              QuantileEstimate(grp, q, n.toLong,
+                BigDecimal(est).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble)
+            }
+          }
+      }
+  }
 }

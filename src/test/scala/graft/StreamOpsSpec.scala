@@ -378,6 +378,42 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quantileStream: batch face == quantileSketch; sample merge refines across micro-batches") {
+    import graft.pipeline.Sketches
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val reference = rowsOf(Sketches.quantileSketch(
+      events, 64, Seq("event_type"), "event_id", "value"))
+    assert(rowsOf(
+      StreamOps.quantileStream(events, 64, "event_type", "event_id", "value")
+        .toDF().withColumnRenamed("grp", "event_type")) == reference)
+
+    // streaming face: bottom-k-by-hash merge is associative — after both
+    // batches the emitted estimates equal the batch sketch of the union
+    val b1 = (0 until 50).map(i => ("g", i.toLong, i * 2.0))
+    val b2 = (50 until 120).map(i => ("g", i.toLong, i * 2.0))
+    val in = MemoryStream[(String, Long, Double)]
+    val q = StreamOps.quantileStream(
+        in.toDS().toDF("grp", "rid", "x"), 16, "grp", "rid", "x")
+      .writeStream.format("memory").queryName("quantile_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      in.addData(b1)
+      q.processAllAvailable()
+      in.addData(b2)
+      q.processAllAvailable()
+      val got = spark.table("quantile_stream").collect()
+        .map(r => (r.getAs[Double]("q"), r.getAs[Long]("n_sample"),
+          r.getAs[Double]("est_q"))).toSet
+      def batchRows(data: Seq[(String, Long, Double)]) =
+        Sketches.quantileSketch(data.toDF("grp", "rid", "x"), 16,
+            Seq("grp"), "rid", "x").collect()
+          .map(r => (r.getAs[Double]("q"), r.getAs[Long]("n_sample"),
+            r.getAs[Double]("est_q"))).toSet
+      assert(got == batchRows(b1) ++ batchRows(b1 ++ b2), s"got $got")
+    } finally q.stop()
+  }
+
   test("kmvStream idle eviction: an evicted group restarts its sketch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(String, String)]
