@@ -159,44 +159,53 @@ object SparkEntry {
     * default inlining re-evaluates the whole chain per reference — 3^7
     * evaluations by s7; materialization keeps the unrolled greedy linear.
     */
-  private lazy val KmeansCtes: String = {
+  private lazy val KmeansCtes: String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |${kmeansChain("", "e", k = 8, oversample = 4, iters = 2)}""".stripMargin
+
+  /** One unrolled Similarity.kmeans chain reading `$src(vec_id, v)` and
+    * ending in `${p}af(vec_id, v, cluster, dist)` — every CTE name
+    * prefixed with `p` so several chains (one per PQ subspace) can
+    * coexist in one oracle.
+    */
+  private def kmeansChain(p: String, src: String, k: Int, oversample: Int,
+      iters: Int): String = {
     def dist(cents: String) =
       s"list_sum(list_transform(range(1, len(e.v) + 1), i -> (e.v[i] - $cents.centroid[i]) * (e.v[i] - $cents.centroid[i])))"
     def assign(name: String, cents: String) =
-      s"""$name AS (SELECT vec_id, v, cluster, dist FROM (
-         |  SELECT e.vec_id, e.v, $cents.cluster, ${dist(cents)} AS dist,
+      s"""$p$name AS (SELECT vec_id, v, cluster, dist FROM (
+         |  SELECT e.vec_id, e.v, $p$cents.cluster, ${dist(p + cents)} AS dist,
          |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${dist(cents)} ASC, $cents.cluster ASC) AS rn
-         |  FROM e CROSS JOIN $cents) WHERE rn = 1)""".stripMargin
+         |      ORDER BY ${dist(p + cents)} ASC, $p$cents.cluster ASC) AS rn
+         |  FROM $src e CROSS JOIN $p$cents) WHERE rn = 1)""".stripMargin
     def update(name: String, from: String) =
-      s"""${name}m AS (SELECT cluster, u.pos AS pos, avg(u.x) AS m FROM (
+      s"""$p${name}m AS (SELECT cluster, u.pos AS pos, avg(u.x) AS m FROM (
          |  SELECT cluster, unnest(list_transform(range(1, len(v) + 1),
-         |    i -> struct_pack(pos := i, x := v[i]))) AS u FROM $from) GROUP BY 1, 2),
-         |$name AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM ${name}m GROUP BY 1)""".stripMargin
+         |    i -> struct_pack(pos := i, x := v[i]))) AS u FROM $p$from) GROUP BY 1, 2),
+         |$p$name AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM $p${name}m GROUP BY 1)""".stripMargin
     def seedStep(i: Int) =
-      s"""p$i AS MATERIALIZED (SELECT c.vec_id, c.v, c.key,
+      s"""${p}p$i AS MATERIALIZED (SELECT c.vec_id, c.v, c.key,
          |  min(list_sum(list_transform(range(1, len(c.v) + 1),
          |    j -> (c.v[j] - s.v[j]) * (c.v[j] - s.v[j])))) AS md
-         |  FROM cand c CROSS JOIN s${i - 1} s GROUP BY c.vec_id, c.v, c.key),
-         |s$i AS MATERIALIZED (SELECT cluster, vec_id, v, key FROM s${i - 1} UNION ALL
+         |  FROM ${p}cand c CROSS JOIN ${p}s${i - 1} s GROUP BY c.vec_id, c.v, c.key),
+         |${p}s$i AS MATERIALIZED (SELECT cluster, vec_id, v, key FROM ${p}s${i - 1} UNION ALL
          |  SELECT CAST($i AS BIGINT) AS cluster, vec_id, v, key FROM (
-         |    SELECT vec_id, v, key FROM p$i
-         |    WHERE vec_id NOT IN (SELECT vec_id FROM s${i - 1})
+         |    SELECT vec_id, v, key FROM ${p}p$i
+         |    WHERE vec_id NOT IN (SELECT vec_id FROM ${p}s${i - 1})
          |    ORDER BY md DESC, key ASC, vec_id ASC LIMIT 1))""".stripMargin
-    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |cand AS MATERIALIZED (SELECT vec_id, v,
+    val rounds = (1 to iters).map(r =>
+      s"""${assign(s"a$r", s"c${r - 1}")},
+         |${update(s"c$r", s"a$r")}""".stripMargin).mkString(",\n")
+    s"""${p}cand AS MATERIALIZED (SELECT vec_id, v,
        |  ((${phSql("CAST(vec_id AS VARCHAR)", "0")}) * ${Sampling.saltMult("kmeans_init")}
        |    + ${Sampling.saltAdd("kmeans_init")}) % 1000000007 AS key
-       |  FROM e ORDER BY key, vec_id LIMIT 32),
-       |s0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS cluster, vec_id, v, key
-       |  FROM cand ORDER BY key, vec_id LIMIT 1),
-       |${(1 to 7).map(seedStep).mkString(",\n")},
-       |c0 AS (SELECT cluster, v AS centroid FROM s7),
-       |${assign("a1", "c0")},
-       |${update("c1", "a1")},
-       |${assign("a2", "c1")},
-       |${update("c2", "a2")},
-       |${assign("af", "c2")}""".stripMargin
+       |  FROM $src ORDER BY key, vec_id LIMIT ${k * oversample}),
+       |${p}s0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS cluster, vec_id, v, key
+       |  FROM ${p}cand ORDER BY key, vec_id LIMIT 1),
+       |${(1 until k).map(seedStep).mkString(",\n")},
+       |${p}c0 AS (SELECT cluster, v AS centroid FROM ${p}s${k - 1}),
+       |$rounds,
+       |${assign("af", s"c$iters")}""".stripMargin
   }
 
   /** DuckDB twin of the EN stopword list TextOps.qualityScore screens by. */
@@ -856,6 +865,10 @@ object SparkEntry {
     // matrix-free top-PC power iteration over the embedding corpus
     "vec_pca" -> ((s, dir) =>
       Similarity.pcaTop(Tables(s, dir).embeddings, iters = 8)),
+    // product quantization: 2 subspaces x 4-centroid codebooks — codes +
+    // exact reconstruction error per vector
+    "vec_pq" -> ((s, dir) =>
+      Similarity.pqEncode(Tables(s, dir).embeddings, m = 2, k = 4, iters = 1)),
 
     // ---- per-doc top TF-IDF terms ----
     "text_tfidf" -> ((s, dir) =>
@@ -3043,6 +3056,20 @@ object SparkEntry {
     "vec_kmeans" ->
       s"""WITH $KmeansCtes
          |SELECT vec_id, cluster, dist FROM af""".stripMargin,
+
+    // Twin of Similarity.pqEncode(m=2, k=4, iters=1): one kmeansChain per
+    // 32-dim subspace slice (shared unrolled-kmeans builder — the PQ
+    // codebooks are literally per-subspace kmeans runs), codes in
+    // subspace order, sq_err the two squared distances summed.
+    "vec_pq" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |e0 AS (SELECT vec_id, v[1:32] AS v FROM e),
+         |e1 AS (SELECT vec_id, v[33:64] AS v FROM e),
+         |${kmeansChain("q0_", "e0", k = 4, oversample = 4, iters = 1)},
+         |${kmeansChain("q1_", "e1", k = 4, oversample = 4, iters = 1)}
+         |SELECT a.vec_id, [a.cluster, b.cluster] AS codes,
+         |  a.dist + b.dist AS sq_err
+         |FROM q0_af a JOIN q1_af b USING (vec_id)""".stripMargin,
 
     // Twin of Similarity.semanticDedup(threshold=0.4, k=8, iters=2): the
     // SAME unrolled kmeans chain (shared KmeansCtes — the clustering

@@ -510,6 +510,54 @@ object Similarity {
         col("pruned_by").isNull.as("is_kept"), col("pruned_by"))
   }
 
+  /** Product quantization (Jégou, Douze, Schmid 2011, "Product
+    * quantization for nearest neighbor search"): the vector is split into
+    * `m` contiguous subvectors, each quantized independently against its
+    * own `k`-centroid codebook trained by [[kmeans]] on that subspace —
+    * compressing d floats to m small codes (m·log₂k bits) while keeping
+    * distances approximable from per-subspace lookup tables (the ADC step
+    * of IVF-PQ). At 100 TB the raw embeddings don't fit the ANN serving
+    * tier; the code table is ~d·32/(m·log₂k) times smaller and the
+    * codebooks are metadata (m·k·(d/m) doubles, broadcastable).
+    *
+    * Each subspace runs the SAME deterministic kmeans trajectory as
+    * [[kmeans]] (hash-drawn candidates — the draw is over vec_id, so all
+    * subspaces sample the same rows, sliced — then greedy farthest-point
+    * seeding, Lloyd rounds, final assignment), so the whole encoding is
+    * reproducible cross-engine. Output per vector: `codes` (the m cluster
+    * ids, subspace order), `sq_err` (summed per-subspace squared
+    * distances — the exact reconstruction error of the quantized vector,
+    * accumulated in subspace order for cross-engine bit-equality).
+    *
+    * Scale shape: m independent kmeans runs (broadcast-assign + bounded
+    * aggregations each) over SLICED vectors — the corpus is scanned
+    * m·(iters+1) times but never shuffled on vector content; the final
+    * code assembly is one groupBy on the well-spread vec_id.
+    */
+  def pqEncode(corpus: DataFrame, m: Int = 2, k: Int = 4, iters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      oversample: Int = 4): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dimension $dim must divide into $m subspaces")
+    val sub = dim / m
+    val parts = (0 until m).map { j =>
+      kmeans(corpus.select(col(idCol),
+          slice(col(vecCol), j * sub + 1, sub).as(vecCol)),
+        k, iters, idCol, vecCol, oversample)
+        .select(col("vec_id"), lit(j).as("subspace"), col("cluster"),
+          col("dist"))
+    }
+    parts.reduce(_ unionByName _)
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("subspace"), col("cluster"),
+        col("dist")))).as("__scd"))
+      .select(col("vec_id"),
+        transform(col("__scd"), s => s.getField("cluster")).as("codes"),
+        aggregate(transform(col("__scd"), s => s.getField("dist")),
+          lit(0.0), (acc, x) => acc + x).as("sq_err"))
+  }
+
   /** Top principal component of the embedding corpus by MATRIX-FREE power
     * iteration — the dimensionality diagnostic / whitening first step an
     * embedding pipeline runs before quantization or semantic dedup. The

@@ -379,6 +379,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got(0L)._2 && got(30L)._2, "cluster-lowest ids and the lone diagonal survive")
   }
 
+  test("pqEncode: codes are the per-subspace kmeans assignments, sq_err their summed distances") {
+    val got = Similarity.pqEncode(emb, m = 2, k = 4, iters = 1).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[scala.collection.Seq[Long]]("codes").toList,
+          r.getAs[Double]("sq_err")))).toMap
+    // reference: the operator's contract IS per-subspace kmeans (pinned
+    // above); compose it from the verified primitive on sliced vectors
+    val halves = (0 until 2).map { j =>
+      Similarity.kmeans(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), j * 32 + 1, 32).as("embedding")),
+        k = 4, iters = 1).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Long]("cluster"), r.getAs[Double]("dist")))).toMap
+    }
+    assert(got.keySet == halves(0).keySet)
+    got.foreach { case (id, (codes, err)) =>
+      assert(codes == Seq(halves(0)(id)._1, halves(1)(id)._1), s"id $id codes")
+      assert(err == halves(0)(id)._2 + halves(1)(id)._2, s"id $id sq_err")
+      assert(codes.forall(c => c >= 0 && c < 4))
+    }
+    // the quantizer must actually use multiple codewords per subspace
+    assert(got.values.map(_._1.head).toSet.size > 1)
+    assert(got.values.map(_._1(1)).toSet.size > 1)
+  }
+
   test("pcaTop rejects a zero-variance corpus instead of dividing by zero") {
     val df = Seq((1L, Array(1f, 2f)), (2L, Array(1f, 2f)))
       .toDF("vec_id", "embedding")
