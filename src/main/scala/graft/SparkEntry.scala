@@ -869,6 +869,12 @@ object SparkEntry {
     // exact reconstruction error per vector
     "vec_pq" -> ((s, dir) =>
       Similarity.pqEncode(Tables(s, dir).embeddings, m = 2, k = 4, iters = 1)),
+    // ADC search over the PQ codes: query-side distance tables, corpus
+    // side touched only through its m codes
+    "sim_pq_topk" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.pqTopK(e.where(col("vec_id") < 5), e, topK = 3)
+    }),
 
     // ---- per-doc top TF-IDF terms ----
     "text_tfidf" -> ((s, dir) =>
@@ -3070,6 +3076,35 @@ object SparkEntry {
          |SELECT a.vec_id, [a.cluster, b.cluster] AS codes,
          |  a.dist + b.dist AS sq_err
          |FROM q0_af a JOIN q1_af b USING (vec_id)""".stripMargin,
+
+    // Twin of Similarity.pqTopK(topK=3, m=2, kc=4, iters=1): the same two
+    // subspace chains; per-query ADC tables against the final centroids
+    // (q{j}_c1), scored through the codes alone (q{j}_af.cluster), ranked
+    // (adc asc, id asc) with self excluded.
+    "sim_pq_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |e0 AS (SELECT vec_id, v[1:32] AS v FROM e),
+         |e1 AS (SELECT vec_id, v[33:64] AS v FROM e),
+         |${kmeansChain("q0_", "e0", k = 4, oversample = 4, iters = 1)},
+         |${kmeansChain("q1_", "e1", k = 4, oversample = 4, iters = 1)},
+         |dt0 AS (SELECT q.vec_id AS query_id, c.cluster,
+         |  list_sum(list_transform(range(1, len(q.v) + 1),
+         |    i -> (q.v[i] - c.centroid[i]) * (q.v[i] - c.centroid[i]))) AS d
+         |  FROM (SELECT vec_id, v FROM e0 WHERE vec_id < 5) q CROSS JOIN q0_c1 c),
+         |dt1 AS (SELECT q.vec_id AS query_id, c.cluster,
+         |  list_sum(list_transform(range(1, len(q.v) + 1),
+         |    i -> (q.v[i] - c.centroid[i]) * (q.v[i] - c.centroid[i]))) AS d
+         |  FROM (SELECT vec_id, v FROM e1 WHERE vec_id < 5) q CROSS JOIN q1_c1 c),
+         |sc AS (SELECT a.vec_id AS neighbor_id, a.cluster AS c0, b.cluster AS c1
+         |  FROM q0_af a JOIN q1_af b USING (vec_id)),
+         |ad AS (SELECT dt0.query_id, sc.neighbor_id, dt0.d + dt1.d AS adc_dist
+         |  FROM sc JOIN dt0 ON dt0.cluster = sc.c0
+         |  JOIN dt1 ON dt1.cluster = sc.c1 AND dt1.query_id = dt0.query_id
+         |  WHERE sc.neighbor_id <> dt0.query_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, adc_dist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rank FROM ad)
+         |WHERE rank <= 3""".stripMargin,
 
     // Twin of Similarity.semanticDedup(threshold=0.4, k=8, iters=2): the
     // SAME unrolled kmeans chain (shared KmeansCtes — the clustering

@@ -304,21 +304,43 @@ object Similarity {
   def kmeans(corpus: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       oversample: Int = 4): DataFrame = {
+    val pts = kmeansPts(corpus, idCol, vecCol)
+    assignStep(pts, lloydCentroids(pts, k, iters, oversample))
+      .select(col("vec_id"), col("cluster"), col("dist"))
+  }
+
+  /** The trained centroid table `(cluster, centroid)` of the SAME
+    * deterministic Lloyd trajectory [[kmeans]] assigns against — the
+    * codebook face, for consumers (ADC scoring, cell routing) that need
+    * the centroids themselves rather than the corpus assignment.
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      oversample: Int = 4): DataFrame =
+    lloydCentroids(kmeansPts(corpus, idCol, vecCol), k, iters, oversample)
+
+  private def kmeansPts(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    spread(corpus, idCol).select(col(idCol).as("vec_id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+
+  /** argmin as a partial-aggregated struct-min, NOT a window: the k
+    * candidate rows per vector collapse map-side, so the shuffle carries
+    * one row per vector instead of k (struct ordering = (dist, cluster)
+    * gives the lowest-cluster tie-break for free; v is group-constant)
+    */
+  private def assignStep(pts: DataFrame, cents: DataFrame): DataFrame =
+    pts.crossJoin(broadcast(cents))
+      .withColumn("dist", sqDist(col("v"), col("centroid")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cluster"))).as("m"), first("v").as("v"))
+      .select(col("vec_id"), col("v"),
+        col("m.cluster").as("cluster"), col("m.dist").as("dist"))
+
+  private def lloydCentroids(pts: DataFrame, k: Int, iters: Int,
+      oversample: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val pts = spread(corpus, idCol).select(col(idCol).as("vec_id"),
-      transform(col(vecCol), _.cast("double")).as("v"))
-    // argmin as a partial-aggregated struct-min, NOT a window: the k
-    // candidate rows per vector collapse map-side, so the shuffle carries
-    // one row per vector instead of k (struct ordering = (dist, cluster)
-    // gives the lowest-cluster tie-break for free; v is group-constant)
-    def assignStep(cents: DataFrame): DataFrame =
-      pts.crossJoin(broadcast(cents))
-        .withColumn("dist", sqDist(col("v"), col("centroid")))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cluster"))).as("m"), first("v").as("v"))
-        .select(col("vec_id"), col("v"),
-          col("m.cluster").as("cluster"), col("m.dist").as("dist"))
     def updateStep(assigned: DataFrame): DataFrame =
       assigned.select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos").agg(avg("x").as("m"))
@@ -333,8 +355,8 @@ object Similarity {
     // whole trajectory once per round — O(iters²) corpus scans instead of
     // O(iters). Measured at sf0.1 (2000x64, k=8, iters=2): 3.2 s -> 1.7 s.
     for (_ <- 1 to iters)
-      cents = graft.core.Lineage.truncate(updateStep(assignStep(cents)))
-    assignStep(cents).select(col("vec_id"), col("cluster"), col("dist"))
+      cents = graft.core.Lineage.truncate(updateStep(assignStep(pts, cents)))
+    cents
   }
 
   /** Symmetric int8 quantization of an embedding column: per-vector scale
@@ -556,6 +578,63 @@ object Similarity {
         transform(col("__scd"), s => s.getField("cluster")).as("codes"),
         aggregate(transform(col("__scd"), s => s.getField("dist")),
           lit(0.0), (acc, x) => acc + x).as("sq_err"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes (Jégou et al. 2011
+    * §IV): the query stays in full precision; each corpus vector is
+    * represented ONLY by its m codes, and its approximate squared L2 to
+    * the query is the sum of per-subspace table lookups
+    * `Σ_j d(q_j, centroid_{j,code_j})`. The tables are m·k entries per
+    * query — the whole point at 100 TB: after one broadcast of the
+    * (metadata-scale) codebooks and query tables, scoring a vector costs
+    * m lookups + adds against a code table ~100× smaller than the raw
+    * embeddings, never touching the vectors themselves.
+    *
+    * Codebooks come from [[kmeansCentroids]] on each subspace slice and
+    * codes from the same centroids' argmin ([[kmeans]]'s assignment
+    * kernel), so encoding and scoring share one trajectory. The ADC sum
+    * folds in subspace order over a sorted struct array — deterministic
+    * double arithmetic cross-engine. Output: (query_id, neighbor_id,
+    * rank, adc_dist), top `topK` by (adc asc, id asc), self excluded.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, topK: Int, m: Int = 2,
+      kc: Int = 4, iters: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding", oversample: Int = 4): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(m >= 1, s"m must be >= 1, got $m")
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dimension $dim must divide into $m subspaces")
+    val sub = dim / m
+    def sliced(df: DataFrame, j: Int): DataFrame =
+      df.select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as(vecCol))
+    val parts = (0 until m).map { j =>
+      val pts = kmeansPts(sliced(corpus, j), idCol, vecCol)
+      val cents = lloydCentroids(pts, kc, iters, oversample)
+      // codes: the same argmin kernel kmeans assigns with, against the
+      // SAME trained centroids — no second trajectory
+      val codes = assignStep(pts, cents)
+        .select(col("vec_id").as("neighbor_id"), lit(j).as("subspace"),
+          col("cluster"))
+      // per-query distance table: |queries|·kc rows — metadata-scale
+      val qtab = kmeansPts(sliced(queries, j), idCol, vecCol)
+        .select(col("vec_id").as("query_id"), col("v"))
+        .crossJoin(broadcast(cents))
+        .select(col("query_id"), lit(j).as("subspace"), col("cluster"),
+          sqDist(col("v"), col("centroid")).as("d"))
+      codes.join(broadcast(qtab), Seq("subspace", "cluster"))
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    parts.reduce(_ unionByName _)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(array_sort(collect_list(struct(col("subspace"), col("d")))).as("__sd"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(transform(col("__sd"), s => s.getField("d")),
+          lit(0.0), (acc, x) => acc + x).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select("query_id", "neighbor_id", "rank", "adc_dist")
   }
 
   /** Top principal component of the embedding corpus by MATRIX-FREE power

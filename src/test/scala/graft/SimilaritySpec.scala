@@ -405,6 +405,39 @@ class SimilaritySpec extends SparkSpec {
     assert(got.values.map(_._1(1)).toSet.size > 1)
   }
 
+  test("pqTopK: adc distances equal codebook-table sums; ranking and self-exclusion hold") {
+    val queries = emb.where(col("vec_id") < 5)
+    val got = Similarity.pqTopK(queries, emb, topK = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"), r.getAs[Double]("adc_dist")))
+    assert(got.length == 15, "5 queries x top-3")
+    assert(got.forall(r => r._1 != r._2), "self excluded")
+    assert(got.groupBy(_._1).values.forall(g =>
+      g.map(_._3).sorted.toSeq == Seq(1, 2, 3)), "contiguous ranks")
+    // replay from the verified primitives: centroids + codes per subspace
+    def sq(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + (x - y) * (x - y) }
+    val cb = (0 until 2).map { j =>
+      Similarity.kmeansCentroids(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), j * 32 + 1, 32).as("embedding")),
+        k = 4, iters = 1).collect()
+        .map(r => r.getAs[Long]("cluster") ->
+          r.getAs[scala.collection.Seq[Double]]("centroid").toSeq).toMap
+    }
+    val codes = Similarity.pqEncode(emb, m = 2, k = 4, iters = 1).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Long]]("codes").toSeq).toMap
+    val qv = queries.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq).toMap
+    got.foreach { case (q, nb, _, adc) =>
+      val expect = (0 until 2).map { j =>
+        sq(qv(q).slice(j * 32, (j + 1) * 32), cb(j)(codes(nb)(j)))
+      }.sum
+      assert(math.abs(adc - expect) < 1e-9, s"query $q neighbor $nb")
+    }
+  }
+
   test("pcaTop rejects a zero-variance corpus instead of dividing by zero") {
     val df = Seq((1L, Array(1f, 2f)), (2L, Array(1f, 2f)))
       .toDF("vec_id", "embedding")
