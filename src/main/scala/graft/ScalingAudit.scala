@@ -110,6 +110,8 @@ object ScalingAudit {
       report(s"dedup_keepers_x$f", n, timed(Components.dedupKeepers(d).count()))
       report(s"graph_pagerank_x$f", n,
         timed(Components.pageRank(Dedup.minhashNearDups(d), iters = 3).count()))
+      report(s"graph_triangles_x$f", n,
+        timed(Components.triangleCounts(Dedup.minhashNearDups(d)).count()))
       report(s"pack_sequences_x$f", n,
         timed(Packing.packSequences(d, 512, shardWidth = 100).count()))
       // round-9 late additions: shared-exchange dup spans, bloom probe,
@@ -149,6 +151,17 @@ object ScalingAudit {
       report(s"vec_kmeans_x$f", n, timed(Similarity.kmeans(v, k = 8, iters = 2).count()))
       report(s"sim_topk_x$f", n,
         timed(Similarity.bruteForceTopK(v.where(col("vec_id") < 5), v, k = 3).count()))
+      // SemDeDup's production policy scales the CLUSTER COUNT with the
+      // corpus (the paper uses 50k cells on LAION) so cell sizes — and the
+      // within-cell pair space — stay bounded; the ladder rehearses that
+      // policy (k = 8·factor), not the fixed-k worst case
+      report(s"dedup_semantic_x$f", n,
+        timed(Similarity.semanticDedup(v, threshold = 0.4, k = 8 * f,
+          iters = 2).count()))
+      report(s"vec_pq_x$f", n,
+        timed(Similarity.pqEncode(v, m = 2, k = 4, iters = 1).count()))
+      report(s"sim_pq_topk_x$f", n,
+        timed(Similarity.pqTopK(v.where(col("vec_id") < 5), v, topK = 3).count()))
     }
 
     // incrementality proof: the cost of ingesting a FIXED batch must stay
@@ -171,6 +184,13 @@ object ScalingAudit {
     // store_merge ladder: the events tables DO scale 1k/10k/100k across sf
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
       .foreach { dir =>
+        // bounded-synopsis claim: the quantile sample is k rows per group
+        // whatever the group size, so the ladder should read ~flat past
+        // the scan cost
+        val ev = Tables(spark, dir).events
+        report(s"sketch_quantile_${dir.split('/').last}", ev.count(), timed(
+          graft.pipeline.Sketches.quantileSketch(ev, 64, Seq("event_type"),
+            "event_id", "value").count()))
         val e = Tables(spark, dir).eventsUs
         val p = e.select(
           concat(lit("shyft://events/u"), col("user_id"), lit("/"),

@@ -875,6 +875,12 @@ object SparkEntry {
       val e = Tables(s, dir).embeddings
       Similarity.pqTopK(e.where(col("vec_id") < 5), e, topK = 3)
     }),
+    // IVF-PQ: coarse cell probe prunes the search, ADC scores the probed
+    // cells through codes alone — the production ANN serving shape
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.ivfPqTopK(e.where(col("vec_id") < 5), e, k = 3, nprobe = 3)
+    }),
 
     // ---- per-doc top TF-IDF terms ----
     "text_tfidf" -> ((s, dir) =>
@@ -3101,6 +3107,49 @@ object SparkEntry {
          |  FROM sc JOIN dt0 ON dt0.cluster = sc.c0
          |  JOIN dt1 ON dt1.cluster = sc.c1 AND dt1.query_id = dt0.query_id
          |  WHERE sc.neighbor_id <> dt0.query_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, adc_dist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rank FROM ad)
+         |WHERE rank <= 3""".stripMargin,
+
+    // Twin of Similarity.ivfPqTopK(k=3, nprobe=3, m=2, kc=4, iters=1):
+    // the sim_ivf_topk probe CTEs (label-cell centroids, cosine rank <=
+    // nprobe) restrict the pair space; the sim_pq_topk ADC CTEs score it.
+    "sim_ivfpq_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |pm AS (SELECT label, u.pos AS pos, u.x AS x FROM (
+         |  SELECT label, unnest(list_transform(range(1, len(v) + 1), i -> struct_pack(pos := i, x := v[i]))) AS u FROM e)),
+         |cc1 AS (SELECT label AS cell, pos, avg(x) AS m FROM pm GROUP BY 1, 2),
+         |cent AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cc1 GROUP BY 1),
+         |qf AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |probe AS (SELECT query_id, cell FROM (
+         |  SELECT qf.query_id, cent.cell,
+         |    row_number() OVER (PARTITION BY qf.query_id ORDER BY
+         |      list_sum(list_transform(range(1, len(qf.qv) + 1), i -> qf.qv[i] * cent.centroid[i])) /
+         |      (sqrt(list_sum(list_transform(range(1, len(qf.qv) + 1), i -> qf.qv[i] * qf.qv[i]))) *
+         |       sqrt(list_sum(list_transform(range(1, len(cent.centroid) + 1), i -> cent.centroid[i] * cent.centroid[i])))) DESC,
+         |      cent.cell ASC) AS prank
+         |  FROM qf CROSS JOIN cent) WHERE prank <= 3),
+         |e0 AS (SELECT vec_id, v[1:32] AS v FROM e),
+         |e1 AS (SELECT vec_id, v[33:64] AS v FROM e),
+         |${kmeansChain("q0_", "e0", k = 4, oversample = 4, iters = 1)},
+         |${kmeansChain("q1_", "e1", k = 4, oversample = 4, iters = 1)},
+         |dt0 AS (SELECT q.vec_id AS query_id, c.cluster,
+         |  list_sum(list_transform(range(1, len(q.v) + 1),
+         |    i -> (q.v[i] - c.centroid[i]) * (q.v[i] - c.centroid[i]))) AS d
+         |  FROM (SELECT vec_id, v FROM e0 WHERE vec_id < 5) q CROSS JOIN q0_c1 c),
+         |dt1 AS (SELECT q.vec_id AS query_id, c.cluster,
+         |  list_sum(list_transform(range(1, len(q.v) + 1),
+         |    i -> (q.v[i] - c.centroid[i]) * (q.v[i] - c.centroid[i]))) AS d
+         |  FROM (SELECT vec_id, v FROM e1 WHERE vec_id < 5) q CROSS JOIN q1_c1 c),
+         |sc AS (SELECT a.vec_id AS neighbor_id, e.label AS cell,
+         |  a.cluster AS c0, b.cluster AS c1
+         |  FROM q0_af a JOIN q1_af b USING (vec_id) JOIN e ON e.vec_id = a.vec_id),
+         |ad AS (SELECT dt0.query_id, sc.neighbor_id, dt0.d + dt1.d AS adc_dist
+         |  FROM sc JOIN probe p ON p.cell = sc.cell
+         |  JOIN dt0 ON dt0.cluster = sc.c0 AND dt0.query_id = p.query_id
+         |  JOIN dt1 ON dt1.cluster = sc.c1 AND dt1.query_id = p.query_id
+         |  WHERE sc.neighbor_id <> p.query_id)
          |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, adc_dist FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rank FROM ad)

@@ -637,6 +637,77 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "adc_dist")
   }
 
+  /** IVF-PQ top-k (Jégou et al. 2011 §V — the production ANN serving
+    * shape): the coarse quantizer ([[ivfTopK]]'s cell-centroid probe)
+    * prunes the search to each query's `nprobe` nearest cells, and
+    * vectors INSIDE the probed cells are scored by asymmetric distance
+    * through their m PQ codes ([[pqTopK]]'s table lookups) — never
+    * touching a raw corpus vector after the (metadata-scale) codebooks
+    * and centroids are trained. At 100 TB both levels matter: the probe
+    * cuts the scanned fraction to ~nprobe/#cells (cell-partitioned
+    * layout ⇒ partition pruning), and ADC cuts the per-row cost and the
+    * serving tier's memory by the PQ compression factor. The cell
+    * restriction is applied BEFORE the distance-table join, so unprobed
+    * cells never enter the scoring dataflow.
+    *
+    * Output: (query_id, neighbor_id, rank, adc_dist) — top `k` by
+    * (adc asc, id asc) within probed cells, self excluded. May return
+    * < k rows per query (probed cells can be small): the ANN contract.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int,
+      m: Int = 2, kc: Int = 4, iters: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding", cellCol: String = "label",
+      oversample: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dimension $dim must divide into $m subspaces")
+    val sub = dim / m
+    def sliced(df: DataFrame, j: Int): DataFrame =
+      df.select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as(vecCol))
+    // coarse probe: identical derivation to ivfTopK
+    val cents = centroids(corpus, cellCol, vecCol)
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("qv"), col("centroid")))
+      .withColumn("prank", row_number().over(wq))
+      .where(col("prank") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val cellOf = corpus.select(col(idCol).as("neighbor_id"),
+      col(cellCol).as("cell"))
+    val parts = (0 until m).map { j =>
+      val pts = kmeansPts(sliced(corpus, j), idCol, vecCol)
+      val cbs = lloydCentroids(pts, kc, iters, oversample)
+      val codes = assignStep(pts, cbs)
+        .select(col("vec_id").as("neighbor_id"), lit(j).as("subspace"),
+          col("cluster"))
+        .join(cellOf, "neighbor_id")
+      val qtab = kmeansPts(sliced(queries, j), idCol, vecCol)
+        .select(col("vec_id").as("query_id"), col("v"))
+        .crossJoin(broadcast(cbs))
+        .select(col("query_id"), lit(j).as("subspace"), col("cluster"),
+          sqDist(col("v"), col("centroid")).as("d"))
+      // prune to probed cells FIRST, then attach the lookup-table entry
+      codes.join(broadcast(probed), Seq("cell"))
+        .join(broadcast(qtab), Seq("subspace", "cluster", "query_id"))
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    parts.reduce(_ unionByName _)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(array_sort(collect_list(struct(col("subspace"), col("d")))).as("__sd"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(transform(col("__sd"), s => s.getField("d")),
+          lit(0.0), (acc, x) => acc + x).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adc_dist")
+  }
+
   /** Top principal component of the embedding corpus by MATRIX-FREE power
     * iteration — the dimensionality diagnostic / whitening first step an
     * embedding pipeline runs before quantization or semantic dedup. The

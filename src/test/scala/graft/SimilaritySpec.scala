@@ -438,6 +438,42 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: probing all cells reproduces pqTopK; neighbors come only from probed cells") {
+    val queries = emb.where(col("vec_id") < 5)
+    def rowsOfAdc(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"), r.getAs[Double]("adc_dist"))).toSet
+    val nCells = emb.select("label").distinct().count().toInt
+    assert(rowsOfAdc(Similarity.ivfPqTopK(queries, emb, k = 3, nprobe = nCells))
+      == rowsOfAdc(Similarity.pqTopK(queries, emb, topK = 3)),
+      "all cells probed must equal plain ADC over the whole corpus")
+    // restricted probe: every returned neighbor must live in one of its
+    // query's nprobe nearest cells (replayed from the centroid table)
+    val nprobe = 2
+    val got = Similarity.ivfPqTopK(queries, emb, k = 3, nprobe = nprobe).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(got.nonEmpty)
+    val cents = Similarity.centroids(emb).collect()
+      .map(r => r.getAs[Int]("cell") ->
+        r.getAs[scala.collection.Seq[Double]]("centroid").toSeq).toMap
+    val vecOf = emb.collect().map(r => r.getAs[Long]("vec_id") ->
+      ((r.getAs[Int]("label"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq))).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val probedOf = vecOf.filter(_._1 < 5).map { case (q, (_, qv)) =>
+      q -> cents.toSeq.map { case (c, cv) => (cos(qv, cv), c) }
+        .sortBy { case (s, c) => (-s, c) }.take(nprobe).map(_._2).toSet
+    }
+    got.foreach { case (q, nb) =>
+      assert(probedOf(q).contains(vecOf(nb)._1),
+        s"neighbor $nb of query $q sits in an unprobed cell")
+      assert(q != nb)
+    }
+  }
+
   test("pcaTop rejects a zero-variance corpus instead of dividing by zero") {
     val df = Seq((1L, Array(1f, 2f)), (2L, Array(1f, 2f)))
       .toDF("vec_id", "embedding")
