@@ -814,6 +814,12 @@ object SparkEntry {
     "text_top_terms" -> ((s, dir) =>
       TextOps.topTerms(Tables(s, dir).documents, k = 10)),
     // hashing-trick featurization: fixed-width sparse count vectors
+    // model-in-the-loop filtering: full-batch logistic regression over
+    // standardized hashed features, distilling the quality-rule label
+    // (the CCNet/fastText filter-training shape)
+    "text_quality_clf" -> ((s, dir) =>
+      TextOps.logregClassifier(Tables(s, dir).documents,
+        TextOps.qualityScoreCol(col("text")) >= 0.6)),
     "text_hashed_features" -> ((s, dir) =>
       TextOps.hashedFeatures(Tables(s, dir).documents, dims = 64)),
     // lexical retrieval: Okapi BM25 top-20 for a fixed query
@@ -2091,6 +2097,70 @@ object SparkEntry {
     },
     // Twin of TextOps.hashedFeatures: same PolyHash % dims buckets, same
     // ascending-index sparse assembly (DuckDB's ordered list aggregate).
+    // Twin of TextOps.logregClassifier(quality >= 0.6, dims=64, iters=8,
+    // lr=0.5): the hashed-feature buckets DENSIFIED and standardized per
+    // bucket (absent counts 0, zero-variance sd 1 — the label itself is
+    // per-row deterministic arithmetic via the shared qualityScoreSql, so
+    // no cross-engine boundary risk at the threshold), then the
+    // full-batch GD rounds unrolled as MATERIALIZED CTEs (each weight CTE
+    // is referenced by the next round's logit AND gradient — plain
+    // inlining would re-expand the chain exponentially, the BPE/PCA
+    // lesson). The bias gradient rides the prepended constant-1 feature
+    // at pos 0, exactly like the Spark side's single aggregation.
+    "text_quality_clf" -> {
+      val dims = 64; val iters = 8; val lr = "CAST(0.5 AS DOUBLE)"
+      def logit(w: String) =
+        s"($w.wb + list_sum(list_transform(range(1, ${dims + 1}), i -> f.x[i] * $w.w[i])))"
+      def sigma(z: String) =
+        s"CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-$z))"
+      def round(t: Int) =
+        s"""er$t AS MATERIALIZED (SELECT f.doc_id, f.y, f.x,
+           |  list_prepend(CAST(1 AS DOUBLE), f.x) AS lx,
+           |  ${sigma(logit(s"w${t - 1}"))} - f.y AS e
+           |  FROM fx f CROSS JOIN w${t - 1}),
+           |gr$t AS MATERIALIZED (SELECT u.pos AS pos, sum(e * u.xv) / nn.n AS g FROM (
+           |  SELECT e, unnest(list_transform(range(0, ${dims + 1}), i ->
+           |    struct_pack(pos := i, xv := lx[i + 1]))) AS u FROM er$t) CROSS JOIN nn
+           |  GROUP BY u.pos, nn.n),
+           |w$t AS MATERIALIZED (SELECT
+           |  (SELECT list(wn ORDER BY b) FROM (
+           |    SELECT r.b, w.w[r.b + 1] - $lr * coalesce(gr.g, CAST(0 AS DOUBLE)) AS wn
+           |    FROM range(0, $dims) r(b) LEFT JOIN gr$t gr ON gr.pos = r.b + 1
+           |    CROSS JOIN w${t - 1} w)) AS w,
+           |  (SELECT w.wb - $lr * coalesce(
+           |    (SELECT g FROM gr$t WHERE pos = 0), CAST(0 AS DOUBLE))
+           |   FROM w${t - 1} w) AS wb)""".stripMargin
+      s"""WITH toksq AS (SELECT doc_id, $Toks AS tk, text FROM documents),
+         |lab AS (SELECT doc_id, CASE WHEN (${qualityScoreSql("tk", "text")})
+         |    >= CAST(0.6 AS DOUBLE) THEN 1 ELSE 0 END AS y, tk
+         |  FROM toksq WHERE len(tk) > 0),
+         |occ AS (SELECT doc_id, y, ${phSql("t", "0")} % $dims AS b
+         |  FROM (SELECT doc_id, y, unnest(tk) AS t FROM lab)),
+         |cc AS MATERIALIZED (SELECT doc_id, y, b, CAST(count(*) AS DOUBLE) AS c
+         |  FROM occ GROUP BY 1, 2, 3),
+         |nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM cc),
+         |msd AS MATERIALIZED (SELECT b, s / nn.n AS mu,
+         |  CASE WHEN ss / nn.n - (s / nn.n) * (s / nn.n) > 0
+         |       THEN sqrt(ss / nn.n - (s / nn.n) * (s / nn.n))
+         |       ELSE CAST(1 AS DOUBLE) END AS sd
+         |  FROM (SELECT b, sum(c) AS s, sum(c * c) AS ss FROM cc GROUP BY 1)
+         |  CROSS JOIN nn),
+         |dl AS (SELECT DISTINCT doc_id, y FROM cc),
+         |fx AS MATERIALIZED (SELECT d.doc_id, d.y,
+         |  list((coalesce(cc.c, CAST(0 AS DOUBLE)) - coalesce(msd.mu, CAST(0 AS DOUBLE)))
+         |       / coalesce(msd.sd, CAST(1 AS DOUBLE)) ORDER BY r.b) AS x
+         |  FROM dl d CROSS JOIN range(0, $dims) r(b)
+         |  LEFT JOIN cc ON cc.doc_id = d.doc_id AND cc.b = r.b
+         |  LEFT JOIN msd ON msd.b = r.b
+         |  GROUP BY d.doc_id, d.y),
+         |w0 AS (SELECT list_transform(range(0, $dims), x -> CAST(0 AS DOUBLE)) AS w,
+         |  CAST(0 AS DOUBLE) AS wb),
+         |${(1 to iters).map(round).mkString(",\n")}
+         |SELECT doc_id, y, p, p >= CAST(0.5 AS DOUBLE) AS pred FROM (
+         |  SELECT f.doc_id, f.y, ${sigma(logit(s"w$iters"))} AS p
+         |  FROM fx f CROSS JOIN w$iters)""".stripMargin
+    },
+
     "text_hashed_features" ->
       s"""WITH occ AS (SELECT doc_id, ${phSql("t", "0")} % 64 AS b
          |  FROM (SELECT doc_id, unnest($Toks) AS t FROM documents)),

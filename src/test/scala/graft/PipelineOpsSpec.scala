@@ -629,4 +629,62 @@ class PipelineOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("maxSlices")
       || String.valueOf(e.getCause).contains("maxSlices"))
   }
+
+  test("logregClassifier learns a separable label and matches a driver GD replay") {
+    import graft.functions.PolyHash
+    val aWords = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+    val bWords = Seq("uno", "dos", "tres", "cuatro", "cinco", "seis", "siete")
+    val docs = (0 until 24).map { i =>
+      val a = i % 2 == 0
+      val ws = if (a) aWords else bWords
+      (i.toLong, if (a) "ya" else "nb",
+        (0 until 8).map(j => ws((i + j) % ws.length)).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "grp", "text")
+    val got = TextOps.logregClassifier(df, col("grp") === "ya", dims = 64,
+      iters = 8, lr = 0.5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("y"), r.getAs[Double]("p"), r.getAs[Boolean]("pred")))).toMap
+    // disjoint vocabularies are linearly separable: 8 standardized GD
+    // rounds must classify every doc
+    assert(got.size == 24)
+    got.foreach { case (id, (y, _, pred)) =>
+      assert(pred == (y == 1), s"doc $id misclassified") }
+    // driver replay of the exact recursion: counts -> dense standardized
+    // features (mu = S/n, var = SS/n - mu^2, sd = 1 when var <= 0) -> GD
+    val dims = 64
+    val sparse = docs.map { case (id, grp, text) =>
+      val bs = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .map(t => (PolyHash.hash(t, 0L) % dims).toInt)
+      (id, if (grp == "ya") 1 else 0,
+        bs.groupBy(identity).view.mapValues(_.length.toDouble).toMap)
+    }
+    val n = sparse.length.toDouble
+    val mu = Array.tabulate(dims)(b => sparse.map(_._3.getOrElse(b, 0.0)).sum / n)
+    val sd = Array.tabulate(dims) { b =>
+      val s = sparse.map(_._3.getOrElse(b, 0.0)).sum
+      val ss = sparse.map(d => { val c = d._3.getOrElse(b, 0.0); c * c }).sum
+      val v = ss / n - (s / n) * (s / n)
+      if (v > 0) math.sqrt(v) else 1.0
+    }
+    val fx = sparse.map { case (id, y, d) =>
+      (id, y, Array.tabulate(dims)(b => (d.getOrElse(b, 0.0) - mu(b)) / sd(b)))
+    }
+    val w = Array.fill(dims)(0.0); var bias = 0.0
+    def p(x: Array[Double]) = {
+      var z = bias; var i = 0
+      while (i < dims) { z += x(i) * w(i); i += 1 }
+      1.0 / (1.0 + math.exp(-z))
+    }
+    for (_ <- 1 to 8) {
+      val es = fx.map { case (_, y, x) => (x, p(x) - y) }
+      bias -= 0.5 * (es.map(_._2).sum / n)
+      for (b <- 0 until dims)
+        w(b) -= 0.5 * (es.map { case (x, e) => e * x(b) }.sum / n)
+    }
+    fx.foreach { case (id, y, x) =>
+      assert(math.abs(got(id)._2 - p(x)) < 1e-9, s"doc $id probability")
+      assert(got(id)._1 == y)
+    }
+  }
 }
