@@ -1059,6 +1059,12 @@ object SparkEntry {
     // prefix sum is exercised, not just the single-shard degenerate case
     "pack_sequences" -> ((s, dir) =>
       Packing.packSequences(Tables(s, dir).documents, 512, shardWidth = 100)),
+    // quality-weighted Bernoulli thinning: acceptance probability = the
+    // quality score, decided by a deterministic per-row draw (soft filter)
+    "sample_importance" -> ((s, dir) =>
+      Sampling.bernoulliByProb(Tables(s, dir).documents, "doc_id",
+          TextOps.qualityScoreCol(col("text")))
+        .select("doc_id", "u", "accept_prob", "is_kept")),
     "sample_weighted" -> ((s, dir) =>
       Sampling.weightedSample(Tables(s, dir).documents.select("doc_id", "n_chars"),
         "doc_id", "n_chars", n = 50)),
@@ -1157,6 +1163,17 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.synthMediaTable(Tables(s, dir).documents), stride = 4)),
     "mm_phash" -> ((s, dir) =>
       Multimodal.perceptualHash(Multimodal.synthMediaTable(Tables(s, dir).documents))),
+    // joint-modality dedup: a pair counts only when BOTH the text and the
+    // image modality agree it's a near-dup — the multimodal-pipeline rule
+    // that suppresses single-modality false positives (same text, new
+    // image = a re-render, not a duplicate)
+    "mm_joint_dups" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      Dedup.minhashNearDups(docs)
+        .join(Multimodal.phashNearDups(Multimodal.synthMediaTable(docs)),
+          Seq("id_a", "id_b"))
+        .select("id_a", "id_b", "jaccard", "hamming")
+    }),
     // 256-bit wide grid hash, words as scalar columns for the hash compare
     "mm_phash_wide" -> ((s, dir) =>
       Multimodal.perceptualHashWide(Multimodal.synthMediaTable(Tables(s, dir).documents))
@@ -2875,6 +2892,20 @@ object SparkEntry {
          |FROM x""".stripMargin,
     // Twin of Sampling.weightedSample: identical Efraimidis–Spirakis key
     // (same Carter–Wegman u, same -ln(u)/w), same (key, id) order + limit.
+    // Twin of Sampling.bernoulliByProb(quality score): same CW draw as the
+    // other sampling twins, same NaN-null clamp, decision u < p.
+    "sample_importance" -> {
+      val u = s"((((${phSql("CAST(doc_id AS VARCHAR)", "0")}) * ${Sampling.saltMult("importance")}" +
+        s" + ${Sampling.saltAdd("importance")}) % 1000000007 + 0.5) / 1000000007)"
+      s"""WITH q AS (SELECT doc_id, $Toks AS tk, text FROM documents),
+         |s AS (SELECT doc_id, $u AS u, (${qualityScoreSql("tk", "text")}) AS score FROM q),
+         |c AS (SELECT doc_id, u,
+         |  CASE WHEN score IS NULL OR isnan(score) THEN NULL
+         |       ELSE least(greatest(score, CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE)) END AS accept_prob
+         |  FROM s)
+         |SELECT doc_id, u, accept_prob,
+         |  coalesce(u < accept_prob, false) AS is_kept FROM c""".stripMargin
+    },
     "sample_weighted" ->
       s"""SELECT doc_id, n_chars FROM (
          |  SELECT doc_id, n_chars,
@@ -3409,6 +3440,18 @@ object SparkEntry {
       s"""WITH $MmPhashWideCtes,
          |${wideWordCtes("ge", "npix", "n_px")}
          |${wideDupsSelect(24)}""".stripMargin,
+
+    // Twin of the joint-modality dedup: pairs that are near-dup in BOTH
+    // the text (minhash) and image (wide pHash) modality — the two pair
+    // CTEs are the shared oracle bodies of dedup_minhash and
+    // mm_phash_dups, intersected on the pair key.
+    "mm_joint_dups" ->
+      s"""WITH $MinhashPairsCtes,
+         |$MmPhashWideCtes,
+         |${wideWordCtes("ge", "npix", "n_px")},
+         |jd AS (${wideDupsSelect(24)})
+         |SELECT m.id_a, m.id_b, m.jaccard, jd.hamming
+         |FROM mh_pairs m JOIN jd ON jd.id_a = m.id_a AND jd.id_b = m.id_b""".stripMargin,
 
     // Twins of the Audio family over the shared AudioSmpCte. Integer-only
     // statistics (energy, peak, sign-flip zero crossings, floor-division

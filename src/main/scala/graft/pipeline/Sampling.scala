@@ -260,4 +260,38 @@ object Sampling {
       .where(col("cum_toks") - col("n_toks") < col("__budget"))
       .select(col(idCol), col(sourceCol), col("n_toks"), col("cum_toks"))
   }
+
+  /** Per-row Bernoulli thinning by an acceptance-probability column —
+    * quality-weighted (importance) downsampling: each row is kept iff its
+    * deterministic uniform draw `u(id) ∈ (0, 1)` falls below
+    * `clamp(prob, 0, 1)`, so acceptance probability IS the column value
+    * (soft quality filtering à la the CCNet perplexity buckets — keep
+    * good documents surely, bad ones rarely — where a hard threshold
+    * would cliff). The draw is the salt-keyed CW hash of the row id: the
+    * decision is a pure row function, reproducible across engines,
+    * layouts, and reruns, and INDEPENDENT of the probability column by
+    * construction (the hash never sees it).
+    *
+    * Emits every row with its draw and decision (`u`, `accept_prob`,
+    * `is_kept`) rather than filtering — callers audit the rejected tail
+    * or chain `.where($"is_kept")`. Null/NaN probabilities keep nothing.
+    *
+    * Scale shape: map-only — no shuffle, no state; at 100 TB this is a
+    * scan-side decision exactly like [[bucketOf]] splits.
+    */
+  def bernoulliByProb(df: DataFrame, idCol: String, probCol: Column,
+      salt: String = "importance"): DataFrame = {
+    val h = (PolyHash(col(idCol).cast("string"), 0L) * saltMult(salt)
+      + saltAdd(salt)) % PolyHash.Mod
+    val u = (h.cast("double") + 0.5) / PolyHash.Mod
+    // NaN must not survive the clamp: both engines order NaN above every
+    // number, so least(greatest(NaN, 0), 1) would silently become 1.0 and
+    // KEEP the row — null it out explicitly instead
+    val pc = probCol.cast("double")
+    val p = when(pc.isNull || isnan(pc), lit(null).cast("double"))
+      .otherwise(least(greatest(pc, lit(0.0)), lit(1.0)))
+    df.withColumn("u", u)
+      .withColumn("accept_prob", p)
+      .withColumn("is_kept", coalesce(col("u") < p, lit(false)))
+  }
 }

@@ -211,4 +211,37 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.weightedSample(bad, "id", "w", n = 10)
       .as[(Long, Option[Double])].collect().toSeq == Seq((1L, Some(5.0))))
   }
+
+  test("bernoulliByProb: keep rate tracks the probability; clamps and NaN/null drop") {
+    val rows = (1L to 4000L).map(i => (i, if (i % 2 == 0) 0.8 else 0.2))
+    val got = Sampling.bernoulliByProb(rows.toDF("id", "p"), "id", col("p"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("u"),
+        r.getAs[Double]("accept_prob"), r.getAs[Boolean]("is_kept")))
+    assert(got.length == 4000, "every row emitted, kept or not")
+    // the draw is independent of p: keep rate per class ~ its probability
+    // (±4σ, σ = √(p(1−p)/2000) ≈ 0.009)
+    val hi = got.filter(_._1 % 2 == 0)
+    val lo = got.filter(_._1 % 2 != 0)
+    assert(math.abs(hi.count(_._4).toDouble / 2000 - 0.8) < 0.04)
+    assert(math.abs(lo.count(_._4).toDouble / 2000 - 0.2) < 0.04)
+    // decision consistency + draw in (0,1)
+    got.foreach { case (_, u, p, kept) =>
+      assert(u > 0 && u < 1 && kept == (u < p)) }
+    // layout invariance: same decisions from a shuffled frame
+    val shuffled = Sampling.bernoulliByProb(
+      rows.reverse.toDF("id", "p").repartition(13), "id", col("p"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_kept")).toMap
+    got.foreach { case (id, _, _, kept) => assert(shuffled(id) == kept) }
+    // clamp above 1 keeps surely, below 0 never; NaN and null keep nothing
+    val edge = Seq((1L, Some(7.0)), (2L, Some(-3.0)), (3L, Some(Double.NaN)),
+      (4L, Option.empty[Double])).toDF("id", "p")
+    val e = Sampling.bernoulliByProb(edge, "id", col("p")).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[java.lang.Double]("accept_prob")),
+          r.getAs[Boolean]("is_kept")))).toMap
+    assert(e(1L) == ((Some(1.0), true)))
+    assert(e(2L) == ((Some(0.0), false)))
+    assert(e(3L)._1.isEmpty && !e(3L)._2, "NaN must not clamp to 1 and keep")
+    assert(e(4L)._1.isEmpty && !e(4L)._2)
+  }
 }
