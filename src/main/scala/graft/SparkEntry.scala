@@ -687,6 +687,14 @@ object SparkEntry {
           col("event_type")).as("series_id"), col("ts"), col("value"))
       SeriesOps.pairCorrelation(p, 86400L * NsPerS)
     }),
+    // lead/lag diagnostic: Pearson corr of (x_t, y_{t+lag·day}) per pair
+    // at lags -3..3 on the shared daily axis
+    "ts_crosscorr" -> ((s, dir) => {
+      val p = Tables(s, dir).eventsUs.where(col("user_id") < 25)
+        .select(concat(lit("shyft://events/u"), col("user_id"), lit("/"),
+          col("event_type")).as("series_id"), col("ts"), col("value"))
+      SeriesOps.crossCorrelation(p, 86400L * NsPerS)
+    }),
     "ts_asof_join" -> ((s, dir) => {
       val e = Tables(s, dir).eventsUs
       val left = e.where(col("event_type") === "click")
@@ -1857,6 +1865,30 @@ object SparkEntry {
          |  FROM nb a JOIN nb c USING (bucket_ts)
          |  WHERE a.series_id < c.series_id GROUP BY 1, 2)
          |SELECT series_a, series_b, n_buckets,
+         |  CASE WHEN CAST(n_buckets AS DOUBLE) * sxx - sx * sx > 0
+         |        AND CAST(n_buckets AS DOUBLE) * syy - sy * sy > 0
+         |    THEN (CAST(n_buckets AS DOUBLE) * sxy - sx * sy)
+         |      / sqrt((CAST(n_buckets AS DOUBLE) * sxx - sx * sx)
+         |           * (CAST(n_buckets AS DOUBLE) * syy - sy * sy)) END AS corr
+         |FROM s""".stripMargin
+    },
+    // Twin of SeriesOps.crossCorrelation(day, maxLag=3): the ts_corr body
+    // with the lag fan-out on the left side of the bucket equi-join.
+    "ts_crosscorr" -> {
+      val day = 86400L * NsPerS
+      s"""WITH points AS (SELECT 'shyft://events/u' || user_id || '/' || event_type AS series_id,
+         |  epoch_ns(ts) AS ts, value FROM events WHERE user_id < 25),
+         |b AS (SELECT series_id, ts - ts % $day AS bucket_ts,
+         |  avg(value) FILTER (WHERE NOT isnan(value)) AS mv FROM points GROUP BY 1, 2),
+         |nb AS (SELECT * FROM b WHERE mv IS NOT NULL),
+         |s AS (SELECT a.series_id AS series_a, c.series_id AS series_b,
+         |  CAST(l.lag AS INTEGER) AS lag,
+         |  count(*) AS n_buckets, sum(a.mv) AS sx, sum(c.mv) AS sy,
+         |  sum(a.mv * a.mv) AS sxx, sum(c.mv * c.mv) AS syy, sum(a.mv * c.mv) AS sxy
+         |  FROM nb a CROSS JOIN range(-3, 4) l(lag)
+         |  JOIN nb c ON c.bucket_ts = a.bucket_ts + l.lag * $day
+         |  WHERE a.series_id < c.series_id GROUP BY 1, 2, 3)
+         |SELECT series_a, series_b, lag, n_buckets,
          |  CASE WHEN CAST(n_buckets AS DOUBLE) * sxx - sx * sx > 0
          |        AND CAST(n_buckets AS DOUBLE) * syy - sy * sy > 0
          |    THEN (CAST(n_buckets AS DOUBLE) * sxy - sx * sy)

@@ -334,6 +334,49 @@ object SeriesOps {
         .as("corr"))
   }
 
+  /** Lagged cross-correlation between series pairs on the shared resampled
+    * axis: Pearson corr of (x_t, y_{t+lag·dt}) for every lag in
+    * [−maxLag, maxLag] — the lead/lag diagnostic ([[pairCorrelation]] is
+    * the lag-0 slice): which sensor leads which, and by how many buckets.
+    * Same moment-sum formulation as the lag-0 operator (one pass per
+    * surviving aligned pair, no per-series collection), pairs ordered
+    * `series_a < series_b` with both signs of lag reported, so the
+    * reverse direction is the mirrored lag. Degenerate windows (either
+    * side constant) yield null corr; n_buckets counts the aligned
+    * buckets actually correlated at that lag.
+    *
+    * Scale shape: the lag fan-out is a 2·maxLag+1 explode on the LEFT
+    * side before the bucket equi-join — the join stays a well-spread
+    * hash join on the time bucket; moments partial-aggregate map-side.
+    */
+  def crossCorrelation(points: DataFrame, dtNs: Long, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val b = resample(points, dtNs)
+      .where(col("mean_value").isNotNull)
+      .select(col("series_id"), col("bucket_ts"), col("mean_value"))
+    val left = b.select(col("series_id").as("series_a"), col("bucket_ts"),
+        col("mean_value").as("__x"))
+      .withColumn("lag", explode(sequence(lit(-maxLag), lit(maxLag))))
+      .withColumn("__bt", col("bucket_ts") + col("lag").cast("long") * dtNs)
+    val right = b.select(col("series_id").as("series_b"),
+      col("bucket_ts").as("__bt"), col("mean_value").as("__y"))
+    val sums = left.join(right, Seq("__bt"))
+      .where(col("series_a") < col("series_b"))
+      .groupBy("series_a", "series_b", "lag")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+    val n = col("n_buckets").cast("double")
+    val vx = n * col("__sxx") - col("__sx") * col("__sx")
+    val vy = n * col("__syy") - col("__sy") * col("__sy")
+    sums.select(col("series_a"), col("series_b"), col("lag"), col("n_buckets"),
+      when(vx > 0 && vy > 0,
+        (n * col("__sxy") - col("__sx") * col("__sy")) / sqrt(vx * vy))
+        .as("corr"))
+  }
+
   /** Exact per-series distribution summary: p50/p90/p99 (linear
     * interpolation — Spark's `percentile` and ANSI `quantile_cont` share
     * the formula) plus the count, over non-NaN values — the latency-style

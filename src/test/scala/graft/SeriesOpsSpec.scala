@@ -167,6 +167,29 @@ class SeriesOpsSpec extends SparkSpec {
     assert(got(("a","d"))._2.isEmpty && got(("b","d"))._2.isEmpty && got(("c","d"))._2.isEmpty)
   }
 
+  test("crossCorrelation: lag-0 slice equals pairCorrelation; a shifted copy peaks at its lag") {
+    // b_t = a_{t-2 buckets}: corr(a_t, b_{t+lag}) is exactly 1 at lag = 2
+    val vals = Seq(1.0, 4.0, 2.0, 8.0, 5.0, 9.0, 3.0, 7.0, 6.0, 0.0)
+    val rows = (vals.zipWithIndex.map { case (v, i) => ("a", i.toLong * 10 * S, v) }
+      ++ vals.zipWithIndex.map { case (v, i) => ("b", (i + 2).toLong * 10 * S, v) })
+      .toDF("series_id", "ts", "value")
+    val got = SeriesOps.crossCorrelation(rows, 10 * S, maxLag = 3).collect()
+      .map(r => r.getAs[Int]("lag") ->
+        ((r.getAs[Long]("n_buckets"), Option(r.getAs[Any]("corr"))))).toMap
+    assert(got.keySet == (-3 to 3).toSet, s"got ${got.keySet}")
+    assert(math.abs(got(2)._2.get.asInstanceOf[Double] - 1.0) < 1e-12,
+      "the planted shift must read corr 1 at lag 2")
+    assert(got(2)._1 == 10L, "all 10 shifted buckets align at lag 2")
+    assert((-3 to 3).filter(_ != 2).forall(l =>
+      got(l)._2.forall(c => math.abs(c.asInstanceOf[Double]) < 0.999)),
+      "no other lag may read a perfect correlation")
+    // lag-0 slice == pairCorrelation on the same frame
+    val lag0 = got(0)
+    val pc = SeriesOps.pairCorrelation(rows, 10 * S).collect().head
+    assert(pc.getAs[Long]("n_buckets") == lag0._1)
+    assert(pc.getAs[Double]("corr") == lag0._2.get.asInstanceOf[Double])
+  }
+
   test("pairCorrelation: only shared resample buckets enter the sums") {
     // a has buckets {0,10,20,30}, b only {10,20}: n_buckets must be 2 and
     // the correlation computed over the shared buckets alone
