@@ -669,6 +669,9 @@ object SparkEntry {
     "ts_trend" -> ((s, dir) => SeriesOps.trend(pts(s, dir))),
     // robust median-of-slopes trend (exact selection medians, pair guard)
     "ts_theilsen" -> ((s, dir) => SeriesOps.theilSen(pts(s, dir))),
+    // nonparametric trend significance (the companion to the Theil-Sen
+    // slope): S-statistic, tie-corrected variance, continuity-corrected z
+    "ts_mannkendall" -> ((s, dir) => SeriesOps.mannKendall(pts(s, dir))),
     "ts_outlier_mad" -> ((s, dir) => SeriesOps.outliersMad(pts(s, dir), 3.5)),
     "ts_ewma" -> ((s, dir) => SeriesOps.ewma(pts(s, dir), alpha = 0.5, window = 16)),
     "ts_changepoint" -> ((s, dir) => SeriesOps.changepoint(pts(s, dir))),
@@ -1773,6 +1776,36 @@ object SparkEntry {
     // Twin of SeriesOps.theilSen: the same t1 < t2 pair slopes, the same
     // explicit selection median (rows (n+1)//2 and n//2+1 of the sorted
     // multiset, averaged), residual median for the intercept.
+    // Twin of SeriesOps.mannKendall: integer S over time-ordered pairs,
+    // tie-corrected variance, continuity-corrected z, 5% two-sided trend.
+    "ts_mannkendall" ->
+      s"""WITH points AS ($PointsCte),
+         |p AS (SELECT series_id, ts, value FROM points WHERE NOT isnan(value)),
+         |s AS (SELECT a.series_id,
+         |  CAST(sum(CAST(sign(b.value - a.value) AS BIGINT)) AS BIGINT) AS s_stat
+         |  FROM p a JOIN p b ON a.series_id = b.series_id AND a.ts < b.ts
+         |  GROUP BY 1),
+         |nt AS (SELECT series_id, CAST(count(*) AS BIGINT) AS n_points FROM p GROUP BY 1),
+         |tt AS (SELECT series_id, sum(tk * (tk - 1) * (tk * 2 + 5)) AS tie_term FROM (
+         |  SELECT series_id, CAST(count(*) AS BIGINT) AS tk FROM p GROUP BY series_id, value)
+         |  WHERE tk > 1 GROUP BY 1),
+         |v AS (SELECT nt.series_id, nt.n_points,
+         |  coalesce(s.s_stat, CAST(0 AS BIGINT)) AS s_stat,
+         |  CAST(nt.n_points * (nt.n_points - 1) * (nt.n_points * 2 + 5)
+         |    - coalesce(tt.tie_term, CAST(0 AS BIGINT)) AS DOUBLE)
+         |    / CAST(18 AS DOUBLE) AS var_s
+         |  FROM nt LEFT JOIN s ON s.series_id = nt.series_id
+         |  LEFT JOIN tt ON tt.series_id = nt.series_id),
+         |zt AS (SELECT series_id, n_points, s_stat, var_s,
+         |  CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+         |       WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+         |       ELSE CAST(0 AS DOUBLE) END AS z FROM v)
+         |SELECT series_id, n_points, s_stat, var_s, z,
+         |  CASE WHEN z > CAST(1.96 AS DOUBLE) THEN 'increasing'
+         |       WHEN z < CAST(-1.96 AS DOUBLE) THEN 'decreasing'
+         |       ELSE 'none' END AS trend
+         |FROM zt""".stripMargin,
+
     "ts_theilsen" ->
       s"""WITH points AS ($PointsCte),
          |p AS (SELECT series_id, ts / 1e9 AS t, value AS y FROM points

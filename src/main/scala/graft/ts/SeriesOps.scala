@@ -769,6 +769,66 @@ object SeriesOps {
       .select("series_id", "n_points", "n_pairs", "slope", "intercept")
   }
 
+  /** Mann–Kendall trend test per series (Mann 1945; Kendall 1975) — the
+    * nonparametric SIGNIFICANCE companion to [[theilSen]]'s slope: S =
+    * Σ_{i<j} sign(v_j − v_i) over time-ordered pairs, Var(S) =
+    * (n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)) / 18 with the standard tied-
+    * value correction, and the continuity-corrected z = (S∓1)/√Var(S).
+    * Distribution-free (no normality assumption), insensitive to
+    * outliers — the standard "is this sensor actually drifting"
+    * hypothesis test. `trend` applies the two-sided 5% level (|z| >
+    * 1.96). Everything up to the final division is exact integer
+    * arithmetic, so the statistic is bit-reproducible cross-engine.
+    *
+    * Same quadratic-pair contract as [[theilSen]]: fails fast above
+    * `maxPoints` with a downsample hint. Pairs at identical timestamps
+    * are excluded (no defined order), matching the slope operator.
+    */
+  def mannKendall(points: DataFrame, maxPoints: Int = 10000): DataFrame = {
+    require(maxPoints >= 2, s"mannKendall needs maxPoints >= 2, got $maxPoints")
+    val p0 = points.where(notNan(col("value")))
+      .select(col("series_id"), col("ts"), col("value").as("__y"))
+    val p = p0.withColumn("__n", count(lit(1)).over(bySeries))
+      .withColumn("ts",
+        when(col("__n") > maxPoints, raise_error(format_string(
+          s"mannKendall: series %s has %s points > maxPoints $maxPoints — " +
+            "the pair statistic is quadratic; downsample (resample/rdp) first",
+          col("series_id"), col("__n"))))
+          .otherwise(col("ts")))
+      .drop("__n")
+    val a = p.select(col("series_id"), col("ts").as("__t1"), col("__y").as("__y1"))
+    val b = p.select(col("series_id"), col("ts").as("__t2"), col("__y").as("__y2"))
+    val s = a.join(b, Seq("series_id"))
+      .where(col("__t1") < col("__t2"))
+      .groupBy("series_id")
+      .agg(sum(signum(col("__y2") - col("__y1")).cast("long")).as("s_stat"))
+    val nTab = p.groupBy("series_id").agg(count(lit(1)).as("n_points"))
+    val ties = p.groupBy(col("series_id"), col("__y"))
+      .agg(count(lit(1)).as("__tk"))
+      .where(col("__tk") > 1)
+      .groupBy("series_id")
+      .agg(sum(col("__tk") * (col("__tk") - 1) * (col("__tk") * 2 + 5))
+        .as("__tie_term"))
+    val n = col("n_points")
+    val varS = ((n * (n - 1) * (n * 2 + 5) - coalesce(col("__tie_term"), lit(0L)))
+      .cast("double") / 18.0)
+    val withV = nTab
+      .join(s, Seq("series_id"), "left")
+      .join(ties, Seq("series_id"), "left")
+      .select(col("series_id"), col("n_points"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"), varS.as("var_s"))
+    val z = when(col("s_stat") > 0,
+        (col("s_stat") - 1).cast("double") / sqrt(col("var_s")))
+      .when(col("s_stat") < 0,
+        (col("s_stat") + 1).cast("double") / sqrt(col("var_s")))
+      .otherwise(lit(0.0))
+    withV.withColumn("z", z)
+      .withColumn("trend",
+        when(col("z") > 1.96, "increasing")
+          .when(col("z") < -1.96, "decreasing")
+          .otherwise("none"))
+  }
+
   /** Exact interpolation-free median per series: the average of the sorted
     * multiset's rows (n+1) div 2 and n div 2 + 1 (the same row twice when n
     * is odd) — explicit selection arithmetic both engines reproduce

@@ -190,6 +190,48 @@ class SeriesOpsSpec extends SparkSpec {
     assert(pc.getAs[Double]("corr") == lag0._2.get.asInstanceOf[Double])
   }
 
+  test("mannKendall: brute S/var/z parity, monotone and constant edges, tie correction") {
+    def brute(vals: Seq[Double]): (Long, Double, Double) = {
+      val n = vals.length
+      var s = 0L
+      for (i <- 0 until n; j <- i + 1 until n)
+        s += math.signum(vals(j) - vals(i)).toLong
+      val tie = vals.groupBy(identity).values.map(_.length.toLong)
+        .filter(_ > 1).map(t => t * (t - 1) * (t * 2 + 5)).sum
+      val v = (n.toLong * (n - 1) * (n.toLong * 2 + 5) - tie).toDouble / 18.0
+      val z = if (s > 0) (s - 1).toDouble / math.sqrt(v)
+        else if (s < 0) (s + 1).toDouble / math.sqrt(v) else 0.0
+      (s, v, z)
+    }
+    val rnd = new scala.util.Random(5)
+    val series = Map(
+      "up" -> (0 until 30).map(_.toDouble * 2 + 1),
+      "down" -> (0 until 30).map(i => 100.0 - 3 * i),
+      "const" -> Seq.fill(20)(7.0),
+      "tied" -> (0 until 40).map(_ => rnd.nextInt(4).toDouble),
+      "noise" -> (0 until 40).map(_ => rnd.nextDouble() * 10))
+    val rows = series.toSeq.flatMap { case (id, vs) =>
+      vs.zipWithIndex.map { case (v, i) => (id, i.toLong * S, v) }
+    }.toDF("series_id", "ts", "value")
+    val got = SeriesOps.mannKendall(rows).collect()
+      .map(r => r.getAs[String]("series_id") ->
+        ((r.getAs[Long]("n_points"), r.getAs[Long]("s_stat"),
+          r.getAs[Double]("var_s"), r.getAs[Double]("z"),
+          r.getAs[String]("trend")))).toMap
+    series.foreach { case (id, vs) =>
+      val (s, v, z) = brute(vs)
+      val g = got(id)
+      assert(g._1 == vs.length.toLong && g._2 == s, s"$id S")
+      assert(g._3 == v, s"$id var")
+      assert(math.abs(g._4 - z) < 1e-12, s"$id z")
+    }
+    assert(got("up")._2 == 30L * 29 / 2 && got("up")._5 == "increasing")
+    assert(got("down")._5 == "decreasing")
+    // all-tied series: S = 0 AND the tie correction zeroes the variance
+    assert(got("const")._2 == 0L && got("const")._3 == 0.0
+      && got("const")._4 == 0.0 && got("const")._5 == "none")
+  }
+
   test("pairCorrelation: only shared resample buckets enter the sums") {
     // a has buckets {0,10,20,30}, b only {10,20}: n_buckets must be 2 and
     // the correlation computed over the shared buckets alone
