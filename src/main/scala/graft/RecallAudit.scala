@@ -104,7 +104,17 @@ object RecallAudit {
           s"srp_mp_nprobe$np" -> recall(pairs(
             Similarity.srpTopKMultiprobe(q, e, k = 3, planes = 6, nprobe = np)))) ++
         Seq(2, 3, 4).map(p =>
-          s"srp_planes$p" -> recall(pairs(Similarity.srpTopK(q, e, k = 3, planes = p))))
+          s"srp_planes$p" -> recall(pairs(Similarity.srpTopK(q, e, k = 3, planes = p)))) ++
+        // PQ family: recall against the cosine brute measures how well the
+        // COMPRESSED index reproduces the true neighbors (ADC ranks by
+        // approximate L2 — the metric mismatch is part of what is audited)
+        Seq(2, 4).map(m =>
+          s"pq_m${m}_k8" -> recall(pairs(
+            Similarity.pqTopK(q, e, topK = 3, m = m, kc = 8)))) ++
+        Seq("ivfpq_np3_m2_k8" -> recall(pairs(
+          Similarity.ivfPqTopK(q, e, k = 3, nprobe = 3, m = 2, kc = 8)))) ++
+        Seq("pq_m2_k8_rr50" -> recall(pairs(
+          Similarity.pqTopKRerank(q, e, topK = 3, candidates = 50, m = 2, kc = 8))))
       val js = r.map { case (k2, v) => f""""$k2":$v%.4f""" }.mkString(",")
       println(s"""{"sf":"$sfDir","k":3,"n_brute":${brute.size},"n_cells":$nCells,$js}""")
     }
@@ -123,7 +133,18 @@ object RecallAudit {
         "ivf_nprobe2" -> recall(pairs(Similarity.ivfTopK(q, c, k = 5, nprobe = 2))),
         "srp_planes4" -> recall(pairs(Similarity.srpTopK(q, c, k = 5, planes = 4))),
         "srp_mp_planes4_nprobe3" -> recall(pairs(
-          Similarity.srpTopKMultiprobe(q, c, k = 5, planes = 4, nprobe = 3))))
+          Similarity.srpTopKMultiprobe(q, c, k = 5, planes = 4, nprobe = 3))),
+        "pq_m2_k8" -> recall(pairs(
+          Similarity.pqTopK(q, c, topK = 5, m = 2, kc = 8))),
+        "ivfpq_np2_m2_k8" -> recall(pairs(
+          Similarity.ivfPqTopK(q, c, k = 5, nprobe = 2, m = 2, kc = 8))),
+        "pq_m2_k8_rr50" -> recall(pairs(
+          Similarity.pqTopKRerank(q, c, topK = 5, candidates = 50, m = 2, kc = 8))),
+        // same-code ADC ties break by id, so a shortlist smaller than the
+        // tie group truncates it arbitrarily — the candidate depth must
+        // cover the largest code-cell (here two merged clusters ~100)
+        "pq_m2_k8_rr100" -> recall(pairs(
+          Similarity.pqTopKRerank(q, c, topK = 5, candidates = 100, m = 2, kc = 8))))
       val js = r.map { case (k2, v) => f""""$k2":$v%.4f""" }.mkString(",")
       println(s"""{"sf":"clustered_8x50","k":5,"n_brute":${brute.size},$js}""")
     }

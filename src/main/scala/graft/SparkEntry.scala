@@ -208,6 +208,32 @@ object SparkEntry {
        |${assign("af", s"c$iters")}""".stripMargin
   }
 
+  /** Shared ADC chain for the PQ twins, ending in `ad(query_id,
+    * neighbor_id, adc_dist)` (self excluded) plus the corpus CTE `e` —
+    * one definition used by sim_pq_topk and sim_pq_rerank so the
+    * shortlist arithmetic cannot drift between them.
+    */
+  private lazy val PqAdcCtes: String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |e0 AS (SELECT vec_id, v[1:32] AS v FROM e),
+       |e1 AS (SELECT vec_id, v[33:64] AS v FROM e),
+       |${kmeansChain("q0_", "e0", k = 4, oversample = 4, iters = 1)},
+       |${kmeansChain("q1_", "e1", k = 4, oversample = 4, iters = 1)},
+       |dt0 AS (SELECT q.vec_id AS query_id, c.cluster,
+       |  list_sum(list_transform(range(1, len(q.v) + 1),
+       |    i -> (q.v[i] - c.centroid[i]) * (q.v[i] - c.centroid[i]))) AS d
+       |  FROM (SELECT vec_id, v FROM e0 WHERE vec_id < 5) q CROSS JOIN q0_c1 c),
+       |dt1 AS (SELECT q.vec_id AS query_id, c.cluster,
+       |  list_sum(list_transform(range(1, len(q.v) + 1),
+       |    i -> (q.v[i] - c.centroid[i]) * (q.v[i] - c.centroid[i]))) AS d
+       |  FROM (SELECT vec_id, v FROM e1 WHERE vec_id < 5) q CROSS JOIN q1_c1 c),
+       |sc AS (SELECT a.vec_id AS neighbor_id, a.cluster AS c0, b.cluster AS c1
+       |  FROM q0_af a JOIN q1_af b USING (vec_id)),
+       |ad AS (SELECT dt0.query_id, sc.neighbor_id, dt0.d + dt1.d AS adc_dist
+       |  FROM sc JOIN dt0 ON dt0.cluster = sc.c0
+       |  JOIN dt1 ON dt1.cluster = sc.c1 AND dt1.query_id = dt0.query_id
+       |  WHERE sc.neighbor_id <> dt0.query_id)""".stripMargin
+
   /** DuckDB twin of the EN stopword list TextOps.qualityScore screens by. */
   private val EnStopSql =
     "['the','a','of','and','to','in','is','that','it','for']"
@@ -897,6 +923,13 @@ object SparkEntry {
     "sim_ivfpq_topk" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
       Similarity.ivfPqTopK(e.where(col("vec_id") < 5), e, k = 3, nprobe = 3)
+    }),
+    // ADC shortlist + exact cosine re-rank of the top-20 candidates: the
+    // refinement step that restores recall at small code sizes
+    "sim_pq_rerank" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.pqTopKRerank(e.where(col("vec_id") < 5), e, topK = 3,
+        candidates = 20)
     }),
 
     // ---- per-doc top TF-IDF terms ----
@@ -3254,28 +3287,30 @@ object SparkEntry {
     // (q{j}_c1), scored through the codes alone (q{j}_af.cluster), ranked
     // (adc asc, id asc) with self excluded.
     "sim_pq_topk" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |e0 AS (SELECT vec_id, v[1:32] AS v FROM e),
-         |e1 AS (SELECT vec_id, v[33:64] AS v FROM e),
-         |${kmeansChain("q0_", "e0", k = 4, oversample = 4, iters = 1)},
-         |${kmeansChain("q1_", "e1", k = 4, oversample = 4, iters = 1)},
-         |dt0 AS (SELECT q.vec_id AS query_id, c.cluster,
-         |  list_sum(list_transform(range(1, len(q.v) + 1),
-         |    i -> (q.v[i] - c.centroid[i]) * (q.v[i] - c.centroid[i]))) AS d
-         |  FROM (SELECT vec_id, v FROM e0 WHERE vec_id < 5) q CROSS JOIN q0_c1 c),
-         |dt1 AS (SELECT q.vec_id AS query_id, c.cluster,
-         |  list_sum(list_transform(range(1, len(q.v) + 1),
-         |    i -> (q.v[i] - c.centroid[i]) * (q.v[i] - c.centroid[i]))) AS d
-         |  FROM (SELECT vec_id, v FROM e1 WHERE vec_id < 5) q CROSS JOIN q1_c1 c),
-         |sc AS (SELECT a.vec_id AS neighbor_id, a.cluster AS c0, b.cluster AS c1
-         |  FROM q0_af a JOIN q1_af b USING (vec_id)),
-         |ad AS (SELECT dt0.query_id, sc.neighbor_id, dt0.d + dt1.d AS adc_dist
-         |  FROM sc JOIN dt0 ON dt0.cluster = sc.c0
-         |  JOIN dt1 ON dt1.cluster = sc.c1 AND dt1.query_id = dt0.query_id
-         |  WHERE sc.neighbor_id <> dt0.query_id)
+      s"""WITH $PqAdcCtes
          |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, adc_dist FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rank FROM ad)
+         |WHERE rank <= 3""".stripMargin,
+
+    // Twin of Similarity.pqTopKRerank(topK=3, candidates=20): the shared
+    // ADC chain shortlists 20 per query, then ONLY those rows' raw
+    // vectors are exactly cosine-ranked.
+    "sim_pq_rerank" ->
+      s"""WITH $PqAdcCtes,
+         |sl AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist ASC, neighbor_id ASC) AS arank FROM ad)
+         |  WHERE arank <= 20),
+         |rr AS (SELECT sl.query_id, sl.neighbor_id,
+         |  list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) /
+         |    (sqrt(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i]))) *
+         |     sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos_sim
+         |  FROM sl JOIN e q ON q.vec_id = sl.query_id
+         |  JOIN e c ON c.vec_id = sl.neighbor_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM rr)
          |WHERE rank <= 3""".stripMargin,
 
     // Twin of Similarity.ivfPqTopK(k=3, nprobe=3, m=2, kc=4, iters=1):

@@ -267,6 +267,12 @@ class SimilaritySpec extends SparkSpec {
     assert(rIvf >= 0.9, s"ivfTopK recall@5 $rIvf < 0.9")
     assert(rSrp >= 0.9, s"srpTopK recall@5 $rSrp < 0.9")
     assert(rMp >= 0.9, s"srpTopKMultiprobe recall@5 $rMp < 0.9")
+    // PQ serving shape: the exact re-rank over a tie-group-covering
+    // shortlist restores the compressed index to full recall (raw ADC at
+    // this code size measures 0.28 — RecallAudit records the ladder)
+    val rPq = recall(pairs(
+      Similarity.pqTopKRerank(q, c, topK = 5, candidates = 100, m = 2, kc = 8)))
+    assert(rPq >= 0.9, s"pqTopKRerank recall@5 $rPq < 0.9")
   }
 
   test("ANN recall floor: >= 0.8 on the mid-separation overlapping corpus") {
