@@ -1023,6 +1023,17 @@ object SparkEntry {
       Sessionize.sessionWindows(Tables(s, dir).eventsUs, "30 minutes")),
     // ordered funnel: earliest signup, first click strictly after it,
     // first purchase strictly after that
+    // experiment measurement: hash-assigned 50/50 arms, per-user
+    // big-purchase conversion (every fixture user makes SOME purchase, so
+    // the raw flag is degenerate — pooled p = 1, se = 0), pooled
+    // two-proportion z
+    "events_ab_test" -> ((s, dir) =>
+      graft.ops.Experiment.abTest(Tables(s, dir).events, "user_id",
+        col("event_type") === "purchase" && col("value") > 150)),
+    // engagement dashboard triple: DAU, trailing-7-day WAU, stickiness —
+    // the rolling distinct via bounded fan-out, never a stateful window
+    "events_active_users" -> ((s, dir) =>
+      graft.ops.Retention.activeUsers(Tables(s, dir).events)),
     "events_funnel" -> ((s, dir) =>
       graft.ops.Funnel.funnel(Tables(s, dir).eventsUs,
         Seq("signup", "click", "purchase"))),
@@ -2769,6 +2780,50 @@ object SparkEntry {
         |FROM x GROUP BY 1, 2""".stripMargin,
     // Twin of Funnel.funnel: each stage is the min event time of its type
     // strictly after the previous stage, per user.
+    // Twin of Experiment.abTest(user_id, purchase, salt="abtest"): the
+    // bucketOf CW draw, 50/50 arm split, integer conditional sums, the
+    // pooled two-proportion z with the identical expression tree.
+    "events_ab_test" ->
+      s"""WITH u AS (SELECT user_id,
+         |  max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv
+         |  FROM events GROUP BY 1),
+         |a AS (SELECT conv, CASE WHEN ((${phSql("CAST(user_id AS VARCHAR)", "0")}
+         |    * ${Sampling.saltMult("abtest")} + ${Sampling.saltAdd("abtest")})
+         |    % 1000000007) % 10000 < 5000 THEN 'A' ELSE 'B' END AS arm FROM u),
+         |g AS (SELECT
+         |  CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |  CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         |  CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |  CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+         |  FROM a),
+         |se AS (SELECT n_a, conv_a, n_b, conv_b,
+         |  sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+         |    * (CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+         |    * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) AS s
+         |  FROM g),
+         |z AS (SELECT n_a, conv_a, n_b, conv_b,
+         |  CAST(conv_a AS DOUBLE) / n_a AS p_a,
+         |  CAST(conv_b AS DOUBLE) / n_b AS p_b,
+         |  CASE WHEN n_a > 0 AND n_b > 0 AND s > CAST(0 AS DOUBLE)
+         |    THEN (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) / s
+         |  END AS z
+         |  FROM se)
+         |SELECT n_a, conv_a, n_b, conv_b, p_a, p_b, z,
+         |  coalesce(abs(z) > CAST(1.96 AS DOUBLE), false) AS significant FROM z""".stripMargin,
+
+    // Twin of Retention.activeUsers(window=7): floor-division day, the
+    // distinct (user, day) fan-out to 7 target days, re-dedup, join.
+    "events_active_users" ->
+      s"""WITH ud AS (SELECT DISTINCT user_id,
+         |  epoch_ns(ts) // ${86400L * NsPerS} AS day FROM events),
+         |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+         |c AS (SELECT DISTINCT ud.day + r.o AS day, user_id
+         |  FROM ud CROSS JOIN range(0, 7) r(o)),
+         |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau FROM c GROUP BY 1)
+         |SELECT dau.day, dau.dau, wau.wau,
+         |  CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+         |FROM dau JOIN wau USING (day)""".stripMargin,
+
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
         |s1 AS (SELECT user_id, min(ts) AS t_1 FROM e WHERE event_type = 'signup' GROUP BY 1),

@@ -36,4 +36,40 @@ object Retention {
       .groupBy(col("cohort_day"), (col("__day") - col("cohort_day")).as("day_offset"))
       .agg(count_distinct(col(userCol)).as("n_users"))
   }
+
+  /** Rolling active-user metrics per UTC day: DAU (distinct users that
+    * day), trailing-`window`-day WAU (distinct users across the day and
+    * the window−1 days before it), and DAU/WAU stickiness — the
+    * engagement dashboard triple. Only days with actual activity are
+    * emitted; early days carry partial (shorter) trailing windows, the
+    * standard convention.
+    *
+    * The trailing distinct is computed WITHOUT a sliding distinct window
+    * (which would hold per-day user sets in executor state): each
+    * distinct (user, day) pair fans out to the `window` target days it
+    * covers, the pair stream is re-deduplicated on (target_day, user) —
+    * a user active twice inside one window still counts once — and the
+    * count is a plain partial-combined aggregate. Scale shape: two
+    * distinct-aggregates and one bounded explode (fan-out = window), all
+    * keyed on well-spread (day, user) pairs; no windows, no state.
+    */
+  def activeUsers(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", window: Int = 7,
+      dayNs: Long = 86400L * 1000 * 1000 * 1000): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(dayNs > 0, s"dayNs must be positive, got $dayNs")
+    val ud = events
+      .select(col(userCol).as("__u"),
+        expr(s"(`$tsCol` - pmod(`$tsCol`, $dayNs)) div $dayNs").as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(explode(sequence(col("day"), col("day") + (window - 1)))
+        .as("day"), col("__u"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau")).as("stickiness"))
+  }
 }
