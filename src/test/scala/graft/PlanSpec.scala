@@ -350,6 +350,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("quantile sketch gets WindowGroupLimit pushdown: <= k rows per group per map partition") {
+    // the bounded-synopsis property: the rank-k sample filter must prune
+    // each map partition BEFORE the window shuffle, exactly like KMV
+    val plan = planOf(SparkEntry.queries("sketch_quantile")(spark, sfDir))
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
+  test("PQ scoring broadcasts the metadata sides; the code table is never the build input of a shuffle join") {
+    // the ADC scale claim: per-query distance tables (|q|·kc rows) and
+    // centroid tables broadcast; corpus-scale frames only ever stream
+    // through BroadcastHashJoins on the scoring path
+    val plan = planOf(SparkEntry.queries("sim_pq_topk")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("bernoulli thinning is map-only: no shuffle, no join") {
+    val plan = planOf(SparkEntry.queries("sample_importance")(spark, sfDir))
+    assert(!plan.contains("Exchange"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
   test("whole-stage codegen covers the relational anchors") {
     val df = SparkEntry.queries("q1_agg")(spark, sfDir)
     df.collect() // AQE finalizes the plan on execution
