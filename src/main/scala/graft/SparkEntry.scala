@@ -908,6 +908,13 @@ object SparkEntry {
     // matrix-free top-PC power iteration over the embedding corpus
     "vec_pca" -> ((s, dir) =>
       Similarity.pcaTop(Tables(s, dir).embeddings, iters = 8)),
+    // Matryoshka truncation-recall curve: top-3 from the first d dims
+    // scored against the full-dim top-3
+    "vec_truncation_recall" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.truncationRecall(e.where(col("vec_id") < 5), e, k = 3,
+        dims = Seq(8, 16, 32, 64))
+    }),
     // product quantization: 2 subspaces x 4-centroid codebooks — codes +
     // exact reconstruction error per vector
     "vec_pq" -> ((s, dir) =>
@@ -3336,6 +3343,36 @@ object SparkEntry {
          |SELECT a.vec_id, [a.cluster, b.cluster] AS codes,
          |  a.dist + b.dist AS sq_err
          |FROM q0_af a JOIN q1_af b USING (vec_id)""".stripMargin,
+
+    // Twin of Similarity.truncationRecall(k=3, dims=8/16/32/64): one
+    // brute top-3 CTE per prefix length (cosine over the first d entries,
+    // self excluded, (cos desc, id asc)), matched against the full-dim
+    // reference t64; recall = matched / reference as one exact division.
+    "vec_truncation_recall" -> {
+      def tk(d: Int) =
+        s"""t$d AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT q.query_id, c.vec_id AS neighbor_id,
+           |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+           |      list_sum(list_transform(range(1, ${d + 1}), i -> q.v[i] * c.v[i])) /
+           |      (sqrt(list_sum(list_transform(range(1, ${d + 1}), i -> q.v[i] * q.v[i]))) *
+           |       sqrt(list_sum(list_transform(range(1, ${d + 1}), i -> c.v[i] * c.v[i])))) DESC,
+           |      c.vec_id ASC) AS rank
+           |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id) WHERE rank <= 3)""".stripMargin
+      val dims = Seq(8, 16, 32, 64)
+      def matched(d: Int) =
+        s"""(SELECT count(*) FROM t$d tr JOIN t64 rf
+           |   ON tr.query_id = rf.query_id AND tr.neighbor_id = rf.neighbor_id)""".stripMargin
+      val rows = dims.map(d =>
+        s"""SELECT CAST($d AS INTEGER) AS dim_kept, nref.n AS n_ref,
+           |  CAST(${matched(d)} AS BIGINT) AS n_matched,
+           |  CAST(${matched(d)} AS DOUBLE) / nref.n AS recall
+           |FROM nref""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+         |${dims.map(tk).mkString(",\n")},
+         |nref AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t64)
+         |$rows""".stripMargin
+    },
 
     // Twin of Similarity.pqTopK(topK=3, m=2, kc=4, iters=1): the same two
     // subspace chains; per-query ADC tables against the final centroids

@@ -482,6 +482,43 @@ object Similarity {
       .select("cell", "id_a", "id_b", "cos_sim")
   }
 
+  /** Dimension-truncation recall curve (the Matryoshka-representation
+    * evaluation, Kusupati et al. 2022): for each prefix length d, the
+    * top-k cosine neighbors computed from ONLY the first d dimensions,
+    * scored by recall against the full-dimension top-k. This is the
+    * measurement behind "can we serve the 64-dim embedding at 16 dims" —
+    * a 4× index-size/bandwidth cut if the low dimensions carry the
+    * ranking — and the honest answer is a curve, not an assumption. (On
+    * non-MRL-trained embeddings the curve degrades fast; that IS the
+    * finding.)
+    *
+    * Scale shape: one brute top-k per prefix length over SLICED vectors
+    * (broadcast query set, one corpus pass each — same shape as
+    * [[bruteForceTopK]]); the recall join touches only |q|·k pairs per
+    * length. Counts are exact integers; the recall division happens once
+    * per output row on metadata the driver already holds.
+    */
+  def truncationRecall(queries: DataFrame, corpus: DataFrame, k: Int,
+      dims: Seq[Int], idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), s"bad prefix lengths $dims")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def sliced(df: DataFrame, d: Int): DataFrame =
+      df.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+    val full = bruteForceTopK(queries, corpus, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val nRef = full.count()
+    val rows = dims.sorted.map { d =>
+      val tr = bruteForceTopK(sliced(queries, d), sliced(corpus, d), k,
+          idCol, vecCol)
+        .select(col("query_id"), col("neighbor_id"))
+      val matched = tr.join(full, Seq("query_id", "neighbor_id")).count()
+      (d, nRef, matched, matched.toDouble / nRef)
+    }
+    rows.toDF("dim_kept", "n_ref", "n_matched", "recall")
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): embedding-space semantic
     * dedup by k-means clustering + within-cluster cosine pruning. Lexical

@@ -480,6 +480,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("truncationRecall: full prefix is exactly 1; an informative prefix recovers it; a dead prefix doesn't") {
+    // signal lives ONLY in dims 1-2; dims 3-8 are ZERO (a constant
+    // non-zero plateau would still shift every cosine through the norms),
+    // so the 2-dim prefix reproduces the full ranking exactly while the
+    // 1-dim prefix of all-positive values makes every cosine 1 and
+    // collapses the ranking to the id tie-break
+    val vecs: Seq[(Long, Array[Float])] = (0L until 40L).map { i =>
+      val a = ((i * 37) % 100).toFloat / 100f + 0.01f
+      val b = ((i * 61) % 100).toFloat / 100f + 0.01f
+      i -> (Array(a, b) ++ Array.fill(6)(0f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 4)
+    val got = Similarity.truncationRecall(q, df, k = 3, dims = Seq(1, 2, 8))
+      .collect().map(r => r.getAs[Int]("dim_kept") ->
+        ((r.getAs[Long]("n_ref"), r.getAs[Long]("n_matched"),
+          r.getAs[Double]("recall")))).toMap
+    assert(got.keySet == Set(1, 2, 8))
+    assert(got.values.forall(_._1 == 12L), "4 queries x k=3 reference pairs")
+    assert(got(8) == ((12L, 12L, 1.0)), "the full prefix IS the reference")
+    assert(got(2)._3 == 1.0, "dims 1-2 carry all the signal")
+    assert(got(1)._3 < 1.0, "the 1-dim prefix must lose ranking information")
+    got.foreach { case (_, (n, m, r)) => assert(r == m.toDouble / n) }
+  }
+
   test("pcaTop rejects a zero-variance corpus instead of dividing by zero") {
     val df = Seq((1L, Array(1f, 2f)), (2L, Array(1f, 2f)))
       .toDF("vec_id", "embedding")
