@@ -1355,6 +1355,17 @@ object SparkEntry {
       pts(s, dir).createOrReplaceTempView("graft_sql_points")
       s.sql("SELECT * FROM graft_resample('graft_sql_points', 86400000000000)")
     }),
+    "sql_quantile_sketch" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_sql_events")
+      s.sql("SELECT * FROM graft_quantile_sketch('graft_sql_events', 64, " +
+        "'event_type', 'event_id', 'value')")
+    }),
+    "sql_semantic_dedup" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).embeddings.createOrReplaceTempView("graft_sql_embeddings")
+      s.sql("SELECT * FROM graft_semantic_dedup('graft_sql_embeddings', 0.4, 8, 2)")
+    }),
     "sql_dedup_clusters" -> ((s, dir) => {
       graft.core.GraftTableFunctions.registerAll(s)
       Tables(s, dir).documents.createOrReplaceTempView("graft_sql_documents")
@@ -1386,6 +1397,9 @@ object SparkEntry {
       "sql_bm25" -> base("text_bm25"),
       "sql_resample" -> base("ts_resample"),
       "sql_dedup_clusters" -> base("dedup_clusters"),
+      // the TVF surface must splice the SAME plans as the Scala calls
+      "sql_quantile_sketch" -> base("sketch_quantile"),
+      "sql_semantic_dedup" -> base("dedup_semantic"),
       // incremental maintenance must equal the full recompute exactly
       "dedup_incremental" -> base("dedup_clusters"),
       // the streaming face scores pairs with the batch kernel's arithmetic

@@ -72,6 +72,14 @@ object GraftTableFunctions {
   private def intArg(e: Expression, what: String): Int =
     longArg(e, what).toInt
 
+  private def doubleArg(e: Expression, what: String): Double = e match {
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Double, org.apache.spark.sql.types.DoubleType) => v
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
   private def rel(name: String): DataFrame = SparkSession.active.table(name)
 
   private def plan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
@@ -97,7 +105,22 @@ object GraftTableFunctions {
       info("graft_dedup_clusters",
         "graft_dedup_clusters(table) - MinHash-LSH near-duplicate cluster labels"),
       (exprs: Seq[Expression]) => plan(graft.pipeline.Components.dedupClusters(
-        rel(strArg(exprs(0), "table name")))))
+        rel(strArg(exprs(0), "table name"))))),
+    (FunctionIdentifier("graft_quantile_sketch"),
+      info("graft_quantile_sketch",
+        "graft_quantile_sketch(table, k, group_col, key_col, value_col) - " +
+          "mergeable bottom-k sample quantiles per group"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Sketches.quantileSketch(
+        rel(strArg(exprs(0), "table name")), intArg(exprs(1), "k"),
+        Seq(strArg(exprs(2), "group column")), strArg(exprs(3), "key column"),
+        strArg(exprs(4), "value column")))),
+    (FunctionIdentifier("graft_semantic_dedup"),
+      info("graft_semantic_dedup",
+        "graft_semantic_dedup(table, threshold, k, iters) - SemDeDup-style " +
+          "embedding dedup: kmeans cells + within-cell cosine pruning"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Similarity.semanticDedup(
+        rel(strArg(exprs(0), "table name")), doubleArg(exprs(1), "threshold"),
+        intArg(exprs(2), "k"), intArg(exprs(3), "iters"))))
   )
 
   /** Register every table function on an already-built session. */

@@ -58,6 +58,30 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rowsOf(viaSql) == rowsOf(direct))
   }
 
+  test("graft_quantile_sketch(view, k, cols...) == Sketches.quantileSketch") {
+    GraftTableFunctions.registerAll(spark)
+    val e = Tables(spark, sfDir).events
+    e.createOrReplaceTempView("sqlspec_events_q")
+    val viaSql = spark.sql("SELECT * FROM graft_quantile_sketch(" +
+      "'sqlspec_events_q', 64, 'event_type', 'event_id', 'value')")
+    val direct = graft.pipeline.Sketches.quantileSketch(e, 64,
+      Seq("event_type"), "event_id", "value")
+    assert(viaSql.columns.toSeq == direct.columns.toSeq)
+    assert(rowsOf(viaSql) == rowsOf(direct))
+  }
+
+  test("graft_semantic_dedup(view, threshold, k, iters) == Similarity.semanticDedup") {
+    GraftTableFunctions.registerAll(spark)
+    val e = Tables(spark, sfDir).embeddings
+    e.createOrReplaceTempView("sqlspec_embeddings")
+    // a DECIMAL threshold literal (what SQL `0.4` parses to) must coerce
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_semantic_dedup('sqlspec_embeddings', 0.4, 8, 2)")
+    val direct = graft.pipeline.Similarity.semanticDedup(e, 0.4, k = 8, iters = 2)
+    assert(viaSql.columns.toSeq == direct.columns.toSeq)
+    assert(rowsOf(viaSql) == rowsOf(direct))
+  }
+
   test("SQL surface composes: TVF result is a normal relation (filter + agg)") {
     GraftTableFunctions.registerAll(spark)
     Tables(spark, sfDir).eventsUs.createOrReplaceTempView("sqlspec_events")
