@@ -698,6 +698,10 @@ object SparkEntry {
     // nonparametric trend significance (the companion to the Theil-Sen
     // slope): S-statistic, tie-corrected variance, continuity-corrected z
     "ts_mannkendall" -> ((s, dir) => SeriesOps.mannKendall(pts(s, dir))),
+    // frequency-domain diagnostic: exact DFT power at the first 5
+    // harmonics of the daily-resampled, mean-centered series
+    "ts_spectral" -> ((s, dir) =>
+      SeriesOps.periodogram(pts(s, dir), 86400L * NsPerS)),
     "ts_outlier_mad" -> ((s, dir) => SeriesOps.outliersMad(pts(s, dir), 3.5)),
     "ts_ewma" -> ((s, dir) => SeriesOps.ewma(pts(s, dir), alpha = 0.5, window = 16)),
     "ts_changepoint" -> ((s, dir) => SeriesOps.changepoint(pts(s, dir))),
@@ -1841,6 +1845,29 @@ object SparkEntry {
     // Twin of SeriesOps.theilSen: the same t1 < t2 pair slopes, the same
     // explicit selection median (rows (n+1)//2 and n//2+1 of the sorted
     // multiset, averaged), residual median for the intercept.
+    // Twin of SeriesOps.periodogram(day, maxFreq=5): the per-series
+    // TIME-SORTED value list, the same fold order for mean and trig sums
+    // (a plain SUM's accumulation order wobbles at the 9th digit between
+    // runs), DuckDB's 1-based lambda index mapped to the 0-based DFT
+    // position, the same ((2·pi)·j·t)/n angle tree.
+    "ts_spectral" ->
+      s"""WITH points AS ($PointsCte),
+         |b AS (SELECT series_id, ts - ts % ${86400L * NsPerS} AS bucket_ts,
+         |  avg(value) FILTER (WHERE NOT isnan(value)) AS mv FROM points GROUP BY 1, 2),
+         |nb AS (SELECT * FROM b WHERE mv IS NOT NULL),
+         |g AS (SELECT series_id, list(mv ORDER BY bucket_ts) AS vs FROM nb GROUP BY 1),
+         |gm AS (SELECT series_id, vs, CAST(j AS INTEGER) AS freq,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE), vs), (a, x) -> a + x)
+         |    / len(vs) AS mu
+         |  FROM g CROSS JOIN range(1, 6) r(j)),
+         |f AS (SELECT series_id, freq, CAST(len(vs) AS BIGINT) AS n_points,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(vs, (x, i) ->
+         |    (x - mu) * cos(2 * pi() * freq * (i - 1) / len(vs)))), (a, y) -> a + y) AS sc,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(vs, (x, i) ->
+         |    (x - mu) * sin(2 * pi() * freq * (i - 1) / len(vs)))), (a, y) -> a + y) AS ss
+         |  FROM gm)
+         |SELECT series_id, freq, n_points, sc * sc + ss * ss AS power FROM f""".stripMargin,
+
     // Twin of SeriesOps.mannKendall: integer S over time-ordered pairs,
     // tie-corrected variance, continuity-corrected z, 5% two-sided trend.
     "ts_mannkendall" ->

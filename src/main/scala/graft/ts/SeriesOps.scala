@@ -769,6 +769,53 @@ object SeriesOps {
       .select("series_id", "n_points", "n_pairs", "slope", "intercept")
   }
 
+  /** Periodogram per series — the frequency-domain diagnostic the
+    * time-domain family (STL slot means, autocorrelation) approximates
+    * from the side: exact DFT power at the first `maxFreq` harmonics of
+    * the resampled, mean-centered series,
+    * `P(j) = (Σ_t v'_t·cos(2πjt/n))² + (Σ_t v'_t·sin(2πjt/n))²`.
+    * A dominant seasonal cycle shows as a power spike at its harmonic
+    * (period in buckets = n/j); centering removes the DC term that would
+    * otherwise dominate every bin. Buckets are indexed by their rank on
+    * the resampled axis (gaps compress — the pragmatic convention for
+    * sparse series; regularity is the caller's resample contract).
+    *
+    * The trig sums fold over the per-series TIME-SORTED value array, not
+    * a groupBy sum: a partial-aggregated sum's accumulation order varies
+    * with partitioning, and the resulting last-ulp wobble in `power` was
+    * MEASURED straddling the compare's 9th significant digit between
+    * runs. The sorted fold pins one accumulation order in both engines
+    * (the same contract as the per-series collect in [[percentiles]]:
+    * per-series cardinalities are bounded). DFT positions are the array
+    * positions (Spark's lambda index is 0-based, DuckDB's 1-based — the
+    * twin subtracts 1).
+    */
+  def periodogram(points: DataFrame, dtNs: Long, maxFreq: Int = 5): DataFrame = {
+    require(maxFreq >= 1, s"maxFreq must be >= 1, got $maxFreq")
+    val b = resample(points, dtNs)
+      .where(col("mean_value").isNotNull)
+      .select(col("series_id"), col("bucket_ts"), col("mean_value"))
+    val g = b.groupBy("series_id")
+      .agg(array_sort(collect_list(struct(col("bucket_ts"),
+        col("mean_value")))).as("__bm"))
+      .select(col("series_id"),
+        transform(col("__bm"), x => x.getField("mean_value")).as("__vs"))
+      .withColumn("freq", explode(sequence(lit(1), lit(maxFreq))))
+    val n = size(col("__vs"))
+    val withMu = g.withColumn("__mu",
+      aggregate(col("__vs"), lit(0.0), (a, x) => a + x) / n)
+    def fold(trig: Column => Column): Column =
+      aggregate(
+        transform(col("__vs"), (x, i) => (x - col("__mu")) *
+          trig(lit(2 * math.Pi) * col("freq") * i / n)),
+        lit(0.0), (a, x) => a + x)
+    withMu
+      .withColumn("__sc", fold(cos))
+      .withColumn("__ss", fold(sin))
+      .select(col("series_id"), col("freq"), n.cast("long").as("n_points"),
+        (col("__sc") * col("__sc") + col("__ss") * col("__ss")).as("power"))
+  }
+
   /** Mann–Kendall trend test per series (Mann 1945; Kendall 1975) — the
     * nonparametric SIGNIFICANCE companion to [[theilSen]]'s slope: S =
     * Σ_{i<j} sign(v_j − v_i) over time-ordered pairs, Var(S) =

@@ -190,6 +190,34 @@ class SeriesOpsSpec extends SparkSpec {
     assert(pc.getAs[Double]("corr") == lag0._2.get.asInstanceOf[Double])
   }
 
+  test("periodogram: planted sinusoid spikes at its harmonic; driver DFT parity") {
+    // 60 daily buckets of sin(2π·4t/60): ALL spectral power sits at j=4
+    val n = 60
+    val rows = (0 until n).map { t =>
+      ("wave", t.toLong * 10 * S, math.sin(2 * math.Pi * 4 * t / n) * 3 + 5)
+    }.toDF("series_id", "ts", "value")
+    val got = SeriesOps.periodogram(rows, 10 * S, maxFreq = 5).collect()
+      .map(r => r.getAs[Int]("freq") ->
+        ((r.getAs[Long]("n_points"), r.getAs[Double]("power")))).toMap
+    assert(got.keySet == (1 to 5).toSet)
+    assert(got.values.forall(_._1 == n.toLong))
+    // exact driver replay of the fold (same order, same arithmetic)
+    val vs = rows.collect().sortBy(_.getLong(1)).map(_.getDouble(2))
+    val mu = vs.foldLeft(0.0)(_ + _) / n
+    def power(j: Int): Double = {
+      def f(trig: Double => Double) = vs.zipWithIndex.foldLeft(0.0) {
+        case (a, (x, i)) => a + (x - mu) * trig(2 * math.Pi * j * i / n)
+      }
+      val (sc, ss) = (f(math.cos), f(math.sin))
+      sc * sc + ss * ss
+    }
+    (1 to 5).foreach { j =>
+      assert(math.abs(got(j)._2 - power(j)) < 1e-6, s"freq $j") }
+    // the planted harmonic dominates every other bin by orders of magnitude
+    assert((1 to 5).filter(_ != 4).forall(j => got(4)._2 > 1000 * got(j)._2),
+      s"spectrum ${got.view.mapValues(_._2).toMap}")
+  }
+
   test("mannKendall: brute S/var/z parity, monotone and constant edges, tie correction") {
     def brute(vals: Seq[Double]): (Long, Double, Double) = {
       val n = vals.length
