@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Sessions, Tables}
 import graft.ops.{AsofJoin, Retention, Sessionize}
-import graft.pipeline.{Audio, Bpe, Components, Dedup, Export, IncrementalDedup, Multimodal, Packing, Profile, Sampling, SemiStructured, Similarity, Sketches, TextOps, Video}
+import graft.pipeline.{Audio, Bpe, Components, Dedup, Export, IncrementalDedup, IncrementalSemDedup, Multimodal, Packing, Profile, Sampling, SemiStructured, Similarity, Sketches, TextOps, Video}
 import graft.sources.{Netatmo, NetatmoSource}
 import graft.ts.{Evaluate, Rdp, SeriesOps, SeriesStore, StoreSource, HeartbeatSource, MockSource}
 import graft.ts.model.{AverageValue, Period}
@@ -1386,6 +1386,19 @@ object SparkEntry {
       st = IncrementalDedup.addBatch(st, docs.where(col("doc_id") % 3 === 1))
       st = IncrementalDedup.addBatch(st, docs.where(col("doc_id") % 3 === 2))
       IncrementalDedup.clusters(st)
+    }),
+    // incremental SEMANTIC dedup: codebook trained on the bootstrap 2/3
+    // and frozen; the batch ids interleave below existing ids, so both
+    // the batch-verdict and tighten-existing paths execute. EXACTNESS
+    // contract: equals semanticDedupFrozen on the union vs the bootstrap
+    // centroids — the oracle retrains the kmeans chain on the SAME
+    // bootstrap subset and assigns the full corpus against it.
+    "dedup_sem_inc" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      var st = IncrementalSemDedup.bootstrap(
+        e.where(col("vec_id") % 3 =!= 0), threshold = 0.4, k = 8, iters = 2)
+      st = IncrementalSemDedup.addBatch(st, e.where(col("vec_id") % 3 === 0))
+      IncrementalSemDedup.result(st)
     })
   )
 
@@ -3505,6 +3518,32 @@ object SparkEntry {
          |WHERE cos_sim >= 0.4 GROUP BY 1)
          |SELECT c.vec_id, c.cluster, pr.pruned_by IS NULL AS is_kept, pr.pruned_by
          |FROM cells c LEFT JOIN pr ON pr.vec_id = c.vec_id""".stripMargin,
+
+    // Twin of the incremental semantic-dedup chain: the kmeans chain
+    // trains on the BOOTSTRAP subset only (vec_id % 3 <> 0), the FULL
+    // corpus assigns against the frozen final centroids (same argmin +
+    // (dist, cluster) tie-break), then the identical within-cluster
+    // lowest-id prune as dedup_semantic — exactly the exactness contract
+    // IncrementalSemDedup maintains batch by batch.
+    "dedup_sem_inc" ->
+      s"""WITH ea AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |e AS (SELECT * FROM ea WHERE vec_id % 3 <> 0),
+         |${kmeansChain("", "e", k = 8, oversample = 4, iters = 2)},
+         |aall AS (SELECT vec_id, v, cluster FROM (
+         |  SELECT ea.vec_id, ea.v, c.cluster,
+         |    row_number() OVER (PARTITION BY ea.vec_id ORDER BY
+         |      list_sum(list_transform(range(1, len(ea.v) + 1), i -> (ea.v[i] - c.centroid[i]) * (ea.v[i] - c.centroid[i]))) ASC,
+         |      c.cluster ASC) AS rn
+         |  FROM ea CROSS JOIN c2 c) WHERE rn = 1),
+         |pr AS (SELECT vec_id, min(id_a) AS pruned_by FROM (
+         |  SELECT b.vec_id, a.vec_id AS id_a,
+         |    list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+         |      (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]))) *
+         |       sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))) AS cos_sim
+         |  FROM aall a JOIN aall b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         |WHERE cos_sim >= 0.4 GROUP BY 1)
+         |SELECT c.vec_id, c.cluster, pr.pruned_by IS NULL AS is_kept, pr.pruned_by
+         |FROM aall c LEFT JOIN pr ON pr.vec_id = c.vec_id""".stripMargin,
     "sim_ivf_topk" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |pm AS (SELECT label, u.pos AS pos, u.x AS x FROM (

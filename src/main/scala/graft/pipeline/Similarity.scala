@@ -554,8 +554,26 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, threshold: Double, k: Int,
       iters: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    semanticDedupFrozen(corpus,
+      kmeansCentroids(corpus, k, iters, idCol, vecCol), threshold,
+      idCol, vecCol)
+
+  /** [[semanticDedup]] against a FROZEN centroid codebook: assign every
+    * vector to its nearest given centroid (same squared-L2 argmin and
+    * (dist, cluster) tie-break as the Lloyd trajectory), then the same
+    * within-cell lowest-id pruning rule. This is the batch face of
+    * incremental semantic dedup ([[IncrementalSemDedup]]): at 100 TB the
+    * coarse clustering is trained once (on a bootstrap corpus or sample)
+    * and FROZEN — retraining per ingest batch would relabel every cell
+    * and invalidate all prior prune decisions — so the maintained state
+    * must equal THIS, not a from-scratch retrain. [[semanticDedup]] is
+    * exactly this applied to the corpus's own trained centroids.
+    */
+  def semanticDedupFrozen(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val assigned = kmeans(corpus, k, iters, idCol, vecCol)
+    val assigned = assignToCentroids(corpus, centroids, idCol, vecCol)
       .select(col("vec_id"), col("cluster"))
     val cells = spread(corpus, idCol)
       .select(col(idCol).as("vec_id"), col(vecCol))
@@ -568,6 +586,18 @@ object Similarity {
       .select(col("vec_id"), col("cluster"),
         col("pruned_by").isNull.as("is_kept"), col("pruned_by"))
   }
+
+  /** Nearest-centroid assignment against a FROZEN `(cluster, centroid)`
+    * codebook — the cell-routing primitive shared by [[semanticDedupFrozen]]
+    * and incremental ingest: broadcast the (metadata-scale) codebook,
+    * map-side squared-L2 argmin with the (dist, cluster) tie-break, never
+    * a shuffle of the corpus on the cluster key. Identical arithmetic to
+    * the final assignment step inside [[kmeans]].
+    */
+  def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignStep(kmeansPts(corpus, idCol, vecCol), centroids)
+      .select(col("vec_id"), col("cluster"), col("dist"))
 
   /** Product quantization (Jégou, Douze, Schmid 2011, "Product
     * quantization for nearest neighbor search"): the vector is split into
