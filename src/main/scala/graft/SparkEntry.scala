@@ -1375,6 +1375,47 @@ object SparkEntry {
       Tables(s, dir).documents.createOrReplaceTempView("graft_sql_documents")
       s.sql("SELECT * FROM graft_dedup_clusters('graft_sql_documents')")
     }),
+    "sql_hll" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_sql_events")
+      s.sql("SELECT * FROM graft_hll_distinct('graft_sql_events', 10, " +
+        "'event_type', 'user_id')")
+    }),
+    "sql_cms" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).documents
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .createOrReplaceTempView("graft_sql_terms")
+      s.sql("SELECT * FROM graft_cms_topk('graft_sql_terms', 'term', 20)")
+    }),
+    "sql_sample" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).documents.createOrReplaceTempView("graft_sql_documents")
+      s.sql("SELECT doc_id, lang FROM graft_sample('graft_sql_documents', " +
+        "'doc_id', 0.1)")
+    }),
+    "sql_compaction" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).documents.createOrReplaceTempView("graft_sql_documents")
+      s.sql("SELECT * FROM graft_compaction_plan('graft_sql_documents', 4096)")
+    }),
+    "sql_dedup_exact" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).documents.createOrReplaceTempView("graft_sql_documents")
+      s.sql("SELECT * FROM graft_exact_dedup('graft_sql_documents')")
+    }),
+    "sql_outliers" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).embeddings.createOrReplaceTempView("graft_sql_embeddings")
+      s.sql("SELECT * FROM graft_label_outliers('graft_sql_embeddings')")
+    }),
+    "sql_quality" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).documents.createOrReplaceTempView("graft_sql_documents")
+      s.sql("SELECT doc_id, n_chars_m, n_tokens, mean_token_len, " +
+        "alnum_ratio, space_ratio, stopword_ratio, quality_score " +
+        "FROM graft_quality('graft_sql_documents')")
+    }),
 
     // incremental cluster maintenance: bootstrap on a third of the corpus,
     // ingest the rest in two batches — the EXACTNESS contract says the
@@ -1417,6 +1458,13 @@ object SparkEntry {
       // the TVF surface must splice the SAME plans as the Scala calls
       "sql_quantile_sketch" -> base("sketch_quantile"),
       "sql_semantic_dedup" -> base("dedup_semantic"),
+      "sql_hll" -> base("sketch_hll"),
+      "sql_cms" -> base("sketch_cms"),
+      "sql_sample" -> base("sample_fraction"),
+      "sql_compaction" -> base("layout_compaction"),
+      "sql_dedup_exact" -> base("dedup_exact"),
+      "sql_outliers" -> base("vec_outliers"),
+      "sql_quality" -> base("text_quality"),
       // incremental maintenance must equal the full recompute exactly
       "dedup_incremental" -> base("dedup_clusters"),
       // the streaming face scores pairs with the batch kernel's arithmetic

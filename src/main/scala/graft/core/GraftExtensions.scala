@@ -26,6 +26,15 @@ import graft.functions.{CharNgramCodes, MinHashSig, PolyHash, SimHashSig, SimHas
   *  - `graft_bm25('view', 'query terms', k)` — Okapi BM25 top-k retrieval
   *  - `graft_resample('view', width_ns)` — fixed-width series resampling
   *  - `graft_dedup_clusters('view')` — MinHash-LSH near-dup cluster labels
+  *  - `graft_quantile_sketch('view', k, grp, key, val)` — bottom-k quantiles
+  *  - `graft_semantic_dedup('view', thr, k, iters)` — SemDeDup pruning
+  *  - `graft_hll_distinct('view', p, grp, key)` — HLL distinct per group
+  *  - `graft_cms_topk('view', term, k)` — count-min heavy hitters
+  *  - `graft_sample('view', id, fraction)` — deterministic row sample
+  *  - `graft_compaction_plan('view', bytes)` — small-file compaction manifest
+  *  - `graft_exact_dedup('view')` — exact duplicate groups
+  *  - `graft_label_outliers('view')` — per-label embedding outlier z-scores
+  *  - `graft_quality('view')` — per-document quality scores
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
@@ -120,7 +129,52 @@ object GraftTableFunctions {
           "embedding dedup: kmeans cells + within-cell cosine pruning"),
       (exprs: Seq[Expression]) => plan(graft.pipeline.Similarity.semanticDedup(
         rel(strArg(exprs(0), "table name")), doubleArg(exprs(1), "threshold"),
-        intArg(exprs(2), "k"), intArg(exprs(3), "iters"))))
+        intArg(exprs(2), "k"), intArg(exprs(3), "iters")))),
+    (FunctionIdentifier("graft_hll_distinct"),
+      info("graft_hll_distinct",
+        "graft_hll_distinct(table, p, group_col, key_col) - HyperLogLog " +
+          "approximate distinct keys per group (2^p registers)"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Sketches.hllDistinct(
+        rel(strArg(exprs(0), "table name")), intArg(exprs(1), "p"),
+        Seq(strArg(exprs(2), "group column")), strArg(exprs(3), "key column")))),
+    (FunctionIdentifier("graft_cms_topk"),
+      info("graft_cms_topk",
+        "graft_cms_topk(table, term_col, k) - count-min-sketch heavy " +
+          "hitters: top-k terms with one-sided frequency estimates"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Sketches.cmsTopK(
+        rel(strArg(exprs(0), "table name")), strArg(exprs(1), "term column"),
+        intArg(exprs(2), "k")))),
+    (FunctionIdentifier("graft_sample"),
+      info("graft_sample",
+        "graft_sample(table, id_col, fraction) - deterministic hash-bucket " +
+          "row sample (layout- and run-invariant)"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Sampling.deterministicSample(
+        rel(strArg(exprs(0), "table name")), strArg(exprs(1), "id column"),
+        doubleArg(exprs(2), "fraction")))),
+    (FunctionIdentifier("graft_compaction_plan"),
+      info("graft_compaction_plan",
+        "graft_compaction_plan(table, target_bytes) - small-file compaction " +
+          "manifest: roll docs into files of ~target_bytes in id order"),
+      (exprs: Seq[Expression]) => plan(graft.ops.Layout.compactionPlan(
+        rel(strArg(exprs(0), "table name")), longArg(exprs(1), "target_bytes")))),
+    (FunctionIdentifier("graft_exact_dedup"),
+      info("graft_exact_dedup",
+        "graft_exact_dedup(table) - exact duplicate groups by full-text " +
+          "hash, lowest id canonical"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Dedup.exact(
+        rel(strArg(exprs(0), "table name"))))),
+    (FunctionIdentifier("graft_label_outliers"),
+      info("graft_label_outliers",
+        "graft_label_outliers(table) - embedding centroid-distance z-scores " +
+          "within each label (mislabel/noise screening)"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Similarity.labelOutliers(
+        rel(strArg(exprs(0), "table name"))))),
+    (FunctionIdentifier("graft_quality"),
+      info("graft_quality",
+        "graft_quality(table) - per-document composite quality score " +
+          "(length, stopword, alnum ratios)"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.TextOps.qualityScore(
+        rel(strArg(exprs(0), "table name")))))
   )
 
   /** Register every table function on an already-built session. */

@@ -82,6 +82,38 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rowsOf(viaSql) == rowsOf(direct))
   }
 
+  test("round-9 TVF sweep: each graft_* call equals its Scala original") {
+    GraftTableFunctions.registerAll(spark)
+    val t = Tables(spark, sfDir)
+    t.events.createOrReplaceTempView("sqlspec_events_s")
+    t.documents.createOrReplaceTempView("sqlspec_docs_s")
+    t.embeddings.createOrReplaceTempView("sqlspec_emb_s")
+    t.documents.select(explode(graft.pipeline.TextOps.tokens(col("text"))).as("term"))
+      .createOrReplaceTempView("sqlspec_terms_s")
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "SELECT * FROM graft_hll_distinct('sqlspec_events_s', 10, 'event_type', 'user_id')" ->
+        graft.pipeline.Sketches.hllDistinct(t.events, 10, Seq("event_type"), "user_id"),
+      "SELECT * FROM graft_cms_topk('sqlspec_terms_s', 'term', 20)" ->
+        graft.pipeline.Sketches.cmsTopK(
+          t.documents.select(explode(graft.pipeline.TextOps.tokens(col("text"))).as("term")),
+          "term", k = 20),
+      "SELECT * FROM graft_sample('sqlspec_docs_s', 'doc_id', 0.1)" ->
+        graft.pipeline.Sampling.deterministicSample(t.documents, "doc_id", 0.1),
+      "SELECT * FROM graft_compaction_plan('sqlspec_docs_s', 4096)" ->
+        graft.ops.Layout.compactionPlan(t.documents, targetBytes = 4096),
+      "SELECT * FROM graft_exact_dedup('sqlspec_docs_s')" ->
+        graft.pipeline.Dedup.exact(t.documents),
+      "SELECT * FROM graft_label_outliers('sqlspec_emb_s')" ->
+        graft.pipeline.Similarity.labelOutliers(t.embeddings),
+      "SELECT * FROM graft_quality('sqlspec_docs_s')" ->
+        graft.pipeline.TextOps.qualityScore(t.documents))
+    cases.foreach { case (sql, direct) =>
+      val viaSql = spark.sql(sql)
+      assert(viaSql.columns.toSeq == direct.columns.toSeq, sql)
+      assert(rowsOf(viaSql) == rowsOf(direct), sql)
+    }
+  }
+
   test("SQL surface composes: TVF result is a normal relation (filter + agg)") {
     GraftTableFunctions.registerAll(spark)
     Tables(spark, sfDir).eventsUs.createOrReplaceTempView("sqlspec_events")
