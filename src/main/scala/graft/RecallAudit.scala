@@ -114,7 +114,15 @@ object RecallAudit {
         Seq("ivfpq_np3_m2_k8" -> recall(pairs(
           Similarity.ivfPqTopK(q, e, k = 3, nprobe = 3, m = 2, kc = 8)))) ++
         Seq("pq_m2_k8_rr50" -> recall(pairs(
-          Similarity.pqTopKRerank(q, e, topK = 3, candidates = 50, m = 2, kc = 8))))
+          Similarity.pqTopKRerank(q, e, topK = 3, candidates = 50, m = 2, kc = 8)))) ++
+        // production code size: m=8 subspaces x 256-centroid codebooks
+        // (8 bytes/vector at dim 64) — the config a real serving tier
+        // runs; the gates stay at m=2/k<=8 for oracle tractability, so
+        // the realistic-parameter evidence lives here
+        Seq("pq_prod_m8_k256" -> recall(pairs(
+          Similarity.pqTopK(q, e, topK = 3, m = 8, kc = 256)))) ++
+        Seq("pq_prod_m8_k256_rr100" -> recall(pairs(
+          Similarity.pqTopKRerank(q, e, topK = 3, candidates = 100, m = 8, kc = 256))))
       val js = r.map { case (k2, v) => f""""$k2":$v%.4f""" }.mkString(",")
       println(s"""{"sf":"$sfDir","k":3,"n_brute":${brute.size},"n_cells":$nCells,$js}""")
     }

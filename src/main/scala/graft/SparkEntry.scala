@@ -942,6 +942,17 @@ object SparkEntry {
       Similarity.pqTopKRerank(e.where(col("vec_id") < 5), e, topK = 3,
         candidates = 20)
     }),
+    // PQ at PRODUCTION code size (m=8 subspaces x 256-centroid codebooks,
+    // 8 bytes/vector at dim 64) with the rerank path — the configuration
+    // a real serving tier runs. No oracle: 8 unrolled 256-centroid kmeans
+    // chains are intractable in the twin engine, so this gate is
+    // rows-only; correctness evidence is the m=2 oracle family (same code
+    // path, smaller constants) plus the RecallAudit pq_prod rows.
+    "sim_pq_prod" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.pqTopKRerank(e.where(col("vec_id") < 5), e, topK = 3,
+        candidates = 100, m = 8, kc = 256)
+    }),
 
     // ---- per-doc top TF-IDF terms ----
     "text_tfidf" -> ((s, dir) =>
