@@ -1321,6 +1321,16 @@ object SparkEntry {
     "stream_near_dups" -> ((s, dir) =>
       graft.streaming.StreamOps.nearDupStream(
         Tables(s, dir).documents.select("doc_id", "text")).toDF()),
+    // streaming SEMANTIC near-dup detection, batch face: within-cell
+    // cosine pairs against the frozen full-corpus codebook — the same
+    // cells dedup_semantic prunes over (shared kmeans chain in the twin)
+    "stream_sem_dups" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val cents = Similarity.kmeansCentroids(e, k = 8, iters = 2).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+      graft.streaming.StreamOps.semanticDupStream(e, cents, threshold = 0.4)
+        .toDF()
+    }),
     // streaming KMV sketch in batch mode: equals sketch_kmv exactly
     "stream_kmv" -> ((s, dir) =>
       graft.streaming.StreamOps.kmvStream(
@@ -3577,6 +3587,21 @@ object SparkEntry {
          |WHERE cos_sim >= 0.4 GROUP BY 1)
          |SELECT c.vec_id, c.cluster, pr.pruned_by IS NULL AS is_kept, pr.pruned_by
          |FROM cells c LEFT JOIN pr ON pr.vec_id = c.vec_id""".stripMargin,
+
+    // Twin of StreamOps.semanticDupStream's batch face: the SAME kmeans
+    // cells as dedup_semantic (shared KmeansCtes), emitting every
+    // within-cell pair at cosine >= 0.4 — the pre-aggregation pair
+    // population dedup_semantic's prune folds over.
+    "stream_sem_dups" ->
+      s"""WITH $KmeansCtes,
+         |cells AS (SELECT e.vec_id, e.v, af.cluster FROM e JOIN af USING (vec_id))
+         |SELECT cell, id_a, id_b, cos_sim FROM (
+         |  SELECT a.cluster AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+         |      (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]))) *
+         |       sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))) AS cos_sim
+         |  FROM cells a JOIN cells b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         |WHERE cos_sim >= 0.4""".stripMargin,
 
     // Twin of the incremental semantic-dedup chain: the kmeans chain
     // trains on the BOOTSTRAP subset only (vec_id % 3 <> 0), the FULL

@@ -338,6 +338,104 @@ object StreamOps {
       .dropDuplicates("id_a", "id_b")
   }
 
+  final case class SemVecRow(vec_id: Long, cell: Long, v: Seq[Double])
+  final case class SemCellState(vecs: Seq[(Long, Seq[Double])])
+  final case class SemDupPair(cell: Long, id_a: Long, id_b: Long, cos_sim: Double)
+
+  /** Streaming SEMANTIC near-duplicate detection: the streaming face of
+    * [[graft.pipeline.Similarity.embeddingNearDups]] over a FROZEN
+    * centroid codebook — the ingest-time companion of
+    * [[graft.pipeline.IncrementalSemDedup]] (same frozen-codebook policy:
+    * the coarse cells are trained once and never retrained by the stream).
+    * Each arriving vector routes to its nearest centroid (driver-local
+    * argmin over the metadata-scale codebook with EXACTLY the batch
+    * assignment's arithmetic: left-to-right squared-L2 fold, (dist,
+    * cluster) tie-break) and compares against the vectors its cell has
+    * seen so far by the same single-pass cosine as the VecCosine kernel —
+    * a paraphrase-level duplicate is flagged the moment its second member
+    * arrives, pairing across micro-batches through the cell state.
+    *
+    * Run on a BATCH frame this returns exactly
+    * `embeddingNearDups(assignToCentroids(...), threshold, cellCol =
+    * "cluster")` (the `stream_sem_dups` gate aliases that twin). STATE
+    * RETENTION CONTRACT (same as [[nearDupStream]]): by default a cell
+    * remembers every vector forever — required for exactness;
+    * `idleTimeoutMs` trades completeness for bounded state. Cells are the
+    * SemDeDup blocking structure, so per-cell state is the cell's corpus
+    * share; at 100 TB the codebook's k scales with the corpus to bound it.
+    */
+  def semanticDupStream(vecs: DataFrame, centroids: Seq[(Long, Seq[Double])],
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      idleTimeoutMs: Option[Long] = None): Dataset[SemDupPair] = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(idleTimeoutMs.forall(_ > 0), s"idleTimeoutMs must be positive: $idleTimeoutMs")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Double])] =
+      centroids.sortBy(_._1).map { case (c, v) => (c, v.toArray) }.toArray
+    def bestCell(v: Seq[Double]): Long = {
+      var bestC = -1L
+      var bestD = Double.PositiveInfinity
+      cents.foreach { case (c, cv) =>
+        // same fold as Similarity.sqDist: (x-y)^2 accumulated in element
+        // order from 0.0; ties to the lowest cluster id (cents sorted asc,
+        // strict < keeps the first == lowest)
+        var d = 0.0
+        var i = 0
+        val n = math.min(v.length, cv.length)
+        while (i < n) { val t = v(i) - cv(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; bestC = c }
+      }
+      bestC
+    }
+    // same single-pass accumulation as the VecCosine kernel
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i); val y = b(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val routed = vecs
+      .select(col(idCol).cast("long").as("vec_id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) => SemVecRow(id, bestCell(v), v) }
+    val timeoutConf =
+      if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    routed.groupByKey(_.cell)
+      .flatMapGroupsWithState[SemCellState, SemDupPair](
+        OutputMode.Append(), timeoutConf) {
+        (cell, rows, state: GroupState[SemCellState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.map(_.vecs).getOrElse(Vector.empty)
+            val out = Vector.newBuilder[SemDupPair]
+            // ingest-order determinism inside a micro-batch: by vec_id
+            rows.toVector.sortBy(_.vec_id).foreach { r =>
+              seen.foreach { case (oid, ov) =>
+                if (oid != r.vec_id) {
+                  val cv = cos(ov, r.v)
+                  if (cv >= threshold)
+                    out += SemDupPair(cell, math.min(oid, r.vec_id),
+                      math.max(oid, r.vec_id), cv)
+                }
+              }
+              seen = seen :+ (r.vec_id -> r.v)
+            }
+            state.update(SemCellState(seen))
+            idleTimeoutMs.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Custom per-series running state (last/min/max/count) via
     * mapGroupsWithState — the streaming "current dashboard value" of the
     * reference (A1/A2 continuously maintained).

@@ -146,6 +146,47 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semanticDupStream: batch face == embeddingNearDups on frozen cells; pairs span micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val centsDf = graft.core.Lineage.truncate(
+      Similarity.kmeansCentroids(e, k = 4, iters = 1))
+    val cents = centsDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+
+    // batch face: exact parity with embeddingNearDups over the same cells
+    val cells = e.join(
+      Similarity.assignToCentroids(e, centsDf).select("vec_id", "cluster"),
+      "vec_id")
+    val reference = rowsOf(
+      Similarity.embeddingNearDups(cells, threshold = 0.4, cellCol = "cluster"))
+    assert(reference.nonEmpty, "fixture must contain semantic near-dups")
+    assert(rowsOf(StreamOps.semanticDupStream(e, cents, 0.4).toDF()) == reference)
+
+    // streaming face: a mid-corpus split must converge to the same pair
+    // set, pairing across the split through cell state
+    val rows = e.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    val cut = 250L
+    val in = MemoryStream[(Long, Seq[Float])]
+    val out = StreamOps.semanticDupStream(
+      in.toDS().toDF("vec_id", "embedding"), cents, 0.4)
+    val q = out.writeStream.format("memory").queryName("sem_dups")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      in.addData(rows.filter(_._1 < cut).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(rows.filter(_._1 >= cut).toIndexedSeq)
+      q.processAllAvailable()
+      assert(rowsOf(spark.table("sem_dups")) == reference)
+      val straddling = spark.table("sem_dups")
+        .where($"id_a" < cut && $"id_b" >= cut).count()
+      assert(straddling > 0, "no pair straddles the micro-batch split")
+    } finally q.stop()
+  }
+
   test("intervalJoinStream: stream-stream join parity with the batch operator") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
