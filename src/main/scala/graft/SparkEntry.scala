@@ -649,6 +649,12 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     "profile_histogram" -> ((s, dir) =>
       Profile.histogram(Tables(s, dir).events, "value", 0.0, 500.0, 50)),
+    // exact two-sample KS drift per event type: value distribution before
+    // vs after T2 — the snapshot-shift check run before mixing data drops
+    "profile_ks_drift" -> ((s, dir) =>
+      Profile.ksDrift(Tables(s, dir).events, "event_type", "value",
+        col("ts") < T2, shardWidth = 50.0)
+        .withColumnRenamed("grp", "event_type")),
 
     // ---- time-series operators over the events-derived point table ----
     "ts_last_value" -> ((s, dir) => SeriesOps.lastValue(pts(s, dir))),
@@ -1576,6 +1582,33 @@ object SparkEntry {
         |  0.0 + bin_id * ((500.0 - 0.0) / 50) AS lo_edge,
         |  0.0 + (bin_id + 1) * ((500.0 - 0.0) / 50) AS hi_edge
         |FROM b GROUP BY bin_id""".stripMargin,
+
+    // Twin of Profile.ksDrift(event_type, value, ts < T2): per-value slice
+    // counts, cumulative CDF walk, exact sup-distance; every CDF step is
+    // one integer-quotient subtraction so the max is bit-stable.
+    "profile_ks_drift" ->
+      s"""WITH v AS (SELECT event_type AS grp, CAST(value AS DOUBLE) AS v,
+         |  epoch_ns(ts) < $T2 AS in_a FROM events
+         |  WHERE value IS NOT NULL AND ts IS NOT NULL),
+         |c AS (SELECT grp, v,
+         |  CAST(count(*) FILTER (WHERE in_a) AS BIGINT) AS ca,
+         |  CAST(count(*) FILTER (WHERE NOT in_a) AS BIGINT) AS cb
+         |  FROM v GROUP BY 1, 2),
+         |cum AS (SELECT grp, v,
+         |  CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+         |  CAST(sum(cb) OVER w AS BIGINT) AS cumb
+         |  FROM c WINDOW w AS (PARTITION BY grp ORDER BY v)),
+         |tot AS (SELECT grp, CAST(sum(ca) AS BIGINT) AS na,
+         |  CAST(sum(cb) AS BIGINT) AS nb FROM c GROUP BY 1
+         |  HAVING na > 0 AND nb > 0)
+         |SELECT grp AS event_type, na AS n_a, nb AS n_b,
+         |  max(abs(cuma / na - cumb / nb)) AS ks_d,
+         |  1.358 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) /
+         |    (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS ks_crit,
+         |  max(abs(cuma / na - cumb / nb)) >
+         |    1.358 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) /
+         |      (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS drifted
+         |FROM cum JOIN tot USING (grp) GROUP BY 1, 2, 3""".stripMargin,
 
     "ts_last_value" ->
       s"""WITH points AS ($PointsCte)

@@ -79,4 +79,67 @@ object Profile {
       .withColumn("lo_edge", lit(lo) + col("bin_id") * width)
       .withColumn("hi_edge", lit(lo) + (col("bin_id") + 1) * width)
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov drift test per group: the
+    * distribution-shift check a training pipeline runs between corpus
+    * snapshots (old drop vs new drop, window A vs window B) before mixing
+    * them — summary moments miss shape changes that KS catches. For each
+    * group: D = max over observed values of |F_A(x) − F_B(x)| on the
+    * empirical CDFs of the rows where `sliceCol` is true (slice A) vs
+    * false (slice B), plus the classic 5% critical value
+    * `1.358·sqrt((n_a+n_b)/(n_a·n_b))` and the resulting drift verdict.
+    * Null values and null slice flags are excluded by contract.
+    *
+    * Scale shape: NEVER a single-partition ordered scan. The per-(group,
+    * value) counts aggregate partial-combined; the cumulative counts that
+    * form the CDFs use the same two-level sharded prefix sum as
+    * [[Prefix.runningSum]], range-sharding the VALUE axis at
+    * `shardWidth` (local window inside each (group, shard), metadata-scale
+    * shard totals broadcast back) — so the ordered walk parallelizes
+    * across the value range. Every per-value CDF step is a single
+    * integer-quotient subtraction (no float accumulation), and max is
+    * order-insensitive, so the statistic is bit-stable under any
+    * partitioning and engine.
+    */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String,
+      sliceCol: org.apache.spark.sql.Column,
+      shardWidth: Double = 1.0): DataFrame = {
+    require(shardWidth > 0, s"shardWidth must be positive, got $shardWidth")
+    val v = df.select(col(groupCol).as("grp"),
+        col(valueCol).cast("double").as("v"), sliceCol.as("__in_a"))
+      .where(col("v").isNotNull && col("__in_a").isNotNull)
+    val counts = v.groupBy("grp", "v").agg(
+      count(when(col("__in_a"), lit(1))).as("__ca"),
+      count(when(!col("__in_a"), lit(1))).as("__cb"))
+    val sharded = counts.withColumn("__shard",
+      floor(col("v") / shardWidth).cast("long"))
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp", "__shard").orderBy("v")
+    val local = sharded
+      .withColumn("__la", sum(col("__ca")).over(localW))
+      .withColumn("__lb", sum(col("__cb")).over(localW))
+    val prefW = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("__shard")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val prefixes = sharded.groupBy("grp", "__shard")
+      .agg(sum("__ca").as("__ta"), sum("__cb").as("__tb"))
+      .select(col("grp"), col("__shard"),
+        coalesce(sum("__ta").over(prefW), lit(0L)).as("__pa"),
+        coalesce(sum("__tb").over(prefW), lit(0L)).as("__pb"))
+    // KS is undefined for a one-sided group (and ANSI division would
+    // error): only groups observed in BOTH slices are emitted
+    val tot = counts.groupBy("grp")
+      .agg(sum("__ca").as("n_a"), sum("__cb").as("n_b"))
+      .where(col("n_a") > 0 && col("n_b") > 0)
+    local.join(broadcast(prefixes), Seq("grp", "__shard"))
+      .join(broadcast(tot), "grp")
+      .groupBy(col("grp"), col("n_a"), col("n_b"))
+      .agg(max(abs((col("__pa") + col("__la")) / col("n_a") -
+        (col("__pb") + col("__lb")) / col("n_b"))).as("ks_d"))
+      .withColumn("ks_crit",
+        lit(1.358) * sqrt((col("n_a").cast("double") + col("n_b").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double"))))
+      .withColumn("drifted", col("ks_d") > col("ks_crit"))
+      .select("grp", "n_a", "n_b", "ks_d", "ks_crit", "drifted")
+  }
 }

@@ -442,6 +442,46 @@ class PipelineOpsSpec extends SparkSpec {
       .agg(sum("n")).collect()(0).getLong(0) == 1L)
   }
 
+  test("ksDrift: matches brute-force KS, detects a shift, shard-invariant") {
+    // slice A: 0..49; slice B: shifted by +10 — a pure location shift the
+    // means would also see, but KS must report the exact sup-distance
+    // +20 on a 0..49 support gives D = 0.4 > crit(50,50) ≈ 0.27 — a
+    // smaller shift (e.g. +10, D = 0.2) is correctly NOT significant
+    val rows = (0 until 50).map(i => ("g", i.toDouble, true)) ++
+      (0 until 50).map(i => ("g", i.toDouble + 20.0, false)) ++
+      // group h: identical slices → D = 0 at every evaluation point of
+      // the COMBINED support
+      (0 until 30).map(i => ("h", (i % 7).toDouble, true)) ++
+      (0 until 30).map(i => ("h", (i % 7).toDouble, false))
+    val df = rows.toDF("grp", "v", "in_a")
+    def brute(vsA: Seq[Double], vsB: Seq[Double]): Double = {
+      val support = (vsA ++ vsB).distinct.sorted
+      support.map(x => math.abs(
+        vsA.count(_ <= x).toDouble / vsA.size -
+          vsB.count(_ <= x).toDouble / vsB.size)).max
+    }
+    val got = Profile.ksDrift(df, "grp", "v", col("in_a"), shardWidth = 7.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(5)))).toMap
+    val byGrp = rows.groupBy(_._1)
+    Seq("g", "h").foreach { g =>
+      val a = byGrp(g).filter(_._3).map(_._2)
+      val b = byGrp(g).filterNot(_._3).map(_._2)
+      assert(got(g)._3 == brute(a, b), s"group $g")
+    }
+    assert(got("g")._4, "the shifted group must drift")
+    assert(got("h")._3 == 0.0 && !got("h")._4)
+    assert(got("g")._1 == 50L && got("g")._2 == 50L)
+    // one-sided groups are omitted (KS undefined)
+    val oneSided = Seq(("x", 1.0, true), ("x", 2.0, true)).toDF("grp", "v", "in_a")
+    assert(Profile.ksDrift(oneSided, "grp", "v", col("in_a")).isEmpty)
+    // the sharded prefix sum is layout- and width-invariant
+    val wide = Profile.ksDrift(df.repartition(7), "grp", "v", col("in_a"),
+      shardWidth = 1000.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    Seq("g", "h").foreach(g => assert(wide(g) == got(g)._3))
+  }
+
   test("unigramDivergence: zero for identical slices, matches from-scratch JS") {
     // identical text in both slices → p == q → js exactly 0
     val same = Seq((true, "alpha beta gamma"), (false, "alpha beta gamma"))
