@@ -1219,6 +1219,18 @@ object SparkEntry {
     }),
     "sim_near_dups" -> ((s, dir) =>
       Similarity.embeddingNearDups(Tables(s, dir).embeddings, threshold = 0.4)),
+    // contrastive-training mining: per anchor, the top-5 most-similar
+    // WRONG-label vectors — the negatives that define the decision boundary
+    "vec_hard_negatives" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.hardNegatives(e.where(col("vec_id") < 5), e, k = 5)
+    }),
+    // triplet assembly: hardest positive + hardest negative per anchor,
+    // margin = pos_sim - neg_sim (what a triplet loss keeps positive)
+    "vec_triplets" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.miningTriplets(e.where(col("vec_id") < 20), e)
+    }),
     "vec_kmeans" -> ((s, dir) =>
       Similarity.kmeans(Tables(s, dir).embeddings, k = 8, iters = 2)),
     // SemDeDup: the kmeans cells bound the pair space, within-cell cosine
@@ -3449,6 +3461,41 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
         |  FROM s) WHERE rank <= 3""".stripMargin,
+    // Twin of Similarity.hardNegatives(k=5): the sim_topk body with the
+    // label carried through and a label-mismatch filter before ranking.
+    "vec_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT q.query_id, q.query_label, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+        |  list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.v[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos_sim
+        |FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id AND c.label <> q.query_label)
+        |SELECT query_id, query_label, neighbor_id, neighbor_label, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin,
+
+    // Twin of Similarity.miningTriplets: hardest same-label and hardest
+    // different-label neighbor per anchor, inner-joined (both legs
+    // required), margin as the same two-term difference.
+    "vec_triplets" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv FROM e WHERE vec_id < 20),
+        |s AS (SELECT q.query_id, q.query_label, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+        |  list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.v[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos_sim
+        |FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        |pos AS (SELECT query_id AS anchor_id, query_label AS label, neighbor_id AS pos_id, cos_sim AS pos_sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+        |  FROM s WHERE neighbor_label = query_label) WHERE rn = 1),
+        |neg AS (SELECT query_id AS anchor_id, neighbor_id AS neg_id, cos_sim AS neg_sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+        |  FROM s WHERE neighbor_label <> query_label) WHERE rn = 1)
+        |SELECT anchor_id, label, pos_id, pos_sim, neg_id, neg_sim,
+        |  pos_sim - neg_sim AS margin
+        |FROM pos JOIN neg USING (anchor_id)""".stripMargin,
+
     // Twin of Similarity.rrfFuse over bm25 top-20 + cosine top-20 for
     // vector 0: the shared bm25 CTEs, the sim_topk cosine body at
     // query_id = 0, both ranked (score desc, id asc), fused with the

@@ -90,6 +90,75 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos_sim")
   }
 
+  /** Hard-negative mining for contrastive embedding training: for each
+    * anchor, the `k` most-similar corpus vectors with a DIFFERENT label —
+    * the negatives that actually move a contrastive loss (random negatives
+    * are trivially separable; the highest-cosine wrong-label neighbors
+    * define the decision boundary). Deterministic order: (cos desc, id
+    * asc). Same scale shape as [[bruteForceTopK]]: broadcast anchor set,
+    * one corpus pass, per-anchor bounded ranking; for corpus-scale anchor
+    * sets, shortlist with the ANN family first and re-rank — the exact
+    * brute pass here is the oracle-checkable core.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("query_label"), col(vecCol).as("qv"))
+    val c = spread(corpus, idCol).select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id") &&
+        col("neighbor_label") =!= col("query_label"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "query_label", "neighbor_id", "neighbor_label",
+        "rank", "cos_sim")
+  }
+
+  /** Triplet assembly over mined pairs: per anchor, the hardest positive
+    * (most-similar SAME-label vector — excluding self) and the hardest
+    * negative (most-similar different-label vector, [[hardNegatives]]'
+    * rank 1), with `margin = pos_sim − neg_sim` — the quantity a triplet /
+    * InfoNCE loss is trained to keep positive. Anchors missing either side
+    * (singleton label, or a single-label corpus) are omitted — a triplet
+    * needs both legs. One corpus pass per leg, both bounded rankings; the
+    * margin is a two-term difference, bit-stable cross-engine.
+    */
+  def miningTriplets(queries: DataFrame, corpus: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("query_label"), col(vecCol).as("qv"))
+    val c = spread(corpus, idCol).select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"), col(vecCol).as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    def top1(sameLabel: Boolean): DataFrame = {
+      val cond = if (sameLabel) col("neighbor_label") === col("query_label")
+        else col("neighbor_label") =!= col("query_label")
+      c.crossJoin(broadcast(q))
+        .where(col("neighbor_id") =!= col("query_id") && cond)
+        .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") === 1)
+    }
+    top1(sameLabel = true)
+      .select(col("query_id").as("anchor_id"), col("query_label").as("label"),
+        col("neighbor_id").as("pos_id"), col("cos_sim").as("pos_sim"))
+      .join(top1(sameLabel = false)
+        .select(col("query_id").as("anchor_id"),
+          col("neighbor_id").as("neg_id"), col("cos_sim").as("neg_sim")),
+        "anchor_id")
+      .withColumn("margin", col("pos_sim") - col("neg_sim"))
+      .select("anchor_id", "label", "pos_id", "pos_sim", "neg_id",
+        "neg_sim", "margin")
+  }
+
   /** Cell centroids by per-dimension mean of member vectors — the "training"
     * step of IVF (here cells = the pre-assigned `label` column).
     *

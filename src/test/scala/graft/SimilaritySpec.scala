@@ -505,6 +505,40 @@ class SimilaritySpec extends SparkSpec {
     got.foreach { case (_, (n, m, r)) => assert(r == m.toDouble / n) }
   }
 
+  test("hardNegatives: wrong-label only, ranked; triplets pair both legs") {
+    // two tight clusters on orthogonal axes plus one "confuser" of label B
+    // sitting close to cluster A — it must be every A-anchor's hardest
+    // negative despite B's own cluster being far away
+    val rows = Seq(
+      (1L, "A", Array(1.0f, 0.0f, 0.05f)),
+      (2L, "A", Array(0.95f, 0.0f, 0.0f)),
+      (3L, "B", Array(0.0f, 1.0f, 0.0f)),
+      (4L, "B", Array(0.0f, 0.9f, 0.1f)),
+      (5L, "B", Array(0.9f, 0.1f, 0.0f))) // confuser near cluster A
+    val e = rows.toDF("vec_id", "label", "embedding")
+    val hn = Similarity.hardNegatives(e.where($"vec_id" <= 2), e, k = 2)
+      .collect()
+    assert(hn.forall(r => r.getAs[String]("query_label") !=
+      r.getAs[String]("neighbor_label")), "a hard negative shares the label")
+    val top = hn.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(top == Map(1L -> 5L, 2L -> 5L), s"confuser must rank first: $top")
+
+    val tr = Similarity.miningTriplets(e, e).collect()
+      .map(r => r.getAs[Long]("anchor_id") ->
+        ((r.getAs[Long]("pos_id"), r.getAs[Long]("neg_id"),
+          r.getAs[Double]("margin")))).toMap
+    assert(tr.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(tr(1L)._1 == 2L && tr(1L)._2 == 5L)
+    assert(tr(1L)._3 > 0, "intra-cluster anchor has positive margin")
+    assert(tr(5L)._3 < 0, "the confuser's own label is farther than A — " +
+      "negative margin is exactly what mining must surface")
+    // a single-label corpus yields no triplets (no negative leg)
+    val mono = Seq((1L, "A", Array(1f, 0f)), (2L, "A", Array(0.9f, 0.1f)))
+      .toDF("vec_id", "label", "embedding")
+    assert(Similarity.miningTriplets(mono, mono).isEmpty)
+  }
+
   test("pcaTop rejects a zero-variance corpus instead of dividing by zero") {
     val df = Seq((1L, Array(1f, 2f)), (2L, Array(1f, 2f)))
       .toDF("vec_id", "embedding")
