@@ -643,6 +643,12 @@ object SparkEntry {
         .select("doc_id", "text", "lang")
     }),
 
+    // per-epoch deterministic global shuffle: a different but reproducible
+    // training order every epoch, sharded for the export writer
+    "export_epoch_shuffle" -> ((s, dir) =>
+      Export.epochShuffle(Tables(s, dir).documents.select("doc_id"),
+        epoch = 1, nShards = 8)),
+
     // ---- dataset profiling (one-scan column audit) ----
     "profile_stats" -> ((s, dir) =>
       Profile.numeric(Tables(s, dir).lineitem,
@@ -1542,6 +1548,18 @@ object SparkEntry {
     // oracle is the SOURCE projection.
     "sink_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang FROM documents",
+    // Twin of Export.epochShuffle(epoch=1, nShards=8): the same
+    // Carter-Wegman key (epoch_1 salt), shard = key mod 8, in-shard rank
+    // by (key, id).
+    "export_epoch_shuffle" ->
+      s"""WITH k AS (SELECT doc_id,
+         |  ((${phSql("CAST(doc_id AS VARCHAR)", "0")}) * ${Sampling.saltMult("epoch_1")}
+         |    + ${Sampling.saltAdd("epoch_1")}) % 1000000007 AS key
+         |  FROM documents)
+         |SELECT doc_id, CAST(key % 8 AS INTEGER) AS shard_id,
+         |  CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id)
+         |    AS INTEGER) AS shard_pos
+         |FROM k""".stripMargin,
     // Twin of the windowed relational anchor.
     "q6_window" ->
       """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_us,

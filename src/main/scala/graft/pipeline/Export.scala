@@ -33,4 +33,36 @@ object Export {
     */
   def readJsonl(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
     spark.read.schema(schemaDdl).option("mode", "FAILFAST").json(path)
+
+  /** Deterministic per-epoch global shuffle for training export: each row
+    * gets a `shard_id` and an in-shard `shard_pos` from a Carter–Wegman
+    * hash of (id, epoch) — the epoch enters as a salt through the same
+    * universal-hash map as [[Sampling.bucketOf]] (multiplicative, NOT
+    * concatenative: PolyHash is linear in its input, so suffixing the
+    * epoch would shift every key by a constant and epochs would replay
+    * the same order). Training loaders need a DIFFERENT but REPRODUCIBLE
+    * order every epoch; `df.orderBy(rand())` is neither (layout-dependent
+    * and unseedable across retries).
+    *
+    * Scale shape: the key is narrow column algebra in the scan; the only
+    * shuffle is the shard partitioning, and the in-shard ranking windows
+    * per shard — at 100 TB the shard count scales with the corpus (shards
+    * ARE the output files, sized to fit a task), so no window exceeds one
+    * file's rows. Hash ties break by id: the order is total and
+    * engine-independent.
+    */
+  def epochShuffle(df: DataFrame, epoch: Int, nShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val salt = s"epoch_$epoch"
+    val key = ((graft.functions.PolyHash(col(idCol).cast("string"), 0L)
+      * Sampling.saltMult(salt) + Sampling.saltAdd(salt))
+      % graft.functions.PolyHash.Mod)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard_id").orderBy(col("__key"), col(idCol))
+    df.withColumn("__key", key)
+      .withColumn("shard_id", (col("__key") % nShards).cast("int"))
+      .withColumn("shard_pos", row_number().over(w))
+      .drop("__key")
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.ops.Sessionize
-import graft.pipeline.{Profile, Similarity, TextOps}
+import graft.pipeline.{Export, Profile, Similarity, TextOps}
 
 /** Semantics of the round-5 pipeline operators: sessionization boundaries,
   * chunk geometry, posting-list capping, repetition features, PII
@@ -440,6 +440,27 @@ class PipelineOpsSpec extends SparkSpec {
     val withBad = Seq(Some(1.0), Some(Double.NaN), None).toDF("x")
     assert(Profile.histogram(withBad, "x", 0.0, 10.0, 10)
       .agg(sum("n")).collect()(0).getLong(0) == 1L)
+  }
+
+  test("epochShuffle: total order, epoch-decorrelated, layout-invariant") {
+    val df = (0L until 200L).toDF("doc_id")
+    val e1 = Export.epochShuffle(df, epoch = 1, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // every row lands exactly once; in-shard positions are 1..n_shard
+    assert(e1.map(_._1).toSet == (0L until 200L).toSet)
+    e1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.size)) }
+    // determinism + layout invariance
+    val again = Export.epochShuffle(df.repartition(7), 1, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(e1.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // a different epoch produces a genuinely different assignment: the
+    // fraction of ids keeping BOTH shard and position must be tiny
+    val e2 = Export.epochShuffle(df, epoch = 2, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val same = e1.sortBy(_._1).zip(e2.sortBy(_._1))
+      .count { case (a, b) => a._2 == b._2 && a._3 == b._3 }
+    assert(same <= 10, s"epochs 1 and 2 agree on $same/200 placements")
   }
 
   test("ksDrift: matches brute-force KS, detects a shift, shard-invariant") {
