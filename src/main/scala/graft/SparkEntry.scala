@@ -655,6 +655,10 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     "profile_histogram" -> ((s, dir) =>
       Profile.histogram(Tables(s, dir).events, "value", 0.0, 500.0, 50)),
+    // key-skew audit on the join key: heavy-hitter shares that decide
+    // between a plain shuffle join and SkewJoin.saltedJoin / AQE skew
+    "profile_key_skew" -> ((s, dir) =>
+      Profile.keySkew(Tables(s, dir).events, "user_id", topN = 10)),
     // exact two-sample KS drift per event type: value distribution before
     // vs after T2 — the snapshot-shift check run before mixing data drops
     "profile_ks_drift" -> ((s, dir) =>
@@ -1612,6 +1616,22 @@ object SparkEntry {
         |  0.0 + bin_id * ((500.0 - 0.0) / 50) AS lo_edge,
         |  0.0 + (bin_id + 1) * ((500.0 - 0.0) / 50) AS hi_edge
         |FROM b GROUP BY bin_id""".stripMargin,
+
+    // Twin of Profile.keySkew(user_id, topN=10): per-key counts, bounded
+    // top-10, integer-quotient shares.
+    "profile_key_skew" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key_value,
+        |  count(*) AS n_rows FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total,
+        |  count(*) AS n_distinct, max(n_rows) AS mx FROM c),
+        |top AS (SELECT key_value, n_rows,
+        |  CAST(row_number() OVER (ORDER BY n_rows DESC, key_value ASC) AS INTEGER) AS key_rank
+        |  FROM c ORDER BY n_rows DESC, key_value ASC LIMIT 10),
+        |ts AS (SELECT CAST(sum(n_rows) AS BIGINT) AS topn FROM top)
+        |SELECT key_rank, key_value, n_rows, n_rows / n_total AS share,
+        |  n_total, n_distinct, mx / n_total AS top1_share,
+        |  topn / n_total AS topn_share
+        |FROM top, tot, ts""".stripMargin,
 
     // Twin of Profile.ksDrift(event_type, value, ts < T2): per-value slice
     // counts, cumulative CDF walk, exact sup-distance; every CDF step is

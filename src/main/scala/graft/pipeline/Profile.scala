@@ -80,6 +80,46 @@ object Profile {
       .withColumn("hi_edge", lit(lo) + (col("bin_id") + 1) * width)
   }
 
+  /** Key-skew audit before a join or aggregation: per-key row counts for
+    * the `topN` heaviest keys plus whole-column concentration measures —
+    * the share of all rows held by the single heaviest key
+    * (`top1_share`) and by the top-N together (`topn_share`), and the
+    * number of distinct keys. This is the diagnostic that decides between
+    * a plain shuffle join and [[graft.ops.SkewJoin.saltedJoin]] / AQE skew
+    * handling: a top1_share of a few percent on a billion-row table means
+    * one reducer owns that share of the shuffle.
+    *
+    * Scale shape: one partial-combined count per key, then a bounded
+    * TakeOrdered for the top-N and a metadata-scale total; shares are
+    * single integer quotients (bit-stable). Null keys count as a key of
+    * their own (they hash to one reducer too — the classic skew source).
+    * Output: one row per top-N key — (key_rank, key_value as string,
+    * n_rows, share) — each carrying the column-level (n_total,
+    * n_distinct, top1_share, topn_share) for context.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key_value"))
+      .agg(count(lit(1)).as("n_rows"))
+    val top = counts
+      .orderBy(col("n_rows").desc, col("key_value").asc_nulls_last)
+      .limit(topN)
+      .withColumn("key_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_rows").desc, col("key_value").asc_nulls_last)))
+    val tot = counts.agg(sum("n_rows").as("n_total"),
+      count(lit(1)).as("n_distinct"),
+      max("n_rows").as("__max"))
+    val topSum = top.agg(sum("n_rows").as("__topn")).
+      crossJoin(tot)
+    top.crossJoin(broadcast(topSum))
+      .select(col("key_rank"), col("key_value"), col("n_rows"),
+        (col("n_rows") / col("n_total")).as("share"),
+        col("n_total"), col("n_distinct"),
+        (col("__max") / col("n_total")).as("top1_share"),
+        (col("__topn") / col("n_total")).as("topn_share"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov drift test per group: the
     * distribution-shift check a training pipeline runs between corpus
     * snapshots (old drop vs new drop, window A vs window B) before mixing

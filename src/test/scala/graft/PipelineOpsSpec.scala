@@ -442,6 +442,26 @@ class PipelineOpsSpec extends SparkSpec {
       .agg(sum("n")).collect()(0).getLong(0) == 1L)
   }
 
+  test("keySkew: heavy hitter ranked first with exact shares, nulls counted") {
+    // key "hot" holds 60/100 rows; null holds 10 — both must surface
+    val rows = Seq.fill(60)("hot") ++ (0 until 30).map(i => s"k$i") ++
+      Seq.fill(10)(null: String)
+    val got = Profile.keySkew(rows.toDF("k"), "k", topN = 3).collect()
+      .sortBy(_.getAs[Int]("key_rank"))
+    assert(got.length == 3)
+    val first = got(0)
+    assert(first.getAs[String]("key_value") == "hot")
+    assert(first.getAs[Long]("n_rows") == 60L)
+    assert(first.getAs[Double]("share") == 0.6)
+    assert(first.getAs[Double]("top1_share") == 0.6)
+    assert(first.getAs[Long]("n_total") == 100L)
+    assert(first.getAs[Long]("n_distinct") == 32L)
+    assert(got(1).getAs[String]("key_value") == null)
+    assert(got(1).getAs[Long]("n_rows") == 10L)
+    // top-3 = 60 + 10 + 1
+    assert(first.getAs[Double]("topn_share") == 0.71)
+  }
+
   test("epochShuffle: total order, epoch-decorrelated, layout-invariant") {
     val df = (0L until 200L).toDF("doc_id")
     val e1 = Export.epochShuffle(df, epoch = 1, nShards = 4).collect()
