@@ -238,6 +238,44 @@ object SparkEntry {
   private val EnStopSql =
     "['the','a','of','and','to','in','is','that','it','for']"
 
+  /** CTE chain computing the Gopher-rule features and verdict per
+    * document, ending in `gr(doc_id, n_words, mean_word_len,
+    * symbol_ratio, alpha_word_ratio, n_stopword_hits, pass_gopher)` plus
+    * the tokenized base `b(doc_id, text, words, tk)` — one definition
+    * shared by the text_gopher_rules and clf_calibration twins.
+    */
+  private lazy val GopherCtes: String = {
+    val stoplist = graft.pipeline.Stopwords.all
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""b AS (SELECT doc_id, text,
+       |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
+       |  $Toks AS tk FROM documents),
+       |f AS (SELECT doc_id,
+       |  CAST(len(words) AS BIGINT) AS n_words,
+       |  CASE WHEN len(words) > 0 THEN
+       |    CAST(list_sum(list_transform(words, w -> len(w))) AS DOUBLE) / len(words)
+       |  END AS mean_word_len,
+       |  CASE WHEN len(words) > 0 THEN
+       |    CAST((len(text) - len(replace(text, '#', '')))
+       |      + (len(text) - len(replace(text, '...', ''))) / 3 AS DOUBLE) / len(words)
+       |  END AS symbol_ratio,
+       |  CASE WHEN len(words) > 0 THEN
+       |    CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+       |      / len(words)
+       |  END AS alpha_word_ratio,
+       |  CAST(len(list_intersect(list_distinct(tk), $stoplist)) AS BIGINT) AS n_stopword_hits
+       |FROM b),
+       |gr AS (SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+       |  n_stopword_hits,
+       |  (n_words >= 25 AND n_words <= 100000
+       |   AND coalesce(mean_word_len >= CAST(3 AS DOUBLE)
+       |     AND mean_word_len <= CAST(10 AS DOUBLE), false)
+       |   AND coalesce(symbol_ratio <= CAST(0.1 AS DOUBLE), false)
+       |   AND coalesce(alpha_word_ratio >= CAST(0.8 AS DOUBLE), false)
+       |   AND n_stopword_hits >= 2) AS pass_gopher
+       |FROM f)""".stripMargin
+  }
+
   /** DuckDB twin of TextOps.qualityScore's composite score over a token
     * list expression and a text expression — ONE definition shared by the
     * text_quality and dedup_keepers twins, so a weight or stopword change
@@ -1072,6 +1110,17 @@ object SparkEntry {
     // the rolling distinct via bounded fan-out, never a stateful window
     "events_active_users" -> ((s, dir) =>
       graft.ops.Retention.activeUsers(Tables(s, dir).events)),
+    // reliability diagram + ECE of the quality score against the Gopher
+    // verdict: does "0.8" actually mean 80%? (the threshold-shift audit)
+    "clf_calibration" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val scored = TextOps.qualityScore(docs)
+        .select(col("doc_id"), col("quality_score"))
+        .join(TextOps.gopherRules(docs, minWords = 25)
+          .select("doc_id", "pass_gopher"), "doc_id")
+      graft.ops.Experiment.calibrationBins(scored, "quality_score",
+        "pass_gopher", nBins = 10)
+    }),
     "events_funnel" -> ((s, dir) =>
       graft.ops.Funnel.funnel(Tables(s, dir).eventsUs,
         Seq("signup", "click", "purchase"))),
@@ -2328,37 +2377,10 @@ object SparkEntry {
     // symbol counts, alpha-word and stopword-union rules; ratio CASEs
     // mirror the when(nWords > 0, …) null semantics and the pass flag's
     // false && null = false short-circuit.
-    "text_gopher_rules" -> {
-      val stoplist = graft.pipeline.Stopwords.all
-        .map(s => s"'$s'").mkString("[", ", ", "]")
-      s"""WITH b AS (SELECT doc_id, text,
-         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
-         |  $Toks AS tk FROM documents),
-         |f AS (SELECT doc_id,
-         |  CAST(len(words) AS BIGINT) AS n_words,
-         |  CASE WHEN len(words) > 0 THEN
-         |    CAST(list_sum(list_transform(words, w -> len(w))) AS DOUBLE) / len(words)
-         |  END AS mean_word_len,
-         |  CASE WHEN len(words) > 0 THEN
-         |    CAST((len(text) - len(replace(text, '#', '')))
-         |      + (len(text) - len(replace(text, '...', ''))) / 3 AS DOUBLE) / len(words)
-         |  END AS symbol_ratio,
-         |  CASE WHEN len(words) > 0 THEN
-         |    CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
-         |      / len(words)
-         |  END AS alpha_word_ratio,
-         |  CAST(len(list_intersect(list_distinct(tk), $stoplist)) AS BIGINT) AS n_stopword_hits
-         |FROM b)
+    "text_gopher_rules" ->
+      s"""WITH $GopherCtes
          |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
-         |  n_stopword_hits,
-         |  (n_words >= 25 AND n_words <= 100000
-         |   AND coalesce(mean_word_len >= CAST(3 AS DOUBLE)
-         |     AND mean_word_len <= CAST(10 AS DOUBLE), false)
-         |   AND coalesce(symbol_ratio <= CAST(0.1 AS DOUBLE), false)
-         |   AND coalesce(alpha_word_ratio >= CAST(0.8 AS DOUBLE), false)
-         |   AND n_stopword_hits >= 2) AS pass_gopher
-         |FROM f""".stripMargin
-    },
+         |  n_stopword_hits, pass_gopher FROM gr""".stripMargin,
     // Twin of TextOps.fertility: exact integer sums, one double division.
     "text_fertility" ->
       s"""WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -2993,6 +3015,23 @@ object SparkEntry {
         |FROM x GROUP BY 1, 2""".stripMargin,
     // Twin of Funnel.funnel: each stage is the min event time of its type
     // strictly after the previous stage, per user.
+    // Twin of Experiment.calibrationBins over (qualityScoreSql score,
+    // GopherCtes verdict): equal-width bins with edge clamping, exact
+    // integer-quotient positive rate, count-weighted ECE.
+    "clf_calibration" ->
+      s"""WITH $GopherCtes,
+         |q AS (SELECT doc_id, (${qualityScoreSql("tk", "text")}) AS p FROM b),
+         |j AS (SELECT q.p, gr.pass_gopher AS y FROM q JOIN gr USING (doc_id)),
+         |binned AS (SELECT least(greatest(CAST(floor(p * 10) AS BIGINT), 0), 9) AS bin_id, p, y
+         |  FROM j WHERE p IS NOT NULL AND NOT isnan(p) AND y IS NOT NULL),
+         |bins AS (SELECT bin_id, count(*) AS n, avg(p) AS mean_conf,
+         |  CAST(count(*) FILTER (WHERE y) AS BIGINT) / count(*) AS pos_rate
+         |  FROM binned GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM bins),
+         |e AS (SELECT sum((n / t) * abs(pos_rate - mean_conf)) AS ece FROM bins, tot)
+         |SELECT bin_id, n, mean_conf, pos_rate, pos_rate - mean_conf AS gap, ece
+         |FROM bins, e""".stripMargin,
+
     // Twin of Experiment.abTest(user_id, purchase, salt="abtest"): the
     // bucketOf CW draw, 50/50 arm split, integer conditional sums, the
     // pooled two-proportion z with the identical expression tree.

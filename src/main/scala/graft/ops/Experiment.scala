@@ -58,4 +58,42 @@ object Experiment {
           (pa - pb) / se).as("z"))
       .withColumn("significant", coalesce(abs(col("z")) > 1.96, lit(false)))
   }
+
+  /** Reliability diagram + expected calibration error for a probabilistic
+    * classifier: scores bucket into `nBins` equal-width bins; each bin
+    * reports its count, mean confidence (avg score), empirical positive
+    * rate, and the gap — the evaluation that tells whether a quality
+    * filter's "0.8" actually means 80% (a miscalibrated filter silently
+    * shifts the kept-data distribution when thresholded). `ece` is the
+    * count-weighted mean |gap| (Naeini et al. 2015's ECE), attached to
+    * every row as the scalar summary.
+    *
+    * Scores outside [0, 1] clamp into the edge bins; null/NaN scores and
+    * null labels are excluded by contract. The positive rate is an exact
+    * integer quotient (bit-stable); mean confidence is a per-bin float
+    * mean and the ECE a ≤ nBins-term sum — both far inside cross-engine
+    * tolerance. Scale shape: one partial-combined aggregate on ≤ nBins
+    * keys, then two metadata-scale scalars broadcast back.
+    */
+  def calibrationBins(df: DataFrame, probCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val p = df.select(col(probCol).cast("double").as("__p"),
+        col(labelCol).cast("boolean").as("__y"))
+      .where(col("__p").isNotNull && !isnan(col("__p")) && col("__y").isNotNull)
+    val bins = p
+      .withColumn("bin_id", least(greatest(
+        floor(col("__p") * nBins).cast("long"), lit(0L)), lit(nBins - 1L)))
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n"),
+        avg(col("__p")).as("mean_conf"),
+        (count(when(col("__y"), lit(1))) / count(lit(1))).as("pos_rate"))
+    val tot = bins.agg(sum("n").as("__tot"))
+    val ece = bins.crossJoin(broadcast(tot))
+      .agg(sum((col("n") / col("__tot")) *
+        abs(col("pos_rate") - col("mean_conf"))).as("ece"))
+    bins.crossJoin(broadcast(ece))
+      .select(col("bin_id"), col("n"), col("mean_conf"), col("pos_rate"),
+        (col("pos_rate") - col("mean_conf")).as("gap"), col("ece"))
+  }
 }

@@ -442,6 +442,34 @@ class PipelineOpsSpec extends SparkSpec {
       .agg(sum("n")).collect()(0).getLong(0) == 1L)
   }
 
+  test("calibrationBins: exact rates, edge clamping, hand-checked ECE") {
+    // bin 9: conf ~0.95, all positive (gap 0.05); bin 0: conf 0.05, none
+    // positive (gap -0.05); out-of-range scores clamp into edge bins
+    val rows = Seq(
+      (0.95, true), (0.95, true), (1.2, true), // 1.2 clamps to bin 9
+      (0.05, false), (-0.3, false)) // -0.3 clamps to bin 0
+    val got = graft.ops.Experiment.calibrationBins(
+        rows.toDF("p", "y"), "p", "y", nBins = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(5)))).toMap
+    assert(got.keySet == Set(0L, 9L))
+    val (n9, conf9, rate9, ece) = got(9L)
+    assert(n9 == 3L && rate9 == 1.0)
+    assert(math.abs(conf9 - (0.95 + 0.95 + 1.2) / 3) < 1e-12)
+    val (n0, conf0, rate0, _) = got(0L)
+    assert(n0 == 2L && rate0 == 0.0)
+    assert(math.abs(conf0 - (0.05 - 0.3) / 2) < 1e-12)
+    // ECE = 3/5*|1-conf9| + 2/5*|0-conf0|
+    val want = 3.0 / 5 * math.abs(1.0 - conf9) + 2.0 / 5 * math.abs(conf0)
+    assert(math.abs(ece - want) < 1e-12, s"ece $ece want $want")
+    // null/NaN scores and null labels are excluded
+    val bad = Seq((Some(Double.NaN), Some(true)), (None, Some(true)),
+      (Some(0.5), None), (Some(0.5), Some(true)))
+      .toDF("p", "y")
+    val clean = graft.ops.Experiment.calibrationBins(bad, "p", "y", 10).collect()
+    assert(clean.map(_.getLong(1)).sum == 1L)
+  }
+
   test("keySkew: heavy hitter ranked first with exact shares, nulls counted") {
     // key "hot" holds 60/100 rows; null holds 10 — both must surface
     val rows = Seq.fill(60)("hot") ++ (0 until 30).map(i => s"k$i") ++
