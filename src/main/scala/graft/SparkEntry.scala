@@ -1174,6 +1174,10 @@ object SparkEntry {
           array_join(col("qvec").cast("array<string>"), ",").as("qvec"))),
     // per-dimension drift/collapse profile
     "vec_dim_stats" -> ((s, dir) => Similarity.dimStats(Tables(s, dir).embeddings)),
+    // per-dimension whitening against the corpus moments: the
+    // preprocessing before clustering/ANN when dimension scales differ
+    "vec_standardize" -> ((s, dir) =>
+      Similarity.standardize(Tables(s, dir).embeddings)),
     // centroid-distance outliers within each label: embedding-space
     // mislabel/noise screening
     "vec_outliers" -> ((s, dir) =>
@@ -3201,6 +3205,17 @@ object SparkEntry {
         |SELECT dim, CAST(count(*) AS BIGINT) AS n, avg(v) AS mean,
         |  stddev_samp(v) AS std, min(v) AS min_v, max(v) AS max_v
         |FROM u GROUP BY 1""".stripMargin,
+
+    // Twin of Similarity.standardize: the vec_dim_stats moments joined
+    // back per (vector, dim), dead dims to 0, reassembled in dim order.
+    "vec_standardize" ->
+      """WITH u AS (SELECT vec_id,
+        |  CAST(unnest(range(0, len(embedding))) AS INTEGER) AS dim,
+        |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |st AS (SELECT dim, avg(x) AS mean, stddev_samp(x) AS std FROM u GROUP BY 1)
+        |SELECT u.vec_id, list(CASE WHEN st.std > 0
+        |    THEN (u.x - st.mean) / st.std ELSE 0.0 END ORDER BY u.dim) AS zvec
+        |FROM u JOIN st USING (dim) GROUP BY u.vec_id""".stripMargin,
 
     // Twin of Similarity.labelOutliers: per-(label, dim) centroid means,
     // L2 distance per vector, z from the explicit (n, Σd, Σd²) sample

@@ -469,6 +469,34 @@ object Similarity {
         min("__v").as("min_v"),
         max("__v").as("max_v"))
 
+  /** Per-dimension standardization (whitening without rotation) of the
+    * embedding corpus: `z_i = (x_i − mean_i) / std_i` against the
+    * [[dimStats]] corpus moments — the preprocessing that stops
+    * high-variance dimensions from dominating L2/cosine geometry before
+    * clustering or ANN indexing. Dead dimensions (zero or undefined
+    * spread) map to 0 rather than dividing by zero — they carry no
+    * information either way.
+    *
+    * Scale shape: the moments are one [[dimStats]] pass (dims-keyed,
+    * partial-combined) broadcast back to a posexplode stream; the vector
+    * reassembles through a groupBy on the well-spread id with
+    * position-sorted collect — the same pattern as the kmeans centroid
+    * update, no per-row lambda over a broadcast array.
+    */
+  def standardize(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val stats = dimStats(corpus, vecCol).select("dim", "mean", "std")
+    corpus.select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .join(broadcast(stats), "dim")
+      .withColumn("__z", when(col("std") > 0.0,
+        (col("__x").cast("double") - col("mean")) / col("std"))
+        .otherwise(lit(0.0)))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("dim"), col("__z")))).as("__pm"))
+      .select(col(idCol),
+        transform(col("__pm"), p => p.getField("__z")).as("zvec"))
+  }
+
   /** Centroid-distance outlier scoring over LABELED embeddings — the
     * embedding-space quality filter for curated corpora: vectors far from
     * their own label's centroid are mislabeled, noisy, or off-distribution

@@ -505,6 +505,23 @@ class SimilaritySpec extends SparkSpec {
     got.foreach { case (_, (n, m, r)) => assert(r == m.toDouble / n) }
   }
 
+  test("standardize: unit moments per live dim, dead dim to zero") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 10f, 5f)),
+      (2L, Array(2.0f, 20f, 5f)),
+      (3L, Array(3.0f, 30f, 5f))).toDF("vec_id", "embedding")
+    val got = Similarity.standardize(vecs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // dims 0 and 1 standardize to the same z-pattern (-1, 0, 1); the
+    // constant dim maps to 0
+    Seq(0, 1).foreach { d =>
+      assert(math.abs(got(1L)(d) + 1.0) < 1e-12)
+      assert(math.abs(got(2L)(d)) < 1e-12)
+      assert(math.abs(got(3L)(d) - 1.0) < 1e-12)
+    }
+    assert(Seq(1L, 2L, 3L).forall(id => got(id)(2) == 0.0))
+  }
+
   test("hardNegatives: wrong-label only, ranked; triplets pair both legs") {
     // two tight clusters on orthogonal axes plus one "confuser" of label B
     // sitting close to cluster A — it must be every A-anchor's hardest
