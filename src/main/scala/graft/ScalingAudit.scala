@@ -136,6 +136,11 @@ object ScalingAudit {
         timed(graft.pipeline.TextOps.sliceOverlap(d, "source").count()))
       report(s"layout_compaction_x$f", n,
         timed(graft.ops.Layout.compactionPlan(d, 4096).count()))
+      // round-9 session-4: per-epoch shuffle is one hash shuffle +
+      // in-shard ranking — alpha ~ 1 with shard count fixed
+      report(s"export_epoch_shuffle_x$f", n, timed(
+        graft.pipeline.Export.epochShuffle(d.select("doc_id"),
+          epoch = 1, nShards = 8).count()))
     }
 
     vecPaths.foreach { case (f, p) =>
@@ -162,6 +167,30 @@ object ScalingAudit {
         timed(Similarity.pqEncode(v, m = 2, k = 4, iters = 1).count()))
       report(s"sim_pq_topk_x$f", n,
         timed(Similarity.pqTopK(v.where(col("vec_id") < 5), v, topK = 3).count()))
+      // round-9 session-4: one-pass linear family (whitening, broadcast
+      // anchor mining) — the exponent claim is alpha ~ 1
+      report(s"vec_standardize_x$f", n,
+        timed(Similarity.standardize(v).count()))
+      report(s"vec_hard_negatives_x$f", n,
+        timed(Similarity.hardNegatives(
+          v.where(col("vec_id") < 5 * 1000).limit(5), v, k = 5).count()))
+    }
+
+    // incremental SEMANTIC dedup: a FIXED vector batch against a corpus
+    // growing 9x, with the SemDeDup cell-count policy (k = 8·factor) so
+    // per-cell populations stay bounded — per-batch cost must stay ~flat
+    // (the batch touches its own cells only; the codebook is frozen)
+    vecPaths.foreach { case (f, p) =>
+      val all = spark.read.parquet(p)
+      val batch = all.where(col("vec_id") % 89 === 0).limit(200)
+      val baseCorpus = all.join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
+      val n = baseCorpus.count()
+      val st = graft.pipeline.IncrementalSemDedup.bootstrap(
+        baseCorpus, threshold = 0.4, k = 8 * f, iters = 2)
+      st.labels.count(); st.vectors.count()
+      report(s"incr_sem_addbatch_x$f", n, timed {
+        graft.pipeline.IncrementalSemDedup.addBatch(st, batch).labels.count()
+      })
     }
 
     // incrementality proof: the cost of ingesting a FIXED batch must stay
@@ -191,6 +220,11 @@ object ScalingAudit {
         report(s"sketch_quantile_${dir.split('/').last}", ev.count(), timed(
           graft.pipeline.Sketches.quantileSketch(ev, 64, Seq("event_type"),
             "event_id", "value").count()))
+        // KS drift: sharded-prefix CDF walk — linear in rows, no
+        // single-partition window whatever the value cardinality
+        report(s"profile_ks_drift_${dir.split('/').last}", ev.count(), timed(
+          graft.pipeline.Profile.ksDrift(ev, "event_type", "value",
+            col("ts") < 1705276800L * 1000000000L, shardWidth = 50.0).count()))
         val e = Tables(spark, dir).eventsUs
         val p = e.select(
           concat(lit("shyft://events/u"), col("user_id"), lit("/"),
