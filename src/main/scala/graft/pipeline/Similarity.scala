@@ -696,6 +696,30 @@ object Similarity {
     assignStep(kmeansPts(corpus, idCol, vecCol), centroids)
       .select(col("vec_id"), col("cluster"), col("dist"))
 
+  /** Run independent per-subspace training closures CONCURRENTLY: each
+    * closure triggers its own chain of eager Spark jobs (seeding
+    * TakeOrdered, Lloyd-round truncates, assignment), and Spark schedules
+    * jobs submitted from different threads side by side — on an idle
+    * cluster m sequential subspace trainings become ~one training's wall
+    * time. Results are deterministic regardless of completion order: the
+    * output sequence preserves index order and each subspace's trajectory
+    * is self-contained. Bounded pool (≤ 8 threads) so a large m cannot
+    * flood the scheduler.
+    */
+  private def inParallel[A](work: Seq[() => A]): Seq[A] =
+    if (work.size <= 1) work.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(work.size, 8))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          work.map(w => scala.concurrent.Future(w()))),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    }
+
   /** Product quantization (Jégou, Douze, Schmid 2011, "Product
     * quantization for nearest neighbor search"): the vector is split into
     * `m` contiguous subvectors, each quantized independently against its
@@ -727,13 +751,12 @@ object Similarity {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dimension $dim must divide into $m subspaces")
     val sub = dim / m
-    val parts = (0 until m).map { j =>
+    val parts = inParallel((0 until m).map(j => () =>
       kmeans(corpus.select(col(idCol),
           slice(col(vecCol), j * sub + 1, sub).as(vecCol)),
         k, iters, idCol, vecCol, oversample)
         .select(col("vec_id"), lit(j).as("subspace"), col("cluster"),
-          col("dist"))
-    }
+          col("dist"))))
     parts.reduce(_ unionByName _)
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("subspace"), col("cluster"),
@@ -771,7 +794,7 @@ object Similarity {
     val sub = dim / m
     def sliced(df: DataFrame, j: Int): DataFrame =
       df.select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as(vecCol))
-    val parts = (0 until m).map { j =>
+    val parts = inParallel((0 until m).map(j => () => {
       val pts = kmeansPts(sliced(corpus, j), idCol, vecCol)
       val cents = lloydCentroids(pts, kc, iters, oversample)
       // codes: the same argmin kernel kmeans assigns with, against the
@@ -786,7 +809,7 @@ object Similarity {
         .select(col("query_id"), lit(j).as("subspace"), col("cluster"),
           sqDist(col("v"), col("centroid")).as("d"))
       codes.join(broadcast(qtab), Seq("subspace", "cluster"))
-    }
+    }))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     parts.reduce(_ unionByName _)
@@ -877,7 +900,7 @@ object Similarity {
       .select(col("query_id"), col("cell"))
     val cellOf = corpus.select(col(idCol).as("neighbor_id"),
       col(cellCol).as("cell"))
-    val parts = (0 until m).map { j =>
+    val parts = inParallel((0 until m).map(j => () => {
       val pts = kmeansPts(sliced(corpus, j), idCol, vecCol)
       val cbs = lloydCentroids(pts, kc, iters, oversample)
       val codes = assignStep(pts, cbs)
@@ -892,7 +915,7 @@ object Similarity {
       // prune to probed cells FIRST, then attach the lookup-table entry
       codes.join(broadcast(probed), Seq("cell"))
         .join(broadcast(qtab), Seq("subspace", "cluster", "query_id"))
-    }
+    }))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     parts.reduce(_ unionByName _)
