@@ -350,6 +350,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("KS drift walks the CDF sharded: no single-partition exchange at all") {
+    // both window passes key on (grp[, shard]); the shard-prefix pass is
+    // partitioned by grp — nothing in the plan may collapse the value
+    // walk to one task regardless of value cardinality
+    val plan = planOf(SparkEntry.queries("profile_ks_drift")(spark, sfDir))
+    val single = plan.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(single == 0, s"profile_ks_drift: $single single-partition exchanges:\n${plan.take(3000)}")
+    assert(plan.contains("Window ["), "expected the sharded CDF windows")
+  }
+
+  test("epoch shuffle ranks within shards: no single-partition exchange") {
+    val plan = planOf(SparkEntry.queries("export_epoch_shuffle")(spark, sfDir))
+    val single = plan.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(single == 0, s"export_epoch_shuffle: $single single-partition exchanges:\n${plan.take(3000)}")
+  }
+
+  test("key skew's only unpartitioned window sits on the bounded top-N rows") {
+    // ranking happens AFTER the limit — the single-partition exchange is
+    // bounded by topN, never by the key cardinality
+    val plan = planOf(SparkEntry.queries("profile_key_skew")(spark, sfDir))
+    val single = plan.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(single <= 2, s"profile_key_skew: $single single-partition exchanges:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrdered") || plan.contains("GlobalLimit"),
+      "the top-N prune must precede the rank window")
+  }
+
   test("quantile sketch gets WindowGroupLimit pushdown: <= k rows per group per map partition") {
     // the bounded-synopsis property: the rank-k sample filter must prune
     // each map partition BEFORE the window shuffle, exactly like KMV
