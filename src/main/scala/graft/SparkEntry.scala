@@ -697,6 +697,12 @@ object SparkEntry {
     // between a plain shuffle join and SkewJoin.saltedJoin / AQE skew
     "profile_key_skew" -> ((s, dir) =>
       Profile.keySkew(Tables(s, dir).events, "user_id", topN = 10)),
+    // binned PSI drift per event type over the same before/after-T2 split
+    // — weights WHERE the mass moved, the scorecard companion to KS
+    "profile_psi_drift" -> ((s, dir) =>
+      Profile.psiDrift(Tables(s, dir).events, "event_type", "value",
+        col("ts") < T2, lo = 0.0, hi = 500.0, nBins = 10)
+        .withColumnRenamed("grp", "event_type")),
     // exact two-sample KS drift per event type: value distribution before
     // vs after T2 — the snapshot-shift check run before mixing data drops
     "profile_ks_drift" -> ((s, dir) =>
@@ -1685,6 +1691,34 @@ object SparkEntry {
         |  n_total, n_distinct, mx / n_total AS top1_share,
         |  topn / n_total AS topn_share
         |FROM top, tot, ts""".stripMargin,
+
+    // Twin of Profile.psiDrift(event_type, value, ts < T2, [0,500], 10):
+    // dense bin grid, add-one smoothed proportions, per-group PSI fold.
+    "profile_psi_drift" ->
+      s"""WITH v AS (SELECT event_type AS grp, CAST(value AS DOUBLE) AS v,
+         |  epoch_ns(ts) < $T2 AS in_a FROM events
+         |  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL),
+         |bb AS (SELECT grp, least(greatest(CAST(floor((v - 0.0) / 50.0) AS BIGINT), 0), 9) AS bin_id, in_a FROM v),
+         |c AS (SELECT grp, bin_id,
+         |  CAST(count(*) FILTER (WHERE in_a) AS BIGINT) AS ca,
+         |  CAST(count(*) FILTER (WHERE NOT in_a) AS BIGINT) AS cb
+         |  FROM bb GROUP BY 1, 2),
+         |tot AS (SELECT grp, CAST(sum(ca) AS BIGINT) AS na,
+         |  CAST(sum(cb) AS BIGINT) AS nb FROM c GROUP BY 1
+         |  HAVING na > 0 AND nb > 0),
+         |grid AS (SELECT grp, na, nb, CAST(unnest(range(0, 10)) AS BIGINT) AS bin_id FROM tot),
+         |fl AS (SELECT g.grp, g.na, g.nb,
+         |  coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+         |  FROM grid g LEFT JOIN c ON c.grp = g.grp AND c.bin_id = g.bin_id),
+         |t AS (SELECT grp, na, nb,
+         |  ((ca + 1) / (na + 10) - (cb + 1) / (nb + 10)) *
+         |    ln(((ca + 1) / (na + 10)) / ((cb + 1) / (nb + 10))) AS term,
+         |  CASE WHEN ca + cb > 0 THEN 1 ELSE 0 END AS present FROM fl)
+         |SELECT grp AS event_type, na AS n_a, nb AS n_b,
+         |  CAST(sum(present) AS BIGINT) AS n_bins_hit, sum(term) AS psi,
+         |  CASE WHEN sum(term) > 0.25 THEN 'major'
+         |    WHEN sum(term) > 0.1 THEN 'moderate' ELSE 'stable' END AS psi_flag
+         |FROM t GROUP BY 1, 2, 3""".stripMargin,
 
     // Twin of Profile.ksDrift(event_type, value, ts < T2): per-value slice
     // counts, cumulative CDF walk, exact sup-distance; every CDF step is

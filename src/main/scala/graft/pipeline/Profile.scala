@@ -120,6 +120,63 @@ object Profile {
         (col("__topn") / col("n_total")).as("topn_share"))
   }
 
+  /** Population stability index per group — the binned drift companion to
+    * [[ksDrift]] that production scorecards actually alert on:
+    * `PSI = Σ_bins (p_A − p_B)·ln(p_A / p_B)` over `nBins` fixed-width
+    * bins of `[lo, hi]` (edges clamp into the outer bins so mass never
+    * silently drops), with add-one smoothing on the bin COUNTS so an
+    * empty bin contributes a finite term instead of ±∞. Conventional
+    * reading: < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 major shift
+    * — emitted as `psi_flag`. KS answers "is there any distribution
+    * change"; PSI weights WHERE the mass moved, which is what a
+    * threshold-driven filter cares about.
+    *
+    * Scale shape: one partial-combined count per (group, bin) — at most
+    * groups·nBins reducer keys regardless of rows; the PSI fold is a
+    * ≤ nBins-term float sum per group (far inside cross-engine
+    * tolerance), every proportion an integer-plus-one quotient. Groups
+    * observed in only one slice are omitted like [[ksDrift]].
+    */
+  def psiDrift(df: DataFrame, groupCol: String, valueCol: String,
+      sliceCol: org.apache.spark.sql.Column, lo: Double, hi: Double,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val width = (hi - lo) / nBins
+    val v = df.select(col(groupCol).as("grp"),
+        col(valueCol).cast("double").as("v"), sliceCol.as("__in_a"))
+      .where(col("v").isNotNull && !isnan(col("v")) && col("__in_a").isNotNull)
+    val binned = v.withColumn("bin_id", least(greatest(
+      floor((col("v") - lo) / width).cast("long"), lit(0L)), lit(nBins - 1L)))
+    val counts = binned.groupBy("grp", "bin_id").agg(
+      count(when(col("__in_a"), lit(1))).as("__ca"),
+      count(when(!col("__in_a"), lit(1))).as("__cb"))
+    val tot = counts.groupBy("grp")
+      .agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+      .where(col("__na") > 0 && col("__nb") > 0)
+    // add-one smoothing over the FULL bin range (denominators n + nBins):
+    // an empty bin's term is NOT zero when the slice sizes differ, so the
+    // grid is enumerated densely — groups·nBins rows, metadata-scale
+    val grid = tot.select(col("grp"), col("__na"), col("__nb"),
+      explode(sequence(lit(0L), lit(nBins - 1L))).as("bin_id"))
+    val pA = (col("__ca") + lit(1L)) / (col("__na") + lit(nBins.toLong))
+    val pB = (col("__cb") + lit(1L)) / (col("__nb") + lit(nBins.toLong))
+    val full = grid.join(counts, Seq("grp", "bin_id"), "left")
+      .select(col("grp"), col("__na"), col("__nb"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+      .select(col("grp"), col("__na"), col("__nb"),
+        ((pA - pB) * log(pA / pB)).as("__term"),
+        when(col("__ca") + col("__cb") > 0, 1L).otherwise(0L).as("__present"))
+    full.groupBy(col("grp"), col("__na").as("n_a"), col("__nb").as("n_b"))
+      .agg(sum("__term").as("psi"), sum("__present").as("n_bins_hit"))
+      .withColumn("psi_flag",
+        when(col("psi") > 0.25, "major")
+          .when(col("psi") > 0.1, "moderate")
+          .otherwise("stable"))
+      .select("grp", "n_a", "n_b", "n_bins_hit", "psi", "psi_flag")
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov drift test per group: the
     * distribution-shift check a training pipeline runs between corpus
     * snapshots (old drop vs new drop, window A vs window B) before mixing

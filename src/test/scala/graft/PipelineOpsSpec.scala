@@ -511,6 +511,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(same <= 10, s"epochs 1 and 2 agree on $same/200 placements")
   }
 
+  test("psiDrift: hand-computed PSI, empty-bin smoothing, identical slices stable") {
+    // group g: A mass in bin 0 (v=1), B mass in bin 1 (v=6) → major shift;
+    // group h: identical slices → psi exactly 0 (every term has pA == pB)
+    val rows = Seq.fill(10)(("g", 1.0, true)) ++ Seq.fill(10)(("g", 6.0, false)) ++
+      Seq.fill(5)(("h", 2.0, true)) ++ Seq.fill(5)(("h", 2.0, false))
+    val got = graft.pipeline.Profile.psiDrift(rows.toDF("grp", "v", "in_a"),
+        "grp", "v", col("in_a"), lo = 0.0, hi = 10.0, nBins = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5)))).toMap
+    // hand PSI for g (nBins=2, add-one): bin0 pA=11/12, pB=1/12;
+    // bin1 pA=1/12, pB=11/12 → psi = 2 * (10/12)*ln(11)
+    val want = 2.0 * (10.0 / 12.0) * math.log(11.0)
+    assert(math.abs(got("g")._4 - want) < 1e-12, s"psi ${got("g")._4} want $want")
+    assert(got("g")._5 == "major" && got("g")._1 == 10L && got("g")._2 == 10L)
+    assert(got("h")._4 == 0.0 && got("h")._5 == "stable")
+    assert(got("h")._3 == 1L, "h hits one bin")
+    // one-sided groups are omitted
+    val oneSided = Seq(("x", 1.0, true)).toDF("grp", "v", "in_a")
+    assert(graft.pipeline.Profile.psiDrift(oneSided, "grp", "v", col("in_a"),
+      0.0, 10.0, 2).isEmpty)
+  }
+
   test("ksDrift: matches brute-force KS, detects a shift, shard-invariant") {
     // slice A: 0..49; slice B: shifted by +10 — a pure location shift the
     // means would also see, but KS must report the exact sup-distance
