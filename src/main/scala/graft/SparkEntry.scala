@@ -1524,6 +1524,22 @@ object SparkEntry {
         "alnum_ratio, space_ratio, stopword_ratio, quality_score " +
         "FROM graft_quality('graft_sql_documents')")
     }),
+    "sql_ks_drift" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).events.withColumn("in_a", col("ts") < T2)
+        .createOrReplaceTempView("graft_sql_events_sliced")
+      s.sql("SELECT grp AS event_type, n_a, n_b, ks_d, ks_crit, drifted " +
+        "FROM graft_ks_drift('graft_sql_events_sliced', 'event_type', " +
+        "'value', 'in_a', 50.0)")
+    }),
+    "sql_psi_drift" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).events.withColumn("in_a", col("ts") < T2)
+        .createOrReplaceTempView("graft_sql_events_sliced")
+      s.sql("SELECT grp AS event_type, n_a, n_b, n_bins_hit, psi, psi_flag " +
+        "FROM graft_psi_drift('graft_sql_events_sliced', 'event_type', " +
+        "'value', 'in_a', 0.0, 500.0, 10)")
+    }),
 
     // incremental cluster maintenance: bootstrap on a third of the corpus,
     // ingest the rest in two batches — the EXACTNESS contract says the
@@ -1573,6 +1589,8 @@ object SparkEntry {
       "sql_dedup_exact" -> base("dedup_exact"),
       "sql_outliers" -> base("vec_outliers"),
       "sql_quality" -> base("text_quality"),
+      "sql_ks_drift" -> base("profile_ks_drift"),
+      "sql_psi_drift" -> base("profile_psi_drift"),
       // incremental maintenance must equal the full recompute exactly
       "dedup_incremental" -> base("dedup_clusters"),
       // the streaming face scores pairs with the batch kernel's arithmetic

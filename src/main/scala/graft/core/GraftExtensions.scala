@@ -35,6 +35,8 @@ import graft.functions.{CharNgramCodes, MinHashSig, PolyHash, SimHashSig, SimHas
   *  - `graft_exact_dedup('view')` — exact duplicate groups
   *  - `graft_label_outliers('view')` — per-label embedding outlier z-scores
   *  - `graft_quality('view')` — per-document quality scores
+  *  - `graft_ks_drift('view', grp, val, slice, w)` — exact KS drift per group
+  *  - `graft_psi_drift('view', grp, val, slice, lo, hi, bins)` — PSI drift
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
@@ -174,7 +176,26 @@ object GraftTableFunctions {
         "graft_quality(table) - per-document composite quality score " +
           "(length, stopword, alnum ratios)"),
       (exprs: Seq[Expression]) => plan(graft.pipeline.TextOps.qualityScore(
-        rel(strArg(exprs(0), "table name")))))
+        rel(strArg(exprs(0), "table name"))))),
+    (FunctionIdentifier("graft_ks_drift"),
+      info("graft_ks_drift",
+        "graft_ks_drift(table, group_col, value_col, slice_col, shard_width) - " +
+          "exact two-sample KS drift per group (slice_col: boolean, true = slice A)"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Profile.ksDrift(
+        rel(strArg(exprs(0), "table name")), strArg(exprs(1), "group column"),
+        strArg(exprs(2), "value column"),
+        org.apache.spark.sql.functions.col(strArg(exprs(3), "slice column")),
+        doubleArg(exprs(4), "shard_width")))),
+    (FunctionIdentifier("graft_psi_drift"),
+      info("graft_psi_drift",
+        "graft_psi_drift(table, group_col, value_col, slice_col, lo, hi, n_bins) - " +
+          "binned population-stability-index drift per group"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Profile.psiDrift(
+        rel(strArg(exprs(0), "table name")), strArg(exprs(1), "group column"),
+        strArg(exprs(2), "value column"),
+        org.apache.spark.sql.functions.col(strArg(exprs(3), "slice column")),
+        doubleArg(exprs(4), "lo"), doubleArg(exprs(5), "hi"),
+        intArg(exprs(6), "n_bins"))))
   )
 
   /** Register every table function on an already-built session. */

@@ -107,7 +107,17 @@ class SqlSurfaceSpec extends SparkSpec {
         graft.pipeline.Similarity.labelOutliers(t.embeddings),
       "SELECT * FROM graft_quality('sqlspec_docs_s')" ->
         graft.pipeline.TextOps.qualityScore(t.documents))
-    cases.foreach { case (sql, direct) =>
+    val sliced = t.events.withColumn("in_a",
+      col("ts") < 1705276800L * 1000000000L)
+    sliced.createOrReplaceTempView("sqlspec_events_sliced")
+    val driftCases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "SELECT * FROM graft_ks_drift('sqlspec_events_sliced', 'event_type', 'value', 'in_a', 50.0)" ->
+        graft.pipeline.Profile.ksDrift(sliced, "event_type", "value",
+          col("in_a"), shardWidth = 50.0),
+      "SELECT * FROM graft_psi_drift('sqlspec_events_sliced', 'event_type', 'value', 'in_a', 0.0, 500.0, 10)" ->
+        graft.pipeline.Profile.psiDrift(sliced, "event_type", "value",
+          col("in_a"), lo = 0.0, hi = 500.0, nBins = 10))
+    (cases ++ driftCases).foreach { case (sql, direct) =>
       val viaSql = spark.sql(sql)
       assert(viaSql.columns.toSeq == direct.columns.toSeq, sql)
       assert(rowsOf(viaSql) == rowsOf(direct), sql)

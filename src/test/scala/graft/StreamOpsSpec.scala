@@ -498,6 +498,29 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semanticDupStream idle eviction: a forgotten cell misses the later dup") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val v = Seq(0.7f, 0.7f, 0.1f, 0.0f)
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 0.0, 0.0, 1.0)))
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.semanticDupStream(in.toDS().toDF("vec_id", "embedding"),
+      cents, threshold = 0.9, idleTimeoutMs = Some(300L))
+      .writeStream.format("memory").queryName("sd_evict")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      def inputRows() = q.recentProgress.map(_.numInputRows).sum
+      in.addData((1L, v))
+      eventually("vec 1 ingested")(inputRows() >= 1)
+      Thread.sleep(1000) // vec 1's cell state evicts
+      in.addData((2L, v)) // exact dup of the forgotten vector
+      eventually("vec 2 ingested")(inputRows() >= 2)
+      Thread.sleep(500)
+      assert(spark.table("sd_evict").isEmpty,
+        "evicted cell must forget vec 1 (the documented trade)")
+    } finally q.stop()
+  }
+
   test("windowedStats groups into tumbling event-time windows") {
     import org.apache.spark.sql.functions._
     val pts = Seq(("s", 10 * S, 1.0), ("s", 20 * S, 5.0), ("s", 70 * S, 3.0))
