@@ -745,6 +745,10 @@ object SparkEntry {
     "ts_stl" -> ((s, dir) =>
       SeriesOps.stl(pts(s, dir), 86400L * NsPerS, 3600L * NsPerS,
         halfWindow = 12)),
+    // seasonality-adjusted anomaly detection: MAD scoring on the STL
+    // residual — extreme-for-3am readings the raw score cannot see
+    "ts_stl_anomaly" -> ((s, dir) =>
+      SeriesOps.stlAnomaly(pts(s, dir), 86400L * NsPerS, 3600L * NsPerS)),
     // seasonal-naive forecast: the reference's read_forecast raises
     // NotImplementedError — this is the working baseline in its place
     "ts_forecast_naive" -> ((s, dir) =>
@@ -2217,6 +2221,39 @@ object SparkEntry {
          |SELECT d.series_id, ts, value, tr AS trend, seas AS seasonal,
          |  CASE WHEN NOT isnan(value) THEN value END - tr - seas AS residual
          |FROM d JOIN se USING (series_id, slot)""".stripMargin,
+    // Twin of SeriesOps.stlAnomaly: the ts_stl residual fed through the
+    // ts_outlier_mad scoring body (same medians, constants, fallback).
+    "ts_stl_anomaly" ->
+      s"""WITH points AS ($PointsCte),
+         |t AS (SELECT series_id, ts, value,
+         |  ((ts % ${86400L * NsPerS} + ${86400L * NsPerS}) % ${86400L * NsPerS}) // ${3600L * NsPerS} AS slot,
+         |  avg(CASE WHEN NOT isnan(value) THEN value END) OVER (
+         |    PARTITION BY series_id ORDER BY ts, value
+         |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS tr
+         |  FROM points),
+         |d AS (SELECT *, CASE WHEN NOT isnan(value) THEN value END - tr AS detr FROM t),
+         |se AS (SELECT series_id, slot, avg(detr) AS seas FROM d GROUP BY 1, 2),
+         |r AS (SELECT d.series_id, ts,
+         |  CASE WHEN NOT isnan(value) THEN value END - tr - seas AS value
+         |  FROM d JOIN se USING (series_id, slot)),
+         |p AS (SELECT series_id, ts, value FROM r WHERE NOT isnan(value)),
+         |med AS (SELECT series_id, quantile_cont(value, 0.5) AS med FROM p GROUP BY 1),
+         |mad AS (SELECT p.series_id, quantile_cont(abs(p.value - med.med), 0.5) AS mad,
+         |  avg(abs(p.value - med.med)) AS meanad
+         |  FROM p JOIN med USING (series_id) GROUP BY 1)
+         |SELECT p.series_id, p.ts, p.value AS residual,
+         |  CASE WHEN mad.mad > 0
+         |    THEN CAST(0.6745 AS DOUBLE) * (p.value - med.med) / mad.mad
+         |  WHEN mad.meanad > 0
+         |    THEN (p.value - med.med) / (CAST(1.253314 AS DOUBLE) * mad.meanad)
+         |  END AS mad_score,
+         |  coalesce(abs(CASE WHEN mad.mad > 0
+         |    THEN CAST(0.6745 AS DOUBLE) * (p.value - med.med) / mad.mad
+         |  WHEN mad.meanad > 0
+         |    THEN (p.value - med.med) / (CAST(1.253314 AS DOUBLE) * mad.meanad)
+         |  END) > 3.5, false) AS is_outlier
+         |FROM p JOIN med USING (series_id) JOIN mad USING (series_id)""".stripMargin,
+
     // Twin of SeriesOps.forecastNaive: the seasonalProfile slot means
     // joined onto a 24-step hourly horizon after each series' last point
     "ts_forecast_naive" ->

@@ -981,6 +981,25 @@ object SeriesOps {
         (v - col("__trend") - col("__seasonal")).as("residual"))
   }
 
+  /** Seasonality-adjusted anomaly detection: [[outliersMad]] applied to
+    * the [[stl]] RESIDUAL instead of the raw value — a reading that is
+    * extreme for 3 a.m. but normal for 3 p.m. is invisible to raw-value
+    * scoring and obvious after the trend and seasonal components are
+    * removed. Pure composition of the two verified operators: the STL
+    * decomposition feeds its residual through the same Iglewicz–Hoaglin
+    * MAD scoring (per-series medians, 0.6745 constant, mean-AD
+    * fallback, flag at `k`). Rows whose residual is undefined (NaN
+    * source values) drop, exactly like [[outliersMad]] drops NaN inputs.
+    *
+    * Scale shape: the [[stl]] windows plus [[outliersMad]]'s two grouped
+    * medians, all keyed on the series — nothing new beyond the parents.
+    */
+  def stlAnomaly(points: DataFrame, periodNs: Long, bucketNs: Long,
+      halfWindow: Int = 12, k: Double = 3.5): DataFrame =
+    outliersMad(stl(points, periodNs, bucketNs, halfWindow)
+        .select(col("series_id"), col("ts"), col("residual").as("value")), k)
+      .withColumnRenamed("value", "residual")
+
   /** Seasonal-naive forecast: the reference's `read_forecast` endpoint
     * raises NotImplementedError (reference:
     * weather/data_sources/netatmo/repository.py:308-324) — this is the

@@ -568,6 +568,29 @@ class SeriesOpsSpec extends SparkSpec {
     }
   }
 
+  test("stlAnomaly: flags a seasonal deviation the raw MAD score misses") {
+    val H = 3600L * Period.Second
+    val D = 24L * H
+    // five days of a strong daily pattern (slot·10); one point on day 3,
+    // slot 2 is shifted +200 — its RAW value (220) sits inside the raw
+    // range (0..230), but its residual dwarfs both the edge-window bias
+    // of the sawtooth and every other residual
+    val anomalyTs = 3 * D + 2 * H
+    val df = (0 until 120).map { h =>
+      val ts = h * H
+      val base = (h % 24) * 10.0
+      ("s", ts, if (ts == anomalyTs) base + 200.0 else base)
+    }.toDF("series_id", "ts", "value")
+    val flagged = SeriesOps.stlAnomaly(df, 24 * 3600L * Period.Second,
+        3600L * Period.Second).where($"is_outlier")
+      .select("ts").collect().map(_.getLong(0)).toSet
+    assert(flagged.contains(anomalyTs), s"seasonal anomaly missed: $flagged")
+    val rawFlagged = SeriesOps.outliersMad(df).where($"is_outlier")
+      .select("ts").collect().map(_.getLong(0)).toSet
+    assert(!rawFlagged.contains(anomalyTs),
+      "raw MAD already sees it — fixture fails to demonstrate the point")
+  }
+
   test("stl: decomposition matches the hand walk; NaN rows keep null residual") {
     val H = 3600L * Period.Second
     // two days of hourly points with a NaN hole: slot = hour of day
