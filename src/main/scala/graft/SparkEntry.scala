@@ -916,6 +916,11 @@ object SparkEntry {
     // one Markov order up: add-1 bigram LM cross-entropy
     "text_bigram_logprob" -> ((s, dir) =>
       TextOps.bigramLogprob(Tables(s, dir).documents)),
+    // held-out scoring: LM counts from the 80% train split only, every
+    // doc scored against it — the memorization-free perplexity filter
+    "text_bigram_holdout" -> ((s, dir) =>
+      TextOps.bigramLogprobHoldout(Tables(s, dir).documents,
+        Sampling.bucketOf(col("doc_id"), "split") < 8000)),
     "text_top_terms" -> ((s, dir) =>
       TextOps.topTerms(Tables(s, dir).documents, k = 10)),
     // hashing-trick featurization: fixed-width sparse count vectors
@@ -2512,6 +2517,30 @@ object SparkEntry {
          |    / count(*) AS cross_entropy
          |FROM occ JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
          |GROUP BY 1""".stripMargin,
+    // Twin of TextOps.bigramLogprobHoldout over the sample_split train
+    // bucket: counts from the train slice only, left-join scoring with
+    // the add-1 unseen floor, is_train carried through.
+    "text_bigram_holdout" ->
+      s"""WITH tk AS (SELECT doc_id, $Toks AS t,
+         |  ((${phSql("CAST(doc_id AS VARCHAR)", "0")}) * ${Sampling.saltMult("split")}
+         |    + ${Sampling.saltAdd("split")}) % 1000000007 % 10000 < 8000 AS is_train
+         |  FROM documents),
+         |occ AS (SELECT doc_id, is_train, t[CAST(k AS INTEGER)] AS w1,
+         |  t[CAST(k + 1 AS INTEGER)] AS w2
+         |  FROM (SELECT doc_id, is_train, t, unnest(range(1, len(t))) AS k
+         |    FROM tk WHERE len(t) >= 2)),
+         |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+         |  FROM occ WHERE is_train GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu
+         |  FROM occ WHERE is_train GROUP BY 1),
+         |voc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+         |  FROM (SELECT unnest(t) AS tok FROM tk WHERE is_train))
+         |SELECT doc_id, is_train, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  -sum(ln(CAST(coalesce(cb, 0) + 1 AS DOUBLE)
+         |    / CAST(coalesce(cu, 0) + v AS DOUBLE))) / count(*) AS cross_entropy
+         |FROM occ LEFT JOIN big USING (w1, w2) LEFT JOIN ctx USING (w1) CROSS JOIN voc
+         |GROUP BY 1, 2""".stripMargin,
+
     // Twin of Similarity.pcaTop(embeddings, 8): the same matrix-free power
     // iteration — per-dim means, centered rows, v0 = 1/sqrt(d), each round
     // w_j = sum(((x-mu)*v)*(x-mu)_j)/n then normalize — unrolled with

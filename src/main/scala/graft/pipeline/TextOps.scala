@@ -209,6 +209,49 @@ object TextOps {
           / count(lit(1))).as("cross_entropy"))
   }
 
+  /** Held-out bigram cross-entropy: the LM counts come ONLY from the rows
+    * where `trainCol` is true, and EVERY document — train and held-out —
+    * is scored against that model. This is the split the in-corpus
+    * [[bigramLogprob]] cannot provide: scoring a document with counts it
+    * contributed to underestimates its surprisal (the train/held-out gap
+    * IS the memorization measurement, and perplexity-based quality
+    * filters must score with a model the document never touched or
+    * duplicated boilerplate scores artificially fluent). Bigrams or
+    * contexts unseen in training fall back to the add-1 floor
+    * `1/(0 + V)` with V the TRAIN vocabulary; `is_train` rides along so
+    * the generalization gap is one groupBy away.
+    *
+    * Scale shape: identical to [[bigramLogprob]] — the count tables
+    * aggregate partial-combined over the train slice; scoring joins are
+    * left joins on the same keys (misses coalesce to zero, never drop).
+    */
+  def bigramLogprobHoldout(df: DataFrame, trainCol: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tk = df.select(col(idCol), tokens(col(textCol)).as("__tk"),
+      trainCol.as("is_train"))
+    val occ = tk.where(size(col("__tk")) >= 2)
+      .select(col(idCol), col("is_train"), explode(expr(
+        "transform(sequence(1, size(__tk) - 1), " +
+          "k -> struct(element_at(__tk, k) AS w1, element_at(__tk, k + 1) AS w2))"))
+        .as("__b"))
+      .select(col(idCol), col("is_train"),
+        col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
+    val train = occ.where(col("is_train"))
+    val big = train.groupBy("__w1", "__w2").agg(count(lit(1)).as("__cb"))
+    val ctx = train.groupBy("__w1").agg(count(lit(1)).as("__cu"))
+    val voc = tk.where(col("is_train"))
+      .select(explode(col("__tk")).as("__t"))
+      .agg(countDistinct(col("__t")).as("__v"))
+    occ.join(big, Seq("__w1", "__w2"), "left")
+      .join(ctx, Seq("__w1"), "left")
+      .crossJoin(broadcast(voc))
+      .groupBy(col(idCol), col("is_train")).agg(
+        count(lit(1)).as("n_bigrams"),
+        (-sum(log((coalesce(col("__cb"), lit(0L)) + 1).cast("double")
+          / (coalesce(col("__cu"), lit(0L)) + col("__v")).cast("double")))
+          / count(lit(1))).as("cross_entropy"))
+  }
+
   /** Top-k terms per corpus slice (language, source): count-ranked heavy
     * hitters with a deterministic (count desc, term asc) tie-break — the
     * vocabulary drift report.

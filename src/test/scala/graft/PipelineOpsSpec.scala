@@ -728,6 +728,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(got(3L)._2 - ce(pbc)) < 1e-12 && got(3L)._1 == 1)
   }
 
+  test("bigramLogprobHoldout: held-out doc pays the unseen floor; all-train equals base op") {
+    // train: docs 1-2 over {a,b}; held-out doc 3 uses an unseen bigram
+    val docs = Seq((1L, "a b a b", true), (2L, "a b", true), (3L, "c d", false))
+      .toDF("doc_id", "text", "tr")
+    val got = graft.pipeline.TextOps.bigramLogprobHoldout(docs, col("tr"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getDouble(3)))).toMap
+    // train model: cb(a,b)=3 cb(b,a)=1; cu(a)=3 cu(b)=1; V={a,b}=2
+    val pab = 4.0 / 5.0; val pba = 2.0 / 3.0
+    def ce(ps: Double*): Double = -ps.map(math.log).sum / ps.size
+    assert(math.abs(got(1L)._3 - ce(pab, pba, pab)) < 1e-12)
+    assert(got(1L)._1 && got(1L)._2 == 3)
+    // held-out (c,d): unseen bigram AND unseen context → (0+1)/(0+2)
+    assert(math.abs(got(3L)._3 - ce(1.0 / 2.0)) < 1e-12)
+    assert(!got(3L)._1)
+    // held-out surprisal exceeds the in-model docs' — the gap the split exists to expose
+    assert(got(3L)._3 > got(1L)._3 && got(3L)._3 > got(2L)._3)
+    // trainCol ≡ true degenerates to bigramLogprob exactly
+    val all = Seq((1L, "a b a b"), (2L, "a b"), (3L, "b c"))
+      .toDF("doc_id", "text")
+    val base = rowsOf(graft.pipeline.TextOps.bigramLogprob(all))
+    val hold = rowsOf(graft.pipeline.TextOps
+      .bigramLogprobHoldout(all, lit(true)).drop("is_train"))
+    assert(hold == base)
+  }
+
   test("sliceOverlap: exact trigram intersections, inclusion-exclusion union") {
     val docs = Seq(
       (1L, "a", "abc def"), (2L, "a", "abc xyz"),
