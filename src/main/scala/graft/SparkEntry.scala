@@ -1139,6 +1139,10 @@ object SparkEntry {
     "events_funnel" -> ((s, dir) =>
       graft.ops.Funnel.funnel(Tables(s, dir).eventsUs,
         Seq("signup", "click", "purchase"))),
+    // step-pair conversion rates + median/p90 time-to-convert
+    "events_funnel_timing" -> ((s, dir) =>
+      graft.ops.Funnel.stepTiming(Tables(s, dir).eventsUs,
+        Seq("signup", "click", "purchase"))),
     "events_retention" -> ((s, dir) => Retention.retention(Tables(s, dir).eventsUs)),
     "events_top_paths" -> ((s, dir) =>
       graft.ops.Paths.topPaths(Tables(s, dir).eventsUs,
@@ -3209,6 +3213,30 @@ object SparkEntry {
         |  1 + (CASE WHEN s2.t_2 IS NOT NULL THEN 1 ELSE 0 END)
         |    + (CASE WHEN s3.t_3 IS NOT NULL THEN 1 ELSE 0 END) AS stage_reached
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+    // Twin of Funnel.stepTiming: the events_funnel chain materialized,
+    // one aggregate per step pair, exact interpolated percentiles.
+    "events_funnel_timing" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t_1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t_2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t_1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t_3 FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t_2 GROUP BY 1),
+        |f AS (SELECT s1.user_id, s1.t_1, s2.t_2, s3.t_3
+        |  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+        |SELECT CAST(1 AS INTEGER) AS step_from, CAST(2 AS INTEGER) AS step_to,
+        |  count(*) AS n_from, count(t_2) AS n_to,
+        |  CASE WHEN count(*) > 0 THEN count(t_2) / count(*) END AS conv_rate,
+        |  quantile_cont(t_2 - t_1, 0.5) AS median_dt_ns,
+        |  quantile_cont(t_2 - t_1, 0.9) AS p90_dt_ns
+        |FROM f WHERE t_1 IS NOT NULL
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), CAST(3 AS INTEGER),
+        |  count(*), count(t_3),
+        |  CASE WHEN count(*) > 0 THEN count(t_3) / count(*) END,
+        |  quantile_cont(t_3 - t_2, 0.5), quantile_cont(t_3 - t_2, 0.9)
+        |FROM f WHERE t_2 IS NOT NULL""".stripMargin,
+
     // Twin of Paths.topPaths: same session labeling, same first-maxSteps
     // cap via rn - start_rn, path built by ordered string_agg.
     "events_top_paths" -> {

@@ -41,4 +41,37 @@ object Funnel {
     }
     staged.withColumn("stage_reached", stage)
   }
+
+  /** Step-to-step conversion timing over the [[funnel]] result: for each
+    * adjacent step pair, how many users arrived, how many converted, the
+    * conversion rate, and the median / p90 time-to-convert — the numbers a
+    * product review actually reads off a funnel (WHERE users stall and HOW
+    * LONG the converting ones take). Rates are integer quotients
+    * (bit-stable); the percentiles use the exact linear-interpolated
+    * definition both engines share. A pair with no arrivals reports a
+    * null rate instead of dividing by zero.
+    *
+    * Scale shape: the funnel frame is user-scale and materialized once;
+    * each pair is then one bounded aggregation over it — k−1 passes over
+    * users, never over events.
+    */
+  def stepTiming(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(steps.size >= 2, "stepTiming needs at least two steps")
+    val f = graft.core.Lineage.truncate(
+      funnel(events, steps, userCol, typeCol, tsCol))
+    steps.indices.tail.map { i =>
+      val dt = col(s"t_${i + 1}") - col(s"t_$i")
+      f.where(col(s"t_$i").isNotNull).agg(
+          count(lit(1)).as("n_from"),
+          count(col(s"t_${i + 1}")).as("n_to"),
+          percentile(dt, lit(0.5)).as("median_dt_ns"),
+          percentile(dt, lit(0.9)).as("p90_dt_ns"))
+        .select(lit(i).as("step_from"), lit(i + 1).as("step_to"),
+          col("n_from"), col("n_to"),
+          when(col("n_from") > 0, col("n_to") / col("n_from")).as("conv_rate"),
+          col("median_dt_ns"), col("p90_dt_ns"))
+    }.reduce(_ unionByName _)
+  }
 }

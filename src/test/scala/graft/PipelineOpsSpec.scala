@@ -364,6 +364,22 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("stepTiming: hand-checked rates and interpolated percentiles per step pair") {
+    // three signups; two click (dt 10 and 30); one purchases (dt 5)
+    val events = Seq(
+      (1L, "signup", 10L), (1L, "click", 20L), (1L, "purchase", 25L),
+      (2L, "signup", 100L), (2L, "click", 130L),
+      (3L, "signup", 50L)
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.ops.Funnel.stepTiming(events, Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // 1→2: 3 arrivals, 2 convert; dts {10, 30}: median 20, p90 = 10+0.9*20=28
+    assert(got(1) == ((3L, 2L, 2.0 / 3.0, 20.0, 28.0)), s"${got(1)}")
+    // 2→3: 2 arrivals, 1 converts; single dt 5
+    assert(got(2) == ((2L, 1L, 0.5, 5.0, 5.0)), s"${got(2)}")
+  }
+
   test("funnel: strictly-ordered stages; out-of-order and same-instant don't advance") {
     val events = Seq(
       // u1 completes in order
