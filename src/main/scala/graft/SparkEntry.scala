@@ -667,6 +667,34 @@ object SparkEntry {
         .withColumn("running_revenue", sum("o_totalprice").over(
           byDate.rowsBetween(Window.unboundedPreceding, 0)))
     }),
+    // correlated-aggregate anchor (TPC-H Q17 shape): per-part average
+    // quantity re-joined to lineitem on the SAME key — the groupBy output
+    // is co-partitioned with the probe side, so AQE plans one shuffle for
+    // both; the part dimension broadcasts. The quantity limit is exact
+    // across engines: quantities are integer-valued doubles, so the
+    // per-part sum is exact in any order and avg*0.2 is one deterministic
+    // IEEE rounding in both.
+    "q7_small_qty" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val lim = t.lineitem.groupBy("l_partkey")
+        .agg((avg("l_quantity") * 0.2).as("qty_lim"))
+      t.lineitem.join(lim, "l_partkey")
+        .where(col("l_quantity") < col("qty_lim"))
+        .join(broadcast(t.part), col("p_partkey") === col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(sum("l_extendedprice").as("total_price"), count(lit(1)).as("n"))
+    }),
+    // anti-join anchor: customers with NO order above the price threshold
+    // — NOT EXISTS as a left_anti hash join (the orders side is filtered
+    // before the join, so the build input is the small filtered set)
+    "q8_no_big_order" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders.where(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"), sum("c_acctbal").as("acctbal"))
+    }),
 
     // ---- export sink: sharded JSONL round trip — the re-read export must
     // hash-equal the source table (lossless write→read, incl. escaping) ----
@@ -697,6 +725,19 @@ object SparkEntry {
     // between a plain shuffle join and SkewJoin.saltedJoin / AQE skew
     "profile_key_skew" -> ((s, dir) =>
       Profile.keySkew(Tables(s, dir).events, "user_id", topN = 10)),
+    // snapshot diff: documents vs a deterministically edited next version
+    // (doc_id%17==3 removed, %17==5 text-edited, %17==7 re-added under a
+    // bit-41 tag) — added/removed/changed via ONE full-outer id join
+    "corpus_diff" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.select("doc_id", "text", "lang")
+      val next = docs.where(col("doc_id") % 17 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 17 === 5, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")))
+        .unionByName(docs.where(col("doc_id") % 17 === 7)
+          .withColumn("doc_id", col("doc_id") + (1L << 41)))
+      Profile.snapshotDiff(docs, next, "doc_id", Seq("text", "lang"))
+    }),
     // binned PSI drift per event type over the same before/after-T2 split
     // — weights WHERE the mass moved, the scorecard companion to KS
     "profile_psi_drift" -> ((s, dir) =>
@@ -1125,6 +1166,11 @@ object SparkEntry {
     // the rolling distinct via bounded fan-out, never a stateful window
     "events_active_users" -> ((s, dir) =>
       graft.ops.Retention.activeUsers(Tables(s, dir).events)),
+    // user-base growth curve: first-seen day per user → daily new users +
+    // running cumulative total (exact distinct-over-growing-window with no
+    // stateful window — the running sum is over the per-day rollup)
+    "events_cumulative_users" -> ((s, dir) =>
+      graft.ops.Retention.cumulativeUsers(Tables(s, dir).events)),
     // reliability diagram + ECE of the quality score against the Gopher
     // verdict: does "0.8" actually mean 80%? (the threshold-shift audit)
     "clf_calibration" -> ((s, dir) => {
@@ -1664,6 +1710,23 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_revenue
         |FROM orders
         |WINDOW win AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey)""".stripMargin,
+    // Twin of the correlated-aggregate anchor: per-part avg is exact in
+    // both engines (integer-valued quantities sum exactly in any order),
+    // so the strict < against avg*0.2 cannot flip between them.
+    "q7_small_qty" ->
+      """WITH pa AS (SELECT l_partkey, avg(l_quantity) * 0.2 AS qty_lim
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_brand, sum(l_extendedprice) AS total_price, count(*) AS n
+        |FROM lineitem JOIN pa USING (l_partkey)
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < qty_lim GROUP BY 1""".stripMargin,
+    // Twin of the anti-join anchor.
+    "q8_no_big_order" ->
+      """SELECT c_mktsegment, count(*) AS n_customers, sum(c_acctbal) AS acctbal
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+        |GROUP BY 1""".stripMargin,
     // Twin of the events_json extraction: one typed JSON projection, same
     // per-type audit aggregates (k is INT32 on both sides). TRY_CAST +
     // json_valid mirror from_json's PERMISSIVE nulls instead of erroring
@@ -3324,6 +3387,40 @@ object SparkEntry {
         |SELECT cohort_day, day - cohort_day AS day_offset,
         |  count(DISTINCT user_id) AS n_users
         |FROM f GROUP BY 1, 2""".stripMargin,
+    // Twin of Retention.cumulativeUsers: first-seen day per user, per-day
+    // new-user counts, running total (CAST: DuckDB promotes the window sum
+    // to HUGEINT).
+    "events_cumulative_users" ->
+      """WITH fs AS (SELECT user_id,
+        |  min(epoch_ns(ts) // 86400000000000) AS day FROM events GROUP BY 1),
+        |d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM fs GROUP BY 1)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cumulative_users
+        |FROM d""".stripMargin,
+    // Twin of Profile.snapshotDiff over the deterministically edited next
+    // snapshot: same edit rules (%17: 3 removed, 5 text-edited, 7 re-added
+    // bit-41-tagged), same concatenated null-safe payload digest, one full
+    // outer join.
+    "corpus_diff" ->
+      """WITH docs AS (SELECT doc_id, text, lang FROM documents),
+        |nxt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 5 THEN text || ' [rev2]' ELSE text END AS text,
+        |    lang
+        |  FROM docs WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + (CAST(1 AS BIGINT) << 41), text, lang
+        |  FROM docs WHERE doc_id % 17 = 7),
+        |od AS (SELECT doc_id, coalesce(text, '') || coalesce(lang, '') AS dg FROM docs),
+        |nd AS (SELECT doc_id, coalesce(text, '') || coalesce(lang, '') AS dg FROM nxt)
+        |SELECT coalesce(od.doc_id, nd.doc_id) AS doc_id,
+        |  CASE WHEN od.doc_id IS NULL THEN 'added'
+        |       WHEN nd.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status
+        |FROM od FULL OUTER JOIN nd ON od.doc_id = nd.doc_id
+        |WHERE od.doc_id IS NULL OR nd.doc_id IS NULL OR od.dg <> nd.dg""".stripMargin,
 
     // Twin of the salted join: salting must be invisible in the result, so
     // the oracle is the PLAIN join (min/count are order-independent, no

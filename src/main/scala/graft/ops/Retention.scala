@@ -72,4 +72,32 @@ object Retention {
       .select(col("day"), col("dau"), col("wau"),
         (col("dau").cast("double") / col("wau")).as("stickiness"))
   }
+
+  /** Cumulative distinct users per UTC day — the growth curve. Exact
+    * distinct-over-growing-window WITHOUT any stateful window or repeated
+    * rescans: a user contributes to every day from their FIRST event on,
+    * so `min(day) per user` (one shuffle on the user key) turns the
+    * problem into a plain per-day count plus a running total.
+    *
+    * The running total is an ordered window with no partition key, but it
+    * runs over the per-day rollup — one row per active day, metadata
+    * scale even at 100 TB of events (a century is < 40k rows), so the
+    * single-partition sort is free. Only days with signups appear in
+    * `new_users`; `cumulative_users` is the running count as of each such
+    * day.
+    */
+  def cumulativeUsers(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", dayNs: Long = 86400L * 1000 * 1000 * 1000): DataFrame = {
+    require(dayNs > 0, s"dayNs must be positive, got $dayNs")
+    import org.apache.spark.sql.expressions.Window
+    val firstSeen = events
+      .select(col(userCol),
+        expr(s"(`$tsCol` - pmod(`$tsCol`, $dayNs)) div $dayNs").as("__day"))
+      .groupBy(userCol).agg(min("__day").as("day"))
+    val running = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstSeen
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+      .withColumn("cumulative_users", sum("new_users").over(running))
+  }
 }

@@ -239,4 +239,37 @@ object Profile {
       .withColumn("drifted", col("ks_d") > col("ks_crit"))
       .select("grp", "n_a", "n_b", "ks_d", "ks_crit", "drifted")
   }
+
+  /** Snapshot diff between two corpus versions: each id is classified as
+    * `added` (only in the new snapshot), `removed` (only in the old), or
+    * `changed` (present in both with different payload); unchanged rows
+    * are dropped — the incremental-ingest audit that decides what a
+    * downstream pipeline actually has to reprocess.
+    *
+    * Scale shape: ONE full-outer shuffle join on the id key; the payload
+    * comparison is a null-safe equality over the named columns evaluated
+    * inside the join projection (at 100 TB you would pre-hash the payload
+    * into a content digest column at write time and diff digests — the
+    * join shape is identical, so this operator IS that plan with the
+    * digest inlined). No collects, no windows.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "snapshotDiff needs at least one payload column")
+    def digest(df: DataFrame, tag: String): DataFrame =
+      df.select(col(idCol),
+        // null-safe: a null payload cell must compare equal to null, not
+        // poison the whole digest — coalesce each cell into the digest
+        concat_ws("",
+          payloadCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+          .as(s"__d_$tag"))
+    digest(oldDf, "old")
+      .join(digest(newDf, "new"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__d_old").isNull, lit("added"))
+          .when(col("__d_new").isNull, lit("removed"))
+          .when(col("__d_old") =!= col("__d_new"), lit("changed")))
+      .where(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+  }
 }

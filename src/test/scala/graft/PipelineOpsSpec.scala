@@ -925,4 +925,32 @@ class PipelineOpsSpec extends SparkSpec {
       assert(got(id)._1 == y)
     }
   }
+  test("cumulativeUsers: first-seen days, new-user counts, running total") {
+    val day = 1000L
+    // user 1 first day 0; user 2 first day 0 (later events ignored);
+    // user 3 first day 3; user 4 first day 7
+    val events = Seq((1L, 10L), (1L, 5L * day), (2L, 900L), (2L, 3L * day),
+      (3L, 3L * day + 1), (4L, 7L * day + 500))
+      .toDF("user_id", "ts")
+    val got = graft.ops.Retention.cumulativeUsers(events, dayNs = day)
+      .collect().map(r => (r.getAs[Long]("day"),
+        r.getAs[Long]("new_users"), r.getAs[Long]("cumulative_users")))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 2L, 2L), (3L, 1L, 3L), (7L, 1L, 4L)),
+      "only first-seen days appear; cumulative is the running distinct count")
+  }
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val old = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "de"),
+      (4L, null.asInstanceOf[String], "fr")).toDF("doc_id", "text", "lang")
+    val nw = Seq((2L, "b", "en"), (3L, "c-edited", "de"),
+      (4L, null.asInstanceOf[String], "fr"), (5L, "new", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Profile.snapshotDiff(old, nw, "doc_id", Seq("text", "lang"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status"))
+      .toMap
+    // 2 unchanged (dropped), 4 has a null payload cell that must compare
+    // equal to itself rather than flag as changed
+    assert(got == Map(1L -> "removed", 3L -> "changed", 5L -> "added"))
+  }
 }
