@@ -83,6 +83,31 @@ object SparkEntry {
        |ddup AS (SELECT gh FROM dg GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
        |dst AS (SELECT doc_id, pos FROM dg JOIN ddup USING (gh))""".stripMargin
 
+  /** Shared CTE chain for the winnowing twins (text_winnow, dedup_winnow):
+    * 5-gram PolyHash stream per document, the (hash, rightmost-pos) pair
+    * packed into one orderable long (hash*2^21 + (2^21-1-pos)) so the
+    * window MIN implements robust winnowing's rightmost-min tie rule, full
+    * windows of 4 (short docs keep their final partial window). Ends in
+    * `wfp(doc_id, fp_pos, fp)` — mirrors TextOps.winnowFingerprints.
+    */
+  private val WinnowCtes: String =
+    s"""wtk AS (SELECT doc_id, $Toks AS tk FROM documents),
+       |wsh AS (SELECT doc_id, CASE WHEN len(tk) >= 5
+       |  THEN list_transform(range(1, len(tk) - 3), i -> array_to_string(tk[i:i+4], ' '))
+       |  ELSE [] END AS sh FROM wtk),
+       |wgx AS (SELECT doc_id, CAST(unnest(range(1, len(sh) + 1)) AS BIGINT) AS i, sh
+       |  FROM wsh),
+       |wg AS (SELECT doc_id, i - 1 AS pos,
+       |  ${phSql("sh[CAST(i AS INTEGER)]", "0")} AS gh FROM wgx),
+       |wenc AS (SELECT doc_id, pos, gh * 2097152 + (2097151 - pos) AS e,
+       |  max(pos) OVER (PARTITION BY doc_id) AS maxpos FROM wg),
+       |wwin AS (SELECT doc_id, pos, maxpos,
+       |  min(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS we FROM wenc),
+       |wfp AS (SELECT DISTINCT doc_id, 2097151 - (we % 2097152) AS fp_pos,
+       |  we // 2097152 AS fp
+       |  FROM wwin WHERE pos >= least(3, maxpos))""".stripMargin
+
   /** Shared CTE chain for the Okapi BM25 twins (text_bm25, retrieve_rrf):
     * the fixed query {table, scan, sort, key} scored with k1=1.2, b=0.75 —
     * ends in `bm25(doc_id, n_matched_terms, score)`, UNRANKED and UNCUT so
@@ -1290,6 +1315,33 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => {
       Tables(s, dir).documents
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    }),
+    // MOSS winnowing: window-min k-gram fingerprints (rightmost on ties)
+    // — guaranteed to catch any shared run of >= k+window-1 tokens at
+    // ~2/(window+1) the gram-stream density
+    "text_winnow" -> ((s, dir) =>
+      TextOps.winnowFingerprints(Tables(s, dir).documents)),
+    // near-dup pairs from shared winnow fingerprints: the position-robust
+    // LOCAL-overlap detector (shared passages light up where whole-doc
+    // MinHash dilutes); posting lists capped, inverted-index join
+    "dedup_winnow" -> ((s, dir) =>
+      TextOps.winnowNearDups(Tables(s, dir).documents)),
+    // SymSpell deletion-blocked fuzzy join over the token vocabulary. The
+    // synthetic vocabulary contains no organic typos, so the gate injects
+    // one deterministic char-3 deletion per word of >= 6 chars (the
+    // oracle mirrors the injection) — the operator still verifies every
+    // candidate with exact levenshtein, so organic pairs would surface too
+    "text_typo_pairs" -> ((s, dir) => {
+      val vocab = Tables(s, dir).documents
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .where(length(col("word")) >= 5)
+      val typos = vocab.where(length(col("word")) >= 6)
+        .select(concat(substring(col("word"), 1, 2),
+          expr("substring(word, 4, length(word))")).as("word"),
+          lit(1L).as("cnt"))
+      TextOps.typoPairs(
+        vocab.unionByName(typos).groupBy("word").agg(sum("cnt").as("cnt")))
     }),
 
     // ---- deduplication ----
@@ -2749,6 +2801,43 @@ object SparkEntry {
     "text_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, array_to_string($Toks, ' ') AS s FROM documents)
          |SELECT doc_id, CASE WHEN s = '' THEN 0 ELSE ${phSql("s", "0")} END AS fp FROM t""".stripMargin,
+    // Twin of TextOps.winnowFingerprints(k=5, window=4).
+    "text_winnow" ->
+      s"""WITH $WinnowCtes
+         |SELECT doc_id, fp_pos, fp FROM wfp""".stripMargin,
+    // Twin of TextOps.winnowNearDups(minShared=5, maxDf=50): distinct
+    // (doc, fp) postings, lists over 50 docs cut, fp-keyed self-join.
+    "dedup_winnow" ->
+      s"""WITH $WinnowCtes,
+         |dfp AS (SELECT DISTINCT doc_id, fp FROM wfp),
+         |wkeep AS (SELECT fp FROM dfp GROUP BY fp HAVING count(*) <= 50),
+         |wind AS (SELECT doc_id, fp FROM dfp JOIN wkeep USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM wind a JOIN wind b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
+    // Twin of TextOps.typoPairs over the typo-injected vocabulary: same
+    // injection (char-3 deletion of words >= 6 chars), same deletion
+    // neighborhood (i=0 keeps the word), same levenshtein verify.
+    "text_typo_pairs" ->
+      s"""WITH tk AS (SELECT unnest($Toks) AS word FROM documents),
+         |v0 AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1),
+         |v1 AS (SELECT word, cnt FROM v0 WHERE length(word) >= 5),
+         |ty AS (SELECT substr(word, 1, 2) || substr(word, 4, length(word)) AS word,
+         |  CAST(1 AS BIGINT) AS cnt FROM v1 WHERE length(word) >= 6),
+         |v AS (SELECT word, CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM (SELECT * FROM v1 UNION ALL SELECT * FROM ty) GROUP BY 1),
+         |vf AS (SELECT word, cnt FROM v WHERE length(word) >= 5),
+         |vr AS (SELECT word, cnt, unnest(list_transform(range(0, length(word) + 1),
+         |  i -> CASE WHEN i = 0 THEN word
+         |    ELSE substr(word, 1, CAST(i - 1 AS INTEGER))
+         |      || substr(word, CAST(i + 1 AS INTEGER), CAST(length(word) AS INTEGER))
+         |  END)) AS var FROM vf)
+         |SELECT word_a, word_b, cnt_a, cnt_b FROM (
+         |  SELECT DISTINCT a.word AS word_a, b.word AS word_b,
+         |    a.cnt AS cnt_a, b.cnt AS cnt_b
+         |  FROM vr a JOIN vr b ON a.var = b.var AND a.word < b.word)
+         |WHERE levenshtein(word_a, word_b) <= 1""".stripMargin,
 
     // Twins of Sampling.bucketOf: the salt-keyed Carter–Wegman map
     // (a·PolyHash(id) + b) mod p over the id hash, % 10000; boundaries from

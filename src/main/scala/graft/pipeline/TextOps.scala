@@ -922,6 +922,124 @@ object TextOps {
     fx.withColumn("p", sigmoid(logit(w, bias)))
       .select(col(idCol), col("y"), col("p"), (col("p") >= 0.5).as("pred"))
   }
+
+  /** Position cap for the winnowing encode trick: (hash, rightmost-pos)
+    * packs into one orderable long as `hash * PosCap + (PosCap-1 - pos)`,
+    * so a window MIN picks the smallest hash and, among ties, the LARGEST
+    * position — exactly robust winnowing's rightmost-min rule — without a
+    * second (frame-correlated) window pass. hash < 2^30 (PolyHash mod) and
+    * pos < 2^21 keep the product under 2^51.
+    */
+  val WinnowPosCap: Long = 1L << 21
+
+  /** MOSS winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD'03):
+    * per document, slide a `window`-gram window over the k-gram hash
+    * stream and keep each window's minimum hash (rightmost on ties) — the
+    * guarantee is that any shared token run of length >= k + window - 1
+    * yields at least one shared fingerprint, at ~2/(window+1) the density
+    * of the full gram stream.
+    *
+    * Output: (idCol, fp_pos, fp) — `fp` is the selected k-gram's PolyHash,
+    * `fp_pos` its 0-based gram start. The same fp can be selected at
+    * several positions of one document (repeated grams); consumers that
+    * want the per-doc fingerprint SET distinct on (idCol, fp).
+    *
+    * Scale shape: one posexplode (bounded fan-out: one gram per token) and
+    * one per-document ordered window — a single shuffle on the doc key;
+    * everything else is map-side codegen. Documents with fewer grams than
+    * `window` contribute their global min (the standard short-doc
+    * degenerate case).
+    */
+  def winnowFingerprints(df: DataFrame, k: Int = 5, window: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && window >= 1, s"need k >= 1, window >= 1; got k=$k window=$window")
+    import org.apache.spark.sql.expressions.{Window => W}
+    val cap = WinnowPosCap
+    val grams = df
+      .select(col(idCol),
+        posexplode(shingles(tokens(col(textCol)), k)).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        PolyHash(col("gram"), 0L).as("gh"))
+    val part = W.partitionBy(col(idCol))
+    val frame = part.orderBy(col("pos")).rowsBetween(-(window - 1), 0)
+    grams
+      // fail loudly past the encode capacity instead of corrupting ranks
+      .withColumn("e",
+        when(col("pos") < cap,
+          col("gh") * cap + (lit(cap - 1) - col("pos")))
+          .otherwise(raise_error(concat(lit(
+            s"winnowFingerprints: gram position >= $cap in doc "),
+            col(idCol).cast("string")))))
+      .withColumn("maxpos", max("pos").over(part))
+      .withColumn("we", min("e").over(frame))
+      // full windows only, except short docs keep their final (partial) one
+      .where(col("pos") >= least(lit(window - 1).cast("long"), col("maxpos")))
+      .select(col(idCol), expr(s"${cap - 1} - (we % $cap)").as("fp_pos"),
+        expr(s"we div $cap").as("fp"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs by shared winnowing fingerprints — the
+    * position-robust local-overlap detector (a long shared passage inside
+    * otherwise-different documents lights up here, where whole-document
+    * MinHash dilutes it). Pairs come from an inverted index on the
+    * fingerprint value: distinct (doc, fp), posting lists capped at
+    * `maxDf` docs (boilerplate fingerprints shared by everything carry no
+    * pair signal and would explode the self-join quadratically — the
+    * standard posting-list cut, same policy as the inverted-index
+    * operator), then a fp-keyed self-join counted per pair.
+    */
+  def winnowNearDups(df: DataFrame, k: Int = 5, window: Int = 4,
+      minShared: Int = 5, maxDf: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"need minShared >= 1, maxDf >= 2; got minShared=$minShared maxDf=$maxDf")
+    val fps = winnowFingerprints(df, k, window, idCol, textCol)
+      .select(col(idCol).as("id"), col("fp")).distinct()
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf).select("fp")
+    val indexed = fps.join(keep, "fp")
+    indexed.select(col("fp"), col("id").as("id_a"))
+      .join(indexed.select(col("fp"), col("id").as("id_b")), "fp")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** SymSpell-style fuzzy vocabulary join (Garbe's deletion blocking):
+    * two words within edit distance 1 ALWAYS share an entry of each
+    * other's deletion neighborhood {word} ∪ {word minus one char} — a
+    * substitution at position i collides on "both delete i", an
+    * insert/delete on "the longer word deletes the extra char". So the
+    * candidate set is an EQUI-join on the variant string (fan-out len+1
+    * per word, well-spread keys) — never a quadratic all-pairs distance
+    * matrix — and `levenshtein <= 1` verifies candidates exactly
+    * (the neighborhood also admits some distance-2 collisions, e.g.
+    * transpositions: del("ab") ∩ del("ba") = {a, b}).
+    *
+    * Input is a vocabulary (wordCol, cntCol) — typically the distinct
+    * token counts of a corpus; output is (word_a, word_b, cnt_a, cnt_b)
+    * with word_a < word_b. `minLen` drops short words whose distance-1
+    * neighborhoods are mostly other real words (the standard guard).
+    */
+  def typoPairs(vocab: DataFrame, minLen: Int = 5,
+      wordCol: String = "word", cntCol: String = "cnt"): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val base = vocab.select(col(wordCol).as("w"), col(cntCol).as("cnt"))
+      .where(length(col("w")) >= minLen)
+    val variants = base
+      .select(col("w"), col("cnt"),
+        explode(sequence(lit(0), length(col("w")))).as("i"))
+      .select(col("w"), col("cnt"),
+        when(col("i") === 0, col("w"))
+          .otherwise(concat(expr("substring(w, 1, i - 1)"),
+            expr("substring(w, i + 1, length(w))"))).as("v"))
+    variants.select(col("v"), col("w").as("word_a"), col("cnt").as("cnt_a"))
+      .join(variants.select(col("v"), col("w").as("word_b"), col("cnt").as("cnt_b")), "v")
+      .where(col("word_a") < col("word_b"))
+      .select("word_a", "word_b", "cnt_a", "cnt_b").distinct()
+      .where(levenshtein(col("word_a"), col("word_b")) <= 1)
+  }
 }
 
 /** Tiny per-language stopword dictionaries (public common words). */

@@ -953,4 +953,68 @@ class PipelineOpsSpec extends SparkSpec {
     // equal to itself rather than flag as changed
     assert(got == Map(1L -> "removed", 3L -> "changed", 5L -> "added"))
   }
+  test("winnowFingerprints equals brute robust winnowing (rightmost-min)") {
+    import graft.functions.PolyHash
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (0L until 12L).map { id =>
+      val n = 3 + rnd.nextInt(30) // includes docs shorter than k and < window grams
+      (id, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val (k, w) = (5, 4)
+    val got = TextOps.winnowFingerprints(docs.toDF("doc_id", "text"), k, w)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fp_pos"),
+        r.getAs[Long]("fp"))).toSet
+    val expect = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ").toVector
+      val hs = (0 to toks.length - k)
+        .map(i => PolyHash.hash(toks.slice(i, i + k).mkString(" "), 0L))
+      if (hs.isEmpty) Seq.empty
+      else {
+        // brute: every window of w gram hashes (or the whole stream if
+        // shorter) picks its min, rightmost position on ties
+        val starts = if (hs.length <= w) Seq(0) else 0 to hs.length - w
+        starts.map { st =>
+          val win = hs.slice(st, st + w)
+          val m = win.min
+          val rp = st + win.lastIndexOf(m)
+          (id, rp.toLong, m)
+        }.distinct
+      }
+    }.toSet
+    assert(got == expect, s"got ${got.size} expect ${expect.size}")
+  }
+
+  test("winnowNearDups: shared-run guarantee and posting-list cap") {
+    // base doc of 40 distinct-ish tokens; copy shares a long middle run
+    val toks = (0 until 40).map(i => s"w$i")
+    val a = toks.mkString(" ")
+    val b = (Seq("x1", "x2", "x3") ++ toks.slice(10, 30) ++ Seq("y1", "y2", "y3")).mkString(" ")
+    val c = (0 until 40).map(i => s"z$i").mkString(" ") // unrelated
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = TextOps.winnowNearDups(df, minShared = 1)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // shared run of 20 tokens >= k + window - 1 = 8 → guaranteed shared fp
+    assert(pairs == Set((1L, 2L)))
+    // cap: a fingerprint shared by everything carries no pair signal —
+    // with maxDf = 2 identical triplets produce no pairs
+    val same = Seq((1L, a), (2L, a), (3L, a)).toDF("doc_id", "text")
+    assert(TextOps.winnowNearDups(same, minShared = 1, maxDf = 2).count() == 0)
+    assert(TextOps.winnowNearDups(same, minShared = 1, maxDf = 3).count() == 3)
+  }
+
+  test("typoPairs: deletion blocking is exact for edit distance 1") {
+    val vocab = Seq(
+      ("walrus", 5L), ("walrusx", 2L),  // insertion at end
+      ("wxlrus", 1L),                   // substitution at pos 2
+      ("awlrus", 1L),                   // transposition: ED 2, candidate but rejected
+      ("melon", 9L), ("lemon", 4L),     // anagram, ED 2 (transposition-ish collision)
+      ("orange", 3L))                   // unrelated
+      .toDF("word", "cnt")
+    val got = TextOps.typoPairs(vocab, minLen = 5)
+      .collect().map(r => (r.getAs[String]("word_a"), r.getAs[String]("word_b")))
+      .toSet
+    assert(got == Set(("walrus", "walrusx"), ("walrus", "wxlrus")),
+      s"got $got — ED-2 transpositions/anagrams must be verified away")
+  }
 }
