@@ -834,6 +834,10 @@ object SparkEntry {
       SeriesOps.periodogram(pts(s, dir), 86400L * NsPerS)),
     "ts_outlier_mad" -> ((s, dir) => SeriesOps.outliersMad(pts(s, dir), 3.5)),
     "ts_ewma" -> ((s, dir) => SeriesOps.ewma(pts(s, dir), alpha = 0.5, window = 16)),
+    // Holt double exponential smoothing: end-of-series level/trend state +
+    // h-step linear forecasts (α = β = 0.5: every step an exact binary
+    // scale, bit-identical cross-engine over the pinned fold order)
+    "ts_holt" -> ((s, dir) => SeriesOps.holt(pts(s, dir))),
     "ts_changepoint" -> ((s, dir) => SeriesOps.changepoint(pts(s, dir))),
     "ts_autocorr" -> ((s, dir) => SeriesOps.autocorr(pts(s, dir), maxLag = 3)),
     "ts_monthly" -> ((s, dir) => SeriesOps.monthly(pts(s, dir))),
@@ -2134,6 +2138,25 @@ object SparkEntry {
          |  / ((CAST(1 AS DOUBLE) - pow(CAST(0.5 AS DOUBLE), len(lst)))
          |     / (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE))) AS ewma
          |FROM w""".stripMargin,
+    // Twin of SeriesOps.holt(α=β=0.5, horizon=3): the [level, trend] pair
+    // rides a 2-element DOUBLE list through list_reduce (first element =
+    // the [x_1, 0] init), same expression shape per step as the Spark
+    // fold; DuckDB's list is built with the same (ts, value) order.
+    "ts_holt" ->
+      s"""WITH points AS ($PointsCte),
+         |p AS (SELECT series_id, ts, value FROM points WHERE NOT isnan(value)),
+         |g AS (SELECT series_id, list(value ORDER BY ts, value) AS vs FROM p GROUP BY 1),
+         |st AS (SELECT series_id, CAST(len(vs) AS BIGINT) AS n_points,
+         |  list_reduce(list_transform(vs, x -> [x, CAST(0 AS DOUBLE)]),
+         |    (a, e) -> [CAST(0.5 AS DOUBLE) * e[1]
+         |        + CAST(0.5 AS DOUBLE) * (a[1] + a[2]),
+         |      CAST(0.5 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * e[1]
+         |          + CAST(0.5 AS DOUBLE) * (a[1] + a[2])) - a[1])
+         |        + CAST(0.5 AS DOUBLE) * a[2]]) AS acc
+         |  FROM g)
+         |SELECT series_id, n_points, acc[1] AS level, acc[2] AS trend,
+         |  CAST(h AS BIGINT) AS h, acc[1] + h * acc[2] AS forecast
+         |FROM st CROSS JOIN range(1, 4) r(h)""".stripMargin,
     // Twin of SeriesOps.changepoint: same three window passes (unordered
     // moments, ordered running CUSUM, peak rank with the same tie-breaks).
     "ts_changepoint" ->

@@ -1045,4 +1045,50 @@ object SeriesOps {
         bySeries.orderBy(col("ts").desc, col("value").desc)))
       .where(col("__rn") <= n)
       .drop("__rn")
+
+  /** Holt linear (double) exponential smoothing per series — the
+    * trend-aware upgrade of [[ewma]]: level l_t = α·x_t + (1−α)(l_{t−1} +
+    * b_{t−1}), trend b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, initialized
+    * l_1 = x_1, b_1 = 0 (the zero-trend start; the recursion washes the
+    * choice out at these α). Emits the end-of-series state and the h-step
+    * linear forecasts l + h·b for h = 1..`horizon` — the short-range
+    * operational forecast ([[forecastNaive]] covers the seasonal shape).
+    *
+    * The recursion folds over the per-series TIME-SORTED value array
+    * (ties on ts break by value) — one pinned accumulation order in both
+    * engines, same rationale as [[periodogram]]. Defaults α = β = 0.5
+    * make every step an exact binary scale, bit-identical cross-engine.
+    * Scale shape: one groupBy collect per series; per-series state is two
+    * doubles. Series longer than driver memory would stream through
+    * [[graft.streaming.StreamOps]]' EWMA face instead.
+    */
+  def holt(points: DataFrame, alpha: Double = 0.5, beta: Double = 0.5,
+      horizon: Int = 3): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1,
+      s"need 0 < alpha <= 1, 0 <= beta <= 1; got alpha=$alpha beta=$beta")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val a = lit(alpha)
+    val bt = lit(beta)
+    val state = aggregate(
+      expr("slice(__vs, 2, size(__vs) - 1)"),
+      struct(element_at(col("__vs"), 1).as("l"), lit(0.0).as("b")),
+      (acc, x) => {
+        val l1 = a * x + (lit(1.0) - a) * (acc.getField("l") + acc.getField("b"))
+        struct(l1.as("l"),
+          (bt * (l1 - acc.getField("l")) + (lit(1.0) - bt) * acc.getField("b"))
+            .as("b"))
+      })
+    points.where(notNan(col("value")))
+      .groupBy("series_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("value")))).as("__tv"))
+      .select(col("series_id"),
+        transform(col("__tv"), x => x.getField("value")).as("__vs"))
+      .withColumn("__st", state)
+      .select(col("series_id"), size(col("__vs")).cast("long").as("n_points"),
+        col("__st.l").as("level"), col("__st.b").as("trend"),
+        explode(sequence(lit(1), lit(horizon))).as("h"))
+      .select(col("series_id"), col("n_points"), col("level"), col("trend"),
+        col("h").cast("long").as("h"),
+        (col("level") + col("h") * col("trend")).as("forecast"))
+  }
 }

@@ -624,4 +624,35 @@ class SeriesOpsSpec extends SparkSpec {
       else assert(close(r, vals(i) - trend(i) - seas(i % 24)), s"residual at $i")
     }
   }
+  test("holt matches a driver replay and extrapolates an exact line") {
+    // noisy-ish series: replay the recursion on the driver bit-for-bit
+    val vals = Seq(3.0, 5.0, 4.0, 8.0, 6.0, 9.0, 7.5, 10.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("s", i.toLong * 100, v) }
+      .toDF("series_id", "ts", "value")
+    val got = graft.ts.SeriesOps.holt(df, horizon = 2).collect()
+      .map(r => (r.getAs[Long]("h"),
+        (r.getAs[Double]("level"), r.getAs[Double]("trend"),
+          r.getAs[Double]("forecast"), r.getAs[Long]("n_points"))))
+      .toMap
+    var l = vals.head; var b = 0.0
+    vals.tail.foreach { x =>
+      val l1 = 0.5 * x + 0.5 * (l + b)
+      b = 0.5 * (l1 - l) + 0.5 * b
+      l = l1
+    }
+    assert(got(1L) == ((l, b, l + 1 * b, vals.length.toLong)))
+    assert(got(2L) == ((l, b, l + 2 * b, vals.length.toLong)))
+
+    // an exact line is a fixed point: level tracks it, forecasts continue it
+    val line = (0 until 20).map(i => ("ln", i.toLong * 10, 2.0 * i + 1))
+      .toDF("series_id", "ts", "value")
+    val fc = graft.ts.SeriesOps.holt(line, horizon = 3).collect()
+      .map(r => r.getAs[Long]("h") -> r.getAs[Double]("forecast")).toMap
+    // last value is 2*19+1 = 39, slope 2 per step (level/trend converge
+    // geometrically; after 20 points the error is < 1e-2)
+    (1 to 3).foreach { h =>
+      assert(math.abs(fc(h.toLong) - (39.0 + 2.0 * h)) < 0.05,
+        s"h=$h got ${fc(h.toLong)}")
+    }
+  }
 }
