@@ -64,6 +64,47 @@ object SparkEntry {
     s"CAST(list_sum(list_transform(range(0, 6), k -> " +
       s"CASE WHEN ${srpDotSql(v)} >= 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT)"
 
+  /** DuckDB twin of VecCosine over pre-cast DOUBLE lists (same per-sum
+    * left-to-right accumulation, same final expression — the sim_topk gate
+    * pins the equivalence).
+    */
+  private def vecCosSql(a: String, b: String): String =
+    s"(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) / " +
+      s"(sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))) * " +
+      s"sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])))))"
+
+  /** Twin of Similarity.mmrSelect(query=vec 0, k=5, shortlist=20, λ=0.7):
+    * greedy rounds unrolled as MATERIALIZED CTEs (the round chain is
+    * self-referencing — plain CTEs re-expand exponentially). The λ
+    * complement is written `(1 - 0.7)`, NOT the literal 0.3: the driver
+    * computes `1.0 - lambda` and the two doubles differ in the last ulp.
+    */
+  private lazy val MmrOracle: String = {
+    val rounds = (2 to 5).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT c.id, c.rel,
+         |  0.7 * c.rel - (CAST(1 AS DOUBLE) - 0.7) * max(p.sim) AS mmr
+         |  FROM sl c JOIN ps p ON p.ia = c.id JOIN s${r - 1} s ON p.ib = s.id
+         |  WHERE c.id NOT IN (SELECT id FROM s${r - 1}) GROUP BY c.id, c.rel),
+         |p$r AS MATERIALIZED (SELECT id, rel, $r AS rk, mmr FROM c$r
+         |  ORDER BY mmr DESC, id ASC LIMIT 1),
+         |s$r AS MATERIALIZED (SELECT id, rel, rk, mmr FROM s${r - 1}
+         |  UNION ALL SELECT id, rel, rk, mmr FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |sc AS (SELECT c.vec_id AS id, ${vecCosSql("q.qv", "c.v")} AS rel, c.v AS v
+       |  FROM e c CROSS JOIN q WHERE c.vec_id <> 0),
+       |sl AS MATERIALIZED (SELECT id, rel, v FROM sc ORDER BY rel DESC, id ASC LIMIT 20),
+       |ps AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib,
+       |  ${vecCosSql("a.v", "b.v")} AS sim FROM sl a JOIN sl b ON a.id <> b.id),
+       |s1 AS MATERIALIZED (SELECT id, rel, 1 AS rk,
+       |  0.7 * rel - (CAST(1 AS DOUBLE) - 0.7) * CAST(0 AS DOUBLE) AS mmr
+       |  FROM sl ORDER BY rel DESC, id ASC LIMIT 1),
+       |$rounds
+       |SELECT CAST(0 AS BIGINT) AS query_id, id AS vec_id,
+       |  CAST(rk AS INTEGER) AS mmr_rank, rel, mmr AS mmr_score FROM s5""".stripMargin
+  }
+
   /** Shared CTE chain for the exact-duplicated-8-gram twins
     * (text_dup_spans / text_dup_coverage): token 8-grams per document with
     * their 0-based start position and PolyHash identity, reduced to the
@@ -1387,6 +1428,12 @@ object SparkEntry {
         t.embeddings.where(col("vec_id") === 0), t.embeddings, k = 20)
         .select(col("neighbor_id").as("doc_id"), col("rank"))
       Similarity.rrfFuse(lex, vec, "doc_id", "rank", k = 10)
+    }),
+    // MMR diversified retrieval for vector 0: greedy λ·rel − (1−λ)·maxsim
+    // over the cosine top-20 shortlist (λ = 0.7, k = 5)
+    "retrieve_mmr" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.mmrSelect(e.where(col("vec_id") === 0), e, k = 5, shortlist = 20)
     }),
     "sim_ivf_topk" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
@@ -3943,6 +3990,7 @@ object SparkEntry {
         |  pos_sim - neg_sim AS margin
         |FROM pos JOIN neg USING (anchor_id)""".stripMargin,
 
+    "retrieve_mmr" -> MmrOracle,
     // Twin of Similarity.rrfFuse over bm25 top-20 + cosine top-20 for
     // vector 0: the shared bm25 CTEs, the sim_topk cosine body at
     // query_id = 0, both ranked (score desc, id asc), fused with the

@@ -985,4 +985,71 @@ object Similarity {
     v.zipWithIndex.map { case (l, j) => (j, l, lambda, lambda / totVar) }
       .toSeq.toDF("dim", "loading", "eigenvalue", "var_explained")
   }
+
+  /** VecCosine's exact arithmetic on the driver (same index-order
+    * accumulation, same final expression) — shared by [[mmrSelect]]'s
+    * greedy stage so driver-computed pair similarities cannot drift from
+    * plan-computed ones.
+    */
+  private[pipeline] def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    var j = n
+    while (j < a.length) { na += a(j) * a(j); j += 1 }
+    j = n
+    while (j < b.length) { nb += b(j) * b(j); j += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein,
+    * SIGIR'98): greedily pick `k` results maximizing λ·rel(d) −
+    * (1−λ)·max_{s∈S} sim(d, s) — the retrieval diversification step that
+    * stops five paraphrases of one passage from filling the context
+    * window. Rank 1 is pure relevance (empty selected set ⇒ the
+    * similarity term is 0, score λ·rel); ties break (score desc, id asc).
+    *
+    * Scale split (the standard serving shape): the corpus-scale work —
+    * scoring every vector against the query — is the distributed
+    * [[bruteForceTopK]] pass (swap in the ANN family for a sublinear
+    * shortlist); the greedy stage then runs on the collected
+    * `shortlist`-row candidate set per query (metadata scale: k·N pair
+    * cosines on ≤ a few dozen rows), and the selection re-enters Spark as
+    * a literal-backed DataFrame — the same driver-loop-bounded pattern as
+    * [[pcaTop]]'s iteration weights.
+    */
+  def mmrSelect(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+      shortlist: Int = 20, lambda: Double = 0.7,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need k >= 1 and shortlist >= k; got k=$k shortlist=$shortlist")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val spark = corpus.sparkSession
+    val cands = bruteForceTopK(queries, corpus, shortlist, idCol, vecCol)
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("__v"))
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos_sim"),
+        r.getSeq[Float](r.fieldIndex("__v")).map(_.toDouble).toArray))
+    val rows = cands.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (qid, cs) =>
+      var selected = Vector.empty[(Long, Double, Array[Double], Int, Double)]
+      for (r <- 1 to math.min(k, cs.length)) {
+        val scored = cs
+          .filter(c => !selected.exists(_._1 == c._2))
+          .map { case (_, id, rel, v) =>
+            val maxSim =
+              if (selected.isEmpty) 0.0
+              else selected.map(s => cosineLocal(v, s._3)).max
+            (id, rel, v, lambda * rel - (1.0 - lambda) * maxSim)
+          }
+        val pick = scored.minBy { case (id, _, _, sc) => (-sc, id) }
+        selected :+= ((pick._1, pick._2, pick._3, r, pick._4))
+      }
+      selected.map { case (id, rel, _, rk, sc) => (qid, id, rk, rel, sc) }
+    }
+    import spark.implicits._
+    rows.toDF("query_id", "vec_id", "mmr_rank", "rel", "mmr_score")
+  }
 }

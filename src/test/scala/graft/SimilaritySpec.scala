@@ -564,4 +564,29 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("degenerate"))
   }
+  test("mmrSelect diversifies: a near-duplicate of the top hit is demoted") {
+    // query along e1; a1/a2 near-identical high-relevance; b distinct
+    // direction with moderate relevance; c filler
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      (0L, v(1, 0, 0, 0)),            // query
+      (1L, v(0.9, 0.1, 0, 0)),        // a1: top relevance
+      (2L, v(0.9, 0.11, 0, 0)),       // a2: near-copy of a1 (sim ≈ 0.9999)
+      (3L, v(0.8, 0, 0.6, 0)),        // b: good relevance, different direction
+      (4L, v(0.1, 0, 0, 0.99)))       // c: weak, near-orthogonal to all
+    val df = rows.toDF("vec_id", "embedding")
+    val got = graft.pipeline.Similarity
+      .mmrSelect(df.where($"vec_id" === 0), df, k = 3, shortlist = 4, lambda = 0.5)
+      .collect().map(r => r.getAs[Int]("mmr_rank") -> r.getAs[Long]("vec_id"))
+      .toMap
+    // pure relevance order would be 1, 2, 3; at λ=0.5 the near-copy's
+    // 0.9999 redundancy penalty pushes it out of the top-3 entirely
+    // (margins ≈ 3e-3 — far above float noise)
+    assert(got == Map(1 -> 1L, 2 -> 3L, 3 -> 4L), s"got $got")
+    // rank-1 score is λ·rel (empty selected set)
+    val r1 = graft.pipeline.Similarity
+      .mmrSelect(df.where($"vec_id" === 0), df, k = 1, shortlist = 4, lambda = 0.7)
+      .collect().head
+    assert(r1.getAs[Double]("mmr_score") == 0.7 * r1.getAs[Double]("rel"))
+  }
 }
