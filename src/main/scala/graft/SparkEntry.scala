@@ -1241,6 +1241,20 @@ object SparkEntry {
     // stateful window — the running sum is over the per-day rollup)
     "events_cumulative_users" -> ((s, dir) =>
       graft.ops.Retention.cumulativeUsers(Tables(s, dir).events)),
+    // multi-dimensional rollup cube over (event_type, day): every
+    // aggregation granularity in ONE pass (Catalyst's Expand), null
+    // grouping cells re-labeled so the dtype survives the parquet→pandas
+    // round trip
+    "events_cube" -> ((s, dir) => {
+      Tables(s, dir).events
+        .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+          col("value"))
+        .cube(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+        .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("day"), lit(-1L)).as("day"),
+          col("n"), col("total_value"))
+    }),
     // reliability diagram + ECE of the quality score against the Gopher
     // verdict: does "0.8" actually mean 80%? (the threshold-shift audit)
     "clf_calibration" -> ((s, dir) => {
@@ -1361,6 +1375,10 @@ object SparkEntry {
       Tables(s, dir).documents
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
     }),
+    // skip-gram (center, context) pair counts at window 2 — the
+    // word2vec/GloVe training-data extraction
+    "text_skipgrams" -> ((s, dir) =>
+      TextOps.skipgrams(Tables(s, dir).documents, window = 2)),
     // MOSS winnowing: window-min k-gram fingerprints (rightmost on ties)
     // — guaranteed to catch any shared run of >= k+window-1 tokens at
     // ~2/(window+1) the gram-stream density
@@ -2871,6 +2889,16 @@ object SparkEntry {
     "text_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, array_to_string($Toks, ' ') AS s FROM documents)
          |SELECT doc_id, CASE WHEN s = '' THEN 0 ELSE ${phSql("s", "0")} END AS fp FROM t""".stripMargin,
+    // Twin of TextOps.skipgrams(window=2): same directed offset fan-out
+    // (d = 1, 2), same 1-based index walk.
+    "text_skipgrams" ->
+      s"""WITH tk AS (SELECT $Toks AS tk FROM documents),
+         |dd AS (SELECT tk, unnest([1, 2]) AS d FROM tk),
+         |pr AS (SELECT tk, d, CAST(unnest(range(1, len(tk) - d + 1)) AS INTEGER) AS i
+         |  FROM dd WHERE len(tk) > d)
+         |SELECT tk[i] AS word, tk[CAST(i + d AS INTEGER)] AS context,
+         |  count(*) AS n
+         |FROM pr GROUP BY 1, 2""".stripMargin,
     // Twin of TextOps.winnowFingerprints(k=5, window=4).
     "text_winnow" ->
       s"""WITH $WinnowCtes
@@ -3558,6 +3586,13 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cumulative_users
         |FROM d""".stripMargin,
+    // Twin of the events cube: same day bucketing, same null re-labels.
+    "events_cube" ->
+      """WITH e AS (SELECT event_type,
+        |  epoch_ns(ts) // 86400000000000 AS day, value FROM events)
+        |SELECT coalesce(event_type, '(all)') AS event_type,
+        |  coalesce(day, -1) AS day, count(*) AS n, sum(value) AS total_value
+        |FROM e GROUP BY CUBE (event_type, day)""".stripMargin,
     // Twin of Profile.snapshotDiff over the deterministically edited next
     // snapshot: same edit rules (%17: 3 removed, 5 text-edited, 7 re-added
     // bit-41-tagged), same concatenated null-safe payload digest, one full

@@ -1006,6 +1006,28 @@ object TextOps {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Skip-gram pair extraction — the word2vec / GloVe training-data op:
+    * for every token position i and offset d = 1..`window`, count the
+    * directed (center, context) pair (t_i, t_{i+d}); symmetric-window
+    * counts are this table plus its transpose. Pure column algebra: the
+    * offset fan-out is a bounded explode (window·n pairs per doc), the
+    * count a partial-combined aggregate on well-spread string-pair keys —
+    * at 100 TB this is one scan + one shuffle sized by the PAIR VOCABULARY
+    * (Zipf-bounded), not the corpus.
+    */
+  def skipgrams(docs: DataFrame, window: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    docs.select(tokens(col(textCol)).as("tk"))
+      .select(col("tk"), explode(sequence(lit(1), lit(window))).as("d"))
+      .where(size(col("tk")) > col("d"))
+      .select(explode(transform(sequence(lit(1), size(col("tk")) - col("d")),
+        i => struct(element_at(col("tk"), i).as("word"),
+          element_at(col("tk"), i + col("d")).as("context")))).as("p"))
+      .groupBy(col("p.word").as("word"), col("p.context").as("context"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** SymSpell-style fuzzy vocabulary join (Garbe's deletion blocking):
     * two words within edit distance 1 ALWAYS share an entry of each
     * other's deletion neighborhood {word} ∪ {word minus one char} — a

@@ -1017,4 +1017,13 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Set(("walrus", "walrusx"), ("walrus", "wxlrus")),
       s"got $got — ED-2 transpositions/anagrams must be verified away")
   }
+  test("skipgrams counts directed window pairs") {
+    val df = Seq((1L, "a b c a b"), (2L, "x")).toDF("doc_id", "text")
+    val got = TextOps.skipgrams(df, window = 2)
+      .collect().map(r => (r.getAs[String]("word"), r.getAs[String]("context"))
+        -> r.getAs[Long]("n")).toMap
+    // d=1: (a,b) (b,c) (c,a) (a,b); d=2: (a,c) (b,a) (c,b); "x" too short
+    assert(got == Map(("a", "b") -> 2L, ("b", "c") -> 1L, ("c", "a") -> 1L,
+      ("a", "c") -> 1L, ("b", "a") -> 1L, ("c", "b") -> 1L), s"got $got")
+  }
 }
