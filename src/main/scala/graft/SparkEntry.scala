@@ -124,6 +124,20 @@ object SparkEntry {
        |ddup AS (SELECT gh FROM dg GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
        |dst AS (SELECT doc_id, pos FROM dg JOIN ddup USING (gh))""".stripMargin
 
+  /** DuckDB twin of [[changeLog]] — ends in `clog(doc_id, text, seq, op)`,
+    * shared by the cdc_apply / cdc_scd2 twins so the fixture cannot drift.
+    */
+  private val CdcLogCte: String =
+    """clog AS (
+      |  SELECT doc_id, CAST(NULL AS VARCHAR) AS text,
+      |    CAST(1 AS BIGINT) AS seq, 'D' AS op FROM documents WHERE doc_id % 11 = 4
+      |  UNION ALL SELECT doc_id, text || ' v2', 1, 'U'
+      |    FROM documents WHERE doc_id % 11 = 6
+      |  UNION ALL SELECT doc_id, text || ' v3', 2, 'U'
+      |    FROM documents WHERE doc_id % 22 = 6
+      |  UNION ALL SELECT doc_id + (CAST(1 AS BIGINT) << 42), text, 1, 'I'
+      |    FROM documents WHERE doc_id % 11 = 8)""".stripMargin
+
   /** Shared CTE chain for the winnowing twins (text_winnow, dedup_winnow):
     * 5-gram PolyHash stream per document, the (hash, rightmost-pos) pair
     * packed into one orderable long (hash*2^21 + (2^21-1-pos)) so the
@@ -563,6 +577,29 @@ object SparkEntry {
        |  FROM documents WHERE length(text) >= 61)""".stripMargin
 
   /** Spark twin of [[NearDupCorpusCte]]. */
+  /** Deterministic CDC changelog over documents (the cdc_* fixtures):
+    * deletes for doc_id%11==4, an update for %11==6 plus a SECOND
+    * version (seq 2) for %22==6 — so last-writer-wins is actually
+    * exercised — and inserts for %11==8 under a bit-42 id tag (outside
+    * any realistic id range, same convention as [[nearDupCorpus]]'s
+    * bit 40). Oracle twin: [[CdcLogCte]].
+    */
+  private def changeLog(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents.select("doc_id", "text")
+    d.where(col("doc_id") % 11 === 4)
+      .select(col("doc_id"), lit(null).cast("string").as("text"),
+        lit(1L).as("seq"), lit("D").as("op"))
+      .unionByName(d.where(col("doc_id") % 11 === 6)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+          lit(1L).as("seq"), lit("U").as("op")))
+      .unionByName(d.where(col("doc_id") % 22 === 6)
+        .select(col("doc_id"), concat(col("text"), lit(" v3")).as("text"),
+          lit(2L).as("seq"), lit("U").as("op")))
+      .unionByName(d.where(col("doc_id") % 11 === 8)
+        .select((col("doc_id") + (1L << 42)).as("doc_id"), col("text"),
+          lit(1L).as("seq"), lit("I").as("op")))
+  }
+
   private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
     d.unionByName(
@@ -791,6 +828,15 @@ object SparkEntry {
     // between a plain shuffle join and SkewJoin.saltedJoin / AQE skew
     "profile_key_skew" -> ((s, dir) =>
       Profile.keySkew(Tables(s, dir).events, "user_id", topN = 10)),
+    // CDC apply: fold the synthetic changelog (deletes %11==4, updates
+    // %11==6 with a second version on %22==6, inserts %11==8 bit-42
+    // tagged) into the next snapshot — last-writer-wins on seq
+    "cdc_apply" -> ((s, dir) =>
+      graft.ops.Cdc.latestState(
+        Tables(s, dir).documents.select("doc_id", "text"), changeLog(s, dir))),
+    // SCD2 historization of the same changelog: every version with its
+    // [valid_from, valid_to) interval; a delete closes its predecessor
+    "cdc_scd2" -> ((s, dir) => graft.ops.Cdc.scd2(changeLog(s, dir))),
     // snapshot diff: documents vs a deterministically edited next version
     // (doc_id%17==3 removed, %17==5 text-edited, %17==7 re-added under a
     // bit-41 tag) — added/removed/changed via ONE full-outer id join
@@ -3586,6 +3632,28 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cumulative_users
         |FROM d""".stripMargin,
+    // Twin of Cdc.latestState over the shared changelog CTE: per-id
+    // (seq desc, op desc) top-1, full outer against the base, deletes out.
+    "cdc_apply" ->
+      s"""WITH $CdcLogCte,
+         |lt AS (SELECT doc_id, op, text, row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY seq DESC, op DESC) AS rn FROM clog),
+         |l1 AS (SELECT doc_id, op AS lop, text AS ltext FROM lt WHERE rn = 1),
+         |b AS (SELECT doc_id, text FROM documents)
+         |SELECT coalesce(b.doc_id, l1.doc_id) AS doc_id,
+         |  CASE WHEN l1.lop IS NOT NULL THEN l1.ltext ELSE b.text END AS text
+         |FROM b FULL OUTER JOIN l1 ON b.doc_id = l1.doc_id
+         |WHERE l1.lop IS NULL OR l1.lop <> 'D'""".stripMargin,
+    // Twin of Cdc.scd2: one lead() window, deletes close intervals
+    // without emitting a row; 2^63-1 is the open-interval sentinel.
+    "cdc_scd2" ->
+      s"""WITH $CdcLogCte,
+         |v AS (SELECT doc_id, text, op, seq AS valid_from,
+         |  coalesce(lead(seq) OVER (PARTITION BY doc_id ORDER BY seq, op),
+         |    9223372036854775807) AS valid_to FROM clog)
+         |SELECT doc_id, text, valid_from, valid_to,
+         |  valid_to = 9223372036854775807 AS is_current
+         |FROM v WHERE op <> 'D'""".stripMargin,
     // Twin of the events cube: same day bucketing, same null re-labels.
     "events_cube" ->
       """WITH e AS (SELECT event_type,

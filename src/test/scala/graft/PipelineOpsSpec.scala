@@ -1026,4 +1026,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Map(("a", "b") -> 2L, ("b", "c") -> 1L, ("c", "a") -> 1L,
       ("a", "c") -> 1L, ("b", "a") -> 1L, ("c", "b") -> 1L), s"got $got")
   }
+  test("Cdc.latestState applies upserts, deletes, inserts last-writer-wins") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val log = Seq(
+      (1L, "a2", 1L, "U"), (1L, "a3", 2L, "U"), // two versions: seq 2 wins
+      (2L, null.asInstanceOf[String], 1L, "D"), // delete
+      (4L, "d", 1L, "I"))                       // insert of a new id
+      .toDF("doc_id", "text", "seq", "op")
+    val got = graft.ops.Cdc.latestState(base, log)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    assert(got == Map(1L -> "a3", 3L -> "c", 4L -> "d"), s"got $got")
+  }
+
+  test("Cdc.scd2 emits version intervals; deletes close the predecessor") {
+    val log = Seq(
+      (1L, "a1", 10L, "I"), (1L, "a2", 20L, "U"),
+      (1L, null.asInstanceOf[String], 30L, "D"),
+      (2L, "b1", 5L, "I"))
+      .toDF("doc_id", "text", "seq", "op")
+    val got = graft.ops.Cdc.scd2(log)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Long]("valid_from"), r.getAs[Long]("valid_to"),
+        r.getAs[Boolean]("is_current"))).toSet
+    assert(got == Set(
+      (1L, "a1", 10L, 20L, false),
+      (1L, "a2", 20L, 30L, false),   // closed by the delete, no current row
+      (2L, "b1", 5L, Long.MaxValue, true)), s"got $got")
+  }
 }
