@@ -787,6 +787,17 @@ object SparkEntry {
         .groupBy("p_brand")
         .agg(sum("l_extendedprice").as("total_price"), count(lit(1)).as("n"))
     }),
+    // bloom-prefiltered semi-join: the 32 KiB key bloom rides the
+    // lineitem scan as a literal-array codegen predicate, so the shuffle
+    // carries only possible matches; the exact semi-join removes the
+    // bloom's false positives — result identical to a plain semi-join
+    "join_bloom_semi" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.ops.BloomJoin.semiJoin(
+        t.lineitem.select("l_orderkey", "l_linenumber", "l_partkey"),
+        t.part.where(col("p_size") === 1).select(col("p_partkey").as("l_partkey")),
+        "l_partkey")
+    }),
     // anti-join anchor: customers with NO order above the price threshold
     // — NOT EXISTS as a left_anti hash join (the orders side is filtered
     // before the join, so the build input is the small filtered set)
@@ -1887,6 +1898,11 @@ object SparkEntry {
         |FROM lineitem JOIN pa USING (l_partkey)
         |JOIN part ON p_partkey = l_partkey
         |WHERE l_quantity < qty_lim GROUP BY 1""".stripMargin,
+    // Twin of the bloom-prefiltered semi-join: the bloom must be
+    // invisible, so the oracle is the PLAIN semi-join.
+    "join_bloom_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)""".stripMargin,
     // Twin of the anti-join anchor.
     "q8_no_big_order" ->
       """SELECT c_mktsegment, count(*) AS n_customers, sum(c_acctbal) AS acctbal

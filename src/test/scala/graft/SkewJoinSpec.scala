@@ -43,4 +43,29 @@ class SkewJoinSpec extends SparkSpec {
     assert(salts.size == 8)
     assert(salts.values.max < 340, salts.toString)
   }
+  test("bloom semi-join == plain semi-join; candidates are a selective superset") {
+    import graft.ops.BloomJoin
+    val rnd = new scala.util.Random(41)
+    val big = (1L to 4000L).map(i => (i, rnd.nextInt(1000).toLong))
+      .toDF("row_id", "k")
+    val small = Seq(3L, 17L, 912L, 555L).toDF("k")
+    val exact = big.join(small.distinct(), Seq("k"), "left_semi")
+      .collect().map(_.getAs[Long]("row_id")).toSet
+    val got = BloomJoin.semiJoin(big, small, "k")
+      .collect().map(_.getAs[Long]("row_id")).toSet
+    assert(got == exact, "the bloom must be invisible in the result")
+    // the pre-filter is a superset of the exact matches...
+    val cand = BloomJoin.bloomCandidates(big, small, "k")
+      .collect().map(_.getAs[Long]("row_id")).toSet
+    assert(exact.subsetOf(cand), "no false negatives")
+    // ...and actually selective: 4 keys of 1000 → the bloom should kill
+    // the vast majority of the big side before any shuffle
+    assert(cand.size < big.count() / 10,
+      s"bloom passed ${cand.size} of 4000 rows — not selective")
+    // null keys never match (semi-join semantics)
+    val withNull = big.unionByName(
+      Seq((9999L, null.asInstanceOf[java.lang.Long])).toDF("row_id", "k"))
+    assert(!BloomJoin.semiJoin(withNull, small, "k")
+      .collect().map(_.getAs[Long]("row_id")).contains(9999L))
+  }
 }
