@@ -1777,6 +1777,26 @@ object SparkEntry {
         "FROM graft_psi_drift('graft_sql_events_sliced', 'event_type', " +
         "'value', 'in_a', 0.0, 500.0, 10)")
     }),
+    "sql_winnow_dups" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).documents.createOrReplaceTempView("graft_sql_docs_w")
+      s.sql("SELECT * FROM graft_winnow_dups('graft_sql_docs_w', 5, 4, 5, 50)")
+    }),
+    "sql_skipgrams" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).documents.createOrReplaceTempView("graft_sql_docs_sg")
+      s.sql("SELECT * FROM graft_skipgrams('graft_sql_docs_sg', 2)")
+    }),
+    "sql_holt" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      pts(s, dir).createOrReplaceTempView("graft_sql_points_h")
+      s.sql("SELECT * FROM graft_holt('graft_sql_points_h', 3)")
+    }),
+    "sql_cdc_scd2" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      changeLog(s, dir).createOrReplaceTempView("graft_sql_clog")
+      s.sql("SELECT * FROM graft_cdc_scd2('graft_sql_clog')")
+    }),
 
     // incremental cluster maintenance: bootstrap on a third of the corpus,
     // ingest the rest in two batches — the EXACTNESS contract says the
@@ -1828,6 +1848,10 @@ object SparkEntry {
       "sql_quality" -> base("text_quality"),
       "sql_ks_drift" -> base("profile_ks_drift"),
       "sql_psi_drift" -> base("profile_psi_drift"),
+      "sql_winnow_dups" -> base("dedup_winnow"),
+      "sql_skipgrams" -> base("text_skipgrams"),
+      "sql_holt" -> base("ts_holt"),
+      "sql_cdc_scd2" -> base("cdc_scd2"),
       // incremental maintenance must equal the full recompute exactly
       "dedup_incremental" -> base("dedup_clusters"),
       // the streaming face scores pairs with the batch kernel's arithmetic

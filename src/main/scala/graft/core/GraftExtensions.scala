@@ -37,6 +37,10 @@ import graft.functions.{CharNgramCodes, MinHashSig, PolyHash, SimHashSig, SimHas
   *  - `graft_quality('view')` — per-document quality scores
   *  - `graft_ks_drift('view', grp, val, slice, w)` — exact KS drift per group
   *  - `graft_psi_drift('view', grp, val, slice, lo, hi, bins)` — PSI drift
+  *  - `graft_winnow_dups('view', k, w, shared, df)` — winnowing near-dups
+  *  - `graft_skipgrams('view', window)` — skip-gram pair counts
+  *  - `graft_holt('view', horizon)` — Holt smoothing + forecasts
+  *  - `graft_cdc_scd2('view')` — SCD2 changelog historization
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
@@ -195,7 +199,34 @@ object GraftTableFunctions {
         strArg(exprs(2), "value column"),
         org.apache.spark.sql.functions.col(strArg(exprs(3), "slice column")),
         doubleArg(exprs(4), "lo"), doubleArg(exprs(5), "hi"),
-        intArg(exprs(6), "n_bins"))))
+        intArg(exprs(6), "n_bins")))),
+    (FunctionIdentifier("graft_winnow_dups"),
+      info("graft_winnow_dups",
+        "graft_winnow_dups(table, k, window, min_shared, max_df) - " +
+          "near-dup pairs by shared MOSS winnowing fingerprints"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.TextOps.winnowNearDups(
+        rel(strArg(exprs(0), "table name")), intArg(exprs(1), "k"),
+        intArg(exprs(2), "window"), intArg(exprs(3), "min_shared"),
+        intArg(exprs(4), "max_df")))),
+    (FunctionIdentifier("graft_skipgrams"),
+      info("graft_skipgrams",
+        "graft_skipgrams(table, window) - skip-gram (center, context) " +
+          "pair counts for embedding training"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.TextOps.skipgrams(
+        rel(strArg(exprs(0), "table name")), intArg(exprs(1), "window")))),
+    (FunctionIdentifier("graft_holt"),
+      info("graft_holt",
+        "graft_holt(table, horizon) - Holt double exponential smoothing " +
+          "per series with h-step linear forecasts"),
+      (exprs: Seq[Expression]) => plan(graft.ts.SeriesOps.holt(
+        rel(strArg(exprs(0), "table name")),
+        horizon = intArg(exprs(1), "horizon")))),
+    (FunctionIdentifier("graft_cdc_scd2"),
+      info("graft_cdc_scd2",
+        "graft_cdc_scd2(table) - SCD2 historization of an " +
+          "(op, id, payload, seq) changelog"),
+      (exprs: Seq[Expression]) => plan(graft.ops.Cdc.scd2(
+        rel(strArg(exprs(0), "table name")))))
   )
 
   /** Register every table function on an already-built session. */

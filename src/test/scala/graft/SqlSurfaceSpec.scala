@@ -106,7 +106,24 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM graft_label_outliers('sqlspec_emb_s')" ->
         graft.pipeline.Similarity.labelOutliers(t.embeddings),
       "SELECT * FROM graft_quality('sqlspec_docs_s')" ->
-        graft.pipeline.TextOps.qualityScore(t.documents))
+        graft.pipeline.TextOps.qualityScore(t.documents),
+      "SELECT * FROM graft_skipgrams('sqlspec_docs_s', 2)" ->
+        graft.pipeline.TextOps.skipgrams(t.documents, 2),
+      "SELECT * FROM graft_winnow_dups('sqlspec_docs_s', 5, 4, 1, 50)" ->
+        graft.pipeline.TextOps.winnowNearDups(t.documents, 5, 4, 1, 50))
+    val clogSweep = t.documents.select(col("doc_id"),
+      concat(col("text"), lit(" v2")).as("text"), lit(1L).as("seq"),
+      lit("U").as("op"))
+    clogSweep.createOrReplaceTempView("sqlspec_clog_s")
+    t.events.select(
+      concat(lit("u"), col("user_id")).as("series_id"),
+      col("ts").cast("long").as("ts"), col("value"))
+      .createOrReplaceTempView("sqlspec_points_h")
+    val extraCases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "SELECT * FROM graft_cdc_scd2('sqlspec_clog_s')" ->
+        graft.ops.Cdc.scd2(clogSweep),
+      "SELECT * FROM graft_holt('sqlspec_points_h', 3)" ->
+        graft.ts.SeriesOps.holt(spark.table("sqlspec_points_h"), horizon = 3))
     val sliced = t.events.withColumn("in_a",
       col("ts") < 1705276800L * 1000000000L)
     sliced.createOrReplaceTempView("sqlspec_events_sliced")
@@ -117,7 +134,7 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM graft_psi_drift('sqlspec_events_sliced', 'event_type', 'value', 'in_a', 0.0, 500.0, 10)" ->
         graft.pipeline.Profile.psiDrift(sliced, "event_type", "value",
           col("in_a"), lo = 0.0, hi = 500.0, nBins = 10))
-    (cases ++ driftCases).foreach { case (sql, direct) =>
+    (cases ++ driftCases ++ extraCases).foreach { case (sql, direct) =>
       val viaSql = spark.sql(sql)
       assert(viaSql.columns.toSeq == direct.columns.toSeq, sql)
       assert(rowsOf(viaSql) == rowsOf(direct), sql)
