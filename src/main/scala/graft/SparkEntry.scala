@@ -848,6 +848,10 @@ object SparkEntry {
     // SCD2 historization of the same changelog: every version with its
     // [valid_from, valid_to) interval; a delete closes its predecessor
     "cdc_scd2" -> ((s, dir) => graft.ops.Cdc.scd2(changeLog(s, dir))),
+    // streaming CDC fold, batch face: per-id last-writer-wins record under
+    // the batch window's exact (seq desc, op desc) order
+    "stream_cdc" -> ((s, dir) =>
+      graft.streaming.StreamOps.cdcStream(changeLog(s, dir)).toDF()),
     // snapshot diff: documents vs a deterministically edited next version
     // (doc_id%17==3 removed, %17==5 text-edited, %17==7 re-added under a
     // bit-41 tag) — added/removed/changed via ONE full-outer id join
@@ -3684,6 +3688,13 @@ object SparkEntry {
          |  CASE WHEN l1.lop IS NOT NULL THEN l1.ltext ELSE b.text END AS text
          |FROM b FULL OUTER JOIN l1 ON b.doc_id = l1.doc_id
          |WHERE l1.lop IS NULL OR l1.lop <> 'D'""".stripMargin,
+    // Twin of StreamOps.cdcStream's batch face: per-id (seq desc, op desc)
+    // top-1 of the shared changelog.
+    "stream_cdc" ->
+      s"""WITH $CdcLogCte,
+         |lt AS (SELECT doc_id, text, seq, op, row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY seq DESC, op DESC) AS rn FROM clog)
+         |SELECT doc_id, seq, op, text FROM lt WHERE rn = 1""".stripMargin,
     // Twin of Cdc.scd2: one lead() window, deletes close intervals
     // without emitting a row; 2^63-1 is the open-interval sentinel.
     "cdc_scd2" ->

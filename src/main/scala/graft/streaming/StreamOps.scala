@@ -701,4 +701,54 @@ object StreamOps {
           }
       }
   }
+
+  final case class CdcIn(id: Long, payload: Option[String], seq: Long, op: String)
+  final case class CdcLatestState(seq: Long, op: String, payload: Option[String])
+  final case class CdcLatestOut(doc_id: Long, seq: Long, op: String,
+      text: Option[String])
+
+  /** Streaming CDC fold: the streaming face of
+    * [[graft.ops.Cdc.latestState]]'s changelog reduction — per id, the
+    * running last-writer-wins record under the SAME (seq desc, op desc)
+    * order as the batch window. State is one (seq, op, payload) triple per
+    * live id; max-by is associative and arrival-order-insensitive, so any
+    * micro-batch split converges to the batch answer (the `stream_cdc`
+    * gate pins the batch frame against the per-id-top-1 oracle). Each
+    * micro-batch re-emits the refreshed latest for ids it touched;
+    * downstream, a full-outer join against the base snapshot (dropping
+    * op = 'D') IS `Cdc.latestState` — spec-pinned.
+    *
+    * `idleTimeoutMs` bounds state for ids that stop changing (their
+    * retraction simply stops being re-emitted; the latest emission stands).
+    */
+  def cdcStream(log: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "text", seqCol: String = "seq", opCol: String = "op",
+      idleTimeoutMs: Option[Long] = None): Dataset[CdcLatestOut] = {
+    require(idleTimeoutMs.forall(_ > 0), s"idleTimeoutMs must be positive: $idleTimeoutMs")
+    val spark = log.sparkSession
+    import spark.implicits._
+    val rows = log.select(col(idCol).cast("long").as("id"),
+      col(payloadCol).cast("string").as("payload"),
+      col(seqCol).cast("long").as("seq"), col(opCol).cast("string").as("op"))
+      .as[CdcIn]
+    val timeoutConf =
+      if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    rows.groupByKey(_.id)
+      .flatMapGroupsWithState[CdcLatestState, CdcLatestOut](
+        OutputMode.Append(), timeoutConf) {
+        (id, batch, state: GroupState[CdcLatestState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val all = state.getOption.map(s => (s.seq, s.op, s.payload)).toSeq ++
+              batch.map(r => (r.seq, r.op, r.payload))
+            val (bs, bo, bp) = all.maxBy { case (sq, o, _) => (sq, o) }
+            state.update(CdcLatestState(bs, bo, bp))
+            idleTimeoutMs.foreach(state.setTimeoutDuration)
+            Iterator.single(CdcLatestOut(id, bs, bo, bp))
+          }
+      }
+  }
 }

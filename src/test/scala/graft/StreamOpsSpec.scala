@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, explode}
+import org.apache.spark.sql.functions.{col, explode, when}
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.StreamOps
@@ -532,5 +532,45 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.length == 2)
     assert(got(0).getAs[Long]("n_points") == 2L && got(0).getAs[Double]("max_value") == 5.0)
     assert(got(1).getAs[Long]("n_points") == 1L && got(1).getAs[Double]("min_value") == 3.0)
+  }
+  test("cdcStream: micro-batch splits converge; composes to Cdc.latestState") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[StreamOps.CdcIn]
+    val q = StreamOps.cdcStream(in.toDF(), idCol = "id", payloadCol = "payload")
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("append").start()
+    try {
+      in.addData(StreamOps.CdcIn(1L, Some("a2"), 2L, "U"),
+        StreamOps.CdcIn(2L, Some("b"), 1L, "I"))
+      q.processAllAvailable()
+      // batch 2: a LATE lower-seq version for id 1 (must not regress) and
+      // a delete for id 2
+      in.addData(StreamOps.CdcIn(1L, Some("a1"), 1L, "U"),
+        StreamOps.CdcIn(2L, None, 3L, "D"))
+      q.processAllAvailable()
+      val finalById = spark.table("cdc_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          (r.getAs[Long]("seq"), r.getAs[String]("op"), Option(r.getAs[String]("text")))))
+        .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).maxBy(t => (t._1, t._2)) }
+      assert(finalById == Map(
+        1L -> ((2L, "U", Some("a2"))),
+        2L -> ((3L, "D", None))), s"got $finalById")
+    } finally q.stop()
+
+    // batch frame: the stream face's fold + a base join IS Cdc.latestState
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val log = Seq((1L, "a2", 1L, "U"), (1L, "a3", 2L, "U"),
+      (2L, null.asInstanceOf[String], 1L, "D"), (4L, "d", 1L, "I"))
+      .toDF("doc_id", "text", "seq", "op")
+    val latest = StreamOps.cdcStream(log).toDF()
+      .select(col("doc_id"), col("op").as("__op"), col("text").as("__p"))
+    val composed = base.join(latest, Seq("doc_id"), "full_outer")
+      .where(col("__op").isNull || col("__op") =!= "D")
+      .select(col("doc_id"),
+        when(col("__op").isNotNull, col("__p")).otherwise(col("text")).as("text"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet
+    val direct = graft.ops.Cdc.latestState(base, log)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet
+    assert(composed == direct)
   }
 }
