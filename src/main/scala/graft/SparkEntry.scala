@@ -852,6 +852,11 @@ object SparkEntry {
     // the batch window's exact (seq desc, op desc) order
     "stream_cdc" -> ((s, dir) =>
       graft.streaming.StreamOps.cdcStream(changeLog(s, dir)).toDF()),
+    // ingest-volume anomaly: per-type daily event counts z-scored against
+    // the type's across-day distribution (exact integer moments)
+    "events_volume_anomaly" -> ((s, dir) =>
+      Profile.volumeAnomaly(Tables(s, dir).events)
+        .withColumnRenamed("grp", "event_type")),
     // snapshot diff: documents vs a deterministically edited next version
     // (doc_id%17==3 removed, %17==5 text-edited, %17==7 re-added under a
     // bit-41 tag) — added/removed/changed via ONE full-outer id join
@@ -3705,6 +3710,26 @@ object SparkEntry {
          |SELECT doc_id, text, valid_from, valid_to,
          |  valid_to = 9223372036854775807 AS is_current
          |FROM v WHERE op <> 'D'""".stripMargin,
+    // Twin of Profile.volumeAnomaly: same integer moments, same co-moment
+    // variance, same null-z conventions.
+    "events_volume_anomaly" ->
+      """WITH d AS (SELECT event_type AS grp,
+        |  epoch_ns(ts) // 86400000000000 AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT grp, count(*) AS n, CAST(sum(n_events) AS BIGINT) AS s,
+        |  CAST(sum(n_events * n_events) AS BIGINT) AS ss FROM d GROUP BY 1),
+        |j AS (SELECT d.grp, d.day, d.n_events,
+        |  CAST(m.s AS DOUBLE) / m.n AS mean_events,
+        |  CASE WHEN m.n >= 2 THEN
+        |    CAST(m.n * m.ss - m.s * m.s AS DOUBLE) / CAST(m.n * (m.n - 1) AS DOUBLE)
+        |  END AS var FROM d JOIN m USING (grp))
+        |SELECT grp AS event_type, day, n_events, mean_events,
+        |  CASE WHEN var > 0.0
+        |    THEN (CAST(n_events AS DOUBLE) - mean_events) / sqrt(var) END AS z,
+        |  coalesce(abs(CASE WHEN var > 0.0
+        |    THEN (CAST(n_events AS DOUBLE) - mean_events) / sqrt(var) END) > 2.0,
+        |    false) AS is_anomaly
+        |FROM j""".stripMargin,
     // Twin of the events cube: same day bucketing, same null re-labels.
     "events_cube" ->
       """WITH e AS (SELECT event_type,

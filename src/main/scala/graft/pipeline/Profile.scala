@@ -240,6 +240,44 @@ object Profile {
       .select("grp", "n_a", "n_b", "ks_d", "ks_crit", "drifted")
   }
 
+  /** Per-group daily volume anomaly: event COUNTS per (group, day), each
+    * day's count z-scored against its group's across-day distribution —
+    * the ops-monitoring "did ingest spike/drop today" check, over volumes
+    * rather than values (where [[ksDrift]]/[[psiDrift]] look).
+    *
+    * The moments are EXACT integer arithmetic (counts, Σc, Σc² as longs)
+    * until the final divisions, so the statistic is bit-reproducible
+    * cross-engine. Sample variance via the co-moment form
+    * (n·Σc² − (Σc)²)/(n·(n−1)); groups with < 2 days or zero spread emit
+    * null z and never flag. Scale shape: two partial-combined aggregates
+    * (day counts, then per-group moments) + a broadcast-sized rejoin on
+    * the group key.
+    */
+  def volumeAnomaly(events: DataFrame, groupCol: String = "event_type",
+      tsCol: String = "ts", dayNs: Long = 86400L * 1000 * 1000 * 1000,
+      threshold: Double = 2.0): DataFrame = {
+    require(dayNs > 0, s"dayNs must be positive, got $dayNs")
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val daily = events
+      .select(col(groupCol).as("grp"),
+        expr(s"(`$tsCol` - pmod(`$tsCol`, $dayNs)) div $dayNs").as("day"))
+      .groupBy("grp", "day").agg(count(lit(1)).as("n_events"))
+    val mom = daily.groupBy("grp").agg(
+      count(lit(1)).as("__n"), sum("n_events").as("__s"),
+      sum(col("n_events") * col("n_events")).as("__ss"))
+    daily.join(mom, "grp")
+      .withColumn("mean_events", col("__s").cast("double") / col("__n"))
+      .withColumn("__var",
+        when(col("__n") >= 2,
+          (col("__n") * col("__ss") - col("__s") * col("__s")).cast("double")
+            / (col("__n") * (col("__n") - 1)).cast("double")))
+      .withColumn("z",
+        when(col("__var") > 0.0,
+          (col("n_events").cast("double") - col("mean_events")) / sqrt(col("__var"))))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > threshold, lit(false)))
+      .select("grp", "day", "n_events", "mean_events", "z", "is_anomaly")
+  }
+
   /** Snapshot diff between two corpus versions: each id is classified as
     * `added` (only in the new snapshot), `removed` (only in the old), or
     * `changed` (present in both with different payload); unchanged rows

@@ -1054,4 +1054,23 @@ class PipelineOpsSpec extends SparkSpec {
       (1L, "a2", 20L, 30L, false),   // closed by the delete, no current row
       (2L, "b1", 5L, Long.MaxValue, true)), s"got $got")
   }
+  test("volumeAnomaly flags a planted volume spike; degenerate groups stay null") {
+    val day = 1000L
+    // type "a": 5 events/day for 9 days, 50 on day 9 (the spike);
+    // type "b": one day only (no variance -> null z, never flags)
+    val rows = (0 until 9).flatMap(d => (0 until 5).map(i =>
+        ("a", d.toLong * day + i))) ++
+      (0 until 50).map(i => ("a", 9L * day + i)) ++
+      (0 until 3).map(i => ("b", i.toLong))
+    val got = Profile.volumeAnomaly(rows.toDF("event_type", "ts"),
+        groupCol = "event_type", dayNs = day)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("day")) ->
+        ((r.getAs[Long]("n_events"), Option(r.getAs[java.lang.Double]("z")),
+          r.getAs[Boolean]("is_anomaly")))).toMap
+    assert(got(("a", 9L))._1 == 50L)
+    assert(got(("a", 9L))._3, "the spike day must flag")
+    (0 until 9).foreach(d => assert(!got(("a", d.toLong))._3, s"day $d"))
+    assert(got(("b", 0L))._2.isEmpty && !got(("b", 0L))._3,
+      "single-day group has no variance: null z, no flag")
+  }
 }
