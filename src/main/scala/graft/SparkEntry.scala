@@ -1513,6 +1513,11 @@ object SparkEntry {
         .select(col("neighbor_id").as("doc_id"), col("rank"))
       Similarity.rrfFuse(lex, vec, "doc_id", "rank", k = 10)
     }),
+    // mutual k-NN graph over the embedding corpus (k = 3): edges only
+    // where BOTH endpoints rank each other — the clustering/manifold
+    // graph construction, hub vertices pruned by mutuality
+    "vec_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(Tables(s, dir).embeddings, k = 3)),
     // MMR diversified retrieval for vector 0: greedy λ·rel − (1−λ)·maxsim
     // over the cosine top-20 shortlist (λ = 0.7, k = 5)
     "retrieve_mmr" -> ((s, dir) => {
@@ -4170,6 +4175,19 @@ object SparkEntry {
         |FROM pos JOIN neg USING (anchor_id)""".stripMargin,
 
     "retrieve_mmr" -> MmrOracle,
+    // Twin of Similarity.knnGraph(k=3): all-pairs cosine, per-query
+    // (cos desc, id asc) top-3, mutuality via self-join, a < b edges.
+    "vec_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |s AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+         |  ${vecCosSql("a.v", "b.v")} AS c
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT qa, qb, c, row_number() OVER (
+         |  PARTITION BY qa ORDER BY c DESC, qb ASC) AS rk FROM s),
+         |t AS (SELECT qa, qb, c FROM r WHERE rk <= 3)
+         |SELECT t.qa AS id_a, t.qb AS id_b, t.c AS cos_sim
+         |FROM t JOIN t t2 ON t.qa = t2.qb AND t.qb = t2.qa
+         |WHERE t.qa < t.qb""".stripMargin,
     // Twin of Similarity.rrfFuse over bm25 top-20 + cosine top-20 for
     // vector 0: the shared bm25 CTEs, the sim_topk cosine body at
     // query_id = 0, both ranked (score desc, id asc), fused with the

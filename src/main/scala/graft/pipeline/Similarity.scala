@@ -1002,6 +1002,31 @@ object Similarity {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Mutual k-NN graph over an embedding corpus: an edge (a, b) exists iff
+    * b is in a's cosine top-k AND a is in b's — the standard graph
+    * construction for density-based clustering and manifold methods
+    * (mutuality prunes hub vertices that appear in everyone's top-k but
+    * reciprocate none). Edges are emitted once (id_a < id_b) with their
+    * cosine; ranks use [[bruteForceTopK]]'s (cos desc, id asc) order.
+    *
+    * Scale: this exact form is corpus × corpus (the oracle-checkable
+    * core); at 100 TB swap the brute pass for the cell-blocked candidate
+    * generation [[embeddingNearDups]] uses — the mutuality semi-join and
+    * everything after is unchanged.
+    */
+  def knnGraph(corpus: DataFrame, k: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"knnGraph needs k >= 1, got $k")
+    val top = bruteForceTopK(corpus, corpus, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    val rev = top.select(col("neighbor_id").as("query_id"),
+      col("query_id").as("neighbor_id"))
+    top.join(rev, Seq("query_id", "neighbor_id"), "left_semi")
+      .where(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("cos_sim"))
+  }
+
   /** Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein,
     * SIGIR'98): greedily pick `k` results maximizing λ·rel(d) −
     * (1−λ)·max_{s∈S} sim(d, s) — the retrieval diversification step that

@@ -589,4 +589,23 @@ class SimilaritySpec extends SparkSpec {
       .collect().head
     assert(r1.getAs[Double]("mmr_score") == 0.7 * r1.getAs[Double]("rel"))
   }
+  test("knnGraph keeps only mutual edges and prunes the hub") {
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // two tight pairs plus a "hub" near the origin direction of both pairs'
+    // bisector: the hub ranks pair members in ITS top-k, but pair members
+    // rank each other + their twin first, so hub edges must be pruned at k=1
+    val rows = Seq(
+      (1L, v(1, 0.01, 0, 0)), (2L, v(1, -0.01, 0, 0)),   // pair A
+      (3L, v(0, 0, 1, 0.01)), (4L, v(0, 0, 1, -0.01)),   // pair B
+      (5L, v(0.7, 0, 0.7, 0)))                           // hub between A and B
+    val df = rows.toDF("vec_id", "embedding")
+    val got = graft.pipeline.Similarity.knnGraph(df, k = 1)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got == Set((1L, 2L), (3L, 4L)), s"got $got")
+    // at k=2 the hub's edges are still one-sided (nobody ranks it top-2
+    // except itself-excluded neighbors rank their pair first, then the hub)
+    val got2 = graft.pipeline.Similarity.knnGraph(df, k = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got2.contains((1L, 2L)) && got2.contains((3L, 4L)))
+  }
 }
