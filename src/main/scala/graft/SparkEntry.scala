@@ -1445,6 +1445,12 @@ object SparkEntry {
     // word2vec/GloVe training-data extraction
     "text_skipgrams" -> ((s, dir) =>
       TextOps.skipgrams(Tables(s, dir).documents, window = 2)),
+    // Zipf exponent per source: ln(count) ~ ln(rank) least squares over
+    // the top-100 terms — templated/generated slices fall off the ≈ −1
+    // natural-language line
+    "text_zipf" -> ((s, dir) =>
+      TextOps.zipfFit(Tables(s, dir).documents)
+        .withColumnRenamed("grp", "source")),
     // MOSS winnowing: window-min k-gram fingerprints (rightmost on ties)
     // — guaranteed to catch any shared run of >= k+window-1 tokens at
     // ~2/(window+1) the gram-stream density
@@ -2989,6 +2995,24 @@ object SparkEntry {
     "text_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, array_to_string($Toks, ' ') AS s FROM documents)
          |SELECT doc_id, CASE WHEN s = '' THEN 0 ELSE ${phSql("s", "0")} END AS fp FROM t""".stripMargin,
+    // Twin of TextOps.zipfFit(topN=100): same rank order, the regression
+    // sums folded over the rank-sorted list (first element = init, then
+    // element-wise +) — one pinned accumulation order in both engines.
+    "text_zipf" ->
+      s"""WITH oc AS (SELECT source AS grp, unnest($Toks) AS term FROM documents),
+         |ct AS (SELECT grp, term, CAST(count(*) AS BIGINT) AS cnt FROM oc GROUP BY 1, 2),
+         |rk AS (SELECT grp, term, cnt, CAST(row_number() OVER (
+         |  PARTITION BY grp ORDER BY cnt DESC, term ASC) AS INTEGER) AS rank FROM ct),
+         |top AS (SELECT grp, rank, cnt FROM rk WHERE rank <= 100),
+         |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_terms,
+         |  list_reduce(list([ln(CAST(rank AS DOUBLE)), ln(CAST(cnt AS DOUBLE)),
+         |      ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)),
+         |      ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))] ORDER BY rank),
+         |    (a, e) -> [a[1] + e[1], a[2] + e[2], a[3] + e[3], a[4] + e[4]]) AS s
+         |  FROM top GROUP BY grp)
+         |SELECT grp AS source, n_terms,
+         |  (n_terms * s[3] - s[1] * s[2]) / (n_terms * s[4] - s[1] * s[1]) AS zipf_slope
+         |FROM g WHERE n_terms >= 3""".stripMargin,
     // Twin of TextOps.skipgrams(window=2): same directed offset fan-out
     // (d = 1, 2), same 1-based index walk.
     "text_skipgrams" ->

@@ -1006,6 +1006,58 @@ object TextOps {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Zipf rank-frequency fit per corpus slice: rank terms by frequency
+    * (count desc, term asc), take the top `topN`, and least-squares fit
+    * ln(count) against ln(rank) — the slope is the Zipf exponent (≈ −1
+    * for natural language; far off means templated/generated text), a
+    * one-number corpus-health diagnostic per source.
+    *
+    * The regression sums fold over the per-group SORTED (rank, count)
+    * array — a plain `sum()` of per-row float terms is
+    * run-nondeterministic (accumulation order follows partitioning) and
+    * measurably straddles the 9-digit compare; the fold pins ONE order in
+    * both engines. Scale shape: term counts partial-combine, the top-N is
+    * a WindowGroupLimit-bounded window, and the fold runs over ≤ topN
+    * elements per group.
+    */
+  def zipfFit(docs: DataFrame, groupCol: String = "source", topN: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    require(topN >= 3, s"zipfFit needs topN >= 3, got $topN")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("grp").orderBy(col("cnt").desc, col("term").asc)
+    val ranked = docs
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("grp", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topN)
+    // per element: [x, y, x·y, x²] with x = ln(rank), y = ln(cnt); the
+    // fold is element-wise + with the FIRST element as init (mirrors
+    // DuckDB's list_reduce semantics)
+    val terms = ranked.groupBy("grp")
+      .agg(array_sort(collect_list(struct(col("rank"), col("cnt")))).as("__rc"))
+      .select(col("grp"),
+        size(col("__rc")).cast("long").as("n_terms"),
+        transform(col("__rc"), e => array(
+          log(e.getField("rank").cast("double")),
+          log(e.getField("cnt").cast("double")),
+          log(e.getField("rank").cast("double")) * log(e.getField("cnt").cast("double")),
+          log(e.getField("rank").cast("double")) * log(e.getField("rank").cast("double"))))
+          .as("__t"))
+    val sums = aggregate(
+      expr("slice(__t, 2, size(__t) - 1)"),
+      element_at(col("__t"), 1),
+      (a, e) => zip_with(a, e, (x, y) => x + y))
+    terms
+      .withColumn("__s", sums)
+      .where(col("n_terms") >= 3)
+      .select(col("grp"), col("n_terms"),
+        ((col("n_terms") * element_at(col("__s"), 3)
+          - element_at(col("__s"), 1) * element_at(col("__s"), 2))
+          / (col("n_terms") * element_at(col("__s"), 4)
+            - element_at(col("__s"), 1) * element_at(col("__s"), 1)))
+          .as("zipf_slope"))
+  }
+
   /** Skip-gram pair extraction — the word2vec / GloVe training-data op:
     * for every token position i and offset d = 1..`window`, count the
     * directed (center, context) pair (t_i, t_{i+d}); symmetric-window

@@ -1073,4 +1073,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(("b", 0L))._2.isEmpty && !got(("b", 0L))._3,
       "single-day group has no variance: null z, no flag")
   }
+  test("zipfFit recovers a planted power law and replays on the driver") {
+    // term k (1-based) appears exactly 840/k times (840 divisible by 1..8) -> slope −1
+    val words = (1 to 8).flatMap(k => Seq.fill(840 / k)(s"w$k"))
+    val df = Seq((1L, words.mkString(" "), "s1")).toDF("doc_id", "text", "source")
+    val row = TextOps.zipfFit(df, topN = 100).collect().head
+    assert(row.getAs[Long]("n_terms") == 8L)
+    val slope = row.getAs[Double]("zipf_slope")
+    // counts 840/k are exact integers for k = 1..8
+    assert(math.abs(slope - (-1.0)) < 1e-9, s"slope $slope")
+
+    // driver replay of the exact regression arithmetic on a messier corpus
+    val words2 = (1 to 7).flatMap(k => Seq.fill(100 / k)(s"v$k"))
+    val df2 = Seq((1L, words2.mkString(" "), "s2")).toDF("doc_id", "text", "source")
+    val got2 = TextOps.zipfFit(df2, topN = 100).collect().head.getAs[Double]("zipf_slope")
+    val cnts = (1 to 7).map(k => 100 / k)
+    val pts = cnts.sorted(Ordering[Int].reverse).zipWithIndex
+      .map { case (c, i) => (math.log((i + 1).toDouble), math.log(c.toDouble)) }
+    val init = (pts.head._1, pts.head._2, pts.head._1 * pts.head._2, pts.head._1 * pts.head._1)
+    val (sx, sy, sxy, sxx) = pts.tail.foldLeft(init) { case ((a, b, c2, d), (x, y)) =>
+      (a + x, b + y, c2 + x * y, d + x * x)
+    }
+    val n = pts.length
+    assert(got2 == (n * sxy - sx * sy) / (n * sxx - sx * sx), s"got $got2")
+  }
 }
