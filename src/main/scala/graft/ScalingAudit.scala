@@ -141,6 +141,26 @@ object ScalingAudit {
       report(s"export_epoch_shuffle_x$f", n, timed(
         graft.pipeline.Export.epochShuffle(d.select("doc_id"),
           epoch = 1, nShards = 8).count()))
+      // round-9 session-5: winnow postings are df-capped so the pair join
+      // is bounded per fingerprint; the typo join fans out len+1 per
+      // VOCAB entry (sub-linear in corpus); CDC folds in one shuffle
+      report(s"dedup_winnow_x$f", n,
+        timed(graft.pipeline.TextOps.winnowNearDups(d).count()))
+      report(s"text_typo_pairs_x$f", n, timed {
+        val vocab = d.select(explode(
+          graft.pipeline.TextOps.tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+          .where(length(col("word")) >= 5)
+        graft.pipeline.TextOps.typoPairs(vocab).count()
+      })
+      report(s"text_skipgrams_x$f", n,
+        timed(graft.pipeline.TextOps.skipgrams(d).count()))
+      report(s"cdc_apply_x$f", n, timed {
+        val log = d.where(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+            lit(1L).as("seq"), lit("U").as("op"))
+        graft.ops.Cdc.latestState(d.select("doc_id", "text"), log).count()
+      })
     }
 
     vecPaths.foreach { case (f, p) =>
@@ -174,6 +194,28 @@ object ScalingAudit {
       report(s"vec_hard_negatives_x$f", n,
         timed(Similarity.hardNegatives(
           v.where(col("vec_id") < 5 * 1000).limit(5), v, k = 5).count()))
+      // round-9 session-5: bloom pre-filter cost is one scan + a 32 KiB
+      // literal probe — alpha ~ 1; the exact brute knn graph is the
+      // oracle-checkable core (quadratic by construction — at scale the
+      // cell-blocked candidate path replaces the brute pass), so it runs
+      // at x1 only
+      if (f == 1)
+        report(s"vec_knn_graph_x$f", n,
+          timed(Similarity.knnGraph(v, k = 3).count()))
+    }
+
+    // bloom-prefiltered semi-join at laddered probe scale: lineitem
+    // replicated f times against a fixed small key set
+    factors.foreach { f =>
+      val li0 = Tables(spark, "/root/testdata/sf0.1").lineitem
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+      val li = if (f == 1) li0 else li0
+        .withColumn("__rep", explode(sequence(lit(0), lit(f - 1)))).drop("__rep")
+      val small = Tables(spark, "/root/testdata/sf0.1").part
+        .where(col("p_size") === 1).select(col("p_partkey").as("l_partkey"))
+      val n = li.count()
+      report(s"join_bloom_semi_x$f", n,
+        timed(graft.ops.BloomJoin.semiJoin(li, small, "l_partkey").count()))
     }
 
     // incremental SEMANTIC dedup: a FIXED vector batch against a corpus

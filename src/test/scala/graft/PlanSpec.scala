@@ -405,4 +405,48 @@ class PlanSpec extends SparkSpec {
     // "*(n)" stage markers = operators fused into whole-stage codegen
     assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"), plan.take(2000))
   }
+  test("bloom semi-join: the pre-filter is a scan-side predicate, no early shuffle") {
+    val t = Tables(spark, sfDir)
+    val big = t.lineitem.select("l_orderkey", "l_linenumber", "l_partkey")
+    val small = t.part.where(col("p_size") === 1)
+      .select(col("p_partkey").as("l_partkey"))
+    val cand = graft.ops.BloomJoin.bloomCandidates(big, small, "l_partkey")
+    // the candidate side is pure scan + filter: zero exchanges
+    assert(!planOf(cand).contains("Exchange"), planOf(cand).take(3000))
+  }
+
+  test("cdc latestState: one shuffle for the per-id window (join broadcasts or reuses)") {
+    val base = Tables(spark, sfDir).documents.select("doc_id", "text")
+    val log = base.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"), lit(1L).as("seq"), lit("U").as("op"))
+    val df = graft.ops.Cdc.latestState(base, log)
+    df.collect() // let AQE finalize (it may broadcast the latest side)
+    val plan = planOf(df)
+    // the window must partial-sort inside its own exchange; the full-outer
+    // join adds at most its two side exchanges — never a resort of the
+    // window output
+    val windows = plan.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 1, s"expected a single window pass: ${plan.take(3000)}")
+  }
+
+  test("skipgrams partial-aggregates before the pair shuffle") {
+    val df = graft.pipeline.TextOps.skipgrams(
+      Tables(spark, sfDir).documents, window = 2)
+    val plan = planOf(df)
+    // partial_count before the exchange, final after: map-side combine
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      plan.take(3000))
+    val shuffles = plan.linesIterator.count(_.contains("Exchange"))
+    assert(shuffles == 1, s"expected 1 Exchange (pair key), got $shuffles")
+  }
+
+  test("winnow fingerprints: one shuffle on the doc key, windows share it") {
+    val df = graft.pipeline.TextOps.winnowFingerprints(
+      Tables(spark, sfDir).documents)
+    val plan = planOf(df)
+    // maxpos + the frame min run over ONE (doc) exchange; distinct adds its
+    // own aggregation exchange
+    val shuffles = plan.linesIterator.count(_.contains("Exchange"))
+    assert(shuffles <= 2, s"expected <= 2 Exchanges, got $shuffles: ${plan.take(3000)}")
+  }
 }
