@@ -442,6 +442,37 @@ object SparkEntry {
       |  list_transform(string_split(text, ''),
       |    c -> CAST((ord(c) - 128) * 256 AS BIGINT)) AS smp FROM documents)""".stripMargin
 
+  /** DuckDB twin of Audio.cdcChunks(window=4, maskBits=6): the rolling
+    * hash walks the recovered sample high bytes (s // 256 + 128 — floor
+    * division matches the codec's arithmetic shift on every input), ends
+    * are content-defined boundaries plus n, chunks fold the same
+    * non-negative (a·31 + c) mod p. Ends in
+    * `cseg(doc_id, chunk_idx, start, n_chunk_samples, chunk_hash)`.
+    */
+  private val AudioCdcCtes: String =
+    s"""$AudioSmpCte,
+       |cvb AS (SELECT doc_id, n, list_transform(smp, s -> s // 256 + 128) AS vb
+       |  FROM aw WHERE n > 0),
+       |cbe AS (SELECT doc_id, n, vb,
+       |  list_sort(list_distinct(list_concat(
+       |    list_filter(list_transform(range(CAST(4 AS BIGINT), n + 1), k ->
+       |      CASE WHEN (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          vb[CAST(k - 3 AS INTEGER):CAST(k AS INTEGER)]),
+       |        (a, c) -> ((a * 31 + c) % 1000000007 + 1000000007) % 1000000007)
+       |        % 64) = 0
+       |      THEN k END), x -> x IS NOT NULL), [n]))) AS ends FROM cvb),
+       |cch AS (SELECT doc_id, vb, ends,
+       |  CAST(unnest(range(1, len(ends) + 1)) AS INTEGER) AS ci FROM cbe),
+       |cseg AS (SELECT doc_id, ci - 1 AS chunk_idx,
+       |  CAST(CASE WHEN ci = 1 THEN 0 ELSE ends[ci - 1] END AS BIGINT) AS start,
+       |  CAST(ends[ci] - (CASE WHEN ci = 1 THEN 0 ELSE ends[ci - 1] END) AS BIGINT)
+       |    AS n_chunk_samples,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    vb[CAST((CASE WHEN ci = 1 THEN 0 ELSE ends[ci - 1] END) + 1 AS INTEGER):CAST(ends[ci] AS INTEGER)]),
+       |    (a, c) -> ((a * 31 + c) % 1000000007 + 1000000007) % 1000000007)
+       |    AS chunk_hash
+       |  FROM cch)""".stripMargin
+
   /** CTE chain computing the energy-contour audio fingerprint, ending in
     * `afpt(doc_id, n_samples, afp)` — one definition shared by the
     * audio_fingerprint and audio_fp_dups twins. Mirrors
@@ -1619,6 +1650,15 @@ object SparkEntry {
         chunkSamples = 1024)),
     "audio_fingerprint" -> ((s, dir) =>
       Audio.audioFingerprint(Audio.synthAudioTable(Tables(s, dir).documents))),
+    // content-defined chunking (FastCDC shape): boundaries where the
+    // rolling high-byte hash ≡ 0 mod 64 — chunk manifest per clip
+    "audio_cdc_chunks" -> ((s, dir) =>
+      Audio.cdcChunks(Audio.synthAudioTable(Tables(s, dir).documents))),
+    // sub-file dedup: pairs sharing >= 4 content-defined chunks via the
+    // df-capped chunk-hash inverted index — position-independent, unlike
+    // the whole-clip contour fingerprint
+    "audio_cdc_dups" -> ((s, dir) =>
+      Audio.audioCdcDups(Audio.synthAudioTable(Tables(s, dir).documents))),
     // 256-bit wide contour fingerprint, words as scalar columns for the hash
     // compare (w0 is the 64-bit afp — pinned against it transitively)
     "audio_fp_wide" -> ((s, dir) =>
@@ -4605,6 +4645,21 @@ object SparkEntry {
          |SELECT m.id_a, m.id_b, m.jaccard, jd.hamming
          |FROM mh_pairs m JOIN jd ON jd.id_a = m.id_a AND jd.id_b = m.id_b""".stripMargin,
 
+    // Twins of Audio.cdcChunks / audioCdcDups over the shared CDC chain.
+    "audio_cdc_chunks" ->
+      s"""WITH $AudioCdcCtes
+         |SELECT doc_id, chunk_idx, start, n_chunk_samples, chunk_hash
+         |FROM cseg""".stripMargin,
+    "audio_cdc_dups" ->
+      s"""WITH $AudioCdcCtes,
+         |cdd AS (SELECT DISTINCT doc_id, chunk_hash FROM cseg),
+         |ckeep AS (SELECT chunk_hash FROM cdd GROUP BY 1 HAVING count(*) <= 50),
+         |cind AS (SELECT doc_id, chunk_hash FROM cdd JOIN ckeep USING (chunk_hash))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM cind a JOIN cind b
+         |  ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 4""".stripMargin,
     // Twins of the Audio family over the shared AudioSmpCte. Integer-only
     // statistics (energy, peak, sign-flip zero crossings, floor-division
     // durations) so DuckDB and Spark agree bit-for-bit.

@@ -425,4 +425,95 @@ object Audio {
     }(enc)
     out
   }
+
+  val cdcSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("chunk_idx", IntegerType),
+    StructField("start", LongType),
+    StructField("n_chunk_samples", LongType),
+    StructField("chunk_hash", LongType)))
+
+  private val CdcMod = 1000000007L
+
+  /** Content-defined chunking (the LBFS/FastCDC storage-dedup technique)
+    * over the decoded sample stream: a chunk boundary falls AFTER sample k
+    * wherever the rolling hash of the last `window` sample high bytes is ≡
+    * 0 mod 2^maskBits — so boundaries are functions of LOCAL CONTENT, and
+    * a clip with bytes inserted at the front re-synchronizes after one
+    * chunk where fixed-width chunking misaligns every block (spec-pinned).
+    * Expected chunk length is 2^maskBits samples.
+    *
+    * The hash rolls over the sample HIGH byte (s >> 8, floor semantics —
+    * identical to SQL integer `//` on negatives) + 128: amplitude
+    * quantized to 8 bits, insensitive to low-order noise. Chunk identity
+    * is the same fold over the chunk's bytes. Everything is exact integer
+    * arithmetic — bit-reproducible cross-engine.
+    */
+  def cdcChunks(audio: DataFrame, window: Int = 4, maskBits: Int = 6,
+      idCol: String = "doc_id", blobCol: String = "audio"): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(maskBits >= 1 && maskBits <= 20, s"maskBits must be in [1,20], got $maskBits")
+    val mask = (1L << maskBits) - 1
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(cdcSchema)
+    val projected = audio.select(col(idCol).cast("long"), col(blobCol))
+    val out: Dataset[Row] = projected.mapPartitions { it =>
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](1)
+        val (_, off, n) = parseWavHeader(bytes)
+        if (n == 0) Iterator.empty
+        else {
+          @inline def vb(k: Int): Long = (sampleAt(bytes, off, k) >> 8) + 128L
+          // window hash ending at 0-based sample k (defined for k >= w-1)
+          @inline def winHash(k: Int): Long = {
+            var a = 0L
+            var j = k - window + 1
+            while (j <= k) { a = ((a * 31 + vb(j)) % CdcMod + CdcMod) % CdcMod; j += 1 }
+            a
+          }
+          val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var k = window - 1
+          while (k < n) {
+            if ((winHash(k) & mask) == 0L) ends += (k + 1) // boundary AFTER k
+            k += 1
+          }
+          if (ends.isEmpty || ends.last != n) ends += n
+          var prev = 0
+          ends.iterator.zipWithIndex.map { case (end, ci) =>
+            var h = 0L
+            var j = prev
+            while (j < end) { h = ((h * 31 + vb(j)) % CdcMod + CdcMod) % CdcMod; j += 1 }
+            val r = Row(row.getLong(0), ci, prev.toLong, (end - prev).toLong, h)
+            prev = end
+            r
+          }
+        }
+      }
+    }(enc)
+    out
+  }
+
+  /** Sub-file near-duplicate pairs by shared content-defined chunks — the
+    * archive/storage dedup face of the audio family: two clips sharing a
+    * long passage share its chunks regardless of WHERE the passage sits
+    * ([[audioFingerprintWide]]'s global contour needs whole-clip
+    * similarity). Postings capped at `maxDf` (ubiquitous chunks carry no
+    * pair signal), pairs counted over the chunk-hash inverted index —
+    * the same scale shape as every LSH family here.
+    */
+  def audioCdcDups(audio: DataFrame, window: Int = 4, maskBits: Int = 6,
+      minShared: Int = 4, maxDf: Int = 50,
+      idCol: String = "doc_id", blobCol: String = "audio"): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"need minShared >= 1, maxDf >= 2; got minShared=$minShared maxDf=$maxDf")
+    val fps = cdcChunks(audio, window, maskBits, idCol, blobCol)
+      .select(col("doc_id").as("id"), col("chunk_hash")).distinct()
+    val keep = fps.groupBy("chunk_hash").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf).select("chunk_hash")
+    val indexed = fps.join(keep, "chunk_hash")
+    indexed.select(col("chunk_hash"), col("id").as("id_a"))
+      .join(indexed.select(col("chunk_hash"), col("id").as("id_b")), "chunk_hash")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }

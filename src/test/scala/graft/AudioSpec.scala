@@ -187,4 +187,39 @@ class AudioSpec extends SparkSpec {
       .join(rz.select(col("doc_id"), col("n_samples").as("n_dec")), "doc_id")
     assert(joined.where(col("n_dec") =!= ceil(col("n_full") / lit(4.0)).cast("long")).count() == 0)
   }
+  test("cdcChunks tiles every clip exactly and re-syncs after a prefix insert") {
+    // pseudo-random payload: a repeated phrase can cycle PAST the mask
+    // (no boundary in the cycle) and leave too few chunks to measure
+    val rnd = new scala.util.Random(5)
+    val base = Seq.fill(600)(('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq((1L, base), (2L, "XYZQW-12345 " + base))
+      .toDF("doc_id", "text")
+    val chunks = Audio.cdcChunks(Audio.synthAudioTable(docs))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Long]("start"), r.getAs[Long]("n_chunk_samples"),
+        r.getAs[Long]("chunk_hash")))
+    // chunks tile [0, n) contiguously per clip
+    Seq(1L, 2L).foreach { id =>
+      val cs = chunks.filter(_._1 == id).sortBy(_._2)
+      assert(cs.head._3 == 0L)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3, s"gap at ${b._2}")
+        case _ =>
+      }
+      assert(cs.map(_._4).sum == base.length + (if (id == 2L) 12 else 0))
+    }
+    // shift robustness: the prefixed copy re-synchronizes after the first
+    // boundary — it must share almost every chunk hash with the original
+    // (fixed-width chunking would share none)
+    val h1 = chunks.filter(_._1 == 1L).map(_._5).toSet
+    val h2 = chunks.filter(_._1 == 2L).map(_._5).toSet
+    assert(h1.size >= 4, s"corpus too short for the test: ${h1.size} chunks")
+    val shared = (h1 intersect h2).size
+    assert(shared >= h1.size - 2,
+      s"only $shared of ${h1.size} chunks survive a prefix insert")
+    // and the dedup face links exactly this pair
+    val pairs = Audio.audioCdcDups(Audio.synthAudioTable(docs), minShared = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
 }
