@@ -883,6 +883,12 @@ object SparkEntry {
     // the batch window's exact (seq desc, op desc) order
     "stream_cdc" -> ((s, dir) =>
       graft.streaming.StreamOps.cdcStream(changeLog(s, dir)).toDF()),
+    // exact equi-depth histogram: per-type decile boundaries by discrete
+    // rank selection — the selectivity-estimation statistic (the quantile
+    // sketch is the corpus-scale path)
+    "profile_equidepth" -> ((s, dir) =>
+      Profile.equiDepth(Tables(s, dir).events, "event_type", "value", "event_id")
+        .withColumnRenamed("grp", "event_type")),
     // ingest-volume anomaly: per-type daily event counts z-scored against
     // the type's across-day distribution (exact integer moments)
     "events_volume_anomaly" -> ((s, dir) =>
@@ -3779,6 +3785,21 @@ object SparkEntry {
          |SELECT doc_id, text, valid_from, valid_to,
          |  valid_to = 9223372036854775807 AS is_current
          |FROM v WHERE op <> 'D'""".stripMargin,
+    // Twin of Profile.equiDepth(10): same (value, event_id) rank order,
+    // same discrete ⌊n·k/10⌋ target ranks clamped at 1.
+    "profile_equidepth" ->
+      """WITH r AS (SELECT event_type AS grp, value AS v, event_id AS tie
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |rk AS (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v, tie) AS rn,
+        |  count(*) OVER (PARTITION BY grp) AS n FROM r),
+        |tg AS (SELECT grp, n, unnest(range(1, 11)) AS bucket
+        |  FROM (SELECT DISTINCT grp, n FROM rk)),
+        |tt AS (SELECT grp, CAST(bucket AS BIGINT) AS bucket,
+        |  greatest((n * bucket) // 10, 1) AS rn FROM tg)
+        |SELECT tt.grp AS event_type, tt.bucket, min(rk.v) AS upper_value,
+        |  CAST(min(rk.n) AS BIGINT) AS n_rows
+        |FROM tt JOIN rk ON tt.grp = rk.grp AND tt.rn = rk.rn
+        |GROUP BY 1, 2""".stripMargin,
     // Twin of Profile.volumeAnomaly: same integer moments, same co-moment
     // variance, same null-z conventions.
     "events_volume_anomaly" ->

@@ -240,6 +240,43 @@ object Profile {
       .select("grp", "n_a", "n_b", "ks_d", "ks_crit", "drifted")
   }
 
+  /** Exact equi-depth histogram per group: bucket k's upper boundary is
+    * the value at rank ⌊n·k/nBuckets⌋ under the (value, tiebreak) order —
+    * the distribution summary optimizers keep for selectivity estimation
+    * (equal ROW counts per bucket, where [[histogram]] fixes the WIDTH).
+    * Discrete selection (an actual data value, no interpolation) keeps the
+    * boundary arithmetic engine-exact.
+    *
+    * Scale: this is the exact face — one per-group sort window; at corpus
+    * scale serve rank queries from [[Sketches.quantileSketch]] instead and
+    * keep this for the slices that fit a sort.
+    */
+  def equiDepth(df: DataFrame, groupCol: String, valueCol: String,
+      tieCol: String, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("grp").orderBy(col("v"), col("__tie"))
+    val ranked = df
+      .select(col(groupCol).as("grp"), col(valueCol).as("v"),
+        col(tieCol).as("__tie"))
+      .where(col("v").isNotNull && !isnan(col("v")))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+    val targets = ranked.select("grp", "n").distinct()
+      .select(col("grp"), col("n"),
+        explode(sequence(lit(1), lit(nBuckets))).as("bucket"))
+      .select(col("grp"), col("bucket"),
+        greatest(expr("(n * bucket) div " + nBuckets), lit(1L)).as("rn"))
+    targets.join(ranked, Seq("grp", "rn"))
+      .groupBy("grp", "bucket")
+      // n < nBuckets duplicates target ranks: several buckets share one
+      // row — min(v) is that row's value either way, and the distinct
+      // keeps one row per bucket
+      .agg(min("v").as("upper_value"), min("n").as("n_rows"))
+      .select(col("grp"), col("bucket").cast("long").as("bucket"),
+        col("upper_value"), col("n_rows"))
+  }
+
   /** Per-group daily volume anomaly: event COUNTS per (group, day), each
     * day's count z-scored against its group's across-day distribution —
     * the ops-monitoring "did ingest spike/drop today" check, over volumes

@@ -1097,4 +1097,22 @@ class PipelineOpsSpec extends SparkSpec {
     val n = pts.length
     assert(got2 == (n * sxy - sx * sy) / (n * sxx - sx * sx), s"got $got2")
   }
+  test("equiDepth: discrete decile boundaries, tiny groups share rows") {
+    // group "a": values 1..20 -> decile k boundary = value at rank 2k
+    val a = (1 to 20).map(v => ("a", v.toDouble, v.toLong))
+    // group "b": 3 rows < 10 buckets -> several buckets share target ranks
+    val b = Seq(("b", 5.0, 1L), ("b", 1.0, 2L), ("b", 9.0, 3L))
+    val df = (a ++ b).toDF("grp", "v", "id")
+    val got = Profile.equiDepth(df, "grp", "v", "id")
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("bucket")) ->
+        ((r.getAs[Double]("upper_value"), r.getAs[Long]("n_rows")))).toMap
+    (1 to 10).foreach { k =>
+      assert(got(("a", k.toLong)) == ((2.0 * k, 20L)), s"bucket $k")
+    }
+    // n=3: target ranks max(3k/10, 1) = 1,1,1,1,1,1,2,2,2,3
+    assert(got(("b", 1L))._1 == 1.0 && got(("b", 6L))._1 == 1.0)
+    assert(got(("b", 7L))._1 == 5.0 && got(("b", 9L))._1 == 5.0)
+    assert(got(("b", 10L))._1 == 9.0)
+    assert(got.keys.count(_._1 == "b") == 10)
+  }
 }
