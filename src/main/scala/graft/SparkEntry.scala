@@ -1556,6 +1556,11 @@ object SparkEntry {
         .select(col("neighbor_id").as("doc_id"), col("rank"))
       Similarity.rrfFuse(lex, vec, "doc_id", "rank", k = 10)
     }),
+    // embedding-space drift between the even/odd id slices: per-dimension
+    // centroid gap — the representation-space drift check
+    "vec_drift" -> ((s, dir) =>
+      Similarity.embeddingDrift(Tables(s, dir).embeddings,
+        col("vec_id") % 2 === 0)),
     // mutual k-NN graph over the embedding corpus (k = 3): edges only
     // where BOTH endpoints rank each other — the clustering/manifold
     // graph construction, hub vertices pruned by mutuality
@@ -4260,6 +4265,20 @@ object SparkEntry {
         |FROM pos JOIN neg USING (anchor_id)""".stripMargin,
 
     "retrieve_mmr" -> MmrOracle,
+    // Twin of Similarity.embeddingDrift over the even/odd slices: same
+    // 0-based dims, same per-(dim, slice) mean.
+    "vec_drift" ->
+      """WITH e AS (SELECT vec_id % 2 = 0 AS in_a,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |x AS (SELECT in_a, CAST(unnest(range(1, len(v) + 1)) - 1 AS INTEGER) AS dim,
+        |  unnest(v) AS xv FROM e),
+        |m AS (SELECT dim, in_a, CAST(count(*) AS BIGINT) AS n, avg(xv) AS mean
+        |  FROM x GROUP BY 1, 2)
+        |SELECT coalesce(a.dim, b.dim) AS dim,
+        |  a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+        |  abs(a.mean - b.mean) AS mean_gap
+        |FROM (SELECT * FROM m WHERE in_a) a
+        |FULL OUTER JOIN (SELECT * FROM m WHERE NOT in_a) b ON a.dim = b.dim""".stripMargin,
     // Twin of Similarity.knnGraph(k=3): all-pairs cosine, per-query
     // (cos desc, id asc) top-3, mutuality via self-join, a < b edges.
     "vec_knn_graph" ->

@@ -1002,6 +1002,30 @@ object Similarity {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Embedding-distribution drift between two corpus slices: per-dimension
+    * mean gap — the representation-space companion to
+    * [[Profile.ksDrift]]/[[Profile.psiDrift]] on scalar values (an
+    * embedding-model upgrade or a source-mix change moves the centroid
+    * long before any scalar column notices). One scan, one
+    * partial-combined aggregate on the (dim, slice) key; output is
+    * d rows regardless of corpus size.
+    */
+  def embeddingDrift(df: DataFrame, sliceA: Column,
+      vecCol: String = "embedding"): DataFrame = {
+    val dims = df
+      .select(sliceA.as("in_a"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("dim"), col("in_a"))
+      .agg(count(lit(1)).as("n"), avg(col("x").cast("double")).as("mean"))
+    val a = dims.where(col("in_a")).select(col("dim"),
+      col("n").as("n_a"), col("mean").as("mean_a"))
+    val b = dims.where(!col("in_a")).select(col("dim"),
+      col("n").as("n_b"), col("mean").as("mean_b"))
+    a.join(b, Seq("dim"), "full_outer")
+      .select(col("dim"), col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        abs(col("mean_a") - col("mean_b")).as("mean_gap"))
+  }
+
   /** Mutual k-NN graph over an embedding corpus: an edge (a, b) exists iff
     * b is in a's cosine top-k AND a is in b's — the standard graph
     * construction for density-based clustering and manifold methods

@@ -608,4 +608,20 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(got2.contains((1L, 2L)) && got2.contains((3L, 4L)))
   }
+  test("embeddingDrift: a planted centroid shift shows on exactly its dims") {
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // slice A around (1, 0, 5); slice B identical except dim 1 shifted +2
+    val rows = Seq(
+      (0L, v(1.0, 0.1, 5.0)), (2L, v(1.2, -0.1, 5.0)),   // A (even ids)
+      (1L, v(1.0, 2.1, 5.0)), (3L, v(1.2, 1.9, 5.0)))    // B (odd ids)
+    val got = graft.pipeline.Similarity
+      .embeddingDrift(rows.toDF("vec_id", "embedding"), $"vec_id" % 2 === 0)
+      .collect().map(r => r.getAs[Int]("dim") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Double]("mean_gap")))).toMap
+    assert(got.keySet == Set(0, 1, 2))
+    assert(got(0)._1 == 2L)
+    assert(math.abs(got(0)._2) < 1e-9, "dim 0 unshifted")
+    assert(math.abs(got(1)._2 - 2.0) < 1e-6, s"dim 1 shifted by 2: ${got(1)._2}")
+    assert(math.abs(got(2)._2) < 1e-9, "dim 2 unshifted")
+  }
 }
