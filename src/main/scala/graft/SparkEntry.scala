@@ -1339,6 +1339,11 @@ object SparkEntry {
     // the rolling distinct via bounded fan-out, never a stateful window
     "events_active_users" -> ((s, dir) =>
       graft.ops.Retention.activeUsers(Tables(s, dir).events)),
+    // RFM segmentation over purchases: recency/frequency/monetary with
+    // discrete rank quintiles (5 best) — engine-exact boundaries
+    "events_rfm" -> ((s, dir) =>
+      graft.ops.Retention.rfm(Tables(s, dir).events,
+        col("event_type") === "purchase")),
     // user-base growth curve: first-seen day per user → daily new users +
     // running cumulative total (exact distinct-over-growing-window with no
     // stateful window — the running sum is over the per-day rollup)
@@ -3749,6 +3754,30 @@ object SparkEntry {
         |SELECT cohort_day, day - cohort_day AS day_offset,
         |  count(DISTINCT user_id) AS n_users
         |FROM f GROUP BY 1, 2""".stripMargin,
+    // Twin of Retention.rfm over purchases: same max-ts anchor, same
+    // discrete 5 − ⌊(rank−1)·5/n⌋ quintiles under (metric, user) order.
+    "events_rfm" ->
+      """WITH c AS (SELECT user_id, epoch_ns(ts) AS t, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |nowt AS (SELECT max(t) AS now FROM c),
+        |u AS (SELECT user_id, max(t) AS last_t,
+        |  CAST(count(*) AS BIGINT) AS frequency, sum(value) AS monetary
+        |  FROM c GROUP BY 1),
+        |r AS (SELECT user_id, (nowt.now - last_t) // 86400000000000 AS recency_days,
+        |  frequency, monetary, CAST(count(*) OVER () AS BIGINT) AS n FROM u, nowt),
+        |s AS (SELECT *,
+        |  CAST(row_number() OVER (ORDER BY recency_days ASC, user_id ASC) AS BIGINT) AS rr,
+        |  CAST(row_number() OVER (ORDER BY frequency DESC, user_id ASC) AS BIGINT) AS rf,
+        |  CAST(row_number() OVER (ORDER BY monetary DESC, user_id ASC) AS BIGINT) AS rm
+        |  FROM r)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |  CAST(5 - ((rr - 1) * 5) // n AS INTEGER) AS r_score,
+        |  CAST(5 - ((rf - 1) * 5) // n AS INTEGER) AS f_score,
+        |  CAST(5 - ((rm - 1) * 5) // n AS INTEGER) AS m_score,
+        |  CAST(5 - ((rr - 1) * 5) // n AS INTEGER) * 100
+        |    + CAST(5 - ((rf - 1) * 5) // n AS INTEGER) * 10
+        |    + CAST(5 - ((rm - 1) * 5) // n AS INTEGER) AS rfm
+        |FROM s""".stripMargin,
     // Twin of Retention.cumulativeUsers: first-seen day per user, per-day
     // new-user counts, running total (CAST: DuckDB promotes the window sum
     // to HUGEINT).

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Cohort retention over an event stream: users are grouped into cohorts by
@@ -71,6 +71,47 @@ object Retention {
     dau.join(wau, "day")
       .select(col("day"), col("dau"), col("wau"),
         (col("dau").cast("double") / col("wau")).as("stickiness"))
+  }
+
+  /** RFM segmentation over conversion events: per user, Recency (days
+    * since last conversion, relative to the stream's max timestamp),
+    * Frequency (conversion count), Monetary (summed value), each scored
+    * into discrete quintiles 1..5 (5 best) by rank — `score = 5 −
+    * ⌊(rank−1)·5/n⌋` under a (metric, user_id) order, so ties and
+    * boundaries are engine-exact. The classic customer-value segmentation.
+    *
+    * Scale shape: one conversion-filtered aggregate on the user key, a
+    * one-row max-ts broadcast, and three rank windows over the USER table
+    * (one row per user — orders of magnitude under the event stream).
+    */
+  def rfm(events: DataFrame, convPredicate: Column,
+      userCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value",
+      dayNs: Long = 86400L * 1000 * 1000 * 1000): DataFrame = {
+    require(dayNs > 0, s"dayNs must be positive, got $dayNs")
+    import org.apache.spark.sql.expressions.Window
+    val conv = events.where(convPredicate)
+    val now = conv.agg(max(col(tsCol)).as("__now"))
+    val perUser = conv.groupBy(col(userCol))
+      .agg(max(col(tsCol)).as("__last"), count(lit(1)).as("frequency"),
+        sum(col(valueCol)).as("monetary"))
+      .crossJoin(broadcast(now))
+      .withColumn("recency_days",
+        expr(s"(__now - __last) div $dayNs"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+    def score(df: DataFrame, name: String, order: Seq[Column]): DataFrame =
+      df.withColumn("__rn",
+          row_number().over(Window.orderBy(order: _*)).cast("long"))
+        .withColumn(name, expr("CAST(5 - ((__rn - 1) * 5) div __n AS INT)"))
+        .drop("__rn")
+    val scored = score(score(score(perUser,
+      "r_score", Seq(col("recency_days").asc, col(userCol).asc)),
+      "f_score", Seq(col("frequency").desc, col(userCol).asc)),
+      "m_score", Seq(col("monetary").desc, col(userCol).asc))
+    scored
+      .select(col(userCol), col("recency_days"), col("frequency"), col("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm"))
   }
 
   /** Cumulative distinct users per UTC day — the growth curve. Exact

@@ -1115,4 +1115,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(("b", 10L))._1 == 9.0)
     assert(got.keys.count(_._1 == "b") == 10)
   }
+  test("rfm: rank quintiles with 5 best; anchor is the stream max ts") {
+    val day = 1000L
+    // 5 users, one purchase column each designed to give distinct ranks
+    val ev = Seq(
+      (1L, 9L * day, "purchase", 500.0),  // most recent, low value
+      (2L, 7L * day, "purchase", 100.0),
+      (2L, 8L * day, "purchase", 100.0),  // 2 purchases
+      (3L, 5L * day, "purchase", 900.0),  // top monetary
+      (4L, 2L * day, "purchase", 50.0),
+      (5L, 0L * day, "purchase", 10.0),   // oldest, poorest
+      (5L, 1L * day, "click", 99999.0))   // non-conversions are ignored
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = graft.ops.Retention.rfm(ev, col("event_type") === "purchase",
+        dayNs = day)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("recency_days"), r.getAs[Long]("frequency"),
+          r.getAs[Double]("monetary"), r.getAs[Int]("r_score"),
+          r.getAs[Int]("f_score") * 10 + r.getAs[Int]("m_score"),
+          r.getAs[Int]("rfm")))).toMap
+    // anchor = day 9 (user 1's purchase); clicks don't move it
+    assert(got(1L)._1 == 0L && got(5L)._1 == 9L)
+    assert(got(2L)._2 == 2L, "frequency counts conversions only")
+    // rank quintiles over n=5: score = 5 - (rank-1)
+    assert(got(1L)._4 == 5 && got(5L)._4 == 1, "recency quintiles")
+    assert(got(3L)._5 % 10 == 5, "top monetary scores 5")
+    assert(got(1L)._6 == got(1L)._4 * 100 + got(1L)._5,
+      s"rfm code composes: ${got(1L)}")
+  }
 }
