@@ -1306,6 +1306,15 @@ object SparkEntry {
           expr("ts DIV 86400000000000").as("day"))
         .withColumn("z",
           graft.ops.Layout.zValue(col("user_id"), col("day"), 16))),
+    // per-file min/max pruning manifest over the deterministic z-ordered
+    // layout (300 rows/file): both an x-range and a y-range predicate
+    // skip files from ONE physical order — the z-order claim, quantified
+    "layout_skipping" -> ((s, dir) =>
+      graft.ops.Layout.skippingStats(
+        Tables(s, dir).events
+          .select(col("user_id"), expr("ts div 86400000000000").as("day")),
+        "user_id", "day", bits = 16, rowsPerFile = 300,
+        xRange = (10L, 20L), yRange = (19723L, 19725L))),
     // small-file compaction manifest: roll files at 4 KiB of document text
     "layout_compaction" -> ((s, dir) =>
       graft.ops.Layout.compactionPlan(Tables(s, dir).documents,
@@ -3305,6 +3314,30 @@ object SparkEntry {
       s"""WITH e AS (SELECT event_id, user_id,
          |  epoch_ns(ts) // 86400000000000 AS day FROM events)
          |SELECT event_id, user_id, day, CAST($zTerms AS BIGINT) AS z FROM e""".stripMargin
+    },
+    // Twin of Layout.skippingStats over (user_id, day) at 300 rows/file:
+    // same z terms, per-z rollup, running-count file assignment, min/max
+    // manifest, same range skip verdicts.
+    "layout_skipping" -> {
+      val zTerms = (0 until 16).map(b =>
+        s"(((x >> $b) & 1) << ${2 * b}) + (((y >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT user_id AS x,
+         |  epoch_ns(ts) // 86400000000000 AS y FROM events),
+         |zt AS (SELECT x, y, CAST($zTerms AS BIGINT) AS z FROM e),
+         |zs AS (SELECT z, CAST(count(*) AS BIGINT) AS cnt,
+         |  min(x) AS zx0, max(x) AS zx1, min(y) AS zy0, max(y) AS zy1
+         |  FROM zt GROUP BY 1),
+         |rs AS (SELECT *, CAST(sum(cnt) OVER (ORDER BY z
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e2
+         |  FROM zs),
+         |f AS (SELECT (e2 - cnt) // 300 AS file_id, cnt, zx0, zx1, zy0, zy1 FROM rs)
+         |SELECT file_id, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |  min(zx0) AS min_x, max(zx1) AS max_x,
+         |  min(zy0) AS min_y, max(zy1) AS max_y,
+         |  (max(zx1) < 10 OR min(zx0) > 20) AS skip_x_range,
+         |  (max(zy1) < 19723 OR min(zy0) > 19725) AS skip_y_range
+         |FROM f GROUP BY 1""".stripMargin
     },
     // Twin of Layout.hilbertValue(user_id, day, 16): one CTE per bit level
     // (linear chain — each referenced once, so plain inlining stays

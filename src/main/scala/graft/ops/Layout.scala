@@ -130,6 +130,41 @@ object Layout {
     * sharded scan, no single-task window — and the manifest aggregation
     * keys on `file_id`, which the prefix construction makes contiguous.
     */
+  /** The measurable claim behind Z-ordering: the per-file min/max manifest
+    * a lakehouse keeps for scan pruning, over a deterministic z-ordered
+    * file assignment (rank z-value blocks with the sharded prefix scan —
+    * `repartitionByRange` itself samples and is not replay-stable), plus
+    * the skip verdicts for one x-range and one y-range predicate. Under a
+    * z-sort BOTH dimensions' per-file bounding boxes stay tight, so both
+    * predicates prune files from the SAME physical layout — the number
+    * `skip_x_range`/`skip_y_range` quantify per file.
+    *
+    * Scale shape: one aggregate on the z key, the two-level prefix scan
+    * (never a single-partition ordered pass over rows), one final
+    * file-keyed rollup.
+    */
+  def skippingStats(df: DataFrame, xCol: String, yCol: String, bits: Int,
+      rowsPerFile: Long, xRange: (Long, Long), yRange: (Long, Long),
+      shardWidth: Long = 1L << 20): DataFrame = {
+    require(rowsPerFile > 0, s"rowsPerFile must be positive, got $rowsPerFile")
+    val z = df
+      .select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .withColumn("z", zValue(col("x"), col("y"), bits))
+    val zstats = z.groupBy("z").agg(count(lit(1)).as("__cnt"),
+      min("x").as("zx0"), max("x").as("zx1"),
+      min("y").as("zy0"), max("y").as("zy1"))
+    graft.pipeline.Prefix.runningSum(zstats, "z", "__cnt", shardWidth = shardWidth)
+      .withColumn("file_id", expr(s"(__end - __cnt) div $rowsPerFile"))
+      .groupBy("file_id")
+      .agg(sum("__cnt").as("n_rows"),
+        min("zx0").as("min_x"), max("zx1").as("max_x"),
+        min("zy0").as("min_y"), max("zy1").as("max_y"))
+      .withColumn("skip_x_range",
+        col("max_x") < xRange._1 || col("min_x") > xRange._2)
+      .withColumn("skip_y_range",
+        col("max_y") < yRange._1 || col("min_y") > yRange._2)
+  }
+
   def compactionPlan(df: DataFrame, targetBytes: Long,
       idCol: String = "doc_id", sizeCol: String = "n_chars",
       shardWidth: Long = 1L << 20): DataFrame = {

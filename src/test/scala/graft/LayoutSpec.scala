@@ -121,4 +121,25 @@ class LayoutSpec extends SparkSpec {
     assert(spans.forall { case (sx, sy) => sx <= 40 && sy <= 40 },
       s"hilbert-cluster spans too wide: $spans")
   }
+  test("skippingStats: one z layout prunes files on BOTH dimensions") {
+    import graft.ops.Layout
+    val rows = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
+    val got = Layout.skippingStats(rows.toDF("x", "y"), "x", "y", bits = 6,
+      rowsPerFile = 256, xRange = (0L, 7L), yRange = (0L, 7L))
+      .collect().map(r => (r.getAs[Long]("file_id"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("min_x"), r.getAs[Long]("max_x"),
+        r.getAs[Long]("min_y"), r.getAs[Long]("max_y"),
+        r.getAs[Boolean]("skip_x_range"), r.getAs[Boolean]("skip_y_range")))
+    assert(got.map(_._2).sum == 64L * 64, "files tile the whole grid")
+    assert(got.length == 16, s"4096 rows at 256/file: ${got.length}")
+    // flags are exactly the min/max verdicts
+    got.foreach { case (_, _, x0, x1, y0, y1, sx, sy) =>
+      assert(sx == (x1 < 0 || x0 > 7) && sy == (y1 < 0 || y0 > 7))
+    }
+    // the z-order claim: BOTH 8/64-wide range predicates prune most files
+    // from the SAME layout (an x-sort would leave every file's y at full
+    // width — zero y pruning)
+    assert(got.count(_._7) >= 8, s"x pruned ${got.count(_._7)}")
+    assert(got.count(_._8) >= 8, s"y pruned ${got.count(_._8)}")
+  }
 }
