@@ -1413,6 +1413,17 @@ object SparkEntry {
     // market-basket lift over per-user event-type sets
     "events_cooccurrence" -> ((s, dir) =>
       graft.ops.Cooccurrence.typeLift(Tables(s, dir).eventsUs)),
+    // linear multi-touch attribution: purchase value split evenly across
+    // the preceding hour's clicks, credited revenue per touch day
+    // (day = -1 is the organic/no-touch bucket)
+    "events_attribution" -> ((s, dir) =>
+      graft.ops.Funnel.linearAttribution(Tables(s, dir).events,
+        windowNs = 3600L * NsPerS)),
+    // degree distribution of the MinHash near-dup graph — the fat-tail
+    // boilerplate-hub diagnostic
+    "graph_degrees" -> ((s, dir) =>
+      graft.pipeline.Components.degreeDistribution(
+        Dedup.minhashNearDups(Tables(s, dir).documents))),
     // typed JSON projection out of the props payload, then a per-type audit
     "events_json" -> ((s, dir) =>
       SemiStructured.extractJson(
@@ -3787,6 +3798,34 @@ object SparkEntry {
         |SELECT cohort_day, day - cohort_day AS day_offset,
         |  count(DISTINCT user_id) AS n_users
         |FROM f GROUP BY 1, 2""".stripMargin,
+    // Twin of Funnel.linearAttribution(1h): the same bounded-range pair
+    // join, even credit split, day rollup, and organic bucket.
+    "events_attribution" ->
+      """WITH t AS (SELECT user_id, event_id AS touch_id, epoch_ns(ts) AS touch_ts
+        |  FROM events WHERE event_type = 'click'),
+        |c AS (SELECT user_id, event_id AS conv_id, epoch_ns(ts) AS conv_ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT t.touch_ts, c.conv_id, c.value FROM t JOIN c
+        |  ON t.user_id = c.user_id AND c.conv_ts >= t.touch_ts
+        |  AND c.conv_ts <= t.touch_ts + 3600000000000),
+        |k AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS kk FROM p GROUP BY 1),
+        |cr AS (SELECT touch_ts // 86400000000000 AS day, p.value / k.kk AS credit
+        |  FROM p JOIN k USING (conv_id)),
+        |byday AS (SELECT day, CAST(count(*) AS BIGINT) AS n_touches,
+        |  sum(credit) AS credited_revenue FROM cr GROUP BY 1),
+        |org AS (SELECT CAST(-1 AS BIGINT) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_touches, sum(value) AS credited_revenue
+        |  FROM c WHERE conv_id NOT IN (SELECT conv_id FROM p)
+        |  HAVING count(*) > 0)
+        |SELECT * FROM byday UNION ALL SELECT * FROM org""".stripMargin,
+    // Twin of Components.degreeDistribution over the MinHash pair list.
+    "graph_degrees" ->
+      s"""WITH $MinhashPairsCtes,
+         |ids AS (SELECT id_a AS id FROM mh_pairs
+         |  UNION ALL SELECT id_b FROM mh_pairs),
+         |dg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM ids GROUP BY 1)
+         |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM dg GROUP BY 1""".stripMargin,
     // Twin of Retention.rfm over purchases: same max-ts anchor, same
     // discrete 5 − ⌊(rank−1)·5/n⌋ quintiles under (metric, user) order.
     "events_rfm" ->

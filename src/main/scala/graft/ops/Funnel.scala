@@ -74,4 +74,41 @@ object Funnel {
           col("median_dt_ns"), col("p90_dt_ns"))
     }.reduce(_ unionByName _)
   }
+
+  /** Linear multi-touch attribution: each conversion's value is split
+    * EVENLY across the touch events in its preceding `windowNs` (the
+    * marketing counterpart of the as-of join's winner-takes-all
+    * last-touch), rolled up to credited revenue per touch DAY; conversions
+    * with no touch in window land in the `day = -1` organic bucket. The
+    * pair space is the bounded-range interval join (state/pairs capped by
+    * window·rate per user, never the stream square).
+    */
+  def linearAttribution(events: DataFrame, windowNs: Long,
+      touchType: String = "click", convType: String = "purchase",
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", idCol: String = "event_id",
+      valueCol: String = "value",
+      dayNs: Long = 86400L * 1000 * 1000 * 1000): DataFrame = {
+    require(windowNs >= 0 && dayNs > 0,
+      s"need windowNs >= 0, dayNs > 0; got windowNs=$windowNs dayNs=$dayNs")
+    val touches = events.where(col(typeCol) === touchType)
+      .select(col(userCol), col(idCol).as("touch_id"), col(tsCol).as("touch_ts"))
+    val convs = events.where(col(typeCol) === convType)
+      .select(col(userCol), col(idCol).as("conv_id"), col(tsCol).as("conv_ts"),
+        col(valueCol).as("__v"))
+    val pairs = graft.ops.IntervalJoin.intervalJoin(
+      touches, convs, userCol, "touch_ts", "conv_ts", windowNs)
+    val k = pairs.groupBy("conv_id").agg(count(lit(1)).as("__k"))
+    val credited = pairs.join(k, "conv_id")
+      .select(expr(s"(touch_ts - pmod(touch_ts, $dayNs)) div $dayNs").as("day"),
+        (col("__v") / col("__k")).as("__credit"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_touches"), sum("__credit").as("credited_revenue"))
+    val organic = convs
+      .join(pairs.select("conv_id").distinct(), Seq("conv_id"), "left_anti")
+      .agg(count(lit(1)).as("n_touches"), sum("__v").as("credited_revenue"))
+      .select(lit(-1L).as("day"), col("n_touches"), col("credited_revenue"))
+      .where(col("n_touches") > 0)
+    credited.unionByName(organic)
+  }
 }

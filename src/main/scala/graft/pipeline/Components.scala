@@ -307,4 +307,16 @@ object Components {
     deg.join(ranks.withColumnRenamed("id", "src"), "src")
       .select(col("src").as("doc_id"), col("deg"), col("rank"))
   }
+
+  /** Degree distribution of an undirected pair list — the one-look graph
+    * health check (a fat tail here is the boilerplate-hub signature that
+    * motivates [[triangleCounts]]' orientation and the posting-list caps).
+    * Two partial-combined aggregates; output is at most max-degree rows.
+    */
+  def degreeDistribution(edges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b"): DataFrame =
+    edges.select(col(srcCol).as("id"))
+      .unionByName(edges.select(col(dstCol).as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
 }

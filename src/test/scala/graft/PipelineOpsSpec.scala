@@ -1143,4 +1143,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(1L)._6 == got(1L)._4 * 100 + got(1L)._5,
       s"rfm code composes: ${got(1L)}")
   }
+  test("linearAttribution splits credit evenly; untouched conversions go organic") {
+    val h = 3600L
+    val ev = Seq(
+      // user 1: two clicks (day 0) then a 90.0 purchase inside the window
+      (1L, 100L, "click", 0.0), (1L, 200L, "click", 0.0),
+      (1L, 300L, "purchase", 90.0),
+      // user 2: click too OLD (outside window) -> organic purchase 50.0
+      (2L, 0L, "click", 0.0), (2L, 5000L, "purchase", 50.0),
+      // user 3: purchase with no click at all -> organic 10.0
+      (3L, 700L, "purchase", 10.0))
+      .toDF("user_id", "ts", "event_type", "value")
+      .withColumn("event_id", col("ts") + col("user_id"))
+    val got = graft.ops.Funnel.linearAttribution(ev, windowNs = h,
+        dayNs = 1000L)
+      .collect().map(r => r.getAs[Long]("day") ->
+        ((r.getAs[Long]("n_touches"), r.getAs[Double]("credited_revenue"))))
+      .toMap
+    assert(got(0L) == ((2L, 90.0)), s"both day-0 touches split the 90: $got")
+    assert(got(-1L) == ((2L, 60.0)), "stale-click and no-click purchases are organic")
+  }
+
+  test("degreeDistribution counts both endpoints") {
+    // path 1-2-3 plus isolated edge 4-5: degrees 1,2,1,1,1
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = graft.pipeline.Components.degreeDistribution(edges)
+      .collect().map(r => r.getAs[Long]("degree") -> r.getAs[Long]("n_nodes"))
+      .toMap
+    assert(got == Map(1L -> 4L, 2L -> 1L))
+  }
 }
