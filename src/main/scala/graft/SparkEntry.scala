@@ -985,6 +985,9 @@ object SparkEntry {
     "ts_changepoint" -> ((s, dir) => SeriesOps.changepoint(pts(s, dir))),
     "ts_autocorr" -> ((s, dir) => SeriesOps.autocorr(pts(s, dir), maxLag = 3)),
     "ts_monthly" -> ((s, dir) => SeriesOps.monthly(pts(s, dir))),
+    // heating/cooling degree days per UTC month (base 17): the classic
+    // weather-energy rollup over the daily-mean resample
+    "ts_degree_days" -> ((s, dir) => SeriesOps.degreeDays(pts(s, dir))),
     // DST-aware calendar months: real IANA zone, not a fixed offset
     "ts_monthly_tz" -> ((s, dir) => SeriesOps.monthlyTz(pts(s, dir))),
     "ts_peaks" -> ((s, dir) => SeriesOps.peaks(pts(s, dir), delta = 5.0)),
@@ -2435,6 +2438,20 @@ object SparkEntry {
     // Twin of SeriesOps.monthly: same +1h display shift, same calendar
     // month truncation (Spark's session tz is pinned UTC, so date_trunc
     // agrees with DuckDB's naive timestamps).
+    // Twin of SeriesOps.degreeDays(base 17): same NaN-ignoring daily mean,
+    // same UTC month truncation, same max(0, ·) integrands.
+    "ts_degree_days" ->
+      s"""WITH points AS ($PointsCte),
+         |d AS (SELECT series_id, ts - ts % 86400000000000 AS bucket_ts,
+         |  avg(CASE WHEN NOT isnan(value) THEN value END) AS mean_value
+         |  FROM points GROUP BY 1, 2),
+         |m AS (SELECT series_id,
+         |  epoch_us(date_trunc('month', make_timestamp(bucket_ts // 1000))) AS month_start_us,
+         |  mean_value FROM d WHERE mean_value IS NOT NULL)
+         |SELECT series_id, month_start_us, CAST(count(*) AS BIGINT) AS n_days,
+         |  sum(greatest(CAST(0 AS DOUBLE), 17.0 - mean_value)) AS hdd,
+         |  sum(greatest(CAST(0 AS DOUBLE), mean_value - 17.0)) AS cdd
+         |FROM m GROUP BY 1, 2""".stripMargin,
     "ts_monthly" ->
       s"""WITH points AS ($PointsCte)
          |SELECT series_id,

@@ -1046,6 +1046,28 @@ object SeriesOps {
       .where(col("__rn") <= n)
       .drop("__rn")
 
+  /** Heating/cooling degree days per series and UTC month — the classic
+    * weather-energy metric over a temperature series: each day
+    * contributes max(0, base − T̄) to HDD and max(0, T̄ − base) to CDD,
+    * with T̄ the day's mean reading. Composes [[resample]]'s daily
+    * rollup (NaN-ignoring mean) with a calendar-month aggregate — two
+    * partial-combined shuffles end to end; days whose readings are all
+    * NaN contribute nothing.
+    */
+  def degreeDays(points: DataFrame, baseTemp: Double = 17.0): DataFrame = {
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    resample(points, dayNs)
+      .where(col("mean_value").isNotNull)
+      .select(col("series_id"),
+        unix_micros(date_trunc("month",
+          timestamp_micros(expr("bucket_ts div 1000")))).as("month_start_us"),
+        col("mean_value"))
+      .groupBy("series_id", "month_start_us")
+      .agg(count(lit(1)).as("n_days"),
+        sum(greatest(lit(0.0), lit(baseTemp) - col("mean_value"))).as("hdd"),
+        sum(greatest(lit(0.0), col("mean_value") - lit(baseTemp))).as("cdd"))
+  }
+
   /** Holt linear (double) exponential smoothing per series — the
     * trend-aware upgrade of [[ewma]]: level l_t = α·x_t + (1−α)(l_{t−1} +
     * b_{t−1}), trend b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, initialized

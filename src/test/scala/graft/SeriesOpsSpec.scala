@@ -655,4 +655,23 @@ class SeriesOpsSpec extends SparkSpec {
         s"h=$h got ${fc(h.toLong)}")
     }
   }
+  test("degreeDays: hand-computed HDD/CDD, NaN-only days drop") {
+    val day = 86400L * 1000 * 1000 * 1000
+    // Jan 1970: day 0 mean 10 (readings 8, 12), day 1 mean 20,
+    // day 2 all-NaN (drops); one Feb day mean 17 (exactly base: both 0)
+    val pts = Seq(
+      ("s", 0L, 8.0), ("s", 1000L, 12.0),
+      ("s", day, 20.0),
+      ("s", 2 * day, Double.NaN),
+      ("s", 31L * day, 17.0))
+      .toDF("series_id", "ts", "value")
+    val got = graft.ts.SeriesOps.degreeDays(pts)
+      .collect().map(r => r.getAs[Long]("month_start_us") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Double]("hdd"), r.getAs[Double]("cdd"))))
+      .toMap
+    val jan = 0L
+    val feb = 31L * 86400L * 1000000L
+    assert(got(jan) == ((2L, 7.0, 3.0)), s"jan: ${got(jan)}")   // (17-10) + (20-17)
+    assert(got(feb) == ((1L, 0.0, 0.0)))
+  }
 }
