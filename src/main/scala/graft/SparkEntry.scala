@@ -1394,6 +1394,11 @@ object SparkEntry {
       graft.ops.Funnel.stepTiming(Tables(s, dir).eventsUs,
         Seq("signup", "click", "purchase"))),
     "events_retention" -> ((s, dir) => Retention.retention(Tables(s, dir).eventsUs)),
+    // cohort lifetime value: purchase revenue accumulated along the
+    // day-offset axis per first-seen cohort, normalized per member
+    "events_ltv" -> ((s, dir) =>
+      graft.ops.Retention.ltv(Tables(s, dir).events,
+        col("event_type") === "purchase")),
     "events_top_paths" -> ((s, dir) =>
       graft.ops.Paths.topPaths(Tables(s, dir).eventsUs,
         gapNs = 3600L * NsPerS, k = 20, maxSteps = 5)),
@@ -3867,6 +3872,24 @@ object SparkEntry {
         |    + CAST(5 - ((rf - 1) * 5) // n AS INTEGER) * 10
         |    + CAST(5 - ((rm - 1) * 5) // n AS INTEGER) AS rfm
         |FROM s""".stripMargin,
+    // Twin of Retention.ltv over purchases: same cohorting, same cell
+    // rollup, offset-ordered running total, per-member normalization.
+    "events_ltv" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |  event_type = 'purchase' AS conv, value FROM events),
+        |fs AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+        |sz AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM fs GROUP BY 1),
+        |cells AS (SELECT fs.cohort_day, e.day - fs.cohort_day AS day_offset,
+        |  sum(CASE WHEN e.conv THEN e.value ELSE CAST(0 AS DOUBLE) END) AS revenue
+        |  FROM e JOIN fs USING (user_id) GROUP BY 1, 2),
+        |c2 AS (SELECT cohort_day, day_offset, revenue,
+        |  sum(revenue) OVER (PARTITION BY cohort_day ORDER BY day_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_revenue
+        |  FROM cells)
+        |SELECT c2.cohort_day, day_offset, revenue, cum_revenue, cohort_size,
+        |  cum_revenue / cohort_size AS ltv
+        |FROM c2 JOIN sz USING (cohort_day)""".stripMargin,
     // Twin of Retention.cumulativeUsers: first-seen day per user, per-day
     // new-user counts, running total (CAST: DuckDB promotes the window sum
     // to HUGEINT).

@@ -114,6 +114,44 @@ object Retention {
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm"))
   }
 
+  /** Cohort lifetime-value curves: users cohorted by first-seen UTC day
+    * (ANY event), conversion revenue rolled up per (cohort, day-offset)
+    * and accumulated along the offset axis, normalized per cohort member
+    * — the "how much is a January signup worth by day 30" curve that
+    * prices acquisition. Offsets with no revenue are emitted only if some
+    * cohort activity happened that day (same sparsity convention as
+    * [[retention]]).
+    *
+    * Scale shape: first-seen via one user-keyed aggregate, revenue cells
+    * via one (cohort, offset) aggregate; the running total is a window
+    * over the CELL table (cohorts × offsets — metadata scale).
+    */
+  def ltv(events: DataFrame, convPredicate: Column,
+      userCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value",
+      dayNs: Long = 86400L * 1000 * 1000 * 1000): DataFrame = {
+    require(dayNs > 0, s"dayNs must be positive, got $dayNs")
+    import org.apache.spark.sql.expressions.Window
+    val withDay = events
+      .select(col(userCol), col(tsCol),
+        expr(s"(`$tsCol` - pmod(`$tsCol`, $dayNs)) div $dayNs").as("__day"),
+        convPredicate.as("__conv"), col(valueCol).as("__v"))
+    val firstSeen = withDay.groupBy(userCol).agg(min("__day").as("cohort_day"))
+    val sizes = firstSeen.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    val cells = withDay.join(firstSeen, userCol)
+      .groupBy(col("cohort_day"), (col("__day") - col("cohort_day")).as("day_offset"))
+      .agg(sum(when(col("__conv"), col("__v")).otherwise(lit(0.0))).as("revenue"))
+    val w = Window.partitionBy("cohort_day").orderBy("day_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_revenue", sum("revenue").over(w))
+      .join(sizes, "cohort_day")
+      .withColumn("ltv", col("cum_revenue") / col("cohort_size"))
+      .select("cohort_day", "day_offset", "revenue", "cum_revenue",
+        "cohort_size", "ltv")
+  }
+
   /** Cumulative distinct users per UTC day — the growth curve. Exact
     * distinct-over-growing-window WITHOUT any stateful window or repeated
     * rescans: a user contributes to every day from their FIRST event on,

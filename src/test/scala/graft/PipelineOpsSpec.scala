@@ -1172,4 +1172,24 @@ class PipelineOpsSpec extends SparkSpec {
       .toMap
     assert(got == Map(1L -> 4L, 2L -> 1L))
   }
+  test("ltv: revenue accumulates along offsets, normalized per cohort member") {
+    val day = 1000L
+    val ev = Seq(
+      // cohort day 0: users 1, 2 — u1 buys 10 on day 0 and 20 on day 2;
+      // u2 clicks only (revenue 0 but creates the day-1 offset cell)
+      (1L, 10L, "purchase", 10.0), (1L, 2 * day, "purchase", 20.0),
+      (2L, 500L, "click", 0.0), (2L, day + 1, "click", 0.0),
+      // cohort day 5: user 3 buys 8 immediately
+      (3L, 5 * day, "purchase", 8.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = graft.ops.Retention.ltv(ev, col("event_type") === "purchase",
+        dayNs = day)
+      .collect().map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("day_offset")) ->
+        ((r.getAs[Double]("revenue"), r.getAs[Double]("cum_revenue"),
+          r.getAs[Long]("cohort_size"), r.getAs[Double]("ltv")))).toMap
+    assert(got((0L, 0L)) == ((10.0, 10.0, 2L, 5.0)))
+    assert(got((0L, 1L)) == ((0.0, 10.0, 2L, 5.0)), "no-revenue offset carries the total")
+    assert(got((0L, 2L)) == ((20.0, 30.0, 2L, 15.0)))
+    assert(got((5L, 0L)) == ((8.0, 8.0, 1L, 8.0)))
+  }
 }
