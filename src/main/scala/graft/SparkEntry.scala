@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Sessions, Tables}
 import graft.ops.{AsofJoin, Retention, Sessionize}
-import graft.pipeline.{Audio, Bpe, Components, Dedup, Export, IncrementalDedup, IncrementalSemDedup, Multimodal, Packing, Profile, Sampling, SemiStructured, Similarity, Sketches, TextOps, Video}
+import graft.pipeline.{Audio, Bpe, Components, Dedup, Export, IncrementalDedup, IncrementalSemDedup, Multimodal, Packing, Profile, Sampling, SemiStructured, Similarity, Sketches, TextCdc, TextOps, Video}
 import graft.sources.{Netatmo, NetatmoSource}
 import graft.ts.{Evaluate, Rdp, SeriesOps, SeriesStore, StoreSource, HeartbeatSource, MockSource}
 import graft.ts.model.{AverageValue, Period}
@@ -472,6 +472,36 @@ object SparkEntry {
        |    (a, c) -> ((a * 31 + c) % 1000000007 + 1000000007) % 1000000007)
        |    AS chunk_hash
        |  FROM cch)""".stripMargin
+
+  /** DuckDB twin of TextCdc.cdcChunks(window=4, maskBits=5): the rolling
+    * hash walks the codepoint stream directly (`ord` per char — no codec),
+    * ends are content-defined boundaries plus n, chunks fold the same
+    * non-negative (a·31 + c) mod p. Ends in
+    * `tseg(doc_id, chunk_idx, start, n_chunk_chars, chunk_hash)`.
+    */
+  private val TextCdcCtes: String =
+    """tcs AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+      |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cs
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      |tbe AS (SELECT doc_id, n, cs,
+      |  list_sort(list_distinct(list_concat(
+      |    list_filter(list_transform(range(CAST(4 AS BIGINT), n + 1), k ->
+      |      CASE WHEN (list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          cs[CAST(k - 3 AS INTEGER):CAST(k AS INTEGER)]),
+      |        (a, c) -> ((a * 31 + c) % 1000000007 + 1000000007) % 1000000007)
+      |        % 32) = 0
+      |      THEN k END), x -> x IS NOT NULL), [n]))) AS ends FROM tcs),
+      |tch AS (SELECT doc_id, cs, ends,
+      |  CAST(unnest(range(1, len(ends) + 1)) AS INTEGER) AS ci FROM tbe),
+      |tseg AS (SELECT doc_id, ci - 1 AS chunk_idx,
+      |  CAST(CASE WHEN ci = 1 THEN 0 ELSE ends[ci - 1] END AS BIGINT) AS start,
+      |  CAST(ends[ci] - (CASE WHEN ci = 1 THEN 0 ELSE ends[ci - 1] END) AS BIGINT)
+      |    AS n_chunk_chars,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    cs[CAST((CASE WHEN ci = 1 THEN 0 ELSE ends[ci - 1] END) + 1 AS INTEGER):CAST(ends[ci] AS INTEGER)]),
+      |    (a, c) -> ((a * 31 + c) % 1000000007 + 1000000007) % 1000000007)
+      |    AS chunk_hash
+      |  FROM tch)""".stripMargin
 
   /** CTE chain computing the energy-contour audio fingerprint, ending in
     * `afpt(doc_id, n_samples, afp)` — one definition shared by the
@@ -1548,6 +1578,17 @@ object SparkEntry {
       TextOps.typoPairs(
         vocab.unionByName(typos).groupBy("word").agg(sum("cnt").as("cnt")))
     }),
+    // content-defined chunking over TEXT (LBFS/FastCDC boundaries on a
+    // rolling codepoint hash): chunks tile each doc, boundaries follow
+    // local content so inserts re-synchronize after one chunk
+    "text_cdc_chunks" -> ((s, dir) =>
+      TextCdc.cdcChunks(Tables(s, dir).documents)),
+    // sub-document dedup: pairs sharing >= 3 content-defined chunks via
+    // the df-capped chunk-hash inverted index — catches shared passages
+    // at chunk resolution regardless of position (123 organic pairs at
+    // sf0.01; whole-doc MinHash dilutes these)
+    "text_cdc_dups" -> ((s, dir) =>
+      TextCdc.cdcDups(Tables(s, dir).documents)),
 
     // ---- deduplication ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir).documents)),
@@ -3158,6 +3199,23 @@ object SparkEntry {
          |    a.cnt AS cnt_a, b.cnt AS cnt_b
          |  FROM vr a JOIN vr b ON a.var = b.var AND a.word < b.word)
          |WHERE levenshtein(word_a, word_b) <= 1""".stripMargin,
+    // Twin of TextCdc.cdcChunks(window=4, maskBits=5) over documents.
+    "text_cdc_chunks" ->
+      s"""WITH $TextCdcCtes
+         |SELECT doc_id, chunk_idx, start, n_chunk_chars, chunk_hash
+         |FROM tseg""".stripMargin,
+    // Twin of TextCdc.cdcDups(minShared=3, maxDf=50): distinct postings,
+    // df-capped inverted index, chunk-keyed pair count.
+    "text_cdc_dups" ->
+      s"""WITH $TextCdcCtes,
+         |cdd AS (SELECT DISTINCT doc_id, chunk_hash FROM tseg),
+         |ckeep AS (SELECT chunk_hash FROM cdd GROUP BY 1 HAVING count(*) <= 50),
+         |cind AS (SELECT doc_id, chunk_hash FROM cdd JOIN ckeep USING (chunk_hash))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM cind a JOIN cind b
+         |  ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
 
     // Twins of Sampling.bucketOf: the salt-keyed Carter–Wegman map
     // (a·PolyHash(id) + b) mod p over the id hash, % 10000; boundaries from
