@@ -73,6 +73,33 @@ object SparkEntry {
       s"(sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))) * " +
       s"sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])))))"
 
+  /** Twin of Similarity.kCenters(k=8): greedy farthest-point rounds
+    * unrolled as MATERIALIZED CTEs (self-referencing chain — plain CTEs
+    * re-expand exponentially). Each round r picks argmax of
+    * `1 − max(cos to the selected set)` with the (d desc, id asc)
+    * tie-break, the union chain `cts_r` carries the selected set forward.
+    */
+  private val KCenterOracle: String = {
+    val k = 8
+    val rounds = (2 to k).map { r =>
+      s"""s$r AS MATERIALIZED (SELECT e.id AS id, first(e.v) AS v,
+         |  1 - max(${vecCosSql("e.v", "c.v")}) AS d
+         |  FROM e, cts${r - 1} c WHERE e.id NOT IN (SELECT id FROM cts${r - 1})
+         |  GROUP BY e.id ORDER BY d DESC, e.id LIMIT 1),
+         |cts$r AS (SELECT id, v FROM cts${r - 1} UNION ALL SELECT id, v FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    val sel = (2 to k)
+      .map(r => s"SELECT $r AS round, id AS vec_id, d AS sep_dist FROM s$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id AS id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c1 AS MATERIALIZED (SELECT id, v FROM e ORDER BY id LIMIT 1),
+       |cts1 AS (SELECT id, v FROM c1),
+       |$rounds
+       |SELECT 1 AS round, id AS vec_id, CAST(NULL AS DOUBLE) AS sep_dist FROM c1
+       |UNION ALL $sel""".stripMargin
+  }
+
   /** Twin of Similarity.mmrSelect(query=vec 0, k=5, shortlist=20, λ=0.7):
     * greedy rounds unrolled as MATERIALIZED CTEs (the round chain is
     * self-referencing — plain CTEs re-expand exponentially). The λ
@@ -1640,6 +1667,11 @@ object SparkEntry {
     // graph construction, hub vertices pruned by mutuality
     "vec_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(Tables(s, dir).embeddings, k = 3)),
+    // greedy k-center coreset (farthest-point traversal, k = 8): the
+    // diversity selection over the embedding space — prototypes spanning
+    // the corpus where random sampling oversamples dense regions
+    "vec_kcenter" -> ((s, dir) =>
+      Similarity.kCenters(Tables(s, dir).embeddings, k = 8)),
     // MMR diversified retrieval for vector 0: greedy λ·rel − (1−λ)·maxsim
     // over the cosine top-20 shortlist (λ = 0.7, k = 5)
     "retrieve_mmr" -> ((s, dir) => {
@@ -4491,6 +4523,8 @@ object SparkEntry {
          |SELECT t.qa AS id_a, t.qb AS id_b, t.c AS cos_sim
          |FROM t JOIN t t2 ON t.qa = t2.qb AND t.qb = t2.qa
          |WHERE t.qa < t.qb""".stripMargin,
+    // Twin of Similarity.kCenters(k=8) — see KCenterOracle.
+    "vec_kcenter" -> KCenterOracle,
     // Twin of Similarity.rrfFuse over bm25 top-20 + cosine top-20 for
     // vector 0: the shared bm25 CTEs, the sim_topk cosine body at
     // query_id = 0, both ranked (score desc, id asc), fused with the

@@ -1101,4 +1101,52 @@ object Similarity {
     import spark.implicits._
     rows.toDF("query_id", "vec_id", "mmr_rank", "rel", "mmr_score")
   }
+
+  /** Greedy k-center coreset (Gonzalez 1985 farthest-point traversal):
+    * seed with the smallest id, then `k−1` rounds of "add the point
+    * farthest (cosine distance) from every selected center" — the
+    * 2-approximation to the optimal k-center cover, and the standard
+    * DIVERSITY selection for training data (pick prototypes spanning the
+    * embedding space, where random sampling oversamples dense regions).
+    * `sep_dist` is the selected point's distance to the prior set — the
+    * covering radius of the set before the pick, so the column is
+    * non-increasing and reads as the "diversity budget" curve.
+    *
+    * Scale shape (the [[pcaTop]] literal-reentry pattern): each round is
+    * ONE distributed scan — the ≤ k selected centers re-enter the plan as
+    * literal arrays, every row's min distance is a map-side
+    * `1 − greatest(VecCosine…)`, and the argmax is a TakeOrdered(1). The
+    * driver holds k vectors, never the corpus; k rounds = k scans.
+    */
+  def kCenters(corpus: DataFrame, k: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"kCenters needs k >= 1, got $k")
+    val spark = corpus.sparkSession
+    val pts = spread(corpus, idCol).select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    val seed = pts.orderBy("id").limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException("kCenters on an empty corpus"))
+    def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getSeq[Double](1).toArray
+    var centers = Vector[(Long, Array[Double])]((seed.getLong(0), vecOf(seed)))
+    var out = Vector[(Long, Int, Option[Double])]((seed.getLong(0), 1, None))
+    for (r <- 2 to k) {
+      val sims = centers.map { case (_, c) =>
+        cosine(col("v"), array(c.map(lit): _*))
+      }
+      val maxSim = if (sims.size == 1) sims.head else greatest(sims: _*)
+      val picked = pts
+        .where(!col("id").isin(centers.map(_._1): _*))
+        .withColumn("d", lit(1.0) - maxSim)
+        .orderBy(col("d").desc, col("id").asc)
+        .limit(1).collect()
+      picked.headOption.foreach { p =>
+        centers :+= ((p.getLong(0), vecOf(p)))
+        out :+= ((p.getLong(0), r, Some(p.getAs[Double]("d"))))
+      }
+    }
+    import spark.implicits._
+    out.map { case (id, r, d) => (r, id, d) }
+      .toDF("round", "vec_id", "sep_dist")
+  }
 }

@@ -624,4 +624,59 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(1)._2 - 2.0) < 1e-6, s"dim 1 shifted by 2: ${got(1)._2}")
     assert(math.abs(got(2)._2) < 1e-9, "dim 2 unshifted")
   }
+
+  test("kCenters: one pick per planted cluster before any repeat; sep_dist non-increasing; driver parity") {
+    val rnd = new scala.util.Random(13)
+    // 4 well-separated axis clusters in 8 dims, 6 points each
+    val rows = for {
+      c <- 0 until 4
+      i <- 0 until 6
+    } yield {
+      val v = Array.fill(8)(rnd.nextGaussian().toFloat * 0.05f)
+      v(c * 2) = 1.0f + rnd.nextGaussian().toFloat * 0.05f
+      ((c * 100 + i).toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.kCenters(df, k = 4).collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[Long]("vec_id"),
+        Option(r.getAs[Any]("sep_dist")).map(_.asInstanceOf[Double])))
+      .sortBy(_._1)
+    assert(got.length == 4)
+    assert(got.head == ((1, 0L, None)), "seed is the smallest id")
+    // the first 4 picks land in 4 DISTINCT clusters (farthest-point
+    // property on well-separated clusters)
+    assert(got.map(_._2 / 100).distinct.length == 4)
+    // sep_dist is non-increasing over rounds 2..k
+    val ds = got.tail.map(_._3.get)
+    assert(ds.zip(ds.tail).forall { case (a, b) => b <= a + 1e-12 },
+      s"sep_dist must be non-increasing: ${ds.mkString(", ")}")
+    // exact driver replay of the greedy recursion
+    def cosL(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val pts = rows.map { case (id, v) => (id, v.map(_.toDouble)) }.sortBy(_._1)
+    var centers = Vector(pts.head)
+    var exp = Vector[(Int, Long, Option[Double])]((1, pts.head._1, None))
+    for (r <- 2 to 4) {
+      val cands = pts.filter(p => !centers.exists(_._1 == p._1))
+        .map { case (id, v) => (id, v, 1.0 - centers.map(c => cosL(v, c._2)).max) }
+      val pick = cands.minBy { case (id, _, d) => (-d, id) }
+      centers :+= ((pick._1, pick._2))
+      exp :+= ((r, pick._1, Some(pick._3)))
+    }
+    assert(got.map(t => (t._1, t._2)).toSeq == exp.map(t => (t._1, t._2)))
+    got.tail.zip(exp.tail).foreach { case (g, e) =>
+      assert(math.abs(g._3.get - e._3.get) < 1e-12) }
+  }
+
+  test("kCenters guards: empty corpus and k < 1 refuse; k larger than corpus returns all") {
+    intercept[IllegalArgumentException](Similarity.kCenters(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"), k = 2).collect())
+    intercept[IllegalArgumentException](Similarity.kCenters(emb, k = 0))
+    val tiny = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.kCenters(tiny, k = 5).count() == 2)
+  }
 }
