@@ -1040,6 +1040,9 @@ object SparkEntry {
     // scale, bit-identical cross-engine over the pinned fold order)
     "ts_holt" -> ((s, dir) => SeriesOps.holt(pts(s, dir))),
     "ts_changepoint" -> ((s, dir) => SeriesOps.changepoint(pts(s, dir))),
+    // additive Holt-Winters (period 4, positional): level + trend +
+    // rotated seasonal state folded over the pinned series sort
+    "ts_holtwinters" -> ((s, dir) => SeriesOps.holtWinters(pts(s, dir))),
     "ts_autocorr" -> ((s, dir) => SeriesOps.autocorr(pts(s, dir), maxLag = 3)),
     "ts_monthly" -> ((s, dir) => SeriesOps.monthly(pts(s, dir))),
     // heating/cooling degree days per UTC month (base 17): the classic
@@ -2485,6 +2488,33 @@ object SparkEntry {
          |SELECT series_id, n_points, acc[1] AS level, acc[2] AS trend,
          |  CAST(h AS BIGINT) AS h, acc[1] + h * acc[2] AS forecast
          |FROM st CROSS JOIN range(1, 4) r(h)""".stripMargin,
+    // Twin of SeriesOps.holtWinters(m=4, α=β=γ=0.5): same rotated-seasonal
+    // fold over the same pinned (ts, value) sort — the state list is
+    // [l, b, s1..s4], each step consumes a[3] and appends the refreshed
+    // slot; l1 is re-derived inline where referenced (no lateral state).
+    "ts_holtwinters" ->
+      s"""WITH points AS ($PointsCte),
+         |p AS (SELECT series_id, ts, value FROM points WHERE NOT isnan(value)),
+         |g AS (SELECT series_id, list(value ORDER BY ts, value) AS vs FROM p GROUP BY 1),
+         |st AS (SELECT series_id, CAST(len(vs) AS BIGINT) AS n_points,
+         |  list_reduce(list_transform(vs, x -> [x, CAST(0 AS DOUBLE),
+         |      CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+         |      CAST(0 AS DOUBLE)]),
+         |    (a, e) -> [
+         |      CAST(0.5 AS DOUBLE) * (e[1] - a[3])
+         |        + CAST(0.5 AS DOUBLE) * (a[1] + a[2]),
+         |      CAST(0.5 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * (e[1] - a[3])
+         |          + CAST(0.5 AS DOUBLE) * (a[1] + a[2])) - a[1])
+         |        + CAST(0.5 AS DOUBLE) * a[2],
+         |      a[4], a[5], a[6],
+         |      CAST(0.5 AS DOUBLE) * (e[1] - (CAST(0.5 AS DOUBLE) * (e[1] - a[3])
+         |          + CAST(0.5 AS DOUBLE) * (a[1] + a[2])))
+         |        + CAST(0.5 AS DOUBLE) * a[3]]) AS acc
+         |  FROM g)
+         |SELECT series_id, n_points, acc[1] AS level, acc[2] AS trend,
+         |  CAST(h AS BIGINT) AS h,
+         |  acc[1] + h * acc[2] + acc[CAST(2 + h AS INTEGER)] AS forecast
+         |FROM st CROSS JOIN range(1, 5) r(h)""".stripMargin,
     // Twin of SeriesOps.changepoint: same three window passes (unordered
     // moments, ordered running CUSUM, peak rank with the same tie-breaks).
     "ts_changepoint" ->

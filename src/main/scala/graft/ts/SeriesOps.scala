@@ -1113,4 +1113,59 @@ object SeriesOps {
         col("h").cast("long").as("h"),
         (col("level") + col("h") * col("trend")).as("forecast"))
   }
+
+  /** Additive Holt–Winters (triple) exponential smoothing per series — the
+    * seasonal upgrade of [[holt]]: l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1}
+    * + b_{t−1}), b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, s_t = γ(x_t −
+    * l_t) + (1−γ)s_{t−m}, seasonality positional with period `m` over the
+    * time-sorted observation sequence. Initialized l_1 = x_1, b_1 = 0,
+    * s = 0⃗ (the first cycle learns the seasonals; the recursion washes
+    * the start out at these rates). Emits the end state and h = 1..m
+    * forecasts l + h·b + s_{next h}.
+    *
+    * The seasonal state is carried ROTATED — the fold consumes the head
+    * slot and appends the refreshed one — so each step is pure list
+    * algebra with no indexed writes, expressible identically in both
+    * engines. Defaults α = β = γ = 0.5 make every step an exact binary
+    * scale on top of the same fold order ([[holt]]'s rationale), so the
+    * doubles are bit-identical cross-engine. Scale shape: one groupBy
+    * collect per series; per-series state is m + 2 doubles.
+    */
+  def holtWinters(points: DataFrame, m: Int = 4, alpha: Double = 0.5,
+      beta: Double = 0.5, gamma: Double = 0.5): DataFrame = {
+    require(m >= 2, s"season length m must be >= 2, got $m")
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1 && gamma >= 0 && gamma <= 1,
+      s"need 0 < alpha <= 1, 0 <= beta, gamma <= 1; got alpha=$alpha beta=$beta gamma=$gamma")
+    val a = lit(alpha)
+    val bt = lit(beta)
+    val g = lit(gamma)
+    val state = aggregate(
+      expr("slice(__vs, 2, size(__vs) - 1)"),
+      concat(array(element_at(col("__vs"), 1), lit(0.0)),
+        array_repeat(lit(0.0), m)),
+      (acc, x) => {
+        val l0 = element_at(acc, 1)
+        val b0 = element_at(acc, 2)
+        val s1 = element_at(acc, 3)
+        val l1 = a * (x - s1) + (lit(1.0) - a) * (l0 + b0)
+        val b1 = bt * (l1 - l0) + (lit(1.0) - bt) * b0
+        val sN = g * (x - l1) + (lit(1.0) - g) * s1
+        concat(array(l1, b1), slice(acc, 4, m - 1), array(sN))
+      })
+    points.where(notNan(col("value")))
+      .groupBy("series_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("value")))).as("__tv"))
+      .select(col("series_id"),
+        transform(col("__tv"), x => x.getField("value")).as("__vs"))
+      .withColumn("__st", state)
+      .select(col("series_id"), size(col("__vs")).cast("long").as("n_points"),
+        element_at(col("__st"), 1).as("level"),
+        element_at(col("__st"), 2).as("trend"),
+        slice(col("__st"), 3, m).as("__seas"),
+        explode(sequence(lit(1), lit(m))).as("h"))
+      .select(col("series_id"), col("n_points"), col("level"), col("trend"),
+        col("h").cast("long").as("h"),
+        (col("level") + col("h") * col("trend")
+          + element_at(col("__seas"), col("h").cast("int"))).as("forecast"))
+  }
 }

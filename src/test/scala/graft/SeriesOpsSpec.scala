@@ -674,4 +674,43 @@ class SeriesOpsSpec extends SparkSpec {
     assert(got(jan) == ((2L, 7.0, 3.0)), s"jan: ${got(jan)}")   // (17-10) + (20-17)
     assert(got(feb) == ((1L, 0.0, 0.0)))
   }
+
+  test("holtWinters matches a driver replay and learns a planted period-4 pattern") {
+    // two full cycles of a pure period-4 seasonal around a flat level
+    val seas = Seq(2.0, -1.0, 3.0, -4.0)
+    val vals = (0 until 16).map(i => 10.0 + seas(i % 4))
+    val df = vals.zipWithIndex.map { case (v, i) => ("s", i.toLong * 100, v) }
+      .toDF("series_id", "ts", "value")
+    val got = graft.ts.SeriesOps.holtWinters(df, m = 4).collect()
+      .map(r => (r.getAs[Long]("h"),
+        (r.getAs[Double]("level"), r.getAs[Double]("trend"),
+          r.getAs[Double]("forecast"), r.getAs[Long]("n_points"))))
+      .toMap
+    // driver replay of the rotated-state recursion, bit-for-bit
+    var l = vals.head; var b = 0.0
+    var s = Vector(0.0, 0.0, 0.0, 0.0)
+    vals.tail.foreach { x =>
+      val l1 = 0.5 * (x - s(0)) + 0.5 * (l + b)
+      val b1 = 0.5 * (l1 - l) + 0.5 * b
+      val sN = 0.5 * (x - l1) + 0.5 * s(0)
+      l = l1; b = b1; s = s.tail :+ sN
+    }
+    (1 to 4).foreach { h =>
+      assert(got(h.toLong) == ((l, b, l + h * b + s(h - 1), 16L)),
+        s"h=$h got ${got(h.toLong)}")
+    }
+    // after two cycles the forecasts track the planted seasonal shape:
+    // h-step forecast sits measurably closer to 10 + seas than flat 10
+    (1 to 4).foreach { h =>
+      val expSeas = seas((16 + h - 1) % 4)
+      assert(math.abs(got(h.toLong)._3 - (10.0 + expSeas)) < math.abs(expSeas) * 0.7 + 0.3,
+        s"h=$h forecast ${got(h.toLong)._3} vs ${10.0 + expSeas}")
+    }
+    // degenerate single point: level = x, trend 0, seasonals 0
+    val one = Seq(("p", 0L, 7.0)).toDF("series_id", "ts", "value")
+    val g1 = graft.ts.SeriesOps.holtWinters(one, m = 4).collect()
+      .map(r => r.getAs[Long]("h") -> r.getAs[Double]("forecast")).toMap
+    (1 to 4).foreach(h => assert(g1(h.toLong) == 7.0))
+    intercept[IllegalArgumentException](graft.ts.SeriesOps.holtWinters(one, m = 1))
+  }
 }
