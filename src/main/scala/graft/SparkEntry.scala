@@ -1186,6 +1186,11 @@ object SparkEntry {
       TextOps.gopherRules(Tables(s, dir).documents, minWords = 25)
         .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
           "alpha_word_ratio", "n_stopword_hits", "pass_gopher")),
+    // Flesch reading ease + Flesch-Kincaid grade: vowel-group syllables
+    // (floor 1/word), [.!?]+ sentences (floor 1) — the surface-form
+    // difficulty feature for curation and curriculum ordering
+    "text_readability" -> ((s, dir) =>
+      TextOps.readability(Tables(s, dir).documents)),
     "text_fertility" -> ((s, dir) => TextOps.fertility(Tables(s, dir).documents)),
     // model-free perplexity proxy: corpus-unigram cross-entropy per doc
     "text_unigram_logprob" -> ((s, dir) =>
@@ -2985,6 +2990,29 @@ object SparkEntry {
          |  CASE WHEN len(toks) > 0 THEN CAST(stop AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio,
          |  ${qualityScoreSql("toks", "text")} AS quality_score
          |FROM g""".stripMargin,
+    // Twin of TextOps.readability: same vowel-group syllable heuristic
+    // (regex runs + vowel-less token floor), same [.!?]+ sentence count,
+    // literals cast to DOUBLE so the scoring arithmetic lands on the same
+    // doubles.
+    "text_readability" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  CAST(len($Toks) AS BIGINT) AS n_words,
+         |  greatest(CAST(1 AS BIGINT),
+         |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+         |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+         |    + CAST(len(list_filter($Toks,
+         |        w -> NOT regexp_matches(w, '[aeiouy]'))) AS BIGINT) AS n_syllables
+         |  FROM documents WHERE text IS NOT NULL),
+         |r AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) AS wps,
+         |  CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) AS spw
+         |  FROM b WHERE n_words >= 1)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * wps
+         |    - CAST(84.6 AS DOUBLE) * spw AS flesch_ease,
+         |  CAST(0.39 AS DOUBLE) * wps + CAST(11.8 AS DOUBLE) * spw
+         |    - CAST(15.59 AS DOUBLE) AS fk_grade
+         |FROM r""".stripMargin,
     // Twin of TextOps.gopherRules: same whitespace word split, '#'/'...'
     // symbol counts, alpha-word and stopword-union rules; ratio CASEs
     // mirror the when(nWords > 0, …) null semantics and the pass flag's

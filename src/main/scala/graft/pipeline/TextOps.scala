@@ -70,6 +70,42 @@ object TextOps {
   /** Composite quality score in [0,1]-ish: documents with reasonable length,
     * word shape and stopword density score high.
     */
+  /** Flesch readability per document — the classic surface-form complexity
+    * score used as a quality/difficulty feature in corpus curation (and as
+    * a curriculum key): reading ease 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words) plus the Flesch–Kincaid grade re-expression.
+    * Syllables by the standard vowel-group heuristic: one per maximal
+    * [aeiouy]+ run, floor 1 per word (vowel-less tokens — digit runs,
+    * abbreviations — count 1); sentences one per [.!?]+ run, floor 1.
+    * Pure column algebra over two regex scans + the token array; map-only,
+    * no shuffle. Docs with no words drop out (the ratios are undefined).
+    */
+  def readability(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nWords = size(toks).cast("long")
+    val nSent = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("long"))
+    val vowelGroups =
+      size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"), lit(0))).cast("long")
+    val voweless =
+      size(filter(toks, w => !w.rlike("[aeiouy]"))).cast("long")
+    df.select(col(idCol), col(textCol))
+      .where(col(textCol).isNotNull)
+      .select(col(idCol), nWords.as("n_words"), nSent.as("n_sentences"),
+        (vowelGroups + voweless).as("n_syllables"))
+      .where(col("n_words") >= 1)
+      .withColumn("wps",
+        col("n_words").cast("double") / col("n_sentences").cast("double"))
+      .withColumn("spw",
+        col("n_syllables").cast("double") / col("n_words").cast("double"))
+      .select(col(idCol), col("n_words"), col("n_sentences"), col("n_syllables"),
+        (lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"))
+          .as("flesch_ease"),
+        (lit(0.39) * col("wps") + lit(11.8) * col("spw") - lit(15.59))
+          .as("fk_grade"))
+  }
+
   def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame =
     qualityFeatures(df, textCol).withColumn("quality_score",
       least(col("n_tokens").cast("double") / 64.0, lit(1.0)) * 0.4

@@ -1192,4 +1192,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got((0L, 2L)) == ((20.0, 30.0, 2L, 15.0)))
     assert(got((5L, 0L)) == ((8.0, 8.0, 1L, 8.0)))
   }
+
+  test("readability: hand-computed Flesch on planted docs; vowel-less tokens floor at 1 syllable") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. It ran fast!"),  // 6 words, 2 sentences, 6 syllables
+      (2L, "7 dogs."),                    // "7" has no vowels -> floors at 1
+      (3L, ""),                           // no words -> dropped
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.TextOps.readability(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_sentences"),
+          r.getAs[Long]("n_syllables"), r.getAs[Double]("flesch_ease"),
+          r.getAs[Double]("fk_grade")))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L)._1 == 6L && got(1L)._2 == 2L && got(1L)._3 == 6L)
+    assert(math.abs(got(1L)._4 - (206.835 - 1.015 * 3.0 - 84.6 * 1.0)) < 1e-12)
+    assert(math.abs(got(1L)._5 - (0.39 * 3.0 + 11.8 * 1.0 - 15.59)) < 1e-12)
+    assert(got(2L)._1 == 2L && got(2L)._2 == 1L && got(2L)._3 == 2L,
+      s"digit-run token must contribute exactly 1 syllable: ${got(2L)}")
+  }
 }
