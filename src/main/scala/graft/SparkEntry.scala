@@ -886,6 +886,22 @@ object SparkEntry {
         t.part.where(col("p_size") === 1).select(col("p_partkey").as("l_partkey")),
         "l_partkey")
     }),
+    // record-linkage fuzzy join: a dirty feed (customer names with one
+    // digit deleted, injected for custkey % 3 = 0 — the corpus has no
+    // organic typos; oracle mirrors) matched back to the master table via
+    // SymSpell deletion-neighborhood blocking + exact levenshtein verify.
+    // Ambiguity is real and kept: deleting a zero from the id-digit run
+    // often lands within ED 1 of several master names
+    "er_fuzzy_join" -> ((s, dir) => {
+      val c = Tables(s, dir).customer
+      val dirty = c.where(col("c_custkey") % 3 === 0)
+        .select((col("c_custkey") + lit(1L << 40)).as("d_id"),
+          expr("concat(substring(c_name, 1, CAST(9 + c_custkey % 9 AS INT)), " +
+            "substring(c_name, CAST(11 + c_custkey % 9 AS INT), length(c_name)))")
+            .as("d_name"))
+      graft.ops.FuzzyJoin.editJoin(dirty, c,
+        "d_id", "d_name", "c_custkey", "c_name")
+    }),
     // anti-join anchor: customers with NO order above the price threshold
     // — NOT EXISTS as a left_anti hash join (the orders side is filtered
     // before the join, so the build input is the small filtered set)
@@ -2112,6 +2128,31 @@ object SparkEntry {
     "join_bloom_semi" ->
       """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)""".stripMargin,
+    // Twin of FuzzyJoin.editJoin over the injected dirty feed: same digit
+    // deletion, same deletion-neighborhood expansion (i = 0 keeps the
+    // key), same exact levenshtein verify.
+    "er_fuzzy_join" ->
+      """WITH dirty AS (SELECT c_custkey + (CAST(1 AS BIGINT) << 40) AS d_id,
+        |  substr(c_name, 1, CAST(9 + c_custkey % 9 AS INTEGER))
+        |    || substr(c_name, CAST(11 + c_custkey % 9 AS INTEGER), length(c_name)) AS d_name
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |va AS (SELECT d_id AS id_a, d_name AS name_a,
+        |  unnest(list_transform(range(0, length(d_name) + 1), i ->
+        |    CASE WHEN i = 0 THEN d_name
+        |      ELSE substr(d_name, 1, CAST(i - 1 AS INTEGER))
+        |        || substr(d_name, CAST(i + 1 AS INTEGER), CAST(length(d_name) AS INTEGER))
+        |    END)) AS v FROM dirty),
+        |vb AS (SELECT c_custkey AS id_b, c_name AS name_b,
+        |  unnest(list_transform(range(0, length(c_name) + 1), i ->
+        |    CASE WHEN i = 0 THEN c_name
+        |      ELSE substr(c_name, 1, CAST(i - 1 AS INTEGER))
+        |        || substr(c_name, CAST(i + 1 AS INTEGER), CAST(length(c_name) AS INTEGER))
+        |    END)) AS v FROM customer),
+        |cand AS (SELECT DISTINCT id_a, id_b, name_a, name_b
+        |  FROM va JOIN vb ON va.v = vb.v)
+        |SELECT id_a, id_b, name_a, name_b,
+        |  CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 1""".stripMargin,
     // Twin of the anti-join anchor.
     "q8_no_big_order" ->
       """SELECT c_mktsegment, count(*) AS n_customers, sum(c_acctbal) AS acctbal
