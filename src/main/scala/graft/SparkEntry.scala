@@ -1662,6 +1662,17 @@ object SparkEntry {
     // boilerplate hubs (high degree, low lcc) for keeper policies
     "graph_triangles" -> ((s, dir) =>
       Components.triangleCounts(Dedup.minhashNearDups(Tables(s, dir).documents))),
+    // semi-supervised label propagation over the near-dup graph: the
+    // doc_id % 5 = 0 minority carries its lang label, 3 synchronous
+    // re-voting rounds spread it across duplicate families (seeds
+    // clamped, ties to the smallest label)
+    "graph_labelprop" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      Components.labelPropagation(
+        Dedup.minhashNearDups(d),
+        d.where(col("doc_id") % 5 === 0).select("doc_id", "lang"),
+        rounds = 3, labelCol = "lang")
+    }),
 
     // ---- similarity search ----
     "sim_topk" -> ((s, dir) => {
@@ -4461,6 +4472,38 @@ object SparkEntry {
          |${round("3", "r2")}
          |SELECT deg.src AS doc_id, deg.deg, r3.rank
          |FROM deg JOIN r3 ON r3.id = deg.src""".stripMargin
+    },
+    // Twin of Components.labelPropagation(rounds=3) over the minhash
+    // near-dup graph with lang seeds on doc_id % 5 = 0: per round, a
+    // (node, label) vote count, the (n desc, label asc) argmax, and the
+    // clamp/adopt/keep coalesce; rounds MATERIALIZED (the chain is
+    // referenced twice per round and would re-expand exponentially).
+    "graph_labelprop" -> {
+      def round(r: Int, prev: String) =
+        s"""v$r AS MATERIALIZED (SELECT s.dst AS id, l.label, count(*) AS n
+           |  FROM sym s JOIN $prev l ON l.id = s.src
+           |  WHERE l.label IS NOT NULL GROUP BY 1, 2),
+           |b$r AS (SELECT id, label AS vote FROM (
+           |  SELECT id, label, row_number() OVER (
+           |    PARTITION BY id ORDER BY n DESC, label ASC) AS rk FROM v$r)
+           |  WHERE rk = 1),
+           |l$r AS MATERIALIZED (SELECT p.id,
+           |  coalesce(s.seed_label, b$r.vote, p.label) AS label
+           |  FROM $prev p LEFT JOIN b$r ON b$r.id = p.id
+           |  LEFT JOIN seed s ON s.id = p.id)""".stripMargin
+      s"""WITH $MinhashPairsCtes,
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+         |  UNION SELECT id_b, id_a FROM mh_pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |seed AS (SELECT doc_id AS id, lang AS seed_label
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |l0 AS (SELECT n.id, s.seed_label AS label
+         |  FROM nodes n LEFT JOIN seed s ON s.id = n.id),
+         |${round(1, "l0")},
+         |${round(2, "l1")},
+         |${round(3, "l2")}
+         |SELECT l3.id AS doc_id, l3.label, s.id IS NOT NULL AS is_seed
+         |FROM l3 LEFT JOIN seed s ON s.id = l3.id""".stripMargin
     },
     // Twin of Components.triangleCounts over the minhash near-dup graph:
     // same degree-ordered orientation (lower (deg, id) endpoint first),

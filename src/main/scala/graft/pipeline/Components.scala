@@ -308,6 +308,56 @@ object Components {
       .select(col("src").as("doc_id"), col("deg"), col("rank"))
   }
 
+  /** Semi-supervised label propagation over an undirected pair graph
+    * (Zhu & Ghahramani 2002 in its hard-label form): seed labels are
+    * CLAMPED, every other node re-votes each synchronous round for the
+    * most common label among its neighbors' current labels (ties to the
+    * smallest label; unlabeled neighbors don't vote; a node with no
+    * labeled neighbor keeps its previous state). Over the near-dup graph
+    * this transfers curated metadata — language, source, license — across
+    * duplicate families from the labeled minority to the rest.
+    *
+    * Scale shape: the symmetrized edge list and the per-round label table
+    * are lineage-truncated (round r's plan must not contain round r−1's);
+    * each round is one edge-keyed join + a partial-combined (node, label)
+    * count + a struct-argmax — no windows over the corpus, state is one
+    * row per node. Output: doc_id, label (null if never reached),
+    * is_seed.
+    */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame, rounds: Int = 3,
+      srcCol: String = "id_a", dstCol: String = "id_b",
+      idCol: String = "doc_id", labelCol: String = "label"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val sym = graft.core.Lineage.truncate(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+        .distinct())
+    val nodes = sym.select(col("src").as("id")).distinct()
+    val seed = graft.core.Lineage.truncate(
+      seeds.select(col(idCol).as("id"), col(labelCol).as("seed_label")))
+    var labels = graft.core.Lineage.truncate(
+      nodes.join(seed, Seq("id"), "left")
+        .select(col("id"), col("seed_label").as("label")))
+    for (_ <- 1 to rounds) {
+      val votes = sym
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .where(col("label").isNotNull)
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("id")
+        .agg(min(struct((-col("n")).as("neg_n"), col("label").as("l"))).as("m"))
+        .select(col("id"), col("m.l").as("vote"))
+      labels = graft.core.Lineage.truncate(
+        labels.join(votes, Seq("id"), "left")
+          .join(seed, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("seed_label"), col("vote"), col("label")).as("label")))
+    }
+    labels.join(seed, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("label"),
+        col("seed_label").isNotNull.as("is_seed"))
+  }
+
   /** Degree distribution of an undirected pair list — the one-look graph
     * health check (a fat tail here is the boilerplate-hub signature that
     * motivates [[triangleCounts]]' orientation and the posting-list caps).

@@ -251,4 +251,29 @@ class ComponentsSpec extends SparkSpec {
     assert(spark.sparkContext.getCheckpointDir.isEmpty,
       "checkpoint dir must be restored for the other suites")
   }
+
+  test("labelPropagation: hop-per-round spread, clamped seeds, smallest-label ties, unreached stay null") {
+    import spark.implicits._
+    // path 1-2-3-4 seeded at 1; isolated edge 8-9 unseeded;
+    // node 6 between seeds 5 (lang "aa") and 7 (lang "bb") — tie
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L),
+      (5L, 6L), (6L, 7L)).toDF("id_a", "id_b")
+    val seeds = Seq((1L, "xx"), (5L, "aa"), (7L, "bb")).toDF("doc_id", "lang")
+    def run(rounds: Int): Map[Long, (Option[String], Boolean)] =
+      graft.pipeline.Components.labelPropagation(edges, seeds, rounds, labelCol = "lang")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((Option(r.getAs[String]("label")), r.getAs[Boolean]("is_seed")))).toMap
+    val r1 = run(1)
+    assert(r1(2L)._1.contains("xx") && r1(3L)._1.isEmpty && r1(4L)._1.isEmpty,
+      s"one round reaches exactly one hop: $r1")
+    val r3 = run(3)
+    assert(r3(1L) == ((Some("xx"), true)))
+    assert(r3(2L)._1.contains("xx") && r3(3L)._1.contains("xx") && r3(4L)._1.contains("xx"))
+    assert(r3(8L)._1.isEmpty && r3(9L)._1.isEmpty, "no labeled neighbor ever")
+    assert(r3(6L)._1.contains("aa"), s"tie must break to the smallest label: ${r3(6L)}")
+    assert(r3(5L) == ((Some("aa"), true)) && r3(7L) == ((Some("bb"), true)),
+      "seeds stay clamped even with a differently-labeled neighbor")
+    intercept[IllegalArgumentException](
+      graft.pipeline.Components.labelPropagation(edges, seeds, rounds = 0))
+  }
 }
