@@ -1502,6 +1502,10 @@ object SparkEntry {
     // market-basket lift over per-user event-type sets
     "events_cooccurrence" -> ((s, dir) =>
       graft.ops.Cooccurrence.typeLift(Tables(s, dir).eventsUs)),
+    // directional association rules a -> b over the same baskets:
+    // support, confidence P(b|a), lift — both orientations
+    "events_assoc_rules" -> ((s, dir) =>
+      graft.ops.Cooccurrence.assocRules(Tables(s, dir).eventsUs)),
     // linear multi-touch attribution: purchase value split evenly across
     // the preceding hour's clicks, credited revenue per touch day
     // (day = -1 is the organic/no-touch bucket)
@@ -3998,6 +4002,24 @@ object SparkEntry {
         |  CAST(n_users_both AS DOUBLE) * nu.n_users
         |    / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)) AS lift
         |FROM p JOIN s sa ON sa.t = p.type_a JOIN s sb ON sb.t = p.type_b
+        |CROSS JOIN nu""".stripMargin,
+    // Twin of Cooccurrence.assocRules: same distinct baskets, directional
+    // pair join (a <> b keeps both orientations), same pinned divisions.
+    "events_assoc_rules" ->
+      """WITH e AS (SELECT DISTINCT user_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM e),
+        |s AS (SELECT event_type AS t, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        |p AS (SELECT a.event_type AS antecedent, b.event_type AS consequent,
+        |  CAST(count(*) AS BIGINT) AS n_users_both
+        |  FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT antecedent, consequent, n_users_both,
+        |  CAST(n_users_both AS DOUBLE) / CAST(nu.n_users AS DOUBLE) AS support,
+        |  CAST(n_users_both AS DOUBLE) / CAST(sa.n AS DOUBLE) AS confidence,
+        |  CAST(n_users_both AS DOUBLE) * nu.n_users
+        |    / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)) AS lift
+        |FROM p JOIN s sa ON sa.t = p.antecedent JOIN s sb ON sb.t = p.consequent
         |CROSS JOIN nu""".stripMargin,
     // Twin of IntervalJoin: plain key + time-range join — the range
     // bounds are exact integer ns, so no float hazard exists.

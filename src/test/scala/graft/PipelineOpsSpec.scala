@@ -61,6 +61,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("lift") == 2.0 * 4 / (3 * 2))
   }
 
+  test("assocRules: directional confidence, hand-computed measures, minBoth floor") {
+    // u1{A,B}, u2{A,B}, u3{A}, u4{C}: A->B conf 2/3, B->A conf 2/2
+    val events = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (2L, "B"),
+      (3L, "A"), (4L, "C")).toDF("user_id", "event_type")
+    val got = graft.ops.Cooccurrence.assocRules(events).collect()
+      .map(r => (r.getAs[String]("antecedent"), r.getAs[String]("consequent")) ->
+        ((r.getAs[Long]("n_users_both"), r.getAs[Double]("support"),
+          r.getAs[Double]("confidence"), r.getAs[Double]("lift")))).toMap
+    assert(got.keySet == Set(("A", "B"), ("B", "A")))
+    assert(got(("A", "B")) == ((2L, 2.0 / 4, 2.0 / 3, 2.0 * 4 / (3 * 2))))
+    assert(got(("B", "A")) == ((2L, 2.0 / 4, 2.0 / 2, 2.0 * 4 / (3 * 2))))
+    assert(graft.ops.Cooccurrence.assocRules(events, minBoth = 3L).count() == 0)
+    intercept[IllegalArgumentException](
+      graft.ops.Cooccurrence.assocRules(events, minBoth = 0L))
+  }
+
   test("unigramLogprob: hand-computed add-1 cross-entropy; rare words score higher") {
     import graft.pipeline.TextOps
     // corpus: "a a b" + "c" -> counts a:2 b:1 c:1, N=4, V=3
