@@ -161,6 +161,16 @@ object ScalingAudit {
             lit(1L).as("seq"), lit("U").as("op"))
         graft.ops.Cdc.latestState(d.select("doc_id", "text"), log).count()
       })
+      // round-9 session-6: the text CDC chunker is map-only + one df-capped
+      // inverted index (replicas are near-identical docs, so chunk cliques
+      // grow like the minhash pair space); label propagation's per-round
+      // cost is one join per EDGE over the same laddered near-dup graph
+      report(s"text_cdc_dups_x$f", n,
+        timed(graft.pipeline.TextCdc.cdcDups(d).count()))
+      report(s"graph_labelprop_x$f", n, timed(
+        graft.pipeline.Components.labelPropagation(Dedup.minhashNearDups(d),
+          d.where(col("doc_id") % 5 === 0).select("doc_id", "lang"),
+          rounds = 3, labelCol = "lang").count()))
     }
 
     vecPaths.foreach { case (f, p) =>
@@ -202,6 +212,34 @@ object ScalingAudit {
       if (f == 1)
         report(s"vec_knn_graph_x$f", n,
           timed(Similarity.knnGraph(v, k = 3).count()))
+      // round-9 session-6: k-center is k corpus scans with literal-reentry
+      // centers — alpha ~ 1 with k fixed, and k never multiplies the
+      // shuffle count (each round is map + TakeOrdered(1))
+      report(s"vec_kcenter_x$f", n,
+        timed(Similarity.kCenters(v, k = 8).count()))
+    }
+
+    // record-linkage fuzzy join at laddered master scale: dirty feed fixed
+    // at the x1 injection rate, master replicated f× with fresh ids/names
+    // — the variant fan-out is (len+1)× per row, the join stays hash-equi
+    factors.foreach { f =>
+      val c0 = Tables(spark, "/root/testdata/sf0.1").customer
+        .select(col("c_custkey"), col("c_name"))
+      val master = if (f == 1) c0 else c0
+        .withColumn("__rep", explode(sequence(lit(0), lit(f - 1))))
+        .select((col("c_custkey") * 10 + col("__rep")).as("c_custkey"),
+          concat(lit("Customer#"),
+            lpad((col("c_custkey") * 10 + col("__rep")).cast("string"), 9, "0"))
+            .as("c_name"))
+      val dirty = master.where(col("c_custkey") % (3 * f) === 0)
+        .select((col("c_custkey") + lit(1L << 40)).as("d_id"),
+          expr("concat(substring(c_name, 1, CAST(9 + c_custkey % 9 AS INT)), " +
+            "substring(c_name, CAST(11 + c_custkey % 9 AS INT), length(c_name)))")
+            .as("d_name"))
+      val n = master.count()
+      report(s"er_fuzzy_join_x$f", n, timed(
+        graft.ops.FuzzyJoin.editJoin(dirty, master,
+          "d_id", "d_name", "c_custkey", "c_name").count()))
     }
 
     // bloom-prefiltered semi-join at laddered probe scale: lineitem

@@ -1049,6 +1049,10 @@ object SparkEntry {
     // harmonics of the daily-resampled, mean-centered series
     "ts_spectral" -> ((s, dir) =>
       SeriesOps.periodogram(pts(s, dir), 86400L * NsPerS)),
+    // SAX words over the daily-resampled series: z-normalize, 8-segment
+    // PAA, 4-symbol Gaussian breakpoints — shape-similarity strings
+    "ts_sax" -> ((s, dir) =>
+      SeriesOps.sax(pts(s, dir), 86400L * NsPerS)),
     "ts_outlier_mad" -> ((s, dir) => SeriesOps.outliersMad(pts(s, dir), 3.5)),
     "ts_ewma" -> ((s, dir) => SeriesOps.ewma(pts(s, dir), alpha = 0.5, window = 16)),
     // Holt double exponential smoothing: end-of-series level/trend state +
@@ -1584,6 +1588,20 @@ object SparkEntry {
     "sample_weighted" -> ((s, dir) =>
       Sampling.weightedSample(Tables(s, dir).documents.select("doc_id", "n_chars"),
         "doc_id", "n_chars", n = 50)),
+    // soft dedup: keep each doc with probability 1/cluster_size over the
+    // minhash near-dup clusters — in expectation each duplicate FAMILY
+    // contributes one copy, without the hard drop (SoftDeDup-style
+    // reweighting); singletons keep probability 1
+    "sample_soft_dedup" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val cl = Components.dedupClusters(d).select("doc_id", "cluster_size")
+      val sized = d.select("doc_id").join(cl, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      Sampling.bernoulliByProb(sized, "doc_id",
+          lit(1.0) / col("cluster_size").cast("double"), salt = "softdedup")
+        .select("doc_id", "cluster_size", "u", "accept_prob", "is_kept")
+    }),
     "corpus_divergence" -> ((s, dir) =>
       TextOps.unigramDivergence(Tables(s, dir).documents, col("lang") === "en")),
     "text_collocations" -> ((s, dir) =>
@@ -2722,6 +2740,37 @@ object SparkEntry {
          |  FROM gm)
          |SELECT series_id, freq, n_points, sc * sc + ss * ss AS power FROM f""".stripMargin,
 
+    // Twin of SeriesOps.sax(day, w=8): same time-sorted bucket-mean list,
+    // same pinned mean/variance/segment folds, same floor segment bounds
+    // and Gaussian breakpoints; list slices are 1-based inclusive where
+    // Spark's slice takes (start, len).
+    "ts_sax" -> {
+      val n = "len(vs)"
+      val seg = s"vs[CAST((j * $n) // 8 AS INTEGER) + 1 : CAST(((j + 1) * $n) // 8 AS INTEGER)]"
+      val segLen = s"(((j + 1) * $n) // 8 - (j * $n) // 8)"
+      val segSum = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $seg), (a, x) -> a + x)"
+      val z = s"((($segSum) / $segLen) - mu) / sdv"
+      val sym = s"CASE WHEN sdv = CAST(0 AS DOUBLE) THEN 'c' " +
+        s"WHEN $z < CAST(-0.6745 AS DOUBLE) THEN 'a' WHEN $z < CAST(0 AS DOUBLE) THEN 'b' " +
+        s"WHEN $z < CAST(0.6745 AS DOUBLE) THEN 'c' ELSE 'd' END"
+      s"""WITH points AS ($PointsCte),
+         |b AS (SELECT series_id, ts - ts % ${86400L * NsPerS} AS bucket_ts,
+         |  avg(value) FILTER (WHERE NOT isnan(value)) AS mv FROM points GROUP BY 1, 2),
+         |nb AS (SELECT * FROM b WHERE mv IS NOT NULL),
+         |g AS (SELECT series_id, list(mv ORDER BY bucket_ts) AS vs FROM nb GROUP BY 1),
+         |gw AS (SELECT * FROM g WHERE len(vs) >= 8),
+         |sx AS (SELECT series_id, vs,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE), vs), (a, x) -> a + x)
+         |    / len(vs) AS mu FROM gw),
+         |sdt AS (SELECT series_id, vs, mu,
+         |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(vs, x -> (x - mu) * (x - mu))), (a, x) -> a + x)
+         |    / len(vs)) AS sdv FROM sx)
+         |SELECT series_id, CAST(len(vs) AS BIGINT) AS n_points,
+         |  list_reduce(list_transform(range(0, 8), j -> $sym), (a, b) -> a || b)
+         |    AS sax_word
+         |FROM sdt""".stripMargin
+    },
     // Twin of SeriesOps.mannKendall: integer S over time-ordered pairs,
     // tie-corrected variance, continuity-corrected z, 5% two-sided trend.
     "ts_mannkendall" ->
@@ -4364,6 +4413,25 @@ object SparkEntry {
          |  FROM s)
          |SELECT doc_id, u, accept_prob,
          |  coalesce(u < accept_prob, false) AS is_kept FROM c""".stripMargin
+    },
+    // Twin of the soft-dedup gate: the shared cluster-closure CTEs give
+    // cluster sizes, p = 1/size needs no clamp branch (it is always in
+    // (0, 1], and least/greatest are float no-ops there), same CW draw
+    // under the 'softdedup' salt.
+    "sample_soft_dedup" -> {
+      val u = s"((((${phSql("CAST(doc_id AS VARCHAR)", "0")}) * ${Sampling.saltMult("softdedup")}" +
+        s" + ${Sampling.saltAdd("softdedup")}) % 1000000007 + 0.5) / 1000000007)"
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |$ClosureCtes,
+         |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+         |  FROM comps GROUP BY 1),
+         |sized AS (SELECT d.doc_id, coalesce(cs.csize, 1) AS cluster_size
+         |  FROM documents d LEFT JOIN comps c USING (doc_id)
+         |  LEFT JOIN cs ON cs.cluster_id = c.cluster_id)
+         |SELECT doc_id, cluster_size, $u AS u,
+         |  CAST(1 AS DOUBLE) / CAST(cluster_size AS DOUBLE) AS accept_prob,
+         |  $u < (CAST(1 AS DOUBLE) / CAST(cluster_size AS DOUBLE)) AS is_kept
+         |FROM sized""".stripMargin
     },
     "sample_weighted" ->
       s"""SELECT doc_id, n_chars FROM (

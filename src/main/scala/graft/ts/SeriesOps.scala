@@ -1114,6 +1114,52 @@ object SeriesOps {
         (col("level") + col("h") * col("trend")).as("forecast"))
   }
 
+  /** SAX symbolization per series (Lin et al. 2003): z-normalize the
+    * resampled series, Piecewise Aggregate Approximation into `w` equal
+    * segments (the [⌊j·n/w⌋, ⌊(j+1)·n/w⌋) floor windows the contour
+    * fingerprints use), then map each segment mean to one of 4 symbols at
+    * the standard Gaussian breakpoints (−0.6745, 0, 0.6745) — the compact
+    * string representation behind time-series indexing, motif mining, and
+    * "which sensors behave alike" grouping (two series with the same SAX
+    * word are shape-similar regardless of scale/offset).
+    *
+    * Arithmetic is pinned ([[periodogram]]'s lesson): mean, variance, and
+    * every segment sum fold over the per-series TIME-SORTED value list,
+    * one accumulation order in both engines; a zero-variance series maps
+    * to the mid symbol. Series shorter than `w` buckets drop (empty
+    * segments would be undefined). One collect per series; the word is w
+    * chars however long the series.
+    */
+  def sax(points: DataFrame, dtNs: Long, w: Int = 8): DataFrame = {
+    require(w >= 2, s"sax needs w >= 2 segments, got $w")
+    require(dtNs > 0, s"dtNs must be positive, got $dtNs")
+    val nL = "size(__vs)"
+    val segLen = s"(CAST(((j + 1) * $nL) DIV $w AS INT) - CAST((j * $nL) DIV $w AS INT))"
+    val segSum = s"aggregate(slice(__vs, CAST((j * $nL) DIV $w AS INT) + 1, $segLen), " +
+      "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    val z = s"((($segSum) / $segLen) - __mu) / __sd"
+    val sym = s"CASE WHEN __sd = CAST(0.0 AS DOUBLE) THEN 'c' " +
+      s"WHEN $z < -0.6745D THEN 'a' WHEN $z < 0.0D THEN 'b' " +
+      s"WHEN $z < 0.6745D THEN 'c' ELSE 'd' END"
+    resample(points, dtNs)
+      .where(col("mean_value").isNotNull)
+      .groupBy("series_id")
+      .agg(array_sort(collect_list(struct(col("bucket_ts"),
+        col("mean_value")))).as("__bm"))
+      .select(col("series_id"),
+        transform(col("__bm"), x => x.getField("mean_value")).as("__vs"))
+      .where(size(col("__vs")) >= w)
+      .withColumn("__mu",
+        aggregate(col("__vs"), lit(0.0), (a, x) => a + x) / size(col("__vs")))
+      .withColumn("__sd", sqrt(
+        aggregate(transform(col("__vs"),
+            x => (x - col("__mu")) * (x - col("__mu"))),
+          lit(0.0), (a, x) => a + x) / size(col("__vs"))))
+      .select(col("series_id"), size(col("__vs")).cast("long").as("n_points"),
+        expr(s"array_join(transform(sequence(0, ${w - 1}), j -> $sym), '')")
+          .as("sax_word"))
+  }
+
   /** Additive Holt–Winters (triple) exponential smoothing per series — the
     * seasonal upgrade of [[holt]]: l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1}
     * + b_{t−1}), b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, s_t = γ(x_t −

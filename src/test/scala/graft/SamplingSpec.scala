@@ -244,4 +244,17 @@ class SamplingSpec extends SparkSpec {
     assert(e(3L)._1.isEmpty && !e(3L)._2, "NaN must not clamp to 1 and keep")
     assert(e(4L)._1.isEmpty && !e(4L)._2)
   }
+
+  test("soft dedup composition: p = 1 keeps every row (u is strictly below 1)") {
+    import spark.implicits._
+    // the sample_soft_dedup gate gives singletons accept_prob 1; the CW
+    // draw u = (h + 0.5)/Mod is strictly < 1, so every singleton survives
+    val d = (1L to 200L).map(i => (i, 1L)).toDF("doc_id", "cluster_size")
+    val got = graft.pipeline.Sampling.bernoulliByProb(d, "doc_id",
+      org.apache.spark.sql.functions.lit(1.0) /
+        org.apache.spark.sql.functions.col("cluster_size").cast("double"),
+      salt = "softdedup")
+    assert(got.where(!org.apache.spark.sql.functions.col("is_kept")).count() == 0)
+    assert(got.where(org.apache.spark.sql.functions.col("u") >= 1.0).count() == 0)
+  }
 }

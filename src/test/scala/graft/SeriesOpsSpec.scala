@@ -675,6 +675,29 @@ class SeriesOpsSpec extends SparkSpec {
     assert(got(feb) == ((1L, 0.0, 0.0)))
   }
 
+  test("sax: planted shapes map to the expected words; flat series mid-symbol; short series drop") {
+    val day = 86400L * 1000000000L
+    def series(id: String, vals: Seq[Double]) =
+      vals.zipWithIndex.map { case (v, i) => (id, i * day, v) }
+    // step: 8 low then 8 high -> aaaadddd; flat -> cccccccc; short drops
+    val rows = series("step", Seq.fill(8)(-1.0) ++ Seq.fill(8)(1.0)) ++
+      series("flat", Seq.fill(16)(5.0)) ++
+      series("short", Seq.fill(7)(1.0))
+    val df = rows.toDF("series_id", "ts", "value")
+    val got = graft.ts.SeriesOps.sax(df, day).collect()
+      .map(r => r.getAs[String]("series_id") ->
+        ((r.getAs[Long]("n_points"), r.getAs[String]("sax_word")))).toMap
+    assert(got.keySet == Set("step", "flat"))
+    assert(got("step") == ((16L, "aaaadddd")), s"step: ${got("step")}")
+    assert(got("flat") == ((16L, "cccccccc")))
+    // a linear ramp symbolizes monotonically (word is non-decreasing)
+    val ramp = series("r", (0 until 16).map(_.toDouble)).toDF("series_id", "ts", "value")
+    val w = graft.ts.SeriesOps.sax(ramp, day).collect()(0).getAs[String]("sax_word")
+    assert(w.length == 8 && w.zip(w.tail).forall { case (a, b) => a <= b }, w)
+    assert(w.head == 'a' && w.last == 'd', w)
+    intercept[IllegalArgumentException](graft.ts.SeriesOps.sax(df, day, w = 1))
+  }
+
   test("holtWinters matches a driver replay and learns a planted period-4 pattern") {
     // two full cycles of a pure period-4 seasonal around a flat level
     val seas = Seq(2.0, -1.0, 3.0, -4.0)
