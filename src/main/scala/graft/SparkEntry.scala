@@ -1064,6 +1064,10 @@ object SparkEntry {
     // rotated seasonal state folded over the pinned series sort
     "ts_holtwinters" -> ((s, dir) => SeriesOps.holtWinters(pts(s, dir))),
     "ts_autocorr" -> ((s, dir) => SeriesOps.autocorr(pts(s, dir), maxLag = 3)),
+    // 7-day-holdout backtest of the seasonal-naive forecaster: slot-mean
+    // profile from the train slice, MAE + signed bias per series
+    "ts_backtest" -> ((s, dir) => SeriesOps.backtestNaive(pts(s, dir),
+      86400L * NsPerS, 3600L * NsPerS, 7L * 86400L * NsPerS)),
     "ts_monthly" -> ((s, dir) => SeriesOps.monthly(pts(s, dir))),
     // heating/cooling degree days per UTC month (base 17): the classic
     // weather-energy rollup over the daily-mean resample
@@ -2899,6 +2903,27 @@ object SparkEntry {
          |  FROM fut)
          |SELECT s.series_id, ts, mean_value AS yhat
          |FROM slotted s LEFT JOIN prof USING (series_id, slot)""".stripMargin,
+    // Twin of SeriesOps.backtestNaive(day, hour, 7d): same global cutoff,
+    // same non-negative slot arithmetic, avg FILTERs mirror Spark's
+    // null-skipping aggregates over unscored slots.
+    "ts_backtest" ->
+      s"""WITH points AS ($PointsCte),
+         |p AS (SELECT series_id, ts, value FROM points WHERE NOT isnan(value)),
+         |cut AS (SELECT max(ts) - ${7L * 86400L * NsPerS} AS c FROM p),
+         |tr AS (SELECT series_id,
+         |  ((ts % ${86400L * NsPerS} + ${86400L * NsPerS}) % ${86400L * NsPerS}) // ${3600L * NsPerS} AS slot,
+         |  avg(value) AS yhat
+         |  FROM p CROSS JOIN cut WHERE ts <= c GROUP BY 1, 2),
+         |te AS (SELECT series_id,
+         |  ((ts % ${86400L * NsPerS} + ${86400L * NsPerS}) % ${86400L * NsPerS}) // ${3600L * NsPerS} AS slot,
+         |  value
+         |  FROM p CROSS JOIN cut WHERE ts > c)
+         |SELECT te.series_id, CAST(count(*) AS BIGINT) AS n_test,
+         |  CAST(count(tr.yhat) AS BIGINT) AS n_scored,
+         |  avg(abs(te.value - tr.yhat)) AS mae,
+         |  avg(te.value - tr.yhat) AS bias
+         |FROM te LEFT JOIN tr USING (series_id, slot)
+         |GROUP BY 1""".stripMargin,
     "ts_gaps" ->
       s"""WITH points AS ($PointsCte),
          |$DtModeCte,

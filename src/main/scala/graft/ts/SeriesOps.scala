@@ -1034,6 +1034,43 @@ object SeriesOps {
       .select(col("series_id"), col("ts"), col("mean_value").as("yhat"))
   }
 
+  /** Rolling-origin backtest of the seasonal-naive forecaster: hold out
+    * the trailing `holdoutNs` window (one GLOBAL cutoff at max(ts) −
+    * holdout — a per-series cutoff would starve sparse series), fit the
+    * slot-mean profile on the train slice only, score every held-out
+    * point against its slot's forecast. Per series: held-out count,
+    * scored count (slots never seen in train yield no forecast), MAE and
+    * signed bias — the accuracy report that decides whether
+    * [[forecastNaive]] is good enough before anything fancier ships.
+    *
+    * Scale shape: two partial-combined aggregates (train profile, test
+    * scores) around one (series, slot)-keyed join; the cutoff is a
+    * broadcast scalar. Per-series test sums are few-term (the holdout is
+    * a window, not the corpus), so plain aggregates stay cross-engine
+    * stable — the [[periodogram]] many-term hazard does not apply.
+    */
+  def backtestNaive(points: DataFrame, periodNs: Long, bucketNs: Long,
+      holdoutNs: Long): DataFrame = {
+    require(periodNs > 0 && bucketNs > 0 && periodNs % bucketNs == 0,
+      s"bucket must divide period, got $bucketNs / $periodNs")
+    require(holdoutNs > 0, s"holdout must be positive, got $holdoutNs")
+    val p = points.where(notNan(col("value")))
+    val cutoff = p.agg(max("ts").as("__mx"))
+      .select((col("__mx") - lit(holdoutNs)).as("__cut"))
+    val slot = expr(s"pmod(ts, $periodNs) div $bucketNs")
+    val withCut = p.crossJoin(broadcast(cutoff))
+    val profile = withCut.where(col("ts") <= col("__cut"))
+      .groupBy(col("series_id"), slot.as("slot"))
+      .agg(avg("value").as("__yhat"))
+    withCut.where(col("ts") > col("__cut"))
+      .select(col("series_id"), slot.as("slot"), col("value"))
+      .join(profile, Seq("series_id", "slot"), "left")
+      .groupBy("series_id")
+      .agg(count(lit(1)).as("n_test"), count(col("__yhat")).as("n_scored"),
+        avg(abs(col("value") - col("__yhat"))).as("mae"),
+        avg(col("value") - col("__yhat")).as("bias"))
+  }
+
   /** O4: stream tail limit — keep only the newest `n` points per series,
     * the reference's Bokeh `stream(new, 100)` display buffer
     * (reference: visual/dashboard_test.py:81). Deterministic tie-break on

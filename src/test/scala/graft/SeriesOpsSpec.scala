@@ -675,6 +675,24 @@ class SeriesOpsSpec extends SparkSpec {
     assert(got(feb) == ((1L, 0.0, 0.0)))
   }
 
+  test("backtestNaive: hand-computed MAE/bias; unseen slots unscored") {
+    // period 4, bucket 1, holdout 4: cutoff = 9 - 4 = 5; train slots
+    // 0..3 mean to (2, 3, 2, 3); test ts 6..9 give |diff| 4,4,6,6
+    val s = (0L to 9L).map(i => ("s", i, i.toDouble))
+    // "u": train at slot 0 only; test lands on unseen slot 1 -> unscored
+    val u = Seq(("u", 0L, 1.0), ("u", 9L, 5.0))
+    val df = (s ++ u).toDF("series_id", "ts", "value")
+    val got = graft.ts.SeriesOps.backtestNaive(df, 4L, 1L, 4L).collect()
+      .map(r => r.getAs[String]("series_id") ->
+        ((r.getAs[Long]("n_test"), r.getAs[Long]("n_scored"),
+          Option(r.getAs[Any]("mae")).map(_.asInstanceOf[Double]),
+          Option(r.getAs[Any]("bias")).map(_.asInstanceOf[Double])))).toMap
+    assert(got("s") == ((4L, 4L, Some(5.0), Some(5.0))), s"s: ${got("s")}")
+    assert(got("u") == ((1L, 0L, None, None)), s"u: ${got("u")}")
+    intercept[IllegalArgumentException](
+      graft.ts.SeriesOps.backtestNaive(df, 4L, 3L, 4L))
+  }
+
   test("sax: planted shapes map to the expected words; flat series mid-symbol; short series drop") {
     val day = 86400L * 1000000000L
     def series(id: String, vals: Seq[Double]) =
