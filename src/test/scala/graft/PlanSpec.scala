@@ -449,4 +449,48 @@ class PlanSpec extends SparkSpec {
     val shuffles = plan.linesIterator.count(_.contains("Exchange"))
     assert(shuffles <= 2, s"expected <= 2 Exchanges, got $shuffles: ${plan.take(3000)}")
   }
+
+  test("text CDC chunker is map-only: the first exchange belongs to the consumer") {
+    val df = graft.pipeline.TextCdc.cdcChunks(Tables(spark, sfDir).documents)
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"),
+      s"cdcChunks must not shuffle: ${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"))
+  }
+
+  test("k-center round is one scan: map-side distance + TakeOrdered(1), no shuffle join") {
+    // reproduce what one kCenters round plans: literal centers, min-dist,
+    // argmax via orderBy(...).limit(1)
+    val emb = Tables(spark, sfDir).embeddings
+    val c = Array.fill(64)(0.1)
+    val round = emb
+      .select(col("vec_id").cast("long").as("id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("d", lit(1.0) - graft.pipeline.Similarity.cosine(
+        col("v"), array(c.map(lit).toSeq: _*)))
+      .orderBy(col("d").desc, col("id").asc).limit(1)
+    val plan = planOf(round)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"argmax must be a TakeOrdered, not a global sort: ${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "the round must not join")
+  }
+
+  test("fuzzy join: variant fan-out stays map-side; one hash join on the variant key") {
+    val master = Tables(spark, sfDir).customer
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val df = graft.ops.FuzzyJoin.editJoin(master, master, "id", "name", "id", "name")
+    df.collect() // finalize AQE
+    val plan = planOf(df)
+    // explode(sequence) never shuffles; every join is a hash equi-join on
+    // the variant key (AQE may plan it broadcast at this SF) — the
+    // quadratic shapes must never appear
+    val equiJoins = plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+        l.contains("ShuffledHashJoin"))
+    assert(equiJoins >= 1, s"expected the variant equi-join: ${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join must never go quadratic: ${plan.take(3000)}")
+  }
 }
