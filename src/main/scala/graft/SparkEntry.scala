@@ -2035,6 +2035,26 @@ object SparkEntry {
       changeLog(s, dir).createOrReplaceTempView("graft_sql_clog")
       s.sql("SELECT * FROM graft_cdc_scd2('graft_sql_clog')")
     }),
+    "sql_text_cdc_dups" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).documents.createOrReplaceTempView("graft_sql_docs_cdc")
+      s.sql("SELECT * FROM graft_text_cdc_dups('graft_sql_docs_cdc', 4, 5, 3, 50)")
+    }),
+    "sql_kcenter" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).embeddings.createOrReplaceTempView("graft_sql_emb_kc")
+      s.sql("SELECT * FROM graft_kcenter('graft_sql_emb_kc', 8)")
+    }),
+    "sql_readability" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).documents.createOrReplaceTempView("graft_sql_docs_rd")
+      s.sql("SELECT * FROM graft_readability('graft_sql_docs_rd')")
+    }),
+    "sql_assoc_rules" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).eventsUs.createOrReplaceTempView("graft_sql_ev_ar")
+      s.sql("SELECT * FROM graft_assoc_rules('graft_sql_ev_ar')")
+    }),
 
     // incremental cluster maintenance: bootstrap on a third of the corpus,
     // ingest the rest in two batches — the EXACTNESS contract says the
@@ -2090,6 +2110,10 @@ object SparkEntry {
       "sql_skipgrams" -> base("text_skipgrams"),
       "sql_holt" -> base("ts_holt"),
       "sql_cdc_scd2" -> base("cdc_scd2"),
+      "sql_text_cdc_dups" -> base("text_cdc_dups"),
+      "sql_kcenter" -> base("vec_kcenter"),
+      "sql_readability" -> base("text_readability"),
+      "sql_assoc_rules" -> base("events_assoc_rules"),
       // incremental maintenance must equal the full recompute exactly
       "dedup_incremental" -> base("dedup_clusters"),
       // the streaming face scores pairs with the batch kernel's arithmetic

@@ -41,6 +41,10 @@ import graft.functions.{CharNgramCodes, MinHashSig, PolyHash, SimHashSig, SimHas
   *  - `graft_skipgrams('view', window)` — skip-gram pair counts
   *  - `graft_holt('view', horizon)` — Holt smoothing + forecasts
   *  - `graft_cdc_scd2('view')` — SCD2 changelog historization
+  *  - `graft_text_cdc_dups('view', w, bits, shared, df)` — sub-doc CDC dedup
+  *  - `graft_kcenter('view', k)` — greedy k-center diversity coreset
+  *  - `graft_readability('view')` — Flesch ease + FK grade per doc
+  *  - `graft_assoc_rules('view')` — directional association rules
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
@@ -226,6 +230,32 @@ object GraftTableFunctions {
         "graft_cdc_scd2(table) - SCD2 historization of an " +
           "(op, id, payload, seq) changelog"),
       (exprs: Seq[Expression]) => plan(graft.ops.Cdc.scd2(
+        rel(strArg(exprs(0), "table name"))))),
+    (FunctionIdentifier("graft_text_cdc_dups"),
+      info("graft_text_cdc_dups",
+        "graft_text_cdc_dups(table, window, mask_bits, min_shared, max_df)" +
+          " - sub-document near-dup pairs by shared content-defined chunks"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.TextCdc.cdcDups(
+        rel(strArg(exprs(0), "table name")), intArg(exprs(1), "window"),
+        intArg(exprs(2), "mask_bits"), intArg(exprs(3), "min_shared"),
+        intArg(exprs(4), "max_df")))),
+    (FunctionIdentifier("graft_kcenter"),
+      info("graft_kcenter",
+        "graft_kcenter(table, k) - greedy k-center diversity coreset " +
+          "over an embedding table"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Similarity.kCenters(
+        rel(strArg(exprs(0), "table name")), intArg(exprs(1), "k")))),
+    (FunctionIdentifier("graft_readability"),
+      info("graft_readability",
+        "graft_readability(table) - Flesch reading ease and " +
+          "Flesch-Kincaid grade per document"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.TextOps.readability(
+        rel(strArg(exprs(0), "table name"))))),
+    (FunctionIdentifier("graft_assoc_rules"),
+      info("graft_assoc_rules",
+        "graft_assoc_rules(table) - directional association rules " +
+          "(support, confidence, lift) over user event baskets"),
+      (exprs: Seq[Expression]) => plan(graft.ops.Cooccurrence.assocRules(
         rel(strArg(exprs(0), "table name")))))
   )
 

@@ -88,6 +88,7 @@ class SqlSurfaceSpec extends SparkSpec {
     t.events.createOrReplaceTempView("sqlspec_events_s")
     t.documents.createOrReplaceTempView("sqlspec_docs_s")
     t.embeddings.createOrReplaceTempView("sqlspec_emb_s")
+    t.events.createOrReplaceTempView("sqlspec_events_ar")
     t.documents.select(explode(graft.pipeline.TextOps.tokens(col("text"))).as("term"))
       .createOrReplaceTempView("sqlspec_terms_s")
     val cases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
@@ -110,7 +111,15 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM graft_skipgrams('sqlspec_docs_s', 2)" ->
         graft.pipeline.TextOps.skipgrams(t.documents, 2),
       "SELECT * FROM graft_winnow_dups('sqlspec_docs_s', 5, 4, 1, 50)" ->
-        graft.pipeline.TextOps.winnowNearDups(t.documents, 5, 4, 1, 50))
+        graft.pipeline.TextOps.winnowNearDups(t.documents, 5, 4, 1, 50),
+      "SELECT * FROM graft_text_cdc_dups('sqlspec_docs_s', 4, 5, 1, 50)" ->
+        graft.pipeline.TextCdc.cdcDups(t.documents, 4, 5, 1, 50),
+      "SELECT * FROM graft_kcenter('sqlspec_emb_s', 4)" ->
+        graft.pipeline.Similarity.kCenters(t.embeddings, k = 4),
+      "SELECT * FROM graft_readability('sqlspec_docs_s')" ->
+        graft.pipeline.TextOps.readability(t.documents),
+      "SELECT * FROM graft_assoc_rules('sqlspec_events_ar')" ->
+        graft.ops.Cooccurrence.assocRules(t.events))
     val clogSweep = t.documents.select(col("doc_id"),
       concat(col("text"), lit(" v2")).as("text"), lit(1L).as("seq"),
       lit("U").as("op"))
