@@ -1,7 +1,8 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Content-defined chunking over document TEXT — the sub-document dedup
   * face of the text family (the LBFS/FastCDC storage-dedup technique the
@@ -17,19 +18,28 @@ import org.apache.spark.sql.functions._
   * granularity (suffix-array dedup à la Lee et al. 2022 approximated at
   * chunk resolution).
   *
-  * Unlike the audio codec twin this is PURE COLUMN ALGEBRA — the codepoint
-  * stream, the boundary scan, and the chunk folds are all Catalyst
-  * `transform`/`filter`/`aggregate` over the string, so the whole chunker
-  * runs map-only inside whole-stage codegen; the first exchange is the
-  * dedup face's chunk-hash groupBy. Work is O(n·window) per doc.
-  *
-  * Everything is exact non-negative integer arithmetic mod 1e9+7 —
-  * bit-reproducible cross-engine (the DuckDB twin folds the same
+  * The per-char scan is a [[Dataset.mapPartitions]] kernel, not column
+  * algebra, deliberately: Catalyst evaluates higher-order-function
+  * lambdas INTERPRETED (no codegen), and the O(n·window) boundary scan
+  * through that path measured ~1000× slower than this JITed loop at
+  * sf0.1 — the same judgment call as the audio/video codecs, where the
+  * per-element imperative walk is the hot loop and no whole-stage-codegen
+  * expression exists for it. The input is spread by id first so the scan
+  * parallelizes across cores instead of riding one small-parquet
+  * partition. Everything is exact non-negative integer arithmetic mod
+  * 1e9+7 — bit-reproducible cross-engine (the DuckDB twin folds the same
   * `(a·31 + c) mod p` over `ord` of the same char slices).
   */
 object TextCdc {
 
   private val CdcMod = 1000000007L
+
+  private val cdcSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("chunk_idx", IntegerType),
+    StructField("start", LongType),
+    StructField("n_chunk_chars", LongType),
+    StructField("chunk_hash", LongType)))
 
   /** Per-doc content-defined chunks: (doc_id, chunk_idx, start,
     * n_chunk_chars, chunk_hash), chunks tiling [0, n) contiguously.
@@ -40,33 +50,49 @@ object TextCdc {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(maskBits >= 1 && maskBits <= 20, s"maskBits must be in [1,20], got $maskBits")
-    val modulus = 1L << maskBits
-    val fold = s"(a, c) -> pmod(a * 31 + c, ${CdcMod}L)"
-    val base = docs
+    val mask = (1L << maskBits) - 1
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(cdcSchema)
+    val projected = docs
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"))
       .where(col("__t").isNotNull && length(col("__t")) > 0)
-      .withColumn("__n", length(col("__t")).cast("long"))
-      .withColumn("__cs",
-        expr("transform(sequence(1L, __n), j -> CAST(ascii(substring(__t, CAST(j AS INT), 1)) AS BIGINT))"))
-      // boundary ends: k in [window, n] where the window hash masks to 0,
-      // plus the doc end; distinct+sort mirrors the oracle twin exactly
-      .withColumn("__ends", expr(
-        s"""array_sort(array_distinct(concat(
-           |  filter(transform(sequence(${window}L, __n), k ->
-           |    CASE WHEN aggregate(slice(__cs, CAST(k AS INT) - ${window - 1}, $window),
-           |                        0L, $fold) % ${modulus}L = 0
-           |         THEN k END), x -> x IS NOT NULL),
-           |  array(__n))))""".stripMargin))
-    base
-      .select(col("doc_id"), col("__cs"), col("__ends"),
-        posexplode(col("__ends")).as(Seq("__ci", "__end")))
-      .withColumn("__start",
-        expr("CASE WHEN __ci = 0 THEN 0L ELSE element_at(__ends, __ci) END"))
-      .select(col("doc_id"), col("__ci").cast("int").as("chunk_idx"),
-        col("__start").as("start"),
-        (col("__end") - col("__start")).as("n_chunk_chars"),
-        expr(s"""aggregate(slice(__cs, CAST(__start AS INT) + 1,
-                 CAST(__end - __start AS INT)), 0L, $fold)""").as("chunk_hash"))
+      .repartition(col("doc_id"))
+    val out: Dataset[Row] = projected.mapPartitions { it =>
+      it.flatMap { row =>
+        val t = row.getString(1)
+        // codepoint stream, matching the twin's per-char `ord` (surrogate
+        // pairs yield one codepoint per char slot only for BMP text; the
+        // fixture corpus is ASCII, same contract as the audio twins)
+        val n = t.length
+        if (n == 0) Iterator.empty
+        else {
+          @inline def cp(i: Int): Long = t.codePointAt(i).toLong
+          @inline def winHash(k: Int): Long = { // over chars [k-w+1 .. k], 0-based end k
+            var a = 0L
+            var j = k - window + 1
+            while (j <= k) { a = ((a * 31 + cp(j)) % CdcMod + CdcMod) % CdcMod; j += 1 }
+            a
+          }
+          val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var k = window - 1
+          while (k < n) {
+            if ((winHash(k) & mask) == 0L) ends += (k + 1) // boundary AFTER k
+            k += 1
+          }
+          if (ends.isEmpty || ends.last != n) ends += n
+          var prev = 0
+          val id = row.getLong(0)
+          ends.iterator.zipWithIndex.map { case (end, ci) =>
+            var h = 0L
+            var j = prev
+            while (j < end) { h = ((h * 31 + cp(j)) % CdcMod + CdcMod) % CdcMod; j += 1 }
+            val r = Row(id, ci, prev.toLong, (end - prev).toLong, h)
+            prev = end
+            r
+          }
+        }
+      }
+    }(enc)
+    out
   }
 
   /** Sub-document near-duplicate pairs by shared content-defined chunks:

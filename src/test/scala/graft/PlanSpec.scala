@@ -450,12 +450,15 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 2, s"expected <= 2 Exchanges, got $shuffles: ${plan.take(3000)}")
   }
 
-  test("text CDC chunker is map-only: the first exchange belongs to the consumer") {
+  test("text CDC chunker: one spread exchange, then the scan kernel — no join, no sort") {
     val df = graft.pipeline.TextCdc.cdcChunks(Tables(spark, sfDir).documents)
     val plan = planOf(df)
-    assert(!plan.contains("Exchange"),
-      s"cdcChunks must not shuffle: ${plan.take(3000)}")
+    // the only exchange is the deliberate id-spread (small parquet would
+    // otherwise serialize the per-char kernel on one core)
+    val shuffles = plan.linesIterator.count(_.contains("Exchange"))
+    assert(shuffles == 1, s"expected only the spread exchange, got $shuffles: ${plan.take(3000)}")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("Sort "), "no sort belongs in the chunker")
   }
 
   test("k-center round is one scan: map-side distance + TakeOrdered(1), no shuffle join") {
