@@ -711,11 +711,12 @@ object SparkEntry {
        |    i -> smp[CAST(i AS INTEGER)] * smp[CAST(i AS INTEGER)])), 0)) AS e
        |  FROM aw)""".stripMargin
 
-  /** CTE chain ending in `vwe(doc_id, npx, e)` — the 65-window decoded-byte
-    * luma contour of `src`(doc_id, text); the parameterized core of
-    * [[VideoFpCtes]], reused by the wide twins over the augmented corpus.
+  /** CTE chain ending in `vseg(doc_id, f, sg)` — the per-frame DECODED
+    * segment lists (192-byte text slice + raster zero-padding) of
+    * `src`(doc_id, text); the shared frame-decode prefix of
+    * [[videoContourCtes]], also the base of the frame-hash twins.
     */
-  private def videoContourCtes(src: String): String =
+  private def videoFrameCtes(src: String): String =
     s"""vb AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
        |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cps
        |  FROM $src),
@@ -728,7 +729,14 @@ object SparkEntry {
        |vseg AS (SELECT doc_id, f, list_concat(
        |    list_transform(range(f * 192 + 1, f * 192 + L + 1), i -> cps[CAST(i AS INTEGER)]),
        |    list_transform(range(0, 3 * w * h - L), z -> CAST(0 AS BIGINT))) AS sg
-       |  FROM vg4),
+       |  FROM vg4)""".stripMargin
+
+  /** CTE chain ending in `vwe(doc_id, npx, e)` — the 65-window decoded-byte
+    * luma contour of `src`(doc_id, text); the parameterized core of
+    * [[VideoFpCtes]], reused by the wide twins over the augmented corpus.
+    */
+  private def videoContourCtes(src: String): String =
+    s"""${videoFrameCtes(src)},
        |vst AS (SELECT doc_id, flatten(list(sg ORDER BY f)) AS stream FROM vseg GROUP BY doc_id),
        |vsv AS (SELECT vb.doc_id, coalesce(vst.stream, CAST([] AS BIGINT[])) AS stream
        |  FROM vb LEFT JOIN vst USING (doc_id)),
@@ -1872,6 +1880,16 @@ object SparkEntry {
     // family (text/image/audio/video)
     "video_fp_dups" -> ((s, dir) =>
       Video.videoNearDups(Video.synthVideoTable(nearDupCorpus(s, dir)))),
+    // per-frame content hashes from the real container walk — the frame
+    // is the container's natural chunk unit (no rolling boundary needed)
+    "video_frame_hashes" -> ((s, dir) =>
+      Video.frameHashes(Video.synthVideoTable(Tables(s, dir).documents))),
+    // clip-reuse detection: pairs sharing identical decoded frames via
+    // the df-capped frame-hash inverted index, position-independent —
+    // the in-place edit leaves every later frame shared with the source
+    "video_frame_dups" -> ((s, dir) =>
+      Video.frameDups(Video.synthVideoTable(nearDupCorpus(s, dir)),
+        minShared = 1)),
 
     // ---- streaming dedup (T4) in batch mode: duplicated feed collapses ----
     "stream_dedup" -> ((s, dir) => {
@@ -5358,6 +5376,33 @@ object SparkEntry {
          |${videoContourCtes("corpus")},
          |${wideWordCtes("vwe", "npx", "n_px")}
          |${wideDupsSelect(24)}""".stripMargin,
+    // Twin of Video.frameHashes over documents: same per-frame decoded
+    // segment (slice + zero padding), same non-negative (a·31 + c) mod p
+    // fold the CDC twins use.
+    "video_frame_hashes" ->
+      s"""WITH ${videoFrameCtes("documents")}
+         |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), sg),
+         |    (a, c) -> ((a * 31 + c) % 1000000007 + 1000000007) % 1000000007)
+         |    AS frame_hash
+         |FROM vseg""".stripMargin,
+    // Twin of Video.frameDups(minShared=1, maxDf=50) over the augmented
+    // corpus: distinct frame postings, df cap, hash-keyed pair count.
+    "video_frame_dups" ->
+      s"""WITH $NearDupCorpusCte,
+         |${videoFrameCtes("corpus")},
+         |vfh AS (SELECT DISTINCT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), sg),
+         |    (a, c) -> ((a * 31 + c) % 1000000007 + 1000000007) % 1000000007)
+         |    AS frame_hash
+         |  FROM vseg),
+         |vkeep AS (SELECT frame_hash FROM vfh GROUP BY 1 HAVING count(*) <= 50),
+         |vind AS (SELECT doc_id, frame_hash FROM vfh JOIN vkeep USING (frame_hash))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM vind a JOIN vind b
+         |  ON a.frame_hash = b.frame_hash AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 1""".stripMargin,
 
     "stream_dedup" ->
       s"""WITH points AS ($PointsCte)

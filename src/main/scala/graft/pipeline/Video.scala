@@ -325,4 +325,67 @@ object Video {
     }(enc)
     out
   }
+
+  private val FrameHashMod = 1000000007L
+
+  val frameHashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_hash", LongType)))
+
+  /** Per-frame content hash: the polynomial fold (a·31 + byte) mod 1e9+7
+    * over each frame's DECODED raster (padding included — it is part of
+    * the decoded signal, same contract as [[videoFingerprint]]). The
+    * frame is the container's natural chunk unit, so this is the video
+    * face of sub-file dedup: no rolling-boundary scan needed where the
+    * format already defines alignment ([[Audio.cdcChunks]] earns its
+    * boundaries because PCM has none).
+    */
+  def frameHashes(video: DataFrame, idCol: String = "doc_id",
+      blobCol: String = "video"): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(frameHashSchema)
+    val projected = video.select(col(idCol).cast("long"), col(blobCol))
+    val out: Dataset[Row] = projected.mapPartitions { it =>
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](1)
+        val acc = scala.collection.mutable.ArrayBuffer.empty[Row]
+        walkFrames(bytes) { (idx, w, h, off) =>
+          var hsh = 0L
+          var j = off
+          val end = off + 3 * w * h
+          while (j < end) {
+            hsh = ((hsh * 31 + (bytes(j) & 0xff)) % FrameHashMod + FrameHashMod) % FrameHashMod
+            j += 1
+          }
+          acc += Row(row.getLong(0), idx, hsh)
+        }
+        acc.iterator
+      }
+    }(enc)
+    out
+  }
+
+  /** Sub-video near-duplicate pairs by shared frames — clip-reuse
+    * detection: two videos sharing `minShared` identical frames pair up
+    * regardless of WHERE the shared material sits (the whole-clip contour
+    * fingerprint needs global similarity). Postings capped at `maxDf`
+    * (a ubiquitous black/intro frame carries no pair signal), pairs
+    * counted over the frame-hash inverted index — the same candidate-only
+    * scale shape as every LSH family here.
+    */
+  def frameDups(video: DataFrame, minShared: Int = 2, maxDf: Int = 50,
+      idCol: String = "doc_id", blobCol: String = "video"): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"need minShared >= 1, maxDf >= 2; got minShared=$minShared maxDf=$maxDf")
+    val fps = frameHashes(video, idCol, blobCol)
+      .select(col("doc_id").as("id"), col("frame_hash")).distinct()
+    val keep = fps.groupBy("frame_hash").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf).select("frame_hash")
+    val indexed = fps.join(keep, "frame_hash")
+    indexed.select(col("frame_hash"), col("id").as("id_a"))
+      .join(indexed.select(col("frame_hash"), col("id").as("id_b")), "frame_hash")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }

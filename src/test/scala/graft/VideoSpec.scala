@@ -163,4 +163,41 @@ class VideoSpec extends SparkSpec {
     val n = kf.count()
     assert(n > 0 && n < walked, "keyframes must select a strict subset")
   }
+
+  test("frameHashes: one hash per frame, driver parity; frameDups links an in-place edit to its source") {
+    val rnd = new scala.util.Random(17)
+    val base = Seq.fill(500)(('a' + rnd.nextInt(26)).toChar).mkString
+    // doc 2: chars 10-19 replaced IN PLACE -> frame 0 differs, frames 1/2 shared
+    val edited = base.substring(0, 10) + "XXXXXXXXXX" + base.substring(20)
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val table = Video.synthVideoTable(docs)
+    val got = Video.frameHashes(table).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx")) ->
+        r.getAs[Long]("frame_hash")).toMap
+    // 500 bytes -> 3 frames per doc (192+192+116)
+    assert(got.keySet == (for (d <- Seq(1L, 2L); f <- 0 to 2) yield (d, f)).toSet)
+    // driver replay: fold over the decoded raster (slice + zero padding)
+    def refHash(payload: Array[Byte], f: Int): Long = {
+      val start = f * 192
+      val slice = java.util.Arrays.copyOfRange(payload, start,
+        math.min(start + 192, payload.length))
+      val npix = (slice.length + 2) / 3
+      val w = math.ceil(math.sqrt(npix.toDouble)).toInt
+      val h = math.ceil(npix.toDouble / w).toInt
+      val raster = java.util.Arrays.copyOf(slice, 3 * w * h)
+      raster.foldLeft(0L)((a, b) =>
+        ((a * 31 + (b & 0xff)) % 1000000007L + 1000000007L) % 1000000007L)
+    }
+    val p1 = base.getBytes("UTF-8")
+    (0 to 2).foreach(f => assert(got((1L, f)) == refHash(p1, f), s"frame $f"))
+    // frame 0 differs, frames 1 and 2 identical across the pair
+    assert(got((1L, 0)) != got((2L, 0)))
+    assert(got((1L, 1)) == got((2L, 1)) && got((1L, 2)) == got((2L, 2)))
+    // the dedup face links exactly this pair with 2 shared frames
+    val pairs = Video.frameDups(table, minShared = 2).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Long]("n_shared"))).toMap
+    assert(pairs == Map((1L, 2L) -> 2L))
+    intercept[IllegalArgumentException](Video.frameDups(table, maxDf = 1))
+  }
 }
