@@ -1033,6 +1033,10 @@ object SparkEntry {
       SeriesOps.seasonalProfile(pts(s, dir), 86400L * NsPerS, 3600L * NsPerS)),
     // additive trend/seasonal/residual decomposition (±12-row trend MA,
     // hour-of-day seasonal slots)
+    // Hyndman seasonal/trend strength over the STL components: the [0,1]
+    // triage scores for routing series to the right forecaster
+    "ts_stl_strength" -> ((s, dir) =>
+      SeriesOps.stlStrength(pts(s, dir), 86400L * NsPerS, 3600L * NsPerS)),
     "ts_stl" -> ((s, dir) =>
       SeriesOps.stl(pts(s, dir), 86400L * NsPerS, 3600L * NsPerS,
         halfWindow = 12)),
@@ -2896,6 +2900,49 @@ object SparkEntry {
          |SELECT d.series_id, ts, value, tr AS trend, seas AS seasonal,
          |  CASE WHEN NOT isnan(value) THEN value END - tr - seas AS residual
          |FROM d JOIN se USING (series_id, slot)""".stripMargin,
+    // Twin of SeriesOps.stlStrength: the ts_stl body, then ONE pinned
+    // per-series fold (ORDER BY matching Spark's struct sort) into the
+    // [n, Σr, Σr², Σ(s+r), Σ(s+r)², Σ(t+r), Σ(t+r)²] sums; variance and
+    // strength expressions written with the identical operation order.
+    "ts_stl_strength" -> {
+      def variance(sq: Int, s: Int): String =
+        s"(a[$sq] - a[$s] * a[$s] / a[1]) / a[1]"
+      val vR = variance(3, 2)
+      val vSR = variance(5, 4)
+      val vTR = variance(7, 6)
+      s"""WITH points AS ($PointsCte),
+         |t AS (SELECT series_id, ts, value,
+         |  ((ts % ${86400L * NsPerS} + ${86400L * NsPerS}) % ${86400L * NsPerS}) // ${3600L * NsPerS} AS slot,
+         |  avg(CASE WHEN NOT isnan(value) THEN value END) OVER (
+         |    PARTITION BY series_id ORDER BY ts, value
+         |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS tr
+         |  FROM points),
+         |d AS (SELECT *, CASE WHEN NOT isnan(value) THEN value END - tr AS detr FROM t),
+         |se AS (SELECT series_id, slot, avg(detr) AS seas FROM d GROUP BY 1, 2),
+         |r2 AS (SELECT d.series_id, ts, value, tr, seas,
+         |  CASE WHEN NOT isnan(value) THEN value END - tr - seas AS resid
+         |  FROM d JOIN se USING (series_id, slot)),
+         |f AS (SELECT series_id, list([resid, seas + resid, tr + resid]
+         |    ORDER BY ts, value, seas, resid, tr) AS xs
+         |  FROM r2 WHERE resid IS NOT NULL GROUP BY 1),
+         |ag AS (SELECT series_id, list_reduce(list_prepend(
+         |  [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+         |   CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+         |   CAST(0 AS DOUBLE)],
+         |  list_transform(xs, x -> [CAST(1 AS DOUBLE), x[1], x[1] * x[1],
+         |    x[2], x[2] * x[2], x[3], x[3] * x[3]])),
+         |  (acc, e) -> [acc[1] + e[1], acc[2] + e[2], acc[3] + e[3],
+         |    acc[4] + e[4], acc[5] + e[5], acc[6] + e[6], acc[7] + e[7]]) AS a
+         |  FROM f)
+         |SELECT series_id, CAST(a[1] AS BIGINT) AS n_points,
+         |  CASE WHEN $vSR > CAST(0 AS DOUBLE)
+         |    THEN greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - ($vR) / ($vSR)) END
+         |    AS seasonal_strength,
+         |  CASE WHEN $vTR > CAST(0 AS DOUBLE)
+         |    THEN greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - ($vR) / ($vTR)) END
+         |    AS trend_strength
+         |FROM ag""".stripMargin
+    },
     // Twin of SeriesOps.stlAnomaly: the ts_stl residual fed through the
     // ts_outlier_mad scoring body (same medians, constants, fallback).
     "ts_stl_anomaly" ->

@@ -981,6 +981,54 @@ object SeriesOps {
         (v - col("__trend") - col("__seasonal")).as("residual"))
   }
 
+  /** Per-series seasonal and trend STRENGTH (Hyndman & Athanasopoulos,
+    * fpp3 §4.5) over the [[stl]] decomposition: F_s = max(0, 1 −
+    * Var(R)/Var(S+R)) and F_t = max(0, 1 − Var(R)/Var(T+R)) — the [0, 1]
+    * scores that rank thousands of series by "how seasonal / how
+    * trending" without eyeballing plots (the triage step before routing
+    * series to [[forecastNaive]] vs [[holt]] vs [[holtWinters]]).
+    *
+    * All three variances fold over ONE per-series sorted collect
+    * ([[periodogram]]'s pinned-order lesson — plain partial-aggregated
+    * Σx² over hundreds of float terms wobbles at the 9th digit); the
+    * population-variance formula (Σx² − (Σx)²/n)/n is written with the
+    * identical operation order in the twin. A component with zero
+    * variance yields null strength (the ratio is undefined), not a
+    * divide-by-zero.
+    */
+  def stlStrength(points: DataFrame, periodNs: Long, bucketNs: Long,
+      halfWindow: Int = 12): DataFrame = {
+    val comp = stl(points, periodNs, bucketNs, halfWindow)
+      .where(col("residual").isNotNull)
+    val fold = """aggregate(__rows,
+      | array(0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D),
+      | (a, x) -> array(
+      |   element_at(a, 1) + 1.0D,
+      |   element_at(a, 2) + x.residual,
+      |   element_at(a, 3) + x.residual * x.residual,
+      |   element_at(a, 4) + (x.seasonal + x.residual),
+      |   element_at(a, 5) + (x.seasonal + x.residual) * (x.seasonal + x.residual),
+      |   element_at(a, 6) + (x.trend + x.residual),
+      |   element_at(a, 7) + (x.trend + x.residual) * (x.trend + x.residual)))""".stripMargin
+    def variance(sq: String, s: String): String =
+      s"(element_at(__a, $sq) - element_at(__a, $s) * element_at(__a, $s) " +
+        s"/ element_at(__a, 1)) / element_at(__a, 1)"
+    val vR = variance("3", "2")
+    val vSR = variance("5", "4")
+    val vTR = variance("7", "6")
+    comp
+      .groupBy("series_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("value"),
+        col("seasonal"), col("residual"), col("trend")))).as("__rows"))
+      .withColumn("__a", expr(fold))
+      .select(col("series_id"),
+        expr("CAST(element_at(__a, 1) AS BIGINT)").as("n_points"),
+        expr(s"CASE WHEN $vSR > 0.0D THEN greatest(0.0D, 1.0D - ($vR) / ($vSR)) END")
+          .as("seasonal_strength"),
+        expr(s"CASE WHEN $vTR > 0.0D THEN greatest(0.0D, 1.0D - ($vR) / ($vTR)) END")
+          .as("trend_strength"))
+  }
+
   /** Seasonality-adjusted anomaly detection: [[outliersMad]] applied to
     * the [[stl]] RESIDUAL instead of the raw value — a reading that is
     * extreme for 3 a.m. but normal for 3 p.m. is invisible to raw-value

@@ -675,6 +675,25 @@ class SeriesOpsSpec extends SparkSpec {
     assert(got(feb) == ((1L, 0.0, 0.0)))
   }
 
+  test("stlStrength: pure seasonal scores high F_s, pure trend high F_t") {
+    val seas = Seq(3.0, -1.0, 4.0, -6.0)
+    val a = (0 until 48).map(i => ("seasonal", i.toLong, 10.0 + seas(i % 4)))
+    val b = (0 until 48).map(i => ("trend", i.toLong, 0.5 * i))
+    val df = (a ++ b).toDF("series_id", "ts", "value")
+    val got = graft.ts.SeriesOps.stlStrength(df, 4L, 1L).collect()
+      .map(r => r.getAs[String]("series_id") ->
+        ((r.getAs[Long]("n_points"),
+          Option(r.getAs[Any]("seasonal_strength")).map(_.asInstanceOf[Double]),
+          Option(r.getAs[Any]("trend_strength")).map(_.asInstanceOf[Double])))).toMap
+    assert(got("seasonal")._1 == 48L)
+    val fsA = got("seasonal")._2.get
+    val ftB = got("trend")._3.get
+    assert(fsA > 0.9, s"pure seasonal must score F_s near 1: $fsA")
+    assert(ftB > 0.9, s"pure ramp must score F_t near 1: $ftB")
+    assert(got("seasonal")._3.get < fsA, "seasonal series: F_t below F_s")
+    assert(got("trend")._2.get < ftB, "trend series: F_s below F_t")
+  }
+
   test("backtestNaive: hand-computed MAE/bias; unseen slots unscored") {
     // period 4, bucket 1, holdout 4: cutoff = 9 - 4 = 5; train slots
     // 0..3 mean to (2, 3, 2, 3); test ts 6..9 give |diff| 4,4,6,6
