@@ -1490,6 +1490,12 @@ object SparkEntry {
     "events_funnel" -> ((s, dir) =>
       graft.ops.Funnel.funnel(Tables(s, dir).eventsUs,
         Seq("signup", "click", "purchase"))),
+    // telemetry repeat suppression: first event per (user, type, hour)
+    // cell + how many repeats were collapsed — retry storms become one
+    // logical event per window
+    "events_dedup_window" -> ((s, dir) =>
+      graft.ops.Sessionize.firstPerWindow(Tables(s, dir).eventsUs,
+        3600L * NsPerS)),
     // step-pair conversion rates + median/p90 time-to-convert
     "events_funnel_timing" -> ((s, dir) =>
       graft.ops.Funnel.stepTiming(Tables(s, dir).eventsUs,
@@ -3972,6 +3978,22 @@ object SparkEntry {
          |  jaccard_est * union_est AS inter_est
          |FROM es""".stripMargin,
 
+    // Twin of Sessionize.firstPerWindow(hour): same tumbling-window key,
+    // the (ts, id) struct-min split into min-ts then min-id-at-min-ts.
+    "events_dedup_window" ->
+      s"""WITH e AS (SELECT user_id, event_type, event_id, epoch_ns(ts) AS ts FROM events),
+         |w AS (SELECT user_id, event_type, event_id, ts,
+         |  ts - ((ts % ${3600L * NsPerS} + ${3600L * NsPerS}) % ${3600L * NsPerS}) AS window_start
+         |  FROM e),
+         |b AS (SELECT user_id, event_type, window_start, min(ts) AS first_ts,
+         |  CAST(count(*) - 1 AS BIGINT) AS n_suppressed
+         |  FROM w GROUP BY 1, 2, 3)
+         |SELECT b.user_id, b.event_type, b.window_start, b.first_ts,
+         |  min(w.event_id) AS first_event_id, b.n_suppressed
+         |FROM w JOIN b ON w.user_id IS NOT DISTINCT FROM b.user_id
+         |  AND w.event_type IS NOT DISTINCT FROM b.event_type
+         |  AND w.window_start = b.window_start AND w.ts = b.first_ts
+         |GROUP BY 1, 2, 3, 4, 6""".stripMargin,
     // Twin of Sessionize.sessions: lag marks session starts, running sum
     // numbers them (CAST: DuckDB promotes the window sum to HUGEINT).
     "events_sessionize" ->

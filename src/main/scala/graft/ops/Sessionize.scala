@@ -119,4 +119,28 @@ object Sessionize {
         col("end_ns"), (col("end_ns") - col("start_ns")).as("duration_ns"),
         col("n_events"))
   }
+
+  /** Window-keyed repeat suppression: keep only the FIRST event of each
+    * (user, type, tumbling window) cell — the telemetry dedup that turns
+    * a retry storm or double-fire into one logical event per window
+    * (distinct from exact-row dedup: repeats here have different ids and
+    * timestamps). First = (ts, id) min, so the survivor is deterministic
+    * under duplicate timestamps. One partial-combined struct-min per
+    * cell — a single shuffle on the (user, type, window) key, no window
+    * function, no per-row rank.
+    */
+  def firstPerWindow(events: DataFrame, windowNs: Long,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(windowNs > 0, s"windowNs must be positive, got $windowNs")
+    events
+      .withColumn("window_start", col(tsCol) - pmod(col(tsCol), lit(windowNs)))
+      .groupBy(col(userCol), col(typeCol), col("window_start"))
+      .agg(count(lit(1)).as("n_suppressed"),
+        min(struct(col(tsCol), col(idCol))).as("__first"))
+      .select(col(userCol), col(typeCol), col("window_start"),
+        col("__first").getField(tsCol).as("first_ts"),
+        col("__first").getField(idCol).as("first_event_id"),
+        (col("n_suppressed") - 1).as("n_suppressed"))
+  }
 }

@@ -61,6 +61,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("lift") == 2.0 * 4 / (3 * 2))
   }
 
+  test("firstPerWindow: first (ts, id) per hour cell survives; repeats counted; windows split") {
+    val h = 3600L * 1000000000L
+    val events = Seq(
+      (1L, "click", 100L, 10L), (2L, "click", 100L, 10L),    // ts tie -> min id
+      (3L, "click", 500L, 10L),                              // same-window repeat
+      (4L, "click", h + 5L, 10L),                            // next window
+      (5L, "view", 200L, 10L)                                // other type
+    ).toDF("event_id", "event_type", "ts", "user_id")
+    val got = graft.ops.Sessionize.firstPerWindow(events, h).collect()
+      .map(r => ((r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("window_start"))) ->
+        ((r.getAs[Long]("first_ts"), r.getAs[Long]("first_event_id"),
+          r.getAs[Long]("n_suppressed")))).toMap
+    assert(got.size == 3)
+    assert(got((10L, "click", 0L)) == ((100L, 1L, 2L)), s"${got((10L, "click", 0L))}")
+    assert(got((10L, "click", h)) == ((h + 5L, 4L, 0L)))
+    assert(got((10L, "view", 0L)) == ((200L, 5L, 0L)))
+    intercept[IllegalArgumentException](
+      graft.ops.Sessionize.firstPerWindow(events, 0L))
+  }
+
   test("assocRules: directional confidence, hand-computed measures, minBoth floor") {
     // u1{A,B}, u2{A,B}, u3{A}, u4{C}: A->B conf 2/3, B->A conf 2/2
     val events = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (2L, "B"),
