@@ -945,6 +945,14 @@ object SparkEntry {
     "profile_stats" -> ((s, dir) =>
       Profile.numeric(Tables(s, dir).lineitem,
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    // dow x hour activity matrix per event type: integer-epoch calendar
+    // arithmetic (no locale functions), <= types*168 cells
+    "events_calendar_profile" -> ((s, dir) =>
+      Profile.calendarProfile(Tables(s, dir).events)),
+    // document-length histogram: the first corpus plot anyone draws —
+    // same fixed-width binning operator pointed at n_chars
+    "profile_doclen" -> ((s, dir) =>
+      Profile.histogram(Tables(s, dir).documents, "n_chars", 0.0, 1000.0, 50)),
     "profile_histogram" -> ((s, dir) =>
       Profile.histogram(Tables(s, dir).events, "value", 0.0, 500.0, 50)),
     // key-skew audit on the join key: heavy-hitter shares that decide
@@ -2282,6 +2290,30 @@ object SparkEntry {
     // Twin of Profile.histogram: identical IEEE bin arithmetic (the width
     // expression is written out, not precomputed, so both engines fold the
     // same constants).
+    // Twin of Profile.calendarProfile: identical integer-epoch dow/hour
+    // derivation (1970-01-01 = Thursday, 0 = Sunday).
+    "events_calendar_profile" ->
+      s"""WITH e AS (SELECT event_type, epoch_ns(ts) AS ts, value FROM events
+         |  WHERE value IS NOT NULL AND NOT isnan(value))
+         |SELECT event_type,
+         |  ((ts // ${86400L * NsPerS} + 4) % 7 + 7) % 7 AS dow,
+         |  ((ts % ${86400L * NsPerS} + ${86400L * NsPerS}) % ${86400L * NsPerS})
+         |    // ${3600L * NsPerS} AS hour,
+         |  count(*) AS n_events, avg(value) AS mean_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM e GROUP BY 1, 2, 3""".stripMargin,
+    // Twin of the document-length histogram (Profile.histogram on
+    // n_chars, [0, 1000] x 50 bins).
+    "profile_doclen" ->
+      """WITH x AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) >= 0.0
+        |    AND CAST(n_chars AS DOUBLE) <= 1000.0),
+        |b AS (SELECT least(CAST(floor((v - 0.0) / ((1000.0 - 0.0) / 50)) AS BIGINT), 49) AS bin_id, v FROM x)
+        |SELECT bin_id, count(*) AS n, min(v) AS min_value, max(v) AS max_value,
+        |  avg(v) AS mean_value,
+        |  0.0 + bin_id * ((1000.0 - 0.0) / 50) AS lo_edge,
+        |  0.0 + (bin_id + 1) * ((1000.0 - 0.0) / 50) AS hi_edge
+        |FROM b GROUP BY bin_id""".stripMargin,
     "profile_histogram" ->
       """WITH x AS (SELECT value AS v FROM events
         |  WHERE value IS NOT NULL AND NOT isnan(value) AND value >= 0.0 AND value <= 500.0),

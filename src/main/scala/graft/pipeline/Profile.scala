@@ -80,6 +80,30 @@ object Profile {
       .withColumn("hi_edge", lit(lo) + (col("bin_id") + 1) * width)
   }
 
+  /** Calendar profile: per (type, UTC day-of-week, UTC hour) event count
+    * and value stats — the dow×hour activity matrix behind load planning
+    * and "is Tuesday 3 a.m. supposed to look like this" triage
+    * ([[graft.ts.SeriesOps.seasonalProfile]] covers the hour axis per
+    * series; this is the two-axis corpus view). Day-of-week is pure
+    * integer arithmetic off the epoch (1970-01-01 was a Thursday; 0 =
+    * Sunday), so both engines agree exactly with no calendar/locale
+    * functions. One partial-combined aggregate on a ≤ types·168 key
+    * space.
+    */
+  def calendarProfile(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val day = 86400L * 1000000000L
+    val hour = 3600L * 1000000000L
+    events.where(col(valueCol).isNotNull && !isnan(col(valueCol)))
+      .groupBy(col(typeCol),
+        expr(s"pmod($tsCol div $day + 4, 7)").as("dow"),
+        expr(s"pmod($tsCol, $day) div $hour").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        avg(col(valueCol)).as("mean_value"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"))
+  }
+
   /** Key-skew audit before a join or aggregation: per-key row counts for
     * the `topN` heaviest keys plus whole-column concentration measures —
     * the share of all rows held by the single heaviest key

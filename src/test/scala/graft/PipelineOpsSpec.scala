@@ -61,6 +61,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("lift") == 2.0 * 4 / (3 * 2))
   }
 
+  test("calendarProfile: epoch dow arithmetic lands 2024-01-01 on Monday; NaN excluded") {
+    // 2024-01-01T15:00Z was a Monday (dow 1 with 0 = Sunday)
+    val monday15 = 1704067200L * 1000000000L + 15L * 3600L * 1000000000L
+    val sunday03 = monday15 - 36L * 3600L * 1000000000L  // 2023-12-31T03:00Z
+    val events = Seq(
+      ("click", monday15, 2.0), ("click", monday15 + 60L * 1000000000L, 4.0),
+      ("click", sunday03, 7.0), ("click", sunday03, Double.NaN)
+    ).toDF("event_type", "ts", "value")
+    val got = graft.pipeline.Profile.calendarProfile(events).collect()
+      .map(r => ((r.getAs[Long]("dow"), r.getAs[Long]("hour"))) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("mean_value")))).toMap
+    assert(got.keySet == Set((1L, 15L), (0L, 3L)), s"$got")
+    assert(got((1L, 15L)) == ((2L, 3.0)))
+    assert(got((0L, 3L)) == ((1L, 7.0)), "NaN row must not count")
+  }
+
   test("firstPerWindow: first (ts, id) per hour cell survives; repeats counted; windows split") {
     val h = 3600L * 1000000000L
     val events = Seq(
