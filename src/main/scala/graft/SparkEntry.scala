@@ -1945,6 +1945,11 @@ object SparkEntry {
         Tables(s, dir).events, k = 64, "event_type", "event_id", "value")
         .toDF().withColumnRenamed("grp", "event_type")),
     // streaming CMS cells in batch mode: equals cmsSketch exactly
+    // streaming repeat suppression in batch mode: batch face of
+    // Sessionize.firstPerWindow (associative struct-min + count)
+    "stream_dedup_window" -> ((s, dir) =>
+      graft.streaming.StreamOps.dedupWindowStream(
+        Tables(s, dir).eventsUs, 3600L * NsPerS).toDF()),
     "stream_cms" -> ((s, dir) =>
       graft.streaming.StreamOps.cmsStream(
         Tables(s, dir).documents
@@ -2157,6 +2162,8 @@ object SparkEntry {
       // the streaming sketch's batch face IS the batch sketch
       "stream_kmv" -> base("sketch_kmv"),
       "stream_hll" -> base("sketch_hll"),
+      // the streaming window dedup's batch face IS firstPerWindow
+      "stream_dedup_window" -> base("events_dedup_window"),
       "stream_quantile" -> base("sketch_quantile"))
   }
 

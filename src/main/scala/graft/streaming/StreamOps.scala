@@ -751,4 +751,62 @@ object StreamOps {
           }
       }
   }
+
+  final case class DwIn(user_id: Long, event_type: String,
+      window_start: Long, ts: Long, event_id: Long)
+  final case class DwState(firstTs: Long, firstId: Long, n: Long)
+  final case class DwCell(user_id: Long, event_type: String,
+      window_start: Long, first_ts: Long, first_event_id: Long,
+      n_suppressed: Long)
+
+  /** Streaming face of [[graft.ops.Sessionize.firstPerWindow]]: the
+    * per-(user, type, tumbling window) cell keeps (first (ts, id), seen
+    * count) — a struct-min plus a sum, both associative and
+    * arrival-order-insensitive, so after any micro-batch split the state
+    * equals the batch fold over the union and a late-arriving EARLIER
+    * event correctly takes over as the cell's survivor (the
+    * `stream_dedup_window` oracle aliases `events_dedup_window`, pinning
+    * the two faces hash-equal on a batch frame). Each micro-batch emits
+    * the touched cells' refreshed rows.
+    *
+    * STATE RETENTION CONTRACT (same shape as [[kmvStream]]): three longs
+    * per live cell; windows age out naturally — `idleTimeoutMs` evicts
+    * cells untouched for that long (an evicted cell that receives a
+    * late repeat restarts its count, and its survivor may regress —
+    * size the timeout to the pipeline's lateness bound).
+    */
+  def dedupWindowStream(df: DataFrame, windowNs: Long,
+      idleTimeoutMs: Option[Long] = None): Dataset[DwCell] = {
+    require(windowNs > 0, s"windowNs must be positive, got $windowNs")
+    require(idleTimeoutMs.forall(_ > 0), s"idleTimeoutMs must be positive: $idleTimeoutMs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col("user_id").cast("long").as("user_id"),
+      col("event_type").cast("string").as("event_type"),
+      (col("ts") - pmod(col("ts"), lit(windowNs))).cast("long").as("window_start"),
+      col("ts").cast("long").as("ts"),
+      col("event_id").cast("long").as("event_id")).as[DwIn]
+    val timeoutConf =
+      if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    rows.groupByKey(r => (r.user_id, r.event_type, r.window_start))
+      .flatMapGroupsWithState[DwState, DwCell](
+        OutputMode.Append(), timeoutConf) {
+        case ((u, t, w), batch, state: GroupState[DwState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val b = batch.toVector
+            val prev = state.getOption
+            val cand = prev.map(s => (s.firstTs, s.firstId)).toVector ++
+              b.map(r => (r.ts, r.event_id))
+            val (ft, fi) = cand.min
+            val n = prev.map(_.n).getOrElse(0L) + b.size
+            state.update(DwState(ft, fi, n))
+            idleTimeoutMs.foreach(state.setTimeoutDuration)
+            Iterator.single(DwCell(u, t, w, ft, fi, n - 1))
+          }
+      }
+  }
 }

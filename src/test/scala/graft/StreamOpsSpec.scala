@@ -573,4 +573,44 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet
     assert(composed == direct)
   }
+
+  test("dedupWindowStream: late earlier event takes over its cell; equals firstPerWindow on the union") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val h = 3600L * 1000000000L
+    val in = MemoryStream[StreamOps.DwIn]
+    // DwIn.window_start is recomputed by the op from ts; feed raw rows
+    val q = StreamOps.dedupWindowStream(
+      in.toDF().select("user_id", "event_type", "ts", "event_id"), h)
+      .writeStream.format("memory").queryName("dw_out")
+      .outputMode("append").start()
+    try {
+      in.addData(StreamOps.DwIn(10L, "click", 0L, 500L, 3L),
+        StreamOps.DwIn(10L, "click", 0L, 800L, 4L))
+      q.processAllAvailable()
+      // batch 2: a LATE event EARLIER in the same window must take over,
+      // plus a different window
+      in.addData(StreamOps.DwIn(10L, "click", 0L, 100L, 9L),
+        StreamOps.DwIn(10L, "click", 0L, h + 5L, 5L))
+      q.processAllAvailable()
+      val last = spark.table("dw_out").collect()
+        .map(r => ((r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+          r.getAs[Long]("window_start")),
+          (r.getAs[Long]("first_ts"), r.getAs[Long]("first_event_id"),
+            r.getAs[Long]("n_suppressed"))))
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).maxBy(_._3) }
+      assert(last((10L, "click", 0L)) == ((100L, 9L, 2L)), s"$last")
+      assert(last((10L, "click", h)) == ((h + 5L, 5L, 0L)))
+    } finally q.stop()
+
+    // batch frame: the stream face equals Sessionize.firstPerWindow
+    val events = Seq((1L, "click", 100L, 10L), (2L, "click", 100L, 10L),
+      (3L, "click", 500L, 10L), (4L, "view", 200L, 11L))
+      .toDF("event_id", "event_type", "ts", "user_id")
+    assert(rowsOf(StreamOps.dedupWindowStream(events, h).toDF()
+        .select("user_id", "event_type", "window_start", "first_ts",
+          "first_event_id", "n_suppressed")) ==
+      rowsOf(graft.ops.Sessionize.firstPerWindow(events, h)
+        .select("user_id", "event_type", "window_start", "first_ts",
+          "first_event_id", "n_suppressed")))
+  }
 }
