@@ -1235,6 +1235,10 @@ object SparkEntry {
     // difficulty feature for curation and curriculum ordering
     "text_readability" -> ((s, dir) =>
       TextOps.readability(Tables(s, dir).documents)),
+    // n-gram novelty vs everything earlier in id order: the redundancy
+    // curve behind "is the crawl tail still adding anything"
+    "text_novelty" -> ((s, dir) =>
+      TextOps.ngramNovelty(Tables(s, dir).documents)),
     "text_fertility" -> ((s, dir) => TextOps.fertility(Tables(s, dir).documents)),
     // model-free perplexity proxy: corpus-unigram cross-entropy per doc
     "text_unigram_logprob" -> ((s, dir) =>
@@ -3277,6 +3281,21 @@ object SparkEntry {
          |  CAST(0.39 AS DOUBLE) * wps + CAST(11.8 AS DOUBLE) * spw
          |    - CAST(15.59 AS DOUBLE) AS fk_grade
          |FROM r""".stripMargin,
+    // Twin of TextOps.ngramNovelty(k=3): same word 3-shingles, same
+    // distinct-per-doc postings, gram-min first owner, per-doc fraction.
+    "text_novelty" ->
+      s"""WITH tk AS (SELECT doc_id AS id, $Toks AS t FROM documents),
+         |g0 AS (SELECT id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+         |  i -> t[i] || ' ' || t[CAST(i + 1 AS INTEGER)] || ' ' || t[CAST(i + 2 AS INTEGER)])))
+         |    AS g
+         |  FROM tk WHERE len(t) >= 3),
+         |fo AS (SELECT g, min(id) AS first_id FROM g0 GROUP BY 1)
+         |SELECT g0.id AS doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN fo.first_id = g0.id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  CAST(sum(CASE WHEN fo.first_id = g0.id THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS novelty_frac
+         |FROM g0 JOIN fo USING (g) GROUP BY 1""".stripMargin,
     // Twin of TextOps.gopherRules: same whitespace word split, '#'/'...'
     // symbol counts, alpha-word and stopword-union rules; ratio CASEs
     // mirror the when(nWords > 0, …) null semantics and the pass flag's

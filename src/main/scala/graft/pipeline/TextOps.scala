@@ -70,6 +70,37 @@ object TextOps {
   /** Composite quality score in [0,1]-ish: documents with reasonable length,
     * word shape and stopword density score high.
     */
+  /** Per-document n-gram NOVELTY against everything earlier in id order:
+    * the fraction of a doc's distinct word k-shingles whose FIRST corpus
+    * occurrence is the doc itself — the redundancy/novelty signal behind
+    * "is the tail of this crawl still adding anything" curves and
+    * dataset-ordering decisions (a doc of novelty ~0 is boilerplate
+    * recombination; ~1 is fresh material). Ties resolve to the smallest
+    * doc id (it IS the first occurrence).
+    *
+    * Scale shape: distinct shingles per doc, one gram-keyed min
+    * aggregate (vocabulary scale, partial-combined), one rejoin, one
+    * per-doc count — the inverted-index shape without the pair join.
+    * Docs with fewer than k tokens drop (no shingles to score).
+    */
+  def ngramNovelty(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3): DataFrame = {
+    require(k >= 1, s"shingle size must be >= 1, got $k")
+    val grams = df
+      .select(col(idCol).cast("long").as("id"), tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= k)
+      .select(col("id"), explode(array_distinct(expr(
+        s"transform(sequence(1, size(__t) - ${k - 1}), i -> concat_ws(' ', slice(__t, i, $k)))")))
+        .as("g"))
+    val firstOwner = grams.groupBy("g").agg(min("id").as("__first"))
+    grams.join(firstOwner, "g")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_frac",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Flesch readability per document — the classic surface-form complexity
     * score used as a quality/difficulty feature in corpus curation (and as
     * a curriculum key): reading ease 206.835 − 1.015·(words/sentences) −

@@ -61,6 +61,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("lift") == 2.0 * 4 / (3 * 2))
   }
 
+  test("ngramNovelty: an exact copy scores 0; fresh material 1; partial overlap exact") {
+    import graft.pipeline.TextOps
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),       // 3 shingles, all first-seen
+      (2L, "the quick brown fox jumps"),       // exact copy -> novelty 0
+      (3L, "totally fresh new words here"),    // disjoint -> novelty 1
+      (4L, "the quick brown cat sleeps now"),  // shares shingle 1 of 4
+      (5L, "ab")                               // < 3 tokens -> dropped
+    ).toDF("doc_id", "text")
+    val got = TextOps.ngramNovelty(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty_frac")))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((3L, 3L, 1.0)))
+    assert(got(2L) == ((3L, 0L, 0.0)), "the exact copy owns nothing")
+    assert(got(3L) == ((3L, 3L, 1.0)))
+    assert(got(4L) == ((4L, 3L, 0.75)), s"${got(4L)}")
+  }
+
   test("calendarProfile: epoch dow arithmetic lands 2024-01-01 on Monday; NaN excluded") {
     // 2024-01-01T15:00Z was a Monday (dow 1 with 0 = Sunday)
     val monday15 = 1704067200L * 1000000000L + 15L * 3600L * 1000000000L
