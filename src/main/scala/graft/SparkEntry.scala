@@ -1763,6 +1763,14 @@ object SparkEntry {
     // the corpus where random sampling oversamples dense regions
     "vec_kcenter" -> ((s, dir) =>
       Similarity.kCenters(Tables(s, dir).embeddings, k = 8)),
+    // graph-based embedding clustering: connected components of the
+    // mutual k-NN graph — density-adaptive communities with no k to
+    // choose and hubs already pruned by mutuality (pure composition of
+    // two verified operators)
+    "vec_clusters" -> ((s, dir) =>
+      Components.clustersFromPairs(
+        Similarity.knnGraph(Tables(s, dir).embeddings, k = 3), "id_a", "id_b")
+        .withColumnRenamed("doc_id", "vec_id")),
     // MMR diversified retrieval for vector 0: greedy λ·rel − (1−λ)·maxsim
     // over the cosine top-20 shortlist (λ = 0.7, k = 5)
     "retrieve_mmr" -> ((s, dir) => {
@@ -4951,6 +4959,24 @@ object SparkEntry {
          |WHERE t.qa < t.qb""".stripMargin,
     // Twin of Similarity.kCenters(k=8) — see KCenterOracle.
     "vec_kcenter" -> KCenterOracle,
+    // Twin of the knn-graph clustering composition: the vec_knn_graph
+    // body restructured to end in `mh_pairs(id_a, id_b)` so the shared
+    // ClosureCtes (which closes over that name) resolves the components.
+    "vec_clusters" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |s AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+         |  ${vecCosSql("a.v", "b.v")} AS c
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT qa, qb, c, row_number() OVER (
+         |  PARTITION BY qa ORDER BY c DESC, qb ASC) AS rk FROM s),
+         |t AS (SELECT qa, qb, c FROM r WHERE rk <= 3),
+         |mh_pairs AS (SELECT t.qa AS id_a, t.qb AS id_b
+         |  FROM t JOIN t t2 ON t.qa = t2.qb AND t.qb = t2.qa
+         |  WHERE t.qa < t.qb),
+         |$ClosureCtes
+         |SELECT c.doc_id AS vec_id, c.cluster_id, sz.cluster_size,
+         |  c.doc_id = c.cluster_id AS is_canonical
+         |FROM comps c JOIN sizes sz USING (cluster_id)""".stripMargin,
     // Twin of Similarity.rrfFuse over bm25 top-20 + cosine top-20 for
     // vector 0: the shared bm25 CTEs, the sim_topk cosine body at
     // query_id = 0, both ranked (score desc, id asc), fused with the

@@ -671,6 +671,21 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(g._3.get - e._3.get) < 1e-12) }
   }
 
+  test("knn-graph clustering: two planted clusters resolve to two components") {
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      (1L, v(1.0, 0.02, 0.0)), (2L, v(1.0, -0.01, 0.01)), (3L, v(0.99, 0.0, -0.02)),
+      (11L, v(0.0, 1.0, 0.03)), (12L, v(0.01, 1.0, -0.02)), (13L, v(-0.02, 0.98, 0.0)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = graft.pipeline.Components.clustersFromPairs(
+      Similarity.knnGraph(df, k = 2), "id_a", "id_b")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"))).toSet
+    assert(got.map(_._2) == Set(1L, 11L), s"two components: $got")
+    assert(got.forall(_._3 == 3L))
+    assert(got.map(_._1) == Set(1L, 2L, 3L, 11L, 12L, 13L))
+  }
+
   test("kCenters guards: empty corpus and k < 1 refuse; k larger than corpus returns all") {
     intercept[IllegalArgumentException](Similarity.kCenters(
       Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"), k = 2).collect())
