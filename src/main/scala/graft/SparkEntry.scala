@@ -2108,6 +2108,16 @@ object SparkEntry {
       Tables(s, dir).eventsUs.createOrReplaceTempView("graft_sql_ev_ar")
       s.sql("SELECT * FROM graft_assoc_rules('graft_sql_ev_ar')")
     }),
+    "sql_calendar_profile" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_sql_ev_cal")
+      s.sql("SELECT * FROM graft_calendar_profile('graft_sql_ev_cal')")
+    }),
+    "sql_novelty" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).documents.createOrReplaceTempView("graft_sql_docs_nv")
+      s.sql("SELECT * FROM graft_novelty('graft_sql_docs_nv', 3)")
+    }),
 
     // incremental cluster maintenance: bootstrap on a third of the corpus,
     // ingest the rest in two batches — the EXACTNESS contract says the
@@ -2167,6 +2177,8 @@ object SparkEntry {
       "sql_kcenter" -> base("vec_kcenter"),
       "sql_readability" -> base("text_readability"),
       "sql_assoc_rules" -> base("events_assoc_rules"),
+      "sql_calendar_profile" -> base("events_calendar_profile"),
+      "sql_novelty" -> base("text_novelty"),
       // incremental maintenance must equal the full recompute exactly
       "dedup_incremental" -> base("dedup_clusters"),
       // the streaming face scores pairs with the batch kernel's arithmetic

@@ -45,6 +45,8 @@ import graft.functions.{CharNgramCodes, MinHashSig, PolyHash, SimHashSig, SimHas
   *  - `graft_kcenter('view', k)` — greedy k-center diversity coreset
   *  - `graft_readability('view')` — Flesch ease + FK grade per doc
   *  - `graft_assoc_rules('view')` — directional association rules
+  *  - `graft_calendar_profile('view')` — dow×hour activity matrix
+  *  - `graft_novelty('view', k)` — per-doc k-shingle novelty
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
@@ -256,7 +258,19 @@ object GraftTableFunctions {
         "graft_assoc_rules(table) - directional association rules " +
           "(support, confidence, lift) over user event baskets"),
       (exprs: Seq[Expression]) => plan(graft.ops.Cooccurrence.assocRules(
-        rel(strArg(exprs(0), "table name")))))
+        rel(strArg(exprs(0), "table name"))))),
+    (FunctionIdentifier("graft_calendar_profile"),
+      info("graft_calendar_profile",
+        "graft_calendar_profile(table) - per-type UTC dow x hour event " +
+          "count and value stats"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Profile.calendarProfile(
+        rel(strArg(exprs(0), "table name"))))),
+    (FunctionIdentifier("graft_novelty"),
+      info("graft_novelty",
+        "graft_novelty(table, k) - per-document k-shingle novelty vs " +
+          "everything earlier in id order"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.TextOps.ngramNovelty(
+        rel(strArg(exprs(0), "table name")), k = intArg(exprs(1), "k"))))
   )
 
   /** Register every table function on an already-built session. */

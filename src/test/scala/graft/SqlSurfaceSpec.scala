@@ -119,7 +119,11 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM graft_readability('sqlspec_docs_s')" ->
         graft.pipeline.TextOps.readability(t.documents),
       "SELECT * FROM graft_assoc_rules('sqlspec_events_ar')" ->
-        graft.ops.Cooccurrence.assocRules(t.events))
+        graft.ops.Cooccurrence.assocRules(t.events),
+      "SELECT * FROM graft_calendar_profile('sqlspec_events_ar')" ->
+        graft.pipeline.Profile.calendarProfile(t.events),
+      "SELECT * FROM graft_novelty('sqlspec_docs_s', 3)" ->
+        graft.pipeline.TextOps.ngramNovelty(t.documents, k = 3))
     val clogSweep = t.documents.select(col("doc_id"),
       concat(col("text"), lit(" v2")).as("text"), lit(1L).as("seq"),
       lit("U").as("op"))
