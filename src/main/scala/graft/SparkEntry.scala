@@ -1502,6 +1502,10 @@ object SparkEntry {
     "events_funnel" -> ((s, dir) =>
       graft.ops.Funnel.funnel(Tables(s, dir).eventsUs,
         Seq("signup", "click", "purchase"))),
+    // window-over-window churn (weekly): active users absent from the
+    // NEXT window; the final window has no successor and is excluded
+    "events_churn" -> ((s, dir) =>
+      graft.ops.Retention.churn(Tables(s, dir).events, 7L * 86400L * NsPerS)),
     // telemetry repeat suppression: first event per (user, type, hour)
     // cell + how many repeats were collapsed — retry storms become one
     // logical event per window
@@ -4056,6 +4060,28 @@ object SparkEntry {
          |  jaccard_est * union_est AS inter_est
          |FROM es""".stripMargin,
 
+    // Twin of Retention.churn(week): same tumbling key, left-anti via
+    // NOT EXISTS against the next window, max window excluded.
+    "events_churn" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS ts FROM events
+         |  WHERE user_id IS NOT NULL),
+         |a AS (SELECT DISTINCT user_id,
+         |  ts - ((ts % ${7L * 86400L * NsPerS} + ${7L * 86400L * NsPerS}) % ${7L * 86400L * NsPerS}) AS window_start
+         |  FROM e),
+         |mw AS (SELECT max(window_start) AS mx FROM a),
+         |c AS (SELECT window_start, CAST(count(*) AS BIGINT) AS n_churned
+         |  FROM a WHERE NOT EXISTS (SELECT 1 FROM a n
+         |    WHERE n.user_id = a.user_id
+         |      AND n.window_start = a.window_start + ${7L * 86400L * NsPerS})
+         |  GROUP BY 1),
+         |t AS (SELECT window_start, CAST(count(*) AS BIGINT) AS n_active
+         |  FROM a GROUP BY 1)
+         |SELECT t.window_start, t.n_active,
+         |  coalesce(c.n_churned, 0) AS n_churned,
+         |  CAST(coalesce(c.n_churned, 0) AS DOUBLE) / CAST(t.n_active AS DOUBLE)
+         |    AS churn_rate
+         |FROM t LEFT JOIN c USING (window_start) CROSS JOIN mw
+         |WHERE t.window_start < mw.mx""".stripMargin,
     // Twin of Sessionize.firstPerWindow(hour): same tumbling-window key,
     // the (ts, id) struct-min split into min-ts then min-id-at-min-ts.
     "events_dedup_window" ->

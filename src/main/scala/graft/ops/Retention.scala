@@ -179,4 +179,39 @@ object Retention {
       .groupBy("day").agg(count(lit(1)).as("new_users"))
       .withColumn("cumulative_users", sum("new_users").over(running))
   }
+
+  /** Window-over-window churn: per tumbling window, how many of its
+    * active users do NOT appear in the NEXT window — the companion to
+    * [[retention]]'s cohort view (churn asks "who left this period",
+    * retention asks "who stayed since signup"). The final window has no
+    * successor to judge against and is excluded rather than reported as
+    * 100% churn. Rate is one integer quotient — bit-stable.
+    *
+    * Scale shape: one distinct on (user, window), one left-anti
+    * self-join on the shifted key, two partial-combined counts; the
+    * max-window bound is a broadcast scalar.
+    */
+  def churn(events: DataFrame, windowNs: Long,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(windowNs > 0, s"windowNs must be positive, got $windowNs")
+    val active = events
+      .where(col(userCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        (col(tsCol) - pmod(col(tsCol), lit(windowNs))).as("window_start"))
+      .distinct()
+    val maxW = active.agg(max("window_start").as("__max_w"))
+    val nextShifted = active.select(col("__u"),
+      (col("window_start") - lit(windowNs)).as("window_start"))
+    val churned = active
+      .join(nextShifted, Seq("__u", "window_start"), "left_anti")
+      .groupBy("window_start").agg(count(lit(1)).as("n_churned"))
+    active.groupBy("window_start").agg(count(lit(1)).as("n_active"))
+      .join(churned, Seq("window_start"), "left")
+      .crossJoin(broadcast(maxW))
+      .where(col("window_start") < col("__max_w"))
+      .select(col("window_start"), col("n_active"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+        (coalesce(col("n_churned"), lit(0L)).cast("double")
+          / col("n_active").cast("double")).as("churn_rate"))
+  }
 }

@@ -61,6 +61,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("lift") == 2.0 * 4 / (3 * 2))
   }
 
+  test("churn: absent-next-window users counted; final window excluded; full-retention zero") {
+    val w = 1000L
+    // w0: users 1,2,3; w1: users 2,3,4; w2: user 4 (last window excluded)
+    val events = Seq((1L, 10L), (2L, 20L), (3L, 30L),
+      (2L, w + 1L), (3L, w + 2L), (4L, w + 3L), (4L, 2 * w + 1L))
+      .toDF("user_id", "ts")
+    val got = graft.ops.Retention.churn(events, w).collect()
+      .map(r => r.getAs[Long]("window_start") ->
+        ((r.getAs[Long]("n_active"), r.getAs[Long]("n_churned"),
+          r.getAs[Double]("churn_rate")))).toMap
+    assert(got.keySet == Set(0L, w), s"final window must be excluded: $got")
+    assert(got(0L) == ((3L, 1L, 1.0 / 3.0)), s"${got(0L)}")      // user 1 left
+    assert(got(w) == ((3L, 2L, 2.0 / 3.0)), s"${got(w)}")        // 2 and 3 left
+    // full retention: every user recurs -> zero churn
+    val keep = Seq((1L, 5L), (1L, w + 5L)).toDF("user_id", "ts")
+    val g2 = graft.ops.Retention.churn(keep, w).collect()
+    assert(g2.length == 1 && g2(0).getAs[Long]("n_churned") == 0L
+      && g2(0).getAs[Double]("churn_rate") == 0.0)
+  }
+
   test("ngramNovelty: an exact copy scores 0; fresh material 1; partial overlap exact") {
     import graft.pipeline.TextOps
     val docs = Seq(
