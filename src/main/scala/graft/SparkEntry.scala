@@ -959,6 +959,12 @@ object SparkEntry {
     // between a plain shuffle join and SkewJoin.saltedJoin / AQE skew
     "profile_key_skew" -> ((s, dir) =>
       Profile.keySkew(Tables(s, dir).events, "user_id", topN = 10)),
+    // Benford first-digit audit of order totals per priority class: the
+    // "does this numeric column look organic" screen (dense 9-digit grid,
+    // group-level chi-square verdict at 5%)
+    "profile_benford" -> ((s, dir) =>
+      Profile.benford(Tables(s, dir).orders, "o_orderpriority", "o_totalprice")
+        .withColumnRenamed("grp", "o_orderpriority")),
     // CDC apply: fold the synthetic changelog (deletes %11==4, updates
     // %11==6 with a second version on %22==6, inserts %11==8 bit-42
     // tagged) into the next snapshot — last-writer-wins on seq
@@ -1084,6 +1090,9 @@ object SparkEntry {
     // rotated seasonal state folded over the pinned series sort
     "ts_holtwinters" -> ((s, dir) => SeriesOps.holtWinters(pts(s, dir))),
     "ts_autocorr" -> ((s, dir) => SeriesOps.autocorr(pts(s, dir), maxLag = 3)),
+    // Ljung-Box whiteness test at h = min(6, n-1): the "is this residual
+    // still structured" gate over the textbook autocovariance ACF
+    "ts_ljungbox" -> ((s, dir) => SeriesOps.ljungBox(pts(s, dir), maxLag = 6)),
     // 7-day-holdout backtest of the seasonal-naive forecaster: slot-mean
     // profile from the train slice, MAE + signed bias per series
     "ts_backtest" -> ((s, dir) => SeriesOps.backtestNaive(pts(s, dir),
@@ -1590,6 +1599,11 @@ object SparkEntry {
     // preprocessing before clustering/ANN when dimension scales differ
     "vec_standardize" -> ((s, dir) =>
       Similarity.standardize(Tables(s, dir).embeddings)),
+    // one-row isotropy audit: hash-paired sample cosine moments + the
+    // centroid-offset ratio — decides whether cosine geometry is healthy
+    // (and whether vec_standardize is needed) before any ANN serving
+    "vec_isotropy" -> ((s, dir) =>
+      Similarity.isotropy(Tables(s, dir).embeddings)),
     // centroid-distance outliers within each label: embedding-space
     // mislabel/noise screening
     "vec_outliers" -> ((s, dir) =>
@@ -2359,6 +2373,37 @@ object SparkEntry {
         |  0.0 + (bin_id + 1) * ((500.0 - 0.0) / 50) AS hi_edge
         |FROM b GROUP BY bin_id""".stripMargin,
 
+    // Twin of Profile.benford(o_orderpriority, o_totalprice): the same
+    // integer-cents leading digit (round(v*100) → string head — integer
+    // rendering is engine-stable where float formatting is not), dense
+    // 9-digit grid, ln-ratio expected shares, literal chi-square boundary.
+    "profile_benford" ->
+      s"""WITH o AS (SELECT o_orderpriority AS grp,
+         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+         |  WHERE o_totalprice IS NOT NULL),
+         |obs AS (SELECT grp,
+         |  CAST(substr(CAST(abs(cents) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         |  CAST(count(*) AS BIGINT) AS n_obs FROM o WHERE cents <> 0
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT grp, CAST(sum(n_obs) AS BIGINT) AS n_total
+         |  FROM obs GROUP BY 1),
+         |grid AS (SELECT g.grp, CAST(r.digit AS INTEGER) AS digit
+         |  FROM (SELECT DISTINCT grp FROM obs) g CROSS JOIN range(1, 10) r(digit)),
+         |dense AS (SELECT g.grp, g.digit, t.n_total,
+         |  CAST(coalesce(ob.n_obs, 0) AS BIGINT) AS n_obs,
+         |  ln(1.0 + 1.0 / CAST(g.digit AS DOUBLE)) / ln(10.0) AS exp_share
+         |  FROM grid g JOIN tot t ON t.grp = g.grp
+         |  LEFT JOIN obs ob ON ob.grp = g.grp AND ob.digit = g.digit),
+         |chi AS (SELECT grp, sum(
+         |  (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * exp_share)
+         |  * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * exp_share)
+         |  / (CAST(n_total AS DOUBLE) * exp_share)) AS chi2 FROM dense GROUP BY 1)
+         |SELECT d.grp AS o_orderpriority, d.digit, d.n_total, d.n_obs,
+         |  CAST(d.n_obs AS DOUBLE) / CAST(d.n_total AS DOUBLE) AS obs_share,
+         |  d.exp_share, c.chi2,
+         |  c.chi2 > ${Profile.BenfordChiSq95Df8} AS reject_benford
+         |FROM dense d JOIN chi c ON c.grp = d.grp""".stripMargin,
+
     // Twin of Profile.keySkew(user_id, topN=10): per-key counts, bounded
     // top-10, integer-quotient shares.
     "profile_key_skew" ->
@@ -2810,6 +2855,42 @@ object SparkEntry {
          |      / sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
          |           * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)) END AS acf
          |FROM s""".stripMargin
+    },
+    // Twin of SeriesOps.ljungBox(maxLag = 6): same full-series-mean ACF
+    // (autocovariance numerator over the Σ(x−x̄)² denominator), same
+    // adaptive df = count of lags with ≥ 1 pair, same literal χ² table.
+    "ts_ljungbox" -> {
+      def lagSel(l: Int) =
+        s"""SELECT series_id, n, mean, denom, $l AS lag,
+           |  lag(value, $l) OVER lwin$l AS x, value AS y FROM ct
+           |  WINDOW lwin$l AS (PARTITION BY series_id ORDER BY ts, value)""".stripMargin
+      val crit = SeriesOps.ChiSq95.zipWithIndex
+        .map { case (c, i) => s"WHEN ${i + 1} THEN $c" }.mkString(" ")
+      s"""WITH points AS ($PointsCte),
+         |p AS (SELECT series_id, ts, value FROM points WHERE NOT isnan(value)),
+         |st AS (SELECT series_id, ts, value,
+         |  CAST(count(*) OVER (PARTITION BY series_id) AS BIGINT) AS n,
+         |  avg(value) OVER (PARTITION BY series_id) AS mean FROM p),
+         |ct AS (SELECT *, sum((value - mean) * (value - mean))
+         |    OVER (PARTITION BY series_id) AS denom FROM st),
+         |lagged AS (
+         |${(1 to 6).map(lagSel).mkString("\nUNION ALL\n")}),
+         |s AS (SELECT series_id, lag, max(n) AS n, max(denom) AS denom,
+         |  sum((y - mean) * (x - mean)) AS num
+         |  FROM lagged WHERE x IS NOT NULL GROUP BY 1, 2),
+         |a AS (SELECT series_id, max(n) AS n_points,
+         |  CAST(count(*) AS BIGINT) AS df,
+         |  max(CASE WHEN denom > 0 THEN 0.0 ELSE 1.0 END) AS degen,
+         |  sum(CASE WHEN denom > 0 THEN (num / denom) * (num / denom)
+         |    / (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE)) END) AS sm
+         |  FROM s GROUP BY 1)
+         |SELECT series_id, n_points, df,
+         |  CASE WHEN degen = 0.0 THEN CAST(n_points AS DOUBLE)
+         |    * (CAST(n_points AS DOUBLE) + 2.0) * sm END AS q_stat,
+         |  CASE WHEN degen = 0.0 THEN (CAST(n_points AS DOUBLE)
+         |    * (CAST(n_points AS DOUBLE) + 2.0) * sm)
+         |    > (CASE df $crit END) END AS reject_white_noise
+         |FROM a""".stripMargin
     },
     // Twin of SeriesOps.trend: identical co-moment algebra, identical
     // ts/1e9 seconds conversion and operation order.
@@ -4544,6 +4625,48 @@ object SparkEntry {
         |SELECT u.vec_id, list(CASE WHEN st.std > 0
         |    THEN (u.x - st.mean) / st.std ELSE 0.0 END ORDER BY u.dim) AS zvec
         |FROM u JOIN st USING (dim) GROUP BY u.vec_id""".stripMargin,
+
+    // Twin of Similarity.isotropy(nBuckets=256, salt="isotropy"): same
+    // CW-hash bucket pairing ((hv, id) lexicographic min/max per bucket,
+    // singleton buckets skipped), same VecCosine arithmetic, same
+    // co-moment sample-sd and centroid-norm formulas.
+    "vec_isotropy" -> {
+      val a = Sampling.saltMult("isotropy")
+      val b = Sampling.saltAdd("isotropy")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |h AS (SELECT vec_id, v,
+         |  ((${phSql("CAST(vec_id AS VARCHAR)", "0")}) * $a + $b) % 1000000007 AS hv FROM e),
+         |bk AS (SELECT vec_id, hv, hv % 256 AS bucket FROM h),
+         |rk AS (SELECT bucket, vec_id,
+         |  row_number() OVER (PARTITION BY bucket ORDER BY hv, vec_id) AS rn,
+         |  row_number() OVER (PARTITION BY bucket ORDER BY hv DESC, vec_id DESC) AS rd
+         |  FROM bk),
+         |sel AS (SELECT lo.vec_id AS id_a, hi.vec_id AS id_b FROM rk lo JOIN rk hi
+         |  ON lo.bucket = hi.bucket AND lo.rn = 1 AND hi.rd = 1
+         |  AND lo.vec_id <> hi.vec_id),
+         |pc AS (SELECT
+         |  list_sum(list_transform(range(1, len(ea.v) + 1), i -> ea.v[i] * eb.v[i])) /
+         |    (sqrt(list_sum(list_transform(range(1, len(ea.v) + 1), i -> ea.v[i] * ea.v[i]))) *
+         |     sqrt(list_sum(list_transform(range(1, len(eb.v) + 1), i -> eb.v[i] * eb.v[i])))) AS c
+         |  FROM sel JOIN e ea ON ea.vec_id = sel.id_a JOIN e eb ON eb.vec_id = sel.id_b),
+         |pa AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs, sum(c) AS sc,
+         |  sum(c * c) AS scc FROM pc),
+         |no AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         |  avg(sqrt(list_sum(list_transform(v, x -> x * x)))) AS mean_norm FROM e),
+         |dm AS (SELECT CAST(unnest(range(0, len(embedding))) AS INTEGER) AS dim,
+         |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+         |ce AS (SELECT sqrt(sum(m * m)) AS center_norm FROM
+         |  (SELECT avg(x) AS m FROM dm GROUP BY dim))
+         |SELECT no.n_vectors, pa.n_pairs,
+         |  pa.sc / CAST(pa.n_pairs AS DOUBLE) AS mean_pair_cos,
+         |  CASE WHEN pa.n_pairs > 1 THEN
+         |    sqrt((CAST(pa.n_pairs AS DOUBLE) * pa.scc - pa.sc * pa.sc)
+         |      / (CAST(pa.n_pairs AS DOUBLE) * (CAST(pa.n_pairs AS DOUBLE) - 1.0)))
+         |  END AS sd_pair_cos,
+         |  no.mean_norm, ce.center_norm,
+         |  ce.center_norm / no.mean_norm AS anisotropy
+         |FROM pa CROSS JOIN no CROSS JOIN ce""".stripMargin
+    },
 
     // Twin of Similarity.labelOutliers: per-(label, dim) centroid means,
     // L2 distance per vector, z from the explicit (n, Σd, Σd²) sample

@@ -371,4 +371,61 @@ object Profile {
       .where(col("status").isNotNull)
       .select(col(idCol), col("status"))
   }
+
+  /** χ² 5% upper-tail critical value at df = 8 (9 digit cells − 1) — the
+    * Benford verdict boundary, a literal decimal string that parses to the
+    * same IEEE double in any engine.
+    */
+  val BenfordChiSq95Df8 = 15.50731305586545
+
+  /** Benford's-law first-digit audit of a money-like column, per group —
+    * the classic "does this numeric column look organically generated"
+    * data-quality screen (fabricated or templated values flunk it; so do
+    * range-clipped synthetics, which is worth knowing about a corpus
+    * before training on its numbers). Emits the DENSE 9-digit grid per
+    * group (a digit with zero observations still contributes its
+    * (0 − n·p)²/(n·p) term, like [[psiDrift]]'s empty bins) with observed
+    * vs expected shares, plus the group-level χ² and its 5% verdict
+    * against [[BenfordChiSq95Df8]].
+    *
+    * Cross-engine exactness: the value is resolved to integer CENTS
+    * (`round(v·100)` as a long) and the leading digit is the first
+    * character of the integer's decimal rendering — integer→string is
+    * engine-stable where float formatting is not. Expected shares are
+    * log10(1 + 1/d) evaluated as ln-ratios in both engines. Zero cents
+    * (no leading digit) and null values are excluded.
+    *
+    * Scale shape: one partial-combined groupBy on (group, digit), a
+    * broadcast of the per-group totals (one row per group), and the dense
+    * grid is groups × 9 — metadata scale throughout.
+    */
+  def benford(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val obs = df
+      .where(col(valueCol).isNotNull && cents =!= 0)
+      .select(col(groupCol).as("grp"),
+        substring(abs(cents).cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("grp", "digit").agg(count(lit(1)).as("n_obs"))
+    val digits = obs.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val grid = obs.select("grp").distinct().crossJoin(broadcast(digits))
+    val totals = obs.groupBy("grp").agg(sum("n_obs").as("n_total"))
+    val dense = grid
+      .join(obs, Seq("grp", "digit"), "left_outer")
+      .join(broadcast(totals), Seq("grp"))
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("exp_share",
+        log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)))
+    val nD = col("n_total").cast("double")
+    val term = {
+      val e = nD * col("exp_share")
+      (col("n_obs").cast("double") - e) * (col("n_obs").cast("double") - e) / e
+    }
+    val chi = dense.groupBy("grp").agg(sum(term).as("chi2"))
+    dense
+      .join(broadcast(chi), Seq("grp"))
+      .select(col("grp"), col("digit"), col("n_total"), col("n_obs"),
+        (col("n_obs").cast("double") / nD).as("obs_share"), col("exp_share"),
+        col("chi2"), (col("chi2") > BenfordChiSq95Df8).as("reject_benford"))
+  }
 }

@@ -497,6 +497,62 @@ object Similarity {
         transform(col("__pm"), p => p.getField("__z")).as("zvec"))
   }
 
+  /** Embedding-corpus isotropy audit — the one-row health report read
+    * before trusting cosine geometry: anisotropic embedding spaces (a far
+    * off-origin mean, a narrow cosine cone — the well-documented failure
+    * mode of contextual encoders, cf. Ethayarajh 2019) make cosine scores
+    * saturate and ANN recall collapse, and [[standardize]] is the cheap
+    * fix this audit decides on. Reports:
+    *  - `mean_pair_cos` / `sd_pair_cos` over a deterministic hash-paired
+    *    sample (isotropic ⇒ mean ≈ 0): each row's salt-keyed CW hash maps
+    *    it to one of `nBuckets` buckets, and per bucket the hash-min and
+    *    hash-max rows form one pair — uniformly "random" pairs with no
+    *    global sort and no quadratic, one groupBy (the struct-min/max is
+    *    partial-combined) plus two metadata-scale id joins.
+    *  - `center_norm` vs `mean_norm` and their ratio `anisotropy`: how far
+    *    the corpus centroid sits from the origin relative to vector scale
+    *    (isotropic ⇒ ratio ≈ 0).
+    * Singleton buckets (hash-min row == hash-max row) pair nothing and are
+    * skipped; `n_pairs` reports the sample actually measured.
+    */
+  def isotropy(corpus: DataFrame, nBuckets: Int = 256,
+      salt: String = "isotropy", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val e = spread(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+      "vec_id")
+    val hv = (graft.functions.PolyHash(col("vec_id").cast("string"), 0L)
+      * Sampling.saltMult(salt) + Sampling.saltAdd(salt)) % graft.functions.PolyHash.Mod
+    val sel = e
+      .select(col("vec_id"), hv.as("hv"))
+      .withColumn("bucket", col("hv") % nBuckets)
+      .groupBy("bucket").agg(
+        min(struct(col("hv"), col("vec_id"))).as("lo"),
+        max(struct(col("hv"), col("vec_id"))).as("hi"))
+      .select(col("lo.vec_id").as("id_a"), col("hi.vec_id").as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+    val pairs = sel
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("__va")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("__vb")), "id_b")
+      .select(cosine(col("__va"), col("__vb")).as("c"))
+    val pagg = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum("c").as("__sc"), sum(col("c") * col("c")).as("__scc"))
+    val norms = e.agg(count(lit(1)).as("n_vectors"),
+      avg(norm(col("v"))).as("mean_norm"))
+    val center = e.select(posexplode(col("v")).as(Seq("dim", "__x")))
+      .groupBy("dim").agg(avg(col("__x").cast("double")).as("__m"))
+      .agg(sqrt(sum(col("__m") * col("__m"))).as("center_norm"))
+    val n = col("n_pairs").cast("double")
+    pagg.crossJoin(norms).crossJoin(center).select(
+      col("n_vectors"), col("n_pairs"),
+      (col("__sc") / n).as("mean_pair_cos"),
+      when(col("n_pairs") > 1,
+        sqrt((n * col("__scc") - col("__sc") * col("__sc")) / (n * (n - 1.0))))
+        .as("sd_pair_cos"),
+      col("mean_norm"), col("center_norm"),
+      (col("center_norm") / col("mean_norm")).as("anisotropy"))
+  }
+
   /** Centroid-distance outlier scoring over LABELED embeddings — the
     * embedding-space quality filter for curated corpora: vectors far from
     * their own label's centroid are mislabeled, noisy, or off-distribution

@@ -645,6 +645,79 @@ object SeriesOps {
         .as("acf"))
   }
 
+  /** Per-series Ljung–Box whiteness test: Q = n(n+2) Σ_{k=1..h} ρ_k²/(n−k)
+    * over the textbook autocovariance ACF (full-series mean, denominator
+    * Σ(x−x̄)² — NOT the pairwise-Pearson form [[autocorr]] reports; the two
+    * agree asymptotically but Ljung–Box's null distribution is derived for
+    * this estimator). Rejecting the null at 5% means the series is NOT
+    * white noise — the "does this residual still carry structure" gate run
+    * after detrending/deseasonalizing, and the honesty check behind any
+    * forecast whose residuals should be noise.
+    *
+    * h adapts per series to min(maxLag, n−1) (a lag needs at least one
+    * co-observed pair), and `df` reports the h actually used so the χ²
+    * verdict compares against the matching critical value (5% upper tail,
+    * df 1..maxLag, literal table). Constant series (zero denominator) emit
+    * null q/reject; a single-point series has no lag pair at all and emits
+    * no row (same contract as [[autocorr]]).
+    *
+    * Scale shape: one shuffle on the series key; the unordered mean/
+    * denominator windows and the ordered lag window share the partition,
+    * the per-lag pairs explode map-side, and both aggregations are
+    * sub-keys of the window partitioning (no further Exchange).
+    */
+  def ljungBox(points: DataFrame, maxLag: Int = 6): DataFrame = {
+    require(maxLag >= 1 && maxLag <= ChiSq95.length,
+      s"maxLag must be in [1, ${ChiSq95.length}], got $maxLag")
+    val bySeries = Window.partitionBy("series_id")
+    val byTime = Window.partitionBy("series_id").orderBy(col("ts"), col("value"))
+    val p = points.where(notNan(col("value")))
+      .withColumn("__n", count(lit(1)).over(bySeries))
+      .withColumn("__mean", avg(col("value")).over(bySeries))
+    val centered = p
+      .withColumn("__denom",
+        sum((col("value") - col("__mean")) * (col("value") - col("__mean")))
+          .over(bySeries))
+    val lagged = (1 to maxLag).foldLeft(centered) { (df, l) =>
+      df.withColumn(s"__lag$l", lag(col("value"), l).over(byTime))
+    }
+    val terms = lagged.select(col("series_id"), col("__n"), col("__mean"),
+      col("__denom"), col("value").as("__y"),
+      explode(array((1 to maxLag).map(l =>
+        struct(lit(l).as("lag"), col(s"__lag$l").as("prev"))): _*)).as("lp"))
+      .select(col("series_id"), col("__n"), col("__mean"), col("__denom"),
+        col("lp.lag").as("lag"), col("__y"), col("lp.prev").as("__x"))
+      .where(col("__x").isNotNull)
+    val perLag = terms.groupBy("series_id", "lag").agg(
+      max(col("__n")).as("__n"), max(col("__denom")).as("__denom"),
+      sum((col("__y") - col("__mean")) * (col("__x") - col("__mean")))
+        .as("__num"))
+    val nD = col("__n").cast("double")
+    val rho = col("__num") / col("__denom")
+    val agg = perLag.groupBy("series_id").agg(
+      max(col("__n")).as("n_points"),
+      count(lit(1)).as("df"),
+      max(when(col("__denom") > 0, lit(0.0)).otherwise(lit(1.0))).as("__degen"),
+      sum(when(col("__denom") > 0,
+        rho * rho / (nD - col("lag").cast("double")))).as("__s"))
+    val q = when(col("__degen") === 0.0,
+      col("n_points").cast("double") * (col("n_points").cast("double") + 2.0)
+        * col("__s"))
+    val crit = ChiSq95.zipWithIndex.foldLeft(lit(null).cast("double")) {
+      case (acc, (c, i)) => when(col("df") === (i + 1), lit(c)).otherwise(acc)
+    }
+    agg.select(col("series_id"), col("n_points"), col("df"),
+      q.as("q_stat"), (q > crit).as("reject_white_noise"))
+  }
+
+  /** χ² 5% upper-tail critical values for df 1..6 — literal decimal strings
+    * parse to the same IEEE double in any engine, so the twin's verdict
+    * boundary is bit-identical.
+    */
+  private[graft] val ChiSq95: Seq[Double] = Seq(
+    3.841458820694124, 5.991464547107979, 7.814727903251179,
+    9.487729036781154, 11.070497693516351, 12.591587243743977)
+
   /** Per-series CUSUM changepoint: the running sum of deviations from the
     * series mean, `S_i = Σ_{j≤i}(x_j − x̄)`, peaks in magnitude at the most
     * likely single level-shift point — the classic offline CUSUM statistic.

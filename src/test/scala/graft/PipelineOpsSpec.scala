@@ -1306,4 +1306,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(2L)._1 == 2L && got(2L)._2 == 1L && got(2L)._3 == 2L,
       s"digit-run token must contribute exactly 1 syllable: ${got(2L)}")
   }
+
+  test("benford: all-ones corpus rejects with exact chi2; dense grid; zero and null excluded") {
+    import spark.implicits._
+    // group "ones": 20 values all leading with digit 1 across magnitudes
+    // (n = 5 would sit below the df-8 critical: chi2 = 8.11 + 3.50 ~= 11.6);
+    // group "mix": one value per digit 1..9 (flat), n = 9
+    val ones = (Seq(0.19, 1999.99) ++ (1 to 18).map(i => 100.0 + i))
+      .map(("ones", _))
+    val mix = (1 to 9).map(d => ("mix", d * 10.0))
+    val df = (ones ++ mix).toDF("g", "v")
+      .unionByName(Seq(("ones", 0.0)).toDF("g", "v"))
+      .unionByName(Seq("ones").toDF("g").select(col("g"),
+        lit(null).cast("double").as("v")))
+    val got = Profile.benford(df, "g", "v").collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Int]("digit")) ->
+        ((r.getAs[Long]("n_total"), r.getAs[Long]("n_obs"),
+          r.getAs[Double]("obs_share"), r.getAs[Double]("exp_share"),
+          r.getAs[Double]("chi2"), r.getAs[Boolean]("reject_benford")))).toMap
+    assert(got.size == 18, "dense 9-digit grid per group")
+    // zero cents and null excluded: n_total for "ones" is 20, not 22
+    assert(got(("ones", 1))._1 == 20L && got(("ones", 1))._2 == 20L)
+    assert(got(("ones", 1))._3 == 1.0)
+    assert(got(("ones", 7))._2 == 0L, "missing digit still on the grid")
+    // exact chi2 replay for "ones": obs = (20,0,...,0)
+    val ps = (1 to 9).map(d => math.log(1.0 + 1.0 / d) / math.log(10.0))
+    assert(math.abs(ps.sum - 1.0) < 1e-12)
+    val chiOnes = (1 to 9).map { d =>
+      val e = 20.0 * ps(d - 1)
+      val o = if (d == 1) 20.0 else 0.0
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(got(("ones", 1))._5 - chiOnes) < 1e-9)
+    assert(got(("ones", 1))._6, "all-ones must reject")
+    assert(math.abs(got(("ones", 3))._4 - ps(2)) < 1e-15)
+    // mix: n=9, each digit observed once, shares 1/9
+    assert(got(("mix", 5))._1 == 9L && got(("mix", 5))._2 == 1L)
+    assert(math.abs(got(("mix", 5))._3 - 1.0 / 9.0) < 1e-15)
+    val chiMix = (1 to 9).map { d =>
+      val e = 9.0 * ps(d - 1); (1.0 - e) * (1.0 - e) / e
+    }.sum
+    assert(math.abs(got(("mix", 2))._5 - chiMix) < 1e-9)
+    assert(got(("mix", 2))._6 == (chiMix > Profile.BenfordChiSq95Df8))
+  }
 }

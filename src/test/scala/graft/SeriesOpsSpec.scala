@@ -773,4 +773,51 @@ class SeriesOpsSpec extends SparkSpec {
     (1 to 4).foreach(h => assert(g1(h.toLong) == 7.0))
     intercept[IllegalArgumentException](graft.ts.SeriesOps.holtWinters(one, m = 1))
   }
+
+  test("ljungBox: driver-replay parity; AR series rejects, noise-like does not; constants null; df adapts") {
+    import spark.implicits._
+    def lbQ(xs: Seq[Double], maxLag: Int = 6): (Double, Int) = {
+      val n = xs.length
+      val mean = xs.sum / n
+      val denom = xs.map(x => (x - mean) * (x - mean)).sum
+      val h = math.min(maxLag, n - 1)
+      val s = (1 to h).map { k =>
+        val num = (k until n).map(t => (xs(t) - mean) * (xs(t - k) - mean)).sum
+        val rho = num / denom
+        rho * rho / (n - k)
+      }.sum
+      (n * (n + 2.0) * s, h)
+    }
+    // strongly autocorrelated: a slow ramp; noise-like: a quadratic-residue
+    // scramble mod 97 (measured Q ~= 0.32 under the replay, far below the
+    // df-6 critical 12.59)
+    val ar = (0 until 40).map(i => ("ar", i.toLong, i.toDouble))
+    val wn = (0 until 40).map(i => ("wn", i.toLong, ((i * i * 13 + i * 6) % 97).toDouble))
+    val const = (0 until 10).map(i => ("c", i.toLong, 5.0))
+    val short = (0 until 4).map(i => ("sh", i.toLong, Seq(1.0, 4.0, 2.0, 8.0)(i)))
+    val single = Seq(("one", 0L, 3.0))
+    val pts = (ar ++ wn ++ const ++ short ++ single).toDF("series_id", "ts", "value")
+    val got = graft.ts.SeriesOps.ljungBox(pts).collect()
+      .map(r => r.getAs[String]("series_id") ->
+        ((r.getAs[Long]("n_points"), r.getAs[Long]("df"),
+          Option(r.getAs[java.lang.Double]("q_stat")).map(_.doubleValue),
+          Option(r.getAs[java.lang.Boolean]("reject_white_noise")).map(_.booleanValue))))
+      .toMap
+    assert(!got.contains("one"), "single point has no lag pair, no row")
+    assert(got("c")._3.isEmpty && got("c")._4.isEmpty, s"constant: ${got("c")}")
+    val (qa, ha) = lbQ(ar.map(_._3))
+    assert(got("ar")._2 == ha.toLong)
+    assert(math.abs(got("ar")._3.get - qa) < 1e-9 * math.abs(qa), s"ar q ${got("ar")._3} vs $qa")
+    assert(got("ar")._4.contains(true), "ramp must reject white noise")
+    val (qw, _) = lbQ(wn.map(_._3))
+    assert(math.abs(got("wn")._3.get - qw) < 1e-9 * math.max(1.0, math.abs(qw)))
+    assert(qw < graft.ts.SeriesOps.ChiSq95(5), s"fixture check: qw=$qw")
+    assert(got("wn")._4.contains(false), "scrambled series must not reject")
+    // n=4 -> lags 1..3 only, critical value at df=3
+    assert(got("sh")._1 == 4L && got("sh")._2 == 3L)
+    val (qs, hs) = lbQ(short.map(_._3))
+    assert(hs == 3)
+    assert(math.abs(got("sh")._3.get - qs) < 1e-9 * math.max(1.0, math.abs(qs)))
+    assert(got("sh")._4.contains(qs > graft.ts.SeriesOps.ChiSq95(2)))
+  }
 }

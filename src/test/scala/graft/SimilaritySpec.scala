@@ -694,4 +694,37 @@ class SimilaritySpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     assert(Similarity.kCenters(tiny, k = 5).count() == 2)
   }
+
+  test("isotropy: identical corpus saturates at cos 1; orthogonal one-hots read 0 with exact anisotropy") {
+    import spark.implicits._
+    val same = (1L to 100L).map(i => (i, Array(3.0f, 4.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.isotropy(same, nBuckets = 16).collect().head
+    assert(a.getAs[Long]("n_vectors") == 100L)
+    val np = a.getAs[Long]("n_pairs")
+    assert(np >= 1 && np <= 16, s"one pair max per bucket, got $np")
+    assert(math.abs(a.getAs[Double]("mean_pair_cos") - 1.0) < 1e-12)
+    assert(math.abs(a.getAs[Double]("sd_pair_cos")) < 1e-12)
+    assert(math.abs(a.getAs[Double]("mean_norm") - 5.0) < 1e-12)
+    assert(math.abs(a.getAs[Double]("anisotropy") - 1.0) < 1e-12,
+      "identical vectors: centroid norm == vector norm")
+
+    // 16 one-hot dims, one vector each: every cross pair is exactly 0,
+    // centroid = (1/16, ..., 1/16) -> anisotropy = 1/4
+    val ortho = (0 until 16).map { i =>
+      (i.toLong, Array.tabulate(16)(j => if (i == j) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val b = Similarity.isotropy(ortho, nBuckets = 4).collect().head
+    assert(b.getAs[Long]("n_pairs") >= 1)
+    assert(b.getAs[Double]("mean_pair_cos") == 0.0)
+    assert(b.getAs[Double]("sd_pair_cos") == 0.0)
+    assert(math.abs(b.getAs[Double]("anisotropy") - 0.25) < 1e-12)
+
+    // single vector: nothing to pair; moments stay honest nulls
+    val one = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = Similarity.isotropy(one).collect().head
+    assert(c.getAs[Long]("n_pairs") == 0L)
+    assert(c.isNullAt(c.fieldIndex("mean_pair_cos")))
+    assert(c.getAs[Long]("n_vectors") == 1L)
+  }
 }
