@@ -910,6 +910,25 @@ object SparkEntry {
       graft.ops.FuzzyJoin.editJoin(dirty, c,
         "d_id", "d_name", "c_custkey", "c_name")
     }),
+    // the ED <= 2 face of the fuzzy join: supplier names with TWO digits
+    // deleted (positions keyed off s_suppkey so the damage varies) matched
+    // back to the master via the radius-2 deletion neighborhood — exact
+    // for ED <= 2 by the SymSpell property, so heavier typos than the
+    // ED-1 gate covers still link; candidates only ever meet levenshtein
+    "er_ed2_join" -> ((s, dir) => {
+      val sup = Tables(s, dir).supplier
+      val dirty = sup
+        .select(col("s_suppkey"),
+          expr("concat(substring(s_name, 1, CAST(9 + s_suppkey % 5 AS INT)), " +
+            "substring(s_name, CAST(11 + s_suppkey % 5 AS INT), length(s_name)))")
+            .as("__d1"))
+        .select((col("s_suppkey") + lit(1L << 40)).as("d_id"),
+          expr("concat(substring(__d1, 1, CAST(9 + s_suppkey % 3 AS INT)), " +
+            "substring(__d1, CAST(11 + s_suppkey % 3 AS INT), length(__d1)))")
+            .as("d_name"))
+      graft.ops.FuzzyJoin.editJoin(dirty, sup,
+        "d_id", "d_name", "s_suppkey", "s_name", maxDist = 2)
+    }),
     // anti-join anchor: customers with NO order above the price threshold
     // — NOT EXISTS as a left_anti hash join (the orders side is filtered
     // before the join, so the build input is the small filtered set)
@@ -2299,6 +2318,38 @@ object SparkEntry {
         |SELECT id_a, id_b, name_a, name_b,
         |  CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
         |FROM cand WHERE levenshtein(name_a, name_b) <= 1""".stripMargin,
+    // Twin of the ED <= 2 fuzzy join: the same two-digit deletion fixture
+    // and the same radius-2 deletion neighborhood on both sides (one
+    // deletion level per CTE, DISTINCT per side), levenshtein-verified.
+    "er_ed2_join" -> {
+      // single-line on purpose: the enclosing stripMargin would otherwise
+      // eat the leading pipe of a line-initial || concat
+      def dels(x: String) =
+        s"list_transform(range(0, length($x) + 1), i -> " +
+          s"CASE WHEN i = 0 THEN $x ELSE substr($x, 1, CAST(i - 1 AS INTEGER)) " +
+          s"|| substr($x, CAST(i + 1 AS INTEGER), CAST(length($x) AS INTEGER)) END)"
+      s"""WITH d1 AS (SELECT s_suppkey,
+         |  substr(s_name, 1, CAST(9 + s_suppkey % 5 AS INTEGER))
+         |    || substr(s_name, CAST(11 + s_suppkey % 5 AS INTEGER), length(s_name)) AS n1
+         |  FROM supplier),
+         |dirty AS (SELECT s_suppkey + (CAST(1 AS BIGINT) << 40) AS d_id,
+         |  substr(n1, 1, CAST(9 + s_suppkey % 3 AS INTEGER))
+         |    || substr(n1, CAST(11 + s_suppkey % 3 AS INTEGER), length(n1)) AS d_name
+         |  FROM d1),
+         |va1 AS (SELECT d_id AS id_a, d_name AS name_a,
+         |  unnest(${dels("d_name")}) AS v1 FROM dirty),
+         |va2 AS (SELECT id_a, name_a, unnest(${dels("v1")}) AS v FROM va1),
+         |va AS (SELECT DISTINCT id_a, name_a, v FROM va2),
+         |vb1 AS (SELECT s_suppkey AS id_b, s_name AS name_b,
+         |  unnest(${dels("s_name")}) AS v1 FROM supplier),
+         |vb2 AS (SELECT id_b, name_b, unnest(${dels("v1")}) AS v FROM vb1),
+         |vb AS (SELECT DISTINCT id_b, name_b, v FROM vb2),
+         |cand AS (SELECT DISTINCT id_a, id_b, name_a, name_b
+         |  FROM va JOIN vb ON va.v = vb.v)
+         |SELECT id_a, id_b, name_a, name_b,
+         |  CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+         |FROM cand WHERE levenshtein(name_a, name_b) <= 2""".stripMargin
+    },
     // Twin of the anti-join anchor.
     "q8_no_big_order" ->
       """SELECT c_mktsegment, count(*) AS n_customers, sum(c_acctbal) AS acctbal

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Record-linkage join: match a dirty feed against a master table on a
@@ -10,16 +10,20 @@ import org.apache.spark.sql.functions._
   * Blocking is the SymSpell deletion neighborhood (the same exact-for-ED≤1
   * scheme [[graft.pipeline.TextOps.typoPairs]] uses for its vocabulary
   * SELF-join, generalized to two relations): every key expands to itself
-  * plus its single-character deletions, candidates are the variant
-  * equi-join, and every candidate is verified with exact `levenshtein`.
-  * An ED ≤ 1 pair always shares a variant (equal keys share the original;
-  * a substitution shares the both-sides deletion at that position; an
-  * insertion/deletion shares the longer side's deletion), so blocking
-  * introduces NO false negatives — unlike phonetic or prefix blocking.
+  * plus its deletion variants, candidates are the variant equi-join, and
+  * every candidate is verified with exact `levenshtein`. The neighborhood
+  * is exact at ANY radius d (the SymSpell property): take an optimal
+  * alignment of an ED ≤ d pair with i insertions, e deletions, s
+  * substitutions (i+e+s ≤ d); deleting the e+s unmatched characters from
+  * one side and the i+s from the other leaves the identical matched
+  * subsequence, and both deletion counts are ≤ d — so blocking introduces
+  * NO false negatives, unlike phonetic or prefix blocking. Radius 1 and 2
+  * are supported; the fan-out grows ~len^d, which is why d stops at 2.
   *
-  * Scale shape: the explode is a ~(len+1)× fan-out of (id, key) pairs
-  * only, the join is a hash equi-join on the variant string, and the
-  * quadratic levenshtein runs on candidates alone — never all pairs.
+  * Scale shape: the explode is a ~(len+1)× (d=1) or ~(len²/2)× (d=2)
+  * fan-out of (id, key) pairs only, the join is a hash equi-join on the
+  * variant string, and the quadratic levenshtein runs on candidates alone
+  * — never all pairs.
   */
 object FuzzyJoin {
 
@@ -30,18 +34,25 @@ object FuzzyJoin {
   def editJoin(left: DataFrame, right: DataFrame,
       leftId: String, leftKey: String, rightId: String, rightKey: String,
       maxDist: Int = 1): DataFrame = {
-    require(maxDist == 1,
-      s"deletion-neighborhood blocking is exact only for maxDist = 1, got $maxDist")
+    require(maxDist == 1 || maxDist == 2,
+      s"deletion-neighborhood blocking supports maxDist 1 or 2, got $maxDist")
+    // one deletion level: __v = key minus the char at position __i (or the
+    // key itself at __i = 0), applied to whatever column `src` names
+    def delLevel(df: DataFrame, keep: Seq[String], src: String): DataFrame =
+      df.withColumn("__i", explode(sequence(lit(0), length(col(src)))))
+        .select(keep.map(col) :+
+          when(col("__i") === 0, col(src))
+            .otherwise(concat(expr(s"substring($src, 1, __i - 1)"),
+              expr(s"substring($src, __i + 1, length($src))"))).as("__v"): _*)
     def variants(df: DataFrame, id: String, key: String,
-        idOut: String, keyOut: String): DataFrame =
-      df.select(col(id).as(idOut), col(key).as(keyOut))
+        idOut: String, keyOut: String): DataFrame = {
+      val base = df.select(col(id).as(idOut), col(key).as(keyOut))
         .where(col(keyOut).isNotNull)
-        .select(col(idOut), col(keyOut),
-          explode(sequence(lit(0), length(col(keyOut)))).as("__i"))
-        .select(col(idOut), col(keyOut),
-          when(col("__i") === 0, col(keyOut))
-            .otherwise(concat(expr(s"substring($keyOut, 1, __i - 1)"),
-              expr(s"substring($keyOut, __i + 1, length($keyOut))"))).as("__v"))
+      val l1 = delLevel(base, Seq(idOut, keyOut), keyOut)
+      if (maxDist == 1) l1
+      else delLevel(l1.withColumnRenamed("__v", "__v1"),
+        Seq(idOut, keyOut), "__v1").distinct()
+    }
     variants(left, leftId, leftKey, "id_a", "name_a")
       .join(variants(right, rightId, rightKey, "id_b", "name_b"), "__v")
       .select("id_a", "id_b", "name_a", "name_b").distinct()
