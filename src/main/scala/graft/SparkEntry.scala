@@ -1618,6 +1618,10 @@ object SparkEntry {
     // preprocessing before clustering/ANN when dimension scales differ
     "vec_standardize" -> ((s, dir) =>
       Similarity.standardize(Tables(s, dir).embeddings)),
+    // JL sign random projection 64 -> 16: data-independent dimensionality
+    // reduction (Achlioptas signs), unrolled pinned-order expression
+    "vec_rp" -> ((s, dir) =>
+      Similarity.randomProject(Tables(s, dir).embeddings)),
     // one-row isotropy audit: hash-paired sample cosine moments + the
     // centroid-offset ratio — decides whether cosine geometry is healthy
     // (and whether vec_standardize is needed) before any ANN serving
@@ -4677,6 +4681,24 @@ object SparkEntry {
         |    THEN (u.x - st.mean) / st.std ELSE 0.0 END ORDER BY u.dim) AS zvec
         |FROM u JOIN st USING (dim) GROUP BY u.vec_id""".stripMargin,
 
+    // Twin of Similarity.randomProject(16, 64): the sign literals come
+    // from the SAME driver-side rpSign function that built the Spark
+    // expression, and each output dim is the same left-to-right signed
+    // chain over v[1..64] — bit-identical accumulation in both engines.
+    "vec_rp" -> {
+      val scale = math.sqrt(16.0)
+      val outs = (0 until 16).map { o =>
+        val chain = (0 until 64).map { i =>
+          val t = s"v[${i + 1}]"
+          if (i == 0) { if (Similarity.rpSign(o, i) > 0) t else s"(- $t)" }
+          else if (Similarity.rpSign(o, i) > 0) s"+ $t" else s"- $t"
+        }.mkString(" ")
+        s"($chain) / $scale"
+      }.mkString(",\n|    ")
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+         |SELECT vec_id, [$outs] AS rp FROM e""".stripMargin
+    },
     // Twin of Similarity.isotropy(nBuckets=256, salt="isotropy"): same
     // CW-hash bucket pairing ((hv, id) lexicographic min/max per bucket,
     // singleton buckets skipped), same VecCosine arithmetic, same

@@ -497,6 +497,57 @@ object Similarity {
         transform(col("__pm"), p => p.getField("__z")).as("zvec"))
   }
 
+  /** Fixed seeded ±1 sign for cell (o, i) of the random-projection matrix
+    * — plain integer avalanche computed on the DRIVER, so the Spark plan
+    * and the SQL twin both receive identical sign literals (no cross-
+    * engine hash replication needed).
+    */
+  private[graft] def rpSign(o: Int, i: Int): Double = {
+    var h = o * 0x9E3779B9 + i * 0x85EBCA6B
+    h ^= h >>> 16; h *= 0x7FEB352D; h ^= h >>> 15
+    if ((h & 1) == 0) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random projection to `dOut` dimensions with a
+    * seeded ±1 sign matrix (Achlioptas 2003: the dense Gaussian matrix can
+    * be replaced by independent signs with the same distance-preservation
+    * guarantee) — the cheap dimensionality reduction in front of
+    * clustering/ANN when the input dimension is the cost driver, and the
+    * JL alternative to the *trained* reductions ([[pcaTop]] learns the
+    * data's top direction, PQ learns codebooks; this needs no pass over
+    * the data at all).
+    *
+    * `rp[o] = Σ_i sign(o,i) · v[i] / √dOut` is emitted as one UNROLLED
+    * codegen expression per output dimension — signed element sums in
+    * fixed left-to-right order, so the accumulation order is pinned and
+    * the doubles are bit-identical cross-engine (the twin spells out the
+    * same chain). Map-only: no shuffle, no state, nothing collected.
+    *
+    * Rows whose vector is not exactly `dIn` wide raise (a silent
+    * element_at null would zero-poison the projection — same contract as
+    * `hammingNearDupsWide`'s width check).
+    */
+  def randomProject(corpus: DataFrame, dOut: Int = 16, dIn: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dOut >= 1, s"dOut must be positive, got $dOut")
+    require(dIn >= 1, s"dIn must be positive, got $dIn")
+    val checked = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .where(col("__v").isNotNull)
+      .withColumn("__v",
+        when(size(col("__v")) === dIn, col("__v"))
+          .otherwise(raise_error(format_string(
+            s"randomProject: expected dim $dIn, got %s", size(col("__v"))))))
+    val scale = math.sqrt(dOut.toDouble)
+    val outs = (0 until dOut).map { o =>
+      (0 until dIn).map { i =>
+        val e = element_at(col("__v"), i + 1).cast("double")
+        if (rpSign(o, i) > 0) e else -e
+      }.reduceLeft(_ + _) / lit(scale)
+    }
+    checked.select(col("vec_id"), array(outs: _*).as("rp"))
+  }
+
   /** Embedding-corpus isotropy audit — the one-row health report read
     * before trusting cosine geometry: anisotropic embedding spaces (a far
     * off-origin mean, a narrow cosine cone — the well-documented failure

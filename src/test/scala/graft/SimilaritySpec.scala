@@ -695,6 +695,48 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.kCenters(tiny, k = 5).count() == 2)
   }
 
+  test("randomProject: exact driver parity, JL distance preservation on a seeded corpus, wrong width raises") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 30L).map(i =>
+      (i, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(df).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Double]]("rp").toArray).toMap
+    assert(got.size == 30)
+    assert(got(1L).length == 16)
+    // exact replay of the unrolled left-assoc chain
+    def rpLocal(v: Array[Float]): Array[Double] =
+      Array.tabulate(16) { o =>
+        (0 until 64).map { i =>
+          val e = v(i).toDouble
+          if (Similarity.rpSign(o, i) > 0) e else -e
+        }.reduceLeft(_ + _) / 4.0
+      }
+    vecs.foreach { case (id, v) =>
+      val exp = rpLocal(v)
+      assert(got(id).sameElements(exp), s"vec $id: ${got(id).toSeq} vs ${exp.toSeq}")
+    }
+    // JL property with the fixed sign matrix: pairwise L2 distances are
+    // preserved within modest distortion at k = 16
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val orig = vecs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val ratios = for {
+      i <- 1L to 30L; j <- (i + 1) to 30L
+    } yield d2(got(i), got(j)) / d2(orig(i), orig(j))
+    assert(ratios.forall(r => r > 0.4 && r < 1.8),
+      s"worst distortion ${ratios.min} .. ${ratios.max}")
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.85 && mean < 1.15, s"mean distance ratio $mean")
+
+    val bad = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception](Similarity.randomProject(bad).collect())
+    assert(ex.getMessage.contains("randomProject") ||
+      Option(ex.getCause).exists(_.getMessage.contains("randomProject")))
+  }
+
   test("isotropy: identical corpus saturates at cos 1; orthogonal one-hots read 0 with exact anisotropy") {
     import spark.implicits._
     val same = (1L to 100L).map(i => (i, Array(3.0f, 4.0f, 0.0f)))
