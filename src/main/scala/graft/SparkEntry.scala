@@ -1133,6 +1133,14 @@ object SparkEntry {
           col("event_type")).as("series_id"), col("ts"), col("value"))
       SeriesOps.pairCorrelation(p, 86400L * NsPerS)
     }),
+    // Spearman over the same bounded station group: Pearson on per-pair
+    // average ranks — monotone relations read +-1, spikes can't dominate
+    "ts_spearman" -> ((s, dir) => {
+      val p = Tables(s, dir).eventsUs.where(col("user_id") < 25)
+        .select(concat(lit("shyft://events/u"), col("user_id"), lit("/"),
+          col("event_type")).as("series_id"), col("ts"), col("value"))
+      SeriesOps.spearmanCorrelation(p, 86400L * NsPerS)
+    }),
     // lead/lag diagnostic: Pearson corr of (x_t, y_{t+lag·day}) per pair
     // at lags -3..3 on the shared daily axis
     "ts_crosscorr" -> ((s, dir) => {
@@ -3254,6 +3262,38 @@ object SparkEntry {
          |    THEN (CAST(n_buckets AS DOUBLE) * sxy - sx * sy)
          |      / sqrt((CAST(n_buckets AS DOUBLE) * sxx - sx * sx)
          |           * (CAST(n_buckets AS DOUBLE) * syy - sy * sy)) END AS corr
+         |FROM s""".stripMargin
+    },
+    // Twin of SeriesOps.spearmanCorrelation(day): same per-pair average
+    // ranks (rank() + (ties-1)/2 — both engines' rank() is min-rank) and
+    // the same exact-in-doubles co-moment formula over them.
+    "ts_spearman" -> {
+      val day = 86400L * NsPerS
+      s"""WITH points AS (SELECT 'shyft://events/u' || user_id || '/' || event_type AS series_id,
+         |  epoch_ns(ts) AS ts, value FROM events WHERE user_id < 25),
+         |b AS (SELECT series_id, ts - ts % $day AS bucket_ts,
+         |  avg(value) FILTER (WHERE NOT isnan(value)) AS mv FROM points GROUP BY 1, 2),
+         |nb AS (SELECT * FROM b WHERE mv IS NOT NULL),
+         |pr AS (SELECT a.series_id AS series_a, c.series_id AS series_b,
+         |  a.mv AS x, c.mv AS y
+         |  FROM nb a JOIN nb c USING (bucket_ts)
+         |  WHERE a.series_id < c.series_id),
+         |rk AS (SELECT series_a, series_b,
+         |  CAST(rank() OVER (PARTITION BY series_a, series_b ORDER BY x) AS DOUBLE)
+         |    + (CAST(count(*) OVER (PARTITION BY series_a, series_b, x) AS DOUBLE) - 1.0) / 2.0 AS rx,
+         |  CAST(rank() OVER (PARTITION BY series_a, series_b ORDER BY y) AS DOUBLE)
+         |    + (CAST(count(*) OVER (PARTITION BY series_a, series_b, y) AS DOUBLE) - 1.0) / 2.0 AS ry
+         |  FROM pr),
+         |s AS (SELECT series_a, series_b, count(*) AS n_buckets,
+         |  sum(rx) AS sx, sum(ry) AS sy, sum(rx * rx) AS sxx,
+         |  sum(ry * ry) AS syy, sum(rx * ry) AS sxy
+         |  FROM rk GROUP BY 1, 2)
+         |SELECT series_a, series_b, n_buckets,
+         |  CASE WHEN CAST(n_buckets AS DOUBLE) * sxx - sx * sx > 0
+         |        AND CAST(n_buckets AS DOUBLE) * syy - sy * sy > 0
+         |    THEN (CAST(n_buckets AS DOUBLE) * sxy - sx * sy)
+         |      / sqrt((CAST(n_buckets AS DOUBLE) * sxx - sx * sx)
+         |           * (CAST(n_buckets AS DOUBLE) * syy - sy * sy)) END AS rho
          |FROM s""".stripMargin
     },
     // Twin of SeriesOps.crossCorrelation(day, maxLag=3): the ts_corr body

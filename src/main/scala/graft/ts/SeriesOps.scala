@@ -334,6 +334,59 @@ object SeriesOps {
         .as("corr"))
   }
 
+  /** Spearman rank correlation between series pairs on the shared `dtNs`
+    * resample grid — the robust companion to [[pairCorrelation]]: Pearson
+    * on the RANKS of the aligned bucket values, so any monotone relation
+    * reads ±1 and heavy-tailed spikes can't dominate the moments. Ranks
+    * are computed within each pair's OWN shared bucket set (the textbook
+    * definition — a pair that shares only a sub-window is ranked over
+    * exactly that window), with average ranks on ties: `rank() +
+    * (ties − 1)/2`, i.e. the mean of the positions the tie group spans.
+    *
+    * Bit-stability: ranks are exact half-integers, their products and
+    * co-moment sums stay far below 2^52, so every aggregate is EXACT in
+    * double arithmetic — accumulation order cannot wobble the result
+    * (unlike raw-value Pearson, which ships under the 9-sig-digit compare
+    * contract instead). Degenerate sides (all buckets tied) yield null.
+    *
+    * Scale shape: identical to [[pairCorrelation]] — the resample reduces
+    * raw points first, the bucket equi-join carries the k²-pair fan-out
+    * (a SELECTED series set, not an unbounded corpus), then two rank
+    * windows over the pair partitions and one partial-combined moment
+    * aggregation on the pair key.
+    */
+  def spearmanCorrelation(points: DataFrame, dtNs: Long): DataFrame = {
+    val b = resample(points, dtNs)
+      .where(col("mean_value").isNotNull)
+      .select(col("series_id"), col("bucket_ts"), col("mean_value"))
+    val left = b.select(col("series_id").as("series_a"), col("bucket_ts"),
+      col("mean_value").as("__x"))
+    val right = b.select(col("series_id").as("series_b"), col("bucket_ts"),
+      col("mean_value").as("__y"))
+    val pw = Window.partitionBy("series_a", "series_b")
+    def avgRank(v: String): Column =
+      rank().over(pw.orderBy(col(v))).cast("double") +
+        (count(lit(1)).over(Window.partitionBy(col("series_a"),
+          col("series_b"), col(v))).cast("double") - 1.0) / 2.0
+    val ranked = left.join(right, Seq("bucket_ts"))
+      .where(col("series_a") < col("series_b"))
+      .select(col("series_a"), col("series_b"),
+        avgRank("__x").as("__rx"), avgRank("__y").as("__ry"))
+    val sums = ranked.groupBy("series_a", "series_b")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum("__rx").as("__sx"), sum("__ry").as("__sy"),
+        sum(col("__rx") * col("__rx")).as("__sxx"),
+        sum(col("__ry") * col("__ry")).as("__syy"),
+        sum(col("__rx") * col("__ry")).as("__sxy"))
+    val n = col("n_buckets").cast("double")
+    val vx = n * col("__sxx") - col("__sx") * col("__sx")
+    val vy = n * col("__syy") - col("__sy") * col("__sy")
+    sums.select(col("series_a"), col("series_b"), col("n_buckets"),
+      when(vx > 0 && vy > 0,
+        (n * col("__sxy") - col("__sx") * col("__sy")) / sqrt(vx * vy))
+        .as("rho"))
+  }
+
   /** Lagged cross-correlation between series pairs on the shared resampled
     * axis: Pearson corr of (x_t, y_{t+lag·dt}) for every lag in
     * [−maxLag, maxLag] — the lead/lag diagnostic ([[pairCorrelation]] is

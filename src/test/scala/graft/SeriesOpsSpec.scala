@@ -774,6 +774,46 @@ class SeriesOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](graft.ts.SeriesOps.holtWinters(one, m = 1))
   }
 
+  test("spearmanCorrelation: monotone nonlinear reads exactly 1, reversed -1, tie ranks replay, constants null") {
+    import spark.implicits._
+    val day = 86400L * 1000000000L
+    def series(id: String, vs: Seq[Double]) =
+      vs.zipWithIndex.map { case (v, i) => (id, i.toLong * day, v) }
+    val xs = (1 to 10).map(_.toDouble)
+    val pts = (series("a", xs) ++ series("b", xs.map(math.exp)) ++
+      series("c", xs.map(-_)) ++ series("d", Seq.fill(10)(7.0)) ++
+      series("t1", Seq(1.0, 1.0, 2.0, 3.0)) ++
+      series("t2", Seq(2.0, 2.0, 1.0, 5.0)))
+      .toDF("series_id", "ts", "value")
+    val got = graft.ts.SeriesOps.spearmanCorrelation(pts, day).collect()
+      .map(r => (r.getAs[String]("series_a"), r.getAs[String]("series_b")) ->
+        ((r.getAs[Long]("n_buckets"),
+          Option(r.getAs[java.lang.Double]("rho")).map(_.doubleValue))))
+      .toMap
+    // exp is monotone: rank sequences identical -> rho exactly 1
+    assert(got(("a", "b"))._2.contains(1.0), s"a-b: ${got(("a", "b"))}")
+    assert(got(("a", "c"))._2.contains(-1.0))
+    assert(got(("b", "c"))._2.contains(-1.0))
+    // constant side: zero rank variance -> null
+    assert(got(("a", "d"))._2.isEmpty)
+    // ties: average ranks replayed by hand on the 4 shared buckets
+    def avgRanks(v: Seq[Double]): Seq[Double] =
+      v.map(x => v.count(_ < x) + 1.0 + (v.count(_ == x) - 1.0) / 2.0)
+    def pearson(x: Seq[Double], y: Seq[Double]): Double = {
+      val n = x.length.toDouble
+      val (sx, sy) = (x.sum, y.sum)
+      val (sxx, syy) = (x.map(a => a * a).sum, y.map(a => a * a).sum)
+      val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+      (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    }
+    val expT = pearson(avgRanks(Seq(1.0, 1.0, 2.0, 3.0)),
+      avgRanks(Seq(2.0, 2.0, 1.0, 5.0)))
+    assert(got(("t1", "t2"))._1 == 4L)
+    assert(got(("t1", "t2"))._2.contains(expT),
+      s"tie rho ${got(("t1", "t2"))._2} vs $expT")
+  }
+
   test("ljungBox: driver-replay parity; AR series rejects, noise-like does not; constants null; df adapts") {
     import spark.implicits._
     def lbQ(xs: Seq[Double], maxLag: Int = 6): (Double, Int) = {
