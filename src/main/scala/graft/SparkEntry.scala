@@ -1085,6 +1085,10 @@ object SparkEntry {
     "ts_gaps" -> ((s, dir) => SeriesOps.gaps(pts(s, dir), 2.0)),
     "ts_percentiles" -> ((s, dir) => SeriesOps.percentiles(pts(s, dir))),
     "ts_trend" -> ((s, dir) => SeriesOps.trend(pts(s, dir))),
+    // sliding-window SAX motif census on the hourly observation sequence:
+    // which normalized 8-observation shapes recur, across how many series
+    "ts_motifs" -> ((s, dir) =>
+      SeriesOps.saxMotifs(pts(s, dir), 3600L * NsPerS)),
     // robust median-of-slopes trend (exact selection medians, pair guard)
     "ts_theilsen" -> ((s, dir) => SeriesOps.theilSen(pts(s, dir))),
     // nonparametric trend significance (the companion to the Theil-Sen
@@ -3263,6 +3267,35 @@ object SparkEntry {
          |      / sqrt((CAST(n_buckets AS DOUBLE) * sxx - sx * sx)
          |           * (CAST(n_buckets AS DOUBLE) * syy - sy * sy)) END AS corr
          |FROM s""".stripMargin
+    },
+    // Twin of SeriesOps.saxMotifs(hour): same lead chain over the hourly
+    // observation sequence, same pinned left-assoc window mean/sd/segment
+    // arithmetic, same 4-symbol breakpoints, integer census.
+    "ts_motifs" -> {
+      val hour = 3600L * NsPerS
+      val leads = (1 to 7).map(i =>
+        s"lead(mv, $i) OVER win AS x$i").mkString(", ")
+      val muChain = (0 to 7).map(i => s"x$i").mkString(" + ")
+      val sdChain = (0 to 7).map(i => s"(x$i - mu) * (x$i - mu)").mkString(" + ")
+      def seg(j: Int) = {
+        val z = s"((x${2 * j} + x${2 * j + 1}) / 2.0 - mu) / sd"
+        s"CASE WHEN sd = 0.0 THEN 'c' WHEN $z < -0.6745 THEN 'a' " +
+          s"WHEN $z < 0.0 THEN 'b' WHEN $z < 0.6745 THEN 'c' ELSE 'd' END"
+      }
+      val word = (0 until 4).map(seg).mkString(" || ")
+      s"""WITH points AS ($PointsCte),
+         |b AS (SELECT series_id, ts - ts % $hour AS bucket_ts,
+         |  avg(value) FILTER (WHERE NOT isnan(value)) AS mv FROM points GROUP BY 1, 2),
+         |nb AS (SELECT series_id, bucket_ts, mv FROM b WHERE mv IS NOT NULL),
+         |w AS (SELECT series_id, mv AS x0, $leads FROM nb
+         |  WINDOW win AS (PARTITION BY series_id ORDER BY bucket_ts)),
+         |v AS (SELECT * FROM w WHERE x7 IS NOT NULL),
+         |m AS (SELECT *, ($muChain) / 8.0 AS mu FROM v),
+         |s AS (SELECT *, sqrt(($sdChain) / 8.0) AS sd FROM m),
+         |sym AS (SELECT series_id, $word AS motif FROM s)
+         |SELECT motif, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(count(DISTINCT series_id) AS BIGINT) AS n_series
+         |FROM sym GROUP BY 1 HAVING count(*) >= 2""".stripMargin
     },
     // Twin of SeriesOps.spearmanCorrelation(day): same per-pair average
     // ranks (rank() + (ties-1)/2 — both engines' rank() is min-rank) and

@@ -1371,6 +1371,59 @@ object SeriesOps {
           .as("sax_word"))
   }
 
+  /** Sliding-window SAX motif census — the corpus-scale "which normalized
+    * shapes recur" diagnostic built on the same symbolization as [[sax]]:
+    * every length-`L` window of CONSECUTIVE OBSERVATIONS (the resampled
+    * bucket sequence in time order; like the whole-series operator, the
+    * grid aligns and dedupes within buckets but gaps do not break a
+    * window — this corpus is sparse and irregular, so shape is defined
+    * over the observation sequence) is z-normalized, PAA-reduced to
+    * `L/2`-bucket segments of width 2, and mapped to a 4-symbol word.
+    * Identical words = identical coarse shapes; the census reports how
+    * many windows and how many distinct series produce each word — motif
+    * families across the fleet (a word seen once is noise and is dropped
+    * below `minCount`). Flat windows (zero in-window sd) read the
+    * all-'c' word, which is itself a meaningful motif (dead-level spans).
+    *
+    * Exactness: each window's mean/sd/segment sums are single pinned
+    * left-to-right expressions over the `L` led values (no aggregation
+    * order anywhere), and the census aggregates are integer counts — the
+    * output is bit-stable cross-engine by construction.
+    *
+    * Scale shape: one shuffle on the series key for the lead window, then
+    * one partial-combined groupBy on the word (a ≤ 4^(L/2)-key census).
+    */
+  def saxMotifs(points: DataFrame, dtNs: Long, minCount: Long = 2): DataFrame = {
+    val L = 8
+    val byTime = Window.partitionBy("series_id").orderBy(col("bucket_ts"))
+    val b = resample(points, dtNs)
+      .where(col("mean_value").isNotNull)
+      .select(col("series_id"), col("bucket_ts"), col("mean_value"))
+    val led = (1 until L).foldLeft(b.withColumn("__x0", col("mean_value"))) {
+      (df, i) => df.withColumn(s"__x$i", lead(col("mean_value"), i).over(byTime))
+    }.where(col(s"__x${L - 1}").isNotNull)
+    val xs = (0 until L).map(i => col(s"__x$i"))
+    val mu = xs.reduceLeft(_ + _) / lit(L.toDouble)
+    val sd = sqrt(xs.map(x => (x - col("__mu")) * (x - col("__mu")))
+      .reduceLeft(_ + _) / lit(L.toDouble))
+    def sym(z: Column): Column =
+      when(col("__sd") === 0.0, lit("c"))
+        .when(z < -0.6745, lit("a")).when(z < 0.0, lit("b"))
+        .when(z < 0.6745, lit("c")).otherwise(lit("d"))
+    val segs = (0 until L / 2).map { j =>
+      sym(((col(s"__x${2 * j}") + col(s"__x${2 * j + 1}")) / 2.0 - col("__mu"))
+        / col("__sd"))
+    }
+    led
+      .withColumn("__mu", mu)
+      .withColumn("__sd", sd)
+      .select(col("series_id"), concat(segs: _*).as("motif"))
+      .groupBy("motif")
+      .agg(count(lit(1)).as("n_windows"),
+        countDistinct(col("series_id")).as("n_series"))
+      .where(col("n_windows") >= minCount)
+  }
+
   /** Additive Holt–Winters (triple) exponential smoothing per series — the
     * seasonal upgrade of [[holt]]: l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1}
     * + b_{t−1}), b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, s_t = γ(x_t −

@@ -774,6 +774,27 @@ class SeriesOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](graft.ts.SeriesOps.holtWinters(one, m = 1))
   }
 
+  test("saxMotifs: recurring shapes counted across series, flat windows read cccc, short series emit nothing") {
+    import spark.implicits._
+    val hour = 3600L * 1000000000L
+    def series(id: String, vs: Seq[Double]) =
+      vs.zipWithIndex.map { case (v, i) => (id, i.toLong * hour, v) }
+    // square wave period 4 over 16 obs: window starts 0/4/8 read "adad"
+    // (segment means 0,10,0,10 -> z = -1,1,-1,1), starts 2/6 read "dada",
+    // odd starts have all segment means == mu -> "cccc" (z = 0 branch)
+    val sq = series("s1", Seq.tabulate(16)(i => if (i % 4 < 2) 0.0 else 10.0))
+    val flat = series("s2", Seq.fill(10)(7.0)) // sd = 0 path -> "cccc" x3
+    val short = series("s3", Seq(1.0, 5.0, 2.0, 8.0, 3.0)) // < 8 obs
+    val pts = (sq ++ flat ++ short).toDF("series_id", "ts", "value")
+    val got = graft.ts.SeriesOps.saxMotifs(pts, hour).collect()
+      .map(r => r.getAs[String]("motif") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_series")))).toMap
+    assert(got == Map(
+      "adad" -> ((3L, 1L)),
+      "dada" -> ((2L, 1L)),
+      "cccc" -> ((7L, 2L))), s"got $got")
+  }
+
   test("spearmanCorrelation: monotone nonlinear reads exactly 1, reversed -1, tie ranks replay, constants null") {
     import spark.implicits._
     val day = 86400L * 1000000000L
