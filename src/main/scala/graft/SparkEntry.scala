@@ -2171,6 +2171,36 @@ object SparkEntry {
       Tables(s, dir).documents.createOrReplaceTempView("graft_sql_docs_nv")
       s.sql("SELECT * FROM graft_novelty('graft_sql_docs_nv', 3)")
     }),
+    "sql_benford" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).orders.createOrReplaceTempView("graft_sql_ord_bf")
+      s.sql("SELECT * FROM graft_benford('graft_sql_ord_bf', " +
+          "'o_orderpriority', 'o_totalprice')")
+        .withColumnRenamed("grp", "o_orderpriority")
+    }),
+    "sql_ljungbox" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      pts(s, dir).createOrReplaceTempView("graft_sql_pts_lb")
+      s.sql("SELECT * FROM graft_ljungbox('graft_sql_pts_lb', 6)")
+    }),
+    "sql_isotropy" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).embeddings.createOrReplaceTempView("graft_sql_emb_iso")
+      s.sql("SELECT * FROM graft_isotropy('graft_sql_emb_iso')")
+    }),
+    "sql_spearman" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).eventsUs.where(col("user_id") < 25)
+        .select(concat(lit("shyft://events/u"), col("user_id"), lit("/"),
+          col("event_type")).as("series_id"), col("ts"), col("value"))
+        .createOrReplaceTempView("graft_sql_pts_sp")
+      s.sql(s"SELECT * FROM graft_spearman('graft_sql_pts_sp', ${86400L * NsPerS})")
+    }),
+    "sql_motifs" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      pts(s, dir).createOrReplaceTempView("graft_sql_pts_mo")
+      s.sql(s"SELECT * FROM graft_motifs('graft_sql_pts_mo', ${3600L * NsPerS})")
+    }),
 
     // incremental cluster maintenance: bootstrap on a third of the corpus,
     // ingest the rest in two batches — the EXACTNESS contract says the
@@ -2232,6 +2262,11 @@ object SparkEntry {
       "sql_assoc_rules" -> base("events_assoc_rules"),
       "sql_calendar_profile" -> base("events_calendar_profile"),
       "sql_novelty" -> base("text_novelty"),
+      "sql_benford" -> base("profile_benford"),
+      "sql_ljungbox" -> base("ts_ljungbox"),
+      "sql_isotropy" -> base("vec_isotropy"),
+      "sql_spearman" -> base("ts_spearman"),
+      "sql_motifs" -> base("ts_motifs"),
       // incremental maintenance must equal the full recompute exactly
       "dedup_incremental" -> base("dedup_clusters"),
       // the streaming face scores pairs with the batch kernel's arithmetic

@@ -47,6 +47,11 @@ import graft.functions.{CharNgramCodes, MinHashSig, PolyHash, SimHashSig, SimHas
   *  - `graft_assoc_rules('view')` — directional association rules
   *  - `graft_calendar_profile('view')` — dow×hour activity matrix
   *  - `graft_novelty('view', k)` — per-doc k-shingle novelty
+  *  - `graft_benford('view', grp, val)` — Benford first-digit audit
+  *  - `graft_ljungbox('view', h)` — Ljung–Box whiteness test per series
+  *  - `graft_isotropy('view')` — embedding isotropy audit
+  *  - `graft_spearman('view', dt_ns)` — Spearman series-pair correlation
+  *  - `graft_motifs('view', dt_ns)` — sliding-window SAX motif census
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
@@ -270,7 +275,38 @@ object GraftTableFunctions {
         "graft_novelty(table, k) - per-document k-shingle novelty vs " +
           "everything earlier in id order"),
       (exprs: Seq[Expression]) => plan(graft.pipeline.TextOps.ngramNovelty(
-        rel(strArg(exprs(0), "table name")), k = intArg(exprs(1), "k"))))
+        rel(strArg(exprs(0), "table name")), k = intArg(exprs(1), "k")))),
+    (FunctionIdentifier("graft_benford"),
+      info("graft_benford",
+        "graft_benford(table, group_col, value_col) - Benford first-digit " +
+          "audit with per-group chi-square verdict"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Profile.benford(
+        rel(strArg(exprs(0), "table name")), strArg(exprs(1), "group column"),
+        strArg(exprs(2), "value column")))),
+    (FunctionIdentifier("graft_ljungbox"),
+      info("graft_ljungbox",
+        "graft_ljungbox(table, max_lag) - per-series Ljung-Box whiteness " +
+          "test with adaptive df and 5% verdict"),
+      (exprs: Seq[Expression]) => plan(graft.ts.SeriesOps.ljungBox(
+        rel(strArg(exprs(0), "table name")), intArg(exprs(1), "max_lag")))),
+    (FunctionIdentifier("graft_isotropy"),
+      info("graft_isotropy",
+        "graft_isotropy(table) - one-row embedding isotropy audit " +
+          "(pair-cosine moments, centroid-offset ratio)"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Similarity.isotropy(
+        rel(strArg(exprs(0), "table name"))))),
+    (FunctionIdentifier("graft_spearman"),
+      info("graft_spearman",
+        "graft_spearman(table, dt_ns) - Spearman rank correlation between " +
+          "series pairs on a dt_ns resample grid"),
+      (exprs: Seq[Expression]) => plan(graft.ts.SeriesOps.spearmanCorrelation(
+        rel(strArg(exprs(0), "table name")), longArg(exprs(1), "dt_ns")))),
+    (FunctionIdentifier("graft_motifs"),
+      info("graft_motifs",
+        "graft_motifs(table, dt_ns) - sliding-window SAX motif census " +
+          "over the resampled observation sequence"),
+      (exprs: Seq[Expression]) => plan(graft.ts.SeriesOps.saxMotifs(
+        rel(strArg(exprs(0), "table name")), longArg(exprs(1), "dt_ns"))))
   )
 
   /** Register every table function on an already-built session. */

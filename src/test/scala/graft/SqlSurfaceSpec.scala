@@ -147,7 +147,20 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM graft_psi_drift('sqlspec_events_sliced', 'event_type', 'value', 'in_a', 0.0, 500.0, 10)" ->
         graft.pipeline.Profile.psiDrift(sliced, "event_type", "value",
           col("in_a"), lo = 0.0, hi = 500.0, nBins = 10))
-    (cases ++ driftCases ++ extraCases).foreach { case (sql, direct) =>
+    val day = 86400L * 1000000000L
+    pts.createOrReplaceTempView("sqlspec_points_s")
+    val auditCases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "SELECT * FROM graft_benford('sqlspec_events_s', 'event_type', 'value')" ->
+        graft.pipeline.Profile.benford(t.events, "event_type", "value"),
+      "SELECT * FROM graft_ljungbox('sqlspec_points_s', 6)" ->
+        graft.ts.SeriesOps.ljungBox(pts, maxLag = 6),
+      "SELECT * FROM graft_isotropy('sqlspec_emb_s')" ->
+        graft.pipeline.Similarity.isotropy(t.embeddings),
+      s"SELECT * FROM graft_spearman('sqlspec_points_s', $day)" ->
+        graft.ts.SeriesOps.spearmanCorrelation(pts, day),
+      s"SELECT * FROM graft_motifs('sqlspec_points_s', ${3600L * 1000000000L})" ->
+        graft.ts.SeriesOps.saxMotifs(pts, 3600L * 1000000000L))
+    (cases ++ driftCases ++ extraCases ++ auditCases).foreach { case (sql, direct) =>
       val viaSql = spark.sql(sql)
       assert(viaSql.columns.toSeq == direct.columns.toSeq, sql)
       assert(rowsOf(viaSql) == rowsOf(direct), sql)
