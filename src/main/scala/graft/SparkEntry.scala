@@ -45,6 +45,23 @@ object SparkEntry {
       s"list_transform(string_split($s, ''), c -> CAST(ord(c) AS BIGINT))), " +
       "(a, c) -> (a * 31 + c) % 1000000007)"
 
+  /** DuckDB twin of Similarity.randomProject(16, 64)'s projection list for
+    * a double-list variable `v` — sign literals from the SAME driver-side
+    * rpSign function that built the Spark expression, same left-to-right
+    * signed chain. Shared by vec_rp and sim_rp_topk so they cannot drift.
+    */
+  private def rpListSql(v: String): String = {
+    val scale = math.sqrt(16.0)
+    (0 until 16).map { o =>
+      val chain = (0 until 64).map { i =>
+        val t = s"$v[${i + 1}]"
+        if (i == 0) { if (Similarity.rpSign(o, i) > 0) t else s"(- $t)" }
+        else if (Similarity.rpSign(o, i) > 0) s"+ $t" else s"- $t"
+      }.mkString(" ")
+      s"($chain) / $scale"
+    }.mkString(", ")
+  }
+
   /** DuckDB twins of the sign-critical SRP hyperplane math — single source
     * for all SRP oracles, mirroring SignatureKernel.srpDots (1-based `i`
     * here aligns with the kernel's 0-based `i + 1`). `k` is bound by the
@@ -1787,6 +1804,13 @@ object SparkEntry {
     "sim_topk" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
       Similarity.bruteForceTopK(e.where(col("vec_id") < 5), e, k = 3)
+    }),
+    // RP-shortlisted exact top-k: JL-projected 16-dim cosine shortlist of
+    // 50, exact cosine re-rank on those rows only — the zero-training
+    // shortlist-then-refine serving shape beside the PQ family
+    "sim_rp_topk" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.rpTopK(e.where(col("vec_id") < 5), e, k = 3, shortlist = 50)
     }),
     // hybrid retrieval: BM25 top-20 fused with cosine top-20 for vector 0
     // by reciprocal-rank fusion (k_rrf = 60)
@@ -4793,19 +4817,35 @@ object SparkEntry {
     // from the SAME driver-side rpSign function that built the Spark
     // expression, and each output dim is the same left-to-right signed
     // chain over v[1..64] — bit-identical accumulation in both engines.
-    "vec_rp" -> {
-      val scale = math.sqrt(16.0)
-      val outs = (0 until 16).map { o =>
-        val chain = (0 until 64).map { i =>
-          val t = s"v[${i + 1}]"
-          if (i == 0) { if (Similarity.rpSign(o, i) > 0) t else s"(- $t)" }
-          else if (Similarity.rpSign(o, i) > 0) s"+ $t" else s"- $t"
-        }.mkString(" ")
-        s"($chain) / $scale"
-      }.mkString(",\n|    ")
+    "vec_rp" ->
       s"""WITH e AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
-         |SELECT vec_id, [$outs] AS rp FROM e""".stripMargin
+         |SELECT vec_id, [${rpListSql("v")}] AS rp FROM e""".stripMargin,
+    // Twin of Similarity.rpTopK(k=3, shortlist=50): shared rpListSql
+    // projection, rp-space cosine shortlist with the (sim desc, id asc)
+    // cut, exact cosine re-rank on the shortlist rows only.
+    "sim_rp_topk" -> {
+      def cosSql(a: String, b: String) =
+        s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) / " +
+          s"(sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))) * " +
+          s"sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]))))"
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |r AS (SELECT vec_id, [${rpListSql("v")}] AS rp FROM e),
+         |q AS (SELECT vec_id AS query_id, rp AS qrp FROM r WHERE vec_id < 5),
+         |s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |  ${cosSql("c.rp", "q.qrp")} AS rp_sim
+         |  FROM r c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |sl AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rp_sim DESC, neighbor_id ASC) AS rr FROM s) WHERE rr <= 50),
+         |x AS (SELECT sl.query_id, sl.neighbor_id,
+         |  ${cosSql("ea.v", "eb.v")} AS cos_sim
+         |  FROM sl JOIN e ea ON ea.vec_id = sl.query_id
+         |  JOIN e eb ON eb.vec_id = sl.neighbor_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM x) WHERE rank <= 3""".stripMargin
     },
     // Twin of Similarity.isotropy(nBuckets=256, salt="isotropy"): same
     // CW-hash bucket pairing ((hv, id) lexicographic min/max per bucket,

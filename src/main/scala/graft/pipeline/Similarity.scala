@@ -548,6 +548,49 @@ object Similarity {
     checked.select(col("vec_id"), array(outs: _*).as("rp"))
   }
 
+  /** RP-shortlisted exact top-k: score candidates in the `dOut`-dim
+    * [[randomProject]] space (16 doubles per vector instead of 64 floats —
+    * the JL guarantee is precisely that this ranking is approximately the
+    * true one), keep a `shortlist` per query, then exactly cosine-rank
+    * ONLY those rows' raw vectors — the same shortlist-then-refine serving
+    * shape as [[pqTopKRerank]], with the projection instead of codebooks
+    * as the cheap first pass. `shortlist == corpus size` provably equals
+    * [[bruteForceTopK]] (spec-pinned), which is also the honest knob: at
+    * 100 TB the projected pass runs over 4× fewer bytes with zero training
+    * and the refine join touches `shortlist` rows per query.
+    *
+    * Both rankings break ties (sim desc, id asc) on bit-identical doubles
+    * (pinned projection chain, single-pass cosine), so the shortlist cut
+    * is deterministic cross-engine.
+    */
+  def rpTopK(queries: DataFrame, corpus: DataFrame, k: Int, shortlist: Int,
+      dOut: Int = 16, dIn: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val qr = randomProject(queries, dOut, dIn, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("rp").as("__qrp"))
+    val cr = randomProject(spread(corpus, idCol), dOut, dIn, idCol, vecCol)
+      .select(col("vec_id").as("neighbor_id"), col("rp").as("__crp"))
+    val slw = Window.partitionBy("query_id")
+      .orderBy(col("rp_sim").desc, col("neighbor_id").asc)
+    val sl = cr.crossJoin(broadcast(qr))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rp_sim", cosine(col("__crp"), col("__qrp")))
+      .withColumn("__r", row_number().over(slw))
+      .where(col("__r") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    sl.join(broadcast(q), "query_id").join(c, "neighbor_id")
+      .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+  }
+
   /** Embedding-corpus isotropy audit — the one-row health report read
     * before trusting cosine geometry: anisotropic embedding spaces (a far
     * off-origin mean, a narrow cosine cone — the well-documented failure

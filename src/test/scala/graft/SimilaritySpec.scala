@@ -695,6 +695,31 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.kCenters(tiny, k = 5).count() == 2)
   }
 
+  test("rpTopK: full shortlist equals brute force exactly; recall floor on clustered data; shortlist < k refuses") {
+    val c = RecallAudit.clusteredCorpus(spark)
+    val n = c.count().toInt
+    val q = c.where(col("vec_id") % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Double)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"),
+        r.getAs[Double]("cos_sim"))).toSet
+    // exactness contract: shortlist covering the corpus == brute force,
+    // including the cos_sim doubles
+    val brute = rows(Similarity.bruteForceTopK(q, c, k = 5))
+    val full = rows(Similarity.rpTopK(q, c, k = 5, shortlist = n,
+      dOut = 8, dIn = 16))
+    assert(full == brute, s"full-shortlist rpTopK must equal brute force")
+    // serving config: project 16 -> 8 dims, shortlist 50 of 400 vectors
+    val sl = rows(Similarity.rpTopK(q, c, k = 5, shortlist = 50,
+      dOut = 8, dIn = 16))
+    val pb = brute.map(t => (t._1, t._2))
+    val ps = sl.map(t => (t._1, t._2))
+    val recall = ps.intersect(pb).size.toDouble / pb.size
+    assert(recall >= 0.9, s"rpTopK recall@5 $recall < 0.9 on clustered data")
+    intercept[IllegalArgumentException](
+      Similarity.rpTopK(q, c, k = 5, shortlist = 4, dOut = 8, dIn = 16))
+  }
+
   test("randomProject: exact driver parity, JL distance preservation on a seeded corpus, wrong width raises") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
