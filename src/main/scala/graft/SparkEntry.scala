@@ -1769,6 +1769,12 @@ object SparkEntry {
 
     // ---- deduplication ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir).documents)),
+    // LSH banding planner over the repo's own 32-hash signature: the
+    // 1-(1-s^r)^b S-curve at target 0.8 / noise 0.3 per factorization,
+    // chain-multiplied powers (no libm pow), sharpest qualifying config
+    // flagged — how the banding for a 100 TB dedup run gets picked
+    "dedup_lsh_plan" -> ((s, dir) =>
+      Dedup.lshPlan(s, nHashes = 32, targetJaccard = 0.8)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashNearDups(Tables(s, dir).documents)),
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentDups(Tables(s, dir).documents, threshold = 0.8)),
@@ -5078,6 +5084,26 @@ object SparkEntry {
         |g AS (SELECT text_md5, min(doc_id) AS keeper_id, count(*) AS group_size FROM k GROUP BY 1)
         |SELECT k.doc_id, k.text_md5, g.keeper_id, k.doc_id <> g.keeper_id AS is_dup, g.group_size
         |FROM k JOIN g USING (text_md5)""".stripMargin,
+    // Twin of Dedup.lshPlan(32, 0.8): the same seeded-1.0 chain folds for
+    // every power (never libm pow) and the same max-r-qualifying choice.
+    "dedup_lsh_plan" -> {
+      def chain(base: String, exp: String) =
+        s"list_reduce(list_prepend(CAST(1.0 AS DOUBLE), " +
+          s"list_transform(range(0, $exp), x -> CAST($base AS DOUBLE))), (a, c) -> a * c)"
+      def pDetect(s: String) =
+        s"1.0 - ${chain(s"1.0 - ${chain(s, "rows_per_band")}", "bands")}"
+      s"""WITH g AS (SELECT CAST(b AS INTEGER) AS bands,
+         |  CAST(32 / b AS INTEGER) AS rows_per_band
+         |  FROM range(1, 33) t(b) WHERE 32 % b = 0),
+         |p AS (SELECT CAST(32 AS INTEGER) AS n_hashes, bands, rows_per_band,
+         |  ${pDetect("0.8")} AS p_target,
+         |  ${pDetect("0.3")} AS p_noise FROM g),
+         |q AS (SELECT *, p_target >= 0.9 AS qualifies FROM p),
+         |bst AS (SELECT max(CASE WHEN qualifies THEN rows_per_band END) AS best_r FROM q)
+         |SELECT n_hashes, bands, rows_per_band, p_target, p_noise, qualifies,
+         |  qualifies AND rows_per_band = bst.best_r AS chosen
+         |FROM q CROSS JOIN bst""".stripMargin
+    },
     "dedup_minhash" ->
       s"""WITH $MinhashPairsCtes
          |SELECT id_a, id_b, jaccard FROM mh_pairs""".stripMargin,

@@ -36,6 +36,56 @@ object Dedup {
         (col(idCol) =!= col("keeper_id")).as("is_dup"), col("group_size"))
   }
 
+  /** LSH banding planner (Leskovec/Rajaraman/Ullman, Mining of Massive
+    * Datasets §3.4): for every (bands b, rows r) factorization of
+    * `nHashes`, the probability that a pair with Jaccard s shares at least
+    * one band bucket is `1 − (1 − s^r)^b`. Emits one row per
+    * factorization with that probability at the TARGET similarity (pairs
+    * the dedup must catch) and at a NOISE similarity (pairs it should
+    * pass over — the candidate-volume proxy), a `qualifies` verdict
+    * (`p_target ≥ minDetect`), and `chosen` on the sharpest qualifying
+    * curve (max rows-per-band r: larger r pushes the S-curve's knee right
+    * and crushes p_noise, so among configs that still catch the target
+    * the biggest r minimizes false candidates).
+    *
+    * This is how the banding for a 100 TB dedup run is actually picked —
+    * candidate volume, not correctness, is the cost there, and the curve
+    * makes the trade explicit (the repo's own 8×4 default appears as the
+    * nHashes = 32 row it is).
+    *
+    * Exactness: every power is an integer-exponent CHAIN multiplication
+    * (a fold seeded 1.0, mirrored in the twin) — no libm pow, whose last
+    * ulp is not guaranteed to agree across engines. Metadata scale: one
+    * row per divisor of nHashes.
+    */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, nHashes: Int,
+      targetJaccard: Double, noiseJaccard: Double = 0.3,
+      minDetect: Double = 0.9): DataFrame = {
+    require(nHashes >= 1, s"nHashes must be positive, got $nHashes")
+    require(targetJaccard > 0 && targetJaccard < 1 &&
+      noiseJaccard > 0 && noiseJaccard < 1,
+      s"similarities must be in (0, 1), got $targetJaccard / $noiseJaccard")
+    def powChain(base: Column, exp: Column): Column =
+      aggregate(sequence(lit(1), exp), lit(1.0), (acc, _) => acc * base)
+    def pDetect(s: Double): Column =
+      lit(1.0) - powChain(lit(1.0) - powChain(lit(s), col("rows_per_band")),
+        col("bands"))
+    val grid = spark.range(1, nHashes + 1L)
+      .where(lit(nHashes) % col("id") === 0)
+      .select(col("id").cast("int").as("bands"),
+        (lit(nHashes) / col("id")).cast("int").as("rows_per_band"))
+      .withColumn("n_hashes", lit(nHashes))
+      .withColumn("p_target", pDetect(targetJaccard))
+      .withColumn("p_noise", pDetect(noiseJaccard))
+      .withColumn("qualifies", col("p_target") >= minDetect)
+    val best = grid.agg(
+      max(when(col("qualifies"), col("rows_per_band"))).as("__best_r"))
+    grid.crossJoin(broadcast(best))
+      .select(col("n_hashes"), col("bands"), col("rows_per_band"),
+        col("p_target"), col("p_noise"), col("qualifies"),
+        (col("qualifies") && col("rows_per_band") === col("__best_r")).as("chosen"))
+  }
+
   /** MinHash signature: for seed j in [0, numHashes), min over k-token
     * shingles of PolyHash(shingle, j). Docs with < k tokens get null.
     * Single-pass kernel expression (see [[graft.functions.SignatureKernel]])

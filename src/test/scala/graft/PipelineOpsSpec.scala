@@ -1307,6 +1307,35 @@ class PipelineOpsSpec extends SparkSpec {
       s"digit-run token must contribute exactly 1 syllable: ${got(2L)}")
   }
 
+  test("lshPlan: exact S-curve replay, divisor grid, sharpest qualifying banding chosen") {
+    val got = graft.pipeline.Dedup.lshPlan(spark, nHashes = 32, targetJaccard = 0.8).collect()
+      .map(r => r.getAs[Int]("bands") ->
+        ((r.getAs[Int]("rows_per_band"), r.getAs[Double]("p_target"),
+          r.getAs[Double]("p_noise"), r.getAs[Boolean]("qualifies"),
+          r.getAs[Boolean]("chosen")))).toMap
+    assert(got.keySet == Set(1, 2, 4, 8, 16, 32), "divisor grid of 32")
+    def pow(b: Double, e: Int): Double = (1 to e).foldLeft(1.0)((a, _) => a * b)
+    def p(s: Double, b: Int, r: Int): Double = 1.0 - pow(1.0 - pow(s, r), b)
+    got.foreach { case (b, (r, pt, pn, q, _)) =>
+      assert(b * r == 32)
+      assert(pt == p(0.8, b, r), s"b=$b p_target $pt vs ${p(0.8, b, r)}")
+      assert(pn == p(0.3, b, r), s"b=$b p_noise $pn vs ${p(0.3, b, r)}")
+      assert(q == (pt >= 0.9))
+    }
+    // sharpest qualifying: the largest r with p_target >= 0.9
+    val bestR = got.values.filter(_._4).map(_._1).max
+    got.foreach { case (_, (r, _, _, q, chosen)) =>
+      assert(chosen == (q && r == bestR))
+    }
+    assert(got.values.count(_._5) == 1, "exactly one chosen banding")
+    // the repo's own 8x4 default must catch target pairs reliably
+    assert(got(8)._2 > 0.95, s"8x4 p_target ${got(8)._2}")
+    intercept[IllegalArgumentException](
+      graft.pipeline.Dedup.lshPlan(spark, nHashes = 0, targetJaccard = 0.8))
+    intercept[IllegalArgumentException](
+      graft.pipeline.Dedup.lshPlan(spark, nHashes = 32, targetJaccard = 1.0))
+  }
+
   test("benford: all-ones corpus rejects with exact chi2; dense grid; zero and null excluded") {
     import spark.implicits._
     // group "ones": 20 values all leading with digit 1 across magnitudes
