@@ -238,8 +238,11 @@ object SparkEntry {
     * reused by dedup_clusters' transitive closure so the two oracles cannot
     * drift apart.
     */
-  private lazy val MinhashPairsCtes: String =
-    s"""toks AS (SELECT doc_id, $Toks AS tk FROM documents),
+  /** [[MinhashPairsCtes]] with the source relation as a parameter, so the
+    * dedup_eval slice reuses the exact same pipeline body.
+    */
+  private def minhashPairsCtesFrom(src: String): String =
+    s"""toks AS (SELECT doc_id, $Toks AS tk FROM $src),
        |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3
        |  THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
        |  ELSE [] END AS sh FROM toks),
@@ -258,6 +261,8 @@ object SparkEntry {
        |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
        |  FROM cand c JOIN sets a ON a.doc_id = c.id_a JOIN sets b ON b.doc_id = c.id_b)
        |WHERE jaccard >= 0.5)""".stripMargin
+
+  private lazy val MinhashPairsCtes: String = minhashPairsCtesFrom("documents")
 
   /** Transitive-closure CTEs over `mh_pairs` (requires `WITH RECURSIVE`
     * and [[MinhashPairsCtes]] in scope): one definition of the cluster
@@ -1769,6 +1774,14 @@ object SparkEntry {
 
     // ---- deduplication ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir).documents)),
+    // one-row honesty report for the flagship dedup: brute-force exact
+    // shingle-Jaccard ground truth on a bounded slice of the edit-augmented
+    // corpus (base-id % 5, so planted twins stay together) vs the LSH path
+    // at identical parameters — realized recall of the banding S-curve;
+    // fp is 0 by construction (candidates verify with the same Jaccard)
+    "dedup_eval" -> ((s, dir) =>
+      Dedup.minhashEval(nearDupCorpus(s, dir)
+        .where(col("doc_id") % CopyIdTag % 5 === 0))),
     // LSH banding planner over the repo's own 32-hash signature: the
     // 1-(1-s^r)^b S-curve at target 0.8 / noise 0.3 per factorization,
     // chain-multiplied powers (no libm pow), sharpest qualifying config
@@ -5084,6 +5097,35 @@ object SparkEntry {
         |g AS (SELECT text_md5, min(doc_id) AS keeper_id, count(*) AS group_size FROM k GROUP BY 1)
         |SELECT k.doc_id, k.text_md5, g.keeper_id, k.doc_id <> g.keeper_id AS is_dup, g.group_size
         |FROM k JOIN g USING (text_md5)""".stripMargin,
+    // Twin of Dedup.minhashEval on the sliced edit-augmented corpus: the
+    // shared pipeline CTEs rebased onto the slice (minhashPairsCtesFrom),
+    // the truth side as the all-pairs exact Jaccard, identical counts.
+    "dedup_eval" ->
+      s"""WITH $NearDupCorpusCte,
+         |eval_docs AS (SELECT doc_id, text FROM corpus
+         |  WHERE (doc_id % $CopyIdTag) % 5 = 0),
+         |${minhashPairsCtesFrom("eval_docs")},
+         |truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         |j AS (SELECT coalesce(t.id_a, p.id_a) AS id_a,
+         |  t.id_a IS NOT NULL AS in_t, p.id_a IS NOT NULL AS in_p
+         |  FROM truth t FULL OUTER JOIN (SELECT id_a, id_b FROM mh_pairs) p
+         |  ON t.id_a = p.id_a AND t.id_b = p.id_b)
+         |SELECT CAST(count(CASE WHEN in_t THEN 1 END) AS BIGINT) AS n_true,
+         |  CAST(count(CASE WHEN in_p THEN 1 END) AS BIGINT) AS n_pred,
+         |  CAST(count(CASE WHEN in_t AND in_p THEN 1 END) AS BIGINT) AS tp,
+         |  CAST(count(CASE WHEN NOT in_t THEN 1 END) AS BIGINT) AS fp,
+         |  CAST(count(CASE WHEN NOT in_p THEN 1 END) AS BIGINT) AS fn,
+         |  CASE WHEN count(CASE WHEN in_p THEN 1 END) > 0 THEN
+         |    CAST(count(CASE WHEN in_t AND in_p THEN 1 END) AS DOUBLE)
+         |      / count(CASE WHEN in_p THEN 1 END) END AS precision,
+         |  CASE WHEN count(CASE WHEN in_t THEN 1 END) > 0 THEN
+         |    CAST(count(CASE WHEN in_t AND in_p THEN 1 END) AS DOUBLE)
+         |      / count(CASE WHEN in_t THEN 1 END) END AS recall
+         |FROM j""".stripMargin,
     // Twin of Dedup.lshPlan(32, 0.8): the same seeded-1.0 chain folds for
     // every power (never libm pow) and the same max-r-qualifying choice.
     "dedup_lsh_plan" -> {

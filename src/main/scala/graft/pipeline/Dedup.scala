@@ -194,6 +194,60 @@ object Dedup {
       .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
   }
 
+  /** Measured precision/recall of the MinHash-LSH dedup against brute-force
+    * ground truth — the one-row honesty report for the flagship dedup: the
+    * truth side scores EVERY pair's exact shingle Jaccard (quadratic BY
+    * CONTRACT — this is an audit operator for a bounded slice, and it
+    * fail-fasts above `maxDocs` with a routing hint), the predicted side is
+    * [[minhashNearDups]] at the same parameters, and the report counts
+    * tp/fp/fn with precision and recall. Because the LSH path verifies
+    * candidates with the SAME exact Jaccard, fp can only be 0 — the
+    * measured quantity is RECALL: the probability a true pair collides in
+    * at least one band, i.e. the [[lshPlan]] S-curve realized on actual
+    * data instead of assumed similarity.
+    */
+  def minhashEval(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleK: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 4, threshold: Double = 0.5,
+      maxDocs: Int = 10000): DataFrame = {
+    val sets = spreadById(df.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol).as("id"),
+        array_sort(array_distinct(
+          TextOps.shingles(TextOps.tokens(col(textCol)), shingleK))).as("sh"))
+      .where(size(col("sh")) > 0)
+    val n = sets.agg(count(lit(1)).as("__n_docs"))
+    val guarded = sets.crossJoin(broadcast(n))
+      .withColumn("sh", when(col("__n_docs") > maxDocs,
+        raise_error(format_string(
+          s"minhashEval: %s docs exceed the quadratic audit bound $maxDocs" +
+            " — evaluate on a slice, or raise maxDocs deliberately",
+          col("__n_docs")))).otherwise(col("sh")))
+      .select("id", "sh")
+    val truth = guarded.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .join(guarded.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        graft.functions.Signatures.sortedJaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), lit(1).as("__t"))
+    val pred = minhashNearDups(df, idCol, textCol, shingleK, bands,
+      rowsPerBand, threshold)
+      .select(col("id_a"), col("id_b"), lit(1).as("__p"))
+    truth.join(pred, Seq("id_a", "id_b"), "full_outer")
+      .agg(count(col("__t")).as("n_true"), count(col("__p")).as("n_pred"),
+        count(when(col("__t").isNotNull && col("__p").isNotNull, lit(1)))
+          .as("tp"),
+        count(when(col("__t").isNull, lit(1))).as("fp"),
+        count(when(col("__p").isNull, lit(1))).as("fn"))
+      .select(col("n_true"), col("n_pred"), col("tp"), col("fp"), col("fn"),
+        when(col("n_pred") > 0,
+          col("tp").cast("double") / col("n_pred").cast("double"))
+          .as("precision"),
+        when(col("n_true") > 0,
+          col("tp").cast("double") / col("n_true").cast("double"))
+          .as("recall"))
+  }
+
   /** Containment near-dups: LSH candidate pairs scored by SET CONTAINMENT
     * `|A ∩ B| / min(|A|, |B|)` over the k-shingle sets — the asymmetric
     * companion to [[minhashNearDups]]'s Jaccard, catching the

@@ -1307,6 +1307,33 @@ class PipelineOpsSpec extends SparkSpec {
       s"digit-run token must contribute exactly 1 syllable: ${got(2L)}")
   }
 
+  test("minhashEval: identical twins all recalled, disjoint pairs ignored, fp zero, guard raises") {
+    import spark.implicits._
+    // 3 exact-duplicate pairs (jaccard 1.0 -> always banded together),
+    // plus unrelated docs sharing nothing above threshold
+    val dup = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine"),
+      (4L, "one two three four five six seven eight nine"),
+      (5L, "red orange yellow green blue indigo violet pink"),
+      (6L, "red orange yellow green blue indigo violet pink"))
+    val noise = (7L to 12L).map(i =>
+      (i, s"unique${i}a unique${i}b unique${i}c unique${i}d unique${i}e"))
+    val docs = (dup ++ noise).toDF("doc_id", "text")
+    val r = graft.pipeline.Dedup.minhashEval(docs).collect().head
+    assert(r.getAs[Long]("n_true") == 3L, s"truth pairs: $r")
+    assert(r.getAs[Long]("fp") == 0L, "candidates verify with the same exact jaccard")
+    assert(r.getAs[Long]("tp") == 3L && r.getAs[Long]("fn") == 0L,
+      "identical signatures always share every band")
+    assert(r.getAs[Double]("precision") == 1.0)
+    assert(r.getAs[Double]("recall") == 1.0)
+    val ex = intercept[Exception](
+      graft.pipeline.Dedup.minhashEval(docs, maxDocs = 5).collect())
+    assert(ex.getMessage.contains("minhashEval") ||
+      Option(ex.getCause).exists(_.getMessage.contains("minhashEval")))
+  }
+
   test("lshPlan: exact S-curve replay, divisor grid, sharpest qualifying banding chosen") {
     val got = graft.pipeline.Dedup.lshPlan(spark, nHashes = 32, targetJaccard = 0.8).collect()
       .map(r => r.getAs[Int]("bands") ->
