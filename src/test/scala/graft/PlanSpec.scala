@@ -496,4 +496,37 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"fuzzy join must never go quadratic: ${plan.take(3000)}")
   }
+
+  test("ljungBox is one shuffle: every window and both aggregations share the series key") {
+    val plan = planOf(SparkEntry.queries("ts_ljungbox")(spark, sfDir))
+    val shuffles = plan.linesIterator.count(_.contains("Exchange"))
+    assert(shuffles == 1, s"expected 1 Exchange, got $shuffles:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("saxMotifs is three shuffles: resample key, series re-key for the lead window, word census") {
+    // (series, bucket) partitioning does not co-locate a series, so the
+    // window re-key after the resample is inherent, and the census key is
+    // the word — each stage partial-aggregates map-side first
+    val plan = planOf(SparkEntry.queries("ts_motifs")(spark, sfDir))
+    val shuffles = plan.linesIterator.count(_.contains("Exchange"))
+    assert(shuffles == 3, s"expected 3 Exchanges, got $shuffles:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("random projection is map-only: the unrolled chain rides the scan in codegen") {
+    val plan = planOf(SparkEntry.queries("vec_rp")(spark, sfDir))
+    assert(!plan.contains("Exchange"), s"map-only, got:\n${plan.take(3000)}")
+    // the "*(n)" stage marker is how executedPlan.toString shows a
+    // WholeStageCodegen span
+    assert(plan.contains("*(1)"), plan.take(3000))
+  }
+
+  test("rpTopK broadcasts the query side everywhere: no cartesian pair scan") {
+    val plan = planOf(SparkEntry.queries("sim_rp_topk")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast: ${plan.take(3000)}")
+  }
 }
