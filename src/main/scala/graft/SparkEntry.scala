@@ -264,6 +264,35 @@ object SparkEntry {
 
   private lazy val MinhashPairsCtes: String = minhashPairsCtesFrom("documents")
 
+  /** The er_* oracles' shared body: the [[erDirtyCustomers]] fixture, the
+    * radius-1 deletion neighborhoods on both sides, and the verified
+    * `er_pairs(id_a, id_b, name_a, name_b, dist)` match relation.
+    */
+  private def erPairsCtesFrom(src: String): String =
+    s"""dirty AS (SELECT c_custkey + (CAST(1 AS BIGINT) << 40) AS d_id,
+      |  concat(substr(c_name, 1, CAST(9 + c_custkey % 9 AS INTEGER)),
+      |    substr(c_name, CAST(11 + c_custkey % 9 AS INTEGER), length(c_name))) AS d_name
+      |  FROM $src WHERE c_custkey % 3 = 0),
+      |va AS (SELECT d_id AS id_a, d_name AS name_a,
+      |  unnest(list_transform(range(0, length(d_name) + 1), i ->
+      |    CASE WHEN i = 0 THEN d_name
+      |      ELSE concat(substr(d_name, 1, CAST(i - 1 AS INTEGER)),
+      |        substr(d_name, CAST(i + 1 AS INTEGER), CAST(length(d_name) AS INTEGER)))
+      |    END)) AS v FROM dirty),
+      |vb AS (SELECT c_custkey AS id_b, c_name AS name_b,
+      |  unnest(list_transform(range(0, length(c_name) + 1), i ->
+      |    CASE WHEN i = 0 THEN c_name
+      |      ELSE concat(substr(c_name, 1, CAST(i - 1 AS INTEGER)),
+      |        substr(c_name, CAST(i + 1 AS INTEGER), CAST(length(c_name) AS INTEGER)))
+      |    END)) AS v FROM $src),
+      |cand AS (SELECT DISTINCT id_a, id_b, name_a, name_b
+      |  FROM va JOIN vb ON va.v = vb.v),
+      |er_pairs AS (SELECT id_a, id_b, name_a, name_b,
+      |  CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+      |  FROM cand WHERE levenshtein(name_a, name_b) <= 1)""".stripMargin
+
+  private lazy val ErPairsCtes: String = erPairsCtesFrom("customer")
+
   /** Transitive-closure CTEs over `mh_pairs` (requires `WITH RECURSIVE`
     * and [[MinhashPairsCtes]] in scope): one definition of the cluster
     * resolution shared by the dedup_clusters and dedup_keepers twins.
@@ -710,6 +739,17 @@ object SparkEntry {
           lit(1L).as("seq"), lit("I").as("op")))
   }
 
+  /** The er_* gates' dirty feed: customer names with one digit deleted
+    * (key-dependent position) for custkey % 3 = 0, ids tagged with bit 40.
+    * One definition shared by er_fuzzy_join and er_entities.
+    */
+  private def erDirtyCustomers(c: DataFrame): DataFrame =
+    c.where(col("c_custkey") % 3 === 0)
+      .select((col("c_custkey") + lit(1L << 40)).as("d_id"),
+        expr("concat(substring(c_name, 1, CAST(9 + c_custkey % 9 AS INT)), " +
+          "substring(c_name, CAST(11 + c_custkey % 9 AS INT), length(c_name)))")
+          .as("d_name"))
+
   private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
     d.unionByName(
@@ -924,12 +964,20 @@ object SparkEntry {
     // often lands within ED 1 of several master names
     "er_fuzzy_join" -> ((s, dir) => {
       val c = Tables(s, dir).customer
-      val dirty = c.where(col("c_custkey") % 3 === 0)
-        .select((col("c_custkey") + lit(1L << 40)).as("d_id"),
-          expr("concat(substring(c_name, 1, CAST(9 + c_custkey % 9 AS INT)), " +
-            "substring(c_name, CAST(11 + c_custkey % 9 AS INT), length(c_name)))")
-            .as("d_name"))
-      graft.ops.FuzzyJoin.editJoin(dirty, c,
+      graft.ops.FuzzyJoin.editJoin(erDirtyCustomers(c), c,
+        "d_id", "d_name", "c_custkey", "c_name")
+    }),
+    // entity canonicalization over the same fuzzy-match graph: connected
+    // components assign every dirty and master record its canonical
+    // entity (min reachable id); an ambiguous dirty record merges its
+    // candidate masters — entity_size flags those for review. The gate
+    // bounds the id range (a no-op at sf0.01): the ORACLE's recursive
+    // reachability is quadratic in component size, and the zero-heavy
+    // digit-run region chains into one giant component at larger SFs —
+    // the Spark side (log-round star CC) handles the full graph fine
+    "er_entities" -> ((s, dir) => {
+      val c = Tables(s, dir).customer.where(col("c_custkey") <= 1500)
+      graft.ops.FuzzyJoin.entities(erDirtyCustomers(c), c,
         "d_id", "d_name", "c_custkey", "c_name")
     }),
     // the ED <= 2 face of the fuzzy join: supplier names with TWO digits
@@ -2391,27 +2439,26 @@ object SparkEntry {
     // deletion, same deletion-neighborhood expansion (i = 0 keeps the
     // key), same exact levenshtein verify.
     "er_fuzzy_join" ->
-      """WITH dirty AS (SELECT c_custkey + (CAST(1 AS BIGINT) << 40) AS d_id,
-        |  substr(c_name, 1, CAST(9 + c_custkey % 9 AS INTEGER))
-        |    || substr(c_name, CAST(11 + c_custkey % 9 AS INTEGER), length(c_name)) AS d_name
-        |  FROM customer WHERE c_custkey % 3 = 0),
-        |va AS (SELECT d_id AS id_a, d_name AS name_a,
-        |  unnest(list_transform(range(0, length(d_name) + 1), i ->
-        |    CASE WHEN i = 0 THEN d_name
-        |      ELSE substr(d_name, 1, CAST(i - 1 AS INTEGER))
-        |        || substr(d_name, CAST(i + 1 AS INTEGER), CAST(length(d_name) AS INTEGER))
-        |    END)) AS v FROM dirty),
-        |vb AS (SELECT c_custkey AS id_b, c_name AS name_b,
-        |  unnest(list_transform(range(0, length(c_name) + 1), i ->
-        |    CASE WHEN i = 0 THEN c_name
-        |      ELSE substr(c_name, 1, CAST(i - 1 AS INTEGER))
-        |        || substr(c_name, CAST(i + 1 AS INTEGER), CAST(length(c_name) AS INTEGER))
-        |    END)) AS v FROM customer),
-        |cand AS (SELECT DISTINCT id_a, id_b, name_a, name_b
-        |  FROM va JOIN vb ON va.v = vb.v)
-        |SELECT id_a, id_b, name_a, name_b,
-        |  CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
-        |FROM cand WHERE levenshtein(name_a, name_b) <= 1""".stripMargin,
+      s"""WITH $ErPairsCtes
+         |SELECT id_a, id_b, name_a, name_b, dist FROM er_pairs""".stripMargin,
+    // Twin of FuzzyJoin.entities over the same match graph: recursive
+    // min-label closure seeded with EVERY record id (singletons label
+    // themselves), the shared er_pairs CTE as the edge relation.
+    "er_entities" ->
+      s"""WITH RECURSIVE customer_b AS (
+         |  SELECT * FROM customer WHERE c_custkey <= 1500),
+         |${erPairsCtesFrom("customer_b")},
+         |nodes AS (SELECT d_id AS id FROM dirty
+         |  UNION SELECT c_custkey FROM customer_b),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM er_pairs
+         |  UNION SELECT id_b, id_a FROM er_pairs),
+         |reach(id, comp) AS (SELECT id, id FROM nodes
+         |  UNION SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         |comps AS (SELECT id AS record_id, min(comp) AS entity_id FROM reach GROUP BY 1),
+         |sizes AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS entity_size
+         |  FROM comps GROUP BY 1)
+         |SELECT record_id, entity_id, entity_size
+         |FROM comps JOIN sizes USING (entity_id)""".stripMargin,
     // Twin of the ED <= 2 fuzzy join: the same two-digit deletion fixture
     // and the same radius-2 deletion neighborhood on both sides (one
     // deletion level per CTE, DISTINCT per side), levenshtein-verified.

@@ -59,4 +59,38 @@ object FuzzyJoin {
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .where(col("dist") <= maxDist)
   }
+
+  /** Entity canonicalization: connected components over the [[editJoin]]
+    * match graph assign every record (both relations, singletons included)
+    * a canonical `entity_id` — the min record id reachable through fuzzy
+    * matches. This is the resolution step after blocking+verify: a dirty
+    * record ambiguous between several masters MERGES them into one entity
+    * (transitivity is the honest semantics of "these records may be the
+    * same thing"; a one-to-one assignment would have to pick arbitrarily).
+    * Emits `entity_size` so downstream consumers can route big ambiguous
+    * entities to manual review.
+    *
+    * Scale shape: the match graph runs through the O(log n)-round
+    * large-star/small-star [[graft.pipeline.Components.connectedComponents]]
+    * (checkpointed, convergence-probed); singletons never enter the
+    * iteration — they join back as their own entity at the end.
+    */
+  def entities(left: DataFrame, right: DataFrame,
+      leftId: String, leftKey: String, rightId: String, rightKey: String,
+      maxDist: Int = 1): DataFrame = {
+    val pairs = editJoin(left, right, leftId, leftKey, rightId, rightKey,
+      maxDist).select("id_a", "id_b")
+    val nodes = left.select(col(leftId).cast("long").as("record_id"))
+      .unionByName(right.select(col(rightId).cast("long").as("record_id")))
+      .distinct()
+    val cc = graft.pipeline.Components.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("record_id"), col("component"))
+    val labeled = nodes.join(cc, Seq("record_id"), "left_outer")
+      .select(col("record_id"),
+        coalesce(col("component"), col("record_id")).as("entity_id"))
+    val sizes = labeled.groupBy("entity_id")
+      .agg(count(lit(1)).as("entity_size"))
+    labeled.join(sizes, "entity_id")
+      .select("record_id", "entity_id", "entity_size")
+  }
 }

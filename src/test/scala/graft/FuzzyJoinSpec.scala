@@ -53,6 +53,23 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(FuzzyJoin.editJoin(df, df, "id", "name", "id", "name").count() == 1)
   }
 
+  test("entities: matches cluster to min id, ambiguous dirty record merges masters, singletons self-label") {
+    val master = Seq((1L, "anna"), (2L, "bob"), (3L, "zzz"),
+      (4L, "cat"), (5L, "cap")).toDF("id", "name")
+    val dirty = Seq((10L, "ana"), (11L, "bo"), (12L, "annb"),
+      (13L, "qqq"), (15L, "ca")).toDF("id", "name")
+    val got = FuzzyJoin.entities(dirty, master, "id", "name", "id", "name")
+      .collect()
+      .map(r => r.getAs[Long]("record_id") ->
+        ((r.getAs[Long]("entity_id"), r.getAs[Long]("entity_size")))).toMap
+    assert(got == Map(
+      1L -> ((1L, 3L)), 10L -> ((1L, 3L)), 12L -> ((1L, 3L)),
+      2L -> ((2L, 2L)), 11L -> ((2L, 2L)),
+      // "ca" is within ED 1 of BOTH cat and cap: the masters merge
+      4L -> ((4L, 3L)), 5L -> ((4L, 3L)), 15L -> ((4L, 3L)),
+      3L -> ((3L, 1L)), 13L -> ((13L, 1L))), s"got $got")
+  }
+
   test("editJoin at maxDist=2 equals brute-force ED <= 2; catches transpositions and double typos ED-1 misses") {
     // targeted shapes: transposition (ED 2 under plain Levenshtein),
     // two substitutions, insertion+deletion, and an ED-3 exclusion
