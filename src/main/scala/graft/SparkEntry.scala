@@ -1048,6 +1048,11 @@ object SparkEntry {
     // between a plain shuffle join and SkewJoin.saltedJoin / AQE skew
     "profile_key_skew" -> ((s, dir) =>
       Profile.keySkew(Tables(s, dir).events, "user_id", topN = 10)),
+    // per-column completeness audit of the events table: null/NaN/empty
+    // counts and the usable fraction in ONE scan — the first report run
+    // on any new corpus drop
+    "profile_completeness" -> ((s, dir) =>
+      Profile.completeness(Tables(s, dir).events)),
     // Benford first-digit audit of order totals per priority class: the
     // "does this numeric column look organic" screen (dense 9-digit grid,
     // group-level chi-square verdict at 5%)
@@ -2565,6 +2570,33 @@ object SparkEntry {
         |  0.0 + (bin_id + 1) * ((500.0 - 0.0) / 50) AS hi_edge
         |FROM b GROUP BY bin_id""".stripMargin,
 
+    // Twin of Profile.completeness(events): one SELECT per column with the
+    // same disjoint null/NaN/empty counters and Spark's simpleString dtype
+    // literals; ts is the normalized epoch-ns bigint in both engines.
+    "profile_completeness" -> {
+      def row(name: String, dtype: String, nan: String, empty: String) =
+        s"""SELECT '$name' AS col_name, '$dtype' AS dtype,
+           |  CAST(count(*) AS BIGINT) AS n_total,
+           |  CAST(count(CASE WHEN $name IS NULL THEN 1 END) AS BIGINT) AS n_null,
+           |  CAST($nan AS BIGINT) AS n_nan, CAST($empty AS BIGINT) AS n_empty
+           |  FROM events""".stripMargin
+      def nanOf(c: String) = s"count(CASE WHEN $c IS NOT NULL AND isnan($c) THEN 1 END)"
+      def emptyOf(c: String) = s"count(CASE WHEN $c IS NOT NULL AND length($c) = 0 THEN 1 END)"
+      val rows = Seq(
+        row("event_id", "bigint", "0", "0"),
+        row("ts", "bigint", "0", "0"),
+        row("user_id", "bigint", "0", "0"),
+        row("event_type", "string", "0", emptyOf("event_type")),
+        row("value", "double", nanOf("value"), "0"),
+        row("props", "string", "0", emptyOf("props")))
+        .mkString("\nUNION ALL\n")
+      s"""WITH u AS (
+         |$rows)
+         |SELECT col_name, dtype, n_total, n_null, n_nan, n_empty,
+         |  CAST(n_total - n_null - n_nan - n_empty AS DOUBLE)
+         |    / CAST(n_total AS DOUBLE) AS complete_rate
+         |FROM u""".stripMargin
+    },
     // Twin of Profile.benford(o_orderpriority, o_totalprice): the same
     // integer-cents leading digit (round(v*100) → string head — integer
     // rendering is engine-stable where float formatting is not), dense

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling: per-column summary statistics — the schema-audit pass
@@ -370,6 +370,53 @@ object Profile {
           .when(col("__d_old") =!= col("__d_new"), lit("changed")))
       .where(col("status").isNotNull)
       .select(col(idCol), col("status"))
+  }
+
+  /** Per-column completeness audit — the first data-quality report run on
+    * any new corpus drop: for EVERY top-level column, how many rows are
+    * null, NaN (float/double), or empty ('' strings, zero-length arrays),
+    * and the resulting usable-fraction `complete_rate`. A column whose
+    * completeness moved between snapshots is the earliest signal of an
+    * upstream extraction break — before any distribution test
+    * ([[ksDrift]]/[[psiDrift]]) has enough signal to fire.
+    *
+    * The three miss-kinds are disjoint by construction (NaN and empty are
+    * only counted on non-null rows), so `complete_rate = (n_total − n_null
+    * − n_nan − n_empty) / n_total` is an exact integer quotient.
+    *
+    * Scale shape: ONE scan — every per-column counter is a conditional
+    * count in a single partial-combined aggregation; the per-column rows
+    * come from exploding the one aggregated struct array (k rows for k
+    * columns, driver-free).
+    */
+  def completeness(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val structs = df.schema.fields.toSeq.map { f =>
+      val c = col(f.name)
+      val nNan: Column = f.dataType match {
+        case DoubleType | FloatType =>
+          count(when(c.isNotNull && isnan(c), lit(1)))
+        case _ => lit(0L)
+      }
+      val nEmpty: Column = f.dataType match {
+        case StringType => count(when(c.isNotNull && length(c) === 0, lit(1)))
+        case _: ArrayType => count(when(c.isNotNull && size(c) === 0, lit(1)))
+        case _ => lit(0L)
+      }
+      struct(lit(f.name).as("col_name"),
+        lit(f.dataType.simpleString).as("dtype"),
+        count(lit(1)).as("n_total"),
+        count(when(c.isNull, lit(1))).as("n_null"),
+        nNan.cast("long").as("n_nan"), nEmpty.cast("long").as("n_empty"))
+    }
+    val named = structs.zipWithIndex.map { case (s, i) => s.as(s"__s$i") }
+    df.agg(named.head, named.tail: _*)
+      .select(explode(array(structs.indices.map(i =>
+        col(s"__s$i")): _*)).as("c"))
+      .select(col("c.*"))
+      .withColumn("complete_rate",
+        (col("n_total") - col("n_null") - col("n_nan") - col("n_empty"))
+          .cast("double") / col("n_total").cast("double"))
   }
 
   /** χ² 5% upper-tail critical value at df = 8 (9 digit cells − 1) — the

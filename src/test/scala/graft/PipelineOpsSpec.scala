@@ -1307,6 +1307,26 @@ class PipelineOpsSpec extends SparkSpec {
       s"digit-run token must contribute exactly 1 syllable: ${got(2L)}")
   }
 
+  test("completeness: disjoint null/nan/empty counters per column; arrays, strings, doubles covered") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("x"), Some(1.5), Some(Seq(1, 2))),
+      (None, Some(""), Some(Double.NaN), Some(Seq.empty[Int])),
+      (Some(3L), None, None, None),
+      (Some(4L), Some("y"), Some(2.5), Some(Seq(3)))
+    ).toDF("id", "s", "d", "arr")
+    val got = Profile.completeness(df).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        ((r.getAs[String]("dtype"), r.getAs[Long]("n_total"),
+          r.getAs[Long]("n_null"), r.getAs[Long]("n_nan"),
+          r.getAs[Long]("n_empty"), r.getAs[Double]("complete_rate")))).toMap
+    assert(got("id") == (("bigint", 4L, 1L, 0L, 0L, 0.75)))
+    assert(got("s") == (("string", 4L, 1L, 0L, 1L, 0.5)))
+    assert(got("d") == (("double", 4L, 1L, 1L, 0L, 0.5)))
+    assert(got("arr") == (("array<int>", 4L, 1L, 0L, 1L, 0.5)))
+    assert(got.size == 4)
+  }
+
   test("minhashEval: identical twins all recalled, disjoint pairs ignored, fp zero, guard raises") {
     import spark.implicits._
     // 3 exact-duplicate pairs (jaccard 1.0 -> always banded together),
