@@ -1829,12 +1829,12 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir).documents)),
     // one-row honesty report for the flagship dedup: brute-force exact
     // shingle-Jaccard ground truth on a bounded slice of the edit-augmented
-    // corpus (base-id % 5, so planted twins stay together) vs the LSH path
+    // corpus (base-id % 10, so planted twins stay together) vs the LSH path
     // at identical parameters — realized recall of the banding S-curve;
     // fp is 0 by construction (candidates verify with the same Jaccard)
     "dedup_eval" -> ((s, dir) =>
       Dedup.minhashEval(nearDupCorpus(s, dir)
-        .where(col("doc_id") % CopyIdTag % 5 === 0))),
+        .where(col("doc_id") % CopyIdTag % 10 === 0))),
     // LSH banding planner over the repo's own 32-hash signature: the
     // 1-(1-s^r)^b S-curve at target 0.8 / noise 0.3 per factorization,
     // chain-multiplied powers (no libm pow), sharpest qualifying config
@@ -5182,11 +5182,13 @@ object SparkEntry {
     "dedup_eval" ->
       s"""WITH $NearDupCorpusCte,
          |eval_docs AS (SELECT doc_id, text FROM corpus
-         |  WHERE (doc_id % $CopyIdTag) % 5 = 0),
+         |  WHERE (doc_id % $CopyIdTag) % 10 = 0),
          |${minhashPairsCtesFrom("eval_docs")},
          |truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
          |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |  AND CAST(least(len(a.sh), len(b.sh)) AS DOUBLE)
+         |    >= 0.5 * CAST(greatest(len(a.sh), len(b.sh)) AS DOUBLE)
          |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
          |j AS (SELECT coalesce(t.id_a, p.id_a) AS id_a,

@@ -223,9 +223,16 @@ object Dedup {
             " — evaluate on a slice, or raise maxDocs deliberately",
           col("__n_docs")))).otherwise(col("sh")))
       .select("id", "sh")
+    // exact size-ratio prune: |∩| ≤ min(|A|,|B|) and |∪| ≥ max(|A|,|B|),
+    // so jaccard ≤ min/max — a pair can only reach the threshold when
+    // min ≥ t·max. Scoring is the quadratic cost; this cuts it before
+    // any set comparison, losing nothing.
     val truth = guarded.select(col("id").as("id_a"), col("sh").as("sh_a"))
       .join(guarded.select(col("id").as("id_b"), col("sh").as("sh_b")),
-        col("id_a") < col("id_b"))
+        col("id_a") < col("id_b") &&
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
+            lit(threshold) * greatest(size(col("sh_a")), size(col("sh_b")))
+              .cast("double"))
       .withColumn("jaccard",
         graft.functions.Signatures.sortedJaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
