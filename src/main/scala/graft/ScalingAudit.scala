@@ -98,6 +98,65 @@ object ScalingAudit {
         "term", 20).count()
     }
 
+    // ---- session-7 operators (SPARK_GRAFT_SCALE_ONLY=session7 runs just
+    // these and writes SCALING_raw_extra.jsonl, so a new session can append
+    // ladder rows without re-timing the whole audit) ----
+    val onlySession7 = sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("session7")
+
+    // radius-2 fuzzy join: the ~(len²/2)× variant fan-out is the cost
+    // driver; candidate volume must stay near-linear in the master size
+    factors.foreach { f =>
+      val master = Tables(spark, "/root/testdata/sf0.1").customer
+        .select("c_custkey")
+        .withColumn("__rep", explode(sequence(lit(0), lit(f - 1))))
+        .select((col("c_custkey") * 10 + col("__rep")).as("c_custkey"),
+          concat(lit("Customer#"),
+            lpad((col("c_custkey") * 10 + col("__rep")).cast("string"), 9, "0"))
+            .as("c_name"))
+      val dirty = master.where(col("c_custkey") % (3 * f) === 0)
+        .select((col("c_custkey") + lit(1L << 40)).as("d_id"),
+          expr("concat(substring(c_name, 1, CAST(9 + c_custkey % 5 AS INT)), " +
+            "substring(c_name, CAST(11 + c_custkey % 5 AS INT), length(c_name)))")
+            .as("d_name"))
+      val n = master.count()
+      report(s"er_ed2_join_x$f", n, timed(
+        graft.ops.FuzzyJoin.editJoin(dirty, master,
+          "d_id", "d_name", "c_custkey", "c_name", maxDist = 2).count()))
+    }
+
+    // SAX motif census: the event stream replicated f x under fresh series
+    // ids — the lead window stays per-series, the census key space is
+    // bounded (4^4 words), so the whole op must scale ~linearly
+    factors.foreach { f =>
+      val p0 = Tables(spark, "/root/testdata/sf0.1").points
+        .select("series_id", "ts", "value")
+      val pts = if (f == 1) p0 else p0
+        .withColumn("__rep", explode(sequence(lit(0), lit(f - 1))))
+        .select(concat(col("series_id"), lit("/r"), col("__rep")).as("series_id"),
+          col("ts"), col("value"))
+      val n = pts.count()
+      report(s"ts_motifs_x$f", n, timed(
+        SeriesOps.saxMotifs(pts, 3600L * 1000000000L).count()))
+    }
+
+    // RP-shortlisted top-k: fixed 5-query set against the laddered corpus —
+    // the projected brute pass is the linear corpus scan the shortlist
+    // design intends; the exact re-rank stays shortlist-bounded
+    vecPaths.foreach { case (f, p) =>
+      val c = spark.read.parquet(p)
+      val q = c.where(col("vec_id") % 1000 === 0).limit(5)
+      val n = c.count()
+      report(s"sim_rp_topk_x$f", n, timed(
+        Similarity.rpTopK(q, c, k = 3, shortlist = 50).count()))
+    }
+
+    if (onlySession7) {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SCALING_raw_extra.jsonl"), out.toString)
+      spark.stop()
+      return
+    }
+
     docPaths.foreach { case (f, p) =>
       def d = spark.read.parquet(p)
       val n = d.count()
