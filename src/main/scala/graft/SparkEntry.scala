@@ -2297,6 +2297,26 @@ object SparkEntry {
       pts(s, dir).createOrReplaceTempView("graft_sql_pts_mo")
       s.sql(s"SELECT * FROM graft_motifs('graft_sql_pts_mo', ${3600L * NsPerS})")
     }),
+    "sql_completeness" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_sql_ev_cp")
+      s.sql("SELECT * FROM graft_completeness('graft_sql_ev_cp')")
+    }),
+    "sql_rp" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).embeddings.createOrReplaceTempView("graft_sql_emb_rp")
+      s.sql("SELECT * FROM graft_random_project('graft_sql_emb_rp', 16, 64)")
+    }),
+    "sql_lsh_plan" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      s.sql("SELECT * FROM graft_lsh_plan(32, 0.8)")
+    }),
+    "sql_minhash_eval" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      nearDupCorpus(s, dir).where(col("doc_id") % CopyIdTag % 10 === 0)
+        .createOrReplaceTempView("graft_sql_docs_me")
+      s.sql("SELECT * FROM graft_minhash_eval('graft_sql_docs_me')")
+    }),
 
     // incremental cluster maintenance: bootstrap on a third of the corpus,
     // ingest the rest in two batches — the EXACTNESS contract says the
@@ -2363,6 +2383,10 @@ object SparkEntry {
       "sql_isotropy" -> base("vec_isotropy"),
       "sql_spearman" -> base("ts_spearman"),
       "sql_motifs" -> base("ts_motifs"),
+      "sql_completeness" -> base("profile_completeness"),
+      "sql_rp" -> base("vec_rp"),
+      "sql_lsh_plan" -> base("dedup_lsh_plan"),
+      "sql_minhash_eval" -> base("dedup_eval"),
       // incremental maintenance must equal the full recompute exactly
       "dedup_incremental" -> base("dedup_clusters"),
       // the streaming face scores pairs with the batch kernel's arithmetic

@@ -52,6 +52,10 @@ import graft.functions.{CharNgramCodes, MinHashSig, PolyHash, SimHashSig, SimHas
   *  - `graft_isotropy('view')` — embedding isotropy audit
   *  - `graft_spearman('view', dt_ns)` — Spearman series-pair correlation
   *  - `graft_motifs('view', dt_ns)` — sliding-window SAX motif census
+  *  - `graft_completeness('view')` — per-column null/NaN/empty audit
+  *  - `graft_random_project('view', d_out, d_in)` — JL sign projection
+  *  - `graft_lsh_plan(n, target)` — LSH banding S-curve planner
+  *  - `graft_minhash_eval('view')` — measured dedup precision/recall
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
@@ -306,7 +310,33 @@ object GraftTableFunctions {
         "graft_motifs(table, dt_ns) - sliding-window SAX motif census " +
           "over the resampled observation sequence"),
       (exprs: Seq[Expression]) => plan(graft.ts.SeriesOps.saxMotifs(
-        rel(strArg(exprs(0), "table name")), longArg(exprs(1), "dt_ns"))))
+        rel(strArg(exprs(0), "table name")), longArg(exprs(1), "dt_ns")))),
+    (FunctionIdentifier("graft_completeness"),
+      info("graft_completeness",
+        "graft_completeness(table) - per-column null/NaN/empty audit " +
+          "with the usable fraction"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Profile.completeness(
+        rel(strArg(exprs(0), "table name"))))),
+    (FunctionIdentifier("graft_random_project"),
+      info("graft_random_project",
+        "graft_random_project(table, d_out, d_in) - JL sign random " +
+          "projection of an embedding table"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Similarity.randomProject(
+        rel(strArg(exprs(0), "table name")), intArg(exprs(1), "d_out"),
+        intArg(exprs(2), "d_in")))),
+    (FunctionIdentifier("graft_lsh_plan"),
+      info("graft_lsh_plan",
+        "graft_lsh_plan(n_hashes, target_jaccard) - LSH banding S-curve " +
+          "planner (no table argument: the grid is generated)"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Dedup.lshPlan(
+        SparkSession.active, intArg(exprs(0), "n_hashes"),
+        doubleArg(exprs(1), "target_jaccard")))),
+    (FunctionIdentifier("graft_minhash_eval"),
+      info("graft_minhash_eval",
+        "graft_minhash_eval(table) - measured precision/recall of the " +
+          "MinHash-LSH dedup vs brute-force exact Jaccard on the table"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Dedup.minhashEval(
+        rel(strArg(exprs(0), "table name")))))
   )
 
   /** Register every table function on an already-built session. */

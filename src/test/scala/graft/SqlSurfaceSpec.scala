@@ -159,7 +159,15 @@ class SqlSurfaceSpec extends SparkSpec {
       s"SELECT * FROM graft_spearman('sqlspec_points_s', $day)" ->
         graft.ts.SeriesOps.spearmanCorrelation(pts, day),
       s"SELECT * FROM graft_motifs('sqlspec_points_s', ${3600L * 1000000000L})" ->
-        graft.ts.SeriesOps.saxMotifs(pts, 3600L * 1000000000L))
+        graft.ts.SeriesOps.saxMotifs(pts, 3600L * 1000000000L),
+      "SELECT * FROM graft_completeness('sqlspec_events_s')" ->
+        graft.pipeline.Profile.completeness(t.events),
+      "SELECT * FROM graft_random_project('sqlspec_emb_s', 16, 64)" ->
+        graft.pipeline.Similarity.randomProject(t.embeddings),
+      "SELECT * FROM graft_lsh_plan(32, 0.8)" ->
+        graft.pipeline.Dedup.lshPlan(spark, 32, 0.8),
+      "SELECT * FROM graft_minhash_eval('sqlspec_docs_s')" ->
+        graft.pipeline.Dedup.minhashEval(t.documents))
     (cases ++ driftCases ++ extraCases ++ auditCases).foreach { case (sql, direct) =>
       val viaSql = spark.sql(sql)
       assert(viaSql.columns.toSeq == direct.columns.toSeq, sql)
