@@ -1575,6 +1575,12 @@ object SparkEntry {
     "events_ab_test" -> ((s, dir) =>
       graft.ops.Experiment.abTest(Tables(s, dir).events, "user_id",
         col("event_type") === "purchase" && col("value") > 150)),
+    // the design-time face of the A/B test: per detectable effect size,
+    // the two-proportion sample-size requirement at 5%/80% against the
+    // MEASURED baseline conversion, and whether this corpus can power it
+    "events_power" -> ((s, dir) =>
+      graft.ops.Experiment.powerPlan(Tables(s, dir).events, "user_id",
+        col("event_type") === "purchase" && col("value") > 150)),
     // engagement dashboard triple: DAU, trailing-7-day WAU, stickiness —
     // the rolling distinct via bounded fan-out, never a stateful window
     "events_active_users" -> ((s, dir) =>
@@ -4540,6 +4546,30 @@ object SparkEntry {
     // Twin of Experiment.abTest(user_id, purchase, salt="abtest"): the
     // bucketOf CW draw, 50/50 arm split, integer conditional sums, the
     // pooled two-proportion z with the identical expression tree.
+    // Twin of Experiment.powerPlan: same user rollup and integer-quotient
+    // baseline, the SAME Scala-computed kappa literal, same pinned formula
+    // order, effects grid interpolated from the same Seq.
+    "events_power" -> {
+      val effs = (1 to 10).map(i => s"(${i / 100.0})").mkString(", ")
+      s"""WITH u AS (SELECT user_id,
+         |  max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv
+         |  FROM events GROUP BY 1),
+         |b AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+         |  CAST(sum(conv) AS BIGINT) AS n_conv FROM u),
+         |g AS (SELECT e.effect, b.n_users, b.n_conv,
+         |  CAST(b.n_conv AS DOUBLE) / CAST(b.n_users AS DOUBLE) AS p_base,
+         |  CAST(b.n_conv AS DOUBLE) / CAST(b.n_users AS DOUBLE) + e.effect AS p_target
+         |  FROM b CROSS JOIN (VALUES $effs) e(effect))
+         |SELECT effect, n_users, p_base, p_target,
+         |  CASE WHEN p_target < 1.0 THEN CAST(ceil(${graft.ops.Experiment.PowerKappa}
+         |    * (p_base * (1.0 - p_base) + p_target * (1.0 - p_target))
+         |    / (effect * effect)) AS BIGINT) END AS n_required,
+         |  n_users // 2 AS n_available,
+         |  CASE WHEN p_target < 1.0 THEN n_users // 2 >= CAST(ceil(${graft.ops.Experiment.PowerKappa}
+         |    * (p_base * (1.0 - p_base) + p_target * (1.0 - p_target))
+         |    / (effect * effect)) AS BIGINT) END AS powered
+         |FROM g""".stripMargin
+    },
     "events_ab_test" ->
       s"""WITH u AS (SELECT user_id,
          |  max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv

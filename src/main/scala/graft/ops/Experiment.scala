@@ -75,6 +75,57 @@ object Experiment {
     * tolerance. Scale shape: one partial-combined aggregate on ≤ nBins
     * keys, then two metadata-scale scalars broadcast back.
     */
+  /** (z_{0.025} + z_{0.20})² — the 5% two-sided / 80% power constant of the
+    * classic two-proportion sample-size formula, computed ONCE here so the
+    * Spark plan and the SQL twin interpolate the identical double.
+    */
+  val PowerKappa: Double = {
+    val s = 1.959963984540054 + 0.8416212335729143
+    s * s
+  }
+
+  /** A/B sample-size planner — the design-time face of [[abTest]] (what
+    * [[graft.pipeline.Dedup.lshPlan]] is to the dedup family): BEFORE
+    * running an experiment, how many users per arm does each detectable
+    * effect size need, and can this corpus power it? For each absolute
+    * lift δ in `effects`, the classic two-proportion formula at α = 5%
+    * two-sided and 80% power: `n = κ · (p₁(1−p₁) + p₂(1−p₂)) / δ²` with
+    * p₁ the MEASURED baseline conversion of the corpus (not an assumed
+    * one) and p₂ = p₁ + δ. `n_available` is half the distinct user count
+    * (a 50/50 split); `powered` says whether the corpus can detect that
+    * effect at all. Rows whose target p₂ ≥ 1 report null n/powered — the
+    * design is meaningless there.
+    *
+    * Exactness: the baseline is an integer quotient; κ and every δ are
+    * literals shared with the twin; the formula is one pinned expression.
+    * Scale shape: one partial-combined user rollup, then a ≤|effects|-row
+    * grid — metadata scale after the scan.
+    */
+  def powerPlan(events: DataFrame, userCol: String, converted: Column,
+      effects: Seq[Double] = (1 to 10).map(_ / 100.0)): DataFrame = {
+    require(effects.nonEmpty && effects.forall(e => e > 0 && e < 1),
+      s"effects must be in (0, 1), got $effects")
+    val users = events.groupBy(col(userCol).as("__user"))
+      .agg(max(converted.cast("int")).as("__conv"))
+    val base = users.agg(count(lit(1)).as("n_users"),
+      sum(col("__conv").cast("long")).as("n_conv"))
+    val p1 = col("n_conv").cast("double") / col("n_users").cast("double")
+    val grid = base
+      .select(col("n_users"), col("n_conv"), p1.as("p_base"),
+        explode(array(effects.map(lit): _*)).as("effect"))
+      .withColumn("p_target", col("p_base") + col("effect"))
+    val nReq = ceil(lit(PowerKappa)
+      * (col("p_base") * (lit(1.0) - col("p_base"))
+        + col("p_target") * (lit(1.0) - col("p_target")))
+      / (col("effect") * col("effect"))).cast("long")
+    grid.select(col("effect"), col("n_users"), col("p_base"),
+        col("p_target"),
+        when(col("p_target") < 1.0, nReq).as("n_required"),
+        expr("n_users DIV 2").as("n_available"))
+      .withColumn("powered",
+        when(col("p_target") < 1.0, col("n_available") >= col("n_required")))
+  }
+
   def calibrationBins(df: DataFrame, probCol: String, labelCol: String,
       nBins: Int = 10): DataFrame = {
     require(nBins >= 1, s"nBins must be >= 1, got $nBins")

@@ -1307,6 +1307,41 @@ class PipelineOpsSpec extends SparkSpec {
       s"digit-run token must contribute exactly 1 syllable: ${got(2L)}")
   }
 
+  test("powerPlan: exact formula replay, powered boundary honest, impossible targets null") {
+    import spark.implicits._
+    // 100 users, 20 convert (p1 = 0.2 exactly); one extra event per user
+    // must not double-count conversion (max per user)
+    val ev = (1L to 100L).flatMap(u =>
+      Seq((u, "view", 0.0), (u, if (u <= 20) "buy" else "view", 200.0)))
+      .toDF("user_id", "event_type", "value")
+    val got = graft.ops.Experiment.powerPlan(ev, "user_id",
+      col("event_type") === "buy" && col("value") > 150,
+      effects = Seq(0.05, 0.10, 0.85)).collect()
+      .map(r => r.getAs[Double]("effect") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Double]("p_base"),
+          Option(r.getAs[java.lang.Long]("n_required")).map(_.longValue),
+          r.getAs[Long]("n_available"),
+          Option(r.getAs[java.lang.Boolean]("powered")).map(_.booleanValue))))
+      .toMap
+    def nReq(p1: Double, d: Double): Long = {
+      val p2 = p1 + d
+      math.ceil(graft.ops.Experiment.PowerKappa
+        * (p1 * (1.0 - p1) + p2 * (1.0 - p2)) / (d * d)).toLong
+    }
+    assert(got(0.05)._1 == 100L && got(0.05)._2 == 0.2)
+    assert(got(0.05)._3.contains(nReq(0.2, 0.05)), s"${got(0.05)}")
+    assert(got(0.05)._4 == 50L)
+    // ~2600 users/arm needed for a 5-point lift at p=0.2 — 50 cannot power it
+    assert(got(0.05)._5.contains(false))
+    assert(got(0.10)._3.contains(nReq(0.2, 0.10)))
+    assert(got(0.10)._5.contains(50L >= nReq(0.2, 0.10)))
+    // p_target = 1.05: meaningless design reports nulls
+    assert(got(0.85)._3.isEmpty && got(0.85)._5.isEmpty)
+    intercept[IllegalArgumentException](
+      graft.ops.Experiment.powerPlan(ev, "user_id", lit(true),
+        effects = Seq(1.5)))
+  }
+
   test("completeness: disjoint null/nan/empty counters per column; arrays, strings, doubles covered") {
     import spark.implicits._
     val df = Seq(
