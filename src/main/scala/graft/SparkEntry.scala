@@ -1188,6 +1188,9 @@ object SparkEntry {
     // rotated seasonal state folded over the pinned series sort
     "ts_holtwinters" -> ((s, dir) => SeriesOps.holtWinters(pts(s, dir))),
     "ts_autocorr" -> ((s, dir) => SeriesOps.autocorr(pts(s, dir), maxLag = 3)),
+    // partial autocorrelation via Durbin-Levinson over the textbook ACF:
+    // the Box-Jenkins order-selection diagnostic (AR(p) cuts off at p)
+    "ts_pacf" -> ((s, dir) => SeriesOps.pacf(pts(s, dir), maxLag = 6)),
     // Ljung-Box whiteness test at h = min(6, n-1): the "is this residual
     // still structured" gate over the textbook autocovariance ACF
     "ts_ljungbox" -> ((s, dir) => SeriesOps.ljungBox(pts(s, dir), maxLag = 6)),
@@ -2303,6 +2306,11 @@ object SparkEntry {
       pts(s, dir).createOrReplaceTempView("graft_sql_pts_mo")
       s.sql(s"SELECT * FROM graft_motifs('graft_sql_pts_mo', ${3600L * NsPerS})")
     }),
+    "sql_pacf" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      pts(s, dir).createOrReplaceTempView("graft_sql_pts_pc")
+      s.sql("SELECT * FROM graft_pacf('graft_sql_pts_pc', 6)")
+    }),
     "sql_completeness" -> ((s, dir) => {
       graft.core.GraftTableFunctions.registerAll(s)
       Tables(s, dir).events.createOrReplaceTempView("graft_sql_ev_cp")
@@ -2393,6 +2401,7 @@ object SparkEntry {
       "sql_rp" -> base("vec_rp"),
       "sql_lsh_plan" -> base("dedup_lsh_plan"),
       "sql_minhash_eval" -> base("dedup_eval"),
+      "sql_pacf" -> base("ts_pacf"),
       // incremental maintenance must equal the full recompute exactly
       "dedup_incremental" -> base("dedup_clusters"),
       // the streaming face scores pairs with the batch kernel's arithmetic
@@ -3109,6 +3118,53 @@ object SparkEntry {
          |      / sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
          |           * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)) END AS acf
          |FROM s""".stripMargin
+    },
+    // Twin of SeriesOps.pacf(maxLag = 6): the same textbook ACF body, then
+    // the Durbin-Levinson recursion unrolled as one LINEAR CTE chain (each
+    // step referenced once — no MATERIALIZED needed): per step, the same
+    // seeded-0.0 inner folds, the same reflection, 1-based list indices
+    // mapping Spark's 0-based lambda index via i_duck = i_spark + 1.
+    "ts_pacf" -> {
+      def lagSel(l: Int) =
+        s"""SELECT series_id, mean, denom, $l AS lag,
+           |  lag(value, $l) OVER lwin$l AS x, value AS y FROM ct
+           |  WINDOW lwin$l AS (PARTITION BY series_id ORDER BY ts, value)""".stripMargin
+      def sumFold(terms: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $terms), (a, c) -> a + c)"
+      def step(k: Int) = {
+        val sumA = sumFold(s"list_transform(phi, (x, i) -> x * rhos[$k - i])")
+        val sumB = sumFold("list_transform(phi, (x, i) -> x * rhos[i])")
+        val pkk = "(num / den)"
+        s"""q$k AS (SELECT series_id, rhos, phi, pk,
+           |  CASE WHEN $k <= len(rhos) THEN rhos[$k] - $sumA END AS num,
+           |  CASE WHEN $k <= len(rhos) THEN 1.0 - $sumB END AS den
+           |  FROM p${k - 1}),
+           |p$k AS (SELECT series_id, rhos,
+           |  CASE WHEN $k <= len(rhos)
+           |    THEN list_append(list_transform(phi, (x, i) -> x - $pkk * phi[$k - i]), $pkk)
+           |    ELSE phi END AS phi,
+           |  CASE WHEN $k <= len(rhos) THEN list_append(pk, $pkk) ELSE pk END AS pk
+           |  FROM q$k)""".stripMargin
+      }
+      s"""WITH points AS ($PointsCte),
+         |p AS (SELECT series_id, ts, value FROM points WHERE NOT isnan(value)),
+         |st AS (SELECT series_id, ts, value,
+         |  avg(value) OVER (PARTITION BY series_id) AS mean FROM p),
+         |ct AS (SELECT *, sum((value - mean) * (value - mean))
+         |    OVER (PARTITION BY series_id) AS denom FROM st),
+         |lagged AS (
+         |${(1 to 6).map(lagSel).mkString("\nUNION ALL\n")}),
+         |s AS (SELECT series_id, lag, max(denom) AS denom,
+         |  sum((y - mean) * (x - mean)) AS num
+         |  FROM lagged WHERE x IS NOT NULL AND denom > 0 GROUP BY 1, 2),
+         |r AS (SELECT series_id, list(num / denom ORDER BY lag) AS rhos
+         |  FROM s GROUP BY 1),
+         |p0 AS (SELECT series_id, rhos, CAST([] AS DOUBLE[]) AS phi,
+         |  CAST([] AS DOUBLE[]) AS pk FROM r),
+         |${(1 to 6).map(step).mkString(",\n")}
+         |SELECT series_id, CAST(u.i AS INTEGER) AS lag,
+         |  rhos[CAST(u.i AS INTEGER)] AS rho, pk[CAST(u.i AS INTEGER)] AS pacf
+         |FROM p6 CROSS JOIN range(1, 7) u(i) WHERE u.i <= len(pk)""".stripMargin
     },
     // Twin of SeriesOps.ljungBox(maxLag = 6): same full-series-mean ACF
     // (autocovariance numerator over the Σ(x−x̄)² denominator), same

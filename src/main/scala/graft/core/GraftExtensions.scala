@@ -56,6 +56,7 @@ import graft.functions.{CharNgramCodes, MinHashSig, PolyHash, SimHashSig, SimHas
   *  - `graft_random_project('view', d_out, d_in)` — JL sign projection
   *  - `graft_lsh_plan(n, target)` — LSH banding S-curve planner
   *  - `graft_minhash_eval('view')` — measured dedup precision/recall
+  *  - `graft_pacf('view', h)` — Durbin–Levinson partial autocorrelation
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
@@ -331,6 +332,12 @@ object GraftTableFunctions {
       (exprs: Seq[Expression]) => plan(graft.pipeline.Dedup.lshPlan(
         SparkSession.active, intArg(exprs(0), "n_hashes"),
         doubleArg(exprs(1), "target_jaccard")))),
+    (FunctionIdentifier("graft_pacf"),
+      info("graft_pacf",
+        "graft_pacf(table, max_lag) - per-series partial autocorrelation " +
+          "via the Durbin-Levinson recursion"),
+      (exprs: Seq[Expression]) => plan(graft.ts.SeriesOps.pacf(
+        rel(strArg(exprs(0), "table name")), intArg(exprs(1), "max_lag")))),
     (FunctionIdentifier("graft_minhash_eval"),
       info("graft_minhash_eval",
         "graft_minhash_eval(table) - measured precision/recall of the " +

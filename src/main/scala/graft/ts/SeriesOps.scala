@@ -763,6 +763,84 @@ object SeriesOps {
       q.as("q_stat"), (q > crit).as("reject_white_noise"))
   }
 
+  /** Per-series partial autocorrelation (PACF) via the Durbin–Levinson
+    * recursion — the Box–Jenkins order-selection companion to [[autocorr]]
+    * and [[ljungBox]]: pacf(k) is the correlation of x_t with x_{t−k}
+    * AFTER the intermediate lags are regressed out, so an AR(p) process
+    * cuts off sharply after lag p where the raw ACF only decays. Uses the
+    * same textbook autocovariance ACF as [[ljungBox]] (full-series mean,
+    * Σ(x−x̄)² denominator — the estimator the recursion is derived for).
+    *
+    * The recursion is a per-series FOLD over the collected lag-ordered ρ
+    * array: step k computes φ_kk = (ρ_k − Σφ_j ρ_{k−j}) / (1 − Σφ_j ρ_j)
+    * and reflects the coefficient vector — pure list algebra with pinned
+    * inner fold order, expressible identically in the twin (the
+    * [[holtWinters]] rationale). Emits (lag, rho, pacf) per series for
+    * lags 1..min(maxLag, observed). Degenerate series (zero denominator —
+    * constants) emit no rows, same contract as [[autocorr]]'s null.
+    *
+    * Scale shape: one shuffle on the series key (windows + the per-lag
+    * and per-series aggregations are sub-keys of it); the fold runs on
+    * ≤ maxLag doubles per series.
+    */
+  def pacf(points: DataFrame, maxLag: Int = 6): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 12,
+      s"maxLag must be in [1, 12], got $maxLag")
+    val bySeries = Window.partitionBy("series_id")
+    val byTime = Window.partitionBy("series_id").orderBy(col("ts"), col("value"))
+    val p = points.where(notNan(col("value")))
+      .withColumn("__mean", avg(col("value")).over(bySeries))
+      .withColumn("__denom",
+        sum((col("value") - col("__mean")) * (col("value") - col("__mean")))
+          .over(bySeries))
+    val lagged = (1 to maxLag).foldLeft(p) { (df, l) =>
+      df.withColumn(s"__lag$l", lag(col("value"), l).over(byTime))
+    }
+    val terms = lagged.select(col("series_id"), col("__mean"), col("__denom"),
+      col("value").as("__y"),
+      explode(array((1 to maxLag).map(l =>
+        struct(lit(l).as("lag"), col(s"__lag$l").as("prev"))): _*)).as("lp"))
+      .select(col("series_id"), col("__mean"), col("__denom"),
+        col("lp.lag").as("lag"), col("__y"), col("lp.prev").as("__x"))
+      .where(col("__x").isNotNull && col("__denom") > 0)
+    val perLag = terms.groupBy("series_id", "lag").agg(
+      max(col("__denom")).as("__denom"),
+      sum((col("__y") - col("__mean")) * (col("__x") - col("__mean")))
+        .as("__num"))
+    val rhos = perLag
+      .groupBy("series_id")
+      .agg(array_sort(collect_list(struct(col("lag"),
+        (col("__num") / col("__denom")).as("__rho")))).as("__lr"))
+      .select(col("series_id"),
+        transform(col("__lr"), x => x.getField("__rho")).as("__rhos"))
+    def sumArr(a: Column): Column =
+      aggregate(a, lit(0.0), (s, v) => s + v)
+    val emptyD = array().cast("array<double>")
+    val state = aggregate(
+      sequence(lit(1), size(col("__rhos"))),
+      struct(emptyD.as("phi"), emptyD.as("pk")),
+      (acc, k) => {
+        val phi = acc.getField("phi")
+        val pk = acc.getField("pk")
+        val r = col("__rhos")
+        val num = element_at(r, k) -
+          sumArr(transform(phi, (x, i) => x * element_at(r, k - i - 1)))
+        val den = lit(1.0) -
+          sumArr(transform(phi, (x, i) => x * element_at(r, i + 1)))
+        val pkk = num / den
+        struct(
+          concat(transform(phi, (x, i) =>
+            x - pkk * element_at(phi, k - i - 1)), array(pkk)).as("phi"),
+          concat(pk, array(pkk)).as("pk"))
+      })
+    rhos
+      .withColumn("__pk", state.getField("pk"))
+      .select(col("series_id"), col("__rhos"),
+        posexplode(col("__pk")).as(Seq("__i", "pacf")))
+      .select(col("series_id"), (col("__i") + 1).as("lag"),
+        element_at(col("__rhos"), col("__i") + 1).as("rho"), col("pacf"))
+  }
+
   /** χ² 5% upper-tail critical values for df 1..6 — literal decimal strings
     * parse to the same IEEE double in any engine, so the twin's verdict
     * boundary is bit-identical.

@@ -835,6 +835,66 @@ class SeriesOpsSpec extends SparkSpec {
       s"tie rho ${got(("t1", "t2"))._2} vs $expT")
   }
 
+  test("pacf: Durbin-Levinson replay parity; AR(1) cuts off after lag 1; constants emit nothing") {
+    import spark.implicits._
+    def pacfLocal(xs: Seq[Double], maxLag: Int = 6): Seq[(Double, Double)] = {
+      val n = xs.length
+      val mean = xs.sum / n
+      val denom = xs.map(x => (x - mean) * (x - mean)).sum
+      val h = math.min(maxLag, n - 1)
+      val rhos = (1 to h).map { k =>
+        (k until n).map(t => (xs(t) - mean) * (xs(t - k) - mean)).sum / denom
+      }
+      var phi = Vector.empty[Double]
+      (1 to h).map { k =>
+        val num = rhos(k - 1) -
+          phi.zipWithIndex.map { case (x, i) => x * rhos(k - i - 2) }.sum
+        val den = 1.0 - phi.zipWithIndex.map { case (x, i) => x * rhos(i) }.sum
+        val pkk = num / den
+        phi = phi.zipWithIndex.map { case (x, i) =>
+          x - pkk * phi(k - i - 2) }.toVector :+ pkk
+        (rhos(k - 1), pkk)
+      }
+    }
+    // AR(1)-ish: x_t = 0.7 x_{t-1} + bounded deterministic pseudo-noise
+    def noise(i: Int): Double = {
+      var z = i * 0x9E3779B9
+      z ^= z >>> 16; z *= 0x85EBCA6B; z ^= z >>> 13
+      z *= 0xC2B2AE35; z ^= z >>> 16
+      (z & 0x3FF) / 1024.0 - 0.5
+    }
+    val ar1 = Iterator.iterate((0.0, 1)) { case (x, i) =>
+      (0.7 * x + noise(i), i + 1)
+    }.map(_._1).take(60).toSeq
+    val const = Seq.fill(10)(5.0)
+    val short = Seq(2.0, 9.0, 4.0, 7.0)
+    val pts = (ar1.zipWithIndex.map { case (v, i) => ("ar", i.toLong, v) } ++
+      const.zipWithIndex.map { case (v, i) => ("c", i.toLong, v) } ++
+      short.zipWithIndex.map { case (v, i) => ("sh", i.toLong, v) })
+      .toDF("series_id", "ts", "value")
+    val got = graft.ts.SeriesOps.pacf(pts).collect()
+      .map(r => (r.getAs[String]("series_id"), r.getAs[Int]("lag")) ->
+        ((r.getAs[Double]("rho"), r.getAs[Double]("pacf")))).toMap
+    assert(!got.keySet.exists(_._1 == "c"), "constant series emit nothing")
+    assert(got.keySet.count(_._1 == "sh") == 3, "n=4 -> lags 1..3")
+    val expAr = pacfLocal(ar1)
+    (1 to 6).foreach { k =>
+      val (er, ep) = expAr(k - 1)
+      val (gr, gp) = got(("ar", k))
+      assert(math.abs(gr - er) < 1e-9 * math.max(1.0, math.abs(er)), s"rho$k $gr vs $er")
+      assert(math.abs(gp - ep) < 1e-9 * math.max(1.0, math.abs(ep)), s"pacf$k $gp vs $ep")
+    }
+    // the AR(1) signature: big spike at lag 1, cutoff after
+    assert(math.abs(got(("ar", 1))._2) > 0.5, s"lag-1 ${got(("ar", 1))}")
+    (2 to 6).foreach(k =>
+      assert(math.abs(got(("ar", k))._2) < 0.3, s"lag-$k ${got(("ar", k))}"))
+    val expSh = pacfLocal(short)
+    (1 to 3).foreach { k =>
+      assert(math.abs(got(("sh", k))._2 - expSh(k - 1)._2)
+        < 1e-9 * math.max(1.0, math.abs(expSh(k - 1)._2)))
+    }
+  }
+
   test("ljungBox: driver-replay parity; AR series rejects, noise-like does not; constants null; df adapts") {
     import spark.implicits._
     def lbQ(xs: Seq[Double], maxLag: Int = 6): (Double, Int) = {

@@ -167,7 +167,9 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM graft_lsh_plan(32, 0.8)" ->
         graft.pipeline.Dedup.lshPlan(spark, 32, 0.8),
       "SELECT * FROM graft_minhash_eval('sqlspec_docs_s')" ->
-        graft.pipeline.Dedup.minhashEval(t.documents))
+        graft.pipeline.Dedup.minhashEval(t.documents),
+      "SELECT * FROM graft_pacf('sqlspec_points_s', 6)" ->
+        graft.ts.SeriesOps.pacf(pts, maxLag = 6))
     (cases ++ driftCases ++ extraCases ++ auditCases).foreach { case (sql, direct) =>
       val viaSql = spark.sql(sql)
       assert(viaSql.columns.toSeq == direct.columns.toSeq, sql)
