@@ -1630,6 +1630,13 @@ object SparkEntry {
     // NEXT window; the final window has no successor and is excluded
     "events_churn" -> ((s, dir) =>
       graft.ops.Retention.churn(Tables(s, dir).events, 7L * 86400L * NsPerS)),
+    // Kaplan-Meier survival over user lifetimes: observed churns vs
+    // right-censored still-active users, S(t) folded in one pinned order.
+    // Hour-granularity lifetimes (the corpus spans 30 days — calendar days
+    // would collapse the curve to 3 rows), 48h censoring horizon.
+    "events_survival" -> ((s, dir) =>
+      graft.ops.Retention.survival(Tables(s, dir).events,
+        censorDays = 48, dayNs = 3600L * NsPerS)),
     // telemetry repeat suppression: first event per (user, type, hour)
     // cell + how many repeats were collapsed — retry storms become one
     // logical event per window
@@ -4626,6 +4633,41 @@ object SparkEntry {
          |    / (effect * effect)) AS BIGINT) END AS powered
          |FROM g""".stripMargin
     },
+    // Twin of Retention.survival(censorDays=14): same lifetime rollup, the
+    // risk set by integer prefix sums, and S(t) as the identical seeded
+    // (risk, product) fold over the t-sorted prefix — one pinned
+    // multiplication order in both engines.
+    "events_survival" ->
+      s"""WITH u AS (SELECT user_id,
+         |  min(epoch_ns(ts) // ${3600L * NsPerS}) AS fd,
+         |  max(epoch_ns(ts) // ${3600L * NsPerS}) AS ld
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         |m AS (SELECT max(ld) AS maxd FROM u),
+         |l AS (SELECT ld - fd AS t,
+         |  CASE WHEN ld <= maxd - 48 THEN 1 ELSE 0 END AS obs
+         |  FROM u CROSS JOIN m),
+         |r AS (SELECT t, CAST(sum(obs) AS BIGINT) AS d,
+         |  CAST(count(*) - sum(obs) AS BIGINT) AS c FROM l GROUP BY 1),
+         |g AS (SELECT list(t ORDER BY t) AS tl,
+         |  list(CAST(d AS DOUBLE) ORDER BY t) AS dl,
+         |  list(CAST(c AS DOUBLE) ORDER BY t) AS cl,
+         |  CAST(sum(d + c) AS BIGINT) AS n FROM r),
+         |ix AS (SELECT n, dl, cl, tl,
+         |  unnest(list_transform(tl, (x, k) -> k)) AS i0 FROM g),
+         |rows_ AS (SELECT n, dl, cl, CAST(i0 AS INTEGER) AS i,
+         |  tl[CAST(i0 AS INTEGER)] AS t FROM ix)
+         |SELECT t,
+         |  n - CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(dl[1:i-1], (x, k) -> x + cl[k])),
+         |    (a, x) -> a + x) AS BIGINT) AS n_risk,
+         |  CAST(dl[i] AS BIGINT) AS n_events,
+         |  CAST(cl[i] AS BIGINT) AS n_censored,
+         |  list_reduce(list_prepend([CAST(n AS DOUBLE), CAST(1 AS DOUBLE)],
+         |      list_transform(dl[1:i], (x, k) -> [x, cl[k]])),
+         |    (a, e) -> [a[1] - e[1] - e[2],
+         |      a[2] * (CAST(1 AS DOUBLE) - e[1] / a[1])])[2] AS survival
+         |FROM rows_""".stripMargin,
+
     "events_ab_test" ->
       s"""WITH u AS (SELECT user_id,
          |  max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv

@@ -214,4 +214,76 @@ object Retention {
         (coalesce(col("n_churned"), lit(0L)).cast("double")
           / col("n_active").cast("double")).as("churn_rate"))
   }
+
+  /** Kaplan–Meier survival curve over user lifetimes — the product-limit
+    * estimator (Kaplan & Meier 1958) that churn dashboards actually need:
+    * "what fraction of users are still active t days after their first
+    * event", with the right-censoring the naive histogram gets wrong. A
+    * user's lifetime is last-day − first-day (UTC floor-division days);
+    * the churn event is OBSERVED only when the last activity predates the
+    * corpus end by at least `censorDays` — users still active near the
+    * end are censored (their lifetime is a lower bound), and censored
+    * users leave the risk set without pulling the curve down.
+    *
+    * One row per distinct lifetime t: the risk-set size just before t,
+    * observed churns d(t), censored exits c(t), and
+    * S(t) = Π_{t' ≤ t} (1 − d(t')/n(t')).
+    *
+    * Exactness: d, c, and the risk set are integer aggregates; S(t) is a
+    * running float product, which a partial-combined aggregate would
+    * reorder — so the per-lifetime rollup (≤ corpus-day-span rows,
+    * metadata scale) collects into ONE t-sorted array and every row's
+    * survival folds over its own prefix with a (risk, product) struct
+    * accumulator: one pinned multiplication order in both engines
+    * (ts_spectral's lesson). The prefix folds are quadratic in distinct
+    * lifetimes — bounded by the day span, never by users.
+    *
+    * Scale shape: one per-user partial-combined aggregate (the only
+    * corpus-scale shuffle, on the well-spread user key), a ≤ span-sized
+    * rollup, then array algebra on one row. At 100 TB of events this is a
+    * scan plus two reductions.
+    */
+  def survival(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", censorDays: Long = 14,
+      dayNs: Long = 86400L * 1000 * 1000 * 1000): DataFrame = {
+    require(censorDays >= 0, s"censorDays must be >= 0, got $censorDays")
+    require(dayNs > 0, s"dayNs must be positive, got $dayNs")
+    val users = events
+      .where(col(userCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        expr(s"(`$tsCol` - pmod(`$tsCol`, $dayNs)) div $dayNs").as("__day"))
+      .groupBy("__u")
+      .agg(min("__day").as("__fd"), max("__day").as("__ld"))
+    val maxDay = users.agg(max("__ld").as("__maxd"))
+    val rollup = users.crossJoin(broadcast(maxDay))
+      .select((col("__ld") - col("__fd")).as("t"),
+        when(col("__ld") <= col("__maxd") - censorDays, 1L).otherwise(0L)
+          .as("__obs"))
+      .groupBy("t")
+      .agg(sum("__obs").as("d"), (count(lit(1)) - sum("__obs")).as("c"))
+    val packed = rollup
+      .agg(array_sort(collect_list(struct(col("t"), col("d"), col("c"))))
+        .as("__arr"))
+      .withColumn("__n",
+        aggregate(col("__arr"), lit(0L),
+          (a, x) => a + x.getField("d") + x.getField("c")))
+    // 1-based prefix: row i's risk set excludes exits at earlier lifetimes
+    // only; its survival folds rows 1..i with the factor computed BEFORE
+    // the row's own exits leave the risk set.
+    val surv = aggregate(
+      expr("slice(__arr, 1, __pos + 1)"),
+      struct(col("__n").cast("double").as("rem"), lit(1.0).as("s")),
+      (acc, x) => struct(
+        (acc.getField("rem") - x.getField("d") - x.getField("c")).as("rem"),
+        (acc.getField("s") * (lit(1.0)
+          - x.getField("d").cast("double") / acc.getField("rem"))).as("s")))
+    packed
+      .select(col("__arr"), col("__n"),
+        posexplode(col("__arr")).as(Seq("__pos", "__r")))
+      .select(col("__r.t").as("t"),
+        (col("__n") - aggregate(expr("slice(__arr, 1, __pos)"), lit(0L),
+          (a, x) => a + x.getField("d") + x.getField("c"))).as("n_risk"),
+        col("__r.d").as("n_events"), col("__r.c").as("n_censored"),
+        surv.getField("s").as("survival"))
+  }
 }

@@ -81,6 +81,44 @@ class PipelineOpsSpec extends SparkSpec {
       && g2(0).getAs[Double]("churn_rate") == 0.0)
   }
 
+  test("survival: Kaplan-Meier matches the hand product; censoring holds the curve") {
+    val day = 100L
+    // corpus ends at day 9; censorDays = 2 -> last activity on day >= 8 is
+    // censored. Lifetimes (last - first):
+    //   u1: d0..d1 -> t=1 observed      u2: d0..d1 -> t=1 observed
+    //   u3: d0..d3 -> t=3 observed      u4: d2..d5 -> t=3 observed
+    //   u5: d0..d8 -> t=8 censored      u6: d4..d9 -> t=5 censored
+    val events = Seq(
+      (1L, 0L), (1L, day + 1),
+      (2L, 2L), (2L, day + 5),
+      (3L, 3L), (3L, 3 * day + 1),
+      (4L, 2 * day + 1), (4L, 5 * day + 2),
+      (5L, 4L), (5L, 8 * day + 3),
+      (6L, 4 * day + 1), (6L, 9 * day + 7)).toDF("user_id", "ts")
+    val got = graft.ops.Retention.survival(events, censorDays = 2, dayNs = day)
+      .collect().map(r => r.getAs[Long]("t") ->
+        ((r.getAs[Long]("n_risk"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("n_censored"), r.getAs[Double]("survival")))).toMap
+    assert(got.keySet == Set(1L, 3L, 5L, 8L), s"$got")
+    // t=1: risk 6, 2 deaths -> S = 1 - 2/6 = 2/3
+    assert(got(1L) == ((6L, 2L, 0L, 1.0 - 2.0 / 6.0)), s"${got(1L)}")
+    // t=3: risk 4, 2 deaths -> S = (2/3)(1 - 2/4)
+    assert(got(3L) == ((4L, 2L, 0L, (1.0 - 2.0 / 6.0) * (1.0 - 2.0 / 4.0))),
+      s"${got(3L)}")
+    // t=5: risk 2, censored only -> curve unchanged
+    assert(got(5L)._1 == 2L && got(5L)._3 == 1L
+      && got(5L)._4 == got(3L)._4, s"${got(5L)}")
+    // t=8: risk 1, censored -> curve still unchanged, risk set exact
+    assert(got(8L) == ((1L, 0L, 1L, got(3L)._4)), s"${got(8L)}")
+    // risk sets tie out: total users enter, every exit leaves exactly once
+    val rows = graft.ops.Retention.survival(events, censorDays = 2, dayNs = day)
+      .collect().sortBy(_.getAs[Long]("t"))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_risk") == a.getAs[Long]("n_risk")
+        - a.getAs[Long]("n_events") - a.getAs[Long]("n_censored"))
+    }
+  }
+
   test("ngramNovelty: an exact copy scores 0; fresh material 1; partial overlap exact") {
     import graft.pipeline.TextOps
     val docs = Seq(
