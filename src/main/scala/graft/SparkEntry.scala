@@ -1578,6 +1578,14 @@ object SparkEntry {
     "events_ab_test" -> ((s, dir) =>
       graft.ops.Experiment.abTest(Tables(s, dir).events, "user_id",
         col("event_type") === "purchase" && col("value") > 150)),
+    // CUPED variance-reduced readout of the same experiment (same salt ->
+    // same arms): purchase revenue adjusted by its pre-period covariate,
+    // every moment an exact integer until the final pinned doubles
+    "events_cuped" -> ((s, dir) =>
+      graft.ops.Experiment.cuped(Tables(s, dir).events, "user_id",
+        when(col("event_type") === "purchase" && col("value").isNotNull
+          && !isnan(col("value")), floor(col("value")).cast("long"))
+          .otherwise(0L))),
     // the design-time face of the A/B test: per detectable effect size,
     // the two-proportion sample-size requirement at 5%/80% against the
     // MEASURED baseline conversion, and whether this corpus can power it
@@ -4667,6 +4675,74 @@ object SparkEntry {
          |    (a, e) -> [a[1] - e[1] - e[2],
          |      a[2] * (CAST(1 AS DOUBLE) - e[1] / a[1])])[2] AS survival
          |FROM rows_""".stripMargin,
+
+    // Twin of Experiment.cuped: same midpoint split, the identical CW arm
+    // hash, HUGEINT moments (exact like Spark's decimal(38,0) sums), and
+    // the same pinned double expression trees for theta / adjusted means /
+    // variance ratio / z.
+    "events_cuped" ->
+      s"""WITH b AS (SELECT min(epoch_ns(ts)) AS lo, max(epoch_ns(ts)) AS hi
+         |  FROM events),
+         |e0 AS (SELECT user_id, epoch_ns(ts) AS tns,
+         |  CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+         |    AND NOT isnan(value) THEN CAST(floor(value) AS BIGINT)
+         |    ELSE 0 END AS m
+         |  FROM events WHERE user_id IS NOT NULL),
+         |e AS (SELECT user_id,
+         |  CASE WHEN tns < (lo + hi) // 2 THEN m ELSE 0 END AS mx,
+         |  CASE WHEN tns >= (lo + hi) // 2 THEN m ELSE 0 END AS my
+         |  FROM e0 CROSS JOIN b),
+         |u AS (SELECT user_id, CAST(sum(mx) AS BIGINT) AS x,
+         |  CAST(sum(my) AS BIGINT) AS y FROM e GROUP BY 1),
+         |a AS (SELECT x, y,
+         |  CASE WHEN ((${phSql("CAST(user_id AS VARCHAR)", "0")}
+         |    * ${Sampling.saltMult("abtest")} + ${Sampling.saltAdd("abtest")})
+         |    % 1000000007) % 10000 < 5000 THEN 'A' ELSE 'B' END AS arm FROM u),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy,
+         |  sum(y*y) AS syy,
+         |  CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |  sum(CASE WHEN arm = 'A' THEN x ELSE 0 END) AS sx_a,
+         |  sum(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS sy_a,
+         |  CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |  sum(CASE WHEN arm = 'B' THEN x ELSE 0 END) AS sx_b,
+         |  sum(CASE WHEN arm = 'B' THEN y ELSE 0 END) AS sy_b
+         |  FROM a),
+         |v AS (SELECT *, n * sxx - sx * sx AS vxx, n * sxy - sx * sy AS vxy,
+         |  n * syy - sy * sy AS vyy FROM g),
+         |t AS (SELECT *,
+         |  CASE WHEN vxx > 0 THEN CAST(vxy AS DOUBLE) / CAST(vxx AS DOUBLE)
+         |    END AS theta,
+         |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+         |  CASE WHEN n_a > 0 THEN CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         |    END AS mean_a,
+         |  CASE WHEN n_b > 0 THEN CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+         |    END AS mean_b,
+         |  CASE WHEN n_a > 0 THEN CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         |    END AS mean_x_a,
+         |  CASE WHEN n_b > 0 THEN CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+         |    END AS mean_x_b
+         |  FROM v),
+         |w AS (SELECT *,
+         |  mean_a - theta * (mean_x_a - mean_x) AS adj_mean_a,
+         |  mean_b - theta * (mean_x_b - mean_x) AS adj_mean_b,
+         |  CAST(vyy AS DOUBLE) - CAST(2 AS DOUBLE) * theta * CAST(vxy AS DOUBLE)
+         |    + theta * theta * CAST(vxx AS DOUBLE) AS vnum
+         |  FROM t),
+         |z AS (SELECT *, sqrt(vnum / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+         |    * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+         |      + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS se FROM w),
+         |f AS (SELECT *, CASE WHEN n_a > 0 AND n_b > 0
+         |    AND se > CAST(0 AS DOUBLE)
+         |    THEN (adj_mean_b - adj_mean_a) / se END AS z_adj FROM z)
+         |SELECT n, n_a, n_b, theta, mean_a, mean_b,
+         |  mean_b - mean_a AS diff_raw, adj_mean_a, adj_mean_b,
+         |  adj_mean_b - adj_mean_a AS diff_adj,
+         |  CASE WHEN vyy > 0 THEN vnum / CAST(vyy AS DOUBLE)
+         |    END AS var_reduction,
+         |  z_adj, coalesce(abs(z_adj) > CAST(1.96 AS DOUBLE), false)
+         |    AS significant
+         |FROM f""".stripMargin,
 
     "events_ab_test" ->
       s"""WITH u AS (SELECT user_id,

@@ -126,6 +126,98 @@ object Experiment {
         when(col("p_target") < 1.0, col("n_available") >= col("n_required")))
   }
 
+  /** CUPED variance-reduced experiment readout (Deng, Xu, Kohavi & Walker
+    * 2013) — the standard trick that makes small lifts detectable without
+    * more users: regress the post-period metric y on the PRE-period
+    * covariate x (the same metric before the split point; pre-period data
+    * cannot be affected by the treatment), and analyze the adjusted metric
+    * ŷ = y − θ·(x − x̄) whose variance shrinks by the squared correlation.
+    * θ = cov(x, y)/var(x) is pooled over both arms, the unbiased choice.
+    *
+    * The split point is the integer midpoint of the corpus's time range;
+    * arms come from the same salt-keyed Carter–Wegman user hash as
+    * [[abTest]] (salt "abtest" → the SAME arms, so this is the
+    * variance-reduced readout of the same experiment). `metric` is a
+    * per-event INTEGER contribution (e.g. floored purchase value) — the
+    * integer contract is what makes every moment exact.
+    *
+    * Exactness: per-user x/y are long sums; the cross-user moments Σx,
+    * Σy, Σx², Σxy, Σy² accumulate as decimal(38,0) (exact, order-free —
+    * a float sum here would wobble at the compare's 9th digit), and the
+    * co-moment identities n·Σxy − Σx·Σy etc. stay integer-exact until the
+    * final pinned double expressions. Adjusted means need no per-user
+    * adjusted values: mean(ŷ)_arm = ȳ_arm − θ(x̄_arm − x̄), and
+    * var(ŷ) = var(y) − 2θcov + θ²var(x), all from the same moments.
+    * Degenerate designs (no x variance, no y variance, an empty arm)
+    * yield null θ / ratio / z rather than dividing by zero.
+    *
+    * Scale shape: one partial-combined per-user aggregate on the
+    * well-spread user key (the only corpus-scale shuffle), then a
+    * single-row moment reduction — a scan plus two reductions at 100 TB.
+    */
+  def cuped(events: DataFrame, userCol: String, metric: Column,
+      tsCol: String = "ts", salt: String = "abtest"): DataFrame = {
+    val bounds = events.agg(min(col(tsCol)).as("__lo"), max(col(tsCol)).as("__hi"))
+    val m = coalesce(metric.cast("long"), lit(0L))
+    val mid = expr("(__lo + __hi) div 2")
+    val users = events
+      .where(col(userCol).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(col(userCol).as("__user"),
+        when(col(tsCol) < mid, m).otherwise(0L).as("__mx"),
+        when(col(tsCol) >= mid, m).otherwise(0L).as("__my"))
+      .groupBy("__user")
+      .agg(sum("__mx").as("__x"), sum("__my").as("__y"))
+      .withColumn("__arm",
+        when(Sampling.bucketOf(col("__user"), salt) < Sampling.Buckets / 2, "A")
+          .otherwise("B"))
+    val dec = (c: Column) => c.cast("decimal(20,0)")
+    val g = users.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("__x"))).as("sx"), sum(dec(col("__y"))).as("sy"),
+      sum(dec(col("__x")) * dec(col("__x"))).as("sxx"),
+      sum(dec(col("__x")) * dec(col("__y"))).as("sxy"),
+      sum(dec(col("__y")) * dec(col("__y"))).as("syy"),
+      sum(when(col("__arm") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__arm") === "A", dec(col("__x"))).otherwise(dec(lit(0L))))
+        .as("sx_a"),
+      sum(when(col("__arm") === "A", dec(col("__y"))).otherwise(dec(lit(0L))))
+        .as("sy_a"),
+      sum(when(col("__arm") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__arm") === "B", dec(col("__x"))).otherwise(dec(lit(0L))))
+        .as("sx_b"),
+      sum(when(col("__arm") === "B", dec(col("__y"))).otherwise(dec(lit(0L))))
+        .as("sy_b"))
+    val nD = col("n").cast("decimal(20,0)")
+    val v = g.select(col("*"),
+      (nD * col("sxx") - col("sx") * col("sx")).as("__vxx"),
+      (nD * col("sxy") - col("sx") * col("sy")).as("__vxy"),
+      (nD * col("syy") - col("sy") * col("sy")).as("__vyy"))
+    val D = (c: Column) => c.cast("double")
+    val theta = when(col("__vxx") > 0, D(col("__vxy")) / D(col("__vxx")))
+    val meanX = D(col("sx")) / D(col("n"))
+    val meanA = when(col("n_a") > 0, D(col("sy_a")) / D(col("n_a")))
+    val meanB = when(col("n_b") > 0, D(col("sy_b")) / D(col("n_b")))
+    val meanXA = when(col("n_a") > 0, D(col("sx_a")) / D(col("n_a")))
+    val meanXB = when(col("n_b") > 0, D(col("sx_b")) / D(col("n_b")))
+    val adjA = meanA - theta * (meanXA - meanX)
+    val adjB = meanB - theta * (meanXB - meanX)
+    val varAdjNum =
+      D(col("__vyy")) - lit(2.0) * theta * D(col("__vxy")) +
+        theta * theta * D(col("__vxx"))
+    val varAdjPop = varAdjNum / (D(col("n")) * D(col("n")))
+    val se = sqrt(varAdjPop * (lit(1.0) / D(col("n_a")) + lit(1.0) / D(col("n_b"))))
+    v.select(col("n"), col("n_a"), col("n_b"), theta.as("theta"),
+        meanA.as("mean_a"), meanB.as("mean_b"),
+        (meanB - meanA).as("diff_raw"),
+        adjA.as("adj_mean_a"), adjB.as("adj_mean_b"),
+        (adjB - adjA).as("diff_adj"),
+        when(col("__vyy") > 0, varAdjNum / D(col("__vyy"))).as("var_reduction"),
+        when(col("n_a") > 0 && col("n_b") > 0 && se > 0.0,
+          (adjB - adjA) / se).as("z_adj"))
+      .withColumn("significant", coalesce(abs(col("z_adj")) > 1.96, lit(false)))
+  }
+
   def calibrationBins(df: DataFrame, probCol: String, labelCol: String,
       nBins: Int = 10): DataFrame = {
     require(nBins >= 1, s"nBins must be >= 1, got $nBins")

@@ -119,6 +119,69 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("cuped: exact driver replay; correlated covariate shrinks variance; flat covariate degenerates") {
+    import graft.functions.PolyHash
+    import graft.pipeline.{Sampling => S}
+    import graft.ops.Experiment
+    // per-user persistent spend: pre = base(u), post = 2*base(u) + u%3 —
+    // strongly correlated, so CUPED should remove most of the variance
+    val users = (1L to 40L)
+    val base = users.map(u => u -> (10L + (u % 7) * 5L)).toMap
+    val rows = users.flatMap { u =>
+      Seq((u, 1L, base(u)), (u, 8L, 2L * base(u) + u % 3)) // lo=1 hi=8 mid=4
+    }.toSeq
+    val got = Experiment.cuped(rows.toDF("user_id", "ts", "v"),
+      "user_id", col("v"), "ts").collect()(0)
+    // driver replay of the exact arithmetic
+    def arm(u: Long): String = {
+      val b = ((PolyHash.hash(u.toString, 0L) * S.saltMult("abtest")
+        + S.saltAdd("abtest")) % PolyHash.Mod) % S.Buckets
+      if (b < S.Buckets / 2) "A" else "B"
+    }
+    val xs = users.map(u => u -> base(u)).toMap
+    val ys = users.map(u => u -> (2L * base(u) + u % 3)).toMap
+    val n = users.size.toLong
+    def bsum(f: Long => Long, who: Long => Boolean = _ => true): BigInt =
+      users.filter(who).map(u => BigInt(f(u))).sum
+    val (sx, sy) = (bsum(xs), bsum(ys))
+    val (sxx, sxy, syy) =
+      (bsum(u => xs(u) * xs(u)), bsum(u => xs(u) * ys(u)), bsum(u => ys(u) * ys(u)))
+    val aSet = (u: Long) => arm(u) == "A"
+    val bSet = (u: Long) => arm(u) == "B"
+    val (na, nb) = (users.count(aSet).toLong, users.count(bSet).toLong)
+    assert(na > 0 && nb > 0)
+    val (vxx, vxy, vyy) =
+      (BigInt(n) * sxx - sx * sx, BigInt(n) * sxy - sx * sy, BigInt(n) * syy - sy * sy)
+    val theta = vxy.toDouble / vxx.toDouble
+    val meanX = sx.toDouble / n.toDouble
+    val meanA = bsum(ys, aSet).toDouble / na.toDouble
+    val meanB = bsum(ys, bSet).toDouble / nb.toDouble
+    val meanXA = bsum(xs, aSet).toDouble / na.toDouble
+    val meanXB = bsum(xs, bSet).toDouble / nb.toDouble
+    val adjA = meanA - theta * (meanXA - meanX)
+    val adjB = meanB - theta * (meanXB - meanX)
+    val vnum = vyy.toDouble - 2.0 * theta * vxy.toDouble + theta * theta * vxx.toDouble
+    val se = math.sqrt(vnum / (n.toDouble * n.toDouble)
+      * (1.0 / na.toDouble + 1.0 / nb.toDouble))
+    assert(got.getAs[Long]("n") == n && got.getAs[Long]("n_a") == na
+      && got.getAs[Long]("n_b") == nb)
+    assert(got.getAs[Double]("theta") == theta, s"theta ${got.getAs[Double]("theta")} vs $theta")
+    assert(got.getAs[Double]("adj_mean_a") == adjA)
+    assert(got.getAs[Double]("adj_mean_b") == adjB)
+    assert(got.getAs[Double]("diff_adj") == adjB - adjA)
+    assert(got.getAs[Double]("var_reduction") == vnum / vyy.toDouble)
+    assert(got.getAs[Double]("z_adj") == (adjB - adjA) / se)
+    // y tracks 2x closely -> the adjustment removes almost all variance
+    assert(got.getAs[Double]("var_reduction") < 0.05,
+      s"expected a strong shrink, got ${got.getAs[Double]("var_reduction")}")
+    // flat covariate: vxx = 0 -> null theta, null adjusted outputs
+    val flat = users.flatMap(u => Seq((u, 1L, 7L), (u, 8L, u % 5))).toSeq
+    val g2 = Experiment.cuped(flat.toDF("user_id", "ts", "v"),
+      "user_id", col("v"), "ts").collect()(0)
+    assert(g2.isNullAt(g2.fieldIndex("theta"))
+      && g2.isNullAt(g2.fieldIndex("diff_adj")))
+  }
+
   test("ngramNovelty: an exact copy scores 0; fresh material 1; partial overlap exact") {
     import graft.pipeline.TextOps
     val docs = Seq(
