@@ -1884,6 +1884,14 @@ object SparkEntry {
     // boilerplate hubs (high degree, low lcc) for keeper policies
     "graph_triangles" -> ((s, dir) =>
       Components.triangleCounts(Dedup.minhashNearDups(Tables(s, dir).documents))),
+    // 2-core of the near-dup graph: dense duplicate families survive the
+    // peel, leaf attachments and chains fall away (8 idempotent rounds)
+    "graph_kcore" -> ((s, dir) =>
+      Components.kCore(Dedup.minhashNearDups(Tables(s, dir).documents), k = 2)),
+    // Adamic-Adar 2-hop link prediction over the same graph: the pairs
+    // LSH almost connected, weighted against promiscuous shared neighbors
+    "graph_adamic_adar" -> ((s, dir) =>
+      Components.adamicAdar(Dedup.minhashNearDups(Tables(s, dir).documents))),
     // semi-supervised label propagation over the near-dup graph: the
     // doc_id % 5 = 0 minority carries its lang label, 3 synchronous
     // re-voting rounds spread it across duplicate families (seeds
@@ -5524,6 +5532,56 @@ object SparkEntry {
          |SELECT deg.src AS doc_id, deg.deg, r3.rank
          |FROM deg JOIN r3 ON r3.id = deg.src""".stripMargin
     },
+    // Twin of Components.kCore(k=2, rounds=8): same canonical edge set,
+    // round-1 peel on full degrees, then 7 synchronous subgraph peels —
+    // every round MATERIALIZED (each alive set is referenced twice by the
+    // next round's edge filter and would re-expand exponentially).
+    "graph_kcore" -> {
+      def round(r: Int, prev: String) =
+        s"""e$r AS MATERIALIZED (SELECT u.a, u.b FROM und u
+           |  JOIN $prev x ON x.node = u.a JOIN $prev y ON y.node = u.b),
+           |a$r AS MATERIALIZED (SELECT id AS node FROM
+           |  (SELECT a AS id FROM e$r UNION ALL SELECT b FROM e$r)
+           |  GROUP BY id HAVING count(*) >= 2)""".stripMargin
+      s"""WITH $MinhashPairsCtes,
+         |und AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS a,
+         |  greatest(id_a, id_b) AS b FROM mh_pairs WHERE id_a <> id_b),
+         |deg0 AS MATERIALIZED (SELECT id AS node,
+         |  CAST(count(*) AS BIGINT) AS deg FROM
+         |  (SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+         |a1 AS MATERIALIZED (SELECT node FROM deg0 WHERE deg >= 2),
+         |${(2 to 8).map(r => round(r, s"a${r - 1}")).mkString(",\n")},
+         |ef AS (SELECT u.a, u.b FROM und u
+         |  JOIN a8 x ON x.node = u.a JOIN a8 y ON y.node = u.b),
+         |cd AS (SELECT id AS node, CAST(count(*) AS BIGINT) AS core_deg FROM
+         |  (SELECT a AS id FROM ef UNION ALL SELECT b FROM ef) GROUP BY 1)
+         |SELECT deg0.node AS doc_id, deg0.deg, cd.core_deg,
+         |  a8.node IS NOT NULL AS in_core
+         |FROM deg0 LEFT JOIN a8 ON a8.node = deg0.node
+         |LEFT JOIN cd ON cd.node = deg0.node""".stripMargin
+    },
+    // Twin of Components.adamicAdar(maxDeg=64): wedge enumeration at the
+    // shared neighbor with the same degree cap, 1/ln(deg) scored.
+    "graph_adamic_adar" ->
+      s"""WITH $MinhashPairsCtes,
+         |und AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS a,
+         |  greatest(id_a, id_b) AS b FROM mh_pairs WHERE id_a <> id_b),
+         |sym AS (SELECT a AS src, b AS dst FROM und
+         |  UNION ALL SELECT b, a FROM und),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym
+         |  GROUP BY 1),
+         |nb AS MATERIALIZED (SELECT s.src, s.dst, d.deg AS cdeg
+         |  FROM sym s JOIN deg d ON d.src = s.src
+         |  WHERE d.deg >= 2 AND d.deg <= 64),
+         |w AS (SELECT n1.dst AS id_a, n2.dst AS id_b, n1.cdeg
+         |  FROM nb n1 JOIN nb n2 ON n1.src = n2.src WHERE n1.dst < n2.dst),
+         |sc AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT)
+         |    AS common_neighbors,
+         |  sum(CAST(1 AS DOUBLE) / ln(CAST(cdeg AS DOUBLE))) AS aa_score
+         |  FROM w GROUP BY 1, 2)
+         |SELECT sc.id_a, sc.id_b, sc.common_neighbors, sc.aa_score,
+         |  u.a IS NOT NULL AS is_edge
+         |FROM sc LEFT JOIN und u ON u.a = sc.id_a AND u.b = sc.id_b""".stripMargin,
     // Twin of Components.labelPropagation(rounds=3) over the minhash
     // near-dup graph with lang seeds on doc_id % 5 = 0: per round, a
     // (node, label) vote count, the (n desc, label asc) argmax, and the

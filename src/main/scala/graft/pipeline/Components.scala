@@ -369,4 +369,107 @@ object Components {
       .unionByName(edges.select(col(dstCol).as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+
+  /** k-core membership by synchronous peeling (Seidman 1983): repeatedly
+    * remove every node whose degree in the SURVIVING subgraph is < k; what
+    * remains is the maximal subgraph where everyone keeps ≥ k neighbors.
+    * Over the near-dup graph this separates dense duplicate families
+    * (which survive) from leaf attachments and boilerplate chains (which
+    * peel away) — the structural triage behind keeper policies and hub
+    * review queues.
+    *
+    * `rounds` peels run unconditionally; peeling is monotone and
+    * idempotent at the fixpoint, so extra rounds are no-ops and a FIXED
+    * round count keeps the operator reproducible (and its SQL twin a
+    * finite unrolled chain) instead of data-dependent. Each round is one
+    * membership semi-join + a partial-combined degree count on well-spread
+    * node keys, lineage-truncated so round r's plan does not contain round
+    * r−1's. At 100 TB the edge list shuffles once per round on the edge
+    * key — no all-pairs anything.
+    *
+    * Output: every node of the input graph with its full-graph degree,
+    * its degree within the surviving core (null if peeled), and the
+    * membership flag.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 8,
+      srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = graft.core.Lineage.truncate(
+      edges.select(
+          least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct())
+    val deg0 = graft.core.Lineage.truncate(
+      und.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg")))
+    // round 1 peels on the full-graph degrees; later rounds on the
+    // surviving subgraph's
+    var alive = graft.core.Lineage.truncate(
+      deg0.where(col("deg") >= k).select("node"))
+    for (_ <- 2 to rounds) {
+      val ea = und
+        .join(alive.select(col("node").as("a")), "a")
+        .join(alive.select(col("node").as("b")), "b")
+      alive = graft.core.Lineage.truncate(
+        ea.select(explode(array(col("a"), col("b"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("cd"))
+          .where(col("cd") >= k).select("node"))
+    }
+    val ef = und
+      .join(alive.select(col("node").as("a")), "a")
+      .join(alive.select(col("node").as("b")), "b")
+    val coreDeg = ef.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+    deg0.join(alive.withColumn("__in", lit(true)), Seq("node"), "left")
+      .join(coreDeg, Seq("node"), "left")
+      .select(col("node").as("doc_id"), col("deg"), col("core_deg"),
+        coalesce(col("__in"), lit(false)).as("in_core"))
+  }
+
+  /** Adamic–Adar link prediction (Adamic & Adar 2003) over an undirected
+    * pair graph: for every non-trivial 2-hop pair (u, w), the score
+    * Σ_{v ∈ N(u)∩N(w)} 1/ln(deg v) — common neighbors weighted inversely
+    * by how promiscuous they are, so sharing a rare neighbor means more
+    * than sharing a hub. Over the near-dup graph this surfaces the pairs
+    * LSH *almost* connected (same duplicate family, no direct edge) —
+    * review candidates for dedup-threshold tuning; `is_edge` marks pairs
+    * the graph already joins.
+    *
+    * Scale shape: wedge enumeration at the shared neighbor, exactly
+    * [[triangleCounts]]'s candidate space — Σ deg(v)² — bounded here by
+    * dropping centers with deg > `maxDeg` (a hub's 1/ln(deg) contribution
+    * is the least informative, and quadratic fan-out on organic hubs is
+    * the classic skew bomb; the cap is the documented contract, not a
+    * silent truncation). Per-pair scores sum ≤ common-neighbor-count
+    * terms — few-term float sums, inside cross-engine tolerance; degree-1
+    * centers produce no wedge, so ln(deg) ≥ ln 2 > 0 always.
+    */
+  def adamicAdar(edges: DataFrame, maxDeg: Int = 64,
+      srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
+    require(maxDeg >= 2, s"maxDeg must be >= 2, got $maxDeg")
+    val und = graft.core.Lineage.truncate(
+      edges.select(
+          least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct())
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nb = sym.join(
+      deg.where(col("deg") >= 2 && col("deg") <= maxDeg)
+        .select(col("src"), col("deg").as("cdeg")), "src")
+    val wedges = nb.select(col("src"), col("dst").as("u"), col("cdeg"))
+      .join(nb.select(col("src"), col("dst").as("w")), Seq("src"))
+      .where(col("u") < col("w"))
+    wedges.groupBy(col("u").as("id_a"), col("w").as("id_b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(lit(1.0) / log(col("cdeg").cast("double"))).as("aa_score"))
+      .join(und.select(col("a").as("id_a"), col("b").as("id_b"),
+        lit(true).as("__e")), Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("common_neighbors"),
+        col("aa_score"), coalesce(col("__e"), lit(false)).as("is_edge"))
+  }
 }

@@ -276,4 +276,110 @@ class ComponentsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.pipeline.Components.labelPropagation(edges, seeds, rounds = 0))
   }
+
+  /** Reference k-core: peel to the true fixpoint on the driver. */
+  private def bruteKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, (Long, Option[Long])] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val deg0 = und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+    var alive = deg0.keySet
+    var changed = true
+    while (changed) {
+      val sub = und.filter(e => alive(e._1) && alive(e._2))
+      val d = sub.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (n, xs) => n -> xs.size }
+      val next = alive.filter(n => d.getOrElse(n, 0) >= k)
+      changed = next != alive
+      alive = next
+    }
+    val finalSub = und.filter(e => alive(e._1) && alive(e._2))
+    val coreDeg = finalSub.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+    deg0.map { case (n, d) =>
+      n -> ((d, if (alive(n)) Some(coreDeg.getOrElse(n, 0L)) else None))
+    }
+  }
+
+  private def kcoreOf(edges: Seq[(Long, Long)], k: Int): Map[Long, (Long, Option[Long], Boolean)] =
+    Components.kCore(edges.toDF("id_a", "id_b"), k)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("deg"),
+          if (r.isNullAt(r.fieldIndex("core_deg"))) None
+          else Some(r.getAs[Long]("core_deg")),
+          r.getAs[Boolean]("in_core")))).toMap
+
+  test("kCore: clique survives, pendant chain peels, random graphs match the fixpoint") {
+    // K4 with a pendant chain hung off node 0: the chain peels node by
+    // node (multi-round), the clique is the entire 2-core
+    val k4 = for (i <- 0L until 4L; j <- i + 1 until 4L) yield (i, j)
+    val chain = Seq((0L, 10L), (10L, 11L), (11L, 12L))
+    val got = kcoreOf(k4 ++ chain, 2)
+    assert(got.filter(_._2._3).keySet == Set(0L, 1L, 2L, 3L), s"$got")
+    assert(got(0L) == ((4L, Some(3L), true)))   // full deg 4, core deg 3
+    assert(got(12L) == ((1L, None, false)))
+    // random graphs: exact fixpoint parity (8 rounds must suffice at
+    // these sizes — bruteKCore iterates to the true fixpoint)
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 5; k <- Seq(2, 3)) {
+      val n = 18 + trial
+      val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      assert(kcoreOf(edges, k) ==
+        bruteKCore(edges, k).map { case (id, (d, cd)) => id -> ((d, cd, cd.isDefined)) },
+        s"trial $trial k $k")
+    }
+    intercept[IllegalArgumentException](
+      Components.kCore(Seq((1L, 2L)).toDF("id_a", "id_b"), k = 0))
+  }
+
+  test("adamicAdar: brute parity; hub cap drops wedges; is_edge flags closed pairs") {
+    def brute(edges: Seq[(Long, Long)], maxDeg: Int): Map[(Long, Long), (Long, Double, Boolean)] = {
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2))
+      val adj = nodes.map(v => v ->
+        und.collect { case (a, b) if a == v => b; case (a, b) if b == v => a }).toMap
+      val out = for {
+        u <- nodes.toSeq; w <- nodes.toSeq if u < w
+        cns = (adj(u) intersect adj(w))
+          .filter(v => adj(v).size >= 2 && adj(v).size <= maxDeg)
+        if cns.nonEmpty
+      } yield (u, w) -> ((cns.size.toLong,
+        cns.toSeq.map(v => 1.0 / math.log(adj(v).size.toDouble)).sum,
+        und((u, w))))
+      out.toMap
+    }
+    def aaOf(edges: Seq[(Long, Long)], maxDeg: Int) =
+      Components.adamicAdar(edges.toDF("id_a", "id_b"), maxDeg)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+          ((r.getAs[Long]("common_neighbors"), r.getAs[Double]("aa_score"),
+            r.getAs[Boolean]("is_edge")))).toMap
+    // path 1-2-3: the ends share rare neighbor 2 -> one open pair
+    val path = Seq((1L, 2L), (2L, 3L))
+    val gp = aaOf(path, 64)
+    assert(gp.keySet == Set((1L, 3L)))
+    assert(gp((1L, 3L))._1 == 1L && !gp((1L, 3L))._3
+      && math.abs(gp((1L, 3L))._2 - 1.0 / math.log(2.0)) < 1e-12)
+    // random graphs: exact counts, score within float-reorder tolerance
+    val rnd = new scala.util.Random(43)
+    for (trial <- 1 to 5) {
+      val n = 14 + trial
+      val edges = Seq.fill(32)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val (got, exp) = (aaOf(edges, 64), brute(edges, 64))
+      assert(got.keySet == exp.keySet, s"trial $trial")
+      exp.foreach { case (pair, (cn, score, isE)) =>
+        val g = got(pair)
+        assert(g._1 == cn && g._3 == isE, s"trial $trial $pair")
+        assert(math.abs(g._2 - score) < 1e-9, s"trial $trial $pair score")
+      }
+      // a tight hub cap must drop high-degree centers' wedges entirely
+      val (capped, cExp) = (aaOf(edges, 3), brute(edges, 3))
+      assert(capped.keySet == cExp.keySet, s"capped $trial")
+      cExp.foreach { case (pair, (cn, score, isE)) =>
+        val g = capped(pair)
+        assert(g._1 == cn && g._3 == isE && math.abs(g._2 - score) < 1e-9,
+          s"capped $trial $pair")
+      }
+    }
+  }
 }
