@@ -1916,6 +1916,13 @@ object SparkEntry {
       val e = Tables(s, dir).embeddings
       Similarity.rpTopK(e.where(col("vec_id") < 5), e, k = 3, shortlist = 50)
     }),
+    // int8 scalar-quantized shortlist (integer-exact quantized cosine —
+    // the per-vector scales cancel) + exact re-rank: the zero-training
+    // serving sibling of the PQ family
+    "sim_sq_topk" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.sqTopK(e.where(col("vec_id") < 5), e, k = 3, shortlist = 50)
+    }),
     // hybrid retrieval: BM25 top-20 fused with cosine top-20 for vector 0
     // by reciprocal-rank fusion (k_rrf = 60)
     "retrieve_rrf" -> ((s, dir) => {
@@ -5173,6 +5180,37 @@ object SparkEntry {
          |sl AS (SELECT query_id, neighbor_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY rp_sim DESC, neighbor_id ASC) AS rr FROM s) WHERE rr <= 50),
+         |x AS (SELECT sl.query_id, sl.neighbor_id,
+         |  ${cosSql("ea.v", "eb.v")} AS cos_sim
+         |  FROM sl JOIN e ea ON ea.vec_id = sl.query_id
+         |  JOIN e eb ON eb.vec_id = sl.neighbor_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM x) WHERE rank <= 3""".stripMargin
+    },
+    // Twin of Similarity.sqTopK(k=3, shortlist=50): same per-vector
+    // symmetric int8 quantization as vec_quantize, quantized cosine over
+    // the integer components (exact in doubles), exact-cosine re-rank.
+    "sim_sq_topk" -> {
+      def cosSql(a: String, b: String) =
+        s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) / " +
+          s"(sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))) * " +
+          s"sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]))))"
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |s0 AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0
+         |  AS scale, v FROM e),
+         |qz AS (SELECT vec_id, CASE WHEN scale > 0
+         |    THEN list_transform(v, x ->
+         |      CAST(CAST(round(x / scale) AS INTEGER) AS DOUBLE))
+         |    ELSE list_transform(v, x -> CAST(0 AS DOUBLE)) END AS q FROM s0),
+         |qq AS (SELECT vec_id AS query_id, q AS qv FROM qz WHERE vec_id < 5),
+         |sc AS (SELECT qq.query_id, c.vec_id AS neighbor_id,
+         |  ${cosSql("c.q", "qq.qv")} AS sq_sim
+         |  FROM qz c CROSS JOIN qq WHERE c.vec_id <> qq.query_id),
+         |sl AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sq_sim DESC, neighbor_id ASC) AS rr FROM sc) WHERE rr <= 50),
          |x AS (SELECT sl.query_id, sl.neighbor_id,
          |  ${cosSql("ea.v", "eb.v")} AS cos_sim
          |  FROM sl JOIN e ea ON ea.vec_id = sl.query_id

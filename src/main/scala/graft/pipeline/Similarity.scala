@@ -32,6 +32,56 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.Signatures.vecCosine(a, b)
 
+  /** Scalar-quantized top-k search — the serving path [[quantizeInt8]]
+    * feeds: score the whole corpus against each query in int8 (4× less
+    * bandwidth, and the quantized cosine needs only INTEGER dot products —
+    * with per-vector symmetric scales the scale factors cancel out of the
+    * cosine entirely), take a `shortlist` per query, then exact-cosine
+    * re-rank the shortlist rows' raw vectors only. The zero-training
+    * sibling of the PQ/ADC family: one knob (shortlist), no codebooks.
+    *
+    * Exactness: every int8 component and every product/sum in the
+    * quantized cosine is an exact integer (≤ 127²·dim ≪ 2⁵³) evaluated
+    * through the same pinned-order kernel as the exact path, so the
+    * shortlist is reproducible bit-for-bit; the re-rank is the ordinary
+    * exact cosine. Zero vectors quantize to all-zeros and score NaN — both
+    * engines order NaN above every number, so they would flood a desc
+    * shortlist identically; feed non-degenerate corpora (the audit is
+    * [[dimStats]]).
+    *
+    * Scale shape: corpus-side map + broadcast of the (small) query side,
+    * one per-query window on the well-spread corpus — identical to
+    * [[rpTopK]]'s plan with the projection swapped for quantization.
+    */
+  def sqTopK(queries: DataFrame, corpus: DataFrame, k: Int, shortlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val qq = quantizeInt8(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"),
+        col("qvec").cast("array<double>").as("__qq"))
+    val cq = quantizeInt8(spread(corpus, idCol), idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"),
+        col("qvec").cast("array<double>").as("__cq"))
+    val slw = Window.partitionBy("query_id")
+      .orderBy(col("sq_sim").desc, col("neighbor_id").asc)
+    val sl = cq.crossJoin(broadcast(qq))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sq_sim", cosine(col("__cq"), col("__qq")))
+      .withColumn("__r", row_number().over(slw))
+      .where(col("__r") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    sl.join(broadcast(q), "query_id").join(c, "neighbor_id")
+      .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Deterministic order: (sim desc, id asc).
     */

@@ -720,6 +720,29 @@ class SimilaritySpec extends SparkSpec {
       Similarity.rpTopK(q, c, k = 5, shortlist = 4, dOut = 8, dIn = 16))
   }
 
+  test("sqTopK: full shortlist equals brute force exactly; int8 shortlist recall floor; shortlist < k refuses") {
+    val c = RecallAudit.clusteredCorpus(spark)
+    val n = c.count().toInt
+    val q = c.where(col("vec_id") % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Double)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"),
+        r.getAs[Double]("cos_sim"))).toSet
+    // exactness contract: a corpus-covering shortlist makes the quantized
+    // stage irrelevant — output == brute force including the doubles
+    val brute = rows(Similarity.bruteForceTopK(q, c, k = 5))
+    val full = rows(Similarity.sqTopK(q, c, k = 5, shortlist = n))
+    assert(full == brute, "full-shortlist sqTopK must equal brute force")
+    // serving config: int8 shortlist 50 of 400 — int8 cosine distorts
+    // far less than an 8-dim projection, so the floor is strict
+    val sl = rows(Similarity.sqTopK(q, c, k = 5, shortlist = 50))
+    val pb = brute.map(t => (t._1, t._2))
+    val recall = sl.map(t => (t._1, t._2)).intersect(pb).size.toDouble / pb.size
+    assert(recall >= 0.95, s"sqTopK recall@5 $recall < 0.95 on clustered data")
+    intercept[IllegalArgumentException](
+      Similarity.sqTopK(q, c, k = 5, shortlist = 4))
+  }
+
   test("randomProject: exact driver parity, JL distance preservation on a seeded corpus, wrong width raises") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
