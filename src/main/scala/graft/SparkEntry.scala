@@ -1353,6 +1353,10 @@ object SparkEntry {
     // difficulty feature for curation and curriculum ordering
     "text_readability" -> ((s, dir) =>
       TextOps.readability(Tables(s, dir).documents)),
+    // RAKE keyphrases: stopword-delimited candidate runs, deg/freq word
+    // scores, corpus top-50 — the unsupervised "what is this corpus about"
+    "text_rake" -> ((s, dir) =>
+      TextOps.rakePhrases(Tables(s, dir).documents)),
     // n-gram novelty vs everything earlier in id order: the redundancy
     // curve behind "is the crawl tail still adding anything"
     "text_novelty" -> ((s, dir) =>
@@ -3787,6 +3791,42 @@ object SparkEntry {
          |  CAST(0.39 AS DOUBLE) * wps + CAST(11.8 AS DOUBLE) * spw
          |    - CAST(15.59 AS DOUBLE) AS fk_grade
          |FROM r""".stripMargin,
+    // Twin of TextOps.rakePhrases(topN=50, maxLen=4): same gaps-and-islands
+    // phrase runs, integer-quotient word scores, position-ordered seeded
+    // fold per phrase, (score desc, phrase asc) top-50.
+    "text_rake" -> {
+      val stop = graft.pipeline.Stopwords.all.map(w => s"'$w'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |t2 AS (SELECT doc_id,
+         |  unnest(list_transform(toks, (x, k) -> {'pos': k - 1, 'w': x})) AS t
+         |  FROM d),
+         |tok AS (SELECT doc_id, t.pos AS pos, t.w AS w FROM t2),
+         |ns AS (SELECT doc_id, pos, w,
+         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+         |  FROM tok WHERE w NOT IN ($stop)),
+         |occ AS (SELECT list(w ORDER BY pos) AS words FROM ns
+         |  GROUP BY doc_id, seg),
+         |oc2 AS (SELECT words FROM occ WHERE len(words) <= 4),
+         |ws AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         |  CAST(sum(l) AS BIGINT) AS deg FROM
+         |  (SELECT unnest(words) AS w, len(words) AS l FROM oc2) GROUP BY 1),
+         |ws2 AS (SELECT w, CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)
+         |  AS wscore FROM ws),
+         |phr AS (SELECT array_to_string(words, ' ') AS phrase,
+         |  CAST(count(*) AS BIGINT) AS n_occurrences, first(words) AS words
+         |  FROM oc2 GROUP BY 1),
+         |pw AS (SELECT phrase, n_occurrences,
+         |  unnest(list_transform(words, (x, k) -> {'p': k, 'w': x})) AS t
+         |  FROM phr),
+         |pj AS (SELECT phrase, n_occurrences, t.p AS p, ws2.wscore
+         |  FROM pw JOIN ws2 ON ws2.w = t.w),
+         |sc AS (SELECT phrase, n_occurrences,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list(wscore ORDER BY p)), (a, x) -> a + x) AS score
+         |  FROM pj GROUP BY 1, 2)
+         |SELECT phrase, n_occurrences, score FROM sc
+         |ORDER BY score DESC, phrase ASC LIMIT 50""".stripMargin
+    },
     // Twin of TextOps.ngramNovelty(k=3): same word 3-shingles, same
     // distinct-per-doc postings, gram-min first owner, per-doc fraction.
     "text_novelty" ->

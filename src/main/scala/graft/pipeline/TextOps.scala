@@ -111,6 +111,59 @@ object TextOps {
     * Pure column algebra over two regex scans + the token array; map-only,
     * no shuffle. Docs with no words drop out (the ratios are undefined).
     */
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases are
+    * maximal runs of consecutive non-stopword tokens; each word scores
+    * deg/freq (deg = Σ length of the phrase occurrences containing it,
+    * freq = how many contain it — words that live in longer phrases score
+    * higher), and a phrase scores the sum of its words' scores. The
+    * corpus-level top-`topN` is the cheap unsupervised "what is this
+    * corpus about" report used for topic tagging and source triage.
+    *
+    * Phrase runs come from the gaps-and-islands key (pos − row_number over
+    * non-stop tokens per doc — one window over the exploded tokens, the
+    * text_dup_spans shape); runs longer than `maxLen` are dropped — the
+    * documented scale contract (degenerate stopword-free documents would
+    * otherwise emit document-sized "phrases"), not silent truncation.
+    * Word scores are exact integer quotients; each phrase's score sums ≤
+    * maxLen of them in position order via a pinned fold, so equal phrase
+    * texts score bit-identically everywhere. Top-N is TakeOrdered with
+    * (score desc, phrase asc) total order — no global sort.
+    */
+  def rakePhrases(docs: DataFrame, topN: Int = 50, maxLen: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    val tok = docs.select(col(idCol).as("__id"),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__w")))
+    val ns = tok.where(!col("__w").isInCollection(Stopwords.all))
+      .withColumn("__seg", col("__pos") - row_number().over(
+        Window.partitionBy("__id").orderBy("__pos")))
+    val occ = ns.groupBy("__id", "__seg")
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__w")))).as("__pw"))
+      .select(transform(col("__pw"), x => x.getField("__w")).as("__words"))
+      .where(size(col("__words")) <= maxLen)
+    val wstat = occ
+      .select(explode(col("__words")).as("word"),
+        size(col("__words")).cast("long").as("__len"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .select(col("word"),
+        (col("__deg").cast("double") / col("__freq").cast("double"))
+          .as("__wscore"))
+    val phr = occ.groupBy(array_join(col("__words"), " ").as("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"), first(col("__words")).as("__words"))
+    phr.select(col("phrase"), col("n_occurrences"),
+        posexplode(col("__words")).as(Seq("__p", "word")))
+      .join(wstat, "word")
+      .groupBy("phrase", "n_occurrences")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("__p"), col("__wscore")))),
+        lit(0.0), (a, x) => a + x.getField("__wscore")).as("score"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(topN)
+  }
+
   def readability(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val toks = tokens(col(textCol))

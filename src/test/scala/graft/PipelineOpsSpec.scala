@@ -182,6 +182,38 @@ class PipelineOpsSpec extends SparkSpec {
       && g2.isNullAt(g2.fieldIndex("diff_adj")))
   }
 
+  test("rakePhrases: hand-computed deg/freq scores; stopword split; maxLen cap; topN order") {
+    // stopwords in the default list include: the, a, of, and, to, in, is
+    val docs = Seq(
+      (1L, "the deep learning model and deep learning"),
+      (2L, "a deep model"),
+      (3L, "one two three four five")  // 5-token run > maxLen=4 -> dropped
+    ).toDF("doc_id", "text")
+    val got = TextOps.rakePhrases(docs, topN = 10, maxLen = 4)
+      .collect().map(r => r.getAs[String]("phrase") ->
+        ((r.getAs[Long]("n_occurrences"), r.getAs[Double]("score")))).toMap
+    // occurrences: [deep learning model], [deep learning], [deep model]
+    // freq: deep 3, learning 2, model 2; deg: deep 3+2+2=7, learning 5, model 5
+    // wscore: deep 7/3, learning 5/2, model 5/2
+    assert(got.keySet == Set("deep learning model", "deep learning", "deep model"),
+      s"$got")
+    assert(got("deep learning model") == ((1L, 7.0 / 3 + 5.0 / 2 + 5.0 / 2)))
+    assert(got("deep learning") == ((1L, 7.0 / 3 + 5.0 / 2)))
+    assert(got("deep model") == ((1L, 7.0 / 3 + 5.0 / 2)))
+    // topN order: (score desc, phrase asc) — the two equal-score phrases
+    // tie-break alphabetically
+    val ordered = TextOps.rakePhrases(docs, topN = 10, maxLen = 4)
+      .collect().map(_.getAs[String]("phrase")).toSeq
+    assert(ordered == Seq("deep learning model", "deep learning", "deep model"))
+    // a phrase repeated across docs counts occurrences, scores once
+    val rep = Seq((1L, "quantum computing is great"),
+      (2L, "quantum computing"), (3L, "nothing here")).toDF("doc_id", "text")
+    val g2 = TextOps.rakePhrases(rep, topN = 10, maxLen = 4)
+      .collect().map(r => r.getAs[String]("phrase") ->
+        r.getAs[Long]("n_occurrences")).toMap
+    assert(g2("quantum computing") == 2L, s"$g2")
+  }
+
   test("ngramNovelty: an exact copy scores 0; fresh material 1; partial overlap exact") {
     import graft.pipeline.TextOps
     val docs = Seq(
