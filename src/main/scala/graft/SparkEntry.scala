@@ -1053,6 +1053,16 @@ object SparkEntry {
     // on any new corpus drop
     "profile_completeness" -> ((s, dir) =>
       Profile.completeness(Tables(s, dir).events)),
+    // per-column exact-vs-HLL distinct audit: join-key/dictionary sizing
+    // plus the measured sketch error before trusting the scale path;
+    // the float value column enters via an integer milli-canonicalization
+    // (engine-portable float rendering is not a thing)
+    "profile_distinct" -> ((s, dir) => {
+      val e = Tables(s, dir).events.withColumn("value_m",
+        when(!isnan(col("value")), floor(col("value") * 1000).cast("long")))
+      Profile.distinctProfile(e,
+        Seq("event_id", "user_id", "event_type", "value_m", "props"))
+    }),
     // Benford first-digit audit of order totals per priority class: the
     // "does this numeric column look organic" screen (dense 9-digit grid,
     // group-level chi-square verdict at 5%)
@@ -2646,6 +2656,57 @@ object SparkEntry {
     // Twin of Profile.completeness(events): one SELECT per column with the
     // same disjoint null/NaN/empty counters and Spark's simpleString dtype
     // literals; ts is the normalized epoch-ns bigint in both engines.
+    // Twin of Profile.distinctProfile(p=10) over the five canonicalized
+    // event columns: same string-stacked values, exact distinct, and the
+    // sketch_hll register derivation (PolyHash -> idx/rho -> register max
+    // -> dyadic-exact power sum -> linear-counting small range).
+    "profile_distinct" -> {
+      val p = 10
+      val m = 1 << p
+      val bigW = 30 - p
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val bitLenSql = (bigW to 1 by -1)
+        .map(b => s"WHEN w >= ${1L << (b - 1)} THEN $b").mkString(" ")
+      val est = s"CAST($alpha AS DOUBLE) * $m * $m / (zs + ($m - n_registers_hit))"
+      s"""WITH base AS (SELECT CAST(event_id AS VARCHAR) AS c_event_id,
+         |  CAST(user_id AS VARCHAR) AS c_user_id,
+         |  event_type AS c_event_type,
+         |  CASE WHEN value IS NOT NULL AND NOT isnan(value)
+         |    THEN CAST(CAST(floor(value * 1000) AS BIGINT) AS VARCHAR)
+         |    END AS c_value_m,
+         |  props AS c_props FROM events),
+         |st AS (SELECT 'event_id' AS column_name, c_event_id AS v FROM base
+         |  UNION ALL SELECT 'user_id', c_user_id FROM base
+         |  UNION ALL SELECT 'event_type', c_event_type FROM base
+         |  UNION ALL SELECT 'value_m', c_value_m FROM base
+         |  UNION ALL SELECT 'props', c_props FROM base),
+         |nn AS (SELECT column_name, v FROM st WHERE v IS NOT NULL),
+         |ex AS (SELECT column_name, CAST(count(*) AS BIGINT) AS n_nonnull,
+         |  CAST(count(DISTINCT v) AS BIGINT) AS exact_distinct
+         |  FROM nn GROUP BY 1),
+         |ax AS (SELECT column_name, (${phSql("v", "0")}
+         |  * ${graft.pipeline.Sampling.saltMult("kmv")}
+         |  + ${graft.pipeline.Sampling.saltAdd("kmv")}) % 1000000007 AS mh
+         |  FROM (SELECT DISTINCT column_name, v FROM nn)),
+         |hx AS (SELECT column_name,
+         |  ${phSql("lpad(CAST(mh AS VARCHAR), 10, '0')", "0")} AS h FROM ax),
+         |rr AS (SELECT column_name, h & ${m - 1} AS idx, w,
+         |  ${bigW + 1} - (CASE $bitLenSql ELSE 0 END) AS rho
+         |  FROM (SELECT column_name, h, h >> $p AS w FROM hx)),
+         |rg AS (SELECT column_name, idx, max(rho) AS r FROM rr GROUP BY 1, 2),
+         |sk AS (SELECT column_name, CAST(count(*) AS BIGINT) AS n_registers_hit,
+         |  sum(power(2.0, -r)) AS zs FROM rg GROUP BY 1),
+         |he AS (SELECT column_name, n_registers_hit,
+         |  CASE WHEN $est <= ${2.5 * m} AND ($m - n_registers_hit) > 0
+         |    THEN $m * ln(CAST($m AS DOUBLE) / ($m - n_registers_hit))
+         |    ELSE $est END AS est_distinct
+         |  FROM sk)
+         |SELECT ex.column_name, ex.n_nonnull, ex.exact_distinct,
+         |  he.n_registers_hit, he.est_distinct,
+         |  (he.est_distinct - CAST(ex.exact_distinct AS DOUBLE))
+         |    / CAST(ex.exact_distinct AS DOUBLE) AS rel_error
+         |FROM ex JOIN he ON he.column_name = ex.column_name""".stripMargin
+    },
     "profile_completeness" -> {
       def row(name: String, dtype: String, nan: String, empty: String) =
         s"""SELECT '$name' AS col_name, '$dtype' AS dtype,

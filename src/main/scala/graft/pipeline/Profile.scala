@@ -475,4 +475,43 @@ object Profile {
         (col("n_obs").cast("double") / nD).as("obs_share"), col("exp_share"),
         col("chi2"), (col("chi2") > BenfordChiSq95Df8).as("reject_benford"))
   }
+
+  /** Per-column distinct-cardinality audit: for each listed column, the
+    * non-null count, the EXACT distinct count, and the HLL estimate from
+    * the same register derivation as [[Sketches.hllDistinct]], with the
+    * relative error between them — the report that (a) sizes join keys,
+    * dictionary encodings, and partition counts on a new corpus drop, and
+    * (b) measures on YOUR data whether the sketch path is trustworthy
+    * before swapping it in at the scale where exact counting stops being
+    * affordable (the [[graft.pipeline.Dedup.minhashEval]] pattern: the
+    * exact column is the audit baseline, the estimate is the scale path).
+    *
+    * Values are canonicalized by string cast — pass integer/string
+    * columns, or pre-canonicalize floats to an integer form yourself
+    * (engine-portable float rendering is not a thing; the audit refuses
+    * to pretend otherwise). One scan: columns stack through a single
+    * explode fan-out (#cols rows per input row), then two
+    * partial-combined aggregates per column. The exact distinct is the
+    * one corpus-cardinality shuffle; drop it from the output query at
+    * 100 TB and the HLL side alone is register-bounded.
+    */
+  def distinctProfile(df: DataFrame, cols: Seq[String], p: Int = 10): DataFrame = {
+    require(cols.nonEmpty, "distinctProfile needs at least one column")
+    val stacked = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("string").as("__v"))): _*))
+        .as("__s"))
+      .select(col("__s.column_name").as("column_name"), col("__s.__v").as("__v"))
+      .where(col("__v").isNotNull)
+    val exact = stacked.groupBy("column_name")
+      .agg(count(lit(1)).as("n_nonnull"),
+        count_distinct(col("__v")).as("exact_distinct"))
+    exact
+      .join(Sketches.hllDistinct(stacked, p, Seq("column_name"), "__v"),
+        Seq("column_name"))
+      .select(col("column_name"), col("n_nonnull"), col("exact_distinct"),
+        col("n_registers_hit"), col("est_distinct"),
+        ((col("est_distinct") - col("exact_distinct").cast("double"))
+          / col("exact_distinct").cast("double")).as("rel_error"))
+  }
 }

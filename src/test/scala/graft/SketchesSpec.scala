@@ -90,6 +90,34 @@ class SketchesSpec extends SparkSpec {
     assert(doubled == est)
   }
 
+  test("distinctProfile: exact columns exact, estimate tracks, nulls excluded, est == hllDistinct") {
+    import graft.pipeline.Profile
+    val df = (1L to 900L).map(i =>
+      (i, s"u${i % 30}", if (i % 10 == 0) null else s"t${i % 7}"))
+      .toDF("id", "usr", "typ")
+    val got = Profile.distinctProfile(df, Seq("id", "usr", "typ"))
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(got.keySet == Set("id", "usr", "typ"))
+    assert(got("id").getAs[Long]("n_nonnull") == 900L
+      && got("id").getAs[Long]("exact_distinct") == 900L)
+    assert(got("usr").getAs[Long]("exact_distinct") == 30L)
+    // nulls excluded from both counts
+    assert(got("typ").getAs[Long]("n_nonnull") == 810L
+      && got("typ").getAs[Long]("exact_distinct") == 7L)
+    // estimate tracks exact within ~4σ at p=10
+    Seq("id", "usr", "typ").foreach { c =>
+      val (e, x) = (got(c).getAs[Double]("est_distinct"),
+        got(c).getAs[Long]("exact_distinct"))
+      assert(math.abs(e - x) / x.toDouble < 0.13, s"$c: est $e vs exact $x")
+      assert(got(c).getAs[Double]("rel_error") == (e - x.toDouble) / x.toDouble)
+    }
+    // the estimate IS hllDistinct's — same derivation, bit for bit
+    val direct = Sketches.hllDistinct(
+      df.select(lit("id").as("g"), col("id").cast("string").as("v")),
+      p = 10, Seq("g"), "v").collect().head.getAs[Double]("est_distinct")
+    assert(got("id").getAs[Double]("est_distinct") == direct)
+  }
+
   test("hllDistinct small-range linear counting is near-exact at low cardinality") {
     val tiny = (0 until 50).map(i => ("g", s"user$i")) ++
       (0 until 50).map(i => ("g", s"user$i")) // duplicated on purpose
