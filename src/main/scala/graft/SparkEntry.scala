@@ -1233,6 +1233,15 @@ object SparkEntry {
           col("event_type")).as("series_id"), col("ts"), col("value"))
       SeriesOps.spearmanCorrelation(p, 86400L * NsPerS)
     }),
+    // DTW elastic shape distance per pair on a TIGHTER station group (the
+    // DP is quadratic per pair): time-shifted lookalikes read near 0
+    // where lag-0 alignment punishes the shift
+    "ts_dtw" -> ((s, dir) => {
+      val p = Tables(s, dir).eventsUs.where(col("user_id") < 10)
+        .select(concat(lit("shyft://events/u"), col("user_id"), lit("/"),
+          col("event_type")).as("series_id"), col("ts"), col("value"))
+      SeriesOps.dtw(p, 86400L * NsPerS)
+    }),
     // lead/lag diagnostic: Pearson corr of (x_t, y_{t+lag·day}) per pair
     // at lags -3..3 on the shared daily axis
     "ts_crosscorr" -> ((s, dir) => {
@@ -3669,6 +3678,44 @@ object SparkEntry {
     },
     // Twin of SeriesOps.crossCorrelation(day, maxLag=3): the ts_corr body
     // with the lag fan-out on the left side of the bucket equi-join.
+    // Twin of SeriesOps.dtw(day buckets, user_id < 10): the identical
+    // nested seeded fold — outer over a's values carrying the previous DP
+    // row, inner building the next row left to right (DuckDB's 1-based
+    // lambda index vs Spark's 0-based shifts every position by one), the
+    // same 1e150 boundary sentinel and min/add order.
+    "ts_dtw" -> {
+      val day = 86400L * NsPerS
+      s"""WITH points AS (SELECT 'shyft://events/u' || user_id || '/' || event_type AS series_id,
+         |  epoch_ns(ts) AS ts, value FROM events WHERE user_id < 10),
+         |b AS (SELECT series_id, ts - ts % $day AS bucket_ts,
+         |  avg(value) FILTER (WHERE NOT isnan(value)) AS mv FROM points GROUP BY 1, 2),
+         |nb AS (SELECT * FROM b WHERE mv IS NOT NULL),
+         |g AS (SELECT series_id, list(mv ORDER BY bucket_ts) AS vs FROM nb GROUP BY 1),
+         |p AS (SELECT ga.series_id AS series_a, gb.series_id AS series_b,
+         |  ga.vs AS av, gb.vs AS bv FROM g ga CROSS JOIN g gb
+         |  WHERE ga.series_id < gb.series_id),
+         |d AS (SELECT series_a, series_b, CAST(len(av) AS BIGINT) AS n_a,
+         |  CAST(len(bv) AS BIGINT) AS n_b,
+         |  list_reduce(
+         |    list_prepend(
+         |      list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(bv, x -> CAST(1e150 AS DOUBLE))),
+         |      list_transform(av, x -> [x])),
+         |    (prev, e) -> list_reduce(
+         |      list_prepend([CAST(1e150 AS DOUBLE)],
+         |        list_transform(bv, (y, j) -> [y, CAST(j AS DOUBLE)])),
+         |      (nr, e2) -> list_append(nr,
+         |        abs(e[1] - e2[1]) + least(
+         |          prev[CAST(e2[2] AS INTEGER) + 1],
+         |          nr[CAST(e2[2] AS INTEGER)],
+         |          prev[CAST(e2[2] AS INTEGER)])))) AS dp
+         |  FROM p)
+         |SELECT series_a, series_b, n_a, n_b,
+         |  dp[CAST(n_b AS INTEGER) + 1] AS dtw_dist,
+         |  dp[CAST(n_b AS INTEGER) + 1] / CAST(n_a + n_b AS DOUBLE)
+         |    AS dtw_per_step
+         |FROM d""".stripMargin
+    },
     "ts_crosscorr" -> {
       val day = 86400L * NsPerS
       s"""WITH points AS (SELECT 'shyft://events/u' || user_id || '/' || event_type AS series_id,

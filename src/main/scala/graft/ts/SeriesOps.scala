@@ -449,6 +449,76 @@ object SeriesOps {
       percentile(col("value"), lit(0.99)).as("p99"))
   }
 
+  /** Dynamic time warping distance between every series pair (Sakoe &
+    * Chiba 1978 without the band — see the scale note): the elastic
+    * shape-similarity measure that matches two series whose features are
+    * SHIFTED or locally stretched in time, where Pearson/Euclidean on the
+    * shared axis punish any misalignment ([[pairCorrelation]]'s blind
+    * spot; a sensor lagging its neighbor by an hour is "the same shape"
+    * to DTW and uncorrelated noise to lag-0 Pearson). Series are first
+    * `resample`d to `dtNs` buckets; the DP runs over the two
+    * bucket-ordered mean-value sequences.
+    *
+    * The quadratic DP is a nested pinned fold over the two COLLECTED
+    * sequences (outer fold carries the previous DP row; the inner fold
+    * builds the next row left to right, so every min/add happens in one
+    * fixed order in both engines). Band-edge/boundary cells use a large
+    * finite sentinel (1e150), not ∞ — additions stay finite and ordered
+    * identically. `maxPoints` fails fast ([[theilSen]]'s contract): the
+    * per-pair cost is n·m interpreted lambda steps, so this operator is
+    * for BOUNDED station groups after resampling — at corpus scale,
+    * shortlist pairs first (SAX words / [[crossCorrelation]]) and run DTW
+    * on the candidates.
+    *
+    * Output per (series_a < series_b): lengths, `dtw_dist` (sum of
+    * |a_i − b_j| along the optimal warp), and the per-step normalization
+    * `dtw_dist / (n_a + n_b)`.
+    */
+  def dtw(points: DataFrame, dtNs: Long, maxPoints: Int = 64): DataFrame = {
+    require(maxPoints >= 2, s"dtw needs maxPoints >= 2, got $maxPoints")
+    val big = lit(1e150)
+    val ser = resample(points, dtNs)
+      .where(col("mean_value").isNotNull)
+      .groupBy("series_id")
+      .agg(array_sort(collect_list(struct(col("bucket_ts"), col("mean_value"))))
+        .as("__bv"))
+      .select(col("series_id"),
+        transform(col("__bv"), x => x.getField("mean_value")).as("__vs"))
+      .withColumn("__vs",
+        when(size(col("__vs")) > maxPoints, raise_error(format_string(
+          s"dtw: series %s has %s buckets > maxPoints $maxPoints — the DP " +
+            "is quadratic per pair; resample coarser or shortlist pairs",
+          col("series_id"), size(col("__vs")).cast("string"))))
+          .otherwise(col("__vs")))
+    val a = ser.select(col("series_id").as("series_a"), col("__vs").as("__a"))
+    val c = ser.select(col("series_id").as("series_b"), col("__vs").as("__b"))
+    val innerRow = (prev: Column, x: Column) =>
+      aggregate(
+        transform(col("__b"), (y, j) => struct(y.as("y"), j.as("j"))),
+        array(big),
+        (nr, e) => {
+          val j = e.getField("j")
+          val cost = abs(x - e.getField("y"))
+          concat(nr, array(cost + least(
+            element_at(prev, j + lit(2)),
+            element_at(nr, j + lit(1)),
+            element_at(prev, j + lit(1)))))
+        })
+    val dp = aggregate(
+      col("__a"),
+      concat(array(lit(0.0)), array_repeat(big, size(col("__b")))),
+      innerRow)
+    a.crossJoin(c)
+      .where(col("series_a") < col("series_b"))
+      .withColumn("__dp", dp)
+      .select(col("series_a"), col("series_b"),
+        size(col("__a")).cast("long").as("n_a"),
+        size(col("__b")).cast("long").as("n_b"),
+        element_at(col("__dp"), size(col("__b")) + 1).as("dtw_dist"))
+      .withColumn("dtw_per_step",
+        col("dtw_dist") / (col("n_a") + col("n_b")).cast("double"))
+  }
+
   /** Robust per-series outliers via the Iglewicz–Hoaglin modified z-score:
     * `0.6745·(x − median) / MAD`, flagged beyond `|score| > k` (default 3.5,
     * THEIR cutoff for THIS score — the 0.6745 consistency constant makes

@@ -190,6 +190,48 @@ class SeriesOpsSpec extends SparkSpec {
     assert(pc.getAs[Double]("corr") == lag0._2.get.asInstanceOf[Double])
   }
 
+  test("dtw: driver DP parity; a time-shifted copy warps to ~0 where Pearson-style alignment can't; maxPoints refuses") {
+    def bruteDtw(a: Seq[Double], b: Seq[Double]): Double = {
+      val big = 1e150
+      var prev = 0.0 +: Seq.fill(b.size)(big)
+      for (x <- a) {
+        var nr = Vector(big)
+        for (j <- b.indices)
+          nr = nr :+ (math.abs(x - b(j)) +
+            math.min(prev(j + 1), math.min(nr(j), prev(j))))
+        prev = nr
+      }
+      prev(b.size)
+    }
+    // b is a 2-bucket-shifted copy of a (same values, different axis):
+    // DTW warps the overlap and only pays the truncated edges
+    val vals = Seq(1.0, 4.0, 2.0, 8.0, 5.0, 9.0, 3.0, 7.0, 6.0, 0.0)
+    val rows = (vals.zipWithIndex.map { case (v, i) => ("a", i.toLong * 10 * S, v) }
+      ++ vals.zipWithIndex.map { case (v, i) => ("b", (i + 2).toLong * 10 * S, v) }
+      ++ Seq(("c", 0L, 100.0), ("c", 10 * S, 200.0)))
+      .toDF("series_id", "ts", "value")
+    val got = SeriesOps.dtw(rows, 10 * S).collect()
+      .map(r => ((r.getAs[String]("series_a"), r.getAs[String]("series_b"))) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("dtw_dist"), r.getAs[Double]("dtw_per_step")))).toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val ab = got(("a", "b"))
+    assert(ab._1 == 10L && ab._2 == 10L)
+    // exact driver parity on every pair (same fold order -> same doubles)
+    assert(ab._3 == bruteDtw(vals, vals), s"ab ${ab._3}")
+    assert(got(("a", "c"))._3 ==
+      bruteDtw(vals, Seq(100.0, 200.0)), s"ac ${got(("a", "c"))._3}")
+    // the shifted copy's warped distance collapses to the repeated-edge
+    // cost only — far below the unwarped lag-0 disagreement
+    val lag0 = vals.zip(vals.drop(2) ++ Seq(0.0, 0.0))
+      .map { case (x, y) => math.abs(x - y) }.sum
+    assert(ab._3 < lag0 / 2, s"warped ${ab._3} vs unwarped-ish $lag0")
+    assert(ab._4 == ab._3 / 20.0)
+    intercept[Exception] {
+      SeriesOps.dtw(rows, 10 * S, maxPoints = 5).collect()
+    }
+  }
+
   test("periodogram: planted sinusoid spikes at its harmonic; driver DFT parity") {
     // 60 daily buckets of sin(2π·4t/60): ALL spectral power sits at j=4
     val n = 60
