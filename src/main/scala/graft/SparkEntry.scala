@@ -2279,6 +2279,37 @@ object SparkEntry {
         "FROM graft_psi_drift('graft_sql_events_sliced', 'event_type', " +
         "'value', 'in_a', 0.0, 500.0, 10)")
     }),
+    "sql_survival" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).events.createOrReplaceTempView("graft_sql_ev_sv")
+      s.sql("SELECT * FROM graft_survival('graft_sql_ev_sv', 48, " +
+        s"${3600L * NsPerS})")
+    }),
+    "sql_kcore" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Dedup.minhashNearDups(Tables(s, dir).documents)
+        .createOrReplaceTempView("graft_sql_pairs_kc")
+      s.sql("SELECT * FROM graft_kcore('graft_sql_pairs_kc', 2)")
+    }),
+    "sql_adamic_adar" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Dedup.minhashNearDups(Tables(s, dir).documents)
+        .createOrReplaceTempView("graft_sql_pairs_aa")
+      s.sql("SELECT * FROM graft_adamic_adar('graft_sql_pairs_aa', 64)")
+    }),
+    "sql_rake" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).documents.createOrReplaceTempView("graft_sql_docs_rk")
+      s.sql("SELECT * FROM graft_rake('graft_sql_docs_rk', 50, 4)")
+    }),
+    "sql_dtw" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).eventsUs.where(col("user_id") < 10)
+        .select(concat(lit("shyft://events/u"), col("user_id"), lit("/"),
+          col("event_type")).as("series_id"), col("ts"), col("value"))
+        .createOrReplaceTempView("graft_sql_pts_dtw")
+      s.sql(s"SELECT * FROM graft_dtw('graft_sql_pts_dtw', ${86400L * NsPerS})")
+    }),
     "sql_winnow_dups" -> ((s, dir) => {
       graft.core.GraftTableFunctions.registerAll(s)
       Tables(s, dir).documents.createOrReplaceTempView("graft_sql_docs_w")
@@ -2455,6 +2486,11 @@ object SparkEntry {
       "sql_lsh_plan" -> base("dedup_lsh_plan"),
       "sql_minhash_eval" -> base("dedup_eval"),
       "sql_pacf" -> base("ts_pacf"),
+      "sql_survival" -> base("events_survival"),
+      "sql_kcore" -> base("graph_kcore"),
+      "sql_adamic_adar" -> base("graph_adamic_adar"),
+      "sql_rake" -> base("text_rake"),
+      "sql_dtw" -> base("ts_dtw"),
       // incremental maintenance must equal the full recompute exactly
       "dedup_incremental" -> base("dedup_clusters"),
       // the streaming face scores pairs with the batch kernel's arithmetic

@@ -57,6 +57,11 @@ import graft.functions.{CharNgramCodes, MinHashSig, PolyHash, SimHashSig, SimHas
   *  - `graft_lsh_plan(n, target)` — LSH banding S-curve planner
   *  - `graft_minhash_eval('view')` — measured dedup precision/recall
   *  - `graft_pacf('view', h)` — Durbin–Levinson partial autocorrelation
+  *  - `graft_survival('view', censor_days, day_ns)` — Kaplan–Meier curve
+  *  - `graft_kcore('view', k)` — k-core membership of a pair graph
+  *  - `graft_adamic_adar('view', max_deg)` — 2-hop link prediction
+  *  - `graft_rake('view', top_n, max_len)` — RAKE keyphrases
+  *  - `graft_dtw('view', dt_ns)` — DTW distance between series pairs
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
@@ -343,7 +348,40 @@ object GraftTableFunctions {
         "graft_minhash_eval(table) - measured precision/recall of the " +
           "MinHash-LSH dedup vs brute-force exact Jaccard on the table"),
       (exprs: Seq[Expression]) => plan(graft.pipeline.Dedup.minhashEval(
-        rel(strArg(exprs(0), "table name")))))
+        rel(strArg(exprs(0), "table name"))))),
+    (FunctionIdentifier("graft_survival"),
+      info("graft_survival",
+        "graft_survival(table, censor_days, day_ns) - Kaplan-Meier " +
+          "survival curve over user lifetimes with right-censoring"),
+      (exprs: Seq[Expression]) => plan(graft.ops.Retention.survival(
+        rel(strArg(exprs(0), "table name")),
+        censorDays = longArg(exprs(1), "censor_days"),
+        dayNs = longArg(exprs(2), "day_ns")))),
+    (FunctionIdentifier("graft_kcore"),
+      info("graft_kcore",
+        "graft_kcore(table, k) - k-core membership of an id_a/id_b pair " +
+          "graph by synchronous peeling"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Components.kCore(
+        rel(strArg(exprs(0), "table name")), intArg(exprs(1), "k")))),
+    (FunctionIdentifier("graft_adamic_adar"),
+      info("graft_adamic_adar",
+        "graft_adamic_adar(table, max_deg) - Adamic-Adar 2-hop link " +
+          "prediction over an id_a/id_b pair graph"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Components.adamicAdar(
+        rel(strArg(exprs(0), "table name")), intArg(exprs(1), "max_deg")))),
+    (FunctionIdentifier("graft_rake"),
+      info("graft_rake",
+        "graft_rake(table, top_n, max_len) - RAKE keyphrase extraction " +
+          "over a doc_id/text table"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.TextOps.rakePhrases(
+        rel(strArg(exprs(0), "table name")), intArg(exprs(1), "top_n"),
+        intArg(exprs(2), "max_len")))),
+    (FunctionIdentifier("graft_dtw"),
+      info("graft_dtw",
+        "graft_dtw(table, dt_ns) - dynamic-time-warping distance between " +
+          "every series pair on the dt_ns-resampled axis"),
+      (exprs: Seq[Expression]) => plan(graft.ts.SeriesOps.dtw(
+        rel(strArg(exprs(0), "table name")), longArg(exprs(1), "dt_ns"))))
   )
 
   /** Register every table function on an already-built session. */

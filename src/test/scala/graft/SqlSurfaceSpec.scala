@@ -132,11 +132,27 @@ class SqlSurfaceSpec extends SparkSpec {
       concat(lit("u"), col("user_id")).as("series_id"),
       col("ts").cast("long").as("ts"), col("value"))
       .createOrReplaceTempView("sqlspec_points_h")
+    import spark.implicits._
+    val pairsSweep = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    pairsSweep.createOrReplaceTempView("sqlspec_pairs_s")
     val extraCases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
       "SELECT * FROM graft_cdc_scd2('sqlspec_clog_s')" ->
         graft.ops.Cdc.scd2(clogSweep),
       "SELECT * FROM graft_holt('sqlspec_points_h', 3)" ->
-        graft.ts.SeriesOps.holt(spark.table("sqlspec_points_h"), horizon = 3))
+        graft.ts.SeriesOps.holt(spark.table("sqlspec_points_h"), horizon = 3),
+      "SELECT * FROM graft_survival('sqlspec_events_s', 48, 3600000000000)" ->
+        graft.ops.Retention.survival(t.events, censorDays = 48,
+          dayNs = 3600000000000L),
+      "SELECT * FROM graft_kcore('sqlspec_pairs_s', 2)" ->
+        graft.pipeline.Components.kCore(pairsSweep, 2),
+      "SELECT * FROM graft_adamic_adar('sqlspec_pairs_s', 64)" ->
+        graft.pipeline.Components.adamicAdar(pairsSweep, 64),
+      "SELECT * FROM graft_rake('sqlspec_docs_s', 20, 4)" ->
+        graft.pipeline.TextOps.rakePhrases(t.documents, topN = 20, maxLen = 4),
+      "SELECT * FROM graft_dtw('sqlspec_points_h', 86400000000000)" ->
+        graft.ts.SeriesOps.dtw(spark.table("sqlspec_points_h"),
+          86400000000000L))
     val sliced = t.events.withColumn("in_a",
       col("ts") < 1705276800L * 1000000000L)
     sliced.createOrReplaceTempView("sqlspec_events_sliced")
