@@ -529,4 +529,32 @@ class PlanSpec extends SparkSpec {
       plan.contains("BroadcastNestedLoopJoin"),
       s"query side must broadcast: ${plan.take(3000)}")
   }
+
+  test("sqTopK broadcasts the query side: no cartesian pair scan") {
+    val plan = planOf(SparkEntry.queries("sim_sq_topk")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast: ${plan.take(3000)}")
+  }
+
+  test("survival is one corpus-scale shuffle: the user rollup; the curve is metadata algebra") {
+    val events = Tables(spark, sfDir).events
+    val plan = planOf(graft.ops.Retention.survival(events))
+    // user rollup + lifetime rollup + the single-row pack + the broadcast
+    // of max-day: everything after the first exchange is metadata-scale.
+    // The load-bearing claim: NO window/sort over the event stream.
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val winLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.isEmpty, s"no window over events expected:\n$winLines")
+  }
+
+  test("cuped is a scan plus reductions: no window, no join back to events") {
+    val plan = planOf(SparkEntry.queries("events_cuped")(spark, sfDir))
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the bounds row rides a broadcast, never a shuffle of events to it
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
 }
