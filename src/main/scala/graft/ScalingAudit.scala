@@ -101,7 +101,84 @@ object ScalingAudit {
     // ---- session-7 operators (SPARK_GRAFT_SCALE_ONLY=session7 runs just
     // these and writes SCALING_raw_extra.jsonl, so a new session can append
     // ladder rows without re-timing the whole audit) ----
-    val onlySession7 = sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("session7")
+    val scaleOnly = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+    val onlySession7 = scaleOnly.contains("session7")
+    val onlySession8 = scaleOnly.contains("session8")
+
+    // ---- session-8 operators (SPARK_GRAFT_SCALE_ONLY=session8 runs just
+    // these; same append-to-SCALING_raw_extra.jsonl contract) ----
+    if (onlySession8) {
+      // k-core + Adamic-Adar over the near-dup graph: doc replication
+      // multiplies duplicate-family cliques, so edges grow superlinearly —
+      // the peel must stay round-bounded and the wedge volume capped
+      docPaths.foreach { case (f, p) =>
+        val d = spark.read.parquet(p)
+        val n = d.count()
+        val edges = Dedup.minhashNearDups(d)
+        report(s"graph_kcore_x$f", n, timed(Components.kCore(edges, 2).count()))
+        report(s"graph_adamic_adar_x$f", n,
+          timed(Components.adamicAdar(edges).count()))
+      }
+      // int8 shortlist search: fixed 5-query set, linear corpus scan
+      vecPaths.foreach { case (f, p) =>
+        val c = spark.read.parquet(p)
+        val q = c.where(col("vec_id") % 1000 === 0).limit(5)
+        val n = c.count()
+        report(s"sim_sq_topk_x$f", n, timed(
+          Similarity.sqTopK(q, c, k = 3, shortlist = 50).count()))
+      }
+      // DTW: points densified f x on the SAME series/axis — the daily
+      // resample bounds the DP, so cost must stay ~flat past the rollup
+      factors.foreach { f =>
+        val p0 = Tables(spark, "/root/testdata/sf0.1").eventsUs
+          .where(col("user_id") < 10)
+          .select(concat(lit("shyft://events/u"), col("user_id"), lit("/"),
+            col("event_type")).as("series_id"), col("ts"), col("value"))
+        val pts = if (f == 1) p0 else p0
+          .withColumn("__rep", explode(sequence(lit(0), lit(f - 1))))
+          .select(col("series_id"), (col("ts") + col("__rep")).as("ts"),
+            col("value"))
+        val n = pts.count()
+        report(s"ts_dtw_x$f", n, timed(
+          SeriesOps.dtw(pts, 86400L * 1000000000L).count()))
+      }
+      // survival / CUPED / RAKE / distinct profile: plain linear scans
+      // under event/doc replication with fresh users (survival's risk sets
+      // and CUPED's moments are per-user rollups)
+      factors.foreach { f =>
+        val e0 = Tables(spark, "/root/testdata/sf0.1").events
+        val ev = if (f == 1) e0 else e0
+          .withColumn("__rep", explode(sequence(lit(0), lit(f - 1))))
+          .select(col("event_id"),
+            (col("user_id") + col("__rep") * lit(10000000L)).as("user_id"),
+            col("event_type"), col("ts"), col("value"), col("props"))
+        val n = ev.count()
+        report(s"events_survival_x$f", n, timed(
+          graft.ops.Retention.survival(ev, censorDays = 48,
+            dayNs = 3600L * 1000000000L).count()))
+        report(s"events_cuped_x$f", n, timed(
+          graft.ops.Experiment.cuped(ev, "user_id",
+            when(col("event_type") === "purchase" && col("value").isNotNull
+              && !isnan(col("value")), floor(col("value")).cast("long"))
+              .otherwise(0L)).count()))
+        val em = ev.withColumn("value_m",
+          when(!isnan(col("value")), floor(col("value") * 1000).cast("long")))
+        report(s"profile_distinct_x$f", n, timed(
+          graft.pipeline.Profile.distinctProfile(em,
+            Seq("event_id", "user_id", "event_type", "value_m", "props"))
+            .count()))
+      }
+      docPaths.foreach { case (f, p) =>
+        val d = spark.read.parquet(p)
+        val n = d.count()
+        report(s"text_rake_x$f", n, timed(
+          graft.pipeline.TextOps.rakePhrases(d).count()))
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SCALING_raw_extra.jsonl"), out.toString)
+      spark.stop()
+      return
+    }
 
     // radius-2 fuzzy join: the ~(len²/2)× variant fan-out is the cost
     // driver; candidate volume must stay near-linear in the master size
