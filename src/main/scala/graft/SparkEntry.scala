@@ -1010,6 +1010,21 @@ object SparkEntry {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_customers"), sum("c_acctbal").as("acctbal"))
     }),
+    // TPC-H Q10 shape: returned-item revenue per customer, nation
+    // broadcast, top 20 — the shuffle joins ride the orderkey/custkey
+    // keys, the final top-k is TakeOrdered (never a global sort)
+    "q9_returns_top" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem.where(col("l_returnflag") === "R")
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
 
     // ---- export sink: sharded JSONL round trip — the re-read export must
     // hash-equal the source table (lossless write→read, incl. escaping) ----
@@ -2173,6 +2188,11 @@ object SparkEntry {
     "stream_dedup_window" -> ((s, dir) =>
       graft.streaming.StreamOps.dedupWindowStream(
         Tables(s, dir).eventsUs, 3600L * NsPerS).toDF()),
+    // streaming sessionization's batch face: one micro-batch holding the
+    // whole frame must equal Sessionize.sessions row for row
+    "stream_sessions" -> ((s, dir) =>
+      graft.streaming.StreamOps.sessionStream(
+        Tables(s, dir).eventsUs, gapNs = 1800000000000L).toDF()),
     "stream_cms" -> ((s, dir) =>
       graft.streaming.StreamOps.cmsStream(
         Tables(s, dir).documents
@@ -2500,6 +2520,7 @@ object SparkEntry {
       "stream_hll" -> base("sketch_hll"),
       // the streaming window dedup's batch face IS firstPerWindow
       "stream_dedup_window" -> base("events_dedup_window"),
+      "stream_sessions" -> base("events_sessionize"),
       "stream_quantile" -> base("sketch_quantile"))
   }
 
@@ -2556,6 +2577,19 @@ object SparkEntry {
     // Twin of the correlated-aggregate anchor: per-part avg is exact in
     // both engines (integer-valued quantities sum exactly in any order),
     // so the strict < against avg*0.2 cannot flip between them.
+    // Twin of q9_returns_top: same join chain and the same revenue
+    // expression tree; ties at the cutoff break on c_custkey.
+    "q9_returns_top" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  sum(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
     "q7_small_qty" ->
       """WITH pa AS (SELECT l_partkey, avg(l_quantity) * 0.2 AS qty_lim
         |  FROM lineitem GROUP BY 1)

@@ -809,4 +809,77 @@ object StreamOps {
           }
       }
   }
+
+  final case class SessIn(user_id: Long, ts: Long, event_id: Long)
+  final case class SessState(idx: Long, start: Long, end: Long, n: Long)
+  final case class SessRow(user_id: Long, session_idx: Long, start_ns: Long,
+      end_ns: Long, duration_ns: Long, n_events: Long)
+
+  /** Streaming face of [[graft.ops.Sessionize.sessions]]: per user, the
+    * open session rides flatMapGroupsWithState as four longs (1-based
+    * index, start, end, count); each micro-batch folds its events in the
+    * batch operator's exact (ts, id) order — a gap > `gapNs` closes the
+    * session (emitted final) and opens the next; the still-open session is
+    * emitted as a refreshed snapshot every touched batch, so the consumer
+    * contract is latest-per-(user, session_idx) wins (the same contract as
+    * [[dedupWindowStream]]). The batch face — one micro-batch holding the
+    * whole frame — therefore equals `Sessionize.sessions` row for row,
+    * which is what the `stream_sessions` oracle pins by aliasing
+    * `events_sessionize`.
+    *
+    * Lateness: an event inside or after the open session's span folds
+    * deterministically (end/start extend by min/max); an event arriving
+    * AFTER a later session already opened cannot re-merge the closed
+    * sessions (append mode has no retraction) — size the upstream
+    * watermark to the pipeline's lateness bound, the standard contract.
+    * `idleTimeoutMs` evicts users idle longer than the timeout, closing
+    * nothing (their last snapshot was already emitted).
+    *
+    * Scale shape: state is O(1) per live user; each micro-batch shuffles
+    * once on the user key.
+    */
+  def sessionStream(df: DataFrame, gapNs: Long,
+      idleTimeoutMs: Option[Long] = None): Dataset[SessRow] = {
+    require(gapNs > 0, s"gapNs must be positive, got $gapNs")
+    require(idleTimeoutMs.forall(_ > 0), s"idleTimeoutMs must be positive: $idleTimeoutMs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col("user_id").cast("long").as("user_id"),
+      col("ts").cast("long").as("ts"),
+      col("event_id").cast("long").as("event_id")).as[SessIn]
+    val timeoutConf =
+      if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    rows.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessRow](
+        OutputMode.Append(), timeoutConf) {
+        case (u, batch, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = batch.toVector.sortBy(e => (e.ts, e.event_id))
+            val closed = Vector.newBuilder[SessRow]
+            var cur = state.getOption
+            evs.foreach { e =>
+              cur match {
+                case None =>
+                  cur = Some(SessState(1L, e.ts, e.ts, 1L))
+                case Some(s) if e.ts - s.end > gapNs =>
+                  closed += SessRow(u, s.idx, s.start, s.end,
+                    s.end - s.start, s.n)
+                  cur = Some(SessState(s.idx + 1, e.ts, e.ts, 1L))
+                case Some(s) =>
+                  cur = Some(SessState(s.idx, math.min(s.start, e.ts),
+                    math.max(s.end, e.ts), s.n + 1))
+              }
+            }
+            cur.foreach(state.update)
+            idleTimeoutMs.foreach(state.setTimeoutDuration)
+            val snap = cur.filter(_ => evs.nonEmpty).map(s =>
+              SessRow(u, s.idx, s.start, s.end, s.end - s.start, s.n))
+            (closed.result() ++ snap).iterator
+          }
+      }
+  }
 }

@@ -613,4 +613,41 @@ class StreamOpsSpec extends SparkSpec {
         .select("user_id", "event_type", "window_start", "first_ts",
           "first_event_id", "n_suppressed")))
   }
+
+  test("sessionStream: sessions straddle micro-batches; batch face == Sessionize.sessions") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gap = 1000L
+    val in = MemoryStream[StreamOps.SessIn]
+    val q = StreamOps.sessionStream(in.toDF(), gap)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 opens session 1 (ts 0..100)
+      in.addData(StreamOps.SessIn(1L, 0L, 1L), StreamOps.SessIn(1L, 100L, 2L))
+      q.processAllAvailable()
+      // batch 2: ts 900 extends session 1 (gap from 100 is 800 <= 1000);
+      // ts 5000 closes it and opens session 2
+      in.addData(StreamOps.SessIn(1L, 900L, 3L), StreamOps.SessIn(1L, 5000L, 4L))
+      q.processAllAvailable()
+      // latest-per-(user, idx) wins, closed rows are final
+      val last = spark.table("sess_out").collect()
+        .map(r => ((r.getAs[Long]("user_id"), r.getAs[Long]("session_idx")),
+          (r.getAs[Long]("start_ns"), r.getAs[Long]("end_ns"),
+            r.getAs[Long]("n_events"))))
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).maxBy(_._3) }
+      assert(last((1L, 1L)) == ((0L, 900L, 3L)), s"$last")
+      assert(last((1L, 2L)) == ((5000L, 5000L, 1L)), s"$last")
+    } finally q.stop()
+
+    // batch face: one frame == the batch sessionizer row for row
+    val events = Seq(
+      (1L, 0L, 1L), (1L, 500L, 2L), (1L, 5000L, 3L), (1L, 5100L, 4L),
+      (2L, 10L, 5L), (2L, 4000L, 6L),
+      (3L, 7L, 7L)) // tie coverage: same-ts ids order by event_id
+      .toDF("user_id", "ts", "event_id")
+    assert(rowsOf(StreamOps.sessionStream(events, gap).toDF()) ==
+      rowsOf(graft.ops.Sessionize.sessions(events, gap)
+        .select("user_id", "session_idx", "start_ns", "end_ns",
+          "duration_ns", "n_events")))
+  }
 }
