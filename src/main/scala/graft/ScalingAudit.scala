@@ -104,6 +104,33 @@ object ScalingAudit {
     val scaleOnly = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
     val onlySession7 = scaleOnly.contains("session7")
     val onlySession8 = scaleOnly.contains("session8")
+    val onlySession9 = scaleOnly.contains("session9")
+
+    // ---- session-9 operators (SPARK_GRAFT_SCALE_ONLY=session9; same
+    // append-to-SCALING_raw_extra.jsonl contract) ----
+    if (onlySession9) {
+      docPaths.foreach { case (f, p) =>
+        val d = spark.read.parquet(p)
+        val n = d.count()
+        // DSIR: gram hashing is linear, the model tables are fixed (dims
+        // rows) regardless of corpus size — the ladder must read ~linear
+        report(s"sample_dsir_x$f", n, timed(
+          graft.pipeline.Sampling.dsirResample(d, col("lang") === "en",
+            k = 100).count()))
+        // end-to-end curation: replication grows the near-dup cliques
+        // (every replica pairs with its original), so the minhash stage
+        // dominates — the composite must track ITS ladder, not worse
+        val bench = graft.pipeline.Sampling.assignSplit(d, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .where(col("split") === "test")
+        report(s"pipeline_curate_x$f", n, timed(
+          graft.pipeline.Curation.curate(d, bench).count()))
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SCALING_raw_extra.jsonl"), out.toString)
+      spark.stop()
+      return
+    }
 
     // ---- session-8 operators (SPARK_GRAFT_SCALE_ONLY=session8 runs just
     // these; same append-to-SCALING_raw_extra.jsonl contract) ----

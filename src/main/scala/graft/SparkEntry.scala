@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Sessions, Tables}
 import graft.ops.{AsofJoin, Retention, Sessionize}
-import graft.pipeline.{Audio, Bpe, Components, Dedup, Export, IncrementalDedup, IncrementalSemDedup, Multimodal, Packing, Profile, Sampling, SemiStructured, Similarity, Sketches, TextCdc, TextOps, Video}
+import graft.pipeline.{Audio, Bpe, Components, Curation, Dedup, Export, IncrementalDedup, IncrementalSemDedup, Multimodal, Packing, Profile, Sampling, SemiStructured, Similarity, Sketches, TextCdc, TextOps, Video}
 import graft.sources.{Netatmo, NetatmoSource}
 import graft.ts.{Evaluate, Rdp, SeriesOps, SeriesStore, StoreSource, HeartbeatSource, MockSource}
 import graft.ts.model.{AverageValue, Period}
@@ -1812,6 +1812,23 @@ object SparkEntry {
     "sample_weighted" -> ((s, dir) =>
       Sampling.weightedSample(Tables(s, dir).documents.select("doc_id", "n_chars"),
         "doc_id", "n_chars", n = 50)),
+    // DSIR importance resampling: the 100 raw docs whose hashed-gram
+    // distribution looks most like the English slice (Gumbel top-k over
+    // deterministic importance weights)
+    "sample_dsir" -> ((s, dir) =>
+      Sampling.dsirResample(Tables(s, dir).documents, col("lang") === "en",
+        k = 100)),
+    // the end-to-end curation pipeline composed from the verified stage
+    // operators: gopher quality gate + exact-dedup keeper + near-dup
+    // quality-argmax keeper + 5-gram decontamination against the held-out
+    // test split (the same bench slice as the decontaminate gate)
+    "pipeline_curate" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val bench = Sampling.assignSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .where(col("split") === "test")
+      Curation.curate(docs, bench)
+    }),
     // soft dedup: keep each doc with probability 1/cluster_size over the
     // minhash near-dup clusters — in expectation each duplicate FAMILY
     // contributes one copy, without the hard drop (SoftDeDup-style
@@ -2322,6 +2339,22 @@ object SparkEntry {
       Tables(s, dir).documents.createOrReplaceTempView("graft_sql_docs_rk")
       s.sql("SELECT * FROM graft_rake('graft_sql_docs_rk', 50, 4)")
     }),
+    "sql_dsir" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).documents.withColumn("is_en", col("lang") === "en")
+        .createOrReplaceTempView("graft_sql_docs_dsir")
+      s.sql("SELECT * FROM graft_dsir('graft_sql_docs_dsir', 'is_en', 100)")
+    }),
+    "sql_curate" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      val docs = Tables(s, dir).documents
+      docs.createOrReplaceTempView("graft_sql_documents")
+      Sampling.assignSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .where(col("split") === "test")
+        .createOrReplaceTempView("graft_sql_bench_curate")
+      s.sql("SELECT * FROM graft_curate('graft_sql_documents', 'graft_sql_bench_curate')")
+    }),
     "sql_dtw" -> ((s, dir) => {
       graft.core.GraftTableFunctions.registerAll(s)
       Tables(s, dir).eventsUs.where(col("user_id") < 10)
@@ -2511,6 +2544,8 @@ object SparkEntry {
       "sql_adamic_adar" -> base("graph_adamic_adar"),
       "sql_rake" -> base("text_rake"),
       "sql_dtw" -> base("ts_dtw"),
+      "sql_dsir" -> base("sample_dsir"),
+      "sql_curate" -> base("pipeline_curate"),
       // incremental maintenance must equal the full recompute exactly
       "dedup_incremental" -> base("dedup_clusters"),
       // the streaming face scores pairs with the batch kernel's arithmetic
@@ -5576,6 +5611,44 @@ object SparkEntry {
     // (same Carter–Wegman u, same -ln(u)/w), same (key, id) order + limit.
     // Twin of Sampling.bernoulliByProb(quality score): same CW draw as the
     // other sampling twins, same NaN-null clamp, decision u < p.
+    // Twin of Sampling.dsirResample(lang='en', k=100, dims=2048): same
+    // PolyHash gram buckets (unigrams + adjacent bigrams), same add-1
+    // smoothed four-ln-term bucket ratio over exact integer counts, the
+    // per-doc sum folded over the bucket-SORTED term list (pinned
+    // accumulation order), and the same CW Gumbel draw per id. sum(c) is
+    // CAST back to BIGINT (DuckDB sums BIGINT into HUGEINT, whose +dims
+    // arithmetic would be exact but whose ln() cast path must match
+    // Spark's long->double).
+    "sample_dsir" -> {
+      val mult = Sampling.saltMult("dsir")
+      val add = Sampling.saltAdd("dsir")
+      val u = s"((((${phSql("CAST(doc_id AS VARCHAR)", "0")}) * $mult" +
+        s" + $add) % 1000000007 + 0.5) / 1000000007)"
+      s"""WITH tkd AS (SELECT doc_id, lang = 'en' AS tgt, $Toks AS tk FROM documents),
+         |grd AS (
+         |  SELECT doc_id, tgt, unnest(tk) AS g FROM tkd
+         |  UNION ALL
+         |  SELECT doc_id, tgt,
+         |    unnest(list_transform(range(1, len(tk)), i -> concat(tk[i], ' ', tk[i + 1]))) AS g
+         |  FROM tkd WHERE len(tk) >= 2),
+         |occd AS (SELECT doc_id, tgt, ${phSql("g", "0")} % 2048 AS b FROM grd),
+         |dcd AS (SELECT doc_id, b, max(tgt) AS tgt, CAST(count(*) AS BIGINT) AS c
+         |  FROM occd GROUP BY 1, 2),
+         |qbd AS (SELECT b, CAST(sum(c) AS BIGINT) AS qc FROM dcd GROUP BY 1),
+         |tbd AS (SELECT b, CAST(sum(c) AS BIGINT) AS tc FROM dcd WHERE tgt GROUP BY 1),
+         |totd AS (SELECT CAST(sum(c) AS BIGINT) AS qn,
+         |  CAST(sum(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS tn FROM dcd),
+         |lrd AS (SELECT b,
+         |  ln(CAST(COALESCE(tc, 0) + 1 AS DOUBLE)) - ln(CAST(tn + 2048 AS DOUBLE))
+         |    - ln(CAST(qc + 1 AS DOUBLE)) + ln(CAST(qn + 2048 AS DOUBLE)) AS lnr
+         |  FROM qbd LEFT JOIN tbd USING (b) CROSS JOIN totd),
+         |dwd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(CAST(c AS DOUBLE) * lnr ORDER BY b)), (a, x) -> a + x) AS logw
+         |  FROM dcd JOIN lrd USING (b) GROUP BY 1)
+         |SELECT doc_id, n_grams, logw, logw + (- ln(- ln($u))) AS score
+         |FROM dwd ORDER BY score DESC, doc_id ASC LIMIT 100""".stripMargin
+    },
     "sample_importance" -> {
       val u = s"((((${phSql("CAST(doc_id AS VARCHAR)", "0")}) * ${Sampling.saltMult("importance")}" +
         s" + ${Sampling.saltAdd("importance")}) % 1000000007 + 0.5) / 1000000007)"
@@ -5747,6 +5820,47 @@ object SparkEntry {
          |SELECT c.doc_id, c.cluster_id, s.cluster_size,
          |  c.doc_id = c.cluster_id AS is_canonical
          |FROM comps c JOIN sizes s USING (cluster_id)""".stripMargin,
+    // Twin of Curation.curate: the composite reuses the SHARED oracle
+    // bodies of its stages verbatim — GopherCtes (quality gate),
+    // MinhashPairsCtes + ClosureCtes + the dedup_keepers ranking (near-dup
+    // keeper), the dedup_exact md5 groups, and the decontaminate 5-gram
+    // bench probe (CTEs renamed: the shared minhash chain owns `toks`/`sh`)
+    // — so the pipeline verdicts cannot drift from the per-stage gates.
+    "pipeline_curate" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |$ClosureCtes,
+         |$GopherCtes,
+         |q AS (SELECT d.doc_id,
+         |  ${qualityScoreSql("t.tk", "d.text")} AS quality_score
+         |  FROM documents d JOIN toks t USING (doc_id)),
+         |r AS (SELECT c.doc_id, c.cluster_id, q.quality_score,
+         |  row_number() OVER (PARTITION BY c.cluster_id
+         |    ORDER BY q.quality_score DESC, c.doc_id ASC) AS rk
+         |  FROM comps c JOIN q USING (doc_id)),
+         |nk AS (SELECT doc_id, rk = 1 AS is_keeper FROM r),
+         |exd AS (SELECT doc_id, md5(text) AS text_md5 FROM documents),
+         |exg AS (SELECT text_md5, min(doc_id) AS keeper_id FROM exd GROUP BY 1),
+         |exk AS (SELECT exd.doc_id, exd.doc_id = exg.keeper_id AS is_exact_keeper
+         |  FROM exd JOIN exg USING (text_md5)),
+         |dgr AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 5
+         |  THEN list_transform(range(1, len(tk) - 3), i -> array_to_string(tk[i:i+4], ' '))
+         |  ELSE [] END) AS g FROM toks),
+         |bsel AS (SELECT doc_id FROM documents
+         |  WHERE ((${phSql("CAST(doc_id AS VARCHAR)", "0")}) * ${Sampling.saltMult("split")}
+         |    + ${Sampling.saltAdd("split")}) % 1000000007 % 10000 >= 9000),
+         |bgr AS (SELECT DISTINCT unnest(dgr.g) AS gram FROM dgr JOIN bsel USING (doc_id)),
+         |dgo AS (SELECT doc_id, unnest(g) AS gram FROM dgr),
+         |shd AS (SELECT dgo.doc_id, count(*) AS n_shared FROM dgo JOIN bgr USING (gram) GROUP BY 1)
+         |SELECT d.doc_id, gr.pass_gopher, exk.is_exact_keeper,
+         |  coalesce(nk.is_keeper, true) AS is_near_keeper,
+         |  coalesce(shd.n_shared, 0) = 0 AS is_clean,
+         |  gr.pass_gopher AND exk.is_exact_keeper AND coalesce(nk.is_keeper, true)
+         |    AND (coalesce(shd.n_shared, 0) = 0) AS kept
+         |FROM documents d
+         |JOIN gr USING (doc_id)
+         |JOIN exk USING (doc_id)
+         |LEFT JOIN nk USING (doc_id)
+         |LEFT JOIN shd USING (doc_id)""".stripMargin,
     // Twin of Components.dedupKeepers: the dedup_clusters closure CTEs
     // plus the text_quality score expression, ranked per cluster with the
     // same (quality desc, id asc) tie-break — the score is exact double

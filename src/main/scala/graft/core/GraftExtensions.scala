@@ -381,7 +381,24 @@ object GraftTableFunctions {
         "graft_dtw(table, dt_ns) - dynamic-time-warping distance between " +
           "every series pair on the dt_ns-resampled axis"),
       (exprs: Seq[Expression]) => plan(graft.ts.SeriesOps.dtw(
-        rel(strArg(exprs(0), "table name")), longArg(exprs(1), "dt_ns"))))
+        rel(strArg(exprs(0), "table name")), longArg(exprs(1), "dt_ns")))),
+    (FunctionIdentifier("graft_dsir"),
+      info("graft_dsir",
+        "graft_dsir(table, target_col, k) - DSIR importance resampling: " +
+          "the k docs whose hashed-gram distribution best matches the rows " +
+          "where boolean target_col is true (Gumbel top-k, deterministic)"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Sampling.dsirResample(
+        rel(strArg(exprs(0), "table name")),
+        org.apache.spark.sql.functions.col(strArg(exprs(1), "target column")),
+        intArg(exprs(2), "k")))),
+    (FunctionIdentifier("graft_curate"),
+      info("graft_curate",
+        "graft_curate(docs_table, bench_table) - the end-to-end curation " +
+          "pipeline: gopher gate + exact/near dedup keepers + 5-gram " +
+          "decontamination flags per document"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Curation.curate(
+        rel(strArg(exprs(0), "docs table name")),
+        rel(strArg(exprs(1), "bench table name")))))
   )
 
   /** Register every table function on an already-built session. */

@@ -294,4 +294,80 @@ object Sampling {
       .withColumn("accept_prob", p)
       .withColumn("is_kept", coalesce(col("u") < p, lit(false)))
   }
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): select the `k` raw
+    * documents whose hashed-n-gram distribution looks most like a TARGET
+    * slice. Two bag-of-hashed-grams models are fit — unigrams plus
+    * adjacent-bigram strings, [[graft.functions.PolyHash]]-bucketed into
+    * `dims` bins, add-1 smoothed — one on the `target` rows (p) and one on
+    * the whole corpus (q); each document's log importance weight is
+    * `Σ c_b · (ln p_b − ln q_b)` over its bucket counts, and selection is
+    * Gumbel top-k (score = logw − ln(−ln u) with u the deterministic
+    * Carter–Wegman uniform draw per id), i.e. sampling WITHOUT replacement
+    * proportional to the importance weights — reproducible across runs,
+    * engines, and partitionings.
+    *
+    * Numeric discipline: bucket counts are exact integers; each bucket's
+    * ln-ratio is a fixed four-term expression over those integers
+    * (identical doubles in any engine); the per-document sum folds over
+    * the bucket-SORTED count list so the accumulation order is pinned
+    * (the ts_spectral lesson — a partial-aggregated float sum wobbles
+    * with partition layout). Ranks therefore cannot straddle engines.
+    *
+    * Scale shape: gram hashing is map-side column algebra inside the scan;
+    * the only corpus-scale shuffle is the (doc, bucket) partial-combined
+    * count; both model tables are ≤ `dims` rows (broadcast), and top-k is
+    * ORDER BY + LIMIT → per-partition heaps (TakeOrderedAndProject). No
+    * vocabulary is ever built — the hashing trick caps state at `dims`
+    * regardless of corpus size.
+    */
+  def dsirResample(df: DataFrame, target: Column, k: Int, dims: Int = 2048,
+      idCol: String = "doc_id", textCol: String = "text",
+      salt: String = "dsir"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(dims > 0, s"dims must be positive, got $dims")
+    val tk = df.select(col(idCol), target.cast("boolean").as("__tgt"),
+      TextOps.tokens(col(textCol)).as("__tk"))
+    // grams = unigrams ++ adjacent bigrams ("w1 w2"); sequence(1, 0) would
+    // generate a DESCENDING range, so the bigram arm is guarded
+    val bigrams = when(size(col("__tk")) >= 2, expr(
+      "transform(sequence(1, size(__tk) - 1), " +
+        "i -> concat(element_at(__tk, i), ' ', element_at(__tk, i + 1)))"))
+      .otherwise(typedLit(Seq.empty[String]))
+    val occ = tk
+      .select(col(idCol), col("__tgt"),
+        explode(concat(col("__tk"), bigrams)).as("__g"))
+      .select(col(idCol), col("__tgt"), (PolyHash(col("__g"), 0L) % dims).as("__b"))
+    val dc = occ.groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__c"), max(col("__tgt")).as("__tgt"))
+    val qb = dc.groupBy("__b").agg(sum("__c").as("__qc"))
+    val tb = dc.where(col("__tgt")).groupBy("__b").agg(sum("__c").as("__tc"))
+    val tot = dc.agg(sum("__c").as("__qn"),
+      sum(when(col("__tgt"), col("__c")).otherwise(0L)).as("__tn"))
+    // both model tables are <= dims rows; broadcast-hint them so the
+    // planner can never pick a shuffle join for metadata-scale relations
+    val lnr = qb.join(broadcast(tb), Seq("__b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("__b"),
+        (log((coalesce(col("__tc"), lit(0L)) + 1).cast("double"))
+          - log((col("__tn") + dims).cast("double"))
+          - log((col("__qc") + 1).cast("double"))
+          + log((col("__qn") + dims).cast("double"))).as("__lnr"))
+    val h = (PolyHash(col(idCol).cast("string"), 0L) * saltMult(salt)
+      + saltAdd(salt)) % PolyHash.Mod
+    val u = (h.cast("double") + 0.5) / PolyHash.Mod
+    dc.join(broadcast(lnr), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_grams"),
+        array_sort(collect_list(struct(col("__b"),
+          (col("__c").cast("double") * col("__lnr")).as("__t")))).as("__lst"))
+      .select(col(idCol), col("n_grams"),
+        aggregate(col("__lst"), lit(0.0),
+          (a, x) => a + x.getField("__t")).as("logw"))
+      .withColumn("score", col("logw") + -log(-log(u)))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("n_grams"), col("logw"), col("score"))
+  }
 }

@@ -557,4 +557,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange") ||
       plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
+
+  test("dsirResample: model tables broadcast, top-k is a bounded heap, no shuffle join") {
+    val plan = planOf(SparkEntry.queries("sample_dsir")(spark, sfDir))
+    // ORDER BY + LIMIT plans as per-partition heaps, never a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    // the bucket-model join and the totals row enter as broadcasts
+    assert(plan.contains("BroadcastHashJoin"))
+    // no corpus-scale shuffle join anywhere in the weight path
+    assert(!plan.contains("SortMergeJoin"),
+      "dsir planned a shuffle join for a metadata-scale model table")
+  }
 }

@@ -257,4 +257,77 @@ class SamplingSpec extends SparkSpec {
     assert(got.where(!org.apache.spark.sql.functions.col("is_kept")).count() == 0)
     assert(got.where(org.apache.spark.sql.functions.col("u") >= 1.0).count() == 0)
   }
+
+  // ---- DSIR importance resampling ----
+
+  private def dsirCorpus = {
+    val tgtText = "alpha beta gamma delta alpha beta gamma epsilon alpha beta"
+    val offText = "omega sigma tau upsilon omega sigma tau phi omega sigma"
+    val target = (1L to 20L).map(i => (i, tgtText, true))
+    // candidates: even ids speak the target vocabulary, odd ids don't
+    val cand = (100L to 139L).map { i =>
+      (i, if (i % 2 == 0) tgtText else offText, false)
+    }
+    (target ++ cand).toDF("doc_id", "text", "is_tgt")
+  }
+
+  test("dsirResample: target-vocabulary docs outscore off-vocabulary docs") {
+    val sel = Sampling.dsirResample(dsirCorpus, col("is_tgt"), k = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val tgtLike = (100L to 139L).filter(_ % 2 == 0).map(sel)
+    val offLike = (100L to 139L).filter(_ % 2 == 1).map(sel)
+    assert(tgtLike.min > offLike.max,
+      s"target-like logw ${tgtLike.min} should beat off-vocab ${offLike.max}")
+  }
+
+  test("dsirResample: layout-invariant, exact-k, empty docs absent") {
+    val base = dsirCorpus
+    val a = Sampling.dsirResample(base, col("is_tgt"), k = 10)
+      .collect().map(_.toSeq).toSet
+    val b = Sampling.dsirResample(base.repartition(13), col("is_tgt"), k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    assert(a.size == 10)
+    val withEmpty = base.union(Seq((999L, "", false)).toDF("doc_id", "text", "is_tgt"))
+    val all = Sampling.dsirResample(withEmpty, col("is_tgt"), k = 1000)
+    assert(all.count() == 60)
+    assert(all.where(col("doc_id") === 999L).count() == 0)
+  }
+
+  test("dsirResample: logw matches an exact driver-side replay") {
+    import graft.functions.PolyHash
+    val df = Seq(
+      (1L, "alpha beta alpha", true),
+      (2L, "alpha beta gamma", false),
+      (3L, "omega sigma omega sigma", false)).toDF("doc_id", "text", "is_tgt")
+    val got = Sampling.dsirResample(df, col("is_tgt"), k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    val dims = 2048
+    def grams(text: String): Seq[String] = {
+      val tk = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      tk ++ tk.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val docs = Seq((1L, "alpha beta alpha", true),
+      (2L, "alpha beta gamma", false), (3L, "omega sigma omega sigma", false))
+    val dc: Map[(Long, Long), Long] = docs.flatMap { case (id, t, _) =>
+      grams(t).map(g => (id, PolyHash.hash(g, 0L) % dims))
+    }.groupBy(identity).map { case (k2, v) => k2 -> v.size.toLong }
+    val tgtIds = docs.filter(_._3).map(_._1).toSet
+    val tb = dc.collect { case ((id, b), c) if tgtIds(id) => (b, c) }
+      .groupBy(_._1).map { case (b, v) => b -> v.map(_._2).sum }
+    val qb = dc.groupBy(_._1._2).map { case (b, v) => b -> v.values.sum }
+    val tn = tb.values.sum; val qn = qb.values.sum
+    def lnr(b: Long): Double =
+      StrictMath.log((tb.getOrElse(b, 0L) + 1).toDouble) -
+        StrictMath.log((tn + dims).toDouble) -
+        StrictMath.log((qb(b) + 1).toDouble) + StrictMath.log((qn + dims).toDouble)
+    docs.foreach { case (id, _, _) =>
+      val mine = dc.collect { case ((d, b), c) if d == id => (b, c) }.toSeq.sortBy(_._1)
+      val logw = mine.foldLeft(0.0) { case (a, (b, c)) => a + c.toDouble * lnr(b) }
+      val n = mine.map(_._2).sum
+      assert(got(id)._1 == n)
+      assert(got(id)._2 == logw, s"doc $id: got ${got(id)._2}, replay $logw")
+    }
+  }
 }

@@ -186,7 +186,16 @@ class SqlSurfaceSpec extends SparkSpec {
         graft.pipeline.Dedup.minhashEval(t.documents),
       "SELECT * FROM graft_pacf('sqlspec_points_s', 6)" ->
         graft.ts.SeriesOps.pacf(pts, maxLag = 6))
-    (cases ++ driftCases ++ extraCases ++ auditCases).foreach { case (sql, direct) =>
+    val docsDsir = t.documents.withColumn("is_en", col("lang") === "en")
+    docsDsir.createOrReplaceTempView("sqlspec_docs_dsir")
+    val benchSweep = t.documents.where(col("doc_id") % 10 === 0)
+    benchSweep.createOrReplaceTempView("sqlspec_bench_s")
+    val curationCases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "SELECT * FROM graft_dsir('sqlspec_docs_dsir', 'is_en', 50)" ->
+        graft.pipeline.Sampling.dsirResample(docsDsir, col("is_en"), k = 50),
+      "SELECT * FROM graft_curate('sqlspec_docs_s', 'sqlspec_bench_s')" ->
+        graft.pipeline.Curation.curate(t.documents, benchSweep))
+    (cases ++ driftCases ++ extraCases ++ auditCases ++ curationCases).foreach { case (sql, direct) =>
       val viaSql = spark.sql(sql)
       assert(viaSql.columns.toSeq == direct.columns.toSeq, sql)
       assert(rowsOf(viaSql) == rowsOf(direct), sql)
