@@ -1066,6 +1066,11 @@ object SparkEntry {
     // per-column completeness audit of the events table: null/NaN/empty
     // counts and the usable fraction in ONE scan — the first report run
     // on any new corpus drop
+    // corpus-composition contingency matrix: source rows × language
+    // columns, exact counts with zero-filled cells
+    "profile_crosstab" -> ((s, dir) =>
+      Profile.crosstab(Tables(s, dir).documents, "source", "lang",
+        Seq("de", "en", "es", "fr", "zh"))),
     "profile_completeness" -> ((s, dir) =>
       Profile.completeness(Tables(s, dir).events)),
     // per-column exact-vs-HLL distinct audit: join-key/dictionary sizing
@@ -1921,6 +1926,15 @@ object SparkEntry {
     "dedup_lsh_plan" -> ((s, dir) =>
       Dedup.lshPlan(s, nHashes = 32, targetJaccard = 0.8)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashNearDups(Tables(s, dir).documents)),
+    // cross-corpus doc-level fuzzy contamination: the raw corpus probed
+    // against the edit-augmented copies (the "benchmark" side) — the
+    // whole-document complement of the n-gram decontaminators; every
+    // planted copy must come back as a cross-pair of its original
+    "dedup_cross" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      Dedup.minhashJoin(corpus.where(col("doc_id") < CopyIdTag),
+        corpus.where(col("doc_id") >= CopyIdTag))
+    }),
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentDups(Tables(s, dir).documents, threshold = 0.8)),
     // cluster resolution + quality argmax: the "drop THESE rows" policy
@@ -2339,6 +2353,15 @@ object SparkEntry {
       Tables(s, dir).documents.createOrReplaceTempView("graft_sql_docs_rk")
       s.sql("SELECT * FROM graft_rake('graft_sql_docs_rk', 50, 4)")
     }),
+    "sql_minhash_join" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      val corpus = nearDupCorpus(s, dir)
+      corpus.where(col("doc_id") < CopyIdTag)
+        .createOrReplaceTempView("graft_sql_mj_left")
+      corpus.where(col("doc_id") >= CopyIdTag)
+        .createOrReplaceTempView("graft_sql_mj_right")
+      s.sql("SELECT * FROM graft_minhash_join('graft_sql_mj_left', 'graft_sql_mj_right')")
+    }),
     "sql_dsir" -> ((s, dir) => {
       graft.core.GraftTableFunctions.registerAll(s)
       Tables(s, dir).documents.withColumn("is_en", col("lang") === "en")
@@ -2546,6 +2569,7 @@ object SparkEntry {
       "sql_dtw" -> base("ts_dtw"),
       "sql_dsir" -> base("sample_dsir"),
       "sql_curate" -> base("pipeline_curate"),
+      "sql_minhash_join" -> base("dedup_cross"),
       // incremental maintenance must equal the full recompute exactly
       "dedup_incremental" -> base("dedup_clusters"),
       // the streaming face scores pairs with the batch kernel's arithmetic
@@ -2821,6 +2845,15 @@ object SparkEntry {
          |    / CAST(ex.exact_distinct AS DOUBLE) AS rel_error
          |FROM ex JOIN he ON he.column_name = ex.column_name""".stripMargin
     },
+    // Twin of Profile.crosstab(source × lang): one conditional count per
+    // pivot value — sum(CASE) comes back HUGEINT in DuckDB, cast to BIGINT
+    // to match Spark's pivot-count longs
+    "profile_crosstab" ->
+      ("SELECT source, " +
+        Seq("de", "en", "es", "fr", "zh").map(l =>
+          s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS $l")
+          .mkString(", ") +
+        " FROM documents GROUP BY source"),
     "profile_completeness" -> {
       def row(name: String, dtype: String, nan: String, empty: String) =
         s"""SELECT '$name' AS col_name, '$dtype' AS dtype,
@@ -5736,6 +5769,25 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank FROM s)
          |WHERE rank <= 5""".stripMargin,
 
+    // Twin of Dedup.minhashJoin over the edit-augmented corpus: the shared
+    // minhash band CTEs (bnd/sets) rebased onto `corpus`, then bucketed
+    // per side by the copy-id tag — equivalent to banding each slice
+    // separately because the signature is per-document. No a<b dedup: the
+    // sides are distinct relations.
+    "dedup_cross" ->
+      s"""WITH $NearDupCorpusCte,
+         |${minhashPairsCtesFrom("corpus")},
+         |bl AS (SELECT bnd.doc_id AS id_a, b, band_hash FROM bnd
+         |  WHERE bnd.doc_id < $CopyIdTag),
+         |br AS (SELECT bnd.doc_id AS id_b, b, band_hash FROM bnd
+         |  WHERE bnd.doc_id >= $CopyIdTag),
+         |cx AS (SELECT DISTINCT id_a, id_b FROM bl JOIN br USING (b, band_hash))
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |  FROM cx c JOIN sets a ON a.doc_id = c.id_a JOIN sets b ON b.doc_id = c.id_b)
+         |WHERE jaccard >= 0.5""".stripMargin,
     "dedup_exact" ->
       """WITH k AS (SELECT doc_id, md5(text) AS text_md5 FROM documents),
         |g AS (SELECT text_md5, min(doc_id) AS keeper_id, count(*) AS group_size FROM k GROUP BY 1)

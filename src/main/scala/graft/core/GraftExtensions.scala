@@ -391,6 +391,14 @@ object GraftTableFunctions {
         rel(strArg(exprs(0), "table name")),
         org.apache.spark.sql.functions.col(strArg(exprs(1), "target column")),
         intArg(exprs(2), "k")))),
+    (FunctionIdentifier("graft_minhash_join"),
+      info("graft_minhash_join",
+        "graft_minhash_join(left_table, right_table) - cross-corpus " +
+          "near-duplicate pairs (doc-level fuzzy contamination check): " +
+          "banded MinHash-LSH candidates verified by exact shingle Jaccard"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Dedup.minhashJoin(
+        rel(strArg(exprs(0), "left table name")),
+        rel(strArg(exprs(1), "right table name"))))),
     (FunctionIdentifier("graft_curate"),
       info("graft_curate",
         "graft_curate(docs_table, bench_table) - the end-to-end curation " +

@@ -171,6 +171,50 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-corpus near-duplicate join: fuzzy pairs BETWEEN two relations —
+    * the doc-level contamination check (a training corpus probed against an
+    * eval benchmark, or train against test across a split), where the
+    * n-gram-overlap decontaminators ([[TextOps.decontaminate]]) flag shared
+    * PASSAGES but only a whole-document fuzzy match proves the eval row
+    * itself leaked. Same banded LSH as [[minhashNearDups]], but each side
+    * keeps its own id space: buckets from `left` join buckets from `right`
+    * (no `a < b` dedup — the relations are distinct), and the exact
+    * shingle-Jaccard verify touches only colliding pairs, with each side's
+    * shingle set materialized from its OWN relation via a candidate
+    * semi-join.
+    *
+    * Scale shape: identical to the self-join path — the band-keyed equi-join
+    * is the only corpus-scale shuffle and its volume is Σ cnt_l(bucket) ·
+    * cnt_r(bucket); a small `right` (an eval suite) makes this a probe of
+    * the big side's index, never an all-pairs scan.
+    */
+  def minhashJoin(left: DataFrame, right: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val bl = lshBuckets(left, idCol, textCol, shingleK, bands, rowsPerBand)
+      .select(col("band"), col("band_hash"), col(idCol).as("id_a"))
+    val br = lshBuckets(right, idCol, textCol, shingleK, bands, rowsPerBand)
+      .select(col("band"), col("band_hash"), col(idCol).as("id_b"))
+    val cands = bl.join(br, Seq("band", "band_hash"))
+      .select("id_a", "id_b").distinct()
+    def sideSets(df: DataFrame, ids: DataFrame, idAs: String, shAs: String) =
+      df.select(col(idCol), col(textCol))
+        .join(ids, Seq(idCol), "left_semi")
+        .select(col(idCol).as(idAs),
+          array_sort(array_distinct(
+            TextOps.shingles(TextOps.tokens(col(textCol)), shingleK))).as(shAs))
+    val setsL = sideSets(left, cands.select(col("id_a").as(idCol)).distinct(),
+      "id_a", "sh_a")
+    val setsR = sideSets(right, cands.select(col("id_b").as(idCol)).distinct(),
+      "id_b", "sh_b")
+    cands.join(setsL, "id_a").join(setsR, "id_b")
+      .withColumn("jaccard",
+        graft.functions.Signatures.sortedJaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Candidate pairs with each side's SORTED distinct shingle set attached
     * (`sh_a`/`sh_b`) — the shared tail of every LSH-candidate scorer
     * ([[minhashNearDups]], [[containmentDups]]). Shingle sets materialize

@@ -90,6 +90,26 @@ object Profile {
     * functions. One partial-combined aggregate on a ≤ types·168 key
     * space.
     */
+  /** Contingency matrix: one row per `rowCol` value, one column (named by
+    * the value itself) per entry of `values`, cells = exact co-occurrence
+    * counts with absent cells as 0 — the corpus-composition crosstab
+    * (source × language) every curation run reads first. `values` is
+    * explicit BY DESIGN: Spark's pivot otherwise runs a blocking distinct
+    * job to discover columns and the output schema becomes data-dependent
+    * (non-deterministic column order breaks any downstream contract).
+    *
+    * Scale shape: ONE partial-combined aggregate on `rowCol` — pivot with
+    * explicit values compiles to |values| conditional counts inside a
+    * single hash aggregate, map-side combined; no Expand, no second pass.
+    */
+  def crosstab(df: DataFrame, rowCol: String, colCol: String,
+      values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "pivot values must be explicit and non-empty")
+    require(values.distinct == values, s"duplicate pivot values: $values")
+    df.groupBy(col(rowCol)).pivot(colCol, values).agg(count(lit(1)))
+      .na.fill(0L, values)
+  }
+
   def calendarProfile(events: DataFrame, typeCol: String = "event_type",
       tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
     val day = 86400L * 1000000000L

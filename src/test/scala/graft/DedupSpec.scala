@@ -68,6 +68,29 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("minhashJoin: cross-corpus pairs found, id spaces stay on their sides") {
+    val left = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then runs far away home"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+      (3L, "catalyst optimizes logical plans into physical plans with pushdown and pruning rules")
+    ).toDF("doc_id", "text")
+    val right = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog and then runs far away home"),
+      (102L, "omega psi chi phi upsilon tau sigma rho pi omicron words entirely different"),
+      (103L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashJoin(left, right)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 101L, 1.0), (2L, 103L, 1.0)), got.toString)
+    // left-vs-left twins must NOT pair: plant one and check
+    val left2 = left.union(Seq(
+      (4L, "the quick brown fox jumps over the lazy dog and then runs far away home"))
+      .toDF("doc_id", "text"))
+    val cross = Dedup.minhashJoin(left2, right).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cross == Set((1L, 101L), (2L, 103L), (4L, 101L)), cross.toString)
+  }
+
   test("minhash near-dups on the corpus all have true Jaccard >= threshold") {
     val pairs = Dedup.minhashNearDups(docs).collect()
     assert(pairs.nonEmpty, "corpus should contain at least one near-dup pair")

@@ -1593,4 +1593,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(got(("mix", 2))._5 - chiMix) < 1e-9)
     assert(got(("mix", 2))._6 == (chiMix > Profile.BenfordChiSq95Df8))
   }
+
+  test("crosstab: exact counts, zero-filled cells, explicit column order; dup values rejected") {
+    import graft.pipeline.Profile
+    val d = Seq(("s1", "en"), ("s1", "en"), ("s1", "de"), ("s2", "en"))
+      .toDF("source", "lang")
+    val got = Profile.crosstab(d, "source", "lang", Seq("de", "en", "fr"))
+    assert(got.columns.toSeq == Seq("source", "de", "en", "fr"))
+    val m = got.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m == Map("s1" -> ((1L, 2L, 0L)), "s2" -> ((0L, 1L, 0L))), m.toString)
+    intercept[IllegalArgumentException] {
+      Profile.crosstab(d, "source", "lang", Seq("en", "en"))
+    }
+  }
 }

@@ -194,7 +194,9 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM graft_dsir('sqlspec_docs_dsir', 'is_en', 50)" ->
         graft.pipeline.Sampling.dsirResample(docsDsir, col("is_en"), k = 50),
       "SELECT * FROM graft_curate('sqlspec_docs_s', 'sqlspec_bench_s')" ->
-        graft.pipeline.Curation.curate(t.documents, benchSweep))
+        graft.pipeline.Curation.curate(t.documents, benchSweep),
+      "SELECT * FROM graft_minhash_join('sqlspec_docs_s', 'sqlspec_bench_s')" ->
+        graft.pipeline.Dedup.minhashJoin(t.documents, benchSweep))
     (cases ++ driftCases ++ extraCases ++ auditCases ++ curationCases).foreach { case (sql, direct) =>
       val viaSql = spark.sql(sql)
       assert(viaSql.columns.toSeq == direct.columns.toSeq, sql)
