@@ -1738,6 +1738,13 @@ object SparkEntry {
         windowNs = 3600L * NsPerS)),
     // degree distribution of the MinHash near-dup graph — the fat-tail
     // boilerplate-hub diagnostic
+    // modularity of the source partition against the near-dup graph: does
+    // near-duplication concentrate within sources, or syndicate across?
+    "graph_modularity" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      Components.modularity(Dedup.minhashNearDups(docs),
+        docs.select("doc_id", "source"))
+    }),
     "graph_degrees" -> ((s, dir) =>
       graft.pipeline.Components.degreeDistribution(
         Dedup.minhashNearDups(Tables(s, dir).documents))),
@@ -2063,6 +2070,10 @@ object SparkEntry {
     }),
     "vec_kmeans" -> ((s, dir) =>
       Similarity.kmeans(Tables(s, dir).embeddings, k = 8, iters = 2)),
+    // simplified (centroid) silhouette over the SAME Lloyd trajectory:
+    // the "did k make sense" clustering-quality readout at O(n·k)
+    "vec_silhouette" -> ((s, dir) =>
+      Similarity.silhouette(Tables(s, dir).embeddings, k = 8, iters = 2)),
     // SemDeDup: the kmeans cells bound the pair space, within-cell cosine
     // >= 0.4 prunes to the lowest id — semantic (paraphrase-level) dedup
     "dedup_semantic" -> ((s, dir) =>
@@ -5934,6 +5945,27 @@ object SparkEntry {
     // CAST to DOUBLE first — bare `1 - 0.85` would be DuckDB DECIMAL
     // arithmetic (exactly 0.15), not the Scala double 0.15000000000000002
     // the Spark side folds.
+    // Twin of Components.modularity over the minhash pair graph with
+    // source labels: intra/deg/m are exact integers off the shared
+    // mh_pairs; each q_part is the same three-op double expression.
+    "graph_modularity" ->
+      s"""WITH $MinhashPairsCtes,
+         |edn AS (SELECT least(id_a, id_b) AS u, greatest(id_a, id_b) AS w
+         |  FROM mh_pairs WHERE id_a <> id_b GROUP BY 1, 2),
+         |elm AS (SELECT d1.source AS lu, d2.source AS lw FROM edn
+         |  JOIN documents d1 ON d1.doc_id = edn.u
+         |  JOIN documents d2 ON d2.doc_id = edn.w),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM elm),
+         |dgm AS (SELECT label, CAST(count(*) AS BIGINT) AS degree FROM
+         |  (SELECT unnest([lu, lw]) AS label FROM elm) GROUP BY 1),
+         |iam AS (SELECT lu AS label, CAST(count(*) AS BIGINT) AS intra
+         |  FROM elm WHERE lu = lw GROUP BY 1)
+         |SELECT dgm.label AS label, COALESCE(iam.intra, 0) AS intra_edges,
+         |  dgm.degree AS degree,
+         |  CAST(COALESCE(iam.intra, 0) AS DOUBLE) / m
+         |    - (CAST(dgm.degree AS DOUBLE) / (2 * m))
+         |    * (CAST(dgm.degree AS DOUBLE) / (2 * m)) AS q_part
+         |FROM dgm LEFT JOIN iam USING (label) CROSS JOIN mm""".stripMargin,
     "graph_pagerank" -> {
       def round(r: String, prev: String) =
         s"""c$r AS (SELECT s.dst AS id, sum(p.rank / d.deg) AS c FROM sym s
@@ -6252,6 +6284,23 @@ object SparkEntry {
     "vec_kmeans" ->
       s"""WITH $KmeansCtes
          |SELECT vec_id, cluster, dist FROM af""".stripMargin,
+    // Twin of Similarity.silhouette: the shared kmeans chain's corpus (e)
+    // and FINAL centroids (c2), every (vector, centroid) squared distance,
+    // slots picked by the same (dist, cluster) order; sqrt and the final
+    // division are identical IEEE ops.
+    "vec_silhouette" ->
+      s"""WITH $KmeansCtes,
+         |dall AS (SELECT e.vec_id, c2.cluster,
+         |  list_sum(list_transform(range(1, len(e.v) + 1),
+         |    i -> (e.v[i] - c2.centroid[i]) * (e.v[i] - c2.centroid[i]))) AS dist
+         |  FROM e CROSS JOIN c2),
+         |sl AS (SELECT vec_id, list(dist ORDER BY dist, cluster) AS ds,
+         |  list(cluster ORDER BY dist, cluster) AS cs FROM dall GROUP BY 1),
+         |x AS (SELECT vec_id, cs[1] AS cluster, sqrt(ds[1]) AS a, sqrt(ds[2]) AS b FROM sl)
+         |SELECT vec_id, cluster, a, b,
+         |  CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS sil
+         |FROM x""".stripMargin,
 
     // Twin of Similarity.pqEncode(m=2, k=4, iters=1): one kmeansChain per
     // 32-dim subspace slice (shared unrolled-kmeans builder — the PQ

@@ -370,6 +370,47 @@ object Components {
       .groupBy("id").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
 
+  /** Newman modularity of an EXTERNAL partition against an undirected edge
+    * list: per label `Q_c = intra_c/m − (deg_c/(2m))²` (intra = edges with
+    * both endpoints in c, deg = endpoint count in c, m = total edges);
+    * `Σ Q_c` is the classic modularity. Scored here with the doc→label map
+    * as the partition — over the near-dup graph with `source` labels this
+    * answers "does near-duplication concentrate WITHIN sources" (high Q:
+    * intra-source boilerplate; near 0: cross-source syndication, which
+    * per-source dedup would miss entirely).
+    *
+    * Exactness: intra/deg/m are exact integers; each contribution is the
+    * same three-op double expression in any engine. Scale shape: edge
+    * normalization is one groupBy; the two label joins key on the
+    * well-spread doc id; m is a one-row broadcast; output is one row per
+    * label.
+    */
+  def modularity(pairs: DataFrame, labels: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      idCol: String = "doc_id", labelCol: String = "source"): DataFrame = {
+    val e = pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("w"))
+      .where(col("u") =!= col("w"))
+      .groupBy("u", "w").agg(count(lit(1)).as("__dup")).drop("__dup")
+    val el = e
+      .join(labels.select(col(idCol).as("u"), col(labelCol).as("lu")), "u")
+      .join(labels.select(col(idCol).as("w"), col(labelCol).as("lw")), "w")
+    val m = el.agg(count(lit(1)).as("m"))
+    val deg = el.select(explode(array(col("lu"), col("lw"))).as("label"))
+      .groupBy("label").agg(count(lit(1)).as("degree"))
+    val intra = el.where(col("lu") === col("lw"))
+      .groupBy(col("lu").as("label")).agg(count(lit(1)).as("intra_edges"))
+    deg.join(intra, Seq("label"), "left")
+      .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("q_part",
+        col("intra_edges").cast("double") / col("m")
+          - (col("degree").cast("double") / (lit(2) * col("m")))
+          * (col("degree").cast("double") / (lit(2) * col("m"))))
+      .select("label", "intra_edges", "degree", "q_part")
+  }
+
   /** k-core membership by synchronous peeling (Seidman 1983): repeatedly
     * remove every node whose degree in the SURVIVING subgraph is < k; what
     * remains is the maximal subgraph where everyone keeps ≥ k neighbors.

@@ -438,6 +438,46 @@ object Similarity {
       oversample: Int = 4): DataFrame =
     lloydCentroids(kmeansPts(corpus, idCol, vecCol), k, iters, oversample)
 
+  /** Simplified silhouette (the centroid form): per vector, `a` = distance
+    * to its own (nearest) centroid, `b` = distance to the nearest OTHER
+    * centroid, `sil = (b − a) / max(a, b)` — the standard clustering-quality
+    * readout at O(n·k) instead of the O(n²) pairwise silhouette, trained on
+    * the SAME deterministic Lloyd trajectory as [[kmeans]] so the clusters
+    * it scores are the clusters every other consumer sees. sil near 1:
+    * tight, well-separated cell; near 0: the vector sits on a boundary —
+    * the per-cluster mean is the "did k make sense" diagnostic.
+    *
+    * Exactness: each cluster contributes exactly one distance, so sorting
+    * the k (dist, cluster) structs makes slot 0 the assignment (lowest
+    * cluster on ties — [[kmeans]]'s tie-break) and slot 1's distance the
+    * min over other clusters; sqrt and the final division are identical
+    * IEEE ops in any engine. A vector equal to two centroids (a = b = 0)
+    * reads sil = 0, not NaN.
+    *
+    * Scale shape: one broadcast of the k-row codebook, one partial-combined
+    * k-struct collect per vector — no shuffle wider than one row per
+    * vector, nothing quadratic.
+    */
+  def silhouette(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      oversample: Int = 4): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2, got $k")
+    val pts = kmeansPts(corpus, idCol, vecCol)
+    val cents = lloydCentroids(pts, k, iters, oversample)
+    pts.crossJoin(broadcast(cents))
+      .withColumn("dist", sqDist(col("v"), col("centroid")))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("dist"), col("cluster")))).as("ds"))
+      .select(col("vec_id"),
+        col("ds").getItem(0).getField("cluster").as("cluster"),
+        sqrt(col("ds").getItem(0).getField("dist")).as("a"),
+        sqrt(col("ds").getItem(1).getField("dist")).as("b"))
+      .withColumn("sil",
+        when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)))
+  }
+
   private def kmeansPts(corpus: DataFrame, idCol: String,
       vecCol: String): DataFrame =
     spread(corpus, idCol).select(col(idCol).as("vec_id"),

@@ -86,6 +86,23 @@ class ComponentsSpec extends SparkSpec {
     assert(ccOf(Seq((5L, 5L), (1L, 2L))) == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("modularity: hand-computed partition quality, duplicate/self edges normalized") {
+    import graft.pipeline.Components
+    // labels A = {1,2,3}, B = {4,5}; edges (1,2),(2,3),(4,5),(3,4):
+    // m = 4; intra_A = 2, deg_A = 5; intra_B = 1, deg_B = 3
+    // Q_A = 2/4 - (5/8)^2 = 0.109375; Q_B = 1/4 - (3/8)^2 = 0.109375
+    val pairs = Seq((1L, 2L), (3L, 2L), (4L, 5L), (3L, 4L),
+      (2L, 1L), (3L, 3L)) // reversed dup + self loop must be normalized away
+      .toDF("id_a", "id_b")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"))
+      .toDF("doc_id", "source")
+    val got = Components.modularity(pairs, labels)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got("A") == ((2L, 5L, 0.109375)), got("A").toString)
+    assert(got("B") == ((1L, 3L, 0.109375)), got("B").toString)
+  }
+
   test("dedup clusters: members, sizes, and canonical flags agree with the pair closure") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val pairs = Dedup.minhashNearDups(docs)

@@ -31,6 +31,34 @@ class SimilaritySpec extends SparkSpec {
     assert(c.length == 7 && c.forall(_ == 2.0))
   }
 
+  test("silhouette: tight separated clusters read near 1, a midpoint reads near 0") {
+    // two tight clusters far apart + one point midway between their centers
+    val pts = (1L to 10L).map(i => (i, Array(0.0f + (i % 3) * 0.01f, 0.0f))) ++
+      (11L to 20L).map(i => (i, Array(10.0f + (i % 3) * 0.01f, 0.0f))) ++
+      Seq((99L, Array(5.0f, 0.0f)))
+    val d = pts.toDF("vec_id", "embedding")
+    val got = Similarity.silhouette(d, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // cluster members: tight (a tiny, b huge) -> sil near 1
+    (1L to 20L).foreach { i =>
+      assert(got(i)._4 > 0.9, s"vec $i sil ${got(i)._4}")
+      assert(got(i)._3 >= got(i)._2, "b is the min over OTHER clusters, >= a")
+    }
+    // the midpoint sits on the boundary -> sil near 0
+    assert(math.abs(got(99L)._4) < 0.2, got(99L).toString)
+    // assignment slot equals the kmeans assignment exactly
+    val km = Similarity.kmeans(d, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, (c, _, _, _)) => assert(c == km(id), s"vec $id") }
+  }
+
+  test("silhouette requires k >= 2") {
+    intercept[IllegalArgumentException] {
+      Similarity.silhouette(emb, k = 1, iters = 1)
+    }
+  }
+
   test("IVF with nprobe = #cells reproduces brute force exactly") {
     val queries = emb.where(col("vec_id") < 3)
     val nCells = emb.select("label").distinct().count().toInt
