@@ -558,6 +558,25 @@ class PlanSpec extends SparkSpec {
       plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("minhashJoin: band-keyed equi-join only — no cartesian pair scan anywhere") {
+    val plan = planOf(SparkEntry.queries("dedup_cross")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"),
+      "cross-corpus near-dup join degenerated into an all-pairs scan")
+    // the two shingle-set attachments probe with the tiny candidate-id
+    // relation first (left_semi), never shuffling full text for non-candidates
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+  }
+
+  test("silhouette: the k-row codebook broadcasts; vectors shuffle once for the collect") {
+    val plan = planOf(SparkEntry.queries("vec_silhouette")(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"),
+      "centroid scoring planned as a cartesian instead of a broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "a corpus-scale shuffle join appeared in a broadcast-only pipeline")
+  }
+
   test("dsirResample: model tables broadcast, top-k is a bounded heap, no shuffle join") {
     val plan = planOf(SparkEntry.queries("sample_dsir")(spark, sfDir))
     // ORDER BY + LIMIT plans as per-partition heaps, never a global sort
