@@ -1863,6 +1863,17 @@ object SparkEntry {
     "text_lang_id" -> ((s, dir) => {
       TextOps.languageId(Tables(s, dir).documents).select("doc_id", "lang_pred")
     }),
+    // classifier evaluation: truth lang × predicted lang confusion matrix.
+    // On this synthetic fixture the matrix exposes a DATA fact, not a
+    // classifier bug: every language's text is built from the same
+    // English-ish vocabulary, so predictions lean 'en' across all truth
+    // rows — exactly the label/content disconnect this audit exists to
+    // catch before anyone trains on the lang column.
+    "text_langid_confusion" -> ((s, dir) =>
+      Profile.crosstab(
+        TextOps.languageId(Tables(s, dir).documents)
+          .select(col("lang"), col("lang_pred")),
+        "lang", "lang_pred", Seq("de", "en", "es", "fr", "it"))),
     "text_fingerprint" -> ((s, dir) => {
       Tables(s, dir).documents
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
@@ -4307,6 +4318,26 @@ object SparkEntry {
          |SELECT doc_id, lang AS lang_pred FROM (
          |  SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
          |  FROM s) WHERE rn = 1""".stripMargin,
+    // Twin of the langid confusion matrix: the text_lang_id prediction
+    // chain re-joined to truth labels, one conditional count per predicted
+    // language (sum(CASE) cast to BIGINT to match pivot-count longs)
+    "text_langid_confusion" ->
+      s"""WITH toks AS (SELECT doc_id, list_distinct($Toks) AS tk FROM documents),
+         |langs(lang, words) AS (VALUES
+         |  ('de', ['der','die','das','und','ist','ein','zu','mit','von','nicht']),
+         |  ('en', ['the','a','of','and','to','in','is','that','it','for']),
+         |  ('es', ['el','la','de','que','y','en','un','es','por','con']),
+         |  ('fr', ['le','la','de','et','un','est','que','pour','dans','sur']),
+         |  ('it', ['il','la','di','che','e','un','per','con','del','non'])),
+         |s AS (SELECT doc_id, lang, len(list_filter(tk, t -> list_contains(words, t))) AS hits
+         |      FROM toks CROSS JOIN langs),
+         |p AS (SELECT doc_id, lang AS lang_pred FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+         |  FROM s) WHERE rn = 1)
+         |SELECT d.lang AS lang, ${Seq("de", "en", "es", "fr", "it").map(l =>
+              s"CAST(sum(CASE WHEN p.lang_pred = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS $l")
+              .mkString(", ")}
+         |FROM documents d JOIN p USING (doc_id) GROUP BY d.lang""".stripMargin,
     "text_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, array_to_string($Toks, ' ') AS s FROM documents)
          |SELECT doc_id, CASE WHEN s = '' THEN 0 ELSE ${phSql("s", "0")} END AS fp FROM t""".stripMargin,
