@@ -326,6 +326,24 @@ object Sampling {
       idCol: String = "doc_id", textCol: String = "text",
       salt: String = "dsir"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    val h = (PolyHash(col(idCol).cast("string"), 0L) * saltMult(salt)
+      + saltAdd(salt)) % PolyHash.Mod
+    val u = (h.cast("double") + 0.5) / PolyHash.Mod
+    dsirWeights(df, target, dims, idCol, textCol)
+      .withColumn("score", col("logw") + -log(-log(u)))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("n_grams"), col("logw"), col("score"))
+  }
+
+  /** The weight face of [[dsirResample]]: EVERY document's gram count and
+    * log importance weight, no selection — for consumers that resample
+    * softly (e.g. [[bernoulliByProb]] on a transformed weight), diagnose
+    * the weight distribution, or mix the weight into a composite quality
+    * score. Same models, same pinned-fold arithmetic.
+    */
+  def dsirWeights(df: DataFrame, target: Column, dims: Int = 2048,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(dims > 0, s"dims must be positive, got $dims")
     val tk = df.select(col(idCol), target.cast("boolean").as("__tgt"),
       TextOps.tokens(col(textCol)).as("__tk"))
@@ -354,9 +372,6 @@ object Sampling {
           - log((col("__tn") + dims).cast("double"))
           - log((col("__qc") + 1).cast("double"))
           + log((col("__qn") + dims).cast("double"))).as("__lnr"))
-    val h = (PolyHash(col(idCol).cast("string"), 0L) * saltMult(salt)
-      + saltAdd(salt)) % PolyHash.Mod
-    val u = (h.cast("double") + 0.5) / PolyHash.Mod
     dc.join(broadcast(lnr), Seq("__b"))
       .groupBy(col(idCol))
       .agg(sum(col("__c")).as("n_grams"),
@@ -365,9 +380,5 @@ object Sampling {
       .select(col(idCol), col("n_grams"),
         aggregate(col("__lst"), lit(0.0),
           (a, x) => a + x.getField("__t")).as("logw"))
-      .withColumn("score", col("logw") + -log(-log(u)))
-      .orderBy(col("score").desc, col(idCol).asc)
-      .limit(k)
-      .select(col(idCol), col("n_grams"), col("logw"), col("score"))
   }
 }
