@@ -125,6 +125,13 @@ object ScalingAudit {
           .where(col("split") === "test")
         report(s"pipeline_curate_x$f", n, timed(
           graft.pipeline.Curation.curate(d, bench).count()))
+        // cross-corpus contamination probe against a FIXED bench side:
+        // the claimed scale shape is "a small right makes this a probe of
+        // the left's band index" — cost must track the LEFT linearly
+        val fixedBench = Tables(spark, "/root/testdata/sf0.1").documents
+          .where(col("doc_id") % 10 === 0).select("doc_id", "text")
+        report(s"dedup_cross_x$f", n, timed(
+          Dedup.minhashJoin(d, fixedBench).count()))
       }
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("SCALING_raw_extra.jsonl"), out.toString)
