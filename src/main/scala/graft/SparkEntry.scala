@@ -2085,6 +2085,14 @@ object SparkEntry {
     // the "did k make sense" clustering-quality readout at O(n·k)
     "vec_silhouette" -> ((s, dir) =>
       Similarity.silhouette(Tables(s, dir).embeddings, k = 8, iters = 2)),
+    // cross-corpus SEMANTIC contamination (the embedding twin of
+    // dedup_cross): the 10% vec_id-slice "benchmark" probed against the
+    // rest, cells trained on the left corpus and frozen
+    "dedup_sem_cross" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.semanticJoin(e.where(col("vec_id") % 10 =!= 0),
+        e.where(col("vec_id") % 10 === 0), threshold = 0.4, k = 8, iters = 2)
+    }),
     // SemDeDup: the kmeans cells bound the pair space, within-cell cosine
     // >= 0.4 prunes to the lowest id — semantic (paraphrase-level) dedup
     "dedup_semantic" -> ((s, dir) =>
@@ -6315,6 +6323,29 @@ object SparkEntry {
     "vec_kmeans" ->
       s"""WITH $KmeansCtes
          |SELECT vec_id, cluster, dist FROM af""".stripMargin,
+    // Twin of Similarity.semanticJoin: the kmeans chain REBASED onto the
+    // left slice (el) — af is then exactly the left side's frozen-cell
+    // assignment — plus the same argmin expression applied to the right
+    // slice (raf), cross pairs within shared cells at the shared cosine.
+    "dedup_sem_cross" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |el AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 0),
+         |er AS (SELECT vec_id, v FROM e WHERE vec_id % 10 = 0),
+         |${kmeansChain("", "el", k = 8, oversample = 4, iters = 2)},
+         |raf AS (SELECT vec_id, v, cluster FROM (
+         |  SELECT e.vec_id, e.v, c2.cluster,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_sum(list_transform(range(1, len(e.v) + 1),
+         |        i -> (e.v[i] - c2.centroid[i]) * (e.v[i] - c2.centroid[i]))) ASC,
+         |      c2.cluster ASC) AS rn
+         |  FROM er e CROSS JOIN c2) WHERE rn = 1)
+         |SELECT cell, id_a, id_b, cos_sim FROM (
+         |  SELECT a.cluster AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+         |      (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]))) *
+         |       sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))) AS cos_sim
+         |  FROM af a JOIN raf b ON a.cluster = b.cluster)
+         |WHERE cos_sim >= 0.4""".stripMargin,
     // Twin of Similarity.silhouette: the shared kmeans chain's corpus (e)
     // and FINAL centroids (c2), every (vector, centroid) squared distance,
     // slots picked by the same (dist, cluster) order; sqrt and the final

@@ -924,6 +924,44 @@ object Similarity {
         col("pruned_by").isNull.as("is_kept"), col("pruned_by"))
   }
 
+  /** Cross-corpus SEMANTIC contamination join — the embedding-space twin of
+    * [[graft.pipeline.Dedup.minhashJoin]]: paraphrase-level pairs BETWEEN
+    * two relations (a training corpus probed against an eval benchmark),
+    * which lexical n-gram/MinHash overlap cannot see. The coarse cells are
+    * trained on the LEFT corpus and FROZEN (the production policy shared
+    * with [[IncrementalSemDedup]] — the benchmark must not perturb the
+    * routing); both sides route to their nearest cell via the broadcast
+    * argmin, and only same-cell CROSS pairs pay the exact cosine. Each
+    * side keeps its own id space (no `a < b` pruning — the relations are
+    * distinct).
+    *
+    * Scale shape: same as [[embeddingNearDups]] — pairs enumerate on the
+    * cell key with id-only rows, repartition on the pair id, and the
+    * vectors attach via well-spread id-keyed joins; a small right side
+    * bounds pair volume at Σ_cell cnt_l·cnt_r, a probe of the left's cell
+    * index rather than an all-pairs scan.
+    */
+  def semanticJoin(left: DataFrame, right: DataFrame, threshold: Double,
+      k: Int, iters: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = kmeansCentroids(left, k, iters, idCol, vecCol)
+    def side(df: DataFrame, idAs: String, vAs: String) = {
+      val a = assignToCentroids(df, cents, idCol, vecCol)
+        .select(col("vec_id").as(idAs), col("cluster").as("cell"))
+      val v = spread(df, idCol).select(col(idCol).as(idAs), col(vecCol).as(vAs))
+      (a, v)
+    }
+    val (la, lv) = side(left, "id_a", "va")
+    val (ra, rv) = side(right, "id_b", "vb")
+    la.join(ra, Seq("cell"))
+      .repartition(col("id_a"), col("id_b"))
+      .join(lv, Seq("id_a"))
+      .join(rv, Seq("id_b"))
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .where(col("cos_sim") >= threshold)
+      .select("cell", "id_a", "id_b", "cos_sim")
+  }
+
   /** Nearest-centroid assignment against a FROZEN `(cluster, centroid)`
     * codebook — the cell-routing primitive shared by [[semanticDedupFrozen]]
     * and incremental ingest: broadcast the (metadata-scale) codebook,

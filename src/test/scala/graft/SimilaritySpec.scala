@@ -53,6 +53,28 @@ class SimilaritySpec extends SparkSpec {
     got.foreach { case (id, (c, _, _, _)) => assert(c == km(id), s"vec $id") }
   }
 
+  test("semanticJoin: cross twins pair in their frozen cell, sides keep id spaces") {
+    // left: two tight clusters; right: a paraphrase of cluster A + noise
+    val left = ((1L to 5L).map(i => (i, Array(1.0f, 0.001f * i, 0.0f))) ++
+      (6L to 10L).map(i => (i, Array(0.0f, 0.001f * i, 1.0f))))
+      .toDF("vec_id", "embedding")
+    val right = Seq(
+      (101L, Array(1.0f, 0.002f, 0.0f)),   // semantic twin of cluster A
+      (102L, Array(-1.0f, 5.0f, -1.0f))    // unrelated direction
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticJoin(left, right, threshold = 0.95,
+      k = 2, iters = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty, "the planted twin must surface")
+    // id spaces stay on their sides
+    assert(got.forall { case (a, b, _) => a <= 10L && b >= 101L }, got.mkString(","))
+    // the twin pairs ONLY with cluster-A vectors, and 102 pairs with nothing
+    assert(got.forall { case (a, b, c) => b == 101L && a <= 5L && c >= 0.95 },
+      got.mkString(","))
+    assert(got.map(_._1).toSet == (1L to 5L).toSet,
+      s"twin should match every cluster-A member: ${got.mkString(",")}")
+  }
+
   test("silhouette requires k >= 2") {
     intercept[IllegalArgumentException] {
       Similarity.silhouette(emb, k = 1, iters = 1)
