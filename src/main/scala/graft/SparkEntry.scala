@@ -2383,6 +2383,34 @@ object SparkEntry {
       Tables(s, dir).documents.createOrReplaceTempView("graft_sql_docs_rk")
       s.sql("SELECT * FROM graft_rake('graft_sql_docs_rk', 50, 4)")
     }),
+    "sql_semantic_join" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      val e = Tables(s, dir).embeddings
+      e.where(col("vec_id") % 10 =!= 0)
+        .createOrReplaceTempView("graft_sql_sj_left")
+      e.where(col("vec_id") % 10 === 0)
+        .createOrReplaceTempView("graft_sql_sj_right")
+      s.sql("SELECT * FROM graft_semantic_join('graft_sql_sj_left', 'graft_sql_sj_right', 0.4, 8, 2)")
+    }),
+    "sql_silhouette" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).embeddings.createOrReplaceTempView("graft_sql_embeddings")
+      s.sql("SELECT * FROM graft_silhouette('graft_sql_embeddings', 8, 2)")
+    }),
+    "sql_modularity" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      val docs = Tables(s, dir).documents
+      Dedup.minhashNearDups(docs)
+        .createOrReplaceTempView("graft_sql_mh_pairs")
+      docs.select("doc_id", "source")
+        .createOrReplaceTempView("graft_sql_doc_labels")
+      s.sql("SELECT * FROM graft_modularity('graft_sql_mh_pairs', 'graft_sql_doc_labels')")
+    }),
+    "sql_crosstab" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      Tables(s, dir).documents.createOrReplaceTempView("graft_sql_documents")
+      s.sql("SELECT * FROM graft_crosstab('graft_sql_documents', 'source', 'lang', 'de,en,es,fr,zh')")
+    }),
     "sql_minhash_join" -> ((s, dir) => {
       graft.core.GraftTableFunctions.registerAll(s)
       val corpus = nearDupCorpus(s, dir)
@@ -2600,6 +2628,10 @@ object SparkEntry {
       "sql_dsir" -> base("sample_dsir"),
       "sql_curate" -> base("pipeline_curate"),
       "sql_minhash_join" -> base("dedup_cross"),
+      "sql_semantic_join" -> base("dedup_sem_cross"),
+      "sql_silhouette" -> base("vec_silhouette"),
+      "sql_modularity" -> base("graph_modularity"),
+      "sql_crosstab" -> base("profile_crosstab"),
       // incremental maintenance must equal the full recompute exactly
       "dedup_incremental" -> base("dedup_clusters"),
       // the streaming face scores pairs with the batch kernel's arithmetic

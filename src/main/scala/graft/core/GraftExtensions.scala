@@ -391,6 +391,39 @@ object GraftTableFunctions {
         rel(strArg(exprs(0), "table name")),
         org.apache.spark.sql.functions.col(strArg(exprs(1), "target column")),
         intArg(exprs(2), "k")))),
+    (FunctionIdentifier("graft_semantic_join"),
+      info("graft_semantic_join",
+        "graft_semantic_join(left_table, right_table, threshold, k, iters) " +
+          "- cross-corpus paraphrase-level contamination pairs: cells " +
+          "frozen on the left corpus, same-cell cross cosine >= threshold"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Similarity.semanticJoin(
+        rel(strArg(exprs(0), "left table name")),
+        rel(strArg(exprs(1), "right table name")),
+        doubleArg(exprs(2), "threshold"),
+        intArg(exprs(3), "k"), intArg(exprs(4), "iters")))),
+    (FunctionIdentifier("graft_silhouette"),
+      info("graft_silhouette",
+        "graft_silhouette(table, k, iters) - simplified (centroid) " +
+          "silhouette clustering-quality scores per vector"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Similarity.silhouette(
+        rel(strArg(exprs(0), "table name")),
+        intArg(exprs(1), "k"), intArg(exprs(2), "iters")))),
+    (FunctionIdentifier("graft_modularity"),
+      info("graft_modularity",
+        "graft_modularity(pairs_table, labels_table) - Newman modularity " +
+          "of the label partition against the pair graph, one row per label"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Components.modularity(
+        rel(strArg(exprs(0), "pairs table name")),
+        rel(strArg(exprs(1), "labels table name"))))),
+    (FunctionIdentifier("graft_crosstab"),
+      info("graft_crosstab",
+        "graft_crosstab(table, row_col, col_col, values_csv) - contingency " +
+          "matrix with explicit comma-separated pivot values, cells " +
+          "zero-filled"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Profile.crosstab(
+        rel(strArg(exprs(0), "table name")),
+        strArg(exprs(1), "row column"), strArg(exprs(2), "pivot column"),
+        strArg(exprs(3), "comma-separated pivot values").split(",").toSeq))),
     (FunctionIdentifier("graft_minhash_join"),
       info("graft_minhash_join",
         "graft_minhash_join(left_table, right_table) - cross-corpus " +

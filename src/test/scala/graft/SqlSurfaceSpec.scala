@@ -196,8 +196,29 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM graft_curate('sqlspec_docs_s', 'sqlspec_bench_s')" ->
         graft.pipeline.Curation.curate(t.documents, benchSweep),
       "SELECT * FROM graft_minhash_join('sqlspec_docs_s', 'sqlspec_bench_s')" ->
-        graft.pipeline.Dedup.minhashJoin(t.documents, benchSweep))
-    (cases ++ driftCases ++ extraCases ++ auditCases ++ curationCases).foreach { case (sql, direct) =>
+        graft.pipeline.Dedup.minhashJoin(t.documents, benchSweep),
+      "SELECT * FROM graft_silhouette('sqlspec_emb_s', 4, 1)" ->
+        graft.pipeline.Similarity.silhouette(t.embeddings, k = 4, iters = 1),
+      "SELECT * FROM graft_crosstab('sqlspec_docs_s', 'source', 'lang', 'en,de')" ->
+        graft.pipeline.Profile.crosstab(t.documents, "source", "lang",
+          Seq("en", "de")))
+    val embLeft = t.embeddings.where(col("vec_id") % 10 =!= 0)
+    val embRight = t.embeddings.where(col("vec_id") % 10 === 0)
+    embLeft.createOrReplaceTempView("sqlspec_emb_left")
+    embRight.createOrReplaceTempView("sqlspec_emb_right")
+    val mhPairs = graft.pipeline.Dedup.minhashNearDups(t.documents)
+    mhPairs.createOrReplaceTempView("sqlspec_mh_pairs")
+    t.documents.select("doc_id", "source")
+      .createOrReplaceTempView("sqlspec_doc_labels")
+    val crossCases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "SELECT * FROM graft_semantic_join('sqlspec_emb_left', 'sqlspec_emb_right', 0.4, 4, 1)" ->
+        graft.pipeline.Similarity.semanticJoin(embLeft, embRight,
+          threshold = 0.4, k = 4, iters = 1),
+      "SELECT * FROM graft_modularity('sqlspec_mh_pairs', 'sqlspec_doc_labels')" ->
+        graft.pipeline.Components.modularity(mhPairs,
+          t.documents.select("doc_id", "source")))
+    (cases ++ driftCases ++ extraCases ++ auditCases ++ curationCases
+      ++ crossCases).foreach { case (sql, direct) =>
       val viaSql = spark.sql(sql)
       assert(viaSql.columns.toSeq == direct.columns.toSeq, sql)
       assert(rowsOf(viaSql) == rowsOf(direct), sql)
