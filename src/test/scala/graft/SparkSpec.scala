@@ -17,6 +17,19 @@ trait SparkSpec extends AnyFunSuite {
   def rowsOf(df: DataFrame): Seq[Seq[String]] =
     df.collect().toSeq.map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
 
+  /** [[rowsOf]] with doubles normalized to 9 significant digits (the
+    * driver compare's tolerance). Needed when a pipeline contains a
+    * partial-aggregated FLOAT reduction (kmeans centroid means): the
+    * reduce side merges map partials in fetch-completion order, so two
+    * evaluations of the SAME plan in one JVM can differ in the last ulp —
+    * a string-exact compare of such outputs flakes run to run.
+    */
+  def rowsOf9(df: DataFrame): Seq[Seq[String]] =
+    df.collect().toSeq.map(_.toSeq.map {
+      case d: Double => f"$d%.8e"
+      case x => String.valueOf(x)
+    }).sortBy(_.mkString("|"))
+
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 

@@ -197,8 +197,6 @@ class SqlSurfaceSpec extends SparkSpec {
         graft.pipeline.Curation.curate(t.documents, benchSweep),
       "SELECT * FROM graft_minhash_join('sqlspec_docs_s', 'sqlspec_bench_s')" ->
         graft.pipeline.Dedup.minhashJoin(t.documents, benchSweep),
-      "SELECT * FROM graft_silhouette('sqlspec_emb_s', 4, 1)" ->
-        graft.pipeline.Similarity.silhouette(t.embeddings, k = 4, iters = 1),
       "SELECT * FROM graft_crosstab('sqlspec_docs_s', 'source', 'lang', 'en,de')" ->
         graft.pipeline.Profile.crosstab(t.documents, "source", "lang",
           Seq("en", "de")))
@@ -211,12 +209,24 @@ class SqlSurfaceSpec extends SparkSpec {
     t.documents.select("doc_id", "source")
       .createOrReplaceTempView("sqlspec_doc_labels")
     val crossCases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
-      "SELECT * FROM graft_semantic_join('sqlspec_emb_left', 'sqlspec_emb_right', 0.4, 4, 1)" ->
-        graft.pipeline.Similarity.semanticJoin(embLeft, embRight,
-          threshold = 0.4, k = 4, iters = 1),
       "SELECT * FROM graft_modularity('sqlspec_mh_pairs', 'sqlspec_doc_labels')" ->
         graft.pipeline.Components.modularity(mhPairs,
           t.documents.select("doc_id", "source")))
+    // the kmeans-backed rows compare at 9 significant digits: the centroid
+    // means are partial-aggregated float reductions whose reduce-side merge
+    // order is run-nondeterministic in the last ulp, so two evaluations of
+    // the same plan can differ below the driver compare's tolerance
+    val kmeansCases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "SELECT * FROM graft_semantic_join('sqlspec_emb_left', 'sqlspec_emb_right', 0.4, 4, 1)" ->
+        graft.pipeline.Similarity.semanticJoin(embLeft, embRight,
+          threshold = 0.4, k = 4, iters = 1),
+      "SELECT * FROM graft_silhouette('sqlspec_emb_s', 4, 1)" ->
+        graft.pipeline.Similarity.silhouette(t.embeddings, k = 4, iters = 1))
+    kmeansCases.foreach { case (sql, direct) =>
+      val viaSql = spark.sql(sql)
+      assert(viaSql.columns.toSeq == direct.columns.toSeq, sql)
+      assert(rowsOf9(viaSql) == rowsOf9(direct), sql)
+    }
     (cases ++ driftCases ++ extraCases ++ auditCases ++ curationCases
       ++ crossCases).foreach { case (sql, direct) =>
       val viaSql = spark.sql(sql)
