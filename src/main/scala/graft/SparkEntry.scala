@@ -1955,6 +1955,19 @@ object SparkEntry {
     }),
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentDups(Tables(s, dir).documents, threshold = 0.8)),
+    // exact asymmetric containment of a small "benchmark": token-aligned
+    // fragments (tokens 5..44 of every 17th doc) probed against the corpus
+    // — each fragment must read containment 1.0 in its source document,
+    // the quoted-benchmark case Jaccard banding structurally misses
+    "dedup_containment_cross" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.select("doc_id", "text")
+      val frags = docs
+        .where(col("doc_id") % 17 === 0
+          && size(TextOps.tokens(col("text"))) >= 46)
+        .select((col("doc_id") + lit(1L << 41)).as("doc_id"),
+          array_join(slice(TextOps.tokens(col("text")), 5, 40), " ").as("text"))
+      Dedup.containmentJoin(docs, frags)
+    }),
     // cluster resolution + quality argmax: the "drop THESE rows" policy
     "dedup_keepers" -> ((s, dir) => Components.dedupKeepers(Tables(s, dir).documents)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashNearDups(Tables(s, dir).documents)),
@@ -5870,6 +5883,28 @@ object SparkEntry {
          |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
          |  FROM cx c JOIN sets a ON a.doc_id = c.id_a JOIN sets b ON b.doc_id = c.id_b)
          |WHERE jaccard >= 0.5""".stripMargin,
+    // Twin of Dedup.containmentJoin over the token-aligned fragment bench:
+    // same 3-token shingles, right-side distinct-gram index, exact
+    // |inter|/|sh_b| — fragments rebuilt from the SAME token slice, so a
+    // fragment's shingles are a subset of its source's (containment 1.0)
+    "dedup_containment_cross" -> {
+      val sh3 = (tk: String) => s"CASE WHEN len($tk) >= 3 THEN " +
+        s"list_transform(range(1, len($tk) - 1), i -> array_to_string($tk[i:i+2], ' ')) " +
+        s"ELSE [] END"
+      s"""WITH fr AS (SELECT doc_id + ${1L << 41} AS doc_id,
+         |  array_to_string(($Toks)[5:44], ' ') AS text
+         |  FROM documents WHERE doc_id % 17 = 0 AND len($Toks) >= 46),
+         |lg AS (SELECT doc_id AS id_a, unnest(list_distinct(${sh3("tk")})) AS sh
+         |  FROM (SELECT doc_id, $Toks AS tk FROM documents)),
+         |rgx AS (SELECT doc_id AS id_b, unnest(list_distinct(${sh3("tk")})) AS sh
+         |  FROM (SELECT doc_id, $Toks AS tk FROM fr)),
+         |rsx AS (SELECT id_b, CAST(count(*) AS BIGINT) AS nb FROM rgx GROUP BY 1),
+         |shx AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS inter
+         |  FROM lg JOIN rgx USING (sh) GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(inter AS DOUBLE) / nb AS containment_b
+         |FROM shx JOIN rsx USING (id_b)
+         |WHERE CAST(inter AS DOUBLE) / nb >= 0.8""".stripMargin
+    },
     "dedup_exact" ->
       """WITH k AS (SELECT doc_id, md5(text) AS text_md5 FROM documents),
         |g AS (SELECT text_md5, min(doc_id) AS keeper_id, count(*) AS group_size FROM k GROUP BY 1)

@@ -340,6 +340,48 @@ object Dedup {
       .select("id_a", "id_b", "containment", "jaccard", "contained_id")
   }
 
+  /** EXACT asymmetric-containment join for a SMALL right relation: every
+    * (left, right) pair where `|sh_a ∩ sh_b| / |sh_b| ≥ threshold` — "what
+    * fraction of the EVAL doc's shingles appear in this training doc". This
+    * is the contamination measure the Jaccard-based joins structurally
+    * miss: a benchmark row quoted inside a 30× larger training document
+    * has containment ≈ 1 but Jaccard ≈ 0.03 — below any LSH banding, and
+    * exactly the caveat [[containmentDups]] documents. Inverting the RIGHT
+    * side instead (its distinct shingles broadcast, the decontaminate
+    * scale path) makes the search EXACT: any qualifying pair shares
+    * ≥ threshold·|sh_b| ≥ 1 shingles, so it necessarily surfaces in the
+    * gram join — no recall curve, no banding tuning.
+    *
+    * Scale shape: the right gram index is |bench|-bounded and broadcasts
+    * (guarded by `maxRightDocs` — a corpus-sized right side belongs in
+    * [[minhashJoin]]); the left side streams through one map-side
+    * broadcast join and a partial-combined (id_a, id_b) count bounded by
+    * actual gram matches. Nothing quadratic, nothing shuffled but matches.
+    */
+  def containmentJoin(left: DataFrame, right: DataFrame,
+      threshold: Double = 0.8, idCol: String = "doc_id",
+      textCol: String = "text", shingleK: Int = 3,
+      maxRightDocs: Long = 100000): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val rn = right.count()
+    require(rn <= maxRightDocs,
+      s"right side has $rn docs, above the broadcast-gram-index bound " +
+        s"$maxRightDocs — raise maxRightDocs or route through minhashJoin")
+    def grams(df: DataFrame, idAs: String) = df.select(col(idCol).as(idAs),
+      explode(array_distinct(
+        TextOps.shingles(TextOps.tokens(col(textCol)), shingleK))).as("__sh"))
+    val rg = grams(right, "id_b")
+    val rs = rg.groupBy("id_b").agg(count(lit(1)).as("__nb"))
+    grams(left, "id_a")
+      .join(broadcast(rg), Seq("__sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
+      .join(broadcast(rs), Seq("id_b"))
+      .withColumn("containment_b",
+        col("__inter").cast("double") / col("__nb"))
+      .where(col("containment_b") >= threshold)
+      .select("id_a", "id_b", "containment_b")
+  }
+
   /** Signature width: PolyHash values live in [0, 1e9+7) < 2^30, so exactly
     * 30 well-mixed bits are available; using bits above 29 would bake
     * constant (or heavily biased) bits into every signature.

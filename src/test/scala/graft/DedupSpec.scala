@@ -91,6 +91,38 @@ class DedupSpec extends SparkSpec {
     assert(cross == Set((1L, 101L), (2L, 103L), (4L, 101L)), cross.toString)
   }
 
+  test("containmentJoin: exact vs brute force; fragment-in-giant found at tiny Jaccard") {
+    val big = (1 to 120).map(i => s"tok$i").mkString(" ")
+    val frag = (41 to 52).map(i => s"tok$i").mkString(" ") // 12 tokens inside big
+    val other = (1 to 12).map(i => s"zzz$i").mkString(" ")
+    val leftRows = Seq((1L, big), (2L, "alpha beta gamma delta epsilon zeta"))
+    val rightRows = Seq((101L, frag), (102L, other))
+    val left = leftRows.toDF("doc_id", "text")
+    val right = rightRows.toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(left, right, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 101L, 1.0)), got.toString)
+    // the found pair's Jaccard is ~10/116 — far below any banding threshold:
+    // this is exactly the pair the LSH-based joins structurally miss
+    def shset(t: String) = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      .toSeq.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val j = (shset(big) & shset(frag)).size.toDouble /
+      (shset(big) | shset(frag)).size
+    assert(j < 0.1, s"jaccard $j should be tiny")
+    // brute-force parity at a lower threshold
+    val brute = (for {
+      (la, lt) <- leftRows; (rb, rt) <- rightRows
+      nb = shset(rt).size if nb > 0
+      c = (shset(lt) & shset(rt)).size.toDouble / nb if c >= 0.25
+    } yield (la, rb, c)).toSet
+    val got2 = Dedup.containmentJoin(left, right, threshold = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got2 == brute, s"$got2 vs $brute")
+    intercept[IllegalArgumentException] {
+      Dedup.containmentJoin(left, right, maxRightDocs = 1)
+    }
+  }
+
   test("minhash near-dups on the corpus all have true Jaccard >= threshold") {
     val pairs = Dedup.minhashNearDups(docs).collect()
     assert(pairs.nonEmpty, "corpus should contain at least one near-dup pair")
