@@ -2396,6 +2396,17 @@ object SparkEntry {
       Tables(s, dir).documents.createOrReplaceTempView("graft_sql_docs_rk")
       s.sql("SELECT * FROM graft_rake('graft_sql_docs_rk', 50, 4)")
     }),
+    "sql_containment_join" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      val docs = Tables(s, dir).documents.select("doc_id", "text")
+      docs.createOrReplaceTempView("graft_sql_cj_left")
+      docs.where(col("doc_id") % 17 === 0
+          && size(TextOps.tokens(col("text"))) >= 46)
+        .select((col("doc_id") + lit(1L << 41)).as("doc_id"),
+          array_join(slice(TextOps.tokens(col("text")), 5, 40), " ").as("text"))
+        .createOrReplaceTempView("graft_sql_cj_right")
+      s.sql("SELECT * FROM graft_containment_join('graft_sql_cj_left', 'graft_sql_cj_right', 0.8)")
+    }),
     "sql_semantic_join" -> ((s, dir) => {
       graft.core.GraftTableFunctions.registerAll(s)
       val e = Tables(s, dir).embeddings
@@ -2642,6 +2653,7 @@ object SparkEntry {
       "sql_curate" -> base("pipeline_curate"),
       "sql_minhash_join" -> base("dedup_cross"),
       "sql_semantic_join" -> base("dedup_sem_cross"),
+      "sql_containment_join" -> base("dedup_containment_cross"),
       "sql_silhouette" -> base("vec_silhouette"),
       "sql_modularity" -> base("graph_modularity"),
       "sql_crosstab" -> base("profile_crosstab"),

@@ -424,6 +424,15 @@ object GraftTableFunctions {
         rel(strArg(exprs(0), "table name")),
         strArg(exprs(1), "row column"), strArg(exprs(2), "pivot column"),
         strArg(exprs(3), "comma-separated pivot values").split(",").toSeq))),
+    (FunctionIdentifier("graft_containment_join"),
+      info("graft_containment_join",
+        "graft_containment_join(left_table, right_table, threshold) - " +
+          "exact asymmetric containment of the (small) right side's docs " +
+          "in the left corpus (quoted-benchmark contamination)"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.Dedup.containmentJoin(
+        rel(strArg(exprs(0), "left table name")),
+        rel(strArg(exprs(1), "right table name")),
+        doubleArg(exprs(2), "threshold")))),
     (FunctionIdentifier("graft_minhash_join"),
       info("graft_minhash_join",
         "graft_minhash_join(left_table, right_table) - cross-corpus " +

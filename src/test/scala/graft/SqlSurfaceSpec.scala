@@ -211,7 +211,10 @@ class SqlSurfaceSpec extends SparkSpec {
     val crossCases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
       "SELECT * FROM graft_modularity('sqlspec_mh_pairs', 'sqlspec_doc_labels')" ->
         graft.pipeline.Components.modularity(mhPairs,
-          t.documents.select("doc_id", "source")))
+          t.documents.select("doc_id", "source")),
+      "SELECT * FROM graft_containment_join('sqlspec_docs_s', 'sqlspec_bench_s', 0.5)" ->
+        graft.pipeline.Dedup.containmentJoin(t.documents, benchSweep,
+          threshold = 0.5))
     // the kmeans-backed rows compare at 9 significant digits: the centroid
     // means are partial-aggregated float reductions whose reduce-side merge
     // order is run-nondeterministic in the last ulp, so two evaluations of
