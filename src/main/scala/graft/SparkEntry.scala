@@ -1480,9 +1480,14 @@ object SparkEntry {
         dims = Seq(8, 16, 32, 64))
     }),
     // product quantization: 2 subspaces x 4-centroid codebooks — codes +
-    // exact reconstruction error per vector
+    // exact reconstruction error per vector. Codes comma-joined (small
+    // ints render identically in both engines): the driver's pandas
+    // compare cannot sort/hash raw array cells.
     "vec_pq" -> ((s, dir) =>
-      Similarity.pqEncode(Tables(s, dir).embeddings, m = 2, k = 4, iters = 1)),
+      Similarity.pqEncode(Tables(s, dir).embeddings, m = 2, k = 4, iters = 1)
+        .select(col("vec_id"),
+          array_join(col("codes").cast("array<string>"), ",").as("codes"),
+          col("sq_err"))),
     // ADC search over the PQ codes: query-side distance tables, corpus
     // side touched only through its m codes
     "sim_pq_topk" -> ((s, dir) => {
@@ -1776,13 +1781,26 @@ object SparkEntry {
     // per-dimension drift/collapse profile
     "vec_dim_stats" -> ((s, dir) => Similarity.dimStats(Tables(s, dir).embeddings)),
     // per-dimension whitening against the corpus moments: the
-    // preprocessing before clustering/ANN when dimension scales differ
+    // preprocessing before clustering/ANN when dimension scales differ.
+    // Emitted long-form (vec_id, dim, z): the driver's pandas compare
+    // cannot sort/hash raw array cells (same reason text_inverted_index
+    // joins its postings), and a double→string render would have to match
+    // bit-for-bit across engines — exploding keeps z a plain double.
+    // (outer explode: InferFiltersFromGenerate would otherwise push the
+    // whole projection expression into a `size(...) > 0` scan filter and
+    // evaluate the kernel twice per row — the r9 signature-kernel trap)
     "vec_standardize" -> ((s, dir) =>
-      Similarity.standardize(Tables(s, dir).embeddings)),
+      Similarity.standardize(Tables(s, dir).embeddings)
+        .select(col("vec_id"),
+          posexplode_outer(col("zvec")).as(Seq("dim", "z")))),
     // JL sign random projection 64 -> 16: data-independent dimensionality
-    // reduction (Achlioptas signs), unrolled pinned-order expression
+    // reduction (Achlioptas signs), unrolled pinned-order expression.
+    // Long-form (vec_id, dim, rp_v) for the same array-cell reason as
+    // vec_standardize.
     "vec_rp" -> ((s, dir) =>
-      Similarity.randomProject(Tables(s, dir).embeddings)),
+      Similarity.randomProject(Tables(s, dir).embeddings)
+        .select(col("vec_id"),
+          posexplode_outer(col("rp")).as(Seq("dim", "rp_v")))),
     // one-row isotropy audit: hash-paired sample cosine moments + the
     // centroid-offset ratio — decides whether cosine geometry is healthy
     // (and whether vec_standardize is needed) before any ANN serving
@@ -2561,7 +2579,11 @@ object SparkEntry {
     "sql_rp" -> ((s, dir) => {
       graft.core.GraftTableFunctions.registerAll(s)
       Tables(s, dir).embeddings.createOrReplaceTempView("graft_sql_emb_rp")
-      s.sql("SELECT * FROM graft_random_project('graft_sql_emb_rp', 16, 64)")
+      // long-form like vec_rp (whose oracle this query shares): the
+      // driver's pandas compare cannot sort/hash raw array cells
+      s.sql("SELECT vec_id, dim, rp_v FROM " +
+        "graft_random_project('graft_sql_emb_rp', 16, 64) " +
+        "LATERAL VIEW OUTER posexplode(rp) pe AS dim, rp_v")
     }),
     "sql_lsh_plan" -> ((s, dir) => {
       graft.core.GraftTableFunctions.registerAll(s)
@@ -5537,15 +5559,16 @@ object SparkEntry {
         |FROM u GROUP BY 1""".stripMargin,
 
     // Twin of Similarity.standardize: the vec_dim_stats moments joined
-    // back per (vector, dim), dead dims to 0, reassembled in dim order.
+    // back per (vector, dim), dead dims to 0, long-form (the driver's
+    // pandas compare cannot sort/hash raw array cells).
     "vec_standardize" ->
       """WITH u AS (SELECT vec_id,
         |  CAST(unnest(range(0, len(embedding))) AS INTEGER) AS dim,
         |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
         |st AS (SELECT dim, avg(x) AS mean, stddev_samp(x) AS std FROM u GROUP BY 1)
-        |SELECT u.vec_id, list(CASE WHEN st.std > 0
-        |    THEN (u.x - st.mean) / st.std ELSE 0.0 END ORDER BY u.dim) AS zvec
-        |FROM u JOIN st USING (dim) GROUP BY u.vec_id""".stripMargin,
+        |SELECT u.vec_id, u.dim, CASE WHEN st.std > 0
+        |    THEN (u.x - st.mean) / st.std ELSE 0.0 END AS z
+        |FROM u JOIN st USING (dim)""".stripMargin,
 
     // Twin of Similarity.randomProject(16, 64): the sign literals come
     // from the SAME driver-side rpSign function that built the Spark
@@ -5553,8 +5576,10 @@ object SparkEntry {
     // chain over v[1..64] — bit-identical accumulation in both engines.
     "vec_rp" ->
       s"""WITH e AS (SELECT vec_id,
-         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
-         |SELECT vec_id, [${rpListSql("v")}] AS rp FROM e""".stripMargin,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |r AS (SELECT vec_id, [${rpListSql("v")}] AS rp FROM e)
+         |SELECT vec_id, CAST(unnest(range(0, len(rp))) AS INTEGER) AS dim,
+         |  unnest(rp) AS rp_v FROM r""".stripMargin,
     // Twin of Similarity.rpTopK(k=3, shortlist=50): shared rpListSql
     // projection, rp-space cosine shortlist with the (sim desc, id asc)
     // cut, exact cosine re-rank on the shortlist rows only.
@@ -6453,7 +6478,8 @@ object SparkEntry {
          |e1 AS (SELECT vec_id, v[33:64] AS v FROM e),
          |${kmeansChain("q0_", "e0", k = 4, oversample = 4, iters = 1)},
          |${kmeansChain("q1_", "e1", k = 4, oversample = 4, iters = 1)}
-         |SELECT a.vec_id, [a.cluster, b.cluster] AS codes,
+         |SELECT a.vec_id,
+         |  CAST(a.cluster AS VARCHAR) || ',' || CAST(b.cluster AS VARCHAR) AS codes,
          |  a.dist + b.dist AS sq_err
          |FROM q0_af a JOIN q1_af b USING (vec_id)""".stripMargin,
 
