@@ -134,7 +134,9 @@ object ScalingAudit {
           Dedup.minhashJoin(d, fixedBench).count()))
       }
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("SCALING_raw_extra.jsonl"), out.toString)
+        java.nio.file.Paths.get("SCALING_raw_extra.jsonl"), out.toString,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
       spark.stop()
       return
     }
@@ -209,7 +211,9 @@ object ScalingAudit {
           graft.pipeline.TextOps.rakePhrases(d).count()))
       }
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("SCALING_raw_extra.jsonl"), out.toString)
+        java.nio.file.Paths.get("SCALING_raw_extra.jsonl"), out.toString,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
       spark.stop()
       return
     }
@@ -263,7 +267,9 @@ object ScalingAudit {
 
     if (onlySession7) {
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("SCALING_raw_extra.jsonl"), out.toString)
+        java.nio.file.Paths.get("SCALING_raw_extra.jsonl"), out.toString,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
       spark.stop()
       return
     }

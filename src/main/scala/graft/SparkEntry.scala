@@ -5482,11 +5482,17 @@ object SparkEntry {
         |FROM tt JOIN rk ON tt.grp = rk.grp AND tt.rn = rk.rn
         |GROUP BY 1, 2""".stripMargin,
     // Twin of Profile.volumeAnomaly: same integer moments, same co-moment
-    // variance, same null-z conventions.
+    // variance, same null-z conventions, same zero-filled day grid
+    // between each group's min and max day.
     "events_volume_anomaly" ->
-      """WITH d AS (SELECT event_type AS grp,
+      """WITH sp AS (SELECT event_type AS grp,
         |  epoch_ns(ts) // 86400000000000 AS day, count(*) AS n_events
         |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT grp, min(day) AS lo, max(day) AS hi FROM sp GROUP BY 1),
+        |g AS (SELECT grp, unnest(range(lo, hi + 1)) AS day FROM b),
+        |d AS (SELECT g.grp, g.day,
+        |  coalesce(sp.n_events, CAST(0 AS BIGINT)) AS n_events
+        |  FROM g LEFT JOIN sp USING (grp, day)),
         |m AS (SELECT grp, count(*) AS n, CAST(sum(n_events) AS BIGINT) AS s,
         |  CAST(sum(n_events * n_events) AS BIGINT) AS ss FROM d GROUP BY 1),
         |j AS (SELECT d.grp, d.day, d.n_events,

@@ -141,11 +141,17 @@ object Experiment {
     * per-event INTEGER contribution (e.g. floored purchase value) — the
     * integer contract is what makes every moment exact.
     *
-    * Exactness: per-user x/y are long sums; the cross-user moments Σx,
-    * Σy, Σx², Σxy, Σy² accumulate as decimal(38,0) (exact, order-free —
-    * a float sum here would wobble at the compare's 9th digit), and the
-    * co-moment identities n·Σxy − Σx·Σy etc. stay integer-exact until the
-    * final pinned double expressions. Adjusted means need no per-user
+    * Exactness: per-user x/y are long sums, cast to decimal(20,0) (exact
+    * for any long); their pairwise products land in decimal(38,0) (a
+    * long² is < 8.6e37, so a single product can never overflow) and the
+    * cross-user moments Σx, Σy, Σx², Σxy, Σy² accumulate in decimal(38,0)
+    * (exact, order-free — a float sum here would wobble at the compare's
+    * 9th digit); the co-moment identities n·Σxy − Σx·Σy etc. stay
+    * integer-exact until the final pinned double expressions. The 38-digit
+    * ceiling IS reachable by the sums (n·(1e19)² style corpora): under
+    * non-ANSI mode Spark nulls an overflowed decimal aggregate, so every
+    * moment and co-moment is guarded — null with n > 0 raises instead of
+    * silently reading as a degenerate design. Adjusted means need no per-user
     * adjusted values: mean(ŷ)_arm = ȳ_arm − θ(x̄_arm − x̄), and
     * var(ŷ) = var(y) − 2θcov + θ²var(x), all from the same moments.
     * Degenerate designs (no x variance, no y variance, an empty arm)
@@ -188,11 +194,28 @@ object Experiment {
         .as("sx_b"),
       sum(when(col("__arm") === "B", dec(col("__y"))).otherwise(dec(lit(0L))))
         .as("sy_b"))
+    // overflow guard: a decimal(38,0) aggregate that overflows nulls out
+    // under non-ANSI mode; a null moment with users present can only be
+    // that, and silently feeding it forward would read as "no variance"
+    val guard = (c: Column, nm: String) => when(col("n") > 0 && c.isNull,
+      raise_error(lit(s"cuped: moment $nm overflowed decimal(38,0) — " +
+        "per-user metric sums near the long range exceed the exact-moment " +
+        "contract; rescale the per-event metric"))).otherwise(c)
+    val gg = g.select(col("n"), col("n_a"), col("n_b"),
+      guard(col("sx"), "sum(x)").as("sx"),
+      guard(col("sy"), "sum(y)").as("sy"),
+      guard(col("sxx"), "sum(x*x)").as("sxx"),
+      guard(col("sxy"), "sum(x*y)").as("sxy"),
+      guard(col("syy"), "sum(y*y)").as("syy"),
+      guard(col("sx_a"), "sum_a(x)").as("sx_a"),
+      guard(col("sy_a"), "sum_a(y)").as("sy_a"),
+      guard(col("sx_b"), "sum_b(x)").as("sx_b"),
+      guard(col("sy_b"), "sum_b(y)").as("sy_b"))
     val nD = col("n").cast("decimal(20,0)")
-    val v = g.select(col("*"),
-      (nD * col("sxx") - col("sx") * col("sx")).as("__vxx"),
-      (nD * col("sxy") - col("sx") * col("sy")).as("__vxy"),
-      (nD * col("syy") - col("sy") * col("sy")).as("__vyy"))
+    val v = gg.select(col("*"),
+      guard(nD * col("sxx") - col("sx") * col("sx"), "n*sxx-sx*sx").as("__vxx"),
+      guard(nD * col("sxy") - col("sx") * col("sy"), "n*sxy-sx*sy").as("__vxy"),
+      guard(nD * col("syy") - col("sy") * col("sy"), "n*syy-sy*sy").as("__vyy"))
     val D = (c: Column) => c.cast("double")
     val theta = when(col("__vxx") > 0, D(col("__vxy")) / D(col("__vxx")))
     val meanX = D(col("sx")) / D(col("n"))

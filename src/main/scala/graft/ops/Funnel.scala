@@ -93,9 +93,12 @@ object Funnel {
       s"need windowNs >= 0, dayNs > 0; got windowNs=$windowNs dayNs=$dayNs")
     val touches = events.where(col(typeCol) === touchType)
       .select(col(userCol), col(idCol).as("touch_id"), col(tsCol).as("touch_ts"))
+    // a NaN conversion value still counts as a conversion (touch counts
+    // keep it) but contributes no revenue — nulled so sum() skips it
+    // rather than poisoning the day's credited_revenue
     val convs = events.where(col(typeCol) === convType)
       .select(col(userCol), col(idCol).as("conv_id"), col(tsCol).as("conv_ts"),
-        col(valueCol).as("__v"))
+        when(!isnan(col(valueCol)), col(valueCol)).as("__v"))
     val pairs = graft.ops.IntervalJoin.intervalJoin(
       touches, convs, userCol, "touch_ts", "conv_ts", windowNs)
     val k = pairs.groupBy("conv_id").agg(count(lit(1)).as("__k"))

@@ -92,9 +92,13 @@ object Retention {
     import org.apache.spark.sql.expressions.Window
     val conv = events.where(convPredicate)
     val now = conv.agg(max(col(tsCol)).as("__now"))
+    // NaN purchase values are excluded from the monetary sum (the
+    // calendarProfile convention): one NaN would otherwise make monetary
+    // NaN, which desc-orders above every double and awards that user the
+    // best m_score. The conversion still counts toward frequency.
     val perUser = conv.groupBy(col(userCol))
       .agg(max(col(tsCol)).as("__last"), count(lit(1)).as("frequency"),
-        sum(col(valueCol)).as("monetary"))
+        sum(when(!isnan(col(valueCol)), col(valueCol))).as("monetary"))
       .crossJoin(broadcast(now))
       .withColumn("recency_days",
         expr(s"(__now - __last) div $dayNs"))
@@ -139,9 +143,12 @@ object Retention {
     val firstSeen = withDay.groupBy(userCol).agg(min("__day").as("cohort_day"))
     val sizes = firstSeen.groupBy("cohort_day")
       .agg(count(lit(1)).as("cohort_size"))
+    // NaN revenue is excluded (calendarProfile convention) — a single NaN
+    // would otherwise poison the cumulative curve for every later offset
     val cells = withDay.join(firstSeen, userCol)
       .groupBy(col("cohort_day"), (col("__day") - col("cohort_day")).as("day_offset"))
-      .agg(sum(when(col("__conv"), col("__v")).otherwise(lit(0.0))).as("revenue"))
+      .agg(sum(when(col("__conv") && !isnan(col("__v")), col("__v"))
+        .otherwise(lit(0.0))).as("revenue"))
     val w = Window.partitionBy("cohort_day").orderBy("day_offset")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cells

@@ -326,23 +326,37 @@ object Profile {
     * the ops-monitoring "did ingest spike/drop today" check, over volumes
     * rather than values (where [[ksDrift]]/[[psiDrift]] look).
     *
+    * Each group's (min day, max day) span is densified with zero-filled
+    * counts before the moments: a COMPLETE outage day (zero events) is
+    * the headline "did ingest drop" case, and a sparse-only grid could
+    * neither flag it nor keep it out of the mean the spikes are judged
+    * against. Days before a group's first event are unknowable (the group
+    * may simply not have existed) and stay absent.
+    *
     * The moments are EXACT integer arithmetic (counts, Σc, Σc² as longs)
     * until the final divisions, so the statistic is bit-reproducible
     * cross-engine. Sample variance via the co-moment form
     * (n·Σc² − (Σc)²)/(n·(n−1)); groups with < 2 days or zero spread emit
     * null z and never flag. Scale shape: two partial-combined aggregates
     * (day counts, then per-group moments) + a broadcast-sized rejoin on
-    * the group key.
+    * the group key; the day grid is (groups × span-days) rows — metadata
+    * scale, generated from a per-group min/max aggregate.
     */
   def volumeAnomaly(events: DataFrame, groupCol: String = "event_type",
       tsCol: String = "ts", dayNs: Long = 86400L * 1000 * 1000 * 1000,
       threshold: Double = 2.0): DataFrame = {
     require(dayNs > 0, s"dayNs must be positive, got $dayNs")
     require(threshold > 0, s"threshold must be positive, got $threshold")
-    val daily = events
+    val sparse = events
       .select(col(groupCol).as("grp"),
         expr(s"(`$tsCol` - pmod(`$tsCol`, $dayNs)) div $dayNs").as("day"))
       .groupBy("grp", "day").agg(count(lit(1)).as("n_events"))
+    val grid = sparse.groupBy("grp")
+      .agg(min("day").as("__lo"), max("day").as("__hi"))
+      .select(col("grp"), explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    val daily = grid.join(sparse, Seq("grp", "day"), "left")
+      .select(col("grp"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
     val mom = daily.groupBy("grp").agg(
       count(lit(1)).as("__n"), sum("n_events").as("__s"),
       sum(col("n_events") * col("n_events")).as("__ss"))

@@ -1352,14 +1352,17 @@ object Similarity {
       s"need k >= 1 and shortlist >= k; got k=$k shortlist=$shortlist")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
     val spark = corpus.sparkSession
+    // cast id to long and the vector to array<double> IN the frame (the
+    // kCenters convention) so a corpus with int ids or double embeddings
+    // doesn't ClassCastException at collect time
     val cands = bruteForceTopK(queries, corpus, shortlist, idCol, vecCol)
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")),
         "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("__v"))
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("cos_sim"), transform(col("__v"), _.cast("double")).as("__v"))
       .collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
-        r.getAs[Double]("cos_sim"),
-        r.getSeq[Float](r.fieldIndex("__v")).map(_.toDouble).toArray))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getSeq[Double](3).toArray))
     val rows = cands.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (qid, cs) =>
       var selected = Vector.empty[(Long, Double, Array[Double], Int, Double)]
       for (r <- 1 to math.min(k, cs.length)) {

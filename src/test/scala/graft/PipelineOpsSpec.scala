@@ -1283,11 +1283,15 @@ class PipelineOpsSpec extends SparkSpec {
   test("volumeAnomaly flags a planted volume spike; degenerate groups stay null") {
     val day = 1000L
     // type "a": 5 events/day for 9 days, 50 on day 9 (the spike);
-    // type "b": one day only (no variance -> null z, never flags)
+    // type "b": one day only (no variance -> null z, never flags);
+    // type "c": 5 events/day for days 0..8 EXCEPT day 4 — a complete
+    // outage day, which must materialize as a zero-count row and flag
     val rows = (0 until 9).flatMap(d => (0 until 5).map(i =>
         ("a", d.toLong * day + i))) ++
       (0 until 50).map(i => ("a", 9L * day + i)) ++
-      (0 until 3).map(i => ("b", i.toLong))
+      (0 until 3).map(i => ("b", i.toLong)) ++
+      (0 until 9).filter(_ != 4).flatMap(d => (0 until 5).map(i =>
+        ("c", d.toLong * day + i)))
     val got = Profile.volumeAnomaly(rows.toDF("event_type", "ts"),
         groupCol = "event_type", dayNs = day)
       .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("day")) ->
@@ -1298,6 +1302,13 @@ class PipelineOpsSpec extends SparkSpec {
     (0 until 9).foreach(d => assert(!got(("a", d.toLong))._3, s"day $d"))
     assert(got(("b", 0L))._2.isEmpty && !got(("b", 0L))._3,
       "single-day group has no variance: null z, no flag")
+    // the outage: densified to n_events = 0; z = (0 - 40/9)/sqrt(200/72)
+    assert(got(("c", 4L))._1 == 0L, "zero-event day must exist in the grid")
+    assert(got(("c", 4L))._3, "a complete outage day must flag")
+    (0 until 9).filter(_ != 4).foreach(d =>
+      assert(!got(("c", d.toLong))._3, s"steady c day $d must not flag"))
+    assert(!got.contains(("c", 9L)),
+      "days outside a group's [min, max] span stay absent")
   }
   test("zipfFit recovers a planted power law and replays on the driver") {
     // term k (1-based) appears exactly 840/k times (840 divisible by 1..8) -> slope −1
@@ -1368,6 +1379,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(3L)._5 % 10 == 5, "top monetary scores 5")
     assert(got(1L)._6 == got(1L)._4 * 100 + got(1L)._5,
       s"rfm code composes: ${got(1L)}")
+  }
+  test("rfm: a NaN purchase value cannot claim the best monetary rank") {
+    val ev = Seq(
+      (1L, 0L, "purchase", Double.NaN),   // NaN excluded from monetary
+      (1L, 10L, "purchase", 5.0),
+      (2L, 20L, "purchase", 100.0),       // the true top spender
+      (3L, 30L, "purchase", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = graft.ops.Retention.rfm(ev, col("event_type") === "purchase")
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Double]("monetary"), r.getAs[Long]("frequency"),
+          r.getAs[Int]("m_score")))).toMap
+    assert(got(1L)._1 == 5.0, "NaN value must not enter the monetary sum")
+    assert(got(1L)._2 == 2L, "the NaN conversion still counts as frequency")
+    assert(got(2L)._3 == 5, "the real top spender keeps the best m_score")
+    assert(got(2L)._3 > got(1L)._3)
   }
   test("linearAttribution splits credit evenly; untouched conversions go organic") {
     val h = 3600L
