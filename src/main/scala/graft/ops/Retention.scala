@@ -80,38 +80,48 @@ object Retention {
     * ⌊(rank−1)·5/n⌋` under a (metric, user_id) order, so ties and
     * boundaries are engine-exact. The classic customer-value segmentation.
     *
-    * Scale shape: one conversion-filtered aggregate on the user key, a
-    * one-row max-ts broadcast, and three rank windows over the USER table
-    * (one row per user — orders of magnitude under the event stream).
+    * Scale shape: one conversion-filtered aggregate on the user key
+    * (materialized once via [[graft.core.Lineage.truncate]] — the three
+    * rank passes and the sample draws re-read blocks, not the event
+    * stream), a one-row max-ts broadcast, and three EXACT distributed
+    * ranks via [[graft.pipeline.Prefix.globalRowNumber]] — a global
+    * `row_number().over(Window.orderBy(…))` here would funnel the whole
+    * user table through ONE task, which at production user counts is the
+    * job's bottleneck (and Spark says so in the WindowExec warning).
+    * Desc metrics rank via negated keys; a null monetary (every purchase
+    * value NaN) is pinned to the WORST monetary rank explicitly.
+    * Frequency is exact in the rank key below 2⁵³ conversions per user.
     */
   def rfm(events: DataFrame, convPredicate: Column,
       userCol: String = "user_id", tsCol: String = "ts",
       valueCol: String = "value",
       dayNs: Long = 86400L * 1000 * 1000 * 1000): DataFrame = {
     require(dayNs > 0, s"dayNs must be positive, got $dayNs")
-    import org.apache.spark.sql.expressions.Window
     val conv = events.where(convPredicate)
     val now = conv.agg(max(col(tsCol)).as("__now"))
     // NaN purchase values are excluded from the monetary sum (the
     // calendarProfile convention): one NaN would otherwise make monetary
     // NaN, which desc-orders above every double and awards that user the
     // best m_score. The conversion still counts toward frequency.
-    val perUser = conv.groupBy(col(userCol))
-      .agg(max(col(tsCol)).as("__last"), count(lit(1)).as("frequency"),
-        sum(when(!isnan(col(valueCol)), col(valueCol))).as("monetary"))
-      .crossJoin(broadcast(now))
-      .withColumn("recency_days",
-        expr(s"(__now - __last) div $dayNs"))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
-    def score(df: DataFrame, name: String, order: Seq[Column]): DataFrame =
-      df.withColumn("__rn",
-          row_number().over(Window.orderBy(order: _*)).cast("long"))
-        .withColumn(name, expr("CAST(5 - ((__rn - 1) * 5) div __n AS INT)"))
+    val perUser = graft.core.Lineage.truncate(
+      conv.groupBy(col(userCol))
+        .agg(max(col(tsCol)).as("__last"), count(lit(1)).as("frequency"),
+          sum(when(!isnan(col(valueCol)), col(valueCol))).as("monetary"))
+        .crossJoin(broadcast(now))
+        .withColumn("recency_days",
+          expr(s"(__now - __last) div $dayNs")))
+    val n = perUser.count()
+    def score(df: DataFrame, name: String, key: Column): DataFrame =
+      graft.pipeline.Prefix
+        .globalRowNumber(df, key, col(userCol), "__rn", n)
+        .withColumn(name,
+          expr(s"CAST(5 - ((__rn - 1) * 5) div ${math.max(n, 1L)} AS INT)"))
         .drop("__rn")
     val scored = score(score(score(perUser,
-      "r_score", Seq(col("recency_days").asc, col(userCol).asc)),
-      "f_score", Seq(col("frequency").desc, col(userCol).asc)),
-      "m_score", Seq(col("monetary").desc, col(userCol).asc))
+      "r_score", col("recency_days")),
+      "f_score", -col("frequency")),
+      "m_score", when(col("monetary").isNull, lit(Double.MaxValue))
+        .otherwise(-col("monetary")))
     scored
       .select(col(userCol), col("recency_days"), col("frequency"), col("monetary"),
         col("r_score"), col("f_score"), col("m_score"),

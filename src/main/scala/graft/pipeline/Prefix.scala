@@ -46,4 +46,76 @@ object Prefix {
       .withColumn(endCol, col("__prefix") + col("__local_end"))
       .drop("__shard", "__local_end", "__prefix")
   }
+
+  /** Append `rankCol` = exact global `row_number()` under
+    * (`key` asc, `tie` asc) — the distributed form of
+    * `row_number().OVER (ORDER BY key, tie)`, whose direct Spark plan is a
+    * SINGLE-PARTITION sort (one task owns every row; Spark prints the
+    * WindowExec warning). Three stages, none corpus-bottlenecked:
+    *
+    *  1. pick `parts − 1` boundary keys from a DETERMINISTIC hash-drawn
+    *     sample of (key, tie) pairs (`xxhash64(tie) % (n/sampleTarget)`,
+    *     layout-invariant — NOT `df.sample`, whose draw follows partition
+    *     layout) and compute each row's partition id as a pure codegen
+    *     fold of `(key, tie) > boundary` comparisons — a deterministic
+    *     FUNCTION of the row, so no cross-subplan exchange-reuse is
+    *     needed for the two consumers below to agree;
+    *  2. `row_number()` within each pid (a PARTITIONED window — parallel);
+    *  3. per-pid counts → a ≤`parts`-row prefix scan → broadcast add.
+    *
+    * Exactness needs only pid-monotonicity w.r.t. the total order (the
+    * boundary indicator is monotone in (key, tie)), NOT balanced
+    * boundaries — a skewed sample degrades parallelism, never the ranks.
+    * Ties are impossible by contract: `tie` must be unique per row.
+    *
+    * Contract: `key` is cast to double (exact for longs < 2⁵³ — cast
+    * counts/ids that can exceed that yourself) and must not be NaN;
+    * null keys rank FIRST (Spark's asc null order — coalesce to a
+    * sentinel first if nulls mean "worst"). `tie` is cast to long.
+    * `n` is the caller's row count (most callers already have it);
+    * it only sizes the sample draw, so an estimate is fine.
+    */
+  def globalRowNumber(df: DataFrame, key: Column, tie: Column,
+      rankCol: String, n: Long, parts0: Int = 0,
+      sampleTarget: Int = 1 << 12): DataFrame = {
+    val parts = if (parts0 > 0) parts0
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64").toInt
+    require(parts >= 1, s"parts must be >= 1, got $parts")
+    val base = df.withColumn("__gk", key.cast("double"))
+      .withColumn("__gt", tie.cast("long"))
+    val mod = math.max(1L, n / math.max(1, sampleTarget))
+    val sample = base
+      .where(pmod(xxhash64(col("__gt")), lit(mod)) === 0)
+      .select(col("__gk"), col("__gt")).collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Double]), r.getLong(1)))
+      .sortBy { case (k, t) => (k.getOrElse(Double.NegativeInfinity), t) }
+    val bounds = if (sample.isEmpty) Array.empty[(Option[Double], Long)]
+      else (1 until parts)
+        .map(i => sample(((i.toLong * sample.length) / parts).toInt))
+        .distinct.toArray
+    // (key, tie) > (bk, bt) with null keys ordering first: a null row key
+    // exceeds no boundary (pid 0); a null BOUNDARY key is exceeded by any
+    // non-null key or a larger tie
+    val pid = bounds.foldLeft(lit(0)) { case (acc, (bk, bt)) =>
+      val gt = bk match {
+        case Some(k) =>
+          col("__gk") > k || (col("__gk") === k && col("__gt") > bt)
+        case None => col("__gk").isNotNull || col("__gt") > bt
+      }
+      acc + when(gt, 1).otherwise(0)
+    }
+    val withPid = base.withColumn("__pid", pid)
+    val localW = Window.partitionBy("__pid")
+      .orderBy(col("__gk").asc, col("__gt").asc)
+    val local = withPid
+      .withColumn("__lrn", row_number().over(localW).cast("long"))
+    val offW = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withPid.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum("__cnt").over(offW), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(rankCol, col("__off") + col("__lrn"))
+      .drop("__pid", "__lrn", "__off", "__gk", "__gt")
+  }
 }

@@ -468,14 +468,23 @@ object SeriesOps {
     * per-pair cost is n·m interpreted lambda steps, so this operator is
     * for BOUNDED station groups after resampling — at corpus scale,
     * shortlist pairs first (SAX words / [[crossCorrelation]]) and run DTW
-    * on the candidates.
+    * on the candidates. `maxSeries` bounds the OTHER quadratic axis the
+    * same way (the [[graft.pipeline.Sketches.kmvPairJaccard]] maxGroups
+    * contract): the pair space is |S|²/2, so a million-series corpus
+    * must not silently attempt 5·10¹¹ DPs — the count is checked on a
+    * column-pruned id list and forced AHEAD of the pair expansion by the
+    * broadcast join (the build side evaluates before any pair exists).
+    * Don't just raise the guard: past ~10³ series, move the kernel to
+    * mapPartitions and shortlist.
     *
     * Output per (series_a < series_b): lengths, `dtw_dist` (sum of
     * |a_i − b_j| along the optimal warp), and the per-step normalization
     * `dtw_dist / (n_a + n_b)`.
     */
-  def dtw(points: DataFrame, dtNs: Long, maxPoints: Int = 64): DataFrame = {
+  def dtw(points: DataFrame, dtNs: Long, maxPoints: Int = 64,
+      maxSeries: Int = 1000): DataFrame = {
     require(maxPoints >= 2, s"dtw needs maxPoints >= 2, got $maxPoints")
+    require(maxSeries >= 2, s"dtw needs maxSeries >= 2, got $maxSeries")
     val big = lit(1e150)
     val ser = resample(points, dtNs)
       .where(col("mean_value").isNotNull)
@@ -490,7 +499,23 @@ object SeriesOps {
             "is quadratic per pair; resample coarser or shortlist pairs",
           col("series_id"), size(col("__vs")).cast("string"))))
           .otherwise(col("__vs")))
+    // series-count guard: a metadata-scale window over the column-pruned
+    // id list (the arrays never ride through it), broadcast-joined so the
+    // raise evaluates before the crossJoin can expand a single pair
+    val guardedIds = ser.select(col("series_id"))
+      .withColumn("__g", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("series_id",
+        when(col("__g") > maxSeries, raise_error(format_string(
+          s"dtw: %s series exceed maxSeries $maxSeries — the DP pair " +
+            "space is quadratic in series count; shortlist candidate " +
+            "pairs (SAX/crossCorrelation) or raise maxSeries (and move " +
+            "the kernel to mapPartitions if you do)",
+          col("__g").cast("string"))))
+          .otherwise(col("series_id")))
+      .drop("__g")
     val a = ser.select(col("series_id").as("series_a"), col("__vs").as("__a"))
+      .join(broadcast(guardedIds.withColumnRenamed("series_id", "series_a")),
+        "series_a")
     val c = ser.select(col("series_id").as("series_b"), col("__vs").as("__b"))
     val innerRow = (prev: Column, x: Column) =>
       aggregate(

@@ -35,6 +35,48 @@ class PrefixOpsSpec extends SparkSpec {
       ("b", 1L, 100L), ("b", 3L, 200L)))
   }
 
+  test("globalRowNumber equals the naive global window (ties, skew, any parts)") {
+    // heavy ties (key = i % 7) force tie-resolution through the tie col;
+    // a skewed clump (key = 0 for 40 rows) lands many rows in one pid
+    val rows = (0L until 100L).map(i => (i, if (i < 40) 0L else i % 7)) ++
+      (100L until 130L).map(i => (i, 1000L - i))
+    val df = rows.toDF("tie", "k")
+    val naive = rows.sortBy { case (t, k) => (k, t) }.zipWithIndex
+      .map { case ((t, _), i) => t -> (i + 1L) }.toMap
+    for (parts <- Seq(1, 3, 16, 200)) {
+      val got = Prefix.globalRowNumber(df, col("k"), col("tie"), "rn",
+          n = rows.length.toLong, parts0 = parts, sampleTarget = 8)
+        .select("tie", "rn").as[(Long, Long)].collect().toMap
+      assert(got == naive, s"parts=$parts")
+    }
+    // sampleTarget larger than n: every row sampled, still exact
+    val got2 = Prefix.globalRowNumber(df, col("k"), col("tie"), "rn",
+        n = rows.length.toLong, parts0 = 4, sampleTarget = 100000)
+      .select("tie", "rn").as[(Long, Long)].collect().toMap
+    assert(got2 == naive)
+    // null keys rank first, ordered among themselves by tie
+    val withNull = Seq((1L, Some(5.0)), (2L, None), (3L, None), (4L, Some(-1.0)))
+      .toDF("tie", "k")
+    val gotN = Prefix.globalRowNumber(withNull, col("k"), col("tie"), "rn",
+        n = 4, parts0 = 2, sampleTarget = 8)
+      .select("tie", "rn").as[(Long, Long)].collect().toMap
+    assert(gotN == Map(2L -> 1L, 3L -> 2L, 4L -> 3L, 1L -> 4L), s"$gotN")
+  }
+
+  test("globalRowNumber's plan has no corpus-scale single-partition sort") {
+    val df = (0L until 64L).map(i => (i, i % 5)).toDF("tie", "k")
+    val plan = Prefix.globalRowNumber(df, col("k"), col("tie"), "rn",
+        n = 64, parts0 = 8, sampleTarget = 16)
+      .queryExecution.executedPlan.toString
+    // the only SinglePartition exchange allowed is the ≤parts-row offset
+    // scan, which sits ABOVE the pid aggregate — the row-level window
+    // must partition by __pid, never a global ORDER BY over the corpus
+    val single = "SinglePartition".r.findAllIn(plan).length
+    assert(single <= 1, s"expected ≤1 metadata-scale single exchange:\n$plan")
+    assert(plan.contains("partitionBy") || plan.contains("__pid"),
+      s"row window must be pid-partitioned:\n$plan")
+  }
+
   private def sizedDocs(rows: (Long, Long)*): DataFrame =
     rows.toDF("doc_id", "n_chars")
 

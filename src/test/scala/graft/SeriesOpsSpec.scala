@@ -230,6 +230,15 @@ class SeriesOpsSpec extends SparkSpec {
     intercept[Exception] {
       SeriesOps.dtw(rows, 10 * S, maxPoints = 5).collect()
     }
+    // the OTHER quadratic axis: series count above maxSeries fails fast…
+    val ex = intercept[Exception] {
+      SeriesOps.dtw(rows, 10 * S, maxSeries = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => String.valueOf(e.getMessage) +: msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("maxSeries")), s"got: ${msgs(ex)}")
+    // …and exactly at the bound it still runs
+    assert(SeriesOps.dtw(rows, 10 * S, maxSeries = 3).count() == 3L)
   }
 
   test("periodogram: planted sinusoid spikes at its harmonic; driver DFT parity") {
