@@ -122,7 +122,24 @@ object RecallAudit {
         Seq("pq_prod_m8_k256" -> recall(pairs(
           Similarity.pqTopK(q, e, topK = 3, m = 8, kc = 256)))) ++
         Seq("pq_prod_m8_k256_rr100" -> recall(pairs(
-          Similarity.pqTopKRerank(q, e, topK = 3, candidates = 100, m = 8, kc = 256))))
+          Similarity.pqTopKRerank(q, e, topK = 3, candidates = 100, m = 8, kc = 256)))) ++
+        // mutual k-NN graph: EDGE recall of the cell-blocked default
+        // (trained kmeans cells, kCells=8) vs the brute graph — the
+        // honest curve on this near-uniform corpus; nprobe=kCells is 1.0
+        // by construction and pins the harness
+        locally {
+          val knnBrute = Similarity.knnGraphBrute(e, k = 3)
+            .select("id_a", "id_b").collect()
+            .map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+          Seq(3, 6, 8).map { np =>
+            val got = Similarity.knnGraph(e, k = 3, nprobe = np)
+              .select("id_a", "id_b").collect()
+              .map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+            s"knn_graph_nprobe${np}_of8" ->
+              (if (knnBrute.isEmpty) 1.0
+               else got.intersect(knnBrute).size.toDouble / knnBrute.size)
+          }
+        }
       val js = r.map { case (k2, v) => f""""$k2":$v%.4f""" }.mkString(",")
       println(s"""{"sf":"$sfDir","k":3,"n_brute":${brute.size},"n_cells":$nCells,$js}""")
     }
@@ -152,7 +169,23 @@ object RecallAudit {
         // tie group truncates it arbitrarily — the candidate depth must
         // cover the largest code-cell (here two merged clusters ~100)
         "pq_m2_k8_rr100" -> recall(pairs(
-          Similarity.pqTopKRerank(q, c, topK = 5, candidates = 100, m = 2, kc = 8))))
+          Similarity.pqTopKRerank(q, c, topK = 5, candidates = 100, m = 2, kc = 8)))) ++
+        // knn-graph on the regime it is FOR: kmeans cells recover the 8
+        // planted clusters, so one probe already holds the edge floor
+        // (SimilaritySpec pins >= 0.9)
+        locally {
+          val kb = Similarity.knnGraphBrute(c, k = 3)
+            .select("id_a", "id_b").collect()
+            .map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+          Seq(1, 2).map { np =>
+            val got = Similarity.knnGraph(c, k = 3, nprobe = np)
+              .select("id_a", "id_b").collect()
+              .map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+            s"knn_graph_nprobe${np}_of8" ->
+              (if (kb.isEmpty) 1.0
+               else got.intersect(kb).size.toDouble / kb.size)
+          }
+        }
       val js = r.map { case (k2, v) => f""""$k2":$v%.4f""" }.mkString(",")
       println(s"""{"sf":"clustered_8x50","k":5,"n_brute":${brute.size},$js}""")
     }

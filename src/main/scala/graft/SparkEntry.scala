@@ -305,6 +305,37 @@ object SparkEntry {
        |comps AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id),
        |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comps GROUP BY 1)""".stripMargin
 
+  /** Shared CTE chain for the CELL-BLOCKED mutual k-NN graph twin
+    * (Similarity.knnGraph, k=3, nprobe=3, kCells=8, iters=2): the SAME
+    * unrolled kmeans chain as vec_kmeans/dedup_semantic ([[KmeansCtes]]
+    * — e the double-cast corpus, af the final assignment, c2 the trained
+    * centroids), every vector probing its 3 nearest cells by squared-L2
+    * to the centroids ((dist asc, cell asc) tie-break — the metric the
+    * cells were trained under), exact cosine over probed-cell members
+    * only, top-3 by (cos desc, id asc), then the mutual self-join. Ends
+    * in `knn_edges(id_a, id_b, cos_sim)` so the vec_knn_graph and
+    * vec_clusters twins share one definition.
+    */
+  private lazy val KnnCellCtes: String =
+    s"""$KmeansCtes,
+       |probe AS (SELECT query_id, cell FROM (
+       |  SELECT q.vec_id AS query_id, c2.cluster AS cell,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      list_sum(list_transform(range(1, len(q.v) + 1),
+       |        i -> (q.v[i] - c2.centroid[i]) * (q.v[i] - c2.centroid[i]))) ASC,
+       |      c2.cluster ASC) AS prank
+       |  FROM e q CROSS JOIN c2) WHERE prank <= 3),
+       |sknn AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+       |  ${vecCosSql("q.v", "c.v")} AS c
+       |  FROM probe p JOIN e q ON q.vec_id = p.query_id
+       |  JOIN af c ON c.cluster = p.cell AND c.vec_id <> p.query_id),
+       |tknn AS (SELECT query_id, neighbor_id, c FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY c DESC, neighbor_id ASC) AS rk FROM sknn) WHERE rk <= 3),
+       |knn_edges AS (SELECT t.query_id AS id_a, t.neighbor_id AS id_b, t.c AS cos_sim
+       |  FROM tknn t JOIN tknn t2 ON t.query_id = t2.neighbor_id AND t.neighbor_id = t2.query_id
+       |  WHERE t.query_id < t.neighbor_id)""".stripMargin
+
   /** Shared CTE chain unrolling Similarity.kmeans(embeddings, k=8, iters=2):
     * `e(vec_id, v)` the double-cast corpus and `af(vec_id, v, cluster,
     * dist)` the FINAL assignment — one definition used by the vec_kmeans
@@ -2061,9 +2092,16 @@ object SparkEntry {
         col("vec_id") % 2 === 0)),
     // mutual k-NN graph over the embedding corpus (k = 3): edges only
     // where BOTH endpoints rank each other — the clustering/manifold
-    // graph construction, hub vertices pruned by mutuality
+    // graph construction, hub vertices pruned by mutuality. Cell-blocked
+    // candidates (nprobe=3 over the label cells) — the 100 TB default;
+    // vec_knn_brute is the corpus x corpus exact twin kept as the audit
     "vec_knn_graph" -> ((s, dir) =>
-      Similarity.knnGraph(Tables(s, dir).embeddings, k = 3)),
+      Similarity.knnGraph(Tables(s, dir).embeddings, k = 3, nprobe = 3)),
+    // the exact quadratic baseline the cell-blocked default is audited
+    // against (recall measured in RecallAudit; equality when every cell
+    // is probed is spec-pinned)
+    "vec_knn_brute" -> ((s, dir) =>
+      Similarity.knnGraphBrute(Tables(s, dir).embeddings, k = 3)),
     // greedy k-center coreset (farthest-point traversal, k = 8): the
     // diversity selection over the embedding space — prototypes spanning
     // the corpus where random sampling oversamples dense regions
@@ -2072,10 +2110,11 @@ object SparkEntry {
     // graph-based embedding clustering: connected components of the
     // mutual k-NN graph — density-adaptive communities with no k to
     // choose and hubs already pruned by mutuality (pure composition of
-    // two verified operators)
+    // two verified operators, on the cell-blocked graph like production)
     "vec_clusters" -> ((s, dir) =>
       Components.clustersFromPairs(
-        Similarity.knnGraph(Tables(s, dir).embeddings, k = 3), "id_a", "id_b")
+        Similarity.knnGraph(Tables(s, dir).embeddings, k = 3, nprobe = 3),
+        "id_a", "id_b")
         .withColumnRenamed("doc_id", "vec_id")),
     // MMR diversified retrieval for vector 0: greedy λ·rel − (1−λ)·maxsim
     // over the cosine top-20 shortlist (λ = 0.7, k = 5)
@@ -6366,7 +6405,13 @@ object SparkEntry {
         |FULL OUTER JOIN (SELECT * FROM m WHERE NOT in_a) b ON a.dim = b.dim""".stripMargin,
     // Twin of Similarity.knnGraph(k=3): all-pairs cosine, per-query
     // (cos desc, id asc) top-3, mutuality via self-join, a < b edges.
+    // Twin of the cell-blocked default (k=3, nprobe=3 over label cells).
     "vec_knn_graph" ->
+      s"""WITH $KnnCellCtes
+         |SELECT id_a, id_b, cos_sim FROM knn_edges""".stripMargin,
+    // Twin of Similarity.knnGraphBrute — the exact corpus x corpus
+    // baseline the cell-blocked default is audited against.
+    "vec_knn_brute" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |s AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
          |  ${vecCosSql("a.v", "b.v")} AS c
@@ -6379,20 +6424,13 @@ object SparkEntry {
          |WHERE t.qa < t.qb""".stripMargin,
     // Twin of Similarity.kCenters(k=8) — see KCenterOracle.
     "vec_kcenter" -> KCenterOracle,
-    // Twin of the knn-graph clustering composition: the vec_knn_graph
-    // body restructured to end in `mh_pairs(id_a, id_b)` so the shared
-    // ClosureCtes (which closes over that name) resolves the components.
+    // Twin of the knn-graph clustering composition: the shared
+    // cell-blocked KnnCellCtes rebadged to `mh_pairs(id_a, id_b)` so the
+    // shared ClosureCtes (which closes over that name) resolves the
+    // components.
     "vec_clusters" ->
-      s"""WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |s AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
-         |  ${vecCosSql("a.v", "b.v")} AS c
-         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
-         |r AS (SELECT qa, qb, c, row_number() OVER (
-         |  PARTITION BY qa ORDER BY c DESC, qb ASC) AS rk FROM s),
-         |t AS (SELECT qa, qb, c FROM r WHERE rk <= 3),
-         |mh_pairs AS (SELECT t.qa AS id_a, t.qb AS id_b
-         |  FROM t JOIN t t2 ON t.qa = t2.qb AND t.qb = t2.qa
-         |  WHERE t.qa < t.qb),
+      s"""WITH RECURSIVE $KnnCellCtes,
+         |mh_pairs AS (SELECT id_a, id_b FROM knn_edges),
          |$ClosureCtes
          |SELECT c.doc_id AS vec_id, c.cluster_id, sz.cluster_size,
          |  c.doc_id = c.cluster_id AS is_canonical

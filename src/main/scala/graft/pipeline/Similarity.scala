@@ -1309,18 +1309,85 @@ object Similarity {
     * construction for density-based clustering and manifold methods
     * (mutuality prunes hub vertices that appear in everyone's top-k but
     * reciprocate none). Edges are emitted once (id_a < id_b) with their
-    * cosine; ranks use [[bruteForceTopK]]'s (cos desc, id asc) order.
+    * cosine; ranks use the (cos desc, id asc) order.
     *
-    * Scale: this exact form is corpus × corpus (the oracle-checkable
-    * core); at 100 TB swap the brute pass for the cell-blocked candidate
-    * generation [[embeddingNearDups]] uses — the mutuality semi-join and
-    * everything after is unchanged.
+    * DEFAULT is the cell-blocked candidate path (this is the 100 TB
+    * shape, not an opt-in): TRAINED k-means cells ([[kmeansCentroids]]'s
+    * deterministic trajectory — the [[semanticDedupFrozen]]/IVF coarse
+    * quantizer; NOT a metadata label column, which the fixture shows is
+    * geometry-blind — top-3 same-label rate ≈ chance), every vector
+    * probing its `nprobe` nearest cells by squared-L2 to the centroids
+    * (the metric the cells were trained under, (dist asc, cell asc)
+    * tie-break) and ranking ONLY vectors inside probed cells — the
+    * per-query candidate count is Σ probed-cell sizes, not the corpus.
+    * Because the cell key has few distinct values, candidates are
+    * enumerated id-only on the cell key and repartitioned on the pair
+    * ids before the vectors attach ([[embeddingNearDups]]'s spread
+    * pattern) — the quadratic scoring parallelizes even though the
+    * blocking key doesn't. Within probed cells the ranking is exact, so
+    * with one cell (or nprobe ≥ kCells) the graph equals
+    * [[knnGraphBrute]]'s; across cells it is the standard IVF
+    * approximation (a neighbor hiding in an unprobed cell is unseen —
+    * recall tunes via `nprobe`, and honestly depends on the corpus
+    * having cluster structure at all; RecallAudit measures it). At
+    * 100 TB, `kCells` grows with the corpus (SemDeDup's policy) keeping
+    * cells bounded; the mutuality semi-join is unchanged either way.
     */
-  def knnGraph(corpus: DataFrame, k: Int = 3, idCol: String = "vec_id",
+  def knnGraph(corpus: DataFrame, k: Int = 3, nprobe: Int = 3,
+      kCells: Int = 8, iters: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"knnGraph needs k >= 1, got $k")
+    require(nprobe >= 1, s"knnGraph needs nprobe >= 1, got $nprobe")
+    val cents = kmeansCentroids(corpus, kCells, iters, idCol, vecCol)
+    val pts = kmeansPts(corpus, idCol, vecCol)
+    val v = pts.select(col("vec_id").as("id"), col("v"))
+    val members = assignStep(pts, cents)
+      .select(col("cluster").as("cell"), col("vec_id").as("neighbor_id"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("__d").asc, col("cell").asc)
+    val probes = v.select(col("id").as("query_id"), col("v").as("__qv"))
+      .crossJoin(broadcast(cents.select(col("cluster").as("cell"),
+        col("centroid"))))
+      .withColumn("__d", sqDist(col("__qv"), col("centroid")))
+      .withColumn("__prank", row_number().over(wq))
+      .where(col("__prank") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    // each vector lives in exactly one cell, so (query, neighbor) appears
+    // at most once — no candidate dedup needed
+    val pairs = probes
+      .join(members, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .repartition(col("query_id"), col("neighbor_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val top = pairs
+      .join(v.select(col("id").as("query_id"), col("v").as("__qv")), Seq("query_id"))
+      .join(v.select(col("id").as("neighbor_id"), col("v").as("__cv")),
+        Seq("neighbor_id"))
+      .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    mutualEdges(top)
+  }
+
+  /** The corpus × corpus exact form of [[knnGraph]] — the oracle twin and
+    * recall baseline. Quadratic by construction: audit tool, not the
+    * production path.
+    */
+  def knnGraphBrute(corpus: DataFrame, k: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"knnGraphBrute needs k >= 1, got $k")
     val top = bruteForceTopK(corpus, corpus, k, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    mutualEdges(top)
+  }
+
+  /** Keep only mutual (a ∈ top(b) AND b ∈ top(a)) edges, emitted once as
+    * (id_a < id_b, cos_sim). Shared by both knn-graph faces.
+    */
+  private def mutualEdges(top: DataFrame): DataFrame = {
     val rev = top.select(col("neighbor_id").as("query_id"),
       col("query_id").as("neighbor_id"))
     top.join(rev, Seq("query_id", "neighbor_id"), "left_semi")

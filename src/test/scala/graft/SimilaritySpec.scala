@@ -323,6 +323,16 @@ class SimilaritySpec extends SparkSpec {
     val rPq = recall(pairs(
       Similarity.pqTopKRerank(q, c, topK = 5, candidates = 100, m = 2, kc = 8)))
     assert(rPq >= 0.9, s"pqTopKRerank recall@5 $rPq < 0.9")
+    // cell-blocked mutual knn graph: trained kmeans cells recover the 8
+    // planted clusters, so one probe already holds the EDGE floor
+    val kb = Similarity.knnGraphBrute(c, k = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kg = Similarity.knnGraph(c, k = 3, nprobe = 1)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rKnn = kg.intersect(kb).size.toDouble / kb.size
+    assert(rKnn >= 0.9, s"knnGraph edge recall $rKnn < 0.9")
   }
 
   test("ANN recall floor: >= 0.8 on the mid-separation overlapping corpus") {
@@ -639,7 +649,7 @@ class SimilaritySpec extends SparkSpec {
       .collect().head
     assert(r1.getAs[Double]("mmr_score") == 0.7 * r1.getAs[Double]("rel"))
   }
-  test("knnGraph keeps only mutual edges and prunes the hub") {
+  test("knnGraphBrute keeps only mutual edges and prunes the hub") {
     def v(xs: Double*) = xs.map(_.toFloat).toArray
     // two tight pairs plus a "hub" near the origin direction of both pairs'
     // bisector: the hub ranks pair members in ITS top-k, but pair members
@@ -649,14 +659,52 @@ class SimilaritySpec extends SparkSpec {
       (3L, v(0, 0, 1, 0.01)), (4L, v(0, 0, 1, -0.01)),   // pair B
       (5L, v(0.7, 0, 0.7, 0)))                           // hub between A and B
     val df = rows.toDF("vec_id", "embedding")
-    val got = graft.pipeline.Similarity.knnGraph(df, k = 1)
+    val got = graft.pipeline.Similarity.knnGraphBrute(df, k = 1)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(got == Set((1L, 2L), (3L, 4L)), s"got $got")
     // at k=2 the hub's edges are still one-sided (nobody ranks it top-2
     // except itself-excluded neighbors rank their pair first, then the hub)
-    val got2 = graft.pipeline.Similarity.knnGraph(df, k = 2)
+    val got2 = graft.pipeline.Similarity.knnGraphBrute(df, k = 2)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(got2.contains((1L, 2L)) && got2.contains((3L, 4L)))
+  }
+  test("knnGraph (cell-blocked): exact within probed cells, blocked outside") {
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      (1L, v(1, 0.01, 0, 0)), (2L, v(1, -0.01, 0, 0)),
+      (3L, v(0, 0, 1, 0.01)), (4L, v(0, 0, 1, -0.01)),
+      (5L, v(0.7, 0, 0.7, 0)))
+    val df = rows.toDF("vec_id", "embedding")
+    // nprobe >= kCells: every cell probed -> the graph IS the brute graph
+    for (k <- Seq(1, 2)) {
+      val cells = Similarity.knnGraph(df, k = k, nprobe = 2, kCells = 2,
+          iters = 1)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Double]("cos_sim"))).toSet
+      val brute = Similarity.knnGraphBrute(df, k = k)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Double]("cos_sim"))).toSet
+      assert(cells == brute, s"k=$k full-probe must equal brute: $cells")
+    }
+    // one cell likewise degenerates to brute
+    assert(Similarity.knnGraph(df, k = 1, nprobe = 1, kCells = 1, iters = 1)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet ==
+      Similarity.knnGraphBrute(df, k = 1).collect().map(
+        r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet)
+    // nprobe = 1 with two trained cells on two planted clusters: the
+    // within-cluster twins pair (own cell probed), and CROSS-cluster
+    // candidates are blocked — no mixed edge can form even at k = 4
+    val twoClusters = Seq(
+      (1L, v(1, 0.02, 0, 0)), (2L, v(1, -0.01, 0, 0)), (3L, v(0.99, 0, 0.01, 0)),
+      (11L, v(0, 0, 1, 0.03)), (12L, v(0.01, 0, 1, -0.02)), (13L, v(0, 0.01, 0.98, 0)))
+      .toDF("vec_id", "embedding")
+    val got1 = Similarity.knnGraph(twoClusters, k = 4, nprobe = 1, kCells = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got1.nonEmpty && got1.forall { case (a, b) =>
+      (a < 10L) == (b < 10L) }, s"cross-cell edges must be blocked: $got1")
+    assert(got1 == Set((1L, 2L), (1L, 3L), (2L, 3L),
+      (11L, 12L), (11L, 13L), (12L, 13L)),
+      s"within-cell ranking stays exact: $got1")
   }
   test("embeddingDrift: a planted centroid shift shows on exactly its dims") {
     def v(xs: Double*) = xs.map(_.toFloat).toArray
@@ -728,7 +776,7 @@ class SimilaritySpec extends SparkSpec {
       (11L, v(0.0, 1.0, 0.03)), (12L, v(0.01, 1.0, -0.02)), (13L, v(-0.02, 0.98, 0.0)))
     val df = rows.toDF("vec_id", "embedding")
     val got = graft.pipeline.Components.clustersFromPairs(
-      Similarity.knnGraph(df, k = 2), "id_a", "id_b")
+      Similarity.knnGraphBrute(df, k = 2), "id_a", "id_b")
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
         r.getAs[Long]("cluster_size"))).toSet
     assert(got.map(_._2) == Set(1L, 11L), s"two components: $got")
