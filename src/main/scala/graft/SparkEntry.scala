@@ -81,6 +81,15 @@ object SparkEntry {
     s"CAST(list_sum(list_transform(range(0, 6), k -> " +
       s"CASE WHEN ${srpDotSql(v)} >= 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT)"
 
+  /** Where sim_pq_prod freezes its trained PQ model (codebooks + codes)
+    * to parquet, partitioned by corpus row count so per-SF runs coexist:
+    * the Verify pass writes it, then BOTH the Spark query and the DuckDB
+    * twin score from the same frozen files (the twin selects its SF's
+    * partition by matching `n_corpus` to `count(*) FROM embeddings`).
+    * Lives under target/ — build-transient, never committed.
+    */
+  private val PqFrozenDir = "/root/repo/target/graft_frozen/pq_prod"
+
   /** DuckDB twin of VecCosine over pre-cast DOUBLE lists (same per-sum
     * left-to-right accumulation, same final expression — the sim_topk gate
     * pins the equivalence).
@@ -1540,14 +1549,36 @@ object SparkEntry {
     }),
     // PQ at PRODUCTION code size (m=8 subspaces x 256-centroid codebooks,
     // 8 bytes/vector at dim 64) with the rerank path — the configuration
-    // a real serving tier runs. No oracle: 8 unrolled 256-centroid kmeans
-    // chains are intractable in the twin engine, so this gate is
-    // rows-only; correctness evidence is the m=2 oracle family (same code
-    // path, smaller constants) plus the RecallAudit pq_prod rows.
+    // a real serving tier runs, in the production train-once/serve-many
+    // shape: pqTrain persists the model (codebooks + codes) to parquet
+    // and the query scores through the FROZEN files read back, never the
+    // in-memory training lineage. That split is also what makes the
+    // oracle tractable: 8 unrolled 256-centroid kmeans chains are not
+    // SQL-expressible, but the serving arithmetic is — the DuckDB twin
+    // reads the same frozen parquet and independently recomputes the
+    // ADC distance tables, code-table scoring, shortlist, and exact
+    // rerank (training itself stays oracle-covered at m=2 via the
+    // vec_pq/sim_pq_topk family — same code path, smaller constants).
+    // The freeze is keyed by corpus size so sf0.01/sf0.1 runs coexist
+    // and the twin picks its own SF's partition.
     "sim_pq_prod" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
-      Similarity.pqTopKRerank(e.where(col("vec_id") < 5), e, topK = 3,
-        candidates = 100, m = 8, kc = 256)
+      val n = e.count()
+      val (cb, cd) = Similarity.pqTrain(e, m = 8, kc = 256, iters = 1)
+      val base = s"$PqFrozenDir"
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      cb.withColumn("n_corpus", lit(n)).repartition(1)
+        .write.mode("overwrite").partitionBy("n_corpus")
+        .parquet(s"$base/codebooks")
+      cd.withColumn("n_corpus", lit(n)).repartition(1)
+        .write.mode("overwrite").partitionBy("n_corpus")
+        .parquet(s"$base/codes")
+      val cbF = s.read.parquet(s"$base/codebooks")
+        .where(col("n_corpus") === n).drop("n_corpus")
+      val cdF = s.read.parquet(s"$base/codes")
+        .where(col("n_corpus") === n).drop("n_corpus")
+      Similarity.pqRerankFrozen(e.where(col("vec_id") < 5), e, cbF, cdF,
+        topK = 3, candidates = 100)
     }),
 
     // ---- per-doc top TF-IDF terms ----
@@ -2093,7 +2124,7 @@ object SparkEntry {
     // mutual k-NN graph over the embedding corpus (k = 3): edges only
     // where BOTH endpoints rank each other — the clustering/manifold
     // graph construction, hub vertices pruned by mutuality. Cell-blocked
-    // candidates (nprobe=3 over the label cells) — the 100 TB default;
+    // candidates (nprobe=3 over trained kmeans cells) — the 100 TB default;
     // vec_knn_brute is the corpus x corpus exact twin kept as the audit
     "vec_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(Tables(s, dir).embeddings, k = 3, nprobe = 3)),
@@ -6405,7 +6436,7 @@ object SparkEntry {
         |FULL OUTER JOIN (SELECT * FROM m WHERE NOT in_a) b ON a.dim = b.dim""".stripMargin,
     // Twin of Similarity.knnGraph(k=3): all-pairs cosine, per-query
     // (cos desc, id asc) top-3, mutuality via self-join, a < b edges.
-    // Twin of the cell-blocked default (k=3, nprobe=3 over label cells).
+    // Twin of the cell-blocked default (k=3, nprobe=3 over trained kmeans cells).
     "vec_knn_graph" ->
       s"""WITH $KnnCellCtes
          |SELECT id_a, id_b, cos_sim FROM knn_edges""".stripMargin,
@@ -6583,6 +6614,48 @@ object SparkEntry {
          |     sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos_sim
          |  FROM sl JOIN e q ON q.vec_id = sl.query_id
          |  JOIN e c ON c.vec_id = sl.neighbor_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM rr)
+         |WHERE rank <= 3""".stripMargin,
+
+    // Twin of sim_pq_prod (m=8, kc=256, candidates=100, topK=3) over the
+    // FROZEN model the Spark side persisted during Verify: reads the same
+    // codebooks/codes parquet (partition keyed by corpus size — matched
+    // to this SF via count(*) FROM embeddings) and independently
+    // recomputes the per-query ADC distance tables (squared L2 of each
+    // 8-dim query slice to every centroid), the code-table scoring
+    // (subspace-ordered sum of 8 lookups), the 100-deep shortlist
+    // (adc asc, id asc), and the exact cosine rerank of the shortlisted
+    // raw vectors. Training is deliberately out of the twin (not
+    // SQL-expressible at kc=256) — it is oracle-covered at m=2 by
+    // vec_pq/sim_pq_topk, which run the identical code path.
+    "sim_pq_prod" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+         |cb AS (SELECT subspace, cluster, centroid
+         |  FROM read_parquet('$PqFrozenDir/codebooks/*/*.parquet', hive_partitioning = 1)
+         |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM embeddings)),
+         |cd AS (SELECT vec_id AS neighbor_id, subspace, cluster
+         |  FROM read_parquet('$PqFrozenDir/codes/*/*.parquet', hive_partitioning = 1)
+         |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM embeddings)),
+         |dt AS (SELECT q.query_id, cb.subspace, cb.cluster,
+         |  list_sum(list_transform(range(1, len(cb.centroid) + 1),
+         |    i -> (q.v[cb.subspace * len(cb.centroid) + i] - cb.centroid[i])
+         |       * (q.v[cb.subspace * len(cb.centroid) + i] - cb.centroid[i]))) AS d
+         |  FROM q CROSS JOIN cb),
+         |ad AS (SELECT dt.query_id, cd.neighbor_id,
+         |  list_sum(list(dt.d ORDER BY dt.subspace)) AS adc_dist
+         |  FROM cd JOIN dt USING (subspace, cluster)
+         |  WHERE cd.neighbor_id <> dt.query_id GROUP BY 1, 2),
+         |sl AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist ASC, neighbor_id ASC) AS arank FROM ad)
+         |  WHERE arank <= 100),
+         |rr AS (SELECT sl.query_id, sl.neighbor_id,
+         |  ${vecCosSql("qe.v", "ce.v")} AS cos_sim
+         |  FROM sl JOIN e qe ON qe.vec_id = sl.query_id
+         |  JOIN e ce ON ce.vec_id = sl.neighbor_id)
          |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM rr)

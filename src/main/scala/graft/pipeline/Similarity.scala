@@ -1137,6 +1137,120 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos_sim")
   }
 
+  /** The PQ model as DATA — the train-once face the serving path
+    * ([[pqAdcTopKFrozen]]) and the correctness gate both consume: the
+    * per-subspace codebooks `(subspace, cluster, centroid)` (m·k rows,
+    * metadata-scale) and the corpus codes `(vec_id, subspace, cluster)`
+    * (m small ints per vector — the compressed corpus representation).
+    * Same deterministic trajectory as [[pqEncode]]/[[pqTopK]] (one
+    * [[kmeans]] run per subspace slice, codes by the same argmin kernel),
+    * so a model frozen here scores identically to the train-inline paths.
+    * At 100 TB this split is the production shape: training is a bounded
+    * batch job whose outputs are persisted (codebooks broadcastable,
+    * codes ~100× smaller than vectors) and serving never retrains.
+    */
+  def pqTrain(corpus: DataFrame, m: Int, kc: Int, iters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      oversample: Int = 4): (DataFrame, DataFrame) = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dimension $dim must divide into $m subspaces")
+    val sub = dim / m
+    val parts = inParallel((0 until m).map(j => () => {
+      val pts = kmeansPts(corpus.select(col(idCol),
+        slice(col(vecCol), j * sub + 1, sub).as(vecCol)), idCol, vecCol)
+      val cents = lloydCentroids(pts, kc, iters, oversample)
+      val codes = assignStep(pts, cents)
+        .select(col("vec_id"), lit(j).as("subspace"), col("cluster"))
+      (cents.select(lit(j).as("subspace"), col("cluster"), col("centroid")),
+        codes)
+    }))
+    (parts.map(_._1).reduce(_ unionByName _),
+      parts.map(_._2).reduce(_ unionByName _))
+  }
+
+  /** ADC top-k over a FROZEN PQ model ([[pqTrain]]'s `(codebooks, codes)`
+    * shape, typically read back from storage): the query is sliced into
+    * the codebooks' subspaces, the per-query distance table is one
+    * broadcast join of slices × codebooks (|queries|·m·k rows —
+    * metadata-scale), and each corpus vector is scored through its m
+    * codes alone — `Σ_j d(q_j, centroid_{j, code_j})`, summed in subspace
+    * order for cross-engine bit-equality. This is the serving-tier half
+    * of PQ at 100 TB: no training, no raw corpus vectors, one equi-join
+    * of the (compact) code table against a broadcast lookup table.
+    * Output: (query_id, neighbor_id, rank, adc_dist), top `topK` by
+    * (adc asc, id asc), self excluded.
+    */
+  def pqAdcTopKFrozen(queries: DataFrame, codebooks: DataFrame,
+      codes: DataFrame, topK: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    // subspace geometry from the model itself: m = #subspaces, sub = the
+    // codebook centroid width (slice j covers [j·sub+1, j·sub+sub])
+    val geo = codebooks.select(col("subspace"),
+        size(col("centroid")).as("__w"))
+      .groupBy("subspace").agg(first("__w").as("__w"))
+      .collect().map(r => r.get(0).asInstanceOf[Number].intValue ->
+        r.get(1).asInstanceOf[Number].intValue).toMap
+    val m = geo.size
+    require(geo.keySet == (0 until m).toSet,
+      s"codebooks must cover subspaces 0..${m - 1}, got ${geo.keySet}")
+    require(geo.values.toSet.size == 1,
+      s"all subspaces must share one centroid width, got ${geo.values.toSet}")
+    val sub = geo(0)
+    val qsl = (0 until m).map(j =>
+        queries.select(col(idCol).as("query_id"),
+          lit(j).as("subspace"),
+          transform(slice(col(vecCol), j * sub + 1, sub),
+            _.cast("double")).as("__qv")))
+      .reduce(_ unionByName _)
+    val dtab = qsl.join(broadcast(codebooks), "subspace")
+      .select(col("query_id"), col("subspace"), col("cluster"),
+        sqDist(col("__qv"), col("centroid")).as("d"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    codes.select(col("vec_id").as("neighbor_id"), col("subspace"),
+        col("cluster"))
+      .join(broadcast(dtab), Seq("subspace", "cluster"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(array_sort(collect_list(struct(col("subspace"), col("d"))))
+        .as("__sd"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(transform(col("__sd"), s => s.getField("d")),
+          lit(0.0), (acc, x) => acc + x).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select("query_id", "neighbor_id", "rank", "adc_dist")
+  }
+
+  /** Frozen-model ADC shortlist + exact cosine re-rank — [[pqTopKRerank]]
+    * with the training replaced by a persisted [[pqTrain]] model: the
+    * `candidates`-deep [[pqAdcTopKFrozen]] shortlist is the only code-table
+    * scan, then ONLY the shortlisted ids' raw vectors are fetched (id
+    * equi-join, broadcastable shortlist) and exactly cosine-ranked.
+    */
+  def pqRerankFrozen(queries: DataFrame, corpus: DataFrame,
+      codebooks: DataFrame, codes: DataFrame, topK: Int, candidates: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(candidates >= topK,
+      s"candidates ($candidates) must be >= topK ($topK)")
+    val shortlist = pqAdcTopKFrozen(queries, codebooks, codes, candidates,
+        idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    shortlist
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+  }
+
   /** IVF-PQ top-k (Jégou et al. 2011 §V — the production ANN serving
     * shape): the coarse quantizer ([[ivfTopK]]'s cell-centroid probe)
     * prunes the search to each query's `nprobe` nearest cells, and

@@ -915,4 +915,31 @@ class SimilaritySpec extends SparkSpec {
     assert(c.isNullAt(c.fieldIndex("mean_pair_cos")))
     assert(c.getAs[Long]("n_vectors") == 1L)
   }
+
+  test("pqTrain + frozen serving reproduce the train-inline rerank exactly " +
+    "(parquet round-trip included)") {
+    val queries = emb.where(col("vec_id") < 5)
+    val (cb, cd) = Similarity.pqTrain(emb, m = 2, kc = 4, iters = 1)
+    // freeze through parquet exactly as sim_pq_prod does: doubles round-trip
+    // bit-exact, so the read-back model must serve identical results
+    val base = tmpDir("graft-pq-frozen")
+    cb.write.mode("overwrite").parquet(s"$base/codebooks")
+    cd.write.mode("overwrite").parquet(s"$base/codes")
+    val cbF = spark.read.parquet(s"$base/codebooks")
+    val cdF = spark.read.parquet(s"$base/codes")
+    // codebook/code shapes: m*k codebook rows max (empty cells allowed),
+    // exactly m codes per vector
+    assert(cbF.count() <= 8 && cbF.select("subspace").distinct().count() == 2)
+    assert(cdF.groupBy("vec_id").count().select(max("count")).head().getLong(0) == 2)
+    // ADC face: frozen scoring == train-inline pqTopK (same trajectory)
+    assert(rowsOf9(Similarity.pqAdcTopKFrozen(queries, cbF, cdF, topK = 3))
+      == rowsOf9(Similarity.pqTopK(queries, emb, topK = 3)),
+      "frozen ADC must equal train-inline ADC")
+    // rerank face: frozen shortlist+rerank == train-inline pqTopKRerank
+    assert(rowsOf9(Similarity.pqRerankFrozen(queries, emb, cbF, cdF,
+        topK = 3, candidates = 20))
+      == rowsOf9(Similarity.pqTopKRerank(queries, emb, topK = 3,
+        candidates = 20)),
+      "frozen rerank must equal train-inline rerank")
+  }
 }
