@@ -5430,7 +5430,8 @@ object SparkEntry {
     "events_attribution" ->
       """WITH t AS (SELECT user_id, event_id AS touch_id, epoch_ns(ts) AS touch_ts
         |  FROM events WHERE event_type = 'click'),
-        |c AS (SELECT user_id, event_id AS conv_id, epoch_ns(ts) AS conv_ts, value
+        |c AS (SELECT user_id, event_id AS conv_id, epoch_ns(ts) AS conv_ts,
+        |  CASE WHEN NOT isnan(value) THEN value END AS value
         |  FROM events WHERE event_type = 'purchase'),
         |p AS (SELECT t.touch_ts, c.conv_id, c.value FROM t JOIN c
         |  ON t.user_id = c.user_id AND c.conv_ts >= t.touch_ts
@@ -5454,20 +5455,23 @@ object SparkEntry {
          |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
          |FROM dg GROUP BY 1""".stripMargin,
     // Twin of Retention.rfm over purchases: same max-ts anchor, same
-    // discrete 5 − ⌊(rank−1)·5/n⌋ quintiles under (metric, user) order.
+    // NaN-excluded monetary sum (null when every value is NaN — ranked
+    // WORST, mirroring the Spark sentinel pin), same discrete
+    // 5 − ⌊(rank−1)·5/n⌋ quintiles under (metric, user) order.
     "events_rfm" ->
       """WITH c AS (SELECT user_id, epoch_ns(ts) AS t, value FROM events
         |  WHERE event_type = 'purchase'),
         |nowt AS (SELECT max(t) AS now FROM c),
         |u AS (SELECT user_id, max(t) AS last_t,
-        |  CAST(count(*) AS BIGINT) AS frequency, sum(value) AS monetary
+        |  CAST(count(*) AS BIGINT) AS frequency,
+        |  sum(CASE WHEN NOT isnan(value) THEN value END) AS monetary
         |  FROM c GROUP BY 1),
         |r AS (SELECT user_id, (nowt.now - last_t) // 86400000000000 AS recency_days,
         |  frequency, monetary, CAST(count(*) OVER () AS BIGINT) AS n FROM u, nowt),
         |s AS (SELECT *,
         |  CAST(row_number() OVER (ORDER BY recency_days ASC, user_id ASC) AS BIGINT) AS rr,
         |  CAST(row_number() OVER (ORDER BY frequency DESC, user_id ASC) AS BIGINT) AS rf,
-        |  CAST(row_number() OVER (ORDER BY monetary DESC, user_id ASC) AS BIGINT) AS rm
+        |  CAST(row_number() OVER (ORDER BY monetary DESC NULLS LAST, user_id ASC) AS BIGINT) AS rm
         |  FROM r)
         |SELECT user_id, recency_days, frequency, monetary,
         |  CAST(5 - ((rr - 1) * 5) // n AS INTEGER) AS r_score,
@@ -5486,7 +5490,8 @@ object SparkEntry {
         |sz AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
         |  FROM fs GROUP BY 1),
         |cells AS (SELECT fs.cohort_day, e.day - fs.cohort_day AS day_offset,
-        |  sum(CASE WHEN e.conv THEN e.value ELSE CAST(0 AS DOUBLE) END) AS revenue
+        |  sum(CASE WHEN e.conv AND NOT isnan(e.value) THEN e.value
+        |    ELSE CAST(0 AS DOUBLE) END) AS revenue
         |  FROM e JOIN fs USING (user_id) GROUP BY 1, 2),
         |c2 AS (SELECT cohort_day, day_offset, revenue,
         |  sum(revenue) OVER (PARTITION BY cohort_day ORDER BY day_offset
@@ -5636,7 +5641,11 @@ object SparkEntry {
 
     // Twin of Similarity.standardize: the vec_dim_stats moments joined
     // back per (vector, dim), dead dims to 0, long-form (the driver's
-    // pandas compare cannot sort/hash raw array cells).
+    // pandas compare cannot sort/hash raw array cells). Null/empty
+    // embeddings produce zero rows on BOTH sides: standardize's inner
+    // posexplode drops them before zvec is assembled (the entry's outer
+    // explode is a perf guard, never reached by a null), and here
+    // unnest(range(0, len(NULL/[]))) emits nothing.
     "vec_standardize" ->
       """WITH u AS (SELECT vec_id,
         |  CAST(unnest(range(0, len(embedding))) AS INTEGER) AS dim,
@@ -5650,9 +5659,14 @@ object SparkEntry {
     // from the SAME driver-side rpSign function that built the Spark
     // expression, and each output dim is the same left-to-right signed
     // chain over v[1..64] — bit-identical accumulation in both engines.
+    // Null vectors are dropped on BOTH sides (randomProject filters
+    // them; without the WHERE this twin would emit 16 null rows per
+    // null vector). A wrong-dim vector raises on the Spark side — the
+    // contract, not expressible here.
     "vec_rp" ->
       s"""WITH e AS (SELECT vec_id,
-         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings WHERE embedding IS NOT NULL),
          |r AS (SELECT vec_id, [${rpListSql("v")}] AS rp FROM e)
          |SELECT vec_id, CAST(unnest(range(0, len(rp))) AS INTEGER) AS dim,
          |  unnest(rp) AS rp_v FROM r""".stripMargin,

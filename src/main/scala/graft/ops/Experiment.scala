@@ -178,21 +178,27 @@ object Experiment {
         when(Sampling.bucketOf(col("__user"), salt) < Sampling.Buckets / 2, "A")
           .otherwise("B"))
     val dec = (c: Column) => c.cast("decimal(20,0)")
+    // linear terms sum as decimal(28,0) so Spark's sum-widening rule
+    // (p+10, capped at 38) really yields decimal(38,0) accumulators —
+    // summed straight from decimal(20,0) they would only get
+    // decimal(30,0) and null out ~10^8 below the documented ceiling.
+    // The quadratic terms are decimal(38,0) products already.
+    val dec28 = (c: Column) => c.cast("decimal(28,0)")
     val g = users.agg(
       count(lit(1)).as("n"),
-      sum(dec(col("__x"))).as("sx"), sum(dec(col("__y"))).as("sy"),
+      sum(dec28(col("__x"))).as("sx"), sum(dec28(col("__y"))).as("sy"),
       sum(dec(col("__x")) * dec(col("__x"))).as("sxx"),
       sum(dec(col("__x")) * dec(col("__y"))).as("sxy"),
       sum(dec(col("__y")) * dec(col("__y"))).as("syy"),
       sum(when(col("__arm") === "A", 1L).otherwise(0L)).as("n_a"),
-      sum(when(col("__arm") === "A", dec(col("__x"))).otherwise(dec(lit(0L))))
+      sum(when(col("__arm") === "A", dec28(col("__x"))).otherwise(dec28(lit(0L))))
         .as("sx_a"),
-      sum(when(col("__arm") === "A", dec(col("__y"))).otherwise(dec(lit(0L))))
+      sum(when(col("__arm") === "A", dec28(col("__y"))).otherwise(dec28(lit(0L))))
         .as("sy_a"),
       sum(when(col("__arm") === "B", 1L).otherwise(0L)).as("n_b"),
-      sum(when(col("__arm") === "B", dec(col("__x"))).otherwise(dec(lit(0L))))
+      sum(when(col("__arm") === "B", dec28(col("__x"))).otherwise(dec28(lit(0L))))
         .as("sx_b"),
-      sum(when(col("__arm") === "B", dec(col("__y"))).otherwise(dec(lit(0L))))
+      sum(when(col("__arm") === "B", dec28(col("__y"))).otherwise(dec28(lit(0L))))
         .as("sy_b"))
     // overflow guard: a decimal(38,0) aggregate that overflows nulls out
     // under non-ANSI mode; a null moment with users present can only be

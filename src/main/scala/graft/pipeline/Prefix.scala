@@ -71,9 +71,16 @@ object Prefix {
     * Contract: `key` is cast to double (exact for longs < 2⁵³ — cast
     * counts/ids that can exceed that yourself) and must not be NaN;
     * null keys rank FIRST (Spark's asc null order — coalesce to a
-    * sentinel first if nulls mean "worst"). `tie` is cast to long.
-    * `n` is the caller's row count (most callers already have it);
-    * it only sizes the sample draw, so an estimate is fine.
+    * sentinel first if nulls mean "worst"). `tie` must be non-null and
+    * castable to long — a tie that silently casts to null (a string
+    * user id, say) would BOTH break the unique-tie determinism and
+    * empty the boundary sample (xxhash64(null) is constant), so the
+    * cast is guarded: any null-or-uncastable tie raises at run time
+    * instead of degrading silently. String ids: pre-map them to a
+    * numeric surrogate (monotonically unique zip, their own hash +
+    * a dedup pass) before ranking. `n` is the caller's row count (most
+    * callers already have it); it only sizes the sample draw, so an
+    * estimate is fine.
     */
   def globalRowNumber(df: DataFrame, key: Column, tie: Column,
       rankCol: String, n: Long, parts0: Int = 0,
@@ -82,7 +89,13 @@ object Prefix {
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64").toInt
     require(parts >= 1, s"parts must be >= 1, got $parts")
     val base = df.withColumn("__gk", key.cast("double"))
-      .withColumn("__gt", tie.cast("long"))
+      .withColumn("__gt",
+        when(tie.isNull || tie.cast("long").isNull,
+          raise_error(concat(
+            lit("globalRowNumber: tie must be a non-null long-castable " +
+              "value (unique-tie contract); got: "),
+            coalesce(tie.cast("string"), lit("null")))).cast("long"))
+          .otherwise(tie.cast("long")))
     val mod = math.max(1L, n / math.max(1, sampleTarget))
     val sample = base
       .where(pmod(xxhash64(col("__gt")), lit(mod)) === 0)

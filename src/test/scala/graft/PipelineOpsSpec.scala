@@ -1396,6 +1396,56 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(2L)._3 == 5, "the real top spender keeps the best m_score")
     assert(got(2L)._3 > got(1L)._3)
   }
+  test("rfm: an all-NaN user reads null monetary and the WORST m rank") {
+    val ev = Seq(
+      (1L, 0L, "purchase", Double.NaN),   // every value NaN -> monetary null
+      (2L, 10L, "purchase", 100.0),
+      (3L, 20L, "purchase", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val rows = graft.ops.Retention.rfm(ev, col("event_type") === "purchase")
+      .collect()
+    val m = rows.map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("m_score")).toMap
+    val u1 = rows.find(_.getAs[Long]("user_id") == 1L).get
+    assert(u1.isNullAt(u1.fieldIndex("monetary")),
+      "all-NaN monetary must be null, not NaN (the sentinel pin)")
+    assert(m(1L) == rows.map(_.getAs[Int]("m_score")).min,
+      s"null monetary must take the worst m rank: $m")
+    assert(m(2L) == 5, "the real top spender keeps the best m_score")
+  }
+  test("ltv: a NaN purchase contributes no revenue and cannot poison the curve") {
+    val day = 1000L
+    val ev = Seq(
+      (1L, 0L, "purchase", 10.0),
+      (1L, day, "purchase", Double.NaN),  // excluded — revenue 0.0 that day
+      (1L, 2 * day, "purchase", 20.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = graft.ops.Retention.ltv(ev, col("event_type") === "purchase",
+        dayNs = day)
+      .collect().map(r => r.getAs[Long]("day_offset") ->
+        ((r.getAs[Double]("revenue"), r.getAs[Double]("cum_revenue")))).toMap
+    assert(got(1L) == ((0.0, 10.0)), s"NaN day reads 0 revenue: $got")
+    assert(got(2L) == ((20.0, 30.0)), "later offsets stay finite")
+  }
+  test("linearAttribution: a NaN conversion keeps its touches but credits no revenue") {
+    val h = 3600L
+    val ev = Seq(
+      (1L, 100L, "click", 0.0), (1L, 300L, "purchase", Double.NaN),
+      (2L, 150L, "click", 0.0), (2L, 400L, "purchase", 40.0),
+      (3L, 900L, "purchase", Double.NaN)) // organic NaN conversion
+      .toDF("user_id", "ts", "event_type", "value")
+      .withColumn("event_id", col("ts") + col("user_id"))
+    val got = graft.ops.Funnel.linearAttribution(ev, windowNs = h,
+        dayNs = 1000L)
+      .collect().map { r =>
+        val cr = if (r.isNullAt(r.fieldIndex("credited_revenue"))) None
+          else Some(r.getAs[Double]("credited_revenue"))
+        r.getAs[Long]("day") -> ((r.getAs[Long]("n_touches"), cr))
+      }.toMap
+    assert(got(0L) == ((2L, Some(40.0))),
+      s"NaN credit drops out of the day sum, real credit stays: $got")
+    assert(got(-1L) == ((1L, None)),
+      "an organic all-NaN bucket counts the conversion, revenue null")
+  }
   test("linearAttribution splits credit evenly; untouched conversions go organic") {
     val h = 3600L
     val ev = Seq(

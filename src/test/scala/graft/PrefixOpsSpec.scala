@@ -63,6 +63,31 @@ class PrefixOpsSpec extends SparkSpec {
     assert(gotN == Map(2L -> 1L, 3L -> 2L, 4L -> 3L, 1L -> 4L), s"$gotN")
   }
 
+  test("globalRowNumber: a tie that cannot cast to long raises, never degrades") {
+    // a string user id would cast to null: pre-guard, that silently broke
+    // BOTH the unique-tie determinism and the boundary sample (advice r10)
+    val strTies = Seq(("u-1", 1L), ("u-2", 2L)).toDF("tie", "k")
+    val e1 = intercept[Exception] {
+      Prefix.globalRowNumber(strTies, col("k"), col("tie"), "rn",
+        n = 2, parts0 = 2, sampleTarget = 8).collect()
+    }
+    assert(e1.getMessage.contains("globalRowNumber"), e1.getMessage)
+    // a null tie violates the same contract
+    val nullTies = Seq((Some(7L), 1L), (None, 2L)).toDF("tie", "k")
+    val e2 = intercept[Exception] {
+      Prefix.globalRowNumber(nullTies, col("k"), col("tie"), "rn",
+        n = 2, parts0 = 2, sampleTarget = 8).collect()
+    }
+    assert(e2.getMessage.contains("globalRowNumber"), e2.getMessage)
+    // NUMERIC strings cast fine and stay exact — the guard only fires on
+    // genuinely uncastable ties
+    val numStr = Seq(("10", 1L), ("2", 1L), ("30", 0L)).toDF("tie", "k")
+    val got = Prefix.globalRowNumber(numStr, col("k"), col("tie"), "rn",
+        n = 3, parts0 = 2, sampleTarget = 8)
+      .select("tie", "rn").as[(String, Long)].collect().toMap
+    assert(got == Map("30" -> 1L, "2" -> 2L, "10" -> 3L), s"$got")
+  }
+
   test("globalRowNumber's plan has no corpus-scale single-partition sort") {
     val df = (0L until 64L).map(i => (i, i % 5)).toDF("tie", "k")
     val plan = Prefix.globalRowNumber(df, col("k"), col("tie"), "rn",
