@@ -132,7 +132,7 @@ object RecallAudit {
             .select("id_a", "id_b").collect()
             .map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
           Seq(3, 6, 8).map { np =>
-            val got = Similarity.knnGraph(e, k = 3, nprobe = np)
+            val got = Similarity.knnGraph(e, k = 3, nprobe = np, kCells = 8)
               .select("id_a", "id_b").collect()
               .map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
             s"knn_graph_nprobe${np}_of8" ->
@@ -178,7 +178,7 @@ object RecallAudit {
             .select("id_a", "id_b").collect()
             .map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
           Seq(1, 2).map { np =>
-            val got = Similarity.knnGraph(c, k = 3, nprobe = np)
+            val got = Similarity.knnGraph(c, k = 3, nprobe = np, kCells = 8)
               .select("id_a", "id_b").collect()
               .map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
             s"knn_graph_nprobe${np}_of8" ->

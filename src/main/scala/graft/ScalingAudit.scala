@@ -105,6 +105,41 @@ object ScalingAudit {
     val onlySession7 = scaleOnly.contains("session7")
     val onlySession8 = scaleOnly.contains("session8")
     val onlySession9 = scaleOnly.contains("session9")
+    val onlySession11 = scaleOnly.contains("session11")
+
+    // ---- session-11 operators (SPARK_GRAFT_SCALE_ONLY=session11; same
+    // append-to-SCALING_raw_extra.jsonl contract) ----
+    if (onlySession11) {
+      vecPaths.foreach { case (f, p) =>
+        val v = spark.read.parquet(p)
+        val n = v.count()
+        // cell-blocked knn graph under the corpus-scaled cellsFor (√n)
+        // DEFAULT: both the Lloyd assignment (n·√n) and the within-cell
+        // candidate space (nprobe·n·n/√n) grow as n^1.5, so the recorded
+        // exponent must read ≈1.5 — sub-quadratic with NO caller tuning,
+        // against Θ(n²/kCells) at any fixed cell count
+        report(s"vec_knn_graph_auto_x$f", n,
+          timed(Similarity.knnGraph(v, k = 3).count()))
+      }
+      docPaths.foreach { case (f, p) =>
+        val d = spark.read.parquet(p)
+        val n = d.count()
+        // distributed exact global rank (rfm's primitive): deterministic
+        // boundary sample + pid-partitioned windows + a ≤parts-row offset
+        // broadcast — the ladder must read ~linear (the single-partition
+        // window it replaced is the shape that does NOT)
+        report(s"prefix_global_rank_x$f", n, timed(
+          graft.pipeline.Prefix.globalRowNumber(
+            d.select(col("doc_id"), length(col("text")).as("len")),
+            col("len"), col("doc_id"), "rn", n).count()))
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SCALING_raw_extra.jsonl"), out.toString,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      spark.stop()
+      return
+    }
 
     // ---- session-9 operators (SPARK_GRAFT_SCALE_ONLY=session9; same
     // append-to-SCALING_raw_extra.jsonl contract) ----
@@ -387,7 +422,7 @@ object ScalingAudit {
       // at x1 only
       if (f == 1)
         report(s"vec_knn_graph_x$f", n,
-          timed(Similarity.knnGraph(v, k = 3).count()))
+          timed(Similarity.knnGraph(v, k = 3, kCells = 8).count()))
       // round-9 session-6: k-center is k corpus scans with literal-reentry
       // centers — alpha ~ 1 with k fixed, and k never multiplies the
       // shuffle count (each round is map + TakeOrdered(1))

@@ -2124,10 +2124,13 @@ object SparkEntry {
     // mutual k-NN graph over the embedding corpus (k = 3): edges only
     // where BOTH endpoints rank each other — the clustering/manifold
     // graph construction, hub vertices pruned by mutuality. Cell-blocked
-    // candidates (nprobe=3 over trained kmeans cells) — the 100 TB default;
-    // vec_knn_brute is the corpus x corpus exact twin kept as the audit
+    // candidates (nprobe=3 over trained kmeans cells) — the 100 TB shape;
+    // vec_knn_brute is the corpus x corpus exact twin kept as the audit.
+    // kCells pinned to 8 = the oracle twin's unrolled chain (the library
+    // DEFAULT is the corpus-scaled cellsFor(n) policy)
     "vec_knn_graph" -> ((s, dir) =>
-      Similarity.knnGraph(Tables(s, dir).embeddings, k = 3, nprobe = 3)),
+      Similarity.knnGraph(Tables(s, dir).embeddings, k = 3, nprobe = 3,
+        kCells = 8)),
     // the exact quadratic baseline the cell-blocked default is audited
     // against (recall measured in RecallAudit; equality when every cell
     // is probed is spec-pinned)
@@ -2144,7 +2147,8 @@ object SparkEntry {
     // two verified operators, on the cell-blocked graph like production)
     "vec_clusters" -> ((s, dir) =>
       Components.clustersFromPairs(
-        Similarity.knnGraph(Tables(s, dir).embeddings, k = 3, nprobe = 3),
+        Similarity.knnGraph(Tables(s, dir).embeddings, k = 3, nprobe = 3,
+          kCells = 8),
         "id_a", "id_b")
         .withColumnRenamed("doc_id", "vec_id")),
     // MMR diversified retrieval for vector 0: greedy λ·rel − (1−λ)·maxsim

@@ -882,19 +882,24 @@ object Similarity {
     * aggregations; the pair stage is Σ_c n_c² over cluster sizes — the
     * SemDeDup paper's own cost model — with the pair enumeration
     * repartitioned on the pair ids. At 100 TB, k grows with the corpus
-    * (the paper uses 50k clusters for LAION) keeping n_c bounded; k here
-    * is a parameter, not a constant.
+    * (the paper uses 50k clusters for LAION) keeping n_c bounded; k
+    * DEFAULTS to the corpus-scaled [[cellsFor]] policy (√n, one count()
+    * to size it) so the no-tuning invocation follows that policy rather
+    * than a fixed constant; pass k > 0 to pin a configuration.
     *
     * Output: one row per vector — (vec_id, cluster, is_kept,
     * pruned_by) where pruned_by is the LOWEST-id cluster-mate with
     * cosine ≥ threshold (null for kept rows).
     */
-  def semanticDedup(corpus: DataFrame, threshold: Double, k: Int,
-      iters: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame =
+  def semanticDedup(corpus: DataFrame, threshold: Double, k: Int = 0,
+      iters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 0, s"semanticDedup needs k >= 0 (0 = auto), got $k")
+    val kc = if (k > 0) k else cellsFor(corpus.count())
     semanticDedupFrozen(corpus,
-      kmeansCentroids(corpus, k, iters, idCol, vecCol), threshold,
+      kmeansCentroids(corpus, kc, iters, idCol, vecCol), threshold,
       idCol, vecCol)
+  }
 
   /** [[semanticDedup]] against a FROZEN centroid codebook: assign every
     * vector to its nearest given centroid (same squared-L2 argmin and
@@ -1418,6 +1423,22 @@ object Similarity {
         abs(col("mean_a") - col("mean_b")).as("mean_gap"))
   }
 
+  /** Corpus-scaled coarse-cell count for the cell-blocked operators
+    * ([[knnGraph]], [[semanticDedup]]): `max(8, ⌈√n⌉)`, capped at 2¹⁶ so
+    * the centroid table stays broadcast-scale (2¹⁶ × 64 dims × 8 B =
+    * 32 MiB). √n is the single-level balance point: with `kCells = √n`
+    * and a fixed nprobe, BOTH the Lloyd assignment (n·kCells) and the
+    * within-cell candidate space (nprobe·n·n/kCells) grow as n^1.5 —
+    * sub-quadratic without caller tuning, where any FIXED cell count
+    * leaves the candidate space Θ(n²/kCells). Past the cap (n > ~4·10⁹)
+    * cells exceed √n in size; the two-level route (IVF-PQ / frozen
+    * sampled-train centroids) is the production escape, not a larger
+    * broadcast.
+    */
+  def cellsFor(n: Long): Int =
+    math.min(math.max(8L, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toLong),
+      1L << 16).toInt
+
   /** Mutual k-NN graph over an embedding corpus: an edge (a, b) exists iff
     * b is in a's cosine top-k AND a is in b's — the standard graph
     * construction for density-based clustering and manifold methods
@@ -1443,16 +1464,22 @@ object Similarity {
     * [[knnGraphBrute]]'s; across cells it is the standard IVF
     * approximation (a neighbor hiding in an unprobed cell is unseen —
     * recall tunes via `nprobe`, and honestly depends on the corpus
-    * having cluster structure at all; RecallAudit measures it). At
-    * 100 TB, `kCells` grows with the corpus (SemDeDup's policy) keeping
-    * cells bounded; the mutuality semi-join is unchanged either way.
+    * having cluster structure at all; RecallAudit measures it).
+    *
+    * `kCells` DEFAULTS to the corpus-scaled [[cellsFor]] policy (√n —
+    * one count() to size it), so the no-tuning invocation is the 100 TB
+    * shape: a fixed cell count leaves the candidate space Θ(n²/kCells)
+    * no matter how the corpus grows. Pass an explicit kCells > 0 to pin
+    * a configuration (oracle twins, recall audits).
     */
   def knnGraph(corpus: DataFrame, k: Int = 3, nprobe: Int = 3,
-      kCells: Int = 8, iters: Int = 2, idCol: String = "vec_id",
+      kCells: Int = 0, iters: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"knnGraph needs k >= 1, got $k")
     require(nprobe >= 1, s"knnGraph needs nprobe >= 1, got $nprobe")
-    val cents = kmeansCentroids(corpus, kCells, iters, idCol, vecCol)
+    require(kCells >= 0, s"knnGraph needs kCells >= 0 (0 = auto), got $kCells")
+    val kc = if (kCells > 0) kCells else cellsFor(corpus.count())
+    val cents = kmeansCentroids(corpus, kc, iters, idCol, vecCol)
     val pts = kmeansPts(corpus, idCol, vecCol)
     val v = pts.select(col("vec_id").as("id"), col("v"))
     val members = assignStep(pts, cents)

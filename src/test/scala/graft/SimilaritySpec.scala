@@ -328,7 +328,7 @@ class SimilaritySpec extends SparkSpec {
     val kb = Similarity.knnGraphBrute(c, k = 3)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val kg = Similarity.knnGraph(c, k = 3, nprobe = 1)
+    val kg = Similarity.knnGraph(c, k = 3, nprobe = 1, kCells = 8)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val rKnn = kg.intersect(kb).size.toDouble / kb.size
@@ -914,6 +914,25 @@ class SimilaritySpec extends SparkSpec {
     assert(c.getAs[Long]("n_pairs") == 0L)
     assert(c.isNullAt(c.fieldIndex("mean_pair_cos")))
     assert(c.getAs[Long]("n_vectors") == 1L)
+  }
+
+  test("cellsFor: √n policy floored at 8, capped at 2^16; auto kCells applies it") {
+    assert(Similarity.cellsFor(0) == 8 && Similarity.cellsFor(64) == 8)
+    assert(Similarity.cellsFor(100) == 10)
+    assert(Similarity.cellsFor(1000000) == 1000)
+    assert(Similarity.cellsFor(Long.MaxValue) == (1 << 16),
+      "broadcastable-centroid cap")
+    // the auto default routes through the SAME trajectory as the explicit
+    // call at cellsFor(n) — no second policy hiding in the default path
+    val n = emb.count()
+    assert(rowsOf9(Similarity.knnGraph(emb, k = 3, nprobe = 3))
+      == rowsOf9(Similarity.knnGraph(emb, k = 3, nprobe = 3,
+        kCells = Similarity.cellsFor(n))),
+      "knnGraph auto == explicit cellsFor(n)")
+    assert(rowsOf9(Similarity.semanticDedup(emb, threshold = 0.4))
+      == rowsOf9(Similarity.semanticDedup(emb, threshold = 0.4,
+        k = Similarity.cellsFor(n), iters = 2)),
+      "semanticDedup auto == explicit cellsFor(n)")
   }
 
   test("pqTrain + frozen serving reproduce the train-inline rerank exactly " +
