@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.PolyHash
@@ -315,8 +316,7 @@ object Dedup {
     * but near-zero Jaccard and will not collide. The operator therefore
     * finds containment among COMPARABLY-SIZED near-dups (threshold'
     * Jaccard ⪆ t/(2−t) at banding threshold t); full asymmetric-containment
-    * search needs a dedicated index (e.g. per-size-stratum LSH), out of
-    * scope here.
+    * search is [[containmentJoin]]'s prefix-filtered exact index.
     *
     * Scale shape: identical to [[minhashNearDups]] — band equi-join for
     * candidates, semi-join before shingle materialization, per-pair work
@@ -340,42 +340,70 @@ object Dedup {
       .select("id_a", "id_b", "containment", "jaccard", "contained_id")
   }
 
-  /** EXACT asymmetric-containment join for a SMALL right relation: every
-    * (left, right) pair where `|sh_a ∩ sh_b| / |sh_b| ≥ threshold` — "what
-    * fraction of the EVAL doc's shingles appear in this training doc". This
-    * is the contamination measure the Jaccard-based joins structurally
-    * miss: a benchmark row quoted inside a 30× larger training document
-    * has containment ≈ 1 but Jaccard ≈ 0.03 — below any LSH banding, and
-    * exactly the caveat [[containmentDups]] documents. Inverting the RIGHT
-    * side instead (its distinct shingles broadcast, the decontaminate
-    * scale path) makes the search EXACT: any qualifying pair shares
-    * ≥ threshold·|sh_b| ≥ 1 shingles, so it necessarily surfaces in the
-    * gram join — no recall curve, no banding tuning.
+  /** EXACT asymmetric-containment join: every (left, right) pair where
+    * `|sh_a ∩ sh_b| / |sh_b| ≥ threshold` — "what fraction of the EVAL
+    * doc's shingles appear in this training doc". This is the
+    * contamination measure the Jaccard-based joins structurally miss: a
+    * benchmark row quoted inside a 30× larger training document has
+    * containment ≈ 1 but Jaccard ≈ 0.03 — below any LSH banding, and
+    * exactly the caveat [[containmentDups]] documents.
     *
-    * Scale shape: the right gram index is |bench|-bounded and broadcasts
-    * (guarded by `maxRightDocs` — a corpus-sized right side belongs in
-    * [[minhashJoin]]); the left side streams through one map-side
-    * broadcast join and a partial-combined (id_a, id_b) count bounded by
-    * actual gram matches. Nothing quadratic, nothing shuffled but matches.
+    * Exactness WITHOUT a corpus-bounded broadcast comes from **prefix
+    * filtering** (the PPJoin family, Xiao et al. 2008): if containment
+    * ≥ t then the left doc misses at most `(1−t)·|B|` of B's shingles,
+    * so ANY `⌊(1−t)·|B|⌋+1` of them — chosen here as the RAREST under
+    * the left corpus's shingle document frequency, ties by shingle —
+    * must contain a witness shared with A. Only that prefix is indexed:
+    * common shingles ("of the same") almost never make a rarest-first
+    * prefix, which is what kills the candidate blowup a full gram join
+    * suffers. Right shingles absent from the left entirely get df 0 and
+    * sort INTO the prefix (correct both ways: they can never witness a
+    * match, and a prefix made entirely of them proves no left doc can
+    * reach the threshold) but are dropped from the index. Candidates
+    * are then verified by the exact intersection count — no recall
+    * curve, no banding tuning, and BOTH sides may be corpus-scale.
+    *
+    * Scale shape: grams shuffle on the shingle key once for the df count
+    * and once for the prefix probe; the per-right-doc prefix pick is a
+    * window partitioned by the right id (parallel); verification joins
+    * touch candidate pairs only, repartitioned on the pair key before
+    * the gram-scale intersection count. Nothing quadratic, nothing
+    * broadcast-bounded, no row-count guard.
     */
   def containmentJoin(left: DataFrame, right: DataFrame,
       threshold: Double = 0.8, idCol: String = "doc_id",
-      textCol: String = "text", shingleK: Int = 3,
-      maxRightDocs: Long = 100000): DataFrame = {
+      textCol: String = "text", shingleK: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
-    val rn = right.count()
-    require(rn <= maxRightDocs,
-      s"right side has $rn docs, above the broadcast-gram-index bound " +
-        s"$maxRightDocs — raise maxRightDocs or route through minhashJoin")
     def grams(df: DataFrame, idAs: String) = df.select(col(idCol).as(idAs),
       explode(array_distinct(
         TextOps.shingles(TextOps.tokens(col(textCol)), shingleK))).as("__sh"))
+    val lg = grams(left, "id_a")
     val rg = grams(right, "id_b")
     val rs = rg.groupBy("id_b").agg(count(lit(1)).as("__nb"))
-    grams(left, "id_a")
-      .join(broadcast(rg), Seq("__sh"))
+    val ldf = lg.groupBy("__sh").agg(count(lit(1)).as("__df"))
+    // prefix size via the integer form: inter ≥ ⌈t·nb⌉ ⟺ containment ≥ t,
+    // so the left doc misses at most nb − ⌈t·nb⌉ shingles; the ε guards
+    // the ceil against t·nb landing a float ulp ABOVE an exact integer
+    // (shrinking the prefix below the bound); ε-inflation only ever ADDS
+    // a prefix slot — the safe direction
+    val wp = Window.partitionBy("id_b").orderBy(col("__df").asc, col("__sh").asc)
+    val rprefix = rg
+      .join(ldf, Seq("__sh"), "left")
+      .withColumn("__df", coalesce(col("__df"), lit(0L)))
+      .join(rs, Seq("id_b"))
+      .withColumn("__p",
+        (col("__nb") - ceil(col("__nb") * threshold - lit(1e-9)) + 1).cast("long"))
+      .withColumn("__rk", row_number().over(wp))
+      .where(col("__rk") <= col("__p") && col("__df") > 0)
+      .select("id_b", "__sh")
+    val cands = lg.join(rprefix, Seq("__sh"))
+      .select("id_a", "id_b").distinct()
+      .repartition(col("id_a"), col("id_b"))
+    cands
+      .join(lg, Seq("id_a"))
+      .join(rg, Seq("id_b", "__sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
-      .join(broadcast(rs), Seq("id_b"))
+      .join(rs, Seq("id_b"))
       .withColumn("containment_b",
         col("__inter").cast("double") / col("__nb"))
       .where(col("containment_b") >= threshold)

@@ -118,8 +118,32 @@ class DedupSpec extends SparkSpec {
     val got2 = Dedup.containmentJoin(left, right, threshold = 0.25)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got2 == brute, s"$got2 vs $brute")
-    intercept[IllegalArgumentException] {
-      Dedup.containmentJoin(left, right, maxRightDocs = 1)
+  }
+
+  test("containmentJoin: prefix-filtered candidates still equal brute force " +
+    "with a corpus-scale right side") {
+    // both sides drawn from the same synthetic pool so overlaps span the
+    // whole containment range; right is NOT small — the old broadcast
+    // bound is gone and exactness must come from the prefix filter alone
+    def doc(seed: Int, n: Int, stride: Int) =
+      (0 until n).map(i => s"w${(seed + i * stride) % 97}").mkString(" ")
+    val left = (1 to 40)
+      .map(i => (i.toLong, doc(i, 20 + i % 13, 1 + i % 3))).toDF("doc_id", "text")
+    val right = (1 to 35)
+      .map(j => (1000L + j, doc(3 * j, 8 + j % 17, 1 + j % 4))).toDF("doc_id", "text")
+    def shset(t: String) = t.split(" ").toSeq.sliding(3)
+      .filter(_.size == 3).map(_.mkString(" ")).toSet
+    val lsets = (1 to 40).map(i => i.toLong -> shset(doc(i, 20 + i % 13, 1 + i % 3)))
+    val rsets = (1 to 35).map(j => (1000L + j) -> shset(doc(3 * j, 8 + j % 17, 1 + j % 4)))
+    for (t <- Seq(0.3, 0.5, 0.75, 1.0)) {
+      val brute = (for {
+        (la, sa) <- lsets; (rb, sb) <- rsets
+        if sb.nonEmpty
+        c = (sa & sb).size.toDouble / sb.size if c >= t
+      } yield (la, rb, c)).toSet
+      val got = Dedup.containmentJoin(left, right, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == brute, s"threshold $t: ${got.size} vs brute ${brute.size}")
     }
   }
 
