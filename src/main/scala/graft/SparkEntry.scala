@@ -1599,6 +1599,24 @@ object SparkEntry {
     "text_scrub" -> ((s, dir) =>
       TextOps.scrubPii(Tables(s, dir).documents)),
 
+    // ---- CCNet line-level dedup + boilerplate screen ----
+    // the flat fixture has no newlines, so line structure is synthesized
+    // INSIDE each doc: a newline every 12 space-split words. Near-dup
+    // docs share long unedited token runs, so their aligned chunks become
+    // IDENTICAL lines across docs — exercising the first-occurrence-wins
+    // dedup and (for clusters of 3+) the line-frequency boilerplate
+    // screen on real corpus duplication, not planted rows
+    "text_line_dedup" -> ((s, dir) => {
+      val synth = Tables(s, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("__w"))
+        .select(col("doc_id"),
+          concat_ws("\n", transform(
+            sequence(lit(0), ceil(size(col("__w")) / lit(12.0)).cast("int") - 1),
+            i => array_join(slice(col("__w"), i * 12 + 1, lit(12)), " ")))
+            .as("text"))
+      TextOps.lineDedup(synth)
+    }),
+
     // ---- exact duplicated-substring signal (8-gram granularity):
     // maximal duplicated-run spans + per-doc duplicated-token coverage ----
     "text_dup_spans" -> ((s, dir) =>
@@ -4681,6 +4699,33 @@ object SparkEntry {
         |     + len(regexp_extract_all(after_email, '[0-9]{7,}')) AS BIGINT) AS n_redactions,
         |  regexp_replace(after_email, '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
         |FROM e""".stripMargin,
+
+    // Twin of TextOps.lineDedup over the same synthesized line structure
+    // (a newline every 12 space-split words of each doc): lines keyed by
+    // lower(trim(line)), empty keys dropped, distinct-doc/occurrence
+    // counts per key, first occurrence under (doc, line_no) wins, and
+    // keys in >= 3 docs are boilerplate — is_kept mirrors the Spark
+    // min-struct + df conjunction exactly.
+    "text_line_dedup" ->
+      """WITH sdoc AS (SELECT doc_id,
+        |  array_to_string(list_transform(
+        |    range(0, CAST(ceil(len(w) / 12.0) AS INTEGER)),
+        |    i -> array_to_string(w[i * 12 + 1 : i * 12 + 12], ' ')), chr(10))
+        |    AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |ln0 AS (SELECT doc_id, u.no AS line_no, u.line FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+        |    i -> struct_pack(no := CAST(i - 1 AS INTEGER), line := ls[i]))) AS u
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM sdoc))),
+        |ln AS (SELECT doc_id, line_no, line, lower(trim(line)) AS k,
+        |  row_number() OVER (PARTITION BY lower(trim(line))
+        |    ORDER BY doc_id ASC, line_no ASC) AS rn
+        |  FROM ln0 WHERE lower(trim(line)) <> ''),
+        |st AS (SELECT k, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences FROM ln GROUP BY 1)
+        |SELECT ln.doc_id, ln.line_no, ln.line, st.n_docs, st.n_occurrences,
+        |  (ln.rn = 1 AND st.n_docs < 3) AS is_kept
+        |FROM ln JOIN st USING (k)""".stripMargin,
 
     // Twins of TextOps.dupNgramSpans / dupNgramCoverage over the shared
     // duplicated-8-gram start positions (DupGramCtes): spans are

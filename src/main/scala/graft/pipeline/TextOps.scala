@@ -1234,6 +1234,50 @@ object TextOps {
       .select("word_a", "word_b", "cnt_a", "cnt_b").distinct()
       .where(levenshtein(col("word_a"), col("word_b")) <= 1)
   }
+
+  /** CCNet-style line-level deduplication + boilerplate screen (Wenzek et
+    * al. 2020, "CCNet: Extracting high quality monolingual datasets from
+    * web crawl data" — §3 "deduplication ... at the paragraph level"):
+    * documents are split on newline into lines, each line keyed by its
+    * normalized form (`lower(trim(line))` — CCNet's case/whitespace
+    * normalization before hashing), and an occurrence is kept iff it is
+    * the corpus-wide FIRST occurrence of its key (lowest (doc, line_no) —
+    * the deterministic stand-in for CCNet's "first shard wins") AND the
+    * key is not boilerplate (appears in fewer than `boilerplateDf`
+    * distinct documents — navigation bars, cookie banners, and footers
+    * repeat across most pages of a site, which per-document dedup cannot
+    * see). Empty/whitespace-only lines are not emitted.
+    *
+    * Output, one row per surviving line slot: (doc_id, line_no 0-based,
+    * line raw, n_docs, n_occurrences, is_kept). Rebuilding the cleaned
+    * corpus is a groupBy(doc) over `is_kept` rows ordered by line_no.
+    *
+    * Scale shape: one partial-combined aggregate on the line key (the
+    * distinct-doc count is the only two-phase term) and one equi-join of
+    * the line stream against it — line keys are near-uniform (hash-like
+    * spread), so nothing funnels; no broadcast, no window over the
+    * corpus. At 100 TB this is exactly one shuffle of the line stream by
+    * content key plus one join — the CCNet job shape.
+    */
+  def lineDedup(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", boilerplateDf: Long = 3): DataFrame = {
+    require(boilerplateDf >= 1, s"boilerplateDf must be >= 1, got $boilerplateDf")
+    val lines = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("line_no", "line")))
+      .withColumn("__key", lower(trim(col("line"))))
+      .where(col("__key") =!= "")
+    val stats = lines.groupBy("__key").agg(
+      countDistinct("doc_id").as("n_docs"),
+      count(lit(1)).as("n_occurrences"),
+      min(struct(col("doc_id"), col("line_no"))).as("__first"))
+    lines.join(stats, Seq("__key"))
+      .select(col("doc_id"), col("line_no"), col("line"),
+        col("n_docs"), col("n_occurrences"),
+        (col("doc_id") === col("__first.doc_id")
+          && col("line_no") === col("__first.line_no")
+          && col("n_docs") < boilerplateDf).as("is_kept"))
+  }
 }
 
 /** Tiny per-language stopword dictionaries (public common words). */

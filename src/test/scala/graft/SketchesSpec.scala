@@ -236,6 +236,31 @@ class SketchesSpec extends SparkSpec {
       s"got ${spans.toSeq}")
   }
 
+  test("lineDedup: first occurrence wins, boilerplate df screens, empties drop") {
+    val docs = Seq(
+      (1L, "Unique alpha line\nCopyright Footer\nshared body line"),
+      (2L, "shared BODY line\ncopyright footer\n\n   \nanother unique"),
+      (3L, "copyright footer\nthird unique line"))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.TextOps.lineDedup(docs, boilerplateDf = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("line_no")) ->
+        ((r.getAs[String]("line"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_occurrences"), r.getAs[Boolean]("is_kept")))).toMap
+    // empty/whitespace-only lines are not emitted
+    assert(!got.contains((2L, 2)) && !got.contains((2L, 3)), got.keys.toString)
+    // the footer hits all 3 docs -> boilerplate: dropped EVERYWHERE,
+    // including its first occurrence
+    Seq((1L, 1), (2L, 1), (3L, 0)).foreach { k =>
+      assert(got(k)._2 == 3L && !got(k)._4, s"$k ${got(k)}")
+    }
+    // case-normalized dup: doc 1's casing wins (first by (doc, line_no)),
+    // doc 2's recurrence is dropped but REPORTED with the raw line
+    assert(got((1L, 2)) == (("shared body line", 2L, 2L, true)))
+    assert(got((2L, 0)) == (("shared BODY line", 2L, 2L, false)))
+    // unique lines below the df screen are kept
+    assert(got((1L, 0))._4 && got((2L, 4))._4 && got((3L, 1))._4)
+  }
+
   test("dupNgramCoverage counts overlapping spans' tokens once") {
     // doc 1 vs 2 share tokens 0..9; doc 1 vs 3 share tokens 4..13 of doc 1:
     // doc 1's covered set is the UNION 0..13 (14 tokens), not 10+10
