@@ -111,17 +111,35 @@ object Retention {
         .withColumn("recency_days",
           expr(s"(__now - __last) div $dayNs")))
     val n = perUser.count()
-    def score(df: DataFrame, name: String, key: Column): DataFrame =
+    // the three metrics share ONE deterministic boundary-sample draw
+    // (Prefix.pickBounds per key) instead of one sample scan per rank
+    // pass — exactness is untouched (bounds from any (key, tie) subset
+    // only affect balance, never ranks), the materialized perUser table
+    // is scanned once for sampling instead of three times
+    val keys: Seq[(String, Column)] = Seq(
+      "r_score" -> col("recency_days").cast("double"),
+      "f_score" -> (-col("frequency")).cast("double"),
+      "m_score" -> when(col("monetary").isNull, lit(Double.MaxValue))
+        .otherwise(-col("monetary")).cast("double"))
+    val parts = graft.pipeline.Prefix.partsOf(perUser)
+    val mod = math.max(1L, n / (1L << 12))
+    val sampleRows = perUser
+      .where(pmod(xxhash64(col(userCol).cast("long")), lit(mod)) === 0)
+      .select(col(userCol).cast("long").as("__t")
+        +: keys.map { case (nm, k) => k.as(nm) }: _*)
+      .collect()
+    def score(df: DataFrame, idx: Int): DataFrame = {
+      val (name, key) = keys(idx)
+      val bounds = graft.pipeline.Prefix.pickBounds(sampleRows.map(r =>
+        (if (r.isNullAt(idx + 1)) None else Some(r.getDouble(idx + 1)),
+          r.getLong(0))), parts)
       graft.pipeline.Prefix
-        .globalRowNumber(df, key, col(userCol), "__rn", n)
+        .globalRowNumberBounded(df, key, col(userCol), "__rn", bounds)
         .withColumn(name,
           expr(s"CAST(5 - ((__rn - 1) * 5) div ${math.max(n, 1L)} AS INT)"))
         .drop("__rn")
-    val scored = score(score(score(perUser,
-      "r_score", col("recency_days")),
-      "f_score", -col("frequency")),
-      "m_score", when(col("monetary").isNull, lit(Double.MaxValue))
-        .otherwise(-col("monetary")))
+    }
+    val scored = score(score(score(perUser, 0), 1), 2)
     scored
       .select(col(userCol), col("recency_days"), col("frequency"), col("monetary"),
         col("r_score"), col("f_score"), col("m_score"),

@@ -82,30 +82,71 @@ object Prefix {
     * callers already have it); it only sizes the sample draw, so an
     * estimate is fine.
     */
-  def globalRowNumber(df: DataFrame, key: Column, tie: Column,
-      rankCol: String, n: Long, parts0: Int = 0,
-      sampleTarget: Int = 1 << 12): DataFrame = {
+  /** Resolve the partition count: explicit if positive, else the session's
+    * shuffle-partition setting.
+    */
+  def partsOf(df: DataFrame, parts0: Int = 0): Int = {
     val parts = if (parts0 > 0) parts0
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64").toInt
     require(parts >= 1, s"parts must be >= 1, got $parts")
-    val base = df.withColumn("__gk", key.cast("double"))
+    parts
+  }
+
+  /** Reduce a (key, tie) sample to `parts − 1` sorted distinct boundary
+    * keys — the picker [[globalRowNumber]] uses, exposed so multi-metric
+    * callers ([[globalRowNumberBounded]]) can draw one sample and slice
+    * it per key.
+    */
+  def pickBounds(sample: Array[(Option[Double], Long)],
+      parts: Int): Array[(Option[Double], Long)] = {
+    val sorted = sample
+      .sortBy { case (k, t) => (k.getOrElse(Double.NegativeInfinity), t) }
+    if (sorted.isEmpty) Array.empty
+    else (1 until parts)
+      .map(i => sorted(((i.toLong * sorted.length) / parts).toInt))
+      .distinct.toArray
+  }
+
+  // try_cast throughout: under ANSI (Spark 4's default) a plain cast of an
+  // uncastable tie would throw the generic CAST_INVALID_INPUT before the
+  // contract guard could fire; try_cast nulls instead, so the raise_error
+  // below is the ONE error surface in both ANSI and legacy modes
+  private def guarded(df: DataFrame, key: Column, tie: Column): DataFrame =
+    df.withColumn("__gk", key.cast("double"))
       .withColumn("__gt",
-        when(tie.isNull || tie.cast("long").isNull,
+        when(tie.isNull || tie.try_cast("long").isNull,
           raise_error(concat(
             lit("globalRowNumber: tie must be a non-null long-castable " +
               "value (unique-tie contract); got: "),
             coalesce(tie.cast("string"), lit("null")))).cast("long"))
-          .otherwise(tie.cast("long")))
+          .otherwise(tie.try_cast("long")))
+
+  def globalRowNumber(df: DataFrame, key: Column, tie: Column,
+      rankCol: String, n: Long, parts0: Int = 0,
+      sampleTarget: Int = 1 << 12): DataFrame = {
+    val parts = partsOf(df, parts0)
+    val base = guarded(df, key, tie)
     val mod = math.max(1L, n / math.max(1, sampleTarget))
     val sample = base
       .where(pmod(xxhash64(col("__gt")), lit(mod)) === 0)
       .select(col("__gk"), col("__gt")).collect()
       .map(r => (Option(r.get(0)).map(_.asInstanceOf[Double]), r.getLong(1)))
-      .sortBy { case (k, t) => (k.getOrElse(Double.NegativeInfinity), t) }
-    val bounds = if (sample.isEmpty) Array.empty[(Option[Double], Long)]
-      else (1 until parts)
-        .map(i => sample(((i.toLong * sample.length) / parts).toInt))
-        .distinct.toArray
+    globalRowNumberBounded(df, key, tie, rankCol,
+      pickBounds(sample, parts))
+  }
+
+  /** [[globalRowNumber]] with the boundary keys precomputed — the
+    * multi-metric face: when several rank passes run over the SAME
+    * relation with different keys but a shared tie (rfm's three metrics),
+    * ONE sample collect can feed [[pickBounds]] per key instead of one
+    * scan per pass. Exactness is untouched: correctness needs only
+    * pid-monotonicity of the boundary comparisons, which holds for
+    * boundaries drawn from any (key, tie) subset — an unrepresentative
+    * sample degrades balance, never ranks.
+    */
+  def globalRowNumberBounded(df: DataFrame, key: Column, tie: Column,
+      rankCol: String, bounds: Array[(Option[Double], Long)]): DataFrame = {
+    val base = guarded(df, key, tie)
     // (key, tie) > (bk, bt) with null keys ordering first: a null row key
     // exceeds no boundary (pid 0); a null BOUNDARY key is exceeded by any
     // non-null key or a larger tie
