@@ -81,6 +81,47 @@ object SparkEntry {
     s"CAST(list_sum(list_transform(range(0, 6), k -> " +
       s"CASE WHEN ${srpDotSql(v)} >= 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT)"
 
+  /** Shared synthesizer for the line-dedup gates: the flat fixture has no
+    * newlines, so line structure is created INSIDE each doc — a newline
+    * every 12 space-split words. Near-dup docs share long unedited token
+    * runs, so their aligned chunks become IDENTICAL lines across docs,
+    * exercising first-occurrence-wins dedup and the boilerplate screen
+    * on real corpus duplication. Mirrored exactly by [[LineDedupCtes]].
+    */
+  private def lineSynthDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("__w"))
+      .select(col("doc_id"),
+        concat_ws("\n", transform(
+          sequence(lit(0), ceil(size(col("__w")) / lit(12.0)).cast("int") - 1),
+          i => array_join(slice(col("__w"), i * 12 + 1, lit(12)), " ")))
+          .as("text"))
+
+  /** Shared line-dedup CTE chain (twin of [[lineSynthDocs]] + the
+    * TextOps.lineDedup keying): `sdoc` (synthesized multi-line docs),
+    * `ln` (non-empty line slots with normalized key `k` and the
+    * first-occurrence rank `rn` under (doc, line_no)), and `st` (per-key
+    * distinct-doc / occurrence counts) — one definition shared by the
+    * text_line_dedup and text_line_clean twins so the keep rule cannot
+    * drift between them.
+    */
+  private lazy val LineDedupCtes: String =
+    """sdoc AS (SELECT doc_id,
+      |  array_to_string(list_transform(
+      |    range(0, CAST(ceil(len(w) / 12.0) AS INTEGER)),
+      |    i -> array_to_string(w[i * 12 + 1 : i * 12 + 12], ' ')), chr(10))
+      |    AS text
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      |ln0 AS (SELECT doc_id, u.no AS line_no, u.line FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+      |    i -> struct_pack(no := CAST(i - 1 AS INTEGER), line := ls[i]))) AS u
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM sdoc))),
+      |ln AS (SELECT doc_id, line_no, line, lower(trim(line)) AS k,
+      |  row_number() OVER (PARTITION BY lower(trim(line))
+      |    ORDER BY doc_id ASC, line_no ASC) AS rn
+      |  FROM ln0 WHERE lower(trim(line)) <> ''),
+      |st AS (SELECT k, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_occurrences FROM ln GROUP BY 1)""".stripMargin
+
   /** Where sim_pq_prod freezes its trained PQ model (codebooks + codes)
     * to parquet, partitioned by corpus row count so per-SF runs coexist:
     * the Verify pass writes it, then BOTH the Spark query and the DuckDB
@@ -1606,16 +1647,12 @@ object SparkEntry {
     // IDENTICAL lines across docs — exercising the first-occurrence-wins
     // dedup and (for clusters of 3+) the line-frequency boilerplate
     // screen on real corpus duplication, not planted rows
-    "text_line_dedup" -> ((s, dir) => {
-      val synth = Tables(s, dir).documents
-        .select(col("doc_id"), split(col("text"), " ").as("__w"))
-        .select(col("doc_id"),
-          concat_ws("\n", transform(
-            sequence(lit(0), ceil(size(col("__w")) / lit(12.0)).cast("int") - 1),
-            i => array_join(slice(col("__w"), i * 12 + 1, lit(12)), " ")))
-            .as("text"))
-      TextOps.lineDedup(synth)
-    }),
+    "text_line_dedup" -> ((s, dir) =>
+      TextOps.lineDedup(lineSynthDocs(Tables(s, dir).documents))),
+    // the document face: the cleaned corpus rebuilt from kept lines plus
+    // per-doc removal accounting — CCNet's actual output
+    "text_line_clean" -> ((s, dir) =>
+      TextOps.lineClean(lineSynthDocs(Tables(s, dir).documents))),
 
     // ---- exact duplicated-substring signal (8-gram granularity):
     // maximal duplicated-run spans + per-doc duplicated-token coverage ----
@@ -4701,31 +4738,40 @@ object SparkEntry {
         |FROM e""".stripMargin,
 
     // Twin of TextOps.lineDedup over the same synthesized line structure
-    // (a newline every 12 space-split words of each doc): lines keyed by
-    // lower(trim(line)), empty keys dropped, distinct-doc/occurrence
-    // counts per key, first occurrence under (doc, line_no) wins, and
-    // keys in >= 3 docs are boilerplate — is_kept mirrors the Spark
-    // min-struct + df conjunction exactly.
+    // (lineSynthDocs — a newline every 12 space-split words of each doc):
+    // lines keyed by lower(trim(line)), empty keys dropped,
+    // distinct-doc/occurrence counts per key, first occurrence under
+    // (doc, line_no) wins, and keys in >= 3 docs are boilerplate —
+    // is_kept mirrors the Spark min-struct + df conjunction exactly.
     "text_line_dedup" ->
-      """WITH sdoc AS (SELECT doc_id,
-        |  array_to_string(list_transform(
-        |    range(0, CAST(ceil(len(w) / 12.0) AS INTEGER)),
-        |    i -> array_to_string(w[i * 12 + 1 : i * 12 + 12], ' ')), chr(10))
-        |    AS text
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-        |ln0 AS (SELECT doc_id, u.no AS line_no, u.line FROM (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
-        |    i -> struct_pack(no := CAST(i - 1 AS INTEGER), line := ls[i]))) AS u
-        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM sdoc))),
-        |ln AS (SELECT doc_id, line_no, line, lower(trim(line)) AS k,
-        |  row_number() OVER (PARTITION BY lower(trim(line))
-        |    ORDER BY doc_id ASC, line_no ASC) AS rn
-        |  FROM ln0 WHERE lower(trim(line)) <> ''),
-        |st AS (SELECT k, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |  CAST(count(*) AS BIGINT) AS n_occurrences FROM ln GROUP BY 1)
-        |SELECT ln.doc_id, ln.line_no, ln.line, st.n_docs, st.n_occurrences,
-        |  (ln.rn = 1 AND st.n_docs < 3) AS is_kept
-        |FROM ln JOIN st USING (k)""".stripMargin,
+      s"""WITH $LineDedupCtes
+         |SELECT ln.doc_id, ln.line_no, ln.line, st.n_docs, st.n_occurrences,
+         |  (ln.rn = 1 AND st.n_docs < 3) AS is_kept
+         |FROM ln JOIN st USING (k)""".stripMargin,
+
+    // Twin of TextOps.lineClean over the shared line CTEs: kept lines
+    // newline-joined in line order (string_agg skips the NULLed dropped
+    // slots), per-doc removal accounting, all-removed and no-line docs
+    // emitted with empty clean_text via the left join against sdoc.
+    "text_line_clean" ->
+      s"""WITH $LineDedupCtes,
+         |v AS (SELECT ln.doc_id, ln.line_no, ln.line,
+         |  (ln.rn = 1 AND st.n_docs < 3) AS is_kept
+         |  FROM ln JOIN st USING (k)),
+         |ag AS (SELECT doc_id,
+         |  string_agg(CASE WHEN is_kept THEN line END, chr(10)
+         |    ORDER BY line_no ASC) AS clean_text,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |  FROM v GROUP BY 1)
+         |SELECT d.doc_id, coalesce(ag.clean_text, '') AS clean_text,
+         |  coalesce(ag.n_lines, 0) AS n_lines,
+         |  coalesce(ag.n_kept, 0) AS n_kept,
+         |  CASE WHEN coalesce(ag.n_lines, 0) > 0
+         |    THEN CAST(ag.n_lines - ag.n_kept AS DOUBLE) / ag.n_lines
+         |    ELSE CAST(0.0 AS DOUBLE) END AS removed_ratio
+         |FROM (SELECT DISTINCT doc_id FROM sdoc) d
+         |LEFT JOIN ag USING (doc_id)""".stripMargin,
 
     // Twins of TextOps.dupNgramSpans / dupNgramCoverage over the shared
     // duplicated-8-gram start positions (DupGramCtes): spans are

@@ -377,8 +377,12 @@ object Dedup {
     def grams(df: DataFrame, idAs: String) = df.select(col(idCol).as(idAs),
       explode(array_distinct(
         TextOps.shingles(TextOps.tokens(col(textCol)), shingleK))).as("__sh"))
-    val lg = grams(left, "id_a")
-    val rg = grams(right, "id_b")
+    // materialize each gram stream once (Lineage.truncate): lg feeds the
+    // df count, the candidate probe, AND the verify join; rg feeds the
+    // prefix pick and the verify join — without truncation every consumer
+    // re-runs the tokenize+shingle kernel over its corpus
+    val lg = graft.core.Lineage.truncate(grams(left, "id_a"))
+    val rg = graft.core.Lineage.truncate(grams(right, "id_b"))
     val rs = rg.groupBy("id_b").agg(count(lit(1)).as("__nb"))
     val ldf = lg.groupBy("__sh").agg(count(lit(1)).as("__df"))
     // prefix size via the integer form: inter ≥ ⌈t·nb⌉ ⟺ containment ≥ t,

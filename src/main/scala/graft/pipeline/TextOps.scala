@@ -1278,6 +1278,42 @@ object TextOps {
           && col("line_no") === col("__first.line_no")
           && col("n_docs") < boilerplateDf).as("is_kept"))
   }
+
+  /** The document face of [[lineDedup]]: the cleaned corpus rebuilt from
+    * the kept line slots (newline-joined in line order) plus the per-doc
+    * removal accounting — CCNet's actual OUTPUT, where [[lineDedup]] is
+    * the per-line audit trail. Documents whose every line was removed
+    * (or that had no non-empty lines at all) are still emitted, with
+    * empty `clean_text` — dropping them is the caller's policy decision,
+    * not the dedup's.
+    *
+    * Output: (doc_id, clean_text, n_lines non-empty, n_kept,
+    * removed_ratio). Scale shape: [[lineDedup]]'s shuffle plus one
+    * doc-keyed aggregate; the line order inside a doc is restored by an
+    * array_sort over (line_no, line) structs — per-doc bounded work, no
+    * window.
+    */
+  def lineClean(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", boilerplateDf: Long = 3): DataFrame = {
+    val verdicts = lineDedup(df, idCol, textCol, boilerplateDf)
+    val agg = verdicts.groupBy("doc_id").agg(
+      array_sort(collect_list(when(col("is_kept"),
+        struct(col("line_no"), col("line"))))).as("__kept"),
+      count(lit(1)).as("n_lines"),
+      sum(when(col("is_kept"), 1L).otherwise(0L)).as("n_kept"))
+    df.select(col(idCol).as("doc_id")).distinct()
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(concat_ws("\n",
+          transform(col("__kept"), s => s.getField("line"))), lit(""))
+          .as("clean_text"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        when(coalesce(col("n_lines"), lit(0L)) > 0,
+          (coalesce(col("n_lines"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+            .cast("double") / coalesce(col("n_lines"), lit(1L)))
+          .otherwise(lit(0.0)).as("removed_ratio"))
+  }
 }
 
 /** Tiny per-language stopword dictionaries (public common words). */

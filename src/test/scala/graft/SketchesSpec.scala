@@ -261,6 +261,23 @@ class SketchesSpec extends SparkSpec {
     assert(got((1L, 0))._4 && got((2L, 4))._4 && got((3L, 1))._4)
   }
 
+  test("lineClean rebuilds docs from kept lines; all-removed docs stay, empty") {
+    val docs = Seq(
+      (1L, "keep one\nCopyright Footer\nkeep two"),
+      (2L, "copyright footer\nkeep three"),
+      (3L, "copyright footer"),           // only boilerplate -> empty clean_text
+      (4L, "\n \n"))                       // no non-empty lines at all
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.TextOps.lineClean(docs, boilerplateDf = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_kept"), r.getAs[Double]("removed_ratio")))).toMap
+    assert(got(1L) == (("keep one\nkeep two", 3L, 2L, 1.0 / 3)))
+    assert(got(2L) == (("keep three", 2L, 1L, 0.5)))
+    assert(got(3L) == (("", 1L, 0L, 1.0)), "all-boilerplate doc survives, empty")
+    assert(got(4L) == (("", 0L, 0L, 0.0)), "no-line doc survives, zeroed")
+  }
+
   test("dupNgramCoverage counts overlapping spans' tokens once") {
     // doc 1 vs 2 share tokens 0..9; doc 1 vs 3 share tokens 4..13 of doc 1:
     // doc 1's covered set is the UNION 0..13 (14 tokens), not 10+10
