@@ -418,6 +418,58 @@ case class VecCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance in ONE pass — the left-to-right
+  * `aggregate(zip_with(a, b, (x-y)²), 0.0, +)` fold it replaces, evaluated
+  * in the same element order and double precision, so distances are
+  * bit-identical to the column-algebra version (and to the SQL oracle
+  * twins that unroll the same fold) without a per-element interpreted
+  * lambda invocation. Null semantics also match the fold: a null element
+  * anywhere, or a length mismatch (zip_with pads with nulls), nulls the
+  * whole accumulation.
+  */
+case class VecSqDist(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  // null even on non-null inputs (length mismatch / null element)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"vec_sqdist expects array<float|double> on both sides, got ${l.catalogString} and ${r.catalogString}")
+  }
+
+  private def floatElems(e: Expression): Boolean = e.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _) => false
+    case other => throw new IllegalArgumentException(s"vec_sqdist expects array<float|double>, got $other")
+  }
+  private lazy val leftFloat = floatElems(left)
+  private lazy val rightFloat = floatElems(right)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val t = x - y
+      acc += t * t
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** SRP-LSH bucket id in one pass: bit k of the result is set iff
   * dot(vec, r_k) ≥ 0 for `planes` deterministic ±1 hyperplanes, where
   * r_k[i] = +1 iff ((1103515245·(k·131 + i + 1) + 12345) mod 2^31) is even
@@ -497,6 +549,9 @@ object Signatures {
 
   def vecCosine(a: Column, b: Column): Column =
     GraftBridge.column(VecCosine(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def vecSqDist(a: Column, b: Column): Column =
+    GraftBridge.column(VecSqDist(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   def sortedJaccard(a: Column, b: Column): Column =
     GraftBridge.column(SortedArrayJaccard(

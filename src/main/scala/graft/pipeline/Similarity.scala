@@ -335,12 +335,15 @@ object Similarity {
   }
 
   /** Squared L2 distance, left-to-right over the element order — the same
-    * fold both engines evaluate, so distances are bit-reproducible.
+    * fold both engines evaluate, so distances are bit-reproducible. Runs as
+    * the single-pass [[graft.functions.VecSqDist]] kernel (one JVM call per
+    * pair) instead of the interpreted `aggregate(zip_with(...))` lambda
+    * chain it is bit-identical to — this sits in every kmeans / IVF / PQ
+    * assignment hot path, where interpreted per-element HOF dispatch costs
+    * ~dim× per centroid pair.
     */
   def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) =>
-      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.Signatures.vecSqDist(a, b)
 
   /** Deterministic k-means||-style seeding: Carter–Wegman-hash-sample
     * `k·oversample` candidate vectors, then reduce to `k` seeds by greedy

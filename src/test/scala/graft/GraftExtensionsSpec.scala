@@ -51,12 +51,15 @@ class GraftExtensionsSpec extends SparkSpec {
       """SELECT char_ngram_codes('ab cd', 2) AS ng,
         |       vec_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
         |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
+        |       vec_sqdist(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(0.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS sqd,
         |       srp_bucket(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 4) AS bkt
         |FROM (SELECT 1)""".stripMargin).collect()(0)
     // "ab cd" → grams {ab, "b ", " c", cd}: 4 distinct codes, sorted
     val ng = r.getAs[scala.collection.Seq[Long]]("ng")
     assert(ng.length == 4 && ng == ng.sorted)
     assert(r.getAs[Double]("cos") == 1.0)
+    assert(r.getAs[Double]("sqd") == 5.0)
     val bkt = r.getAs[Long]("bkt")
     assert(bkt >= 0 && bkt < 16)
     // misuse fails at analysis

@@ -961,4 +961,53 @@ class SimilaritySpec extends SparkSpec {
         candidates = 20)),
       "frozen rerank must equal train-inline rerank")
   }
+
+  test("sqDist kernel is bit-identical to the interpreted HOF fold it replaces") {
+    // the fold the kernel must reproduce exactly (the pre-kernel sqDist body)
+    def hofFold(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+    // deterministic pseudo-random vectors exercising float AND double
+    // element types, plus catastrophic-cancellation-prone magnitudes where
+    // fold order changes the last ulp
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 64L).map { i =>
+      val d = 16
+      val af = Array.fill(d)((rnd.nextDouble() - 0.5).toFloat * (if (i % 7 == 0) 1e6f else 1f))
+      val bd = Array.fill(d)((rnd.nextDouble() - 0.5) * (if (i % 5 == 0) 1e-6 else 1e3))
+      (i, af, bd)
+    }
+    val df = rows.toDF("id", "af", "bd")
+      .withColumn("ad", transform(col("af"), _.cast("double")))
+      .withColumn("bf", transform(col("bd"), _.cast("float")))
+    for ((l, r) <- Seq(("af", "bd"), ("ad", "bd"), ("af", "bf"), ("ad", "bf"))) {
+      val got = df.select(col("id"),
+          Similarity.sqDist(col(l), col(r)).as("k"),
+          hofFold(col(l), col(r)).as("h"))
+        .collect()
+      got.foreach { row =>
+        assert(java.lang.Double.doubleToLongBits(row.getDouble(1))
+          == java.lang.Double.doubleToLongBits(row.getDouble(2)),
+          s"$l x $r id=${row.getLong(0)}: kernel ${row.getDouble(1)} != fold ${row.getDouble(2)}")
+      }
+    }
+    // null semantics match the fold: null element or length mismatch -> null
+    val edge = Seq(
+      (1L, Array(1.0, 2.0), Array(1.0, 2.0, 3.0)), // length mismatch
+      (2L, Array(1.0, 2.0), Array(4.0, 5.0))
+    ).toDF("id", "a", "b")
+      .withColumn("an", when(col("id") === 2L,
+        array(lit(null).cast("double"), lit(2.0))).otherwise(col("a")))
+    val e = edge.select(col("id"),
+        Similarity.sqDist(col("a"), col("b")).as("k"),
+        hofFold(col("a"), col("b")).as("h"),
+        Similarity.sqDist(col("an"), col("b")).as("kn"),
+        hofFold(col("an"), col("b")).as("hn"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.isNullAt(1), r.isNullAt(2), r.isNullAt(3), r.isNullAt(4))))
+      .toMap
+    assert(e(1L) == ((true, true, true, true)), "length mismatch must null like zip_with padding")
+    assert(e(2L) == ((false, false, true, true)), "null element must null the accumulation")
+  }
 }
