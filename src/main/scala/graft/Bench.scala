@@ -106,8 +106,15 @@ object Bench {
     // collector keeps only a tail of stdout, which has silently dropped the
     // first ~60 queries' numbers from BENCH_r*.json every round. A file in
     // the repo survives regardless of capture length.
+    // A SPARK_GRAFT_ONLY-filtered run must never replace the FULL-suite
+    // baseline the contention gate diffs against (bit in round 11: a
+    // 10-query dev run overwrote the 313-query certified file). Filtered
+    // runs land in a sidecar unless SPARK_GRAFT_BENCH_OUT says otherwise.
+    val defaultOut =
+      if (only.isDefined) "/root/repo/BENCH_subset_latest.json"
+      else "/root/repo/BENCH_full_latest.json"
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_full_latest.json")), json)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)), json)
     catch { case e: Throwable =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
     }
