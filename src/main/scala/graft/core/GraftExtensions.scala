@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-import graft.functions.{CharNgramCodes, MinHashSig, PolyHash, SimHashSig, SimHashSigWide, SortedArrayJaccard, SrpBucket, VecCosine, VecSqDist}
+import graft.functions.{CharNgramCodes, MinHashSig, PolyHash, SimHashSig, SimHashSigWide, SortedArrayJaccard, SrpBucket, VecCosine, VecDot, VecSqDist}
 
 /** SQL surface of the engine's custom Catalyst expressions. Install with
   * `spark.sql.extensions=graft.core.GraftExtensions` (cluster-wide) or call
@@ -504,6 +504,9 @@ object GraftFunctions {
     (FunctionIdentifier("vec_sqdist"),
       info("VecSqDist", "vec_sqdist(a, b) - single-pass squared L2 distance of numeric vectors"),
       (exprs: Seq[Expression]) => VecSqDist(exprs(0), exprs(1))),
+    (FunctionIdentifier("vec_dot"),
+      info("VecDot", "vec_dot(a, b) - single-pass dot product of numeric vectors"),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))),
     (FunctionIdentifier("srp_bucket"),
       info("SrpBucket", "srp_bucket(vec, planes) - signed-random-projection LSH bucket id"),
       (exprs: Seq[Expression]) => SrpBucket(exprs(0), intArg(exprs(1), "planes")))

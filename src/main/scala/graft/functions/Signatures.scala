@@ -418,6 +418,55 @@ case class VecCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Dot product in ONE pass — the left-to-right
+  * `aggregate(zip_with(a, b, x·y), 0.0, +)` fold it replaces, same element
+  * order and double precision (bit-identical), without per-element
+  * interpreted lambda dispatch. Null semantics match the fold: a null
+  * element or a length mismatch (zip_with pads with nulls) nulls the
+  * whole accumulation.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  // null even on non-null inputs (length mismatch / null element)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects array<float|double> on both sides, got ${l.catalogString} and ${r.catalogString}")
+  }
+
+  private def floatElems(e: Expression): Boolean = e.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _) => false
+    case other => throw new IllegalArgumentException(s"vec_dot expects array<float|double>, got $other")
+  }
+  private lazy val leftFloat = floatElems(left)
+  private lazy val rightFloat = floatElems(right)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Squared L2 distance in ONE pass — the left-to-right
   * `aggregate(zip_with(a, b, (x-y)²), 0.0, +)` fold it replaces, evaluated
   * in the same element order and double precision, so distances are
@@ -552,6 +601,9 @@ object Signatures {
 
   def vecSqDist(a: Column, b: Column): Column =
     GraftBridge.column(VecSqDist(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def vecDot(a: Column, b: Column): Column =
+    GraftBridge.column(VecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   def sortedJaccard(a: Column, b: Column): Column =
     GraftBridge.column(SortedArrayJaccard(

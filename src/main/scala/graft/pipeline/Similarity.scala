@@ -17,11 +17,12 @@ object Similarity {
 
   /** Left-fold dot product of two float vectors in double precision.
     * Explicit sequential fold (not SIMD reassociation) so the result is
-    * bit-reproducible across engines.
+    * bit-reproducible across engines. Runs as the single-pass
+    * [[graft.functions.VecDot]] kernel — bit-identical to the interpreted
+    * `aggregate(zip_with(...))` chain it replaces.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.Signatures.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -1362,17 +1363,16 @@ object Similarity {
     val muCol = array(mu.map(lit): _*)
     val centered = pts.withColumn("__c",
       zip_with(col("v"), muCol, (a, b) => a - b))
+    // dot(c, c) is the same acc + x·x fold the HOF spelled out
     val totVar = centered.select(
-      (sum(aggregate(col("__c"), lit(0.0), (acc, x) => acc + x * x))
-        / lit(n.toDouble)).as("tv")).head().getDouble(0)
+      (sum(dot(col("__c"), col("__c"))) / lit(n.toDouble)).as("tv"))
+      .head().getDouble(0)
     var v = Array.fill(d)(1.0 / math.sqrt(d))
     var lambda = 0.0
     for (_ <- 0 until iters) {
       val vCol = array(v.map(lit): _*)
       val w = centered
-        .withColumn("__s", aggregate(
-          zip_with(col("__c"), vCol, (a, b) => a * b), lit(0.0),
-          (acc, x) => acc + x))
+        .withColumn("__s", dot(col("__c"), vCol))
         .select(col("__s"), posexplode(col("__c")).as(Seq("dim", "cj")))
         .groupBy("dim")
         .agg((sum(col("cj") * col("__s")) / lit(n.toDouble)).as("w"))

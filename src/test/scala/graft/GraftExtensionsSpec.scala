@@ -53,6 +53,8 @@ class GraftExtensionsSpec extends SparkSpec {
         |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
         |       vec_sqdist(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
         |                  array(CAST(0.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS sqd,
+        |       vec_dot(array(CAST(1.0 AS FLOAT), CAST(3.0 AS FLOAT)),
+        |               array(CAST(2.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dt,
         |       srp_bucket(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 4) AS bkt
         |FROM (SELECT 1)""".stripMargin).collect()(0)
     // "ab cd" → grams {ab, "b ", " c", cd}: 4 distinct codes, sorted
@@ -60,6 +62,7 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(ng.length == 4 && ng == ng.sorted)
     assert(r.getAs[Double]("cos") == 1.0)
     assert(r.getAs[Double]("sqd") == 5.0)
+    assert(r.getAs[Double]("dt") == 14.0)
     val bkt = r.getAs[Long]("bkt")
     assert(bkt >= 0 && bkt < 16)
     // misuse fails at analysis

@@ -962,11 +962,14 @@ class SimilaritySpec extends SparkSpec {
       "frozen rerank must equal train-inline rerank")
   }
 
-  test("sqDist kernel is bit-identical to the interpreted HOF fold it replaces") {
-    // the fold the kernel must reproduce exactly (the pre-kernel sqDist body)
+  test("sqDist and dot kernels are bit-identical to the interpreted HOF folds they replace") {
+    // the folds the kernels must reproduce exactly (the pre-kernel bodies)
     def hofFold(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) =>
         (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0), (acc, v) => acc + v)
     // deterministic pseudo-random vectors exercising float AND double
     // element types, plus catastrophic-cancellation-prone magnitudes where
@@ -984,12 +987,17 @@ class SimilaritySpec extends SparkSpec {
     for ((l, r) <- Seq(("af", "bd"), ("ad", "bd"), ("af", "bf"), ("ad", "bf"))) {
       val got = df.select(col("id"),
           Similarity.sqDist(col(l), col(r)).as("k"),
-          hofFold(col(l), col(r)).as("h"))
+          hofFold(col(l), col(r)).as("h"),
+          Similarity.dot(col(l), col(r)).as("kd"),
+          hofDot(col(l), col(r)).as("hd"))
         .collect()
       got.foreach { row =>
         assert(java.lang.Double.doubleToLongBits(row.getDouble(1))
           == java.lang.Double.doubleToLongBits(row.getDouble(2)),
-          s"$l x $r id=${row.getLong(0)}: kernel ${row.getDouble(1)} != fold ${row.getDouble(2)}")
+          s"$l x $r id=${row.getLong(0)}: sqdist kernel ${row.getDouble(1)} != fold ${row.getDouble(2)}")
+        assert(java.lang.Double.doubleToLongBits(row.getDouble(3))
+          == java.lang.Double.doubleToLongBits(row.getDouble(4)),
+          s"$l x $r id=${row.getLong(0)}: dot kernel ${row.getDouble(3)} != fold ${row.getDouble(4)}")
       }
     }
     // null semantics match the fold: null element or length mismatch -> null
@@ -999,15 +1007,17 @@ class SimilaritySpec extends SparkSpec {
     ).toDF("id", "a", "b")
       .withColumn("an", when(col("id") === 2L,
         array(lit(null).cast("double"), lit(2.0))).otherwise(col("a")))
-    val e = edge.select(col("id"),
-        Similarity.sqDist(col("a"), col("b")).as("k"),
-        hofFold(col("a"), col("b")).as("h"),
-        Similarity.sqDist(col("an"), col("b")).as("kn"),
-        hofFold(col("an"), col("b")).as("hn"))
-      .collect()
-      .map(r => r.getLong(0) -> ((r.isNullAt(1), r.isNullAt(2), r.isNullAt(3), r.isNullAt(4))))
-      .toMap
-    assert(e(1L) == ((true, true, true, true)), "length mismatch must null like zip_with padding")
-    assert(e(2L) == ((false, false, true, true)), "null element must null the accumulation")
+    for ((kernel, hof) <- Seq((Similarity.sqDist _, hofFold _), (Similarity.dot _, hofDot _))) {
+      val e = edge.select(col("id"),
+          kernel(col("a"), col("b")).as("k"),
+          hof(col("a"), col("b")).as("h"),
+          kernel(col("an"), col("b")).as("kn"),
+          hof(col("an"), col("b")).as("hn"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.isNullAt(1), r.isNullAt(2), r.isNullAt(3), r.isNullAt(4))))
+        .toMap
+      assert(e(1L) == ((true, true, true, true)), "length mismatch must null like zip_with padding")
+      assert(e(2L) == ((false, false, true, true)), "null element must null the accumulation")
+    }
   }
 }
