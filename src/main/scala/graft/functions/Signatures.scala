@@ -195,6 +195,67 @@ private[graft] object SignatureKernel {
     }
     Some(words)
   }
+
+  /** Position-encode capacity for winnowing fingerprints — the authority
+    * for `TextOps.WinnowPosCap` (pipeline depends on functions, not the
+    * reverse). Encoded fp `e = gh·cap + (cap−1−pos)` stays injective and
+    * min-ordered only while every gram position is below it.
+    */
+  val WinnowPosCap: Long = 1L << 21
+
+  /** Winnowing fingerprints, still encoded: the distinct trailing-window
+    * minima of `e(pos) = PolyHash(shingle_pos, 0)·cap + (cap−1−pos)` —
+    * exactly the exploded-gram + doc-partitioned rolling-window-MIN column
+    * algebra of `TextOps.winnowFingerprints`, in one pass per document
+    * (monotone-deque rolling min, O(grams)). Full windows only, except a
+    * short document keeps its final partial window; the `cap−1−pos` term
+    * implements robust winnowing's rightmost-min tie rule. Ascending
+    * order. Empty below k tokens; throws (like the column version's
+    * raise_error, minus the doc id the kernel cannot see) past the
+    * position capacity.
+    */
+  def winnowEncoded(text: String, shingleK: Int, window: Int): Array[Long] = {
+    val cap = WinnowPosCap
+    val toks = tokenize(text)
+    if (toks.length < shingleK) return Array.emptyLongArray
+    val n = toks.length - shingleK + 1
+    if (n > cap) throw new RuntimeException(
+      s"winnowFingerprints: gram position >= $cap")
+    val e = new Array[Long](n)
+    val sb = new java.lang.StringBuilder
+    var pos = 0
+    while (pos < n) {
+      sb.setLength(0)
+      var t = 0
+      while (t < shingleK) {
+        if (t > 0) sb.append(' ')
+        sb.append(toks(pos + t))
+        t += 1
+      }
+      e(pos) = baseHash(sb.toString)._1 * cap + (cap - 1L - pos)
+      pos += 1
+    }
+    val start = math.min(window - 1, n - 1)
+    val seen = new java.util.TreeSet[java.lang.Long]
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    pos = 0
+    while (pos < n) {
+      // e values are injective in pos, so strict/equal eviction coincide
+      while (tail > head && e(dq(tail - 1)) >= e(pos)) tail -= 1
+      dq(tail) = pos
+      tail += 1
+      if (dq(head) <= pos - window) head += 1
+      if (pos >= start) seen.add(e(dq(head)))
+      pos += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
 }
 
 case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
@@ -209,6 +270,29 @@ case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
     if (v == null) null
     else SignatureKernel.minhash(v.asInstanceOf[UTF8String].toString, shingleK, numHashes)
       .map(a => new GenericArrayData(a)).orNull
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Scan-side winnowing fingerprints — see [[SignatureKernel.winnowEncoded]];
+  * the producer for `TextOps.winnowFingerprints` and its consumers.
+  */
+case class WinnowEncoded(child: Expression, shingleK: Int, window: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(shingleK >= 1 && window >= 1,
+    s"need k >= 1, window >= 1; got k=$shingleK window=$window")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    SignatureKernel.requireString("winnow_encoded", child)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else new GenericArrayData(SignatureKernel.winnowEncoded(
+      v.asInstanceOf[UTF8String].toString, shingleK, window))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -614,6 +698,9 @@ object Signatures {
 
   def minhashSig(text: Column, shingleK: Int, numHashes: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(text), shingleK, numHashes))
+
+  def winnowEncoded(text: Column, shingleK: Int, window: Int): Column =
+    GraftBridge.column(WinnowEncoded(GraftBridge.expression(text), shingleK, window))
 
   def simhashSig(text: Column, shingleK: Int, bits: Int): Column =
     GraftBridge.column(SimHashSig(GraftBridge.expression(text), shingleK, bits))

@@ -1048,9 +1048,10 @@ object TextOps {
     * so a window MIN picks the smallest hash and, among ties, the LARGEST
     * position — exactly robust winnowing's rightmost-min rule — without a
     * second (frame-correlated) window pass. hash < 2^30 (PolyHash mod) and
-    * pos < 2^21 keep the product under 2^51.
+    * pos < 2^21 keep the product under 2^51. The constant lives with the
+    * kernel that encodes it.
     */
-  val WinnowPosCap: Long = 1L << 21
+  val WinnowPosCap: Long = graft.functions.SignatureKernel.WinnowPosCap
 
   /** MOSS winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD'03):
     * per document, slide a `window`-gram window over the k-gram hash
@@ -1064,39 +1065,26 @@ object TextOps {
     * several positions of one document (repeated grams); consumers that
     * want the per-doc fingerprint SET distinct on (idCol, fp).
     *
-    * Scale shape: one posexplode (bounded fan-out: one gram per token) and
-    * one per-document ordered window — a single shuffle on the doc key;
-    * everything else is map-side codegen. Documents with fewer grams than
-    * `window` contribute their global min (the standard short-doc
-    * degenerate case).
+    * Scale shape: one [[graft.functions.WinnowEncoded]] kernel pass per
+    * document — the whole gram-explode + doc-partitioned rolling-window-MIN
+    * pipeline collapsed into one JVM call per doc (monotone-deque rolling
+    * min), so there is NO shuffle and no sort at all; the kernel emits the
+    * per-doc distinct encoded minima directly. Bit-identical to the
+    * exploded-window column algebra it replaces (spec-pinned), including
+    * the rightmost-min tie rule via the `cap−1−pos` encode and the
+    * short-doc final-partial-window case. `repartition(idCol)` first: a
+    * small parquet input arrives as one partition and would serialize the
+    * kernel on a single core.
     */
   def winnowFingerprints(df: DataFrame, k: Int = 5, window: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 1 && window >= 1, s"need k >= 1, window >= 1; got k=$k window=$window")
-    import org.apache.spark.sql.expressions.{Window => W}
     val cap = WinnowPosCap
-    val grams = df
+    df.repartition(col(idCol))
       .select(col(idCol),
-        posexplode(shingles(tokens(col(textCol)), k)).as(Seq("pos", "gram")))
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        PolyHash(col("gram"), 0L).as("gh"))
-    val part = W.partitionBy(col(idCol))
-    val frame = part.orderBy(col("pos")).rowsBetween(-(window - 1), 0)
-    grams
-      // fail loudly past the encode capacity instead of corrupting ranks
-      .withColumn("e",
-        when(col("pos") < cap,
-          col("gh") * cap + (lit(cap - 1) - col("pos")))
-          .otherwise(raise_error(concat(lit(
-            s"winnowFingerprints: gram position >= $cap in doc "),
-            col(idCol).cast("string")))))
-      .withColumn("maxpos", max("pos").over(part))
-      .withColumn("we", min("e").over(frame))
-      // full windows only, except short docs keep their final (partial) one
-      .where(col("pos") >= least(lit(window - 1).cast("long"), col("maxpos")))
+        explode(graft.functions.Signatures.winnowEncoded(col(textCol), k, window)).as("we"))
       .select(col(idCol), expr(s"${cap - 1} - (we % $cap)").as("fp_pos"),
         expr(s"we div $cap").as("fp"))
-      .distinct()
   }
 
   /** Near-duplicate pairs by shared winnowing fingerprints — the

@@ -1209,6 +1209,10 @@ class PipelineOpsSpec extends SparkSpec {
       }
     }.toSet
     assert(got == expect, s"got ${got.size} expect ${expect.size}")
+    // degenerate inputs contribute no rows (null text nulls the kernel,
+    // empty/short text yields an empty fingerprint array)
+    val edge = Seq((1L, null: String), (2L, ""), (3L, "one two")).toDF("doc_id", "text")
+    assert(TextOps.winnowFingerprints(edge, k, w).count() == 0)
   }
 
   test("winnowNearDups: shared-run guarantee and posting-list cap") {

@@ -440,14 +440,16 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1, s"expected 1 Exchange (pair key), got $shuffles")
   }
 
-  test("winnow fingerprints: one shuffle on the doc key, windows share it") {
+  test("winnow fingerprints: one spread exchange, then the scan kernel — no sort, no window") {
     val df = graft.pipeline.TextOps.winnowFingerprints(
       Tables(spark, sfDir).documents)
     val plan = planOf(df)
-    // maxpos + the frame min run over ONE (doc) exchange; distinct adds its
-    // own aggregation exchange
+    // the only exchange is the deliberate id-spread before the kernel;
+    // the old gram-explode + rolling-window-MIN shape is gone entirely
     val shuffles = plan.linesIterator.count(_.contains("Exchange"))
-    assert(shuffles <= 2, s"expected <= 2 Exchanges, got $shuffles: ${plan.take(3000)}")
+    assert(shuffles == 1, s"expected only the spread exchange, got $shuffles: ${plan.take(3000)}")
+    assert(!plan.contains("Sort ") && !plan.contains("Window"),
+      s"no sort/window belongs in the kernelized winnow: ${plan.take(3000)}")
   }
 
   test("text CDC chunker: one spread exchange, then the scan kernel — no join, no sort") {
