@@ -1671,7 +1671,7 @@ object SparkEntry {
     "sketch_kmv_jaccard" -> ((s, dir) =>
       Sketches.kmvPairJaccard(
         Tables(s, dir).documents.select(col("lang"),
-          explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh")),
+          explode(TextOps.textShingles(col("text"), 3)).as("sh")),
         k = 128, "lang", "sh")),
     // HyperLogLog distinct users per event type: constant 2^10 registers
     // per group, duplicate-insensitive, register-max mergeable

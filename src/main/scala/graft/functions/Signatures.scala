@@ -196,6 +196,70 @@ private[graft] object SignatureKernel {
     Some(words)
   }
 
+  /** k-token shingle strings in one pass — the
+    * `shingles(tokens(text), k)` column algebra (optionally wrapped in
+    * `array_distinct` / `array_sort(array_distinct(...))`) without the
+    * interpreted per-gram transform+slice+array_join lambdas. `distinct`
+    * keeps first occurrences (array_distinct order); `sorted` adds binary
+    * UTF8 order (array_sort's StringType ordering — tokens are ASCII so
+    * code-unit and byte order coincide). Empty below k tokens AND for null
+    * text: the HOF chain's `when(size(null) >= k)` falls to the
+    * `.otherwise(array())` branch, so null text yields an EMPTY array, not
+    * null — the expression must match at non-exploded call sites
+    * (Jaccard-verify shingle sets).
+    */
+  def shingleStrings(text: String, shingleK: Int, distinct: Boolean,
+      sorted: Boolean): Array[UTF8String] = {
+    val toks = tokenize(text)
+    if (toks.length < shingleK) return Array.empty[UTF8String]
+    val n = toks.length - shingleK + 1
+    val sb = new java.lang.StringBuilder
+    if (!distinct) {
+      val out = new Array[UTF8String](n)
+      var i = 0
+      while (i < n) {
+        sb.setLength(0)
+        var t = 0
+        while (t < shingleK) {
+          if (t > 0) sb.append(' ')
+          sb.append(toks(i + t))
+          t += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      out
+    } else {
+      val set: java.util.Set[UTF8String] =
+        // explicit binaryCompare ordering: natural ordering is compareTo,
+        // whose Spark-4 isTesting() getenv guard costs per comparison and
+        // throws under SPARK_TESTING; the byte order is identical
+        if (sorted) new java.util.TreeSet[UTF8String](
+          new java.util.Comparator[UTF8String] {
+            override def compare(a: UTF8String, b: UTF8String): Int =
+              a.binaryCompare(b)
+          })
+        else new java.util.LinkedHashSet[UTF8String]
+      var i = 0
+      while (i < n) {
+        sb.setLength(0)
+        var t = 0
+        while (t < shingleK) {
+          if (t > 0) sb.append(' ')
+          sb.append(toks(i + t))
+          t += 1
+        }
+        set.add(UTF8String.fromString(sb.toString))
+        i += 1
+      }
+      val out = new Array[UTF8String](set.size)
+      val it = set.iterator()
+      var o = 0
+      while (it.hasNext) { out(o) = it.next(); o += 1 }
+      out
+    }
+  }
+
   /** Position-encode capacity for winnowing fingerprints — the authority
     * for `TextOps.WinnowPosCap` (pipeline depends on functions, not the
     * reverse). Encoded fp `e = gh·cap + (cap−1−pos)` stays injective and
@@ -270,6 +334,34 @@ case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
     if (v == null) null
     else SignatureKernel.minhash(v.asInstanceOf[UTF8String].toString, shingleK, numHashes)
       .map(a => new GenericArrayData(a)).orNull
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Scan-side shingle strings — see [[SignatureKernel.shingleStrings]].
+  * Null text evaluates to an EMPTY array (not null), matching the
+  * `shingles(tokens(text), k)` HOF chain it replaces bit-for-bit at
+  * non-exploded call sites.
+  */
+case class ShingleStrings(child: Expression, shingleK: Int,
+    distinct: Boolean, sorted: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  require(shingleK >= 1, s"shingle k must be >= 1, got $shingleK")
+  require(distinct || !sorted, "sorted shingles require distinct")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult =
+    SignatureKernel.requireString("shingle_strings", child)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    val arr =
+      if (v == null) Array.empty[UTF8String]
+      else SignatureKernel.shingleStrings(
+        v.asInstanceOf[UTF8String].toString, shingleK, distinct, sorted)
+    new GenericArrayData(arr.asInstanceOf[Array[Any]])
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -386,7 +478,11 @@ case class SortedArrayJaccard(left: Expression, right: Expression)
       }
     } else {
       while (i < m && j < n) {
-        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        // binaryCompare, NOT compareTo: Spark 4's compareTo prepends a
+        // SparkEnvUtils.isTesting() check that does a System.getenv PER
+        // CALL (and throws under SPARK_TESTING) — measured dominating the
+        // quadratic pair-scoring loops via jstack
+        val c = a.getUTF8String(i).binaryCompare(b.getUTF8String(j))
         if (c == 0) { inter += 1; i += 1; j += 1 }
         else if (c < 0) i += 1
         else j += 1
@@ -701,6 +797,10 @@ object Signatures {
 
   def winnowEncoded(text: Column, shingleK: Int, window: Int): Column =
     GraftBridge.column(WinnowEncoded(GraftBridge.expression(text), shingleK, window))
+
+  def shingleStrings(text: Column, shingleK: Int, distinct: Boolean = false,
+      sorted: Boolean = false): Column =
+    GraftBridge.column(ShingleStrings(GraftBridge.expression(text), shingleK, distinct, sorted))
 
   def simhashSig(text: Column, shingleK: Int, bits: Int): Column =
     GraftBridge.column(SimHashSig(GraftBridge.expression(text), shingleK, bits))

@@ -203,8 +203,7 @@ object Dedup {
       df.select(col(idCol), col(textCol))
         .join(ids, Seq(idCol), "left_semi")
         .select(col(idCol).as(idAs),
-          array_sort(array_distinct(
-            TextOps.shingles(TextOps.tokens(col(textCol)), shingleK))).as(shAs))
+          TextOps.textShingleSortedSet(col(textCol), shingleK).as(shAs))
     val setsL = sideSets(left, cands.select(col("id_a").as(idCol)).distinct(),
       "id_a", "sh_a")
     val setsR = sideSets(right, cands.select(col("id_b").as(idCol)).distinct(),
@@ -232,8 +231,7 @@ object Dedup {
     val sets = df.select(col(idCol), col(textCol))
       .join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol),
-        array_sort(array_distinct(
-          TextOps.shingles(TextOps.tokens(col(textCol)), shingleK))).as("sh"))
+        TextOps.textShingleSortedSet(col(textCol), shingleK).as("sh"))
     cands
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -257,8 +255,7 @@ object Dedup {
       maxDocs: Int = 10000): DataFrame = {
     val sets = spreadById(df.select(col(idCol), col(textCol)), idCol)
       .select(col(idCol).as("id"),
-        array_sort(array_distinct(
-          TextOps.shingles(TextOps.tokens(col(textCol)), shingleK))).as("sh"))
+        TextOps.textShingleSortedSet(col(textCol), shingleK).as("sh"))
       .where(size(col("sh")) > 0)
     val n = sets.agg(count(lit(1)).as("__n_docs"))
     val guarded = sets.crossJoin(broadcast(n))
@@ -375,8 +372,7 @@ object Dedup {
       textCol: String = "text", shingleK: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     def grams(df: DataFrame, idAs: String) = df.select(col(idCol).as(idAs),
-      explode(array_distinct(
-        TextOps.shingles(TextOps.tokens(col(textCol)), shingleK))).as("__sh"))
+      explode(TextOps.textShingleSet(col(textCol), shingleK)).as("__sh"))
     // materialize each gram stream once (Lineage.truncate): lg feeds the
     // df count, the candidate probe, AND the verify join; rg feeds the
     // prefix pick and the verify join — without truncation every consumer

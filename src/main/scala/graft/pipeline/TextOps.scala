@@ -35,13 +35,35 @@ object TextOps {
     size(regexp_extract_all(lower(text), lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0)))
 
   /** k-token shingles, space-joined. Documents shorter than k tokens yield
-    * an empty list.
+    * an empty list. Column-algebra form — prefer [[textShingles]] and
+    * friends (the single-pass kernel over raw text) when the input is a
+    * text column; this stays for pre-tokenized array inputs and as the
+    * semantics the kernel is pinned against.
     */
   def shingles(toks: Column, k: Int): Column =
     when(size(toks) >= k,
       transform(sequence(lit(0), size(toks) - k),
         i => array_join(slice(toks, i + 1, lit(k)), " ")))
       .otherwise(array().cast("array<string>"))
+
+  /** `shingles(tokens(text), k)` as one kernel pass per document —
+    * bit-identical (spec-pinned), including empty output for null text,
+    * without the interpreted per-gram transform+slice+array_join lambdas.
+    */
+  def textShingles(text: Column, k: Int): Column =
+    graft.functions.Signatures.shingleStrings(text, k)
+
+  /** `array_distinct(shingles(tokens(text), k))` (first-occurrence order)
+    * as one kernel pass.
+    */
+  def textShingleSet(text: Column, k: Int): Column =
+    graft.functions.Signatures.shingleStrings(text, k, distinct = true)
+
+  /** `array_sort(array_distinct(shingles(tokens(text), k)))` — the
+    * Jaccard-verify shingle set — as one kernel pass.
+    */
+  def textShingleSortedSet(text: Column, k: Int): Column =
+    graft.functions.Signatures.shingleStrings(text, k, distinct = true, sorted = true)
 
   /** Quality-score feature block (length / punctuation / digits / stopword
     * ratios + mean token length), the usual cheap pre-filter signals for
@@ -549,8 +571,8 @@ object TextOps {
           (col("n_tokens") - size(array_distinct(col("tk"))))
             .cast("double") / col("n_tokens"))
           .otherwise(lit(0.0)))
-    val grams = base
-      .select(col(idCol), explode(shingles(col("tk"), 3)).as("g"))
+    val grams = df
+      .select(col(idCol), explode(textShingles(col(textCol), 3)).as("g"))
       .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
       .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_trigram_share"))
@@ -600,9 +622,9 @@ object TextOps {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n > 0, s"gram size must be positive, got $n")
     val docGrams = df.select(col(idCol),
-      explode(array_distinct(shingles(tokens(col(textCol)), n))).as("gram"))
+      explode(textShingleSet(col(textCol), n)).as("gram"))
     val benchGrams = bench.select(
-      explode(array_distinct(shingles(tokens(col(textCol)), n))).as("gram"))
+      explode(textShingleSet(col(textCol), n)).as("gram"))
       .distinct()
     val shared = docGrams.join(broadcast(benchGrams), Seq("gram"))
       .groupBy(idCol).agg(count(lit(1)).as("n_shared_ngrams"))
@@ -651,13 +673,13 @@ object TextOps {
     def positions(gram: Column): Column =
       array(seeds.map(s => PolyHash(gram, s) % mBits): _*)
     val benchWords = bench
-      .select(explode(array_distinct(shingles(tokens(col(textCol)), n))).as("gram"))
+      .select(explode(textShingleSet(col(textCol), n)).as("gram"))
       .select(explode(positions(col("gram"))).as("p"))
       .select((col("p") / 32).cast("long").as("word_idx"),
         expr("shiftleft(1L, CAST(p % 32 AS INT))").as("m"))
       .groupBy("word_idx").agg(expr("bit_or(m)").as("mask"))
     val probe = df
-      .select(col(idCol), explode(array_distinct(shingles(tokens(col(textCol)), n))).as("gram"))
+      .select(col(idCol), explode(textShingleSet(col(textCol), n)).as("gram"))
       .select(col(idCol), col("gram"), posexplode(positions(col("gram"))).as(Seq("j", "p")))
       .select(col(idCol), col("gram"), col("p"),
         (col("p") / 32).cast("long").as("word_idx"),
@@ -731,7 +753,7 @@ object TextOps {
     // the unfiltered bigram counts serve twice: the collocation candidates
     // (after the min-count cut) AND the n_big total — summing the already-
     // aggregated table instead of re-exploding the corpus a third time
-    val bi0 = toks.select(explode(shingles(col("tk"), 2)).as("bigram"))
+    val bi0 = df.select(explode(textShingles(textCol, 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
     val bi = bi0.where(col("c_xy") >= minCount)
     val totals = uni.agg(sum("c").as("n_tok"))
@@ -826,7 +848,7 @@ object TextOps {
     val grams = df
       .where(col(idCol).isNotNull)
       .select(col(idCol),
-        posexplode(shingles(tokens(col(textCol)), n)).as(Seq("pos", "gram")))
+        posexplode(textShingles(col(textCol), n)).as(Seq("pos", "gram")))
       .select(col(idCol), col("pos").cast("long").as("pos"),
         PolyHash(col("gram"), 0L).as("gh"))
       .repartition(col("gh"))

@@ -281,8 +281,7 @@ object StreamOps {
     // so the post-explode filter drops exactly the same rows)
     val banded = docs
       .select(col("doc_id").cast("long").as("doc_id"),
-        array_sort(array_distinct(
-          TextOps.shingles(TextOps.tokens(col("text")), shingleK))).as("sh"),
+        TextOps.textShingleSortedSet(col("text"), shingleK).as("sh"),
         Dedup.minhashSignature(col("text"), shingleK, bands * rowsPerBand).as("sig"))
       .select(col("doc_id"), col("sh"),
         Dedup.bandExplode(col("sig"), bands, rowsPerBand).as("bb"))

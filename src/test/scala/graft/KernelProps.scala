@@ -153,6 +153,38 @@ object KernelProps extends Properties("kernels") {
         (0 until planes).forall(k => (((bucket >> k) & 1L) == 1L) == (dots(k) >= 0))
     }
 
+  property("shingle-strings kernel equals naive sliding-window build (all modes)") =
+    forAll(asciiText, Gen.choose(1, 4)) { (text, k) =>
+      def naive(distinct: Boolean, sorted: Boolean): Seq[String] = {
+        val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+        if (toks.length < k) Seq.empty
+        else {
+          val sh = toks.sliding(k).map(_.mkString(" ")).toSeq
+          val d = if (distinct) sh.distinct else sh
+          if (sorted) d.sorted else d // ASCII: UTF-16 and byte order coincide
+        }
+      }
+      Seq((false, false), (true, false), (true, true)).forall { case (d, s) =>
+        SignatureKernel.shingleStrings(text, k, d, s).map(_.toString).toSeq == naive(d, s)
+      }
+    }
+
+  property("winnow-encoded kernel equals brute window-min over encoded grams") =
+    forAll(asciiText, Gen.choose(1, 3), Gen.choose(1, 5)) { (text, k, w) =>
+      val cap = SignatureKernel.WinnowPosCap
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val naive =
+        if (toks.length < k) Seq.empty
+        else {
+          val e = (0 to toks.length - k).map(i =>
+            PolyHash.hash(toks.slice(i, i + k).mkString(" "), 0L) * cap + (cap - 1L - i))
+          val start = math.min(w - 1, e.length - 1)
+          (start until e.length).map(p => e.slice(math.max(0, p - w + 1), p + 1).min)
+            .distinct.sorted
+        }
+      SignatureKernel.winnowEncoded(text, k, w).toSeq == naive
+    }
+
   property("PPM codec round-trips pixel stats for arbitrary payloads") =
     forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
       val payload = bytes.toArray

@@ -1215,6 +1215,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(TextOps.winnowFingerprints(edge, k, w).count() == 0)
   }
 
+  test("shingle kernel matches the HOF chain it replaces, including null text") {
+    val df = Seq(
+      (1L, "the cat sat on the mat the cat sat"),
+      (2L, "a b a b a b"),
+      (3L, null: String),
+      (4L, ""),
+      (5L, "only two")
+    ).toDF("doc_id", "text")
+    val k = 3
+    val hofRaw = TextOps.shingles(TextOps.tokens(col("text")), k)
+    val rows = df.select(col("doc_id"),
+        TextOps.textShingles(col("text"), k).as("kr"), hofRaw.as("hr"),
+        TextOps.textShingleSet(col("text"), k).as("kd"),
+        array_distinct(hofRaw).as("hd"),
+        TextOps.textShingleSortedSet(col("text"), k).as("ks"),
+        array_sort(array_distinct(hofRaw)).as("hs"))
+      .collect()
+    rows.foreach { r =>
+      for ((a, b) <- Seq((1, 2), (3, 4), (5, 6))) {
+        assert(r.getSeq[String](a) == r.getSeq[String](b),
+          s"doc ${r.getLong(0)} col $a: ${r.getSeq[String](a)} != ${r.getSeq[String](b)}")
+      }
+    }
+  }
+
   test("winnowNearDups: shared-run guarantee and posting-list cap") {
     // base doc of 40 distinct-ish tokens; copy shares a long middle run
     val toks = (0 until 40).map(i => s"w$i")
