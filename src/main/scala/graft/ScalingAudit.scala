@@ -106,6 +106,32 @@ object ScalingAudit {
     val onlySession8 = scaleOnly.contains("session8")
     val onlySession9 = scaleOnly.contains("session9")
     val onlySession11 = scaleOnly.contains("session11")
+    val onlySession12 = scaleOnly.contains("session12")
+
+    // ---- session-12 operators (SPARK_GRAFT_SCALE_ONLY=session12; same
+    // append-to-SCALING_raw_extra.jsonl contract) ----
+    if (onlySession12) {
+      docPaths.foreach { case (f, p) =>
+        val d = spark.read.parquet(p)
+        val n = d.count()
+        // kernelized winnowing: one WinnowEncoded pass per doc behind a
+        // spread exchange — no gram explode, no sort-window — so the
+        // ladder must read ~linear with the new (much smaller) constant;
+        // compare the session-5 dedup_winnow_x rows for the old shape
+        report(s"text_winnow_x$f", n,
+          timed(graft.pipeline.TextOps.winnowFingerprints(d).count()))
+        // pair verify via binaryCompare sorted-jaccard over kernel-built
+        // shingle sets (the post-fix minhash verify shape)
+        report(s"dedup_minhash_x$f", n,
+          timed(Dedup.minhashNearDups(d).count()))
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SCALING_raw_extra.jsonl"), out.toString,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      spark.stop()
+      return
+    }
 
     // ---- session-11 operators (SPARK_GRAFT_SCALE_ONLY=session11; same
     // append-to-SCALING_raw_extra.jsonl contract) ----
