@@ -106,7 +106,14 @@ object Dedup {
     * per-row work it parallelizes, and it also evens out hot-file skew.
     */
   private def spreadById(df: DataFrame, idCol: String): DataFrame =
-    df.repartition(col(idCol))
+    // PINNED width, not repartition(col): a bare REPARTITION_BY_COL is
+    // AQE-coalescable, and on a small input AQE folds it back to ONE
+    // partition — re-serializing the very kernel (or the quadratic audit
+    // join downstream: minhashEval's pair scoring ran as one task) this
+    // spread exists to parallelize. REPARTITION_BY_NUM is exempt.
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      col(idCol))
 
   /** The banding explode shared by the batch path ([[lshBuckets]]) and the
     * streaming path ([[graft.streaming.StreamOps.nearDupStream]]) — one

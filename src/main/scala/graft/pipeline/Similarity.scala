@@ -91,7 +91,12 @@ object Similarity {
     * would serialize the scoring (see Dedup.spreadById).
     */
   private def spread(df: DataFrame, idCol: String): DataFrame =
-    df.repartition(col(idCol))
+    // pinned width — REPARTITION_BY_COL is AQE-coalescable back to one
+    // partition on small inputs, serializing the per-row vector kernels
+    // and the brute audit joins downstream (see Dedup.spreadById)
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      col(idCol))
 
   /** Reciprocal-rank fusion of two ranked retrieval lists (Cormack et al.
     * 2009): `rrf = Σ_lists 1/(kRrf + rank)`, a score-free combiner that is

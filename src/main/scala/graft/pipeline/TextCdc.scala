@@ -55,7 +55,11 @@ object TextCdc {
     val projected = docs
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"))
       .where(col("__t").isNotNull && length(col("__t")) > 0)
-      .repartition(col("doc_id"))
+      // pinned width: REPARTITION_BY_COL is AQE-coalescable back to one
+      // partition on small inputs, which serializes the per-char kernel
+      .repartition(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("doc_id"))
     val out: Dataset[Row] = projected.mapPartitions { it =>
       it.flatMap { row =>
         val t = row.getString(1)

@@ -1102,7 +1102,9 @@ object TextOps {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 1 && window >= 1, s"need k >= 1, window >= 1; got k=$k window=$window")
     val cap = WinnowPosCap
-    df.repartition(col(idCol))
+    df.repartition(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col(idCol)) // pinned: REPARTITION_BY_COL is AQE-coalescable to 1
       .select(col(idCol),
         explode(graft.functions.Signatures.winnowEncoded(col(textCol), k, window)).as("we"))
       .select(col(idCol), expr(s"${cap - 1} - (we % $cap)").as("fp_pos"),
