@@ -1045,8 +1045,8 @@ object TextOps {
     var bias = 0.0
     def logit(wArr: Array[Double], b: Double): Column = {
       val wLit = array(wArr.toSeq.map(lit): _*)
-      lit(b) + aggregate(zip_with(col("x"), wLit, (xi, wi) => xi * wi),
-        lit(0.0), (acc, v) => acc + v)
+      // VecDot kernel — bit-identical to the aggregate(zip_with(x·w)) fold
+      lit(b) + graft.functions.Signatures.vecDot(col("x"), wLit)
     }
     def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
     for (_ <- 1 to iters) {
