@@ -3880,10 +3880,14 @@ object SparkEntry {
          |  FROM f)
          |SELECT series_id, CAST(a[1] AS BIGINT) AS n_points,
          |  CASE WHEN $vSR > CAST(0 AS DOUBLE)
-         |    THEN greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - ($vR) / ($vSR)) END
+         |    THEN CASE WHEN CAST(1 AS DOUBLE) - ($vR) / ($vSR) < 1e-9
+         |      THEN CAST(0 AS DOUBLE)
+         |      ELSE CAST(1 AS DOUBLE) - ($vR) / ($vSR) END END
          |    AS seasonal_strength,
          |  CASE WHEN $vTR > CAST(0 AS DOUBLE)
-         |    THEN greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - ($vR) / ($vTR)) END
+         |    THEN CASE WHEN CAST(1 AS DOUBLE) - ($vR) / ($vTR) < 1e-9
+         |      THEN CAST(0 AS DOUBLE)
+         |      ELSE CAST(1 AS DOUBLE) - ($vR) / ($vTR) END END
          |    AS trend_strength
          |FROM ag""".stripMargin
     },

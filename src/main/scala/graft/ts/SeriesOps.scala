@@ -1294,6 +1294,16 @@ object SeriesOps {
     * identical operation order in the twin. A component with zero
     * variance yields null strength (the ratio is undefined), not a
     * divide-by-zero.
+    *
+    * Noise floor: a strength below 1e-9 reads EXACTLY 0.0. When the
+    * seasonal (or trend) component is flat, 1 − Var(R)/Var(S+R) is a
+    * catastrophic cancellation of two near-equal variances whose value
+    * (~1e-16) is pure accumulation-order noise — the upstream seasonal
+    * mean is a partial-aggregated float avg, so the noise is
+    * run-nondeterministic and engine-divergent even at 9 significant
+    * digits (bit once at sf0.1). Real strengths on any data are either
+    * ≈0 at the 1e-12 scale or ≥1e-6; nothing meaningful lives at the
+    * floor. The twin applies the identical floor.
     */
   def stlStrength(points: DataFrame, periodNs: Long, bucketNs: Long,
       halfWindow: Int = 12): DataFrame = {
@@ -1322,9 +1332,11 @@ object SeriesOps {
       .withColumn("__a", expr(fold))
       .select(col("series_id"),
         expr("CAST(element_at(__a, 1) AS BIGINT)").as("n_points"),
-        expr(s"CASE WHEN $vSR > 0.0D THEN greatest(0.0D, 1.0D - ($vR) / ($vSR)) END")
+        expr(s"CASE WHEN $vSR > 0.0D THEN CASE WHEN 1.0D - ($vR) / ($vSR) < 1e-9D" +
+            s" THEN 0.0D ELSE 1.0D - ($vR) / ($vSR) END END")
           .as("seasonal_strength"),
-        expr(s"CASE WHEN $vTR > 0.0D THEN greatest(0.0D, 1.0D - ($vR) / ($vTR)) END")
+        expr(s"CASE WHEN $vTR > 0.0D THEN CASE WHEN 1.0D - ($vR) / ($vTR) < 1e-9D" +
+            s" THEN 0.0D ELSE 1.0D - ($vR) / ($vTR) END END")
           .as("trend_strength"))
   }
 
