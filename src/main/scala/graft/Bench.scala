@@ -78,6 +78,11 @@ object Bench {
       System.err.println(s"[bench] WARNING ${suspects.size} queries >2x their " +
         "previous time — machine-wide contention likely; re-running first 25 only")
     val rerunSet = suspects.take(25).map(_._1).toSet
+    // Audit trail for the gate: every re-measured query's first-pass time,
+    // kept time, and the previous baseline land in the sidecar's "reruns"
+    // section, so the artifact shows WHAT was corrected (keeping only the
+    // best would be an invisible downward bias on certified timings).
+    val rerunLog = Seq.newBuilder[(String, Double, Double, Double)]
     val results = firstPass.map { case (name, fn, sec) =>
       if (!rerunSet.contains(name)) name -> sec
       else {
@@ -87,6 +92,7 @@ object Bench {
         while (tries < 2 && best > 2 * prev) {
           best = math.min(best, timeOnce(fn)); tries += 1
         }
+        rerunLog += ((name, sec, best, prev))
         if (best > 2 * prev)
           System.err.println(f"[bench] SUSPECT $name%-24s $best%8.2f s stays " +
             f">2x previous ($prev%.2f s) after $tries re-runs — genuine " +
@@ -99,8 +105,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val reruns = rerunLog.result().map { case (n, first, best, prev) =>
+      s"\"$n\":{\"first\":$first,\"kept\":$best,\"prev\":$prev}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reruns":$reruns,"sf":"$sfDir"}"""
     println(json)
     // Durable sidecar with ALL per-query timings: the driver's artifact
     // collector keeps only a tail of stdout, which has silently dropped the

@@ -131,6 +131,14 @@ object SparkEntry {
     */
   private val PqFrozenDir = "/root/repo/target/graft_frozen/pq_prod"
 
+  /** Where clf_quality_frozen freezes its trained logreg model (weights +
+    * standardization moments, dims+1 rows) — same per-SF `n_corpus`
+    * partition-keying contract as [[PqFrozenDir]]: Verify writes it, then
+    * both the Spark query and the DuckDB twin SCORE from the same frozen
+    * file. Build-transient under target/, never committed.
+    */
+  private val ClfFrozenDir = "/root/repo/target/graft_frozen/clf_quality"
+
   /** DuckDB twin of VecCosine over pre-cast DOUBLE lists (same per-sum
     * left-to-right accumulation, same final expression — the sim_topk gate
     * pins the equivalence).
@@ -1502,6 +1510,29 @@ object SparkEntry {
     "text_quality_clf" -> ((s, dir) =>
       TextOps.logregClassifier(Tables(s, dir).documents,
         TextOps.qualityScoreCol(col("text")) >= 0.6)),
+    // the same classifier in the PRODUCTION serving shape (the sim_pq_prod
+    // pattern): logregTrain persists weights + standardization moments to
+    // parquet keyed by corpus size, and scoring runs from the FROZEN file
+    // read back — one corpus scan against driver-literal weights, no
+    // training, no label, no moment pass. The DuckDB twin reads the same
+    // frozen parquet and independently recomputes the serving arithmetic
+    // (hashed counts -> frozen-mu/sd standardization -> dot -> sigmoid);
+    // training stays oracle-covered by text_quality_clf (same GD path).
+    "clf_quality_frozen" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val n = docs.count()
+      val model = TextOps.logregTrain(docs,
+        TextOps.qualityScoreCol(col("text")) >= 0.6)
+      // dims+1 = 65 rows: model-scale, single-file is the right layout
+      model.withColumn("n_corpus", lit(n)).repartition(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("n_corpus")
+        .parquet(s"$ClfFrozenDir/model")
+      val mF = s.read.parquet(s"$ClfFrozenDir/model")
+        .where(col("n_corpus") === n).drop("n_corpus")
+      TextOps.logregScoreFrozen(docs, mF)
+    }),
     "text_hashed_features" -> ((s, dir) =>
       TextOps.hashedFeatures(Tables(s, dir).documents, dims = 64)),
     // lexical retrieval: Okapi BM25 top-20 for a fixed query
@@ -1606,18 +1637,7 @@ object SparkEntry {
       val e = Tables(s, dir).embeddings
       val n = e.count()
       val (cb, cd) = Similarity.pqTrain(e, m = 8, kc = 256, iters = 1)
-      val base = s"$PqFrozenDir"
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      cb.withColumn("n_corpus", lit(n)).repartition(1)
-        .write.mode("overwrite").partitionBy("n_corpus")
-        .parquet(s"$base/codebooks")
-      cd.withColumn("n_corpus", lit(n)).repartition(1)
-        .write.mode("overwrite").partitionBy("n_corpus")
-        .parquet(s"$base/codes")
-      val cbF = s.read.parquet(s"$base/codebooks")
-        .where(col("n_corpus") === n).drop("n_corpus")
-      val cdF = s.read.parquet(s"$base/codes")
-        .where(col("n_corpus") === n).drop("n_corpus")
+      val (cbF, cdF) = Similarity.pqFreeze(cb, cd, n, PqFrozenDir)
       Similarity.pqRerankFrozen(e.where(col("vec_id") < 5), e, cbF, cdF,
         topK = 3, candidates = 100)
     }),
@@ -2373,6 +2393,12 @@ object SparkEntry {
       val p = pts(s, dir)
       graft.streaming.StreamOps.dedupStream(p.unionByName(p), "1 hour")
     }),
+    // streaming CCNet line dedup, batch face: first-occurrence-per-line-key
+    // over the synthesized multi-line corpus — the kept slots must equal
+    // the batch rule's rn=1 pick exactly (the twin recomputes it)
+    "stream_line_dedup" -> ((s, dir) =>
+      graft.streaming.StreamOps.lineDedupStream(
+        lineSynthDocs(Tables(s, dir).documents)).toDF()),
     // streaming near-dup detection, batch face: must equal dedup_minhash
     // exactly (same banding expression, same Jaccard arithmetic)
     "stream_near_dups" -> ((s, dir) =>
@@ -2491,6 +2517,21 @@ object SparkEntry {
       graft.core.GraftTableFunctions.registerAll(s)
       Tables(s, dir).documents.createOrReplaceTempView("graft_sql_documents")
       s.sql("SELECT * FROM graft_exact_dedup('graft_sql_documents')")
+    }),
+    // the line-dedup family through the TVF surface: same synthesized
+    // multi-line corpus, same default boilerplate threshold — plans
+    // identical to text_line_dedup / text_line_clean by construction
+    "sql_line_dedup" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      lineSynthDocs(Tables(s, dir).documents)
+        .createOrReplaceTempView("graft_sql_docs_ld")
+      s.sql("SELECT * FROM graft_line_dedup('graft_sql_docs_ld', 3)")
+    }),
+    "sql_line_clean" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      lineSynthDocs(Tables(s, dir).documents)
+        .createOrReplaceTempView("graft_sql_docs_lc")
+      s.sql("SELECT * FROM graft_line_clean('graft_sql_docs_lc', 3)")
     }),
     "sql_outliers" -> ((s, dir) => {
       graft.core.GraftTableFunctions.registerAll(s)
@@ -2771,6 +2812,8 @@ object SparkEntry {
       "sql_sample" -> base("sample_fraction"),
       "sql_compaction" -> base("layout_compaction"),
       "sql_dedup_exact" -> base("dedup_exact"),
+      "sql_line_dedup" -> base("text_line_dedup"),
+      "sql_line_clean" -> base("text_line_clean"),
       "sql_outliers" -> base("vec_outliers"),
       "sql_quality" -> base("text_quality"),
       "sql_ks_drift" -> base("profile_ks_drift"),
@@ -4502,6 +4545,40 @@ object SparkEntry {
          |  SELECT f.doc_id, f.y, ${sigma(logit(s"w$iters"))} AS p
          |  FROM fx f CROSS JOIN w$iters)""".stripMargin
     },
+    // Twin of TextOps.logregScoreFrozen against the FROZEN model parquet
+    // clf_quality_frozen wrote (weights + standardization moments, bias at
+    // the b = -1 sentinel): the serving arithmetic — hashed counts,
+    // frozen-mu/sd standardization over ALL dims buckets (the model covers
+    // every bucket, unlike the training twin's data-present msd), index-
+    // ordered dot, sigmoid — recomputed independently from the same file.
+    // Training is deliberately out of this twin (it is text_quality_clf's
+    // oracle, same GD path); the SF partition is picked by matching
+    // n_corpus to this SF's document count, like the sim_pq_prod twin.
+    "clf_quality_frozen" -> {
+      val dims = 64
+      s"""WITH mdl AS MATERIALIZED (SELECT CAST(b AS INTEGER) AS b, w, mu, sd
+         |  FROM read_parquet('$ClfFrozenDir/model/*/*.parquet', hive_partitioning = 1)
+         |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM documents)),
+         |toksq AS (SELECT doc_id, $Toks AS tk FROM documents),
+         |occ AS (SELECT doc_id, ${phSql("t", "0")} % $dims AS b
+         |  FROM (SELECT doc_id, unnest(tk) AS t FROM toksq WHERE len(tk) > 0)),
+         |cc AS MATERIALIZED (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS c
+         |  FROM occ GROUP BY 1, 2),
+         |dl AS (SELECT DISTINCT doc_id FROM cc),
+         |fx AS MATERIALIZED (SELECT d.doc_id,
+         |  list((coalesce(cc.c, CAST(0 AS DOUBLE)) - m.mu) / m.sd ORDER BY r.b) AS x
+         |  FROM dl d CROSS JOIN range(0, $dims) r(b)
+         |  JOIN mdl m ON m.b = r.b
+         |  LEFT JOIN cc ON cc.doc_id = d.doc_id AND cc.b = r.b
+         |  GROUP BY d.doc_id),
+         |wt AS (SELECT (SELECT list(w ORDER BY b) FROM mdl WHERE b >= 0) AS w,
+         |  (SELECT w FROM mdl WHERE b = -1) AS wb)
+         |SELECT doc_id, p, p >= CAST(0.5 AS DOUBLE) AS pred FROM (
+         |  SELECT f.doc_id, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+         |    + exp(-(wt.wb + list_sum(list_transform(range(1, ${dims + 1}),
+         |      i -> f.x[i] * wt.w[i]))))) AS p
+         |  FROM fx f CROSS JOIN wt)""".stripMargin
+    },
 
     "text_hashed_features" ->
       s"""WITH occ AS (SELECT doc_id, ${phSql("t", "0")} % 64 AS b
@@ -4776,6 +4853,15 @@ object SparkEntry {
          |    ELSE CAST(0.0 AS DOUBLE) END AS removed_ratio
          |FROM (SELECT DISTINCT doc_id FROM sdoc) d
          |LEFT JOIN ag USING (doc_id)""".stripMargin,
+
+    // Twin of StreamOps.lineDedupStream's batch face: the pure
+    // first-occurrence pick over the shared line CTEs — kept slot per key
+    // is the (doc_id, line_no)-minimal one (rn = 1); no boilerplate
+    // screen (corpus-global frequencies are deliberately out of the
+    // bounded-state streaming operator).
+    "stream_line_dedup" ->
+      s"""WITH $LineDedupCtes
+         |SELECT doc_id, line_no, line FROM ln WHERE rn = 1""".stripMargin,
 
     // Twins of TextOps.dupNgramSpans / dupNgramCoverage over the shared
     // duplicated-8-gram start positions (DupGramCtes): spans are

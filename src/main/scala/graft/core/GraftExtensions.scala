@@ -35,6 +35,8 @@ import graft.functions.{CharNgramCodes, MinHashSig, PolyHash, SimHashSig, SimHas
   *  - `graft_exact_dedup('view')` — exact duplicate groups
   *  - `graft_label_outliers('view')` — per-label embedding outlier z-scores
   *  - `graft_quality('view')` — per-document quality scores
+  *  - `graft_line_dedup('view', df)` — CCNet line-level dedup verdicts
+  *  - `graft_line_clean('view', df)` — CCNet cleaned-corpus rebuild
   *  - `graft_ks_drift('view', grp, val, slice, w)` — exact KS drift per group
   *  - `graft_psi_drift('view', grp, val, slice, lo, hi, bins)` — PSI drift
   *  - `graft_winnow_dups('view', k, w, shared, df)` — winnowing near-dups
@@ -202,6 +204,20 @@ object GraftTableFunctions {
           "(length, stopword, alnum ratios)"),
       (exprs: Seq[Expression]) => plan(graft.pipeline.TextOps.qualityScore(
         rel(strArg(exprs(0), "table name"))))),
+    (FunctionIdentifier("graft_line_dedup"),
+      info("graft_line_dedup",
+        "graft_line_dedup(table, boilerplate_df) - CCNet line-level dedup: " +
+          "per-line first-occurrence + boilerplate-frequency verdicts"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.TextOps.lineDedup(
+        rel(strArg(exprs(0), "table name")),
+        boilerplateDf = longArg(exprs(1), "boilerplate_df")))),
+    (FunctionIdentifier("graft_line_clean"),
+      info("graft_line_clean",
+        "graft_line_clean(table, boilerplate_df) - CCNet cleaned corpus: " +
+          "docs rebuilt from kept lines + per-doc removal accounting"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.TextOps.lineClean(
+        rel(strArg(exprs(0), "table name")),
+        boilerplateDf = longArg(exprs(1), "boilerplate_df")))),
     (FunctionIdentifier("graft_ks_drift"),
       info("graft_ks_drift",
         "graft_ks_drift(table, group_col, value_col, slice_col, shard_width) - " +

@@ -403,9 +403,15 @@ object Dedup {
       .withColumn("__rk", row_number().over(wp))
       .where(col("__rk") <= col("__p") && col("__df") > 0)
       .select("id_b", "__sh")
+    // pin the spread width: a bare repartition(cols) is AQE-coalescable
+    // back to one partition on small inputs, serializing the gram-scale
+    // verify join behind it (same trap as spreadById — REPARTITION_BY_COL
+    // vs REPARTITION_BY_NUM)
+    val shuffleN = left.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val cands = lg.join(rprefix, Seq("__sh"))
       .select("id_a", "id_b").distinct()
-      .repartition(col("id_a"), col("id_b"))
+      .repartition(shuffleN, col("id_a"), col("id_b"))
     cands
       .join(lg, Seq("id_a"))
       .join(rg, Seq("id_b", "__sh"))

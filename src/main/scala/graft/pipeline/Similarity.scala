@@ -1183,6 +1183,42 @@ object Similarity {
       parts.map(_._2).reduce(_ unionByName _))
   }
 
+  /** Freeze a trained PQ model ([[pqTrain]]'s `(codebooks, codes)`) to
+    * parquet under `base`, keyed by corpus row count `n` so runs at
+    * different scales coexist (`partitionBy(n_corpus)` + dynamic
+    * partition overwrite, scoped per-write), and return the read-back
+    * frames filtered to this corpus' partition — the train-once half of
+    * train-once/serve-many.
+    *
+    * Write shapes are deliberately different per relation: codebooks are
+    * MODEL-scale (m·kc rows) — one file is the right layout; codes are
+    * CORPUS-scale (n·m rows) and must write sharded — `repartition(
+    * shuffle.partitions, vec_id)` pins an explicit width (AQE cannot
+    * coalesce REPARTITION_BY_NUM) so the freeze job never funnels the
+    * corpus through a single task (PlanSpec-pinned: no corpus-scale
+    * single-partition exchange).
+    */
+  def pqFreeze(cb: DataFrame, cd: DataFrame, n: Long, base: String):
+      (DataFrame, DataFrame) = {
+    val s = cb.sparkSession
+    cb.withColumn("n_corpus", lit(n)).repartition(1)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("n_corpus")
+      .parquet(s"$base/codebooks")
+    val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
+    cd.withColumn("n_corpus", lit(n))
+      .repartition(shuffleN, col("vec_id"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("n_corpus")
+      .parquet(s"$base/codes")
+    (s.read.parquet(s"$base/codebooks")
+        .where(col("n_corpus") === n).drop("n_corpus"),
+      s.read.parquet(s"$base/codes")
+        .where(col("n_corpus") === n).drop("n_corpus"))
+  }
+
   /** ADC top-k over a FROZEN PQ model ([[pqTrain]]'s `(codebooks, codes)`
     * shape, typically read back from storage): the query is sliced into
     * the codebooks' subspaces, the per-query distance table is one
@@ -1212,6 +1248,15 @@ object Similarity {
     require(geo.values.toSet.size == 1,
       s"all subspaces must share one centroid width, got ${geo.values.toSet}")
     val sub = geo(0)
+    // serving-side dimension guard: a query whose vector length != m·sub
+    // would slice short, null the distance sum, and — via NULLS FIRST in
+    // the ascending rank window — silently return arbitrary neighbors.
+    // pqTrain validates dim % m == 0 at train time; validate the serving
+    // input against the frozen geometry too (one-row metadata probe).
+    val qdim = queries.select(size(col(vecCol))).head().getInt(0)
+    require(qdim == m * sub,
+      s"query vector dimension $qdim must equal the frozen model's " +
+        s"m*sub = ${m * sub}")
     val qsl = (0 until m).map(j =>
         queries.select(col(idCol).as("query_id"),
           lit(j).as("subspace"),

@@ -1008,21 +1008,65 @@ object TextOps {
   def logregClassifier(df: DataFrame, label: Column, dims: Int = 64,
       iters: Int = 8, lr: Double = 0.5, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val (fx, n, _, _) = logregFeatures(df, Some(label), dims, idCol, textCol)
+    val (w, bias) = logregGd(fx, n, dims, iters, lr)
+    fx.withColumn("p", logregSigmoid(logregLogit(w, bias)))
+      .select(col(idCol), col("y"), col("p"), (col("p") >= 0.5).as("pred"))
+  }
+
+  /** Per-doc hashed bucket counts `(idCol, [y,] b, c)` — the sparse half
+    * of the logreg feature derivation, lineage-truncated (it feeds the
+    * moment aggregate, the densify, and every GD round). One definition
+    * shared by training and frozen serving so the feature arithmetic
+    * cannot drift between them. Docs with no tokens are excluded.
+    */
+  private def logregCounts(df: DataFrame, dims: Int, label: Option[Column],
+      idCol: String, textCol: String): DataFrame = {
     require(dims > 0, s"dims must be positive, got $dims")
-    require(iters >= 1, s"iters must be >= 1, got $iters")
-    val cnt = graft.core.Lineage.truncate(
-      df.select(col(idCol), label.cast("int").as("y"),
-          tokens(col(textCol)).as("__tk"))
-        .where(size(col("__tk")) > 0)
-        .select(col(idCol), col("y"), explode(col("__tk")).as("__t"))
-        .select(col(idCol), col("y"),
-          (PolyHash(col("__t"), 0L) % dims).cast("int").as("b"))
-        .groupBy(col(idCol), col("y"), col("b"))
-        .agg(count(lit(1)).cast("double").as("c")))
+    val labeled = label match {
+      case Some(l) => df.select(col(idCol), l.cast("int").as("y"),
+        tokens(col(textCol)).as("__tk"))
+      case None => df.select(col(idCol), tokens(col(textCol)).as("__tk"))
+    }
+    val keyCols = col(idCol) +: label.map(_ => col("y")).toSeq
+    graft.core.Lineage.truncate(labeled
+      .where(size(col("__tk")) > 0)
+      .select(keyCols :+ explode(col("__tk")).as("__t"): _*)
+      .select(keyCols :+ (PolyHash(col("__t"), 0L) % dims).cast("int").as("b"): _*)
+      .groupBy(keyCols :+ col("b"): _*)
+      .agg(count(lit(1)).cast("double").as("c")))
+  }
+
+  /** Densify + standardize the sparse counts: per doc, the dims-wide
+    * vector `x_b = (c_b − μ_b)/σ_b` (absent counts 0) — shared by the
+    * training fx and the frozen scorer, so standardization is one
+    * expression in the codebase.
+    */
+  private def logregDense(cnt: DataFrame, dims: Int, mu: Array[Double],
+      sd: Array[Double], idCol: String, hasY: Boolean): DataFrame = {
+    val muLit = array(mu.toSeq.map(lit): _*)
+    val sdLit = array(sd.toSeq.map(lit): _*)
+    val keyCols = if (hasY) Seq(col(idCol), col("y")) else Seq(col(idCol))
+    graft.core.Lineage.truncate(
+      cnt.groupBy(keyCols: _*)
+        .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("__m"))
+        .select(keyCols :+
+          transform(sequence(lit(0), lit(dims - 1)), b =>
+            (coalesce(element_at(col("__m"), b), lit(0.0))
+              - element_at(muLit, b + 1)) / element_at(sdLit, b + 1)).as("x"): _*))
+  }
+
+  /** Training-side feature pass: counts → moments → standardized dense
+    * fx. Returns (fx with (idCol, y, x), n docs, μ, σ). Moments use the
+    * exact form mirrored in the twin: μ = Σc/n, σ² = Σc²/n − μ²
+    * (zero-variance buckets σ = 1).
+    */
+  private def logregFeatures(df: DataFrame, label: Option[Column], dims: Int,
+      idCol: String, textCol: String):
+      (DataFrame, Double, Array[Double], Array[Double]) = {
+    val cnt = logregCounts(df, dims, label, idCol, textCol)
     val n = cnt.select(col(idCol)).distinct().count().toDouble
     require(n > 0, "logregClassifier needs at least one tokenized document")
-    // per-bucket moments over the DENSE matrix from the sparse rows:
-    // μ = Σc/n, σ² = Σc²/n − μ² (this exact form, mirrored in the twin)
     val mom = cnt.groupBy("b")
       .agg(sum("c").as("s"), sum(col("c") * col("c")).as("ss"))
       .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
@@ -1032,27 +1076,32 @@ object TextOps {
         .getOrElse(0.0)
       if (v > 0) math.sqrt(v) else 1.0
     }
-    val muLit = array(mu.toSeq.map(lit): _*)
-    val sdLit = array(sd.toSeq.map(lit): _*)
-    val fx = graft.core.Lineage.truncate(
-      cnt.groupBy(col(idCol), col("y"))
-        .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("__m"))
-        .select(col(idCol), col("y"),
-          transform(sequence(lit(0), lit(dims - 1)), b =>
-            (coalesce(element_at(col("__m"), b), lit(0.0))
-              - element_at(muLit, b + 1)) / element_at(sdLit, b + 1)).as("x")))
+    (logregDense(cnt, dims, mu, sd, idCol, hasY = label.isDefined), n, mu, sd)
+  }
+
+  /** The model logit as a column over `x`: weights re-enter the plan as
+    * literals (the pcaTop pattern); VecDot kernel — bit-identical to the
+    * aggregate(zip_with(x·w)) fold.
+    */
+  private def logregLogit(wArr: Array[Double], b: Double): Column =
+    lit(b) + graft.functions.Signatures.vecDot(col("x"),
+      array(wArr.toSeq.map(lit): _*))
+
+  private def logregSigmoid(z: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(-z))
+
+  /** The full-batch GD rounds (deterministic: per-round weights collected
+    * to the driver and re-entering as literals): every gradient component
+    * in one aggregation per round — pos 0 is the bias (constant feature
+    * 1), pos b+1 is bucket b.
+    */
+  private def logregGd(fx: DataFrame, n: Double, dims: Int, iters: Int,
+      lr: Double): (Array[Double], Double) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     var w = Array.fill(dims)(0.0)
     var bias = 0.0
-    def logit(wArr: Array[Double], b: Double): Column = {
-      val wLit = array(wArr.toSeq.map(lit): _*)
-      // VecDot kernel — bit-identical to the aggregate(zip_with(x·w)) fold
-      lit(b) + graft.functions.Signatures.vecDot(col("x"), wLit)
-    }
-    def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
     for (_ <- 1 to iters) {
-      // every gradient component in one aggregation: pos 0 is the bias
-      // (constant feature 1), pos b+1 is bucket b
-      val g = fx.withColumn("e", sigmoid(logit(w, bias)) - col("y"))
+      val g = fx.withColumn("e", logregSigmoid(logregLogit(w, bias)) - col("y"))
         .select(col("e"),
           posexplode(concat(array(lit(1.0)), col("x"))).as(Seq("pos", "xv")))
         .groupBy("pos")
@@ -1061,8 +1110,62 @@ object TextOps {
       bias -= lr * g(0)
       for (b <- 0 until dims) w(b) -= lr * g.getOrElse(b + 1, 0.0)
     }
-    fx.withColumn("p", sigmoid(logit(w, bias)))
-      .select(col(idCol), col("y"), col("p"), (col("p") >= 0.5).as("pred"))
+    (w, bias)
+  }
+
+  /** Train [[logregClassifier]]'s model and return it as a FROZEN-model
+    * relation — the train-once half of production model-in-the-loop
+    * curation (CCNet's fastText shape: the classifier is trained once on
+    * a labeled slice, then serves frozen weights over the whole corpus).
+    * One row per feature bucket `(b, w, mu, sd)` — weight plus the
+    * standardization moments the scorer must apply — and the bias as the
+    * sentinel row `b = -1` (w = bias, mu = 0, sd = 1). dims+1 rows total:
+    * metadata-scale, persist anywhere (single-file parquet is the right
+    * layout). Serve with [[logregScoreFrozen]]; the round-trip is exact
+    * (doubles through parquet), so frozen serving ≡ train-inline scoring
+    * bit for bit on the training corpus.
+    */
+  def logregTrain(df: DataFrame, label: Column, dims: Int = 64,
+      iters: Int = 8, lr: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (fx, n, mu, sd) = logregFeatures(df, Some(label), dims, idCol, textCol)
+    val (w, bias) = logregGd(fx, n, dims, iters, lr)
+    val spark = df.sparkSession
+    import spark.implicits._
+    ((-1, bias, 0.0, 1.0) +:
+      (0 until dims).map(b => (b, w(b), mu(b), sd(b))))
+      .toDF("b", "w", "mu", "sd")
+  }
+
+  /** Score a corpus against a FROZEN [[logregTrain]] model — the
+    * serve-many half: no training, no label column, no moment pass; the
+    * model (dims+1 rows, metadata-scale) is collected to the driver and
+    * re-enters the plan as literals, so scoring is ONE scan of the corpus
+    * (hashed counts → frozen-μ/σ standardization → VecDot logit) with a
+    * doc-keyed aggregate and zero corpus-scale joins — the 100 TB
+    * curation-filter shape. Docs with no tokens are excluded, like
+    * training. Output: (idCol, p, pred).
+    */
+  def logregScoreFrozen(df: DataFrame, model: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val rows = model.select(col("b").cast("int"), col("w"), col("mu"),
+      col("sd")).collect()
+    val bias = rows.find(_.getInt(0) == -1).getOrElse(
+      throw new IllegalArgumentException(
+        "frozen logreg model must carry a bias row (b = -1)")).getDouble(1)
+    val byB = rows.filter(_.getInt(0) >= 0)
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val dims = if (byB.isEmpty) 0 else byB.keys.max + 1
+    require(dims > 0 && byB.keySet == (0 until dims).toSet,
+      s"frozen logreg model must cover buckets 0..dims-1, got ${byB.keySet}")
+    val w = Array.tabulate(dims)(byB(_)._1)
+    val mu = Array.tabulate(dims)(byB(_)._2)
+    val sd = Array.tabulate(dims)(byB(_)._3)
+    val cnt = logregCounts(df, dims, None, idCol, textCol)
+    logregDense(cnt, dims, mu, sd, idCol, hasY = false)
+      .withColumn("p", logregSigmoid(logregLogit(w, bias)))
+      .select(col(idCol), col("p"), (col("p") >= 0.5).as("pred"))
   }
 
   /** Position cap for the winnowing encode trick: (hash, rightmost-pos)
@@ -1086,6 +1189,13 @@ object TextOps {
     * `fp_pos` its 0-based gram start. The same fp can be selected at
     * several positions of one document (repeated grams); consumers that
     * want the per-doc fingerprint SET distinct on (idCol, fp).
+    *
+    * CONTRACT: exactly one row per `idCol` value. The kernel distincts
+    * minima WITHIN one row's text; feeding several rows under the same id
+    * emits per-row (not per-doc-merged) fingerprints with duplicate
+    * (id, fp_pos, fp) triples across rows — pre-aggregate multi-chunk
+    * documents (concat their text, or distinct the output on all three
+    * columns) before calling.
     *
     * Scale shape: one [[graft.functions.WinnowEncoded]] kernel pass per
     * document — the whole gram-explode + doc-partitioned rolling-window-MIN

@@ -337,6 +337,70 @@ object StreamOps {
       .dropDuplicates("id_a", "id_b")
   }
 
+  final case class LineRow(k: String, doc_id: Long, line_no: Int, line: String)
+  final case class LineKeyState(seen: Boolean)
+  final case class KeptLine(doc_id: Long, line_no: Int, line: String)
+
+  /** Streaming CCNet line-level dedup: the ingest face of
+    * [[graft.pipeline.TextOps.lineDedup]]'s first-occurrence rule. Each
+    * arriving document explodes into non-empty line slots keyed by the
+    * normalized content key (`lower(trim(line))` — the SAME key expression
+    * as the batch path); per key a stateful operator emits the line ONCE —
+    * the first occurrence — and drops every later arrival of the same
+    * content across the whole stream. Determinism inside a micro-batch:
+    * the kept slot is the (doc_id, line_no)-minimal one, which on a BATCH
+    * frame (one "batch" containing everything) makes the operator exactly
+    * the batch rule's first-occurrence pick — the `stream_line_dedup`
+    * oracle recomputes it as `rn = 1` under that order. The global
+    * boilerplate screen (`n_docs < boilerplateDf`) is deliberately NOT
+    * here: it needs corpus-global line frequencies a bounded-state stream
+    * cannot know; run [[graft.pipeline.TextOps.lineDedup]] over the
+    * settled corpus for that verdict.
+    *
+    * STATE RETENTION CONTRACT (same shape as [[nearDupStream]]): one
+    * boolean per distinct line key, forever by default — required for
+    * exactness against the ever-growing corpus. `idleTimeoutMs` evicts
+    * keys idle longer than the window (ProcessingTimeTimeout); an evicted
+    * key's next occurrence is re-emitted as "first" — the recency-window
+    * trade a bounded-state deployment makes.
+    *
+    * Output: (doc_id, line_no, line) — the kept line slots.
+    */
+  def lineDedupStream(docs: DataFrame,
+      idleTimeoutMs: Option[Long] = None): Dataset[KeptLine] = {
+    require(idleTimeoutMs.forall(_ > 0), s"idleTimeoutMs must be positive: $idleTimeoutMs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lines = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        posexplode(split(col("text"), "\n", -1)).as(Seq("line_no", "line")))
+      .withColumn("k", lower(trim(col("line"))))
+      .where(col("k") =!= "")
+      .select("k", "doc_id", "line_no", "line")
+      .as[LineRow]
+    val timeoutConf =
+      if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    lines.groupByKey(_.k)
+      .flatMapGroupsWithState[LineKeyState, KeptLine](
+        OutputMode.Append(), timeoutConf) {
+        (_, rows, state: GroupState[LineKeyState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val alreadySeen = state.exists
+            state.update(LineKeyState(true))
+            idleTimeoutMs.foreach(state.setTimeoutDuration)
+            if (alreadySeen) Iterator.empty
+            else {
+              val first = rows.minBy(r => (r.doc_id, r.line_no))
+              Iterator.single(KeptLine(first.doc_id, first.line_no, first.line))
+            }
+          }
+      }
+  }
+
   final case class SemVecRow(vec_id: Long, cell: Long, v: Seq[Double])
   final case class SemCellState(vecs: Seq[(Long, Seq[Double])])
   final case class SemDupPair(cell: Long, id_a: Long, id_b: Long, cos_sim: Double)

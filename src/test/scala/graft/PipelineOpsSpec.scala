@@ -1151,6 +1151,31 @@ class PipelineOpsSpec extends SparkSpec {
       assert(got(id)._1 == y)
     }
   }
+
+  test("logregScoreFrozen over the persisted model equals train-inline scoring") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val label = TextOps.qualityScoreCol(col("text")) >= 0.6
+    // train-once: the model relation round-trips through parquet (exact
+    // doubles), then serve-many scores the SAME corpus from the frozen
+    // file — must equal the train-inline scorer. 9-digit compare: the two
+    // trainings collect float gradient aggregates independently, so the
+    // final weights can differ in the last ulp (partial-merge order).
+    val model = TextOps.logregTrain(docs, label)
+    assert(model.count() == 65, "dims weights + the bias sentinel row")
+    val dir = tmpDir("graft-clf-frozen")
+    model.write.parquet(s"$dir/model")
+    val frozen = TextOps.logregScoreFrozen(docs,
+      spark.read.parquet(s"$dir/model"))
+    val inline = TextOps.logregClassifier(docs, label)
+      .select("doc_id", "p", "pred")
+    assert(rowsOf9(frozen) == rowsOf9(inline))
+    // a model with no bias sentinel must be rejected, not mis-scored
+    intercept[IllegalArgumentException] {
+      TextOps.logregScoreFrozen(docs,
+        spark.read.parquet(s"$dir/model").where(col("b") >= 0))
+    }
+  }
+
   test("cumulativeUsers: first-seen days, new-user counts, running total") {
     val day = 1000L
     // user 1 first day 0; user 2 first day 0 (later events ignored);

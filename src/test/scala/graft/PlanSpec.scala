@@ -589,4 +589,32 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       "dsir planned a shuffle join for a metadata-scale model table")
   }
+
+  test("pqFreeze shards the corpus-scale codes write; codebooks stay single-file") {
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val (cb, cd) = Similarity.pqTrain(e, m = 2, kc = 2, iters = 1)
+    val dir = tmpDir("graft-pq-freeze")
+    val n = e.count()
+    val (cbF, cdF) = Similarity.pqFreeze(cb, cd, n, dir)
+    def parts(sub: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/$sub"))
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    }
+    // the codes relation GROWS WITH THE CORPUS (n·m rows): the freeze must
+    // write it sharded — multiple part files prove no single-partition
+    // funnel (repartition(N, vec_id) pins an AQE-proof width). Codebooks
+    // are model-scale (m·kc rows): one file is the right layout.
+    assert(parts("codes") > 1,
+      s"codes wrote ${parts("codes")} part file(s) — corpus-scale write funneled through one task")
+    assert(parts("codebooks") == 1,
+      s"codebooks wrote ${parts("codebooks")} part files — model-scale relation should be one file")
+    // read-back completeness: the frozen frames cover the whole model
+    assert(cdF.count() == n * 2, "frozen codes must hold n*m rows")
+    assert(cbF.count() == 2 * 2, "frozen codebooks must hold m*kc rows")
+    assert(cdF.columns.sorted.toSeq == Seq("cluster", "subspace", "vec_id"))
+  }
 }

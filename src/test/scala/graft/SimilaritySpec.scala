@@ -960,6 +960,14 @@ class SimilaritySpec extends SparkSpec {
       == rowsOf9(Similarity.pqTopKRerank(queries, emb, topK = 3,
         candidates = 20)),
       "frozen rerank must equal train-inline rerank")
+    // serving-side geometry guard: a query whose vector length disagrees
+    // with the frozen model's m*sub must raise, not slice short and rank
+    // null distances to the top (NULLS FIRST in the ascending window)
+    val badQ = queries.select(col("vec_id"),
+      slice(col("embedding"), 1, 7).as("embedding"))
+    intercept[IllegalArgumentException] {
+      Similarity.pqAdcTopKFrozen(badQ, cbF, cdF, topK = 3)
+    }
   }
 
   test("sqDist and dot kernels are bit-identical to the interpreted HOF folds they replace") {

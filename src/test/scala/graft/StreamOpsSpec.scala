@@ -56,6 +56,32 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lineDedupStream keeps first occurrence per line key within and across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = StreamOps.lineDedupStream(docs)
+      .writeStream.format("memory").queryName("line_dedup_out")
+      .outputMode("append").start()
+    def table() = spark.table("line_dedup_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    try {
+      // "shared line" appears twice in one batch: the (doc_id, line_no)-
+      // minimal slot (doc 1, line 1) wins; "  Shared LINE  " normalizes to
+      // the same key (lower + trim) and is a duplicate, not a new line
+      in.addData((1L, "alpha beta\nshared line"), (2L, "  Shared LINE  \ngamma"))
+      q.processAllAvailable()
+      val b1 = table()
+      assert(b1 == Set((1L, 0, "alpha beta"), (1L, 1, "shared line"),
+        (2L, 1, "gamma")))
+      // batch 2: a seen key re-arrives (dropped by the cross-batch state),
+      // a fresh line lands (kept), an empty slot is screened out
+      in.addData((3L, "shared line\n\nnew line"))
+      q.processAllAvailable()
+      assert(table() == b1 + ((3L, 2, "new line")))
+    } finally q.stop()
+  }
+
   test("watchdog restarts a crashed query; the retried batch lands") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[PointIn]
