@@ -107,6 +107,69 @@ object ScalingAudit {
     val onlySession9 = scaleOnly.contains("session9")
     val onlySession11 = scaleOnly.contains("session11")
     val onlySession12 = scaleOnly.contains("session12")
+    val onlySession13 = scaleOnly.contains("session13")
+
+    // ---- session-13 operators (SPARK_GRAFT_SCALE_ONLY=session13; same
+    // append-to-SCALING_raw_extra.jsonl contract) ----
+    if (onlySession13) {
+      // frozen logreg model: trained ONCE on the base corpus (the model is
+      // corpus-independent — dims+1 rows); serving is the laddered half
+      val clfBase = spark.read.parquet(docPaths.head._2)
+      graft.pipeline.TextOps.logregTrain(clfBase,
+          graft.pipeline.TextOps.qualityScoreCol(col("text")) >= 0.6)
+        .write.mode("overwrite").parquet(s"$work/clf_model")
+      val clfF = spark.read.parquet(s"$work/clf_model")
+      docPaths.foreach { case (f, p) =>
+        val d = spark.read.parquet(p)
+        val n = d.count()
+        // PPJoin-prefix containment join with BOTH sides growing (the r11
+        // rework removed the broadcast bound; the pre-rework ladder row
+        // only grew the left side): right = every 17th doc's token window,
+        // the sql_containment_join shape — exponent must read ≲1.2
+        val right = d
+          .where(col("doc_id") % 17 === 0 &&
+            size(graft.pipeline.TextOps.tokens(col("text"))) >= 46)
+          .select((col("doc_id") + lit(1L << 41)).as("doc_id"),
+            array_join(slice(graft.pipeline.TextOps.tokens(col("text")), 5, 40), " ")
+              .as("text"))
+        report(s"containment_join_x$f", n,
+          timed(Dedup.containmentJoin(d, right, threshold = 0.8).count()))
+        // CCNet line dedup over synthesized line structure (a newline
+        // every 12 words — the text_line_dedup fixture shape): one
+        // line-key shuffle + one equi-join, must read ~linear
+        val lines = d.select(col("doc_id"), split(col("text"), " ").as("__w"))
+          .select(col("doc_id"), concat_ws("\n", transform(
+            sequence(lit(0), ceil(size(col("__w")) / lit(12.0)).cast("int") - 1),
+            i => array_join(slice(col("__w"), i * 12 + 1, lit(12)), " ")))
+            .as("text"))
+        report(s"line_dedup_x$f", n,
+          timed(graft.pipeline.TextOps.lineDedup(lines).count()))
+        // frozen-classifier serving: one corpus scan against
+        // driver-literal weights — linear by plan shape, measured here
+        report(s"clf_serve_frozen_x$f", n,
+          timed(graft.pipeline.TextOps.logregScoreFrozen(d, clfF).count()))
+      }
+      vecPaths.foreach { case (f, p) =>
+        val v = spark.read.parquet(p)
+        val n = v.count()
+        // frozen-PQ serving at production code size (m=8, kc=256):
+        // train+freeze stay OUTSIDE the timer; the timed half is the ADC
+        // shortlist + exact rerank over the frozen code table (n·m rows)
+        // — the serve-many path must read ~linear in the corpus
+        val (cb, cd) = Similarity.pqTrain(v, m = 8, kc = 256, iters = 1)
+        val (cbF, cdF) = Similarity.pqFreeze(cb, cd, n, s"$work/pq_x$f")
+        val q = v.orderBy("vec_id").limit(5)
+        report(s"pq_serve_frozen_x$f", n,
+          timed(Similarity.pqRerankFrozen(q, v, cbF, cdF,
+            topK = 3, candidates = 100).count()))
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SCALING_raw_extra.jsonl"), out.toString,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      spark.stop()
+      return
+    }
 
     // ---- session-12 operators (SPARK_GRAFT_SCALE_ONLY=session12; same
     // append-to-SCALING_raw_extra.jsonl contract) ----
