@@ -320,6 +320,67 @@ private[graft] object SignatureKernel {
     while (it.hasNext) { out(o) = it.next(); o += 1 }
     out
   }
+
+  /** Per-document frozen-logreg logit in ONE pass: tokenize (the
+    * `array_remove(split(lower(text)))` twin), bucket-count each token's
+    * `PolyHash(t, 0) % dims` into a dims-wide array, then
+    * `z = bias + Σ_b ((c_b − μ_b)/σ_b)·w_b` with the dot accumulated in
+    * bucket order BEFORE the bias add — the exact float-op sequence of
+    * the hashed-counts → densify → [[VecDot]] column algebra it replaces
+    * (`(c−μ)/σ` per bucket, `acc += x·w` ascending, `bias + acc`), so the
+    * kernel is bit-identical to that plan. None for no-token docs — the
+    * training-side exclusion.
+    */
+  def logregLogit(text: String, w: Array[Double], mu: Array[Double],
+      sd: Array[Double], bias: Double): Option[Double] = {
+    val dims = w.length
+    val toks = tokenize(text)
+    if (toks.isEmpty) return None
+    val counts = new Array[Double](dims)
+    var i = 0
+    while (i < toks.length) {
+      counts((PolyHash.hash(toks(i), 0L) % dims).toInt) += 1.0
+      i += 1
+    }
+    var acc = 0.0
+    var b = 0
+    while (b < dims) {
+      acc += (counts(b) - mu(b)) / sd(b) * w(b)
+      b += 1
+    }
+    Some(bias + acc)
+  }
+}
+
+/** [[SignatureKernel.logregLogit]] as an expression: the 100 TB
+  * curation-filter scoring shape — the whole tokenize → hash-count →
+  * standardize → dot pipeline is one JVM call per document with the
+  * frozen model as expression parameters (driver literals), so frozen
+  * scoring is a NARROW map: zero shuffles, zero joins. Model params are
+  * Seq (structural equality for Catalyst plan canonicalization) and
+  * pre-flattened to arrays off the hot path.
+  */
+case class LogregLogit(child: Expression, w: Seq[Double], mu: Seq[Double],
+    sd: Seq[Double], bias: Double)
+    extends UnaryExpression with CodegenFallback {
+  require(w.nonEmpty && mu.length == w.length && sd.length == w.length,
+    s"logreg model arrays must share one positive length, got " +
+      s"w=${w.length} mu=${mu.length} sd=${sd.length}")
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    SignatureKernel.requireString("logreg_logit", child)
+  @transient private lazy val wArr = w.toArray
+  @transient private lazy val muArr = mu.toArray
+  @transient private lazy val sdArr = sd.toArray
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else SignatureKernel.logregLogit(v.toString, wArr, muArr, sdArr, bias)
+      .map(java.lang.Double.valueOf).orNull
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
@@ -807,4 +868,8 @@ object Signatures {
 
   def simhashSigWide(text: Column, shingleK: Int, seeds: Int): Column =
     GraftBridge.column(SimHashSigWide(GraftBridge.expression(text), shingleK, seeds))
+
+  def logregLogit(text: Column, w: Seq[Double], mu: Seq[Double],
+      sd: Seq[Double], bias: Double): Column =
+    GraftBridge.column(LogregLogit(GraftBridge.expression(text), w, mu, sd, bias))
 }

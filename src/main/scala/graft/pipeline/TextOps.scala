@@ -1140,11 +1140,17 @@ object TextOps {
   /** Score a corpus against a FROZEN [[logregTrain]] model — the
     * serve-many half: no training, no label column, no moment pass; the
     * model (dims+1 rows, metadata-scale) is collected to the driver and
-    * re-enters the plan as literals, so scoring is ONE scan of the corpus
-    * (hashed counts → frozen-μ/σ standardization → VecDot logit) with a
-    * doc-keyed aggregate and zero corpus-scale joins — the 100 TB
-    * curation-filter shape. Docs with no tokens are excluded, like
-    * training. Output: (idCol, p, pred).
+    * enters a [[graft.functions.LogregLogit]] kernel as expression
+    * literals, so scoring is a NARROW map over the corpus — the whole
+    * tokenize → hash-count → frozen-μ/σ standardize → dot pipeline is
+    * one JVM call per document, ZERO shuffles and zero joins (the
+    * explode + two-groupBy column algebra it replaces shuffled the token
+    * stream twice) — the 100 TB curation-filter shape. The kernel's
+    * float-op sequence mirrors the training-side densify+VecDot exactly
+    * (bit-identical, spec-pinned). Docs with no tokens are excluded,
+    * like training. CONTRACT: one row per `idCol` (the scorer is
+    * per-row; training merges multi-row docs — pre-concat chunked docs).
+    * Output: (idCol, p, pred).
     */
   def logregScoreFrozen(df: DataFrame, model: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -1159,12 +1165,14 @@ object TextOps {
     val dims = if (byB.isEmpty) 0 else byB.keys.max + 1
     require(dims > 0 && byB.keySet == (0 until dims).toSet,
       s"frozen logreg model must cover buckets 0..dims-1, got ${byB.keySet}")
-    val w = Array.tabulate(dims)(byB(_)._1)
-    val mu = Array.tabulate(dims)(byB(_)._2)
-    val sd = Array.tabulate(dims)(byB(_)._3)
-    val cnt = logregCounts(df, dims, None, idCol, textCol)
-    logregDense(cnt, dims, mu, sd, idCol, hasY = false)
-      .withColumn("p", logregSigmoid(logregLogit(w, bias)))
+    val w = Seq.tabulate(dims)(byB(_)._1)
+    val mu = Seq.tabulate(dims)(byB(_)._2)
+    val sd = Seq.tabulate(dims)(byB(_)._3)
+    df.select(col(idCol),
+        graft.functions.Signatures.logregLogit(col(textCol), w, mu, sd, bias)
+          .as("__z"))
+      .where(col("__z").isNotNull)
+      .withColumn("p", logregSigmoid(col("__z")))
       .select(col(idCol), col("p"), (col("p") >= 0.5).as("pred"))
   }
 

@@ -1176,6 +1176,42 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("logregScoreFrozen kernel: bit-exact driver replay, exclusions, zero shuffles") {
+    import graft.functions.PolyHash
+    val docs = Seq((1L, "the quick brown fox"), (2L, "!!! ??? ---"),
+      (3L, "alpha beta alpha"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val dims = 8
+    val w = Seq.tabulate(dims)(b => 0.1 * (b + 1) * (if (b % 2 == 0) 1 else -1))
+    val mu = Seq.tabulate(dims)(b => 0.3 * b)
+    val sd = Seq.tabulate(dims)(b => 0.5 + 0.25 * b)
+    val bias = -0.375
+    val model = ((-1, bias, 0.0, 1.0) +:
+      (0 until dims).map(b => (b, w(b), mu(b), sd(b)))).toDF("b", "w", "mu", "sd")
+    val scored = TextOps.logregScoreFrozen(docs, model)
+    val got = scored.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    // no-token (2) and null-text (4) docs are excluded, like training
+    assert(got.keySet == Set(1L, 3L))
+    // driver replay of the kernel's exact float-op sequence: counts →
+    // (c−μ)/σ·w accumulated in bucket order → bias + dot → sigmoid
+    // (StrictMath.exp — Catalyst's exp). Must match BIT-exactly.
+    def replay(text: String): Double = {
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val c = new Array[Double](dims)
+      toks.foreach(t => c((PolyHash.hash(t, 0L) % dims).toInt) += 1.0)
+      var acc = 0.0
+      for (b <- 0 until dims) acc += (c(b) - mu(b)) / sd(b) * w(b)
+      1.0 / (1.0 + StrictMath.exp(-(bias + acc)))
+    }
+    assert(got(1L)._1 == replay("the quick brown fox"), "doc 1 bit-exact")
+    assert(got(3L)._1 == replay("alpha beta alpha"), "doc 3 bit-exact")
+    assert(got(1L)._2 == (got(1L)._1 >= 0.5))
+    // the serve-many path is a NARROW map: no Exchange anywhere
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
   test("cumulativeUsers: first-seen days, new-user counts, running total") {
     val day = 1000L
     // user 1 first day 0; user 2 first day 0 (later events ignored);
