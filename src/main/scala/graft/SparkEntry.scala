@@ -131,13 +131,73 @@ object SparkEntry {
     */
   private val PqFrozenDir = "/root/repo/target/graft_frozen/pq_prod"
 
-  /** Where clf_quality_frozen freezes its trained logreg model (weights +
-    * standardization moments, dims+1 rows) — same per-SF `n_corpus`
-    * partition-keying contract as [[PqFrozenDir]]: Verify writes it, then
-    * both the Spark query and the DuckDB twin SCORE from the same frozen
-    * file. Build-transient under target/, never committed.
+  /** Where the frozen quality classifier's faces freeze their trained
+    * logreg model (weights + standardization moments, dims+1 rows) — same
+    * per-SF `n_corpus` partition-keying contract as [[PqFrozenDir]]:
+    * Verify writes it, then both the Spark query and the DuckDB twin
+    * SCORE from the same frozen file. EACH face trains and freezes to its
+    * OWN base dir: two trainings can differ in the last ulp (float
+    * partial-agg merge order), so a shared model would make the faces
+    * order-dependent — per-face freezes keep every (query, twin) pair
+    * self-consistent even under a filtered single-query run.
+    * Build-transient under target/, never committed.
     */
   private val ClfFrozenDir = "/root/repo/target/graft_frozen/clf_quality"
+  private val ClfSqlFrozenDir = "/root/repo/target/graft_frozen/clf_quality_sql"
+  private val ClfStreamFrozenDir = "/root/repo/target/graft_frozen/clf_quality_stream"
+
+  /** Shared train-once/serve-many harness for the frozen quality
+    * classifier's three faces (batch / SQL TVF / streaming): train on the
+    * quality-rule label, freeze the model keyed by corpus size, read it
+    * BACK, and hand (docs, frozenModel) to the face's scorer.
+    */
+  private def frozenClfScore(s: SparkSession, dir: String, base: String)(
+      via: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val n = docs.count()
+    val model = TextOps.logregTrain(docs,
+      TextOps.qualityScoreCol(col("text")) >= 0.6)
+    // dims+1 = 65 rows: model-scale, single-file is the right layout
+    model.withColumn("n_corpus", lit(n)).repartition(1)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("n_corpus")
+      .parquet(s"$base/model")
+    val mF = s.read.parquet(s"$base/model")
+      .where(col("n_corpus") === n).drop("n_corpus")
+    via(docs, mF)
+  }
+
+  /** DuckDB twin of [[graft.pipeline.TextOps.logregScoreFrozen]] over the
+    * frozen model under `base` — shared by the classifier's three faces
+    * so the serving arithmetic has one SQL definition (see the oracle
+    * map's clf_quality_frozen comment for the contract).
+    */
+  private def clfFrozenTwinSql(base: String): String = {
+    val dims = 64
+    s"""WITH mdl AS MATERIALIZED (SELECT CAST(b AS INTEGER) AS b, w, mu, sd
+       |  FROM read_parquet('$base/model/*/*.parquet', hive_partitioning = 1)
+       |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM documents)),
+       |toksq AS (SELECT doc_id, $Toks AS tk FROM documents),
+       |occ AS (SELECT doc_id, ${phSql("t", "0")} % $dims AS b
+       |  FROM (SELECT doc_id, unnest(tk) AS t FROM toksq WHERE len(tk) > 0)),
+       |cc AS MATERIALIZED (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS c
+       |  FROM occ GROUP BY 1, 2),
+       |dl AS (SELECT DISTINCT doc_id FROM cc),
+       |fx AS MATERIALIZED (SELECT d.doc_id,
+       |  list((coalesce(cc.c, CAST(0 AS DOUBLE)) - m.mu) / m.sd ORDER BY r.b) AS x
+       |  FROM dl d CROSS JOIN range(0, $dims) r(b)
+       |  JOIN mdl m ON m.b = r.b
+       |  LEFT JOIN cc ON cc.doc_id = d.doc_id AND cc.b = r.b
+       |  GROUP BY d.doc_id),
+       |wt AS (SELECT (SELECT list(w ORDER BY b) FROM mdl WHERE b >= 0) AS w,
+       |  (SELECT w FROM mdl WHERE b = -1) AS wb)
+       |SELECT doc_id, p, p >= CAST(0.5 AS DOUBLE) AS pred FROM (
+       |  SELECT f.doc_id, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+       |    + exp(-(wt.wb + list_sum(list_transform(range(1, ${dims + 1}),
+       |      i -> f.x[i] * wt.w[i]))))) AS p
+       |  FROM fx f CROSS JOIN wt)""".stripMargin
+  }
 
   /** DuckDB twin of VecCosine over pre-cast DOUBLE lists (same per-sum
     * left-to-right accumulation, same final expression — the sim_topk gate
@@ -1518,21 +1578,26 @@ object SparkEntry {
     // frozen parquet and independently recomputes the serving arithmetic
     // (hashed counts -> frozen-mu/sd standardization -> dot -> sigmoid);
     // training stays oracle-covered by text_quality_clf (same GD path).
-    "clf_quality_frozen" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents
-      val n = docs.count()
-      val model = TextOps.logregTrain(docs,
-        TextOps.qualityScoreCol(col("text")) >= 0.6)
-      // dims+1 = 65 rows: model-scale, single-file is the right layout
-      model.withColumn("n_corpus", lit(n)).repartition(1)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("n_corpus")
-        .parquet(s"$ClfFrozenDir/model")
-      val mF = s.read.parquet(s"$ClfFrozenDir/model")
-        .where(col("n_corpus") === n).drop("n_corpus")
-      TextOps.logregScoreFrozen(docs, mF)
+    "clf_quality_frozen" -> ((s, dir) =>
+      frozenClfScore(s, dir, ClfFrozenDir)(
+        TextOps.logregScoreFrozen(_, _))),
+    // the same frozen serving through the TVF surface: the spliced plan
+    // IS logregScoreFrozen's (kernel map), SQL-drivable end to end
+    "sql_clf_score" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      frozenClfScore(s, dir, ClfSqlFrozenDir) { (docs, mF) =>
+        docs.createOrReplaceTempView("graft_sql_docs_clf")
+        mF.createOrReplaceTempView("graft_sql_clf_model")
+        s.sql("SELECT * FROM graft_clf_score(" +
+          "'graft_sql_docs_clf', 'graft_sql_clf_model')")
+      }
     }),
+    // model-in-the-loop curation AT INGEST: the scoring kernel is a
+    // narrow stateless map, so the stream face is the batch operator
+    // verbatim (StreamOpsSpec drives it as a real MemoryStream)
+    "stream_clf_score" -> ((s, dir) =>
+      frozenClfScore(s, dir, ClfStreamFrozenDir)(
+        graft.streaming.StreamOps.scoreStream(_, _))),
     "text_hashed_features" -> ((s, dir) =>
       TextOps.hashedFeatures(Tables(s, dir).documents, dims = 64)),
     // lexical retrieval: Okapi BM25 top-20 for a fixed query
@@ -4546,39 +4611,19 @@ object SparkEntry {
          |  FROM fx f CROSS JOIN w$iters)""".stripMargin
     },
     // Twin of TextOps.logregScoreFrozen against the FROZEN model parquet
-    // clf_quality_frozen wrote (weights + standardization moments, bias at
-    // the b = -1 sentinel): the serving arithmetic — hashed counts,
-    // frozen-mu/sd standardization over ALL dims buckets (the model covers
-    // every bucket, unlike the training twin's data-present msd), index-
-    // ordered dot, sigmoid — recomputed independently from the same file.
+    // each face wrote (weights + standardization moments, bias at the
+    // b = -1 sentinel): the serving arithmetic — hashed counts, frozen-
+    // mu/sd standardization over ALL dims buckets (the model covers every
+    // bucket, unlike the training twin's data-present msd), index-ordered
+    // dot, sigmoid — recomputed independently from the same file.
     // Training is deliberately out of this twin (it is text_quality_clf's
     // oracle, same GD path); the SF partition is picked by matching
     // n_corpus to this SF's document count, like the sim_pq_prod twin.
-    "clf_quality_frozen" -> {
-      val dims = 64
-      s"""WITH mdl AS MATERIALIZED (SELECT CAST(b AS INTEGER) AS b, w, mu, sd
-         |  FROM read_parquet('$ClfFrozenDir/model/*/*.parquet', hive_partitioning = 1)
-         |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM documents)),
-         |toksq AS (SELECT doc_id, $Toks AS tk FROM documents),
-         |occ AS (SELECT doc_id, ${phSql("t", "0")} % $dims AS b
-         |  FROM (SELECT doc_id, unnest(tk) AS t FROM toksq WHERE len(tk) > 0)),
-         |cc AS MATERIALIZED (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS c
-         |  FROM occ GROUP BY 1, 2),
-         |dl AS (SELECT DISTINCT doc_id FROM cc),
-         |fx AS MATERIALIZED (SELECT d.doc_id,
-         |  list((coalesce(cc.c, CAST(0 AS DOUBLE)) - m.mu) / m.sd ORDER BY r.b) AS x
-         |  FROM dl d CROSS JOIN range(0, $dims) r(b)
-         |  JOIN mdl m ON m.b = r.b
-         |  LEFT JOIN cc ON cc.doc_id = d.doc_id AND cc.b = r.b
-         |  GROUP BY d.doc_id),
-         |wt AS (SELECT (SELECT list(w ORDER BY b) FROM mdl WHERE b >= 0) AS w,
-         |  (SELECT w FROM mdl WHERE b = -1) AS wb)
-         |SELECT doc_id, p, p >= CAST(0.5 AS DOUBLE) AS pred FROM (
-         |  SELECT f.doc_id, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
-         |    + exp(-(wt.wb + list_sum(list_transform(range(1, ${dims + 1}),
-         |      i -> f.x[i] * wt.w[i]))))) AS p
-         |  FROM fx f CROSS JOIN wt)""".stripMargin
-    },
+    // One twin per face, pointed at THAT face's freeze dir (trainings can
+    // differ in the last ulp, so faces never share a model).
+    "clf_quality_frozen" -> clfFrozenTwinSql(ClfFrozenDir),
+    "sql_clf_score" -> clfFrozenTwinSql(ClfSqlFrozenDir),
+    "stream_clf_score" -> clfFrozenTwinSql(ClfStreamFrozenDir),
 
     "text_hashed_features" ->
       s"""WITH occ AS (SELECT doc_id, ${phSql("t", "0")} % 64 AS b

@@ -35,6 +35,7 @@ import graft.functions.{CharNgramCodes, MinHashSig, PolyHash, SimHashSig, SimHas
   *  - `graft_exact_dedup('view')` — exact duplicate groups
   *  - `graft_label_outliers('view')` — per-label embedding outlier z-scores
   *  - `graft_quality('view')` — per-document quality scores
+  *  - `graft_clf_score('docs', 'model')` — frozen-logreg document scoring
   *  - `graft_line_dedup('view', df)` — CCNet line-level dedup verdicts
   *  - `graft_line_clean('view', df)` — CCNet cleaned-corpus rebuild
   *  - `graft_ks_drift('view', grp, val, slice, w)` — exact KS drift per group
@@ -204,6 +205,13 @@ object GraftTableFunctions {
           "(length, stopword, alnum ratios)"),
       (exprs: Seq[Expression]) => plan(graft.pipeline.TextOps.qualityScore(
         rel(strArg(exprs(0), "table name"))))),
+    (FunctionIdentifier("graft_clf_score"),
+      info("graft_clf_score",
+        "graft_clf_score(docs_table, model_table) - score documents " +
+          "against a frozen logreg quality model (weights + moments)"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.TextOps.logregScoreFrozen(
+        rel(strArg(exprs(0), "docs table name")),
+        rel(strArg(exprs(1), "model table name"))))),
     (FunctionIdentifier("graft_line_dedup"),
       info("graft_line_dedup",
         "graft_line_dedup(table, boilerplate_df) - CCNet line-level dedup: " +

@@ -401,6 +401,22 @@ object StreamOps {
       }
   }
 
+  /** Frozen-classifier scoring on a document stream — model-in-the-loop
+    * curation AT INGEST (the CCNet/fastText filter applied before a
+    * document ever lands in the corpus). Because
+    * [[graft.pipeline.TextOps.logregScoreFrozen]] is a NARROW map (the
+    * LogregLogit kernel scores each document in one JVM call against
+    * driver-literal weights — no shuffle, no aggregation, no state), the
+    * SAME operator runs unmodified on a streaming frame: this face just
+    * documents and pins that property. The model is a BATCH relation
+    * (read once at plan time, frozen for the query's lifetime — restart
+    * the stream to pick up a retrained model). Batch parity is exact by
+    * construction: there is no state to diverge.
+    */
+  def scoreStream(docs: DataFrame, model: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.pipeline.TextOps.logregScoreFrozen(docs, model, idCol, textCol)
+
   final case class SemVecRow(vec_id: Long, cell: Long, v: Seq[Double])
   final case class SemCellState(vecs: Seq[(Long, Seq[Double])])
   final case class SemDupPair(cell: Long, id_a: Long, id_b: Long, cos_sim: Double)

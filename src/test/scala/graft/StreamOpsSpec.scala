@@ -82,6 +82,34 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scoreStream scores documents on ingest with the frozen model, batch-parity") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dims = 8
+    val model = ((-1, 0.25, 0.0, 1.0) +:
+      (0 until dims).map(b => (b, 0.2 * (b + 1), 0.1 * b, 1.0 + 0.5 * b)))
+      .toDF("b", "w", "mu", "sd")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.scoreStream(in.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("clf_score_out")
+      .outputMode("append").start()
+    try {
+      // a no-token doc is screened at ingest, exactly like the batch face
+      in.addData((1L, "alpha beta gamma"), (2L, "!!! ---"))
+      q.processAllAvailable()
+      in.addData((3L, "beta beta delta"))
+      q.processAllAvailable()
+      val got = spark.table("clf_score_out").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+      // exact batch parity by construction: the operator is a stateless
+      // narrow map, so the streamed scores ARE the batch scores
+      val batch = graft.pipeline.TextOps.logregScoreFrozen(
+        Seq((1L, "alpha beta gamma"), (2L, "!!! ---"), (3L, "beta beta delta"))
+          .toDF("doc_id", "text"), model)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+      assert(got == batch && got.map(_._1) == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("watchdog restarts a crashed query; the retried batch lands") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[PointIn]
