@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -499,9 +499,14 @@ case class SimHashSigWide(child: Expression, shingleK: Int, seeds: Int)
   * millions of candidate pairs the allocation cost dominates the join.
   * Inputs MUST be sorted and deduplicated; 0/0 yields NaN like the
   * column-algebra division it replaces.
+  *
+  * Codegen-real: [[doGenCode]] emits the same merge-walk (binaryCompare
+  * for strings — never compareTo, see the eval comment), so the
+  * candidate-verify joins keep whole-stage codegen with bit-equal
+  * results (KernelCodegenSpec).
   */
 case class SortedArrayJaccard(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
 
   /** Both sides array<string> or both array<long> — anything else (int
@@ -551,6 +556,47 @@ case class SortedArrayJaccard(left: Expression, right: Expression)
     }
     inter.toDouble / (m + n - inter).toDouble
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      val walk = if (longElements) {
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        s"""
+           |while ($i < $m && $j < $n) {
+           |  long $x = $a.getLong($i);
+           |  long $y = $b.getLong($j);
+           |  if ($x == $y) { $inter++; $i++; $j++; }
+           |  else if ($x < $y) $i++;
+           |  else $j++;
+           |}
+         """.stripMargin
+      } else {
+        val c = ctx.freshName("c")
+        s"""
+           |while ($i < $m && $j < $n) {
+           |  int $c = $a.getUTF8String($i).binaryCompare($b.getUTF8String($j));
+           |  if ($c == 0) { $inter++; $i++; $j++; }
+           |  else if ($c < 0) $i++;
+           |  else $j++;
+           |}
+         """.stripMargin
+      }
+      s"""
+         |int $m = $a.numElements();
+         |int $n = $b.numElements();
+         |int $i = 0;
+         |int $j = 0;
+         |int $inter = 0;
+         |$walk
+         |${ev.value} = (double) $inter / (double) ($m + $n - $inter);
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -607,9 +653,17 @@ case class CharNgramCodes(child: Expression, n: Int)
   * bit-identical results — without 3×dim interpreted lambda invocations
   * per pair. Elements may be float or double (cast per element like the
   * original `x.cast(double)`).
+  *
+  * Codegen-real (not CodegenFallback): this expression sits inside the
+  * join predicates/projections of every cosine hot path (brute top-k,
+  * PQ re-rank, semantic dedup verify), where a fallback would put an
+  * eval-boundary row copy in the middle of a WholeStageCodegen span.
+  * [[doGenCode]] emits the SAME scalar loop — identical double-op
+  * sequence — so codegen and interpreted results are bit-equal
+  * (pinned by KernelCodegenSpec).
   */
 case class VecCosine(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
@@ -655,6 +709,37 @@ case class VecCosine(left: Expression, right: Expression)
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val getA = if (leftFloat) s"(double) $a.getFloat" else s"$a.getDouble"
+      val getB = if (rightFloat) s"(double) $b.getFloat" else s"$b.getDouble"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $getA($i);
+         |  double $y = $getB($i);
+         |  $dot += $x * $y;
+         |  $na += $x * $x;
+         |  $nb += $y * $y;
+         |}
+         |for (int $i = $n; $i < $a.numElements(); $i++) {
+         |  double $x = $getA($i); $na += $x * $x;
+         |}
+         |for (int $i = $n; $i < $b.numElements(); $i++) {
+         |  double $y = $getB($i); $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
@@ -665,9 +750,14 @@ case class VecCosine(left: Expression, right: Expression)
   * interpreted lambda dispatch. Null semantics match the fold: a null
   * element or a length mismatch (zip_with pads with nulls) nulls the
   * whole accumulation.
+  *
+  * Codegen-real: [[doGenCode]] emits the same loop (same double-op
+  * order, same mid-loop null-out), so the ADC/logit hot paths stay
+  * inside one WholeStageCodegen span with bit-equal results
+  * (KernelCodegenSpec).
   */
 case class VecDot(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   // null even on non-null inputs (length mismatch / null element)
   override def nullable: Boolean = true
@@ -704,6 +794,28 @@ case class VecDot(left: Expression, right: Expression)
     acc
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val getA = if (leftFloat) s"(double) $a.getFloat" else s"$a.getDouble"
+      val getB = if (rightFloat) s"(double) $b.getFloat" else s"$b.getDouble"
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $getA($i) * $getB($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
@@ -716,9 +828,14 @@ case class VecDot(left: Expression, right: Expression)
   * lambda invocation. Null semantics also match the fold: a null element
   * anywhere, or a length mismatch (zip_with pads with nulls), nulls the
   * whole accumulation.
+  *
+  * Codegen-real: [[doGenCode]] emits the same loop (same double-op
+  * order, same mid-loop null-out), keeping kmeans assignment and ADC
+  * table builds inside WholeStageCodegen with bit-equal results
+  * (KernelCodegenSpec).
   */
 case class VecSqDist(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   // null even on non-null inputs (length mismatch / null element)
   override def nullable: Boolean = true
@@ -755,6 +872,30 @@ case class VecSqDist(left: Expression, right: Expression)
     }
     acc
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val t = ctx.freshName("t")
+      val getA = if (leftFloat) s"(double) $a.getFloat" else s"$a.getDouble"
+      val getB = if (rightFloat) s"(double) $b.getFloat" else s"$b.getDouble"
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $t = $getA($i) - $getB($i);
+         |    $acc += $t * $t;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.Signatures
+
+/** Bit-parity of the codegen'd vector/jaccard kernels against their
+  * interpreted `eval` path.
+  *
+  * VecDot / VecCosine / VecSqDist / SortedArrayJaccard implement a real
+  * `doGenCode` (they sit inside the join predicates and projections of
+  * every similarity hot path, where a CodegenFallback would put an
+  * eval-boundary row copy in the middle of a WholeStageCodegen span).
+  * The generated Java must execute the SAME scalar loop as `eval` — same
+  * element order, same double-op sequence, same mid-loop null-outs — so
+  * the two paths are bit-equal, not just 9-digit-close. This spec runs
+  * each kernel over adversarial literals AND real sf0.001 embeddings in
+  * two sessions: one with codegen forced (compile errors THROW —
+  * `spark.sql.codegen.fallback=false` — so a broken template fails here
+  * instead of silently falling back), one with codegen disabled
+  * (`factoryMode=NO_CODEGEN`, wholeStage off) so expressions run through
+  * interpreted `eval`. Rows are compared string-exact.
+  */
+class KernelCodegenSpec extends SparkSpec {
+
+  /** Fresh session per mode: `newSession()` shares the SparkContext but
+    * owns an independent SQLConf, so forcing/disabling codegen here can
+    * never bleed into concurrently-running suites.
+    */
+  private def inMode[T](codegen: Boolean)(body: SparkSession => T): T = {
+    val s = spark.newSession()
+    if (codegen) {
+      s.conf.set("spark.sql.codegen.fallback", "false")
+      s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    } else {
+      s.conf.set("spark.sql.codegen.wholeStage", "false")
+      s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    }
+    body(s)
+  }
+
+  private def assertParity(build: SparkSession => DataFrame): Unit = {
+    val gen = inMode(codegen = true)(s => rowsOf(build(s)))
+    val interp = inMode(codegen = false)(s => rowsOf(build(s)))
+    assert(gen == interp)
+    assert(gen.nonEmpty)
+  }
+
+  /** Adversarial vector pairs: float×double mixes, equal/mismatched
+    * lengths, empties, zero norms, NaN/Inf elements, null elements, null
+    * arrays — every branch of the three vector kernels.
+    */
+  private def vecPairs(s: SparkSession): DataFrame =
+    s.range(1).selectExpr(
+      "array(cast(1.5 as float), cast(-2.0 as float), cast(0.25 as float)) as f3",
+      "array(0.5d, -1.25d, 4.0d) as d3",
+      "array(3.0d, 1e300d, -2.5d) as dbig",
+      "cast(array(0.0, 0.0, 0.0) as array<double>) as dzero",
+      "array(cast('NaN' as double), 1.0d, 2.0d) as dnan",
+      "array(cast(null as double), 1.0d, 2.0d) as dnullelem",
+      "array(1.0d, 2.0d) as d2",
+      "cast(array() as array<double>) as dempty",
+      "cast(null as array<double>) as dnull")
+
+  test("VecDot codegen == interpreted (all null/length/type branches)") {
+    assertParity { s =>
+      val df = vecPairs(s)
+      val cols = Seq(
+        ("f3", "d3"), ("d3", "d3"), ("f3", "f3"), ("d3", "dbig"),
+        ("dnan", "d3"), ("dnullelem", "d3"), ("d3", "d2"),
+        ("dempty", "dempty"), ("dnull", "d3"), ("d2", "dnullelem"))
+      df.select(cols.map { case (a, b) =>
+        Signatures.vecDot(df(a), df(b)).as(s"dot_${a}_$b")
+      }: _*)
+    }
+  }
+
+  test("VecSqDist codegen == interpreted (all null/length/type branches)") {
+    assertParity { s =>
+      val df = vecPairs(s)
+      val cols = Seq(
+        ("f3", "d3"), ("d3", "dbig"), ("dnan", "d3"), ("dnullelem", "d3"),
+        ("d3", "d2"), ("dempty", "dempty"), ("dnull", "d3"))
+      df.select(cols.map { case (a, b) =>
+        Signatures.vecSqDist(df(a), df(b)).as(s"sq_${a}_$b")
+      }: _*)
+    }
+  }
+
+  test("VecCosine codegen == interpreted (zero norms, mismatch tails, NaN)") {
+    assertParity { s =>
+      val df = vecPairs(s)
+      val cols = Seq(
+        ("f3", "d3"), ("f3", "f3"), ("dzero", "d3"), ("dzero", "dzero"),
+        ("d3", "d2"), // mismatched lengths: norm tails past min length
+        ("dnan", "d3"), ("dempty", "d3"), ("dnull", "d3"))
+      df.select(cols.map { case (a, b) =>
+        Signatures.vecCosine(df(a), df(b)).as(s"cos_${a}_$b")
+      }: _*)
+    }
+  }
+
+  test("SortedArrayJaccard codegen == interpreted (long + string, 0/0 NaN)") {
+    assertParity { s =>
+      val df = s.range(1).selectExpr(
+        "array(1L, 3L, 7L, 9L) as la",
+        "array(3L, 7L, 10L) as lb",
+        "cast(array() as array<bigint>) as lempty",
+        "array('alpha', 'beta', 'gamma') as sa",
+        "array('beta', 'delta') as sb",
+        "cast(array() as array<string>) as sempty",
+        "cast(null as array<bigint>) as lnull")
+      df.select(
+        Signatures.sortedJaccard(df("la"), df("lb")).as("j_ll"),
+        Signatures.sortedJaccard(df("la"), df("la")).as("j_self"),
+        Signatures.sortedJaccard(df("lempty"), df("lempty")).as("j_zero"),
+        Signatures.sortedJaccard(df("lnull"), df("lb")).as("j_null"),
+        Signatures.sortedJaccard(df("sa"), df("sb")).as("j_ss"),
+        Signatures.sortedJaccard(df("sempty"), df("sa")).as("j_sempty"))
+    }
+  }
+
+  test("kernels match over real embeddings in a join (400 pairs)") {
+    assertParity { s =>
+      val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .selectExpr("vec_id", "embedding").orderBy("vec_id").limit(20)
+      val a = emb.toDF("id_a", "va")
+      val b = emb.toDF("id_b", "vb")
+      val joined = a.crossJoin(b)
+      joined.select(
+        joined("id_a"), joined("id_b"),
+        Signatures.vecCosine(joined("va"), joined("vb")).as("cos"),
+        Signatures.vecDot(joined("va"), joined("vb")).as("dot"),
+        Signatures.vecSqDist(joined("va"), joined("vb")).as("sq"))
+    }
+  }
+}
