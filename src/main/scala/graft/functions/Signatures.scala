@@ -901,6 +901,70 @@ case class VecSqDist(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Hamming distance of two packed signature word arrays in ONE pass —
+  * the per-candidate-pair
+  * `aggregate(zip_with(a, b, bit_count(x xor y)), 0, +)` fold of the
+  * wide pigeonhole join ([[graft.pipeline.Dedup.hammingNearDupsWide]])
+  * without the two interpreted lambdas and the intermediate popcount
+  * array: integer arithmetic, so results are identical by construction.
+  * Null semantics match the fold it replaces: zip_with pads a length
+  * mismatch with nulls and `bit_count(null)` nulls the accumulator, so a
+  * mismatch or a null element yields null. Codegen-real — the fold sits
+  * inside the candidate-verify join of every wide-fingerprint family
+  * (audio/video/image/simhash), where a fallback would break the
+  * WholeStageCodegen span per pair (KernelCodegenSpec parity).
+  */
+case class HammingWords(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  // null even on non-null inputs (length mismatch / null element)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"hamming_words expects array<bigint> on both sides, got ${l.catalogString} and ${r.catalogString}")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  int $acc = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** SRP-LSH bucket id in one pass: bit k of the result is set iff
   * dot(vec, r_k) ≥ 0 for `planes` deterministic ±1 hyperplanes, where
   * r_k[i] = +1 iff ((1103515245·(k·131 + i + 1) + 12345) mod 2^31) is even
@@ -986,6 +1050,9 @@ object Signatures {
 
   def vecDot(a: Column, b: Column): Column =
     GraftBridge.column(VecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def hammingWords(a: Column, b: Column): Column =
+    GraftBridge.column(HammingWords(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   def sortedJaccard(a: Column, b: Column): Column =
     GraftBridge.column(SortedArrayJaccard(

@@ -603,10 +603,11 @@ object Dedup {
       col(idCol).as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("chunk", "chunk_val"))
       .where(col("id_a") < col("id_b"))
+      // one-pass popcount kernel — identical integer arithmetic to the
+      // aggregate(zip_with(bit_count(xor))) fold it replaces, without two
+      // interpreted lambdas per candidate pair (KernelCodegenSpec parity)
       .withColumn("hamming",
-        aggregate(
-          zip_with(col("sig_a"), col("sig_b"), (x, y) => bit_count(x.bitwiseXOR(y))),
-          lit(0), (acc, x) => acc + x))
+        graft.functions.Signatures.hammingWords(col("sig_a"), col("sig_b")))
       .where(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .distinct()

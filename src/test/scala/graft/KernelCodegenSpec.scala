@@ -120,6 +120,43 @@ class KernelCodegenSpec extends SparkSpec {
     }
   }
 
+  test("HammingWords codegen == interpreted (mismatch, null elem, null)") {
+    assertParity { s =>
+      val df = s.range(1).selectExpr(
+        "array(-1L, 0L, 6148914691236517205L) as wa", // 64 + 0 + 32 bits
+        "array(0L, 0L, 0L) as wb",
+        "array(1L, 2L) as w2",
+        "array(cast(null as bigint), 3L, 4L) as wnullelem",
+        "cast(array() as array<bigint>) as wempty",
+        "cast(null as array<bigint>) as wnull")
+      df.select(
+        Signatures.hammingWords(df("wa"), df("wb")).as("h_ab"),
+        Signatures.hammingWords(df("wa"), df("wa")).as("h_self"),
+        Signatures.hammingWords(df("wa"), df("w2")).as("h_mismatch"),
+        Signatures.hammingWords(df("wnullelem"), df("wa")).as("h_nullelem"),
+        Signatures.hammingWords(df("wempty"), df("wempty")).as("h_empty"),
+        Signatures.hammingWords(df("wnull"), df("wa")).as("h_null"))
+    }
+  }
+
+  test("HammingWords == the aggregate(zip_with(bit_count(xor))) fold it replaced") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(64).selectExpr(
+      "array(id * -7L, id ^ 12345L, shiftleft(id, 32)) as wa",
+      "array(id * 31L, -id, id) as wb",
+      "case when id % 5 = 0 then array(id) else array(id, 0L, 1L) end as wc")
+    val got = df.select(
+      Signatures.hammingWords(col("wa"), col("wb")).as("h1"),
+      Signatures.hammingWords(col("wa"), col("wc")).as("h2"))
+    val old = df.select(
+      aggregate(zip_with(col("wa"), col("wb"),
+        (x, y) => bit_count(x.bitwiseXOR(y))), lit(0), (a, x) => a + x).as("h1"),
+      aggregate(zip_with(col("wa"), col("wc"),
+        (x, y) => bit_count(x.bitwiseXOR(y))), lit(0), (a, x) => a + x).as("h2"))
+    assert(got.schema == old.schema)
+    assert(rowsOf(got) == rowsOf(old))
+  }
+
   test("kernels match over real embeddings in a join (400 pairs)") {
     assertParity { s =>
       val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
