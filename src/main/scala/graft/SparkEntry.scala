@@ -131,6 +131,12 @@ object SparkEntry {
     */
   private val PqFrozenDir = "/root/repo/target/graft_frozen/pq_prod"
 
+  /** Where sim_ivfpq_prod freezes its trained IVF-PQ index (cell
+    * centroids + codebooks + cell-carrying codes) — same n_corpus-keyed
+    * layout and lifecycle as [[PqFrozenDir]].
+    */
+  private val IvfPqFrozenDir = "/root/repo/target/graft_frozen/ivfpq_prod"
+
   /** Where the frozen quality classifier's faces freeze their trained
     * logreg model (weights + standardization moments, dims+1 rows) — same
     * per-SF `n_corpus` partition-keying contract as [[PqFrozenDir]]:
@@ -1705,6 +1711,29 @@ object SparkEntry {
       val (cbF, cdF) = Similarity.pqFreeze(cb, cd, n, PqFrozenDir)
       Similarity.pqRerankFrozen(e.where(col("vec_id") < 5), e, cbF, cdF,
         topK = 3, candidates = 100)
+    }),
+    // The COMPLETE production ANN read path, frozen end to end: IVF cell
+    // pruning in front of PQ code scoring in front of exact rerank —
+    // probe the frozen cell centroids (nprobe=3 of the corpus' label
+    // cells), scan ONLY probed cells' codes through the frozen codebooks'
+    // ADC tables, exact-cosine-rerank the 50-candidate shortlist. Same
+    // train-once/serve-many shape as sim_pq_prod (model persisted keyed
+    // by corpus size, query serves from the READ-BACK files) with the
+    // coarse level persisted too; the DuckDB twin recomputes probe + ADC
+    // + rerank from the same frozen parquet. m=8 keeps the production
+    // 8-codes-per-vector layout; kc=64 books train 4x faster than
+    // sim_pq_prod's 256 — the 256-codebook trajectory is already
+    // oracle-covered there, while THIS row's new surface is the frozen
+    // cell-pruned serving.
+    "sim_ivfpq_prod" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val n = e.count()
+      val (cells, cb, cd) = Similarity.ivfPqTrain(e, m = 8, kc = 64,
+        iters = 1)
+      val (ceF, cbF, cdF) = Similarity.ivfPqFreeze(cells, cb, cd, n,
+        IvfPqFrozenDir)
+      Similarity.ivfPqRerankFrozen(e.where(col("vec_id") < 5), e, ceF, cbF,
+        cdF, topK = 3, candidates = 50, nprobe = 3)
     }),
 
     // ---- per-doc top TF-IDF terms ----
@@ -6900,6 +6929,55 @@ object SparkEntry {
          |  ${vecCosSql("qe.v", "ce.v")} AS cos_sim
          |  FROM sl JOIN e qe ON qe.vec_id = sl.query_id
          |  JOIN e ce ON ce.vec_id = sl.neighbor_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM rr)
+         |WHERE rank <= 3""".stripMargin,
+
+    // Twin of sim_ivfpq_prod (m=8, kc=64, nprobe=3, candidates=50,
+    // topK=3) over the FROZEN index the Spark side persisted during
+    // Verify: reads the same cells/codebooks/codes parquet (partition
+    // keyed by corpus size) and independently recomputes the coarse
+    // probe (cosine of each query to every frozen cell centroid, top
+    // nprobe by csim desc / cell asc), the ADC distance tables, the
+    // cell-restricted code scoring, the 50-deep shortlist, and the exact
+    // cosine rerank. Training stays out of the twin like sim_pq_prod's.
+    "sim_ivfpq_prod" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+         |ce AS (SELECT cell, centroid
+         |  FROM read_parquet('$IvfPqFrozenDir/cells/*/*.parquet', hive_partitioning = 1)
+         |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM embeddings)),
+         |cb AS (SELECT subspace, cluster, centroid
+         |  FROM read_parquet('$IvfPqFrozenDir/codebooks/*/*.parquet', hive_partitioning = 1)
+         |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM embeddings)),
+         |cd AS (SELECT vec_id AS neighbor_id, cell, subspace, cluster
+         |  FROM read_parquet('$IvfPqFrozenDir/codes/*/*.parquet', hive_partitioning = 1)
+         |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM embeddings)),
+         |probe AS (SELECT query_id, cell FROM (
+         |  SELECT q.query_id, ce.cell,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |      ${vecCosSql("q.v", "ce.centroid")} DESC, ce.cell ASC) AS prank
+         |  FROM q CROSS JOIN ce) WHERE prank <= 3),
+         |dt AS (SELECT q.query_id, cb.subspace, cb.cluster,
+         |  list_sum(list_transform(range(1, len(cb.centroid) + 1),
+         |    i -> (q.v[cb.subspace * len(cb.centroid) + i] - cb.centroid[i])
+         |       * (q.v[cb.subspace * len(cb.centroid) + i] - cb.centroid[i]))) AS d
+         |  FROM q CROSS JOIN cb),
+         |ad AS (SELECT dt.query_id, cd.neighbor_id,
+         |  list_sum(list(dt.d ORDER BY dt.subspace)) AS adc_dist
+         |  FROM cd JOIN probe p ON p.cell = cd.cell
+         |  JOIN dt ON dt.subspace = cd.subspace AND dt.cluster = cd.cluster
+         |    AND dt.query_id = p.query_id
+         |  WHERE cd.neighbor_id <> dt.query_id GROUP BY 1, 2),
+         |sl AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist ASC, neighbor_id ASC) AS arank FROM ad)
+         |  WHERE arank <= 50),
+         |rr AS (SELECT sl.query_id, sl.neighbor_id,
+         |  ${vecCosSql("qe.v", "ce2.v")} AS cos_sim
+         |  FROM sl JOIN e qe ON qe.vec_id = sl.query_id
+         |  JOIN e ce2 ON ce2.vec_id = sl.neighbor_id)
          |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM rr)

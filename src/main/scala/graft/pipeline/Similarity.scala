@@ -1381,6 +1381,150 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "adc_dist")
   }
 
+  /** The IVF-PQ index as DATA — [[ivfPqTopK]]'s two levels in the
+    * train-once face: the coarse cell centroids (one row per cell,
+    * metadata-scale), the per-subspace PQ codebooks ([[pqTrain]]'s m·kc
+    * rows), and the corpus codes CARRYING their cell id (n·m rows — the
+    * whole serving-tier corpus representation). Cells come from `cellCol`
+    * (the corpus' existing partition assignment — at 100 TB that is the
+    * layout key the corpus is already clustered/partitioned by); the PQ
+    * training trajectory is identical to [[pqTrain]], so a model frozen
+    * here serves identically to the train-inline [[ivfPqTopK]]
+    * (SimilaritySpec-pinned).
+    */
+  def ivfPqTrain(corpus: DataFrame, m: Int, kc: Int, iters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "label", oversample: Int = 4):
+      (DataFrame, DataFrame, DataFrame) = {
+    val cents = centroids(corpus, cellCol, vecCol)
+    val (cb, cd) = pqTrain(corpus, m, kc, iters, idCol, vecCol, oversample)
+    val cellOf = corpus.select(col(idCol).as("vec_id"),
+      col(cellCol).as("cell"))
+    (cents, cb, cd.join(cellOf, "vec_id"))
+  }
+
+  /** Freeze a trained IVF-PQ index ([[ivfPqTrain]]'s
+    * `(cells, codebooks, codes)`) to parquet under `base`, keyed by corpus
+    * row count like [[pqFreeze]] (which writes the codebooks/codes halves:
+    * model-scale relations single-file, the corpus-scale codes sharded by
+    * an explicit-width repartition). The cell-centroid relation is
+    * model-scale — one row per cell — so it takes the single-file layout.
+    * Returns the read-back frames filtered to this corpus' partition.
+    */
+  def ivfPqFreeze(cells: DataFrame, cb: DataFrame, cd: DataFrame, n: Long,
+      base: String): (DataFrame, DataFrame, DataFrame) = {
+    val s = cells.sparkSession
+    cells.withColumn("n_corpus", lit(n)).repartition(1)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("n_corpus")
+      .parquet(s"$base/cells")
+    val (cbF, cdF) = pqFreeze(cb, cd, n, base)
+    (s.read.parquet(s"$base/cells")
+      .where(col("n_corpus") === n).drop("n_corpus"), cbF, cdF)
+  }
+
+  /** ADC top-k over a FROZEN IVF-PQ index — the full production serving
+    * read path (Jégou et al. 2011 §V over persisted artifacts): the query
+    * ranks the frozen cell centroids by cosine and keeps `nprobe` cells
+    * (broadcast, metadata-scale), the code table is pruned to probed
+    * cells BEFORE any scoring dataflow, and surviving codes are scored by
+    * the frozen codebooks' ADC tables exactly like [[pqAdcTopKFrozen]]
+    * (same geometry probe, same serving-side dimension guard, same
+    * subspace-ordered sum). Nothing here trains and nothing touches a raw
+    * corpus vector: at 100 TB the scan cost is ~nprobe/#cells of the code
+    * table — which a cell-partitioned codes layout turns into partition
+    * pruning — and the per-row cost is m lookups.
+    */
+  def ivfPqAdcTopKFrozen(queries: DataFrame, cells: DataFrame,
+      codebooks: DataFrame, codes: DataFrame, topK: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val geo = codebooks.select(col("subspace"),
+        size(col("centroid")).as("__w"))
+      .groupBy("subspace").agg(first("__w").as("__w"))
+      .collect().map(r => r.get(0).asInstanceOf[Number].intValue ->
+        r.get(1).asInstanceOf[Number].intValue).toMap
+    val m = geo.size
+    require(geo.keySet == (0 until m).toSet,
+      s"codebooks must cover subspaces 0..${m - 1}, got ${geo.keySet}")
+    require(geo.values.toSet.size == 1,
+      s"all subspaces must share one centroid width, got ${geo.values.toSet}")
+    val sub = geo(0)
+    val qdim = queries.select(size(col(vecCol))).head().getInt(0)
+    require(qdim == m * sub,
+      s"query vector dimension $qdim must equal the frozen model's " +
+        s"m*sub = ${m * sub}")
+    // coarse probe against the FROZEN centroids — same ranking as
+    // ivfPqTopK's inline probe (csim desc, cell asc)
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cells))
+      .withColumn("csim", cosine(col("qv"), col("centroid")))
+      .withColumn("prank", row_number().over(wq))
+      .where(col("prank") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val qsl = (0 until m).map(j =>
+        queries.select(col(idCol).as("query_id"),
+          lit(j).as("subspace"),
+          transform(slice(col(vecCol), j * sub + 1, sub),
+            _.cast("double")).as("__qv")))
+      .reduce(_ unionByName _)
+    val dtab = qsl.join(broadcast(codebooks), "subspace")
+      .select(col("query_id"), col("subspace"), col("cluster"),
+        sqDist(col("__qv"), col("centroid")).as("d"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    codes.select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("subspace"), col("cluster"))
+      // cell restriction FIRST: unprobed cells never enter scoring
+      .join(broadcast(probed), Seq("cell"))
+      .join(broadcast(dtab), Seq("subspace", "cluster", "query_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(array_sort(collect_list(struct(col("subspace"), col("d"))))
+        .as("__sd"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(transform(col("__sd"), s => s.getField("d")),
+          lit(0.0), (acc, x) => acc + x).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select("query_id", "neighbor_id", "rank", "adc_dist")
+  }
+
+  /** Frozen IVF-PQ shortlist + exact cosine re-rank — the complete
+    * production read path: [[ivfPqAdcTopKFrozen]] retrieves `candidates`
+    * approximate neighbors per query from the frozen index (probe + code
+    * scan only), then ONLY those ids' raw vectors are fetched (id
+    * equi-join against the broadcastable shortlist) and exactly
+    * cosine-ranked — the [[pqRerankFrozen]] refinement with cell pruning
+    * in front.
+    */
+  def ivfPqRerankFrozen(queries: DataFrame, corpus: DataFrame,
+      cells: DataFrame, codebooks: DataFrame, codes: DataFrame, topK: Int,
+      candidates: Int, nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(candidates >= topK,
+      s"candidates ($candidates) must be >= topK ($topK)")
+    val shortlist = ivfPqAdcTopKFrozen(queries, cells, codebooks, codes,
+        candidates, nprobe, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    shortlist
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+  }
+
   /** Top principal component of the embedding corpus by MATRIX-FREE power
     * iteration — the dimensionality diagnostic / whitening first step an
     * embedding pipeline runs before quantization or semantic dedup. The

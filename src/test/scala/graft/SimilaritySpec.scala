@@ -970,6 +970,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTrain + frozen serving reproduce the train-inline ivfPqTopK " +
+    "exactly (freeze round-trip included)") {
+    val queries = emb.where(col("vec_id") < 5)
+    val n = emb.count()
+    val (cells, cb, cd) = Similarity.ivfPqTrain(emb, m = 2, kc = 4, iters = 1)
+    val (ceF, cbF, cdF) = Similarity.ivfPqFreeze(cells, cb, cd, n,
+      tmpDir("graft-ivfpq-frozen"))
+    // frozen layout: read-back columns, codes carry their cell id
+    assert(ceF.columns.toSet == Set("cell", "centroid"))
+    assert(cdF.columns.toSet == Set("vec_id", "subspace", "cluster", "cell"))
+    // cell-pruned frozen ADC == train-inline ivfPqTopK (same deterministic
+    // trajectory: same kmeans chain, same probe ranking; the freeze is a
+    // bit-exact parquet round trip)
+    assert(rowsOf9(Similarity.ivfPqAdcTopKFrozen(queries, ceF, cbF, cdF,
+        topK = 3, nprobe = 3))
+      == rowsOf9(Similarity.ivfPqTopK(queries, emb, k = 3, nprobe = 3)),
+      "frozen cell-pruned ADC must equal train-inline ivfPqTopK")
+    // rerank-to-the-bottom equivalence: with the shortlist as deep as the
+    // corpus, the frozen probe+ADC+rerank pipeline degenerates to exact
+    // cosine top-k WITHIN PROBED CELLS — which is ivfTopK by definition
+    assert(rowsOf9(Similarity.ivfPqRerankFrozen(queries, emb, ceF, cbF, cdF,
+        topK = 3, candidates = n.toInt, nprobe = 3))
+      == rowsOf9(Similarity.ivfTopK(queries, emb, k = 3, nprobe = 3)),
+      "corpus-deep frozen rerank must equal the exact IVF search")
+    // serving-side geometry guard, same contract as pqAdcTopKFrozen
+    val badQ = queries.select(col("vec_id"),
+      slice(col("embedding"), 1, 7).as("embedding"))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqAdcTopKFrozen(badQ, ceF, cbF, cdF, topK = 3, nprobe = 3)
+    }
+  }
+
   test("sqDist and dot kernels are bit-identical to the interpreted HOF folds they replace") {
     // the folds the kernels must reproduce exactly (the pre-kernel bodies)
     def hofFold(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
