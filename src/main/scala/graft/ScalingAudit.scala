@@ -108,6 +108,40 @@ object ScalingAudit {
     val onlySession11 = scaleOnly.contains("session11")
     val onlySession12 = scaleOnly.contains("session12")
     val onlySession13 = scaleOnly.contains("session13")
+    val onlySession14 = scaleOnly.contains("session14")
+
+    // ---- session-14 operators (SPARK_GRAFT_SCALE_ONLY=session14; same
+    // append-to-SCALING_raw_extra.jsonl contract) ----
+    if (onlySession14) {
+      vecPaths.foreach { case (f, p) =>
+        val v = spark.read.parquet(p)
+        val n = v.count()
+        // frozen IVF-PQ serving (the complete production read path —
+        // probe + cell-pruned ADC + exact rerank) vs frozen PQ full-scan
+        // serving at the SAME geometry (m=8, kc=64, candidates=50):
+        // train+freeze stay OUTSIDE both timers. Both serve-many passes
+        // must read ~linear in the corpus; the IVF row's constant must be
+        // visibly smaller — the nprobe/#cells fraction of the code table
+        // is all the cell restriction lets into the scoring dataflow.
+        val (cells, cb, cd) = Similarity.ivfPqTrain(v, m = 8, kc = 64,
+          iters = 1)
+        val (ceF, cbF, cdF) = Similarity.ivfPqFreeze(cells, cb, cd, n,
+          s"$work/ivfpq_x$f")
+        val q = v.orderBy("vec_id").limit(5)
+        report(s"ivfpq_serve_frozen_x$f", n,
+          timed(Similarity.ivfPqRerankFrozen(q, v, ceF, cbF, cdF,
+            topK = 3, candidates = 50, nprobe = 3).count()))
+        report(s"pq64_serve_frozen_x$f", n,
+          timed(Similarity.pqRerankFrozen(q, v, cbF, cdF.drop("cell"),
+            topK = 3, candidates = 50).count()))
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SCALING_raw_extra.jsonl"), out.toString,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      spark.stop()
+      return
+    }
 
     // ---- session-13 operators (SPARK_GRAFT_SCALE_ONLY=session13; same
     // append-to-SCALING_raw_extra.jsonl contract) ----

@@ -617,4 +617,30 @@ class PlanSpec extends SparkSpec {
     assert(cbF.count() == 2 * 2, "frozen codebooks must hold m*kc rows")
     assert(cdF.columns.sorted.toSeq == Seq("cluster", "subspace", "vec_id"))
   }
+
+  test("ivfPqFreeze keeps the pqFreeze layout and adds single-file cells") {
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (cells, cb, cd) = Similarity.ivfPqTrain(e, m = 2, kc = 2, iters = 1)
+    val dir = tmpDir("graft-ivfpq-freeze")
+    val n = e.count()
+    val (ceF, cdbF, cdsF) = Similarity.ivfPqFreeze(cells, cb, cd, n, dir)
+    def parts(sub: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/$sub"))
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    }
+    // same contract as pqFreeze — the corpus-scale codes relation (now
+    // carrying its cell id) writes sharded; the two model-scale relations
+    // (cells: one row per cell; codebooks: m·kc rows) are one file each
+    assert(parts("codes") > 1,
+      s"codes wrote ${parts("codes")} part file(s) — corpus-scale write funneled through one task")
+    assert(parts("codebooks") == 1, "codebooks should be one file")
+    assert(parts("cells") == 1, "cells are model-scale — one file")
+    assert(cdsF.count() == n * 2, "frozen codes must hold n*m rows")
+    assert(ceF.count() == e.select("label").distinct().count(),
+      "frozen cells must hold one centroid per corpus cell")
+    assert(cdbF.count() == 2 * 2, "frozen codebooks must hold m*kc rows")
+  }
 }
