@@ -137,6 +137,12 @@ object SparkEntry {
     */
   private val IvfPqFrozenDir = "/root/repo/target/graft_frozen/ivfpq_prod"
 
+  /** Where stream_ann_topk freezes ITS IVF-PQ index (each frozen-model
+    * query trains and freezes to its own dir — queries stay
+    * self-contained and order-independent).
+    */
+  private val StreamAnnFrozenDir = "/root/repo/target/graft_frozen/stream_ann"
+
   /** Where the frozen quality classifier's faces freeze their trained
     * logreg model (weights + standardization moments, dims+1 rows) — same
     * per-SF `n_corpus` partition-keying contract as [[PqFrozenDir]]:
@@ -2507,6 +2513,30 @@ object SparkEntry {
         .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
       graft.streaming.StreamOps.semanticDupStream(e, cents, threshold = 0.4)
         .toDF()
+    }),
+    // streaming ANN serving over a FROZEN IVF-PQ index in batch mode:
+    // the retrieval-at-ingest face — index trained+frozen once (its own
+    // dir, self-contained), queries answered from the persisted cells/
+    // codebooks/codes with the exact ivfPqAdcTopKFrozen arithmetic. The
+    // twin recomputes probe + cell-pruned ADC + rank from the same
+    // frozen parquet.
+    "stream_ann_topk" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val n = e.count()
+      val (cells, cb, cd) = Similarity.ivfPqTrain(e, m = 8, kc = 64,
+        iters = 1)
+      val (ceF, cbF, cdF) = Similarity.ivfPqFreeze(cells, cb, cd, n,
+        StreamAnnFrozenDir)
+      val cellsSeq = ceF.select("cell", "centroid").collect().map(r =>
+        (r.get(0).asInstanceOf[Number].longValue,
+          r.getSeq[Double](1).toSeq)).toSeq
+      val cbSeq = cbF.select("subspace", "cluster", "centroid").collect()
+        .map(r => (r.get(0).asInstanceOf[Number].intValue,
+          r.get(1).asInstanceOf[Number].intValue,
+          r.getSeq[Double](2).toSeq)).toSeq
+      graft.streaming.StreamOps.annServeStream(
+        e.where(col("vec_id") < 5), cellsSeq, cbSeq, cdF,
+        topK = 3, nprobe = 3).toDF()
     }),
     // streaming KMV sketch in batch mode: equals sketch_kmv exactly
     "stream_kmv" -> ((s, dir) =>
@@ -6981,6 +7011,44 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM rr)
+         |WHERE rank <= 3""".stripMargin,
+
+    // Twin of stream_ann_topk (m=8, kc=64, nprobe=3, topK=3): the
+    // sim_ivfpq_prod twin WITHOUT the rerank tail — the streaming face
+    // serves raw ADC ranks — reading the face's OWN frozen dir. The
+    // streaming group function's arithmetic (probe fold, subspace-ordered
+    // ADC sum, (adc asc, id asc) rank) must land on exactly these rows.
+    "stream_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+         |ce AS (SELECT cell, centroid
+         |  FROM read_parquet('$StreamAnnFrozenDir/cells/*/*.parquet', hive_partitioning = 1)
+         |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM embeddings)),
+         |cb AS (SELECT subspace, cluster, centroid
+         |  FROM read_parquet('$StreamAnnFrozenDir/codebooks/*/*.parquet', hive_partitioning = 1)
+         |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM embeddings)),
+         |cd AS (SELECT vec_id AS neighbor_id, cell, subspace, cluster
+         |  FROM read_parquet('$StreamAnnFrozenDir/codes/*/*.parquet', hive_partitioning = 1)
+         |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM embeddings)),
+         |probe AS (SELECT query_id, cell FROM (
+         |  SELECT q.query_id, ce.cell,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |      ${vecCosSql("q.v", "ce.centroid")} DESC, ce.cell ASC) AS prank
+         |  FROM q CROSS JOIN ce) WHERE prank <= 3),
+         |dt AS (SELECT q.query_id, cb.subspace, cb.cluster,
+         |  list_sum(list_transform(range(1, len(cb.centroid) + 1),
+         |    i -> (q.v[cb.subspace * len(cb.centroid) + i] - cb.centroid[i])
+         |       * (q.v[cb.subspace * len(cb.centroid) + i] - cb.centroid[i]))) AS d
+         |  FROM q CROSS JOIN cb),
+         |ad AS (SELECT dt.query_id, cd.neighbor_id,
+         |  list_sum(list(dt.d ORDER BY dt.subspace)) AS adc_dist
+         |  FROM cd JOIN probe p ON p.cell = cd.cell
+         |  JOIN dt ON dt.subspace = cd.subspace AND dt.cluster = cd.cluster
+         |    AND dt.query_id = p.query_id
+         |  WHERE cd.neighbor_id <> dt.query_id GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, adc_dist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rank FROM ad)
          |WHERE rank <= 3""".stripMargin,
 
     // Twin of Similarity.ivfPqTopK(k=3, nprobe=3, m=2, kc=4, iters=1):

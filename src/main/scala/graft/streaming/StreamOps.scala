@@ -515,6 +515,130 @@ object StreamOps {
       }
   }
 
+  final case class AnnProbe(query_id: Long, v: Seq[Double], cell: Long)
+  final case class AnnCand(query_id: Long, v: Seq[Double], neighbor_id: Long,
+    subspace: Int, cluster: Int)
+  final case class AnnHit(query_id: Long, neighbor_id: Long, rank: Int,
+    adc_dist: Double)
+
+  /** Streaming ANN serving over a FROZEN IVF-PQ index — the online face
+    * of [[graft.pipeline.Similarity.ivfPqAdcTopKFrozen]], for the
+    * retrieval-at-ingest shape (each arriving query vector is answered
+    * from the persisted index; nothing retrains): the query probes the
+    * frozen cell centroids (driver-literal, metadata-scale — the
+    * [[semanticDupStream]] frozen-codebook policy) with EXACTLY the batch
+    * probe's arithmetic (VecCosine's one-pass fold, csim desc / cell asc,
+    * NaN ordered greatest like Spark's desc), fans out to its `nprobe`
+    * cells, stream-static-joins the frozen code table on the cell key —
+    * so unprobed cells never enter the stream — and a per-query group
+    * computes the subspace-ordered ADC sums and the (adc asc, id asc)
+    * top-k with the batch fold's exact float-op sequence.
+    *
+    * Run on a BATCH frame this returns exactly `ivfPqAdcTopKFrozen`
+    * (the `stream_ann_topk` gate's twin recomputes the same arithmetic
+    * from the same frozen parquet). Contract: one arrival per query id —
+    * a query id re-arriving in a later micro-batch is served again
+    * against that batch alone (serving is stateless by design: the index
+    * is frozen, so there is nothing to remember between queries). A
+    * query whose dimension disagrees with the frozen geometry raises
+    * (the [[graft.pipeline.Similarity.pqAdcTopKFrozen]] serving guard).
+    */
+  def annServeStream(queries: DataFrame, cells: Seq[(Long, Seq[Double])],
+      codebooks: Seq[(Int, Int, Seq[Double])], codes: DataFrame,
+      topK: Int, nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Dataset[AnnHit] = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(cells.nonEmpty, "cells must be non-empty")
+    require(codebooks.nonEmpty, "codebooks must be non-empty")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val m = codebooks.map(_._1).distinct.size
+    require(codebooks.map(_._1).toSet == (0 until m).toSet,
+      s"codebooks must cover subspaces 0..${m - 1}")
+    val subs = codebooks.map(_._3.length).toSet
+    require(subs.size == 1,
+      s"all codebook centroids must share one width, got $subs")
+    val sub = subs.head
+    val cents: Array[(Long, Array[Double])] =
+      cells.map { case (c, v) => (c, v.toArray) }.toArray
+    val cbMap: Map[(Int, Int), Array[Double]] =
+      codebooks.map { case (j, c, v) => (j, c) -> v.toArray }.toMap
+    // VecCosine's exact fold (dot/na/nb accumulated per element in order)
+    def cos(a: Seq[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i); val y = b(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // VecSqDist's exact fold over one subspace slice
+    def sqd(v: Seq[Double], j: Int, c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < sub) { val t = v(j * sub + i) - c(i); acc += t * t; i += 1 }
+      acc
+    }
+    val probed = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (qid, v) =>
+        if (v.length != m * sub) throw new IllegalArgumentException(
+          s"query vector dimension ${v.length} must equal the frozen " +
+            s"model's m*sub = ${m * sub}")
+        cents.map { case (c, cv) => (c, cos(v, cv)) }
+          .sortWith { (a, b) =>
+            val cmp = java.lang.Double.compare(a._2, b._2)
+            if (cmp != 0) cmp > 0 else a._1 < b._1
+          }
+          .take(nprobe)
+          .map { case (c, _) => AnnProbe(qid, v, c) }
+      }
+    val cand = probed.toDF()
+      .join(codes.select(col("cell").cast("long").as("cell"),
+        col("vec_id").as("neighbor_id"),
+        col("subspace").cast("int").as("subspace"),
+        col("cluster").cast("int").as("cluster")), "cell")
+      .select(col("query_id"), col("v"), col("neighbor_id"),
+        col("subspace"), col("cluster"))
+      .as[AnnCand]
+    cand.groupByKey(_.query_id)
+      .flatMapGroupsWithState[Boolean, AnnHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (qid, rows, _: GroupState[Boolean]) =>
+          val rs = rows.toVector
+          if (rs.isEmpty) Iterator.empty
+          else {
+            val v = rs.head.v
+            // per-(subspace, cluster) distance table, memoized per query
+            val dt = scala.collection.mutable.HashMap.empty[(Int, Int), Double]
+            val byNeighbor = rs.groupBy(_.neighbor_id)
+            val scoredN = byNeighbor.iterator
+              .filter { case (nid, _) => nid != qid }
+              .map { case (nid, cs) =>
+                // subspace-ordered sum from 0.0 — the batch fold's order
+                val ds = cs.sortBy(_.subspace)
+                var acc = 0.0
+                ds.foreach { c =>
+                  acc += dt.getOrElseUpdate((c.subspace, c.cluster),
+                    sqd(v, c.subspace, cbMap((c.subspace, c.cluster))))
+                }
+                (nid, acc)
+              }
+              .toVector
+              .sortWith { (a, b) =>
+                val cmp = java.lang.Double.compare(a._2, b._2)
+                if (cmp != 0) cmp < 0 else a._1 < b._1
+              }
+            scoredN.take(topK).zipWithIndex.map { case ((nid, d), i) =>
+              AnnHit(qid, nid, i + 1, d)
+            }.iterator
+          }
+      }
+  }
+
   /** Custom per-series running state (last/min/max/count) via
     * mapGroupsWithState — the streaming "current dashboard value" of the
     * reference (A1/A2 continuously maintained).

@@ -241,6 +241,60 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("annServeStream: batch face == ivfPqAdcTopKFrozen; queries answered per micro-batch from the frozen index") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = e.count()
+    val (cells, cb, cd) = Similarity.ivfPqTrain(e, m = 2, kc = 4, iters = 1)
+    val (ceF, cbF, cdF) = Similarity.ivfPqFreeze(cells, cb, cd, n,
+      tmpDir("graft-stream-ann"))
+    val cellsSeq = ceF.select("cell", "centroid").collect().map(r =>
+      (r.get(0).asInstanceOf[Number].longValue, r.getSeq[Double](1).toSeq)).toSeq
+    val cbSeq = cbF.select("subspace", "cluster", "centroid").collect()
+      .map(r => (r.get(0).asInstanceOf[Number].intValue,
+        r.get(1).asInstanceOf[Number].intValue,
+        r.getSeq[Double](2).toSeq)).toSeq
+    val queries = e.where(col("vec_id") < 6).select("vec_id", "embedding")
+
+    // batch face: exact parity with the frozen batch server (same frozen
+    // files, same probe/ADC/rank arithmetic)
+    val reference = rowsOf9(Similarity.ivfPqAdcTopKFrozen(
+      queries, ceF, cbF, cdF, topK = 3, nprobe = 2))
+    assert(reference.nonEmpty, "fixture must produce ANN hits")
+    assert(rowsOf9(StreamOps.annServeStream(queries, cellsSeq, cbSeq, cdF,
+        topK = 3, nprobe = 2).toDF()) == reference)
+
+    // streaming face: queries arriving across micro-batches are each
+    // answered from the frozen index; the union must equal the batch run
+    val qRows = queries.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    val in = MemoryStream[(Long, Seq[Float])]
+    val out = StreamOps.annServeStream(
+      in.toDS().toDF("vec_id", "embedding"), cellsSeq, cbSeq, cdF,
+      topK = 3, nprobe = 2)
+    val q = out.toDF().writeStream.format("memory").queryName("ann_hits")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      in.addData(qRows.filter(_._1 < 3).toIndexedSeq)
+      q.processAllAvailable()
+      val afterFirst = spark.table("ann_hits").count()
+      assert(afterFirst > 0, "first micro-batch must already be served")
+      in.addData(qRows.filter(_._1 >= 3).toIndexedSeq)
+      q.processAllAvailable()
+      assert(rowsOf9(spark.table("ann_hits")) == reference)
+    } finally q.stop()
+
+    // serving-side geometry guard survives the streaming wrap: wrong
+    // query width must raise, not return garbage ranks
+    val badQ = queries.selectExpr("vec_id", "slice(embedding, 1, 7) as embedding")
+    val err = intercept[Exception] {
+      StreamOps.annServeStream(badQ, cellsSeq, cbSeq, cdF,
+        topK = 3, nprobe = 2).toDF().count()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("intervalJoinStream: stream-stream join parity with the batch operator") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
