@@ -137,11 +137,54 @@ object SparkEntry {
     */
   private val IvfPqFrozenDir = "/root/repo/target/graft_frozen/ivfpq_prod"
 
-  /** Where stream_ann_topk freezes ITS IVF-PQ index (each frozen-model
-    * query trains and freezes to its own dir — queries stay
-    * self-contained and order-independent).
+  /** Where stream_ann_topk / sql_ann_serve freeze THEIR IVF-PQ indexes
+    * (each frozen-model query trains and freezes to its own dir — queries
+    * stay self-contained and order-independent; see the clf dirs' comment
+    * for why faces must not share a freeze).
     */
   private val StreamAnnFrozenDir = "/root/repo/target/graft_frozen/stream_ann"
+  private val SqlAnnFrozenDir = "/root/repo/target/graft_frozen/sql_ann"
+
+  /** DuckDB twin of frozen IVF-PQ ADC serving (no rerank tail) over the
+    * index under `base` — shared by the stream_ann_topk and sql_ann_serve
+    * oracles so the serving arithmetic has ONE SQL definition: coarse
+    * probe (cosine to every frozen cell centroid, top nprobe by csim
+    * desc / cell asc), per-query ADC distance tables from the frozen
+    * codebooks, cell-restricted code scoring summed in subspace order,
+    * (adc asc, id asc) rank <= topK.
+    */
+  private def annFrozenTwinSql(base: String): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+       |ce AS (SELECT cell, centroid
+       |  FROM read_parquet('$base/cells/*/*.parquet', hive_partitioning = 1)
+       |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM embeddings)),
+       |cb AS (SELECT subspace, cluster, centroid
+       |  FROM read_parquet('$base/codebooks/*/*.parquet', hive_partitioning = 1)
+       |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM embeddings)),
+       |cd AS (SELECT vec_id AS neighbor_id, cell, subspace, cluster
+       |  FROM read_parquet('$base/codes/*/*.parquet', hive_partitioning = 1)
+       |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM embeddings)),
+       |probe AS (SELECT query_id, cell FROM (
+       |  SELECT q.query_id, ce.cell,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |      ${vecCosSql("q.v", "ce.centroid")} DESC, ce.cell ASC) AS prank
+       |  FROM q CROSS JOIN ce) WHERE prank <= 3),
+       |dt AS (SELECT q.query_id, cb.subspace, cb.cluster,
+       |  list_sum(list_transform(range(1, len(cb.centroid) + 1),
+       |    i -> (q.v[cb.subspace * len(cb.centroid) + i] - cb.centroid[i])
+       |       * (q.v[cb.subspace * len(cb.centroid) + i] - cb.centroid[i]))) AS d
+       |  FROM q CROSS JOIN cb),
+       |ad AS (SELECT dt.query_id, cd.neighbor_id,
+       |  list_sum(list(dt.d ORDER BY dt.subspace)) AS adc_dist
+       |  FROM cd JOIN probe p ON p.cell = cd.cell
+       |  JOIN dt ON dt.subspace = cd.subspace AND dt.cluster = cd.cluster
+       |    AND dt.query_id = p.query_id
+       |  WHERE cd.neighbor_id <> dt.query_id GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, adc_dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rank FROM ad)
+       |WHERE rank <= 3""".stripMargin
 
   /** Where the frozen quality classifier's faces freeze their trained
     * logreg model (weights + standardization moments, dims+1 rows) — same
@@ -2537,6 +2580,26 @@ object SparkEntry {
       graft.streaming.StreamOps.annServeStream(
         e.where(col("vec_id") < 5), cellsSeq, cbSeq, cdF,
         topK = 3, nprobe = 3).toDF()
+    }),
+    // the same frozen serving through the SQL TVF surface: the spliced
+    // plan IS ivfPqAdcTopKFrozen's, built over temp views of the
+    // read-back frozen relations
+    "sql_ann_serve" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      val e = Tables(s, dir).embeddings
+      val n = e.count()
+      val (cells, cb, cd) = Similarity.ivfPqTrain(e, m = 8, kc = 64,
+        iters = 1)
+      val (ceF, cbF, cdF) = Similarity.ivfPqFreeze(cells, cb, cd, n,
+        SqlAnnFrozenDir)
+      e.where(col("vec_id") < 5)
+        .createOrReplaceTempView("graft_sql_ann_queries")
+      ceF.createOrReplaceTempView("graft_sql_ann_cells")
+      cbF.createOrReplaceTempView("graft_sql_ann_codebooks")
+      cdF.createOrReplaceTempView("graft_sql_ann_codes")
+      s.sql("SELECT * FROM graft_ann_serve('graft_sql_ann_queries', " +
+        "'graft_sql_ann_cells', 'graft_sql_ann_codebooks', " +
+        "'graft_sql_ann_codes', 3, 3)")
     }),
     // streaming KMV sketch in batch mode: equals sketch_kmv exactly
     "stream_kmv" -> ((s, dir) =>
@@ -7013,43 +7076,17 @@ object SparkEntry {
          |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM rr)
          |WHERE rank <= 3""".stripMargin,
 
-    // Twin of stream_ann_topk (m=8, kc=64, nprobe=3, topK=3): the
-    // sim_ivfpq_prod twin WITHOUT the rerank tail — the streaming face
-    // serves raw ADC ranks — reading the face's OWN frozen dir. The
-    // streaming group function's arithmetic (probe fold, subspace-ordered
-    // ADC sum, (adc asc, id asc) rank) must land on exactly these rows.
-    "stream_ann_topk" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
-         |ce AS (SELECT cell, centroid
-         |  FROM read_parquet('$StreamAnnFrozenDir/cells/*/*.parquet', hive_partitioning = 1)
-         |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM embeddings)),
-         |cb AS (SELECT subspace, cluster, centroid
-         |  FROM read_parquet('$StreamAnnFrozenDir/codebooks/*/*.parquet', hive_partitioning = 1)
-         |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM embeddings)),
-         |cd AS (SELECT vec_id AS neighbor_id, cell, subspace, cluster
-         |  FROM read_parquet('$StreamAnnFrozenDir/codes/*/*.parquet', hive_partitioning = 1)
-         |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM embeddings)),
-         |probe AS (SELECT query_id, cell FROM (
-         |  SELECT q.query_id, ce.cell,
-         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
-         |      ${vecCosSql("q.v", "ce.centroid")} DESC, ce.cell ASC) AS prank
-         |  FROM q CROSS JOIN ce) WHERE prank <= 3),
-         |dt AS (SELECT q.query_id, cb.subspace, cb.cluster,
-         |  list_sum(list_transform(range(1, len(cb.centroid) + 1),
-         |    i -> (q.v[cb.subspace * len(cb.centroid) + i] - cb.centroid[i])
-         |       * (q.v[cb.subspace * len(cb.centroid) + i] - cb.centroid[i]))) AS d
-         |  FROM q CROSS JOIN cb),
-         |ad AS (SELECT dt.query_id, cd.neighbor_id,
-         |  list_sum(list(dt.d ORDER BY dt.subspace)) AS adc_dist
-         |  FROM cd JOIN probe p ON p.cell = cd.cell
-         |  JOIN dt ON dt.subspace = cd.subspace AND dt.cluster = cd.cluster
-         |    AND dt.query_id = p.query_id
-         |  WHERE cd.neighbor_id <> dt.query_id GROUP BY 1, 2)
-         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, adc_dist FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rank FROM ad)
-         |WHERE rank <= 3""".stripMargin,
+    // Twin of stream_ann_topk (m=8, kc=64, nprobe=3, topK=3): the frozen
+    // ADC serving twin (no rerank tail — the streaming face serves raw
+    // ADC ranks) reading the face's OWN frozen dir. The streaming group
+    // function's arithmetic (probe fold, subspace-ordered ADC sum,
+    // (adc asc, id asc) rank) must land on exactly these rows.
+    "stream_ann_topk" -> annFrozenTwinSql(StreamAnnFrozenDir),
+
+    // Twin of sql_ann_serve: identical serving arithmetic (the TVF
+    // splices the SAME ivfPqAdcTopKFrozen plan the batch face builds),
+    // reading the SQL face's own frozen dir.
+    "sql_ann_serve" -> annFrozenTwinSql(SqlAnnFrozenDir),
 
     // Twin of Similarity.ivfPqTopK(k=3, nprobe=3, m=2, kc=4, iters=1):
     // the sim_ivf_topk probe CTEs (label-cell centroids, cosine rank <=

@@ -36,6 +36,7 @@ import graft.functions.{CharNgramCodes, MinHashSig, PolyHash, SimHashSig, SimHas
   *  - `graft_label_outliers('view')` — per-label embedding outlier z-scores
   *  - `graft_quality('view')` — per-document quality scores
   *  - `graft_clf_score('docs', 'model')` — frozen-logreg document scoring
+  *  - `graft_ann_serve('q', 'cells', 'cb', 'codes', k, np)` — frozen IVF-PQ ANN
   *  - `graft_line_dedup('view', df)` — CCNet line-level dedup verdicts
   *  - `graft_line_clean('view', df)` — CCNet cleaned-corpus rebuild
   *  - `graft_ks_drift('view', grp, val, slice, w)` — exact KS drift per group
@@ -212,6 +213,18 @@ object GraftTableFunctions {
       (exprs: Seq[Expression]) => plan(graft.pipeline.TextOps.logregScoreFrozen(
         rel(strArg(exprs(0), "docs table name")),
         rel(strArg(exprs(1), "model table name"))))),
+    (FunctionIdentifier("graft_ann_serve"),
+      info("graft_ann_serve",
+        "graft_ann_serve(queries_table, cells_table, codebooks_table, " +
+          "codes_table, top_k, nprobe) - ANN top-k over a frozen IVF-PQ " +
+          "index: coarse cell probe + cell-pruned ADC code scoring"),
+      (exprs: Seq[Expression]) => plan(
+        graft.pipeline.Similarity.ivfPqAdcTopKFrozen(
+          rel(strArg(exprs(0), "queries table name")),
+          rel(strArg(exprs(1), "cells table name")),
+          rel(strArg(exprs(2), "codebooks table name")),
+          rel(strArg(exprs(3), "codes table name")),
+          intArg(exprs(4), "top_k"), intArg(exprs(5), "nprobe")))),
     (FunctionIdentifier("graft_line_dedup"),
       info("graft_line_dedup",
         "graft_line_dedup(table, boilerplate_df) - CCNet line-level dedup: " +

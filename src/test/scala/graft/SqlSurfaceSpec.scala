@@ -238,6 +238,26 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("graft_ann_serve(views, k, np) == Similarity.ivfPqAdcTopKFrozen") {
+    import graft.pipeline.Similarity
+    GraftTableFunctions.registerAll(spark)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (cells, cb, cd) = Similarity.ivfPqTrain(e, m = 2, kc = 4, iters = 1)
+    val (ceF, cbF, cdF) = Similarity.ivfPqFreeze(cells, cb, cd, e.count(),
+      tmpDir("graft-sql-ann"))
+    val q = e.where(col("vec_id") < 5)
+    q.createOrReplaceTempView("sqlspec_ann_q")
+    ceF.createOrReplaceTempView("sqlspec_ann_cells")
+    cbF.createOrReplaceTempView("sqlspec_ann_cb")
+    cdF.createOrReplaceTempView("sqlspec_ann_cd")
+    // both sides serve from the SAME frozen files — the spliced plan is
+    // the Scala plan, so rows must match string-exact
+    assert(rowsOf(spark.sql(
+      "SELECT * FROM graft_ann_serve('sqlspec_ann_q', 'sqlspec_ann_cells', " +
+        "'sqlspec_ann_cb', 'sqlspec_ann_cd', 3, 2)"))
+      == rowsOf(Similarity.ivfPqAdcTopKFrozen(q, ceF, cbF, cdF, 3, 2)))
+  }
+
   test("SQL surface composes: TVF result is a normal relation (filter + agg)") {
     GraftTableFunctions.registerAll(spark)
     Tables(spark, sfDir).eventsUs.createOrReplaceTempView("sqlspec_events")
