@@ -123,6 +123,26 @@ object RecallAudit {
           Similarity.pqTopK(q, e, topK = 3, m = 8, kc = 256)))) ++
         Seq("pq_prod_m8_k256_rr100" -> recall(pairs(
           Similarity.pqTopKRerank(q, e, topK = 3, candidates = 100, m = 8, kc = 256)))) ++
+        // the frozen IVF-PQ read path at the sim_ivfpq_prod/stream_ann
+        // params: recall THROUGH the freeze round trip (probe +
+        // cell-pruned ADC, then + exact rerank) — the cell restriction
+        // costs recall exactly where a probed-out cell holds a true
+        // neighbor, which this row quantifies
+        locally {
+          val (cells, cb, cd) = Similarity.ivfPqTrain(e, m = 8, kc = 64,
+            iters = 1)
+          val work = java.nio.file.Files
+            .createTempDirectory("graft-recall-ivfpq").toString
+          val (ceF, cbF, cdF) = Similarity.ivfPqFreeze(cells, cb, cd,
+            e.count(), work)
+          Seq(
+            "ivfpq_frozen_np3_m8_k64" -> recall(pairs(
+              Similarity.ivfPqAdcTopKFrozen(q, ceF, cbF, cdF,
+                topK = 3, nprobe = 3))),
+            "ivfpq_frozen_np3_m8_k64_rr50" -> recall(pairs(
+              Similarity.ivfPqRerankFrozen(q, e, ceF, cbF, cdF,
+                topK = 3, candidates = 50, nprobe = 3))))
+        } ++
         // mutual k-NN graph: EDGE recall of the cell-blocked default
         // (trained kmeans cells, kCells=8) vs the brute graph — the
         // honest curve on this near-uniform corpus; nprobe=kCells is 1.0
