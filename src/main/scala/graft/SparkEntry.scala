@@ -145,6 +145,13 @@ object SparkEntry {
   private val StreamAnnFrozenDir = "/root/repo/target/graft_frozen/stream_ann"
   private val SqlAnnFrozenDir = "/root/repo/target/graft_frozen/sql_ann"
 
+  /** Where sim_pq_addbatch freezes the BOOTSTRAP-trained PQ model whose
+    * codebooks the held-out batch is encoded against (keyed by the
+    * bootstrap row count — the twin selects the partition via the same
+    * filtered count).
+    */
+  private val PqAddFrozenDir = "/root/repo/target/graft_frozen/pq_addbatch"
+
   /** DuckDB twin of frozen IVF-PQ ADC serving (no rerank tail) over the
     * index under `base` — shared by the stream_ann_topk and sql_ann_serve
     * oracles so the serving arithmetic has ONE SQL definition: coarse
@@ -1774,6 +1781,21 @@ object SparkEntry {
     // sim_pq_prod's 256 — the 256-codebook trajectory is already
     // oracle-covered there, while THIS row's new surface is the frozen
     // cell-pruned serving.
+    // frozen-index MAINTENANCE: train+freeze PQ codebooks on the
+    // bootstrap corpus (vec_id % 3 <> 0), then encode the HELD-OUT batch
+    // against the frozen books — the ingest half of train-once/serve-many
+    // (the dedup_sem_inc shape for the PQ family). The twin recomputes
+    // the argmin assignment (same (dist, cluster) tie-break) from the
+    // same frozen parquet.
+    "sim_pq_addbatch" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val boot = e.where(col("vec_id") % 3 =!= 0)
+      val batch = e.where(col("vec_id") % 3 === 0)
+      val nBoot = boot.count()
+      val (cb, cd) = Similarity.pqTrain(boot, m = 4, kc = 16, iters = 1)
+      val (cbF, _) = Similarity.pqFreeze(cb, cd, nBoot, PqAddFrozenDir)
+      Similarity.pqEncodeFrozen(batch, cbF)
+    }),
     "sim_ivfpq_prod" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
       val n = e.count()
@@ -7087,6 +7109,27 @@ object SparkEntry {
     // splices the SAME ivfPqAdcTopKFrozen plan the batch face builds),
     // reading the SQL face's own frozen dir.
     "sql_ann_serve" -> annFrozenTwinSql(SqlAnnFrozenDir),
+
+    // Twin of sim_pq_addbatch: encode the held-out batch (vec_id % 3 = 0)
+    // against the bootstrap-frozen codebooks — per (vector, subspace) the
+    // argmin cluster by squared L2 with the training assignment's exact
+    // (dist, cluster) tie-break, recomputed from the same frozen parquet.
+    "sim_pq_addbatch" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v FROM e WHERE vec_id % 3 = 0),
+         |cb AS (SELECT subspace, cluster, centroid
+         |  FROM read_parquet('$PqAddFrozenDir/codebooks/*/*.parquet', hive_partitioning = 1)
+         |  WHERE CAST(n_corpus AS BIGINT) =
+         |    (SELECT count(*) FROM embeddings WHERE vec_id % 3 <> 0)),
+         |d AS (SELECT b.vec_id, cb.subspace, cb.cluster,
+         |  list_sum(list_transform(range(1, len(cb.centroid) + 1),
+         |    i -> (b.v[cb.subspace * len(cb.centroid) + i] - cb.centroid[i])
+         |       * (b.v[cb.subspace * len(cb.centroid) + i] - cb.centroid[i]))) AS dist
+         |  FROM b CROSS JOIN cb)
+         |SELECT vec_id, subspace, cluster, dist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+         |    ORDER BY dist ASC, cluster ASC) AS rn FROM d)
+         |WHERE rn = 1""".stripMargin,
 
     // Twin of Similarity.ivfPqTopK(k=3, nprobe=3, m=2, kc=4, iters=1):
     // the sim_ivf_topk probe CTEs (label-cell centroids, cosine rank <=

@@ -1219,6 +1219,51 @@ object Similarity {
         .where(col("n_corpus") === n).drop("n_corpus"))
   }
 
+  /** Encode NEW vectors against a FROZEN PQ model — index maintenance
+    * without retraining, the ingest half of train-once/serve-many: each
+    * arriving vector's subspace slices take the argmin cluster over the
+    * persisted codebooks with EXACTLY the training assignment's kernel
+    * (same sqDist fold, same (dist, cluster) tie-break), so codes
+    * appended by this path are indistinguishable from codes the original
+    * training would have produced (SimilaritySpec pins encode-frozen ==
+    * pqTrain's own codes on the training corpus). Output: one row per
+    * (vector, subspace) — `(vec_id, subspace, cluster, dist)` with dist
+    * the chosen cell's squared L2 (the per-subspace reconstruction
+    * error). Scale shape: m broadcast-assign scans of the BATCH only —
+    * cost proportional to the batch, never the corpus, never the model
+    * beyond the broadcast codebooks. Serving-side geometry guard as
+    * [[pqAdcTopKFrozen]].
+    */
+  def pqEncodeFrozen(vecs: DataFrame, codebooks: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val geo = codebooks.select(col("subspace"),
+        size(col("centroid")).as("__w"))
+      .groupBy("subspace").agg(first("__w").as("__w"))
+      .collect().map(r => r.get(0).asInstanceOf[Number].intValue ->
+        r.get(1).asInstanceOf[Number].intValue).toMap
+    val m = geo.size
+    require(m >= 1, "codebooks must be non-empty")
+    require(geo.keySet == (0 until m).toSet,
+      s"codebooks must cover subspaces 0..${m - 1}, got ${geo.keySet}")
+    require(geo.values.toSet.size == 1,
+      s"all subspaces must share one centroid width, got ${geo.values.toSet}")
+    val sub = geo(0)
+    val vdim = vecs.select(size(col(vecCol))).head().getInt(0)
+    require(vdim == m * sub,
+      s"vector dimension $vdim must equal the frozen model's " +
+        s"m*sub = ${m * sub}")
+    val parts = inParallel((0 until m).map(j => () => {
+      val pts = kmeansPts(vecs.select(col(idCol),
+        slice(col(vecCol), j * sub + 1, sub).as(vecCol)), idCol, vecCol)
+      val cb = codebooks.where(col("subspace") === j)
+        .select(col("cluster"), col("centroid"))
+      assignStep(pts, cb)
+        .select(col("vec_id"), lit(j).as("subspace"), col("cluster"),
+          col("dist"))
+    }))
+    parts.reduce(_ unionByName _)
+  }
+
   /** ADC top-k over a FROZEN PQ model ([[pqTrain]]'s `(codebooks, codes)`
     * shape, typically read back from storage): the query is sliced into
     * the codebooks' subspaces, the per-query distance table is one

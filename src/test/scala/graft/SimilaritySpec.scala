@@ -1002,6 +1002,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqEncodeFrozen reproduces pqTrain's own codes through the freeze " +
+    "round trip; wrong width raises") {
+    val (cb, cd) = Similarity.pqTrain(emb, m = 2, kc = 4, iters = 1)
+    val (cbF, cdF) = Similarity.pqFreeze(cb, cd, emb.count(),
+      tmpDir("graft-pq-addbatch"))
+    // encoding the TRAINING corpus against its own frozen books must land
+    // on exactly the codes training assigned (same argmin kernel, same
+    // (dist, cluster) tie-break; parquet round-trips doubles bit-exact)
+    val enc = Similarity.pqEncodeFrozen(emb, cbF)
+      .select("vec_id", "subspace", "cluster")
+    assert(rowsOf(enc) == rowsOf(cdF.select("vec_id", "subspace", "cluster")),
+      "encode-frozen must reproduce the training assignment")
+    // a batch whose width disagrees with the frozen geometry must raise
+    val bad = emb.selectExpr("vec_id", "slice(embedding, 1, 7) as embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.pqEncodeFrozen(bad, cbF)
+    }
+  }
+
   test("sqDist and dot kernels are bit-identical to the interpreted HOF folds they replace") {
     // the folds the kernels must reproduce exactly (the pre-kernel bodies)
     def hofFold(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
