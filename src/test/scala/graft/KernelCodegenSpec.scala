@@ -157,6 +157,33 @@ class KernelCodegenSpec extends SparkSpec {
     assert(rowsOf(got) == rowsOf(old))
   }
 
+  test("kernels codegen-compile inside join predicates (fallback disabled)") {
+    // join-condition codegen is a different embedding context than
+    // projection codegen (the template lands inside the join's generated
+    // consume path): with CODEGEN_ONLY + fallback=false a scoping or
+    // compile defect there throws instead of silently falling back
+    import org.apache.spark.sql.functions.lit
+    val run = inMode(codegen = true) { s =>
+      val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .selectExpr("vec_id", "embedding",
+          "array(vec_id, vec_id + 1L) as words")
+        .orderBy("vec_id").limit(15)
+      val a = emb.toDF("id_a", "va", "wa")
+      val b = emb.toDF("id_b", "vb", "wb")
+      a.join(b,
+        a("id_a") < b("id_b")
+          && Signatures.vecCosine(a("va"), b("vb")) > lit(-2.0)
+          && Signatures.vecDot(a("va"), b("vb")).isNotNull
+          && Signatures.vecSqDist(a("va"), b("vb")) >= lit(0.0)
+          && Signatures.hammingWords(a("wa"), b("wb")) >= lit(0)
+          && Signatures.sortedJaccard(
+            a("wa").cast("array<bigint>"), b("wb").cast("array<bigint>"))
+            >= lit(0.0))
+        .count()
+    }
+    assert(run == 15L * 14 / 2, "every ordered pair must satisfy the predicates")
+  }
+
   test("kernels match over real embeddings in a join (400 pairs)") {
     assertParity { s =>
       val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
