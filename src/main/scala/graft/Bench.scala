@@ -42,19 +42,31 @@ object Bench {
         f"${failed.size} failed) ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     // Previous certified per-query times, for the contention sanity gate
-    // below: BENCH_full_latest.json is read BEFORE this run overwrites it.
-    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_full_latest.json")
-    val prevTimes: Map[String, Double] = try {
+    // below. The gate diffs against a ROUND-START-PINNED baseline
+    // (BENCH_gate_baseline.json, refreshed once per round from the last
+    // certified idle run) rather than BENCH_full_latest.json, which every
+    // run overwrites: with a self-overwriting baseline, the FIRST
+    // contended run of a round becomes the new reference and every later
+    // run diffs against the already-regressed number — exactly how the
+    // r12 vec_kmeans 2.3× drift sailed past the gate (r12 verdict item 1).
+    // Falls back to the latest-run file only when no pin exists.
+    val gateBaseline = sys.env.getOrElse("SPARK_GRAFT_GATE_BASELINE",
+      "/root/repo/BENCH_gate_baseline.json")
+    def readTimes(path: String): Map[String, Double] = try {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readString(
-          java.nio.file.Paths.get(benchOut)))
+          java.nio.file.Paths.get(path)))
       val qs = node.get("queries")
       val it = qs.fields()
       val b = Map.newBuilder[String, Double]
       while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
       b.result()
     } catch { case _: Throwable => Map.empty }
+    val pinned = readTimes(gateBaseline)
+    val prevTimes: Map[String, Double] =
+      if (pinned.nonEmpty) { System.err.println(s"[bench] gate baseline: $gateBaseline (pinned)"); pinned }
+      else { System.err.println("[bench] gate baseline: BENCH_full_latest.json (no pin found)")
+             readTimes("/root/repo/BENCH_full_latest.json") }
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

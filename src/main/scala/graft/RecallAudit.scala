@@ -131,10 +131,11 @@ object RecallAudit {
         locally {
           val (cells, cb, cd) = Similarity.ivfPqTrain(e, m = 8, kc = 64,
             iters = 1)
-          val work = java.nio.file.Files
-            .createTempDirectory("graft-recall-ivfpq").toString
+          // freeze under the repo's build-transient scratch dir (cleared
+          // by clean), not a leaked /tmp dir per audit run
+          val work = "/root/repo/target/graft_recall/ivfpq"
           val (ceF, cbF, cdF) = Similarity.ivfPqFreeze(cells, cb, cd,
-            e.count(), work)
+            s"recall-ivfpq-${e.count()}", work)
           Seq(
             "ivfpq_frozen_np3_m8_k64" -> recall(pairs(
               Similarity.ivfPqAdcTopKFrozen(q, ceF, cbF, cdF,

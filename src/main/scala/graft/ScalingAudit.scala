@@ -125,8 +125,8 @@ object ScalingAudit {
         // is all the cell restriction lets into the scoring dataflow.
         val (cells, cb, cd) = Similarity.ivfPqTrain(v, m = 8, kc = 64,
           iters = 1)
-        val (ceF, cbF, cdF) = Similarity.ivfPqFreeze(cells, cb, cd, n,
-          s"$work/ivfpq_x$f")
+        val (ceF, cbF, cdF) = Similarity.ivfPqFreeze(cells, cb, cd,
+          s"scaling-ivfpq-$n", s"$work/ivfpq_x$f")
         val q = v.orderBy("vec_id").limit(5)
         report(s"ivfpq_serve_frozen_x$f", n,
           timed(Similarity.ivfPqRerankFrozen(q, v, ceF, cbF, cdF,
@@ -191,7 +191,8 @@ object ScalingAudit {
         // shortlist + exact rerank over the frozen code table (n·m rows)
         // — the serve-many path must read ~linear in the corpus
         val (cb, cd) = Similarity.pqTrain(v, m = 8, kc = 256, iters = 1)
-        val (cbF, cdF) = Similarity.pqFreeze(cb, cd, n, s"$work/pq_x$f")
+        val (cbF, cdF) = Similarity.pqFreeze(cb, cd, s"scaling-pq-$n",
+          s"$work/pq_x$f")
         val q = v.orderBy("vec_id").limit(5)
         report(s"pq_serve_frozen_x$f", n,
           timed(Similarity.pqRerankFrozen(q, v, cbF, cdF,

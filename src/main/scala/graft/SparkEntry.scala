@@ -123,17 +123,20 @@ object SparkEntry {
       |  CAST(count(*) AS BIGINT) AS n_occurrences FROM ln GROUP BY 1)""".stripMargin
 
   /** Where sim_pq_prod freezes its trained PQ model (codebooks + codes)
-    * to parquet, partitioned by corpus row count so per-SF runs coexist:
-    * the Verify pass writes it, then BOTH the Spark query and the DuckDB
-    * twin score from the same frozen files (the twin selects its SF's
-    * partition by matching `n_corpus` to `count(*) FROM embeddings`).
-    * Lives under target/ — build-transient, never committed.
+    * to parquet, partitioned by an explicit model id (`pqprod-<n>` —
+    * derived from the corpus row count so per-SF runs coexist AND the
+    * twin can reconstruct it): the Verify pass writes it, then BOTH the
+    * Spark query and the DuckDB twin score from the same frozen files
+    * (the twin selects the partition by deriving the same id from
+    * `count(*) FROM embeddings`). Lives under target/ — build-transient,
+    * never committed.
     */
   private val PqFrozenDir = "/root/repo/target/graft_frozen/pq_prod"
 
   /** Where sim_ivfpq_prod freezes its trained IVF-PQ index (cell
-    * centroids + codebooks + cell-carrying codes) — same n_corpus-keyed
-    * layout and lifecycle as [[PqFrozenDir]].
+    * centroids + codebooks + cell-carrying codes partitioned by
+    * (model_id, cell) for probe-time partition pruning) — same
+    * model-id-keyed lifecycle as [[PqFrozenDir]].
     */
   private val IvfPqFrozenDir = "/root/repo/target/graft_frozen/ivfpq_prod"
 
@@ -146,8 +149,8 @@ object SparkEntry {
   private val SqlAnnFrozenDir = "/root/repo/target/graft_frozen/sql_ann"
 
   /** Where sim_pq_addbatch freezes the BOOTSTRAP-trained PQ model whose
-    * codebooks the held-out batch is encoded against (keyed by the
-    * bootstrap row count — the twin selects the partition via the same
+    * codebooks the held-out batch is encoded against (model id derived
+    * from the bootstrap row count — the twin reconstructs it via the same
     * filtered count).
     */
   private val PqAddFrozenDir = "/root/repo/target/graft_frozen/pq_addbatch"
@@ -163,15 +166,17 @@ object SparkEntry {
   private def annFrozenTwinSql(base: String): String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+       |mid AS (SELECT 'ivfpq-' || CAST(count(*) AS VARCHAR) AS k FROM embeddings),
        |ce AS (SELECT cell, centroid
        |  FROM read_parquet('$base/cells/*/*.parquet', hive_partitioning = 1)
-       |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM embeddings)),
+       |  WHERE CAST(model_id AS VARCHAR) = (SELECT k FROM mid)),
        |cb AS (SELECT subspace, cluster, centroid
        |  FROM read_parquet('$base/codebooks/*/*.parquet', hive_partitioning = 1)
-       |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM embeddings)),
-       |cd AS (SELECT vec_id AS neighbor_id, cell, subspace, cluster
-       |  FROM read_parquet('$base/codes/*/*.parquet', hive_partitioning = 1)
-       |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM embeddings)),
+       |  WHERE CAST(model_id AS VARCHAR) = (SELECT k FROM mid)),
+       |cd AS (SELECT vec_id AS neighbor_id, CAST(cell AS INTEGER) AS cell,
+       |    subspace, cluster
+       |  FROM read_parquet('$base/codes/*/*/*.parquet', hive_partitioning = 1)
+       |  WHERE CAST(model_id AS VARCHAR) = (SELECT k FROM mid)),
        |probe AS (SELECT query_id, cell FROM (
        |  SELECT q.query_id, ce.cell,
        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
@@ -195,7 +200,7 @@ object SparkEntry {
 
   /** Where the frozen quality classifier's faces freeze their trained
     * logreg model (weights + standardization moments, dims+1 rows) — same
-    * per-SF `n_corpus` partition-keying contract as [[PqFrozenDir]]:
+    * per-SF model-id partition-keying contract as [[PqFrozenDir]]:
     * Verify writes it, then both the Spark query and the DuckDB twin
     * SCORE from the same frozen file. EACH face trains and freezes to its
     * OWN base dir: two trainings can differ in the last ulp (float
@@ -210,8 +215,10 @@ object SparkEntry {
 
   /** Shared train-once/serve-many harness for the frozen quality
     * classifier's three faces (batch / SQL TVF / streaming): train on the
-    * quality-rule label, freeze the model keyed by corpus size, read it
-    * BACK, and hand (docs, frozenModel) to the face's scorer.
+    * quality-rule label, freeze the model under an explicit model id
+    * (the pqFreeze registry contract — here `clf-<n>` so per-SF runs
+    * coexist and the twin can derive the id), read it BACK, and hand
+    * (docs, frozenModel) to the face's scorer.
     */
   private def frozenClfScore(s: SparkSession, dir: String, base: String)(
       via: (DataFrame, DataFrame) => DataFrame): DataFrame = {
@@ -220,13 +227,9 @@ object SparkEntry {
     val model = TextOps.logregTrain(docs,
       TextOps.qualityScoreCol(col("text")) >= 0.6)
     // dims+1 = 65 rows: model-scale, single-file is the right layout
-    model.withColumn("n_corpus", lit(n)).repartition(1)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("n_corpus")
-      .parquet(s"$base/model")
+    Similarity.freezeModelScale(model, s"clf-$n", s"$base/model")
     val mF = s.read.parquet(s"$base/model")
-      .where(col("n_corpus") === n).drop("n_corpus")
+      .where(col("model_id") === s"clf-$n").drop("model_id")
     via(docs, mF)
   }
 
@@ -239,7 +242,8 @@ object SparkEntry {
     val dims = 64
     s"""WITH mdl AS MATERIALIZED (SELECT CAST(b AS INTEGER) AS b, w, mu, sd
        |  FROM read_parquet('$base/model/*/*.parquet', hive_partitioning = 1)
-       |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM documents)),
+       |  WHERE CAST(model_id AS VARCHAR) =
+       |    'clf-' || CAST((SELECT count(*) FROM documents) AS VARCHAR)),
        |toksq AS (SELECT doc_id, $Toks AS tk FROM documents),
        |occ AS (SELECT doc_id, ${phSql("t", "0")} % $dims AS b
        |  FROM (SELECT doc_id, unnest(tk) AS t FROM toksq WHERE len(tk) > 0)),
@@ -1764,7 +1768,7 @@ object SparkEntry {
       val e = Tables(s, dir).embeddings
       val n = e.count()
       val (cb, cd) = Similarity.pqTrain(e, m = 8, kc = 256, iters = 1)
-      val (cbF, cdF) = Similarity.pqFreeze(cb, cd, n, PqFrozenDir)
+      val (cbF, cdF) = Similarity.pqFreeze(cb, cd, s"pqprod-$n", PqFrozenDir)
       Similarity.pqRerankFrozen(e.where(col("vec_id") < 5), e, cbF, cdF,
         topK = 3, candidates = 100)
     }),
@@ -1793,7 +1797,8 @@ object SparkEntry {
       val batch = e.where(col("vec_id") % 3 === 0)
       val nBoot = boot.count()
       val (cb, cd) = Similarity.pqTrain(boot, m = 4, kc = 16, iters = 1)
-      val (cbF, _) = Similarity.pqFreeze(cb, cd, nBoot, PqAddFrozenDir)
+      val (cbF, _) = Similarity.pqFreeze(cb, cd, s"pqadd-$nBoot",
+        PqAddFrozenDir)
       Similarity.pqEncodeFrozen(batch, cbF)
     }),
     "sim_ivfpq_prod" -> ((s, dir) => {
@@ -1801,8 +1806,8 @@ object SparkEntry {
       val n = e.count()
       val (cells, cb, cd) = Similarity.ivfPqTrain(e, m = 8, kc = 64,
         iters = 1)
-      val (ceF, cbF, cdF) = Similarity.ivfPqFreeze(cells, cb, cd, n,
-        IvfPqFrozenDir)
+      val (ceF, cbF, cdF) = Similarity.ivfPqFreeze(cells, cb, cd,
+        s"ivfpq-$n", IvfPqFrozenDir)
       Similarity.ivfPqRerankFrozen(e.where(col("vec_id") < 5), e, ceF, cbF,
         cdF, topK = 3, candidates = 50, nprobe = 3)
     }),
@@ -2590,8 +2595,8 @@ object SparkEntry {
       val n = e.count()
       val (cells, cb, cd) = Similarity.ivfPqTrain(e, m = 8, kc = 64,
         iters = 1)
-      val (ceF, cbF, cdF) = Similarity.ivfPqFreeze(cells, cb, cd, n,
-        StreamAnnFrozenDir)
+      val (ceF, cbF, cdF) = Similarity.ivfPqFreeze(cells, cb, cd,
+        s"ivfpq-$n", StreamAnnFrozenDir)
       val cellsSeq = ceF.select("cell", "centroid").collect().map(r =>
         (r.get(0).asInstanceOf[Number].longValue,
           r.getSeq[Double](1).toSeq)).toSeq
@@ -2612,8 +2617,8 @@ object SparkEntry {
       val n = e.count()
       val (cells, cb, cd) = Similarity.ivfPqTrain(e, m = 8, kc = 64,
         iters = 1)
-      val (ceF, cbF, cdF) = Similarity.ivfPqFreeze(cells, cb, cd, n,
-        SqlAnnFrozenDir)
+      val (ceF, cbF, cdF) = Similarity.ivfPqFreeze(cells, cb, cd,
+        s"ivfpq-$n", SqlAnnFrozenDir)
       e.where(col("vec_id") < 5)
         .createOrReplaceTempView("graft_sql_ann_queries")
       ceF.createOrReplaceTempView("graft_sql_ann_cells")
@@ -4761,8 +4766,9 @@ object SparkEntry {
     // bucket, unlike the training twin's data-present msd), index-ordered
     // dot, sigmoid — recomputed independently from the same file.
     // Training is deliberately out of this twin (it is text_quality_clf's
-    // oracle, same GD path); the SF partition is picked by matching
-    // n_corpus to this SF's document count, like the sim_pq_prod twin.
+    // oracle, same GD path); the model partition is picked by deriving the
+    // same `clf-<n>` model id from this SF's document count, like the
+    // sim_pq_prod twin.
     // One twin per face, pointed at THAT face's freeze dir (trainings can
     // differ in the last ulp, so faces never share a model).
     "clf_quality_frozen" -> clfFrozenTwinSql(ClfFrozenDir),
@@ -7021,12 +7027,13 @@ object SparkEntry {
     "sim_pq_prod" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+         |mid AS (SELECT 'pqprod-' || CAST(count(*) AS VARCHAR) AS k FROM embeddings),
          |cb AS (SELECT subspace, cluster, centroid
          |  FROM read_parquet('$PqFrozenDir/codebooks/*/*.parquet', hive_partitioning = 1)
-         |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM embeddings)),
+         |  WHERE CAST(model_id AS VARCHAR) = (SELECT k FROM mid)),
          |cd AS (SELECT vec_id AS neighbor_id, subspace, cluster
          |  FROM read_parquet('$PqFrozenDir/codes/*/*.parquet', hive_partitioning = 1)
-         |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM embeddings)),
+         |  WHERE CAST(model_id AS VARCHAR) = (SELECT k FROM mid)),
          |dt AS (SELECT q.query_id, cb.subspace, cb.cluster,
          |  list_sum(list_transform(range(1, len(cb.centroid) + 1),
          |    i -> (q.v[cb.subspace * len(cb.centroid) + i] - cb.centroid[i])
@@ -7060,15 +7067,17 @@ object SparkEntry {
     "sim_ivfpq_prod" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+         |mid AS (SELECT 'ivfpq-' || CAST(count(*) AS VARCHAR) AS k FROM embeddings),
          |ce AS (SELECT cell, centroid
          |  FROM read_parquet('$IvfPqFrozenDir/cells/*/*.parquet', hive_partitioning = 1)
-         |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM embeddings)),
+         |  WHERE CAST(model_id AS VARCHAR) = (SELECT k FROM mid)),
          |cb AS (SELECT subspace, cluster, centroid
          |  FROM read_parquet('$IvfPqFrozenDir/codebooks/*/*.parquet', hive_partitioning = 1)
-         |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM embeddings)),
-         |cd AS (SELECT vec_id AS neighbor_id, cell, subspace, cluster
-         |  FROM read_parquet('$IvfPqFrozenDir/codes/*/*.parquet', hive_partitioning = 1)
-         |  WHERE CAST(n_corpus AS BIGINT) = (SELECT count(*) FROM embeddings)),
+         |  WHERE CAST(model_id AS VARCHAR) = (SELECT k FROM mid)),
+         |cd AS (SELECT vec_id AS neighbor_id, CAST(cell AS INTEGER) AS cell,
+         |    subspace, cluster
+         |  FROM read_parquet('$IvfPqFrozenDir/codes/*/*/*.parquet', hive_partitioning = 1)
+         |  WHERE CAST(model_id AS VARCHAR) = (SELECT k FROM mid)),
          |probe AS (SELECT query_id, cell FROM (
          |  SELECT q.query_id, ce.cell,
          |    row_number() OVER (PARTITION BY q.query_id ORDER BY
@@ -7117,10 +7126,11 @@ object SparkEntry {
     "sim_pq_addbatch" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |b AS (SELECT vec_id, v FROM e WHERE vec_id % 3 = 0),
+         |mid AS (SELECT 'pqadd-' || CAST(count(*) AS VARCHAR) AS k
+         |  FROM embeddings WHERE vec_id % 3 <> 0),
          |cb AS (SELECT subspace, cluster, centroid
          |  FROM read_parquet('$PqAddFrozenDir/codebooks/*/*.parquet', hive_partitioning = 1)
-         |  WHERE CAST(n_corpus AS BIGINT) =
-         |    (SELECT count(*) FROM embeddings WHERE vec_id % 3 <> 0)),
+         |  WHERE CAST(model_id AS VARCHAR) = (SELECT k FROM mid)),
          |d AS (SELECT b.vec_id, cb.subspace, cb.cluster,
          |  list_sum(list_transform(range(1, len(cb.centroid) + 1),
          |    i -> (b.v[cb.subspace * len(cb.centroid) + i] - cb.centroid[i])

@@ -699,7 +699,13 @@ object Dedup {
       .where(col("len_a") >= col("len_b") * threshold &&
         col("len_b") >= col("len_a") * threshold)
       .select(col("block"), col("id_a"), col("id_b"))
-      .repartition(col("id_a"), col("id_b"))
+      // pin the spread width (REPARTITION_BY_NUM): the bare form is
+      // AQE-coalescable to one partition on small inputs, serializing the
+      // gram-array verify join behind it — same trap as containmentJoin's
+      // candidate stream above
+      .repartition(df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt,
+        col("id_a"), col("id_b"))
     (grams, pairs)
   }
 

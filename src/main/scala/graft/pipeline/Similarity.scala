@@ -1183,12 +1183,30 @@ object Similarity {
       parts.map(_._2).reduce(_ unionByName _))
   }
 
+  /** Write a MODEL-scale relation (codebooks, cell centroids, logreg
+    * weights — tens to thousands of rows) into the frozen-model registry
+    * layout: one file under its `model_id=` partition, dynamic overwrite
+    * scoped per-write so re-freezing one model never clears its
+    * neighbors.
+    */
+  private[graft] def freezeModelScale(df: DataFrame, modelId: String,
+      path: String): Unit =
+    df.withColumn("model_id", lit(modelId)).repartition(1)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("model_id")
+      .parquet(path)
+
   /** Freeze a trained PQ model ([[pqTrain]]'s `(codebooks, codes)`) to
-    * parquet under `base`, keyed by corpus row count `n` so runs at
-    * different scales coexist (`partitionBy(n_corpus)` + dynamic
+    * parquet under `base`, keyed by an EXPLICIT `modelId` (caller-chosen —
+    * a registry name, content hash, or corpus snapshot id) so distinct
+    * models coexist under one base (`partitionBy(model_id)` + dynamic
     * partition overwrite, scoped per-write), and return the read-back
-    * frames filtered to this corpus' partition — the train-once half of
-    * train-once/serve-many.
+    * frames filtered to this model's partition — the train-once half of
+    * train-once/serve-many. An explicit identity is the registry contract
+    * row-count keying cannot give: two same-size corpora (or two
+    * snapshots of one corpus) freeze to DISTINCT partitions instead of
+    * silently dynamic-overwriting each other (SimilaritySpec-pinned).
     *
     * Write shapes are deliberately different per relation: codebooks are
     * MODEL-scale (m·kc rows) — one file is the right layout; codes are
@@ -1198,25 +1216,21 @@ object Similarity {
     * corpus through a single task (PlanSpec-pinned: no corpus-scale
     * single-partition exchange).
     */
-  def pqFreeze(cb: DataFrame, cd: DataFrame, n: Long, base: String):
+  def pqFreeze(cb: DataFrame, cd: DataFrame, modelId: String, base: String):
       (DataFrame, DataFrame) = {
     val s = cb.sparkSession
-    cb.withColumn("n_corpus", lit(n)).repartition(1)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("n_corpus")
-      .parquet(s"$base/codebooks")
+    freezeModelScale(cb, modelId, s"$base/codebooks")
     val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
-    cd.withColumn("n_corpus", lit(n))
+    cd.withColumn("model_id", lit(modelId))
       .repartition(shuffleN, col("vec_id"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("n_corpus")
+      .partitionBy("model_id")
       .parquet(s"$base/codes")
     (s.read.parquet(s"$base/codebooks")
-        .where(col("n_corpus") === n).drop("n_corpus"),
+        .where(col("model_id") === modelId).drop("model_id"),
       s.read.parquet(s"$base/codes")
-        .where(col("n_corpus") === n).drop("n_corpus"))
+        .where(col("model_id") === modelId).drop("model_id"))
   }
 
   /** Encode NEW vectors against a FROZEN PQ model — index maintenance
@@ -1288,6 +1302,7 @@ object Similarity {
       .collect().map(r => r.get(0).asInstanceOf[Number].intValue ->
         r.get(1).asInstanceOf[Number].intValue).toMap
     val m = geo.size
+    require(m >= 1, "codebooks must be non-empty")
     require(geo.keySet == (0 until m).toSet,
       s"codebooks must cover subspaces 0..${m - 1}, got ${geo.keySet}")
     require(geo.values.toSet.size == 1,
@@ -1449,24 +1464,38 @@ object Similarity {
   }
 
   /** Freeze a trained IVF-PQ index ([[ivfPqTrain]]'s
-    * `(cells, codebooks, codes)`) to parquet under `base`, keyed by corpus
-    * row count like [[pqFreeze]] (which writes the codebooks/codes halves:
-    * model-scale relations single-file, the corpus-scale codes sharded by
-    * an explicit-width repartition). The cell-centroid relation is
-    * model-scale — one row per cell — so it takes the single-file layout.
-    * Returns the read-back frames filtered to this corpus' partition.
+    * `(cells, codebooks, codes)`) to parquet under `base`, keyed by an
+    * explicit `modelId` like [[pqFreeze]]. The two model-scale relations
+    * (cell centroids — one row per cell — and codebooks) take the
+    * single-file layout; the corpus-scale codes write CELL-PARTITIONED —
+    * `partitionBy(model_id, cell)`, sharded within each cell by an
+    * explicit-width `repartition(shuffle.partitions, cell, vec_id)`
+    * (REPARTITION_BY_NUM, AQE-proof) — so the serving probe's cell
+    * restriction becomes real PARTITION PRUNING on the codes scan: at
+    * 100 TB a nprobe-of-#cells query reads only nprobe directories of
+    * the code table instead of filtering after a full scan
+    * ([[ivfPqAdcTopKFrozen]] pushes the probed-cell set as a static IN
+    * filter; PlanSpec pins the pruned file set). Returns the read-back
+    * frames filtered to this model's partition.
     */
-  def ivfPqFreeze(cells: DataFrame, cb: DataFrame, cd: DataFrame, n: Long,
-      base: String): (DataFrame, DataFrame, DataFrame) = {
+  def ivfPqFreeze(cells: DataFrame, cb: DataFrame, cd: DataFrame,
+      modelId: String, base: String): (DataFrame, DataFrame, DataFrame) = {
     val s = cells.sparkSession
-    cells.withColumn("n_corpus", lit(n)).repartition(1)
+    freezeModelScale(cells, modelId, s"$base/cells")
+    freezeModelScale(cb, modelId, s"$base/codebooks")
+    val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
+    cd.withColumn("model_id", lit(modelId))
+      .repartition(shuffleN, col("cell"), col("vec_id"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("n_corpus")
-      .parquet(s"$base/cells")
-    val (cbF, cdF) = pqFreeze(cb, cd, n, base)
+      .partitionBy("model_id", "cell")
+      .parquet(s"$base/codes")
     (s.read.parquet(s"$base/cells")
-      .where(col("n_corpus") === n).drop("n_corpus"), cbF, cdF)
+        .where(col("model_id") === modelId).drop("model_id"),
+      s.read.parquet(s"$base/codebooks")
+        .where(col("model_id") === modelId).drop("model_id"),
+      s.read.parquet(s"$base/codes")
+        .where(col("model_id") === modelId).drop("model_id"))
   }
 
   /** ADC top-k over a FROZEN IVF-PQ index — the full production serving
@@ -1478,8 +1507,10 @@ object Similarity {
     * (same geometry probe, same serving-side dimension guard, same
     * subspace-ordered sum). Nothing here trains and nothing touches a raw
     * corpus vector: at 100 TB the scan cost is ~nprobe/#cells of the code
-    * table — which a cell-partitioned codes layout turns into partition
-    * pruning — and the per-row cost is m lookups.
+    * table — REALIZED as partition pruning under [[ivfPqFreeze]]'s
+    * `partitionBy(model_id, cell)` layout, via the static probed-cell IN
+    * filter pushed onto the codes scan below — and the per-row cost is m
+    * lookups.
     */
   def ivfPqAdcTopKFrozen(queries: DataFrame, cells: DataFrame,
       codebooks: DataFrame, codes: DataFrame, topK: Int, nprobe: Int,
@@ -1492,6 +1523,7 @@ object Similarity {
       .collect().map(r => r.get(0).asInstanceOf[Number].intValue ->
         r.get(1).asInstanceOf[Number].intValue).toMap
     val m = geo.size
+    require(m >= 1, "codebooks must be non-empty")
     require(geo.keySet == (0 until m).toSet,
       s"codebooks must cover subspaces 0..${m - 1}, got ${geo.keySet}")
     require(geo.values.toSet.size == 1,
@@ -1512,6 +1544,18 @@ object Similarity {
       .withColumn("prank", row_number().over(wq))
       .where(col("prank") <= nprobe)
       .select(col("query_id"), col("cell"))
+    // Static partition pruning: the UNION of probed cells is bounded by
+    // #cells (the metadata-scale relation the probe already broadcasts),
+    // so collecting it and pushing an IN filter onto the code-table scan
+    // turns the nprobe/#cells saving into directory-level pruning under
+    // the [[ivfPqFreeze]] `partitionBy(model_id, cell)` layout — unprobed
+    // cells are never READ, not filtered post-scan (PlanSpec pins the
+    // pruned file set). Semantically redundant with the per-query probed
+    // join below (which this filter never widens), so the function stays
+    // correct over non-partitioned in-memory code frames too.
+    val probedCells = probed.select("cell").distinct().collect()
+      .map(_.get(0))
+    val prunedCodes = codes.where(col("cell").isin(probedCells: _*))
     val qsl = (0 until m).map(j =>
         queries.select(col(idCol).as("query_id"),
           lit(j).as("subspace"),
@@ -1523,7 +1567,7 @@ object Similarity {
         sqDist(col("__qv"), col("centroid")).as("d"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
-    codes.select(col("vec_id").as("neighbor_id"), col("cell"),
+    prunedCodes.select(col("vec_id").as("neighbor_id"), col("cell"),
         col("subspace"), col("cluster"))
       // cell restriction FIRST: unprobed cells never enter scoring
       .join(broadcast(probed), Seq("cell"))

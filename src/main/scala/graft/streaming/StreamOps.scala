@@ -532,7 +532,12 @@ object StreamOps {
     * cells, stream-static-joins the frozen code table on the cell key —
     * so unprobed cells never enter the stream — and a per-query group
     * computes the subspace-ordered ADC sums and the (adc asc, id asc)
-    * top-k with the batch fold's exact float-op sequence.
+    * top-k with the batch fold's exact float-op sequence. The group
+    * function folds the candidate iterator INCREMENTALLY: per-query
+    * executor memory is O(#neighbors·m) accumulated (subspace, dist)
+    * slots plus the memoized distance table — never the raw candidate
+    * rows (which carry a query-vector copy each and grow with corpus
+    * size at fixed #cells).
     *
     * Run on a BATCH frame this returns exactly `ivfPqAdcTopKFrozen`
     * (the `stream_ann_topk` gate's twin recomputes the same arithmetic
@@ -560,6 +565,13 @@ object StreamOps {
     require(subs.size == 1,
       s"all codebook centroids must share one width, got $subs")
     val sub = subs.head
+    // geometry guard on the FROZEN CELLS too: a mis-shaped cells relation
+    // (centroid width != m·sub) would silently truncate the probe fold
+    // and diverge from the batch probe — fail loudly at construction,
+    // like the query-side dimension guard below
+    require(cells.forall(_._2.length == m * sub),
+      s"every frozen cell centroid must have the model's m*sub = ${m * sub} " +
+        s"dimensions, got widths ${cells.map(_._2.length).distinct.sorted}")
     val cents: Array[(Long, Array[Double])] =
       cells.map { case (c, v) => (c, v.toArray) }.toArray
     val cbMap: Map[(Int, Int), Array[Double]] =
@@ -608,23 +620,41 @@ object StreamOps {
       .flatMapGroupsWithState[Boolean, AnnHit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (qid, rows, _: GroupState[Boolean]) =>
-          val rs = rows.toVector
-          if (rs.isEmpty) Iterator.empty
+          // INCREMENTAL fold over the candidate iterator — never
+          // materialize the candidate row set (m·nprobe·(n/#cells) rows,
+          // each carrying a deserialized copy of the query vector: at real
+          // corpus sizes a toVector here is hundreds of MB of executor
+          // heap per in-flight query). Retained state is O(#neighbors·m):
+          // one (subspace, dist) slot per neighbor code — the distances
+          // are memoized per (subspace, cluster), and the query vector is
+          // kept ONCE from the first row. The final per-neighbor sum runs
+          // subspace-ordered from 0.0 — the batch fold's exact float-op
+          // sequence — so this face stays bit-equal to ivfPqAdcTopKFrozen.
+          if (!rows.hasNext) Iterator.empty
           else {
-            val v = rs.head.v
+            var v: Seq[Double] = null
             // per-(subspace, cluster) distance table, memoized per query
             val dt = scala.collection.mutable.HashMap.empty[(Int, Int), Double]
-            val byNeighbor = rs.groupBy(_.neighbor_id)
-            val scoredN = byNeighbor.iterator
-              .filter { case (nid, _) => nid != qid }
-              .map { case (nid, cs) =>
+            // neighbor -> its (subspace, dist) pairs, filled as rows stream
+            val perN = scala.collection.mutable.HashMap
+              .empty[Long, scala.collection.mutable.ArrayBuffer[(Int, Double)]]
+            rows.foreach { c =>
+              if (v == null) v = c.v
+              if (c.neighbor_id != qid) {
+                val d = dt.getOrElseUpdate((c.subspace, c.cluster),
+                  sqd(v, c.subspace, cbMap((c.subspace, c.cluster))))
+                perN.getOrElseUpdate(c.neighbor_id,
+                  scala.collection.mutable.ArrayBuffer.empty) += ((c.subspace, d))
+              }
+            }
+            val scoredN = perN.iterator
+              .map { case (nid, ds0) =>
                 // subspace-ordered sum from 0.0 — the batch fold's order
-                val ds = cs.sortBy(_.subspace)
+                // (stable sort: ties keep arrival order, as the batch
+                // face's sortBy does)
+                val ds = ds0.sortBy(_._1)
                 var acc = 0.0
-                ds.foreach { c =>
-                  acc += dt.getOrElseUpdate((c.subspace, c.cluster),
-                    sqd(v, c.subspace, cbMap((c.subspace, c.cluster))))
-                }
+                ds.foreach { case (_, d) => acc += d }
                 (nid, acc)
               }
               .toVector

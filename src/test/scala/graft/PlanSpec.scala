@@ -597,7 +597,7 @@ class PlanSpec extends SparkSpec {
     val (cb, cd) = Similarity.pqTrain(e, m = 2, kc = 2, iters = 1)
     val dir = tmpDir("graft-pq-freeze")
     val n = e.count()
-    val (cbF, cdF) = Similarity.pqFreeze(cb, cd, n, dir)
+    val (cbF, cdF) = Similarity.pqFreeze(cb, cd, s"planspec-$n", dir)
     def parts(sub: String): Int = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
@@ -618,29 +618,59 @@ class PlanSpec extends SparkSpec {
     assert(cdF.columns.sorted.toSeq == Seq("cluster", "subspace", "vec_id"))
   }
 
-  test("ivfPqFreeze keeps the pqFreeze layout and adds single-file cells") {
+  test("ivfPqFreeze cell-partitions the codes; serving prunes to probed " +
+    "cell directories") {
     import graft.pipeline.Similarity
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val (cells, cb, cd) = Similarity.ivfPqTrain(e, m = 2, kc = 2, iters = 1)
     val dir = tmpDir("graft-ivfpq-freeze")
     val n = e.count()
-    val (ceF, cdbF, cdsF) = Similarity.ivfPqFreeze(cells, cb, cd, n, dir)
-    def parts(sub: String): Int = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val (ceF, cdbF, cdsF) = Similarity.ivfPqFreeze(cells, cb, cd,
+      s"planspec-$n", dir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    def parts(sub: String): Seq[java.io.File] =
       walk(new java.io.File(s"$dir/$sub"))
-        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-    }
-    // same contract as pqFreeze — the corpus-scale codes relation (now
-    // carrying its cell id) writes sharded; the two model-scale relations
-    // (cells: one row per cell; codebooks: m·kc rows) are one file each
-    assert(parts("codes") > 1,
-      s"codes wrote ${parts("codes")} part file(s) — corpus-scale write funneled through one task")
-    assert(parts("codebooks") == 1, "codebooks should be one file")
-    assert(parts("cells") == 1, "cells are model-scale — one file")
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    // corpus-scale codes: partitioned by (model_id, cell) — one directory
+    // per cell so the serving probe prunes at the directory level — and
+    // sharded (no single-task funnel) across the whole relation
+    val nCells = e.select("label").distinct().count()
+    val codeCellDirs = parts("codes").map(_.getParentFile.getName)
+      .filter(_.startsWith("cell=")).distinct
+    assert(codeCellDirs.size == nCells,
+      s"codes must lay out one cell= directory per corpus cell, got $codeCellDirs")
+    assert(parts("codes").size > 1,
+      s"codes wrote ${parts("codes").size} part file(s) — corpus-scale write funneled through one task")
+    assert(parts("codebooks").size == 1, "codebooks should be one file")
+    assert(parts("cells").size == 1, "cells are model-scale — one file")
     assert(cdsF.count() == n * 2, "frozen codes must hold n*m rows")
-    assert(ceF.count() == e.select("label").distinct().count(),
+    assert(ceF.count() == nCells,
       "frozen cells must hold one centroid per corpus cell")
     assert(cdbF.count() == 2 * 2, "frozen codebooks must hold m*kc rows")
+    // SERVE-TIME PARTITION PRUNING: one query at nprobe=2 must read only
+    // its 2 probed cells' code directories — the static probed-cell IN
+    // filter lands in the scan's PartitionFilters, so unprobed cells are
+    // never read (the 100 TB nprobe/#cells saving as directory pruning,
+    // not a post-scan filter)
+    assert(nCells > 2, s"fixture needs >2 cells for a pruning test, got $nCells")
+    val serve = Similarity.ivfPqAdcTopKFrozen(
+      e.where(col("vec_id") === 0), ceF, cdbF, cdsF, topK = 3, nprobe = 2)
+    // the codes scan's SELECTED partition listing (post partition-filter
+    // pruning, the thing the executor actually reads) must hold exactly
+    // the nprobe probed cell directories — .inputFiles is pre-pushdown
+    // and would show all of them
+    val codesScans = serve.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("codes")) => s
+    }
+    assert(codesScans.nonEmpty, "serve plan must scan the frozen codes files")
+    val scan = codesScans.head
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"codes scan selected ${scan.selectedPartitions.partitionCount} cell " +
+        "partitions — expected exactly nprobe=2 (directory pruning)")
+    val scanStr = scan.toString
+    assert(scanStr.contains("PartitionFilters") && scanStr.contains("cell"),
+      "probed-cell restriction must reach the codes scan as a partition filter")
   }
 }

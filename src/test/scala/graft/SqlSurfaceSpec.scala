@@ -243,8 +243,8 @@ class SqlSurfaceSpec extends SparkSpec {
     GraftTableFunctions.registerAll(spark)
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val (cells, cb, cd) = Similarity.ivfPqTrain(e, m = 2, kc = 4, iters = 1)
-    val (ceF, cbF, cdF) = Similarity.ivfPqFreeze(cells, cb, cd, e.count(),
-      tmpDir("graft-sql-ann"))
+    val (ceF, cbF, cdF) = Similarity.ivfPqFreeze(cells, cb, cd,
+      s"spec-${e.count()}", tmpDir("graft-sql-ann"))
     val q = e.where(col("vec_id") < 5)
     q.createOrReplaceTempView("sqlspec_ann_q")
     ceF.createOrReplaceTempView("sqlspec_ann_cells")

@@ -247,7 +247,7 @@ class StreamOpsSpec extends SparkSpec {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = e.count()
     val (cells, cb, cd) = Similarity.ivfPqTrain(e, m = 2, kc = 4, iters = 1)
-    val (ceF, cbF, cdF) = Similarity.ivfPqFreeze(cells, cb, cd, n,
+    val (ceF, cbF, cdF) = Similarity.ivfPqFreeze(cells, cb, cd, s"spec-$n",
       tmpDir("graft-stream-ann"))
     val cellsSeq = ceF.select("cell", "centroid").collect().map(r =>
       (r.get(0).asInstanceOf[Number].longValue, r.getSeq[Double](1).toSeq)).toSeq
@@ -292,7 +292,50 @@ class StreamOpsSpec extends SparkSpec {
       StreamOps.annServeStream(badQ, cellsSeq, cbSeq, cdF,
         topK = 3, nprobe = 2).toDF().count()
     }
-    assert(err.getMessage != null)
+    // the GUARD must be what raised — an unrelated analysis/runtime
+    // failure must not pass this test (Spark wraps the executor-side
+    // IllegalArgumentException, so match on the guard text through the
+    // cause chain rendering)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("must equal the frozen model's")),
+      s"expected the serving dimension guard, got: ${messages(err).mkString(" | ")}")
+  }
+
+  test("annServeStream: many-candidates group (nprobe = all cells) folds " +
+    "incrementally and stays bit-equal to the batch server") {
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (cells, cb, cd) = Similarity.ivfPqTrain(e, m = 2, kc = 4, iters = 1)
+    val (ceF, cbF, cdF) = Similarity.ivfPqFreeze(cells, cb, cd,
+      s"spec-many-${e.count()}", tmpDir("graft-stream-ann-many"))
+    val cellsSeq = ceF.select("cell", "centroid").collect().map(r =>
+      (r.get(0).asInstanceOf[Number].longValue, r.getSeq[Double](1).toSeq)).toSeq
+    val cbSeq = cbF.select("subspace", "cluster", "centroid").collect()
+      .map(r => (r.get(0).asInstanceOf[Number].intValue,
+        r.get(1).asInstanceOf[Number].intValue,
+        r.getSeq[Double](2).toSeq)).toSeq
+    // nprobe = every cell → each query's candidate group is the ENTIRE
+    // code table (n·m rows) — the shape the incremental fold exists for:
+    // the group function must stream it without materializing, and the
+    // result must still be the batch server's exact rows
+    val np = cellsSeq.size
+    val queries = e.where(col("vec_id") < 3).select("vec_id", "embedding")
+    val reference = rowsOf9(Similarity.ivfPqAdcTopKFrozen(
+      queries, ceF, cbF, cdF, topK = 5, nprobe = np))
+    assert(reference.nonEmpty)
+    assert(rowsOf9(StreamOps.annServeStream(queries, cellsSeq, cbSeq, cdF,
+        topK = 5, nprobe = np).toDF()) == reference,
+      "corpus-wide candidate groups must fold to the batch server's rows")
+    // mis-shaped frozen cells (wrong centroid width) must fail loudly at
+    // construction, not silently truncate the probe fold
+    val badCells = cellsSeq.map { case (c, v) => (c, v.take(7)) }
+    val g = intercept[IllegalArgumentException] {
+      StreamOps.annServeStream(queries, badCells, cbSeq, cdF,
+        topK = 5, nprobe = np)
+    }
+    assert(g.getMessage.contains("every frozen cell centroid"))
   }
 
   test("intervalJoinStream: stream-stream join parity with the batch operator") {
