@@ -155,6 +155,38 @@ object SparkEntry {
     */
   private val PqAddFrozenDir = "/root/repo/target/graft_frozen/pq_addbatch"
 
+  /** Where stream_pq_addbatch freezes ITS bootstrap PQ model (own dir —
+    * the per-face freeze policy; see the clf dirs' comment).
+    */
+  private val StreamPqAddFrozenDir =
+    "/root/repo/target/graft_frozen/stream_pq_addbatch"
+
+  /** DuckDB twin of frozen-codebook batch encoding over the model under
+    * `base` — shared by sim_pq_addbatch and stream_pq_addbatch so the
+    * maintenance arithmetic has ONE SQL definition: encode the held-out
+    * batch (vec_id % 3 = 0) against the bootstrap-frozen codebooks — per
+    * (vector, subspace) the argmin cluster by squared L2 with the
+    * training assignment's exact (dist, cluster) tie-break, recomputed
+    * from the same frozen parquet.
+    */
+  private def pqAddTwinSql(base: String): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v FROM e WHERE vec_id % 3 = 0),
+       |mid AS (SELECT 'pqadd-' || CAST(count(*) AS VARCHAR) AS k
+       |  FROM embeddings WHERE vec_id % 3 <> 0),
+       |cb AS (SELECT subspace, cluster, centroid
+       |  FROM read_parquet('$base/codebooks/*/*.parquet', hive_partitioning = 1)
+       |  WHERE CAST(model_id AS VARCHAR) = (SELECT k FROM mid)),
+       |d AS (SELECT b.vec_id, cb.subspace, cb.cluster,
+       |  list_sum(list_transform(range(1, len(cb.centroid) + 1),
+       |    i -> (b.v[cb.subspace * len(cb.centroid) + i] - cb.centroid[i])
+       |       * (b.v[cb.subspace * len(cb.centroid) + i] - cb.centroid[i]))) AS dist
+       |  FROM b CROSS JOIN cb)
+       |SELECT vec_id, subspace, cluster, dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+       |    ORDER BY dist ASC, cluster ASC) AS rn FROM d)
+       |WHERE rn = 1""".stripMargin
+
   /** DuckDB twin of frozen IVF-PQ ADC serving (no rerank tail) over the
     * index under `base` — shared by the stream_ann_topk and sql_ann_serve
     * oracles so the serving arithmetic has ONE SQL definition: coarse
@@ -1800,6 +1832,26 @@ object SparkEntry {
       val (cbF, _) = Similarity.pqFreeze(cb, cd, s"pqadd-$nBoot",
         PqAddFrozenDir)
       Similarity.pqEncodeFrozen(batch, cbF)
+    }),
+    // the same frozen-index maintenance AT INGEST: arriving vectors are
+    // encoded against driver-literal frozen codebooks by a stateless
+    // narrow map (the annServeStream frozen-model policy) — the batch
+    // face runs the streaming kernel verbatim, and StreamOpsSpec drives
+    // it as a real two-batch MemoryStream plus the foreachBatch append
+    // sink into the frozen codes relation
+    "stream_pq_addbatch" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val boot = e.where(col("vec_id") % 3 =!= 0)
+      val batch = e.where(col("vec_id") % 3 === 0)
+      val nBoot = boot.count()
+      val (cb, cd) = Similarity.pqTrain(boot, m = 4, kc = 16, iters = 1)
+      val (cbF, _) = Similarity.pqFreeze(cb, cd, s"pqadd-$nBoot",
+        StreamPqAddFrozenDir)
+      val cbSeq = cbF.select("subspace", "cluster", "centroid").collect()
+        .map(r => (r.get(0).asInstanceOf[Number].intValue,
+          r.get(1).asInstanceOf[Number].longValue,
+          r.getSeq[Double](2).toSeq)).toSeq
+      graft.streaming.StreamOps.pqEncodeStream(batch, cbSeq).toDF()
     }),
     "sim_ivfpq_prod" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
@@ -7123,23 +7175,12 @@ object SparkEntry {
     // against the bootstrap-frozen codebooks — per (vector, subspace) the
     // argmin cluster by squared L2 with the training assignment's exact
     // (dist, cluster) tie-break, recomputed from the same frozen parquet.
-    "sim_pq_addbatch" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |b AS (SELECT vec_id, v FROM e WHERE vec_id % 3 = 0),
-         |mid AS (SELECT 'pqadd-' || CAST(count(*) AS VARCHAR) AS k
-         |  FROM embeddings WHERE vec_id % 3 <> 0),
-         |cb AS (SELECT subspace, cluster, centroid
-         |  FROM read_parquet('$PqAddFrozenDir/codebooks/*/*.parquet', hive_partitioning = 1)
-         |  WHERE CAST(model_id AS VARCHAR) = (SELECT k FROM mid)),
-         |d AS (SELECT b.vec_id, cb.subspace, cb.cluster,
-         |  list_sum(list_transform(range(1, len(cb.centroid) + 1),
-         |    i -> (b.v[cb.subspace * len(cb.centroid) + i] - cb.centroid[i])
-         |       * (b.v[cb.subspace * len(cb.centroid) + i] - cb.centroid[i]))) AS dist
-         |  FROM b CROSS JOIN cb)
-         |SELECT vec_id, subspace, cluster, dist FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
-         |    ORDER BY dist ASC, cluster ASC) AS rn FROM d)
-         |WHERE rn = 1""".stripMargin,
+    "sim_pq_addbatch" -> pqAddTwinSql(PqAddFrozenDir),
+
+    // Twin of stream_pq_addbatch: the SAME maintenance arithmetic (the
+    // streaming encode kernel replicates assignStep's fold and tie-break
+    // exactly), reading the stream face's own frozen dir.
+    "stream_pq_addbatch" -> pqAddTwinSql(StreamPqAddFrozenDir),
 
     // Twin of Similarity.ivfPqTopK(k=3, nprobe=3, m=2, kc=4, iters=1):
     // the sim_ivf_topk probe CTEs (label-cell centroids, cosine rank <=

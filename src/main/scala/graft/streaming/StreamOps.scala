@@ -669,6 +669,96 @@ object StreamOps {
       }
   }
 
+  final case class PqCode(vec_id: Long, subspace: Int, cluster: Long,
+    dist: Double)
+
+  /** Streaming PQ-index MAINTENANCE — the online face of
+    * [[graft.pipeline.Similarity.pqEncodeFrozen]], for the
+    * encode-at-arrival shape (each arriving vector is encoded against the
+    * persisted codebooks; nothing retrains): per subspace slice the
+    * argmin cluster by squared L2 with EXACTLY the training assignment's
+    * arithmetic — VecSqDist's element-order fold over the slice, clusters
+    * scanned ascending so equal distances keep the smallest cluster (the
+    * batch assignStep's (dist, cluster) struct-min tie-break) — so codes
+    * produced at ingest are indistinguishable from codes the original
+    * training would have assigned. Codebooks are driver-literal
+    * (metadata-scale, the [[annServeStream]] frozen-model policy); the op
+    * is a stateless narrow map, so it runs identically on a batch frame
+    * (the `stream_pq_addbatch` gate aliases the `sim_pq_addbatch` twin)
+    * and on a stream in Append mode with zero state. A vector whose
+    * dimension disagrees with the frozen geometry raises (the
+    * pqEncodeFrozen guard). Output: (vec_id, subspace, cluster, dist),
+    * one row per (vector, subspace).
+    */
+  def pqEncodeStream(vecs: DataFrame,
+      codebooks: Seq[(Int, Long, Seq[Double])], idCol: String = "vec_id",
+      vecCol: String = "embedding"): Dataset[PqCode] = {
+    require(codebooks.nonEmpty, "codebooks must be non-empty")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val m = codebooks.map(_._1).distinct.size
+    require(codebooks.map(_._1).toSet == (0 until m).toSet,
+      s"codebooks must cover subspaces 0..${m - 1}")
+    val subs = codebooks.map(_._3.length).toSet
+    require(subs.size == 1,
+      s"all codebook centroids must share one width, got $subs")
+    val sub = subs.head
+    // per subspace, clusters ASCENDING: scanning order IS the tie-break
+    val cbArr: Array[Array[(Long, Array[Double])]] =
+      (0 until m).map(j => codebooks.filter(_._1 == j).sortBy(_._2)
+        .map { case (_, c, v) => (c, v.toArray) }.toArray).toArray
+    vecs.select(col(idCol).cast("long").as("vec_id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (id, v) =>
+        if (v.length != m * sub) throw new IllegalArgumentException(
+          s"vector dimension ${v.length} must equal the frozen " +
+            s"model's m*sub = ${m * sub}")
+        (0 until m).iterator.map { j =>
+          var bestC = -1L; var bestD = 0.0; var first = true
+          cbArr(j).foreach { case (c, cent) =>
+            // VecSqDist's exact fold over the subspace slice
+            var acc = 0.0; var i = 0
+            while (i < sub) {
+              val t = v(j * sub + i) - cent(i); acc += t * t; i += 1
+            }
+            if (first || java.lang.Double.compare(acc, bestD) < 0) {
+              bestC = c; bestD = acc; first = false
+            }
+          }
+          PqCode(id, j, bestC, bestD)
+        }
+      }
+  }
+
+  /** The ingest half wired to storage: encode each arriving micro-batch
+    * against the frozen codebooks ([[pqEncodeStream]]) and APPEND the new
+    * codes to the frozen model's code relation under its `model_id`
+    * partition — the [[graft.pipeline.Similarity.pqFreeze]] layout, so
+    * serving reads never distinguish bootstrap codes from ingested ones.
+    * Cost per micro-batch is proportional to the BATCH (m broadcast-free
+    * local argmins per vector), never the corpus or the index.
+    */
+  def pqEncodeAppendSink(vecs: DataFrame,
+      codebooks: Seq[(Int, Long, Seq[Double])], base: String,
+      modelId: String, triggerMs: Long = 1000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
+        pqEncodeStream(batch.toDF(), codebooks, idCol, vecCol).toDF()
+          .withColumn("model_id", lit(modelId))
+          .repartition(shuffleN, col("vec_id"))
+          .write.mode("append")
+          .partitionBy("model_id")
+          .parquet(s"$base/codes")
+        ()
+      }
+      .start()
+
   /** Custom per-series running state (last/min/max/count) via
     * mapGroupsWithState — the streaming "current dashboard value" of the
     * reference (A1/A2 continuously maintained).

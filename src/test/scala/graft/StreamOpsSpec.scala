@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, explode, when}
+import org.apache.spark.sql.functions.{col, explode, transform, when}
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.StreamOps
@@ -336,6 +336,69 @@ class StreamOpsSpec extends SparkSpec {
         topK = 5, nprobe = np)
     }
     assert(g.getMessage.contains("every frozen cell centroid"))
+  }
+
+  test("pqEncodeStream: batch face == pqEncodeFrozen; micro-batches append " +
+    "to the frozen codes relation") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val boot = e.where(col("vec_id") % 3 =!= 0)
+    val batch = e.where(col("vec_id") % 3 === 0)
+    val (cb, cd) = Similarity.pqTrain(boot, m = 2, kc = 4, iters = 1)
+    val base = tmpDir("graft-stream-pqadd")
+    val modelId = s"spec-add-${boot.count()}"
+    val (cbF, _) = Similarity.pqFreeze(cb, cd, modelId, base)
+    val cbSeq = cbF.select("subspace", "cluster", "centroid").collect()
+      .map(r => (r.get(0).asInstanceOf[Number].intValue,
+        r.get(1).asInstanceOf[Number].longValue,
+        r.getSeq[Double](2).toSeq)).toSeq
+
+    // batch face: the streaming encode kernel must land on exactly the
+    // batch maintenance rows (same fold order, same tie-break)
+    val reference = rowsOf(Similarity.pqEncodeFrozen(batch, cbF)
+      .select("vec_id", "subspace", "cluster", "dist"))
+    assert(reference.nonEmpty)
+    assert(rowsOf(StreamOps.pqEncodeStream(batch, cbSeq).toDF()
+        .select("vec_id", "subspace", "cluster", "dist")) == reference,
+      "stream encode kernel must equal pqEncodeFrozen bit-for-bit")
+
+    // streaming face: vectors arriving across micro-batches, appended to
+    // the frozen codes relation via the foreachBatch sink — the read-back
+    // under this model's partition must hold bootstrap + ingested codes
+    val before = spark.read.parquet(s"$base/codes")
+      .where(col("model_id") === modelId).count()
+    val rows = batch.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.pqEncodeAppendSink(
+      in.toDS().toDF("vec_id", "embedding"), cbSeq, base, modelId,
+      triggerMs = 50)
+    try {
+      in.addData(rows.filter(_._1 % 2 == 0).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(rows.filter(_._1 % 2 == 1).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val after = spark.read.parquet(s"$base/codes")
+      .where(col("model_id") === modelId)
+    assert(after.count() == before + reference.size,
+      "sink must append exactly the ingested batch's codes")
+    // ingested codes are indistinguishable from batch-encoded ones
+    val ingested = after.where(col("vec_id") % 3 === 0)
+      .select("vec_id", "subspace", "cluster", "dist")
+    assert(rowsOf(ingested) == reference)
+    // geometry guard survives the stream kernel
+    val bad = batch.selectExpr("vec_id", "slice(embedding, 1, 7) as embedding")
+    val err = intercept[Exception] {
+      StreamOps.pqEncodeStream(bad, cbSeq).toDF().count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("must equal the frozen")),
+      s"expected the encode dimension guard, got: ${messages(err).mkString(" | ")}")
   }
 
   test("intervalJoinStream: stream-stream join parity with the batch operator") {
