@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Sessions, Tables}
 import graft.ops.{AsofJoin, Retention, Sessionize}
-import graft.pipeline.{Audio, Bpe, Components, Curation, Dedup, Export, IncrementalDedup, IncrementalSemDedup, Multimodal, Packing, Profile, Sampling, SemiStructured, Similarity, Sketches, TextCdc, TextOps, Video}
+import graft.pipeline.{Audio, Bpe, Components, Curation, Dedup, Export, IncrementalDedup, IncrementalSemDedup, Multimodal, Packing, Profile, Sampling, SemiStructured, Similarity, Sketches, TextCdc, TextOps, Video, WebOps}
 import graft.sources.{Netatmo, NetatmoSource}
 import graft.ts.{Evaluate, Rdp, SeriesOps, SeriesStore, StoreSource, HeartbeatSource, MockSource}
 import graft.ts.model.{AverageValue, Period}
@@ -95,6 +95,72 @@ object SparkEntry {
           sequence(lit(0), ceil(size(col("__w")) / lit(12.0)).cast("int") - 1),
           i => array_join(slice(col("__w"), i * 12 + 1, lit(12)), " ")))
           .as("text"))
+
+  /** Deterministic URL synthesis for the web-curation gates (the
+    * [[lineSynthDocs]] pattern: the flat fixture has no URL column, so one
+    * is derived from doc_id/source inside the query AND identically in the
+    * twin's [[WebSynthCte]]): scheme/host case noise, default AND
+    * non-default ports, trailing slashes, tracking params mixed with a
+    * real param, fragments — every fetch variant the canonicalizer must
+    * fold away, over ~#sources·17 distinct registered domains.
+    */
+  private def webSynthDocs(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val scheme = when(d % 2 === 0, lit("HTTPS")).otherwise(lit("http"))
+    val www = when(d % 3 === 0, lit("WWW.")).otherwise(lit(""))
+    val srcCased = when(d % 4 === 0, upper(col("source")))
+      .otherwise(col("source"))
+    val host = concat(www, srcCased, lit("-"), (d % 17).cast("string"),
+      lit(".com"))
+    val port = when(d % 5 === 0,
+        when(d % 2 === 0, lit(":443")).otherwise(lit(":80")))
+      .when(d % 5 === 1, lit(":8080"))
+      .otherwise(lit(""))
+    val path = concat(lit("/a/"), d.cast("string"),
+      when(d % 4 === 0, lit("/")).otherwise(lit("")))
+    val query = when(d % 3 === 0,
+        concat(lit("?utm_source=rss&x="), (d % 7).cast("string")))
+      .when(d % 3 === 1, concat(lit("?x="), (d % 7).cast("string"),
+        lit("&utm_campaign=promo&fbclid=fb"), d.cast("string")))
+      .otherwise(lit(""))
+    val frag = when(d % 7 === 3, concat(lit("#sec"), (d % 5).cast("string")))
+      .otherwise(lit(""))
+    docs.withColumn("url",
+      concat(scheme, lit("://"), host, port, path, query, frag))
+  }
+
+  /** DuckDB twin of [[webSynthDocs]] — `wdoc` = documents + the same
+    * synthesized `url` (term-for-term the Scala concat).
+    */
+  private lazy val WebSynthCte: String =
+    """wdoc AS (SELECT *,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 4 = 0 THEN upper(source) ELSE source END) ||
+      |  '-' || CAST(doc_id % 17 AS VARCHAR) || '.com' ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN
+      |      (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+      |    WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END) ||
+      |  '/a/' || CAST(doc_id AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN
+      |      '?utm_source=rss&x=' || CAST(doc_id % 7 AS VARCHAR)
+      |    WHEN doc_id % 3 = 1 THEN
+      |      '?x=' || CAST(doc_id % 7 AS VARCHAR) ||
+      |        '&utm_campaign=promo&fbclid=fb' || CAST(doc_id AS VARCHAR)
+      |    ELSE '' END) ||
+      |  (CASE WHEN doc_id % 7 = 3 THEN
+      |      '#sec' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END) AS url
+      |  FROM documents)""".stripMargin
+
+  /** Shared canonical-domain SQL over `wdoc.url` — the twin of
+    * [[graft.pipeline.WebOps.urlDomain]] (lowercased host, port and
+    * leading www. stripped), one definition for all three web twins.
+    */
+  private lazy val WebDomainSql: String =
+    """regexp_replace(lower(regexp_extract(regexp_extract(url,
+      |  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^([^:]*)', 1)),
+      |  '^www\.', '')""".stripMargin
 
   /** Shared line-dedup CTE chain (twin of [[lineSynthDocs]] + the
     * TextOps.lineDedup keying): `sdoc` (synthesized multi-line docs),
@@ -1731,6 +1797,28 @@ object SparkEntry {
     "sample_token_budget" -> ((s, dir) =>
       Sampling.tokenBudgetSample(Tables(s, dir).documents,
         TokenBudgets.toMap)),
+
+    // ---- web curation over a synthesized URL column (CCNet/RefinedWeb
+    // keying: canonical page identity, per-domain quality, per-domain
+    // budget caps) ----
+    // URL canonicalization: every fetch variant (case, default port,
+    // trailing slash, tracking params, fragment) folds to ONE identity —
+    // a narrow map riding the corpus scan
+    "web_canonical_url" -> ((s, dir) => {
+      val docs = webSynthDocs(Tables(s, dir).documents)
+      docs.select(col("doc_id"), col("url"),
+        WebOps.canonicalizeUrl(col("url")).as("canonical_url"),
+        WebOps.urlDomain(col("url")).as("domain"))
+    }),
+    // domain-level curation profile: doc/token/lang counts + mean quality
+    // per registered domain (the drop-spam-domains table)
+    "web_domain_stats" -> ((s, dir) =>
+      WebOps.domainStats(webSynthDocs(Tables(s, dir).documents))),
+    // per-domain token-budget cap in id order: no single domain dominates
+    // the training mix
+    "sample_domain_budget" -> ((s, dir) =>
+      WebOps.domainBudgetCap(webSynthDocs(Tables(s, dir).documents),
+        budgetTokens = 60)),
 
     // ---- learned-subword tokenizer: exact BPE merge training (8 rounds)
     // over the word-frequency table, plus per-doc segmentation under the
@@ -5281,6 +5369,62 @@ object SparkEntry {
          |FROM cum JOIN bud USING (source)
          |WHERE cum_toks - n_toks < budget""".stripMargin
     },
+
+    // Twin of WebOps.canonicalizeUrl + urlDomain over the synthesized
+    // URLs: same component regexes, same default-port/trailing-slash/
+    // tracking-param/fragment rules, params sorted lexicographically.
+    "web_canonical_url" ->
+      s"""WITH $WebSynthCte,
+         |p AS (SELECT doc_id, url,
+         |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+         |  regexp_replace(regexp_extract(url,
+         |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$$', '') AS path,
+         |  regexp_extract(url, '\\?([^#]*)', 1) AS q
+         |  FROM wdoc),
+         |c AS (SELECT doc_id, url, scheme, path,
+         |  lower(regexp_extract(auth, '^([^:]*)', 1)) AS host,
+         |  regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
+         |  array_to_string(list_sort(list_filter(string_split(q, '&'),
+         |    x -> x <> '' AND NOT regexp_matches(x,
+         |      '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))), '&') AS cq
+         |  FROM p)
+         |SELECT doc_id, url,
+         |  scheme || '://' || host ||
+         |    (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+         |       AND NOT (scheme = 'https' AND port = '443')
+         |     THEN ':' || port ELSE '' END) || path ||
+         |    (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) AS canonical_url,
+         |  regexp_replace(host, '^www\\.', '') AS domain
+         |FROM c""".stripMargin,
+    // Twin of WebOps.domainStats: per registered domain, doc/token/lang
+    // counts and the mean quality score folded over a doc_id-ORDERED list
+    // (pinning one float accumulation order in both engines).
+    "web_domain_stats" ->
+      s"""WITH $WebSynthCte,
+         |f AS (SELECT $WebDomainSql AS domain, doc_id, lang, text,
+         |  $Toks AS toks,
+         |  CAST(len($Toks) AS BIGINT) AS tok FROM wdoc),
+         |g AS (SELECT domain, doc_id, lang, tok,
+         |  ${qualityScoreSql("toks", "text")} AS q FROM f)
+         |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  list_sum(list(q ORDER BY doc_id)) / CAST(count(*) AS DOUBLE)
+         |    AS avg_quality
+         |FROM g GROUP BY 1""".stripMargin,
+    // Twin of WebOps.domainBudgetCap(60): per-domain running token total
+    // in doc_id order, keep while the exclusive prefix is under budget —
+    // the tokenBudgetSample rule on the derived domain key.
+    "sample_domain_budget" ->
+      s"""WITH $WebSynthCte,
+         |t AS (SELECT doc_id, $WebDomainSql AS domain,
+         |  CAST(len($Toks) AS BIGINT) AS n_tokens FROM wdoc),
+         |c AS (SELECT doc_id, domain, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY domain ORDER BY doc_id ASC
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t)
+         |SELECT doc_id, domain, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens - n_tokens < 60""".stripMargin,
     // Twins of Bpe.train / Bpe.segmentStats over the shared unrolled rounds
     "text_bpe_merges" -> {
       val union = (0 until BpeMerges).map(i => s"SELECT * FROM b$i")

@@ -1,0 +1,145 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Web-curation operators over a URL column — the CCNet/RefinedWeb half of
+  * an LLM data pipeline that keys on WHERE a document came from rather than
+  * what it says: URL canonicalization (so the same page fetched through
+  * tracking-param / default-port / case variants dedups to ONE identity),
+  * registered-domain extraction, domain-level quality aggregation, and
+  * per-domain token-budget caps (the "no single domain dominates the
+  * training mix" rule).
+  *
+  * Everything here is pure column algebra over the URL string — narrow
+  * maps with no shuffle until an explicit per-domain aggregation, which
+  * shuffles once on the domain key. At 100 TB that is the right shape:
+  * canonicalization riding the corpus scan for free, domain stats one
+  * partial-combined aggregate (#domains ≪ #docs), the budget cap one
+  * window over the domain partitioning.
+  *
+  * Reference scope note: the reference engine (tobiasli/my_weather) has no
+  * web surface — this family extends the engine for LLM-corpus curation,
+  * like pipeline/Dedup.scala and TextOps.scala.
+  */
+object WebOps {
+
+  /** Query-string parameter keys stripped by canonicalization: tracking
+    * and click-id params that vary per fetch without changing the page.
+    * utm_* is a prefix match; the rest are exact keys.
+    */
+  val TrackingParamRe: String = "^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
+
+  private def authority(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+
+  /** URL scheme, lowercased (RFC 3986 §6.2.2.1: scheme is
+    * case-insensitive).
+    */
+  def urlScheme(url: Column): Column =
+    lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  /** Hostname, lowercased, port stripped (RFC 3986: host is
+    * case-insensitive; the port is not part of the host).
+    */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(authority(url), "^([^:]*)", 1))
+
+  /** Explicit port, or '' when none given. */
+  def urlPort(url: Column): Column =
+    regexp_extract(authority(url), ":([0-9]+)$", 1)
+
+  /** Path component ('' when the URL ends at the authority). */
+  def urlPath(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+
+  /** Raw query string (no '?'), '' when absent. */
+  def urlQuery(url: Column): Column =
+    regexp_extract(url, "\\?([^#]*)", 1)
+
+  /** Registered domain for grouping: the lowercased host with a leading
+    * `www.` label stripped. (A public-suffix list is the production
+    * refinement; the fixture's synthetic hosts are all `<label>.com`, so
+    * host-minus-www IS the registered domain here — documented contract.)
+    */
+  def urlDomain(url: Column): Column =
+    regexp_replace(urlHost(url), "^www\\.", "")
+
+  /** Canonical URL — ONE identity for every fetch variant of a page:
+    * scheme and host lowercased, `www.` kept (host identity is not
+    * changed — only [[urlDomain]] strips it), default ports removed
+    * (http:80 / https:443; any other explicit port kept), the path's
+    * trailing slash dropped (a bare-authority URL canonicalizes with no
+    * path), fragment dropped, and the query reduced to its
+    * non-tracking params sorted lexicographically ('' query → no '?').
+    * Deterministic column algebra — mirrored term-for-term by the DuckDB
+    * twin so both engines produce identical strings.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = urlScheme(url)
+    val host = lower(regexp_extract(authority(url), "^([^:]*)", 1))
+    val port = urlPort(url)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val path = regexp_replace(urlPath(url), "/+$", "")
+    val params = filter(split(urlQuery(url), "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe))
+    val query = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(query =!= "", concat(lit("?"), query)).otherwise(lit("")))
+  }
+
+  /** Per-domain curation profile: document count, total (whitespace)
+    * tokens, distinct languages, and the mean [[TextOps.qualityScoreCol]]
+    * — the table a web pipeline ranks/filters source domains by (drop
+    * spam domains, cap boilerplate farms). One shuffle on the domain key,
+    * partial-combined; the mean folds over a doc_id-SORTED collected
+    * list so the float accumulation order is pinned in both engines
+    * (per-domain doc counts are small by construction — #domains grows
+    * with the corpus; a domain hot enough to overflow a collect_list
+    * belongs in the budget cap's scalable window path, not a mean).
+    */
+  def domainStats(docs: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang"): DataFrame =
+    docs.select(urlDomain(col(urlCol)).as("domain"), col(idCol).as("__id"),
+        col(langCol).as("__lang"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("__tok"),
+        TextOps.qualityScoreCol(col(textCol)).as("__q"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        countDistinct(col("__lang")).as("n_langs"),
+        array_sort(collect_list(struct(col("__id"), col("__q")))).as("__sq"))
+      .select(col("domain"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        (aggregate(transform(col("__sq"), s => s.getField("__q")),
+          lit(0.0), (acc, x) => acc + x) / col("n_docs").cast("double"))
+          .as("avg_quality"))
+
+  /** Per-domain token-budget cap: walk each domain's docs in ascending id
+    * order and keep a doc while the domain's running token total (NOT
+    * counting the current doc) is under `budgetTokens` — so every domain
+    * contributes until its budget fills, and one mega-domain cannot
+    * dominate the mix (the RefinedWeb per-domain cap, the per-SOURCE
+    * [[Sampling.tokenBudgetSample]] composed with the derived domain
+    * key). Deterministic: the id order is the tie-break. One shuffle
+    * (the window's domain partitioning); the running sum is a single
+    * pass per partition.
+    */
+  def domainBudgetCap(docs: DataFrame, budgetTokens: Long,
+      urlCol: String = "url", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val w = Window.partitionBy("domain").orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), urlDomain(col(urlCol)).as("domain"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") - col("n_tokens") < budgetTokens)
+      .select(col(idCol), col("domain"), col("n_tokens"), col("cum_tokens"))
+  }
+}
