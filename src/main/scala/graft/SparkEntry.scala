@@ -1819,6 +1819,26 @@ object SparkEntry {
     "sample_domain_budget" -> ((s, dir) =>
       WebOps.domainBudgetCap(webSynthDocs(Tables(s, dir).documents),
         budgetTokens = 60)),
+    // the same three web operators through the SQL TVF surface — spliced
+    // plans ARE the Scala plans, oracles aliased to the originals
+    "sql_web_canonical" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      webSynthDocs(Tables(s, dir).documents)
+        .createOrReplaceTempView("graft_sql_webdocs")
+      s.sql("SELECT * FROM graft_web_canonical('graft_sql_webdocs')")
+    }),
+    "sql_domain_stats" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      webSynthDocs(Tables(s, dir).documents)
+        .createOrReplaceTempView("graft_sql_webdocs_st")
+      s.sql("SELECT * FROM graft_domain_stats('graft_sql_webdocs_st')")
+    }),
+    "sql_domain_budget" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      webSynthDocs(Tables(s, dir).documents)
+        .createOrReplaceTempView("graft_sql_webdocs_bd")
+      s.sql("SELECT * FROM graft_domain_budget('graft_sql_webdocs_bd', 60)")
+    }),
 
     // ---- learned-subword tokenizer: exact BPE merge training (8 rounds)
     // over the word-frequency table, plus per-doc segmentation under the
@@ -3198,6 +3218,9 @@ object SparkEntry {
       "sql_rake" -> base("text_rake"),
       "sql_dtw" -> base("ts_dtw"),
       "sql_dsir" -> base("sample_dsir"),
+      "sql_web_canonical" -> base("web_canonical_url"),
+      "sql_domain_stats" -> base("web_domain_stats"),
+      "sql_domain_budget" -> base("sample_domain_budget"),
       "sql_curate" -> base("pipeline_curate"),
       "sql_minhash_join" -> base("dedup_cross"),
       "sql_semantic_join" -> base("dedup_sem_cross"),

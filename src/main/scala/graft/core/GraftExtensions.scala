@@ -239,6 +239,32 @@ object GraftTableFunctions {
       (exprs: Seq[Expression]) => plan(graft.pipeline.TextOps.lineClean(
         rel(strArg(exprs(0), "table name")),
         boilerplateDf = longArg(exprs(1), "boilerplate_df")))),
+    (FunctionIdentifier("graft_web_canonical"),
+      info("graft_web_canonical",
+        "graft_web_canonical(table) - canonical URL identity + registered " +
+          "domain per doc (expects doc_id, url columns)"),
+      (exprs: Seq[Expression]) => plan {
+        val df = rel(strArg(exprs(0), "table name"))
+        df.select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("url"),
+          graft.pipeline.WebOps.canonicalizeUrl(
+            org.apache.spark.sql.functions.col("url")).as("canonical_url"),
+          graft.pipeline.WebOps.urlDomain(
+            org.apache.spark.sql.functions.col("url")).as("domain"))
+      }),
+    (FunctionIdentifier("graft_domain_stats"),
+      info("graft_domain_stats",
+        "graft_domain_stats(table) - per registered domain: doc/token/lang " +
+          "counts + mean quality score (expects doc_id, url, text, lang)"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.WebOps.domainStats(
+        rel(strArg(exprs(0), "table name"))))),
+    (FunctionIdentifier("graft_domain_budget"),
+      info("graft_domain_budget",
+        "graft_domain_budget(table, budget_tokens) - per-domain token-budget " +
+          "cap in doc_id order (expects doc_id, url, text)"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.WebOps.domainBudgetCap(
+        rel(strArg(exprs(0), "table name")),
+        longArg(exprs(1), "budget_tokens")))),
     (FunctionIdentifier("graft_ks_drift"),
       info("graft_ks_drift",
         "graft_ks_drift(table, group_col, value_col, slice_col, shard_width) - " +

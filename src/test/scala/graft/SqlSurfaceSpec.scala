@@ -258,6 +258,28 @@ class SqlSurfaceSpec extends SparkSpec {
       == rowsOf(Similarity.ivfPqAdcTopKFrozen(q, ceF, cbF, cdF, 3, 2)))
   }
 
+  test("graft_web_canonical / graft_domain_stats / graft_domain_budget == " +
+    "WebOps Scala faces") {
+    import graft.pipeline.WebOps
+    GraftTableFunctions.registerAll(spark)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("url", concat(lit("HTTPS://WWW.d"), col("doc_id") % 7,
+        lit(".com:443/a/"), col("doc_id"),
+        lit("/?utm_source=t&x=1#s")))
+    docs.createOrReplaceTempView("sqlspec_webdocs")
+    assert(rowsOf(spark.sql(
+        "SELECT * FROM graft_web_canonical('sqlspec_webdocs')"))
+      == rowsOf(docs.select(col("doc_id"), col("url"),
+        WebOps.canonicalizeUrl(col("url")).as("canonical_url"),
+        WebOps.urlDomain(col("url")).as("domain"))))
+    assert(rowsOf9(spark.sql(
+        "SELECT * FROM graft_domain_stats('sqlspec_webdocs')"))
+      == rowsOf9(WebOps.domainStats(docs)))
+    assert(rowsOf(spark.sql(
+        "SELECT * FROM graft_domain_budget('sqlspec_webdocs', 60)"))
+      == rowsOf(WebOps.domainBudgetCap(docs, 60L)))
+  }
+
   test("SQL surface composes: TVF result is a normal relation (filter + agg)") {
     GraftTableFunctions.registerAll(spark)
     Tables(spark, sfDir).eventsUs.createOrReplaceTempView("sqlspec_events")
