@@ -109,6 +109,37 @@ object ScalingAudit {
     val onlySession12 = scaleOnly.contains("session12")
     val onlySession13 = scaleOnly.contains("session13")
     val onlySession14 = scaleOnly.contains("session14")
+    val onlySession15 = scaleOnly.contains("session15")
+
+    // ---- session-15 operators (SPARK_GRAFT_SCALE_ONLY=session15; same
+    // append-to-SCALING_raw_extra.jsonl contract): the web-curation family
+    // — canonicalization must scale as a pure scan (narrow map), domain
+    // stats as one partial-combined agg on the domain key, the budget cap
+    // as one window over the domain partitioning ----
+    if (onlySession15) {
+      docPaths.foreach { case (f, p) =>
+        val d = spark.read.parquet(p)
+        val n = d.count()
+        val withUrl = d.withColumn("url",
+          concat(lit("HTTPS://WWW."), col("source"), lit("-"),
+            (col("doc_id") % 97).cast("string"),
+            lit(".com:443/a/"), col("doc_id").cast("string"),
+            lit("/?utm_source=rss&x="), (col("doc_id") % 7).cast("string")))
+        report(s"web_canonical_x$f", n,
+          timed(withUrl.select(
+            graft.pipeline.WebOps.canonicalizeUrl(col("url"))).count()))
+        report(s"web_domain_stats_x$f", n,
+          timed(graft.pipeline.WebOps.domainStats(withUrl).count()))
+        report(s"web_domain_budget_x$f", n,
+          timed(graft.pipeline.WebOps.domainBudgetCap(withUrl, 600).count()))
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SCALING_raw_extra.jsonl"), out.toString,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      spark.stop()
+      return
+    }
 
     // ---- session-14 operators (SPARK_GRAFT_SCALE_ONLY=session14; same
     // append-to-SCALING_raw_extra.jsonl contract) ----

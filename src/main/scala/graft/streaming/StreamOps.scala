@@ -749,7 +749,12 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val s = batch.sparkSession
         val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
+        // append with the FROZEN codes relation's exact schema
+        // (vec_id, subspace, cluster): the per-subspace dist is a batch
+        // diagnostic, and appending it would fork the relation's schema
+        // against the bootstrap rows pqFreeze wrote
         pqEncodeStream(batch.toDF(), codebooks, idCol, vecCol).toDF()
+          .select(col("vec_id"), col("subspace"), col("cluster"))
           .withColumn("model_id", lit(modelId))
           .repartition(shuffleN, col("vec_id"))
           .write.mode("append")

@@ -385,10 +385,15 @@ class StreamOpsSpec extends SparkSpec {
       .where(col("model_id") === modelId)
     assert(after.count() == before + reference.size,
       "sink must append exactly the ingested batch's codes")
-    // ingested codes are indistinguishable from batch-encoded ones
+    // ingested codes are indistinguishable from batch-encoded ones, and
+    // the appended rows carry the frozen relation's exact schema (the
+    // dist diagnostic must NOT fork the schema against bootstrap rows)
+    assert(after.columns.sorted.toSeq
+      == Seq("cluster", "model_id", "subspace", "vec_id"))
     val ingested = after.where(col("vec_id") % 3 === 0)
-      .select("vec_id", "subspace", "cluster", "dist")
-    assert(rowsOf(ingested) == reference)
+      .select("vec_id", "subspace", "cluster")
+    assert(rowsOf(ingested) == rowsOf(Similarity.pqEncodeFrozen(batch, cbF)
+      .select("vec_id", "subspace", "cluster")))
     // geometry guard survives the stream kernel
     val bad = batch.selectExpr("vec_id", "slice(embedding, 1, 7) as embedding")
     val err = intercept[Exception] {
