@@ -201,6 +201,20 @@ object Smoke {
     println(s"label outliers: ${graft.pipeline.Similarity.labelOutliers(emb)
       .where(col("is_outlier")).count()}")
 
+    // round-13 surface: web curation over a synthesized URL column
+    val webDocs = docs.withColumn("url",
+      concat(lit("HTTPS://WWW."), col("source"), lit("-"),
+        (col("doc_id") % 17).cast("string"), lit(".com:443/a/"),
+        col("doc_id").cast("string"), lit("/?utm_source=rss&x=1")))
+    webDocs.select(col("doc_id"),
+      graft.pipeline.WebOps.canonicalizeUrl(col("url")).as("canonical_url"),
+      graft.pipeline.WebOps.urlDomain(col("url")).as("domain"))
+      .show(3, truncate = false)
+    println(s"domain stats rows: ${graft.pipeline.WebOps
+      .domainStats(webDocs).count()}")
+    println(s"domain budget kept: ${graft.pipeline.WebOps
+      .domainBudgetCap(webDocs, 60).count()}")
+
     spark.stop()
   }
 }
