@@ -516,14 +516,24 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cluster"), transform(col("pm"), p => p.getField("m")).as("centroid"))
     var cents: DataFrame = kmeansInit(pts, k, oversample)
-    // materialize the k-row centroid table each round (eager
-    // Lineage.truncate — reliable checkpoint() when a checkpoint dir is
-    // set, localCheckpoint() otherwise): without it round r's centroid PLAN
-    // contains every earlier round, so the final assignment re-executes the
-    // whole trajectory once per round — O(iters²) corpus scans instead of
-    // O(iters). Measured at sf0.1 (2000x64, k=8, iters=2): 3.2 s -> 1.7 s.
-    for (_ <- 1 to iters)
-      cents = graft.core.Lineage.truncate(updateStep(assignStep(pts, cents)))
+    // materialize the k-row centroid table each round by COLLECTING it and
+    // re-entering the rows as a LOCAL relation (the pcaTop driver-literal
+    // pattern). This cuts round r's lineage exactly like the
+    // checkpoint()/localCheckpoint() it replaces — a local relation has no
+    // lineage, so the final assignment runs O(iters) corpus scans, not
+    // O(iters²) — with none of the per-round block-store round trip, none
+    // of localCheckpoint's executor-loss fragility on a real cluster, and
+    // k·dim doubles of driver memory (bounded by the broadcastable-
+    // centroid cap that already governs every consumer). Values are
+    // bit-identical: collect returns the exact doubles the avg() computed,
+    // so the trajectory — and every oracle over it — is unchanged
+    // (SimilaritySpec pins the with-checkpoint-dir path to the same rows).
+    val spark = pts.sparkSession
+    for (_ <- 1 to iters) {
+      val updated = updateStep(assignStep(pts, cents))
+      cents = spark.createDataFrame(
+        java.util.Arrays.asList(updated.collect(): _*), updated.schema)
+    }
     cents
   }
 
