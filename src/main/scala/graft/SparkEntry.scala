@@ -153,6 +153,93 @@ object SparkEntry {
       |      '#sec' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END) AS url
       |  FROM documents)""".stripMargin
 
+  /** Deterministic URL-VARIANT synthesis for the web_url_dedup gate:
+    * docs sharing `doc_id % 100` are refetches of ONE page through
+    * canonicalization-removable variance only — scheme/host case, the
+    * https default port, trailing slashes, tracking params (in varying
+    * positions), fragments — so each page group collapses to one
+    * canonical identity. Mirrored term-for-term by [[WebVariantCte]].
+    */
+  private def webVariantDocs(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val pg = (d % 100).cast("string")
+    val scheme = when(d % 2 === 0, lit("https")).otherwise(lit("HTTPS"))
+    val www = when((d % 100) % 2 === 0,
+        when(d % 3 === 0, lit("WWW.")).otherwise(lit("www.")))
+      .otherwise(lit(""))
+    val body = concat(lit("p"), pg, lit(".example.com"))
+    val host = when(d % 4 === 0, upper(body)).otherwise(body)
+    val port = when(d % 5 === 0, lit(":443")).otherwise(lit(""))
+    val path = concat(lit("/page/"), pg,
+      when(d % 4 === 1, lit("/")).otherwise(lit("")))
+    val query = when(d % 3 === 0,
+        concat(lit("?id="), pg, lit("&utm_source=s"), d.cast("string")))
+      .when(d % 3 === 1,
+        concat(lit("?id="), pg, lit("&fbclid=f"), d.cast("string")))
+      .otherwise(
+        concat(lit("?utm_campaign=c"), d.cast("string"), lit("&id="), pg))
+    val frag = when(d % 7 === 3, concat(lit("#f"), (d % 5).cast("string")))
+      .otherwise(lit(""))
+    docs.select(col("doc_id"),
+      concat(scheme, lit("://"), www, host, port, path, query, frag)
+        .as("url"))
+  }
+
+  /** The canonicalization SQL chain over `src`(doc_id, url) — twin of
+    * [[graft.pipeline.WebOps.canonicalizeUrl]]/[[graft.pipeline.WebOps.urlDomain]],
+    * ONE definition shared by the web_canonical_url and web_url_dedup
+    * twins: CTEs `p` (raw components), `c` (normalized host/port +
+    * sorted kept params), `canon` (doc_id, url, canonical_url, domain).
+    */
+  private def webCanonSql(src: String): String =
+    s"""p AS (SELECT doc_id, url,
+       |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+       |  regexp_replace(regexp_extract(url,
+       |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$$', '') AS path,
+       |  regexp_extract(url, '\\?([^#]*)', 1) AS q
+       |  FROM $src),
+       |c AS (SELECT doc_id, url, scheme, path,
+       |  lower(regexp_extract(auth, '^([^:]*)', 1)) AS host,
+       |  regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
+       |  array_to_string(list_sort(list_filter(string_split(q, '&'),
+       |    x -> x <> '' AND NOT regexp_matches(x,
+       |      '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))), '&') AS cq
+       |  FROM p),
+       |canon AS (SELECT doc_id, url,
+       |  scheme || '://' || host ||
+       |    (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+       |       AND NOT (scheme = 'https' AND port = '443')
+       |     THEN ':' || port ELSE '' END) || path ||
+       |    (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) AS canonical_url,
+       |  regexp_replace(host, '^www\\.', '') AS domain
+       |  FROM c)""".stripMargin
+
+  /** DuckDB twin of [[webVariantDocs]] — `vdoc` = (doc_id, url). */
+  private lazy val WebVariantCte: String =
+    """vdoc AS (SELECT doc_id,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
+      |  (CASE WHEN (doc_id % 100) % 2 = 0 THEN
+      |      (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END)
+      |    ELSE '' END) ||
+      |  (CASE WHEN doc_id % 4 = 0 THEN
+      |      upper('p' || CAST(doc_id % 100 AS VARCHAR) || '.example.com')
+      |    ELSE 'p' || CAST(doc_id % 100 AS VARCHAR) || '.example.com' END) ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+      |  '/page/' || CAST(doc_id % 100 AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN
+      |      '?id=' || CAST(doc_id % 100 AS VARCHAR) ||
+      |        '&utm_source=s' || CAST(doc_id AS VARCHAR)
+      |    WHEN doc_id % 3 = 1 THEN
+      |      '?id=' || CAST(doc_id % 100 AS VARCHAR) ||
+      |        '&fbclid=f' || CAST(doc_id AS VARCHAR)
+      |    ELSE '?utm_campaign=c' || CAST(doc_id AS VARCHAR) ||
+      |      '&id=' || CAST(doc_id % 100 AS VARCHAR) END) ||
+      |  (CASE WHEN doc_id % 7 = 3 THEN
+      |      '#f' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END) AS url
+      |  FROM documents)""".stripMargin
+
   /** Shared canonical-domain SQL over `wdoc.url` — the twin of
     * [[graft.pipeline.WebOps.urlDomain]] (lowercased host, port and
     * leading www. stripped), one definition for all three web twins.
@@ -1814,6 +1901,11 @@ object SparkEntry {
     // per registered domain (the drop-spam-domains table)
     "web_domain_stats" -> ((s, dir) =>
       WebOps.domainStats(webSynthDocs(Tables(s, dir).documents))),
+    // URL-identity dedup: refetch variants (tracking params, case,
+    // default ports, slashes, fragments — the webVariantDocs synth)
+    // collapse on the canonical key; keeper = earliest fetch
+    "web_url_dedup" -> ((s, dir) =>
+      WebOps.urlDedup(webVariantDocs(Tables(s, dir).documents))),
     // per-domain token-budget cap in id order: no single domain dominates
     // the training mix
     "sample_domain_budget" -> ((s, dir) =>
@@ -5395,31 +5487,22 @@ object SparkEntry {
 
     // Twin of WebOps.canonicalizeUrl + urlDomain over the synthesized
     // URLs: same component regexes, same default-port/trailing-slash/
-    // tracking-param/fragment rules, params sorted lexicographically.
+    // tracking-param/fragment rules, params sorted lexicographically
+    // (the canonicalization chain is the shared webCanonSql — one SQL
+    // definition for this twin and web_url_dedup's).
     "web_canonical_url" ->
       s"""WITH $WebSynthCte,
-         |p AS (SELECT doc_id, url,
-         |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-         |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
-         |  regexp_replace(regexp_extract(url,
-         |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$$', '') AS path,
-         |  regexp_extract(url, '\\?([^#]*)', 1) AS q
-         |  FROM wdoc),
-         |c AS (SELECT doc_id, url, scheme, path,
-         |  lower(regexp_extract(auth, '^([^:]*)', 1)) AS host,
-         |  regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
-         |  array_to_string(list_sort(list_filter(string_split(q, '&'),
-         |    x -> x <> '' AND NOT regexp_matches(x,
-         |      '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))), '&') AS cq
-         |  FROM p)
-         |SELECT doc_id, url,
-         |  scheme || '://' || host ||
-         |    (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
-         |       AND NOT (scheme = 'https' AND port = '443')
-         |     THEN ':' || port ELSE '' END) || path ||
-         |    (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) AS canonical_url,
-         |  regexp_replace(host, '^www\\.', '') AS domain
-         |FROM c""".stripMargin,
+         |${webCanonSql("wdoc")}
+         |SELECT doc_id, url, canonical_url, domain FROM canon""".stripMargin,
+    // Twin of WebOps.urlDedup over the VARIANT synth: refetch variants of
+    // one page collapse to one canonical identity; keeper = min doc_id,
+    // n_variants = the refetch count.
+    "web_url_dedup" ->
+      s"""WITH $WebVariantCte,
+         |${webCanonSql("vdoc")}
+         |SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_variants
+         |FROM canon GROUP BY 1""".stripMargin,
     // Twin of WebOps.domainStats: per registered domain, doc/token/lang
     // counts and the mean quality score folded over a doc_id-ORDERED list
     // (pinning one float accumulation order in both engines).

@@ -120,6 +120,24 @@ object WebOps {
           lit(0.0), (acc, x) => acc + x) / col("n_docs").cast("double"))
           .as("avg_quality"))
 
+  /** URL-identity dedup — [[canonicalizeUrl]] used for its production
+    * purpose, as a JOIN KEY: refetches of the same page through fetch
+    * variants (tracking params, default ports, case, trailing slashes,
+    * fragments) collapse to one canonical identity, the keeper is the
+    * lowest doc id (deterministic: the earliest fetch), and the variant
+    * count is the refetch-rate signal a crawl-dedup stage reports. One
+    * partial-combined aggregate on the canonical key (no pair
+    * enumeration — URL dedup is exact, unlike content near-dup).
+    * Output: (canonical_url, keeper_doc_id, n_variants).
+    */
+  def urlDedup(docs: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(canonicalizeUrl(col(urlCol)).as("canonical_url"),
+        col(idCol).as("__id"))
+      .groupBy("canonical_url")
+      .agg(min(col("__id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_variants"))
+
   /** Per-domain token-budget cap: walk each domain's docs in ascending id
     * order and keep a doc while the domain's running token total (NOT
     * counting the current doc) is under `budgetTokens` — so every domain

@@ -51,6 +51,25 @@ class WebOpsSpec extends SparkSpec {
     assert(domain("http://wwwx.ex.com/a") == "wwwx.ex.com")
   }
 
+  test("urlDedup collapses fetch variants onto one canonical identity") {
+    import spark.implicits._
+    // four fetches of ONE page through canonicalization-removable
+    // variance, plus one genuinely different page
+    val docs = Seq(
+      (10L, "https://www.ex.com/p?id=3&utm_source=a"),
+      (11L, "HTTPS://WWW.Ex.COM:443/p?id=3"),
+      (12L, "https://www.ex.com/p/?fbclid=z&id=3"),
+      (13L, "https://www.ex.com/p?id=3#frag"),
+      (20L, "https://www.ex.com/p?id=4")
+    ).toDF("doc_id", "url")
+    val got = graft.pipeline.WebOps.urlDedup(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == 2, s"expected 2 canonical pages, got ${got.keySet}")
+    assert(got("https://www.ex.com/p?id=3") == ((10L, 4L)),
+      "variants must collapse; keeper is the earliest fetch")
+    assert(got("https://www.ex.com/p?id=4") == ((20L, 1L)))
+  }
+
   test("canonicalization is a narrow map; domainBudgetCap keeps per-domain " +
     "id-order prefixes under the budget") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
