@@ -5504,19 +5504,21 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_variants
          |FROM canon GROUP BY 1""".stripMargin,
     // Twin of WebOps.domainStats: per registered domain, doc/token/lang
-    // counts and the mean quality score folded over a doc_id-ORDERED list
-    // (pinning one float accumulation order in both engines).
+    // counts and the mean quality score summed as FIXED-POINT longs
+    // (floor(q*1e9)) — exact and order-independent in both engines, no
+    // accumulation-order pinning (and no per-group list) needed.
     "web_domain_stats" ->
       s"""WITH $WebSynthCte,
          |f AS (SELECT $WebDomainSql AS domain, doc_id, lang, text,
          |  $Toks AS toks,
          |  CAST(len($Toks) AS BIGINT) AS tok FROM wdoc),
          |g AS (SELECT domain, doc_id, lang, tok,
-         |  ${qualityScoreSql("toks", "text")} AS q FROM f)
+         |  CAST(floor((${qualityScoreSql("toks", "text")}) * 1e9) AS BIGINT)
+         |    AS qf FROM f)
          |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(tok) AS BIGINT) AS n_tokens,
          |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-         |  list_sum(list(q ORDER BY doc_id)) / CAST(count(*) AS DOUBLE)
+         |  CAST(sum(qf) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e9
          |    AS avg_quality
          |FROM g GROUP BY 1""".stripMargin,
     // Twin of WebOps.domainBudgetCap(60): per-domain running token total

@@ -104,7 +104,10 @@ object IncrementalSemDedup {
       .select(col("cluster"), col("new_id").as("id_a"), col("id_b"))
     val allVecs = state.vectors.unionByName(nb)
     val matches = graft.core.Lineage.truncate(newOld.unionByName(newNew)
-      .repartition(col("id_a"), col("id_b"))
+      // pinned width (AQE-proof) — see Similarity.embeddingNearDups
+      .repartition(nb.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "32").toInt,
+        col("id_a"), col("id_b"))
       .join(allVecs.select(col("vec_id").as("id_a"), col("vec").as("va")), Seq("id_a"))
       .join(allVecs.select(col("vec_id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
       .where(Similarity.cosine(col("va"), col("vb")) >= state.threshold)

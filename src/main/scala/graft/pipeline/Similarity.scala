@@ -829,7 +829,12 @@ object Similarity {
     val pairs = ids.select(col("cell"), col("id").as("id_a"))
       .join(ids.select(col("cell"), col("id").as("id_b")), Seq("cell"))
       .where(col("id_a") < col("id_b"))
-      .repartition(col("id_a"), col("id_b"))
+      // pinned width — a bare REPARTITION_BY_COL is AQE-coalescable back
+      // to one partition on small inputs, serializing the pair-verify
+      // joins behind it (the Dedup.spreadById trap)
+      .repartition(corpus.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "32").toInt,
+        col("id_a"), col("id_b"))
     pairs
       .join(v.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
       .join(v.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
@@ -978,7 +983,10 @@ object Similarity {
     val (la, lv) = side(left, "id_a", "va")
     val (ra, rv) = side(right, "id_b", "vb")
     la.join(ra, Seq("cell"))
-      .repartition(col("id_a"), col("id_b"))
+      // pinned width (AQE-proof) — see embeddingNearDups' pair spread
+      .repartition(left.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "32").toInt,
+        col("id_a"), col("id_b"))
       .join(lv, Seq("id_a"))
       .join(rv, Seq("id_b"))
       .withColumn("cos_sim", cosine(col("va"), col("vb")))
@@ -1795,7 +1803,10 @@ object Similarity {
       .join(members, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
-      .repartition(col("query_id"), col("neighbor_id"))
+      // pinned width (AQE-proof) — see embeddingNearDups' pair spread
+      .repartition(corpus.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "32").toInt,
+        col("query_id"), col("neighbor_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     val top = pairs

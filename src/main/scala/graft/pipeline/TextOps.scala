@@ -851,7 +851,11 @@ object TextOps {
         posexplode(textShingles(col(textCol), n)).as(Seq("pos", "gram")))
       .select(col(idCol), col("pos").cast("long").as("pos"),
         PolyHash(col("gram"), 0L).as("gh"))
-      .repartition(col("gh"))
+      // pinned width — a bare REPARTITION_BY_COL is AQE-coalescable back
+      // to one partition on small inputs, serializing the gram-count agg
+      // and the self-join behind it (the Dedup.spreadById trap)
+      .repartition(df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "32").toInt, col("gh"))
     // max(pos) >= 0 is vacuously true (positions are non-negative); it is
     // here ONLY so column pruning cannot drop `pos` from this branch —
     // pruned, the two exchange children differ by one column and the

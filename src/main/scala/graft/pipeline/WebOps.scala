@@ -93,32 +93,43 @@ object WebOps {
       when(query =!= "", concat(lit("?"), query)).otherwise(lit("")))
   }
 
+  /** Fixed-point scale for the domain quality mean: quality scores are
+    * quantized to `floor(q · 1e9)` longs so the per-domain sum is EXACT
+    * and order-independent (long addition commutes; double addition does
+    * not) — no accumulation-order pinning needed in either engine.
+    */
+  val QualityFixedPoint: Double = 1e9
+
   /** Per-domain curation profile: document count, total (whitespace)
     * tokens, distinct languages, and the mean [[TextOps.qualityScoreCol]]
     * — the table a web pipeline ranks/filters source domains by (drop
     * spam domains, cap boilerplate farms). One shuffle on the domain key,
-    * partial-combined; the mean folds over a doc_id-SORTED collected
-    * list so the float accumulation order is pinned in both engines
-    * (per-domain doc counts are small by construction — #domains grows
-    * with the corpus; a domain hot enough to overflow a collect_list
-    * belongs in the budget cap's scalable window path, not a mean).
+    * fully partial-combined: the quality mean sums FIXED-POINT longs
+    * (`floor(q · 1e9)`, exact and order-independent — the per-doc double
+    * `q` is deterministic column algebra, so its quantization is too)
+    * and divides once by the count, so per-group state is O(1) and a
+    * Zipfian hot domain (a boilerplate farm holding millions of docs)
+    * costs nothing more than a cold one — no per-group materialization
+    * anywhere (the previous order-pinned `collect_list` fold buffered a
+    * whole domain per group, which is exactly the heap profile that dies
+    * on real web data).
     */
   def domainStats(docs: DataFrame, urlCol: String = "url",
       idCol: String = "doc_id", textCol: String = "text",
       langCol: String = "lang"): DataFrame =
-    docs.select(urlDomain(col(urlCol)).as("domain"), col(idCol).as("__id"),
+    docs.select(urlDomain(col(urlCol)).as("domain"),
         col(langCol).as("__lang"),
         size(TextOps.tokens(col(textCol))).cast("long").as("__tok"),
-        TextOps.qualityScoreCol(col(textCol)).as("__q"))
+        floor(TextOps.qualityScoreCol(col(textCol)) * lit(QualityFixedPoint))
+          .cast("long").as("__qf"))
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__tok")).as("n_tokens"),
         countDistinct(col("__lang")).as("n_langs"),
-        array_sort(collect_list(struct(col("__id"), col("__q")))).as("__sq"))
+        sum(col("__qf")).as("__sqf"))
       .select(col("domain"), col("n_docs"), col("n_tokens"), col("n_langs"),
-        (aggregate(transform(col("__sq"), s => s.getField("__q")),
-          lit(0.0), (acc, x) => acc + x) / col("n_docs").cast("double"))
-          .as("avg_quality"))
+        (col("__sqf").cast("double") / col("n_docs").cast("double") /
+          lit(QualityFixedPoint)).as("avg_quality"))
 
   /** URL-identity dedup — [[canonicalizeUrl]] used for its production
     * purpose, as a JOIN KEY: refetches of the same page through fetch

@@ -302,7 +302,10 @@ final class SeriesStore(spark: SparkSession, warehouse: String, numBuckets: Int 
       }
 
   private def write(df: DataFrame, path: Path): Unit =
-    df.repartition(col("bucket"))
+    // pinned width — a bare REPARTITION_BY_COL is AQE-coalescable back to
+    // one partition on small inputs, serializing the sort + parquet write
+    df.repartition(df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "32").toInt, col("bucket"))
       .sortWithinPartitions("bucket", "series_id", "ts")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")

@@ -70,6 +70,39 @@ class WebOpsSpec extends SparkSpec {
     assert(got("https://www.ex.com/p?id=4") == ((20L, 1L)))
   }
 
+  test("domainStats stays O(1) per group on a Zipfian hot domain and its " +
+    "mean is exact") {
+    // 90% of docs land in ONE domain (the boilerplate-farm shape that
+    // blew the old per-group collect_list fold); stats must come out
+    // exact with no per-group materialization in the plan
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("url", concat(lit("http://"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit("cold"), (col("doc_id") % 97).cast("string")))
+          .otherwise(lit("hot")),
+        lit(".com/p/"), col("doc_id")))
+    val stats = WebOps.domainStats(docs)
+    val plan = stats.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list") && !plan.contains("ObjectHashAggregate"),
+      "the quality mean must be a plain partial-combined sum, not a " +
+        "per-group collected list")
+    // independent expectation: per-doc fixed-point quality summed in Scala
+    val perDoc = docs.select(
+        graft.pipeline.WebOps.urlDomain(col("url")).as("domain"),
+        floor(graft.pipeline.TextOps.qualityScoreCol(col("text")) *
+          lit(WebOps.QualityFixedPoint)).cast("long").as("qf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val expected = perDoc.groupBy(_._1).map { case (d, rows) =>
+      d -> rows.map(_._2).sum.toDouble / rows.length / WebOps.QualityFixedPoint
+    }
+    val got = stats.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(4)))).toMap
+    assert(got("hot.com")._1 > docs.count() * 8 / 10, "fixture must be Zipfian")
+    expected.foreach { case (d, avg) =>
+      assert(got(d)._2 == avg, s"avg_quality for $d: got ${got(d)._2}, want $avg")
+    }
+  }
+
   test("canonicalization is a narrow map; domainBudgetCap keeps per-domain " +
     "id-order prefixes under the budget") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
