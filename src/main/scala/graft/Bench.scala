@@ -65,8 +65,15 @@ object Bench {
     val pinned = readTimes(gateBaseline)
     val prevTimes: Map[String, Double] =
       if (pinned.nonEmpty) { System.err.println(s"[bench] gate baseline: $gateBaseline (pinned)"); pinned }
-      else { System.err.println("[bench] gate baseline: BENCH_full_latest.json (no pin found)")
-             readTimes("/root/repo/BENCH_full_latest.json") }
+      else {
+        // no pin: fall back to the LAST run's own sidecar, honoring a
+        // custom SPARK_GRAFT_BENCH_OUT (a run writing elsewhere must not
+        // gate against a stale default-path file)
+        val latest = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+          "/root/repo/BENCH_full_latest.json")
+        System.err.println(s"[bench] gate baseline: $latest (no pin found)")
+        readTimes(latest)
+      }
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

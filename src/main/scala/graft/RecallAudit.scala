@@ -132,17 +132,27 @@ object RecallAudit {
           val (cells, cb, cd) = Similarity.ivfPqTrain(e, m = 8, kc = 64,
             iters = 1)
           // freeze under the repo's build-transient scratch dir (cleared
-          // by clean), not a leaked /tmp dir per audit run
-          val work = "/root/repo/target/graft_recall/ivfpq"
+          // by clean), not a leaked /tmp dir per audit run. The model id
+          // AND the work dir carry a run-unique tag: two concurrent
+          // audits (or two same-count corpora) must not collide through
+          // dynamic partition overwrite — the exact row-count-identity
+          // defect the explicit model_id registry exists to prevent.
+          val runTag =
+            s"${java.lang.ProcessHandle.current().pid()}-${System.nanoTime()}"
+          val work = s"/root/repo/target/graft_recall/ivfpq-$runTag"
           val (ceF, cbF, cdF) = Similarity.ivfPqFreeze(cells, cb, cd,
-            s"recall-ivfpq-${e.count()}", work)
-          Seq(
+            s"recall-ivfpq-${e.count()}-$runTag", work)
+          val rows = Seq(
             "ivfpq_frozen_np3_m8_k64" -> recall(pairs(
               Similarity.ivfPqAdcTopKFrozen(q, ceF, cbF, cdF,
                 topK = 3, nprobe = 3))),
             "ivfpq_frozen_np3_m8_k64_rr50" -> recall(pairs(
               Similarity.ivfPqRerankFrozen(q, e, ceF, cbF, cdF,
                 topK = 3, candidates = 50, nprobe = 3))))
+          // the recalls above are eager; the per-run freeze is dead now
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(work))
+          rows
         } ++
         // mutual k-NN graph: EDGE recall of the cell-blocked default
         // (trained kmeans cells, kCells=8) vs the brute graph — the

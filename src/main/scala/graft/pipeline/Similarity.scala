@@ -1562,17 +1562,27 @@ object Similarity {
       .withColumn("prank", row_number().over(wq))
       .where(col("prank") <= nprobe)
       .select(col("query_id"), col("cell"))
+    // ONE materialization of the probe for BOTH consumers below (the
+    // static IN filter and the per-query probed join): the join is a
+    // broadcast anyway, so collecting here costs exactly what the plan
+    // would pay at execution — and it guarantees the collected IN set
+    // and the joined probe set are the SAME cells even when `queries` is
+    // a nondeterministic/re-evaluated source (two executions of the
+    // probe plan could otherwise diverge and silently drop candidates).
+    // The frame is #queries·nprobe rows — request-scale on a serve path.
+    val probedRows = probed.collect()
+    val probedLocal = broadcast(queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(probedRows: _*), probed.schema))
     // Static partition pruning: the UNION of probed cells is bounded by
-    // #cells (the metadata-scale relation the probe already broadcasts),
-    // so collecting it and pushing an IN filter onto the code-table scan
+    // #cells, and pushing it as an IN filter onto the code-table scan
     // turns the nprobe/#cells saving into directory-level pruning under
     // the [[ivfPqFreeze]] `partitionBy(model_id, cell)` layout — unprobed
     // cells are never READ, not filtered post-scan (PlanSpec pins the
     // pruned file set). Semantically redundant with the per-query probed
-    // join below (which this filter never widens), so the function stays
-    // correct over non-partitioned in-memory code frames too.
-    val probedCells = probed.select("cell").distinct().collect()
-      .map(_.get(0))
+    // join below (same materialized probe — it can neither widen nor
+    // narrow it), so the function stays correct over non-partitioned
+    // in-memory code frames too.
+    val probedCells = probedRows.map(_.get(1)).distinct.toSeq
     val prunedCodes = codes.where(col("cell").isin(probedCells: _*))
     val qsl = (0 until m).map(j =>
         queries.select(col(idCol).as("query_id"),
@@ -1588,7 +1598,7 @@ object Similarity {
     prunedCodes.select(col("vec_id").as("neighbor_id"), col("cell"),
         col("subspace"), col("cluster"))
       // cell restriction FIRST: unprobed cells never enter scoring
-      .join(broadcast(probed), Seq("cell"))
+      .join(probedLocal, Seq("cell"))
       .join(broadcast(dtab), Seq("subspace", "cluster", "query_id"))
       .where(col("neighbor_id") =!= col("query_id"))
       .groupBy("query_id", "neighbor_id")

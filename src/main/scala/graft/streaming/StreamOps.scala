@@ -731,13 +731,67 @@ object StreamOps {
       }
   }
 
+  /** One micro-batch of [[pqEncodeAppendSink]], IDEMPOTENT per
+    * `batchId`: Structured Streaming's foreachBatch is at-least-once —
+    * after a failure/restart the SAME batch id replays — so a blind
+    * parquet append would land duplicate (vec_id, subspace) code rows in
+    * the frozen relation and silently corrupt downstream ADC scoring
+    * (duplicated subspace distances inflate per-neighbor sums). The
+    * batch's codes therefore land under DETERMINISTIC per-batch file
+    * names inside the model partition (`ingest-b<batchId>-p<i>.parquet`):
+    * a replay first deletes whatever files an interrupted attempt left
+    * for this batch id, then renames the fresh staging output to the
+    * same names — re-running any prefix of the sequence converges to
+    * exactly-once file contents (the foreachBatch exactly-once recipe).
+    * Files are written WITHOUT the partition column (the `model_id=`
+    * directory carries it), matching what `partitionBy` bootstrap writes
+    * put inside the partition.
+    */
+  def pqEncodeAppendBatch(batch: DataFrame,
+      codebooks: Seq[(Int, Long, Seq[Double])], base: String,
+      modelId: String, batchId: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val s = batch.sparkSession
+    val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val hconf = s.sparkContext.hadoopConfiguration
+    val dest = new org.apache.hadoop.fs.Path(s"$base/codes/model_id=$modelId")
+    val fs = dest.getFileSystem(hconf)
+    val staging =
+      new org.apache.hadoop.fs.Path(s"$base/_staging/$modelId/b$batchId")
+    fs.delete(staging, true)
+    // stage with the FROZEN codes relation's exact schema
+    // (vec_id, subspace, cluster): the per-subspace dist is a batch
+    // diagnostic, and appending it would fork the relation's schema
+    // against the bootstrap rows pqFreeze wrote
+    pqEncodeStream(batch, codebooks, idCol, vecCol).toDF()
+      .select(col("vec_id"), col("subspace"), col("cluster"))
+      .repartition(shuffleN, col("vec_id"))
+      .write.mode("overwrite").parquet(staging.toString)
+    if (!fs.exists(dest)) fs.mkdirs(dest)
+    // remove any earlier attempt's files for THIS batch id, then move in
+    val old = fs.globStatus(
+      new org.apache.hadoop.fs.Path(dest, s"ingest-b$batchId-*"))
+    if (old != null) old.foreach(st => fs.delete(st.getPath, false))
+    val parts = fs.globStatus(
+      new org.apache.hadoop.fs.Path(staging, "part-*"))
+    (if (parts == null) Array.empty[org.apache.hadoop.fs.FileStatus]
+     else parts).sortBy(_.getPath.getName).zipWithIndex.foreach {
+      case (st, i) =>
+        fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(dest, s"ingest-b$batchId-p$i.parquet"))
+    }
+    fs.delete(staging, true)
+  }
+
   /** The ingest half wired to storage: encode each arriving micro-batch
     * against the frozen codebooks ([[pqEncodeStream]]) and APPEND the new
     * codes to the frozen model's code relation under its `model_id`
     * partition — the [[graft.pipeline.Similarity.pqFreeze]] layout, so
     * serving reads never distinguish bootstrap codes from ingested ones.
     * Cost per micro-batch is proportional to the BATCH (m broadcast-free
-    * local argmins per vector), never the corpus or the index.
+    * local argmins per vector), never the corpus or the index; each
+    * batch commits idempotently by batch id ([[pqEncodeAppendBatch]]),
+    * so at-least-once replay cannot duplicate code rows.
     */
   def pqEncodeAppendSink(vecs: DataFrame,
       codebooks: Seq[(Int, Long, Seq[Double])], base: String,
@@ -746,21 +800,9 @@ object StreamOps {
     vecs.writeStream
       .outputMode(OutputMode.Append)
       .trigger(Trigger.ProcessingTime(triggerMs))
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val s = batch.sparkSession
-        val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
-        // append with the FROZEN codes relation's exact schema
-        // (vec_id, subspace, cluster): the per-subspace dist is a batch
-        // diagnostic, and appending it would fork the relation's schema
-        // against the bootstrap rows pqFreeze wrote
-        pqEncodeStream(batch.toDF(), codebooks, idCol, vecCol).toDF()
-          .select(col("vec_id"), col("subspace"), col("cluster"))
-          .withColumn("model_id", lit(modelId))
-          .repartition(shuffleN, col("vec_id"))
-          .write.mode("append")
-          .partitionBy("model_id")
-          .parquet(s"$base/codes")
-        ()
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        pqEncodeAppendBatch(batch.toDF(), codebooks, base, modelId,
+          batchId, idCol, vecCol)
       }
       .start()
 

@@ -394,6 +394,20 @@ class StreamOpsSpec extends SparkSpec {
       .select("vec_id", "subspace", "cluster")
     assert(rowsOf(ingested) == rowsOf(Similarity.pqEncodeFrozen(batch, cbF)
       .select("vec_id", "subspace", "cluster")))
+    // at-least-once replay: foreachBatch re-fires with the SAME batch id
+    // after a failure — re-committing it must not duplicate code rows
+    // (per-batch deterministic file names, delete-then-rename)
+    val replayRows = rows.filter(_._1 % 2 == 1).toIndexedSeq
+    StreamOps.pqEncodeAppendBatch(
+      replayRows.toDF("vec_id", "embedding"), cbSeq, base, modelId,
+      batchId = 1L)
+    val replayed = spark.read.parquet(s"$base/codes")
+      .where(col("model_id") === modelId)
+    assert(replayed.count() == before + reference.size,
+      "replaying a committed batch id must be a no-op on row counts")
+    assert(replayed.groupBy("vec_id", "subspace").count()
+      .where(col("count") > 1).count() == 0,
+      "no (vec_id, subspace) may appear twice after a replay")
     // geometry guard survives the stream kernel
     val bad = batch.selectExpr("vec_id", "slice(embedding, 1, 7) as embedding")
     val err = intercept[Exception] {
