@@ -41,6 +41,28 @@ object Bench {
       System.err.println(f"[bench] warmup(${selected.size} queries @ $warmDir, " +
         f"${failed.size} failed) ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
+    // Fixed-work machine-state calibration (r13 verdict: idle per-query
+    // cost drifted +46% over two rounds, every step attributed to VM
+    // day-state with no absolute anchor — so per-query trajectories were
+    // unfalsifiable). This probe is constant synthetic work — a 32M-row
+    // integer-hash fold partial-aggregated through ONE fixed-width
+    // shuffle, zero fixture IO, zero suite code — so its time moves ONLY
+    // with the machine. It runs before and after the suite and lands in
+    // the sidecar; certifications divide per-query ratios by the
+    // calibration ratio to separate engine regressions from machine
+    // drift.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 1L << 25, 1L, 32)
+        .selectExpr("id % 1024 AS k",
+          "xxhash64(id, id * 2654435761) AS h")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("h"))
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // its own warm-up: codegen/JIT of the probe plan
+    val calBefore = calibrate()
+    System.err.println(f"[bench] calibration_before $calBefore%.3f s")
     // Previous certified per-query times, for the contention sanity gate
     // below. The gate diffs against a ROUND-START-PINNED baseline
     // (BENCH_gate_baseline.json, refreshed once per round from the last
@@ -62,6 +84,22 @@ object Bench {
       while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
       b.result()
     } catch { case _: Throwable => Map.empty }
+    def readCal(path: String): Option[Double] = try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(path)))
+      Option(node.get("calibration_before")).map(_.asDouble())
+    } catch { case _: Throwable => None }
+    // Normalize the gate by machine state: when the pin carries its own
+    // calibration, a machine now running k× slower relaxes the 2× rule
+    // by k (clamped to [0.5, 3] so a broken probe can't disable the
+    // gate) — the gate flags ENGINE regressions, not VM day-state.
+    val calRatio = readCal(gateBaseline)
+      .map(pc => math.max(0.5, math.min(3.0, calBefore / pc)))
+      .getOrElse(1.0)
+    if (calRatio != 1.0)
+      System.err.println(f"[bench] gate calibration ratio $calRatio%.3f " +
+        "(machine now vs pin)")
     val pinned = readTimes(gateBaseline)
     val prevTimes: Map[String, Double] =
       if (pinned.nonEmpty) { System.err.println(s"[bench] gate baseline: $gateBaseline (pinned)"); pinned }
@@ -92,7 +130,7 @@ object Bench {
     // 25 re-run candidates so a globally-loaded machine degrades to
     // honest flagging instead of doubling the bench's wall time.
     val suspects = firstPass.filter { case (name, _, sec) =>
-      prevTimes.get(name).exists(p => sec > 2 * p && sec > 1.0) }
+      prevTimes.get(name).exists(p => sec > 2 * p * calRatio && sec > 1.0) }
     if (suspects.size > 25)
       System.err.println(s"[bench] WARNING ${suspects.size} queries >2x their " +
         "previous time — machine-wide contention likely; re-running first 25 only")
@@ -108,11 +146,11 @@ object Bench {
         val prev = prevTimes(name)
         var best = sec
         var tries = 0
-        while (tries < 2 && best > 2 * prev) {
+        while (tries < 2 && best > 2 * prev * calRatio) {
           best = math.min(best, timeOnce(fn)); tries += 1
         }
         rerunLog += ((name, sec, best, prev))
-        if (best > 2 * prev)
+        if (best > 2 * prev * calRatio)
           System.err.println(f"[bench] SUSPECT $name%-24s $best%8.2f s stays " +
             f">2x previous ($prev%.2f s) after $tries re-runs — genuine " +
             "regression or persistent contention; investigate before certifying")
@@ -128,7 +166,9 @@ object Bench {
       s"\"$n\":{\"first\":$first,\"kept\":$best,\"prev\":$prev}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reruns":$reruns,"sf":"$sfDir"}"""
+    val calAfter = calibrate()
+    System.err.println(f"[bench] calibration_after $calAfter%.3f s")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reruns":$reruns,"calibration_before":$calBefore,"calibration_after":$calAfter,"cal_ratio_vs_pin":$calRatio,"sf":"$sfDir"}"""
     println(json)
     // Durable sidecar with ALL per-query timings: the driver's artifact
     // collector keeps only a tail of stdout, which has silently dropped the
