@@ -1251,6 +1251,32 @@ object Similarity {
         .where(col("model_id") === modelId).drop("model_id"))
   }
 
+  /** Read back a frozen PQ model previously written by [[pqFreeze]] —
+    * the serve-many half of train-once/serve-many: a session that has
+    * already frozen `modelId` under `base` serves from the persisted
+    * relations without paying training again. Returns exactly the
+    * frames pqFreeze returns (read-back, model_id-selected).
+    */
+  def pqReadFrozen(spark: org.apache.spark.sql.SparkSession, base: String,
+      modelId: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$base/codebooks")
+        .where(col("model_id") === modelId).drop("model_id"),
+      spark.read.parquet(s"$base/codes")
+        .where(col("model_id") === modelId).drop("model_id"))
+
+  /** Read back a frozen IVF-PQ index previously written by
+    * [[ivfPqFreeze]] — cells, codebooks, and the cell-partitioned codes,
+    * exactly the frames ivfPqFreeze returns.
+    */
+  def ivfPqReadFrozen(spark: org.apache.spark.sql.SparkSession,
+      base: String, modelId: String): (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$base/cells")
+        .where(col("model_id") === modelId).drop("model_id"),
+      spark.read.parquet(s"$base/codebooks")
+        .where(col("model_id") === modelId).drop("model_id"),
+      spark.read.parquet(s"$base/codes")
+        .where(col("model_id") === modelId).drop("model_id"))
+
   /** Encode NEW vectors against a FROZEN PQ model — index maintenance
     * without retraining, the ingest half of train-once/serve-many: each
     * arriving vector's subspace slices take the argmin cluster over the
