@@ -110,8 +110,14 @@ object SparkEntry {
     val www = when(d % 3 === 0, lit("WWW.")).otherwise(lit(""))
     val srcCased = when(d % 4 === 0, upper(col("source")))
       .otherwise(col("source"))
-    val host = concat(www, srcCased, lit("-"), (d % 17).cast("string"),
-      lit(".com"))
+    // multi-label public suffixes exercise the PSL registered-domain
+    // path: a.b.co.uk-shaped hosts (www/subdomain labels above a
+    // two-label suffix), a github.io private-domain host, and plain .com
+    val tld = when(d % 6 === 1, lit(".co.uk"))
+      .when(d % 6 === 3, lit(".com.au"))
+      .when(d % 6 === 5, lit(".github.io"))
+      .otherwise(lit(".com"))
+    val host = concat(www, srcCased, lit("-"), (d % 17).cast("string"), tld)
     val port = when(d % 5 === 0,
         when(d % 2 === 0, lit(":443")).otherwise(lit(":80")))
       .when(d % 5 === 1, lit(":8080"))
@@ -137,7 +143,10 @@ object SparkEntry {
       |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
       |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
       |  (CASE WHEN doc_id % 4 = 0 THEN upper(source) ELSE source END) ||
-      |  '-' || CAST(doc_id % 17 AS VARCHAR) || '.com' ||
+      |  '-' || CAST(doc_id % 17 AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 6 = 1 THEN '.co.uk'
+      |    WHEN doc_id % 6 = 3 THEN '.com.au'
+      |    WHEN doc_id % 6 = 5 THEN '.github.io' ELSE '.com' END) ||
       |  (CASE WHEN doc_id % 5 = 0 THEN
       |      (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
       |    WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END) ||
@@ -212,7 +221,7 @@ object SparkEntry {
        |       AND NOT (scheme = 'https' AND port = '443')
        |     THEN ':' || port ELSE '' END) || path ||
        |    (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) AS canonical_url,
-       |  regexp_replace(host, '^www\\.', '') AS domain
+       |  ${pslDomainSql("host")} AS domain
        |  FROM c)""".stripMargin
 
   /** DuckDB twin of [[webVariantDocs]] — `vdoc` = (doc_id, url). */
@@ -240,14 +249,39 @@ object SparkEntry {
       |      '#f' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END) AS url
       |  FROM documents)""".stripMargin
 
-  /** Shared canonical-domain SQL over `wdoc.url` — the twin of
-    * [[graft.pipeline.WebOps.urlDomain]] (lowercased host, port and
-    * leading www. stripped), one definition for all three web twins.
+  /** Lowercased, port-stripped host over `url` — the twin of
+    * [[graft.pipeline.WebOps.urlHost]]. Emitted single-line (the nested
+    * stripMargin trap).
     */
-  private lazy val WebDomainSql: String =
-    """regexp_replace(lower(regexp_extract(regexp_extract(url,
-      |  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^([^:]*)', 1)),
-      |  '^www\.', '')""".stripMargin
+  private lazy val WebHostSql: String =
+    "lower(regexp_extract(regexp_extract(url, " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^([^:]*)', 1))"
+
+  /** DuckDB twin of [[graft.pipeline.WebOps.registeredDomain]] over a
+    * BOUND host column expression — generated from the same PSL rule
+    * lists as the Spark side, so the curated public-suffix subset has
+    * one source of truth (a rule added in WebOps flows into every twin).
+    * Same algorithm: longest match, exception ≻ wildcard, implicit `*`
+    * default; hosts at or below the registrable point return themselves.
+    */
+  private def pslDomainSql(host: String): String = {
+    import graft.pipeline.WebOps._
+    def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString(", ")
+    def sfx(k: Int) =
+      s"array_to_string(list_slice(string_split($host, '.'), -$k, -1), '.')"
+    val n = s"len(string_split($host, '.'))"
+    def reg(m: Int) =
+      s"(CASE WHEN $n > $m THEN ${sfx(m + 1)} ELSE $host END)"
+    s"(CASE WHEN $n >= 3 AND ${sfx(3)} IN (${inList(PslThreeLabelSuffixes)}) " +
+      s"THEN ${reg(3)} " +
+      s"WHEN $n >= 2 AND ${sfx(2)} IN (${inList(PslExceptions)}) " +
+      s"THEN ${reg(1)} " +
+      s"WHEN $n >= 3 AND ${sfx(1)} IN (${inList(PslWildcardParents)}) " +
+      s"THEN ${reg(2)} " +
+      s"WHEN $n >= 3 AND ${sfx(2)} IN (${inList(PslTwoLabelSuffixes)}) " +
+      s"THEN ${reg(2)} " +
+      s"ELSE ${reg(1)} END)"
+  }
 
   /** Shared line-dedup CTE chain (twin of [[lineSynthDocs]] + the
     * TextOps.lineDedup keying): `sdoc` (synthesized multi-line docs),
@@ -5559,9 +5593,10 @@ object SparkEntry {
     // accumulation-order pinning (and no per-group list) needed.
     "web_domain_stats" ->
       s"""WITH $WebSynthCte,
-         |f AS (SELECT $WebDomainSql AS domain, doc_id, lang, text,
+         |wh AS (SELECT *, $WebHostSql AS __host FROM wdoc),
+         |f AS (SELECT ${pslDomainSql("__host")} AS domain, doc_id, lang, text,
          |  $Toks AS toks,
-         |  CAST(len($Toks) AS BIGINT) AS tok FROM wdoc),
+         |  CAST(len($Toks) AS BIGINT) AS tok FROM wh),
          |g AS (SELECT domain, doc_id, lang, tok,
          |  CAST(floor((${qualityScoreSql("toks", "text")}) * 1e9) AS BIGINT)
          |    AS qf FROM f)
@@ -5576,8 +5611,9 @@ object SparkEntry {
     // the tokenBudgetSample rule on the derived domain key.
     "sample_domain_budget" ->
       s"""WITH $WebSynthCte,
-         |t AS (SELECT doc_id, $WebDomainSql AS domain,
-         |  CAST(len($Toks) AS BIGINT) AS n_tokens FROM wdoc),
+         |wh AS (SELECT *, $WebHostSql AS __host FROM wdoc),
+         |t AS (SELECT doc_id, ${pslDomainSql("__host")} AS domain,
+         |  CAST(len($Toks) AS BIGINT) AS n_tokens FROM wh),
          |c AS (SELECT doc_id, domain, n_tokens,
          |  CAST(sum(n_tokens) OVER (PARTITION BY domain ORDER BY doc_id ASC
          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t)

@@ -58,13 +58,97 @@ object WebOps {
   def urlQuery(url: Column): Column =
     regexp_extract(url, "\\?([^#]*)", 1)
 
-  /** Registered domain for grouping: the lowercased host with a leading
-    * `www.` label stripped. (A public-suffix list is the production
-    * refinement; the fixture's synthetic hosts are all `<label>.com`, so
-    * host-minus-www IS the registered domain here — documented contract.)
+  /** Curated subset of the published Public Suffix List
+    * (publicsuffix.org — public data): the multi-label suffixes under
+    * which registration happens one level down (`a.b.co.uk`'s
+    * registered domain is `b.co.uk`, not `co.uk`). Single-label TLDs
+    * need no entries — the PSL's implicit `*` default rule (any unknown
+    * TLD is a public suffix) already yields last-two-labels for them.
+    * A production deployment swaps in the full published list (same
+    * shape, ~10k entries; at that size a broadcast join against a PSL
+    * table replaces the literal IN-sets) — the ALGORITHM here is the
+    * PSL's: longest matching rule wins, exception rules beat wildcard
+    * rules, unmatched hosts fall to the `*` default.
+    */
+  val PslTwoLabelSuffixes: Seq[String] = Seq(
+    // ccTLD second-level registries
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "co.za", "net.za", "org.za", "web.za", "gov.za", "ac.za",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar",
+    "co.th", "ac.th", "go.th", "in.th", "or.th", "net.th",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "com.pl", "net.pl", "org.pl", "edu.pl",
+    "co.at", "or.at", "ac.at", "gv.at",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "com.pt", "edu.pt", "gov.pt", "org.pt", "net.pt",
+    "com.gr", "edu.gr", "net.gr", "org.gr", "gov.gr",
+    // private-domain PSL entries (hosting platforms whose subdomains
+    // are independently registered — the boilerplate-farm boundary a
+    // web pipeline actually needs)
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    "netlify.app", "vercel.app", "pages.dev", "web.app",
+    "firebaseapp.com", "appspot.com", "azurewebsites.net",
+    "cloudfront.net", "wordpress.com")
+
+  /** Three-label PSL suffixes (subset). */
+  val PslThreeLabelSuffixes: Seq[String] = Seq("s3.amazonaws.com")
+
+  /** Wildcard rule parents: `*.<parent>` — every direct child of the
+    * parent is itself a public suffix (PSL's `*.ck`).
+    */
+  val PslWildcardParents: Seq[String] = Seq("ck")
+
+  /** Exception rules (PSL `!www.ck`): hosts that are REGISTRABLE despite
+    * a covering wildcard — the exception itself is the registered
+    * domain, i.e. the public suffix backs off one label.
+    */
+  val PslExceptions: Seq[String] = Seq("www.ck")
+
+  /** PSL registered domain of a (lowercased) host — pure column algebra
+    * over the label array, zero shuffle: the public-suffix label count
+    * `m` is the longest matching rule (3-label exact ≻ exception ≻
+    * wildcard ≻ 2-label exact ≻ the implicit `*` default of 1), and the
+    * registered domain is the suffix one label longer. A host that IS a
+    * public suffix (or a single label) returns itself. The rule sets are
+    * driver metadata compiled to codegen'd InSet probes — at full-PSL
+    * scale the same algorithm runs as a broadcast join instead.
+    */
+  def registeredDomain(host: Column): Column = {
+    val ls = split(host, "\\.")
+    val n = size(ls)
+    def suffix(k: Int): Column = array_join(slice(ls, -k, k), ".")
+    val m = when(n >= 3 && suffix(3).isInCollection(PslThreeLabelSuffixes),
+        lit(3))
+      .when(n >= 2 && suffix(2).isInCollection(PslExceptions), lit(1))
+      .when(n >= 3 && suffix(1).isInCollection(PslWildcardParents), lit(2))
+      .when(n >= 3 && suffix(2).isInCollection(PslTwoLabelSuffixes), lit(2))
+      .otherwise(lit(1))
+    when(n > m, array_join(slice(ls, (-m - 1).cast("int"), m + 1), "."))
+      .otherwise(host)
+  }
+
+  /** Registered domain for grouping: the PSL [[registeredDomain]] of the
+    * lowercased, port-stripped host — `www.ex.com → ex.com` (www is just
+    * a subdomain label below the registrable point), `a.b.co.uk →
+    * b.co.uk`, `x.github.io → x.github.io`.
     */
   def urlDomain(url: Column): Column =
-    regexp_replace(urlHost(url), "^www\\.", "")
+    registeredDomain(urlHost(url))
 
   /** Canonical URL — ONE identity for every fetch variant of a page:
     * scheme and host lowercased, `www.` kept (host identity is not

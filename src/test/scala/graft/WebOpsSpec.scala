@@ -38,17 +38,35 @@ class WebOpsSpec extends SparkSpec {
     assert(canon("http://ex.com/p?autm=1") == "http://ex.com/p?autm=1")
   }
 
-  test("canonicalizeUrl is idempotent; urlDomain strips www and port only") {
+  test("canonicalizeUrl is idempotent; urlDomain is the PSL registered " +
+    "domain") {
     val urls = Seq(
       "HTTPS://WWW.Ex.COM:443/a/1/?utm_source=r&x=1#s",
       "http://ex.com:8080/a?b=2&a=1",
       "http://WWW.site-3.com/a/4/")
     val once = urls.map(canon)
     assert(once.map(canon) == once, "canonicalization must be idempotent")
+    // any subdomain label (www or otherwise) sits above the registrable
+    // point under the * default rule
     assert(domain("HTTPS://WWW.Ex.COM:443/a") == "ex.com")
-    assert(domain("http://sub.ex.com/a") == "sub.ex.com",
-      "only a LEADING www. label is stripped")
-    assert(domain("http://wwwx.ex.com/a") == "wwwx.ex.com")
+    assert(domain("http://sub.ex.com/a") == "ex.com")
+    assert(domain("http://wwwx.ex.com/a") == "ex.com")
+    // two-label public suffixes: registration happens one level down
+    assert(domain("http://a.b.co.uk/x") == "b.co.uk")
+    assert(domain("http://b.co.uk/x") == "b.co.uk")
+    assert(domain("http://co.uk/x") == "co.uk",
+      "a host that IS a public suffix returns itself")
+    // private-domain PSL entries: platform subdomains are registrable
+    assert(domain("http://alice.github.io/p") == "alice.github.io")
+    assert(domain("http://deep.alice.github.io/p") == "alice.github.io")
+    // three-label suffix
+    assert(domain("http://bkt.s3.amazonaws.com/k") == "bkt.s3.amazonaws.com")
+    assert(domain("http://x.bkt.s3.amazonaws.com/k") == "bkt.s3.amazonaws.com")
+    // wildcard *.ck: every child of ck is itself a public suffix...
+    assert(domain("http://x.y.ck/") == "x.y.ck")
+    // ...except the !www.ck exception, which is registrable
+    assert(domain("http://www.ck/") == "www.ck")
+    assert(domain("http://a.www.ck/") == "www.ck")
   }
 
   test("urlDedup collapses fetch variants onto one canonical identity") {
