@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Web-curation operators over a URL column — the CCNet/RefinedWeb half of
@@ -239,19 +238,25 @@ object WebOps {
     * contributes until its budget fills, and one mega-domain cannot
     * dominate the mix (the RefinedWeb per-domain cap, the per-SOURCE
     * [[Sampling.tokenBudgetSample]] composed with the derived domain
-    * key). Deterministic: the id order is the tie-break. One shuffle
-    * (the window's domain partitioning); the running sum is a single
-    * pass per partition.
+    * key). Deterministic: the id order is the tie-break.
+    *
+    * Skew shape: the domain key is THE canonically Zipfian web key — a
+    * plain per-domain window hands one task a mega-domain's entire doc
+    * list. The running sum therefore goes through the sharded
+    * [[Prefix.runningSum]] grouped by domain (per-(domain, id-shard)
+    * local cumsum in parallel, a metadata-scale shard-prefix scan,
+    * broadcast add): per-task work is bounded by `shardWidth` ids, not
+    * by the hottest domain. Size `shardWidth` so a shard's rows fit one
+    * task comfortably (default 2²⁰ ids).
     */
   def domainBudgetCap(docs: DataFrame, budgetTokens: Long,
       urlCol: String = "url", idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", shardWidth: Long = 1L << 20): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
-    val w = Window.partitionBy("domain").orderBy(col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col(idCol), urlDomain(col(urlCol)).as("domain"),
-        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    val lens = docs.select(col(idCol), urlDomain(col(urlCol)).as("domain"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+    Prefix.runningSum(lens, idCol, "n_tokens", groupCols = Seq("domain"),
+        shardWidth = shardWidth, endCol = "cum_tokens")
       .where(col("cum_tokens") - col("n_tokens") < budgetTokens)
       .select(col(idCol), col("domain"), col("n_tokens"), col("cum_tokens"))
   }

@@ -150,4 +150,42 @@ class WebOpsSpec extends SparkSpec {
     assert(capped.length < docs.count(),
       "budget must drop at least one doc at this fixture size")
   }
+
+  test("domainBudgetCap shards the per-domain prefix walk (skew-safe on a " +
+    "mega-domain)") {
+    // 90% of docs in ONE domain — the Zipfian shape where a plain
+    // per-domain window hands one task the whole hot domain's doc list
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("url", concat(lit("http://"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit("cold"), (col("doc_id") % 97).cast("string")))
+          .otherwise(lit("hot")),
+        lit(".com/p/"), col("doc_id")))
+    val budget = 500L
+    // shardWidth 64 splits the hot domain's id range across many shards
+    val capped = WebOps.domainBudgetCap(docs, budget, shardWidth = 64L)
+    // the prefix walk must be the SHARDED scan: every window in the plan
+    // partitions by (domain, shard), never by the domain alone
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("__shard"),
+      "domainBudgetCap must run the sharded Prefix.runningSum")
+    // exactness under sharding: equal to the single-window reference
+    val rows = capped.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val perDoc = docs.select(col("doc_id"),
+        graft.pipeline.WebOps.urlDomain(col("url")).as("domain"),
+        size(graft.pipeline.TextOps.tokens(col("text"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = perDoc.groupBy(_._2).toSeq.flatMap { case (d, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).flatMap { case (id, _, n) =>
+        val keep = cum < budget
+        cum += n
+        if (keep) Some((id, d, n, cum)) else None
+      }
+    }.toSet
+    assert(rows.toSet == expected,
+      "sharded prefix cap must equal the sequential per-domain walk")
+    assert(rows.count(_._2 == "hot.com") > 0)
+  }
 }
