@@ -194,6 +194,32 @@ object SparkEntry {
         .as("url"))
   }
 
+  /** Deterministic blocklist for the web_blocklist gate — mirrored
+    * term-for-term by [[WebBlocklistCte]]: every `src3` registered
+    * domain across the synth's four public suffixes is domain-blocked,
+    * and two canonical-prefix rules block the `http://src7-*` and
+    * `https://www.src1-*` sections (the robots-Disallow shape).
+    */
+  private def webBlocklist(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val doms = for {
+      k <- 0 until 17
+      t <- Seq(".com", ".co.uk", ".com.au", ".github.io")
+    } yield ("domain", s"src3-$k$t")
+    (doms ++ Seq(("prefix", "http://src7-"), ("prefix", "https://www.src1-")))
+      .toDF("kind", "pattern")
+  }
+
+  /** DuckDB twin of [[webBlocklist]] — `bl` = (kind, pattern). */
+  private lazy val WebBlocklistCte: String =
+    """bl AS (
+      |  SELECT 'domain' AS kind,
+      |    'src3-' || CAST(r.range AS VARCHAR) || t.t AS pattern
+      |  FROM range(0, 17) r,
+      |    (VALUES ('.com'), ('.co.uk'), ('.com.au'), ('.github.io')) t(t)
+      |  UNION ALL SELECT 'prefix', 'http://src7-'
+      |  UNION ALL SELECT 'prefix', 'https://www.src1-')""".stripMargin
+
   /** The canonicalization SQL chain over `src`(doc_id, url) — twin of
     * [[graft.pipeline.WebOps.canonicalizeUrl]]/[[graft.pipeline.WebOps.urlDomain]],
     * ONE definition shared by the web_canonical_url and web_url_dedup
@@ -1999,6 +2025,27 @@ object SparkEntry {
         .createOrReplaceTempView("graft_sql_webdocs_bd")
       s.sql("SELECT * FROM graft_domain_budget('graft_sql_webdocs_bd', 60)")
     }),
+    // robots/blocklist gate: docs from blocked registered domains or
+    // blocked canonical-URL prefixes dropped by broadcast anti-joins —
+    // the crawl-curation filter in front of everything else
+    "web_blocklist" -> ((s, dir) =>
+      WebOps.blocklistFilter(webSynthDocs(Tables(s, dir).documents),
+          webBlocklist(s))
+        .select("doc_id", "url", "canonical_url", "domain")),
+    "sql_web_blocklist" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      webSynthDocs(Tables(s, dir).documents)
+        .createOrReplaceTempView("graft_sql_webdocs_bl")
+      webBlocklist(s).createOrReplaceTempView("graft_sql_blocklist")
+      s.sql("SELECT doc_id, url, canonical_url, domain FROM " +
+        "graft_web_blocklist('graft_sql_webdocs_bl', 'graft_sql_blocklist')")
+    }),
+    // streaming URL-identity dedup in batch mode: the crawl-ingest face —
+    // canonical-key state (keeper id + variant count) via
+    // flatMapGroupsWithState; batch parity == WebOps.urlDedup exactly
+    "stream_url_dedup" -> ((s, dir) =>
+      graft.streaming.StreamOps.urlDedupStream(
+        webVariantDocs(Tables(s, dir).documents)).toDF()),
 
     // ---- learned-subword tokenizer: exact BPE merge training (8 rounds)
     // over the word-frequency table, plus per-doc segmentation under the
@@ -3397,6 +3444,7 @@ object SparkEntry {
       "sql_web_canonical" -> base("web_canonical_url"),
       "sql_domain_stats" -> base("web_domain_stats"),
       "sql_domain_budget" -> base("sample_domain_budget"),
+      "sql_web_blocklist" -> base("web_blocklist"),
       "sql_curate" -> base("pipeline_curate"),
       "sql_minhash_join" -> base("dedup_cross"),
       "sql_semantic_join" -> base("dedup_sem_cross"),
@@ -5619,6 +5667,27 @@ object SparkEntry {
          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t)
          |SELECT doc_id, domain, n_tokens, cum_tokens FROM c
          |WHERE cum_tokens - n_tokens < 60""".stripMargin,
+    // Twin of WebOps.blocklistFilter over the synth + the deterministic
+    // blocklist: survivors = docs whose registered domain matches no
+    // domain rule and whose canonical URL starts with no prefix rule.
+    "web_blocklist" ->
+      s"""WITH $WebSynthCte,
+         |$WebBlocklistCte,
+         |${webCanonSql("wdoc")}
+         |SELECT c.doc_id, c.url, c.canonical_url, c.domain
+         |FROM canon c
+         |WHERE c.domain NOT IN (SELECT pattern FROM bl WHERE kind = 'domain')
+         |  AND NOT EXISTS (SELECT 1 FROM bl b WHERE b.kind = 'prefix'
+         |    AND starts_with(c.canonical_url, b.pattern))""".stripMargin,
+    // batch face of the streaming URL-identity dedup — parity with
+    // web_url_dedup by construction (same canonical key, one batch from
+    // empty state), so the twin is the batch face's SQL
+    "stream_url_dedup" ->
+      s"""WITH $WebVariantCte,
+         |${webCanonSql("vdoc")}
+         |SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_variants
+         |FROM canon GROUP BY 1""".stripMargin,
     // Twins of Bpe.train / Bpe.segmentStats over the shared unrolled rounds
     "text_bpe_merges" -> {
       val union = (0 until BpeMerges).map(i => s"SELECT * FROM b$i")

@@ -265,6 +265,14 @@ object GraftTableFunctions {
       (exprs: Seq[Expression]) => plan(graft.pipeline.WebOps.domainBudgetCap(
         rel(strArg(exprs(0), "table name")),
         longArg(exprs(1), "budget_tokens")))),
+    (FunctionIdentifier("graft_web_blocklist"),
+      info("graft_web_blocklist",
+        "graft_web_blocklist(docs_table, blocklist_table) - drop docs " +
+          "whose registered domain or canonical-URL prefix is blocklisted " +
+          "(blocklist columns: kind in {domain, prefix}, pattern)"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.WebOps.blocklistFilter(
+        rel(strArg(exprs(0), "docs table name")),
+        rel(strArg(exprs(1), "blocklist table name"))))),
     (FunctionIdentifier("graft_ks_drift"),
       info("graft_ks_drift",
         "graft_ks_drift(table, group_col, value_col, slice_col, shard_width) - " +

@@ -232,6 +232,38 @@ object WebOps {
       .agg(min(col("__id")).as("keeper_doc_id"),
         count(lit(1)).as("n_variants"))
 
+  /** Robots/blocklist filtering — the crawl-curation gate that drops
+    * documents from disallowed origins BEFORE any content processing: a
+    * doc is dropped when its registered domain matches a `domain` rule
+    * exactly, or when its canonical URL starts with a `prefix` rule (the
+    * robots.txt-Disallow shape over the canonicalized identity, so
+    * tracking-param/case/port variants of a blocked page cannot slip
+    * through). `blocklist` is `(kind, pattern)` rows with kind ∈
+    * {domain, prefix}.
+    *
+    * Scale shape: the blocklist is curation metadata (10³–10⁵ rows
+    * against 10⁹+ docs), so both probes are BROADCAST anti-joins — the
+    * domain rules an equi anti-join, the prefix rules a broadcast
+    * nested-loop anti (rules side broadcast; the corpus never shuffles)
+    * — one narrow pass over the scan, the bloomDecontaminate shape over
+    * the web key. Output: the SURVIVING docs with `canonical_url` and
+    * `domain` appended.
+    */
+  def blocklistFilter(docs: DataFrame, blocklist: DataFrame,
+      urlCol: String = "url"): DataFrame = {
+    val withKeys = docs
+      .withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+      .withColumn("domain", urlDomain(col(urlCol)))
+    val domRules = blocklist.where(col("kind") === "domain")
+      .select(col("pattern").as("domain"))
+    val preRules = blocklist.where(col("kind") === "prefix")
+      .select(col("pattern").as("__prefix"))
+    withKeys
+      .join(broadcast(domRules), Seq("domain"), "left_anti")
+      .join(broadcast(preRules),
+        col("canonical_url").startsWith(col("__prefix")), "left_anti")
+  }
+
   /** Per-domain token-budget cap: walk each domain's docs in ascending id
     * order and keep a doc while the domain's running token total (NOT
     * counting the current doc) is under `budgetTokens` — so every domain

@@ -401,6 +401,53 @@ object StreamOps {
       }
   }
 
+  final case class UrlRow(canonical_url: String, doc_id: Long)
+  final case class UrlIdState(keeper: Long, n: Long)
+  final case class UrlIdentity(canonical_url: String, keeper_doc_id: Long,
+      n_variants: Long)
+
+  /** Streaming URL-identity dedup — the crawl-ingest face of
+    * [[graft.pipeline.WebOps.urlDedup]]: refetches arriving across
+    * micro-batches collapse onto their canonical identity
+    * ([[graft.pipeline.WebOps.canonicalizeUrl]] as a stateless narrow map
+    * riding the ingest), and per canonical key the state is TWO LONGS —
+    * keeper id (min doc id seen) and variant count — bounded by #distinct
+    * pages, never by fetch volume. Each batch emits the UPDATED identity
+    * row for keys it touched (the running crawl-dedup report; the last
+    * emission per key is the batch answer). Batch parity is exact: on a
+    * static frame every group is one invocation from empty state, so the
+    * output IS urlDedup's row set (the stream_pq_addbatch gate pattern —
+    * the oracle row runs this kernel in batch mode against the batch
+    * face's twin SQL).
+    */
+  def urlDedupStream(docs: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id"): Dataset[UrlIdentity] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = docs.select(
+        graft.pipeline.WebOps.canonicalizeUrl(col(urlCol))
+          .as("canonical_url"),
+        col(idCol).cast("long").as("doc_id")).as[UrlRow]
+    rows.groupByKey(_.canonical_url)
+      .flatMapGroupsWithState[UrlIdState, UrlIdentity](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key, it, state: GroupState[UrlIdState]) =>
+          var keeper = state.getOption.map(_.keeper).getOrElse(Long.MaxValue)
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          var touched = false
+          it.foreach { r =>
+            touched = true
+            if (r.doc_id < keeper) keeper = r.doc_id
+            n += 1
+          }
+          if (!touched) Iterator.empty
+          else {
+            state.update(UrlIdState(keeper, n))
+            Iterator.single(UrlIdentity(key, keeper, n))
+          }
+      }
+  }
+
   /** Frozen-classifier scoring on a document stream — model-in-the-loop
     * curation AT INGEST (the CCNet/fastText filter applied before a
     * document ever lands in the corpus). Because

@@ -338,6 +338,47 @@ class StreamOpsSpec extends SparkSpec {
     assert(g.getMessage.contains("every frozen cell centroid"))
   }
 
+  test("urlDedupStream: refetches across micro-batches collapse onto one " +
+    "canonical identity; batch face == WebOps.urlDedup") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val urls = Seq(
+      (10L, "https://www.ex.com/p?id=3&utm_source=a"),
+      (11L, "HTTPS://WWW.Ex.COM:443/p?id=3"),
+      (12L, "https://www.ex.com/p/?fbclid=z&id=3"),
+      (13L, "https://www.ex.com/p?id=3#frag"),
+      (20L, "https://www.ex.com/p?id=4"))
+    // batch face: one batch from empty state IS the batch operator
+    val batchGot = StreamOps.urlDedupStream(urls.toDF("doc_id", "url"))
+      .toDF().collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batchRef = graft.pipeline.WebOps.urlDedup(urls.toDF("doc_id", "url"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(batchGot == batchRef, "batch face must equal WebOps.urlDedup")
+    // streaming face: later batches deliver refetches with LOWER ids —
+    // the keeper tightens and the count accumulates across batches
+    val in = MemoryStream[(Long, String)]
+    val out = StreamOps.urlDedupStream(in.toDS().toDF("doc_id", "url"))
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("url_dedup_stream").start()
+    try {
+      in.addData(urls.drop(2).toIndexedSeq) // ids 12, 13, 20 first
+      q.processAllAvailable()
+      in.addData(urls.take(2).toIndexedSeq) // then 10, 11 (earlier fetches)
+      q.processAllAvailable()
+    } finally q.stop()
+    // last emission per key is the running answer == the batch answer
+    val last = spark.table("url_dedup_stream").collect()
+      .zipWithIndex
+      .groupBy(_._1.getString(0))
+      .map { case (k, rs) =>
+        val r = rs.maxBy(_._2)._1
+        k -> ((r.getLong(1), r.getLong(2)))
+      }
+    assert(last == batchRef,
+      "cross-batch state must converge to the batch identity rows")
+  }
+
   test("pqEncodeStream: batch face == pqEncodeFrozen; micro-batches append " +
     "to the frozen codes relation") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -151,6 +151,31 @@ class WebOpsSpec extends SparkSpec {
       "budget must drop at least one doc at this fixture size")
   }
 
+  test("blocklistFilter drops by registered domain and canonical prefix " +
+    "via broadcast anti-joins") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "http://ok.com/a"),
+      (2L, "http://www.bad.co.uk/a"),          // domain rule (www folds in)
+      (3L, "http://sub.bad.co.uk/a"),          // same registered domain
+      (4L, "http://ok.com/private/x?utm_source=r"), // prefix rule on CANON
+      (5L, "http://ok.com/privateer"),         // prefix match is literal
+      (6L, "http://other.com/private/x")       // prefix is host-anchored
+    ).toDF("doc_id", "url")
+    val bl = Seq(
+      ("domain", "bad.co.uk"),
+      ("prefix", "http://ok.com/private/")).toDF("kind", "pattern")
+    val kept = WebOps.blocklistFilter(docs, bl)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 5L, 6L))
+    // both probes must be broadcast antis — the corpus never shuffles
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      "blocklist probes must broadcast, not sort-merge")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the prefix rule is a broadcast nested-loop anti-join")
+  }
+
   test("domainBudgetCap shards the per-domain prefix walk (skew-safe on a " +
     "mega-domain)") {
     // 90% of docs in ONE domain — the Zipfian shape where a plain
