@@ -261,6 +261,7 @@ class SqlSurfaceSpec extends SparkSpec {
   test("graft_web_canonical / graft_domain_stats / graft_domain_budget == " +
     "WebOps Scala faces") {
     import graft.pipeline.WebOps
+    import spark.implicits._
     GraftTableFunctions.registerAll(spark)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .withColumn("url", concat(lit("HTTPS://WWW.d"), col("doc_id") % 7,
@@ -278,6 +279,12 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rowsOf(spark.sql(
         "SELECT * FROM graft_domain_budget('sqlspec_webdocs', 60)"))
       == rowsOf(WebOps.domainBudgetCap(docs, 60L)))
+    val bl = Seq(("domain", "d3.com"), ("prefix", "https://www.d1."))
+      .toDF("kind", "pattern")
+    bl.createOrReplaceTempView("sqlspec_blocklist")
+    assert(rowsOf(spark.sql("SELECT * FROM graft_web_blocklist(" +
+        "'sqlspec_webdocs', 'sqlspec_blocklist')"))
+      == rowsOf(WebOps.blocklistFilter(docs, bl)))
   }
 
   test("SQL surface composes: TVF result is a normal relation (filter + agg)") {
