@@ -210,6 +210,17 @@ object SparkEntry {
       .toDF("kind", "pattern")
   }
 
+  /** Deterministic crawl-fetch synthesis: events as fetch records with a
+    * URL derived from (event_type, user_id) over a `.co.uk` suffix (the
+    * PSL registered-domain path exercised end-to-end) — mirrored
+    * term-for-term by the web_crawl_rate twin's `f` CTE.
+    */
+  private def crawlFetches(t: Tables): DataFrame =
+    t.events.select(col("event_id"), col("ts"),
+      concat(lit("https://WWW."), col("event_type"), lit("-"),
+        (col("user_id") % 13).cast("string"), lit(".co.uk/e/"),
+        col("event_id")).as("url"))
+
   /** DuckDB twin of [[webBlocklist]] — `bl` = (kind, pattern). */
   private lazy val WebBlocklistCte: String =
     """bl AS (
@@ -2046,6 +2057,21 @@ object SparkEntry {
     "stream_url_dedup" -> ((s, dir) =>
       graft.streaming.StreamOps.urlDedupStream(
         webVariantDocs(Tables(s, dir).documents)).toDF()),
+    // per-domain crawl-rate windows: fetch counts per (registered
+    // domain, tumbling hour) + over-limit verdict — the politeness
+    // monitor, on batch / streaming / SQL faces over one arithmetic
+    "web_crawl_rate" -> ((s, dir) =>
+      WebOps.crawlRate(crawlFetches(Tables(s, dir)),
+        windowMs = 3600000L, maxFetches = 2)),
+    "stream_crawl_rate" -> ((s, dir) =>
+      graft.streaming.StreamOps.crawlRateStream(crawlFetches(Tables(s, dir)),
+        windowMs = 3600000L, maxFetches = 2, watermark = "1 minute")),
+    "sql_crawl_rate" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      crawlFetches(Tables(s, dir))
+        .createOrReplaceTempView("graft_sql_fetches")
+      s.sql("SELECT * FROM graft_crawl_rate('graft_sql_fetches', 3600000, 2)")
+    }),
 
     // ---- learned-subword tokenizer: exact BPE merge training (8 rounds)
     // over the word-frequency table, plus per-doc segmentation under the
@@ -3445,6 +3471,8 @@ object SparkEntry {
       "sql_domain_stats" -> base("web_domain_stats"),
       "sql_domain_budget" -> base("sample_domain_budget"),
       "sql_web_blocklist" -> base("web_blocklist"),
+      "sql_crawl_rate" -> base("web_crawl_rate"),
+      "stream_crawl_rate" -> base("web_crawl_rate"),
       "sql_curate" -> base("pipeline_curate"),
       "sql_minhash_join" -> base("dedup_cross"),
       "sql_semantic_join" -> base("dedup_sem_cross"),
@@ -5679,6 +5707,21 @@ object SparkEntry {
          |WHERE c.domain NOT IN (SELECT pattern FROM bl WHERE kind = 'domain')
          |  AND NOT EXISTS (SELECT 1 FROM bl b WHERE b.kind = 'prefix'
          |    AND starts_with(c.canonical_url, b.pattern))""".stripMargin,
+    // Twin of WebOps.crawlRate over the events-derived fetch synth:
+    // per (PSL registered domain, epoch-aligned tumbling hour) fetch
+    // counts + the over-limit verdict. Shared by all three faces.
+    "web_crawl_rate" ->
+      s"""WITH f AS (SELECT event_id, epoch_ns(ts) AS tsn,
+         |  'https://WWW.' || event_type || '-' ||
+         |  CAST(user_id % 13 AS VARCHAR) || '.co.uk/e/' ||
+         |  CAST(event_id AS VARCHAR) AS url FROM events),
+         |h AS (SELECT *, $WebHostSql AS __host FROM f),
+         |d AS (SELECT ${pslDomainSql("__host")} AS domain,
+         |  ((tsn // 1000000) // 3600000) * 3600000 AS window_start FROM h)
+         |SELECT domain, CAST(window_start AS BIGINT) AS window_start,
+         |  CAST(count(*) AS BIGINT) AS n_fetches,
+         |  count(*) > 2 AS over_limit
+         |FROM d GROUP BY 1, 2""".stripMargin,
     // batch face of the streaming URL-identity dedup — parity with
     // web_url_dedup by construction (same canonical key, one batch from
     // empty state), so the twin is the batch face's SQL

@@ -265,6 +265,14 @@ object GraftTableFunctions {
       (exprs: Seq[Expression]) => plan(graft.pipeline.WebOps.domainBudgetCap(
         rel(strArg(exprs(0), "table name")),
         longArg(exprs(1), "budget_tokens")))),
+    (FunctionIdentifier("graft_crawl_rate"),
+      info("graft_crawl_rate",
+        "graft_crawl_rate(table, window_ms, max_fetches) - per registered " +
+          "domain and tumbling event-time window: fetch count + over-limit " +
+          "verdict (expects url, ts epoch-ns columns)"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.WebOps.crawlRate(
+        rel(strArg(exprs(0), "table name")),
+        longArg(exprs(1), "window_ms"), longArg(exprs(2), "max_fetches")))),
     (FunctionIdentifier("graft_web_blocklist"),
       info("graft_web_blocklist",
         "graft_web_blocklist(docs_table, blocklist_table) - drop docs " +

@@ -232,6 +232,29 @@ object WebOps {
       .agg(min(col("__id")).as("keeper_doc_id"),
         count(lit(1)).as("n_variants"))
 
+  /** Per-domain crawl-rate profile over tumbling event-time windows:
+    * fetch counts per (registered domain, window) plus the over-limit
+    * verdict — the politeness/rate-cap monitor of a crawl pipeline (the
+    * aggregate face of robots crawl-delay; [[graft.streaming.StreamOps]]
+    * `crawlRateStream` is the at-ingest face over the same arithmetic).
+    * One partial-combined aggregate on the (domain, window) key; the
+    * window component SPLITS a hot domain across time, so the Zipfian
+    * domain key is not a single-reducer hazard here. `tsCol` is the
+    * engine's epoch-ns grid; windows are `windowMs` tumbling, keyed by
+    * their epoch-ms start.
+    */
+  def crawlRate(fetches: DataFrame, windowMs: Long, maxFetches: Long,
+      urlCol: String = "url", tsCol: String = "ts"): DataFrame = {
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    require(maxFetches > 0, s"maxFetches must be positive, got $maxFetches")
+    fetches.select(urlDomain(col(urlCol)).as("domain"),
+        expr(s"((`$tsCol` div 1000000) div $windowMs) * $windowMs")
+          .as("window_start"))
+      .groupBy("domain", "window_start")
+      .agg(count(lit(1)).as("n_fetches"))
+      .withColumn("over_limit", col("n_fetches") > maxFetches)
+  }
+
   /** Robots/blocklist filtering — the crawl-curation gate that drops
     * documents from disallowed origins BEFORE any content processing: a
     * doc is dropped when its registered domain matches a `domain` rule

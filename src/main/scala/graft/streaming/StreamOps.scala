@@ -401,6 +401,35 @@ object StreamOps {
       }
   }
 
+  /** Per-domain crawl-rate windows AT INGEST — the streaming face of
+    * [[graft.pipeline.WebOps.crawlRate]]: fetch counts per (registered
+    * domain, tumbling event-time window) with the over-limit verdict,
+    * maintained as a standard watermarked windowed aggregation (bounded
+    * state: live windows × active domains; the watermark closes windows
+    * and evicts their state). Window starts are epoch-aligned exactly
+    * like the batch face's `(ms div windowMs) * windowMs`, so on a
+    * static frame the output IS crawlRate's row set — the oracle row
+    * runs this kernel in batch mode against the batch face's twin SQL.
+    * `tsCol` is epoch-ns (the engine grid).
+    */
+  def crawlRateStream(fetches: DataFrame, windowMs: Long, maxFetches: Long,
+      watermark: String, urlCol: String = "url",
+      tsCol: String = "ts"): DataFrame = {
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    require(maxFetches > 0, s"maxFetches must be positive, got $maxFetches")
+    fetches
+      .withColumn("event_time", timestamp_micros(expr(s"`$tsCol` div 1000")))
+      .withWatermark("event_time", watermark)
+      .groupBy(
+        graft.pipeline.WebOps.urlDomain(col(urlCol)).as("domain"),
+        window(col("event_time"), s"$windowMs milliseconds"))
+      .agg(count(lit(1)).as("n_fetches"))
+      .select(col("domain"),
+        unix_millis(col("window.start")).as("window_start"),
+        col("n_fetches"),
+        (col("n_fetches") > maxFetches).as("over_limit"))
+  }
+
   final case class UrlRow(canonical_url: String, doc_id: Long)
   final case class UrlIdState(keeper: Long, n: Long)
   final case class UrlIdentity(canonical_url: String, keeper_doc_id: Long,

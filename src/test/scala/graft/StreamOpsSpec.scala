@@ -338,6 +338,55 @@ class StreamOpsSpec extends SparkSpec {
     assert(g.getMessage.contains("every frozen cell centroid"))
   }
 
+  test("crawlRateStream: windowed per-domain fetch counts accumulate " +
+    "across micro-batches; batch face == WebOps.crawlRate") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = 3600000L * 1000000L // one hour in ns
+    // 4 fetches of hot.com in hour 0 (over the 2-cap), 1 in hour 1,
+    // 2 of cold.com in hour 0 (at the cap, not over)
+    val fetches = Seq(
+      (1L, 0L * H + 1000000L, "http://www.hot.com/a"),
+      (2L, 0L * H + 2000000L, "http://hot.com/b"),
+      (3L, 0L * H + 3000000L, "http://sub.hot.com/c"),
+      (4L, 0L * H + 4000000L, "http://hot.com/d"),
+      (5L, 1L * H + 1000000L, "http://hot.com/e"),
+      (6L, 0L * H + 5000000L, "http://cold.com/a"),
+      (7L, 0L * H + 6000000L, "http://cold.com/b"))
+    def rowsOfDf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    val batch = rowsOfDf(graft.pipeline.WebOps.crawlRate(
+      fetches.toDF("event_id", "ts", "url"), 3600000L, 2))
+    assert(batch == Set(
+      ("hot.com", 0L, 4L, true), ("hot.com", 3600000L, 1L, false),
+      ("cold.com", 0L, 2L, false)))
+    // streaming kernel in batch mode == the batch face
+    assert(rowsOfDf(StreamOps.crawlRateStream(
+      fetches.toDF("event_id", "ts", "url"), 3600000L, 2, "1 minute"))
+      == batch)
+    // streaming: the same fetches split across two micro-batches; in
+    // Update mode the LAST emission per (domain, window) is the answer
+    val in = MemoryStream[(Long, Long, String)]
+    val q = StreamOps.crawlRateStream(
+        in.toDS().toDF("event_id", "ts", "url"), 3600000L, 2, "1 minute")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("crawl_rate_stream").start()
+    try {
+      in.addData(fetches.take(3).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(fetches.drop(3).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("crawl_rate_stream").collect().zipWithIndex
+      .groupBy(t => (t._1.getString(0), t._1.getLong(1)))
+      .map { case (k, rs) =>
+        val r = rs.maxBy(_._2)._1
+        (k._1, k._2, r.getLong(2), r.getBoolean(3))
+      }.toSet
+    assert(last == batch,
+      "cross-batch window state must converge to the batch rows")
+  }
+
   test("urlDedupStream: refetches across micro-batches collapse onto one " +
     "canonical identity; batch face == WebOps.urlDedup") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
