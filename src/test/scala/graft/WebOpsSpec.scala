@@ -69,6 +69,42 @@ class WebOpsSpec extends SparkSpec {
     assert(domain("http://a.www.ck/") == "www.ck")
   }
 
+  test("registeredDomain column algebra == a plain Scala PSL walk over " +
+    "generated hosts") {
+    import spark.implicits._
+    // straightforward reference implementation of the same PSL algorithm
+    // — catches Spark-expression bugs (negative slice bounds, InSet vs
+    // guard interplay) that a hand-picked example set can miss
+    def ref(host: String): String = {
+      val ls = host.split('.')
+      val n = ls.length
+      def sfx(k: Int) = ls.takeRight(k).mkString(".")
+      val m =
+        if (n >= 3 && WebOps.PslThreeLabelSuffixes.contains(sfx(3))) 3
+        else if (n >= 2 && WebOps.PslExceptions.contains(sfx(2))) 1
+        else if (n >= 3 && WebOps.PslWildcardParents.contains(sfx(1))) 2
+        else if (n >= 3 && WebOps.PslTwoLabelSuffixes.contains(sfx(2))) 2
+        else 1
+      if (n > m) sfx(m + 1) else host
+    }
+    // hosts assembled from labels that collide with every rule shape:
+    // suffix parts (co/uk/ck/www/github/io/s3/amazonaws/com), plain
+    // labels, and single-label hosts
+    val pool = Seq("com", "co", "uk", "ck", "www", "github", "io", "s3",
+      "amazonaws", "a", "b", "ex", "blogspot", "jp", "ac")
+    val rnd = new scala.util.Random(421)
+    val hosts = (1 to 500).map { _ =>
+      val n = 1 + rnd.nextInt(5)
+      Seq.fill(n)(pool(rnd.nextInt(pool.length))).mkString(".")
+    }.distinct
+    val got = hosts.toDF("host")
+      .select(col("host"), WebOps.registeredDomain(col("host")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    hosts.foreach { h =>
+      assert(got(h) == ref(h), s"host $h: column ${got(h)} != ref ${ref(h)}")
+    }
+  }
+
   test("urlDedup collapses fetch variants onto one canonical identity") {
     import spark.implicits._
     // four fetches of ONE page through canonicalization-removable
