@@ -221,6 +221,83 @@ object SparkEntry {
         (col("user_id") % 13).cast("string"), lit(".co.uk/e/"),
         col("event_id")).as("url"))
 
+  /** Deterministic outlink synthesis for the web_outlinks/web_link_graph
+    * gates ([[webSynthDocs]] + link mentions appended to the page text):
+    * every doc cites one clean `https://…com` page, and every third doc
+    * also cites an `HTTP://WWW.…co.uk:80/?utm_…` page — scheme/host case,
+    * a default port, and a tracking param the extractor's canonicalization
+    * must fold. Target hosts are derived from doc_id so the domain graph
+    * has deterministic fan-out across the synth's domain universe.
+    * Mirrored term-for-term by [[WebLinkedCte]].
+    */
+  private def webLinkedDocs(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val l1 = concat(lit("https://src"), ((d * 7 + 1) % 20).cast("string"),
+      lit("-"), ((d * 3) % 17).cast("string"),
+      lit(".com/p/"), d.cast("string"))
+    val l2 = concat(lit("HTTP://WWW.src"), ((d * 11 + 2) % 20).cast("string"),
+      lit("-"), ((d * 5) % 17).cast("string"),
+      lit(".co.uk:80/q/"), d.cast("string"),
+      lit("?utm_source=x&z="), (d % 9).cast("string"))
+    webSynthDocs(docs).withColumn("text",
+      concat(col("text"), lit(" see "), l1,
+        when(d % 3 === 0, concat(lit(" and "), l2)).otherwise(lit(""))))
+  }
+
+  /** DuckDB twin of [[webLinkedDocs]] — `ldoc` = wdoc with the same link
+    * mentions appended to `text` (term-for-term the Scala concat; depends
+    * on [[WebSynthCte]]).
+    */
+  private lazy val WebLinkedCte: String =
+    """ldoc AS (SELECT doc_id, url,
+      |  text || ' see ' ||
+      |  'https://src' || CAST((doc_id * 7 + 1) % 20 AS VARCHAR) || '-' ||
+      |    CAST((doc_id * 3) % 17 AS VARCHAR) ||
+      |    '.com/p/' || CAST(doc_id AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN
+      |      ' and HTTP://WWW.src' || CAST((doc_id * 11 + 2) % 20 AS VARCHAR) ||
+      |        '-' || CAST((doc_id * 5) % 17 AS VARCHAR) ||
+      |        '.co.uk:80/q/' || CAST(doc_id AS VARCHAR) ||
+      |        '?utm_source=x&z=' || CAST(doc_id % 9 AS VARCHAR)
+      |    ELSE '' END) AS text
+      |  FROM wdoc)""".stripMargin
+
+  /** Deterministic robots rules for the web_robots gate — mirrored
+    * term-for-term by [[RobotsRulesCte]]: five sources' domains (across
+    * all four public suffixes) carry a `disallow /a/1` + `allow /a/13`
+    * pair (longest-match + allow-tie exercised on doc_ids 1*, 13*), and
+    * src5's domains add a site-wide `disallow /` (overridden only by the
+    * longer allow) — the full REP precedence chain on real rows.
+    */
+  private def robotsRules(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val tlds = Seq(".com", ".co.uk", ".com.au", ".github.io")
+    val srcs = Seq("src2", "src5", "src8", "src11", "src14")
+    val pairs = for {
+      src <- srcs; k <- 0 until 17; t <- tlds
+      r <- Seq(("disallow", "/a/1"), ("allow", "/a/13"))
+    } yield (s"$src-$k$t", r._1, r._2)
+    val site = for { k <- 0 until 17; t <- tlds }
+      yield (s"src5-$k$t", "disallow", "/")
+    (pairs ++ site).toDF("domain", "directive", "path_prefix")
+  }
+
+  /** DuckDB twin of [[robotsRules]] — `rr` = (domain, directive,
+    * path_prefix).
+    */
+  private lazy val RobotsRulesCte: String =
+    """rr AS (
+      |  SELECT s.s || '-' || CAST(r.range AS VARCHAR) || t.t AS domain,
+      |    d.d AS directive, d.p AS path_prefix
+      |  FROM (VALUES ('src2'), ('src5'), ('src8'), ('src11'), ('src14')) s(s),
+      |    range(0, 17) r,
+      |    (VALUES ('.com'), ('.co.uk'), ('.com.au'), ('.github.io')) t(t),
+      |    (VALUES ('disallow', '/a/1'), ('allow', '/a/13')) d(d, p)
+      |  UNION ALL
+      |  SELECT 'src5-' || CAST(r.range AS VARCHAR) || t.t, 'disallow', '/'
+      |  FROM range(0, 17) r,
+      |    (VALUES ('.com'), ('.co.uk'), ('.com.au'), ('.github.io')) t(t))""".stripMargin
+
   /** DuckDB twin of [[webBlocklist]] — `bl` = (kind, pattern). */
   private lazy val WebBlocklistCte: String =
     """bl AS (
@@ -231,28 +308,32 @@ object SparkEntry {
       |  UNION ALL SELECT 'prefix', 'http://src7-'
       |  UNION ALL SELECT 'prefix', 'https://www.src1-')""".stripMargin
 
-  /** The canonicalization SQL chain over `src`(doc_id, url) — twin of
+  /** The canonicalization SQL chain over `src`(<extra cols>, url) — twin
+    * of
     * [[graft.pipeline.WebOps.canonicalizeUrl]]/[[graft.pipeline.WebOps.urlDomain]],
-    * ONE definition shared by the web_canonical_url and web_url_dedup
-    * twins: CTEs `p` (raw components), `c` (normalized host/port +
-    * sorted kept params), `canon` (doc_id, url, canonical_url, domain).
+    * ONE definition shared by the web_canonical_url / web_url_dedup /
+    * web_outlinks twins: CTEs `p` (raw components), `c` (normalized
+    * host/port + sorted kept params), `canon` (`extra`, url,
+    * canonical_url, domain). `extra` columns pass through untouched —
+    * the outlink twin canonicalizes the LINK column (`link AS url`) while
+    * carrying (doc_id, src_domain, link).
     */
-  private def webCanonSql(src: String): String =
-    s"""p AS (SELECT doc_id, url,
+  private def webCanonSql(src: String, extra: String = "doc_id"): String =
+    s"""p AS (SELECT $extra, url,
        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
        |  regexp_replace(regexp_extract(url,
        |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$$', '') AS path,
        |  regexp_extract(url, '\\?([^#]*)', 1) AS q
        |  FROM $src),
-       |c AS (SELECT doc_id, url, scheme, path,
+       |c AS (SELECT $extra, url, scheme, path,
        |  lower(regexp_extract(auth, '^([^:]*)', 1)) AS host,
        |  regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
        |  array_to_string(list_sort(list_filter(string_split(q, '&'),
        |    x -> x <> '' AND NOT regexp_matches(x,
        |      '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))), '&') AS cq
        |  FROM p),
-       |canon AS (SELECT doc_id, url,
+       |canon AS (SELECT $extra, url,
        |  scheme || '://' || host ||
        |    (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
        |       AND NOT (scheme = 'https' AND port = '443')
@@ -2072,6 +2153,51 @@ object SparkEntry {
         .createOrReplaceTempView("graft_sql_fetches")
       s.sql("SELECT * FROM graft_crawl_rate('graft_sql_fetches', 3600000, 2)")
     }),
+    // outlink extraction: every http(s) mention in page text, exploded
+    // with its canonical identity + target registered domain — the
+    // crawl-frontier feed; extraction is a narrow map riding the scan
+    "web_outlinks" -> ((s, dir) =>
+      WebOps.outlinks(webLinkedDocs(Tables(s, dir).documents))),
+    // domain-level link graph: (src domain → dst domain) edges with link
+    // and distinct-page counts — one partial-combined agg on the pair key
+    "web_link_graph" -> ((s, dir) =>
+      WebOps.linkGraph(webLinkedDocs(Tables(s, dir).documents))),
+    "sql_link_graph" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      webLinkedDocs(Tables(s, dir).documents)
+        .createOrReplaceTempView("graft_sql_webdocs_lk")
+      s.sql("SELECT * FROM graft_link_graph('graft_sql_webdocs_lk')")
+    }),
+    // robots-rules verdicts (RFC 9309: longest match wins, allow on tie,
+    // default allow): every URL annotated with (allowed, matched_prefix)
+    // — rules broadcast as per-domain arrays, zero corpus shuffle
+    "web_robots" -> ((s, dir) =>
+      WebOps.robotsEval(webSynthDocs(Tables(s, dir).documents),
+          robotsRules(s))
+        .select("doc_id", "url", "domain", "path", "allowed",
+          "matched_prefix")),
+    "sql_web_robots" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      webSynthDocs(Tables(s, dir).documents)
+        .createOrReplaceTempView("graft_sql_webdocs_rb")
+      robotsRules(s).createOrReplaceTempView("graft_sql_robots")
+      s.sql("SELECT doc_id, url, domain, path, allowed, matched_prefix " +
+        "FROM graft_web_robots('graft_sql_webdocs_rb', 'graft_sql_robots')")
+    }),
+    // the robots verdict is a stateless narrow map over a stream-static
+    // broadcast, so the stream face is the batch operator verbatim
+    // (StreamOpsSpec drives it as a real MemoryStream)
+    "stream_robots" -> ((s, dir) =>
+      graft.streaming.StreamOps.robotsStream(
+          webSynthDocs(Tables(s, dir).documents), robotsRules(s))
+        .select("doc_id", "url", "domain", "path", "allowed",
+          "matched_prefix")),
+    // blocklist gate at ingest: narrow map + stream-static broadcast
+    // anti-joins — batch parity by construction
+    "stream_blocklist" -> ((s, dir) =>
+      graft.streaming.StreamOps.blocklistStream(
+          webSynthDocs(Tables(s, dir).documents), webBlocklist(s))
+        .select("doc_id", "url", "canonical_url", "domain")),
 
     // ---- learned-subword tokenizer: exact BPE merge training (8 rounds)
     // over the word-frequency table, plus per-doc segmentation under the
@@ -3473,6 +3599,10 @@ object SparkEntry {
       "sql_web_blocklist" -> base("web_blocklist"),
       "sql_crawl_rate" -> base("web_crawl_rate"),
       "stream_crawl_rate" -> base("web_crawl_rate"),
+      "sql_link_graph" -> base("web_link_graph"),
+      "sql_web_robots" -> base("web_robots"),
+      "stream_robots" -> base("web_robots"),
+      "stream_blocklist" -> base("web_blocklist"),
       "sql_curate" -> base("pipeline_curate"),
       "sql_minhash_join" -> base("dedup_cross"),
       "sql_semantic_join" -> base("dedup_sem_cross"),
@@ -5722,6 +5852,61 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_fetches,
          |  count(*) > 2 AS over_limit
          |FROM d GROUP BY 1, 2""".stripMargin,
+    // Twin of WebOps.outlinks over the link synth: regexp-extracted link
+    // mentions, one row per link, with the link's canonical identity
+    // (the shared webCanonSql chain over `link AS url`) and both
+    // registered domains through the shared PSL SQL.
+    "web_outlinks" ->
+      s"""WITH $WebSynthCte,
+         |$WebLinkedCte,
+         |wh AS (SELECT *, $WebHostSql AS __host FROM ldoc),
+         |lk AS (SELECT doc_id, ${pslDomainSql("__host")} AS src_domain,
+         |  unnest(regexp_extract_all(text, '(?i)https?://\\S+')) AS link
+         |  FROM wh),
+         |lsrc AS (SELECT doc_id, src_domain, link, link AS url FROM lk),
+         |${webCanonSql("lsrc", "doc_id, src_domain, link")}
+         |SELECT doc_id, src_domain, link,
+         |  canonical_url AS canonical_link, domain AS dst_domain
+         |FROM canon""".stripMargin,
+    // Twin of WebOps.linkGraph: the outlink rows aggregated to
+    // (src_domain, dst_domain) edges with link + distinct-page counts.
+    "web_link_graph" ->
+      s"""WITH $WebSynthCte,
+         |$WebLinkedCte,
+         |wh AS (SELECT *, $WebHostSql AS __host FROM ldoc),
+         |lk AS (SELECT doc_id, ${pslDomainSql("__host")} AS src_domain,
+         |  unnest(regexp_extract_all(text, '(?i)https?://\\S+')) AS link
+         |  FROM wh),
+         |lsrc AS (SELECT doc_id, src_domain, link, link AS url FROM lk),
+         |${webCanonSql("lsrc", "doc_id, src_domain, link")}
+         |SELECT src_domain, domain AS dst_domain,
+         |  CAST(count(*) AS BIGINT) AS n_links,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM canon GROUP BY 1, 2""".stripMargin,
+    // Twin of WebOps.robotsEval over the synth + the deterministic rules:
+    // per doc, the matching rules of its registered domain ranked by
+    // (prefix length DESC, allow DESC) — rank 1 is the REP winner;
+    // unmatched docs default to allowed with an empty matched prefix.
+    "web_robots" ->
+      s"""WITH $WebSynthCte,
+         |$RobotsRulesCte,
+         |wh AS (SELECT *, $WebHostSql AS __host FROM wdoc),
+         |d AS (SELECT doc_id, url, ${pslDomainSql("__host")} AS domain,
+         |  (CASE WHEN path0 = '' THEN '/' ELSE path0 END) AS path
+         |  FROM (SELECT *, regexp_extract(url,
+         |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0
+         |    FROM wh)),
+         |m AS (SELECT d.doc_id, r.directive, r.path_prefix,
+         |  row_number() OVER (PARTITION BY d.doc_id
+         |    ORDER BY len(r.path_prefix) DESC,
+         |      (r.directive = 'allow') DESC) AS rn
+         |  FROM d JOIN rr r ON d.domain = r.domain
+         |    AND starts_with(d.path, r.path_prefix)),
+         |w AS (SELECT doc_id, directive, path_prefix FROM m WHERE rn = 1)
+         |SELECT d.doc_id, d.url, d.domain, d.path,
+         |  coalesce(w.directive = 'allow', TRUE) AS allowed,
+         |  coalesce(w.path_prefix, '') AS matched_prefix
+         |FROM d LEFT JOIN w ON d.doc_id = w.doc_id""".stripMargin,
     // batch face of the streaming URL-identity dedup — parity with
     // web_url_dedup by construction (same canonical key, one batch from
     // empty state), so the twin is the batch face's SQL

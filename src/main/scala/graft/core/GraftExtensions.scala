@@ -281,6 +281,21 @@ object GraftTableFunctions {
       (exprs: Seq[Expression]) => plan(graft.pipeline.WebOps.blocklistFilter(
         rel(strArg(exprs(0), "docs table name")),
         rel(strArg(exprs(1), "blocklist table name"))))),
+    (FunctionIdentifier("graft_link_graph"),
+      info("graft_link_graph",
+        "graft_link_graph(table) - registered-domain link graph from " +
+          "http(s) mentions in page text: (src_domain, dst_domain) edges " +
+          "with link + distinct-page counts (expects doc_id, url, text)"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.WebOps.linkGraph(
+        rel(strArg(exprs(0), "table name"))))),
+    (FunctionIdentifier("graft_web_robots"),
+      info("graft_web_robots",
+        "graft_web_robots(docs_table, rules_table) - robots-rules verdicts " +
+          "(longest match, allow on tie, default allow) per URL; rules " +
+          "columns: domain, directive in {allow, disallow}, path_prefix"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.WebOps.robotsEval(
+        rel(strArg(exprs(0), "docs table name")),
+        rel(strArg(exprs(1), "rules table name"))))),
     (FunctionIdentifier("graft_ks_drift"),
       info("graft_ks_drift",
         "graft_ks_drift(table, group_col, value_col, slice_col, shard_width) - " +

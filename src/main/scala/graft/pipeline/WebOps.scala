@@ -287,6 +287,96 @@ object WebOps {
         col("canonical_url").startsWith(col("__prefix")), "left_anti")
   }
 
+  /** Regex matching one outlink mention in page text: an `http(s)` URL up
+    * to the next whitespace, scheme case-insensitive. Identical in Java
+    * regex (Spark) and RE2 (DuckDB) — the twin uses the same string.
+    */
+  val LinkRe: String = "(?i)https?://\\S+"
+
+  /** Outlink extraction: every `http(s)://…` mention in the page text,
+    * exploded to one row per link, with the link's canonical identity and
+    * target registered domain alongside the source page's domain — the
+    * crawl-frontier feed (newly discovered URLs) and the edge list a web
+    * graph is built from.
+    *
+    * Scale shape: extraction is a NARROW map riding the corpus scan
+    * (regexp_extract_all + explode — no shuffle, output ∝ #links), and
+    * both derived identities are the same zero-shuffle column algebra as
+    * [[canonicalizeUrl]]/[[urlDomain]]. Output: (idCol, src_domain, link,
+    * canonical_link, dst_domain).
+    */
+  def outlinks(docs: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), urlDomain(col(urlCol)).as("src_domain"),
+        explode(regexp_extract_all(col(textCol), lit(LinkRe), lit(0)))
+          .as("link"))
+      .withColumn("canonical_link", canonicalizeUrl(col("link")))
+      .withColumn("dst_domain", urlDomain(col("link")))
+
+  /** Domain-level link graph: [[outlinks]] aggregated to (source
+    * registered domain → target registered domain) edges with link and
+    * distinct-page counts — the host graph behind centrality/spam
+    * analyses of a crawl. One partial-combined aggregate on the domain
+    * pair (#domain pairs ≪ #links); the extraction side never shuffles.
+    */
+  def linkGraph(docs: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    outlinks(docs, urlCol, idCol, textCol)
+      .groupBy("src_domain", "dst_domain")
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col(idCol)).as("n_docs"))
+
+  /** Robots-rules evaluation — the standard robots.txt decision procedure
+    * (REP, RFC 9309) over prefix rules: for each URL, among the rules of
+    * its registered domain whose `path_prefix` prefixes the URL path, the
+    * LONGEST match wins; on a length tie `allow` beats `disallow`; a URL
+    * with no matching rule (or a domain with no rules) is allowed. The
+    * empty path evaluates as "/" (a bare-authority URL is the root).
+    * `rules` is (domain, directive ∈ {allow, disallow}, path_prefix).
+    *
+    * Unlike [[blocklistFilter]] (which DROPS), this ANNOTATES: output is
+    * the input plus (domain, path, allowed, matched_prefix) — the verdict
+    * table a recrawl scheduler or compliance audit reads.
+    *
+    * Scale shape: rules are curation metadata (per-domain rule counts are
+    * small — real robots files cap out in the hundreds), so they are
+    * pre-grouped into per-domain rule ARRAYS on the metadata side and
+    * BROADCAST; the corpus takes one narrow pass (broadcast equi-join on
+    * the domain plus a per-row fold over that domain's few rules) — zero
+    * corpus shuffle, the [[blocklistFilter]] shape with argmax semantics.
+    * The winner is order-independent: the max key (length, allow) is
+    * unique up to identical rules, so the unordered collect is safe.
+    */
+  def robotsEval(docs: DataFrame, rules: DataFrame,
+      urlCol: String = "url"): DataFrame = {
+    val ruleArr = rules.groupBy(col("domain"))
+      .agg(collect_list(struct(col("path_prefix").as("p"),
+        (col("directive") === "allow").as("a"))).as("__rules"))
+    val emptyRules = array().cast("array<struct<p:string,a:boolean>>")
+    val init = struct(lit(-1).as("l"), lit(true).as("a"), lit("").as("p"))
+    docs
+      .withColumn("domain", urlDomain(col(urlCol)))
+      .withColumn("path",
+        when(urlPath(col(urlCol)) === "", lit("/"))
+          .otherwise(urlPath(col(urlCol))))
+      .join(broadcast(ruleArr), Seq("domain"), "left")
+      .withColumn("__win", aggregate(
+        filter(coalesce(col("__rules"), emptyRules),
+          r => col("path").startsWith(r.getField("p"))),
+        init,
+        (acc, r) => {
+          val l = length(r.getField("p"))
+          when(l > acc.getField("l") ||
+              (l === acc.getField("l") && r.getField("a")),
+            struct(l.as("l"), r.getField("a").as("a"),
+              r.getField("p").as("p")))
+            .otherwise(acc)
+        }))
+      .withColumn("allowed", col("__win.l") < 0 || col("__win.a"))
+      .withColumn("matched_prefix", col("__win.p"))
+      .drop("__rules", "__win")
+  }
+
   /** Per-domain token-budget cap: walk each domain's docs in ascending id
     * order and keep a doc while the domain's running token total (NOT
     * counting the current doc) is under `budgetTokens` — so every domain

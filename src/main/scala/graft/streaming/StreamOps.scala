@@ -477,6 +477,37 @@ object StreamOps {
       }
   }
 
+  /** Blocklist gate on a crawl-ingest stream — the streaming face of
+    * [[graft.pipeline.WebOps.blocklistFilter]]: documents from blocked
+    * registered domains / canonical-URL prefixes are dropped the moment
+    * they arrive, BEFORE any content processing or state. Because the
+    * batch operator is a narrow map (canonical identities) plus two
+    * STREAM-STATIC broadcast anti-joins (the blocklist is a bounded batch
+    * relation, read once at plan time and frozen for the stream's
+    * lifetime — restart to pick up new rules), the SAME operator runs
+    * unmodified on a streaming frame: no state, no watermark, exact batch
+    * parity by construction. StreamOpsSpec drives it as a real
+    * MemoryStream.
+    */
+  def blocklistStream(docs: DataFrame, blocklist: DataFrame,
+      urlCol: String = "url"): DataFrame =
+    graft.pipeline.WebOps.blocklistFilter(docs, blocklist, urlCol)
+
+  /** Robots-rules verdicts on a crawl-ingest stream — the streaming face
+    * of [[graft.pipeline.WebOps.robotsEval]]: each arriving URL gets its
+    * (allowed, matched_prefix) verdict under longest-match/allow-tie REP
+    * semantics. The rules side is a bounded batch relation pre-grouped to
+    * per-domain arrays and broadcast (stream-static equi-join), and the
+    * verdict itself is a per-row fold over that domain's few rules — a
+    * stateless narrow map, so the batch operator runs unmodified on a
+    * streaming frame with exact batch parity (restart the stream to pick
+    * up re-fetched robots rules). StreamOpsSpec drives it as a real
+    * MemoryStream.
+    */
+  def robotsStream(docs: DataFrame, rules: DataFrame,
+      urlCol: String = "url"): DataFrame =
+    graft.pipeline.WebOps.robotsEval(docs, rules, urlCol)
+
   /** Frozen-classifier scoring on a document stream — model-in-the-loop
     * curation AT INGEST (the CCNet/fastText filter applied before a
     * document ever lands in the corpus). Because

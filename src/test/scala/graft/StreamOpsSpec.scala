@@ -387,6 +387,69 @@ class StreamOpsSpec extends SparkSpec {
       "cross-batch window state must converge to the batch rows")
   }
 
+  test("blocklistStream drops blocked docs at ingest across micro-batches " +
+    "== batch blocklistFilter") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "http://ok.com/a"),
+      (2L, "http://www.bad.co.uk/a"),
+      (3L, "http://ok.com/private/x?utm_source=r"),
+      (4L, "http://ok.com/public/y"),
+      (5L, "http://sub.bad.co.uk/b"))
+    val bl = Seq(
+      ("domain", "bad.co.uk"),
+      ("prefix", "http://ok.com/private/")).toDF("kind", "pattern")
+    val batchRef = graft.pipeline.WebOps
+      .blocklistFilter(docs.toDF("doc_id", "url"), bl)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val in = MemoryStream[(Long, String)]
+    val out = StreamOps.blocklistStream(in.toDS().toDF("doc_id", "url"), bl)
+      .select("doc_id", "canonical_url", "domain")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("blocklist_stream").start()
+    try {
+      in.addData(docs.take(3).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(docs.drop(3).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("blocklist_stream").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == batchRef && got == Set(1L, 4L),
+      "stream survivors must equal the batch gate's survivors")
+  }
+
+  test("robotsStream: REP verdicts on a stream == batch robotsEval") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rules = Seq(
+      ("ex.com", "disallow", "/a/1"),
+      ("ex.com", "allow", "/a/13")).toDF("domain", "directive", "path_prefix")
+    val docs = Seq(
+      (1L, "http://ex.com/a/1"),
+      (2L, "http://ex.com/a/13"),
+      (3L, "http://ex.com/b"),
+      (4L, "http://www.ex.com/a/12"))
+    val batchRef = graft.pipeline.WebOps
+      .robotsEval(docs.toDF("doc_id", "url"), rules)
+      .select("doc_id", "allowed", "matched_prefix").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    val in = MemoryStream[(Long, String)]
+    val out = StreamOps.robotsStream(in.toDS().toDF("doc_id", "url"), rules)
+      .select("doc_id", "allowed", "matched_prefix")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("robots_stream").start()
+    try {
+      in.addData(docs.take(2).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(docs.drop(2).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("robots_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(got == batchRef, "stream verdicts must equal the batch face")
+    assert(got(1L) == ((false, "/a/1")) && got(2L) == ((true, "/a/13")))
+  }
+
   test("urlDedupStream: refetches across micro-batches collapse onto one " +
     "canonical identity; batch face == WebOps.urlDedup") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

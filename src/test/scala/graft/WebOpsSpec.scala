@@ -249,4 +249,73 @@ class WebOpsSpec extends SparkSpec {
       "sharded prefix cap must equal the sequential per-domain walk")
     assert(rows.count(_._2 == "hot.com") > 0)
   }
+
+  test("robotsEval: longest match wins, allow beats disallow on a tie, " +
+    "default allow, empty path is the root") {
+    import spark.implicits._
+    val rules = Seq(
+      ("ex.com", "disallow", "/a/1"),
+      ("ex.com", "allow", "/a/13"),
+      ("site.com", "disallow", "/"),
+      ("site.com", "allow", "/a/13"),
+      ("tie.com", "disallow", "/t/1"),
+      ("tie.com", "allow", "/t/1")).toDF("domain", "directive", "path_prefix")
+    val docs = Seq(
+      (1L, "http://ex.com/a/1"),        // disallow /a/1
+      (2L, "http://ex.com/a/13"),       // allow /a/13 outranks /a/1
+      (3L, "http://ex.com/b"),          // no matching rule -> allowed
+      (4L, "http://www.ex.com/a/10"),   // www folds into the domain key
+      (5L, "http://site.com"),          // empty path = "/" -> site-wide
+      (6L, "http://site.com/a/13x"),    // longer allow beats "/"
+      (7L, "http://tie.com/t/1z"),      // same length: allow wins the tie
+      (8L, "http://norules.org/x")      // domain with no rules -> allowed
+    ).toDF("doc_id", "url")
+    val got = WebOps.robotsEval(docs, rules)
+      .select("doc_id", "allowed", "matched_prefix").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(got == Map(
+      1L -> ((false, "/a/1")),
+      2L -> ((true, "/a/13")),
+      3L -> ((true, "")),
+      4L -> ((false, "/a/1")),
+      5L -> ((false, "/")),
+      6L -> ((true, "/a/13")),
+      7L -> ((true, "/t/1")),
+      8L -> ((true, ""))))
+    // the rules ride a broadcast — the corpus must never sort-merge
+    val plan = WebOps.robotsEval(docs, rules)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      "robots rules must broadcast, not sort-merge")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the domain probe is a broadcast equi-join")
+  }
+
+  test("outlinks extracts http(s) mentions with canonical identity; " +
+    "linkGraph aggregates domain edges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "http://src.com/page",
+        "words https://a.co.uk/x words HTTP://WWW.B.com:80/y?utm_source=r&z=1"),
+      (2L, "http://www.src.com/other",
+        "see https://sub.a.co.uk/x2 only"),
+      (3L, "http://src.com/none", "no links here")
+    ).toDF("doc_id", "url", "text")
+    val links = WebOps.outlinks(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4)))
+    assert(links.toSet == Set(
+      (1L, "src.com", "https://a.co.uk/x", "https://a.co.uk/x", "a.co.uk"),
+      // scheme/host case + default port + tracking param fold away
+      (1L, "src.com", "HTTP://WWW.B.com:80/y?utm_source=r&z=1",
+        "http://www.b.com/y?z=1", "b.com"),
+      // subdomain of a two-label suffix registers one level down
+      (2L, "src.com", "https://sub.a.co.uk/x2", "https://sub.a.co.uk/x2",
+        "a.co.uk")))
+    val graph = WebOps.linkGraph(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(graph.toSet == Set(
+      ("src.com", "a.co.uk", 2L, 2L),
+      ("src.com", "b.com", 1L, 1L)))
+  }
 }
