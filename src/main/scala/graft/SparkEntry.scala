@@ -227,7 +227,9 @@ object SparkEntry {
     * also cites an `HTTP://WWW.…co.uk:80/?utm_…` page — scheme/host case,
     * a default port, and a tracking param the extractor's canonicalization
     * must fold. Target hosts are derived from doc_id so the domain graph
-    * has deterministic fan-out across the synth's domain universe.
+    * has deterministic fan-out across the synth's domain universe; every
+    * fifth doc additionally cites a KNOWN page (its own canonical URL) so
+    * the frontier's known-page anti-join has real rows to drop.
     * Mirrored term-for-term by [[WebLinkedCte]].
     */
   private def webLinkedDocs(docs: DataFrame): DataFrame = {
@@ -241,12 +243,17 @@ object SparkEntry {
       lit("?utm_source=x&z="), (d % 9).cast("string"))
     webSynthDocs(docs).withColumn("text",
       concat(col("text"), lit(" see "), l1,
-        when(d % 3 === 0, concat(lit(" and "), l2)).otherwise(lit(""))))
+        when(d % 3 === 0, concat(lit(" and "), l2)).otherwise(lit("")),
+        when(d % 5 === 2,
+          concat(lit(" and "), WebOps.canonicalizeUrl(col("url"))))
+          .otherwise(lit(""))))
   }
 
   /** DuckDB twin of [[webLinkedDocs]] — `ldoc` = wdoc with the same link
-    * mentions appended to `text` (term-for-term the Scala concat; depends
-    * on [[WebSynthCte]]).
+    * mentions appended to `text` (term-for-term the Scala concat). Depends
+    * on [[WebSynthCte]] AND on the corpus canon chain
+    * `${webCanonSql("wdoc", "doc_id, text", "s")}` (the self-link cites
+    * `scanon.canonical_url`).
     */
   private lazy val WebLinkedCte: String =
     """ldoc AS (SELECT doc_id, url,
@@ -259,8 +266,10 @@ object SparkEntry {
       |        '-' || CAST((doc_id * 5) % 17 AS VARCHAR) ||
       |        '.co.uk:80/q/' || CAST(doc_id AS VARCHAR) ||
       |        '?utm_source=x&z=' || CAST(doc_id % 9 AS VARCHAR)
+      |    ELSE '' END) ||
+      |  (CASE WHEN doc_id % 5 = 2 THEN ' and ' || canonical_url
       |    ELSE '' END) AS text
-      |  FROM wdoc)""".stripMargin
+      |  FROM scanon)""".stripMargin
 
   /** Deterministic robots rules for the web_robots gate — mirrored
     * term-for-term by [[RobotsRulesCte]]: five sources' domains (across
@@ -316,31 +325,34 @@ object SparkEntry {
     * host/port + sorted kept params), `canon` (`extra`, url,
     * canonical_url, domain). `extra` columns pass through untouched —
     * the outlink twin canonicalizes the LINK column (`link AS url`) while
-    * carrying (doc_id, src_domain, link).
+    * carrying (doc_id, src_domain, link). `pfx` prefixes the CTE names
+    * so ONE query can run the chain twice (corpus `scanon` + link
+    * `canon` in the outlink twins).
     */
-  private def webCanonSql(src: String, extra: String = "doc_id"): String =
-    s"""p AS (SELECT $extra, url,
+  private def webCanonSql(src: String, extra: String = "doc_id",
+      pfx: String = ""): String =
+    s"""${pfx}p AS (SELECT $extra, url,
        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
        |  regexp_replace(regexp_extract(url,
        |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$$', '') AS path,
        |  regexp_extract(url, '\\?([^#]*)', 1) AS q
        |  FROM $src),
-       |c AS (SELECT $extra, url, scheme, path,
+       |${pfx}c AS (SELECT $extra, url, scheme, path,
        |  lower(regexp_extract(auth, '^([^:]*)', 1)) AS host,
        |  regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
        |  array_to_string(list_sort(list_filter(string_split(q, '&'),
        |    x -> x <> '' AND NOT regexp_matches(x,
        |      '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))), '&') AS cq
-       |  FROM p),
-       |canon AS (SELECT $extra, url,
+       |  FROM ${pfx}p),
+       |${pfx}canon AS (SELECT $extra, url,
        |  scheme || '://' || host ||
        |    (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
        |       AND NOT (scheme = 'https' AND port = '443')
        |     THEN ':' || port ELSE '' END) || path ||
        |    (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) AS canonical_url,
        |  ${pslDomainSql("host")} AS domain
-       |  FROM c)""".stripMargin
+       |  FROM ${pfx}c)""".stripMargin
 
   /** DuckDB twin of [[webVariantDocs]] — `vdoc` = (doc_id, url). */
   private lazy val WebVariantCte: String =
@@ -2198,6 +2210,17 @@ object SparkEntry {
       graft.streaming.StreamOps.blocklistStream(
           webSynthDocs(Tables(s, dir).documents), webBlocklist(s))
         .select("doc_id", "url", "canonical_url", "domain")),
+    // crawl frontier: outlink mentions whose canonical identity is not a
+    // corpus page — one agg on the canonical key + a shuffled anti-join
+    // reusing the same partitioning (both sides corpus-scale)
+    "web_frontier" -> ((s, dir) =>
+      WebOps.frontier(webLinkedDocs(Tables(s, dir).documents))),
+    "sql_frontier" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      webLinkedDocs(Tables(s, dir).documents)
+        .createOrReplaceTempView("graft_sql_webdocs_fr")
+      s.sql("SELECT * FROM graft_web_frontier('graft_sql_webdocs_fr')")
+    }),
 
     // ---- learned-subword tokenizer: exact BPE merge training (8 rounds)
     // over the word-frequency table, plus per-doc segmentation under the
@@ -3603,6 +3626,7 @@ object SparkEntry {
       "sql_web_robots" -> base("web_robots"),
       "stream_robots" -> base("web_robots"),
       "stream_blocklist" -> base("web_blocklist"),
+      "sql_frontier" -> base("web_frontier"),
       "sql_curate" -> base("pipeline_curate"),
       "sql_minhash_join" -> base("dedup_cross"),
       "sql_semantic_join" -> base("dedup_sem_cross"),
@@ -5858,6 +5882,7 @@ object SparkEntry {
     // registered domains through the shared PSL SQL.
     "web_outlinks" ->
       s"""WITH $WebSynthCte,
+         |${webCanonSql("wdoc", "doc_id, text", "s")},
          |$WebLinkedCte,
          |wh AS (SELECT *, $WebHostSql AS __host FROM ldoc),
          |lk AS (SELECT doc_id, ${pslDomainSql("__host")} AS src_domain,
@@ -5872,6 +5897,7 @@ object SparkEntry {
     // (src_domain, dst_domain) edges with link + distinct-page counts.
     "web_link_graph" ->
       s"""WITH $WebSynthCte,
+         |${webCanonSql("wdoc", "doc_id, text", "s")},
          |$WebLinkedCte,
          |wh AS (SELECT *, $WebHostSql AS __host FROM ldoc),
          |lk AS (SELECT doc_id, ${pslDomainSql("__host")} AS src_domain,
@@ -5883,6 +5909,28 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_links,
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
          |FROM canon GROUP BY 1, 2""".stripMargin,
+    // Twin of WebOps.frontier: outlink mentions rolled up on the
+    // canonical-link key, minus the links whose canonical identity is
+    // already a corpus page (the scanon chain) — the
+    // discovered-but-unfetched URL set.
+    "web_frontier" ->
+      s"""WITH $WebSynthCte,
+         |${webCanonSql("wdoc", "doc_id, text", "s")},
+         |$WebLinkedCte,
+         |wh AS (SELECT *, $WebHostSql AS __host FROM ldoc),
+         |lk AS (SELECT doc_id, ${pslDomainSql("__host")} AS src_domain,
+         |  unnest(regexp_extract_all(text, '(?i)https?://\\S+')) AS link
+         |  FROM wh),
+         |lsrc AS (SELECT doc_id, src_domain, link, link AS url FROM lk),
+         |${webCanonSql("lsrc", "doc_id, src_domain, link")},
+         |ag AS (SELECT canonical_url AS canonical_link,
+         |  domain AS dst_domain,
+         |  CAST(count(*) AS BIGINT) AS n_mentions,
+         |  CAST(count(DISTINCT src_domain) AS BIGINT) AS n_src_domains,
+         |  CAST(min(doc_id) AS BIGINT) AS first_seen_doc
+         |  FROM canon GROUP BY 1, 2)
+         |SELECT * FROM ag
+         |WHERE canonical_link NOT IN (SELECT canonical_url FROM scanon)""".stripMargin,
     // Twin of WebOps.robotsEval over the synth + the deterministic rules:
     // per doc, the matching rules of its registered domain ranked by
     // (prefix length DESC, allow DESC) — rank 1 is the REP winner;

@@ -288,6 +288,13 @@ object GraftTableFunctions {
           "with link + distinct-page counts (expects doc_id, url, text)"),
       (exprs: Seq[Expression]) => plan(graft.pipeline.WebOps.linkGraph(
         rel(strArg(exprs(0), "table name"))))),
+    (FunctionIdentifier("graft_web_frontier"),
+      info("graft_web_frontier",
+        "graft_web_frontier(table) - crawl frontier: outlink mentions " +
+          "whose canonical identity is not already a corpus page, with " +
+          "mention/citing-domain counts (expects doc_id, url, text)"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.WebOps.frontier(
+        rel(strArg(exprs(0), "table name"))))),
     (FunctionIdentifier("graft_web_robots"),
       info("graft_web_robots",
         "graft_web_robots(docs_table, rules_table) - robots-rules verdicts " +

@@ -326,6 +326,31 @@ object WebOps {
       .agg(count(lit(1)).as("n_links"),
         countDistinct(col(idCol)).as("n_docs"))
 
+  /** Crawl-frontier extraction: the outlink mentions whose canonical
+    * identity is NOT already in the corpus — the discovered-but-unfetched
+    * URL set a crawler's scheduler feeds from. Per frontier URL:
+    * mention count, distinct citing domains (the in-degree signal
+    * frontier prioritization ranks by), and the earliest citing page.
+    *
+    * Scale shape: [[outlinks]] extraction is narrow; the mention rollup
+    * is one partial-combined aggregate on the canonical-link key; and the
+    * known-page check is a shuffled equi ANTI-join on that same key —
+    * both sides are corpus-scale, so no broadcast is assumed, and the
+    * join reuses the aggregate's hash partitioning (same key, no extra
+    * exchange on the aggregated side).
+    */
+  def frontier(docs: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val known = docs.select(canonicalizeUrl(col(urlCol)).as("canonical_url"))
+    outlinks(docs, urlCol, idCol, textCol)
+      .groupBy(col("canonical_link"), col("dst_domain"))
+      .agg(count(lit(1)).as("n_mentions"),
+        countDistinct(col("src_domain")).as("n_src_domains"),
+        min(col(idCol)).as("first_seen_doc"))
+      .join(known, col("canonical_link") === col("canonical_url"),
+        "left_anti")
+  }
+
   /** Robots-rules evaluation — the standard robots.txt decision procedure
     * (REP, RFC 9309) over prefix rules: for each URL, among the rules of
     * its registered domain whose `path_prefix` prefixes the URL path, the

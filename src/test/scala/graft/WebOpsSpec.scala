@@ -318,4 +318,23 @@ class WebOpsSpec extends SparkSpec {
       ("src.com", "a.co.uk", 2L, 2L),
       ("src.com", "b.com", 1L, 1L)))
   }
+
+  test("frontier keeps only outlinks whose canonical identity is not a " +
+    "corpus page, with mention rollups") {
+    import spark.implicits._
+    val docs = Seq(
+      // cites a KNOWN page (doc 2's canonical identity through a fetch
+      // variant) and an unknown one
+      (1L, "http://a.com/1",
+        "see HTTPS://B.com:443/p?utm_source=r and http://new.com/x"),
+      (2L, "https://b.com/p", "see http://new.com/x only"),
+      (3L, "http://c.com/3", "no links")
+    ).toDF("doc_id", "url", "text")
+    val got = WebOps.frontier(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // https://b.com/p is doc 2 itself — dropped; new.com/x is cited twice
+    // from two distinct domains, first seen by doc 1
+    assert(got.toSeq == Seq(("http://new.com/x", "new.com", 2L, 2L, 1L)))
+  }
 }
