@@ -2221,6 +2221,24 @@ object SparkEntry {
         .createOrReplaceTempView("graft_sql_webdocs_fr")
       s.sql("SELECT * FROM graft_web_frontier('graft_sql_webdocs_fr')")
     }),
+    // politeness scheduler: earliest feasible fetch time per domain under
+    // a minimum gap — the sequential-looking recurrence unrolled to two
+    // sharded prefix scans (rank + running max), Zipfian-skew-safe
+    "web_fetch_schedule" -> ((s, dir) =>
+      WebOps.fetchSchedule(crawlFetches(Tables(s, dir)),
+        delayMs = 60000L)),
+    "sql_fetch_schedule" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      crawlFetches(Tables(s, dir))
+        .createOrReplaceTempView("graft_sql_fetches_sc")
+      s.sql(
+        "SELECT * FROM graft_fetch_schedule('graft_sql_fetches_sc', 60000)")
+    }),
+    // the same recurrence continued across micro-batches: two longs of
+    // state per domain (count + running max), slots emitted final
+    "stream_fetch_schedule" -> ((s, dir) =>
+      graft.streaming.StreamOps.fetchScheduleStream(
+        crawlFetches(Tables(s, dir)), delayMs = 60000L).toDF()),
 
     // ---- learned-subword tokenizer: exact BPE merge training (8 rounds)
     // over the word-frequency table, plus per-doc segmentation under the
@@ -3627,6 +3645,8 @@ object SparkEntry {
       "stream_robots" -> base("web_robots"),
       "stream_blocklist" -> base("web_blocklist"),
       "sql_frontier" -> base("web_frontier"),
+      "sql_fetch_schedule" -> base("web_fetch_schedule"),
+      "stream_fetch_schedule" -> base("web_fetch_schedule"),
       "sql_curate" -> base("pipeline_curate"),
       "sql_minhash_join" -> base("dedup_cross"),
       "sql_semantic_join" -> base("dedup_sem_cross"),
@@ -5931,6 +5951,26 @@ object SparkEntry {
          |  FROM canon GROUP BY 1, 2)
          |SELECT * FROM ag
          |WHERE canonical_link NOT IN (SELECT canonical_url FROM scanon)""".stripMargin,
+    // Twin of WebOps.fetchSchedule over the crawl-fetch synth: the
+    // politeness recurrence in its closed form — per-domain rank plus a
+    // per-domain running max of (arrival − delay·rank) in event_id order.
+    "web_fetch_schedule" ->
+      s"""WITH f AS (SELECT event_id, epoch_ns(ts) AS tsn,
+         |  'https://WWW.' || event_type || '-' ||
+         |  CAST(user_id % 13 AS VARCHAR) || '.co.uk/e/' ||
+         |  CAST(event_id AS VARCHAR) AS url FROM events),
+         |h AS (SELECT *, $WebHostSql AS __host FROM f),
+         |d AS (SELECT event_id, ${pslDomainSql("__host")} AS domain,
+         |  CAST(tsn // 1000000 AS BIGINT) AS arrival_ms FROM h),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY domain
+         |    ORDER BY event_id) - 1 AS BIGINT) AS fetch_rank FROM d),
+         |m AS (SELECT *, max(arrival_ms - 60000 * fetch_rank)
+         |    OVER (PARTITION BY domain ORDER BY event_id
+         |      ROWS UNBOUNDED PRECEDING) AS mx FROM r)
+         |SELECT event_id, domain, arrival_ms, fetch_rank,
+         |  CAST(60000 * fetch_rank + mx AS BIGINT) AS scheduled_ms,
+         |  CAST(60000 * fetch_rank + mx - arrival_ms AS BIGINT) AS wait_ms
+         |FROM m""".stripMargin,
     // Twin of WebOps.robotsEval over the synth + the deterministic rules:
     // per doc, the matching rules of its registered domain ranked by
     // (prefix length DESC, allow DESC) — rank 1 is the REP winner;

@@ -288,6 +288,14 @@ object GraftTableFunctions {
           "with link + distinct-page counts (expects doc_id, url, text)"),
       (exprs: Seq[Expression]) => plan(graft.pipeline.WebOps.linkGraph(
         rel(strArg(exprs(0), "table name"))))),
+    (FunctionIdentifier("graft_fetch_schedule"),
+      info("graft_fetch_schedule",
+        "graft_fetch_schedule(table, delay_ms) - politeness scheduler: " +
+          "earliest feasible fetch time per registered domain under a " +
+          "minimum gap (expects event_id, url, ts epoch-ns columns)"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.WebOps.fetchSchedule(
+        rel(strArg(exprs(0), "table name")),
+        longArg(exprs(1), "delay_ms")))),
     (FunctionIdentifier("graft_web_frontier"),
       info("graft_web_frontier",
         "graft_web_frontier(table) - crawl frontier: outlink mentions " +

@@ -47,6 +47,35 @@ object Prefix {
       .drop("__shard", "__local_end", "__prefix")
   }
 
+  /** Append `endCol` = inclusive running MAX of `valCol` in `idCol` order
+    * (within `groupCols` if given) — [[runningSum]]'s three-stage shard
+    * scan instantiated at the (max, −∞) monoid instead of (+, 0):
+    * per-shard local max-scan in parallel, a metadata-scale prefix-max
+    * over the per-shard maxima, broadcast combine via `greatest` (whose
+    * null handling absorbs the first shard's empty prefix). Any
+    * associative-idempotent fold rides this shape; the politeness
+    * scheduler's recurrence `sched_i = max(t_i, sched_{i−1} + delay)`
+    * unrolls to `delay·i + max_{j≤i}(t_j − delay·j)` — a prefix max.
+    */
+  def runningMax(df: DataFrame, idCol: String, valCol: String,
+      groupCols: Seq[String] = Nil, shardWidth: Long = 1L << 20,
+      endCol: String = "__end"): DataFrame = {
+    require(shardWidth > 0, s"shardWidth must be positive, got $shardWidth")
+    val grp = groupCols.map(col)
+    val sharded = df.withColumn("__shard", expr(s"`$idCol` div $shardWidth"))
+    val localW = Window.partitionBy((grp :+ col("__shard")): _*).orderBy(col(idCol))
+    val local = sharded.withColumn("__local_end", max(col(valCol)).over(localW))
+    val prefW = Window.partitionBy(grp: _*).orderBy("__shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = sharded.groupBy((grp :+ col("__shard")): _*)
+      .agg(max(col(valCol)).as("__total"))
+      .withColumn("__prefix", max("__total").over(prefW))
+      .drop("__total")
+    local.join(broadcast(prefixes), groupCols :+ "__shard")
+      .withColumn(endCol, greatest(col("__prefix"), col("__local_end")))
+      .drop("__shard", "__local_end", "__prefix")
+  }
+
   /** Append `rankCol` = exact global `row_number()` under
     * (`key` asc, `tie` asc) — the distributed form of
     * `row_number().OVER (ORDER BY key, tie)`, whose direct Spark plan is a

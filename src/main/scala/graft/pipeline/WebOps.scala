@@ -402,6 +402,42 @@ object WebOps {
       .drop("__rules", "__win")
   }
 
+  /** Politeness fetch scheduler: assign each queued fetch the EARLIEST
+    * feasible time under a per-domain minimum gap — the classic crawl
+    * recurrence `sched_i = max(arrival_i, sched_{i−1} + delayMs)` walked
+    * per registered domain in `idCol` order (the queue order; pass an
+    * arrival-ordered id for strict FIFO politeness). Output appends
+    * (domain, arrival_ms, fetch_rank, scheduled_ms, wait_ms).
+    *
+    * Scale shape: the recurrence looks sequential but unrolls to
+    * `sched_i = delay·i + max_{j≤i}(arrival_j − delay·j)` — a per-domain
+    * prefix COUNT (the rank) plus a per-domain prefix MAX, both of which
+    * run as the sharded Blelloch scans ([[Prefix.runningSum]] /
+    * [[Prefix.runningMax]] grouped by domain): per-task work is bounded
+    * by `shardWidth` ids, so the canonically Zipfian domain key cannot
+    * hand one task a mega-domain's whole queue — the same skew shape as
+    * [[domainBudgetCap]].
+    */
+  def fetchSchedule(fetches: DataFrame, delayMs: Long,
+      urlCol: String = "url", idCol: String = "event_id",
+      tsCol: String = "ts", shardWidth: Long = 1L << 20): DataFrame = {
+    require(delayMs > 0, s"delayMs must be positive, got $delayMs")
+    val base = fetches.select(col(idCol),
+      urlDomain(col(urlCol)).as("domain"),
+      expr(s"`$tsCol` div 1000000").cast("long").as("arrival_ms"))
+    val ranked = Prefix.runningSum(base.withColumn("__one", lit(1L)),
+        idCol, "__one", groupCols = Seq("domain"),
+        shardWidth = shardWidth, endCol = "__cum")
+      .withColumn("fetch_rank", col("__cum") - lit(1L))
+      .drop("__one", "__cum")
+      .withColumn("__v", col("arrival_ms") - lit(delayMs) * col("fetch_rank"))
+    Prefix.runningMax(ranked, idCol, "__v", groupCols = Seq("domain"),
+        shardWidth = shardWidth, endCol = "__m")
+      .withColumn("scheduled_ms", lit(delayMs) * col("fetch_rank") + col("__m"))
+      .withColumn("wait_ms", col("scheduled_ms") - col("arrival_ms"))
+      .drop("__v", "__m")
+  }
+
   /** Per-domain token-budget cap: walk each domain's docs in ascending id
     * order and keep a doc while the domain's running token total (NOT
     * counting the current doc) is under `budgetTokens` — so every domain

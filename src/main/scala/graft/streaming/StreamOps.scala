@@ -430,6 +430,58 @@ object StreamOps {
         (col("n_fetches") > maxFetches).as("over_limit"))
   }
 
+  final case class FetchRow(event_id: Long, domain: String, arrival_ms: Long)
+  final case class FetchSchedState(n: Long, m: Long)
+  final case class FetchSlot(event_id: Long, domain: String, arrival_ms: Long,
+      fetch_rank: Long, scheduled_ms: Long, wait_ms: Long)
+
+  /** Politeness fetch scheduling AT INGEST — the streaming face of
+    * [[graft.pipeline.WebOps.fetchSchedule]]: each arriving fetch gets
+    * the earliest feasible slot under the per-domain minimum gap,
+    * continuing the domain's recurrence across micro-batches. State per
+    * registered domain is TWO LONGS — the fetch count `n` and the running
+    * max `m = max_j(arrival_j − delay·j)` — the closed form of
+    * `sched_i = max(arrival_i, sched_{i−1} + delay)`, so state never
+    * grows with fetch volume. Within a batch a domain's rows are walked
+    * in ascending id (the queue order; per-batch per-domain rows are
+    * buffered to sort — bounded by the micro-batch, not the stream).
+    * Emitted slots are FINAL (Append mode — a scheduled time is never
+    * revised). Batch parity is exact on a static frame (one invocation
+    * per domain from empty state == the batch recurrence); cross-batch
+    * continuation matches the batch recompute whenever later batches
+    * carry higher ids — the growing-crawl-queue contract, pinned in
+    * StreamOpsSpec.
+    */
+  def fetchScheduleStream(fetches: DataFrame, delayMs: Long,
+      urlCol: String = "url", idCol: String = "event_id",
+      tsCol: String = "ts"): Dataset[FetchSlot] = {
+    require(delayMs > 0, s"delayMs must be positive, got $delayMs")
+    val spark = fetches.sparkSession
+    import spark.implicits._
+    val rows = fetches.select(col(idCol).cast("long").as("event_id"),
+      graft.pipeline.WebOps.urlDomain(col(urlCol)).as("domain"),
+      expr(s"`$tsCol` div 1000000").cast("long").as("arrival_ms"))
+      .as[FetchRow]
+    rows.groupByKey(_.domain)
+      .flatMapGroupsWithState[FetchSchedState, FetchSlot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key, it, state: GroupState[FetchSchedState]) =>
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          var m = state.getOption.map(_.m).getOrElse(Long.MinValue)
+          val out = it.toArray.sortBy(_.event_id).map { r =>
+            val v = r.arrival_ms - delayMs * n
+            if (v > m) m = v
+            val sched = delayMs * n + m
+            val slot = FetchSlot(r.event_id, key, r.arrival_ms, n, sched,
+              sched - r.arrival_ms)
+            n += 1
+            slot
+          }
+          if (out.nonEmpty) state.update(FetchSchedState(n, m))
+          out.iterator
+      }
+  }
+
   final case class UrlRow(canonical_url: String, doc_id: Long)
   final case class UrlIdState(keeper: Long, n: Long)
   final case class UrlIdentity(canonical_url: String, keeper_doc_id: Long,

@@ -35,6 +35,30 @@ class PrefixOpsSpec extends SparkSpec {
       ("b", 1L, 100L), ("b", 3L, 200L)))
   }
 
+  test("runningMax equals the naive global window at any shard width, " +
+    "grouped and ungrouped") {
+    // values dip and spike so the running max is non-trivial (negative
+    // dips exercise the Long.MinValue-free greatest combine)
+    val rows = (0L until 100L).map(i => (i, (i * 37 % 19) - 9))
+    val df = rows.toDF("id", "v")
+    val naive = rows.sortBy(_._1).scanLeft((-1L, Long.MinValue)) {
+      case ((_, acc), (id, v)) => (id, math.max(acc, v))
+    }.drop(1).toMap
+    for (width <- Seq(1L, 7L, 64L, 1L << 20)) {
+      val got = Prefix.runningMax(df, "id", "v", shardWidth = width,
+          endCol = "end")
+        .select("id", "end").as[(Long, Long)].collect().toMap
+      assert(got == naive, s"shardWidth=$width")
+    }
+    val grows = Seq(("a", 1L, 5L), ("a", 2L, 3L), ("b", 1L, 100L),
+      ("a", 9L, 7L), ("b", 3L, 50L))
+    val got = Prefix.runningMax(grows.toDF("g", "id", "v"), "id", "v",
+        groupCols = Seq("g"), shardWidth = 2L, endCol = "end")
+      .select("g", "id", "end").as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 1L, 5L), ("a", 2L, 5L), ("a", 9L, 7L),
+      ("b", 1L, 100L), ("b", 3L, 100L)))
+  }
+
   test("globalRowNumber equals the naive global window (ties, skew, any parts)") {
     // heavy ties (key = i % 7) force tie-resolution through the tie col;
     // a skewed clump (key = 0 for 40 rows) lands many rows in one pid

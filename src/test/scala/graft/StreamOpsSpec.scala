@@ -450,6 +450,56 @@ class StreamOpsSpec extends SparkSpec {
     assert(got(1L) == ((false, "/a/1")) && got(2L) == ((true, "/a/13")))
   }
 
+  test("fetchScheduleStream continues the politeness recurrence across " +
+    "micro-batches == batch fetchSchedule") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val delay = 100L
+    val fetches = Seq(
+      (1L, "http://a.com/1", 1000L),
+      (2L, "http://a.com/2", 1010L),
+      (3L, "http://b.com/1", 1000L),
+      (4L, "http://a.com/3", 1500L),   // arrives in batch 2
+      (5L, "http://a.com/4", 1400L),
+      (6L, "http://b.com/2", 2000L))
+    def toDf(rows: Seq[(Long, String, Long)]) =
+      rows.map { case (id, u, ms) => (id, u, ms * 1000000L) }
+        .toDF("event_id", "url", "ts")
+    val batchRef = graft.pipeline.WebOps
+      .fetchSchedule(toDf(fetches), delayMs = delay)
+      .select("event_id", "fetch_rank", "scheduled_ms", "wait_ms")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // batch face: one invocation per domain from empty state
+    val batchGot = StreamOps.fetchScheduleStream(toDf(fetches),
+        delayMs = delay)
+      .toDF().select("event_id", "fetch_rank", "scheduled_ms", "wait_ms")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(batchGot == batchRef, "batch face must equal WebOps.fetchSchedule")
+    // streaming: later batches carry higher ids (the growing crawl queue)
+    val in = MemoryStream[(Long, String, Long)]
+    val out = StreamOps.fetchScheduleStream(
+      in.toDS().select(col("_1").as("event_id"), col("_2").as("url"),
+        (col("_3") * 1000000L).as("ts")), delayMs = delay).toDF()
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("fetch_sched_stream").start()
+    try {
+      in.addData(fetches.take(3).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(fetches.drop(3).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("fetch_sched_stream")
+      .select("event_id", "fetch_rank", "scheduled_ms", "wait_ms")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == batchRef,
+      "cross-batch recurrence must equal the batch recompute")
+  }
+
   test("urlDedupStream: refetches across micro-batches collapse onto one " +
     "canonical identity; batch face == WebOps.urlDedup") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -337,4 +337,40 @@ class WebOpsSpec extends SparkSpec {
     // from two distinct domains, first seen by doc 1
     assert(got.toSeq == Seq(("http://new.com/x", "new.com", 2L, 2L, 1L)))
   }
+
+  test("fetchSchedule == the sequential politeness recurrence, through the " +
+    "sharded prefix scans") {
+    import spark.implicits._
+    val delay = 100L
+    // bursts, an in-gap arrival, a late arrival after idle, and an
+    // out-of-(time)-order id — plus a second domain interleaved
+    val fetches = Seq(
+      (1L, "http://a.com/1", 1000L),
+      (2L, "http://a.com/2", 1010L),   // burst: pushed to 1100
+      (3L, "http://a.com/3", 1500L),   // idle gap: scheduled at arrival
+      (4L, "http://a.com/4", 1400L),   // queued later but arrived earlier
+      (5L, "http://b.com/1", 1000L),
+      (6L, "http://b.com/2", 2000L)
+    ).map { case (id, u, ms) => (id, u, ms * 1000000L) }
+      .toDF("event_id", "url", "ts")
+    val got = WebOps.fetchSchedule(fetches, delayMs = delay,
+        shardWidth = 2L)
+      .select("event_id", "fetch_rank", "scheduled_ms", "wait_ms")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // sequential reference: sched_i = max(arrival_i, sched_{i-1} + delay)
+    assert(got == Map(
+      1L -> ((0L, 1000L, 0L)),
+      2L -> ((1L, 1100L, 90L)),
+      3L -> ((2L, 1500L, 0L)),
+      4L -> ((3L, 1600L, 200L)),
+      5L -> ((0L, 1000L, 0L)),
+      6L -> ((1L, 2000L, 0L))))
+    // the walk must ride the sharded scans, never a bare per-domain window
+    val plan = WebOps.fetchSchedule(fetches, delayMs = delay, shardWidth = 2L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__shard"),
+      "fetchSchedule must run the sharded Prefix scans")
+  }
 }
