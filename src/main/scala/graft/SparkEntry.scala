@@ -271,6 +271,25 @@ object SparkEntry {
       |    ELSE '' END) AS text
       |  FROM scanon)""".stripMargin
 
+  /** Deterministic PAGE synthesis for the domain-boilerplate gate:
+    * [[webSynthDocs]] URLs + the doc text chunked into 12-word lines (the
+    * [[lineSynthDocs]] rule) wrapped in per-domain site chrome — a nav
+    * line prepended and a copyright line appended, both derived from the
+    * registered domain, so every page of a domain shares them (ratio 1 →
+    * flagged) while content lines repeat only incidentally. Mirrored
+    * term-for-term by the web_boilerplate twin's `pg` CTE.
+    */
+  private def webPageDocs(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val chunked = concat_ws("\n", transform(
+      sequence(lit(0), ceil(size(w) / lit(12.0)).cast("int") - 1),
+      i => array_join(slice(w, i * 12 + 1, lit(12)), " ")))
+    webSynthDocs(docs).select(col("doc_id"), col("url"),
+      concat(lit("home | about | "), WebOps.urlDomain(col("url")),
+        lit("\n"), chunked,
+        lit("\ncopyright "), WebOps.urlDomain(col("url"))).as("text"))
+  }
+
   /** Deterministic robots rules for the web_robots gate — mirrored
     * term-for-term by [[RobotsRulesCte]]: five sources' domains (across
     * all four public suffixes) carry a `disallow /a/1` + `allow /a/13`
@@ -2221,6 +2240,18 @@ object SparkEntry {
         .createOrReplaceTempView("graft_sql_webdocs_fr")
       s.sql("SELECT * FROM graft_web_frontier('graft_sql_webdocs_fr')")
     }),
+    // domain-scoped boilerplate: lines repeating across most pages of
+    // their own registered domain (nav/footer chrome) — one agg on the
+    // (domain, line-key) pair, domain doc counts joined at metadata level
+    "web_boilerplate" -> ((s, dir) =>
+      WebOps.domainBoilerplate(webPageDocs(Tables(s, dir).documents))),
+    "sql_boilerplate" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      webPageDocs(Tables(s, dir).documents)
+        .createOrReplaceTempView("graft_sql_webdocs_bp")
+      s.sql("SELECT * FROM " +
+        "graft_domain_boilerplate('graft_sql_webdocs_bp', 0.6, 2)")
+    }),
     // politeness scheduler: earliest feasible fetch time per domain under
     // a minimum gap — the sequential-looking recurrence unrolled to two
     // sharded prefix scans (rank + running max), Zipfian-skew-safe
@@ -3647,6 +3678,7 @@ object SparkEntry {
       "sql_frontier" -> base("web_frontier"),
       "sql_fetch_schedule" -> base("web_fetch_schedule"),
       "stream_fetch_schedule" -> base("web_fetch_schedule"),
+      "sql_boilerplate" -> base("web_boilerplate"),
       "sql_curate" -> base("pipeline_curate"),
       "sql_minhash_join" -> base("dedup_cross"),
       "sql_semantic_join" -> base("dedup_sem_cross"),
@@ -5971,6 +6003,40 @@ object SparkEntry {
          |  CAST(60000 * fetch_rank + mx AS BIGINT) AS scheduled_ms,
          |  CAST(60000 * fetch_rank + mx - arrival_ms AS BIGINT) AS wait_ms
          |FROM m""".stripMargin,
+    // Twin of WebOps.domainBoilerplate over the page synth: 12-word line
+    // chunks wrapped in per-domain nav/footer chrome, then the
+    // (domain, normalized line) distinct-doc counts against the
+    // per-domain doc counts under the 0.6-ratio / 2-doc rule.
+    "web_boilerplate" ->
+      s"""WITH $WebSynthCte,
+         |wh AS (SELECT *, $WebHostSql AS __host FROM wdoc),
+         |pg AS (SELECT doc_id, domain,
+         |  'home | about | ' || domain || chr(10) ||
+         |  array_to_string(list_transform(
+         |    range(0, CAST(ceil(len(w) / 12.0) AS INTEGER)),
+         |    i -> array_to_string(w[i * 12 + 1 : i * 12 + 12], ' ')), chr(10))
+         |    || chr(10) || 'copyright ' || domain AS text
+         |  FROM (SELECT doc_id, ${pslDomainSql("__host")} AS domain,
+         |    string_split(text, ' ') AS w FROM wh)),
+         |ln0 AS (SELECT doc_id, domain, u.no AS line_no, u.line FROM (
+         |  SELECT doc_id, domain, unnest(list_transform(range(1, len(ls) + 1),
+         |    i -> struct_pack(no := CAST(i - 1 AS INTEGER), line := ls[i]))) AS u
+         |  FROM (SELECT doc_id, domain, string_split(text, chr(10)) AS ls
+         |    FROM pg))),
+         |ln AS (SELECT doc_id, domain, line_no, line, lower(trim(line)) AS k
+         |  FROM ln0 WHERE lower(trim(line)) <> ''),
+         |st AS (SELECT domain, k,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |  FROM ln GROUP BY 1, 2),
+         |dd AS (SELECT domain,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS domain_docs
+         |  FROM pg GROUP BY 1)
+         |SELECT ln.doc_id, ln.domain, ln.line_no, ln.line,
+         |  st.n_docs, dd.domain_docs,
+         |  (st.n_docs >= 2 AND CAST(st.n_docs AS DOUBLE) >=
+         |    0.6 * CAST(dd.domain_docs AS DOUBLE)) AS is_boilerplate
+         |FROM ln JOIN st ON ln.domain = st.domain AND ln.k = st.k
+         |  JOIN dd ON ln.domain = dd.domain""".stripMargin,
     // Twin of WebOps.robotsEval over the synth + the deterministic rules:
     // per doc, the matching rules of its registered domain ranked by
     // (prefix length DESC, allow DESC) — rank 1 is the REP winner;

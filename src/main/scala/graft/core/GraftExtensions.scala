@@ -288,6 +288,15 @@ object GraftTableFunctions {
           "with link + distinct-page counts (expects doc_id, url, text)"),
       (exprs: Seq[Expression]) => plan(graft.pipeline.WebOps.linkGraph(
         rel(strArg(exprs(0), "table name"))))),
+    (FunctionIdentifier("graft_domain_boilerplate"),
+      info("graft_domain_boilerplate",
+        "graft_domain_boilerplate(table, min_ratio, min_docs) - flag lines " +
+          "repeating across most pages of their own registered domain " +
+          "(site chrome); expects doc_id, url, text columns"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.WebOps.domainBoilerplate(
+        rel(strArg(exprs(0), "table name")),
+        minRatio = doubleArg(exprs(1), "min_ratio"),
+        minDocs = longArg(exprs(2), "min_docs")))),
     (FunctionIdentifier("graft_fetch_schedule"),
       info("graft_fetch_schedule",
         "graft_fetch_schedule(table, delay_ms) - politeness scheduler: " +

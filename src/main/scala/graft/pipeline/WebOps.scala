@@ -402,6 +402,53 @@ object WebOps {
       .drop("__rules", "__win")
   }
 
+  /** Domain-scoped boilerplate detection — the web-native companion of
+    * [[TextOps.lineDedup]]'s global boilerplate screen: a line is site
+    * chrome (navigation, cookie banner, footer) when it repeats across
+    * MOST PAGES OF ITS OWN REGISTERED DOMAIN, regardless of how rare it
+    * is corpus-wide — the jusText/Trafilatura-style signal a crawl
+    * pipeline strips before any content processing. A normalized line
+    * (`lower(trim)`) is flagged iff it appears in ≥ `minDocs` of its
+    * domain's docs AND in ≥ `minRatio` of them. Output, one row per
+    * non-empty line slot: (doc_id, domain, line_no, line, n_docs,
+    * domain_docs, is_boilerplate) — the audit face; rebuilding cleaned
+    * docs is the [[TextOps.lineClean]] groupBy over the kept slots.
+    *
+    * Scale shape: one partial-combined aggregate on the (domain, line
+    * key) pair — the pair key spreads a hot domain across its distinct
+    * lines, so no single reducer owns a mega-domain — one metadata-side
+    * aggregate of per-domain doc counts, an equi-join of the two
+    * aggregates on the domain (AQE-splittable: no ordering is consumed),
+    * and one equi-join of the line stream back on (domain, key). No
+    * broadcast is assumed anywhere: at 100 TB the domain universe itself
+    * is beyond broadcast size.
+    */
+  def domainBoilerplate(docs: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id", textCol: String = "text",
+      minRatio: Double = 0.6, minDocs: Long = 2): DataFrame = {
+    require(minRatio > 0 && minRatio <= 1,
+      s"minRatio must be in (0, 1], got $minRatio")
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val lines = docs
+      .select(col(idCol).as("doc_id"), urlDomain(col(urlCol)).as("domain"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("line_no", "line")))
+      .withColumn("__key", lower(trim(col("line"))))
+      .where(col("__key") =!= "")
+    val stats = lines.groupBy("domain", "__key")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val domainDocs = docs
+      .select(urlDomain(col(urlCol)).as("domain"), col(idCol).as("doc_id"))
+      .groupBy("domain").agg(countDistinct(col("doc_id")).as("domain_docs"))
+    lines
+      .join(stats.join(domainDocs, Seq("domain")), Seq("domain", "__key"))
+      .select(col("doc_id"), col("domain"), col("line_no"), col("line"),
+        col("n_docs"), col("domain_docs"),
+        (col("n_docs") >= lit(minDocs) &&
+          col("n_docs").cast("double") >=
+            lit(minRatio) * col("domain_docs").cast("double"))
+          .as("is_boilerplate"))
+  }
+
   /** Politeness fetch scheduler: assign each queued fetch the EARLIEST
     * feasible time under a per-domain minimum gap — the classic crawl
     * recurrence `sched_i = max(arrival_i, sched_{i−1} + delayMs)` walked

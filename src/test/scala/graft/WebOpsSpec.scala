@@ -338,6 +338,34 @@ class WebOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("http://new.com/x", "new.com", 2L, 2L, 1L)))
   }
 
+  test("domainBoilerplate flags lines repeating across most pages of their " +
+    "own domain only") {
+    import spark.implicits._
+    val docs = Seq(
+      // d1: 3 pages sharing nav+footer; one content line repeats on 2/3
+      // pages (0.67 >= 0.6 -> flagged), another is unique (not flagged)
+      (1L, "http://a.com/1", "NAV | HOME\nunique one\nsale today\nfooter a"),
+      (2L, "http://www.a.com/2", "nav | home\nsale today\nfooter a"),
+      (3L, "http://a.com/3", "nav | home\nunique three\nfooter a"),
+      // d2: the SAME nav text on its single page — minDocs=2 screens the
+      // small-domain false positive; cross-domain repeats don't leak
+      (4L, "http://b.com/1", "nav | home\nb content")
+    ).toDF("doc_id", "url", "text")
+    val got = WebOps.domainBoilerplate(docs, minRatio = 0.6, minDocs = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2)) ->
+        ((r.getString(1), r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    // normalization: case-insensitive key, domain folds www
+    assert(got((1L, 0)) == (("a.com", 3L, 3L, true)))   // nav on 3/3
+    assert(got((1L, 1)) == (("a.com", 1L, 3L, false)))  // unique
+    assert(got((1L, 2)) == (("a.com", 2L, 3L, true)))   // 2/3 >= 0.6
+    assert(got((3L, 2)) == (("a.com", 3L, 3L, true)))   // footer on 3/3
+    assert(got((4L, 0)) == (("b.com", 1L, 1L, false)),
+      "a single-page domain cannot certify boilerplate (minDocs)")
+    assert(got((4L, 1)) == (("b.com", 1L, 1L, false)))
+  }
+
   test("fetchSchedule == the sequential politeness recurrence, through the " +
     "sharded prefix scans") {
     import spark.implicits._
