@@ -128,17 +128,30 @@ object WebOps {
     * scale the same algorithm runs as a broadcast join instead.
     */
   def registeredDomain(host: Column): Column = {
-    val ls = split(host, "\\.")
-    val n = size(ls)
-    def suffix(k: Int): Column = array_join(slice(ls, -k, k), ".")
-    val m = when(n >= 3 && suffix(3).isInCollection(PslThreeLabelSuffixes),
-        lit(3))
-      .when(n >= 2 && suffix(2).isInCollection(PslExceptions), lit(1))
-      .when(n >= 3 && suffix(1).isInCollection(PslWildcardParents), lit(2))
-      .when(n >= 3 && suffix(2).isInCollection(PslTwoLabelSuffixes), lit(2))
-      .otherwise(lit(1))
-    when(n > m, array_join(slice(ls, (-m - 1).cast("int"), m + 1), "."))
-      .otherwise(host)
+    // Let-binding through single-element transform lambdas: a lambda
+    // variable is evaluated ONCE, so the label array (and below it the
+    // suffix label count m) bind once per row. Without the binding,
+    // Column composition INLINES — m's CASE appears three times in the
+    // final slice and every suffix(k) re-expands the whole upstream
+    // host derivation, ~40 regexp evaluations per row and an expression
+    // tree that blew the JVM's 64 KB codegen method limit when composed
+    // into multi-pass operators (fetchSchedule). The rejoin in the
+    // fallback arm equals the host exactly (split/join round-trips on a
+    // literal delimiter), so the lambda never needs the host twice.
+    element_at(transform(array(split(host, "\\.")), ls => {
+      val n = size(ls)
+      def suffix(k: Int): Column = array_join(slice(ls, -k, k), ".")
+      val mExpr = when(
+          n >= 3 && suffix(3).isInCollection(PslThreeLabelSuffixes), lit(3))
+        .when(n >= 2 && suffix(2).isInCollection(PslExceptions), lit(1))
+        .when(n >= 3 && suffix(1).isInCollection(PslWildcardParents), lit(2))
+        .when(n >= 3 && suffix(2).isInCollection(PslTwoLabelSuffixes), lit(2))
+        .otherwise(lit(1))
+      element_at(transform(array(mExpr), m =>
+        when(n > m,
+          array_join(slice(ls, (-m - lit(1)).cast("int"), m + lit(1)), "."))
+          .otherwise(array_join(ls, "."))), 1)
+    }), 1)
   }
 
   /** Registered domain for grouping: the PSL [[registeredDomain]] of the
@@ -469,15 +482,27 @@ object WebOps {
       urlCol: String = "url", idCol: String = "event_id",
       tsCol: String = "ts", shardWidth: Long = 1L << 20): DataFrame = {
     require(delayMs > 0, s"delayMs must be positive, got $delayMs")
-    val base = fetches.select(col(idCol),
+    val shuffleN = fetches.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "64").toInt
+    // Each Prefix scan consumes its input TWICE (the per-shard scan and
+    // the shard-totals branch), and the second scan's input is the whole
+    // first scan — without a barrier the URL→PSL-domain projection (a
+    // large expression tree) re-executes 4× and the collapsed projection
+    // blows the JVM's 64 KB codegen method limit into interpreted eval.
+    // A pinned-width repartition after each expensive stage makes the two
+    // downstream branches share ONE exchange (ReusedExchange computes the
+    // subplan once) and keeps every codegen stage small; the repartitioned
+    // payload is 3 narrow columns, not the fetch rows.
+    def barrier(df: DataFrame): DataFrame = df.repartition(shuffleN, col(idCol))
+    val base = barrier(fetches.select(col(idCol),
       urlDomain(col(urlCol)).as("domain"),
-      expr(s"`$tsCol` div 1000000").cast("long").as("arrival_ms"))
-    val ranked = Prefix.runningSum(base.withColumn("__one", lit(1L)),
+      expr(s"`$tsCol` div 1000000").cast("long").as("arrival_ms")))
+    val ranked = barrier(Prefix.runningSum(base.withColumn("__one", lit(1L)),
         idCol, "__one", groupCols = Seq("domain"),
         shardWidth = shardWidth, endCol = "__cum")
       .withColumn("fetch_rank", col("__cum") - lit(1L))
       .drop("__one", "__cum")
-      .withColumn("__v", col("arrival_ms") - lit(delayMs) * col("fetch_rank"))
+      .withColumn("__v", col("arrival_ms") - lit(delayMs) * col("fetch_rank")))
     Prefix.runningMax(ranked, idCol, "__v", groupCols = Seq("domain"),
         shardWidth = shardWidth, endCol = "__m")
       .withColumn("scheduled_ms", lit(delayMs) * col("fetch_rank") + col("__m"))
