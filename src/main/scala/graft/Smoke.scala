@@ -215,6 +215,17 @@ object Smoke {
     println(s"domain budget kept: ${graft.pipeline.WebOps
       .domainBudgetCap(webDocs, 60).count()}")
 
+    // round-14 surface: post-training data prep over synthesized turns
+    val turns = docs.select(col("doc_id").as("conv_id"),
+        posexplode(split(col("text"), " ")).as(Seq("turn_no", "content")))
+      .where(col("turn_no") < 4)
+      .withColumn("role", when(col("turn_no") % 2 === 0, lit("user"))
+        .otherwise(lit("assistant")))
+    println(s"sft valid conversations: ${graft.pipeline.ChatOps
+      .turnStats(turns).where(col("valid")).count()}")
+    println(s"sft rendered: ${graft.pipeline.ChatOps
+      .renderChat(turns).count()}")
+
     spark.stop()
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Sessions, Tables}
 import graft.ops.{AsofJoin, Retention, Sessionize}
-import graft.pipeline.{Audio, Bpe, Components, Curation, Dedup, Export, IncrementalDedup, IncrementalSemDedup, Multimodal, Packing, Profile, Sampling, SemiStructured, Similarity, Sketches, TextCdc, TextOps, Video, WebOps}
+import graft.pipeline.{Audio, Bpe, ChatOps, Components, Curation, Dedup, Export, IncrementalDedup, IncrementalSemDedup, Multimodal, Packing, Profile, Sampling, SemiStructured, Similarity, Sketches, TextCdc, TextOps, Video, WebOps}
 import graft.sources.{Netatmo, NetatmoSource}
 import graft.ts.{Evaluate, Rdp, SeriesOps, SeriesStore, StoreSource, HeartbeatSource, MockSource}
 import graft.ts.model.{AverageValue, Period}
@@ -36,6 +36,12 @@ object SparkEntry {
   /** DuckDB twin of TextOps.tokens. */
   private val Toks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** [[Toks]] over an arbitrary column/expression (twin of
+    * `TextOps.tokens(col)` for columns not named `text`).
+    */
+  private def toksOf(c: String): String =
+    s"list_filter(string_split_regex(lower($c), '[^a-z0-9]+'), x -> x <> '')"
 
   /** DuckDB twin of PolyHash(s, seed) — byte==codepoint holds because every
     * input is ASCII (verified for the testdata corpus).
@@ -335,6 +341,121 @@ object SparkEntry {
       |    (VALUES ('.com'), ('.co.uk'), ('.com.au'), ('.github.io')) t(t)
       |  UNION ALL SELECT 'prefix', 'http://src7-'
       |  UNION ALL SELECT 'prefix', 'https://www.src1-')""".stripMargin
+
+  /** Deterministic CONVERSATION synthesis for the SFT gates (the flat
+    * fixture has no turns table, so one is derived inside the query AND
+    * identically in [[ChatTurnsCte]]): each doc becomes a conversation of
+    * 2–5 non-system turns alternating user/assistant (content = successive
+    * 7-word slices of the doc text), a system turn prepended every fifth
+    * conversation, and two structural DEFECTS injected so the validation
+    * gate has real rows to flag — `doc_id % 11 == 7` repeats the user role
+    * on turn 1 (alternation violation) and `doc_id % 13 == 9` empties turn
+    * 1's content (short docs also produce natural empty slices).
+    * Output: (conv_id, source, turn_no, role, content).
+    */
+  private def chatSynthTurns(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val w = split(col("text"), " ")
+    val base = transform(sequence(lit(0), (d % 4 + 1).cast("int")), i => {
+      val role = when(d % 11 === 7 && i === 1, lit("user"))
+        .otherwise(when(i % 2 === 0, lit("user")).otherwise(lit("assistant")))
+      val content = when(d % 13 === 9 && i === 1, lit(""))
+        .otherwise(array_join(slice(w, i * 7 + 1, lit(7)), " "))
+      struct(role.as("role"), content.as("content"))
+    })
+    val sys = when(d % 5 === 0,
+        array(struct(lit("system").as("role"),
+          lit("You are a concise assistant.").as("content"))))
+      .otherwise(array().cast("array<struct<role:string,content:string>>"))
+    docs.select(d.as("conv_id"), col("source"),
+        posexplode(concat(sys, base)).as(Seq("turn_no", "__t")))
+      .select(col("conv_id"), col("source"), col("turn_no"),
+        col("__t.role").as("role"), col("__t.content").as("content"))
+  }
+
+  /** DuckDB twin of [[chatSynthTurns]] — `turns` = (conv_id, source,
+    * turn_no, role, content), term-for-term the Scala derivation (the
+    * constant `range(0, 6)` covers the max 5 non-system turns; the WHERE
+    * bound is the per-conversation turn count).
+    */
+  private lazy val ChatTurnsCte: String =
+    """tw AS (SELECT doc_id AS conv_id, source, string_split(text, ' ') AS w
+      |  FROM documents),
+      |nt AS (SELECT conv_id, source,
+      |  CAST(i.range + (CASE WHEN conv_id % 5 = 0 THEN 1 ELSE 0 END)
+      |    AS INTEGER) AS turn_no,
+      |  (CASE WHEN conv_id % 11 = 7 AND i.range = 1 THEN 'user'
+      |     WHEN i.range % 2 = 0 THEN 'user' ELSE 'assistant' END) AS role,
+      |  (CASE WHEN conv_id % 13 = 9 AND i.range = 1 THEN ''
+      |     ELSE coalesce(
+      |       array_to_string(w[i.range * 7 + 1 : i.range * 7 + 7], ' '), '')
+      |   END) AS content
+      |  FROM tw, range(0, 6) i WHERE i.range < conv_id % 4 + 2),
+      |turns AS (
+      |  SELECT conv_id, source, 0 AS turn_no, 'system' AS role,
+      |    'You are a concise assistant.' AS content
+      |  FROM tw WHERE conv_id % 5 = 0
+      |  UNION ALL SELECT * FROM nt)""".stripMargin
+
+  /** Deterministic DUPLICATE-conversation synthesis for the sft_dedup
+    * gate: conversations sharing `doc_id % 50` are identical (2–4 turns of
+    * group-derived content), so each group collapses to one rendered
+    * identity with the lowest conv_id as keeper. Mirrored term-for-term by
+    * [[ChatVariantCte]].
+    */
+  private def chatVariantTurns(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val g = d % 50
+    docs.select(d.as("conv_id"),
+        posexplode(transform(sequence(lit(0), (g % 3 + 1).cast("int")), i =>
+          struct(when(i % 2 === 0, lit("user")).otherwise(lit("assistant"))
+            .as("role"),
+          concat(lit("reply "), g.cast("string"), lit(" turn "),
+            i.cast("string")).as("content"))))
+          .as(Seq("turn_no", "__t")))
+      .select(col("conv_id"), col("turn_no"), col("__t.role").as("role"),
+        col("__t.content").as("content"))
+  }
+
+  /** DuckDB twin of [[chatVariantTurns]] — `vturns` = (conv_id, turn_no,
+    * role, content).
+    */
+  private lazy val ChatVariantCte: String =
+    """vturns AS (SELECT doc_id AS conv_id,
+      |  CAST(i.range AS INTEGER) AS turn_no,
+      |  (CASE WHEN i.range % 2 = 0 THEN 'user' ELSE 'assistant' END) AS role,
+      |  'reply ' || CAST(doc_id % 50 AS VARCHAR) || ' turn ' ||
+      |    CAST(i.range AS VARCHAR) AS content
+      |  FROM documents, range(0, 5) i
+      |  WHERE i.range < doc_id % 50 % 3 + 2)""".stripMargin
+
+  /** Deterministic PREFERENCE-pair synthesis for the pref_length_bias
+    * gate: (chosen, rejected) built from leading word slices of the doc
+    * text with lengths `6 + doc_id % 9` vs `4 + doc_id % 13` — a net
+    * longer-chosen bias with real exceptions in both directions. Mirrored
+    * term-for-term by [[PrefPairsCte]].
+    */
+  private def prefSynthPairs(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val w = split(col("text"), " ")
+    docs.select(d.as("pair_id"), col("source"),
+      array_join(slice(w, lit(1), (lit(6) + d % 9).cast("int")), " ")
+        .as("chosen"),
+      array_join(slice(w, lit(1), (lit(4) + d % 13).cast("int")), " ")
+        .as("rejected"))
+  }
+
+  /** DuckDB twin of [[prefSynthPairs]] — `pp` = (pair_id, source, chosen,
+    * rejected).
+    */
+  private lazy val PrefPairsCte: String =
+    """pp AS (SELECT doc_id AS pair_id, source,
+      |  coalesce(array_to_string(w[1 : CAST(6 + doc_id % 9 AS INTEGER)],
+      |    ' '), '') AS chosen,
+      |  coalesce(array_to_string(w[1 : CAST(4 + doc_id % 13 AS INTEGER)],
+      |    ' '), '') AS rejected
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+      |    FROM documents))""".stripMargin
 
   /** The canonicalization SQL chain over `src`(<extra cols>, url) — twin
     * of
@@ -2271,6 +2392,32 @@ object SparkEntry {
       graft.streaming.StreamOps.fetchScheduleStream(
         crawlFetches(Tables(s, dir)), delayMs = 60000L).toDF()),
 
+    // ---- post-training (SFT / preference) data prep: turn-structure
+    // validation, chat-template rendering with loss-span offsets,
+    // rendered-identity dedup, and the preference length-bias audit ----
+    "sft_turn_stats" -> ((s, dir) =>
+      ChatOps.turnStats(chatSynthTurns(Tables(s, dir).documents))),
+    "sft_render" -> ((s, dir) =>
+      ChatOps.renderChat(chatSynthTurns(Tables(s, dir).documents))),
+    "sft_spans" -> ((s, dir) =>
+      ChatOps.lossSpans(chatSynthTurns(Tables(s, dir).documents))),
+    "sft_dedup" -> ((s, dir) =>
+      ChatOps.conversationDedup(chatVariantTurns(Tables(s, dir).documents))),
+    "pref_length_bias" -> ((s, dir) =>
+      ChatOps.prefLengthBias(prefSynthPairs(Tables(s, dir).documents))),
+    "sql_sft_stats" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      chatSynthTurns(Tables(s, dir).documents)
+        .createOrReplaceTempView("graft_sql_turns_st")
+      s.sql("SELECT * FROM graft_sft_stats('graft_sql_turns_st')")
+    }),
+    "sql_pref_bias" -> ((s, dir) => {
+      graft.core.GraftTableFunctions.registerAll(s)
+      prefSynthPairs(Tables(s, dir).documents)
+        .createOrReplaceTempView("graft_sql_pairs_pb")
+      s.sql("SELECT * FROM graft_pref_bias('graft_sql_pairs_pb')")
+    }),
+
     // ---- learned-subword tokenizer: exact BPE merge training (8 rounds)
     // over the word-frequency table, plus per-doc segmentation under the
     // learned vocabulary ----
@@ -3679,6 +3826,8 @@ object SparkEntry {
       "sql_fetch_schedule" -> base("web_fetch_schedule"),
       "stream_fetch_schedule" -> base("web_fetch_schedule"),
       "sql_boilerplate" -> base("web_boilerplate"),
+      "sql_sft_stats" -> base("sft_turn_stats"),
+      "sql_pref_bias" -> base("pref_length_bias"),
       "sql_curate" -> base("pipeline_curate"),
       "sql_minhash_join" -> base("dedup_cross"),
       "sql_semantic_join" -> base("dedup_sem_cross"),
@@ -6070,6 +6219,90 @@ object SparkEntry {
          |SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
          |  CAST(count(*) AS BIGINT) AS n_variants
          |FROM canon GROUP BY 1""".stripMargin,
+    // Twin of ChatOps.turnStats over the conversation synth: the same
+    // lag-based adjacency check (system rows contribute a null comparison
+    // value) and the same per-role token sums.
+    "sft_turn_stats" ->
+      s"""WITH $ChatTurnsCte,
+         |lg AS (SELECT *, lag(CASE WHEN role <> 'system' THEN role END)
+         |    OVER (PARTITION BY conv_id ORDER BY turn_no) AS prev
+         |  FROM turns),
+         |ag AS (SELECT conv_id,
+         |  CAST(count(*) AS BIGINT) AS n_turns,
+         |  CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_user,
+         |  CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_assistant,
+         |  max(role = 'system') AS has_system,
+         |  CAST(sum(CASE WHEN trim(content) = '' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_empty,
+         |  CAST(sum(CASE WHEN role = 'user'
+         |    THEN len(${toksOf("content")}) ELSE 0 END) AS BIGINT)
+         |    AS user_tokens,
+         |  CAST(sum(CASE WHEN role = 'assistant'
+         |    THEN len(${toksOf("content")}) ELSE 0 END) AS BIGINT)
+         |    AS assistant_tokens,
+         |  NOT max(role <> 'system' AND prev IS NOT NULL AND role = prev)
+         |    AS alternation_ok,
+         |  (arg_min(role, CASE WHEN role <> 'system' THEN turn_no END)
+         |    = 'user') AS starts_with_user
+         |  FROM lg GROUP BY 1)
+         |SELECT *, (alternation_ok AND starts_with_user
+         |  AND n_assistant >= 1 AND n_empty = 0) AS valid FROM ag""".stripMargin,
+    // Twin of ChatOps.renderChat: segments string_agg'd in turn order —
+    // the ORDER BY pins the same sequence array_sort pins on the Spark
+    // side (turn_no is unique per conversation).
+    "sft_render" ->
+      s"""WITH $ChatTurnsCte,
+         |r AS (SELECT conv_id,
+         |  string_agg('<|' || role || '|>' || content, chr(10)
+         |    ORDER BY turn_no) AS text
+         |  FROM turns GROUP BY 1)
+         |SELECT conv_id, text, CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len($Toks) AS BIGINT) AS n_tokens FROM r""".stripMargin,
+    // Twin of ChatOps.lossSpans: rank + running segment-length sum per
+    // conversation, one separator char per preceding segment.
+    "sft_spans" ->
+      s"""WITH $ChatTurnsCte,
+         |sg AS (SELECT conv_id, turn_no, role,
+         |  CAST(length('<|' || role || '|>' || content) AS BIGINT)
+         |    AS seg_len
+         |  FROM turns),
+         |o AS (SELECT conv_id, turn_no, role, seg_len,
+         |  row_number() OVER (PARTITION BY conv_id ORDER BY turn_no) - 1
+         |    AS rnk,
+         |  coalesce(sum(seg_len) OVER (PARTITION BY conv_id ORDER BY turn_no
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |  FROM sg)
+         |SELECT conv_id, turn_no, role,
+         |  CAST(prior + rnk AS BIGINT) AS start_char,
+         |  CAST(prior + rnk + seg_len AS BIGINT) AS end_char,
+         |  (role <> 'assistant') AS loss_masked FROM o""".stripMargin,
+    // Twin of ChatOps.conversationDedup over the duplicate synth: md5 of
+    // the rendered identity, lowest conv_id keeper.
+    "sft_dedup" ->
+      s"""WITH $ChatVariantCte,
+         |r AS (SELECT conv_id,
+         |  string_agg('<|' || role || '|>' || content, chr(10)
+         |    ORDER BY turn_no) AS text
+         |  FROM vturns GROUP BY 1)
+         |SELECT md5(text) AS conv_hash,
+         |  CAST(min(conv_id) AS BIGINT) AS keeper_conv_id,
+         |  CAST(count(*) AS BIGINT) AS n_copies FROM r GROUP BY 1""".stripMargin,
+    // Twin of ChatOps.prefLengthBias over the pair synth: integer token
+    // sums divided once per aggregate (exact operands, IEEE division).
+    "pref_length_bias" ->
+      s"""WITH $PrefPairsCte,
+         |t AS (SELECT source,
+         |  len(${toksOf("chosen")}) AS c, len(${toksOf("rejected")}) AS r
+         |  FROM pp)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(c) AS DOUBLE) / count(*) AS chosen_tokens_mean,
+         |  CAST(sum(r) AS DOUBLE) / count(*) AS rejected_tokens_mean,
+         |  CAST(sum(CASE WHEN c > r THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         |    AS longer_chosen_ratio,
+         |  CAST(sum(c) - sum(r) AS DOUBLE) / count(*) AS mean_token_delta
+         |FROM t GROUP BY 1""".stripMargin,
     // Twins of Bpe.train / Bpe.segmentStats over the shared unrolled rounds
     "text_bpe_merges" -> {
       val union = (0 until BpeMerges).map(i => s"SELECT * FROM b$i")

@@ -320,6 +320,27 @@ object GraftTableFunctions {
       (exprs: Seq[Expression]) => plan(graft.pipeline.WebOps.robotsEval(
         rel(strArg(exprs(0), "docs table name")),
         rel(strArg(exprs(1), "rules table name"))))),
+    (FunctionIdentifier("graft_sft_stats"),
+      info("graft_sft_stats",
+        "graft_sft_stats(table) - per-conversation structural validation " +
+          "of an SFT turns table: role/empty counts, alternation and " +
+          "first-speaker checks (expects conv_id, turn_no, role, content)"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.ChatOps.turnStats(
+        rel(strArg(exprs(0), "table name"))))),
+    (FunctionIdentifier("graft_chat_render"),
+      info("graft_chat_render",
+        "graft_chat_render(table) - chat-template rendering of an SFT " +
+          "turns table to one training string per conversation (expects " +
+          "conv_id, turn_no, role, content)"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.ChatOps.renderChat(
+        rel(strArg(exprs(0), "table name"))))),
+    (FunctionIdentifier("graft_pref_bias"),
+      info("graft_pref_bias",
+        "graft_pref_bias(table) - preference-pair length-bias audit per " +
+          "source: longer-chosen ratio + mean token delta (expects " +
+          "source, chosen, rejected)"),
+      (exprs: Seq[Expression]) => plan(graft.pipeline.ChatOps.prefLengthBias(
+        rel(strArg(exprs(0), "table name"))))),
     (FunctionIdentifier("graft_ks_drift"),
       info("graft_ks_drift",
         "graft_ks_drift(table, group_col, value_col, slice_col, shard_width) - " +

@@ -1,0 +1,187 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Post-training (SFT / preference) data-prep operators over a TURNS table
+  * — the instruction-tuning half of an LLM data pipeline, downstream of the
+  * web/pretraining curation in [[WebOps]]/[[TextOps]]: conversations arrive
+  * as one row per turn `(conv_id, turn_no, role, content)` and must be
+  * structurally validated (role alternation, empty turns, system placement),
+  * rendered to the single training string a trainer consumes, annotated
+  * with the character spans whose tokens take loss (assistant turns only),
+  * deduplicated on the rendered identity, and — for preference data —
+  * audited for the length bias reward models notoriously inherit.
+  *
+  * Reference scope note: the reference engine (tobiasli/my_weather) has no
+  * chat surface — this family extends the engine for LLM post-training
+  * curation, like [[WebOps]] and [[TextOps]].
+  *
+  * Scale shape: every operator here keys on `conv_id`, and a conversation
+  * is SHORT BY CONTRACT (turn counts in the tens — the bounded-group
+  * argument of [[WebOps.robotsEval]]'s per-domain rule arrays, but
+  * stronger: the bound is the data model, not an observed distribution, so
+  * per-conversation windows and ordered collects are O(turns) state, never
+  * Zipfian). The corpus-scale dimension is #conversations, and on that key
+  * everything is one partial-combined aggregate or a bounded window — no
+  * pair enumeration, no driver collection, no broadcast of corpus-scale
+  * relations.
+  */
+object ChatOps {
+
+  /** Per-turn rendered segment: `<|role|>content` — the chat-template
+    * wire format shared by [[renderChat]] and [[lossSpans]], so span
+    * offsets are consistent with the rendered string by construction.
+    */
+  private def segment(role: Column, content: Column): Column =
+    concat(lit("<|"), role, lit("|>"), content)
+
+  /** Structural validation profile, one row per conversation — the gate an
+    * SFT pipeline drops malformed conversations on: turn/role counts,
+    * system-turn presence, empty-content counts, role-alternation and
+    * first-speaker checks, and per-role token totals (the user/assistant
+    * balance signal).
+    *
+    * `alternation_ok`: no non-system turn repeats the role of the
+    * immediately preceding turn in `turn_no` order (a system row breaks
+    * adjacency — the preceding comparison value is null there, never a
+    * violation). `starts_with_user`: the first non-system turn is a
+    * `user` turn. `valid` folds the gate: alternation
+    * holds, the conversation opens with a user turn, has at least one
+    * assistant turn, and no turn is empty.
+    *
+    * One window pass (the alternation lag, partitioned by conversation —
+    * bounded by the turn-count contract) and one partial-combined aggregate
+    * on `conv_id`.
+    */
+  def turnStats(turns: DataFrame, convCol: String = "conv_id",
+      turnCol: String = "turn_no", roleCol: String = "role",
+      contentCol: String = "content"): DataFrame = {
+    val conv = col(convCol)
+    val role = col(roleCol)
+    val text = col(contentCol)
+    val w = Window.partitionBy(conv).orderBy(col(turnCol))
+    turns
+      .withColumn("__prev",
+        lag(when(role =!= "system", role), 1).over(w))
+      .withColumn("__samerole",
+        role =!= "system" && col("__prev").isNotNull && role === col("__prev"))
+      .groupBy(conv.as("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(role === "user", 1L).otherwise(0L)).as("n_user"),
+        sum(when(role === "assistant", 1L).otherwise(0L)).as("n_assistant"),
+        max(role === "system").as("has_system"),
+        sum(when(trim(text) === "", 1L).otherwise(0L)).as("n_empty"),
+        sum(when(role === "user", TextOps.tokenCount(text).cast("long"))
+          .otherwise(0L)).as("user_tokens"),
+        sum(when(role === "assistant", TextOps.tokenCount(text).cast("long"))
+          .otherwise(0L)).as("assistant_tokens"),
+        (!max(col("__samerole"))).as("alternation_ok"),
+        (min_by(role, when(role =!= "system", col(turnCol))) === "user")
+          .as("starts_with_user"))
+      .withColumn("valid", col("alternation_ok") && col("starts_with_user") &&
+        col("n_assistant") >= 1 && col("n_empty") === 0)
+  }
+
+  /** Chat-template rendering: each conversation's turns in `turn_no` order
+    * concatenated as `<|role|>content` segments joined by newlines — the
+    * single training string (plus char/whitespace-token counts) an SFT
+    * trainer tokenizes. Deterministic string assembly, mirrored
+    * term-for-term by the DuckDB twin.
+    *
+    * One partial-combined aggregate on `conv_id`; the ordered collect is
+    * O(turns) per group — bounded by the conversation contract, the same
+    * class as [[WebOps.robotsEval]]'s rule arrays (NOT the Zipfian
+    * unbounded-group collect the old domainStats was flagged for).
+    * `array_sort` on the `(turn_no, …)` structs pins the segment order
+    * without a per-group sort shuffle.
+    */
+  def renderChat(turns: DataFrame, convCol: String = "conv_id",
+      turnCol: String = "turn_no", roleCol: String = "role",
+      contentCol: String = "content"): DataFrame =
+    turns
+      .groupBy(col(convCol).as("conv_id"))
+      .agg(array_sort(collect_list(struct(col(turnCol).as("t"),
+        col(roleCol).as("r"), col(contentCol).as("c")))).as("__turns"))
+      .select(col("conv_id"),
+        array_join(transform(col("__turns"),
+          t => segment(t.getField("r"), t.getField("c"))), "\n").as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+
+  /** Loss-span annotation: for each turn, the half-open character span
+    * `[start_char, end_char)` its `<|role|>content` segment occupies in
+    * the [[renderChat]] string, plus the `loss_masked` verdict (non-
+    * assistant spans take no loss — the supervised-fine-tuning masking
+    * rule). Offsets account for the single `\n` separator between
+    * segments, so `substring(rendered, start_char + 1, end_char −
+    * start_char)` is exactly the segment (pinned by ChatOpsSpec).
+    *
+    * Two windows per conversation (rank + running length sum), both
+    * bounded by the turn-count contract; no join back to the rendered
+    * string is needed — the offsets are derived from the same arithmetic.
+    */
+  def lossSpans(turns: DataFrame, convCol: String = "conv_id",
+      turnCol: String = "turn_no", roleCol: String = "role",
+      contentCol: String = "content"): DataFrame = {
+    val w = Window.partitionBy(col(convCol)).orderBy(col(turnCol))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    turns
+      .withColumn("__len",
+        length(segment(col(roleCol), col(contentCol))).cast("long"))
+      .withColumn("__rank", row_number().over(w) - 1)
+      .withColumn("start_char",
+        (coalesce(sum(col("__len")).over(wPrev), lit(0L)) +
+          col("__rank")).cast("long"))
+      .select(col(convCol).as("conv_id"), col(turnCol).as("turn_no"),
+        col(roleCol).as("role"), col("start_char"),
+        (col("start_char") + col("__len")).as("end_char"),
+        (col(roleCol) =!= "assistant").as("loss_masked"))
+  }
+
+  /** Exact conversation dedup on the RENDERED identity: two conversations
+    * are duplicates iff their [[renderChat]] strings are byte-identical
+    * (same turns, same order, same roles — the SFT analogue of
+    * [[Dedup.exact]]'s full-text hash). Keeper = lowest `conv_id`;
+    * `n_copies` is the group size. One narrow render (bounded per-group
+    * collect) + one partial-combined aggregate on the md5 key — no pair
+    * enumeration.
+    */
+  def conversationDedup(turns: DataFrame, convCol: String = "conv_id",
+      turnCol: String = "turn_no", roleCol: String = "role",
+      contentCol: String = "content"): DataFrame =
+    renderChat(turns, convCol, turnCol, roleCol, contentCol)
+      .select(md5(col("text")).as("conv_hash"), col("conv_id"))
+      .groupBy("conv_hash")
+      .agg(min(col("conv_id")).as("keeper_conv_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Preference-pair length-bias audit, one row per source: reward models
+    * trained on (chosen, rejected) pairs inherit any systematic length
+    * difference, so the audit a preference pipeline runs first is "how
+    * often is the longer response the chosen one, and by how much". Per
+    * source: pair count, mean whitespace-token lengths of both sides, the
+    * longer-chosen ratio (ties count as not-longer), and the mean token
+    * delta. One partial-combined aggregate on the source key — per-group
+    * state is O(1).
+    */
+  def prefLengthBias(pairs: DataFrame, srcCol: String = "source",
+      chosenCol: String = "chosen", rejectedCol: String = "rejected")
+      : DataFrame = {
+    val cTok = TextOps.tokenCount(col(chosenCol)).cast("long")
+    val rTok = TextOps.tokenCount(col(rejectedCol)).cast("long")
+    pairs
+      .select(col(srcCol).as("source"), cTok.as("__c"), rTok.as("__r"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(col("__c")).cast("double") / count(lit(1)))
+          .as("chosen_tokens_mean"),
+        (sum(col("__r")).cast("double") / count(lit(1)))
+          .as("rejected_tokens_mean"),
+        (sum(when(col("__c") > col("__r"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("longer_chosen_ratio"),
+        ((sum(col("__c")) - sum(col("__r"))).cast("double") / count(lit(1)))
+          .as("mean_token_delta"))
+  }
+}

@@ -170,8 +170,6 @@ class SqlSurfaceSpec extends SparkSpec {
         graft.pipeline.Profile.benford(t.events, "event_type", "value"),
       "SELECT * FROM graft_ljungbox('sqlspec_points_s', 6)" ->
         graft.ts.SeriesOps.ljungBox(pts, maxLag = 6),
-      "SELECT * FROM graft_isotropy('sqlspec_emb_s')" ->
-        graft.pipeline.Similarity.isotropy(t.embeddings),
       s"SELECT * FROM graft_spearman('sqlspec_points_s', $day)" ->
         graft.ts.SeriesOps.spearmanCorrelation(pts, day),
       s"SELECT * FROM graft_motifs('sqlspec_points_s', ${3600L * 1000000000L})" ->
@@ -215,16 +213,20 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM graft_containment_join('sqlspec_docs_s', 'sqlspec_bench_s', 0.5)" ->
         graft.pipeline.Dedup.containmentJoin(t.documents, benchSweep,
           threshold = 0.5))
-    // the kmeans-backed rows compare at 9 significant digits: the centroid
-    // means are partial-aggregated float reductions whose reduce-side merge
-    // order is run-nondeterministic in the last ulp, so two evaluations of
-    // the same plan can differ below the driver compare's tolerance
+    // these rows compare at 9 significant digits: kmeans centroid means
+    // and isotropy's mean/covariance sums are partial-aggregated float
+    // reductions whose reduce-side merge order is run-nondeterministic in
+    // the last ulp, so two evaluations of the same plan can differ below
+    // the driver compare's tolerance (bit in the round-14 full run:
+    // graft_isotropy diverged from its Scala twin in digit 17)
     val kmeansCases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
       "SELECT * FROM graft_semantic_join('sqlspec_emb_left', 'sqlspec_emb_right', 0.4, 4, 1)" ->
         graft.pipeline.Similarity.semanticJoin(embLeft, embRight,
           threshold = 0.4, k = 4, iters = 1),
       "SELECT * FROM graft_silhouette('sqlspec_emb_s', 4, 1)" ->
-        graft.pipeline.Similarity.silhouette(t.embeddings, k = 4, iters = 1))
+        graft.pipeline.Similarity.silhouette(t.embeddings, k = 4, iters = 1),
+      "SELECT * FROM graft_isotropy('sqlspec_emb_s')" ->
+        graft.pipeline.Similarity.isotropy(t.embeddings))
     kmeansCases.foreach { case (sql, direct) =>
       val viaSql = spark.sql(sql)
       assert(viaSql.columns.toSeq == direct.columns.toSeq, sql)
@@ -285,6 +287,29 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rowsOf(spark.sql("SELECT * FROM graft_web_blocklist(" +
         "'sqlspec_webdocs', 'sqlspec_blocklist')"))
       == rowsOf(WebOps.blocklistFilter(docs, bl)))
+  }
+
+  test("graft_sft_stats / graft_chat_render / graft_pref_bias == " +
+    "ChatOps Scala faces") {
+    import graft.pipeline.ChatOps
+    import spark.implicits._
+    GraftTableFunctions.registerAll(spark)
+    val turns = Seq(
+      (1L, 0, "system", "be brief"), (1L, 1, "user", "hi there"),
+      (1L, 2, "assistant", "hello"),
+      (2L, 0, "user", "a"), (2L, 1, "user", "b"), (2L, 2, "assistant", ""))
+      .toDF("conv_id", "turn_no", "role", "content")
+    turns.createOrReplaceTempView("sqlspec_turns")
+    assert(rowsOf(spark.sql("SELECT * FROM graft_sft_stats('sqlspec_turns')"))
+      == rowsOf(ChatOps.turnStats(turns)))
+    assert(rowsOf(spark.sql(
+        "SELECT * FROM graft_chat_render('sqlspec_turns')"))
+      == rowsOf(ChatOps.renderChat(turns)))
+    val pairs = Seq(("a", "one two three", "one"), ("a", "one", "one two"))
+      .toDF("source", "chosen", "rejected")
+    pairs.createOrReplaceTempView("sqlspec_pairs")
+    assert(rowsOf(spark.sql("SELECT * FROM graft_pref_bias('sqlspec_pairs')"))
+      == rowsOf(ChatOps.prefLengthBias(pairs)))
   }
 
   test("SQL surface composes: TVF result is a normal relation (filter + agg)") {
