@@ -2417,6 +2417,12 @@ object SparkEntry {
         .createOrReplaceTempView("graft_sql_pairs_pb")
       s.sql("SELECT * FROM graft_pref_bias('graft_sql_pairs_pb')")
     }),
+    // SFT-ingest dedup: rendered-identity state (keeper + copy count, two
+    // longs per distinct conversation) continued across micro-batches
+    "stream_sft_dedup" -> ((s, dir) =>
+      graft.streaming.StreamOps.convDedupStream(
+        ChatOps.renderChat(chatVariantTurns(Tables(s, dir).documents))
+          .select("conv_id", "text")).toDF()),
 
     // ---- learned-subword tokenizer: exact BPE merge training (8 rounds)
     // over the word-frequency table, plus per-doc segmentation under the
@@ -3828,6 +3834,7 @@ object SparkEntry {
       "sql_boilerplate" -> base("web_boilerplate"),
       "sql_sft_stats" -> base("sft_turn_stats"),
       "sql_pref_bias" -> base("pref_length_bias"),
+      "stream_sft_dedup" -> base("sft_dedup"),
       "sql_curate" -> base("pipeline_curate"),
       "sql_minhash_join" -> base("dedup_cross"),
       "sql_semantic_join" -> base("dedup_sem_cross"),

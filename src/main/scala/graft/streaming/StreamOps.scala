@@ -529,6 +529,51 @@ object StreamOps {
       }
   }
 
+  final case class ConvRow(conv_hash: String, conv_id: Long)
+  final case class ConvIdState(keeper: Long, n: Long)
+  final case class ConvIdentity(conv_hash: String, keeper_conv_id: Long,
+      n_copies: Long)
+
+  /** Streaming conversation dedup — the SFT-ingest face of
+    * [[graft.pipeline.ChatOps.conversationDedup]]: conversations arriving
+    * across micro-batches collapse onto their rendered identity. The
+    * stream carries one row per ALREADY-RENDERED conversation
+    * `(conv_id, text)` — an SFT ingest record is a whole conversation, and
+    * [[graft.pipeline.ChatOps.renderChat]]'s template is per-record narrow
+    * work at that point — so the md5 identity key is a stateless map
+    * riding the ingest, and per rendered identity the state is TWO LONGS
+    * (keeper conv id + copy count), bounded by #distinct conversations.
+    * Each batch emits the updated identity row for keys it touched; batch
+    * parity is exact (one invocation per group from empty state — the
+    * [[urlDedupStream]] pattern, and the oracle row runs this kernel in
+    * batch mode against the batch face's twin SQL).
+    */
+  def convDedupStream(convs: DataFrame, idCol: String = "conv_id",
+      textCol: String = "text"): Dataset[ConvIdentity] = {
+    val spark = convs.sparkSession
+    import spark.implicits._
+    val rows = convs.select(md5(col(textCol)).as("conv_hash"),
+      col(idCol).cast("long").as("conv_id")).as[ConvRow]
+    rows.groupByKey(_.conv_hash)
+      .flatMapGroupsWithState[ConvIdState, ConvIdentity](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key, it, state: GroupState[ConvIdState]) =>
+          var keeper = state.getOption.map(_.keeper).getOrElse(Long.MaxValue)
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          var touched = false
+          it.foreach { r =>
+            touched = true
+            if (r.conv_id < keeper) keeper = r.conv_id
+            n += 1
+          }
+          if (!touched) Iterator.empty
+          else {
+            state.update(ConvIdState(keeper, n))
+            Iterator.single(ConvIdentity(key, keeper, n))
+          }
+      }
+  }
+
   /** Blocklist gate on a crawl-ingest stream — the streaming face of
     * [[graft.pipeline.WebOps.blocklistFilter]]: documents from blocked
     * registered domains / canonical-URL prefixes are dropped the moment

@@ -541,6 +541,46 @@ class StreamOpsSpec extends SparkSpec {
       "cross-batch state must converge to the batch identity rows")
   }
 
+  test("convDedupStream: conversations across micro-batches collapse onto " +
+    "one rendered identity; batch face == ChatOps.conversationDedup") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.pipeline.ChatOps
+    val turns = Seq(
+      (10L, 0, "user", "hi"), (10L, 1, "assistant", "hello"),
+      (12L, 0, "user", "hi"), (12L, 1, "assistant", "hello"),
+      (11L, 0, "user", "hi"), (11L, 1, "assistant", "hello there"))
+      .toDF("conv_id", "turn_no", "role", "content")
+    val rendered = ChatOps.renderChat(turns).select("conv_id", "text")
+    val batchGot = StreamOps.convDedupStream(rendered).toDF().collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batchRef = ChatOps.conversationDedup(turns).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(batchGot == batchRef,
+      "batch face must equal ChatOps.conversationDedup")
+    // streaming face: a later batch delivers a copy with a LOWER id —
+    // the keeper tightens and the copy count accumulates across batches
+    val renderedRows = rendered.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    val in = MemoryStream[(Long, String)]
+    val out = StreamOps.convDedupStream(in.toDS().toDF("conv_id", "text"))
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("conv_dedup_stream").start()
+    try {
+      in.addData(renderedRows.filter(_._1 != 10L))
+      q.processAllAvailable()
+      in.addData(renderedRows.filter(_._1 == 10L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("conv_dedup_stream").collect().zipWithIndex
+      .groupBy(_._1.getString(0))
+      .map { case (k, rs) =>
+        val r = rs.maxBy(_._2)._1
+        k -> ((r.getLong(1), r.getLong(2)))
+      }
+    assert(last == batchRef,
+      "cross-batch state must converge to the batch identity rows")
+  }
+
   test("pqEncodeStream: batch face == pqEncodeFrozen; micro-batches append " +
     "to the frozen codes relation") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
