@@ -2423,6 +2423,14 @@ object SparkEntry {
       graft.streaming.StreamOps.convDedupStream(
         ChatOps.renderChat(chatVariantTurns(Tables(s, dir).documents))
           .select("conv_id", "text")).toDF()),
+    // chat-template packing: rendered conversations laid end-to-end into
+    // fixed 256-token training windows (render is one bounded-group agg;
+    // the global offset is the sharded prefix scan — shardWidth 100
+    // forces the multi-shard path at sf0.01)
+    "sft_pack" -> ((s, dir) =>
+      Packing.packSequences(
+        ChatOps.renderChat(chatSynthTurns(Tables(s, dir).documents)),
+        capacity = 256, shardWidth = 100, idCol = "conv_id")),
 
     // ---- learned-subword tokenizer: exact BPE merge training (8 rounds)
     // over the word-frequency table, plus per-doc segmentation under the
@@ -6296,6 +6304,26 @@ object SparkEntry {
          |SELECT md5(text) AS conv_hash,
          |  CAST(min(conv_id) AS BIGINT) AS keeper_conv_id,
          |  CAST(count(*) AS BIGINT) AS n_copies FROM r GROUP BY 1""".stripMargin,
+    // Twin of Packing.packSequences(renderChat(turns), capacity=256) —
+    // the pack_sequences twin over the rendered-conversation lengths.
+    "sft_pack" ->
+      s"""WITH $ChatTurnsCte,
+         |r AS (SELECT conv_id,
+         |  string_agg('<|' || role || '|>' || content, chr(10)
+         |    ORDER BY turn_no) AS text
+         |  FROM turns GROUP BY 1),
+         |lens AS (SELECT conv_id, CAST(len($Toks) AS BIGINT) AS n_toks
+         |  FROM r),
+         |nz AS (SELECT * FROM lens WHERE n_toks > 0),
+         |c AS (SELECT conv_id, n_toks,
+         |  CAST(sum(n_toks) OVER (ORDER BY conv_id) AS BIGINT) AS e FROM nz),
+         |s AS (SELECT conv_id, n_toks, e - n_toks AS st, e FROM c),
+         |x AS (SELECT conv_id, n_toks, st, e,
+         |  unnest(range(st // 256, ((e - 1) // 256) + 1)) AS chunk_id FROM s)
+         |SELECT conv_id, n_toks, chunk_id,
+         |  greatest(chunk_id * 256, st) - st AS tok_start,
+         |  least((chunk_id + 1) * 256, e) - st AS tok_end
+         |FROM x""".stripMargin,
     // Twin of ChatOps.prefLengthBias over the pair synth: integer token
     // sums divided once per aggregate (exact operands, IEEE division).
     "pref_length_bias" ->
