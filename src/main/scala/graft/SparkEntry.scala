@@ -445,6 +445,33 @@ object SparkEntry {
         .as("rejected"))
   }
 
+  /** Deterministic SCORED-sample synthesis for the pref_best_of_n gate:
+    * ~5 samples per prompt (`doc_id % 97` buckets), responses from leading
+    * word slices, scores on a coarse `d%7 + d%3/2` grid so equal-score
+    * ties are frequent and the sample-id tie-break is exercised. Mirrored
+    * term-for-term by [[BonSamplesCte]].
+    */
+  private def bonSynthSamples(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val w = split(col("text"), " ")
+    docs.select((d % 97).as("prompt_id"), d.as("sample_id"),
+      array_join(slice(w, lit(1), (lit(3) + d % 11).cast("int")), " ")
+        .as("response"),
+      ((d % 7).cast("double") + (d % 3).cast("double") / 2).as("score"))
+  }
+
+  /** DuckDB twin of [[bonSynthSamples]] — `bon` = (prompt_id, sample_id,
+    * response, score).
+    */
+  private lazy val BonSamplesCte: String =
+    """bon AS (SELECT doc_id % 97 AS prompt_id, doc_id AS sample_id,
+      |  coalesce(array_to_string(w[1 : CAST(3 + doc_id % 11 AS INTEGER)],
+      |    ' '), '') AS response,
+      |  CAST(doc_id % 7 AS DOUBLE) + CAST(doc_id % 3 AS DOUBLE) / 2
+      |    AS score
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+      |    FROM documents))""".stripMargin
+
   /** DuckDB twin of [[prefSynthPairs]] — `pp` = (pair_id, source, chosen,
     * rejected).
     */
@@ -2405,6 +2432,10 @@ object SparkEntry {
       ChatOps.conversationDedup(chatVariantTurns(Tables(s, dir).documents))),
     "pref_length_bias" -> ((s, dir) =>
       ChatOps.prefLengthBias(prefSynthPairs(Tables(s, dir).documents))),
+    // best-of-n: argmax/argmin responses per prompt with deterministic
+    // tie-breaks -> the (chosen, rejected) pair + margin DPO trains on
+    "pref_best_of_n" -> ((s, dir) =>
+      ChatOps.bestOfN(bonSynthSamples(Tables(s, dir).documents))),
     "sql_sft_stats" -> ((s, dir) => {
       graft.core.GraftTableFunctions.registerAll(s)
       chatSynthTurns(Tables(s, dir).documents)
@@ -6324,6 +6355,31 @@ object SparkEntry {
          |  greatest(chunk_id * 256, st) - st AS tok_start,
          |  least((chunk_id + 1) * 256, e) - st AS tok_end
          |FROM x""".stripMargin,
+    // Twin of ChatOps.bestOfN over the scored-sample synth: the same two
+    // rank windows (score desc/asc, sample_id tie-break) pivoted by
+    // conditional aggregation.
+    "pref_best_of_n" ->
+      s"""WITH $BonSamplesCte,
+         |rk AS (SELECT *,
+         |  row_number() OVER (PARTITION BY prompt_id
+         |    ORDER BY score DESC, sample_id ASC) AS rb,
+         |  row_number() OVER (PARTITION BY prompt_id
+         |    ORDER BY score ASC, sample_id ASC) AS rw
+         |  FROM bon),
+         |ag AS (SELECT prompt_id,
+         |  CAST(count(*) AS BIGINT) AS n_samples,
+         |  CAST(max(CASE WHEN rb = 1 THEN sample_id END) AS BIGINT)
+         |    AS chosen_sample_id,
+         |  max(CASE WHEN rb = 1 THEN response END) AS chosen,
+         |  max(CASE WHEN rb = 1 THEN score END) AS chosen_score,
+         |  CAST(max(CASE WHEN rw = 1 THEN sample_id END) AS BIGINT)
+         |    AS rejected_sample_id,
+         |  max(CASE WHEN rw = 1 THEN response END) AS rejected,
+         |  max(CASE WHEN rw = 1 THEN score END) AS rejected_score
+         |  FROM rk GROUP BY 1)
+         |SELECT *, chosen_score - rejected_score AS score_margin,
+         |  (chosen_sample_id = rejected_sample_id) AS degenerate
+         |FROM ag""".stripMargin,
     // Twin of ChatOps.prefLengthBias over the pair synth: integer token
     // sums divided once per aggregate (exact operands, IEEE division).
     "pref_length_bias" ->

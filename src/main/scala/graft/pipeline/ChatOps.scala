@@ -157,6 +157,48 @@ object ChatOps {
       .agg(min(col("conv_id")).as("keeper_conv_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Best-of-n selection — the RLHF sampling→pair-construction step: from
+    * scored samples `(prompt_id, sample_id, response, score)` (n responses
+    * drawn per prompt, scored by a reward model or heuristic), emit one
+    * row per prompt with the argmax response as `chosen`, the argmin as
+    * `rejected`, deterministic tie-breaks (equal scores → lower
+    * `sample_id` wins on both sides), and the score margin — the
+    * preference pair a DPO/RLHF pipeline trains on. Prompts where best
+    * and worst coincide (n = 1, or all scores equal) carry a zero margin
+    * and `degenerate = true` so the trainer can drop them.
+    *
+    * Scale shape: two rank windows per prompt (ascending/descending
+    * score), both bounded by the samples-per-prompt contract (n is the
+    * BEST-OF-N constant, not a data-driven group size), then a narrow
+    * filter-join-free pivot via conditional aggregation — one
+    * partial-combined aggregate on `prompt_id`.
+    */
+  def bestOfN(samples: DataFrame, promptCol: String = "prompt_id",
+      sampleCol: String = "sample_id", responseCol: String = "response",
+      scoreCol: String = "score"): DataFrame = {
+    val byBest = Window.partitionBy(col(promptCol))
+      .orderBy(col(scoreCol).desc, col(sampleCol).asc)
+    val byWorst = Window.partitionBy(col(promptCol))
+      .orderBy(col(scoreCol).asc, col(sampleCol).asc)
+    samples
+      .withColumn("__rb", row_number().over(byBest))
+      .withColumn("__rw", row_number().over(byWorst))
+      .groupBy(col(promptCol).as("prompt_id"))
+      .agg(count(lit(1)).as("n_samples"),
+        max(when(col("__rb") === 1, col(sampleCol)))
+          .as("chosen_sample_id"),
+        max(when(col("__rb") === 1, col(responseCol))).as("chosen"),
+        max(when(col("__rb") === 1, col(scoreCol))).as("chosen_score"),
+        max(when(col("__rw") === 1, col(sampleCol)))
+          .as("rejected_sample_id"),
+        max(when(col("__rw") === 1, col(responseCol))).as("rejected"),
+        max(when(col("__rw") === 1, col(scoreCol))).as("rejected_score"))
+      .withColumn("score_margin",
+        col("chosen_score") - col("rejected_score"))
+      .withColumn("degenerate",
+        col("chosen_sample_id") === col("rejected_sample_id"))
+  }
+
   /** Preference-pair length-bias audit, one row per source: reward models
     * trained on (chosen, rejected) pairs inherit any systematic length
     * difference, so the audit a preference pipeline runs first is "how

@@ -117,6 +117,29 @@ class ChatOpsSpec extends SparkSpec {
     assert(r.count(_.getAs[Long]("n_copies") == 1L) == 2)
   }
 
+  test("bestOfN: argmax/argmin per prompt, sample-id tie-breaks, " +
+    "degenerate single-sample prompts") {
+    val samples = Seq(
+      // prompt 1: clear best (s=3) and worst (s=1)
+      (1L, 10L, "r10", 2.0), (1L, 11L, "r11", 3.0), (1L, 12L, "r12", 1.0),
+      // prompt 2: all scores tie -> lowest sample_id wins BOTH sides
+      (2L, 20L, "r20", 5.0), (2L, 21L, "r21", 5.0),
+      // prompt 3: single sample -> degenerate
+      (3L, 30L, "r30", 4.0))
+      .toDF("prompt_id", "sample_id", "response", "score")
+    val m = ChatOps.bestOfN(samples).collect()
+      .map(r => r.getAs[Long]("prompt_id") -> r).toMap
+    assert(m(1L).getAs[Long]("chosen_sample_id") == 11L)
+    assert(m(1L).getAs[Long]("rejected_sample_id") == 12L)
+    assert(m(1L).getAs[Double]("score_margin") == 2.0)
+    assert(!m(1L).getAs[Boolean]("degenerate"))
+    assert(m(2L).getAs[Long]("chosen_sample_id") == 20L)
+    assert(m(2L).getAs[Long]("rejected_sample_id") == 20L)
+    assert(m(2L).getAs[Boolean]("degenerate"))
+    assert(m(3L).getAs[Boolean]("degenerate"))
+    assert(m(3L).getAs[Long]("n_samples") == 1L)
+  }
+
   test("prefLengthBias: ratios and deltas on a hand-checked mix") {
     val pairs = Seq(
       ("a", "one two three", "one"),       // chosen longer (+2)
