@@ -2436,6 +2436,22 @@ object SparkEntry {
     // tie-breaks -> the (chosen, rejected) pair + margin DPO trains on
     "pref_best_of_n" -> ((s, dir) =>
       ChatOps.bestOfN(bonSynthSamples(Tables(s, dir).documents))),
+    // context-window truncation: system turn + the longest recent-turn
+    // suffix fitting a 20-token budget (reverse running sum per conv)
+    "sft_truncate" -> ((s, dir) =>
+      ChatOps.fitContext(chatSynthTurns(Tables(s, dir).documents),
+        budgetTokens = 20)),
+    // SFT decontamination: 5-gram overlap of the concatenated USER
+    // prompts against the held-out test split (leaked benchmark
+    // questions are the contamination vector)
+    "sft_decontam" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val bench = Sampling.assignSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .where(col("split") === "test")
+      TextOps.decontaminate(ChatOps.userPrompts(chatSynthTurns(docs)),
+        bench, n = 5, idCol = "conv_id")
+    }),
     "sql_sft_stats" -> ((s, dir) => {
       graft.core.GraftTableFunctions.registerAll(s)
       chatSynthTurns(Tables(s, dir).documents)
@@ -6355,6 +6371,54 @@ object SparkEntry {
          |  greatest(chunk_id * 256, st) - st AS tok_start,
          |  least((chunk_id + 1) * 256, e) - st AS tok_end
          |FROM x""".stripMargin,
+    // Twin of ChatOps.fitContext(budget=20): per-conv system-token sum +
+    // reverse running sum of non-system tokens, suffix-fit verdict.
+    "sft_truncate" ->
+      s"""WITH $ChatTurnsCte,
+         |tk AS (SELECT conv_id, turn_no, role,
+         |  CAST(len(${toksOf("content")}) AS BIGINT) AS n_tokens
+         |  FROM turns),
+         |w AS (SELECT conv_id, turn_no, role, n_tokens,
+         |  sum(CASE WHEN role = 'system' THEN n_tokens ELSE 0 END)
+         |    OVER (PARTITION BY conv_id) AS systok,
+         |  sum(CASE WHEN role <> 'system' THEN n_tokens ELSE 0 END)
+         |    OVER (PARTITION BY conv_id ORDER BY turn_no DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sfx
+         |  FROM tk)
+         |SELECT conv_id, turn_no, role, n_tokens,
+         |  (CASE WHEN role = 'system' THEN systok <= 20
+         |     ELSE sfx + systok <= 20 END) AS kept
+         |FROM w""".stripMargin,
+    // Twin of decontaminate(userPrompts(turns), test split, n=5): the
+    // decontaminate twin's gram/bench algebra over the per-conversation
+    // concatenated user turns.
+    "sft_decontam" ->
+      s"""WITH $ChatTurnsCte,
+         |up AS (SELECT conv_id,
+         |  string_agg(content, ' ' ORDER BY turn_no) AS text
+         |  FROM turns WHERE role = 'user' GROUP BY 1),
+         |ptoks AS (SELECT conv_id, $Toks AS tk FROM up),
+         |pg AS (SELECT conv_id, list_distinct(CASE WHEN len(tk) >= 5
+         |  THEN list_transform(range(1, len(tk) - 3),
+         |    i -> array_to_string(tk[i:i+4], ' '))
+         |  ELSE [] END) AS g FROM ptoks),
+         |btoks AS (SELECT doc_id, $Toks AS tk FROM documents),
+         |bgl AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 5
+         |  THEN list_transform(range(1, len(tk) - 3),
+         |    i -> array_to_string(tk[i:i+4], ' '))
+         |  ELSE [] END) AS g FROM btoks),
+         |bench AS (SELECT doc_id FROM documents
+         |  WHERE ((${phSql("CAST(doc_id AS VARCHAR)", "0")}) * ${Sampling.saltMult("split")}
+         |    + ${Sampling.saltAdd("split")}) % 1000000007 % 10000 >= 9000),
+         |bg AS (SELECT DISTINCT unnest(bgl.g) AS gram
+         |  FROM bgl JOIN bench USING (doc_id)),
+         |dg AS (SELECT conv_id, unnest(g) AS gram FROM pg),
+         |sh AS (SELECT dg.conv_id, count(*) AS n_shared_ngrams
+         |  FROM dg JOIN bg USING (gram) GROUP BY 1)
+         |SELECT up.conv_id,
+         |  coalesce(sh.n_shared_ngrams, 0) AS n_shared_ngrams,
+         |  coalesce(sh.n_shared_ngrams, 0) > 0 AS contaminated
+         |FROM up LEFT JOIN sh USING (conv_id)""".stripMargin,
     // Twin of ChatOps.bestOfN over the scored-sample synth: the same two
     // rank windows (score desc/asc, sample_id tie-break) pivoted by
     // conditional aggregation.

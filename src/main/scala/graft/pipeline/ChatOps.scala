@@ -157,6 +157,61 @@ object ChatOps {
       .agg(min(col("conv_id")).as("keeper_conv_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Context-window truncation — the "fit the conversation into the
+    * model's context" prep step: keep the system turn plus the LONGEST
+    * SUFFIX of non-system turns (the most recent exchange) whose token
+    * total, together with the system tokens, fits `budgetTokens`. Output
+    * annotates every turn with its token count and the `kept` verdict
+    * (the audit face — materializing the truncated corpus is a `kept`
+    * filter). The kept set is a suffix by construction: the reverse
+    * running sum is monotone in `turn_no`, so a turn is kept iff its
+    * inclusive suffix sum plus the system tokens fits.
+    *
+    * Two windows per conversation (a whole-partition system-token sum and
+    * the reverse running sum), both bounded by the turn-count contract.
+    */
+  def fitContext(turns: DataFrame, budgetTokens: Long,
+      convCol: String = "conv_id", turnCol: String = "turn_no",
+      roleCol: String = "role", contentCol: String = "content"): DataFrame = {
+    require(budgetTokens > 0,
+      s"budgetTokens must be positive, got $budgetTokens")
+    val conv = col(convCol)
+    val role = col(roleCol)
+    val wAll = Window.partitionBy(conv)
+    val wSfx = Window.partitionBy(conv).orderBy(col(turnCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    turns
+      .withColumn("n_tokens", TextOps.tokenCount(col(contentCol)).cast("long"))
+      .withColumn("__sys",
+        sum(when(role === "system", col("n_tokens")).otherwise(0L)).over(wAll))
+      .withColumn("__sfx",
+        sum(when(role =!= "system", col("n_tokens")).otherwise(0L)).over(wSfx))
+      .withColumn("kept",
+        when(role === "system", col("__sys") <= budgetTokens)
+          .otherwise(col("__sfx") + col("__sys") <= budgetTokens))
+      .select(conv.as("conv_id"), col(turnCol).as("turn_no"),
+        role.as("role"), col("n_tokens"), col("kept"))
+  }
+
+  /** User-prompt extraction: the concatenated user-turn text per
+    * conversation, in turn order — the surface SFT decontamination
+    * screens against a held-out benchmark (leaked benchmark QUESTIONS are
+    * the contamination vector; answers vary). One bounded-group ordered
+    * collect per conversation; compose with
+    * [[TextOps.decontaminate]]`(prompts, bench, n, idCol = "conv_id")`
+    * for the n-gram overlap verdict.
+    */
+  def userPrompts(turns: DataFrame, convCol: String = "conv_id",
+      turnCol: String = "turn_no", roleCol: String = "role",
+      contentCol: String = "content"): DataFrame =
+    turns.where(col(roleCol) === "user")
+      .groupBy(col(convCol).as("conv_id"))
+      .agg(array_sort(collect_list(struct(col(turnCol).as("t"),
+        col(contentCol).as("c")))).as("__turns"))
+      .select(col("conv_id"),
+        array_join(transform(col("__turns"), t => t.getField("c")), " ")
+          .as("text"))
+
   /** Best-of-n selection — the RLHF sampling→pair-construction step: from
     * scored samples `(prompt_id, sample_id, response, score)` (n responses
     * drawn per prompt, scored by a reward model or heuristic), emit one

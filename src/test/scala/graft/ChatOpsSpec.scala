@@ -117,6 +117,35 @@ class ChatOpsSpec extends SparkSpec {
     assert(r.count(_.getAs[Long]("n_copies") == 1L) == 2)
   }
 
+  test("fitContext: keeps system + the longest recent-turn suffix under " +
+    "the budget; oversized system is itself dropped") {
+    val t = turns(
+      (1L, 0, "system", "one two"),        // 2 tokens
+      (1L, 1, "user", "a b c d"),          // 4
+      (1L, 2, "assistant", "e f g"),       // 3
+      (1L, 3, "user", "h i"),              // 2
+      (1L, 4, "assistant", "j k l m"))     // 4
+    // budget 10: sys(2) + suffix sums incl: t4=4, t3=6, t2=9, t1=13
+    // -> kept: system, t2, t3, t4 (9+2<=10 fails? 9+2=11>10 -> t2 out)
+    val kept = ChatOps.fitContext(t, budgetTokens = 10).collect()
+      .map(r => r.getAs[Int]("turn_no") -> r.getAs[Boolean]("kept")).toMap
+    assert(kept == Map(0 -> true, 1 -> false, 2 -> false, 3 -> true,
+      4 -> true))
+    // kept non-system turns form a SUFFIX at any budget
+    for (b <- 1L to 16L) {
+      val ks = ChatOps.fitContext(t, b).collect()
+        .filter(_.getAs[String]("role") != "system")
+        .sortBy(_.getAs[Int]("turn_no")).map(_.getAs[Boolean]("kept"))
+      assert(!ks.sliding(2).exists { case Array(a, b2) => a && !b2 },
+        s"kept set not a suffix at budget $b")
+    }
+    // a system turn that alone exceeds the budget is dropped
+    val big = turns((2L, 0, "system", "s1 s2 s3 s4 s5"), (2L, 1, "user", "q"))
+    val k2 = ChatOps.fitContext(big, budgetTokens = 3).collect()
+      .map(r => r.getAs[Int]("turn_no") -> r.getAs[Boolean]("kept")).toMap
+    assert(k2 == Map(0 -> false, 1 -> false))
+  }
+
   test("bestOfN: argmax/argmin per prompt, sample-id tie-breaks, " +
     "degenerate single-sample prompts") {
     val samples = Seq(
