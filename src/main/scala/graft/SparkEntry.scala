@@ -2436,6 +2436,12 @@ object SparkEntry {
     // tie-breaks -> the (chosen, rejected) pair + margin DPO trains on
     "pref_best_of_n" -> ((s, dir) =>
       ChatOps.bestOfN(bonSynthSamples(Tables(s, dir).documents))),
+    // packed loss mask: per (turn, overlapped chunk), the within-chunk
+    // token range + loss verdict — the trainer-facing artifact after
+    // sft_pack (segment token counts are additive under rendering)
+    "sft_pack_spans" -> ((s, dir) =>
+      ChatOps.packedLossSpans(chatSynthTurns(Tables(s, dir).documents),
+        capacity = 256, shardWidth = 100)),
     // context-window truncation: system turn + the longest recent-turn
     // suffix fitting a 20-token budget (reverse running sum per conv)
     "sft_truncate" -> ((s, dir) =>
@@ -6370,6 +6376,36 @@ object SparkEntry {
          |SELECT conv_id, n_toks, chunk_id,
          |  greatest(chunk_id * 256, st) - st AS tok_start,
          |  least((chunk_id + 1) * 256, e) - st AS tok_end
+         |FROM x""".stripMargin,
+    // Twin of ChatOps.packedLossSpans(capacity=256): per-turn segment
+    // token counts run forward within the conversation, conversations
+    // placed by the global running sum of their totals (== the sft_pack
+    // placement — segment counts are additive under rendering), turns
+    // exploded over their overlapped chunks with within-chunk ranges.
+    "sft_pack_spans" ->
+      s"""WITH $ChatTurnsCte,
+         |sg AS (SELECT conv_id, turn_no, role,
+         |  CAST(len(${toksOf("'<|' || role || '|>' || content")})
+         |    AS BIGINT) AS t
+         |  FROM turns),
+         |twn AS (SELECT *, sum(t) OVER (PARTITION BY conv_id
+         |  ORDER BY turn_no ROWS UNBOUNDED PRECEDING) AS te FROM sg),
+         |ct AS (SELECT conv_id, CAST(sum(t) AS BIGINT) AS n_toks
+         |  FROM sg GROUP BY 1),
+         |nz AS (SELECT * FROM ct WHERE n_toks > 0),
+         |c AS (SELECT conv_id, n_toks,
+         |  CAST(sum(n_toks) OVER (ORDER BY conv_id) AS BIGINT) AS e
+         |  FROM nz),
+         |s AS (SELECT conv_id, e - n_toks AS cst FROM c),
+         |g AS (SELECT twn.conv_id, turn_no, role,
+         |  CAST(cst + te - t AS BIGINT) AS gs, CAST(cst + te AS BIGINT) AS ge
+         |  FROM twn JOIN s USING (conv_id) WHERE t > 0),
+         |x AS (SELECT *, unnest(range(gs // 256, ((ge - 1) // 256) + 1))
+         |  AS chunk_id FROM g)
+         |SELECT conv_id, turn_no, role, chunk_id,
+         |  greatest(chunk_id * 256, gs) - chunk_id * 256 AS tok_start,
+         |  least((chunk_id + 1) * 256, ge) - chunk_id * 256 AS tok_end,
+         |  (role <> 'assistant') AS loss_masked
          |FROM x""".stripMargin,
     // Twin of ChatOps.fitContext(budget=20): per-conv system-token sum +
     // reverse running sum of non-system tokens, suffix-fit verdict.

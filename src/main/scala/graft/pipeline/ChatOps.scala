@@ -157,6 +157,61 @@ object ChatOps {
       .agg(min(col("conv_id")).as("keeper_conv_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Packed loss spans — the loss mask AFTER packing: when
+    * [[renderChat]]'d conversations are laid end-to-end into fixed
+    * `capacity`-token windows ([[Packing.packSequences]]), the trainer
+    * needs each window's assistant token ranges, not per-conversation
+    * character offsets. For every (turn, overlapped chunk) this emits the
+    * half-open WITHIN-CHUNK token range the turn's rendered segment
+    * occupies, plus the `loss_masked` verdict (non-assistant tokens take
+    * no loss) — the spans of one chunk tile `[0, chunk tokens)` exactly
+    * (pinned in ChatOpsSpec against [[Packing.packSequences]] on the same
+    * corpus).
+    *
+    * Token accounting: segment token counts are additive under rendering
+    * (the `\n` separator and the `<|` segment opener both break the
+    * `[a-z0-9]+` token scan, so tokenizing the rendered string
+    * concatenates the per-segment token lists), which is what makes
+    * per-turn spans derivable WITHOUT re-tokenizing whole windows.
+    *
+    * Scale shape: one bounded per-conversation running sum (turn order),
+    * one partial-combined per-conversation total, the GLOBAL placement via
+    * the sharded [[Prefix.runningSum]] (never a single-partition sort),
+    * and a narrow chunk-range explode — output ∝ (turns + boundary
+    * crossings).
+    */
+  def packedLossSpans(turns: DataFrame, capacity: Long,
+      shardWidth: Long = 1L << 20, convCol: String = "conv_id",
+      turnCol: String = "turn_no", roleCol: String = "role",
+      contentCol: String = "content"): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val conv = col(convCol)
+    val wTurn = Window.partitionBy(conv).orderBy(col(turnCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seg = turns.select(conv, col(turnCol), col(roleCol),
+        TextOps.tokenCount(segment(col(roleCol), col(contentCol)))
+          .cast("long").as("__t"))
+      .withColumn("__te", sum(col("__t")).over(wTurn))
+    val perConv = seg.groupBy(conv).agg(sum(col("__t")).as("n_toks"))
+      .where(col("n_toks") > 0)
+    val placed = Prefix.runningSum(perConv, convCol, "n_toks",
+        shardWidth = shardWidth)
+      .select(conv, (col("__end") - col("n_toks")).as("__cst"))
+    seg.join(placed, Seq(convCol))
+      .withColumn("__gs", col("__cst") + col("__te") - col("__t"))
+      .withColumn("__ge", col("__cst") + col("__te"))
+      .where(col("__t") > 0)
+      .withColumn("chunk_id", explode(sequence(
+        expr(s"__gs div $capacity"), expr(s"(__ge - 1) div $capacity"))))
+      .select(conv.as("conv_id"), col(turnCol).as("turn_no"),
+        col(roleCol).as("role"), col("chunk_id"),
+        (greatest(col("chunk_id") * capacity, col("__gs")) -
+          col("chunk_id") * capacity).as("tok_start"),
+        (least((col("chunk_id") + lit(1L)) * capacity, col("__ge")) -
+          col("chunk_id") * capacity).as("tok_end"),
+        (col(roleCol) =!= "assistant").as("loss_masked"))
+  }
+
   /** Context-window truncation — the "fit the conversation into the
     * model's context" prep step: keep the system turn plus the LONGEST
     * SUFFIX of non-system turns (the most recent exchange) whose token

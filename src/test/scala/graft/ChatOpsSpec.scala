@@ -186,6 +186,53 @@ class ChatOpsSpec extends SparkSpec {
     assert(m("b").getAs[Double]("mean_token_delta") == 3.0)
   }
 
+  test("packedLossSpans: chunk spans tile [0, chunk tokens) and agree with " +
+    "packSequences(renderChat) chunk occupancy") {
+    import graft.pipeline.Packing
+    // 30 conversations with varying turn counts -> multiple 16-token
+    // chunks with conversations straddling boundaries
+    val t = turns((1L to 30L).flatMap { c =>
+      (0 until (1 + (c % 4)).toInt).map { i =>
+        (c, i, if (i % 2 == 0) "user" else "assistant",
+          (1 to ((c + i) % 5 + 1).toInt).map(j => s"w$j").mkString(" "))
+      }
+    }: _*)
+    val spans = ChatOps.packedLossSpans(t, capacity = 16, shardWidth = 7)
+      .collect()
+    // per chunk: spans are disjoint, ordered, and tile an exact prefix
+    // range [0, occupancy)
+    spans.groupBy(_.getAs[Long]("chunk_id")).foreach { case (cid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("tok_start"))
+      assert(sorted.head.getAs[Long]("tok_start") == 0L, s"chunk $cid")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("tok_start") == a.getAs[Long]("tok_end"),
+            s"gap/overlap in chunk $cid")
+        case _ =>
+      }
+      assert(sorted.forall(r =>
+        r.getAs[Long]("tok_end") <= 16L && r.getAs[Long]("tok_start") >= 0L))
+    }
+    // occupancy per chunk == packSequences over the rendered conversations
+    val packed = Packing.packSequences(ChatOps.renderChat(t), capacity = 16,
+        shardWidth = 7, idCol = "conv_id").collect()
+      .groupBy(_.getAs[Long]("chunk_id"))
+      .map { case (cid, rs) =>
+        cid -> rs.map(r => r.getAs[Long]("tok_end") -
+          r.getAs[Long]("tok_start")).sum
+      }
+    val spanOcc = spans.groupBy(_.getAs[Long]("chunk_id"))
+      .map { case (cid, rs) =>
+        cid -> rs.map(r => r.getAs[Long]("tok_end") -
+          r.getAs[Long]("tok_start")).sum
+      }
+    assert(spanOcc == packed,
+      "packed loss spans must occupy exactly the packed chunk tokens")
+    // only assistant spans take loss
+    assert(spans.forall(r => r.getAs[Boolean]("loss_masked") ==
+      (r.getAs[String]("role") != "assistant")))
+  }
+
   test("turnStats/renderChat per-group state is bounded by the turn count, " +
     "not the corpus: one conversation holding most turns stays exact") {
     // 90%-one-conversation skew fixture (the Zipfian-shape pin): the hot
