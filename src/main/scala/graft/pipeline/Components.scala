@@ -77,10 +77,51 @@ object Components {
         .as[(Long, Long, Long)].head()
     }
 
+    // Small-tail fixpoint in ONE task: once the (contracted) edge set fits
+    // the small bound, the remaining star rounds are pure scheduling — each
+    // round costs ~6 shuffle stages + a probe job + an eager checkpoint on
+    // a working set of a few thousand rows (measured: the CC tail was the
+    // dominant job count of vec_clusters/er_entities/dedup_incremental —
+    // 84/71/140 jobs — with executor task time under 10% of wall). A
+    // single mapPartitions over the coalesced edges runs union-find to the
+    // SAME fixpoint (component = min member id, integers, no float order)
+    // in one job with zero driver materialization: ≤ smallEdgeBound edges
+    // (16 B each ⇒ ≤ ~3 MB) is one in-memory task by the same bound that
+    // already reshaped these rounds to one partition. Above the bound the
+    // star rounds run unchanged and the tail switch engages only after
+    // they contract the graph below it — the 100 TB path is untouched.
+    def unionFindTail(df: DataFrame): DataFrame =
+      df.select(col("lo"), col("hi")).as[(Long, Long)].coalesce(1)
+        .mapPartitions { rows =>
+          val parent = new java.util.HashMap[Long, Long]()
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.get(r) != r) r = parent.get(r)
+            // path compression
+            var c = x
+            while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+            r
+          }
+          rows.foreach { case (a, b) =>
+            if (!parent.containsKey(a)) parent.put(a, a)
+            if (!parent.containsKey(b)) parent.put(b, b)
+            val ra = find(a); val rb = find(b)
+            // union by MIN id so the representative is the component minimum
+            if (ra != rb) {
+              if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+            }
+          }
+          val it = parent.keySet().iterator()
+          val out = Seq.newBuilder[(Long, Long)]
+          while (it.hasNext) { val id = it.next(); out += ((id, find(id))) }
+          out.result().iterator
+        }.toDF("id", "component")
+
     val t0 = System.nanoTime()
     var sig = probe(cur)
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(s"[cc] init edges=${sig._1} t=${(System.nanoTime() - t0) / 1e6} ms")
+    if (sig._1 > 0L && sig._1 <= smallEdgeBound) return unionFindTail(cur)
     cur = shape(cur, sig._1)
     var it = 0
     var done = sig._1 == 0L
@@ -111,6 +152,11 @@ object Components {
       sig = nsig
       cur = shape(afterSmall, nsig._1)
       it += 1
+      // the star transforms preserve the component partition AND keep every
+      // non-isolated vertex as an endpoint, so the single-task fixpoint on
+      // the contracted edge set labels identically to more star rounds
+      if (!done && nsig._1 > 0L && nsig._1 <= smallEdgeBound)
+        return unionFindTail(cur)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round $it edges=${nsig._1} done=$done " +
           s"t=${(System.nanoTime() - t0) / 1e6} ms")

@@ -1839,17 +1839,29 @@ object Similarity {
       .join(members, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
-      // pinned width (AQE-proof) — see embeddingNearDups' pair spread
+      // pinned width (AQE-proof), keyed on query_id ALONE: the ranking
+      // window below requires ClusteredDistribution(query_id), so this
+      // one exchange serves both the pair spread and the top-k ranking.
+      // Keying on the full pair (the pre-r14 shape) forced a SECOND
+      // corpus-scale exchange under the window — and that exchange
+      // carried BOTH attached vectors per candidate row (~2.4 GB of
+      // shuffle write at sf0.1, the dominant task time of the query).
+      // Per-query candidate rows must co-locate for the ranking anyway;
+      // hashing the query id spreads hot cells' queries uniformly.
       .repartition(corpus.sparkSession.conf
         .get("spark.sql.shuffle.partitions", "32").toInt,
-        col("query_id"), col("neighbor_id"))
+        col("query_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     val top = pairs
-      .join(v.select(col("id").as("query_id"), col("v").as("__qv")), Seq("query_id"))
       .join(v.select(col("id").as("neighbor_id"), col("v").as("__cv")),
         Seq("neighbor_id"))
+      .join(v.select(col("id").as("query_id"), col("v").as("__qv")), Seq("query_id"))
       .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
+      // project the vectors away BEFORE the ranking sort — row_number
+      // needs only (query_id, cos_sim, neighbor_id), so the sort buffers
+      // 24-byte rows instead of rows carrying two embedding arrays
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
       .withColumn("__rank", row_number().over(w))
       .where(col("__rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
