@@ -901,6 +901,79 @@ case class VecSqDist(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid assignment against a FROZEN (driver-literal) centroid
+  * matrix in ONE pass: returns struct(cluster, dist) where `dist` is the
+  * squared L2 distance accumulated EXACTLY like [[VecSqDist]] (element
+  * order, double precision) and ties break to the LOWEST cluster id —
+  * `centroids` arrive sorted by cluster id and the strict `<` keeps the
+  * first minimum, which is bit-identical to the
+  * `min(struct(dist, cluster))` partial aggregate over a
+  * crossJoin(broadcast(cents)) that this kernel replaces. The replaced
+  * form exploded k candidate rows per vector (each materializing the
+  * vector array) through a sort-based struct-min aggregate and one
+  * shuffle; this is a narrow map, zero shuffle, k·dim flops per row.
+  * Null semantics: a null/empty-model, a length-mismatched vector, or a
+  * null element yields NULL (the well-formed corpus never hits these; the
+  * degenerate struct-with-null-dist ordering of the aggregate form was
+  * never reachable for the same reason).
+  */
+case class ArgminSqDist(child: Expression, clusters: Seq[Long],
+    centroids: Seq[Seq[Double]])
+    extends UnaryExpression with CodegenFallback {
+  require(clusters.nonEmpty && clusters.length == centroids.length,
+    s"argmin_sqdist needs matching non-empty clusters/centroids, got " +
+      s"${clusters.length}/${centroids.length}")
+  require(clusters.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+    "argmin_sqdist centroids must be sorted by strictly increasing cluster id")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cluster", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("dist", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"argmin_sqdist expects array<float|double>, got ${other.catalogString}")
+  }
+
+  private lazy val floatElems = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  private lazy val ids: Array[Long] = clusters.toArray
+  private lazy val mat: Array[Array[Double]] = centroids.map(_.toArray).toArray
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = a.numElements()
+    var c = 0
+    var best = -1
+    var bestD = Double.PositiveInfinity
+    while (c < mat.length) {
+      val cv = mat(c)
+      if (cv.length != n) return null
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i)) return null
+        val x = if (floatElems) a.getFloat(i).toDouble else a.getDouble(i)
+        val t = x - cv(i)
+        d += t * t
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    if (best < 0) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](ids(best), bestD))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Hamming distance of two packed signature word arrays in ONE pass —
   * the per-candidate-pair
   * `aggregate(zip_with(a, b, bit_count(x xor y)), 0, +)` fold of the
@@ -1050,6 +1123,11 @@ object Signatures {
 
   def vecDot(a: Column, b: Column): Column =
     GraftBridge.column(VecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def argminSqDist(vec: Column, clusters: Seq[Long],
+      centroids: Seq[Seq[Double]]): Column =
+    GraftBridge.column(ArgminSqDist(GraftBridge.expression(vec), clusters,
+      centroids))
 
   def hammingWords(a: Column, b: Column): Column =
     GraftBridge.column(HammingWords(GraftBridge.expression(a), GraftBridge.expression(b)))

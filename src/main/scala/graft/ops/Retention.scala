@@ -128,18 +128,29 @@ object Retention {
       .select(col(userCol).cast("long").as("__t")
         +: keys.map { case (nm, k) => k.as(nm) }: _*)
       .collect()
-    def score(df: DataFrame, idx: Int): DataFrame = {
+    // Each score ranks the MATERIALIZED perUser independently and the
+    // three (user, score) columns join back on the user key. The previous
+    // chained form (score(score(score(perUser)))) nested each pass's plan
+    // inside the next, and globalRowNumberBounded's two branches (local
+    // ranks + partition offsets) then re-executed the whole upstream chain
+    // per branch — 4× recompute of the first rank pipeline by the third
+    // pass. Ranks are unchanged: every pass reads the same checkpointed
+    // rows either way.
+    def score(idx: Int): DataFrame = {
       val (name, key) = keys(idx)
       val bounds = graft.pipeline.Prefix.pickBounds(sampleRows.map(r =>
         (if (r.isNullAt(idx + 1)) None else Some(r.getDouble(idx + 1)),
           r.getLong(0))), parts)
       graft.pipeline.Prefix
-        .globalRowNumberBounded(df, key, col(userCol), "__rn", bounds)
+        .globalRowNumberBounded(perUser, key, col(userCol), "__rn", bounds)
         .withColumn(name,
           expr(s"CAST(5 - ((__rn - 1) * 5) div ${math.max(n, 1L)} AS INT)"))
-        .drop("__rn")
+        .select(col(userCol), col(name))
     }
-    val scored = score(score(score(perUser, 0), 1), 2)
+    val scored = perUser
+      .join(score(0), Seq(userCol))
+      .join(score(1), Seq(userCol))
+      .join(score(2), Seq(userCol))
     scored
       .select(col(userCol), col("recency_days"), col("frequency"), col("monetary"),
         col("r_score"), col("f_score"), col("m_score"),

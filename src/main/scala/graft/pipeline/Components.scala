@@ -344,11 +344,16 @@ object Components {
         .join(deg, "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("deg")).as("c"))
+      // lazy truncation: the plan is cut immediately (round r+1 never
+      // re-plans round r) but materialization folds into the next
+      // consumer's job — each eager per-round checkpoint was a full
+      // scheduling barrier on a tiny state table (no probe reads it,
+      // unlike the CC loop, so nothing needs it materialized early)
       ranks = graft.core.Lineage.truncate(deg.select(col("src").as("id"))
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit((1 - damping) / n) + lit(damping) * coalesce(col("c"), lit(0.0)))
-            .as("rank")))
+            .as("rank")), eager = false)
     }
     deg.join(ranks.withColumnRenamed("id", "src"), "src")
       .select(col("src").as("doc_id"), col("deg"), col("rank"))
@@ -393,11 +398,13 @@ object Components {
         .groupBy("id")
         .agg(min(struct((-col("n")).as("neg_n"), col("label").as("l"))).as("m"))
         .select(col("id"), col("m.l").as("vote"))
+      // lazy truncation — see pageRank's round comment
       labels = graft.core.Lineage.truncate(
         labels.join(votes, Seq("id"), "left")
           .join(seed, Seq("id"), "left")
           .select(col("id"),
-            coalesce(col("seed_label"), col("vote"), col("label")).as("label")))
+            coalesce(col("seed_label"), col("vote"), col("label")).as("label")),
+        eager = false)
     }
     labels.join(seed, Seq("id"), "left")
       .select(col("id").as("doc_id"), col("label"),
@@ -495,7 +502,16 @@ object Components {
     // surviving subgraph's
     var alive = graft.core.Lineage.truncate(
       deg0.where(col("deg") >= k).select("node"))
-    for (_ <- 2 to rounds) {
+    // Fixpoint early-stop: peeling only REMOVES nodes, so an unchanged
+    // count means an unchanged set and every further round is the
+    // idempotent identity — the output is bit-identical to always running
+    // all `rounds` rounds, without paying ~4 stages per no-op round
+    // (dedup graphs converge in 2-3). The count rides the eager per-round
+    // truncation the loop already paid for.
+    var aliveN = alive.count()
+    var round = 2
+    var converged = false
+    while (round <= rounds && !converged) {
       val ea = und
         .join(alive.select(col("node").as("a")), "a")
         .join(alive.select(col("node").as("b")), "b")
@@ -503,6 +519,10 @@ object Components {
         ea.select(explode(array(col("a"), col("b"))).as("node"))
           .groupBy("node").agg(count(lit(1)).as("cd"))
           .where(col("cd") >= k).select("node"))
+      val n2 = alive.count()
+      converged = n2 == aliveN
+      aliveN = n2
+      round += 1
     }
     val ef = und
       .join(alive.select(col("node").as("a")), "a")

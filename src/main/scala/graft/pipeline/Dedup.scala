@@ -149,13 +149,36 @@ object Dedup {
 
   /** Candidate pairs from LSH buckets (a < b), deduplicated across bands. */
   def lshCandidates(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val b = lshBuckets(df, idCol, textCol, shingleK, bands, rowsPerBand)
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame =
+    candidatesFromBuckets(lshBuckets(df, idCol, textCol, shingleK, bands,
+      rowsPerBand), idCol)
+
+  /** The bucket self-join of [[lshCandidates]] over an ALREADY-built (e.g.
+    * materialized) bucket index — so a caller holding the index (the
+    * incremental-dedup bootstrap) does not re-run the signature kernel
+    * just to enumerate pairs.
+    */
+  private[graft] def candidatesFromBuckets(b: DataFrame, idCol: String): DataFrame = {
     val l = b.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
     val r = b.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
     l.join(r, Seq("band", "band_hash"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** [[minhashNearDups]]' verified pairs over an already-built bucket
+    * index: identical output (the index IS [[lshBuckets]]' rows — same
+    * candidates, same exact-Jaccard gate), minus one full signature pass.
+    */
+  private[graft] def nearDupsFromBuckets(df: DataFrame, buckets: DataFrame,
+      idCol: String, textCol: String, shingleK: Int,
+      threshold: Double): DataFrame = {
+    val cands = candidatesFromBuckets(buckets, idCol)
+    candidateShingleSets(df, cands, idCol, textCol, shingleK)
+      .withColumn("jaccard",
+        graft.functions.Signatures.sortedJaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** Verified near-dups: LSH candidates with exact shingle-set Jaccard ≥

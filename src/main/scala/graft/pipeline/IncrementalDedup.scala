@@ -53,9 +53,15 @@ object IncrementalDedup {
     val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val buckets = graft.core.Lineage.truncate(
       Dedup.lshBuckets(docs, "doc_id", "text", shingleK, bands, rowsPerBand))
+    // cluster from the MATERIALIZED index instead of dedupClusters' own
+    // internal lshBuckets: the bucket rows are identical (same derivation,
+    // checkpointed above), so the clusters are identical — and the
+    // signature kernel, the hottest expression in the repo, runs ONCE over
+    // the bootstrap corpus instead of twice
     val labels = graft.core.Lineage.truncate(
-      Components.dedupClusters(docs, "doc_id", "text", shingleK, bands,
-        rowsPerBand, threshold).select("doc_id", "cluster_id"))
+      Components.clustersFromPairs(
+        Dedup.nearDupsFromBuckets(docs, buckets, "doc_id", "text", shingleK,
+          threshold), "id_a", "id_b").select("doc_id", "cluster_id"))
     DedupState(docs, buckets, labels, shingleK, bands, rowsPerBand, threshold)
   }
 

@@ -492,18 +492,31 @@ object Similarity {
     spread(corpus, idCol).select(col(idCol).as("vec_id"),
       transform(col(vecCol), _.cast("double")).as("v"))
 
-  /** argmin as a partial-aggregated struct-min, NOT a window: the k
-    * candidate rows per vector collapse map-side, so the shuffle carries
-    * one row per vector instead of k (struct ordering = (dist, cluster)
-    * gives the lowest-cluster tie-break for free; v is group-constant)
+  /** argmin as a ZERO-SHUFFLE narrow map: the centroid table is
+    * metadata-scale by contract (it was broadcast here before, i.e.
+    * collected to the driver anyway), so it enters the single-pass
+    * [[graft.functions.ArgminSqDist]] kernel as literals and each vector
+    * is assigned in one JVM call — k·dim flops, no candidate explosion.
+    * The replaced crossJoin(broadcast) + min(struct(dist, cluster))
+    * aggregate materialized k candidate rows per vector (each copying the
+    * vector array) through a SORT-based aggregate (struct-typed min gets
+    * no hash-agg codegen) and one shuffle of every vector. Bit-identical:
+    * the kernel accumulates each squared distance in [[sqDist]]'s exact
+    * element order and breaks ties to the lowest cluster id, which is the
+    * struct ordering the aggregate used.
     */
-  private def assignStep(pts: DataFrame, cents: DataFrame): DataFrame =
-    pts.crossJoin(broadcast(cents))
-      .withColumn("dist", sqDist(col("v"), col("centroid")))
-      .groupBy("vec_id")
-      .agg(min(struct(col("dist"), col("cluster"))).as("m"), first("v").as("v"))
+  private def assignStep(pts: DataFrame, cents: DataFrame): DataFrame = {
+    val rows = cents.select(col("cluster").cast("long"),
+        transform(col("centroid"), _.cast("double")).as("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1)
+    pts.select(col("vec_id"), col("v"),
+        graft.functions.Signatures.argminSqDist(col("v"),
+          rows.map(_._1).toSeq, rows.map(_._2).toSeq).as("m"))
       .select(col("vec_id"), col("v"),
         col("m.cluster").as("cluster"), col("m.dist").as("dist"))
+  }
 
   private def lloydCentroids(pts: DataFrame, k: Int, iters: Int,
       oversample: Int): DataFrame = {

@@ -930,13 +930,21 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     require(n >= 1, s"sliceOverlap needs n >= 1, got $n")
     require(maxSlices >= 2, s"sliceOverlap needs maxSlices >= 2, got $maxSlices")
+    // Distinct grams as base-37 LONG codes via the single-pass
+    // [[graft.functions.CharNgramCodes]] kernel (same normalization: the
+    // kernel tokenizes and space-joins exactly like
+    // `array_join(tokens(text), " ")`). The code is a BIJECTION of the
+    // gram string, and every output column of this operator is a COUNT
+    // (sizes, intersections, jaccard), so distinct/intersection
+    // cardinalities — and the emitted rows — are identical to the string
+    // form. The string form ran an INTERPRETED per-character
+    // `transform(sequence(...), i -> substring(...))` lambda (the known
+    // HOF-no-codegen trap) and shuffled 3-char UTF8 strings where this
+    // shuffles longs.
     val grams = df
       .select(col(sliceCol).cast("string").as("slice"),
-        array_join(tokens(col(textCol)), " ").as("__norm"))
-      .where(length(col("__norm")) >= n)
-      .select(col("slice"), explode(expr(
-        s"transform(sequence(1, length(__norm) - ${n - 1}), " +
-          s"i -> substring(__norm, i, $n))")).as("gram"))
+        graft.functions.Signatures.charNgramCodes(col(textCol), n).as("__g"))
+      .select(col("slice"), explode(col("__g")).as("gram"))
       .distinct()
     val sizes = grams.groupBy("slice").agg(count(lit(1)).as("n_grams"))
       .withColumn("__g", count(lit(1)).over(Window.partitionBy()))

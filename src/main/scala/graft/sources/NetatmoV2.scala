@@ -122,13 +122,25 @@ private[sources] object FixtureDeviceApi {
       } finally in.close()
     })
 
+  /** One shared Configuration for every fixture read: `new Configuration()`
+    * re-parses the Hadoop default XML resources on each construction
+    * (visible in driver stack samples as wstx/BasicStreamReader frames under
+    * planInputPartitions), and every call sets the SAME projection — the
+    * per-call state (the filter predicate) never lives in the conf. Readers
+    * only read from it, so sharing is safe.
+    */
+  private lazy val readConf: Configuration = {
+    val c = new Configuration()
+    c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, Projection)
+    c
+  }
+
   /** Stream one module's (ts, event_type, value) rows within [startNs, endNs). */
   def moduleEvents(path: String, userId: Long, types: Set[String],
       startNs: Long, endNs: Long)(f: (Long, String, Double) => Unit): Unit =
     files(path).foreach { file =>
       import org.apache.parquet.filter2.predicate.FilterApi
-      val conf = new Configuration()
-      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, Projection)
+      val conf = readConf
       val scale = tsUnitScaleNs(file, conf)
       val tsCol = FilterApi.longColumn("ts")
       // Raw-tick superset of the µs-grid ns window: raw ticks satisfy

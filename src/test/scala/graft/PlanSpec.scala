@@ -267,13 +267,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("SinglePartition"), plan.take(3000))
   }
 
-  test("k-means assignment aggregates map-side: argmin collapses before any shuffle") {
+  test("k-means assignment is a zero-shuffle narrow map (literal-centroid argmin kernel)") {
     val plan = planOf(SparkEntry.queries("vec_kmeans")(spark, sfDir))
-    // centroids arrive by broadcast; the k candidate rows per vector fold
-    // into one via partial_min(struct(dist, cluster)) on the map side (the
-    // k-means|| init is a driver-local table — no Window anywhere)
-    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
-    assert(plan.contains("partial_min(struct(dist"), plan.take(3000))
+    // centroids enter the single-pass ArgminSqDist kernel as literals
+    // (metadata-scale by contract — they were broadcast before, i.e.
+    // driver-collected anyway), so the assignment is one projection: no
+    // candidate-row explosion, no join, no aggregate, no Window
+    assert(plan.toLowerCase.contains("argminsqdist"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("partial_min(struct(dist"), plan.take(3000))
   }
 
   test("pre-bucketed tables join with NO shuffle (co-located join)") {
