@@ -661,6 +661,12 @@ object Similarity {
           .otherwise(raise_error(format_string(
             s"randomProject: expected dim $dIn, got %s", size(col("__v"))))))
     val scale = math.sqrt(dOut.toDouble)
+    // NOTE (r14-opt): tried the single-element-transform let-binding idiom
+    // here (the registeredDomain lesson) to stop CollapseProject inlining
+    // the width-check into every element_at — it was SLOWER (interpreted
+    // HOF body vs Spark's method-split codegen of the unrolled tree:
+    // sim_rp_topk 3.0 → 3.5 s). The inlined width-check is size()+branch
+    // per term, which codegen handles fine; keep the unrolled form.
     val outs = (0 until dOut).map { o =>
       (0 until dIn).map { i =>
         val e = element_at(col("__v"), i + 1).cast("double")
@@ -1247,13 +1253,30 @@ object Similarity {
     * corpus through a single task (PlanSpec-pinned: no corpus-scale
     * single-partition exchange).
     */
+  /** Shard count for a frozen CORPUS-scale write: ~2M code rows per file
+    * (code rows are a few tens of bytes — this lands files in the tens-of-
+    * MB-to-low-hundreds range the output-sizing guidance targets), clamped
+    * to [1, shuffle.partitions] so large corpora keep today's full
+    * parallel width while a small freeze stops scattering its rows across
+    * `shuffle.partitions` near-empty files. Every written file costs a
+    * local-FS permission fork+exec on the committer path — file COUNT, not
+    * bytes, dominated the freeze at fixture scale (stack-sampled:
+    * ProcessImpl.forkAndExec was the hottest executor frame of
+    * sim_ivfpq_prod). The count() is one cheap job per freeze — train-once
+    * amortized like the freeze itself.
+    */
+  private[graft] def freezeShards(s: org.apache.spark.sql.SparkSession,
+      rows: Long): Int = {
+    val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1, math.min(shuffleN, math.ceil(rows / 2e6).toInt))
+  }
+
   def pqFreeze(cb: DataFrame, cd: DataFrame, modelId: String, base: String):
       (DataFrame, DataFrame) = {
     val s = cb.sparkSession
     freezeModelScale(cb, modelId, s"$base/codebooks")
-    val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
     cd.withColumn("model_id", lit(modelId))
-      .repartition(shuffleN, col("vec_id"))
+      .repartition(freezeShards(s, cd.count()), col("vec_id"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("model_id")
@@ -1540,9 +1563,13 @@ object Similarity {
     val s = cells.sparkSession
     freezeModelScale(cells, modelId, s"$base/cells")
     freezeModelScale(cb, modelId, s"$base/codebooks")
-    val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // data-derived shard width (see [[freezeShards]]): each shard task
+    // opens one file per cell directory it holds, so an over-wide
+    // repartition multiplies the file count by the width — the dominant
+    // freeze cost at small n (one permission fork per file) and the
+    // small-files tax at read time
     cd.withColumn("model_id", lit(modelId))
-      .repartition(shuffleN, col("cell"), col("vec_id"))
+      .repartition(freezeShards(s, cd.count()), col("cell"), col("vec_id"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("model_id", "cell")
@@ -1897,9 +1924,18 @@ object Similarity {
     * (id_a < id_b, cos_sim). Shared by both knn-graph faces.
     */
   private def mutualEdges(top: DataFrame): DataFrame = {
-    val rev = top.select(col("neighbor_id").as("query_id"),
+    // materialize the top-k table ONCE: the mutuality semi-join references
+    // it twice (forward + reversed), and the two join sides project
+    // differently, so neither exchange reuse nor AQE stage reuse can
+    // deduplicate them — without this checkpoint the ENTIRE upstream
+    // candidate-scoring pipeline (the expensive part of both knn-graph
+    // faces) executed twice (visible as the duplicated subtree in
+    // plans/r14/vec_knn_graph_before.txt). The table is n·k rows —
+    // bounded, the cheap end of the pipeline.
+    val t = graft.core.Lineage.truncate(top)
+    val rev = t.select(col("neighbor_id").as("query_id"),
       col("query_id").as("neighbor_id"))
-    top.join(rev, Seq("query_id", "neighbor_id"), "left_semi")
+    t.join(rev, Seq("query_id", "neighbor_id"), "left_semi")
       .where(col("query_id") < col("neighbor_id"))
       .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
         col("cos_sim"))

@@ -606,12 +606,21 @@ class PlanSpec extends SparkSpec {
       walk(new java.io.File(s"$dir/$sub"))
         .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
     }
-    // the codes relation GROWS WITH THE CORPUS (n·m rows): the freeze must
-    // write it sharded — multiple part files prove no single-partition
-    // funnel (repartition(N, vec_id) pins an AQE-proof width). Codebooks
-    // are model-scale (m·kc rows): one file is the right layout.
-    assert(parts("codes") > 1,
-      s"codes wrote ${parts("codes")} part file(s) — corpus-scale write funneled through one task")
+    // the codes relation GROWS WITH THE CORPUS (n·m rows): the freeze
+    // shard width is DATA-DERIVED (freezeShards: ~2M rows per file,
+    // clamped to [1, shuffle.partitions]) so a large corpus keeps the full
+    // AQE-proof parallel width while a small freeze stops scattering its
+    // rows across near-empty files (each written file costs a local-FS
+    // permission fork on the committer path — file count dominated the
+    // freeze at fixture scale). Pin the policy: the file count matches the
+    // derived width here, and the clamp endpoints hold.
+    assert(parts("codes") == Similarity.freezeShards(spark, n * 2),
+      s"codes wrote ${parts("codes")} part file(s) — expected the " +
+        s"freezeShards(${n * 2}) width")
+    assert(Similarity.freezeShards(spark, 10L) == 1)
+    assert(Similarity.freezeShards(spark, 1L << 40) ==
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      "a corpus-scale freeze must keep the full pinned parallel width")
     assert(parts("codebooks") == 1,
       s"codebooks wrote ${parts("codebooks")} part files — model-scale relation should be one file")
     // read-back completeness: the frozen frames cover the whole model
