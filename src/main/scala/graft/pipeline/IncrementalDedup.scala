@@ -92,12 +92,16 @@ object IncrementalDedup {
     // sets materialize only for docs in a candidate pair (by-id semi-join
     // against the union corpus)
     val union = state.docs.unionByName(nd)
+    // lazy truncation: `edges` has exactly ONE consumer (the contracted
+    // edge list e2, itself eagerly checkpointed just below), so an eager
+    // checkpoint here only added a full scheduling barrier per batch —
+    // the verify join still runs once, inside e2's materialization
     val edges = graft.core.Lineage.truncate(
       Dedup.candidateShingleSets(union, cands, "doc_id", "text", state.shingleK)
         .withColumn("jaccard",
           graft.functions.Signatures.sortedJaccard(col("sh_a"), col("sh_b")))
         .where(col("jaccard") >= state.threshold)
-        .select("id_a", "id_b"))
+        .select("id_a", "id_b"), eager = false)
 
     // contract old endpoints to their cluster label (an unclustered old doc
     // is its own label node); new endpoints stay themselves. Old↔old edges
