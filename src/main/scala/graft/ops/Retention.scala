@@ -91,6 +91,12 @@ object Retention {
     * Desc metrics rank via negated keys; a null monetary (every purchase
     * value NaN) is pinned to the WORST monetary rank explicitly.
     * Frequency is exact in the rank key below 2⁵³ conversions per user.
+    *
+    * `userCol` must be non-null for every converting event: the user id is
+    * the rank passes' unique tie key, and [[graft.pipeline.Prefix]]'s
+    * guarded tie contract raises on a null (or non-long-castable) id
+    * rather than silently dropping or mis-ranking the row. Filter or
+    * sentinel-map null user ids before calling.
     */
   def rfm(events: DataFrame, convPredicate: Column,
       userCol: String = "user_id", tsCol: String = "ts",

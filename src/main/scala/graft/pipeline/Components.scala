@@ -418,8 +418,10 @@ object Components {
     */
   def degreeDistribution(edges: DataFrame, srcCol: String = "id_a",
       dstCol: String = "id_b"): DataFrame =
-    edges.select(col(srcCol).as("id"))
-      .unionByName(edges.select(col(dstCol).as("id")))
+    // explode, not union: the incoming plan is a whole LSH pipeline, and a
+    // union references it TWICE — two full executions (cross-branch reuse
+    // never fires on differing projections). One reference, same multiset.
+    edges.select(explode(array(col(srcCol), col(dstCol))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
 
@@ -565,9 +567,15 @@ object Components {
     val sym = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nb = sym.join(
+    // materialize the capped neighbor list ONCE: the wedge self-join below
+    // references it twice with different projections, so without this the
+    // degree aggregate + join subtree executes twice (the mutualEdges
+    // disease — exchange reuse never dedupes differing projections). The
+    // frame is edge-scale and already hub-capped, so the checkpoint is
+    // bounded by the symmetrized edge count.
+    val nb = graft.core.Lineage.truncate(sym.join(
       deg.where(col("deg") >= 2 && col("deg") <= maxDeg)
-        .select(col("src"), col("deg").as("cdeg")), "src")
+        .select(col("src"), col("deg").as("cdeg")), "src"))
     val wedges = nb.select(col("src"), col("dst").as("u"), col("cdeg"))
       .join(nb.select(col("src"), col("dst").as("w")), Seq("src"))
       .where(col("u") < col("w"))

@@ -27,29 +27,35 @@ object Prefix {
     * (within `groupCols` if given). The exclusive prefix is
     * `endCol - valCol`. Values must be non-negative longs at the caller's
     * contract; ids need not be dense — only monotone with shard order.
+    *
+    * Plan shape (ONE corpus exchange, input executed ONCE): both the
+    * per-shard window scan and the shard-totals branch hang off the SAME
+    * `Window.partitionBy(group, shard)` exchange — the totals aggregate
+    * groups by exactly the keys the data is already partitioned on, so it
+    * needs no exchange of its own, and ReusedExchange computes the shared
+    * exchange (and everything below it — the caller's projection, which
+    * for the budget/packing callers includes a full tokenize) once. The
+    * previous form aggregated the totals from the INPUT, which executed
+    * the input subtree twice through two sibling corpus exchanges.
+    *
+    * `keepShard = true` retains the internal `__shard` column (named
+    * `__shard`, = `idCol div shardWidth`) in the output so a CHAINED scan
+    * over the same `idCol`/`shardWidth` can reuse the established
+    * partitioning; a scan whose input already carries `__shard` trusts it
+    * (internal contract: only pass such a frame between consecutive
+    * Prefix scans with identical idCol and shardWidth).
     */
   def runningSum(df: DataFrame, idCol: String, valCol: String,
       groupCols: Seq[String] = Nil, shardWidth: Long = 1L << 20,
-      endCol: String = "__end"): DataFrame = {
-    require(shardWidth > 0, s"shardWidth must be positive, got $shardWidth")
-    val grp = groupCols.map(col)
-    val sharded = df.withColumn("__shard", expr(s"`$idCol` div $shardWidth"))
-    val localW = Window.partitionBy((grp :+ col("__shard")): _*).orderBy(col(idCol))
-    val local = sharded.withColumn("__local_end", sum(col(valCol)).over(localW))
-    val prefW = Window.partitionBy(grp: _*).orderBy("__shard")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val prefixes = sharded.groupBy((grp :+ col("__shard")): _*)
-      .agg(sum(col(valCol)).as("__total"))
-      .withColumn("__prefix", coalesce(sum("__total").over(prefW), lit(0L)))
-      .drop("__total")
-    local.join(broadcast(prefixes), groupCols :+ "__shard")
-      .withColumn(endCol, col("__prefix") + col("__local_end"))
-      .drop("__shard", "__local_end", "__prefix")
-  }
+      endCol: String = "__end", keepShard: Boolean = false): DataFrame =
+    scan(df, idCol, valCol, groupCols, shardWidth, endCol, keepShard,
+      sum(col(valCol)),
+      (prefix, localEnd) => coalesce(prefix, lit(0L)) + localEnd,
+      sum(col("__total")))
 
   /** Append `endCol` = inclusive running MAX of `valCol` in `idCol` order
-    * (within `groupCols` if given) — [[runningSum]]'s three-stage shard
-    * scan instantiated at the (max, −∞) monoid instead of (+, 0):
+    * (within `groupCols` if given) — [[runningSum]]'s shard scan
+    * instantiated at the (max, −∞) monoid instead of (+, 0):
     * per-shard local max-scan in parallel, a metadata-scale prefix-max
     * over the per-shard maxima, broadcast combine via `greatest` (whose
     * null handling absorbs the first shard's empty prefix). Any
@@ -59,21 +65,71 @@ object Prefix {
     */
   def runningMax(df: DataFrame, idCol: String, valCol: String,
       groupCols: Seq[String] = Nil, shardWidth: Long = 1L << 20,
-      endCol: String = "__end"): DataFrame = {
+      endCol: String = "__end", keepShard: Boolean = false): DataFrame =
+    scan(df, idCol, valCol, groupCols, shardWidth, endCol, keepShard,
+      max(col(valCol)),
+      (prefix, localEnd) => greatest(prefix, localEnd),
+      max(col("__total")))
+
+  /** The shared single-exchange shard scan: per-shard inclusive window
+    * fold, shard totals aggregated FROM the window branch's exchange
+    * (no second corpus exchange, no second input execution), a
+    * metadata-scale prefix fold over the totals, broadcast combine.
+    */
+  private def scan(df: DataFrame, idCol: String, valCol: String,
+      groupCols: Seq[String], shardWidth: Long, endCol: String,
+      keepShard: Boolean, fold: Column,
+      combine: (Column, Column) => Column, prefixFold: Column): DataFrame = {
     require(shardWidth > 0, s"shardWidth must be positive, got $shardWidth")
     val grp = groupCols.map(col)
-    val sharded = df.withColumn("__shard", expr(s"`$idCol` div $shardWidth"))
-    val localW = Window.partitionBy((grp :+ col("__shard")): _*).orderBy(col(idCol))
-    val local = sharded.withColumn("__local_end", max(col(valCol)).over(localW))
+    // The ONE corpus exchange of the scan, as an EXPLICIT pinned-width
+    // repartition on the window's own partition keys rather than the
+    // window's implicit ENSURE_REQUIREMENTS exchange, for two reasons:
+    //  - both downstream branches (window fold + shard totals) reference
+    //    this frame, and only a repartition keeps their exchange subtrees
+    //    identical for reuse — column pruning narrows an implicit
+    //    exchange's projection per branch (the totals branch drops the
+    //    caller's payload columns), and two branch-specific exchanges
+    //    re-execute the whole input (measured: the PSL-domain projection
+    //    of fetchSchedule ran twice that way);
+    //  - REPARTITION_BY_NUM is AQE-proof: a small scan's shuffle would
+    //    otherwise coalesce to one partition and serialize the window
+    //    (the width is the session's shuffle.partitions — cluster-sized
+    //    in production, never a local constant).
+    // A frame carrying __shard from a previous chained scan is ALREADY
+    // partitioned on these keys (same idCol/shardWidth contract), so the
+    // chain pays no second exchange.
+    val shuffleN = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "64").toInt
+    val sharded = if (df.columns.contains("__shard")) df
+      else {
+        val s0 = df.withColumn("__shard", expr(s"`$idCol` div $shardWidth"))
+        s0.repartition(shuffleN, (grp :+ col("__shard")): _*)
+      }
+    val keys = grp :+ col("__shard")
+    val localW = Window.partitionBy(keys: _*).orderBy(col(idCol))
+    val local = sharded.withColumn("__local_end",
+      fold.over(localW))
     val prefW = Window.partitionBy(grp: _*).orderBy("__shard")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val prefixes = sharded.groupBy((grp :+ col("__shard")): _*)
-      .agg(max(col(valCol)).as("__total"))
-      .withColumn("__prefix", max("__total").over(prefW))
+    // totals from the WINDOW COLUMN (the last row's inclusive end IS the
+    // shard total — ids are unique, so max_by picks exactly the last row):
+    // referencing __local_end keeps the Window in this branch's plan, so
+    // both branches' exchanges are IDENTICAL subtrees and ReusedExchange
+    // computes the exchange (and the whole input below it) once. An
+    // aggregate over the raw value column instead gets column-pruned past
+    // the Window into its own sibling exchange — two input executions
+    // (measured: that shape kept the second Scan+Exchange in the plan).
+    // The groupBy keys are the window's own partition keys, so this branch
+    // adds no exchange of its own.
+    val prefixes = local.groupBy(keys: _*)
+      .agg(max_by(col("__local_end"), col(idCol)).as("__total"))
+      .withColumn("__prefix", prefixFold.over(prefW))
       .drop("__total")
-    local.join(broadcast(prefixes), groupCols :+ "__shard")
-      .withColumn(endCol, greatest(col("__prefix"), col("__local_end")))
-      .drop("__shard", "__local_end", "__prefix")
+    val joined = local.join(broadcast(prefixes), groupCols :+ "__shard")
+      .withColumn(endCol, combine(col("__prefix"), col("__local_end")))
+      .drop("__local_end", "__prefix")
+    if (keepShard) joined else joined.drop("__shard")
   }
 
   /** Append `rankCol` = exact global `row_number()` under
@@ -187,14 +243,28 @@ object Prefix {
       }
       acc + when(gt, 1).otherwise(0)
     }
+    // explicit pinned-width repartition on the window's partition key, for
+    // the same two reasons as [[scan]]: identical exchange subtrees for the
+    // two branches below (reuse — input executes once) and AQE-proof width
+    // so a small rank pass is not serialized onto one partition
+    val shuffleN = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "64").toInt
     val withPid = base.withColumn("__pid", pid)
+      .repartition(shuffleN, col("__pid"))
     val localW = Window.partitionBy("__pid")
       .orderBy(col("__gk").asc, col("__gt").asc)
     val local = withPid
       .withColumn("__lrn", row_number().over(localW).cast("long"))
     val offW = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withPid.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+    // per-pid counts from the WINDOW COLUMN (max local row number == the
+    // pid's row count): referencing __lrn keeps the Window in this branch,
+    // so both branches' exchanges are identical subtrees and ReusedExchange
+    // computes the exchange — and the whole input pipeline below it — once.
+    // A count(1) here instead gets column-pruned past the Window into its
+    // own sibling exchange: two input executions. Grouping on the window's
+    // own partition key adds no exchange of its own.
+    val offsets = local.groupBy("__pid").agg(max(col("__lrn")).as("__cnt"))
       .withColumn("__off", coalesce(sum("__cnt").over(offW), lit(0L)))
       .select(col("__pid"), col("__off"))
     local.join(broadcast(offsets), Seq("__pid"))

@@ -504,6 +504,14 @@ object Similarity {
     * the kernel accumulates each squared distance in [[sqDist]]'s exact
     * element order and breaks ties to the lowest cluster id, which is the
     * struct ordering the aggregate used.
+    *
+    * CONTRACT (same as the broadcast-join form, now explicit): `pts` rows
+    * are unique per vec_id at every call site ([[kmeansPts]] selects from
+    * the id-unique corpus) — this is a per-row map, so a duplicated id
+    * would emit one assignment per duplicate where a groupBy(vec_id) form
+    * would collapse them. `cents` must be non-empty: ArgminSqDist requires
+    * a non-empty centroid matrix ([[kmeansInit]] returns ≥ 1 seed for any
+    * non-empty corpus; an empty corpus fails there, not here).
     */
   private def assignStep(pts: DataFrame, cents: DataFrame): DataFrame = {
     val rows = cents.select(col("cluster").cast("long"),
@@ -1275,8 +1283,14 @@ object Similarity {
       (DataFrame, DataFrame) = {
     val s = cb.sparkSession
     freezeModelScale(cb, modelId, s"$base/codebooks")
-    cd.withColumn("model_id", lit(modelId))
-      .repartition(freezeShards(s, cd.count()), col("vec_id"))
+    // materialize the codes ONCE before sizing the shards: the count and
+    // the write would otherwise each run the full encode pipeline (the
+    // whole per-subspace assignment) — the checkpoint is the codes
+    // themselves (n·m small ints, the ~100×-compressed corpus), so both
+    // passes read blocks instead of re-encoding
+    val cdM = graft.core.Lineage.truncate(cd)
+    cdM.withColumn("model_id", lit(modelId))
+      .repartition(freezeShards(s, cdM.count()), col("vec_id"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("model_id")
@@ -1568,8 +1582,12 @@ object Similarity {
     // repartition multiplies the file count by the width — the dominant
     // freeze cost at small n (one permission fork per file) and the
     // small-files tax at read time
-    cd.withColumn("model_id", lit(modelId))
-      .repartition(freezeShards(s, cd.count()), col("cell"), col("vec_id"))
+    // one materialization serves the shard-count sizing AND the write —
+    // without it the count and the write each run the full encode + cell
+    // join pipeline (see pqFreeze)
+    val cdM = graft.core.Lineage.truncate(cd)
+    cdM.withColumn("model_id", lit(modelId))
+      .repartition(freezeShards(s, cdM.count()), col("cell"), col("vec_id"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("model_id", "cell")

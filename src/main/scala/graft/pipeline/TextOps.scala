@@ -928,7 +928,11 @@ object TextOps {
   def sliceOverlap(df: DataFrame, sliceCol: String, textCol: String = "text",
       n: Int = 3, maxSlices: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(n >= 1, s"sliceOverlap needs n >= 1, got $n")
+    // upper bound comes from the CharNgramCodes kernel below (base-37 gram
+    // codes must fit a Long) — surface it here with the operator's name
+    // instead of an expression-construction failure
+    require(n >= 1 && n <= 12,
+      s"sliceOverlap needs n in [1, 12] (base-37 Long gram codes), got $n")
     require(maxSlices >= 2, s"sliceOverlap needs maxSlices >= 2, got $maxSlices")
     // Distinct grams as base-37 LONG codes via the single-pass
     // [[graft.functions.CharNgramCodes]] kernel (same normalization: the

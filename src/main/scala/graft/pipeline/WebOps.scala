@@ -482,27 +482,23 @@ object WebOps {
       urlCol: String = "url", idCol: String = "event_id",
       tsCol: String = "ts", shardWidth: Long = 1L << 20): DataFrame = {
     require(delayMs > 0, s"delayMs must be positive, got $delayMs")
-    val shuffleN = fetches.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "64").toInt
-    // Each Prefix scan consumes its input TWICE (the per-shard scan and
-    // the shard-totals branch), and the second scan's input is the whole
-    // first scan — without a barrier the URL→PSL-domain projection (a
-    // large expression tree) re-executes 4× and the collapsed projection
-    // blows the JVM's 64 KB codegen method limit into interpreted eval.
-    // A pinned-width repartition after each expensive stage makes the two
-    // downstream branches share ONE exchange (ReusedExchange computes the
-    // subplan once) and keeps every codegen stage small; the repartitioned
-    // payload is 3 narrow columns, not the fetch rows.
-    def barrier(df: DataFrame): DataFrame = df.repartition(shuffleN, col(idCol))
-    val base = barrier(fetches.select(col(idCol),
+    // ONE corpus exchange serves the whole chain: each Prefix scan now
+    // hangs both its branches off its own window exchange (input executed
+    // once — the URL→PSL-domain projection runs exactly once, below that
+    // exchange), and the SECOND scan reuses the FIRST's (domain, __shard)
+    // partitioning via the retained __shard column (same idCol, same
+    // shardWidth — the chained-scan contract), so it adds no exchange at
+    // all. The barrier repartitions this replaced existed only to stop the
+    // two-branch double execution the new scan shape no longer has.
+    val base = fetches.select(col(idCol),
       urlDomain(col(urlCol)).as("domain"),
-      expr(s"`$tsCol` div 1000000").cast("long").as("arrival_ms")))
-    val ranked = barrier(Prefix.runningSum(base.withColumn("__one", lit(1L)),
+      expr(s"`$tsCol` div 1000000").cast("long").as("arrival_ms"))
+    val ranked = Prefix.runningSum(base.withColumn("__one", lit(1L)),
         idCol, "__one", groupCols = Seq("domain"),
-        shardWidth = shardWidth, endCol = "__cum")
+        shardWidth = shardWidth, endCol = "__cum", keepShard = true)
       .withColumn("fetch_rank", col("__cum") - lit(1L))
       .drop("__one", "__cum")
-      .withColumn("__v", col("arrival_ms") - lit(delayMs) * col("fetch_rank")))
+      .withColumn("__v", col("arrival_ms") - lit(delayMs) * col("fetch_rank"))
     Prefix.runningMax(ranked, idCol, "__v", groupCols = Seq("domain"),
         shardWidth = shardWidth, endCol = "__m")
       .withColumn("scheduled_ms", lit(delayMs) * col("fetch_rank") + col("__m"))

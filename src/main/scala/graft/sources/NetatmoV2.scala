@@ -128,6 +128,14 @@ private[sources] object FixtureDeviceApi {
     * planInputPartitions), and every call sets the SAME projection — the
     * per-call state (the filter predicate) never lives in the conf. Readers
     * only read from it, so sharing is safe.
+    *
+    * READ-ONLY INVARIANT: this conf is shared across driver planning and all
+    * executor task threads. It is safe exactly as long as no reader builder
+    * call site SETS per-read keys on it — today the filter goes via
+    * `withFilter` and the projection is the one constant key set here. If a
+    * parquet upgrade or a new call site ever needs a per-read conf key, hand
+    * that reader `new Configuration(readConf)` (the copy constructor skips
+    * the XML re-parse that motivated the sharing) instead of mutating this.
     */
   private lazy val readConf: Configuration = {
     val c = new Configuration()
