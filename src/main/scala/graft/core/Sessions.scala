@@ -25,6 +25,15 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // ObjectHashAggregate (TypedImperative buffers — VecMeanAgg, the
+      // collect_list reassemblies) falls back to SORT-based aggregation at
+      // 128 in-memory KEYS regardless of buffer size; PQ codebook training
+      // groups on (subspace, cluster) = m·kc keys of ~dim-double buffers
+      // (tens of KB total), and the fallback's per-row sort + buffer
+      // re-serialization measured 2-3× the whole aggregate. 8192 keys of
+      // this library's bounded per-group buffers stay comfortably in one
+      // task's memory; genuinely fat buffers still spill via the sorter.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -53,6 +62,10 @@ object Sessions {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.files.minPartitionNum",
       spark.sparkContext.defaultParallelism.toString)
+    // see tune(): many-small-buffer object aggregates (PQ training's
+    // (subspace, cluster) means) must not sort-fallback at 128 keys
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
     spark
   }
 }

@@ -647,6 +647,65 @@ case class CharNgramCodes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Hashed unigram+bigram bucket ids of the token-normalized text in ONE
+  * pass — the DSIR feature extraction: for every token `t` the bucket
+  * `PolyHash(t, 0) % dims`, and for every adjacent pair the bucket of the
+  * space-joined bigram `"t1 t2"`. Bit-identical to the column-algebra form
+  * it replaces (`explode(concat(tokens, transform(sequence(...), i ->
+  * concat(element_at...))))` + `PolyHash % dims`): same tokenizer twin
+  * ([[SignatureKernel.tokenize]]), and the bigram hash folds t1's bytes,
+  * one 0x20 space byte, then t2's bytes — exactly PolyHash of the
+  * concatenated string — without materializing the bigram strings or
+  * running the interpreted per-token `transform` lambda. Output order is
+  * unigrams then bigrams (the concat order); every consumer aggregates, so
+  * order is immaterial. CodegenFallback is deliberate: the whole document
+  * is one JVM call (the MinHashSig rationale).
+  */
+case class TokenGramBuckets(child: Expression, dims: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(dims > 0, s"token_gram_buckets needs dims > 0, got $dims")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    SignatureKernel.requireString("token_gram_buckets", child)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val toks = SignatureKernel.tokenize(v.asInstanceOf[UTF8String].toString)
+    val n = toks.length
+    val out = new Array[Long](if (n >= 2) 2 * n - 1 else n)
+    val mod = PolyHash.Mod
+    // unigram hashes, kept un-bucketed for the bigram folds
+    val uh = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val bytes = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var h = 0L
+      var b = 0
+      while (b < bytes.length) { h = (h * 31L + (bytes(b) & 0xffL)) % mod; b += 1 }
+      uh(i) = h
+      out(i) = h % dims
+      i += 1
+    }
+    i = 0
+    while (i + 1 < n) {
+      // PolyHash("t1 t2", 0) = fold(t2 bytes, fold(' ', fold(t1 bytes, 0)))
+      var h = (uh(i) * 31L + 0x20L) % mod
+      val bytes = toks(i + 1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var b = 0
+      while (b < bytes.length) { h = (h * 31L + (bytes(b) & 0xffL)) % mod; b += 1 }
+      out(n + i) = h % dims
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Cosine similarity of two numeric vectors in ONE pass: the three
   * sequential left-folds (a·b, a·a, b·b) of the column-algebra version it
   * replaces, evaluated in the same element order and double precision —
@@ -916,10 +975,19 @@ case class VecSqDist(left: Expression, right: Expression)
   * null element yields NULL (the well-formed corpus never hits these; the
   * degenerate struct-with-null-dist ordering of the aggregate form was
   * never reachable for the same reason).
+  *
+  * Codegen-real (not CodegenFallback): this projection IS the k-means /
+  * PQ / IVF assignment hot path — a fallback put a virtual `eval` and an
+  * eval-boundary row copy on every corpus vector and dropped the
+  * projection out of whole-stage codegen. [[doGenCode]] emits the SAME
+  * double-op loop over the SAME centroid matrix (referenced, not
+  * inlined into source — plan/source size stays O(1) in k·dim), same
+  * strict `<` tie-break, same null-outs — bit-equal to `eval`
+  * (KernelCodegenSpec parity).
   */
 case class ArgminSqDist(child: Expression, clusters: Seq[Long],
     centroids: Seq[Seq[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(clusters.nonEmpty && clusters.length == centroids.length,
     s"argmin_sqdist needs matching non-empty clusters/centroids, got " +
       s"${clusters.length}/${centroids.length}")
@@ -969,6 +1037,44 @@ case class ArgminSqDist(child: Expression, clusters: Seq[Long],
     else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](ids(best), bestD))
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val matRef = ctx.addReferenceObj("argminMat", mat, "double[][]")
+      val idsRef = ctx.addReferenceObj("argminIds", ids, "long[]")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val cv = ctx.freshName("cv")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val getA = if (floatElems) s"(double) $a.getFloat" else s"$a.getDouble"
+      // same loop as eval: centroid order, left-to-right element fold,
+      // strict < keeps the first (lowest-id) minimum; any null element or
+      // length mismatch nulls the whole result mid-loop
+      s"""
+         |int $n = $a.numElements();
+         |int $best = -1;
+         |double $bestD = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < $matRef.length && !${ev.isNull}; $c++) {
+         |  double[] $cv = $matRef[$c];
+         |  if ($cv.length != $n) { ${ev.isNull} = true; break; }
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $t = $getA($i) - $cv[$i];
+         |    $d += $t * $t;
+         |  }
+         |  if (!${ev.isNull} && $d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[] { $idsRef[$best], $bestD });
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -1138,6 +1244,9 @@ object Signatures {
 
   def charNgramCodes(text: Column, n: Int): Column =
     GraftBridge.column(CharNgramCodes(GraftBridge.expression(text), n))
+
+  def tokenGramBuckets(text: Column, dims: Int): Column =
+    GraftBridge.column(TokenGramBuckets(GraftBridge.expression(text), dims))
 
   def minhashSig(text: Column, shingleK: Int, numHashes: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(text), shingleK, numHashes))

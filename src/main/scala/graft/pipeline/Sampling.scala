@@ -345,18 +345,14 @@ object Sampling {
   def dsirWeights(df: DataFrame, target: Column, dims: Int = 2048,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(dims > 0, s"dims must be positive, got $dims")
-    val tk = df.select(col(idCol), target.cast("boolean").as("__tgt"),
-      TextOps.tokens(col(textCol)).as("__tk"))
-    // grams = unigrams ++ adjacent bigrams ("w1 w2"); sequence(1, 0) would
-    // generate a DESCENDING range, so the bigram arm is guarded
-    val bigrams = when(size(col("__tk")) >= 2, expr(
-      "transform(sequence(1, size(__tk) - 1), " +
-        "i -> concat(element_at(__tk, i), ' ', element_at(__tk, i + 1)))"))
-      .otherwise(typedLit(Seq.empty[String]))
-    val occ = tk
-      .select(col(idCol), col("__tgt"),
-        explode(concat(col("__tk"), bigrams)).as("__g"))
-      .select(col(idCol), col("__tgt"), (PolyHash(col("__g"), 0L) % dims).as("__b"))
+    // hashed unigram+bigram buckets in ONE kernel pass per document
+    // (bit-identical to the tokens ++ bigram-transform ++ PolyHash % dims
+    // chain it replaces — see TokenGramBuckets): the interpreted per-token
+    // `transform` lambda and the materialized bigram strings were the
+    // row's hot path
+    val occ = df.select(col(idCol), target.cast("boolean").as("__tgt"),
+      explode(graft.functions.Signatures.tokenGramBuckets(
+        col(textCol), dims)).as("__b"))
     val dc = occ.groupBy(col(idCol), col("__b"))
       .agg(count(lit(1)).as("__c"), max(col("__tgt")).as("__tgt"))
     val qb = dc.groupBy("__b").agg(sum("__c").as("__qc"))

@@ -218,21 +218,23 @@ object Similarity {
   /** Cell centroids by per-dimension mean of member vectors — the "training"
     * step of IVF (here cells = the pre-assigned `label` column).
     *
-    * Dimension-agnostic and memory-safe: posexplode to (cell, pos, x) rows,
-    * partial-aggregating `avg` per (cell, pos) — never a per-cell list of
-    * whole vectors in executor memory — then reassemble the centroid array
-    * sorted by position. Scales to any dim and any cell size (the explode is
-    * a narrow map; the agg does map-side combine before the shuffle).
+    * Dimension-agnostic and memory-safe: the [[graft.functions.VecMeanAgg]]
+    * kernel keeps one (count, dim-width sums) buffer per cell — never a
+    * per-cell list of whole vectors in executor memory — with map-side
+    * partial combine, so the one shuffle carries (cells · dim)-scale
+    * partials. Scales to any dim and any cell size.
     */
   def centroids(corpus: DataFrame, cellCol: String = "label",
       vecCol: String = "embedding"): DataFrame =
+    // one element-wise-mean aggregate (see lloydCentroids.updateStep): same
+    // sum/count arithmetic as the posexplode → avg(cell, pos) → reassemble
+    // chain it replaces, one hash-agg row per vector instead of per element,
+    // one shuffle instead of two
     corpus
-      .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .groupBy("cell", "pos")
-      .agg(avg(col("x").cast("double")).as("m"))
+      .select(col(cellCol).as("cell"),
+        col(vecCol).cast("array<double>").as("v"))
       .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("centroid"))
+      .agg(graft.functions.VecMeanAgg.vecMean(col("v")).as("centroid"))
 
   /** IVF probe: each query ranks cells by centroid cosine, searches only the
     * top `nprobe` cells. Returns top-k per query within probed cells.
@@ -374,16 +376,39 @@ object Similarity {
     require(oversample >= 1, s"oversample must be >= 1, got $oversample")
     val spark = pts.sparkSession
     import spark.implicits._
+    greedyFarthest(kmeansCandidates(pts, k * oversample), k)
+      .map { case (cl, c) => (cl, c.toSeq) }
+      .toSeq.toDF("cluster", "centroid")
+  }
+
+  /** The deterministic candidate draw of [[kmeansInit]]: the
+    * `count` smallest (CW-hash(vec_id), vec_id) rows' vectors, in that
+    * order (the greedy's tie-break order). Keyed on the ID alone, so
+    * subspace views of one corpus draw the SAME candidate rows —
+    * [[pqTrain]] draws once and slices per subspace.
+    */
+  private[pipeline] def kmeansCandidates(pts: DataFrame,
+      count: Int): Array[Array[Double]] = {
     val salt = "kmeans_init"
     val key = (graft.functions.PolyHash(col("vec_id").cast("string"), 0L)
       * Sampling.saltMult(salt) + Sampling.saltAdd(salt)) % graft.functions.PolyHash.Mod
     // metadata-scale collect by design: k·oversample rows via TakeOrdered
-    val cand = pts.withColumn("__key", key)
+    pts.withColumn("__key", key)
       .orderBy(col("__key").asc, col("vec_id").asc)
-      .limit(k * oversample)
+      .limit(count)
       .select("v")
       .collect()
       .map(_.getSeq[Double](0).toArray)
+  }
+
+  /** The greedy farthest-point reduction of [[kmeansInit]], on the driver
+    * over the candidate-draw order: seed 0 is the first candidate, seed i
+    * maximizes min squared distance to the chosen set, ties to the lowest
+    * candidate index. Returns (cluster = selection rank, centroid) sorted
+    * by cluster.
+    */
+  private[pipeline] def greedyFarthest(cand: Array[Array[Double]],
+      k: Int): Array[(Long, Array[Double])] = {
     val n = cand.length
     def sqd(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
@@ -407,9 +432,8 @@ object Similarity {
       }
       chosen += best
     }
-    chosen.toSeq.zipWithIndex
-      .map { case (ci, cl) => (cl.toLong, cand(ci).toSeq) }
-      .toDF("cluster", "centroid")
+    chosen.toArray.zipWithIndex
+      .map { case (ci, cl) => (cl.toLong, cand(ci)) }
   }
 
   /** Lloyd's k-means over the embedding column: `iters` rounds of
@@ -421,13 +445,14 @@ object Similarity {
     * engines and partition layouts (no true randomness, no iteration-order
     * dependence) without the first-k-by-id positional degeneracy.
     *
-    * Scale shape per round: centroids are k rows, broadcast to an
-    * assignment map-join (never a shuffle of the corpus on the cluster
-    * key), and the update is the same posexplode → partial-combined
-    * avg(cell,pos) → reassemble pipeline as [[centroids]] — no per-cluster
-    * vector lists in memory, any dimension. The corpus is scanned
-    * iters+1 times; each extra round is one broadcast join + one bounded
-    * aggregation, the textbook distributed Lloyd step.
+    * Scale shape per round: centroids are k rows entering the argmin
+    * assignment kernel as literals (never a shuffle of the corpus on the
+    * cluster key), and the update is ONE partial-combined element-wise
+    * mean aggregate ([[graft.functions.VecMeanAgg]], same shape as
+    * [[centroids]]) — no per-cluster vector lists in memory, any
+    * dimension. The corpus is scanned iters+1 times; each extra round is
+    * one narrow assignment pass + one bounded aggregation, the textbook
+    * distributed Lloyd step.
     */
   def kmeans(corpus: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -490,7 +515,7 @@ object Similarity {
   private def kmeansPts(corpus: DataFrame, idCol: String,
       vecCol: String): DataFrame =
     spread(corpus, idCol).select(col(idCol).as("vec_id"),
-      transform(col(vecCol), _.cast("double")).as("v"))
+      col(vecCol).cast("array<double>").as("v"))
 
   /** argmin as a ZERO-SHUFFLE narrow map: the centroid table is
     * metadata-scale by contract (it was broadcast here before, i.e.
@@ -515,7 +540,7 @@ object Similarity {
     */
   private def assignStep(pts: DataFrame, cents: DataFrame): DataFrame = {
     val rows = cents.select(col("cluster").cast("long"),
-        transform(col("centroid"), _.cast("double")).as("centroid"))
+        col("centroid").cast("array<double>").as("centroid"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1)
@@ -530,12 +555,15 @@ object Similarity {
       oversample: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // ONE aggregate per round: the element-wise mean kernel replaces the
+    // posexplode → avg per (cluster, pos) → collect_list reassembly chain —
+    // n·dim generic hash-agg rows and a second shuffle collapse to one
+    // primitive-loop update per vector and one (k·dim)-scale partial
+    // shuffle. Same sum/count arithmetic in the same accumulation-order
+    // class (see VecMeanAgg).
     def updateStep(assigned: DataFrame): DataFrame =
-      assigned.select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos").agg(avg("x").as("m"))
-        .groupBy("cluster")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cluster"), transform(col("pm"), p => p.getField("m")).as("centroid"))
+      assigned.groupBy("cluster")
+        .agg(graft.functions.VecMeanAgg.vecMean(col("v")).as("centroid"))
     var cents: DataFrame = kmeansInit(pts, k, oversample)
     // materialize the k-row centroid table each round by COLLECTING it and
     // re-entering the rows as a LOCAL relation (the pcaTop driver-literal
@@ -1212,20 +1240,71 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       oversample: Int = 4): (DataFrame, DataFrame) = {
     require(m >= 1, s"m must be >= 1, got $m")
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dimension $dim must divide into $m subspaces")
     val sub = dim / m
-    val parts = inParallel((0 until m).map(j => () => {
-      val pts = kmeansPts(corpus.select(col(idCol),
-        slice(col(vecCol), j * sub + 1, sub).as(vecCol)), idCol, vecCol)
-      val cents = lloydCentroids(pts, kc, iters, oversample)
-      val codes = assignStep(pts, cents)
-        .select(col("vec_id"), lit(j).as("subspace"), col("cluster"))
-      (cents.select(lit(j).as("subspace"), col("cluster"), col("centroid")),
-        codes)
-    }))
-    (parts.map(_._1).reduce(_ unionByName _),
-      parts.map(_._2).reduce(_ unionByName _))
+    // ONE spread + ONE materialization serves every subspace's candidate
+    // draw, every Lloyd round and the final encode. The previous shape ran
+    // one independent pipeline per subspace — m spreads of the corpus and
+    // ~3·m parquet re-scans (init TakeOrdered, round, encode, freeze count
+    // each re-executed their subspace's scan+shuffle; stack-sampled:
+    // shuffle-file creation dominated the executors). Training is the
+    // train-once half of train-once/serve-many, so the corpus-sized
+    // checkpoint is a bounded training-job cost, not a serving cost.
+    def sliceJ(j: Int) = slice(col("v0"), j * sub + 1, sub)
+    val base = graft.core.Lineage.truncate(
+      spread(corpus, idCol).select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v0")))
+    // shared candidate draw: the CW-hash sample keys on vec_id alone, so
+    // every subspace draws the SAME candidate rows (bit-identical to the
+    // per-subspace draw it replaces) and slices its own view on the driver
+    val cand = kmeansCandidates(
+      base.select(col("vec_id"), col("v0").as("v")), kc * oversample)
+    var cents: IndexedSeq[Array[(Long, Array[Double])]] =
+      (0 until m).map { j =>
+        greedyFarthest(
+          cand.map(a => java.util.Arrays.copyOfRange(a, j * sub, j * sub + sub)),
+          kc)
+      }
+    // one aggregate per Lloyd round for ALL subspaces: per vector, m
+    // (subspace, argmin cluster, slice) rows — the same element volume as
+    // the corpus — mean-reduced per (subspace, cluster) by the VecMeanAgg
+    // kernel. Assignment arithmetic and tie-break are the per-subspace
+    // kernel's own (bit-identical); the mean is the same sum/count class.
+    for (_ <- 1 to iters) {
+      val structs = (0 until m).map { j =>
+        val mj = graft.functions.Signatures.argminSqDist(sliceJ(j),
+          cents(j).map(_._1).toSeq, cents(j).map(_._2.toSeq).toSeq)
+        struct(lit(j).as("subspace"),
+          mj.getField("cluster").as("cluster"), sliceJ(j).as("v"))
+      }
+      val updated = base.select(explode(array(structs: _*)).as("e"))
+        .groupBy(col("e.subspace").as("subspace"), col("e.cluster").as("cluster"))
+        .agg(graft.functions.VecMeanAgg.vecMean(col("e.v")).as("centroid"))
+        .collect()
+      cents = (0 until m).map { j =>
+        updated.filter(_.getInt(0) == j)
+          .map(r => (r.getLong(1), r.getSeq[Double](2).toArray))
+          .sortBy(_._1)
+      }
+    }
+    val cb = (0 until m).flatMap(j => cents(j).map { case (cl, c) =>
+      (j, cl, c.toSeq) }).toDF("subspace", "cluster", "centroid")
+    // final encode: one narrow pass emitting all m codes per vector against
+    // the trained (driver-literal) codebooks — no per-subspace pipelines,
+    // no m-way union of spreads
+    val codeStructs = (0 until m).map { j =>
+      val mj = graft.functions.Signatures.argminSqDist(sliceJ(j),
+        cents(j).map(_._1).toSeq, cents(j).map(_._2.toSeq).toSeq)
+      struct(lit(j).as("subspace"), mj.getField("cluster").as("cluster"))
+    }
+    val cd = base.select(col("vec_id"),
+        explode(array(codeStructs: _*)).as("e"))
+      .select(col("vec_id"), col("e.subspace").as("subspace"),
+        col("e.cluster").as("cluster"))
+    (cb, cd)
   }
 
   /** Write a MODEL-scale relation (codebooks, cell centroids, logreg
@@ -1360,16 +1439,33 @@ object Similarity {
     require(vdim == m * sub,
       s"vector dimension $vdim must equal the frozen model's " +
         s"m*sub = ${m * sub}")
-    val parts = inParallel((0 until m).map(j => () => {
-      val pts = kmeansPts(vecs.select(col(idCol),
-        slice(col(vecCol), j * sub + 1, sub).as(vecCol)), idCol, vecCol)
-      val cb = codebooks.where(col("subspace") === j)
-        .select(col("cluster"), col("centroid"))
-      assignStep(pts, cb)
-        .select(col("vec_id"), lit(j).as("subspace"), col("cluster"),
-          col("dist"))
-    }))
-    parts.reduce(_ unionByName _)
+    // one collect of the (model-scale) codebooks + ONE narrow pass over the
+    // batch emitting all m codes per vector — the previous per-subspace
+    // pipelines spread the batch m times and unioned m plans (m× scan +
+    // shuffle for the same rows). Kernel, tie-break and dist arithmetic
+    // are assignStep's own (bit-identical; SimilaritySpec pins
+    // encode-frozen == pqTrain's codes).
+    val byJ = codebooks
+      .select(col("subspace").cast("int"), col("cluster").cast("long"),
+        col("centroid").cast("array<double>"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (j, rows) =>
+        j -> rows.map(r => (r.getLong(1), r.getSeq[Double](2))).sortBy(_._1)
+      }
+    val base = spread(vecs, idCol).select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v0"))
+    val structs = (0 until m).map { j =>
+      val cb = byJ(j)
+      val mj = graft.functions.Signatures.argminSqDist(
+        slice(col("v0"), j * sub + 1, sub),
+        cb.map(_._1).toSeq, cb.map(_._2).toSeq)
+      struct(lit(j).as("subspace"), mj.getField("cluster").as("cluster"),
+        mj.getField("dist").as("dist"))
+    }
+    base.select(col("vec_id"), explode(array(structs: _*)).as("e"))
+      .select(col("vec_id"), col("e.subspace").as("subspace"),
+        col("e.cluster").as("cluster"), col("e.dist").as("dist"))
   }
 
   /** ADC top-k over a FROZEN PQ model ([[pqTrain]]'s `(codebooks, codes)`
@@ -1414,8 +1510,8 @@ object Similarity {
     val qsl = (0 until m).map(j =>
         queries.select(col(idCol).as("query_id"),
           lit(j).as("subspace"),
-          transform(slice(col(vecCol), j * sub + 1, sub),
-            _.cast("double")).as("__qv")))
+          slice(col(vecCol), j * sub + 1, sub)
+            .cast("array<double>").as("__qv")))
       .reduce(_ unionByName _)
     val dtab = qsl.join(broadcast(codebooks), "subspace")
       .select(col("query_id"), col("subspace"), col("cluster"),
@@ -1671,8 +1767,8 @@ object Similarity {
     val qsl = (0 until m).map(j =>
         queries.select(col(idCol).as("query_id"),
           lit(j).as("subspace"),
-          transform(slice(col(vecCol), j * sub + 1, sub),
-            _.cast("double")).as("__qv")))
+          slice(col(vecCol), j * sub + 1, sub)
+            .cast("array<double>").as("__qv")))
       .reduce(_ unionByName _)
     val dtab = qsl.join(broadcast(codebooks), "subspace")
       .select(col("query_id"), col("subspace"), col("cluster"),
@@ -1747,7 +1843,7 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = corpus.sparkSession
-    val pts = corpus.select(transform(col(vecCol), _.cast("double")).as("v"))
+    val pts = corpus.select(col(vecCol).cast("array<double>").as("v"))
     val muRows = pts.select(posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("dim").agg(avg("x").as("mu"), count(lit(1)).as("n"))
       .orderBy("dim").collect()
@@ -1989,7 +2085,7 @@ object Similarity {
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")),
         "neighbor_id")
       .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
-        col("cos_sim"), transform(col("__v"), _.cast("double")).as("__v"))
+        col("cos_sim"), col("__v").cast("array<double>").as("__v"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getSeq[Double](3).toArray))
@@ -2034,7 +2130,7 @@ object Similarity {
     require(k >= 1, s"kCenters needs k >= 1, got $k")
     val spark = corpus.sparkSession
     val pts = spread(corpus, idCol).select(col(idCol).cast("long").as("id"),
-      transform(col(vecCol), _.cast("double")).as("v"))
+      col(vecCol).cast("array<double>").as("v"))
     val seed = pts.orderBy("id").limit(1).collect().headOption
       .getOrElse(throw new IllegalArgumentException("kCenters on an empty corpus"))
     def vecOf(r: org.apache.spark.sql.Row): Array[Double] =

@@ -690,7 +690,7 @@ object StreamOps {
     }
     val routed = vecs
       .select(col(idCol).cast("long").as("vec_id"),
-        transform(col(vecCol), _.cast("double")).as("v"))
+        col(vecCol).cast("array<double>").as("v"))
       .as[(Long, Seq[Double])]
       .map { case (id, v) => SemVecRow(id, bestCell(v.toArray), v) }
     val timeoutConf =
@@ -809,7 +809,7 @@ object StreamOps {
     }
     val probed = queries
       .select(col(idCol).cast("long").as("query_id"),
-        transform(col(vecCol), _.cast("double")).as("v"))
+        col(vecCol).cast("array<double>").as("v"))
       .as[(Long, Seq[Double])]
       .flatMap { case (qid, v) =>
         if (v.length != m * sub) throw new IllegalArgumentException(
@@ -923,7 +923,7 @@ object StreamOps {
       (0 until m).map(j => codebooks.filter(_._1 == j).sortBy(_._2)
         .map { case (_, c, v) => (c, v.toArray) }.toArray).toArray
     vecs.select(col(idCol).cast("long").as("vec_id"),
-        transform(col(vecCol), _.cast("double")).as("v"))
+        col(vecCol).cast("array<double>").as("v"))
       .as[(Long, Seq[Double])]
       .flatMap { case (id, v) =>
         if (v.length != m * sub) throw new IllegalArgumentException(

@@ -198,4 +198,41 @@ class KernelCodegenSpec extends SparkSpec {
         Signatures.vecSqDist(joined("va"), joined("vb")).as("sq"))
     }
   }
+
+  test("ArgminSqDist codegen == interpreted (ties, mismatch, null elem)") {
+    // two equidistant centroids (clusters 2 and 5 both at distance 0 from
+    // dtie): the strict < must keep the LOWER cluster id in both paths
+    val clusters = Seq(2L, 5L, 9L)
+    val cents = Seq(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0), Seq(0.0, 0.0, 0.5))
+    assertParity { s =>
+      val df = s.range(1).selectExpr(
+        "array(cast(1.0 as float), cast(2.0 as float), cast(3.0 as float)) as ftie",
+        "array(1.0d, 2.0d, 3.0d) as dtie",
+        "array(0.1d, -0.2d, 0.4d) as dnear",
+        "array(cast(null as double), 1.0d, 2.0d) as dnullelem",
+        "array(1.0d, 2.0d) as d2",
+        "cast(array() as array<double>) as dempty",
+        "cast(null as array<double>) as dnull")
+      df.select(
+        Signatures.argminSqDist(df("dtie"), clusters, cents).as("m_tie"),
+        Signatures.argminSqDist(df("ftie"), clusters, cents).as("m_ftie"),
+        Signatures.argminSqDist(df("dnear"), clusters, cents).as("m_near"),
+        Signatures.argminSqDist(df("dnullelem"), clusters, cents).as("m_nullelem"),
+        Signatures.argminSqDist(df("d2"), clusters, cents).as("m_mismatch"),
+        Signatures.argminSqDist(df("dempty"), clusters, cents).as("m_empty"),
+        Signatures.argminSqDist(df("dnull"), clusters, cents).as("m_null"))
+    }
+  }
+
+  test("ArgminSqDist codegen == interpreted over real embeddings") {
+    assertParity { s =>
+      val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+        .orderBy("vec_id").limit(64)
+      val cents = emb.limit(4).collect()
+        .map(r => r.getSeq[Double](1).toSeq).toSeq
+      emb.select(emb("vec_id"),
+        Signatures.argminSqDist(emb("v"), Seq(0L, 1L, 2L, 3L), cents).as("m"))
+    }
+  }
 }
